@@ -1,0 +1,102 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text analysis column functions.
+  *
+  * Normalization follows the reference word-count pipeline: strip
+  * `( ) , " . ; : '`, lowercase, split on whitespace, drop empties
+  * (reference example/tpipe.rs:76-81). All hashes are *portable*: they
+  * are defined over md5 (bit-identical across engines) or integer
+  * polynomial folds, never over an engine-native hash — see SURVEY.md §4.
+  *
+  * Everything here is a pure Column expression (codegen-friendly, no
+  * UDFs), so every use stays inside whole-stage codegen and shuffles
+  * nothing by itself.
+  */
+object TextFns {
+
+  /** Modulus for portable integer hashing: 2^31 - 1 (Mersenne prime). */
+  val HashMod: Long = 2147483647L
+
+  /** Reference punctuation set as a regex class (example/tpipe.rs:76-81). */
+  val PunctClass = """[(),";:'.]"""
+
+  def normalize(c: Column): Column = regexp_replace(lower(c), PunctClass, "")
+
+  /** Whitespace tokens of the normalized text, empties dropped. */
+  def tokens(c: Column): Column =
+    filter(split(normalize(c), "\\s+"), t => t =!= "")
+
+  /** Portable 60-bit token hash: first 15 hex digits of md5, as a long.
+    * Identical in any engine that has md5 + hex parsing.
+    */
+  def tokenHash(t: Column): Column =
+    conv(substring(md5(t), 1, 15), 16, 10).cast("long")
+
+  /** tokenHash reduced mod 2^31-1 — the input domain for minhash perms. */
+  def tokenHash31(t: Column): Column = tokenHash(t) % HashMod
+
+  /** Rolling polynomial fingerprint over the token-hash sequence:
+    * h := (h * 1000003 + th) mod 2^31-1. Order-sensitive (a true
+    * rolling hash), per-row, no shuffle.
+    */
+  def fingerprint(text: Column): Column =
+    aggregate(
+      transform(tokens(text), t => tokenHash31(t)),
+      lit(0L),
+      (h, x) => (h * 1000003L + x) % HashMod
+    )
+
+  /** Tiny deterministic stopword lists per language for the langid
+    * heuristic + quality scoring.
+    */
+  val Stopwords: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "a", "of", "and", "to", "in", "is"),
+    "es" -> Seq("el", "la", "de", "y", "en", "es", "un"),
+    "fr" -> Seq("le", "la", "de", "et", "en", "est", "un"),
+    "de" -> Seq("der", "die", "das", "und", "in", "ist", "ein"),
+    "zh" -> Seq("de", "shi", "zai", "he", "le", "you", "wo")
+  )
+
+  /** Count of tokens contained in `words`. */
+  def matchCount(toks: Column, words: Seq[String]): Column =
+    size(filter(toks, t => t.isin(words.map(lit): _*).cast("boolean")))
+
+  /** Language-ID by stopword hit count; deterministic alphabetical-first
+    * tie-break via strictly-greater comparison in fixed lang order.
+    */
+  def langId(text: Column): Column = {
+    val toks = tokens(text)
+    val langs = Stopwords.keys.toSeq.sorted
+    val scores = langs.map(l => l -> matchCount(toks, Stopwords(l)))
+    // winner = first lang (alphabetical) whose score >= all others
+    scores.foldLeft(lit(null).cast("string")) { case (acc, (l, s)) =>
+      when(acc.isNotNull, acc).otherwise(
+        when(scores.filter(_._1 != l).map(o => s >= o._2).reduce(_ && _), lit(l)))
+    }
+  }
+
+  /** Whitespace token count on raw text. */
+  def wsTokenCount(text: Column): Column =
+    size(filter(split(text, "\\s+"), t => t =!= ""))
+
+  /** BPE-ish piece count: alpha runs contribute ceil(len/4) pieces,
+    * digit runs and single symbols one piece each — a deterministic
+    * proxy for subword tokenizer counts.
+    */
+  def bpeTokenCount(text: Column): Column = {
+    val pieces = regexp_extract_all(text, lit("""[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"""), lit(0))
+    aggregate(
+      pieces,
+      lit(0L),
+      (acc, p) =>
+        acc + when(p.rlike("^[A-Za-z]+$"), ceil(length(p) / lit(4.0)).cast("long")).otherwise(1L)
+    )
+  }
+
+  /** Punctuation/symbol character count. */
+  def punctCount(text: Column): Column =
+    size(regexp_extract_all(text, lit("""[^A-Za-z0-9\s]"""), lit(0)))
+}
