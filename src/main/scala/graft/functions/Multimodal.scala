@@ -51,7 +51,7 @@ object Multimodal {
       "features",
       transform(
         sequence(lit(1), lit(dims)),
-        i => (conv(substring(md5(col(payloadCol)), i * 2, 4), 16, 10).cast("long") % 1000).cast("double") / 1000.0
+        i => (conv(md5(col(payloadCol)).substr(i * 2, lit(4)), 16, 10).cast("long") % 1000).cast("double") / 1000.0
       )
     )
     out
