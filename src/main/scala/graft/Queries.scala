@@ -1,0 +1,667 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+import graft.operators.{Joins, Keyed, Relational, Windows}
+import graft.functions.{DedupFns, Multimodal, TextFns, VectorFns}
+
+/** One registered query: the Spark implementation + the equivalent
+  * DuckDB oracle SQL (None → driver records a weaker rows-only check).
+  */
+final case class GraftQuery(
+    name: String,
+    fn: (SparkSession, String) => DataFrame,
+    oracle: Option[String])
+
+/** The full query inventory of SURVEY.md §2, wired for the driver's
+  * DuckDB-oracle correctness gate.
+  *
+  * Portability rules (SURVEY.md §4) applied throughout:
+  *  - money sums go through DECIMAL(18,2) (exact, associative) and are
+  *    emitted as DOUBLE; averages are emitted as scaled integers
+  *    (floor((sum*10^k)/n)) so no cross-engine float rounding exists;
+  *  - timestamps are emitted as epoch microseconds BIGINT;
+  *  - all hashes are md5-derived or integer-polynomial (never an
+  *    engine-native hash);
+  *  - every window/rank order carries a unique tiebreak (event_id);
+  *  - counts/ranks are cast to BIGINT on both sides.
+  */
+object Queries {
+
+  private val M = TextFns.HashMod // 2147483647 = 2^31-1
+
+  /** lineitem/orders timestamps are parquet TIMESTAMP(MILLIS, utc=false)
+    * → Spark reads TIMESTAMP_NTZ. An NTZ literal comparison is wall-time
+    * on both sides and therefore independent of the session time zone
+    * (DuckDB timestamps are naive, so its TIMESTAMP literals match).
+    */
+  private def ntz(s: String): Column = to_timestamp_ntz(lit(s))
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    s.read.parquet(s"$dir/$name.parquet")
+
+  /** events.parquet carries INT64 TIMESTAMP(NANOS), which Spark's
+    * parquet reader rejects outright; read nanos as long and convert to
+    * a microsecond TimestampType (truncation — identical to DuckDB's
+    * ns→µs read behavior).
+    */
+  private def events(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    t(s, dir, "events").withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
+
+  private val dec = DecimalType(18, 2)
+  private def sumDec(c: Column): Column = sum(c.cast(dec)).cast("double")
+
+  /** price * (1-disc) with exact decimal arithmetic on both engines:
+    * the (1-disc) double op is IEEE-identical, its shortest-repr cast
+    * to DECIMAL(12,8) matches DuckDB's double→decimal cast, and the
+    * decimal product/sum are exact.
+    */
+  private def discPrice: Column =
+    col("l_extendedprice").cast(dec) * (lit(1.0) - col("l_discount")).cast(DecimalType(12, 8))
+  private def charge: Column =
+    col("l_extendedprice").cast(dec) *
+      ((lit(1.0) - col("l_discount")) * (lit(1.0) + col("l_tax"))).cast(DecimalType(12, 8))
+
+  // ---- shared DuckDB SQL fragments --------------------------------------
+
+  /** Normalized whitespace tokens (mirror of TextFns.tokens). */
+  private val toksSql =
+    """list_filter(string_split_regex(regexp_replace(lower(text), '[(),";:''.]', '', 'g'), '\s+'), x -> x != '')"""
+
+  /** 60-bit md5-prefix token hash mod 2^31-1 (mirror of TextFns.tokenHash31). */
+  private def h31Sql(v: String) = s"('0x' || substr(md5($v), 1, 15))::BIGINT % $M"
+
+  /** Distinct word 3-grams over tk (mirror of DedupFns.wordNgrams(_, 3)). */
+  private val grams3Sql =
+    "CASE WHEN len(tk) >= 3 THEN list_distinct(list_transform(range(0, len(tk) - 2), i -> array_to_string(list_slice(tk, i + 1, i + 3), ' '))) ELSE []::VARCHAR[] END"
+
+  private val sumValSql = "CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE)"
+  private val nSql = "CAST(count(*) AS BIGINT)"
+  private def quantSql(v: String) = s"list_transform($v, x -> CAST(floor(x::DOUBLE * 1000) AS BIGINT))"
+
+  // =======================================================================
+  // Core rstreams surface (SURVEY §2 rows 1-18)
+  // =======================================================================
+
+  private val qMapFilter = GraftQuery(
+    "q_map_filter",
+    (s, dir) =>
+      events(s, dir)
+        .filter(col("event_type") === "purchase" && col("value") > 100)
+        .select(col("event_id"), col("user_id"), (col("value") * 2).as("value2")),
+    Some("""SELECT event_id, user_id, value * 2 AS value2
+            FROM events WHERE event_type = 'purchase' AND value > 100"""))
+
+  private val qFoldAgg = GraftQuery(
+    "q_fold_agg",
+    (s, dir) =>
+      Keyed.fold(events(s, dir), Seq("user_id"))(
+        count(lit(1)).as("n"),
+        sumDec(col("value")).as("sum_value"),
+        max(col("value")).as("max_value"),
+        min(col("value")).as("min_value")),
+    Some(s"""SELECT user_id, $nSql AS n, $sumValSql AS sum_value,
+             max(value) AS max_value, min(value) AS min_value
+             FROM events GROUP BY user_id"""))
+
+  private val qTableLatest = GraftQuery(
+    "q_table_latest",
+    (s, dir) =>
+      Keyed.latestByKey(events(s, dir), Seq("user_id"), Seq("ts", "event_id"))
+        .select(col("user_id"), col("event_id").as("last_event_id"),
+          col("event_type").as("last_event_type"), col("value").as("last_value"),
+          unix_micros(col("ts")).as("last_ts_us")),
+    Some("""SELECT user_id, event_id AS last_event_id, event_type AS last_event_type,
+            value AS last_value, epoch_us(ts) AS last_ts_us
+            FROM events
+            QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) = 1"""))
+
+  private val qTumbling = GraftQuery(
+    "q_tumbling_window",
+    (s, dir) =>
+      Windows.tumbling(events(s, dir), "ts", Seq("event_type"), "1 hour")(
+        count(lit(1)).as("n"), sumDec(col("value")).as("sum_value"))
+        .select(unix_micros(col("window_start")).as("window_start_us"),
+          col("event_type"), col("n"), col("sum_value")),
+    Some(s"""SELECT (epoch_us(ts) // 3600000000) * 3600000000 AS window_start_us,
+             event_type, $nSql AS n, $sumValSql AS sum_value
+             FROM events GROUP BY 1, 2"""))
+
+  private val qHopping = GraftQuery(
+    "q_hopping_window",
+    (s, dir) =>
+      Windows.hopping(events(s, dir), "ts", Seq("event_type"), "1 hour", "15 minutes")(
+        count(lit(1)).as("n"))
+        .select(unix_micros(col("window_start")).as("window_start_us"), col("event_type"), col("n")),
+    Some(s"""SELECT ws AS window_start_us, event_type, $nSql AS n
+             FROM (SELECT ((epoch_us(ts) // 900000000) - k) * 900000000 AS ws, event_type
+                   FROM events, range(4) t(k))
+             GROUP BY 1, 2"""))
+
+  private val qLagWindow = GraftQuery(
+    "q_lag_window",
+    (s, dir) =>
+      Windows.lagWindow(events(s, dir), Seq("user_id"), Seq("ts", "event_id"), "value", 3)
+        .select(col("event_id"), col("user_id"), col("v_0"), col("v_1"), col("v_2")),
+    Some("""SELECT event_id, user_id, value AS v_0, lag(value, 1) OVER w AS v_1, lag(value, 2) OVER w AS v_2
+            FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            QUALIFY lag(value, 2) OVER w IS NOT NULL"""))
+
+  private val qSession = GraftQuery(
+    "q_session_window",
+    (s, dir) =>
+      Windows.session(events(s, dir), "ts", Seq("user_id"), "30 minutes")(
+        count(lit(1)).as("n"), sumDec(col("value")).as("sum_value"))
+        .select(col("user_id"), unix_micros(col("session_start")).as("session_start_us"),
+          col("n"), col("sum_value")),
+    Some(s"""WITH x AS (
+               SELECT user_id, epoch_us(ts) AS e, value,
+                 CASE WHEN epoch_us(ts) - lag(epoch_us(ts))
+                        OVER (PARTITION BY user_id ORDER BY ts, event_id) >= 1800000000
+                      THEN 1 ELSE 0 END AS brk
+               FROM events),
+             y AS (SELECT user_id, e, value,
+                     sum(brk) OVER (PARTITION BY user_id ORDER BY e ROWS UNBOUNDED PRECEDING) AS sid
+                   FROM x)
+             SELECT user_id, min(e) AS session_start_us, $nSql AS n, $sumValSql AS sum_value
+             FROM y GROUP BY user_id, sid"""))
+
+  private val qIntervalJoin = GraftQuery(
+    "q_interval_join",
+    (s, dir) => {
+      val ev = events(s, dir)
+      val l = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("purchase_id"), col("user_id"), col("ts"))
+      val r = ev.filter(col("event_type") === "click")
+        .select(col("event_id").as("click_id"), col("user_id").as("c_user_id"), col("ts").as("c_ts"))
+      Joins.intervalJoin(l, r, "user_id", "c_user_id", "ts", "c_ts", 300000000L)
+        .select(col("purchase_id"), col("click_id"), col("user_id"))
+    },
+    Some("""SELECT p.event_id AS purchase_id, c.event_id AS click_id, p.user_id
+            FROM events p JOIN events c
+              ON p.user_id = c.user_id
+             AND abs(epoch_us(p.ts) - epoch_us(c.ts)) < 300000000
+            WHERE p.event_type = 'purchase' AND c.event_type = 'click'"""))
+
+  private val qStreamTableJoin = GraftQuery(
+    "q_stream_table_join",
+    (s, dir) =>
+      Joins.enrich(t(s, dir, "orders"), t(s, dir, "customer"), "o_custkey", "c_custkey")
+        .select(col("o_orderkey"), col("o_custkey"), col("c_name"), col("c_mktsegment"), col("o_totalprice")),
+    Some("""SELECT o_orderkey, o_custkey, c_name, c_mktsegment, o_totalprice
+            FROM orders JOIN customer ON o_custkey = c_custkey"""))
+
+  private val qMerge = GraftQuery(
+    "q_merge",
+    (s, dir) => {
+      val ev = events(s, dir)
+      Relational.merge(
+        ev.filter(col("event_type") === "purchase"),
+        ev.filter(col("event_type") === "signup"))
+        .groupBy("event_type").agg(count(lit(1)).as("n"))
+    },
+    Some(s"""SELECT event_type, $nSql AS n
+             FROM (SELECT event_type FROM events WHERE event_type = 'purchase'
+                   UNION ALL
+                   SELECT event_type FROM events WHERE event_type = 'signup')
+             GROUP BY event_type"""))
+
+  private val qSplitBranch = GraftQuery(
+    "q_split_branch",
+    (s, dir) =>
+      Relational.branch(events(s, dir),
+        Seq("high" -> (col("value") >= 100), "mid" -> (col("value") >= 10)), otherwise = "low")
+        .groupBy("branch").agg(count(lit(1)).as("n"), sumDec(col("value")).as("sum_value")),
+    Some(s"""SELECT CASE WHEN value >= 100 THEN 'high' WHEN value >= 10 THEN 'mid' ELSE 'low' END AS branch,
+             $nSql AS n, $sumValSql AS sum_value
+             FROM events GROUP BY 1"""))
+
+  private val qChunk = GraftQuery(
+    "q_chunk",
+    (s, dir) =>
+      Keyed.chunk(events(s, dir), Seq("user_id"), Seq("ts", "event_id"), 10)
+        .select(col("event_id"), col("user_id"), col("chunk_id")),
+    Some("""SELECT event_id, user_id,
+            (row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) - 1) // 10 AS chunk_id
+            FROM events"""))
+
+  private val qSkipTake = GraftQuery(
+    "q_skip_take",
+    (s, dir) =>
+      Keyed.skipTake(events(s, dir), Seq("user_id"), Seq("ts", "event_id"), skip = 5, take = 10)
+        .select(col("event_id"), col("user_id"), col("rn").cast("long").as("rn")),
+    Some("""SELECT event_id, user_id, CAST(rn AS BIGINT) AS rn
+            FROM (SELECT event_id, user_id,
+                    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+                  FROM events)
+            WHERE rn > 5 AND rn <= 15"""))
+
+  private val qThrottle = GraftQuery(
+    "q_throttle",
+    (s, dir) =>
+      Keyed.throttle(events(s, dir), Seq("user_id"), Seq("ts", "event_id"), every = 5)
+        .select(col("event_id"), col("user_id"), col("rn").cast("long").as("rn")),
+    Some("""SELECT event_id, user_id, CAST(rn AS BIGINT) AS rn
+            FROM (SELECT event_id, user_id,
+                    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+                  FROM events)
+            WHERE (rn - 1) % 5 = 0"""))
+
+  private val qWordcount = GraftQuery(
+    "q_wordcount",
+    (s, dir) =>
+      t(s, dir, "documents")
+        .select(explode(TextFns.tokens(col("text"))).as("word"))
+        .groupBy("word").agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("word"))
+        .limit(100),
+    Some(s"""WITH w AS (SELECT unnest($toksSql) AS word FROM documents)
+             SELECT word, $nSql AS cnt FROM w GROUP BY word
+             ORDER BY cnt DESC, word LIMIT 100"""))
+
+  private val qCandles = GraftQuery(
+    "q_candles",
+    (s, dir) =>
+      Windows.tumbling(events(s, dir), "ts", Seq("event_type"), "1 hour")(
+        min_by(col("value"), col("event_id")).as("open"),
+        max(col("value")).as("high"),
+        min(col("value")).as("low"),
+        max_by(col("value"), col("event_id")).as("close"),
+        sumDec(col("value")).as("volume"),
+        count(lit(1)).as("n_ticks"))
+        .select(unix_micros(col("window_start")).as("window_start_us"), col("event_type"),
+          col("open"), col("high"), col("low"), col("close"), col("volume"), col("n_ticks")),
+    Some(s"""SELECT (epoch_us(ts) // 3600000000) * 3600000000 AS window_start_us, event_type,
+             arg_min(value, event_id) AS open, max(value) AS high, min(value) AS low,
+             arg_max(value, event_id) AS close, $sumValSql AS volume, $nSql AS n_ticks
+             FROM events GROUP BY 1, 2"""))
+
+  private val qStratClassify = GraftQuery(
+    "q_strat_classify",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val candles = Windows.tumbling(events(s, dir), "ts", Seq("event_type"), "1 hour")(
+        min_by(col("value"), col("event_id")).as("open"),
+        max_by(col("value"), col("event_id")).as("close"))
+        .select(unix_micros(col("window_start")).as("window_start_us"), col("event_type"),
+          col("open"), col("close"))
+      val w = Window.partitionBy("event_type").orderBy("window_start_us")
+      candles
+        .withColumn("top", greatest(col("open"), col("close")))
+        .withColumn("bottom", least(col("open"), col("close")))
+        .withColumn("ptop", lag(greatest(col("open"), col("close")), 1).over(w))
+        .withColumn("pbottom", lag(least(col("open"), col("close")), 1).over(w))
+        .filter(col("ptop").isNotNull)
+        .select(col("window_start_us"), col("event_type"),
+          when(col("top") > col("ptop") && col("bottom") < col("pbottom"), 4L)
+            .when(col("top") > col("ptop"), 2L)
+            .when(col("bottom") < col("pbottom"), 3L)
+            .otherwise(1L).as("strat_class"))
+    },
+    Some("""WITH c AS (
+              SELECT (epoch_us(ts) // 3600000000) * 3600000000 AS ws, event_type,
+                     arg_min(value, event_id) AS open, arg_max(value, event_id) AS close
+              FROM events GROUP BY 1, 2),
+            d AS (
+              SELECT ws, event_type,
+                     greatest(open, close) AS top, least(open, close) AS bottom,
+                     lag(greatest(open, close)) OVER w AS ptop,
+                     lag(least(open, close)) OVER w AS pbottom
+              FROM c WINDOW w AS (PARTITION BY event_type ORDER BY ws))
+            SELECT ws AS window_start_us, event_type,
+                   CAST(CASE WHEN top > ptop AND bottom < pbottom THEN 4
+                             WHEN top > ptop THEN 2
+                             WHEN bottom < pbottom THEN 3
+                             ELSE 1 END AS BIGINT) AS strat_class
+            FROM d WHERE ptop IS NOT NULL"""))
+
+  private val qAsofJoin = GraftQuery(
+    "q_asof_join",
+    (s, dir) => {
+      val l = events(s, dir).select(col("event_id"), col("user_id"), col("ts"))
+      // o_orderdate is NTZ; cast to TimestampType under the UTC session
+      // (naive-as-UTC — exactly DuckDB's comparison semantics).
+      val r = t(s, dir, "orders").select(col("o_custkey"),
+        col("o_orderdate").cast("timestamp").as("o_orderdate"), col("o_orderkey"), col("o_totalprice"))
+      Joins.asofJoin(l, r, "user_id", "o_custkey", "ts", "o_orderdate", "o_orderkey",
+        Seq("o_orderkey", "o_totalprice"))
+        .select(col("event_id"), col("user_id"),
+          col("o_orderkey").as("order_key"), col("o_totalprice").as("order_total"))
+    },
+    Some("""WITH o AS (
+              SELECT o_custkey, o_orderdate, o_orderkey, o_totalprice FROM orders
+              QUALIFY row_number() OVER (PARTITION BY o_custkey, o_orderdate ORDER BY o_orderkey DESC) = 1)
+            SELECT e.event_id, e.user_id, o.o_orderkey AS order_key, o.o_totalprice AS order_total
+            FROM events e ASOF LEFT JOIN o
+              ON e.user_id = o.o_custkey AND o.o_orderdate <= e.ts"""))
+
+  // =======================================================================
+  // Relational / analytics core (rows 19-22)
+  // =======================================================================
+
+  private val q1Pricing = GraftQuery(
+    "q1_pricing",
+    (s, dir) =>
+      t(s, dir, "lineitem")
+        .filter(col("l_shipdate") <= ntz("2001-09-02 00:00:00"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          sum(col("l_quantity").cast("long")).as("sum_qty"),
+          sumDec(col("l_extendedprice")).as("sum_base_price"),
+          round(sum(discPrice), 2).cast("double").as("sum_disc_price"),
+          round(sum(charge), 2).cast("double").as("sum_charge"),
+          sum(round(col("l_discount") * 100).cast("long")).as("__sum_disc_e2"),
+          count(lit(1)).as("n"))
+        .withColumn("avg_qty_e4", expr("(sum_qty * 10000) div n"))
+        .withColumn("avg_disc_e6", expr("(__sum_disc_e2 * 10000) div n"))
+        .drop("__sum_disc_e2"),
+    Some("""SELECT l_returnflag, l_linestatus,
+              CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+              CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+              CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1.0 - l_discount AS DECIMAL(12,8))), 2) AS DOUBLE) AS sum_disc_price,
+              CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST((1.0 - l_discount) * (1.0 + l_tax) AS DECIMAL(12,8))), 2) AS DOUBLE) AS sum_charge,
+              CAST(count(*) AS BIGINT) AS n,
+              CAST((sum(CAST(l_quantity AS BIGINT)) * 10000) // count(*) AS BIGINT) AS avg_qty_e4,
+              CAST((sum(CAST(round(l_discount * 100) AS BIGINT)) * 10000) // count(*) AS BIGINT) AS avg_disc_e6
+            FROM lineitem
+            WHERE l_shipdate <= TIMESTAMP '2001-09-02 00:00:00'
+            GROUP BY 1, 2"""))
+
+  private val q3Topk = GraftQuery(
+    "q3_topk",
+    (s, dir) => {
+      val c = t(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
+      val o = t(s, dir, "orders").filter(col("o_orderdate") < ntz("1998-01-01 00:00:00"))
+      val l = t(s, dir, "lineitem").filter(col("l_shipdate") > ntz("1998-01-01 00:00:00"))
+      l.join(o, l("l_orderkey") === o("o_orderkey"))
+        .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+        .groupBy(l("l_orderkey"), o("o_orderdate"), o("o_orderpriority"))
+        .agg(round(sum(discPrice), 2).cast("double").as("revenue"))
+        .select(col("l_orderkey"), col("revenue"),
+          date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_orderdate_d"), col("o_orderpriority"))
+        .orderBy(col("revenue").desc, col("l_orderkey"))
+        .limit(10)
+    },
+    Some("""SELECT l_orderkey,
+              CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1.0 - l_discount AS DECIMAL(12,8))), 2) AS DOUBLE) AS revenue,
+              strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate_d, o_orderpriority
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            WHERE c_mktsegment = 'BUILDING'
+              AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+              AND l_shipdate > TIMESTAMP '1998-01-01 00:00:00'
+            GROUP BY l_orderkey, o_orderdate, o_orderpriority
+            ORDER BY revenue DESC, l_orderkey LIMIT 10"""))
+
+  private val q5Region = GraftQuery(
+    "q5_region",
+    (s, dir) => {
+      val l = t(s, dir, "lineitem")
+      val o = t(s, dir, "orders")
+        .filter(col("o_orderdate") >= ntz("1996-01-01 00:00:00") &&
+          col("o_orderdate") < ntz("1997-01-01 00:00:00"))
+      val c = t(s, dir, "customer")
+      val su = t(s, dir, "supplier")
+      val n = t(s, dir, "nation")
+      val r = t(s, dir, "region").filter(col("r_name") === "ASIA")
+      l.join(o, l("l_orderkey") === o("o_orderkey"))
+        .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+        .join(broadcast(su), l("l_suppkey") === su("s_suppkey") && c("c_nationkey") === su("s_nationkey"))
+        .join(broadcast(n), su("s_nationkey") === n("n_nationkey"))
+        .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+        .groupBy(col("n_name"))
+        .agg(round(sum(discPrice), 2).cast("double").as("revenue"))
+    },
+    Some("""SELECT n_name,
+              CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1.0 - l_discount AS DECIMAL(12,8))), 2) AS DOUBLE) AS revenue
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+            JOIN nation ON s_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            WHERE r_name = 'ASIA'
+              AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+              AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+            GROUP BY n_name"""))
+
+  private val qJsonExtract = GraftQuery(
+    "q_json_extract",
+    (s, dir) =>
+      events(s, dir)
+        .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
+        .groupBy((col("k") % 10).as("k_bucket"))
+        .agg(count(lit(1)).as("n"), sumDec(col("value")).as("sum_value")),
+    Some(s"""SELECT json_extract_string(props, '$$.k')::BIGINT % 10 AS k_bucket,
+             $nSql AS n, $sumValSql AS sum_value
+             FROM events GROUP BY 1"""))
+
+  // =======================================================================
+  // LLM-data-pipeline operators (rows 23-33)
+  // =======================================================================
+
+  private val qDedupExact = GraftQuery(
+    "q_dedup_exact",
+    (s, dir) =>
+      t(s, dir, "documents")
+        .groupBy(DedupFns.exactKey(col("text")).as("dup_key"))
+        .agg(count(lit(1)).as("n"), min(col("doc_id")).as("keeper_id")),
+    Some("""SELECT md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS dup_key,
+            CAST(count(*) AS BIGINT) AS n, min(doc_id) AS keeper_id
+            FROM documents GROUP BY 1"""))
+
+  private def minhashSigSql: String =
+    "[" + (0 until DedupFns.NumHashes).map { i =>
+      s"list_min(list_transform(h, x -> (${DedupFns.MinhashA(i)} * x + ${DedupFns.MinhashB(i)}) % $M))"
+    }.mkString(", ") + "]"
+
+  private val qDedupMinhash = GraftQuery(
+    "q_dedup_minhash",
+    (s, dir) => DedupFns.minhashCandidates(t(s, dir, "documents"), "doc_id", "text"),
+    Some(s"""WITH t0 AS (SELECT doc_id, $toksSql AS tk FROM documents),
+             g AS (SELECT doc_id, $grams3Sql AS gs FROM t0),
+             ok AS (SELECT doc_id, gs FROM g WHERE len(gs) > 0),
+             hs AS (SELECT doc_id, list_transform(gs, t -> ${h31Sql("t")}) AS h FROM ok),
+             sig AS (SELECT doc_id, $minhashSigSql AS s FROM hs),
+             bands AS (SELECT doc_id, k AS band, (s[2*k+1] * 1000003 + s[2*k+2]) % $M AS bh
+                       FROM sig, range(${DedupFns.NumHashes / DedupFns.BandRows}) t(k))
+             SELECT a.doc_id AS id_a, b.doc_id AS id_b
+             FROM bands a JOIN bands b
+               ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
+             GROUP BY 1, 2"""))
+
+  private val qDedupSimhash = GraftQuery(
+    "q_dedup_simhash",
+    (s, dir) =>
+      t(s, dir, "documents")
+        .filter(size(TextFns.tokens(col("text"))) > 0)
+        .select(col("doc_id"), DedupFns.simhash32(col("text")).cast("long").as("sim")),
+    Some(s"""WITH t0 AS (SELECT doc_id, $toksSql AS tk FROM documents),
+             hs AS (SELECT doc_id, list_transform(tk, t -> ${h31Sql("t")}) AS h FROM t0 WHERE len(tk) > 0),
+             sums AS (SELECT doc_id,
+                        list_transform(range(0, 32), j ->
+                          CAST(list_sum(list_transform(h, x ->
+                            CASE WHEN (x // (1::BIGINT << j)) % 2 = 1 THEN 1 ELSE -1 END)) AS BIGINT)) AS sm
+                      FROM hs)
+             SELECT doc_id,
+               CAST(list_sum(list_transform(range(0, 32), j ->
+                 CASE WHEN sm[j+1] > 0 THEN (1::BIGINT << j) ELSE 0 END)) AS BIGINT) AS sim
+             FROM sums"""))
+
+  private val qNgramJaccard = GraftQuery(
+    "q_ngram_jaccard",
+    (s, dir) => DedupFns.ngramJaccardPairs(t(s, dir, "documents"), "doc_id", "text", 3,
+      maxDf = 50, minShared = 2),
+    Some(s"""WITH t0 AS (SELECT doc_id, $toksSql AS tk FROM documents),
+             g AS (SELECT doc_id, $grams3Sql AS gs FROM t0),
+             docs AS (SELECT doc_id, gs FROM g WHERE len(gs) > 0),
+             gr AS (SELECT doc_id, unnest(gs) AS gram FROM docs),
+             rare AS (SELECT gram FROM gr GROUP BY gram HAVING count(*) <= 50),
+             rg AS (SELECT gr.doc_id, gr.gram FROM gr JOIN rare USING (gram)),
+             cand AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+                      FROM rg a JOIN rg b ON a.gram = b.gram AND a.doc_id < b.doc_id
+                      GROUP BY 1, 2 HAVING count(*) >= 2)
+             SELECT id_a, id_b,
+               CAST(len(list_intersect(da.gs, db.gs)) AS BIGINT) AS inter,
+               CAST(len(da.gs) + len(db.gs) - len(list_intersect(da.gs, db.gs)) AS BIGINT) AS uni
+             FROM cand
+             JOIN docs da ON id_a = da.doc_id
+             JOIN docs db ON id_b = db.doc_id"""))
+
+  private val qEmbedTopk = GraftQuery(
+    "q_embed_topk",
+    (s, dir) => {
+      val e = t(s, dir, "embeddings")
+      VectorFns.bruteForceTopK(e.filter(col("vec_id") < 20), e, "vec_id", "embedding", 5)
+        .select(col("query_id"), col("neighbor_id"), col("score"), col("rank").cast("long").as("rnk"))
+    },
+    Some(s"""WITH q AS (SELECT vec_id AS query_id, ${quantSql("embedding")} AS qv
+                        FROM embeddings WHERE vec_id < 20),
+             c AS (SELECT vec_id AS neighbor_id, ${quantSql("embedding")} AS cv FROM embeddings),
+             sc AS (SELECT query_id, neighbor_id,
+                      CAST(list_sum(list_transform(range(1, 65), i -> qv[i] * cv[i])) AS BIGINT) AS score
+                    FROM q, c WHERE query_id != neighbor_id)
+             SELECT query_id, neighbor_id, score, CAST(rnk AS BIGINT) AS rnk
+             FROM (SELECT query_id, neighbor_id, score,
+                     row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rnk
+                   FROM sc)
+             WHERE rnk <= 5"""))
+
+  private def lshBucketSql(v: String): String =
+    s"""CAST(list_sum(list_transform(range(0, 8), j ->
+        CASE WHEN CAST(list_sum(list_transform(range(1, 65), i ->
+               $v[i] * (((j*37 + (i-1)*17) % 21) - 10))) AS BIGINT) >= 0
+             THEN (1::BIGINT << j) ELSE 0 END)) AS BIGINT)"""
+
+  private val qEmbedLsh = GraftQuery(
+    "q_embed_lsh",
+    (s, dir) => {
+      val e = t(s, dir, "embeddings")
+      VectorFns.lshTopK(e.filter(col("vec_id") < 20), e, "vec_id", "embedding", 5)
+        .select(col("query_id"), col("neighbor_id"), col("score"), col("rank").cast("long").as("rnk"))
+    },
+    Some(s"""WITH e AS (SELECT vec_id, ${quantSql("embedding")} AS v FROM embeddings),
+             eb AS (SELECT vec_id, v, ${lshBucketSql("v")} AS bucket FROM e),
+             q AS (SELECT vec_id AS query_id, v AS qv, bucket FROM eb WHERE vec_id < 20),
+             c AS (SELECT vec_id AS neighbor_id, v AS cv, bucket FROM eb),
+             sc AS (SELECT query_id, neighbor_id,
+                      CAST(list_sum(list_transform(range(1, 65), i -> qv[i] * cv[i])) AS BIGINT) AS score
+                    FROM q JOIN c USING (bucket) WHERE query_id != neighbor_id),
+             d AS (SELECT query_id, neighbor_id, max(score) AS score FROM sc GROUP BY 1, 2)
+             SELECT query_id, neighbor_id, score, CAST(rnk AS BIGINT) AS rnk
+             FROM (SELECT query_id, neighbor_id, score,
+                     row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rnk
+                   FROM d)
+             WHERE rnk <= 5"""))
+
+  private def langScoreSql: String = {
+    val langs = TextFns.Stopwords.keys.toSeq.sorted
+    langs.map { l =>
+      val lst = TextFns.Stopwords(l).map(w => s"'$w'").mkString(", ")
+      s"CAST(len(list_filter(tk, t -> list_contains([$lst], t))) AS BIGINT) AS s_$l"
+    }.mkString(", ")
+  }
+
+  private def langCaseSql: String = {
+    val langs = TextFns.Stopwords.keys.toSeq.sorted
+    val all = langs.map(l => s"s_$l").mkString(", ")
+    val arms = langs.map { l =>
+      val conds = langs.filterNot(_ == l).map(o => s"s_$l >= s_$o").mkString(" AND ")
+      s"WHEN $conds THEN '$l'"
+    }.mkString(" ")
+    s"CASE WHEN greatest($all) = 0 THEN 'und' $arms END"
+  }
+
+  private val qLangId = GraftQuery(
+    "q_lang_id",
+    (s, dir) =>
+      t(s, dir, "documents")
+        .select(col("doc_id"), col("lang"), TextFns.langId(col("text")).as("lang_pred")),
+    Some(s"""WITH t0 AS (SELECT doc_id, lang, $toksSql AS tk FROM documents),
+             sc AS (SELECT doc_id, lang, $langScoreSql FROM t0)
+             SELECT doc_id, lang, $langCaseSql AS lang_pred FROM sc"""))
+
+  private val qQualityScore = GraftQuery(
+    "q_quality_score",
+    (s, dir) =>
+      t(s, dir, "documents")
+        .select(col("doc_id"), TextFns.qualityScore(col("text")).cast("long").as("quality")),
+    Some(s"""WITH t0 AS (SELECT doc_id,
+               CAST(length(text) AS BIGINT) AS c,
+               CAST(len(list_filter(string_split_regex(text, '\\s+'), x -> x != '')) AS BIGINT) AS t,
+               CAST(len(list_filter($toksSql, t2 -> list_contains([${TextFns.Stopwords("en").map(w => s"'$w'").mkString(", ")}], t2))) AS BIGINT) AS sw,
+               CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS BIGINT) AS p
+             FROM documents)
+             SELECT doc_id,
+               CAST(least(40, c // 10) + least(30, (sw * 100) // greatest(t, 1))
+                    - least(20, (p * 100) // greatest(c, 1)) AS BIGINT) AS quality
+             FROM t0"""))
+
+  private val qTokenCount = GraftQuery(
+    "q_token_count",
+    (s, dir) =>
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          TextFns.wsTokenCount(col("text")).cast("long").as("ws_tokens"),
+          TextFns.bpeTokenCount(col("text")).cast("long").as("bpe_tokens")),
+    Some("""SELECT doc_id,
+              CAST(len(list_filter(string_split_regex(text, '\s+'), x -> x != '')) AS BIGINT) AS ws_tokens,
+              CAST(COALESCE(list_sum(list_transform(
+                regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'),
+                p -> CASE WHEN regexp_matches(p, '^[A-Za-z]+$')
+                          THEN CAST(ceil(length(p) / 4.0) AS BIGINT) ELSE 1 END)), 0) AS BIGINT) AS bpe_tokens
+            FROM documents"""))
+
+  private val qFingerprint = GraftQuery(
+    "q_fingerprint",
+    (s, dir) =>
+      t(s, dir, "documents")
+        .select(col("doc_id"), TextFns.fingerprint(col("text")).cast("long").as("fp")),
+    Some(s"""WITH t0 AS (SELECT doc_id, $toksSql AS tk FROM documents),
+             hs AS (SELECT doc_id, list_transform(tk, t -> ${h31Sql("t")}) AS h FROM t0)
+             SELECT doc_id,
+               CASE WHEN len(h) = 0 THEN 0
+                    ELSE CAST(list_reduce(h, (a, b) -> (a * 1000003 + b) % $M) AS BIGINT) END AS fp
+             FROM hs"""))
+
+  private val qMultimodalMeta = GraftQuery(
+    "q_multimodal_meta",
+    (s, dir) => {
+      val bin = col("text").cast("binary")
+      t(s, dir, "documents")
+        .select(col("doc_id").as("asset_id"),
+          Multimodal.byteLen(bin).cast("long").as("n_bytes"),
+          Multimodal.magicHex(bin).as("magic"),
+          Multimodal.contentHash(bin).as("content_sha"),
+          Multimodal.fakeWidth(bin).cast("long").as("width"),
+          Multimodal.fakeHeight(bin).cast("long").as("height"))
+    },
+    Some("""SELECT doc_id AS asset_id,
+              CAST(octet_length(text::BLOB) AS BIGINT) AS n_bytes,
+              lower(substr(hex(text::BLOB), 1, 8)) AS magic,
+              sha256(text) AS content_sha,
+              CAST(('0x' || substr(md5(text), 1, 4))::BIGINT % 1024 + 1 AS BIGINT) AS width,
+              CAST(('0x' || substr(md5(text), 5, 4))::BIGINT % 1024 + 1 AS BIGINT) AS height
+            FROM documents"""))
+
+  // =======================================================================
+
+  val all: Seq[GraftQuery] = Seq(
+    qMapFilter, qFoldAgg, qTableLatest, qTumbling, qHopping, qLagWindow, qSession,
+    qIntervalJoin, qStreamTableJoin, qMerge, qSplitBranch, qChunk, qSkipTake, qThrottle,
+    qWordcount, qCandles, qStratClassify, qAsofJoin,
+    q1Pricing, q3Topk, q5Region, qJsonExtract,
+    qDedupExact, qDedupMinhash, qDedupSimhash, qNgramJaccard,
+    qEmbedTopk, qEmbedLsh,
+    qLangId, qQualityScore, qTokenCount, qFingerprint, qMultimodalMeta)
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] =
+    all.map(q => q.name -> q.fn).toMap
+
+  val oracleSql: Map[String, String] =
+    all.flatMap(q => q.oracle.map(o => q.name -> o.stripMargin)).toMap
+}

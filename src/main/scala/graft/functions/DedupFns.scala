@@ -31,18 +31,25 @@ object DedupFns {
   val NumHashes = 16
   val BandRows = 2 // 8 bands of 2 rows
 
-  /** 16-element MinHash signature over the token set: sig_i = min over
-    * tokens of (a_i * h(t) + b_i) mod 2^31-1. Per-row expression.
+  /** 16-element MinHash signature over an ALREADY-HASHED item array
+    * (each element in [0, 2^31-1)): sig_i = min over items of
+    * (a_i * h + b_i) mod 2^31-1. Per-row expression, no shuffle.
+    * Caller must guarantee ≥1 item.
+    *
+    * IMPORTANT evaluation note: higher-order functions (transform/
+    * aggregate) are interpreted, not codegen'd, so the input MUST be a
+    * materialized column reference, not a nested expression — nesting
+    * the tokenize+md5 tree here would re-evaluate it once per hash
+    * function per row (16×), and once more per band downstream.
     */
-  def minhashSignature(text: Column): Column = {
-    val ths = transform(tokens(text), t => tokenHash31(t))
+  def minhashSignatureFromHashes(hashes: Column): Column = {
     val aArr = array(MinhashA.map(lit): _*)
     val bArr = array(MinhashB.map(lit): _*)
     transform(
       sequence(lit(0), lit(NumHashes - 1)),
       i =>
         aggregate(
-          ths,
+          hashes,
           lit(Long.MaxValue),
           (m, x) => least(m, (element_at(aArr, i + 1) * x + element_at(bArr, i + 1)) % HashMod)
         )
@@ -56,14 +63,43 @@ object DedupFns {
       b => (element_at(sig, b * 2 + 1) * 1000003L + element_at(sig, b * 2 + 2)) % HashMod
     )
 
+  /** One minhash: min over hashed items of (a_i*h + b_i) mod 2^31-1. */
+  private def sigAgg(hashes: Column, i: Int): Column =
+    aggregate(hashes, lit(Long.MaxValue),
+      (m, x) => least(m, (lit(MinhashA(i)) * x + lit(MinhashB(i))) % HashMod))
+
+  /** All 8 LSH band hashes computed directly from the hashed-item array
+    * as a FLAT array of 16 independent aggregates. Flatness matters:
+    * `hashes` is referenced 16 times lexically, which stops Catalyst's
+    * CollapseProject from inlining the (expensive, interpreted)
+    * tokenize/md5 tree that produced it — a transform-over-sequence
+    * formulation references it once lexically, gets inlined, and then
+    * re-evaluates the whole upstream tree per element at runtime.
+    */
+  def minhashBandArray(hashes: Column): Column =
+    array((0 until NumHashes / BandRows).map { b =>
+      (sigAgg(hashes, 2 * b) * 1000003L + sigAgg(hashes, 2 * b + 1)) % HashMod
+    }: _*)
+
   /** LSH candidate pairs: docs sharing any band hash. Equi-join on
     * (band index, band hash) — shuffle-bounded, never all-pairs.
+    * MinHash items are word 3-gram shingles (unigram sets collapse when
+    * documents share a small vocabulary); docs with fewer than 3 tokens
+    * are excluded so the empty-set signature never pairs.
     * Returns (id_a, id_b) with id_a < id_b, distinct.
+    *
+    * Each stage materializes its array column before the next consumes
+    * it — higher-order-function expressions are interpreted, and
+    * CollapseProject will not inline a non-cheap expression into
+    * multiple consumers, so each row tokenizes/hashes exactly once.
     */
   def minhashCandidates(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val sigs = df
-      .select(col(idCol).as("id"), minhashBands(minhashSignature(col(textCol))).as("bands"))
-      .select(col("id"), posexplode(col("bands")).as(Seq("band", "bh")))
+      .select(col(idCol).as("id"), wordNgrams(col(textCol), 3).as("__grams"))
+      .filter(size(col("__grams")) > 0)
+      .select(col("id"), transform(col("__grams"), t => tokenHash31(t)).as("__hs"))
+      .select(col("id"), minhashBandArray(col("__hs")).as("__bands"))
+      .select(col("id"), posexplode(col("__bands")).as(Seq("band", "bh")))
     val a = sigs.as("a")
     val b = sigs.as("b")
     a.join(b, col("a.band") === col("b.band") && col("a.bh") === col("b.bh") && col("a.id") < col("b.id"))
@@ -103,33 +139,51 @@ object DedupFns {
 
   // ---- n-gram Jaccard ---------------------------------------------------
 
-  /** Distinct word n-grams as joined strings. */
+  /** Distinct word n-grams as joined strings. Empty array (not a
+    * descending-sequence artifact) when the doc has fewer than n tokens.
+    */
   def wordNgrams(text: Column, n: Int): Column = {
     val toks = tokens(text)
-    array_distinct(
-      transform(
-        sequence(lit(0), greatest(size(toks) - n, lit(-1))),
-        i => concat_ws(" ", slice(toks, i + 1, lit(n)))
+    when(size(toks) >= n,
+      array_distinct(
+        transform(
+          sequence(lit(0), size(toks) - n),
+          i => concat_ws(" ", slice(toks, i + 1, lit(n)))
+        )
       )
-    )
+    ).otherwise(array().cast("array<string>"))
   }
 
-  /** Jaccard similarity as exact integer (numerator, denominator) over
-    * candidate pairs generated by a shared-ngram equi-join. `minShared`
-    * prunes the pair explosion. Output: id_a < id_b, inter, union sizes.
+  /** Exact n-gram Jaccard over candidate pairs.
+    *
+    * Candidate generation is an equi-join on *rare* grams only: grams
+    * with document frequency > `maxDf` are dropped before pairing (the
+    * hot-key quadratic blowup on frequent grams — "of the" — never
+    * happens), and candidates must share ≥ `minShared` rare grams.
+    * The reported (inter, uni) are then EXACT over the full distinct
+    * n-gram sets of each candidate pair via array_intersect — pruning
+    * only affects which pairs are considered, not their scores.
     */
-  def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
-    val grams = df
-      .select(col(idCol).as("id"), explode(wordNgrams(col(textCol), n)).as("g"))
-    val sizes = grams.groupBy("id").agg(count(lit(1)).as("sz"))
-    val pairs = grams.as("a")
-      .join(grams.as("b"), col("a.g") === col("b.g") && col("a.id") < col("b.id"))
+  def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String, n: Int,
+      maxDf: Int = 50, minShared: Int = 2): DataFrame = {
+    val docs = df.select(col(idCol).as("id"), wordNgrams(col(textCol), n).as("grams"))
+      .filter(size(col("grams")) > 0)
+    val grams = docs.select(col("id"), explode(col("grams")).as("g"))
+    val rare = grams.groupBy("g").agg(count(lit(1)).as("df"))
+      .filter(col("df") <= maxDf).select("g")
+    val rareGrams = grams.join(rare, "g")
+    val cands = rareGrams.as("a")
+      .join(rareGrams.as("b"), col("a.g") === col("b.g") && col("a.id") < col("b.id"))
       .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
-      .agg(count(lit(1)).as("inter"))
-    pairs
-      .join(sizes.as("sa"), col("id_a") === col("sa.id"))
-      .join(sizes.as("sb"), col("id_b") === col("sb.id"))
-      .select(col("id_a"), col("id_b"), col("inter"),
-        (col("sa.sz") + col("sb.sz") - col("inter")).as("uni"))
+      .agg(count(lit(1)).as("shared"))
+      .filter(col("shared") >= minShared)
+      .select("id_a", "id_b")
+    cands
+      .join(docs.as("da"), col("id_a") === col("da.id"))
+      .join(docs.as("db"), col("id_b") === col("db.id"))
+      .select(col("id_a"), col("id_b"),
+        size(array_intersect(col("da.grams"), col("db.grams"))).cast("long").as("inter"),
+        (size(col("da.grams")) + size(col("db.grams")) -
+          size(array_intersect(col("da.grams"), col("db.grams")))).cast("long").as("uni"))
   }
 }

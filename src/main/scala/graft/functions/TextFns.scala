@@ -65,18 +65,38 @@ object TextFns {
     size(filter(toks, t => t.isin(words.map(lit): _*).cast("boolean")))
 
   /** Language-ID by stopword hit count; deterministic alphabetical-first
-    * tie-break via strictly-greater comparison in fixed lang order.
+    * tie-break via greater-or-equal comparison in fixed lang order.
+    * Returns "und" when no stopword of any language matches (e.g. empty
+    * or non-matching text) instead of defaulting to the first language.
     */
   def langId(text: Column): Column = {
     val toks = tokens(text)
     val langs = Stopwords.keys.toSeq.sorted
     val scores = langs.map(l => l -> matchCount(toks, Stopwords(l)))
-    // winner = first lang (alphabetical) whose score >= all others
-    scores.foldLeft(lit(null).cast("string")) { case (acc, (l, s)) =>
+    val best = greatest(scores.map(_._2): _*)
+    val winner = scores.foldLeft(lit(null).cast("string")) { case (acc, (l, s)) =>
       when(acc.isNotNull, acc).otherwise(
         when(scores.filter(_._1 != l).map(o => s >= o._2).reduce(_ && _), lit(l)))
     }
+    when(best === 0, lit("und")).otherwise(winner)
   }
+
+  /** Composite integer quality score — all-integer arithmetic so the
+    * result is bit-identical in any engine (SURVEY.md §4):
+    * length score (≤40) + stopword-ratio score (≤30) − punct penalty (≤20).
+    */
+  def qualityScore(text: Column): Column = {
+    val c = length(text).cast("long")
+    val t = wsTokenCount(text).cast("long")
+    val s = matchCount(tokens(text), Stopwords("en")).cast("long")
+    val p = punctCount(text).cast("long")
+    least(lit(40L), floorDiv(c, 10L)) + least(lit(30L), floorDiv(s * 100L, greatest(t, lit(1L)))) -
+      least(lit(20L), floorDiv(p * 100L, greatest(c, lit(1L))))
+  }
+
+  /** Integer floor division on non-negative longs (portable `//`). */
+  private def floorDiv(a: Column, b: Long): Column = (a / lit(b)).cast("long")
+  private def floorDiv(a: Column, b: Column): Column = (a / b).cast("long")
 
   /** Whitespace token count on raw text. */
   def wsTokenCount(text: Column): Column =
