@@ -531,10 +531,13 @@ object Queries {
                    FROM sc)
              WHERE rnk <= 5"""))
 
+  /** Mirror of VectorFns.lshBucketFor with the table index `t` as a
+    * correlated column (table 0 == the original single-table formula).
+    */
   private def lshBucketSql(v: String): String =
-    s"""CAST(list_sum(list_transform(range(0, 8), j ->
+    s"""CAST(list_sum(list_transform(range(0, 4), j ->
         CASE WHEN CAST(list_sum(list_transform(range(1, 65), i ->
-               $v[i] * (((j*37 + (i-1)*17) % 21) - 10))) AS BIGINT) >= 0
+               $v[i] * (((t*131 + j*37 + (i-1)*17) % 21) - 10))) AS BIGINT) >= 0
              THEN (1::BIGINT << j) ELSE 0 END)) AS BIGINT)"""
 
   private val qEmbedLsh = GraftQuery(
@@ -545,12 +548,13 @@ object Queries {
         .select(col("query_id"), col("neighbor_id"), col("score"), col("rank").cast("long").as("rnk"))
     },
     Some(s"""WITH e AS (SELECT vec_id, ${quantSql("embedding")} AS v FROM embeddings),
-             eb AS (SELECT vec_id, v, ${lshBucketSql("v")} AS bucket FROM e),
-             q AS (SELECT vec_id AS query_id, v AS qv, bucket FROM eb WHERE vec_id < 20),
-             c AS (SELECT vec_id AS neighbor_id, v AS cv, bucket FROM eb),
+             eb AS (SELECT vec_id, v, t, ${lshBucketSql("v")} AS bucket
+                    FROM e CROSS JOIN range(0, 8) tt(t)),
+             q AS (SELECT vec_id AS query_id, v AS qv, t, bucket FROM eb WHERE vec_id < 20),
+             c AS (SELECT vec_id AS neighbor_id, v AS cv, t, bucket FROM eb),
              sc AS (SELECT query_id, neighbor_id,
                       CAST(list_sum(list_transform(range(1, 65), i -> qv[i] * cv[i])) AS BIGINT) AS score
-                    FROM q JOIN c USING (bucket) WHERE query_id != neighbor_id),
+                    FROM q JOIN c USING (t, bucket) WHERE query_id != neighbor_id),
              d AS (SELECT query_id, neighbor_id, max(score) AS score FROM sc GROUP BY 1, 2)
              SELECT query_id, neighbor_id, score, CAST(rnk AS BIGINT) AS rnk
              FROM (SELECT query_id, neighbor_id, score,
@@ -578,9 +582,23 @@ object Queries {
 
   private val qLangId = GraftQuery(
     "q_lang_id",
-    (s, dir) =>
-      t(s, dir, "documents")
-        .select(col("doc_id"), col("lang"), TextFns.langId(col("text")).as("lang_pred")),
+    (s, dir) => {
+      // staged: tokens → per-language score columns → decision CASE.
+      // langId(text) as one expression re-tokenizes per score reference
+      // under interpreted HOF evaluation (no CSE) — ~25× per row.
+      val langs = TextFns.Stopwords.keys.toSeq.sorted
+      val scored = t(s, dir, "documents")
+        .select(col("doc_id"), col("lang"), TextFns.tokens(col("text")).as("__toks"))
+        .select(col("doc_id") +: col("lang") +: langs.map(l =>
+          TextFns.matchCount(col("__toks"), TextFns.Stopwords(l)).cast("long").as(s"s_$l")): _*)
+      val scores = langs.map(l => l -> col(s"s_$l"))
+      val winner = scores.foldLeft(lit(null).cast("string")) { case (acc, (l, sc)) =>
+        when(acc.isNotNull, acc).otherwise(
+          when(scores.filter(_._1 != l).map(o => sc >= o._2).reduce(_ && _), lit(l)))
+      }
+      scored.select(col("doc_id"), col("lang"),
+        when(greatest(scores.map(_._2): _*) === 0, lit("und")).otherwise(winner).as("lang_pred"))
+    },
     Some(s"""WITH t0 AS (SELECT doc_id, lang, $toksSql AS tk FROM documents),
              sc AS (SELECT doc_id, lang, $langScoreSql FROM t0)
              SELECT doc_id, lang, $langCaseSql AS lang_pred FROM sc"""))

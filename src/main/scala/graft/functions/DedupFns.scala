@@ -93,12 +93,20 @@ object DedupFns {
     * CollapseProject will not inline a non-cheap expression into
     * multiple consumers, so each row tokenizes/hashes exactly once.
     */
+  /** Native-loop band hashes from a token-array column (see
+    * graft.plans.MinhashBands for why this is ~100× faster than the
+    * declarative HOF pipeline it is value-identical to).
+    */
+  def minhashBandsFast(toks: Column, n: Int = 3): Column = {
+    import org.apache.spark.sql.GraftBridge
+    GraftBridge.column(graft.plans.MinhashBands(GraftBridge.expression(toks), n))
+  }
+
   def minhashCandidates(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val sigs = df
-      .select(col(idCol).as("id"), wordNgrams(col(textCol), 3).as("__grams"))
-      .filter(size(col("__grams")) > 0)
-      .select(col("id"), transform(col("__grams"), t => tokenHash31(t)).as("__hs"))
-      .select(col("id"), minhashBandArray(col("__hs")).as("__bands"))
+      .select(col(idCol).as("id"), tokens(col(textCol)).as("__toks"))
+      .filter(size(col("__toks")) >= 3)
+      .select(col("id"), minhashBandsFast(col("__toks"), 3).as("__bands"))
       .select(col("id"), posexplode(col("__bands")).as(Seq("band", "bh")))
     val a = sigs.as("a")
     val b = sigs.as("b")
@@ -139,11 +147,15 @@ object DedupFns {
 
   // ---- n-gram Jaccard ---------------------------------------------------
 
-  /** Distinct word n-grams as joined strings. Empty array (not a
-    * descending-sequence artifact) when the doc has fewer than n tokens.
+  /** Distinct word n-grams over an ALREADY-MATERIALIZED token array
+    * column. The lambda references `toks` per shingle — if `toks` were
+    * the tokenize expression instead of a column, interpreted HOF
+    * evaluation (no common-subexpression elimination) would re-tokenize
+    * the text once per shingle: O(tokens²) regex work per row.
+    * Empty array (not a descending-sequence artifact) when the doc has
+    * fewer than n tokens.
     */
-  def wordNgrams(text: Column, n: Int): Column = {
-    val toks = tokens(text)
+  def wordNgramsFromTokens(toks: Column, n: Int): Column =
     when(size(toks) >= n,
       array_distinct(
         transform(
@@ -152,7 +164,12 @@ object DedupFns {
         )
       )
     ).otherwise(array().cast("array<string>"))
-  }
+
+  /** Convenience for small data / tests; in pipelines, materialize
+    * `tokens(text)` as a column first and use wordNgramsFromTokens.
+    */
+  def wordNgrams(text: Column, n: Int): Column =
+    wordNgramsFromTokens(tokens(text), n)
 
   /** Exact n-gram Jaccard over candidate pairs.
     *
@@ -166,8 +183,9 @@ object DedupFns {
     */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String, n: Int,
       maxDf: Int = 50, minShared: Int = 2): DataFrame = {
-    val docs = df.select(col(idCol).as("id"), wordNgrams(col(textCol), n).as("grams"))
-      .filter(size(col("grams")) > 0)
+    val docs = df.select(col(idCol).as("id"), tokens(col(textCol)).as("__toks"))
+      .filter(size(col("__toks")) >= n)
+      .select(col("id"), wordNgramsFromTokens(col("__toks"), n).as("grams"))
     val grams = docs.select(col("id"), explode(col("grams")).as("g"))
     val rare = grams.groupBy("g").agg(count(lit(1)).as("df"))
       .filter(col("df") <= maxDf).select("g")

@@ -44,40 +44,53 @@ object VectorFns {
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
 
-  /** Random-hyperplane LSH bucket id (8 planes → 8-bit bucket) over the
-    * quantized vector. Hyperplane weights are a fixed integer formula
-    * `((j*37 + d*17) mod 21) - 10` so the bucket is engine-portable.
-    * Scale path for ANN: equi-join on bucket, then exact re-rank.
+  /** Signed projection of a pre-quantized vector onto hyperplane
+    * (table, plane): weights `((t*131 + j*37 + d*17) mod 21) - 10` — a
+    * fixed integer formula, so the bucket is engine-portable. Table 0
+    * reproduces the original single-table formula.
     */
-  def lshBucket(v: Column, planes: Int = 8, dims: Int = 64): Column = {
-    val qv = quantize(v)
+  private def planeDot(qv: Column, table: Int, plane: Int, dims: Int): Column =
     aggregate(
-      transform(
-        sequence(lit(0), lit(planes - 1)),
-        j =>
-          when(
-            aggregate(
-              zip_with(qv, sequence(lit(0), lit(dims - 1)), (x, d) => x * ((j * 37 + d * 17) % 21 - 10)),
-              lit(0L), (s, p) => s + p
-            ) >= 0,
-            pow(lit(2.0), j).cast("long")
-          ).otherwise(0L)
-      ),
-      lit(0L),
-      (a, b) => a + b
-    )
-  }
+      zip_with(qv, sequence(lit(0), lit(dims - 1)),
+        (x, d) => x * ((lit(table * 131 + plane * 37) + d * 17) % 21 - 10)),
+      lit(0L), (s, p) => s + p)
 
-  /** Bucketed ANN: only score pairs sharing an LSH bucket, then top-k
-    * re-rank. Same output shape as bruteForceTopK but shuffle-bounded —
-    * at 100 TB the bucket join replaces the full cross product.
+  /** 8-bit LSH bucket id for one hash table over a pre-quantized vector.
+    * Built as a flat sum of per-plane terms — each term references `qv`
+    * lexically, which keeps CollapseProject from inlining the quantize
+    * tree and re-evaluating it per plane (higher-order functions are
+    * interpreted; see DedupFns.minhashBandArray).
     */
-  def lshTopK(queries: DataFrame, corpus: DataFrame, idCol: String, vecCol: String, k: Int): DataFrame = {
-    val q = queries.select(col(idCol).as("query_id"), quantize(col(vecCol)).as("qv"),
-      lshBucket(col(vecCol)).as("bucket"))
-    val c = corpus.select(col(idCol).as("neighbor_id"), quantize(col(vecCol)).as("cv"),
-      lshBucket(col(vecCol)).as("bucket"))
-    val scored = q.join(c, Seq("bucket")).filter(col("query_id") =!= col("neighbor_id"))
+  def lshBucketFor(qv: Column, table: Int, planes: Int = 8, dims: Int = 64): Column =
+    (0 until planes).map { j =>
+      when(planeDot(qv, table, j, dims) >= 0, lit(1L << j)).otherwise(lit(0L))
+    }.reduce(_ + _)
+
+  /** Single-table bucket over a raw float vector (original API). */
+  def lshBucket(v: Column, planes: Int = 8, dims: Int = 64): Column =
+    lshBucketFor(quantize(v), 0, planes, dims)
+
+  /** All `tables` bucket ids as an array — multiple independent hash
+    * tables are the standard LSH recall lever: a true neighbor is found
+    * if ANY table buckets it with the query.
+    */
+  def lshBuckets(qv: Column, tables: Int, planes: Int = 8, dims: Int = 64): Column =
+    array((0 until tables).map(t => lshBucketFor(qv, t, planes, dims)): _*)
+
+  /** Bucketed ANN: only score pairs sharing an LSH bucket in at least
+    * one of `tables` hash tables, then exact top-k re-rank. Same output
+    * shape as bruteForceTopK but shuffle-bounded — at 100 TB the bucket
+    * equi-join replaces the full cross product; more tables buy recall
+    * for a linear increase in candidate volume.
+    */
+  def lshTopK(queries: DataFrame, corpus: DataFrame, idCol: String, vecCol: String, k: Int,
+      tables: Int = 8, planes: Int = 4): DataFrame = {
+    def withBuckets(df: DataFrame, id: String, vec: String) =
+      df.select(col(idCol).as(id), quantize(col(vecCol)).as(vec))
+        .select(col(id), col(vec), posexplode(lshBuckets(col(vec), tables, planes)).as(Seq("tbl", "bucket")))
+    val q = withBuckets(queries, "query_id", "qv")
+    val c = withBuckets(corpus, "neighbor_id", "cv")
+    val scored = q.join(c, Seq("tbl", "bucket")).filter(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"), qdot(col("qv"), col("cv")).as("score"))
       .groupBy("query_id", "neighbor_id").agg(max("score").as("score"))
     val w = Window.partitionBy("query_id").orderBy(col("score").desc, col("neighbor_id"))

@@ -1,0 +1,27 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.VectorFns
+
+/** Measures the LSH ANN's recall against the brute-force baseline so
+  * the scale path's quality is a tested number, not an assumption.
+  */
+class AnnRecallSpec extends SparkSpecBase {
+
+  private def topkSet(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+    df.select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+
+  test("multi-table LSH recall vs brute force is measured and bounded") {
+    val e = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val q = e.filter(col("vec_id") < 20)
+    val truth = topkSet(VectorFns.bruteForceTopK(q, e, "vec_id", "embedding", 5))
+    val lsh2 = topkSet(VectorFns.lshTopK(q, e, "vec_id", "embedding", 5, tables = 2))
+    val lsh8 = topkSet(VectorFns.lshTopK(q, e, "vec_id", "embedding", 5, tables = 8))
+    val r2 = (truth & lsh2).size.toDouble / truth.size
+    val r8 = (truth & lsh8).size.toDouble / truth.size
+    info(f"recall@5 (4 planes): 2 tables = $r2%.3f, 8 tables = $r8%.3f (${truth.size} truth pairs)")
+    assert(r8 >= r2, s"more tables must not lose recall: $r8 < $r2")
+    assert(r8 >= 0.3, s"8-table recall collapsed on random data: $r8")
+  }
+}

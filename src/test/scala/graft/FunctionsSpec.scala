@@ -1,0 +1,142 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions._
+
+class FunctionsSpec extends SparkSpecBase {
+
+  private def one[T](c: org.apache.spark.sql.Column): T = {
+    import spark.implicits._
+    Seq(1).toDF("x").select(c.as("r")).collect()(0).getAs[T]("r")
+  }
+
+  test("tokens normalizes per the reference word-count pipeline") {
+    import spark.implicits._
+    val out = Seq("The (quick), \"brown\" fox; isn't here.").toDF("text")
+      .select(TextFns.tokens(col("text")).as("t")).collect()(0).getSeq[String](0)
+    assert(out == Seq("the", "quick", "brown", "fox", "isnt", "here"))
+  }
+
+  test("wordNgrams is empty below n tokens and distinct above") {
+    import spark.implicits._
+    val df = Seq("a b", "a b c d", "x y x y x y").toDF("text")
+      .select(DedupFns.wordNgrams(col("text"), 3).as("g"))
+    val gs = df.collect().map(_.getSeq[String](0))
+    assert(gs(0).isEmpty)
+    assert(gs(1) == Seq("a b c", "b c d"))
+    assert(gs(2).toSet == Set("x y x", "y x y")) // distinct
+  }
+
+  test("langId picks stopword-scored language, und for no hits") {
+    import spark.implicits._
+    val out = Seq("the cat is in the bag", "el perro es un animal", "zzz qqq", "")
+      .toDF("text").select(TextFns.langId(col("text")).as("l")).collect().map(_.getString(0))
+    assert(out(0) == "en")
+    assert(out(1) == "es")
+    assert(out(2) == "und")
+    assert(out(3) == "und")
+  }
+
+  test("fingerprint is order-sensitive and stable") {
+    import spark.implicits._
+    val fps = Seq("a b c", "c b a", "a b c").toDF("text")
+      .select(TextFns.fingerprint(col("text")).as("f")).collect().map(_.getLong(0))
+    assert(fps(0) == fps(2))
+    assert(fps(0) != fps(1))
+    assert(fps.forall(f => f >= 0 && f < TextFns.HashMod))
+  }
+
+  test("bpeTokenCount counts alpha runs as ceil(len/4), others as 1") {
+    import spark.implicits._
+    val n = Seq("hello world9 x!").toDF("text")
+      .select(TextFns.bpeTokenCount(col("text")).as("n")).collect()(0).getLong(0)
+    // hello=2, world=2, 9=1, x=1, !=1
+    assert(n == 7)
+  }
+
+  test("simhash of identical texts matches; near savings in hamming") {
+    import spark.implicits._
+    val df = Seq("spark window join table", "spark window join table", "totally different words here")
+      .toDF("text").select(DedupFns.simhash32(col("text")).as("s"))
+    val s = df.collect().map(_.getLong(0))
+    assert(s(0) == s(1))
+    val d = one[Int](DedupFns.hamming(lit(s(0)), lit(s(2))))
+    assert(d > 0)
+  }
+
+  test("minhash LSH pairs exact duplicates and skips tiny docs") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again"),
+      (2L, "the quick brown fox jumps over the lazy dog again and again"),
+      (3L, "completely unrelated text about spark query engines at scale"),
+      (4L, "ab") // < 3 tokens → excluded
+    ).toDF("doc_id", "text")
+    val pairs = DedupFns.minhashCandidates(docs, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L))
+  }
+
+  test("native MinhashBands expression matches the declarative HOF pipeline") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet").limit(100)
+    val base = docs.select(col("doc_id"), TextFns.tokens(col("text")).as("toks"))
+      .filter(size(col("toks")) >= 3)
+    val fast = base.select(col("doc_id"), DedupFns.minhashBandsFast(col("toks"), 3).as("b"))
+    val slow = base
+      .select(col("doc_id"), DedupFns.wordNgramsFromTokens(col("toks"), 3).as("g"))
+      .select(col("doc_id"), transform(col("g"), t => TextFns.tokenHash31(t)).as("h"))
+      .select(col("doc_id"), DedupFns.minhashBandArray(col("h")).as("b"))
+    val f = fast.collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val s = slow.collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(f == s)
+    assert(f.nonEmpty)
+  }
+
+  test("ngramJaccardPairs computes exact intersection over full gram sets") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b c d e"), // grams: abc bcd cde
+      (2L, "a b c d x"), // grams: abc bcd cdx → shares 2
+      (3L, "p q r s t")
+    ).toDF("doc_id", "text")
+    val out = DedupFns.ngramJaccardPairs(docs, "doc_id", "text", 3, maxDf = 50, minShared = 2)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), (r.getLong(2), r.getLong(3)))).toMap
+    assert(out((1L, 2L)) == ((2L, 4L))) // inter=2, union=4
+    assert(!out.contains((1L, 3L)))
+  }
+
+  test("cosine/qdot agree on direction; lsh bucket is deterministic") {
+    import spark.implicits._
+    val df = Seq((Array(1.0f, 0.0f), Array(1.0f, 0.0f)), (Array(1.0f, 0.0f), Array(0.0f, 1.0f)))
+      .toDF("a", "b")
+    val cos = df.select(VectorFns.cosine(col("a"), col("b")).as("c")).collect().map(_.getDouble(0))
+    assert(math.abs(cos(0) - 1.0) < 1e-9 && math.abs(cos(1)) < 1e-9)
+    val b1 = Seq(Tuple1(Array.fill(64)(0.5f))).toDF("v")
+      .select(VectorFns.lshBucket(col("v")).as("b")).collect()(0).getLong(0)
+    assert(b1 >= 0 && b1 < 256)
+  }
+
+  test("multimodal metadata expressions are content-addressed") {
+    import spark.implicits._
+    val df = Seq("hello").toDF("text").select(col("text").cast("binary").as("bin"))
+    val row = df.select(
+      Multimodal.byteLen(col("bin")).as("n"),
+      Multimodal.magicHex(col("bin")).as("m"),
+      Multimodal.contentHash(col("bin")).as("h"),
+      Multimodal.fakeWidth(col("bin")).as("w")).collect()(0)
+    assert(row.getAs[Int]("n") == 5)
+    assert(row.getString(1) == "68656c6c") // 'hell'
+    assert(row.getString(2).length == 64)
+    val w = row.getInt(3); assert(w >= 1 && w <= 1024)
+  }
+
+  test("quality score is bounded and monotone-ish in stopword density") {
+    import spark.implicits._
+    val q = Seq("the cat is in the bag and the dog is in the house of the cat",
+      "zzzz qqqq xxxx yyyy")
+      .toDF("text").select(TextFns.qualityScore(col("text")).as("q")).collect().map(_.getLong(0))
+    assert(q(0) > q(1))
+    assert(q.forall(x => x >= -20 && x <= 70))
+  }
+}

@@ -1,0 +1,94 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators._
+
+/** Per-operator semantics on small hand-checkable data. */
+class OperatorsSpec extends SparkSpecBase {
+  import scala.jdk.CollectionConverters._
+
+  private lazy val ev = {
+    import spark.implicits._
+    // (key, tsUs, value) — two keys, interleaved times
+    Seq(
+      (1L, 1000L, 10.0), (1L, 2000L, 20.0), (1L, 3000L, 30.0), (1L, 4000L, 40.0),
+      (2L, 1500L, 5.0), (2L, 2500L, 15.0)
+    ).toDF("k", "tus", "v").withColumn("ts", timestamp_micros(col("tus")))
+  }
+
+  test("latestByKey keeps exactly the max-order row per key") {
+    val out = Keyed.latestByKey(ev, Seq("k"), Seq("tus"))
+      .select("k", "tus", "v").collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(out == Set((1L, 4000L, 40.0), (2L, 2500L, 15.0)))
+  }
+
+  test("chunk assigns 0-based fixed-size chunks per key in order") {
+    val out = Keyed.chunk(ev, Seq("k"), Seq("tus"), 2)
+      .select("k", "tus", "chunk_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(out == Set(
+      (1L, 1000L, 0L), (1L, 2000L, 0L), (1L, 3000L, 1L), (1L, 4000L, 1L),
+      (2L, 1500L, 0L), (2L, 2500L, 0L)))
+  }
+
+  test("skipTake and throttle select the right per-key rows") {
+    val st = Keyed.skipTake(ev, Seq("k"), Seq("tus"), skip = 1, take = 2)
+      .select("k", "tus").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(st == Set((1L, 2000L), (1L, 3000L), (2L, 2500L)))
+    val th = Keyed.throttle(ev, Seq("k"), Seq("tus"), every = 2)
+      .select("k", "tus").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(th == Set((1L, 1000L), (1L, 3000L), (2L, 1500L)))
+  }
+
+  test("lagWindow emits only full buffers, oldest..newest") {
+    val out = Windows.lagWindow(ev, Seq("k"), Seq("tus"), "v", 3)
+      .select("k", "tus", "v_2", "v_1", "v_0").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4)))
+    assert(out.toSet == Set(
+      (1L, 3000L, 10.0, 20.0, 30.0),
+      (1L, 4000L, 20.0, 30.0, 40.0)))
+  }
+
+  test("intervalJoin matches |dt| < W per key, each pair exactly once") {
+    val l = ev.select(col("k").as("lk"), col("ts").as("lts"), col("tus").as("ltus"))
+    val r = ev.select(col("k").as("rk"), col("ts").as("rts"), col("tus").as("rtus"))
+    val out = Joins.intervalJoin(l, r, "lk", "rk", "lts", "rts", 1500L)
+      .select("ltus", "rtus").collect().map(r => (r.getLong(0), r.getLong(1)))
+    // brute-force expectation on the same data
+    val rows = Seq((1L, 1000L), (1L, 2000L), (1L, 3000L), (1L, 4000L), (2L, 1500L), (2L, 2500L))
+    val expect = for {
+      (ka, ta) <- rows; (kb, tb) <- rows
+      if ka == kb && math.abs(ta - tb) < 1500L
+    } yield (ta, tb)
+    assert(out.sorted.toSeq == expect.sorted)
+  }
+
+  test("asofJoin picks latest right <= left ts with order tiebreak") {
+    import spark.implicits._
+    val l = Seq((1L, 3000L), (1L, 1000L), (2L, 500L)).toDF("k", "tus")
+      .withColumn("ts", timestamp_micros(col("tus")))
+    val r = Seq((1L, 1000L, 100L, "a"), (1L, 1000L, 200L, "b"), (1L, 2500L, 300L, "c"))
+      .toDF("rk", "rtus", "ord", "payload")
+      .withColumn("rts", timestamp_micros(col("rtus")))
+    val out = Joins.asofJoin(l, r, "k", "rk", "ts", "rts", "ord", Seq("payload"))
+      .select("k", "tus", "payload").collect()
+      .map(x => (x.getLong(0), x.getLong(1), Option(x.getString(2)))).toSet
+    assert(out == Set(
+      (1L, 3000L, Some("c")),
+      (1L, 1000L, Some("b")), // tie on ts → larger ord wins
+      (2L, 500L, None)))
+  }
+
+  test("branch labels each row by first matching predicate") {
+    val out = Relational.branch(ev, Seq("big" -> (col("v") >= 30), "mid" -> (col("v") >= 15)))
+      .select("v", "branch").collect().map(r => (r.getDouble(0), r.getString(1))).toSet
+    assert(out == Set((10.0, "other"), (20.0, "mid"), (30.0, "big"), (40.0, "big"),
+      (5.0, "other"), (15.0, "mid")))
+  }
+
+  test("merge unions by name") {
+    val a = ev.filter(col("k") === 1)
+    val b = ev.filter(col("k") === 2)
+    assert(Relational.merge(a, b).count() == ev.count())
+  }
+}

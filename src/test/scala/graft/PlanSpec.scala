@@ -1,0 +1,71 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Plan-shape assertions (SURVEY §5): filters reach the parquet scan,
+  * scans are column-pruned, dim joins broadcast, top-k never globally
+  * sorts. These are the 100 TB guarantees — data results can be right
+  * while the plan is a scale-killer, so the plan itself is under test.
+  */
+class PlanSpec extends SparkSpecBase {
+
+  private def planOf(df: DataFrame): String = df.queryExecution.executedPlan.toString
+
+  test("q1_pricing: shipdate filter is pushed to the parquet scan and scan is pruned") {
+    val p = planOf(Queries.queries("q1_pricing")(spark, sfDir))
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate"), p)
+    // projection needs 7 of 11 lineitem columns; partkey/suppkey/linenumber must be pruned
+    assert(!p.contains("l_partkey") && !p.contains("l_suppkey") && !p.contains("l_linenumber"), p)
+  }
+
+  test("q_map_filter: predicate pushdown + column pruning on events") {
+    val p = planOf(Queries.queries("q_map_filter")(spark, sfDir))
+    assert(p.contains("PushedFilters: [IsNotNull(event_type), IsNotNull(value), EqualTo(event_type,purchase)"), p)
+    assert(!p.contains("props"), p) // untouched wide column never read
+  }
+
+  test("q3_topk: dim join broadcasts and top-k is TakeOrderedAndProject, not a global sort") {
+    val p = planOf(Queries.queries("q3_topk")(spark, sfDir))
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("q5_region: all four dims broadcast — no shuffle join against a dim") {
+    val p = planOf(Queries.queries("q5_region")(spark, sfDir))
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 4, p)
+  }
+
+  test("q_fold_agg: single shuffle with map-side partial aggregation") {
+    val p = planOf(Queries.queries("q_fold_agg")(spark, sfDir))
+    assert(p.contains("partial_"), p)
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1, p)
+  }
+
+  test("q_table_latest: max_by partial agg, not a rank window") {
+    val p = planOf(Queries.queries("q_table_latest")(spark, sfDir))
+    assert(p.contains("max_by") || p.contains("partial_"), p)
+    assert(!p.contains("Window"), p)
+  }
+
+  test("q_interval_join: hash-partitioned equi-join, no nested-loop") {
+    val p = planOf(Queries.queries("q_interval_join")(spark, sfDir))
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") || p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("q_dedup_minhash: candidate generation is an equi-join, never all-pairs") {
+    val p = planOf(Queries.queries("q_dedup_minhash")(spark, sfDir))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("q_embed_lsh: bucket equi-join, never all-pairs") {
+    val p = planOf(Queries.queries("q_embed_lsh")(spark, sfDir))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("wordcount top-100 avoids a global sort") {
+    val p = planOf(Queries.queries("q_wordcount")(spark, sfDir))
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+}

@@ -1,0 +1,17 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+
+/** Shared local session for specs (UTC, AQE — same tuning the engine
+  * ships with, so tested plans are shipped plans).
+  */
+trait SparkSpecBase extends AnyFunSuite with BeforeAndAfterAll {
+  lazy val spark: SparkSession = {
+    val s = GraftSession.builder("graft-test", master = "local[4]", shufflePartitions = 4).getOrCreate()
+    s.sparkContext.setLogLevel("ERROR")
+    s
+  }
+  def sfDir = "/root/testdata/sf0.001"
+}

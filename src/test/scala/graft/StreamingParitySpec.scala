@@ -1,0 +1,122 @@
+package graft
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+import graft.streaming.{KeyedEvent, StreamingOps}
+import graft.operators.{Joins, Keyed, Windows}
+
+/** Streaming↔batch parity: the streaming operators must produce the
+  * batch operators' results on the same data — the batch engine is the
+  * ground truth the DuckDB oracle already verified.
+  */
+class StreamingParitySpec extends SparkSpecBase {
+
+  private def mkEvents: Seq[KeyedEvent] = Seq(
+    KeyedEvent(1L, 1_000_000L, 10.0), KeyedEvent(1L, 61_000_000L, 20.0),
+    KeyedEvent(1L, 62_000_000L, 30.0), KeyedEvent(1L, 200_000_000L, 40.0),
+    KeyedEvent(2L, 5_000_000L, 5.0), KeyedEvent(2L, 65_000_000L, 15.0))
+
+  private def streamOf(events: Seq[KeyedEvent]): MemoryStream[KeyedEvent] = {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val ms = MemoryStream[KeyedEvent]
+    ms.addData(events)
+    ms
+  }
+
+  private def runToTable(df: org.apache.spark.sql.DataFrame, name: String,
+      mode: OutputMode): Unit = {
+    val q = df.writeStream.format("memory").queryName(name).outputMode(mode).start()
+    q.processAllAvailable()
+    q.stop()
+  }
+
+  test("watermarked tumbling window matches batch tumbling") {
+    import spark.implicits._
+    val events = mkEvents
+    val sdf = streamOf(events).toDF()
+      .withColumn("ts", timestamp_micros(col("tsUs")))
+    val agg = StreamingOps.tumbling(sdf, "ts", Seq("key"), "1 minute", "10 seconds")(
+      count(lit(1)).as("n"), sum(col("value")).as("sv"))
+    runToTable(agg, "t_tumbling", OutputMode.Complete())
+    val got = spark.table("t_tumbling")
+      .select(unix_micros(col("window_start")).as("ws"), col("key"), col("n"), col("sv"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+
+    val bdf = events.toDF().withColumn("ts", timestamp_micros(col("tsUs")))
+    val expect = Windows.tumbling(bdf, "ts", Seq("key"), "1 minute")(
+      count(lit(1)).as("n"), sum(col("value")).as("sv"))
+      .select(unix_micros(col("window_start")), col("key"), col("n"), col("sv"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(got == expect)
+  }
+
+  test("stateful lagWindow matches batch lagWindow") {
+    import spark.implicits._
+    val events = mkEvents
+    val out = StreamingOps.lagWindow(streamOf(events).toDS(), 2)
+    runToTable(out.toDF(), "t_lag", OutputMode.Append())
+    val got = spark.table("t_lag")
+      .select(col("key"), col("tsUs"), col("values"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getSeq[Double](2).toList)).toSet
+
+    val bdf = events.toDF().withColumn("ts", timestamp_micros(col("tsUs")))
+    val expect = Windows.lagWindow(bdf, Seq("key"), Seq("tsUs"), "value", 2)
+      .select(col("key"), col("tsUs"), col("v_1"), col("v_0"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), List(r.getDouble(2), r.getDouble(3)))).toSet
+    assert(got == expect)
+  }
+
+  test("changelog tableLatest matches batch latestByKey") {
+    import spark.implicits._
+    val events = mkEvents
+    val out = StreamingOps.tableLatest(streamOf(events).toDS())
+    runToTable(out.toDF(), "t_latest", OutputMode.Update())
+    // latest update per key in the sink is the table snapshot
+    val got = spark.table("t_latest")
+      .groupBy("key").agg(max_by(struct(col("tsUs"), col("value")), col("tsUs")).as("s"))
+      .select(col("key"), col("s.tsUs"), col("s.value"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+
+    val bdf = events.toDF()
+    val expect = Keyed.latestByKey(bdf, Seq("key"), Seq("tsUs"))
+      .select("key", "tsUs", "value")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(got == expect)
+  }
+
+  test("stream-stream interval join matches batch intervalJoin") {
+    import spark.implicits._
+    val le = mkEvents
+    val re = mkEvents.map(e => e.copy(tsUs = e.tsUs + 30_000_000L))
+    val ls = streamOf(le).toDF().select(col("key").as("lk"),
+      timestamp_micros(col("tsUs")).as("lts"), col("tsUs").as("ltus"))
+    val rs = streamOf(re).toDF().select(col("key").as("rk"),
+      timestamp_micros(col("tsUs")).as("rts"), col("tsUs").as("rtus"))
+    val j = StreamingOps.intervalJoin(ls, rs, "lk", "rk", "lts", "rts", "1 MINUTE", "10 seconds")
+    runToTable(j, "t_ivj", OutputMode.Append())
+    val got = spark.table("t_ivj").select("ltus", "rtus")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+    val lb = le.toDF().select(col("key").as("lk"), timestamp_micros(col("tsUs")).as("lts"), col("tsUs").as("ltus"))
+    val rb = re.toDF().select(col("key").as("rk"), timestamp_micros(col("tsUs")).as("rts"), col("tsUs").as("rtus"))
+    val expect = Joins.intervalJoin(lb, rb, "lk", "rk", "lts", "rts", 60_000_000L)
+      .select("ltus", "rtus").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == expect)
+  }
+
+  test("stream-static enrich matches batch enrich") {
+    import spark.implicits._
+    val dim = Seq((1L, "gold"), (2L, "silver")).toDF("dk", "tier")
+    val sdf = streamOf(mkEvents).toDF()
+    val out = StreamingOps.enrich(sdf, dim, "key", "dk")
+    runToTable(out, "t_enrich", OutputMode.Append())
+    val got = spark.table("t_enrich").select("key", "tsUs", "tier")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    val expect = Joins.enrich(mkEvents.toDF(), dim, "key", "dk")
+      .select("key", "tsUs", "tier")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    assert(got == expect)
+  }
+}
