@@ -562,6 +562,39 @@ object Queries {
                    FROM d)
              WHERE rnk <= 5"""))
 
+  private val qDedupEmbed = GraftQuery(
+    "q_dedup_embed",
+    (s, dir) =>
+      VectorFns.cosineNearDupPairs(t(s, dir, "embeddings"), "vec_id", "embedding",
+        tauNum = 1, tauDen = 4),
+    Some(s"""WITH e AS (SELECT vec_id, ${quantSql("embedding")} AS v FROM embeddings),
+             nn AS (SELECT vec_id, v,
+                      CAST(list_sum(list_transform(range(1, 65), i -> v[i] * v[i])) AS BIGINT) AS nrm
+                    FROM e),
+             eb AS (SELECT vec_id, v, nrm, t, ${lshBucketSql("v")} AS bucket
+                    FROM nn CROSS JOIN range(0, 8) tt(t)),
+             p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                     CAST(list_sum(list_transform(range(1, 65), i -> a.v[i] * b.v[i])) AS BIGINT) AS dot,
+                     a.nrm AS na, b.nrm AS nb
+                   FROM eb a JOIN eb b
+                     ON a.t = b.t AND a.bucket = b.bucket AND a.vec_id < b.vec_id),
+             d AS (SELECT id_a, id_b, max(dot) AS dot, max(na) AS na, max(nb) AS nb
+                   FROM p GROUP BY 1, 2)
+             SELECT id_a, id_b, dot FROM d
+             WHERE dot > 0 AND 16 * dot * dot >= na * nb"""))
+
+  /** Rows-only check (no SQL oracle: output carries a float array; the
+    * decode path itself is cross-checked against the pure-expression
+    * fakeWidth/fakeHeight in MultimodalSpec).
+    */
+  private val qMultimodalDecode = GraftQuery(
+    "q_multimodal_decode",
+    (s, dir) =>
+      Multimodal.decodePartitioned(
+        t(s, dir, "documents").select(col("doc_id"), col("text").cast("binary").as("payload")),
+        "doc_id", "payload").toDF(),
+    None)
+
   private def langScoreSql: String = {
     val langs = TextFns.Stopwords.keys.toSeq.sorted
     langs.map { l =>
@@ -673,9 +706,10 @@ object Queries {
     qIntervalJoin, qStreamTableJoin, qMerge, qSplitBranch, qChunk, qSkipTake, qThrottle,
     qWordcount, qCandles, qStratClassify, qAsofJoin,
     q1Pricing, q3Topk, q5Region, qJsonExtract,
-    qDedupExact, qDedupMinhash, qDedupSimhash, qNgramJaccard,
+    qDedupExact, qDedupMinhash, qDedupSimhash, qNgramJaccard, qDedupEmbed,
     qEmbedTopk, qEmbedLsh,
-    qLangId, qQualityScore, qTokenCount, qFingerprint, qMultimodalMeta)
+    qLangId, qQualityScore, qTokenCount, qFingerprint, qMultimodalMeta,
+    qMultimodalDecode)
 
   val queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.fn).toMap

@@ -13,10 +13,18 @@ import org.apache.spark.sql.functions._
   * oracle isn't in the loop.
   */
 object VectorFns {
+  import org.apache.spark.sql.GraftBridge.{column => toCol, expression => toExpr}
 
   /** Quantize a float vector to integer milli-units: floor(x*1000). */
   def quantize(v: Column): Column =
     transform(v, x => floor(x.cast("double") * 1000).cast("long"))
+
+  // Native kernels (graft.plans.VectorExprs) — value-identical to the
+  // declarative forms above/below, ~100× faster than interpreted HOFs.
+  def quantizeFast(v: Column): Column = toCol(graft.plans.QuantizeVec(toExpr(v)))
+  def qdotFast(a: Column, b: Column): Column = toCol(graft.plans.QDot(toExpr(a), toExpr(b)))
+  def lshBucketsFast(qv: Column, tables: Int, planes: Int): Column =
+    toCol(graft.plans.LshBucketsExpr(toExpr(qv), tables, planes))
 
   /** Exact integer dot product of two quantized vectors. */
   def qdot(a: Column, b: Column): Column =
@@ -36,10 +44,10 @@ object VectorFns {
     * correctness baseline ANN. Rank ties break on neighbor id.
     */
   def bruteForceTopK(queries: DataFrame, corpus: DataFrame, idCol: String, vecCol: String, k: Int): DataFrame = {
-    val q = broadcast(queries.select(col(idCol).as("query_id"), quantize(col(vecCol)).as("qv")))
-    val c = corpus.select(col(idCol).as("neighbor_id"), quantize(col(vecCol)).as("cv"))
+    val q = broadcast(queries.select(col(idCol).as("query_id"), quantizeFast(col(vecCol)).as("qv")))
+    val c = corpus.select(col(idCol).as("neighbor_id"), quantizeFast(col(vecCol)).as("cv"))
     val scored = q.join(c, col("query_id") =!= col("neighbor_id"))
-      .select(col("query_id"), col("neighbor_id"), qdot(col("qv"), col("cv")).as("score"))
+      .select(col("query_id"), col("neighbor_id"), qdotFast(col("qv"), col("cv")).as("score"))
     val w = Window.partitionBy("query_id").orderBy(col("score").desc, col("neighbor_id"))
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
@@ -86,14 +94,44 @@ object VectorFns {
   def lshTopK(queries: DataFrame, corpus: DataFrame, idCol: String, vecCol: String, k: Int,
       tables: Int = 8, planes: Int = 4): DataFrame = {
     def withBuckets(df: DataFrame, id: String, vec: String) =
-      df.select(col(idCol).as(id), quantize(col(vecCol)).as(vec))
-        .select(col(id), col(vec), posexplode(lshBuckets(col(vec), tables, planes)).as(Seq("tbl", "bucket")))
+      df.select(col(idCol).as(id), quantizeFast(col(vecCol)).as(vec))
+        .select(col(id), col(vec),
+          posexplode(lshBucketsFast(col(vec), tables, planes)).as(Seq("tbl", "bucket")))
     val q = withBuckets(queries, "query_id", "qv")
     val c = withBuckets(corpus, "neighbor_id", "cv")
     val scored = q.join(c, Seq("tbl", "bucket")).filter(col("query_id") =!= col("neighbor_id"))
-      .select(col("query_id"), col("neighbor_id"), qdot(col("qv"), col("cv")).as("score"))
+      .select(col("query_id"), col("neighbor_id"), qdotFast(col("qv"), col("cv")).as("score"))
       .groupBy("query_id", "neighbor_id").agg(max("score").as("score"))
     val w = Window.partitionBy("query_id").orderBy(col("score").desc, col("neighbor_id"))
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+
+  /** Embedding-cosine near-duplicate pairs: all (id_a < id_b) sharing an
+    * LSH bucket in any table whose exact quantized cosine clears
+    * τ = tauNum/tauDen, decided in pure integer arithmetic:
+    * dot > 0 ∧ tauDen²·dot² ≥ tauNum²·‖a‖²·‖b‖² — no float rounding, so
+    * the decision is engine-portable. The LSH prefilter is the 100 TB
+    * shape (candidates via equi-join, never all-pairs); its recall
+    * follows the lshTopK table/plane tradeoff.
+    */
+  def cosineNearDupPairs(df: DataFrame, idCol: String, vecCol: String,
+      tauNum: Int, tauDen: Int, tables: Int = 8, planes: Int = 4): DataFrame = {
+    val e = df
+      .select(col(idCol).as("id"), quantizeFast(col(vecCol)).as("qv"))
+      .select(col("id"), col("qv"), qdotFast(col("qv"), col("qv")).as("nrm"),
+        posexplode(lshBucketsFast(col("qv"), tables, planes)).as(Seq("tbl", "bucket")))
+    val pairs = e.as("a").join(e.as("b"),
+        col("a.tbl") === col("b.tbl") && col("a.bucket") === col("b.bucket") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        qdotFast(col("a.qv"), col("b.qv")).as("dot"),
+        col("a.nrm").as("na"), col("b.nrm").as("nb"))
+      .groupBy("id_a", "id_b")
+      .agg(max("dot").as("dot"), max("na").as("na"), max("nb").as("nb"))
+    pairs
+      .filter(col("dot") > 0 &&
+        col("dot") * col("dot") * (tauDen.toLong * tauDen) >=
+          col("na") * col("nb") * (tauNum.toLong * tauNum))
+      .select(col("id_a"), col("id_b"), col("dot"))
   }
 }
