@@ -492,6 +492,47 @@ object Queries {
                  CASE WHEN sm[j+1] > 0 THEN (1::BIGINT << j) ELSE 0 END)) AS BIGINT) AS sim
              FROM sums"""))
 
+  /** Exact SimHash near-dup pairs at hamming ≤ 3 via 4 byte-bands: 3
+    * differing bits can touch at most 3 of the 4 bytes, so every
+    * qualifying pair shares ≥1 band — candidates come from a band
+    * equi-join (never all-pairs), yet the result is EXACT.
+    */
+  private val qDedupSimhashPairs = GraftQuery(
+    "q_dedup_simhash_pairs",
+    (s, dir) => {
+      val sims = t(s, dir, "documents")
+        .filter(size(TextFns.tokens(col("text"))) > 0)
+        .select(col("doc_id").as("id"), DedupFns.simhash32(col("text")).cast("long").as("sim"))
+      val bands = sims.select(col("id"), col("sim"),
+        posexplode(array((0 until 4).map(k =>
+          shiftright(col("sim"), 8 * k).bitwiseAND(lit(255L))): _*)).as(Seq("k", "byte")))
+      bands.as("a")
+        .join(bands.as("b"),
+          col("a.k") === col("b.k") && col("a.byte") === col("b.byte") && col("a.id") < col("b.id"))
+        .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+          col("a.sim").as("sim_a"), col("b.sim").as("sim_b"))
+        .distinct()
+        .select(col("id_a"), col("id_b"),
+          DedupFns.hamming(col("sim_a"), col("sim_b")).cast("long").as("dist"))
+        .filter(col("dist") <= 3)
+    },
+    Some(s"""WITH t0 AS (SELECT doc_id, $toksSql AS tk FROM documents),
+             hs AS (SELECT doc_id, list_transform(tk, t -> ${h31Sql("t")}) AS h FROM t0 WHERE len(tk) > 0),
+             sums AS (SELECT doc_id,
+                        list_transform(range(0, 32), j ->
+                          CAST(list_sum(list_transform(h, x ->
+                            CASE WHEN (x // (1::BIGINT << j)) % 2 = 1 THEN 1 ELSE -1 END)) AS BIGINT)) AS sm
+                      FROM hs),
+             s AS (SELECT doc_id AS id,
+                     CAST(list_sum(list_transform(range(0, 32), j ->
+                       CASE WHEN sm[j+1] > 0 THEN (1::BIGINT << j) ELSE 0 END)) AS BIGINT) AS sim
+                   FROM sums),
+             bd AS (SELECT id, sim, k, (sim >> (8*k)) & 255 AS byte FROM s CROSS JOIN range(0, 4) tt(k)),
+             p AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b, a.sim AS sim_a, b.sim AS sim_b
+                   FROM bd a JOIN bd b ON a.k = b.k AND a.byte = b.byte AND a.id < b.id)
+             SELECT id_a, id_b, CAST(bit_count(xor(sim_a, sim_b)) AS BIGINT) AS dist
+             FROM p WHERE bit_count(xor(sim_a, sim_b)) <= 3"""))
+
   private val qNgramJaccard = GraftQuery(
     "q_ngram_jaccard",
     (s, dir) => DedupFns.ngramJaccardPairs(t(s, dir, "documents"), "doc_id", "text", 3,
@@ -706,7 +747,7 @@ object Queries {
     qIntervalJoin, qStreamTableJoin, qMerge, qSplitBranch, qChunk, qSkipTake, qThrottle,
     qWordcount, qCandles, qStratClassify, qAsofJoin,
     q1Pricing, q3Topk, q5Region, qJsonExtract,
-    qDedupExact, qDedupMinhash, qDedupSimhash, qNgramJaccard, qDedupEmbed,
+    qDedupExact, qDedupMinhash, qDedupSimhash, qDedupSimhashPairs, qNgramJaccard, qDedupEmbed,
     qEmbedTopk, qEmbedLsh,
     qLangId, qQualityScore, qTokenCount, qFingerprint, qMultimodalMeta,
     qMultimodalDecode)
