@@ -478,8 +478,9 @@ object Queries {
     "q_dedup_simhash",
     (s, dir) =>
       t(s, dir, "documents")
-        .filter(size(TextFns.tokens(col("text"))) > 0)
-        .select(col("doc_id"), DedupFns.simhash32(col("text")).cast("long").as("sim")),
+        .select(col("doc_id"), TextFns.tokens(col("text")).as("__toks"))
+        .filter(size(col("__toks")) > 0)
+        .select(col("doc_id"), DedupFns.simhash32Fast(col("__toks")).as("sim")),
     Some(s"""WITH t0 AS (SELECT doc_id, $toksSql AS tk FROM documents),
              hs AS (SELECT doc_id, list_transform(tk, t -> ${h31Sql("t")}) AS h FROM t0 WHERE len(tk) > 0),
              sums AS (SELECT doc_id,
@@ -501,8 +502,9 @@ object Queries {
     "q_dedup_simhash_pairs",
     (s, dir) => {
       val sims = t(s, dir, "documents")
-        .filter(size(TextFns.tokens(col("text"))) > 0)
-        .select(col("doc_id").as("id"), DedupFns.simhash32(col("text")).cast("long").as("sim"))
+        .select(col("doc_id").as("id"), TextFns.tokens(col("text")).as("__toks"))
+        .filter(size(col("__toks")) > 0)
+        .select(col("id"), DedupFns.simhash32Fast(col("__toks")).as("sim"))
       val bands = sims.select(col("id"), col("sim"),
         posexplode(array((0 until 4).map(k =>
           shiftright(col("sim"), 8 * k).bitwiseAND(lit(255L))): _*)).as(Seq("k", "byte")))

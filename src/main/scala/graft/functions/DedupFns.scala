@@ -145,6 +145,14 @@ object DedupFns {
   /** Hamming distance between two simhashes (codegen'd bit_count). */
   def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
 
+  /** Native-loop SimHash from a token-array column (see
+    * graft.plans.Simhash32) — value-identical to simhash32(text).
+    */
+  def simhash32Fast(toks: Column): Column = {
+    import org.apache.spark.sql.GraftBridge
+    GraftBridge.column(graft.plans.Simhash32(GraftBridge.expression(toks)))
+  }
+
   // ---- n-gram Jaccard ---------------------------------------------------
 
   /** Distinct word n-grams over an ALREADY-MATERIALIZED token array

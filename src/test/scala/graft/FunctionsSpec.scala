@@ -78,6 +78,18 @@ class FunctionsSpec extends SparkSpecBase {
     assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L))
   }
 
+  test("native Simhash32 expression matches the declarative simhash32") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet").limit(100)
+    val base = docs.select(col("doc_id"), col("text"), TextFns.tokens(col("text")).as("toks"))
+      .filter(size(col("toks")) > 0)
+    val fast = base.select(col("doc_id"), DedupFns.simhash32Fast(col("toks")).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val slow = base.select(col("doc_id"), DedupFns.simhash32(col("text")).cast("long").as("s"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fast == slow)
+    assert(fast.nonEmpty)
+  }
+
   test("native MinhashBands expression matches the declarative HOF pipeline") {
     val docs = spark.read.parquet(s"$sfDir/documents.parquet").limit(100)
     val base = docs.select(col("doc_id"), TextFns.tokens(col("text")).as("toks"))

@@ -106,6 +106,56 @@ class StreamingParitySpec extends SparkSpecBase {
     assert(got == expect)
   }
 
+  test("watermarked session window matches batch session window") {
+    import spark.implicits._
+    val events = mkEvents
+    val sdf = streamOf(events).toDF().withColumn("ts", timestamp_micros(col("tsUs")))
+    val agg = StreamingOps.session(sdf, "ts", Seq("key"), "2 minutes", "10 seconds")(
+      count(lit(1)).as("n"), sum(col("value")).as("sv"))
+    runToTable(agg, "t_session", OutputMode.Complete())
+    val got = spark.table("t_session")
+      .select(col("key"), unix_micros(col("session_start")).as("ss"), col("n"), col("sv"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+
+    val bdf = events.toDF().withColumn("ts", timestamp_micros(col("tsUs")))
+    val expect = Windows.session(bdf, "ts", Seq("key"), "2 minutes")(
+      count(lit(1)).as("n"), sum(col("value")).as("sv"))
+      .select(col("key"), unix_micros(col("session_start")), col("n"), col("sv"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(got == expect)
+  }
+
+  test("streaming word count (reference tpipe pipeline) matches batch q_wordcount semantics") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val ms = MemoryStream[String]
+    ms.addData(Seq("The (quick), brown fox.", "the quick RED fox; jumps"))
+    val counts = ms.toDF().toDF("text")
+      .select(explode(graft.functions.TextFns.tokens(col("text"))).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("cnt"))
+    runToTable(counts, "t_wc", OutputMode.Complete())
+    val got = spark.table("t_wc").collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(got == Map("the" -> 2L, "quick" -> 2L, "fox" -> 2L, "brown" -> 1L,
+      "red" -> 1L, "jumps" -> 1L))
+  }
+
+  test("parquet stream sink + foreachBatch sink round-trip") {
+    import spark.implicits._
+    import graft.sinks.Sinks
+    val dir = java.nio.file.Files.createTempDirectory("graft-sink").toString
+    val sdf = streamOf(mkEvents).toDF()
+    val q = Sinks.parquetStream(sdf, s"$dir/data", s"$dir/ckpt")
+    q.awaitTermination()
+    assert(spark.read.parquet(s"$dir/data").count() == mkEvents.size)
+
+    val seen = new java.util.concurrent.atomic.AtomicLong(0)
+    val q2 = Sinks.foreachBatch(streamOf(mkEvents).toDF()) { (batch, _) =>
+      seen.addAndGet(batch.count())
+    }
+    q2.awaitTermination()
+    assert(seen.get() == mkEvents.size)
+  }
+
   test("stream-static enrich matches batch enrich") {
     import spark.implicits._
     val dim = Seq((1L, "gold"), (2L, "silver")).toDF("dk", "tier")
