@@ -95,6 +95,37 @@ object Queries {
     Some("""SELECT event_id, user_id, value * 2 AS value2
             FROM events WHERE event_type = 'purchase' AND value > 100"""))
 
+  /** filter_map (reference StreamExt::filter_map): filter and transform
+    * in one pass — one scan, the map never runs on dropped rows.
+    */
+  private val qFilterMap = GraftQuery(
+    "q_filter_map",
+    (s, dir) =>
+      events(s, dir)
+        .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
+        .filter(col("k").isNotNull && col("k") % 2 === 0)
+        .select(col("event_id"), expr("k div 2").as("half_k")),
+    Some(s"""SELECT event_id, json_extract_string(props, '$$.k')::BIGINT // 2 AS half_k
+             FROM events
+             WHERE json_extract_string(props, '$$.k') IS NOT NULL
+               AND json_extract_string(props, '$$.k')::BIGINT % 2 = 0"""))
+
+  /** cycle(k) (reference StreamExt::cycle): batch re-expression — each
+    * record replayed k times with a cycle index (a lateral range join;
+    * no driver loop, no shuffle).
+    */
+  private val qCycle = GraftQuery(
+    "q_cycle",
+    (s, dir) =>
+      events(s, dir)
+        .filter(col("event_type") === "signup")
+        .select(col("event_id"), col("user_id"))
+        .crossJoin(s.range(3).select(col("id").as("cycle_no")))
+        .select(col("event_id"), col("user_id"), col("cycle_no")),
+    Some("""SELECT event_id, user_id, k AS cycle_no
+            FROM events CROSS JOIN range(3) t(k)
+            WHERE event_type = 'signup'"""))
+
   private val qFoldAgg = GraftQuery(
     "q_fold_agg",
     (s, dir) =>
@@ -745,7 +776,7 @@ object Queries {
   // =======================================================================
 
   val all: Seq[GraftQuery] = Seq(
-    qMapFilter, qFoldAgg, qTableLatest, qTumbling, qHopping, qLagWindow, qSession,
+    qMapFilter, qFilterMap, qCycle, qFoldAgg, qTableLatest, qTumbling, qHopping, qLagWindow, qSession,
     qIntervalJoin, qStreamTableJoin, qMerge, qSplitBranch, qChunk, qSkipTake, qThrottle,
     qWordcount, qCandles, qStratClassify, qAsofJoin,
     q1Pricing, q3Topk, q5Region, qJsonExtract,
