@@ -1,0 +1,50 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+import graft.plans.{LshBucketsExpr, MinhashBands, QDot, QuantizeVec, Simhash32}
+
+/** SQL-surface registration of graft's native expressions, so the
+  * engine's extensions are first-class in `spark.sql(...)` exactly like
+  * built-ins — the reference's users get a pure-SQL entry point.
+  *
+  * Registered functions:
+  *   graft_minhash_bands(tokens)   → array<bigint> (8 LSH band hashes)
+  *   graft_simhash32(tokens)       → bigint
+  *   graft_quantize(vec)           → array<bigint> (floor(x*1000))
+  *   graft_qdot(a, b)              → bigint (integer dot product)
+  *   graft_lsh_buckets(qv, t, p)   → array<bigint> (t bucket ids)
+  */
+object GraftFunctions {
+
+  private def info(name: String, usage: String) =
+    new ExpressionInfo(classOf[MinhashBands].getName, null, name, usage, "", "", "", "", "", "", "internal")
+
+  private val fns: Seq[(String, String, Seq[Expression] => Expression)] = Seq(
+    ("graft_minhash_bands", "_FUNC_(tokens) - 8 MinHash LSH band hashes over word 3-gram shingles",
+      (args: Seq[Expression]) => MinhashBands(args.head, 3)),
+    ("graft_simhash32", "_FUNC_(tokens) - 32-bit SimHash of the token array",
+      (args: Seq[Expression]) => Simhash32(args.head)),
+    ("graft_quantize", "_FUNC_(vec) - floor(x*1000) integer quantization of a float vector",
+      (args: Seq[Expression]) => QuantizeVec(args.head)),
+    ("graft_qdot", "_FUNC_(a, b) - integer dot product of two quantized vectors",
+      (args: Seq[Expression]) => QDot(args.head, args(1))),
+    ("graft_lsh_buckets", "_FUNC_(qv, tables, planes) - LSH bucket ids of a quantized vector",
+      (args: Seq[Expression]) => args match {
+        case Seq(v) => LshBucketsExpr(v, 8, 4)
+        case Seq(v, t, p) =>
+          LshBucketsExpr(v, t.eval().asInstanceOf[Number].intValue(), p.eval().asInstanceOf[Number].intValue())
+        case _ => throw new IllegalArgumentException("graft_lsh_buckets(qv[, tables, planes])")
+      }))
+
+  /** Idempotently register all graft SQL functions on a session. */
+  def register(spark: SparkSession): Unit = {
+    val reg: FunctionRegistry = spark.sessionState.functionRegistry
+    fns.foreach { case (name, usage, builder) =>
+      reg.registerFunction(FunctionIdentifier(name), info(name, usage), builder)
+    }
+  }
+}

@@ -30,10 +30,13 @@ object GraftSession {
       .config("spark.sql.autoBroadcastJoinThreshold", (64L * 1024 * 1024).toString)
       .config("spark.ui.enabled", "false")
 
-  /** Get-or-create a local session with graft defaults. */
+  /** Get-or-create a local session with graft defaults and the graft
+    * SQL functions registered (graft_minhash_bands, graft_qdot, …).
+    */
   def local(appName: String = "graft"): SparkSession = {
     val spark = builder(appName).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    GraftFunctions.register(spark)
     spark
   }
 }

@@ -310,6 +310,29 @@ object Queries {
              arg_max(value, event_id) AS close, $sumValSql AS volume, $nSql AS n_ticks
              FROM events GROUP BY 1, 2"""))
 
+  /** The reference's candle pipeline actually drives a HOPPING window
+    * per timeframe (example/stocks.rs:129-180 via src/window.rs:95-180);
+    * q_candles is the tumbling special case (size == hop), this is the
+    * general overlapping form: 1 h candles refreshed every 15 min.
+    */
+  private val qCandlesHop = GraftQuery(
+    "q_candles_hop",
+    (s, dir) =>
+      Windows.hopping(events(s, dir), "ts", Seq("event_type"), "1 hour", "15 minutes")(
+        min_by(col("value"), col("event_id")).as("open"),
+        max(col("value")).as("high"),
+        min(col("value")).as("low"),
+        max_by(col("value"), col("event_id")).as("close"),
+        sumDec(col("value")).as("volume"))
+        .select(unix_micros(col("window_start")).as("window_start_us"), col("event_type"),
+          col("open"), col("high"), col("low"), col("close"), col("volume")),
+    Some(s"""SELECT ws AS window_start_us, event_type,
+             arg_min(value, event_id) AS open, max(value) AS high, min(value) AS low,
+             arg_max(value, event_id) AS close, $sumValSql AS volume
+             FROM (SELECT ((epoch_us(ts) // 900000000) - k) * 900000000 AS ws, event_type, value, event_id
+                   FROM events, range(4) t(k))
+             GROUP BY 1, 2"""))
+
   private val qStratClassify = GraftQuery(
     "q_strat_classify",
     (s, dir) => {
@@ -778,7 +801,7 @@ object Queries {
   val all: Seq[GraftQuery] = Seq(
     qMapFilter, qFilterMap, qCycle, qFoldAgg, qTableLatest, qTumbling, qHopping, qLagWindow, qSession,
     qIntervalJoin, qStreamTableJoin, qMerge, qSplitBranch, qChunk, qSkipTake, qThrottle,
-    qWordcount, qCandles, qStratClassify, qAsofJoin,
+    qWordcount, qCandles, qCandlesHop, qStratClassify, qAsofJoin,
     q1Pricing, q3Topk, q5Region, qJsonExtract,
     qDedupExact, qDedupMinhash, qDedupSimhash, qDedupSimhashPairs, qNgramJaccard, qDedupEmbed,
     qEmbedTopk, qEmbedLsh,

@@ -53,6 +53,29 @@ object Joins {
   def enrich(stream: DataFrame, dim: DataFrame, streamKey: String, dimKey: String, joinType: String = "inner"): DataFrame =
     stream.join(broadcast(dim), stream(streamKey) === dim(dimKey), joinType)
 
+  /** Salted equi-join for skewed keys: the fact side spreads each hot
+    * key across `salt` sub-keys deterministically (positional hash of a
+    * unique column), the dim side replicates each row `salt` times —
+    * per-task fan-in for a hot key drops by ~`salt`×. Output rows are
+    * identical to the plain join (spread+replicate pairs each fact row
+    * with exactly one dim copy). AQE's skew-join handles moderate skew
+    * automatically; explicit salting is for the pathological keys AQE
+    * splits can't fix (one key ≫ one executor's memory).
+    */
+  def saltedJoin(
+      fact: DataFrame,
+      dim: DataFrame,
+      factKey: String,
+      dimKey: String,
+      uniqueFactCol: String,
+      salt: Int = 16
+  ): DataFrame = {
+    val f = fact.withColumn("__salt", pmod(col(uniqueFactCol).cast("long"), lit(salt)).cast("int"))
+    val d = dim.withColumn("__salt", explode(array((0 until salt).map(lit): _*)))
+    f.join(d, f(factKey) === d(dimKey) && f("__salt") === d("__salt"), "inner")
+      .drop("__salt")
+  }
+
   /** As-of join: for each left record, the latest right record with
     * `rightTs <= leftTs` on the same key. Natural extension of the
     * reference's stream-table join to bitemporal lookup.

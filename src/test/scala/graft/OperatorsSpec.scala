@@ -79,6 +79,32 @@ class OperatorsSpec extends SparkSpecBase {
       (2L, 500L, None)))
   }
 
+  test("saltedJoin returns exactly the plain join's rows") {
+    import spark.implicits._
+    val dim = Seq((1L, "gold"), (2L, "silver")).toDF("dk", "tier")
+    val plain = ev.join(dim, ev("k") === dim("dk")).select("tus", "tier")
+      .collect().map(r => (r.getLong(0), r.getString(1))).sorted.toSeq
+    val salted = Joins.saltedJoin(ev, dim, "k", "dk", "tus", salt = 4).select("tus", "tier")
+      .collect().map(r => (r.getLong(0), r.getString(1))).sorted.toSeq
+    assert(salted == plain)
+  }
+
+  test("graft SQL functions are callable from spark.sql") {
+    GraftFunctions.register(spark)
+    spark.read.parquet(s"$sfDir/documents.parquet").limit(20).createOrReplaceTempView("sqldocs")
+    val viaSql = spark.sql(
+      """SELECT doc_id, graft_simhash32(filter(split(regexp_replace(lower(text), '[(),";:\'.]', ''), '\\s+'), x -> x != '')) AS sim
+         FROM sqldocs""").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val viaApi = spark.read.parquet(s"$sfDir/documents.parquet").limit(20)
+      .select(col("doc_id"), graft.functions.DedupFns.simhash32Fast(
+        graft.functions.TextFns.tokens(col("text"))).as("sim"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(viaSql == viaApi)
+    val qd = spark.sql("SELECT graft_qdot(graft_quantize(array(1.0F, 2.0F)), graft_quantize(array(3.0F, 4.0F)))")
+      .collect()(0).getLong(0)
+    assert(qd == 1000L * 3000 + 2000L * 4000)
+  }
+
   test("branch labels each row by first matching predicate") {
     val out = Relational.branch(ev, Seq("big" -> (col("v") >= 30), "mid" -> (col("v") >= 15)))
       .select("v", "branch").collect().map(r => (r.getDouble(0), r.getString(1))).toSet

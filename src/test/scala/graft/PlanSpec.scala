@@ -64,6 +64,20 @@ class PlanSpec extends SparkSpecBase {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("q_asof_join: union-merge plan — one shuffle, one sort, no range join") {
+    val p = planOf(Queries.queries("q_asof_join")(spark, sfDir))
+    assert(p.contains("Window"), p)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1, p)
+  }
+
+  test("q_dedup_simhash_pairs and q_dedup_embed: candidates via equi-join, never all-pairs") {
+    for (q <- Seq("q_dedup_simhash_pairs", "q_dedup_embed")) {
+      val p = planOf(Queries.queries(q)(spark, sfDir))
+      assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), s"$q: $p")
+    }
+  }
+
   test("wordcount top-100 avoids a global sort") {
     val p = planOf(Queries.queries("q_wordcount")(spark, sfDir))
     assert(p.contains("TakeOrderedAndProject"), p)
