@@ -21,6 +21,22 @@ final case class LagWindowOut(key: Long, tsUs: Long, values: Seq[Double])
   */
 final case class TableLatest(key: Long, tsUs: Long, value: Double)
 
+/** One OHLC candle being built / closed by the streaming candle+strat
+  * pipeline (reference example/stocks.rs Candle).
+  */
+final case class StreamCandle(key: Long, wsUs: Long,
+    open: Double, high: Double, low: Double, close: Double)
+
+/** Strat classification of a closed candle vs its predecessor
+  * (reference example/stocks.rs:259-285): 1=Inside 2=Up 3=Down 4=Outside.
+  */
+final case class StratOut(key: Long, wsUs: Long, stratClass: Int)
+
+/** Per-key state of the candle+strat pipeline: the candle currently
+  * filling and the last closed candle.
+  */
+final case class CandleState(current: Option[StreamCandle], prev: Option[StreamCandle])
+
 /** Structured Streaming parity layer: the reference is a *stream*
   * processor, so every batch operator in graft.operators has a
   * streaming twin here. Batch results are the ground truth; the
@@ -103,6 +119,64 @@ object StreamingOps {
             if (buf.size == n) out += LagWindowOut(key, e.tsUs, buf.reverse)
           }
           state.update(buf)
+          out.iterator
+      }
+  }
+
+  /** The reference's flagship end-to-end pipeline as ONE stateful
+    * streaming operator: ticks → epoch-aligned tumbling OHLC candles →
+    * Strat classification of each closed candle against its
+    * predecessor (reference example/stocks.rs:232-285 — candles via
+    * src/window.rs, classes via `classify_candle_strat`).
+    *
+    * Exactly like the reference's single-pass streaming semantics, a
+    * candle is emitted/classified only when a later event CLOSES its
+    * window (SURVEY §3); the candle still filling lives in state. Ticks
+    * are assumed in event-time order across micro-batches (the
+    * reference makes the same single-stream assumption); within a
+    * batch they are sorted. Out-of-order ticks older than the current
+    * window are dropped.
+    */
+  def candleStrat(stream: Dataset[KeyedEvent], windowUs: Long): Dataset[StratOut] = {
+    implicit val outEnc = Encoders.product[StratOut]
+    implicit val stEnc = Encoders.product[CandleState]
+
+    def classify(c: StreamCandle, p: StreamCandle): StratOut = {
+      val top = math.max(c.open, c.close)
+      val bottom = math.min(c.open, c.close)
+      val ptop = math.max(p.open, p.close)
+      val pbottom = math.min(p.open, p.close)
+      val above = top > ptop
+      val below = bottom < pbottom
+      val cls = if (above && below) 4 else if (above) 2 else if (below) 3 else 1
+      StratOut(c.key, c.wsUs, cls)
+    }
+
+    stream.groupByKey(_.key)(Encoders.scalaLong)
+      .flatMapGroupsWithState[CandleState, StratOut](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout) {
+        (key: Long, events: Iterator[KeyedEvent], state: GroupState[CandleState]) =>
+          var st = state.getOption.getOrElse(CandleState(None, None))
+          val out = scala.collection.mutable.ArrayBuffer.empty[StratOut]
+          events.toSeq.sortBy(e => (e.tsUs, e.value)).foreach { e =>
+            val ws = e.tsUs / windowUs * windowUs
+            st.current match {
+              case Some(c) if c.wsUs == ws =>
+                st = st.copy(current = Some(c.copy(
+                  high = math.max(c.high, e.value),
+                  low = math.min(c.low, e.value),
+                  close = e.value)))
+              case Some(c) if ws > c.wsUs =>
+                st.prev.foreach(p => out += classify(c, p))
+                st = CandleState(
+                  current = Some(StreamCandle(key, ws, e.value, e.value, e.value, e.value)),
+                  prev = Some(c))
+              case Some(_) => // late tick before the open window: dropped
+              case None =>
+                st = st.copy(current = Some(StreamCandle(key, ws, e.value, e.value, e.value, e.value)))
+            }
+          }
+          state.update(st)
           out.iterator
       }
   }

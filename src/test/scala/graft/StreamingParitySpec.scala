@@ -156,6 +156,47 @@ class StreamingParitySpec extends SparkSpecBase {
     assert(seen.get() == mkEvents.size)
   }
 
+  test("streaming candle+strat pipeline matches batch q_strat_classify semantics") {
+    import spark.implicits._
+    // 3 full windows per key (window = 60s), distinct values per tick
+    val events = Seq(
+      KeyedEvent(1L, 1_000_000L, 10.0), KeyedEvent(1L, 30_000_000L, 14.0),
+      KeyedEvent(1L, 61_000_000L, 20.0), KeyedEvent(1L, 90_000_000L, 8.0),
+      KeyedEvent(1L, 121_000_000L, 9.0), KeyedEvent(1L, 150_000_000L, 9.5),
+      KeyedEvent(2L, 5_000_000L, 5.0), KeyedEvent(2L, 65_000_000L, 15.0),
+      KeyedEvent(2L, 125_000_000L, 4.0))
+    val out = StreamingOps.candleStrat(streamOf(events).toDS(), 60_000_000L)
+    runToTable(out.toDF(), "t_strat", OutputMode.Append())
+    val got = spark.table("t_strat")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+
+    // batch ground truth: tumbling candles + lag classify, minus each
+    // key's LAST candle (streaming only classifies closed candles —
+    // the reference's single-pass emission semantics, SURVEY §3)
+    import org.apache.spark.sql.expressions.Window
+    val bdf = events.toDF()
+    val candles = bdf.groupBy((col("tsUs") / 60_000_000L).cast("long").as("w"), col("key"))
+      .agg(min_by(col("value"), col("tsUs")).as("open"), max_by(col("value"), col("tsUs")).as("close"),
+        max(col("tsUs")).as("maxTs"))
+      .withColumn("wsUs", col("w") * 60_000_000L)
+    val w = Window.partitionBy("key").orderBy("wsUs")
+    val lastWs = candles.groupBy("key").agg(max("wsUs").as("lastWs"))
+    val expect = candles
+      .withColumn("top", greatest(col("open"), col("close")))
+      .withColumn("bottom", least(col("open"), col("close")))
+      .withColumn("ptop", lag(greatest(col("open"), col("close")), 1).over(w))
+      .withColumn("pbottom", lag(least(col("open"), col("close")), 1).over(w))
+      .filter(col("ptop").isNotNull)
+      .join(lastWs, "key").filter(col("wsUs") =!= col("lastWs"))
+      .select(col("key"), col("wsUs"),
+        when(col("top") > col("ptop") && col("bottom") < col("pbottom"), 4)
+          .when(col("top") > col("ptop"), 2)
+          .when(col("bottom") < col("pbottom"), 3).otherwise(1).as("cls"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(got == expect)
+    assert(got.nonEmpty)
+  }
+
   test("stream-static enrich matches batch enrich") {
     import spark.implicits._
     val dim = Seq((1L, "gold"), (2L, "silver")).toDF("dk", "tier")
