@@ -200,6 +200,21 @@ object Queries {
              SELECT user_id, min(e) AS session_start_us, $nSql AS n, $sumValSql AS sum_value
              FROM y GROUP BY user_id, sid"""))
 
+  /** Exact distinct users per window — the standard two-phase distinct
+    * aggregation (partial dedup map-side, exact count after one shuffle).
+    */
+  private val qDistinctUsers = GraftQuery(
+    "q_distinct_users",
+    (s, dir) =>
+      Windows.tumbling(events(s, dir), "ts", Seq("event_type"), "1 day")(
+        countDistinct(col("user_id")).as("n_users"),
+        count(lit(1)).as("n_events"))
+        .select(unix_micros(col("window_start")).as("window_start_us"),
+          col("event_type"), col("n_users"), col("n_events")),
+    Some(s"""SELECT (epoch_us(ts) // 86400000000) * 86400000000 AS window_start_us,
+             event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS n_users, $nSql AS n_events
+             FROM events GROUP BY 1, 2"""))
+
   private val qIntervalJoin = GraftQuery(
     "q_interval_join",
     (s, dir) => {
@@ -799,7 +814,7 @@ object Queries {
   // =======================================================================
 
   val all: Seq[GraftQuery] = Seq(
-    qMapFilter, qFilterMap, qCycle, qFoldAgg, qTableLatest, qTumbling, qHopping, qLagWindow, qSession,
+    qMapFilter, qFilterMap, qCycle, qFoldAgg, qDistinctUsers, qTableLatest, qTumbling, qHopping, qLagWindow, qSession,
     qIntervalJoin, qStreamTableJoin, qMerge, qSplitBranch, qChunk, qSkipTake, qThrottle,
     qWordcount, qCandles, qCandlesHop, qStratClassify, qAsofJoin,
     q1Pricing, q3Topk, q5Region, qJsonExtract,
