@@ -47,4 +47,19 @@ object GraftFunctions {
       reg.registerFunction(FunctionIdentifier(name), info(name, usage), builder)
     }
   }
+
+  private[graft] def injectInto(ext: org.apache.spark.sql.SparkSessionExtensions): Unit =
+    fns.foreach { case (name, usage, builder) =>
+      ext.injectFunction((FunctionIdentifier(name), info(name, usage), builder))
+    }
+}
+
+/** Canonical extensions entry point:
+  * `--conf spark.sql.extensions=graft.GraftExtensions` registers the
+  * graft SQL functions in every session of the cluster — no code change
+  * needed on the user side.
+  */
+class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {
+  override def apply(ext: org.apache.spark.sql.SparkSessionExtensions): Unit =
+    GraftFunctions.injectInto(ext)
 }

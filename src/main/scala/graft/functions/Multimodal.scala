@@ -106,6 +106,47 @@ object Multimodal {
       }
   }
 
+  /** Aspect-preserving resize metadata: scales (width, height) so the
+    * longer edge equals `maxEdge` (integer arithmetic, floor) — the
+    * planning step of an image-resize stage; the pixel work itself would
+    * ride the same decodePartitioned shape.
+    */
+  def resizePlan(decoded: Dataset[DecodedAsset], maxEdge: Int): DataFrame = {
+    val d = decoded.toDF()
+    val longEdge = greatest(col("width"), col("height"))
+    d.select(col("asset_id"), col("width"), col("height"),
+      when(longEdge <= maxEdge, col("width"))
+        .otherwise((col("width") * maxEdge / longEdge).cast("int")).as("out_width"),
+      when(longEdge <= maxEdge, col("height"))
+        .otherwise((col("height") * maxEdge / longEdge).cast("int")).as("out_height"))
+  }
+
+  /** One sampled frame of a (stub-decoded) video payload. */
+  final case class SampledFrame(asset_id: Long, frame_no: Int, frame_sha: String)
+
+  /** Uniform frame sampling over a video payload — mapPartitions shape
+    * identical to decodePartitioned; the STUB "frame" is the sha-256 of
+    * payload ++ frame_no (a real impl would seek+decode k frames here).
+    */
+  def frameSample(df: DataFrame, idCol: String, payloadCol: String, k: Int): Dataset[SampledFrame] = {
+    import org.apache.spark.sql.Encoders
+    implicit val enc = Encoders.product[SampledFrame]
+    df.select(col(idCol).cast("long"), col(payloadCol).cast("binary"))
+      .mapPartitions { rows =>
+        val md = java.security.MessageDigest.getInstance("SHA-256")
+        rows.flatMap { r =>
+          val id = r.getLong(0)
+          val payload = r.getAs[Array[Byte]](1)
+          (0 until k).iterator.map { f =>
+            md.reset()
+            md.update(payload)
+            md.update(f.toByte)
+            SampledFrame(id, f, md.digest().map("%02x".format(_)).mkString)
+          }
+        }
+      }
+  }
+
   /** Integer value of `len` hex digits of `digest` starting at 0-based
     * hex-digit offset `off` (a hex digit is a nibble of the digest).
     */

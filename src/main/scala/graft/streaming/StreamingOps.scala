@@ -104,21 +104,26 @@ object StreamingOps {
     * the same single-stream in-order assumption); within a batch we
     * sort by event time.
     */
+  /** Lag-window ring buffer state (schema'd product encoder — unlike a
+    * kryo blob, the state store stays introspectable and evolvable).
+    */
+  final case class LagBuf(values: Seq[Double])
+
   def lagWindow(stream: Dataset[KeyedEvent], n: Int): Dataset[LagWindowOut] = {
     require(n >= 2, "lag window needs n >= 2")
     implicit val outEnc = Encoders.product[LagWindowOut]
-    implicit val stEnc = Encoders.kryo[List[Double]]
+    implicit val stEnc = Encoders.product[LagBuf]
     stream.groupByKey(_.key)(Encoders.scalaLong)
-      .flatMapGroupsWithState[List[Double], LagWindowOut](
+      .flatMapGroupsWithState[LagBuf, LagWindowOut](
         OutputMode.Append(), GroupStateTimeout.NoTimeout) {
-        (key: Long, events: Iterator[KeyedEvent], state: GroupState[List[Double]]) =>
-          var buf = state.getOption.getOrElse(Nil) // newest first
+        (key: Long, events: Iterator[KeyedEvent], state: GroupState[LagBuf]) =>
+          var buf = state.getOption.map(_.values.toList).getOrElse(Nil) // newest first
           val out = scala.collection.mutable.ArrayBuffer.empty[LagWindowOut]
           events.toSeq.sortBy(e => (e.tsUs, e.value)).foreach { e =>
             buf = (e.value :: buf).take(n)
             if (buf.size == n) out += LagWindowOut(key, e.tsUs, buf.reverse)
           }
-          state.update(buf)
+          state.update(LagBuf(buf))
           out.iterator
       }
   }

@@ -36,6 +36,27 @@ class MultimodalSpec extends SparkSpecBase {
     }
   }
 
+  test("resizePlan preserves aspect ratio and caps the long edge") {
+    val decoded = Multimodal.decodePartitioned(assets, "doc_id", "payload")
+    val plan = Multimodal.resizePlan(decoded, 256).collect()
+    plan.foreach { r =>
+      val (w, h, ow, oh) = (r.getInt(1), r.getInt(2), r.getInt(3), r.getInt(4))
+      assert(math.max(ow, oh) <= 256, s"long edge not capped: $ow x $oh")
+      if (math.max(w, h) <= 256) assert(ow == w && oh == h)
+      else assert(math.max(ow, oh) == 256)
+    }
+  }
+
+  test("frameSample emits k deterministic frames per asset") {
+    val frames = Multimodal.frameSample(assets.limit(10), "doc_id", "payload", 4)
+    val rows = frames.collect()
+    assert(rows.length == 40)
+    assert(rows.groupBy(_.asset_id).forall(_._2.map(_.frame_no).sorted.toSeq == Seq(0, 1, 2, 3)))
+    val again = Multimodal.frameSample(assets.limit(10), "doc_id", "payload", 4).collect()
+    assert(rows.map(f => (f.asset_id, f.frame_no, f.frame_sha)).toSet ==
+      again.map(f => (f.asset_id, f.frame_no, f.frame_sha)).toSet)
+  }
+
   test("decode output schema is stable and features are bounded") {
     val ds = Multimodal.decodePartitioned(assets, "doc_id", "payload")
     assert(ds.schema.fieldNames.toSeq == Seq("asset_id", "width", "height", "features"))
