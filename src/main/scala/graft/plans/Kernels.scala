@@ -1,0 +1,117 @@
+package graft.plans
+
+import java.security.MessageDigest
+
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+
+import graft.functions.DedupFns
+
+/** Primitive-loop kernels shared by the native expressions' interpreted
+  * eval AND their generated code (top-level object → static forwarders,
+  * so generated Java calls `graft.plans.Kernels.qdot(...)` directly).
+  */
+object Kernels {
+
+  private val M = 2147483647L // 2^31 - 1
+  private val aCoef: Array[Long] = DedupFns.MinhashA.toArray
+  private val bCoef: Array[Long] = DedupFns.MinhashB.toArray
+
+  def quantize(v: ArrayData): ArrayData = {
+    val n = v.numElements()
+    val out = new Array[Long](n)
+    var i = 0
+    while (i < n) { out(i) = math.floor(v.getFloat(i).toDouble * 1000).toLong; i += 1 }
+    new GenericArrayData(out)
+  }
+
+  def qdot(a: ArrayData, b: ArrayData): Long = {
+    val n = math.min(a.numElements(), b.numElements())
+    var s = 0L
+    var i = 0
+    while (i < n) { s += a.getLong(i) * b.getLong(i); i += 1 }
+    s
+  }
+
+  def lshBuckets(qv: ArrayData, tables: Int, planes: Int): ArrayData = {
+    val dims = qv.numElements()
+    val out = new Array[Long](tables)
+    var t = 0
+    while (t < tables) {
+      var bucket = 0L
+      var j = 0
+      while (j < planes) {
+        val base = t * 131 + j * 37
+        var dot = 0L
+        var d = 0
+        while (d < dims) { dot += qv.getLong(d) * ((base + d * 17) % 21 - 10); d += 1 }
+        if (dot >= 0) bucket |= (1L << j)
+        j += 1
+      }
+      out(t) = bucket
+      t += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** 60-bit md5-prefix hash mod 2^31-1 of the digest's first 8 bytes. */
+  private def h60(d: Array[Byte]): Long = {
+    var v = 0L
+    var k = 0
+    while (k < 8) { v = (v << 8) | (d(k) & 0xffL); k += 1 }
+    (v >>> 4) % M
+  }
+
+  /** Null when the doc has fewer than n tokens (no shingle exists). */
+  def minhashBands(toks: ArrayData, n: Int): ArrayData = {
+    val m = toks.numElements()
+    if (m < n) return null
+    val numHashes = DedupFns.NumHashes
+    val mins = Array.fill(numHashes)(Long.MaxValue)
+    val md = MessageDigest.getInstance("MD5")
+    var i = 0
+    while (i + n <= m) {
+      md.reset()
+      var j = 0
+      while (j < n) {
+        if (j > 0) md.update(' '.toByte)
+        md.update(toks.getUTF8String(i + j).getBytes)
+        j += 1
+      }
+      val h = h60(md.digest())
+      var q = 0
+      while (q < numHashes) {
+        val c = (aCoef(q) * h + bCoef(q)) % M
+        if (c < mins(q)) mins(q) = c
+        q += 1
+      }
+      i += 1
+    }
+    val numBands = numHashes / DedupFns.BandRows
+    val bands = new Array[Long](numBands)
+    var b = 0
+    while (b < numBands) { bands(b) = (mins(2 * b) * 1000003L + mins(2 * b + 1)) % M; b += 1 }
+    new GenericArrayData(bands)
+  }
+
+  /** Caller must guarantee ≥1 token (empty docs have no vote). */
+  def simhash32(toks: ArrayData): Long = {
+    val m = toks.numElements()
+    val votes = new Array[Int](32)
+    val md = MessageDigest.getInstance("MD5")
+    var i = 0
+    while (i < m) {
+      md.reset()
+      val h = h60(md.digest(toks.getUTF8String(i).getBytes))
+      var j = 0
+      while (j < 32) {
+        if (((h >>> j) & 1L) == 1L) votes(j) += 1 else votes(j) -= 1
+        j += 1
+      }
+      i += 1
+    }
+    var sim = 0L
+    var j = 0
+    while (j < 32) { if (votes(j) > 0) sim |= (1L << j); j += 1 }
+    sim
+  }
+}
