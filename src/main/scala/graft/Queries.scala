@@ -215,6 +215,45 @@ object Queries {
              event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS n_users, $nSql AS n_events
              FROM events GROUP BY 1, 2"""))
 
+  /** Top-k per key (grouped rank) — per-key heaviest events; single
+    * shuffle + per-key sort, no global sort.
+    */
+  private val qTopkPerKey = GraftQuery(
+    "q_topk_per_key",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("user_id").orderBy(col("value").desc, col("event_id"))
+      events(s, dir)
+        .withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= 3)
+        .select(col("user_id"), col("event_id"), col("value"), col("rnk").cast("long").as("rnk"))
+    },
+    Some("""SELECT user_id, event_id, value, CAST(rnk AS BIGINT) AS rnk
+            FROM (SELECT user_id, event_id, value,
+                    row_number() OVER (PARTITION BY user_id ORDER BY value DESC, event_id) AS rnk
+                  FROM events)
+            WHERE rnk <= 3"""))
+
+  /** Pivot-style conditional aggregation: per-user counts by event type
+    * in one scan (explicit FILTER/when columns — the portable, plan-
+    * stable form of pivot; no second pass to discover column values).
+    */
+  private val qPivotCounts = GraftQuery(
+    "q_pivot_counts",
+    (s, dir) => {
+      val types = Seq("click", "purchase", "signup", "view", "error")
+      events(s, dir).groupBy("user_id")
+        .agg(count(lit(1)).as("n_total"),
+          types.map(t => count(when(col("event_type") === t, 1)).as(s"n_$t")): _*)
+    },
+    Some("""SELECT user_id, CAST(count(*) AS BIGINT) AS n_total,
+              CAST(count(*) FILTER (event_type = 'click') AS BIGINT) AS n_click,
+              CAST(count(*) FILTER (event_type = 'purchase') AS BIGINT) AS n_purchase,
+              CAST(count(*) FILTER (event_type = 'signup') AS BIGINT) AS n_signup,
+              CAST(count(*) FILTER (event_type = 'view') AS BIGINT) AS n_view,
+              CAST(count(*) FILTER (event_type = 'error') AS BIGINT) AS n_error
+            FROM events GROUP BY user_id"""))
+
   private val qIntervalJoin = GraftQuery(
     "q_interval_join",
     (s, dir) => {
@@ -814,7 +853,7 @@ object Queries {
   // =======================================================================
 
   val all: Seq[GraftQuery] = Seq(
-    qMapFilter, qFilterMap, qCycle, qFoldAgg, qDistinctUsers, qTableLatest, qTumbling, qHopping, qLagWindow, qSession,
+    qMapFilter, qFilterMap, qCycle, qFoldAgg, qDistinctUsers, qTopkPerKey, qPivotCounts, qTableLatest, qTumbling, qHopping, qLagWindow, qSession,
     qIntervalJoin, qStreamTableJoin, qMerge, qSplitBranch, qChunk, qSkipTake, qThrottle,
     qWordcount, qCandles, qCandlesHop, qStratClassify, qAsofJoin,
     q1Pricing, q3Topk, q5Region, qJsonExtract,
