@@ -254,6 +254,31 @@ object Queries {
               CAST(count(*) FILTER (event_type = 'error') AS BIGINT) AS n_error
             FROM events GROUP BY user_id"""))
 
+  /** HLL++ approximate distinct users per event type — the sketch path
+    * for cardinality at 100 TB (constant memory per group vs the exact
+    * two-phase distinct). Rows-only check: sketch estimates are
+    * engine-specific; accuracy vs exact is asserted in SketchSpec.
+    */
+  private val qApproxDistinct = GraftQuery(
+    "q_approx_distinct",
+    (s, dir) =>
+      events(s, dir).groupBy("event_type")
+        .agg(approx_count_distinct(col("user_id"), 0.02).as("approx_users"),
+          count(lit(1)).as("n")),
+    None)
+
+  /** Approximate value quantiles per event type (Greenwald-Khanna) —
+    * the sketch path for percentiles. Rows-only check; accuracy vs the
+    * exact quantiles is asserted in SketchSpec.
+    */
+  private val qQuantiles = GraftQuery(
+    "q_quantiles",
+    (s, dir) =>
+      events(s, dir).groupBy("event_type")
+        .agg(percentile_approx(col("value"), array(lit(0.5), lit(0.95), lit(0.99)), lit(1000))
+          .as("p50_p95_p99")),
+    None)
+
   private val qIntervalJoin = GraftQuery(
     "q_interval_join",
     (s, dir) => {
@@ -853,7 +878,7 @@ object Queries {
   // =======================================================================
 
   val all: Seq[GraftQuery] = Seq(
-    qMapFilter, qFilterMap, qCycle, qFoldAgg, qDistinctUsers, qTopkPerKey, qPivotCounts, qTableLatest, qTumbling, qHopping, qLagWindow, qSession,
+    qMapFilter, qFilterMap, qCycle, qFoldAgg, qDistinctUsers, qTopkPerKey, qPivotCounts, qApproxDistinct, qQuantiles, qTableLatest, qTumbling, qHopping, qLagWindow, qSession,
     qIntervalJoin, qStreamTableJoin, qMerge, qSplitBranch, qChunk, qSkipTake, qThrottle,
     qWordcount, qCandles, qCandlesHop, qStratClassify, qAsofJoin,
     q1Pricing, q3Topk, q5Region, qJsonExtract,

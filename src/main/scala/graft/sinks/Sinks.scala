@@ -25,6 +25,20 @@ object Sinks {
     (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w).parquet(path)
   }
 
+  /** Bucketed managed table — pre-shuffles data by the join/agg key at
+    * write time so later equi-joins and aggregations on `bucketCols`
+    * between co-bucketed tables run with NO exchange (verified in
+    * BucketingSpec). At 100 TB this converts every recurring fact-fact
+    * join on the bucket key from a full shuffle into a local zip of
+    * bucket files — the single biggest recurring-shuffle eliminator.
+    */
+  def bucketed(df: DataFrame, table: String, bucketCols: Seq[String], buckets: Int): Unit =
+    df.write.mode("overwrite")
+      .bucketBy(buckets, bucketCols.head, bucketCols.tail: _*)
+      .sortBy(bucketCols.head, bucketCols.tail: _*)
+      .format("parquet")
+      .saveAsTable(table)
+
   // ---- streaming --------------------------------------------------------
 
   /** In-memory table sink (tests/interactive): query via `SELECT * FROM name`. */

@@ -1,0 +1,41 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Sketch-path accuracy: approximate aggregates are the constant-memory
+  * 100 TB alternative to exact distinct/percentile — their error vs the
+  * exact answers is a tested number, not an assumption.
+  */
+class SketchSpec extends SparkSpecBase {
+
+  // reading events.parquet directly needs the nanos conf a Queries call sets
+  private lazy val ev = {
+    Queries.queries("q_approx_distinct")(spark, sfDir).count()
+    spark.read.parquet(s"$sfDir/events.parquet")
+  }
+
+  test("approx_count_distinct within 5% of exact per group") {
+    val got = Queries.queries("q_approx_distinct")(spark, sfDir)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val truth = ev.groupBy("event_type").agg(countDistinct(col("user_id")).as("d"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    truth.foreach { case (t, d) =>
+      val a = got(t)
+      assert(math.abs(a - d).toDouble / d <= 0.05, s"$t: approx=$a exact=$d")
+    }
+  }
+
+  test("percentile_approx values land in the right quantile band (rank-based accuracy)") {
+    val got = Queries.queries("q_quantiles")(spark, sfDir)
+      .collect().map(r => r.getString(0) -> r.getSeq[Double](1)).toMap
+    val qs = Seq(0.5, 0.95, 0.99)
+    got.foreach { case (t, approxes) =>
+      val vals = ev.filter(col("event_type") === t).select("value")
+        .collect().map(_.getDouble(0)).sorted
+      qs.zip(approxes).foreach { case (q, approx) =>
+        val frac = vals.count(_ <= approx).toDouble / vals.length
+        assert(math.abs(frac - q) <= 0.05, f"$t p$q: approx=$approx sits at quantile $frac%.3f")
+      }
+    }
+  }
+}
