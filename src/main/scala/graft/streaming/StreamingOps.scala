@@ -128,6 +128,38 @@ object StreamingOps {
       }
   }
 
+  /** A KeyedEvent tagged with its per-key arrival sequence number. */
+  final case class SeqEvent(key: Long, tsUs: Long, value: Double, seq: Long)
+
+  /** Per-key running counter state. */
+  final case class SeqState(next: Long)
+
+  /** Streaming per-key sequence numbers (1-based, event-time order
+    * within a batch, monotone across batches) — the single stateful
+    * primitive behind the reference's count-based combinators: in
+    * batch they are `row_number()`; in streaming derive
+    *   throttle(n): filter(_.seq % n == 1)
+    *   skip(a).take(b): filter(e => e.seq > a && e.seq <= a + b)
+    *   chunk(n): withColumn(chunk_id = (seq-1) / n).
+    */
+  def seqNumbers(stream: Dataset[KeyedEvent]): Dataset[SeqEvent] = {
+    implicit val outEnc = Encoders.product[SeqEvent]
+    implicit val stEnc = Encoders.product[SeqState]
+    stream.groupByKey(_.key)(Encoders.scalaLong)
+      .flatMapGroupsWithState[SeqState, SeqEvent](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout) {
+        (key: Long, events: Iterator[KeyedEvent], state: GroupState[SeqState]) =>
+          var next = state.getOption.map(_.next).getOrElse(1L)
+          val out = events.toSeq.sortBy(e => (e.tsUs, e.value)).map { e =>
+            val s = SeqEvent(e.key, e.tsUs, e.value, next)
+            next += 1
+            s
+          }
+          state.update(SeqState(next))
+          out.iterator
+      }
+  }
+
   /** The reference's flagship end-to-end pipeline as ONE stateful
     * streaming operator: ticks → epoch-aligned tumbling OHLC candles →
     * Strat classification of each closed candle against its

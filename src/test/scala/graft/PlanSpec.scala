@@ -78,6 +78,18 @@ class PlanSpec extends SparkSpecBase {
     }
   }
 
+  test("partitioned writes give readers partition pruning") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-part").toString
+    val ev = Queries.queries("q_map_filter")(spark, sfDir) // any events projection
+    graft.sinks.Sinks.parquet(
+      spark.read.parquet(s"$sfDir/customer.parquet"), s"$dir/cust", partitionBy = Seq("c_mktsegment"))
+    val pruned = spark.read.parquet(s"$dir/cust").filter(col("c_mktsegment") === "BUILDING")
+    val p = pruned.queryExecution.executedPlan.toString
+    assert(p.contains("PartitionFilters: [isnotnull(c_mktsegment"), p)
+    assert(pruned.count() ==
+      spark.read.parquet(s"$sfDir/customer.parquet").filter(col("c_mktsegment") === "BUILDING").count())
+  }
+
   test("wordcount top-100 avoids a global sort") {
     val p = planOf(Queries.queries("q_wordcount")(spark, sfDir))
     assert(p.contains("TakeOrderedAndProject"), p)

@@ -197,6 +197,39 @@ class StreamingParitySpec extends SparkSpecBase {
     assert(got.nonEmpty)
   }
 
+  test("streaming seqNumbers derive throttle/skipTake/chunk matching batch operators") {
+    import spark.implicits._
+    val events = mkEvents
+    val out = StreamingOps.seqNumbers(streamOf(events).toDS())
+    runToTable(out.toDF(), "t_seq", OutputMode.Append())
+    val seq = spark.table("t_seq")
+
+    val bdf = events.toDF().withColumn("ts", timestamp_micros(col("tsUs")))
+
+    // throttle(2)
+    val gotThrottle = seq.filter(col("seq") % 2 === 1).select("key", "tsUs")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val expThrottle = Keyed.throttle(bdf, Seq("key"), Seq("tsUs"), every = 2)
+      .select("key", "tsUs").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(gotThrottle == expThrottle)
+
+    // skip(1).take(2)
+    val gotSkip = seq.filter(col("seq") > 1 && col("seq") <= 3).select("key", "tsUs")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val expSkip = Keyed.skipTake(bdf, Seq("key"), Seq("tsUs"), skip = 1, take = 2)
+      .select("key", "tsUs").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(gotSkip == expSkip)
+
+    // chunk(2)
+    val gotChunk = seq.withColumn("chunk_id", ((col("seq") - 1) / 2).cast("long"))
+      .select("key", "tsUs", "chunk_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val expChunk = Keyed.chunk(bdf, Seq("key"), Seq("tsUs"), 2)
+      .select("key", "tsUs", "chunk_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(gotChunk == expChunk)
+  }
+
   test("stream-static enrich matches batch enrich") {
     import spark.implicits._
     val dim = Seq((1L, "gold"), (2L, "silver")).toDF("dk", "tier")
