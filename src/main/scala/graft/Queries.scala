@@ -364,7 +364,7 @@ object Queries {
     "q_wordcount",
     (s, dir) =>
       t(s, dir, "documents")
-        .select(explode(TextFns.tokens(col("text"))).as("word"))
+        .select(explode(TextFns.tokensFast(col("text"))).as("word"))
         .groupBy("word").agg(count(lit(1)).as("cnt"))
         .orderBy(col("cnt").desc, col("word"))
         .limit(100),
@@ -611,7 +611,7 @@ object Queries {
     "q_dedup_simhash",
     (s, dir) =>
       t(s, dir, "documents")
-        .select(col("doc_id"), TextFns.tokens(col("text")).as("__toks"))
+        .select(col("doc_id"), TextFns.tokensFast(col("text")).as("__toks"))
         .filter(size(col("__toks")) > 0)
         .select(col("doc_id"), DedupFns.simhash32Fast(col("__toks")).as("sim")),
     Some(s"""WITH t0 AS (SELECT doc_id, $toksSql AS tk FROM documents),
@@ -635,7 +635,7 @@ object Queries {
     "q_dedup_simhash_pairs",
     (s, dir) => {
       val sims = t(s, dir, "documents")
-        .select(col("doc_id").as("id"), TextFns.tokens(col("text")).as("__toks"))
+        .select(col("doc_id").as("id"), TextFns.tokensFast(col("text")).as("__toks"))
         .filter(size(col("__toks")) > 0)
         .select(col("id"), DedupFns.simhash32Fast(col("__toks")).as("sim"))
       val bands = sims.select(col("id"), col("sim"),
@@ -797,7 +797,7 @@ object Queries {
       // under interpreted HOF evaluation (no CSE) — ~25× per row.
       val langs = TextFns.Stopwords.keys.toSeq.sorted
       val scored = t(s, dir, "documents")
-        .select(col("doc_id"), col("lang"), TextFns.tokens(col("text")).as("__toks"))
+        .select(col("doc_id"), col("lang"), TextFns.tokensFast(col("text")).as("__toks"))
         .select(col("doc_id") +: col("lang") +: langs.map(l =>
           TextFns.matchCount(col("__toks"), TextFns.Stopwords(l)).cast("long").as(s"s_$l")): _*)
       val scores = langs.map(l => l -> col(s"s_$l"))

@@ -81,18 +81,6 @@ object DedupFns {
       (sigAgg(hashes, 2 * b) * 1000003L + sigAgg(hashes, 2 * b + 1)) % HashMod
     }: _*)
 
-  /** LSH candidate pairs: docs sharing any band hash. Equi-join on
-    * (band index, band hash) — shuffle-bounded, never all-pairs.
-    * MinHash items are word 3-gram shingles (unigram sets collapse when
-    * documents share a small vocabulary); docs with fewer than 3 tokens
-    * are excluded so the empty-set signature never pairs.
-    * Returns (id_a, id_b) with id_a < id_b, distinct.
-    *
-    * Each stage materializes its array column before the next consumes
-    * it — higher-order-function expressions are interpreted, and
-    * CollapseProject will not inline a non-cheap expression into
-    * multiple consumers, so each row tokenizes/hashes exactly once.
-    */
   /** Native-loop band hashes from a token-array column (see
     * graft.plans.MinhashBands for why this is ~100× faster than the
     * declarative HOF pipeline it is value-identical to).
@@ -102,9 +90,16 @@ object DedupFns {
     GraftBridge.column(graft.plans.MinhashBands(GraftBridge.expression(toks), n))
   }
 
+  /** LSH candidate pairs: docs sharing any band hash. Equi-join on
+    * (band index, band hash) — shuffle-bounded, never all-pairs.
+    * MinHash items are word 3-gram shingles (unigram sets collapse when
+    * documents share a small vocabulary); docs with fewer than 3 tokens
+    * are excluded so the empty-set signature never pairs.
+    * Returns (id_a, id_b) with id_a < id_b, distinct.
+    */
   def minhashCandidates(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val sigs = df
-      .select(col(idCol).as("id"), tokens(col(textCol)).as("__toks"))
+      .select(col(idCol).as("id"), tokensFast(col(textCol)).as("__toks"))
       .filter(size(col("__toks")) >= 3)
       .select(col("id"), minhashBandsFast(col("__toks"), 3).as("__bands"))
       .select(col("id"), posexplode(col("__bands")).as(Seq("band", "bh")))
@@ -191,7 +186,7 @@ object DedupFns {
     */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String, n: Int,
       maxDf: Int = 50, minShared: Int = 2): DataFrame = {
-    val docs = df.select(col(idCol).as("id"), tokens(col(textCol)).as("__toks"))
+    val docs = df.select(col(idCol).as("id"), tokensFast(col(textCol)).as("__toks"))
       .filter(size(col("__toks")) >= n)
       .select(col("id"), wordNgramsFromTokens(col("__toks"), n).as("grams"))
     val grams = docs.select(col("id"), explode(col("grams")).as("g"))

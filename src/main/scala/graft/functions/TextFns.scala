@@ -29,6 +29,15 @@ object TextFns {
   def tokens(c: Column): Column =
     filter(split(normalize(c), "\\s+"), t => t =!= "")
 
+  /** Native one-pass tokenizer (graft.plans.TokensExpr) — value-
+    * identical to tokens(); use in hot pipelines (the declarative
+    * form's empties-filter is an interpreted HOF).
+    */
+  def tokensFast(c: Column): Column = {
+    import org.apache.spark.sql.GraftBridge
+    GraftBridge.column(graft.plans.TokensExpr(GraftBridge.expression(c)))
+  }
+
   /** Portable 60-bit token hash: first 15 hex digits of md5, as a long.
     * Identical in any engine that has md5 + hex parsing.
     */

@@ -78,6 +78,22 @@ class FunctionsSpec extends SparkSpecBase {
     assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L))
   }
 
+  test("native TokensExpr matches the declarative tokens()") {
+    import spark.implicits._
+    val tricky = Seq(
+      "The (quick), \"brown\" fox; isn't here.",
+      "  leading and   multiple   spaces\tand\ttabs\n",
+      "", "   ", "...", "a.b,c", "ONE")
+    val corpus = spark.read.parquet(s"$sfDir/documents.parquet").select("text")
+      .limit(200).collect().map(_.getString(0)).toSeq
+    val df = (tricky ++ corpus).toDF("text")
+    val fast = df.select(TextFns.tokensFast(col("text")).as("t")).collect().map(_.getSeq[String](0))
+    val slow = df.select(TextFns.tokens(col("text")).as("t")).collect().map(_.getSeq[String](0))
+    fast.zip(slow).zipWithIndex.foreach { case ((f, s), i) =>
+      assert(f == s, s"row $i: $f != $s")
+    }
+  }
+
   test("native Simhash32 expression matches the declarative simhash32") {
     val docs = spark.read.parquet(s"$sfDir/documents.parquet").limit(100)
     val base = docs.select(col("doc_id"), col("text"), TextFns.tokens(col("text")).as("toks"))
