@@ -32,6 +32,10 @@ def main():
     sfdir, outdir = sys.argv[1], sys.argv[2]
     only = set(sys.argv[3:])
     oracle = json.load(open(f"{outdir}/oracle_sql.json"))
+    unknown = only - set(oracle)
+    if unknown:
+        print(f"ERROR: unknown query name(s): {sorted(unknown)}")
+        sys.exit(2)
     con = duckdb.connect()
     load(con, sfdir)
     failures = 0

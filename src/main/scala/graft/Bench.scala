@@ -21,8 +21,9 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = GraftSession.local("graft-bench")
-    // warm the JVM/codegen once with the flagship query on tiny data
-    try SparkEntry.queries("q1_pricing")(spark, sfDir).count()
+    // warm the JVM/codegen once on the TINY scale factor so no timed
+    // query (q1 included) gets an unfair double-run at the bench scale
+    try SparkEntry.queries("q1_pricing")(spark, "/root/testdata/sf0.001").count()
     catch { case _: Throwable => () }
 
     val results = Headline.flatMap { name =>

@@ -20,37 +20,52 @@ import graft.plans.{LshBucketsExpr, MinhashBands, QDot, QuantizeVec, Simhash32}
   */
 object GraftFunctions {
 
-  private def info(name: String, usage: String) =
-    new ExpressionInfo(classOf[MinhashBands].getName, null, name, usage, "", "", "", "", "", "", "internal")
+  private def info(clazz: Class[_], name: String, usage: String) =
+    new ExpressionInfo(clazz.getName, null, name, usage, "", "", "", "", "", "", "internal")
 
-  private val fns: Seq[(String, String, Seq[Expression] => Expression)] = Seq(
-    ("graft_minhash_bands", "_FUNC_(tokens) - 8 MinHash LSH band hashes over word 3-gram shingles",
+  private def intLiteral(e: Expression, what: String): Int = {
+    if (!e.foldable) throw new IllegalArgumentException(
+      s"graft_lsh_buckets: $what must be an integer literal, got ${e.sql}")
+    e.eval() match {
+      case n: Number => n.intValue()
+      case other => throw new IllegalArgumentException(
+        s"graft_lsh_buckets: $what must be an integer literal, got $other")
+    }
+  }
+
+  private val fns: Seq[(String, Class[_], String, Seq[Expression] => Expression)] = Seq(
+    ("graft_minhash_bands", classOf[MinhashBands],
+      "_FUNC_(tokens) - 8 MinHash LSH band hashes over word 3-gram shingles",
       (args: Seq[Expression]) => MinhashBands(args.head, 3)),
-    ("graft_simhash32", "_FUNC_(tokens) - 32-bit SimHash of the token array",
+    ("graft_simhash32", classOf[Simhash32],
+      "_FUNC_(tokens) - 32-bit SimHash of the token array",
       (args: Seq[Expression]) => Simhash32(args.head)),
-    ("graft_quantize", "_FUNC_(vec) - floor(x*1000) integer quantization of a float vector",
+    ("graft_quantize", classOf[QuantizeVec],
+      "_FUNC_(vec) - floor(x*1000) integer quantization of a float vector",
       (args: Seq[Expression]) => QuantizeVec(args.head)),
-    ("graft_qdot", "_FUNC_(a, b) - integer dot product of two quantized vectors",
+    ("graft_qdot", classOf[QDot],
+      "_FUNC_(a, b) - integer dot product of two quantized vectors",
       (args: Seq[Expression]) => QDot(args.head, args(1))),
-    ("graft_lsh_buckets", "_FUNC_(qv, tables, planes) - LSH bucket ids of a quantized vector",
+    ("graft_lsh_buckets", classOf[LshBucketsExpr],
+      "_FUNC_(qv, tables, planes) - LSH bucket ids of a quantized vector",
       (args: Seq[Expression]) => args match {
         case Seq(v) => LshBucketsExpr(v, 8, 4)
         case Seq(v, t, p) =>
-          LshBucketsExpr(v, t.eval().asInstanceOf[Number].intValue(), p.eval().asInstanceOf[Number].intValue())
+          LshBucketsExpr(v, intLiteral(t, "tables"), intLiteral(p, "planes"))
         case _ => throw new IllegalArgumentException("graft_lsh_buckets(qv[, tables, planes])")
       }))
 
   /** Idempotently register all graft SQL functions on a session. */
   def register(spark: SparkSession): Unit = {
     val reg: FunctionRegistry = spark.sessionState.functionRegistry
-    fns.foreach { case (name, usage, builder) =>
-      reg.registerFunction(FunctionIdentifier(name), info(name, usage), builder)
+    fns.foreach { case (name, clazz, usage, builder) =>
+      reg.registerFunction(FunctionIdentifier(name), info(clazz, name, usage), builder)
     }
   }
 
   private[graft] def injectInto(ext: org.apache.spark.sql.SparkSessionExtensions): Unit =
-    fns.foreach { case (name, usage, builder) =>
-      ext.injectFunction((FunctionIdentifier(name), info(name, usage), builder))
+    fns.foreach { case (name, clazz, usage, builder) =>
+      ext.injectFunction((FunctionIdentifier(name), info(clazz, name, usage), builder))
     }
 }
 

@@ -189,13 +189,13 @@ object Queries {
         .select(col("user_id"), unix_micros(col("session_start")).as("session_start_us"),
           col("n"), col("sum_value")),
     Some(s"""WITH x AS (
-               SELECT user_id, epoch_us(ts) AS e, value,
+               SELECT user_id, event_id, epoch_us(ts) AS e, value,
                  CASE WHEN epoch_us(ts) - lag(epoch_us(ts))
                         OVER (PARTITION BY user_id ORDER BY ts, event_id) >= 1800000000
                       THEN 1 ELSE 0 END AS brk
                FROM events),
              y AS (SELECT user_id, e, value,
-                     sum(brk) OVER (PARTITION BY user_id ORDER BY e ROWS UNBOUNDED PRECEDING) AS sid
+                     sum(brk) OVER (PARTITION BY user_id ORDER BY e, event_id ROWS UNBOUNDED PRECEDING) AS sid
                    FROM x)
              SELECT user_id, min(e) AS session_start_us, $nSql AS n, $sumValSql AS sum_value
              FROM y GROUP BY user_id, sid"""))

@@ -70,7 +70,9 @@ object Joins {
       uniqueFactCol: String,
       salt: Int = 16
   ): DataFrame = {
-    val f = fact.withColumn("__salt", pmod(col(uniqueFactCol).cast("long"), lit(salt)).cast("int"))
+    // xxhash64 salts ANY column type; a raw numeric cast would throw on
+    // strings under ANSI mode (or null out and silently drop every row)
+    val f = fact.withColumn("__salt", pmod(xxhash64(col(uniqueFactCol)), lit(salt.toLong)).cast("int"))
     val d = dim.withColumn("__salt", explode(array((0 until salt).map(lit): _*)))
     f.join(d, f(factKey) === d(dimKey) && f("__salt") === d("__salt"), "inner")
       .drop("__salt")

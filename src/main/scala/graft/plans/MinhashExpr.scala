@@ -1,9 +1,10 @@
 package graft.plans
 
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
 
 /** LSH band hashes of the MinHash signature over word n-gram shingles,
   * computed from a token array in ONE native pass (Kernels.minhashBands).
@@ -28,6 +29,8 @@ import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
   * Returns null for docs with fewer than n tokens (no shingle exists).
   */
 case class MinhashBands(child: Expression, n: Int) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    TypeChecks.requireArrayOf("graft_minhash_bands", StringType, child.dataType)
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def nullable: Boolean = true
@@ -52,6 +55,8 @@ case class MinhashBands(child: Expression, n: Int) extends UnaryExpression {
   * positive. Null when the doc has no tokens (no votes exist).
   */
 case class Simhash32(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    TypeChecks.requireArrayOf("graft_simhash32", StringType, child.dataType)
 
   override def dataType: DataType = LongType
   override def nullable: Boolean = true

@@ -88,8 +88,12 @@ object StreamingOps {
       .mapGroupsWithState[TableLatest, TableLatest](GroupStateTimeout.NoTimeout) {
         (key: Long, events: Iterator[KeyedEvent], state: GroupState[TableLatest]) =>
           val incoming = events.maxBy(e => (e.tsUs, e.value))
+          // tie on tsUs resolves by value BOTH within a batch and against
+          // existing state — the result must not depend on micro-batch
+          // boundaries (replay after checkpoint recovery re-splits them)
           val best = state.getOption match {
-            case Some(cur) if cur.tsUs >= incoming.tsUs => cur
+            case Some(cur) if cur.tsUs > incoming.tsUs ||
+              (cur.tsUs == incoming.tsUs && cur.value >= incoming.value) => cur
             case _ => TableLatest(key, incoming.tsUs, incoming.value)
           }
           state.update(best)
@@ -227,10 +231,14 @@ object StreamingOps {
       window: String, watermark: String): DataFrame = {
     val l = left.withWatermark(leftTs, watermark)
     val r = right.withWatermark(rightTs, watermark)
+    // side-qualified Column refs, not a raw expr over names — both
+    // streams commonly share column names (key/ts), which a bare
+    // expression string would fail to resolve as AMBIGUOUS_REFERENCE
+    val iv = expr(s"INTERVAL $window")
     l.join(r,
-      expr(s"""$leftKey = $rightKey AND
-               $rightTs > $leftTs - INTERVAL $window AND
-               $rightTs < $leftTs + INTERVAL $window"""))
+      l(leftKey) === r(rightKey) &&
+        r(rightTs) > l(leftTs) - iv &&
+        r(rightTs) < l(leftTs) + iv)
   }
 
   /** Stream-static enrichment join (reference src/join.rs:143-157):
