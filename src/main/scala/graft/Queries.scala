@@ -276,7 +276,13 @@ object Queries {
     (s, dir) =>
       events(s, dir).groupBy("event_type")
         .agg(percentile_approx(col("value"), array(lit(0.5), lit(0.95), lit(0.99)), lit(1000))
-          .as("p50_p95_p99")),
+          .as("qs"))
+        // scalar columns, not an array: array cells crash the driver's
+        // rows-only canonicalization (pandas sort on ndarray cells)
+        .select(col("event_type"),
+          element_at(col("qs"), 1).as("p50"),
+          element_at(col("qs"), 2).as("p95"),
+          element_at(col("qs"), 3).as("p99")),
     None)
 
   private val qIntervalJoin = GraftQuery(
@@ -768,7 +774,12 @@ object Queries {
     (s, dir) =>
       Multimodal.decodePartitioned(
         t(s, dir, "documents").select(col("doc_id"), col("text").cast("binary").as("payload")),
-        "doc_id", "payload").toDF(),
+        "doc_id", "payload").toDF()
+        // scalar digest instead of the raw features array: array cells
+        // crash the driver's rows-only canonicalization
+        .select(col("asset_id"), col("width"), col("height"),
+          aggregate(col("features"), lit(0L),
+            (acc, x) => acc + round(x * 1000).cast("long")).as("feat_sum_milli")),
     None)
 
   private def langScoreSql: String = {

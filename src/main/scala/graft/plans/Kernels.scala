@@ -16,6 +16,22 @@ object Kernels {
   private val aCoef: Array[Long] = DedupFns.MinhashA.toArray
   private val bCoef: Array[Long] = DedupFns.MinhashB.toArray
 
+  /** True iff any element is SQL NULL. The kernels below read elements
+    * as primitives without per-element null checks (a null would read
+    * as 0/garbage), so the expression wrappers call this first on
+    * containsNull inputs and propagate null for the whole row — the
+    * same result the declarative transform/zip_with forms produce.
+    */
+  def hasNullElement(a: ArrayData): Boolean = {
+    val n = a.numElements()
+    var i = 0
+    while (i < n) {
+      if (a.isNullAt(i)) return true
+      i += 1
+    }
+    false
+  }
+
   def quantize(v: ArrayData): ArrayData = {
     val n = v.numElements()
     val out = new Array[Long](n)
@@ -93,7 +109,9 @@ object Kernels {
     new GenericArrayData(bands)
   }
 
-  /** Caller must guarantee ≥1 token (empty docs have no vote). */
+  /** Empty token arrays yield 0 (no positive votes) — same as the
+    * declarative aggregate form.
+    */
   def simhash32(toks: ArrayData): Long = {
     val m = toks.numElements()
     val votes = new Array[Int](32)

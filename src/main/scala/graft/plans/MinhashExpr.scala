@@ -26,7 +26,9 @@ import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
   * kernel call, so the surrounding projection stays inside whole-stage
   * codegen.
   *
-  * Returns null for docs with fewer than n tokens (no shingle exists).
+  * Returns null for docs with fewer than n tokens (no shingle exists)
+  * and for token arrays carrying a null element (declarative HOF null
+  * propagation).
   */
 case class MinhashBands(child: Expression, n: Int) extends UnaryExpression {
   override def checkInputDataTypes(): TypeCheckResult =
@@ -35,14 +37,23 @@ case class MinhashBands(child: Expression, n: Int) extends UnaryExpression {
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def nullable: Boolean = true
 
-  override def nullSafeEval(input: Any): Any =
-    Kernels.minhashBands(input.asInstanceOf[ArrayData], n)
+  private def elemNullable: Boolean = TypeChecks.elemNullable(child.dataType)
+
+  override def nullSafeEval(input: Any): Any = {
+    val toks = input.asInstanceOf[ArrayData]
+    if (elemNullable && Kernels.hasNullElement(toks)) null
+    else Kernels.minhashBands(toks, n)
+  }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    nullSafeCodeGen(ctx, ev, c => s"""
-      ${ev.value} = graft.plans.Kernels.minhashBands($c, $n);
+    nullSafeCodeGen(ctx, ev, c => {
+      val guard =
+        if (elemNullable) s"graft.plans.Kernels.hasNullElement($c) ? null : " else ""
+      s"""
+      ${ev.value} = $guard graft.plans.Kernels.minhashBands($c, $n);
       ${ev.isNull} = ${ev.value} == null;
-    """)
+    """
+    })
 
   override protected def withNewChildInternal(newChild: Expression): MinhashBands =
     copy(child = newChild)
@@ -52,28 +63,35 @@ case class MinhashBands(child: Expression, n: Int) extends UnaryExpression {
   * (Kernels.simhash32) — value-identical to DedupFns.simhash32 and the
   * oracle SQL: each token's 60-bit md5-prefix hash mod 2^31-1 votes ±1
   * per bit position; the result sets bit j iff the vote sum is
-  * positive. Null when the doc has no tokens (no votes exist).
+  * positive. An empty token array therefore yields 0 (no positive
+  * votes), exactly like the declarative aggregate — parity holds with
+  * or without a size(toks) > 0 pre-filter. Null-element arrays
+  * propagate null (declarative HOF null propagation).
   */
 case class Simhash32(child: Expression) extends UnaryExpression {
   override def checkInputDataTypes(): TypeCheckResult =
     TypeChecks.requireArrayOf("graft_simhash32", StringType, child.dataType)
 
   override def dataType: DataType = LongType
-  override def nullable: Boolean = true
+  private def elemNullable: Boolean = TypeChecks.elemNullable(child.dataType)
+  override def nullable: Boolean = child.nullable || elemNullable
 
   override def nullSafeEval(input: Any): Any = {
     val toks = input.asInstanceOf[ArrayData]
-    if (toks.numElements() == 0) null else Kernels.simhash32(toks)
+    if (elemNullable && Kernels.hasNullElement(toks)) null
+    else Kernels.simhash32(toks)
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    nullSafeCodeGen(ctx, ev, c => s"""
-      if ($c.numElements() == 0) {
-        ${ev.isNull} = true;
-      } else {
-        ${ev.value} = graft.plans.Kernels.simhash32($c);
-      }
-    """)
+    nullSafeCodeGen(ctx, ev, c =>
+      if (elemNullable) s"""
+        if (graft.plans.Kernels.hasNullElement($c)) {
+          ${ev.isNull} = true;
+        } else {
+          ${ev.value} = graft.plans.Kernels.simhash32($c);
+        }
+      """
+      else s"${ev.value} = graft.plans.Kernels.simhash32($c);")
 
   override protected def withNewChildInternal(newChild: Expression): Simhash32 =
     copy(child = newChild)

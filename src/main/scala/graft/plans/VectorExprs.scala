@@ -16,6 +16,17 @@ private[plans] object TypeChecks {
     else TypeCheckResult.TypeCheckFailure(
       s"$what requires array<${elem.catalogString}> input, got ${bad.map(_.catalogString).mkString(", ")}")
   }
+
+  /** Whether a (resolved) input type can carry null elements — when it
+    * can, the kernels' primitive reads are guarded by a
+    * Kernels.hasNullElement pre-check that propagates null for the row
+    * (matching declarative transform/zip_with null propagation); when
+    * it cannot, the check is compiled out entirely.
+    */
+  def elemNullable(dt: DataType): Boolean = dt match {
+    case ArrayType(_, cn) => cn
+    case _ => true
+  }
 }
 
 /** Native vector kernels for the ANN path (loops in Kernels).
@@ -34,15 +45,29 @@ private[plans] object TypeChecks {
   * instead of silently mis-striding the unsafe array reads.
   */
 
-/** floor(x*1000) quantization of a float vector → array<long>. */
+/** floor(x*1000) quantization of a float vector → array<long>.
+  * Null (whole row) on a null element, like the declarative transform.
+  */
 case class QuantizeVec(child: Expression) extends UnaryExpression {
   override def checkInputDataTypes(): TypeCheckResult =
     TypeChecks.requireArrayOf("graft_quantize", FloatType, child.dataType)
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
-  override def nullSafeEval(input: Any): Any =
-    Kernels.quantize(input.asInstanceOf[ArrayData])
+  private def elemNullable: Boolean = TypeChecks.elemNullable(child.dataType)
+  override def nullable: Boolean = child.nullable || elemNullable
+  override def nullSafeEval(input: Any): Any = {
+    val a = input.asInstanceOf[ArrayData]
+    if (elemNullable && Kernels.hasNullElement(a)) null else Kernels.quantize(a)
+  }
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, c => s"graft.plans.Kernels.quantize($c)")
+    nullSafeCodeGen(ctx, ev, c =>
+      if (elemNullable) s"""
+        if (graft.plans.Kernels.hasNullElement($c)) {
+          ${ev.isNull} = true;
+        } else {
+          ${ev.value} = graft.plans.Kernels.quantize($c);
+        }
+      """
+      else s"${ev.value} = graft.plans.Kernels.quantize($c);")
   override protected def withNewChildInternal(newChild: Expression): QuantizeVec =
     copy(child = newChild)
 }
@@ -51,26 +76,37 @@ case class QuantizeVec(child: Expression) extends UnaryExpression {
   * Null on mismatched lengths — identical to the declarative
   * zip_with-based qdot, where the shorter side pads with null and the
   * null propagates through the sum (a ragged vector must surface, not
-  * silently rank with a partial score).
+  * silently rank with a partial score). Null elements likewise
+  * propagate null for the row.
   */
 case class QDot(left: Expression, right: Expression) extends BinaryExpression {
   override def checkInputDataTypes(): TypeCheckResult =
     TypeChecks.requireArrayOf("graft_qdot", LongType, left.dataType, right.dataType)
   override def dataType: DataType = LongType
   override def nullable: Boolean = true
+  private def anyElemNullable: Boolean =
+    TypeChecks.elemNullable(left.dataType) || TypeChecks.elemNullable(right.dataType)
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    if (x.numElements() != y.numElements()) null else Kernels.qdot(x, y)
+    if (x.numElements() != y.numElements() ||
+        (anyElemNullable && (Kernels.hasNullElement(x) || Kernels.hasNullElement(y)))) null
+    else Kernels.qdot(x, y)
   }
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    nullSafeCodeGen(ctx, ev, (a, b) => s"""
-      if ($a.numElements() != $b.numElements()) {
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val nullElems =
+        if (anyElemNullable)
+          s" || graft.plans.Kernels.hasNullElement($a) || graft.plans.Kernels.hasNullElement($b)"
+        else ""
+      s"""
+      if ($a.numElements() != $b.numElements()$nullElems) {
         ${ev.isNull} = true;
       } else {
         ${ev.value} = graft.plans.Kernels.qdot($a, $b);
       }
-    """)
+    """
+    })
   override protected def withNewChildrenInternal(l: Expression, r: Expression): QDot =
     copy(left = l, right = r)
 }
@@ -83,10 +119,23 @@ case class LshBucketsExpr(child: Expression, tables: Int, planes: Int) extends U
   override def checkInputDataTypes(): TypeCheckResult =
     TypeChecks.requireArrayOf("graft_lsh_buckets", LongType, child.dataType)
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
-  override def nullSafeEval(input: Any): Any =
-    Kernels.lshBuckets(input.asInstanceOf[ArrayData], tables, planes)
+  private def elemNullable: Boolean = TypeChecks.elemNullable(child.dataType)
+  override def nullable: Boolean = child.nullable || elemNullable
+  override def nullSafeEval(input: Any): Any = {
+    val a = input.asInstanceOf[ArrayData]
+    if (elemNullable && Kernels.hasNullElement(a)) null
+    else Kernels.lshBuckets(a, tables, planes)
+  }
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, c => s"graft.plans.Kernels.lshBuckets($c, $tables, $planes)")
+    nullSafeCodeGen(ctx, ev, c =>
+      if (elemNullable) s"""
+        if (graft.plans.Kernels.hasNullElement($c)) {
+          ${ev.isNull} = true;
+        } else {
+          ${ev.value} = graft.plans.Kernels.lshBuckets($c, $tables, $planes);
+        }
+      """
+      else s"${ev.value} = graft.plans.Kernels.lshBuckets($c, $tables, $planes);")
   override protected def withNewChildInternal(newChild: Expression): LshBucketsExpr =
     copy(child = newChild)
 }

@@ -27,7 +27,7 @@ class SketchSpec extends SparkSpecBase {
 
   test("percentile_approx values land in the right quantile band (rank-based accuracy)") {
     val got = Queries.queries("q_quantiles")(spark, sfDir)
-      .collect().map(r => r.getString(0) -> r.getSeq[Double](1)).toMap
+      .collect().map(r => r.getString(0) -> Seq(r.getDouble(1), r.getDouble(2), r.getDouble(3))).toMap
     val qs = Seq(0.5, 0.95, 0.99)
     got.foreach { case (t, approxes) =>
       val vals = ev.filter(col("event_type") === t).select("value")
