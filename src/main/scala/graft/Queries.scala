@@ -744,6 +744,45 @@ object Queries {
                    FROM d)
              WHERE rnk <= 5"""))
 
+  /** IVF ANN: deterministic centroid sample (smallest (md5(id), id)),
+    * map-only nearest-centroid assignment via the native
+    * plans.IvfProbesExpr (centroids ride in the plan as a literal — no
+    * join/shuffle for assignment), candidates via equi-join on the
+    * probed centroid id, exact integer re-rank. The DuckDB oracle
+    * replicates centroid choice, (d2, cid)-ordered assignment/probing,
+    * and scoring exactly.
+    */
+  private val qEmbedIvf = GraftQuery(
+    "q_embed_ivf",
+    (s, dir) => {
+      val e = t(s, dir, "embeddings")
+      VectorFns.ivfTopK(e.filter(col("vec_id") < 20), e, "vec_id", "embedding", 5)
+        .select(col("query_id"), col("neighbor_id"), col("score"), col("rank").cast("long").as("rnk"))
+    },
+    Some(s"""WITH e AS (SELECT vec_id, ${quantSql("embedding")} AS v FROM embeddings),
+             cents AS (SELECT row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), CAST(vec_id AS VARCHAR)) - 1 AS cid, v AS cv
+                       FROM e ORDER BY md5(CAST(vec_id AS VARCHAR)), CAST(vec_id AS VARCHAR) LIMIT 16),
+             d AS (SELECT e.vec_id, cents.cid,
+                     CAST(list_sum(list_transform(range(1, 65), i -> (v[i]-cv[i])*(v[i]-cv[i]))) AS BIGINT) AS d2
+                   FROM e CROSS JOIN cents),
+             assign AS (SELECT vec_id, cid FROM
+                          (SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn FROM d)
+                        WHERE rn = 1),
+             probes AS (SELECT vec_id, cid FROM
+                          (SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+                           FROM d WHERE vec_id < 20)
+                        WHERE rn <= 4),
+             sc AS (SELECT p.vec_id AS query_id, a.vec_id AS neighbor_id,
+                      CAST(list_sum(list_transform(range(1, 65), i -> qe.v[i] * ce.v[i])) AS BIGINT) AS score
+                    FROM probes p JOIN assign a ON p.cid = a.cid AND p.vec_id != a.vec_id
+                    JOIN e qe ON qe.vec_id = p.vec_id
+                    JOIN e ce ON ce.vec_id = a.vec_id)
+             SELECT query_id, neighbor_id, score, CAST(rnk AS BIGINT) AS rnk
+             FROM (SELECT query_id, neighbor_id, score,
+                     row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rnk
+                   FROM sc)
+             WHERE rnk <= 5"""))
+
   private val qDedupEmbed = GraftQuery(
     "q_dedup_embed",
     (s, dir) =>
@@ -781,6 +820,48 @@ object Queries {
           aggregate(col("features"), lit(0L),
             (acc, x) => acc + round(x * 1000).cast("long")).as("feat_sum_milli")),
     None)
+
+  /** Aspect-preserving resize planning over the (stub-)decoded assets —
+    * exact oracle: the fake decode dims are md5-derived in both engines
+    * and the scale arithmetic is IEEE-identical double division + trunc.
+    */
+  private val qResizePlan = GraftQuery(
+    "q_resize_plan",
+    (s, dir) => {
+      val decoded = Multimodal.decodePartitioned(
+        t(s, dir, "documents").select(col("doc_id"), col("text").cast("binary").as("payload")),
+        "doc_id", "payload")
+      Multimodal.resizePlan(decoded, 256)
+        .select(col("asset_id"),
+          col("width").cast("long").as("width"),
+          col("height").cast("long").as("height"),
+          col("out_width").cast("long").as("out_width"),
+          col("out_height").cast("long").as("out_height"))
+    },
+    Some("""WITH m AS (SELECT doc_id AS asset_id,
+                  CAST(('0x' || substr(md5(text), 1, 4))::BIGINT % 1024 + 1 AS BIGINT) AS width,
+                  CAST(('0x' || substr(md5(text), 5, 4))::BIGINT % 1024 + 1 AS BIGINT) AS height
+                FROM documents),
+            g AS (SELECT asset_id, width, height, greatest(width, height) AS le FROM m)
+            SELECT asset_id, width, height,
+              CASE WHEN le <= 256 THEN width ELSE CAST(trunc(width * 256.0 / le) AS BIGINT) END AS out_width,
+              CASE WHEN le <= 256 THEN height ELSE CAST(trunc(height * 256.0 / le) AS BIGINT) END AS out_height
+            FROM g"""))
+
+  /** Uniform frame sampling (stub decode) — exact oracle via the
+    * portable payload++ascii(frame_no) content hash.
+    */
+  private val qFrameSample = GraftQuery(
+    "q_frame_sample",
+    (s, dir) =>
+      Multimodal.frameSample(
+        t(s, dir, "documents").select(col("doc_id"), col("text").cast("binary").as("payload")),
+        "doc_id", "payload", 3)
+        .toDF()
+        .select(col("asset_id"), col("frame_no").cast("long").as("frame_no"), col("frame_sha")),
+    Some("""SELECT doc_id AS asset_id, CAST(f AS BIGINT) AS frame_no,
+              sha256(text || CAST(f AS VARCHAR)) AS frame_sha
+            FROM documents CROSS JOIN range(0, 3) ff(f)"""))
 
   private def langScoreSql: String = {
     val langs = TextFns.Stopwords.keys.toSeq.sorted
@@ -894,9 +975,9 @@ object Queries {
     qWordcount, qCandles, qCandlesHop, qStratClassify, qAsofJoin,
     q1Pricing, q3Topk, q5Region, qJsonExtract,
     qDedupExact, qDedupMinhash, qDedupSimhash, qDedupSimhashPairs, qNgramJaccard, qDedupEmbed,
-    qEmbedTopk, qEmbedLsh,
+    qEmbedTopk, qEmbedLsh, qEmbedIvf,
     qLangId, qQualityScore, qTokenCount, qFingerprint, qMultimodalMeta,
-    qMultimodalDecode)
+    qMultimodalDecode, qResizePlan, qFrameSample)
 
   val queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.fn).toMap

@@ -126,7 +126,9 @@ object Multimodal {
 
   /** Uniform frame sampling over a video payload — mapPartitions shape
     * identical to decodePartitioned; the STUB "frame" is the sha-256 of
-    * payload ++ frame_no (a real impl would seek+decode k frames here).
+    * payload ++ ascii(frame_no) (a real impl would seek+decode k frames
+    * here). The ascii suffix keeps the stub engine-portable: DuckDB's
+    * sha256 is VARCHAR-only, so the oracle is sha256(text || f).
     */
   def frameSample(df: DataFrame, idCol: String, payloadCol: String, k: Int): Dataset[SampledFrame] = {
     import org.apache.spark.sql.Encoders
@@ -140,7 +142,7 @@ object Multimodal {
           (0 until k).iterator.map { f =>
             md.reset()
             md.update(payload)
-            md.update(f.toByte)
+            md.update(f.toString.getBytes("UTF-8"))
             SampledFrame(id, f, md.digest().map("%02x".format(_)).mkString)
           }
         }

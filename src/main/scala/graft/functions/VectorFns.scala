@@ -106,6 +106,52 @@ object VectorFns {
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
 
+  /** IVF probe list over a pre-quantized vector: indexes of the
+    * `nprobe` nearest centroids (exact integer L2, index tiebreak).
+    * `centroids` must be a literal array<array<bigint>> column.
+    */
+  def ivfProbesFast(qv: Column, centroids: Column, nprobe: Int): Column =
+    toCol(graft.plans.IvfProbesExpr(toExpr(qv), toExpr(centroids), nprobe))
+
+  /** Deterministic IVF centroid selection: the `k` corpus vectors with
+    * the smallest (md5(id), id) — a seeded pseudo-random sample, i.e. a
+    * k-means|| style init without the refinement sweeps. At scale this
+    * is a TakeOrderedAndProject (no full sort) collecting only k tiny
+    * vectors to the driver; a production k-means refinement would
+    * iterate assign+mean as Spark jobs from exactly this init.
+    */
+  def ivfCentroids(corpus: DataFrame, idCol: String, vecCol: String, k: Int): Seq[Seq[Long]] =
+    corpus
+      .select(quantizeFast(col(vecCol)).as("qv"), col(idCol).cast("string").as("id"))
+      .orderBy(md5(col("id")), col("id"))
+      .limit(k)
+      .collect()
+      .map(_.getSeq[Long](0))
+      .toSeq
+
+  /** IVF-bucketed ANN: corpus vectors are assigned to their single
+    * nearest centroid, queries probe their `nprobe` nearest, and only
+    * pairs meeting in a probed cell are scored exactly — the classic
+    * inverted-file shape. Both assignments are MAP-ONLY projections
+    * (the centroid list rides inside the plan as a literal), so the
+    * only shuffle is the candidate equi-join on the centroid id.
+    * Recall grows with nprobe at linearly-bounded candidate volume;
+    * AnnRecallSpec measures it against bruteForceTopK.
+    */
+  def ivfTopK(queries: DataFrame, corpus: DataFrame, idCol: String, vecCol: String, k: Int,
+      kCentroids: Int = 16, nprobe: Int = 4): DataFrame = {
+    val cents = typedLit(ivfCentroids(corpus, idCol, vecCol, kCentroids))
+    val c = corpus.select(col(idCol).as("neighbor_id"), quantizeFast(col(vecCol)).as("cv"))
+      .withColumn("cid", element_at(ivfProbesFast(col("cv"), cents, 1), 1))
+    val q = queries.select(col(idCol).as("query_id"), quantizeFast(col(vecCol)).as("qv"))
+      .select(col("query_id"), col("qv"),
+        explode(ivfProbesFast(col("qv"), cents, nprobe)).as("cid"))
+    val scored = q.join(c, Seq("cid")).filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"), qdotFast(col("qv"), col("cv")).as("score"))
+    val w = Window.partitionBy("query_id").orderBy(col("score").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+
   /** Embedding-cosine near-duplicate pairs: all (id_a < id_b) sharing an
     * LSH bucket in any table whose exact quantized cosine clears
     * τ = tauNum/tauDen, decided in pure integer arithmetic:

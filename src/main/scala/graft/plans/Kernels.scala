@@ -69,6 +69,48 @@ object Kernels {
     new GenericArrayData(out)
   }
 
+  /** The `nprobe` centroid indexes nearest to `qv` (ascending by
+    * (squared L2 distance, index) — ties break on index, so the probe
+    * order is total and engine-portable). `cents` is the nested
+    * array<array<long>> of quantized centroid vectors; integer
+    * arithmetic throughout, so the assignment is exact.
+    */
+  def ivfProbes(qv: ArrayData, cents: ArrayData, nprobe: Int): ArrayData = {
+    val k = cents.numElements()
+    val dims = qv.numElements()
+    val d2 = new Array[Long](k)
+    var c = 0
+    while (c < k) {
+      val cv = cents.getArray(c)
+      var s = 0L
+      var d = 0
+      while (d < dims) {
+        val diff = qv.getLong(d) - cv.getLong(d)
+        s += diff * diff
+        d += 1
+      }
+      d2(c) = s
+      c += 1
+    }
+    val n = math.min(nprobe, k)
+    val out = new Array[Long](n)
+    val taken = new Array[Boolean](k)
+    var i = 0
+    while (i < n) {
+      var best = -1
+      var bestD = Long.MaxValue
+      var j = 0
+      while (j < k) {
+        if (!taken(j) && d2(j) < bestD) { best = j; bestD = d2(j) }
+        j += 1
+      }
+      taken(best) = true
+      out(i) = best.toLong
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** 60-bit md5-prefix hash mod 2^31-1 of the digest's first 8 bytes. */
   private def h60(d: Array[Byte]): Long = {
     var v = 0L

@@ -115,6 +115,50 @@ case class QDot(left: Expression, right: Expression) extends BinaryExpression {
   * bucket_t bit j = sign of sum_d qv(d) * (((t*131 + j*37 + d*17) mod 21) - 10).
   * Identical formula to VectorFns.lshBucketFor and the oracle SQL.
   */
+/** IVF probe list: the `nprobe` centroid indexes nearest (exact integer
+  * squared L2, index tiebreak) to a pre-quantized vector. `centroids`
+  * is a literal array<array<long>> — broadcast by value inside the
+  * plan, so centroid assignment is a MAP-ONLY projection: no join, no
+  * shuffle, no explode against a centroid table. This is the 100 TB IVF
+  * shape — assignment cost is N×k multiply-adds, embarrassingly
+  * parallel, and candidates then flow through a plain equi-join on the
+  * centroid id.
+  */
+case class IvfProbesExpr(vec: Expression, centroids: Expression, nprobe: Int)
+    extends BinaryExpression {
+  override def left: Expression = vec
+  override def right: Expression = centroids
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val v = TypeChecks.requireArrayOf("graft_ivf_probes", LongType, vec.dataType)
+    if (v != TypeCheckResult.TypeCheckSuccess) v
+    else centroids.dataType match {
+      case ArrayType(ArrayType(LongType, _), _) => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"graft_ivf_probes requires array<array<bigint>> centroids, got ${other.catalogString}")
+    }
+  }
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  private def elemNullable: Boolean = TypeChecks.elemNullable(vec.dataType)
+  override def nullable: Boolean = vec.nullable || centroids.nullable || elemNullable
+  override def nullSafeEval(v: Any, c: Any): Any = {
+    val qv = v.asInstanceOf[ArrayData]
+    if (elemNullable && Kernels.hasNullElement(qv)) null
+    else Kernels.ivfProbes(qv, c.asInstanceOf[ArrayData], nprobe)
+  }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (v, c) =>
+      if (elemNullable) s"""
+        if (graft.plans.Kernels.hasNullElement($v)) {
+          ${ev.isNull} = true;
+        } else {
+          ${ev.value} = graft.plans.Kernels.ivfProbes($v, $c, $nprobe);
+        }
+      """
+      else s"${ev.value} = graft.plans.Kernels.ivfProbes($v, $c, $nprobe);")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): IvfProbesExpr =
+    copy(vec = l, centroids = r)
+}
+
 case class LshBucketsExpr(child: Expression, tables: Int, planes: Int) extends UnaryExpression {
   override def checkInputDataTypes(): TypeCheckResult =
     TypeChecks.requireArrayOf("graft_lsh_buckets", LongType, child.dataType)

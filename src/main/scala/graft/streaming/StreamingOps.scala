@@ -246,4 +246,16 @@ object StreamingOps {
     */
   def enrich(stream: DataFrame, dim: DataFrame, streamKey: String, dimKey: String): DataFrame =
     stream.join(broadcast(dim), stream(streamKey) === dim(dimKey), "inner")
+
+  /** Streaming exact dedup: emit only the first event per dedup key.
+    * `dropDuplicatesWithinWatermark` keeps seen-keys state only until
+    * the watermark passes them — the 100 TB shape for an infinite
+    * stream (plain dropDuplicates on a stream grows state forever).
+    * Batch ground truth: first-occurrence-wins exact dedup
+    * (DedupFns / q_dedup_exact).
+    */
+  def dedupExact(stream: DataFrame, tsCol: String, keyCols: Seq[String],
+      watermark: String): DataFrame =
+    stream.withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark(keyCols)
 }

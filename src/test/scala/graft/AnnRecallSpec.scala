@@ -24,4 +24,17 @@ class AnnRecallSpec extends SparkSpecBase {
     assert(r8 >= r2, s"more tables must not lose recall: $r8 < $r2")
     assert(r8 >= 0.3, s"8-table recall collapsed on random data: $r8")
   }
+
+  test("IVF recall vs brute force is measured and grows with nprobe") {
+    val e = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val q = e.filter(col("vec_id") < 20)
+    val truth = topkSet(VectorFns.bruteForceTopK(q, e, "vec_id", "embedding", 5))
+    val p1 = topkSet(VectorFns.ivfTopK(q, e, "vec_id", "embedding", 5, kCentroids = 16, nprobe = 1))
+    val p4 = topkSet(VectorFns.ivfTopK(q, e, "vec_id", "embedding", 5, kCentroids = 16, nprobe = 4))
+    val r1 = (truth & p1).size.toDouble / truth.size
+    val r4 = (truth & p4).size.toDouble / truth.size
+    info(f"IVF recall@5 (16 centroids): nprobe=1 $r1%.3f, nprobe=4 $r4%.3f (${truth.size} truth pairs)")
+    assert(r4 >= r1, s"more probes must not lose recall: $r4 < $r1")
+    assert(r4 >= 0.3, s"nprobe=4 recall collapsed on random data: $r4")
+  }
 }

@@ -230,6 +230,26 @@ class StreamingParitySpec extends SparkSpecBase {
     assert(gotChunk == expChunk)
   }
 
+  test("streaming dedupExact matches batch first-occurrence dedup") {
+    import spark.implicits._
+    // dedup key = value (stands in for a content hash); dups across keys
+    val events = Seq(
+      KeyedEvent(1L, 1_000_000L, 10.0), KeyedEvent(2L, 2_000_000L, 10.0),
+      KeyedEvent(3L, 3_000_000L, 20.0), KeyedEvent(4L, 4_000_000L, 10.0),
+      KeyedEvent(5L, 5_000_000L, 20.0), KeyedEvent(6L, 6_000_000L, 30.0))
+    val sdf = streamOf(events).toDF().withColumn("ts", timestamp_micros(col("tsUs")))
+    val out = StreamingOps.dedupExact(sdf, "ts", Seq("value"), "10 seconds")
+    runToTable(out.drop("ts"), "t_dedup", OutputMode.Append())
+    val got = spark.table("t_dedup").select("key", "value")
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSet
+    // batch ground truth: first occurrence (min event time) per value
+    val expect = events.toDF().groupBy("value")
+      .agg(min_by(col("key"), col("tsUs")).as("key"))
+      .select("key", "value")
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSet
+    assert(got == expect)
+  }
+
   test("stream-static enrich matches batch enrich") {
     import spark.implicits._
     val dim = Seq((1L, "gold"), (2L, "silver")).toDF("dk", "tier")
