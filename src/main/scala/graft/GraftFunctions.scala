@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.plans.{LshBucketsExpr, MinhashBands, QDot, QuantizeVec, Simhash32}
+import graft.plans.{IvfProbesExpr, LshBucketsExpr, MinhashBands, QDot, QuantizeVec, Simhash32}
 
 /** SQL-surface registration of graft's native expressions, so the
   * engine's extensions are first-class in `spark.sql(...)` exactly like
@@ -17,6 +17,7 @@ import graft.plans.{LshBucketsExpr, MinhashBands, QDot, QuantizeVec, Simhash32}
   *   graft_quantize(vec)           → array<bigint> (floor(x*1000))
   *   graft_qdot(a, b)              → bigint (integer dot product)
   *   graft_lsh_buckets(qv, t, p)   → array<bigint> (t bucket ids)
+  *   graft_ivf_probes(qv, cents, n)→ array<bigint> (n nearest centroid idxs)
   */
 object GraftFunctions {
 
@@ -25,11 +26,11 @@ object GraftFunctions {
 
   private def intLiteral(e: Expression, what: String): Int = {
     if (!e.foldable) throw new IllegalArgumentException(
-      s"graft_lsh_buckets: $what must be an integer literal, got ${e.sql}")
+      s"$what must be an integer literal, got ${e.sql}")
     e.eval() match {
       case n: Number => n.intValue()
       case other => throw new IllegalArgumentException(
-        s"graft_lsh_buckets: $what must be an integer literal, got $other")
+        s"$what must be an integer literal, got $other")
     }
   }
 
@@ -53,7 +54,11 @@ object GraftFunctions {
         case Seq(v, t, p) =>
           LshBucketsExpr(v, intLiteral(t, "tables"), intLiteral(p, "planes"))
         case _ => throw new IllegalArgumentException("graft_lsh_buckets(qv[, tables, planes])")
-      }))
+      }),
+    ("graft_ivf_probes", classOf[IvfProbesExpr],
+      "_FUNC_(qv, centroids, nprobe) - indexes of the nprobe nearest centroids (integer L2)",
+      (args: Seq[Expression]) =>
+        IvfProbesExpr(args.head, args(1), intLiteral(args(2), "nprobe"))))
 
   /** Idempotently register all graft SQL functions on a session. */
   def register(spark: SparkSession): Unit = {

@@ -159,6 +159,53 @@ class FunctionsSpec extends SparkSpecBase {
     val w = row.getInt(3); assert(w >= 1 && w <= 1024)
   }
 
+  test("ivfProbes orders centroids by (distance, index) and ivfTopK is exact within cells") {
+    import spark.implicits._
+    val cents = typedLit(Seq(Seq(0L, 0L), Seq(1000L, 0L), Seq(0L, 1000L)))
+    val df = Seq(Seq(0.9f, 0.1f), Seq(0.1f, 0.9f), Seq(0.0f, 0.0f)).toDF("v")
+      .select(VectorFns.ivfProbesFast(VectorFns.quantizeFast(col("v")), cents, 2).as("p"))
+    val got = df.collect().map(_.getSeq[Long](0).toList).toList
+    // (0.9,0.1) → nearest centroid 1 then 0; (0.1,0.9) → 2 then 0;
+    // (0,0) → exactly centroid 0, ties between 1 and 2 break on index
+    assert(got == List(List(1L, 0L), List(2L, 0L), List(0L, 1L)))
+  }
+
+  test("native array kernels propagate null for null-element arrays") {
+    import spark.implicits._
+    val df = Seq(
+      (Seq(Some(1.0f), Some(2.0f)), Seq(Some("a"), Some("b"), Some("c"), Some("d"))),
+      (Seq(Some(1.0f), None), Seq(Some("a"), None, Some("c"), Some("d")))
+    ).toDF("v", "toks")
+    val rows = df.select(
+      VectorFns.quantizeFast(col("v")).as("q"),
+      DedupFns.simhash32Fast(col("toks")).as("s"),
+      DedupFns.minhashBandsFast(col("toks"), 3).as("b")).collect()
+    assert(rows(0).getSeq[Long](0) == Seq(1000L, 2000L))
+    assert(!rows(0).isNullAt(1) && !rows(0).isNullAt(2))
+    assert(rows(1).isNullAt(0) && rows(1).isNullAt(1) && rows(1).isNullAt(2))
+  }
+
+  test("native expressions stay value-correct under CODEGEN_ONLY factory mode") {
+    import spark.implicits._
+    spark.conf.set("spark.sql.codegen.factoryMode", "CODEGEN_ONLY")
+    try {
+      val cents = typedLit(Seq(Seq(0L, 0L), Seq(1000L, 1000L)))
+      val row = Seq((Seq(0.9f, 0.8f), "the cat sat on the mat")).toDF("v", "text")
+        .select(
+          VectorFns.qdotFast(VectorFns.quantizeFast(col("v")), VectorFns.quantizeFast(col("v"))).as("d"),
+          VectorFns.lshBucketsFast(VectorFns.quantizeFast(col("v")), 2, 4).as("lsh"),
+          VectorFns.ivfProbesFast(VectorFns.quantizeFast(col("v")), cents, 1).as("ivf"),
+          DedupFns.simhash32Fast(TextFns.tokensFast(col("text"))).as("sim"),
+          DedupFns.minhashBandsFast(TextFns.tokensFast(col("text")), 3).as("mh"))
+        .collect()(0)
+      // float 0.9f = 0.8999999762…, so floor(x*1000) quantizes to 899
+      assert(row.getLong(0) == 899L * 899 + 800L * 800)
+      assert(row.getSeq[Long](1).size == 2)
+      assert(row.getSeq[Long](2) == Seq(1L)) // (900,800) nearer (1000,1000)
+      assert(!row.isNullAt(3) && row.getSeq[Long](4).size == 8)
+    } finally spark.conf.unset("spark.sql.codegen.factoryMode")
+  }
+
   test("quality score is bounded and monotone-ish in stopword density") {
     import spark.implicits._
     val q = Seq("the cat is in the bag and the dog is in the house of the cat",

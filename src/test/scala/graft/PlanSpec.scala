@@ -78,6 +78,14 @@ class PlanSpec extends SparkSpecBase {
     }
   }
 
+  test("q_embed_ivf: map-only assignment — one equi-join on cid, never all-pairs") {
+    val p = planOf(Queries.queries("q_embed_ivf")(spark, sfDir))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    // exactly one join: the candidate cid equi-join. Centroid assignment
+    // rides inside Project (literal centroids), adding no join at all.
+    assert("Join".r.findAllIn(p).size == 1, p)
+  }
+
   test("partitioned writes give readers partition pruning") {
     val dir = java.nio.file.Files.createTempDirectory("graft-part").toString
     val ev = Queries.queries("q_map_filter")(spark, sfDir) // any events projection
