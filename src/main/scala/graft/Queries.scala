@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 import graft.operators.{Joins, Keyed, Relational, Windows}
-import graft.functions.{DedupFns, Multimodal, TextFns, VectorFns}
+import graft.functions.{DedupFns, Fence, Multimodal, TextFns, VectorFns}
 
 /** One registered query: the Spark implementation + the equivalent
   * DuckDB oracle SQL (None → driver records a weaker rows-only check).
@@ -369,8 +369,12 @@ object Queries {
   private val qWordcount = GraftQuery(
     "q_wordcount",
     (s, dir) =>
-      t(s, dir, "documents")
-        .select(explode(TextFns.tokensFast(col("text"))).as("word"))
+      // Fence: the generate-inferred size/isnotnull predicates would
+      // otherwise re-tokenize every row (see functions.Fence)
+      Fence.guard(
+          t(s, dir, "documents")
+            .select(TextFns.tokensFast(col("text")).as("__toks"), Fence.col))
+        .select(explode(col("__toks")).as("word"))
         .groupBy("word").agg(count(lit(1)).as("cnt"))
         .orderBy(col("cnt").desc, col("word"))
         .limit(100),
@@ -616,8 +620,11 @@ object Queries {
   private val qDedupSimhash = GraftQuery(
     "q_dedup_simhash",
     (s, dir) =>
-      t(s, dir, "documents")
-        .select(col("doc_id"), TextFns.tokensFast(col("text")).as("__toks"))
+      // Fence: one tokenize per row (the size filter would otherwise be
+      // substituted into the scan and re-tokenize — see functions.Fence)
+      Fence.guard(
+          t(s, dir, "documents")
+            .select(col("doc_id"), TextFns.tokensFast(col("text")).as("__toks"), Fence.col))
         .filter(size(col("__toks")) > 0)
         .select(col("doc_id"), DedupFns.simhash32Fast(col("__toks")).as("sim")),
     Some(s"""WITH t0 AS (SELECT doc_id, $toksSql AS tk FROM documents),
@@ -640,15 +647,24 @@ object Queries {
   private val qDedupSimhashPairs = GraftQuery(
     "q_dedup_simhash_pairs",
     (s, dir) => {
-      val sims = t(s, dir, "documents")
-        .select(col("doc_id").as("id"), TextFns.tokensFast(col("text")).as("__toks"))
+      // Fences pin tokenize and simhash to ONE evaluation each (inferred
+      // size/isnotnull predicates otherwise re-hash every row, see
+      // functions.Fence); the join-key repartition gives both self-join
+      // sides ONE shared exchange (ReusedExchange) — scan + simhash run
+      // once, and no corpus-sized broadcast (shuffle_hash): the 100 TB
+      // shape
+      val sims = Fence.guard(
+          t(s, dir, "documents")
+            .select(col("doc_id").as("id"),
+              TextFns.tokensFast(col("text")).as("__toks"), Fence.col))
         .filter(size(col("__toks")) > 0)
-        .select(col("id"), DedupFns.simhash32Fast(col("__toks")).as("sim"))
-      val bands = sims.select(col("id"), col("sim"),
+        .select(col("id"), DedupFns.simhash32Fast(col("__toks")).as("sim"), Fence.col)
+      val bands = Fence.guard(sims).select(col("id"), col("sim"),
         posexplode(array((0 until 4).map(k =>
           shiftright(col("sim"), 8 * k).bitwiseAND(lit(255L))): _*)).as(Seq("k", "byte")))
-      bands.as("a")
-        .join(bands.as("b"),
+        .repartition(col("k"), col("byte"))
+      bands.as("a").hint("shuffle_hash")
+        .join(bands.as("b").hint("shuffle_hash"),
           col("a.k") === col("b.k") && col("a.byte") === col("b.byte") && col("a.id") < col("b.id"))
         .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
           col("a.sim").as("sim_a"), col("b.sim").as("sim_b"))

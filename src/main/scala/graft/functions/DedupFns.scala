@@ -98,13 +98,24 @@ object DedupFns {
     * Returns (id_a, id_b) with id_a < id_b, distinct.
     */
   def minhashCandidates(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val sigs = df
-      .select(col(idCol).as("id"), tokensFast(col(textCol)).as("__toks"))
+    // repartition on the join keys: both self-join sides then share ONE
+    // exchange (ReusedExchange), so the scan + tokenize + minhash run
+    // once, not once per side. shuffle_hash keeps the optimizer from
+    // broadcasting a corpus-sized table (which would both break the
+    // reuse and be the wrong 100 TB shape); no sort is needed.
+    // the two Fences pin tokenize and minhash to ONE evaluation each:
+    // without them, pushdown substitutes the size>=3 filter and the
+    // generate-inferred size/isnotnull predicates into the projections
+    // and the signature is hashed 3× per side
+    val toksDf = Fence.guard(
+        df.select(col(idCol).as("id"), tokensFast(col(textCol)).as("__toks"), Fence.col))
       .filter(size(col("__toks")) >= 3)
-      .select(col("id"), minhashBandsFast(col("__toks"), 3).as("__bands"))
+    val sigs = Fence.guard(
+        toksDf.select(col("id"), minhashBandsFast(col("__toks"), 3).as("__bands"), Fence.col))
       .select(col("id"), posexplode(col("__bands")).as(Seq("band", "bh")))
-    val a = sigs.as("a")
-    val b = sigs.as("b")
+      .repartition(col("band"), col("bh"))
+    val a = sigs.as("a").hint("shuffle_hash")
+    val b = sigs.as("b").hint("shuffle_hash")
     a.join(b, col("a.band") === col("b.band") && col("a.bh") === col("b.bh") && col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .distinct()
@@ -186,22 +197,35 @@ object DedupFns {
     */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String, n: Int,
       maxDf: Int = 50, minShared: Int = 2): DataFrame = {
-    val docs = df.select(col(idCol).as("id"), tokensFast(col(textCol)).as("__toks"))
+    // Fences pin tokenize and the shingle array to one evaluation each
+    // (see functions.Fence)
+    val docs = Fence.guard(Fence.guard(
+        df.select(col(idCol).as("id"), tokensFast(col(textCol)).as("__toks"), Fence.col))
       .filter(size(col("__toks")) >= n)
-      .select(col("id"), wordNgramsFromTokens(col("__toks"), n).as("grams"))
+      .select(col("id"), wordNgramsFromTokens(col("__toks"), n).as("grams"), Fence.col))
+    // ONE gram exchange feeds the df-aggregation AND both self-join
+    // sides (ReusedExchange) — without it the tokenize+shingle work and
+    // the frequency aggregation both run once per reference (5× total).
+    // The df-filter table is tiny (rare grams only) → broadcast; the
+    // post-join stream stays partitioned by g, so the self-join adds no
+    // further shuffle.
     val grams = docs.select(col("id"), explode(col("grams")).as("g"))
+      .repartition(col("g"))
     val rare = grams.groupBy("g").agg(count(lit(1)).as("df"))
       .filter(col("df") <= maxDf).select("g")
-    val rareGrams = grams.join(rare, "g")
-    val cands = rareGrams.as("a")
-      .join(rareGrams.as("b"), col("a.g") === col("b.g") && col("a.id") < col("b.id"))
+    val rareGrams = grams.join(broadcast(rare), "g")
+    val cands = rareGrams.as("a").hint("shuffle_hash")
+      .join(rareGrams.as("b").hint("shuffle_hash"),
+        col("a.g") === col("b.g") && col("a.id") < col("b.id"))
       .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .agg(count(lit(1)).as("shared"))
       .filter(col("shared") >= minShared)
       .select("id_a", "id_b")
+    // the exact-rescore joins share one id-partitioned doc exchange too
+    val docsP = docs.repartition(col("id"))
     cands
-      .join(docs.as("da"), col("id_a") === col("da.id"))
-      .join(docs.as("db"), col("id_b") === col("db.id"))
+      .join(docsP.as("da"), col("id_a") === col("da.id"))
+      .join(docsP.as("db"), col("id_b") === col("db.id"))
       .select(col("id_a"), col("id_b"),
         size(array_intersect(col("da.grams"), col("db.grams"))).cast("long").as("inter"),
         (size(col("da.grams")) + size(col("db.grams")) -

@@ -1,0 +1,54 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Optimizer fence: pins an EXPENSIVE projection (MinHash, SimHash,
+  * n-gram shingles, vector quantization, …) to exactly ONE evaluation
+  * per row.
+  *
+  * Why it exists: Catalyst pushes predicates through deterministic
+  * projections by substituting aliases, and constraint/generate
+  * inference manufactures predicates over derived columns — isnotnull
+  * on join keys, size(arr) > 0 under posexplode. Substituted into the
+  * signature projection, each such predicate re-evaluates the full
+  * signature expression per row: the minhash candidate pipeline
+  * measured THREE evaluations of the per-document hashing per
+  * self-join side before fencing.
+  *
+  * How: a projection containing any non-deterministic field is a
+  * pushdown barrier (PushPredicateThroughNonJoin requires all fields
+  * deterministic), so `Fence.col` adds a rand() field to the expensive
+  * projection. An unused non-deterministic field would be pruned away
+  * (and a bare non-deterministic FILTER does not block: Spark may
+  * reorder deterministic predicates past it), so `Fence.guard`
+  * references the field in an always-true filter and then drops it —
+  * the filter keeps the field alive through pruning, and the
+  * comparison is against the materialized attribute, which no rule can
+  * range-fold. Inferred/pushed predicates stack above that filter and
+  * read the materialized signature column.
+  *
+  * Cost: one rand() per row (~ns) and the loss of pushdown through the
+  * fenced projection — apply it AFTER any selective filters you want
+  * pushed to the scan. The fixed seed keeps both sides of a self-join
+  * canonically equal, so exchange reuse still dedupes the shared
+  * subplan.
+  *
+  * Usage:
+  * {{{
+  *   Fence.guard(df.select(col("id"), expensive.as("sig"), Fence.col))
+  *     .filter(...)   // evaluates against the materialized "sig"
+  * }}}
+  */
+object Fence {
+  val name = "__graft_fence"
+
+  /** The fence field — include in the expensive projection. */
+  def col: Column = rand(7).as(name)
+
+  /** Consume and drop the fence field; call directly on the fenced
+    * projection.
+    */
+  def guard(df: DataFrame): DataFrame =
+    df.filter(org.apache.spark.sql.functions.col(name) >= 0).drop(name)
+}

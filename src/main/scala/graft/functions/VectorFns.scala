@@ -93,10 +93,16 @@ object VectorFns {
     */
   def lshTopK(queries: DataFrame, corpus: DataFrame, idCol: String, vecCol: String, k: Int,
       tables: Int = 8, planes: Int = 4): DataFrame = {
+    // Fences: quantize and the bucket array evaluate once per row (see
+    // functions.Fence — inferred generate predicates otherwise
+    // recompute them per row)
     def withBuckets(df: DataFrame, id: String, vec: String) =
-      df.select(col(idCol).as(id), quantizeFast(col(vecCol)).as(vec))
+      Fence.guard(Fence.guard(
+          df.select(col(idCol).as(id), quantizeFast(col(vecCol)).as(vec), Fence.col))
         .select(col(id), col(vec),
-          posexplode(lshBucketsFast(col(vec), tables, planes)).as(Seq("tbl", "bucket")))
+          lshBucketsFast(col(vec), tables, planes).as("__bks"), Fence.col))
+        .select(col(id), col(vec),
+          posexplode(col("__bks")).as(Seq("tbl", "bucket")))
     val q = withBuckets(queries, "query_id", "qv")
     val c = withBuckets(corpus, "neighbor_id", "cv")
     val scored = q.join(c, Seq("tbl", "bucket")).filter(col("query_id") =!= col("neighbor_id"))
@@ -141,11 +147,18 @@ object VectorFns {
   def ivfTopK(queries: DataFrame, corpus: DataFrame, idCol: String, vecCol: String, k: Int,
       kCentroids: Int = 16, nprobe: Int = 4): DataFrame = {
     val cents = typedLit(ivfCentroids(corpus, idCol, vecCol, kCentroids))
-    val c = corpus.select(col(idCol).as("neighbor_id"), quantizeFast(col(vecCol)).as("cv"))
-      .withColumn("cid", element_at(ivfProbesFast(col("cv"), cents, 1), 1))
-    val q = queries.select(col(idCol).as("query_id"), quantizeFast(col(vecCol)).as("qv"))
+    // Fences: quantize + centroid assignment evaluate once per row (the
+    // cid join key otherwise gets an inferred isnotnull that re-runs
+    // the whole probe computation — see functions.Fence)
+    val c = Fence.guard(Fence.guard(
+        corpus.select(col(idCol).as("neighbor_id"), quantizeFast(col(vecCol)).as("cv"), Fence.col))
+      .select(col("neighbor_id"), col("cv"),
+        element_at(ivfProbesFast(col("cv"), cents, 1), 1).as("cid"), Fence.col))
+    val q = Fence.guard(Fence.guard(
+        queries.select(col(idCol).as("query_id"), quantizeFast(col(vecCol)).as("qv"), Fence.col))
       .select(col("query_id"), col("qv"),
-        explode(ivfProbesFast(col("qv"), cents, nprobe)).as("cid"))
+        ivfProbesFast(col("qv"), cents, nprobe).as("__probes"), Fence.col))
+      .select(col("query_id"), col("qv"), explode(col("__probes")).as("cid"))
     val scored = q.join(c, Seq("cid")).filter(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"), qdotFast(col("qv"), col("cv")).as("score"))
     val w = Window.partitionBy("query_id").orderBy(col("score").desc, col("neighbor_id"))
@@ -162,11 +175,20 @@ object VectorFns {
     */
   def cosineNearDupPairs(df: DataFrame, idCol: String, vecCol: String,
       tauNum: Int, tauDen: Int, tables: Int = 8, planes: Int = 4): DataFrame = {
-    val e = df
-      .select(col(idCol).as("id"), quantizeFast(col(vecCol)).as("qv"))
+    // Fences pin quantize and the bucket array to one evaluation each
+    // (inferred generate predicates otherwise recompute them); the
+    // join-key repartition gives both self-join sides ONE shared
+    // exchange (ReusedExchange) — scan + quantize + norms + buckets run
+    // once; shuffle_hash avoids a corpus-sized broadcast (see
+    // minhashCandidates)
+    val e = Fence.guard(Fence.guard(df
+        .select(col(idCol).as("id"), quantizeFast(col(vecCol)).as("qv"), Fence.col))
       .select(col("id"), col("qv"), qdotFast(col("qv"), col("qv")).as("nrm"),
-        posexplode(lshBucketsFast(col("qv"), tables, planes)).as(Seq("tbl", "bucket")))
-    val pairs = e.as("a").join(e.as("b"),
+        lshBucketsFast(col("qv"), tables, planes).as("__bks"), Fence.col))
+      .select(col("id"), col("qv"), col("nrm"),
+        posexplode(col("__bks")).as(Seq("tbl", "bucket")))
+      .repartition(col("tbl"), col("bucket"))
+    val pairs = e.as("a").hint("shuffle_hash").join(e.as("b").hint("shuffle_hash"),
         col("a.tbl") === col("b.tbl") && col("a.bucket") === col("b.bucket") &&
           col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
