@@ -211,6 +211,9 @@ object DedupFns {
     // further shuffle.
     val grams = docs.select(col("id"), explode(col("grams")).as("g"))
       .repartition(col("g"))
+    // (the df-count branch prunes `id` from its subtree, so it cannot
+    // share the self-join sides' exchange — it is one extra pass over
+    // the grams, computed once and reused for both sides at runtime)
     val rare = grams.groupBy("g").agg(count(lit(1)).as("df"))
       .filter(col("df") <= maxDf).select("g")
     val rareGrams = grams.join(broadcast(rare), "g")

@@ -86,6 +86,23 @@ class PlanSpec extends SparkSpecBase {
     assert("Join".r.findAllIn(p).size == 1, p)
   }
 
+  test("fences hold: expensive signature expressions never duplicated per plan branch") {
+    // Catalyst predicate substitution used to evaluate these up to 3×
+    // per row per self-join side (see functions.Fence). Self-joins
+    // legitimately carry 2 logical copies (runtime exchange reuse
+    // dedupes them); q_ngram_jaccard carries 3 branches × 2 sides.
+    val pats = Seq("tokensexpr(", "minhashbands(", "simhash32(",
+      "quantizevec(", "lshbucketsexpr(", "ivfprobesexpr(")
+    val bound = Map("q_ngram_jaccard" -> 6).withDefaultValue(2)
+    for ((name, fn) <- Queries.queries.toSeq.sortBy(_._1)) {
+      val p = fn(spark, sfDir).queryExecution.optimizedPlan.toString.toLowerCase
+      for (pat <- pats) {
+        val cnt = p.sliding(pat.length).count(_ == pat)
+        assert(cnt <= bound(name), s"$name: '$pat' appears $cnt times (> ${bound(name)}) — fence broken?")
+      }
+    }
+  }
+
   test("partitioned writes give readers partition pruning") {
     val dir = java.nio.file.Files.createTempDirectory("graft-part").toString
     val ev = Queries.queries("q_map_filter")(spark, sfDir) // any events projection
