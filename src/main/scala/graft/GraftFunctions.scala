@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.plans.{IvfProbesExpr, LshBucketsExpr, MinhashBands, QDot, QuantizeVec, Simhash32}
+import graft.plans.{IvfProbesExpr, LangScores, LshBucketsExpr, MinhashBands, QDot, QuantizeVec, Simhash32}
 
 /** SQL-surface registration of graft's native expressions, so the
   * engine's extensions are first-class in `spark.sql(...)` exactly like
@@ -18,6 +18,7 @@ import graft.plans.{IvfProbesExpr, LshBucketsExpr, MinhashBands, QDot, QuantizeV
   *   graft_qdot(a, b)              → bigint (integer dot product)
   *   graft_lsh_buckets(qv, t, p)   → array<bigint> (t bucket ids)
   *   graft_ivf_probes(qv, cents, n)→ array<bigint> (n nearest centroid idxs)
+  *   graft_lang_scores(tokens)     → array<bigint> (stopword hits per lang)
   */
 object GraftFunctions {
 
@@ -55,6 +56,9 @@ object GraftFunctions {
           LshBucketsExpr(v, intLiteral(t, "tables"), intLiteral(p, "planes"))
         case _ => throw new IllegalArgumentException("graft_lsh_buckets(qv[, tables, planes])")
       }),
+    ("graft_lang_scores", classOf[LangScores],
+      "_FUNC_(tokens) - per-language stopword hit counts (sorted lang order)",
+      (args: Seq[Expression]) => LangScores(args.head)),
     ("graft_ivf_probes", classOf[IvfProbesExpr],
       "_FUNC_(qv, centroids, nprobe) - indexes of the nprobe nearest centroids (integer L2)",
       (args: Seq[Expression]) =>

@@ -900,14 +900,17 @@ object Queries {
   private val qLangId = GraftQuery(
     "q_lang_id",
     (s, dir) => {
-      // staged: tokens → per-language score columns → decision CASE.
-      // langId(text) as one expression re-tokenizes per score reference
-      // under interpreted HOF evaluation (no CSE) — ~25× per row.
+      // staged: tokens → ONE-pass native per-language scores → decision
+      // CASE. langId(text) as one expression re-tokenizes per score
+      // reference under interpreted HOF evaluation (no CSE) — ~25×/row.
       val langs = TextFns.Stopwords.keys.toSeq.sorted
       val scored = t(s, dir, "documents")
         .select(col("doc_id"), col("lang"), TextFns.tokensFast(col("text")).as("__toks"))
-        .select(col("doc_id") +: col("lang") +: langs.map(l =>
-          TextFns.matchCount(col("__toks"), TextFns.Stopwords(l)).cast("long").as(s"s_$l")): _*)
+        .select(col("doc_id"), col("lang"),
+          TextFns.langScoresFast(col("__toks")).as("__ls"))
+        .select(col("doc_id") +: col("lang") +: langs.zipWithIndex.map { case (l, i) =>
+          element_at(col("__ls"), i + 1).as(s"s_$l")
+        }: _*)
       val scores = langs.map(l => l -> col(s"s_$l"))
       val winner = scores.foldLeft(lit(null).cast("string")) { case (acc, (l, sc)) =>
         when(acc.isNotNull, acc).otherwise(
@@ -935,6 +938,75 @@ object Queries {
                CAST(least(40, c // 10) + least(30, (sw * 100) // greatest(t, 1))
                     - least(20, (p * 100) // greatest(c, 1)) AS BIGINT) AS quality
              FROM t0"""))
+
+  /** End-to-end curation pipeline — the composition a training-data
+    * user actually runs over a raw corpus: language filter (stopword
+    * langid) + quality threshold + exact dedup (first doc per
+    * normalized-text md5) → per-source survivor stats. One scan (all
+    * signals staged off one fenced token array), one window shuffle on
+    * the dedup key, one aggregation shuffle.
+    */
+  private val qCuration = GraftQuery(
+    "q_curation",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val langs = TextFns.Stopwords.keys.toSeq.sorted
+      // quality is staged from scalar components + the native language
+      // scores (s_en is the en-stopword count) — the one-expression
+      // qualityScore(text) would re-derive tokens under interpreted HOF
+      // evaluation
+      val enIdx = langs.indexOf("en") + 1
+      val base = Fence.guard(
+          t(s, dir, "documents").select(col("doc_id"), col("source"),
+            length(col("text")).cast("long").as("__c"),
+            TextFns.wsTokenCount(col("text")).cast("long").as("__t"),
+            TextFns.punctCount(col("text")).cast("long").as("__p"),
+            TextFns.tokensFast(col("text")).as("__toks"), Fence.col))
+        .select(col("doc_id"), col("source"), col("__c"), col("__t"), col("__p"),
+          md5(concat_ws(" ", col("__toks"))).as("norm_md5"),
+          TextFns.langScoresFast(col("__toks")).as("__ls"))
+        .select(Seq(col("doc_id"), col("source"), col("norm_md5"),
+          (least(lit(40L), (col("__c") / lit(10L)).cast("long")) +
+            least(lit(30L), (element_at(col("__ls"), enIdx) * 100L /
+              greatest(col("__t"), lit(1L))).cast("long")) -
+            least(lit(20L), (col("__p") * 100L /
+              greatest(col("__c"), lit(1L))).cast("long"))).as("quality")) ++
+          langs.zipWithIndex.map { case (l, i) =>
+            element_at(col("__ls"), i + 1).as(s"s_$l")
+          }: _*)
+      val scores = langs.map(l => l -> col(s"s_$l"))
+      val winner = scores.foldLeft(lit(null).cast("string")) { case (acc, (l, sc)) =>
+        when(acc.isNotNull, acc).otherwise(
+          when(scores.filter(_._1 != l).map(o => sc >= o._2).reduce(_ && _), lit(l)))
+      }
+      val kept = base
+        .withColumn("lang_pred",
+          when(greatest(scores.map(_._2): _*) === 0, lit("und")).otherwise(winner))
+        .filter(col("lang_pred") === "en" && col("quality") >= 20)
+      val w = Window.partitionBy(col("norm_md5")).orderBy(col("doc_id"))
+      kept.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("quality")).as("sum_quality"))
+    },
+    Some(s"""WITH t0 AS (SELECT doc_id, source, $toksSql AS tk,
+               CAST(length(text) AS BIGINT) AS c,
+               CAST(len(list_filter(string_split_regex(text, '\\s+'), x -> x != '')) AS BIGINT) AS t,
+               CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS BIGINT) AS p
+             FROM documents),
+             q AS (SELECT doc_id, source, tk,
+               md5(array_to_string(tk, ' ')) AS norm_md5,
+               CAST(least(40, c // 10) +
+                    least(30, (CAST(len(list_filter(tk, t2 -> list_contains([${TextFns.Stopwords("en").map(w => s"'$w'").mkString(", ")}], t2))) AS BIGINT) * 100) // greatest(t, 1))
+                    - least(20, (p * 100) // greatest(c, 1)) AS BIGINT) AS quality
+             FROM t0),
+             sc AS (SELECT doc_id, source, norm_md5, quality, $langScoreSql FROM q),
+             k AS (SELECT doc_id, source, norm_md5, quality FROM sc
+                   WHERE ($langCaseSql) = 'en' AND quality >= 20),
+             d AS (SELECT source, quality,
+                     row_number() OVER (PARTITION BY norm_md5 ORDER BY doc_id) AS rn
+                   FROM k)
+             SELECT source, $nSql AS n_docs, CAST(sum(quality) AS BIGINT) AS sum_quality
+             FROM d WHERE rn = 1 GROUP BY source"""))
 
   private val qTokenCount = GraftQuery(
     "q_token_count",
@@ -992,7 +1064,7 @@ object Queries {
     q1Pricing, q3Topk, q5Region, qJsonExtract,
     qDedupExact, qDedupMinhash, qDedupSimhash, qDedupSimhashPairs, qNgramJaccard, qDedupEmbed,
     qEmbedTopk, qEmbedLsh, qEmbedIvf,
-    qLangId, qQualityScore, qTokenCount, qFingerprint, qMultimodalMeta,
+    qLangId, qQualityScore, qCuration, qTokenCount, qFingerprint, qMultimodalMeta,
     qMultimodalDecode, qResizePlan, qFrameSample)
 
   val queries: Map[String, (SparkSession, String) => DataFrame] =

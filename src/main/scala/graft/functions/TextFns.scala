@@ -73,6 +73,16 @@ object TextFns {
   def matchCount(toks: Column, words: Seq[String]): Column =
     size(filter(toks, t => t.isin(words.map(lit): _*).cast("boolean")))
 
+  /** Per-language stopword hit counts in ONE native pass: element i =
+    * matchCount(toks, Stopwords(sortedLangs(i))) (see plans.LangScores).
+    * Use in hot pipelines — the declarative matchCount is an
+    * interpreted HOF evaluated once per language.
+    */
+  def langScoresFast(toks: Column): Column = {
+    import org.apache.spark.sql.GraftBridge
+    GraftBridge.column(graft.plans.LangScores(GraftBridge.expression(toks)))
+  }
+
   /** Language-ID by stopword hit count; deterministic alphabetical-first
     * tie-break via greater-or-equal comparison in fixed lang order.
     * Returns "und" when no stopword of any language matches (e.g. empty

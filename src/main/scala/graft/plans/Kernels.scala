@@ -69,6 +69,48 @@ object Kernels {
     new GenericArrayData(out)
   }
 
+  // word → bitmask of languages whose stopword list contains it, keyed
+  // by UTF8String so the kernel needs no per-token decode/alloc. Lang
+  // bit i = i-th language in sorted order (matches the declarative
+  // staging in Queries and the oracle SQL's sorted lang columns).
+  private val langNames: Array[String] =
+    graft.functions.TextFns.Stopwords.keys.toArray.sorted
+  private val stopwordMask: java.util.HashMap[org.apache.spark.unsafe.types.UTF8String, Integer] = {
+    val m = new java.util.HashMap[org.apache.spark.unsafe.types.UTF8String, Integer]()
+    langNames.zipWithIndex.foreach { case (lang, i) =>
+      graft.functions.TextFns.Stopwords(lang).foreach { w =>
+        val k = org.apache.spark.unsafe.types.UTF8String.fromString(w)
+        val prev = m.get(k)
+        m.put(k, Integer.valueOf((if (prev == null) 0 else prev.intValue()) | (1 << i)))
+      }
+    }
+    m
+  }
+
+  /** Per-language stopword hit counts over a token array in ONE pass —
+    * counts(i) = matchCount(toks, Stopwords(sortedLangs(i))). One hash
+    * lookup per token instead of langs × tokens interpreted lambda
+    * calls.
+    */
+  def langScores(toks: ArrayData): ArrayData = {
+    val n = toks.numElements()
+    val counts = new Array[Long](langNames.length)
+    var i = 0
+    while (i < n) {
+      val mask = stopwordMask.get(toks.getUTF8String(i))
+      if (mask != null) {
+        var m = mask.intValue()
+        while (m != 0) {
+          val b = java.lang.Integer.numberOfTrailingZeros(m)
+          counts(b) += 1
+          m &= m - 1
+        }
+      }
+      i += 1
+    }
+    new GenericArrayData(counts)
+  }
+
   /** The `nprobe` centroid indexes nearest to `qv` (ascending by
     * (squared L2 distance, index) — ties break on index, so the probe
     * order is total and engine-portable). `cents` is the nested

@@ -59,6 +59,43 @@ case class MinhashBands(child: Expression, n: Int) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** Per-language stopword hit counts over a token array in one native
+  * pass (Kernels.langScores): element i = count of tokens in the i-th
+  * (sorted) language's stopword list — value-identical to the
+  * declarative staging `TextFns.matchCount(toks, Stopwords(lang))` per
+  * language. One hash lookup per token replaces langs × tokens
+  * interpreted lambda calls (~25 evaluations/row measured for langid).
+  * Null-element arrays propagate null.
+  */
+case class LangScores(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    TypeChecks.requireArrayOf("graft_lang_scores", StringType, child.dataType)
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  private def elemNullable: Boolean = TypeChecks.elemNullable(child.dataType)
+  override def nullable: Boolean = child.nullable || elemNullable
+
+  override def nullSafeEval(input: Any): Any = {
+    val toks = input.asInstanceOf[ArrayData]
+    if (elemNullable && Kernels.hasNullElement(toks)) null
+    else Kernels.langScores(toks)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      if (elemNullable) s"""
+        if (graft.plans.Kernels.hasNullElement($c)) {
+          ${ev.isNull} = true;
+        } else {
+          ${ev.value} = graft.plans.Kernels.langScores($c);
+        }
+      """
+      else s"${ev.value} = graft.plans.Kernels.langScores($c);")
+
+  override protected def withNewChildInternal(newChild: Expression): LangScores =
+    copy(child = newChild)
+}
+
 /** 32-bit SimHash over a token array in one native pass
   * (Kernels.simhash32) — value-identical to DedupFns.simhash32 and the
   * oracle SQL: each token's 60-bit md5-prefix hash mod 2^31-1 votes ±1

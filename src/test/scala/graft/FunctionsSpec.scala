@@ -159,6 +159,19 @@ class FunctionsSpec extends SparkSpecBase {
     val w = row.getInt(3); assert(w >= 1 && w <= 1024)
   }
 
+  test("native langScores matches declarative matchCount per language") {
+    val langs = TextFns.Stopwords.keys.toSeq.sorted
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet").limit(200)
+      .select(col("doc_id"), TextFns.tokensFast(col("text")).as("toks"))
+    val fast = docs.select(col("doc_id"), TextFns.langScoresFast(col("toks")).as("ls"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toList).toMap
+    val slow = docs.select(col("doc_id") +: langs.map(l =>
+        TextFns.matchCount(col("toks"), TextFns.Stopwords(l)).cast("long").as(l)): _*)
+      .collect().map(r => r.getLong(0) -> langs.indices.map(i => r.getLong(i + 1)).toList).toMap
+    assert(fast == slow)
+    assert(fast.nonEmpty)
+  }
+
   test("ivfProbes orders centroids by (distance, index) and ivfTopK is exact within cells") {
     import spark.implicits._
     val cents = typedLit(Seq(Seq(0L, 0L), Seq(1000L, 0L), Seq(0L, 1000L)))
