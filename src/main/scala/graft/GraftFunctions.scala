@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.plans.{IvfProbesExpr, LangScores, LshBucketsExpr, MinhashBands, QDot, QuantizeVec, Simhash32}
+import graft.plans.{IvfProbesExpr, LangScores, LshBucketsExpr, MinhashBands, QDot, QuantizeVec, Simhash32, TextStats}
 
 /** SQL-surface registration of graft's native expressions, so the
   * engine's extensions are first-class in `spark.sql(...)` exactly like
@@ -19,6 +19,7 @@ import graft.plans.{IvfProbesExpr, LangScores, LshBucketsExpr, MinhashBands, QDo
   *   graft_lsh_buckets(qv, t, p)   → array<bigint> (t bucket ids)
   *   graft_ivf_probes(qv, cents, n)→ array<bigint> (n nearest centroid idxs)
   *   graft_lang_scores(tokens)     → array<bigint> (stopword hits per lang)
+  *   graft_text_stats(text)        → array<bigint> [ws_tokens, punct, bpe]
   */
 object GraftFunctions {
 
@@ -56,6 +57,9 @@ object GraftFunctions {
           LshBucketsExpr(v, intLiteral(t, "tables"), intLiteral(p, "planes"))
         case _ => throw new IllegalArgumentException("graft_lsh_buckets(qv[, tables, planes])")
       }),
+    ("graft_text_stats", classOf[TextStats],
+      "_FUNC_(text) - one-pass raw-text stats [ws_tokens, punct, bpe]",
+      (args: Seq[Expression]) => TextStats(args.head)),
     ("graft_lang_scores", classOf[LangScores],
       "_FUNC_(tokens) - per-language stopword hit counts (sorted lang order)",
       (args: Seq[Expression]) => LangScores(args.head)),

@@ -925,9 +925,22 @@ object Queries {
 
   private val qQualityScore = GraftQuery(
     "q_quality_score",
-    (s, dir) =>
+    (s, dir) => {
+      // staged off the native one-pass stats + language scores — the
+      // one-expression qualityScore(text) is the declarative reference
+      // (parity-tested in FunctionsSpec), this is the hot-path form
+      val enIdx = TextFns.Stopwords.keys.toSeq.sorted.indexOf("en") + 1
       t(s, dir, "documents")
-        .select(col("doc_id"), TextFns.qualityScore(col("text")).cast("long").as("quality")),
+        .select(col("doc_id"), length(col("text")).cast("long").as("__c"),
+          TextFns.textStatsFast(col("text")).as("__ts"),
+          TextFns.langScoresFast(TextFns.tokensFast(col("text"))).as("__ls"))
+        .select(col("doc_id"),
+          (least(lit(40L), (col("__c") / lit(10L)).cast("long")) +
+            least(lit(30L), (element_at(col("__ls"), enIdx) * 100L /
+              greatest(element_at(col("__ts"), 1), lit(1L))).cast("long")) -
+            least(lit(20L), (element_at(col("__ts"), 2) * 100L /
+              greatest(col("__c"), lit(1L))).cast("long"))).as("quality"))
+    },
     Some(s"""WITH t0 AS (SELECT doc_id,
                CAST(length(text) AS BIGINT) AS c,
                CAST(len(list_filter(string_split_regex(text, '\\s+'), x -> x != '')) AS BIGINT) AS t,
@@ -949,7 +962,6 @@ object Queries {
   private val qCuration = GraftQuery(
     "q_curation",
     (s, dir) => {
-      import org.apache.spark.sql.expressions.Window
       val langs = TextFns.Stopwords.keys.toSeq.sorted
       // quality is staged from scalar components + the native language
       // scores (s_en is the en-stopword count) — the one-expression
@@ -959,10 +971,11 @@ object Queries {
       val base = Fence.guard(
           t(s, dir, "documents").select(col("doc_id"), col("source"),
             length(col("text")).cast("long").as("__c"),
-            TextFns.wsTokenCount(col("text")).cast("long").as("__t"),
-            TextFns.punctCount(col("text")).cast("long").as("__p"),
+            TextFns.textStatsFast(col("text")).as("__ts"),
             TextFns.tokensFast(col("text")).as("__toks"), Fence.col))
-        .select(col("doc_id"), col("source"), col("__c"), col("__t"), col("__p"),
+        .select(col("doc_id"), col("source"), col("__c"),
+          element_at(col("__ts"), 1).as("__t"),
+          element_at(col("__ts"), 2).as("__p"),
           md5(concat_ws(" ", col("__toks"))).as("norm_md5"),
           TextFns.langScoresFast(col("__toks")).as("__ls"))
         .select(Seq(col("doc_id"), col("source"), col("norm_md5"),
@@ -983,10 +996,13 @@ object Queries {
         .withColumn("lang_pred",
           when(greatest(scores.map(_._2): _*) === 0, lit("und")).otherwise(winner))
         .filter(col("lang_pred") === "en" && col("quality") >= 20)
-      val w = Window.partitionBy(col("norm_md5")).orderBy(col("doc_id"))
-      kept.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
-        .groupBy(col("source"))
-        .agg(count(lit(1)).as("n_docs"), sum(col("quality")).as("sum_quality"))
+      // first-doc-per-dedup-key via min_by partial aggregation (map-side
+      // combine, no per-key sort) — same rows as a rank-1 window, better
+      // 100 TB shape
+      kept.groupBy(col("norm_md5"))
+        .agg(min_by(struct(col("source"), col("quality")), col("doc_id")).as("rep"))
+        .groupBy(col("rep.source").as("source"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("rep.quality")).as("sum_quality"))
     },
     Some(s"""WITH t0 AS (SELECT doc_id, source, $toksSql AS tk,
                CAST(length(text) AS BIGINT) AS c,
@@ -1012,9 +1028,10 @@ object Queries {
     "q_token_count",
     (s, dir) =>
       t(s, dir, "documents")
+        .select(col("doc_id"), TextFns.textStatsFast(col("text")).as("__ts"))
         .select(col("doc_id"),
-          TextFns.wsTokenCount(col("text")).cast("long").as("ws_tokens"),
-          TextFns.bpeTokenCount(col("text")).cast("long").as("bpe_tokens")),
+          element_at(col("__ts"), 1).as("ws_tokens"),
+          element_at(col("__ts"), 3).as("bpe_tokens")),
     Some("""SELECT doc_id,
               CAST(len(list_filter(string_split_regex(text, '\s+'), x -> x != '')) AS BIGINT) AS ws_tokens,
               CAST(COALESCE(list_sum(list_transform(

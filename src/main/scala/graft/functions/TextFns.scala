@@ -121,6 +121,17 @@ object TextFns {
   def wsTokenCount(text: Column): Column =
     size(filter(split(text, "\\s+"), t => t =!= ""))
 
+  /** One-pass native raw-text stats: array<long> of
+    * [ws_tokens, punct, bpe] (see plans.TextStats) — value-identical to
+    * wsTokenCount / punctCount / bpeTokenCount. Use in hot pipelines:
+    * the declarative forms cost two regex scans plus an interpreted
+    * HOF aggregate per row.
+    */
+  def textStatsFast(text: Column): Column = {
+    import org.apache.spark.sql.GraftBridge
+    GraftBridge.column(graft.plans.TextStats(GraftBridge.expression(text)))
+  }
+
   /** BPE-ish piece count: alpha runs contribute ceil(len/4) pieces,
     * digit runs and single symbols one piece each — a deterministic
     * proxy for subword tokenizer counts.

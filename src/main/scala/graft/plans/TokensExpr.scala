@@ -7,7 +7,7 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.unsafe.types.UTF8String
-import org.apache.spark.sql.types.{ArrayType, DataType, StringType}
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
 
 /** Normalized whitespace tokens in one native pass — value-identical to
   * TextFns.tokens (reference example/tpipe.rs:76-81 normalization):
@@ -45,6 +45,84 @@ object TokensKernel {
     if (sb.length > 0) out += UTF8String.fromString(sb.toString)
     new GenericArrayData(out.toArray[Any])
   }
+}
+
+/** One-pass raw-text statistics, value-identical to the declarative
+  * trio over the same text:
+  *  [0] ws_tokens — count of maximal non-whitespace runs
+  *      (= size(filter(split(text, "\\s+"), _ != ""))),
+  *  [1] punct — count of non-alphanumeric non-whitespace CODE POINTS
+  *      (= size(regexp_extract_all(text, "[^A-Za-z0-9\\s]"))),
+  *  [2] bpe — BPE-ish piece count: maximal alpha runs contribute
+  *      ceil(len/4), maximal digit runs 1, each other non-ws code
+  *      point 1 (= TextFns.bpeTokenCount).
+  * The whitespace set is Java regex `\s` = {space \t \n \x0B \f \r}
+  * (ASCII-only, like the declarative forms); multibyte code points are
+  * non-ws non-alnum. Replaces two regex scans plus an interpreted HOF
+  * aggregate with one byte scan.
+  */
+object TextStatsKernel {
+  def stats(s: UTF8String): GenericArrayData = {
+    val n = s.numBytes()
+    var i = 0
+    var tokens = 0L
+    var punct = 0L
+    var bpe = 0L
+    var prevWs = true
+    var alphaRun = 0
+    var inDigitRun = false
+    while (i < n) {
+      val b = s.getByte(i)
+      if ((b & 0x80) == 0) {
+        val c = b.toChar
+        val ws = c == ' ' || c == '\t' || c == '\n' || c == '\u000B' || c == '\f' || c == '\r'
+        val alpha = (c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z')
+        val digit = c >= '0' && c <= '9'
+        if (!ws && prevWs) tokens += 1
+        prevWs = ws
+        if (alpha) {
+          alphaRun += 1
+          inDigitRun = false
+        } else {
+          if (alphaRun > 0) { bpe += (alphaRun + 3) / 4; alphaRun = 0 }
+          if (digit) {
+            if (!inDigitRun) { bpe += 1; inDigitRun = true }
+          } else {
+            inDigitRun = false
+            if (!ws) { punct += 1; bpe += 1 }
+          }
+        }
+        i += 1
+      } else {
+        // multibyte code point: non-ws, non-alphanumeric
+        if (prevWs) tokens += 1
+        prevWs = false
+        if (alphaRun > 0) { bpe += (alphaRun + 3) / 4; alphaRun = 0 }
+        inDigitRun = false
+        punct += 1
+        bpe += 1
+        i += 1
+        while (i < n && (s.getByte(i) & 0xc0) == 0x80) i += 1
+      }
+    }
+    if (alphaRun > 0) bpe += (alphaRun + 3) / 4
+    new GenericArrayData(Array(tokens, punct, bpe))
+  }
+}
+
+/** See TextStatsKernel — array<long> [ws_tokens, punct, bpe]. */
+case class TextStats(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"graft_text_stats requires string input, got ${child.dataType.catalogString}")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullSafeEval(input: Any): Any =
+    TextStatsKernel.stats(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.plans.TextStatsKernel.stats($c)")
+  override protected def withNewChildInternal(newChild: Expression): TextStats =
+    copy(child = newChild)
 }
 
 case class TokensExpr(child: Expression) extends UnaryExpression {

@@ -159,6 +159,26 @@ class FunctionsSpec extends SparkSpecBase {
     val w = row.getInt(3); assert(w >= 1 && w <= 1024)
   }
 
+  test("native textStats matches declarative wsTokenCount/punctCount/bpeTokenCount") {
+    import spark.implicits._
+    val tricky = Seq(
+      "  leading and   multiple   spaces\tand\ttabs\n", "", "   ", "...",
+      "a.b,c", "abc123def", "123 456", "héllo wörld — em—dash", "a1b2c3d4e5")
+    val corpus = spark.read.parquet(s"$sfDir/documents.parquet").select("text")
+      .limit(200).collect().map(_.getString(0)).toSeq
+    val df = (tricky ++ corpus).toDF("text")
+    val fast = df.select(TextFns.textStatsFast(col("text")).as("s"))
+      .collect().map(_.getSeq[Long](0).toList)
+    val slow = df.select(
+        TextFns.wsTokenCount(col("text")).cast("long"),
+        TextFns.punctCount(col("text")).cast("long"),
+        TextFns.bpeTokenCount(col("text")).cast("long"))
+      .collect().map(r => List(r.getLong(0), r.getLong(1), r.getLong(2)))
+    fast.zip(slow).zipWithIndex.foreach { case ((f, s), i) =>
+      assert(f == s, s"row $i: native=$f declarative=$s")
+    }
+  }
+
   test("native langScores matches declarative matchCount per language") {
     val langs = TextFns.Stopwords.keys.toSeq.sorted
     val docs = spark.read.parquet(s"$sfDir/documents.parquet").limit(200)
