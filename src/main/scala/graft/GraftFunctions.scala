@@ -66,7 +66,13 @@ object GraftFunctions {
     ("graft_ivf_probes", classOf[IvfProbesExpr],
       "_FUNC_(qv, centroids, nprobe) - indexes of the nprobe nearest centroids (integer L2)",
       (args: Seq[Expression]) =>
-        IvfProbesExpr(args.head, args(1), intLiteral(args(2), "nprobe"))))
+        // widen SQL literal int centroids (array(array(0,0),…)) to the
+        // array<array<bigint>> the kernel reads; no-op for bigint input
+        IvfProbesExpr(args.head,
+          org.apache.spark.sql.catalyst.expressions.Cast(
+            args(1), org.apache.spark.sql.types.ArrayType(
+              org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.LongType))),
+          intLiteral(args(2), "nprobe"))))
 
   /** Idempotently register all graft SQL functions on a session. */
   def register(spark: SparkSession): Unit = {

@@ -1,0 +1,28 @@
+package graft
+
+/** The SQL registration surface: every graft_* function is callable
+  * from pure spark.sql with sane literal ergonomics.
+  */
+class SqlSurfaceSpec extends SparkSpecBase {
+
+  test("all graft_* functions are callable from SQL") {
+    GraftFunctions.register(spark)
+    spark.read.parquet(s"$sfDir/documents.parquet").limit(20).createOrReplaceTempView("d")
+    spark.read.parquet(s"$sfDir/embeddings.parquet").limit(20).createOrReplaceTempView("e")
+    val toks = """filter(split(regexp_replace(lower(text), '[(),";:\'.]', ''), '\\s+'), x -> x != '')"""
+    assert(spark.sql(s"SELECT graft_minhash_bands($toks) FROM d").count() == 20)
+    assert(spark.sql(s"SELECT graft_simhash32($toks) FROM d").count() == 20)
+    assert(spark.sql(s"SELECT graft_lang_scores($toks) FROM d").count() == 20)
+    assert(spark.sql("SELECT graft_text_stats(text) FROM d").count() == 20)
+    assert(spark.sql(
+      "SELECT graft_qdot(graft_quantize(embedding), graft_quantize(embedding)) FROM e").count() == 20)
+    assert(spark.sql(
+      "SELECT graft_lsh_buckets(graft_quantize(embedding), 8, 4) FROM e").count() == 20)
+    // int literal centroids widen implicitly to bigint
+    val probes = spark.sql(
+      """SELECT graft_ivf_probes(graft_quantize(array(cast(0.9 as float), cast(0.1 as float))),
+                                 array(array(0, 0), array(1000, 0), array(0, 1000)), 2) AS p""")
+      .collect()(0).getSeq[Long](0)
+    assert(probes == Seq(1L, 0L))
+  }
+}
