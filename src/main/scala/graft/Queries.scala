@@ -663,15 +663,17 @@ object Queries {
         posexplode(array((0 until 4).map(k =>
           shiftright(col("sim"), 8 * k).bitwiseAND(lit(255L))): _*)).as(Seq("k", "byte")))
         .repartition(col("k"), col("byte"))
+      // hamming filter BEFORE the pair-dedup aggregation: every copy of
+      // a pair carries the same signatures, so the cheap codegen'd
+      // xor+bit_count runs per copy and the distinct's input shrinks by
+      // the filter's selectivity
       bands.as("a").hint("shuffle_hash")
         .join(bands.as("b").hint("shuffle_hash"),
           col("a.k") === col("b.k") && col("a.byte") === col("b.byte") && col("a.id") < col("b.id"))
         .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
-          col("a.sim").as("sim_a"), col("b.sim").as("sim_b"))
-        .distinct()
-        .select(col("id_a"), col("id_b"),
-          DedupFns.hamming(col("sim_a"), col("sim_b")).cast("long").as("dist"))
+          DedupFns.hamming(col("a.sim"), col("b.sim")).cast("long").as("dist"))
         .filter(col("dist") <= 3)
+        .distinct()
     },
     Some(s"""WITH t0 AS (SELECT doc_id, $toksSql AS tk FROM documents),
              hs AS (SELECT doc_id, list_transform(tk, t -> ${h31Sql("t")}) AS h FROM t0 WHERE len(tk) > 0),

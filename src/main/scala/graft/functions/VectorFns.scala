@@ -188,18 +188,20 @@ object VectorFns {
       .select(col("id"), col("qv"), col("nrm"),
         posexplode(col("__bks")).as(Seq("tbl", "bucket")))
       .repartition(col("tbl"), col("bucket"))
-    val pairs = e.as("a").hint("shuffle_hash").join(e.as("b").hint("shuffle_hash"),
+    // threshold BEFORE the pair-dedup aggregation: every copy of a pair
+    // carries identical dot/norms, so the integer test runs per copy
+    // and the aggregation input shrinks by the threshold's selectivity
+    e.as("a").hint("shuffle_hash").join(e.as("b").hint("shuffle_hash"),
         col("a.tbl") === col("b.tbl") && col("a.bucket") === col("b.bucket") &&
           col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
         qdotFast(col("a.qv"), col("b.qv")).as("dot"),
         col("a.nrm").as("na"), col("b.nrm").as("nb"))
-      .groupBy("id_a", "id_b")
-      .agg(max("dot").as("dot"), max("na").as("na"), max("nb").as("nb"))
-    pairs
       .filter(col("dot") > 0 &&
         col("dot") * col("dot") * (tauDen.toLong * tauDen) >=
           col("na") * col("nb") * (tauNum.toLong * tauNum))
+      .groupBy("id_a", "id_b")
+      .agg(max("dot").as("dot"))
       .select(col("id_a"), col("id_b"), col("dot"))
   }
 }
