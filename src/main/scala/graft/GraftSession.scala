@@ -28,6 +28,13 @@ object GraftSession {
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.autoBroadcastJoinThreshold", (64L * 1024 * 1024).toString)
+      // RocksDB-backed streaming state: the in-memory (HashMap) provider
+      // caps stateful-operator state at executor heap; RocksDB spills to
+      // local disk with incremental checkpointing — the only viable
+      // provider when watermark-bounded state (dedup keys, open windows,
+      // join buffers) reaches 100 TB-scale cardinalities
+      .config("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
       .config("spark.ui.enabled", "false")
 
   /** Get-or-create a local session with graft defaults and the graft

@@ -247,6 +247,64 @@ object StreamingOps {
   def enrich(stream: DataFrame, dim: DataFrame, streamKey: String, dimKey: String): DataFrame =
     stream.join(broadcast(dim), stream(streamKey) === dim(dimKey), "inner")
 
+  /** Incremental NEAR-dup dedup for a document stream — the streaming
+    * twin of DedupFns.minhashCandidates, via the foreachBatch pattern:
+    * per micro-batch,
+    *  1. compute MinHash LSH band hashes (native expression, same
+    *     signature contract as batch);
+    *  2. drop docs whose any band collides with the HISTORY table or
+    *     with any smaller-id doc in the same batch (order-independent
+    *     greedy policy — the smallest id of a collision group survives;
+    *     a doc colliding only with an already-dropped smaller id is
+    *     still dropped, keeping the rule one-pass and deterministic);
+    *  3. append the survivors' bands to the history table.
+    * History lives as band-bucketed parquet, so the collision check is
+    * an equi-join on (band, bh) — never all-pairs — and grows only by
+    * survivors. At scale the history join inherits the same shuffle
+    * shape as the batch candidate join; a real deployment would bucket
+    * the history table on (band, bh) to make it co-located.
+    * Returns the writer; the caller starts it with its own checkpoint.
+    */
+  def dedupMinhashIncremental(stream: DataFrame, idCol: String, textCol: String,
+      historyDir: String, survivorsDir: String): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    stream.writeStream.foreachBatch { (batch: DataFrame, _: Long) =>
+      val spark = batch.sparkSession
+      import graft.functions.{DedupFns, Fence, TextFns}
+      val sigs = Fence.guard(
+          batch.select(col(idCol).as("id"), col(textCol).as("text"),
+            TextFns.tokensFast(col(textCol)).as("__toks"), Fence.col))
+        .filter(size(col("__toks")) >= 3)
+        .select(col("id"), col("text"),
+          DedupFns.minhashBandsFast(col("__toks"), 3).as("bands"))
+        .select(col("id"), col("text"), posexplode(col("bands")).as(Seq("band", "bh")))
+        .cache()
+      try {
+        val hist =
+          try spark.read.parquet(historyDir)
+          catch { case _: Throwable =>
+            spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+              org.apache.spark.sql.types.StructType(Seq(
+                org.apache.spark.sql.types.StructField("id", org.apache.spark.sql.types.LongType),
+                org.apache.spark.sql.types.StructField("band", org.apache.spark.sql.types.IntegerType),
+                org.apache.spark.sql.types.StructField("bh", org.apache.spark.sql.types.LongType))))
+          }
+        val vsHist = sigs.join(hist.select(col("band"), col("bh")).distinct(), Seq("band", "bh"),
+          "left_semi").select("id").distinct()
+        val inBatch = sigs.as("a")
+          .join(sigs.as("b"),
+            col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
+              col("a.id") > col("b.id"))
+          .select(col("a.id").as("id")).distinct()
+        val dupIds = vsHist.union(inBatch).distinct()
+        val survivors = sigs.join(dupIds, Seq("id"), "left_anti")
+        survivors.select("id", "text").distinct()
+          .write.mode("append").parquet(survivorsDir)
+        survivors.select(col("id"), col("band").cast("int").as("band"), col("bh"))
+          .write.mode("append").parquet(historyDir)
+      } finally { sigs.unpersist(); () }
+    }
+  }
+
   /** Streaming exact dedup: emit only the first event per dedup key.
     * `dropDuplicatesWithinWatermark` keeps seen-keys state only until
     * the watermark passes them — the 100 TB shape for an infinite

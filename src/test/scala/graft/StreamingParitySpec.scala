@@ -250,6 +250,30 @@ class StreamingParitySpec extends SparkSpecBase {
     assert(got == expect)
   }
 
+  test("incremental minhash dedup drops near-dups within and across micro-batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val tmp = java.nio.file.Files.createTempDirectory("graft-iminhash").toString
+    val ms = MemoryStream[(Long, String)]
+    val writer = StreamingOps.dedupMinhashIncremental(
+      ms.toDF().toDF("doc_id", "text"), "doc_id", "text",
+      s"$tmp/history", s"$tmp/survivors")
+    val q = writer.option("checkpointLocation", s"$tmp/ckpt").start()
+    try {
+      val textA = "alpha beta gamma delta epsilon zeta eta theta"
+      val textB = "one two three four five six seven eight nine"
+      // batch 1: 1 and its exact dup 2 → only 1 survives
+      ms.addData((1L, textA), (2L, textA))
+      q.processAllAvailable()
+      // batch 2: 3 dups history doc 1 → dropped; 4 is new → survives
+      ms.addData((3L, textA), (4L, textB))
+      q.processAllAvailable()
+      val survivors = spark.read.parquet(s"$tmp/survivors")
+        .select("id").collect().map(_.getLong(0)).toSet
+      assert(survivors == Set(1L, 4L))
+    } finally q.stop()
+  }
+
   test("stream-static enrich matches batch enrich") {
     import spark.implicits._
     val dim = Seq((1L, "gold"), (2L, "silver")).toDF("dk", "tier")
