@@ -285,6 +285,26 @@ object Queries {
           element_at(col("qs"), 3).as("p99")),
     None)
 
+  /** EXACT per-group quantiles (Spark `percentile`, linear
+    * interpolation — same definition as DuckDB quantile_cont) — the
+    * exact counterpart of the q_quantiles sketch path; round(4) caps
+    * the only float-op divergence surface.
+    */
+  private val qQuantilesExact = GraftQuery(
+    "q_quantiles_exact",
+    (s, dir) =>
+      events(s, dir).groupBy("event_type")
+        .agg(expr("percentile(value, array(0.5, 0.95, 0.99))").as("qs"))
+        .select(col("event_type"),
+          round(element_at(col("qs"), 1), 4).as("p50"),
+          round(element_at(col("qs"), 2), 4).as("p95"),
+          round(element_at(col("qs"), 3), 4).as("p99")),
+    Some("""SELECT event_type,
+              round(quantile_cont(value, 0.5), 4) AS p50,
+              round(quantile_cont(value, 0.95), 4) AS p95,
+              round(quantile_cont(value, 0.99), 4) AS p99
+            FROM events GROUP BY event_type"""))
+
   private val qIntervalJoin = GraftQuery(
     "q_interval_join",
     (s, dir) => {
@@ -836,11 +856,21 @@ object Queries {
         t(s, dir, "documents").select(col("doc_id"), col("text").cast("binary").as("payload")),
         "doc_id", "payload").toDF()
         // scalar digest instead of the raw features array: array cells
-        // crash the driver's rows-only canonicalization
-        .select(col("asset_id"), col("width"), col("height"),
+        // crash the driver's rows-only canonicalization. The milli-sum
+        // is exact: each feature is k/1000 (k < 1000) stored as float,
+        // and round(f*1000) recovers k bit-exactly.
+        .select(col("asset_id"), col("width").cast("long").as("width"),
+          col("height").cast("long").as("height"),
           aggregate(col("features"), lit(0L),
             (acc, x) => acc + round(x * 1000).cast("long")).as("feat_sum_milli")),
-    None)
+    // exact oracle: the stub decode derives everything from md5(text) —
+    // feature i (0-based) reads 4 hex digits at 0-based offset (i+1)*2-1
+    Some("""SELECT doc_id AS asset_id,
+              CAST(('0x' || substr(md5(text), 1, 4))::BIGINT % 1024 + 1 AS BIGINT) AS width,
+              CAST(('0x' || substr(md5(text), 5, 4))::BIGINT % 1024 + 1 AS BIGINT) AS height,
+              CAST(list_sum(list_transform(range(0, 8), i ->
+                ('0x' || substr(md5(text), 2*i + 2, 4))::BIGINT % 1000)) AS BIGINT) AS feat_sum_milli
+            FROM documents"""))
 
   /** Aspect-preserving resize planning over the (stub-)decoded assets —
     * exact oracle: the fake decode dims are md5-derived in both engines
@@ -1080,7 +1110,7 @@ object Queries {
   // =======================================================================
 
   val all: Seq[GraftQuery] = Seq(
-    qMapFilter, qFilterMap, qCycle, qFoldAgg, qDistinctUsers, qTopkPerKey, qPivotCounts, qApproxDistinct, qQuantiles, qTableLatest, qTumbling, qHopping, qLagWindow, qSession,
+    qMapFilter, qFilterMap, qCycle, qFoldAgg, qDistinctUsers, qTopkPerKey, qPivotCounts, qApproxDistinct, qQuantiles, qQuantilesExact, qTableLatest, qTumbling, qHopping, qLagWindow, qSession,
     qIntervalJoin, qStreamTableJoin, qMerge, qSplitBranch, qChunk, qSkipTake, qThrottle,
     qWordcount, qCandles, qCandlesHop, qStratClassify, qAsofJoin,
     q1Pricing, q3Topk, q5Region, qJsonExtract,
