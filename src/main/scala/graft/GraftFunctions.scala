@@ -65,14 +65,20 @@ object GraftFunctions {
       (args: Seq[Expression]) => LangScores(args.head)),
     ("graft_ivf_probes", classOf[IvfProbesExpr],
       "_FUNC_(qv, centroids, nprobe) - indexes of the nprobe nearest centroids (integer L2)",
-      (args: Seq[Expression]) =>
-        // widen SQL literal int centroids (array(array(0,0),…)) to the
-        // array<array<bigint>> the kernel reads; no-op for bigint input
-        IvfProbesExpr(args.head,
-          org.apache.spark.sql.catalyst.expressions.Cast(
-            args(1), org.apache.spark.sql.types.ArrayType(
-              org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.LongType))),
-          intLiteral(args(2), "nprobe"))))
+      (args: Seq[Expression]) => args match {
+        case Seq(v, c, n) =>
+          val nprobe = intLiteral(n, "nprobe")
+          if (nprobe < 1) throw new IllegalArgumentException(
+            s"graft_ivf_probes: nprobe must be >= 1, got $nprobe")
+          // widen SQL literal int centroids (array(array(0,0),…)) to the
+          // array<array<bigint>> the kernel reads; no-op for bigint input
+          IvfProbesExpr(v,
+            org.apache.spark.sql.catalyst.expressions.Cast(
+              c, org.apache.spark.sql.types.ArrayType(
+                org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.LongType))),
+            nprobe)
+        case _ => throw new IllegalArgumentException("graft_ivf_probes(qv, centroids, nprobe)")
+      }))
 
   /** Idempotently register all graft SQL functions on a session. */
   def register(spark: SparkSession): Unit = {

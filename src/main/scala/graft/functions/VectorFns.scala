@@ -129,6 +129,9 @@ object VectorFns {
   def ivfCentroids(corpus: DataFrame, idCol: String, vecCol: String, k: Int): Seq[Seq[Long]] =
     corpus
       .select(quantizeFast(col(vecCol)).as("qv"), col(idCol).cast("string").as("id"))
+      // a null / null-element corpus vector (quantize propagates null)
+      // must not poison the centroid literal
+      .filter(col("qv").isNotNull)
       .orderBy(md5(col("id")), col("id"))
       .limit(k)
       .collect()

@@ -90,14 +90,16 @@ object Kernels {
   /** Per-language stopword hit counts over a token array in ONE pass —
     * counts(i) = matchCount(toks, Stopwords(sortedLangs(i))). One hash
     * lookup per token instead of langs × tokens interpreted lambda
-    * calls.
+    * calls. Null ELEMENTS are skipped, exactly like the declarative
+    * matchCount (size(filter(toks, isin…)) drops nulls) — unlike the
+    * hashing kernels, whose declarative twins propagate null.
     */
   def langScores(toks: ArrayData): ArrayData = {
     val n = toks.numElements()
     val counts = new Array[Long](langNames.length)
     var i = 0
     while (i < n) {
-      val mask = stopwordMask.get(toks.getUTF8String(i))
+      val mask = if (toks.isNullAt(i)) null else stopwordMask.get(toks.getUTF8String(i))
       if (mask != null) {
         var m = mask.intValue()
         while (m != 0) {
@@ -116,6 +118,9 @@ object Kernels {
     * order is total and engine-portable). `cents` is the nested
     * array<array<long>> of quantized centroid vectors; integer
     * arithmetic throughout, so the assignment is exact.
+    * Null (QDot's ragged-input contract) when any centroid is null or
+    * its dimensionality differs from qv — a mis-shaped centroid table
+    * must surface, not silently rank with garbage distances.
     */
   def ivfProbes(qv: ArrayData, cents: ArrayData, nprobe: Int): ArrayData = {
     val k = cents.numElements()
@@ -123,7 +128,9 @@ object Kernels {
     val d2 = new Array[Long](k)
     var c = 0
     while (c < k) {
+      if (cents.isNullAt(c)) return null
       val cv = cents.getArray(c)
+      if (cv.numElements() != dims) return null
       var s = 0L
       var d = 0
       while (d < dims) {
@@ -134,7 +141,7 @@ object Kernels {
       d2(c) = s
       c += 1
     }
-    val n = math.min(nprobe, k)
+    val n = math.min(math.max(nprobe, 0), k)
     val out = new Array[Long](n)
     val taken = new Array[Boolean](k)
     var i = 0

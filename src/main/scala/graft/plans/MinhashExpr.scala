@@ -63,34 +63,24 @@ case class MinhashBands(child: Expression, n: Int) extends UnaryExpression {
   * pass (Kernels.langScores): element i = count of tokens in the i-th
   * (sorted) language's stopword list — value-identical to the
   * declarative staging `TextFns.matchCount(toks, Stopwords(lang))` per
-  * language. One hash lookup per token replaces langs × tokens
-  * interpreted lambda calls (~25 evaluations/row measured for langid).
-  * Null-element arrays propagate null.
+  * language, INCLUDING on null-element arrays (null tokens are skipped,
+  * because filter(isin…) drops them — this kernel intentionally does
+  * not follow the hashing kernels' null-propagation, whose declarative
+  * twins behave differently). One hash lookup per token replaces
+  * langs × tokens interpreted lambda calls (~25 evaluations/row
+  * measured for langid).
   */
 case class LangScores(child: Expression) extends UnaryExpression {
   override def checkInputDataTypes(): TypeCheckResult =
     TypeChecks.requireArrayOf("graft_lang_scores", StringType, child.dataType)
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
-  private def elemNullable: Boolean = TypeChecks.elemNullable(child.dataType)
-  override def nullable: Boolean = child.nullable || elemNullable
 
-  override def nullSafeEval(input: Any): Any = {
-    val toks = input.asInstanceOf[ArrayData]
-    if (elemNullable && Kernels.hasNullElement(toks)) null
-    else Kernels.langScores(toks)
-  }
+  override def nullSafeEval(input: Any): Any =
+    Kernels.langScores(input.asInstanceOf[ArrayData])
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    nullSafeCodeGen(ctx, ev, c =>
-      if (elemNullable) s"""
-        if (graft.plans.Kernels.hasNullElement($c)) {
-          ${ev.isNull} = true;
-        } else {
-          ${ev.value} = graft.plans.Kernels.langScores($c);
-        }
-      """
-      else s"${ev.value} = graft.plans.Kernels.langScores($c);")
+    defineCodeGen(ctx, ev, c => s"graft.plans.Kernels.langScores($c)")
 
   override protected def withNewChildInternal(newChild: Expression): LangScores =
     copy(child = newChild)

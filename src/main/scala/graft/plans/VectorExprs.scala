@@ -139,22 +139,23 @@ case class IvfProbesExpr(vec: Expression, centroids: Expression, nprobe: Int)
   }
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   private def elemNullable: Boolean = TypeChecks.elemNullable(vec.dataType)
-  override def nullable: Boolean = vec.nullable || centroids.nullable || elemNullable
+  // always nullable: the kernel returns null for null/ragged centroids
+  // (QDot's mis-shaped-input contract) regardless of input nullability
+  override def nullable: Boolean = true
   override def nullSafeEval(v: Any, c: Any): Any = {
     val qv = v.asInstanceOf[ArrayData]
     if (elemNullable && Kernels.hasNullElement(qv)) null
     else Kernels.ivfProbes(qv, c.asInstanceOf[ArrayData], nprobe)
   }
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    nullSafeCodeGen(ctx, ev, (v, c) =>
-      if (elemNullable) s"""
-        if (graft.plans.Kernels.hasNullElement($v)) {
-          ${ev.isNull} = true;
-        } else {
-          ${ev.value} = graft.plans.Kernels.ivfProbes($v, $c, $nprobe);
-        }
-      """
-      else s"${ev.value} = graft.plans.Kernels.ivfProbes($v, $c, $nprobe);")
+    nullSafeCodeGen(ctx, ev, (v, c) => {
+      val guard =
+        if (elemNullable) s"graft.plans.Kernels.hasNullElement($v) ? null : " else ""
+      s"""
+      ${ev.value} = $guard graft.plans.Kernels.ivfProbes($v, $c, $nprobe);
+      ${ev.isNull} = ${ev.value} == null;
+    """
+    })
   override protected def withNewChildrenInternal(l: Expression, r: Expression): IvfProbesExpr =
     copy(vec = l, centroids = r)
 }

@@ -267,27 +267,35 @@ object StreamingOps {
     */
   def dedupMinhashIncremental(stream: DataFrame, idCol: String, textCol: String,
       historyDir: String, survivorsDir: String): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
-    stream.writeStream.foreachBatch { (batch: DataFrame, _: Long) =>
+    stream.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
       val spark = batch.sparkSession
       import graft.functions.{DedupFns, Fence, TextFns}
-      val sigs = Fence.guard(
+      val base = Fence.guard(
           batch.select(col(idCol).as("id"), col(textCol).as("text"),
             TextFns.tokensFast(col(textCol)).as("__toks"), Fence.col))
-        .filter(size(col("__toks")) >= 3)
+      // docs too short to shingle have no bands: they cannot collide
+      // with anything, so they pass through as automatic survivors
+      // (dropping them would be data loss, not dedup)
+      val sigs = base.filter(size(col("__toks")) >= 3)
         .select(col("id"), col("text"),
           DedupFns.minhashBandsFast(col("__toks"), 3).as("bands"))
         .select(col("id"), col("text"), posexplode(col("bands")).as(Seq("band", "bh")))
         .cache()
       try {
+        // only treat a MISSING history path as "first batch" — a real
+        // read failure (transient FS error, corrupt footer) must fail
+        // the batch, not silently re-admit known duplicates. The
+        // batch_id < batchId partition filter keeps a REPLAYED batch
+        // from colliding with its own crashed attempt's output.
+        val histPath = new org.apache.hadoop.fs.Path(historyDir)
+        val fs = histPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
         val hist =
-          try spark.read.parquet(historyDir)
-          catch { case _: Throwable =>
+          if (!fs.exists(histPath))
             spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
               org.apache.spark.sql.types.StructType(Seq(
-                org.apache.spark.sql.types.StructField("id", org.apache.spark.sql.types.LongType),
                 org.apache.spark.sql.types.StructField("band", org.apache.spark.sql.types.IntegerType),
                 org.apache.spark.sql.types.StructField("bh", org.apache.spark.sql.types.LongType))))
-          }
+          else spark.read.parquet(historyDir).filter(col("batch_id") < batchId)
         val vsHist = sigs.join(hist.select(col("band"), col("bh")).distinct(), Seq("band", "bh"),
           "left_semi").select("id").distinct()
         val inBatch = sigs.as("a")
@@ -296,11 +304,17 @@ object StreamingOps {
               col("a.id") > col("b.id"))
           .select(col("a.id").as("id")).distinct()
         val dupIds = vsHist.union(inBatch).distinct()
-        val survivors = sigs.join(dupIds, Seq("id"), "left_anti")
-        survivors.select("id", "text").distinct()
-          .write.mode("append").parquet(survivorsDir)
-        survivors.select(col("id"), col("band").cast("int").as("band"), col("bh"))
-          .write.mode("append").parquet(historyDir)
+        val survivors = sigs.join(dupIds, Seq("id"), "left_anti").cache()
+        try {
+          val shortDocs = base.filter(size(col("__toks")) < 3).select(col("id"), col("text"))
+          // per-batch subdirectories + overwrite make the at-least-once
+          // foreachBatch replay idempotent: a re-run of batch N rewrites
+          // batch_id=N instead of appending a second copy
+          survivors.select("id", "text").distinct().union(shortDocs)
+            .write.mode("overwrite").parquet(s"$survivorsDir/batch_id=$batchId")
+          survivors.select(col("id"), col("band").cast("int").as("band"), col("bh"))
+            .write.mode("overwrite").parquet(s"$historyDir/batch_id=$batchId")
+        } finally { survivors.unpersist(); () }
       } finally { sigs.unpersist(); () }
     }
   }

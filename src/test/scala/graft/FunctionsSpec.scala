@@ -207,7 +207,7 @@ class FunctionsSpec extends SparkSpecBase {
     import spark.implicits._
     val df = Seq(
       (Seq(Some(1.0f), Some(2.0f)), Seq(Some("a"), Some("b"), Some("c"), Some("d"))),
-      (Seq(Some(1.0f), None), Seq(Some("a"), None, Some("c"), Some("d")))
+      (Seq(Some(1.0f), None), Seq(Some("the"), None, Some("c"), Some("the")))
     ).toDF("v", "toks")
     val rows = df.select(
       VectorFns.quantizeFast(col("v")).as("q"),
@@ -216,6 +216,17 @@ class FunctionsSpec extends SparkSpecBase {
     assert(rows(0).getSeq[Long](0) == Seq(1000L, 2000L))
     assert(!rows(0).isNullAt(1) && !rows(0).isNullAt(2))
     assert(rows(1).isNullAt(0) && rows(1).isNullAt(1) && rows(1).isNullAt(2))
+    // langScores SKIPS null tokens (matchCount's filter drops them),
+    // unlike the hashing kernels above
+    val ls = df.select(TextFns.langScoresFast(col("toks")).as("l")).collect()
+    assert(!ls(1).isNullAt(0))
+    val langs = TextFns.Stopwords.keys.toSeq.sorted
+    val slow = df.select(langs.map(l =>
+        TextFns.matchCount(col("toks"), TextFns.Stopwords(l)).cast("long").as(l)): _*)
+      .collect()
+    ls.zip(slow).foreach { case (f, s) =>
+      assert(f.getSeq[Long](0).toList == langs.indices.map(i => s.getLong(i)).toList)
+    }
   }
 
   test("native expressions stay value-correct under CODEGEN_ONLY factory mode") {
