@@ -1059,6 +1059,84 @@ object Queries {
              SELECT source, $nSql AS n_docs, CAST(sum(quality) AS BIGINT) AS sum_quality
              FROM d WHERE rn = 1 GROUP BY source"""))
 
+  /** Deterministic train/val/test assignment: split = md5(doc_id) mod
+    * 100 bucketed 98/1/1 — reproducible across engines and runs, no
+    * RNG state, stable under reshuffling (the property a training
+    * pipeline actually needs). Output: per-(source, split) doc counts.
+    */
+  private val qSplitAssign = GraftQuery(
+    "q_split_assign",
+    (s, dir) =>
+      t(s, dir, "documents")
+        .select(col("source"),
+          (conv(substring(md5(col("doc_id").cast("string")), 1, 4), 16, 10)
+            .cast("long") % 100).as("h"))
+        .select(col("source"),
+          when(col("h") < 98, "train").when(col("h") < 99, "val").otherwise("test").as("split"))
+        .groupBy("source", "split").agg(count(lit(1)).as("n_docs")),
+    Some("""SELECT source,
+              CASE WHEN h < 98 THEN 'train' WHEN h < 99 THEN 'val' ELSE 'test' END AS split,
+              CAST(count(*) AS BIGINT) AS n_docs
+            FROM (SELECT source,
+                    ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))::BIGINT % 100 AS h
+                  FROM documents)
+            GROUP BY 1, 2"""))
+
+  /** Token-budget sequence packing: documents (in deterministic doc_id
+    * order per source) are packed into training shards of ≤ 4096
+    * ws-tokens via a running-sum window — shard_id = floor(cumulative
+    * tokens / budget). One shuffle on the partition key; the running
+    * sum is the streaming-friendly (single-pass) packing a sequence-
+    * packing preprocessor uses. Output: per-shard doc count + token sum.
+    */
+  private val qPackSequences = GraftQuery(
+    "q_pack_sequences",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("source").orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      t(s, dir, "documents")
+        .select(col("source"), col("doc_id"),
+          element_at(TextFns.textStatsFast(col("text")), 1).as("toks"))
+        .withColumn("shard_id", ((sum(col("toks")).over(w) - col("toks")) / lit(4096L)).cast("long"))
+        .groupBy("source", "shard_id")
+        .agg(count(lit(1)).as("n_docs"), sum(col("toks")).as("sum_tokens"))
+    },
+    Some("""SELECT source, shard_id, CAST(count(*) AS BIGINT) AS n_docs,
+              CAST(sum(toks) AS BIGINT) AS sum_tokens
+            FROM (SELECT source, doc_id, toks,
+                    CAST((sum(toks) OVER (PARTITION BY source ORDER BY doc_id
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - toks)
+                         // 4096 AS BIGINT) AS shard_id
+                  FROM (SELECT source, doc_id,
+                          CAST(len(list_filter(string_split_regex(text, '\s+'), x -> x != '')) AS BIGINT) AS toks
+                        FROM documents))
+            GROUP BY 1, 2"""))
+
+  /** Deterministic per-group sample: the 3 docs per source with the
+    * smallest (md5(doc_id), doc_id) — a reproducible uniform group
+    * sample (same shape as IVF centroid selection). No RNG, engine-
+    * portable, stable under data reordering.
+    */
+  private val qSamplePerKey = GraftQuery(
+    "q_sample_per_key",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("source")
+        .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+      t(s, dir, "documents")
+        .select(col("source"), col("doc_id"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3)
+        .select(col("source"), col("doc_id"), col("rn").cast("long").as("rn"))
+    },
+    Some("""SELECT source, doc_id, CAST(rn AS BIGINT) AS rn
+            FROM (SELECT source, doc_id,
+                    row_number() OVER (PARTITION BY source
+                      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+                  FROM documents)
+            WHERE rn <= 3"""))
+
   private val qTokenCount = GraftQuery(
     "q_token_count",
     (s, dir) =>
@@ -1116,7 +1194,8 @@ object Queries {
     q1Pricing, q3Topk, q5Region, qJsonExtract,
     qDedupExact, qDedupMinhash, qDedupSimhash, qDedupSimhashPairs, qNgramJaccard, qDedupEmbed,
     qEmbedTopk, qEmbedLsh, qEmbedIvf,
-    qLangId, qQualityScore, qCuration, qTokenCount, qFingerprint, qMultimodalMeta,
+    qLangId, qQualityScore, qCuration, qSplitAssign, qPackSequences, qSamplePerKey,
+    qTokenCount, qFingerprint, qMultimodalMeta,
     qMultimodalDecode, qResizePlan, qFrameSample)
 
   val queries: Map[String, (SparkSession, String) => DataFrame] =
