@@ -1003,7 +1003,10 @@ object Queries {
       // qualityScore(text) would re-derive tokens under interpreted HOF
       // evaluation
       val enIdx = langs.indexOf("en") + 1
-      val base = Fence.guard(
+      // second fence: without it the lang_pred CASE + filter substitute
+      // the langscores/md5 expressions per score reference — a measured
+      // 255-fold expression blowup in the optimized plan
+      val base = Fence.guard(Fence.guard(
           t(s, dir, "documents").select(col("doc_id"), col("source"),
             length(col("text")).cast("long").as("__c"),
             TextFns.textStatsFast(col("text")).as("__ts"),
@@ -1012,7 +1015,7 @@ object Queries {
           element_at(col("__ts"), 1).as("__t"),
           element_at(col("__ts"), 2).as("__p"),
           md5(concat_ws(" ", col("__toks"))).as("norm_md5"),
-          TextFns.langScoresFast(col("__toks")).as("__ls"))
+          TextFns.langScoresFast(col("__toks")).as("__ls"), Fence.col))
         .select(Seq(col("doc_id"), col("source"), col("norm_md5"),
           (least(lit(40L), (col("__c") / lit(10L)).cast("long")) +
             least(lit(30L), (element_at(col("__ls"), enIdx) * 100L /

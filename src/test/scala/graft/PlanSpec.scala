@@ -92,7 +92,7 @@ class PlanSpec extends SparkSpecBase {
     // legitimately carry 2 logical copies (runtime exchange reuse
     // dedupes them); q_ngram_jaccard carries 3 branches × 2 sides.
     val pats = Seq("tokensexpr(", "minhashbands(", "simhash32(",
-      "quantizevec(", "lshbucketsexpr(", "ivfprobesexpr(")
+      "quantizevec(", "lshbucketsexpr(", "ivfprobesexpr(", "textstats(", "langscores(")
     val bound = Map("q_ngram_jaccard" -> 6).withDefaultValue(2)
     for ((name, fn) <- Queries.queries.toSeq.sortBy(_._1)) {
       val p = fn(spark, sfDir).queryExecution.optimizedPlan.toString.toLowerCase
@@ -101,6 +101,14 @@ class PlanSpec extends SparkSpecBase {
         assert(cnt <= bound(name), s"$name: '$pat' appears $cnt times (> ${bound(name)}) — fence broken?")
       }
     }
+  }
+
+  test("q_pack_sequences: window + aggregation share one shuffle") {
+    // the running-sum window partitions by source; the (source,
+    // shard_id) aggregation is satisfied by that same partitioning —
+    // a second exchange would be a regression
+    val p = planOf(Queries.queries("q_pack_sequences")(spark, sfDir))
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1, p)
   }
 
   test("partitioned writes give readers partition pruning") {
