@@ -250,6 +250,37 @@ class StreamingParitySpec extends SparkSpecBase {
     assert(got == expect)
   }
 
+  test("stateful table survives a query restart from checkpoint (RocksDB recovery)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val tmp = java.nio.file.Files.createTempDirectory("graft-ckpt").toString
+    val ms = MemoryStream[KeyedEvent]
+    // memory sink cannot recover from a checkpoint; foreachBatch can
+    def start() = StreamingOps.tableLatest(ms.toDS()).toDF()
+      .writeStream.outputMode(OutputMode.Update())
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, batchId: Long) =>
+        batch.write.mode("overwrite").parquet(s"$tmp/out/batch_id=$batchId")
+      }
+      .option("checkpointLocation", s"$tmp/ckpt").start()
+
+    // first query: key 1 latest = (61s, 20.0)
+    ms.addData(Seq(KeyedEvent(1L, 1_000_000L, 10.0), KeyedEvent(1L, 61_000_000L, 20.0)))
+    val q1 = start()
+    q1.processAllAvailable(); q1.stop()
+
+    // second query from the SAME checkpoint: an OLDER event for key 1
+    // must lose against the recovered state, not against empty state
+    ms.addData(Seq(KeyedEvent(1L, 30_000_000L, 99.0), KeyedEvent(2L, 5_000_000L, 5.0)))
+    val q2 = start()
+    q2.processAllAvailable(); q2.stop()
+
+    val latest = spark.read.parquet(s"$tmp/out")
+      .groupBy("key").agg(max_by(struct(col("tsUs"), col("value")), col("tsUs")).as("s"))
+      .select(col("key"), col("s.tsUs"), col("s.value"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(latest == Set((1L, 61_000_000L, 20.0), (2L, 5_000_000L, 5.0)))
+  }
+
   test("incremental minhash dedup drops near-dups within and across micro-batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
