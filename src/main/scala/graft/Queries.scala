@@ -1140,6 +1140,76 @@ object Queries {
                   FROM documents)
             WHERE rn <= 3"""))
 
+  /** Per-document top-3 terms by integer-scaled tf-idf: score =
+    * (tf * 1e6 * N_docs) // df — floor division keeps the score an
+    * exact BIGINT in both engines (a float idf would be a cross-engine
+    * rounding surface). One token explode, one (term) aggregation for
+    * document frequencies (broadcast — vocabulary-sized), one window
+    * for the per-doc top-k. Ties break on the term.
+    */
+  private val qTfidfTopterms = GraftQuery(
+    "q_tfidf_topterms",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val docs = t(s, dir, "documents")
+      val nDocs = docs.count()
+      val terms = Fence.guard(
+          docs.select(col("doc_id"), TextFns.tokensFast(col("text")).as("__toks"), Fence.col))
+        .select(col("doc_id"), explode(col("__toks")).as("term"))
+      val tf = terms.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      val df = terms.select("doc_id", "term").distinct()
+        .groupBy("term").agg(count(lit(1)).as("df"))
+      val w = Window.partitionBy("doc_id").orderBy(col("score").desc, col("term"))
+      tf.join(broadcast(df), "term")
+        .withColumn("score", (col("tf") * 1000000L * lit(nDocs) / col("df")).cast("long"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3)
+        .select(col("doc_id"), col("term"), col("score"), col("rn").cast("long").as("rn"))
+    },
+    Some(s"""WITH tk AS (SELECT doc_id, unnest($toksSql) AS term FROM documents),
+             tf AS (SELECT doc_id, term, $nSql AS tf FROM tk GROUP BY 1, 2),
+             df AS (SELECT term, CAST(count(DISTINCT doc_id) AS BIGINT) AS df FROM tk GROUP BY 1),
+             sc AS (SELECT doc_id, term,
+                      CAST(tf * 1000000 * (SELECT count(*) FROM documents) // df AS BIGINT) AS score
+                    FROM tf JOIN df USING (term))
+             SELECT doc_id, term, score, CAST(rn AS BIGINT) AS rn
+             FROM (SELECT doc_id, term, score,
+                     row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, term) AS rn
+                   FROM sc)
+             WHERE rn <= 3"""))
+
+  /** Benchmark-contamination detection: documents sharing any word
+    * 4-gram with a probe set (here: the 3 smallest doc_ids stand in
+    * for a held-out benchmark). Shingles meet via an equi-join on the
+    * gram — never all-pairs — and the probe side is broadcast. Output:
+    * contaminated doc_id + how many distinct probe grams it shares.
+    */
+  private val qContamination = GraftQuery(
+    "q_contamination",
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+      def grams(df: DataFrame) = Fence.guard(Fence.guard(
+          df.select(col("doc_id"), TextFns.tokensFast(col("text")).as("__toks"), Fence.col))
+        .select(col("doc_id"),
+          DedupFns.wordNgramsFromTokens(col("__toks"), 4).as("__grams"), Fence.col))
+        .select(col("doc_id"), explode(col("__grams")).as("g"))
+      val probeGrams = grams(docs.filter(col("doc_id") < 3)).select(col("g")).distinct()
+      grams(docs.filter(col("doc_id") >= 3))
+        .join(broadcast(probeGrams), "g")
+        .groupBy("doc_id")
+        .agg(countDistinct(col("g")).as("shared_grams"))
+    },
+    Some(s"""WITH tk AS (SELECT doc_id, $toksSql AS tks FROM documents),
+             g AS (SELECT doc_id, unnest(list_distinct(list_transform(
+                     range(1, greatest(len(tks) - 2, 1)),
+                     i -> array_to_string(tks[i:i+3], ' ')))) AS g
+                   FROM tk WHERE len(tks) >= 4),
+             probe AS (SELECT DISTINCT g FROM g WHERE doc_id < 3)
+             SELECT doc_id, CAST(count(DISTINCT g) AS BIGINT) AS shared_grams
+             FROM g JOIN probe USING (g)
+             WHERE doc_id >= 3
+             GROUP BY doc_id"""))
+
   private val qTokenCount = GraftQuery(
     "q_token_count",
     (s, dir) =>
@@ -1198,6 +1268,7 @@ object Queries {
     qDedupExact, qDedupMinhash, qDedupSimhash, qDedupSimhashPairs, qNgramJaccard, qDedupEmbed,
     qEmbedTopk, qEmbedLsh, qEmbedIvf,
     qLangId, qQualityScore, qCuration, qSplitAssign, qPackSequences, qSamplePerKey,
+    qTfidfTopterms, qContamination,
     qTokenCount, qFingerprint, qMultimodalMeta,
     qMultimodalDecode, qResizePlan, qFrameSample)
 
