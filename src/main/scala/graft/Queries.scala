@@ -669,35 +669,8 @@ object Queries {
     */
   private val qDedupSimhashPairs = GraftQuery(
     "q_dedup_simhash_pairs",
-    (s, dir) => {
-      // Fences pin tokenize and simhash to ONE evaluation each (inferred
-      // size/isnotnull predicates otherwise re-hash every row, see
-      // functions.Fence); the join-key repartition gives both self-join
-      // sides ONE shared exchange (ReusedExchange) — scan + simhash run
-      // once, and no corpus-sized broadcast (shuffle_hash): the 100 TB
-      // shape
-      val sims = Fence.guard(
-          t(s, dir, "documents")
-            .select(col("doc_id").as("id"),
-              TextFns.tokensFast(col("text")).as("__toks"), Fence.col))
-        .filter(size(col("__toks")) > 0)
-        .select(col("id"), DedupFns.simhash32Fast(col("__toks")).as("sim"), Fence.col)
-      val bands = Fence.guard(sims).select(col("id"), col("sim"),
-        posexplode(array((0 until 4).map(k =>
-          shiftright(col("sim"), 8 * k).bitwiseAND(lit(255L))): _*)).as(Seq("k", "byte")))
-        .repartition(col("k"), col("byte"))
-      // hamming filter BEFORE the pair-dedup aggregation: every copy of
-      // a pair carries the same signatures, so the cheap codegen'd
-      // xor+bit_count runs per copy and the distinct's input shrinks by
-      // the filter's selectivity
-      bands.as("a").hint("shuffle_hash")
-        .join(bands.as("b").hint("shuffle_hash"),
-          col("a.k") === col("b.k") && col("a.byte") === col("b.byte") && col("a.id") < col("b.id"))
-        .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
-          DedupFns.hamming(col("a.sim"), col("b.sim")).cast("long").as("dist"))
-        .filter(col("dist") <= 3)
-        .distinct()
-    },
+    (s, dir) =>
+      DedupFns.simhashNearDupPairs(t(s, dir, "documents"), "doc_id", "text", maxHamming = 3),
     Some(s"""WITH t0 AS (SELECT doc_id, $toksSql AS tk FROM documents),
              hs AS (SELECT doc_id, list_transform(tk, t -> ${h31Sql("t")}) AS h FROM t0 WHERE len(tk) > 0),
              sums AS (SELECT doc_id,
@@ -714,6 +687,69 @@ object Queries {
                    FROM bd a JOIN bd b ON a.k = b.k AND a.byte = b.byte AND a.id < b.id)
              SELECT id_a, id_b, CAST(bit_count(xor(sim_a, sim_b)) AS BIGINT) AS dist
              FROM p WHERE bit_count(xor(sim_a, sim_b)) <= 3"""))
+
+  /** Duplicate CLUSTERS from the exact simhash near-dup pairs:
+    * iterative min-label propagation (operators.Relational
+    * .connectedComponents) assigns every paired doc the smallest doc_id
+    * in its component — the representative-picking step a dedup
+    * pipeline runs after pair mining. The DuckDB oracle computes the
+    * same roots via a recursive transitive closure.
+    */
+  private val qDedupClusters = GraftQuery(
+    "q_dedup_clusters",
+    (s, dir) => {
+      val pairs = DedupFns.simhashNearDupPairs(t(s, dir, "documents"), "doc_id", "text", 3)
+      Relational.connectedComponents(pairs, "id_a", "id_b")
+    },
+    Some(s"""WITH RECURSIVE
+             t0 AS (SELECT doc_id, $toksSql AS tk FROM documents),
+             hs AS (SELECT doc_id, list_transform(tk, t -> ${h31Sql("t")}) AS h FROM t0 WHERE len(tk) > 0),
+             sums AS (SELECT doc_id,
+                        list_transform(range(0, 32), j ->
+                          CAST(list_sum(list_transform(h, x ->
+                            CASE WHEN (x // (1::BIGINT << j)) % 2 = 1 THEN 1 ELSE -1 END)) AS BIGINT)) AS sm
+                      FROM hs),
+             s AS (SELECT doc_id AS id,
+                     CAST(list_sum(list_transform(range(0, 32), j ->
+                       CASE WHEN sm[j+1] > 0 THEN (1::BIGINT << j) ELSE 0 END)) AS BIGINT) AS sim
+                   FROM sums),
+             bd AS (SELECT id, sim, k, (sim >> (8*k)) & 255 AS byte FROM s CROSS JOIN range(0, 4) tt(k)),
+             p AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b
+                   FROM bd a JOIN bd b ON a.k = b.k AND a.byte = b.byte AND a.id < b.id
+                   WHERE bit_count(xor(a.sim, b.sim)) <= 3),
+             e AS (SELECT id_a AS a, id_b AS b FROM p UNION SELECT id_b, id_a FROM p),
+             reach(id, r) AS (
+               SELECT a, a FROM e
+               UNION
+               SELECT e.b, reach.r FROM reach JOIN e ON e.a = reach.id
+             )
+             SELECT id, CAST(min(r) AS BIGINT) AS cluster_root
+             FROM reach GROUP BY id"""))
+
+  /** Per-document repetitiousness: the most frequent token's share of
+    * all tokens, in exact milli-units (max_tf * 1000 // n_tokens) — a
+    * junk signal for boilerplate/repeated-phrase documents. One
+    * repartition by doc_id, then both aggregations are shuffle-free.
+    */
+  private val qRepetition = GraftQuery(
+    "q_repetition",
+    (s, dir) =>
+      Fence.guard(
+          t(s, dir, "documents")
+            .select(col("doc_id"), TextFns.tokensFast(col("text")).as("__toks"), Fence.col))
+        .select(col("doc_id"), explode(col("__toks")).as("term"))
+        .repartition(col("doc_id"))
+        .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+        .groupBy("doc_id")
+        .agg(sum(col("tf")).as("n_tokens"), max(col("tf")).as("max_tf"))
+        .select(col("doc_id"), col("n_tokens"), col("max_tf"),
+          (col("max_tf") * 1000L / col("n_tokens")).cast("long").as("rep_milli")),
+    Some(s"""WITH tk AS (SELECT doc_id, unnest($toksSql) AS term FROM documents),
+             tf AS (SELECT doc_id, term, count(*) AS tf FROM tk GROUP BY 1, 2)
+             SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_tokens,
+               CAST(max(tf) AS BIGINT) AS max_tf,
+               CAST(max(tf) * 1000 // sum(tf) AS BIGINT) AS rep_milli
+             FROM tf GROUP BY doc_id"""))
 
   private val qNgramJaccard = GraftQuery(
     "q_ngram_jaccard",
@@ -1265,7 +1301,8 @@ object Queries {
     qIntervalJoin, qStreamTableJoin, qMerge, qSplitBranch, qChunk, qSkipTake, qThrottle,
     qWordcount, qCandles, qCandlesHop, qStratClassify, qAsofJoin,
     q1Pricing, q3Topk, q5Region, qJsonExtract,
-    qDedupExact, qDedupMinhash, qDedupSimhash, qDedupSimhashPairs, qNgramJaccard, qDedupEmbed,
+    qDedupExact, qDedupMinhash, qDedupSimhash, qDedupSimhashPairs, qDedupClusters,
+    qNgramJaccard, qDedupEmbed, qRepetition,
     qEmbedTopk, qEmbedLsh, qEmbedIvf,
     qLangId, qQualityScore, qCuration, qSplitAssign, qPackSequences, qSamplePerKey,
     qTfidfTopterms, qContamination,

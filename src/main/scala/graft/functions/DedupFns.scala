@@ -159,6 +159,40 @@ object DedupFns {
     GraftBridge.column(graft.plans.Simhash32(GraftBridge.expression(toks)))
   }
 
+  /** EXACT SimHash near-dup pairs, hamming ≤ maxHamming (≤ 3 for the
+    * 4-byte-band pigeonhole to be complete): ≤3 differing bits touch at
+    * most 3 of the 4 signature bytes, so every qualifying pair shares
+    * ≥1 band — candidates come from a band equi-join, never all-pairs,
+    * yet the result is exact. Returns (id_a < id_b, dist).
+    *
+    * Shape notes: Fences pin tokenize and simhash to ONE evaluation
+    * each (inferred size/isnotnull predicates otherwise re-hash every
+    * row); the join-key repartition gives both self-join sides ONE
+    * shared exchange (AQE ReusedExchange) and shuffle_hash prevents a
+    * corpus-sized broadcast; the hamming filter runs BEFORE the
+    * pair-dedup distinct (every copy of a pair carries the same
+    * signatures), shrinking the aggregation input.
+    */
+  def simhashNearDupPairs(df: DataFrame, idCol: String, textCol: String,
+      maxHamming: Int): DataFrame = {
+    require(maxHamming <= 3, s"4-byte-band pigeonhole is complete only for hamming <= 3, got $maxHamming")
+    val sims = Fence.guard(
+        df.select(col(idCol).as("id"), tokensFast(col(textCol)).as("__toks"), Fence.col))
+      .filter(size(col("__toks")) > 0)
+      .select(col("id"), simhash32Fast(col("__toks")).as("sim"), Fence.col)
+    val bands = Fence.guard(sims).select(col("id"), col("sim"),
+      posexplode(array((0 until 4).map(k =>
+        shiftright(col("sim"), 8 * k).bitwiseAND(lit(255L))): _*)).as(Seq("k", "byte")))
+      .repartition(col("k"), col("byte"))
+    bands.as("a").hint("shuffle_hash")
+      .join(bands.as("b").hint("shuffle_hash"),
+        col("a.k") === col("b.k") && col("a.byte") === col("b.byte") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        hamming(col("a.sim"), col("b.sim")).cast("long").as("dist"))
+      .filter(col("dist") <= maxHamming)
+      .distinct()
+  }
+
   // ---- n-gram Jaccard ---------------------------------------------------
 
   /** Distinct word n-grams over an ALREADY-MATERIALIZED token array

@@ -29,4 +29,52 @@ object Relational {
     */
   def topK(df: DataFrame, k: Int, order: Column*): DataFrame =
     df.orderBy(order.toIndexedSeq: _*).limit(k)
+
+  /** Connected components by iterative min-label propagation: every
+    * node's label converges to the smallest id in its component — the
+    * canonical "pick one representative per duplicate cluster" step
+    * after near-dup pair mining. Returns (id, cluster_root).
+    *
+    * Each iteration is one shuffle join + aggregation; the loop runs
+    * until a fixpoint (converges in ≤ component-diameter iterations —
+    * tiny for near-dup clusters) with `maxIter` as a safety valve. The
+    * driver loop carries only a change COUNT per iteration, never data.
+    * For planet-scale general graphs swap in the alternating
+    * large-star/small-star variant; for dedup clusters this direct form
+    * is the right tool.
+    */
+  def connectedComponents(pairs: DataFrame, srcCol: String, dstCol: String,
+      maxIter: Int = 30): DataFrame = {
+    // localCheckpoint (not cache) on every iteration state: caching
+    // alone leaves the logical plan growing by one join per iteration —
+    // the exploding plan tree OOMs the DRIVER during analysis long
+    // before the (tiny) data does. Checkpointing truncates lineage so
+    // each iteration plans against a materialized leaf.
+    val edges = pairs.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .union(pairs.select(col(dstCol).as("src"), col(srcCol).as("dst")))
+      .distinct()
+      .repartition(col("dst"))
+      .localCheckpoint(true)
+    var labels = edges.select(col("src").as("id")).distinct()
+      .select(col("id"), col("id").as("cluster_root"))
+      .localCheckpoint(true)
+    var changed = 1L
+    var iter = 0
+    while (changed > 0 && iter < maxIter) {
+      // smallest label among each node's neighbors
+      val viaNbr = edges.join(labels.withColumnRenamed("id", "nid"),
+          edges("dst") === col("nid"))
+        .groupBy(col("src")).agg(min(col("cluster_root")).as("nbr_root"))
+      val next = labels.join(viaNbr, labels("id") === viaNbr("src"), "left")
+        .select(col("id"),
+          least(col("cluster_root"), coalesce(col("nbr_root"), col("cluster_root")))
+            .as("cluster_root"))
+        .localCheckpoint(true)
+      changed = next.join(labels.withColumnRenamed("cluster_root", "prev"), "id")
+        .filter(col("cluster_root") =!= col("prev")).count()
+      labels = next
+      iter += 1
+    }
+    labels
+  }
 }

@@ -117,4 +117,16 @@ class OperatorsSpec extends SparkSpecBase {
     val b = ev.filter(col("k") === 2)
     assert(Relational.merge(a, b).count() == ev.count())
   }
+
+  test("connectedComponents converges chains and keeps components disjoint") {
+    import spark.implicits._
+    // component {1..5} as a chain (diameter forces several iterations),
+    // component {10, 11}, singleton edges absent → node 20 not present
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (10L, 11L))
+      .toDF("id_a", "id_b")
+    val got = Relational.connectedComponents(pairs, "id_a", "id_b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 5L -> 1L,
+      10L -> 10L, 11L -> 10L))
+  }
 }
