@@ -688,6 +688,50 @@ object Queries {
              SELECT id_a, id_b, CAST(bit_count(xor(sim_a, sim_b)) AS BIGINT) AS dist
              FROM p WHERE bit_count(xor(sim_a, sim_b)) <= 3"""))
 
+  /** The canonical LSH dedup pipeline END: MinHash band candidates
+    * (approximate, recall-oriented) rescored EXACTLY by 3-gram Jaccard
+    * and kept at ≥ 1/2 — candidates come from the band equi-join,
+    * the rescore touches only candidate pairs (never all-pairs), and
+    * the exact integer intersection/union sizes make the τ decision
+    * engine-portable.
+    */
+  private val qMinhashRescore = GraftQuery(
+    "q_minhash_rescore",
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+      val cands = DedupFns.minhashCandidates(docs, "doc_id", "text")
+      val grams = Fence.guard(Fence.guard(
+          docs.select(col("doc_id").as("id"), TextFns.tokensFast(col("text")).as("__toks"), Fence.col))
+        .filter(size(col("__toks")) >= 3)
+        .select(col("id"), DedupFns.wordNgramsFromTokens(col("__toks"), 3).as("grams"), Fence.col))
+        .repartition(col("id"))
+      cands
+        .join(grams.as("ga"), col("id_a") === col("ga.id"))
+        .join(grams.as("gb"), col("id_b") === col("gb.id"))
+        .select(col("id_a"), col("id_b"),
+          size(array_intersect(col("ga.grams"), col("gb.grams"))).cast("long").as("inter"),
+          (size(col("ga.grams")) + size(col("gb.grams")) -
+            size(array_intersect(col("ga.grams"), col("gb.grams")))).cast("long").as("uni"))
+        .filter(col("inter") * 2 >= col("uni"))
+    },
+    Some(s"""WITH t0 AS (SELECT doc_id, $toksSql AS tk FROM documents),
+             g AS (SELECT doc_id, $grams3Sql AS gs FROM t0),
+             ok AS (SELECT doc_id, gs FROM g WHERE len(gs) > 0),
+             hs AS (SELECT doc_id, list_transform(gs, t -> ${h31Sql("t")}) AS h FROM ok),
+             sig AS (SELECT doc_id, $minhashSigSql AS s FROM hs),
+             bands AS (SELECT doc_id, k AS band, (s[2*k+1] * 1000003 + s[2*k+2]) % $M AS bh
+                       FROM sig, range(${DedupFns.NumHashes / DedupFns.BandRows}) t(k)),
+             p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+                   FROM bands a JOIN bands b
+                     ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
+                   GROUP BY 1, 2),
+             sc AS (SELECT id_a, id_b,
+                      CAST(len(list_intersect(ga.gs, gb.gs)) AS BIGINT) AS inter,
+                      CAST(len(ga.gs) + len(gb.gs) - len(list_intersect(ga.gs, gb.gs)) AS BIGINT) AS uni
+                    FROM p JOIN ok ga ON p.id_a = ga.doc_id
+                           JOIN ok gb ON p.id_b = gb.doc_id)
+             SELECT id_a, id_b, inter, uni FROM sc WHERE inter * 2 >= uni"""))
+
   /** Duplicate CLUSTERS from the exact simhash near-dup pairs:
     * iterative min-label propagation (operators.Relational
     * .connectedComponents) assigns every paired doc the smallest doc_id
@@ -1301,8 +1345,8 @@ object Queries {
     qIntervalJoin, qStreamTableJoin, qMerge, qSplitBranch, qChunk, qSkipTake, qThrottle,
     qWordcount, qCandles, qCandlesHop, qStratClassify, qAsofJoin,
     q1Pricing, q3Topk, q5Region, qJsonExtract,
-    qDedupExact, qDedupMinhash, qDedupSimhash, qDedupSimhashPairs, qDedupClusters,
-    qNgramJaccard, qDedupEmbed, qRepetition,
+    qDedupExact, qDedupMinhash, qMinhashRescore, qDedupSimhash, qDedupSimhashPairs,
+    qDedupClusters, qNgramJaccard, qDedupEmbed, qRepetition,
     qEmbedTopk, qEmbedLsh, qEmbedIvf,
     qLangId, qQualityScore, qCuration, qSplitAssign, qPackSequences, qSamplePerKey,
     qTfidfTopterms, qContamination,
