@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.plans.{IvfProbesExpr, LangScores, LshBucketsExpr, MinhashBands, QDot, QuantizeVec, Simhash32, TextStats}
+import graft.plans.{FingerprintExpr, IvfProbesExpr, LangScores, LshBucketsExpr, MinhashBands, QDot, QuantizeVec, Simhash32, TextStats}
 
 /** SQL-surface registration of graft's native expressions, so the
   * engine's extensions are first-class in `spark.sql(...)` exactly like
@@ -20,6 +20,7 @@ import graft.plans.{IvfProbesExpr, LangScores, LshBucketsExpr, MinhashBands, QDo
   *   graft_ivf_probes(qv, cents, n)→ array<bigint> (n nearest centroid idxs)
   *   graft_lang_scores(tokens)     → array<bigint> (stopword hits per lang)
   *   graft_text_stats(text)        → array<bigint> [ws_tokens, punct, bpe]
+  *   graft_fingerprint(tokens)     → bigint (rolling polynomial hash)
   */
 object GraftFunctions {
 
@@ -57,6 +58,9 @@ object GraftFunctions {
           LshBucketsExpr(v, intLiteral(t, "tables"), intLiteral(p, "planes"))
         case _ => throw new IllegalArgumentException("graft_lsh_buckets(qv[, tables, planes])")
       }),
+    ("graft_fingerprint", classOf[FingerprintExpr],
+      "_FUNC_(tokens) - rolling polynomial fingerprint of the token sequence",
+      (args: Seq[Expression]) => FingerprintExpr(args.head)),
     ("graft_text_stats", classOf[TextStats],
       "_FUNC_(text) - one-pass raw-text stats [ws_tokens, punct, bpe]",
       (args: Seq[Expression]) => TextStats(args.head)),

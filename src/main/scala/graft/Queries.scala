@@ -1310,7 +1310,8 @@ object Queries {
     "q_fingerprint",
     (s, dir) =>
       t(s, dir, "documents")
-        .select(col("doc_id"), TextFns.fingerprint(col("text")).cast("long").as("fp")),
+        .select(col("doc_id"),
+          TextFns.fingerprintFast(TextFns.tokensFast(col("text"))).as("fp")),
     Some(s"""WITH t0 AS (SELECT doc_id, $toksSql AS tk FROM documents),
              hs AS (SELECT doc_id, list_transform(tk, t -> ${h31Sql("t")}) AS h FROM t0)
              SELECT doc_id,

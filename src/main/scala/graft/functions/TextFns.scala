@@ -58,6 +58,16 @@ object TextFns {
       (h, x) => (h * 1000003L + x) % HashMod
     )
 
+  /** Native one-pass fingerprint from a token-array column (see
+    * plans.FingerprintExpr) — value-identical to fingerprint(text) on
+    * tokens(text); use in hot pipelines (the declarative form is an
+    * interpreted HOF fold with one md5 lambda call per token).
+    */
+  def fingerprintFast(toks: Column): Column = {
+    import org.apache.spark.sql.GraftBridge
+    GraftBridge.column(graft.plans.FingerprintExpr(GraftBridge.expression(toks)))
+  }
+
   /** Tiny deterministic stopword lists per language for the langid
     * heuristic + quality scoring.
     */

@@ -200,6 +200,25 @@ object Kernels {
     new GenericArrayData(bands)
   }
 
+  /** Rolling polynomial fingerprint over the token-hash sequence in one
+    * native pass: h := (h*1000003 + h60(md5(t)) mod M) mod M, h0 = 0 —
+    * value-identical to TextFns.fingerprint (order-sensitive; empty
+    * arrays yield 0).
+    */
+  def fingerprint(toks: ArrayData): Long = {
+    val m = toks.numElements()
+    val md = MessageDigest.getInstance("MD5")
+    var h = 0L
+    var i = 0
+    while (i < m) {
+      md.reset()
+      val th = h60(md.digest(toks.getUTF8String(i).getBytes))
+      h = (h * 1000003L + th) % M
+      i += 1
+    }
+    h
+  }
+
   /** Empty token arrays yield 0 (no positive votes) — same as the
     * declarative aggregate form.
     */

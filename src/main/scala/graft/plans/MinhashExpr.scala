@@ -59,6 +59,42 @@ case class MinhashBands(child: Expression, n: Int) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** Rolling polynomial fingerprint over a token array in one native
+  * pass (Kernels.fingerprint) — value-identical to
+  * TextFns.fingerprint's declarative aggregate: each token's 60-bit
+  * md5-prefix hash mod 2^31-1 folds through h := (h*1000003 + th) mod
+  * 2^31-1 from h=0; empty arrays yield 0. Null-element arrays
+  * propagate null (the declarative transform does the same).
+  */
+case class FingerprintExpr(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    TypeChecks.requireArrayOf("graft_fingerprint", StringType, child.dataType)
+
+  override def dataType: DataType = LongType
+  private def elemNullable: Boolean = TypeChecks.elemNullable(child.dataType)
+  override def nullable: Boolean = child.nullable || elemNullable
+
+  override def nullSafeEval(input: Any): Any = {
+    val toks = input.asInstanceOf[ArrayData]
+    if (elemNullable && Kernels.hasNullElement(toks)) null
+    else Kernels.fingerprint(toks)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      if (elemNullable) s"""
+        if (graft.plans.Kernels.hasNullElement($c)) {
+          ${ev.isNull} = true;
+        } else {
+          ${ev.value} = graft.plans.Kernels.fingerprint($c);
+        }
+      """
+      else s"${ev.value} = graft.plans.Kernels.fingerprint($c);")
+
+  override protected def withNewChildInternal(newChild: Expression): FingerprintExpr =
+    copy(child = newChild)
+}
+
 /** Per-language stopword hit counts over a token array in one native
   * pass (Kernels.langScores): element i = count of tokens in the i-th
   * (sorted) language's stopword list — value-identical to the

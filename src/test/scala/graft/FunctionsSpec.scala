@@ -179,6 +179,17 @@ class FunctionsSpec extends SparkSpecBase {
     }
   }
 
+  test("native fingerprint matches the declarative rolling hash") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet").limit(200)
+    val fast = docs.select(col("doc_id"),
+        TextFns.fingerprintFast(TextFns.tokensFast(col("text"))).as("fp"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val slow = docs.select(col("doc_id"), TextFns.fingerprint(col("text")).cast("long").as("fp"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fast == slow)
+    assert(fast.nonEmpty)
+  }
+
   test("native langScores matches declarative matchCount per language") {
     val langs = TextFns.Stopwords.keys.toSeq.sorted
     val docs = spark.read.parquet(s"$sfDir/documents.parquet").limit(200)
