@@ -37,19 +37,29 @@ object GraftFunctions {
     }
   }
 
+  /** Exact-arity guard: a wrong argument count is a clean usage error
+    * naming the function, never a raw head-of-empty-Seq exception, and
+    * surplus arguments are rejected instead of silently ignored.
+    */
+  private def arity(name: String, n: Int, usage: String)(
+      build: Seq[Expression] => Expression): Seq[Expression] => Expression =
+    args =>
+      if (args.length == n) build(args)
+      else throw new IllegalArgumentException(s"$name expects $usage")
+
   private val fns: Seq[(String, Class[_], String, Seq[Expression] => Expression)] = Seq(
     ("graft_minhash_bands", classOf[MinhashBands],
       "_FUNC_(tokens) - 8 MinHash LSH band hashes over word 3-gram shingles",
-      (args: Seq[Expression]) => MinhashBands(args.head, 3)),
+      arity("graft_minhash_bands", 1, "(tokens)")(args => MinhashBands(args.head, 3))),
     ("graft_simhash32", classOf[Simhash32],
       "_FUNC_(tokens) - 32-bit SimHash of the token array",
-      (args: Seq[Expression]) => Simhash32(args.head)),
+      arity("graft_simhash32", 1, "(tokens)")(args => Simhash32(args.head))),
     ("graft_quantize", classOf[QuantizeVec],
       "_FUNC_(vec) - floor(x*1000) integer quantization of a float vector",
-      (args: Seq[Expression]) => QuantizeVec(args.head)),
+      arity("graft_quantize", 1, "(vec)")(args => QuantizeVec(args.head))),
     ("graft_qdot", classOf[QDot],
       "_FUNC_(a, b) - integer dot product of two quantized vectors",
-      (args: Seq[Expression]) => QDot(args.head, args(1))),
+      arity("graft_qdot", 2, "(a, b)")(args => QDot(args.head, args(1)))),
     ("graft_lsh_buckets", classOf[LshBucketsExpr],
       "_FUNC_(qv, tables, planes) - LSH bucket ids of a quantized vector",
       (args: Seq[Expression]) => args match {
@@ -60,13 +70,13 @@ object GraftFunctions {
       }),
     ("graft_fingerprint", classOf[FingerprintExpr],
       "_FUNC_(tokens) - rolling polynomial fingerprint of the token sequence",
-      (args: Seq[Expression]) => FingerprintExpr(args.head)),
+      arity("graft_fingerprint", 1, "(tokens)")(args => FingerprintExpr(args.head))),
     ("graft_text_stats", classOf[TextStats],
       "_FUNC_(text) - one-pass raw-text stats [ws_tokens, punct, bpe]",
-      (args: Seq[Expression]) => TextStats(args.head)),
+      arity("graft_text_stats", 1, "(text)")(args => TextStats(args.head))),
     ("graft_lang_scores", classOf[LangScores],
       "_FUNC_(tokens) - per-language stopword hit counts (sorted lang order)",
-      (args: Seq[Expression]) => LangScores(args.head)),
+      arity("graft_lang_scores", 1, "(tokens)")(args => LangScores(args.head))),
     ("graft_ivf_probes", classOf[IvfProbesExpr],
       "_FUNC_(qv, centroids, nprobe) - indexes of the nprobe nearest centroids (integer L2)",
       (args: Seq[Expression]) => args match {

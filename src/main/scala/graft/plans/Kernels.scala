@@ -168,6 +168,15 @@ object Kernels {
     (v >>> 4) % M
   }
 
+  /** The portable per-token hash shared by fingerprint and simhash:
+    * h60 of md5(token bytes) — ONE definition so the kernels can never
+    * silently diverge from each other or from the oracle SQL's
+    * `('0x' || substr(md5(t), 1, 15))::BIGINT % M`. (digest(input)
+    * resets the MessageDigest itself; no separate reset needed.)
+    */
+  private def tokenHash(md: MessageDigest, t: org.apache.spark.unsafe.types.UTF8String): Long =
+    h60(md.digest(t.getBytes))
+
   /** Null when the doc has fewer than n tokens (no shingle exists). */
   def minhashBands(toks: ArrayData, n: Int): ArrayData = {
     val m = toks.numElements()
@@ -211,9 +220,7 @@ object Kernels {
     var h = 0L
     var i = 0
     while (i < m) {
-      md.reset()
-      val th = h60(md.digest(toks.getUTF8String(i).getBytes))
-      h = (h * 1000003L + th) % M
+      h = (h * 1000003L + tokenHash(md, toks.getUTF8String(i))) % M
       i += 1
     }
     h
@@ -228,8 +235,7 @@ object Kernels {
     val md = MessageDigest.getInstance("MD5")
     var i = 0
     while (i < m) {
-      md.reset()
-      val h = h60(md.digest(toks.getUTF8String(i).getBytes))
+      val h = tokenHash(md, toks.getUTF8String(i))
       var j = 0
       while (j < 32) {
         if (((h >>> j) & 1L) == 1L) votes(j) += 1 else votes(j) -= 1

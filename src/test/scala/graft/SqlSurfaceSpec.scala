@@ -25,4 +25,12 @@ class SqlSurfaceSpec extends SparkSpecBase {
       .collect()(0).getSeq[Long](0)
     assert(probes == Seq(1L, 0L))
   }
+
+  test("wrong arity is a clean usage error, not a raw exception") {
+    GraftFunctions.register(spark)
+    val e = intercept[Exception] {
+      spark.sql("SELECT graft_fingerprint(array('a'), 42)").collect()
+    }
+    assert(e.getMessage.contains("graft_fingerprint expects (tokens)"), e.getMessage)
+  }
 }
