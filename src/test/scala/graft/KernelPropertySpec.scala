@@ -1,0 +1,83 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import graft.functions.{DedupFns, TextFns, VectorFns}
+
+/** Property-based parity: the native kernels must equal their
+  * declarative twins on ADVERSARIAL random inputs, not just the test
+  * corpus — unicode, control characters, empty/whitespace-only text,
+  * degenerate vectors. Each failure here is a silent oracle divergence
+  * waiting to happen at scale.
+  */
+class KernelPropertySpec extends SparkSpecBase {
+
+  private val weirdChar: Gen[Char] = Gen.frequency(
+    8 -> Gen.alphaNumChar,
+    3 -> Gen.oneOf(' ', '\t', '\n', '', '\f', '\r'),
+    3 -> Gen.oneOf('(', ')', ',', '"', ';', ':', '\'', '.'),
+    2 -> Gen.oneOf('é', 'ß', '中', '—', 'Ω'),
+    1 -> Gen.oneOf('!', '@', '#', '-', '_', '/'))
+  private val textGen: Gen[String] = Gen.chooseNum(0, 60)
+    .flatMap(n => Gen.listOfN(n, weirdChar).map(_.mkString))
+
+  test("tokens / textStats / fingerprint / simhash: native == declarative on random text") {
+    import spark.implicits._
+    val texts = (1 to 40).flatMap(i => textGen.sample).distinct
+    val df = texts.toDF("text")
+    val fast = df.select(
+        TextFns.tokensFast(col("text")).as("tk"),
+        TextFns.textStatsFast(col("text")).as("ts"),
+        TextFns.fingerprintFast(TextFns.tokensFast(col("text"))).as("fp"),
+        DedupFns.simhash32Fast(TextFns.tokensFast(col("text"))).as("sh"))
+      .collect()
+    val slow = df.select(
+        TextFns.tokens(col("text")).as("tk"),
+        TextFns.wsTokenCount(col("text")).cast("long").as("t"),
+        TextFns.punctCount(col("text")).cast("long").as("p"),
+        TextFns.bpeTokenCount(col("text")).cast("long").as("b"),
+        TextFns.fingerprint(col("text")).cast("long").as("fp"),
+        DedupFns.simhash32(col("text")).cast("long").as("sh"))
+      .collect()
+    fast.zip(slow).zip(texts).foreach { case ((f, s), txt) =>
+      assert(f.getSeq[String](0) == s.getSeq[String](0), s"tokens diverge on ${txt.map(_.toInt)}")
+      assert(f.getSeq[Long](1) == Seq(s.getLong(1), s.getLong(2), s.getLong(3)),
+        s"textStats diverge on ${txt.map(_.toInt)}")
+      assert(f.getLong(2) == s.getLong(4), s"fingerprint diverges on ${txt.map(_.toInt)}")
+      assert(f.getLong(3) == s.getLong(5), s"simhash diverges on ${txt.map(_.toInt)}")
+    }
+  }
+
+  test("quantize / qdot: native == declarative on random float vectors") {
+    import spark.implicits._
+    val vecGen = Gen.listOfN(8, Gen.chooseNum(-2.0f, 2.0f))
+    val pairs = (1 to 30).flatMap(_ => (for { a <- vecGen; b <- vecGen } yield (a, b)).sample)
+    val df = pairs.toDF("a", "b")
+    val fast = df.select(
+        VectorFns.qdotFast(VectorFns.quantizeFast(col("a")), VectorFns.quantizeFast(col("b"))))
+      .collect().map(_.getLong(0))
+    val slow = df.select(
+        VectorFns.qdot(VectorFns.quantize(col("a")), VectorFns.quantize(col("b"))))
+      .collect().map(_.getLong(0))
+    assert(fast.toSeq == slow.toSeq)
+  }
+
+  test("ivfProbes: probe list is sorted by exact distance with index tiebreak") {
+    import spark.implicits._
+    val vecGen = Gen.listOfN(4, Gen.chooseNum(-1.0f, 1.0f))
+    val cents: Seq[Seq[Long]] = Seq(Seq(0L, 0L, 0L, 0L), Seq(500L, 0L, 0L, 0L),
+      Seq(0L, 500L, 0L, 0L), Seq(-500L, -500L, 0L, 0L))
+    val vs = (1 to 30).flatMap(_ => vecGen.sample)
+    val got = vs.toDF("v")
+      .select(col("v"), VectorFns.ivfProbesFast(VectorFns.quantizeFast(col("v")),
+        typedLit(cents), 4).as("p"))
+      .collect()
+    got.foreach { r =>
+      val qv = r.getSeq[Float](0).map(x => math.floor(x.toDouble * 1000).toLong)
+      val probes = r.getSeq[Long](1)
+      val d2 = cents.map(c => qv.zip(c).map { case (x, y) => (x - y) * (x - y) }.sum)
+      val expected = cents.indices.sortBy(i => (d2(i), i)).map(_.toLong)
+      assert(probes == expected, s"qv=$qv d2=$d2")
+    }
+  }
+}
