@@ -25,6 +25,12 @@ object Sinks {
     (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w).parquet(path)
   }
 
+  /** JSON-lines write — the write side of the reference's JSON serde
+    * (reference src/lib.rs:25-37); pairs with Sources.jsonLines.
+    */
+  def jsonLines(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").json(path)
+
   /** Bucketed managed table — pre-shuffles data by the join/agg key at
     * write time so later equi-joins and aggregations on `bucketCols`
     * between co-bucketed tables run with NO exchange (verified in

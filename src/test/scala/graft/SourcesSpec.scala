@@ -17,8 +17,9 @@ class SourcesSpec extends SparkSpecBase {
     val c = Sources.csv(spark, s"$dir/c")
     assert(c.count() == 2 && c.columns.toSeq == Seq("id", "name", "v"))
 
-    df.write.json(s"$dir/j")
-    assert(Sources.jsonLines(spark, s"$dir/j").count() == 2)
+    graft.sinks.Sinks.jsonLines(df, s"$dir/j")
+    val j = Sources.jsonLines(spark, s"$dir/j")
+    assert(j.count() == 2 && j.columns.sorted.toSeq == Seq("id", "name", "v"))
   }
 
   test("table() reads a named testdata table; streaming parquet source streams it") {
