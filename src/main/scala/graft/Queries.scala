@@ -1171,6 +1171,12 @@ object Queries {
     * tokens / budget). One shuffle on the partition key; the running
     * sum is the streaming-friendly (single-pass) packing a sequence-
     * packing preprocessor uses. Output: per-shard doc count + token sum.
+    *
+    * SCALE NOTE: the packing key is the window partition key, and each
+    * partition is processed by ONE task — at 100 TB choose a key fine
+    * enough to bound partition size (e.g. (source, ingest-date)); shard
+    * boundaries then reset per key, which packing tolerates by design.
+    * This query keys by `source` because the test corpus is small.
     */
   private val qPackSequences = GraftQuery(
     "q_pack_sequences",
