@@ -703,7 +703,7 @@ object Queries {
       val grams = Fence.guard(Fence.guard(
           docs.select(col("doc_id").as("id"), TextFns.tokensFast(col("text")).as("__toks"), Fence.col))
         .filter(size(col("__toks")) >= 3)
-        .select(col("id"), DedupFns.wordNgramsFromTokens(col("__toks"), 3).as("grams"), Fence.col))
+        .select(col("id"), DedupFns.wordNgramsFast(col("__toks"), 3).as("grams"), Fence.col))
         .repartition(col("id"))
       cands
         .join(grams.as("ga"), col("id_a") === col("ga.id"))
@@ -1277,7 +1277,7 @@ object Queries {
       def grams(df: DataFrame) = Fence.guard(Fence.guard(
           df.select(col("doc_id"), TextFns.tokensFast(col("text")).as("__toks"), Fence.col))
         .select(col("doc_id"),
-          DedupFns.wordNgramsFromTokens(col("__toks"), 4).as("__grams"), Fence.col))
+          DedupFns.wordNgramsFast(col("__toks"), 4).as("__grams"), Fence.col))
         .select(col("doc_id"), explode(col("__grams")).as("g"))
       val probeGrams = grams(docs.filter(col("doc_id") < 3)).select(col("g")).distinct()
       grams(docs.filter(col("doc_id") >= 3))

@@ -219,6 +219,15 @@ object DedupFns {
   def wordNgrams(text: Column, n: Int): Column =
     wordNgramsFromTokens(tokens(text), n)
 
+  /** Native one-pass distinct n-grams (see plans.NgramsExpr) —
+    * value-identical to wordNgramsFromTokens; use in hot pipelines (the
+    * declarative form pays one interpreted lambda per shingle).
+    */
+  def wordNgramsFast(toks: Column, n: Int): Column = {
+    import org.apache.spark.sql.GraftBridge
+    GraftBridge.column(graft.plans.NgramsExpr(GraftBridge.expression(toks), n))
+  }
+
   /** Exact n-gram Jaccard over candidate pairs.
     *
     * Candidate generation is an equi-join on *rare* grams only: grams
@@ -236,7 +245,7 @@ object DedupFns {
     val docs = Fence.guard(Fence.guard(
         df.select(col(idCol).as("id"), tokensFast(col(textCol)).as("__toks"), Fence.col))
       .filter(size(col("__toks")) >= n)
-      .select(col("id"), wordNgramsFromTokens(col("__toks"), n).as("grams"), Fence.col))
+      .select(col("id"), wordNgramsFast(col("__toks"), n).as("grams"), Fence.col))
     // ONE gram exchange feeds the df-aggregation AND both self-join
     // sides (ReusedExchange) — without it the tokenize+shingle work and
     // the frequency aggregation both run once per reference (5× total).

@@ -5,7 +5,7 @@ import scala.collection.mutable.ArrayBuffer
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.unsafe.types.UTF8String
 import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
 
@@ -45,6 +45,75 @@ object TokensKernel {
     if (sb.length > 0) out += UTF8String.fromString(sb.toString)
     new GenericArrayData(out.toArray[Any])
   }
+}
+
+/** Distinct word n-grams (space-joined, first-occurrence order) over a
+  * token array in one native pass — value-identical to
+  * DedupFns.wordNgramsFromTokens: fewer than n tokens yields an EMPTY
+  * array (not null), and array_distinct keeps first occurrences, which
+  * a LinkedHashSet reproduces. The declarative form pays one
+  * interpreted lambda (slice + concat_ws) per shingle.
+  */
+object NgramsKernel {
+  def ngrams(toks: ArrayData, n: Int): GenericArrayData = {
+    val m = toks.numElements()
+    if (m < n) return new GenericArrayData(Array.empty[Any])
+    val seen = new java.util.LinkedHashSet[String]()
+    val words = new Array[String](m)
+    var i = 0
+    while (i < m) { words(i) = toks.getUTF8String(i).toString; i += 1 }
+    val sb = new java.lang.StringBuilder()
+    i = 0
+    while (i + n <= m) {
+      sb.setLength(0)
+      var j = 0
+      while (j < n) {
+        if (j > 0) sb.append(' ')
+        sb.append(words(i + j))
+        j += 1
+      }
+      seen.add(sb.toString): Unit
+      i += 1
+    }
+    val out = new Array[Any](seen.size)
+    val it = seen.iterator()
+    i = 0
+    while (it.hasNext) { out(i) = UTF8String.fromString(it.next()); i += 1 }
+    new GenericArrayData(out)
+  }
+}
+
+/** See NgramsKernel — array<string> of distinct space-joined n-grams. */
+case class NgramsExpr(child: Expression, n: Int) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == ArrayType(StringType, containsNull = false) ||
+        child.dataType == ArrayType(StringType, containsNull = true))
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"graft_ngrams requires array<string> input, got ${child.dataType.catalogString}")
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  private def elemNullable: Boolean = child.dataType match {
+    case ArrayType(_, cn) => cn
+    case _ => true
+  }
+  override def nullable: Boolean = child.nullable || elemNullable
+  override def nullSafeEval(input: Any): Any = {
+    val toks = input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    if (elemNullable && Kernels.hasNullElement(toks)) null
+    else NgramsKernel.ngrams(toks, n)
+  }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      if (elemNullable) s"""
+        if (graft.plans.Kernels.hasNullElement($c)) {
+          ${ev.isNull} = true;
+        } else {
+          ${ev.value} = graft.plans.NgramsKernel.ngrams($c, $n);
+        }
+      """
+      else s"${ev.value} = graft.plans.NgramsKernel.ngrams($c, $n);")
+  override protected def withNewChildInternal(newChild: Expression): NgramsExpr =
+    copy(child = newChild)
 }
 
 /** One-pass raw-text statistics, value-identical to the declarative

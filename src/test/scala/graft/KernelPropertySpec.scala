@@ -29,7 +29,8 @@ class KernelPropertySpec extends SparkSpecBase {
         TextFns.tokensFast(col("text")).as("tk"),
         TextFns.textStatsFast(col("text")).as("ts"),
         TextFns.fingerprintFast(TextFns.tokensFast(col("text"))).as("fp"),
-        DedupFns.simhash32Fast(TextFns.tokensFast(col("text"))).as("sh"))
+        DedupFns.simhash32Fast(TextFns.tokensFast(col("text"))).as("sh"),
+        DedupFns.wordNgramsFast(TextFns.tokensFast(col("text")), 2).as("ng"))
       .collect()
     val slow = df.select(
         TextFns.tokens(col("text")).as("tk"),
@@ -37,7 +38,8 @@ class KernelPropertySpec extends SparkSpecBase {
         TextFns.punctCount(col("text")).cast("long").as("p"),
         TextFns.bpeTokenCount(col("text")).cast("long").as("b"),
         TextFns.fingerprint(col("text")).cast("long").as("fp"),
-        DedupFns.simhash32(col("text")).cast("long").as("sh"))
+        DedupFns.simhash32(col("text")).cast("long").as("sh"),
+        DedupFns.wordNgrams(col("text"), 2).as("ng"))
       .collect()
     fast.zip(slow).zip(texts).foreach { case ((f, s), txt) =>
       assert(f.getSeq[String](0) == s.getSeq[String](0), s"tokens diverge on ${txt.map(_.toInt)}")
@@ -45,6 +47,7 @@ class KernelPropertySpec extends SparkSpecBase {
         s"textStats diverge on ${txt.map(_.toInt)}")
       assert(f.getLong(2) == s.getLong(4), s"fingerprint diverges on ${txt.map(_.toInt)}")
       assert(f.getLong(3) == s.getLong(5), s"simhash diverges on ${txt.map(_.toInt)}")
+      assert(f.getSeq[String](4) == s.getSeq[String](6), s"ngrams diverge on ${txt.map(_.toInt)}")
     }
   }
 
