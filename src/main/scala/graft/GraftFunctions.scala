@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.plans.{FingerprintExpr, IvfProbesExpr, LangScores, LshBucketsExpr, MinhashBands, QDot, QuantizeVec, Simhash32, TextStats}
+import graft.plans.{FingerprintExpr, IvfProbesExpr, LangScores, LshBucketsExpr, MinhashBands, NgramsExpr, QDot, QuantizeVec, Simhash32, TextStats}
 
 /** SQL-surface registration of graft's native expressions, so the
   * engine's extensions are first-class in `spark.sql(...)` exactly like
@@ -21,6 +21,7 @@ import graft.plans.{FingerprintExpr, IvfProbesExpr, LangScores, LshBucketsExpr, 
   *   graft_lang_scores(tokens)     → array<bigint> (stopword hits per lang)
   *   graft_text_stats(text)        → array<bigint> [ws_tokens, punct, bpe]
   *   graft_fingerprint(tokens)     → bigint (rolling polynomial hash)
+  *   graft_ngrams(tokens, n)       → array<string> (distinct word n-grams)
   */
 object GraftFunctions {
 
@@ -71,6 +72,10 @@ object GraftFunctions {
     ("graft_fingerprint", classOf[FingerprintExpr],
       "_FUNC_(tokens) - rolling polynomial fingerprint of the token sequence",
       arity("graft_fingerprint", 1, "(tokens)")(args => FingerprintExpr(args.head))),
+    ("graft_ngrams", classOf[NgramsExpr],
+      "_FUNC_(tokens, n) - distinct space-joined word n-grams",
+      arity("graft_ngrams", 2, "(tokens, n)")(args =>
+        NgramsExpr(args.head, intLiteral(args(1), "n")))),
     ("graft_text_stats", classOf[TextStats],
       "_FUNC_(text) - one-pass raw-text stats [ws_tokens, punct, bpe]",
       arity("graft_text_stats", 1, "(text)")(args => TextStats(args.head))),

@@ -14,6 +14,8 @@ class SqlSurfaceSpec extends SparkSpecBase {
     assert(spark.sql(s"SELECT graft_simhash32($toks) FROM d").count() == 20)
     assert(spark.sql(s"SELECT graft_lang_scores($toks) FROM d").count() == 20)
     assert(spark.sql("SELECT graft_text_stats(text) FROM d").count() == 20)
+    assert(spark.sql(s"SELECT graft_ngrams($toks, 3) FROM d").count() == 20)
+    assert(spark.sql(s"SELECT graft_fingerprint($toks) FROM d").count() == 20)
     assert(spark.sql(
       "SELECT graft_qdot(graft_quantize(embedding), graft_quantize(embedding)) FROM e").count() == 20)
     assert(spark.sql(
