@@ -732,20 +732,12 @@ object Queries {
                            JOIN ok gb ON p.id_b = gb.doc_id)
              SELECT id_a, id_b, inter, uni FROM sc WHERE inter * 2 >= uni"""))
 
-  /** Duplicate CLUSTERS from the exact simhash near-dup pairs:
-    * iterative min-label propagation (operators.Relational
-    * .connectedComponents) assigns every paired doc the smallest doc_id
-    * in its component — the representative-picking step a dedup
-    * pipeline runs after pair mining. The DuckDB oracle computes the
-    * same roots via a recursive transitive closure.
+  /** Shared DuckDB prefix: exact simhash near-dup pairs → recursive
+    * transitive closure (`reach(id, r)`), the oracle twin of
+    * Relational.connectedComponents over DedupFns.simhashNearDupPairs.
     */
-  private val qDedupClusters = GraftQuery(
-    "q_dedup_clusters",
-    (s, dir) => {
-      val pairs = DedupFns.simhashNearDupPairs(t(s, dir, "documents"), "doc_id", "text", 3)
-      Relational.connectedComponents(pairs, "id_a", "id_b")
-    },
-    Some(s"""WITH RECURSIVE
+  private def simhashCcSql: String =
+    s"""WITH RECURSIVE
              t0 AS (SELECT doc_id, $toksSql AS tk FROM documents),
              hs AS (SELECT doc_id, list_transform(tk, t -> ${h31Sql("t")}) AS h FROM t0 WHERE len(tk) > 0),
              sums AS (SELECT doc_id,
@@ -766,9 +758,49 @@ object Queries {
                SELECT a, a FROM e
                UNION
                SELECT e.b, reach.r FROM reach JOIN e ON e.a = reach.id
-             )
+             )"""
+
+  /** Duplicate CLUSTERS from the exact simhash near-dup pairs:
+    * iterative min-label propagation (operators.Relational
+    * .connectedComponents) assigns every paired doc the smallest doc_id
+    * in its component — the representative-picking step a dedup
+    * pipeline runs after pair mining. The DuckDB oracle computes the
+    * same roots via a recursive transitive closure.
+    */
+  private val qDedupClusters = GraftQuery(
+    "q_dedup_clusters",
+    (s, dir) => {
+      val pairs = DedupFns.simhashNearDupPairs(t(s, dir, "documents"), "doc_id", "text", 3)
+      Relational.connectedComponents(pairs, "id_a", "id_b")
+    },
+    Some(s"""$simhashCcSql
              SELECT id, CAST(min(r) AS BIGINT) AS cluster_root
              FROM reach GROUP BY id"""))
+
+  /** The step AFTER clustering that a dedup pipeline actually ships:
+    * drop every cluster member except the min-doc_id representative and
+    * report the surviving corpus per source. The losers stay
+    * distributed (LEFT ANTI join — no collect); docs never paired
+    * survive untouched because the anti-join misses them.
+    */
+  private val qDedupSurvivors = GraftQuery(
+    "q_dedup_survivors",
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+      val pairs = DedupFns.simhashNearDupPairs(docs, "doc_id", "text", maxHamming = 3)
+      val losers = Relational.connectedComponents(pairs, "id_a", "id_b")
+        .filter(col("id") =!= col("cluster_root"))
+        .select(col("id"))
+      docs.join(losers, docs("doc_id") === losers("id"), "left_anti")
+        .groupBy("source").agg(count(lit(1)).as("n_docs"))
+    },
+    Some(s"""$simhashCcSql,
+             losers AS (SELECT id FROM (SELECT id, min(r) AS root FROM reach GROUP BY id)
+                        WHERE id != root)
+             SELECT source, CAST(count(*) AS BIGINT) AS n_docs
+             FROM documents LEFT JOIN losers ON doc_id = losers.id
+             WHERE losers.id IS NULL
+             GROUP BY source"""))
 
   /** Per-document repetitiousness: the most frequent token's share of
     * all tokens, in exact milli-units (max_tf * 1000 // n_tokens) — a
@@ -1345,6 +1377,202 @@ object Queries {
               CAST(('0x' || substr(md5(text), 5, 4))::BIGINT % 1024 + 1 AS BIGINT) AS height
             FROM documents"""))
 
+  /** Deterministic global shuffle order for training: pos = rank of
+    * (md5(doc_id), doc_id) over the whole corpus — the reproducible
+    * "shuffle the dataset" a training run needs, with zero RNG state.
+    * NOT a global sort: the leading md5 hex byte gives 256 buckets
+    * whose order is a PREFIX of the global sort key, so bucket-major
+    * order == global order. Per-bucket counts → exclusive offsets (a
+    * 256-row window, broadcast back), then row_number within each
+    * bucket: the only per-row movement is one 256-way hash shuffle. At
+    * 100 TB widen the prefix (3-4 hex chars → 4096/65536 buckets) to
+    * bound per-task sort size.
+    */
+  private val qShuffleOrder = GraftQuery(
+    "q_shuffle_order",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val h = md5(col("doc_id").cast("string"))
+      val base = t(s, dir, "documents")
+        .select(col("doc_id"), h.as("__h"), substring(h, 1, 2).as("__b"))
+      // tiny (≤256-row) side: per-bucket exclusive prefix counts
+      val offsets = base.groupBy("__b").agg(count(lit(1)).as("__n"))
+        .withColumn("__off",
+          coalesce(sum(col("__n")).over(
+            Window.orderBy("__b").rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        .select(col("__b"), col("__off"))
+      val wb = Window.partitionBy("__b").orderBy(col("__h"), col("doc_id"))
+      base.join(broadcast(offsets), "__b")
+        .select(col("doc_id"),
+          (col("__off") + row_number().over(wb) - 1).cast("long").as("pos"))
+    },
+    Some("""SELECT doc_id,
+              CAST(row_number() OVER (ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) - 1 AS BIGINT) AS pos
+            FROM documents"""))
+
+  /** Gopher-style heuristic filter signals, all exact integers so the
+    * keep/drop decision is engine-portable: token count, mean token
+    * length (milli), symbol ratio (milli), en-stopword hits, and the
+    * composite keep flag. Sum of token lengths is
+    * length(concat_ws("", toks)) — exact, codegen'd, no per-element
+    * lambda.
+    */
+  private val qGopherQuality = GraftQuery(
+    "q_gopher_quality",
+    (s, dir) => {
+      val enIdx = TextFns.Stopwords.keys.toSeq.sorted.indexOf("en") + 1
+      Fence.guard(
+          t(s, dir, "documents").select(col("doc_id"),
+            length(col("text")).cast("long").as("__c"),
+            TextFns.textStatsFast(col("text")).as("__ts"),
+            TextFns.tokensFast(col("text")).as("__toks"), Fence.col))
+        .select(col("doc_id"), col("__c"),
+          size(col("__toks")).cast("long").as("n_tokens"),
+          length(concat_ws("", col("__toks"))).cast("long").as("__sumlen"),
+          element_at(col("__ts"), 2).as("__p"),
+          element_at(TextFns.langScoresFast(col("__toks")), enIdx).as("stop_hits"))
+        .select(col("doc_id"), col("n_tokens"),
+          (col("__sumlen") * 1000L / greatest(col("n_tokens"), lit(1L))).cast("long").as("mean_len_milli"),
+          (col("__p") * 1000L / greatest(col("__c"), lit(1L))).cast("long").as("symbol_milli"),
+          col("stop_hits"))
+        .withColumn("keep",
+          (col("n_tokens") >= 5 && col("n_tokens") <= 50000 &&
+            col("mean_len_milli") >= 3000 && col("mean_len_milli") <= 10000 &&
+            col("symbol_milli") <= 100 && col("stop_hits") >= 1).cast("long"))
+    },
+    Some(s"""WITH t0 AS (SELECT doc_id, $toksSql AS tk,
+               CAST(length(text) AS BIGINT) AS c,
+               CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS BIGINT) AS p
+             FROM documents),
+             x AS (SELECT doc_id,
+                     CAST(len(tk) AS BIGINT) AS n_tokens,
+                     CAST(length(array_to_string(tk, '')) AS BIGINT) AS sumlen,
+                     CAST(len(list_filter(tk, t2 -> list_contains([${TextFns.Stopwords("en").map(w => s"'$w'").mkString(", ")}], t2))) AS BIGINT) AS stop_hits,
+                     c, p
+                   FROM t0),
+             y AS (SELECT doc_id, n_tokens,
+                     CAST(sumlen * 1000 // greatest(n_tokens, 1) AS BIGINT) AS mean_len_milli,
+                     CAST(p * 1000 // greatest(c, 1) AS BIGINT) AS symbol_milli,
+                     stop_hits
+                   FROM x)
+             SELECT doc_id, n_tokens, mean_len_milli, symbol_milli, stop_hits,
+               CAST((n_tokens >= 5 AND n_tokens <= 50000
+                     AND mean_len_milli BETWEEN 3000 AND 10000
+                     AND symbol_milli <= 100 AND stop_hits >= 1) AS BIGINT) AS keep
+             FROM y"""))
+
+  /** Vocabulary coverage / OOV rate vs the corpus top-100 vocabulary:
+    * the vocab is tiny by construction (top-k) so it broadcasts, and
+    * the per-doc coverage is one explode + one aggregation. Docs with
+    * zero tokens have no coverage row (nothing to cover).
+    */
+  private val qVocabCoverage = GraftQuery(
+    "q_vocab_coverage",
+    (s, dir) => {
+      val terms = Fence.guard(
+          t(s, dir, "documents")
+            .select(col("doc_id"), TextFns.tokensFast(col("text")).as("__toks"), Fence.col))
+        .select(col("doc_id"), explode(col("__toks")).as("term"))
+      val vocab = terms.groupBy("term").agg(count(lit(1)).as("__cnt"))
+        .orderBy(col("__cnt").desc, col("term")).limit(100)
+        .select(col("term"), lit(1L).as("__iv"))
+      terms.join(broadcast(vocab), Seq("term"), "left")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_tokens"),
+          count(when(col("__iv").isNull, 1)).as("n_oov"))
+        .select(col("doc_id"), col("n_tokens"), col("n_oov"),
+          (col("n_oov") * 1000L / col("n_tokens")).cast("long").as("oov_milli"))
+    },
+    Some(s"""WITH tk AS (SELECT doc_id, unnest($toksSql) AS term FROM documents),
+             v AS (SELECT term FROM (SELECT term, count(*) AS cnt FROM tk GROUP BY term
+                                     ORDER BY cnt DESC, term LIMIT 100)),
+             j AS (SELECT tk.doc_id, CASE WHEN v.term IS NULL THEN 1 ELSE 0 END AS oov
+                   FROM tk LEFT JOIN v ON tk.term = v.term)
+             SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+               CAST(sum(oov) AS BIGINT) AS n_oov,
+               CAST(sum(oov) * 1000 // count(*) AS BIGINT) AS oov_milli
+             FROM j GROUP BY doc_id"""))
+
+  /** Ordered conversion funnel over the event stream: first signup →
+    * first later click → any later purchase, counted per stage. Each
+    * stage is a per-user aggregate joined forward (user-keyed shuffle,
+    * per-user rows only — never event×event), strict ts ordering.
+    */
+  private val qFunnel = GraftQuery(
+    "q_funnel",
+    (s, dir) => {
+      val ev = events(s, dir).select(col("user_id"), col("event_type"), col("ts"))
+      val su = ev.filter(col("event_type") === "signup")
+        .groupBy("user_id").agg(min(col("ts")).as("s_ts"))
+      val cl = ev.filter(col("event_type") === "click")
+        .join(su, "user_id").filter(col("ts") > col("s_ts"))
+        .groupBy("user_id").agg(min(col("ts")).as("c_ts"))
+      val pu = ev.filter(col("event_type") === "purchase")
+        .join(cl, "user_id").filter(col("ts") > col("c_ts"))
+        .groupBy("user_id").agg(count(lit(1)).as("__n"))
+      su.agg(count(lit(1)).as("n_users"))
+        .select(lit("1_signup").as("stage"), col("n_users"))
+        .unionByName(cl.agg(count(lit(1)).as("n_users"))
+          .select(lit("2_click_after_signup").as("stage"), col("n_users")))
+        .unionByName(pu.agg(count(lit(1)).as("n_users"))
+          .select(lit("3_purchase_after_click").as("stage"), col("n_users")))
+    },
+    Some("""WITH s AS (SELECT user_id, min(ts) AS s_ts FROM events
+                       WHERE event_type = 'signup' GROUP BY 1),
+             c AS (SELECT e.user_id, min(e.ts) AS c_ts
+                   FROM events e JOIN s ON e.user_id = s.user_id
+                   WHERE e.event_type = 'click' AND e.ts > s.s_ts GROUP BY 1),
+             p AS (SELECT e.user_id
+                   FROM events e JOIN c ON e.user_id = c.user_id
+                   WHERE e.event_type = 'purchase' AND e.ts > c.c_ts GROUP BY 1)
+             SELECT '1_signup' AS stage, CAST(count(*) AS BIGINT) AS n_users FROM s
+             UNION ALL
+             SELECT '2_click_after_signup', CAST(count(*) AS BIGINT) FROM c
+             UNION ALL
+             SELECT '3_purchase_after_click', CAST(count(*) AS BIGINT) FROM p"""))
+
+  /** Day-over-day retention: per activity day, distinct active users
+    * and how many were active again the next day. One distinct
+    * (user, day) projection, one self equi-join on (user, day+1).
+    */
+  private val qRetention = GraftQuery(
+    "q_retention",
+    (s, dir) => {
+      val act = events(s, dir)
+        .select(col("user_id"), expr("unix_micros(ts) div 86400000000").as("day"))
+        .distinct()
+      val ret = act.join(act.select(col("user_id"), (col("day") - 1).as("day")),
+          Seq("user_id", "day"))
+        .groupBy("day").agg(count(lit(1)).as("n_retained"))
+      act.groupBy("day").agg(count(lit(1)).as("n_active"))
+        .join(ret, Seq("day"), "left")
+        .select(col("day"), col("n_active"),
+          coalesce(col("n_retained"), lit(0L)).as("n_retained"))
+    },
+    Some("""WITH a AS (SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS day FROM events),
+             r AS (SELECT a.day, count(*) AS n_retained
+                   FROM a JOIN a b ON a.user_id = b.user_id AND b.day = a.day + 1
+                   GROUP BY 1),
+             act AS (SELECT day, count(*) AS n FROM a GROUP BY 1)
+             SELECT act.day AS day, CAST(act.n AS BIGINT) AS n_active,
+               CAST(COALESCE(r.n_retained, 0) AS BIGINT) AS n_retained
+             FROM act LEFT JOIN r ON act.day = r.day"""))
+
+  /** Language-ID confusion matrix: the labeled `lang` column vs the
+    * stopword-heuristic prediction — the evaluation view a curation
+    * pipeline keeps alongside the classifier. Pure composition of the
+    * staged q_lang_id shape + one aggregation.
+    */
+  private val qLangConfusion = GraftQuery(
+    "q_lang_confusion",
+    (s, dir) =>
+      qLangId.fn(s, dir)
+        .groupBy("lang", "lang_pred").agg(count(lit(1)).as("n_docs")),
+    Some(s"""WITH t0 AS (SELECT doc_id, lang, $toksSql AS tk FROM documents),
+             sc AS (SELECT doc_id, lang, $langScoreSql FROM t0)
+             SELECT lang, $langCaseSql AS lang_pred, CAST(count(*) AS BIGINT) AS n_docs
+             FROM sc GROUP BY 1, 2"""))
+
   // =======================================================================
 
   val all: Seq[GraftQuery] = Seq(
@@ -1357,6 +1585,8 @@ object Queries {
     qEmbedTopk, qEmbedLsh, qEmbedIvf,
     qLangId, qQualityScore, qCuration, qSplitAssign, qPackSequences, qSamplePerKey,
     qTfidfTopterms, qContamination,
+    qShuffleOrder, qGopherQuality, qVocabCoverage, qFunnel, qRetention, qLangConfusion,
+    qDedupSurvivors,
     qTokenCount, qFingerprint, qMultimodalMeta,
     qMultimodalDecode, qResizePlan, qFrameSample)
 

@@ -1,0 +1,79 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Semantics of the round-4 training-pipeline operators, checked by
+  * properties a user relies on (not just oracle hashes): the shuffle
+  * order is a true permutation identical to the naive global sort, the
+  * funnel is monotone, dedup survivors partition the corpus, coverage
+  * ratios stay in range.
+  */
+class PipelineOpsSpec extends SparkSpecBase {
+
+  test("q_shuffle_order: positions are an exact 0..N-1 permutation matching the naive global sort") {
+    val out = Queries.queries("q_shuffle_order")(spark, sfDir)
+    val n = out.count()
+    // permutation: distinct positions cover exactly [0, n)
+    val stats = out.agg(
+      countDistinct(col("pos")).as("d"), min("pos").as("mn"), max("pos").as("mx")).head()
+    assert(stats.getLong(0) == n && stats.getLong(1) == 0L && stats.getLong(2) == n - 1, stats)
+    // bucketed two-phase order == naive single-task global order
+    import org.apache.spark.sql.expressions.Window
+    val naive = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id"),
+        (row_number().over(Window.orderBy(md5(col("doc_id").cast("string")), col("doc_id"))) - 1)
+          .cast("long").as("pos"))
+    assert(out.except(naive).isEmpty && naive.except(out).isEmpty)
+  }
+
+  test("q_funnel: stage counts are monotone non-increasing") {
+    val rows = Queries.queries("q_funnel")(spark, sfDir)
+      .orderBy("stage").collect().map(_.getLong(1))
+    assert(rows.length == 3, rows.toSeq)
+    assert(rows(0) >= rows(1) && rows(1) >= rows(2), rows.toSeq)
+  }
+
+  test("q_dedup_survivors: survivors = corpus minus non-representative cluster members") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val total = docs.count()
+    val losers = Queries.queries("q_dedup_clusters")(spark, sfDir)
+      .filter(col("id") =!= col("cluster_root")).count()
+    val survivors = Queries.queries("q_dedup_survivors")(spark, sfDir)
+      .agg(sum("n_docs")).head().getLong(0)
+    assert(survivors == total - losers, s"$survivors != $total - $losers")
+  }
+
+  test("q_vocab_coverage: ratios in [0,1000], token counts match q_token_count") {
+    val out = Queries.queries("q_vocab_coverage")(spark, sfDir)
+    assert(out.filter(col("oov_milli") < 0 || col("oov_milli") > 1000).isEmpty)
+    // n_tokens agrees with the independent normalized-token counter
+    val toks = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id"), size(graft.functions.TextFns.tokens(col("text"))).cast("long").as("nt"))
+      .filter(col("nt") > 0)
+    assert(out.join(toks, "doc_id").filter(col("n_tokens") =!= col("nt")).isEmpty)
+  }
+
+  test("q_gopher_quality: keep flag equals the recomputed predicate over emitted signals") {
+    val out = Queries.queries("q_gopher_quality")(spark, sfDir)
+    val bad = out.filter(col("keep") =!=
+      (col("n_tokens") >= 5 && col("n_tokens") <= 50000 &&
+        col("mean_len_milli").between(3000, 10000) &&
+        col("symbol_milli") <= 100 && col("stop_hits") >= 1).cast("long"))
+    assert(bad.isEmpty)
+    // the corpus exercises both branches
+    val kinds = out.select(countDistinct("keep")).head().getLong(0)
+    assert(kinds == 2, s"keep flag is constant ($kinds) — thresholds not exercised")
+  }
+
+  test("q_retention: retained never exceeds active; days are contiguous activity days") {
+    val out = Queries.queries("q_retention")(spark, sfDir)
+    assert(out.filter(col("n_retained") > col("n_active")).isEmpty)
+    assert(out.filter(col("n_active") <= 0).isEmpty)
+  }
+
+  test("q_lang_confusion: matrix total equals corpus size") {
+    val total = Queries.queries("q_lang_confusion")(spark, sfDir)
+      .agg(sum("n_docs")).head().getLong(0)
+    assert(total == spark.read.parquet(s"$sfDir/documents.parquet").count())
+  }
+}
