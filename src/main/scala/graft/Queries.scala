@@ -760,6 +760,21 @@ object Queries {
                SELECT e.b, reach.r FROM reach JOIN e ON e.a = reach.id
              )"""
 
+  /** Simhash pair mining + the iterative CC driver loop is the most
+    * expensive dedup stage and feeds BOTH q_dedup_clusters and
+    * q_dedup_survivors — a session-scoped cache runs it once per
+    * (session, dir). The result is already materialized (the CC loop
+    * localCheckpoints its state), so re-reads are leaf scans.
+    */
+  private val ccCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+  private def simhashClusters(s: SparkSession, dir: String): DataFrame =
+    ccCache.getOrElseUpdate((s, dir), {
+      val pairs =
+        DedupFns.simhashNearDupPairs(t(s, dir, "documents"), "doc_id", "text", maxHamming = 3)
+      Relational.connectedComponents(pairs, "id_a", "id_b")
+    })
+
   /** Duplicate CLUSTERS from the exact simhash near-dup pairs:
     * iterative min-label propagation (operators.Relational
     * .connectedComponents) assigns every paired doc the smallest doc_id
@@ -769,10 +784,7 @@ object Queries {
     */
   private val qDedupClusters = GraftQuery(
     "q_dedup_clusters",
-    (s, dir) => {
-      val pairs = DedupFns.simhashNearDupPairs(t(s, dir, "documents"), "doc_id", "text", 3)
-      Relational.connectedComponents(pairs, "id_a", "id_b")
-    },
+    (s, dir) => simhashClusters(s, dir),
     Some(s"""$simhashCcSql
              SELECT id, CAST(min(r) AS BIGINT) AS cluster_root
              FROM reach GROUP BY id"""))
@@ -787,8 +799,7 @@ object Queries {
     "q_dedup_survivors",
     (s, dir) => {
       val docs = t(s, dir, "documents")
-      val pairs = DedupFns.simhashNearDupPairs(docs, "doc_id", "text", maxHamming = 3)
-      val losers = Relational.connectedComponents(pairs, "id_a", "id_b")
+      val losers = simhashClusters(s, dir)
         .filter(col("id") =!= col("cluster_root"))
         .select(col("id"))
       docs.join(losers, docs("doc_id") === losers("id"), "left_anti")
@@ -1377,35 +1388,15 @@ object Queries {
               CAST(('0x' || substr(md5(text), 5, 4))::BIGINT % 1024 + 1 AS BIGINT) AS height
             FROM documents"""))
 
-  /** Deterministic global shuffle order for training: pos = rank of
-    * (md5(doc_id), doc_id) over the whole corpus — the reproducible
-    * "shuffle the dataset" a training run needs, with zero RNG state.
-    * NOT a global sort: the leading md5 hex byte gives 256 buckets
-    * whose order is a PREFIX of the global sort key, so bucket-major
-    * order == global order. Per-bucket counts → exclusive offsets (a
-    * 256-row window, broadcast back), then row_number within each
-    * bucket: the only per-row movement is one 256-way hash shuffle. At
-    * 100 TB widen the prefix (3-4 hex chars → 4096/65536 buckets) to
-    * bound per-task sort size.
+  /** Deterministic global shuffle order for training: see
+    * Relational.shuffleOrder — pos = rank of (md5(doc_id), doc_id),
+    * computed bucket-major so it is never a single-task global sort.
+    * prefixChars=2 (256 buckets) suits test scale; the 100 TB knob is
+    * the parameter.
     */
   private val qShuffleOrder = GraftQuery(
     "q_shuffle_order",
-    (s, dir) => {
-      import org.apache.spark.sql.expressions.Window
-      val h = md5(col("doc_id").cast("string"))
-      val base = t(s, dir, "documents")
-        .select(col("doc_id"), h.as("__h"), substring(h, 1, 2).as("__b"))
-      // tiny (≤256-row) side: per-bucket exclusive prefix counts
-      val offsets = base.groupBy("__b").agg(count(lit(1)).as("__n"))
-        .withColumn("__off",
-          coalesce(sum(col("__n")).over(
-            Window.orderBy("__b").rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-        .select(col("__b"), col("__off"))
-      val wb = Window.partitionBy("__b").orderBy(col("__h"), col("doc_id"))
-      base.join(broadcast(offsets), "__b")
-        .select(col("doc_id"),
-          (col("__off") + row_number().over(wb) - 1).cast("long").as("pos"))
-    },
+    (s, dir) => Relational.shuffleOrder(t(s, dir, "documents"), "doc_id", prefixChars = 2),
     Some("""SELECT doc_id,
               CAST(row_number() OVER (ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) - 1 AS BIGINT) AS pos
             FROM documents"""))
@@ -1573,6 +1564,123 @@ object Queries {
              SELECT lang, $langCaseSql AS lang_pred, CAST(count(*) AS BIGINT) AS n_docs
              FROM sc GROUP BY 1, 2"""))
 
+  /** Per-key running stats over the event stream (reference fold +
+    * lag_window composed): event index, cumulative sum (exact decimal),
+    * and a 5-event count-window moving average in exact milli-units.
+    * All three frames share ONE window spec (partition user_id, order
+    * ts/event_id): one shuffle, one per-key sort, every frame computed
+    * on the same sorted run. The average is integer `div` on exact
+    * cents so no cross-engine float rounding exists.
+    */
+  private val qRunningStats = GraftQuery(
+    "q_running_stats",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      val cents = (col("value").cast(dec) * 100).cast("long")
+      events(s, dir)
+        .select(col("event_id"), col("user_id"),
+          row_number().over(w).cast("long").as("pos"),
+          sum(col("value").cast(dec))
+            .over(w.rowsBetween(Window.unboundedPreceding, 0))
+            .cast("double").as("run_sum"),
+          sum(cents).over(w.rowsBetween(-4, 0)).as("__c5"),
+          count(lit(1)).over(w.rowsBetween(-4, 0)).as("__n5"))
+        .withColumn("mov_avg_milli", expr("(__c5 * 10) div __n5"))
+        .drop("__c5", "__n5")
+    },
+    Some("""SELECT event_id, user_id,
+              CAST(row_number() OVER w AS BIGINT) AS pos,
+              CAST(sum(CAST(value AS DECIMAL(18,2))) OVER (w ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS run_sum,
+              CAST(sum(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) OVER (w ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) * 10
+                   // count(*) OVER (w ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS BIGINT) AS mov_avg_milli
+            FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)"""))
+
+  /** Exact substring-duplication signal (the span-level twin of
+    * document near-dup): for each doc, how many of its distinct 8-token
+    * windows also occur in ANOTHER doc. Spans ride as portable 60-bit
+    * md5 hashes (never the strings) so the df shuffle moves 8 bytes per
+    * span; a count-over-partition on the span hash replaces the df
+    * self-join, so span df + per-doc rollup is ONE hash shuffle total.
+    * Docs under 8 tokens have no spans and emit no row.
+    */
+  private val qSpanDedup = GraftQuery(
+    "q_span_dedup",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val g = Fence.guard(
+          t(s, dir, "documents")
+            .select(col("doc_id"), TextFns.tokensFast(col("text")).as("__toks"), Fence.col))
+        .filter(size(col("__toks")) >= 8)
+        .select(col("doc_id"),
+          explode(DedupFns.wordNgramsFast(col("__toks"), 8)).as("__gram"))
+        .select(col("doc_id"), TextFns.tokenHash31(col("__gram")).as("__gh"))
+      g.withColumn("__df", count(lit(1)).over(Window.partitionBy("__gh")))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_spans"),
+          count(when(col("__df") >= 2, 1)).as("n_dup_spans"))
+        .withColumn("dup_milli", expr("n_dup_spans * 1000 div n_spans"))
+    },
+    Some(s"""WITH t0 AS (SELECT doc_id, $toksSql AS tk FROM documents),
+             g AS (SELECT doc_id,
+                     CASE WHEN len(tk) >= 8
+                          THEN list_distinct(list_transform(range(0, len(tk) - 7),
+                                 i -> array_to_string(list_slice(tk, i + 1, i + 8), ' ')))
+                          ELSE []::VARCHAR[] END AS gs
+                   FROM t0),
+             gr AS (SELECT doc_id, ${h31Sql("unnest(gs)")} AS gh FROM g),
+             d AS (SELECT gh, count(*) AS df FROM gr GROUP BY gh)
+             SELECT doc_id, CAST(count(*) AS BIGINT) AS n_spans,
+               CAST(sum(CASE WHEN df >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_spans,
+               CAST(sum(CASE WHEN df >= 2 THEN 1 ELSE 0 END) * 1000 // count(*) AS BIGINT) AS dup_milli
+             FROM gr JOIN d USING (gh) GROUP BY doc_id"""))
+
+  /** Broadcast-denylist term scrubbing (policy filtering): drop every
+    * denylisted token, count the hits, and fingerprint the scrubbed
+    * token sequence. The scrub is chained `array_remove` (codegen'd,
+    * order- and duplicate-preserving) — no interpreted lambda, no
+    * shuffle; the denylist rides in the plan as literals.
+    */
+  private val ScrubTerms = Seq("spark", "customer", "vector")
+  private val qTermScrub = GraftQuery(
+    "q_term_scrub",
+    (s, dir) => {
+      val scrubbed = ScrubTerms.foldLeft(col("__toks"))((c, t) => array_remove(c, t))
+      Fence.guard(
+          t(s, dir, "documents")
+            .select(col("doc_id"), TextFns.tokensFast(col("text")).as("__toks"), Fence.col))
+        .select(col("doc_id"),
+          size(col("__toks")).cast("long").as("n_tokens"),
+          scrubbed.as("__clean"))
+        .select(col("doc_id"), col("n_tokens"),
+          (col("n_tokens") - size(col("__clean"))).cast("long").as("n_hits"),
+          md5(concat_ws(" ", col("__clean"))).as("scrub_fp"))
+    },
+    Some(s"""WITH t0 AS (SELECT doc_id, $toksSql AS tk FROM documents),
+             x AS (SELECT doc_id, tk,
+                     list_filter(tk, t -> t NOT IN (${ScrubTerms.map(t => s"'$t'").mkString(", ")})) AS clean
+                   FROM t0)
+             SELECT doc_id, CAST(len(tk) AS BIGINT) AS n_tokens,
+               CAST(len(tk) - len(clean) AS BIGINT) AS n_hits,
+               md5(array_to_string(clean, ' ')) AS scrub_fp
+             FROM x"""))
+
+  /** Fixed-width value histogram per event type — the profiling view a
+    * pipeline keeps per numeric column. Bucketing is a map-only
+    * projection (floor of an IEEE-identical double division), then one
+    * partial-agg shuffle on (type, bucket); bucket cardinality is
+    * bounded by the value range, never by row count.
+    */
+  private val qValueHistogram = GraftQuery(
+    "q_value_histogram",
+    (s, dir) =>
+      events(s, dir)
+        .groupBy(col("event_type"), floor(col("value") / 50.0).cast("long").as("bucket"))
+        .agg(count(lit(1)).as("n"), sumDec(col("value")).as("sum_value")),
+    Some(s"""SELECT event_type, CAST(floor(value / 50.0) AS BIGINT) AS bucket,
+               $nSql AS n, $sumValSql AS sum_value
+             FROM events GROUP BY 1, 2"""))
+
   // =======================================================================
 
   val all: Seq[GraftQuery] = Seq(
@@ -1586,7 +1694,7 @@ object Queries {
     qLangId, qQualityScore, qCuration, qSplitAssign, qPackSequences, qSamplePerKey,
     qTfidfTopterms, qContamination,
     qShuffleOrder, qGopherQuality, qVocabCoverage, qFunnel, qRetention, qLangConfusion,
-    qDedupSurvivors,
+    qDedupSurvivors, qRunningStats, qSpanDedup, qTermScrub, qValueHistogram,
     qTokenCount, qFingerprint, qMultimodalMeta,
     qMultimodalDecode, qResizePlan, qFrameSample)
 

@@ -30,6 +30,33 @@ object Relational {
   def topK(df: DataFrame, k: Int, order: Column*): DataFrame =
     df.orderBy(order.toIndexedSeq: _*).limit(k)
 
+  /** Deterministic global shuffle order: pos = rank of (md5(id), id)
+    * over the whole dataset — the reproducible "shuffle the corpus" a
+    * training run needs, with zero RNG state. NOT a global sort: the
+    * leading `prefixChars` md5 hex chars give 16^prefixChars buckets
+    * whose order is a PREFIX of the global sort key, so bucket-major
+    * order == global order. Per-bucket counts → exclusive offsets (a
+    * bucket-count-row window, broadcast back), then row_number within
+    * each bucket: the only per-row movement is one bucket-way hash
+    * shuffle. `prefixChars` is the scale knob bounding per-task sort
+    * size: 2 (256 buckets) suits test scale; at 100 TB use 3-4
+    * (4096/65536 buckets) so each bucket's sort fits one task.
+    */
+  def shuffleOrder(df: DataFrame, idCol: String, prefixChars: Int = 2): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val h = md5(col(idCol).cast("string"))
+    val base = df.select(col(idCol), h.as("__h"), substring(h, 1, prefixChars).as("__b"))
+    val offsets = base.groupBy("__b").agg(count(lit(1)).as("__n"))
+      .withColumn("__off",
+        coalesce(sum(col("__n")).over(
+          Window.orderBy("__b").rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("__b"), col("__off"))
+    val wb = Window.partitionBy("__b").orderBy(col("__h"), col(idCol))
+    base.join(broadcast(offsets), "__b")
+      .select(col(idCol),
+        (col("__off") + row_number().over(wb) - 1).cast("long").as("pos"))
+  }
+
   /** Connected components by iterative min-label propagation: every
     * node's label converges to the smallest id in its component — the
     * canonical "pick one representative per duplicate cluster" step

@@ -69,6 +69,10 @@ class PipelineOpsSpec extends SparkSpecBase {
     val out = Queries.queries("q_retention")(spark, sfDir)
     assert(out.filter(col("n_retained") > col("n_active")).isEmpty)
     assert(out.filter(col("n_active") <= 0).isEmpty)
+    // contiguity: every day in [min, max] has an activity row
+    val r = out.agg(min(col("day")), max(col("day")), count(lit(1))).head()
+    assert(r.getLong(1) - r.getLong(0) + 1 == r.getLong(2),
+      s"activity days not contiguous: span ${r.getLong(1) - r.getLong(0) + 1} vs ${r.getLong(2)} rows")
   }
 
   test("q_lang_confusion: matrix total equals corpus size") {

@@ -1,0 +1,83 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Semantics of the round-5 operators, checked by properties a user
+  * relies on (not just oracle hashes): running stats agree with the
+  * independent per-key fold, span duplication saturates on exact
+  * duplicate documents, the scrub removes every denylisted token while
+  * preserving order, histogram mass equals the row count.
+  */
+class StreamStatsSpec extends SparkSpecBase {
+
+  test("q_running_stats: final running row agrees with the per-key fold") {
+    val out = Queries.queries("q_running_stats")(spark, sfDir)
+    // last row per user (pos == per-user count) carries the full sum
+    val last = out.groupBy("user_id")
+      .agg(max("pos").as("n"), max_by(col("run_sum"), col("pos")).as("final_sum"))
+    val fold = Queries.queries("q_fold_agg")(spark, sfDir)
+      .select(col("user_id"), col("n").as("n2"), col("sum_value"))
+    val joined = last.join(fold, "user_id")
+    assert(joined.filter(col("n") =!= col("n2")).isEmpty)
+    assert(joined.filter(col("final_sum") =!= col("sum_value")).isEmpty)
+    // moving average stays within the per-user [min, max] value range
+    val rng = spark.read.parquet(s"$sfDir/events.parquet")
+      .groupBy("user_id")
+      .agg((min("value") * 1000).as("lo"), (max("value") * 1000).as("hi"))
+    val bad = out.join(rng, "user_id")
+      .filter(col("mov_avg_milli") < col("lo") - 1 || col("mov_avg_milli") > col("hi") + 1)
+    assert(bad.isEmpty)
+  }
+
+  test("q_span_dedup: ratios in range; counts match a raw-gram-string recomputation") {
+    val out = Queries.queries("q_span_dedup")(spark, sfDir)
+    assert(out.filter(col("n_dup_spans") > col("n_spans")).isEmpty)
+    assert(out.filter(col("dup_milli") < 0 || col("dup_milli") > 1000).isEmpty)
+    // docs with >= 8 tokens all emit a row; shorter docs never do
+    val eligible = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id"), size(graft.functions.TextFns.tokens(col("text"))).as("nt"))
+    assert(out.count() == eligible.filter(col("nt") >= 8).count())
+    // independent recomputation over RAW gram strings (declarative
+    // path, join-based df instead of count-over-partition) — also
+    // proves the 60-bit span hashes are collision-free at this scale
+    import org.apache.spark.sql.expressions.Window
+    val gr = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id"),
+        explode(graft.functions.DedupFns.wordNgrams(col("text"), 8)).as("gram"))
+    val ref = gr
+      .withColumn("df", count(lit(1)).over(Window.partitionBy("gram")))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("ns"), count(when(col("df") >= 2, 1)).as("nd"))
+    val j = out.join(ref, "doc_id")
+    assert(j.filter(col("n_spans") =!= col("ns") || col("n_dup_spans") =!= col("nd")).isEmpty)
+    // the corpus's near-duplicates actually exercise the signal
+    assert(out.filter(col("n_dup_spans") > 0).count() > 0, "no shared spans in corpus")
+  }
+
+  test("q_term_scrub: hit accounting exact; scrub is order-preserving and complete") {
+    val out = Queries.queries("q_term_scrub")(spark, sfDir)
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val toks = graft.functions.TextFns.tokens(col("text"))
+    val clean = Seq("spark", "customer", "vector")
+      .foldLeft(toks)((c, t) => array_remove(c, t))
+    // independent recomputation straight off the text column
+    val ref = docs.select(col("doc_id"),
+      size(toks).cast("long").as("nt"),
+      (size(toks) - size(clean)).cast("long").as("nh"),
+      md5(concat_ws(" ", clean)).as("fp"))
+    val j = out.join(ref, "doc_id")
+    assert(j.filter(col("n_tokens") =!= col("nt") || col("n_hits") =!= col("nh") ||
+      col("scrub_fp") =!= col("fp")).isEmpty)
+    // the corpus actually exercises the scrub
+    assert(out.agg(sum("n_hits")).head().getLong(0) > 0)
+  }
+
+  test("q_value_histogram: bucket mass equals corpus; buckets cover the value range") {
+    val out = Queries.queries("q_value_histogram")(spark, sfDir)
+    val total = spark.read.parquet(s"$sfDir/events.parquet").count()
+    assert(out.agg(sum("n")).head().getLong(0) == total)
+    assert(out.filter(col("bucket") < 0).isEmpty)
+    assert(out.select(countDistinct("bucket")).head().getLong(0) >= 2,
+      "histogram collapsed to one bucket — bucketing not exercised")
+  }
+}
