@@ -16,7 +16,8 @@ object Bench {
     "q1_pricing", "q3_topk", "q5_region", "q_fold_agg", "q_tumbling_window",
     "q_candles", "q_interval_join", "q_asof_join", "q_wordcount",
     "q_dedup_minhash", "q_dedup_simhash_pairs", "q_dedup_embed", "q_embed_lsh",
-    "q_embed_ivf", "q_token_count", "q_distinct_users", "q_curation")
+    "q_embed_ivf", "q_token_count", "q_distinct_users", "q_curation",
+    "q_span_dedup", "q_running_stats")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -1665,6 +1665,108 @@ object Queries {
                md5(array_to_string(clean, ' ')) AS scrub_fp
              FROM x"""))
 
+  /** Bigram collocation mining by integer lift: how much more often
+    * two tokens appear ADJACENT than unigram frequencies predict —
+    * lift = P(x,y)/(P(x)P(y)) = c_xy·N·1000 / (c_x·c_y) in exact
+    * milli-units. Bigram formation is `arrays_zip` of two slices
+    * (codegen'd, map-only — no per-doc shuffle, no lambda); unigram
+    * counts join back by term equi-join (AQE broadcasts when the vocab
+    * is small). c_xy ≥ 5 bounds the output to repeated collocations.
+    * At 100 TB swap the lift numerator to DECIMAL(38,0): c_xy·N·1000
+    * can exceed 2^63 when N ~ 10^12.
+    */
+  private val qBigramLift = GraftQuery(
+    "q_bigram_lift",
+    (s, dir) => {
+      val toks = Fence.guard(
+          t(s, dir, "documents")
+            .select(TextFns.tokensFast(col("text")).as("__toks"), Fence.col))
+        .filter(size(col("__toks")) >= 2)
+      val pairs = toks
+        .select(explode(arrays_zip(
+          slice(col("__toks"), lit(1), size(col("__toks")) - 1),
+          slice(col("__toks"), lit(2), size(col("__toks")) - 1))).as("p"))
+        .select(col("p.0").as("x"), col("p.1").as("y"))
+      // ONE tokenize feeds the unigram table; the x-join, y-join AND
+      // the N aggregate all sit on the same canonical groupBy exchange,
+      // which AQE's stage cache runs once at runtime (same reuse
+      // pattern as q_minhash_rescore). shuffle_hash keeps the optimizer
+      // from re-planning the shared side as three independent
+      // broadcasts.
+      val uni = Fence.guard(
+          t(s, dir, "documents")
+            .select(TextFns.tokensFast(col("text")).as("__toks"), Fence.col))
+        .select(explode(col("__toks")).as("term"))
+        .groupBy("term").agg(count(lit(1)).as("c"))
+      // scalar N rides a 1-row broadcast (plans as a nested-loop join
+      // with a single-row build side — Spark's scalar-attach shape:
+      // no shuffle, O(rows), nothing actually loops)
+      val n = uni.agg(sum(col("c")).cast("long").as("n_total"))
+      pairs.groupBy("x", "y").agg(count(lit(1)).as("c_xy"))
+        .filter(col("c_xy") >= 5)
+        .join(uni.as("ux").hint("shuffle_hash"), col("x") === col("ux.term"))
+        .join(uni.as("uy").hint("shuffle_hash"), col("y") === col("uy.term"))
+        .crossJoin(broadcast(n))
+        .select(col("x"), col("y"), col("c_xy"),
+          col("ux.c").as("__cx"), col("uy.c").as("__cy"), col("n_total"))
+        .select(col("x"), col("y"), col("c_xy"),
+          expr("c_xy * n_total * 1000 div (__cx * __cy)").as("lift_milli"))
+    },
+    Some(s"""WITH t0 AS (SELECT $toksSql AS tk FROM documents),
+             pr AS (SELECT unnest(list_transform(range(0, len(tk) - 1),
+                      i -> [tk[i+1], tk[i+2]])) AS p
+                    FROM t0 WHERE len(tk) >= 2),
+             bg AS (SELECT p[1] AS x, p[2] AS y, CAST(count(*) AS BIGINT) AS c_xy
+                    FROM pr GROUP BY 1, 2 HAVING count(*) >= 5),
+             un AS (SELECT unnest(tk) AS term FROM t0),
+             uc AS (SELECT term, count(*) AS c FROM un GROUP BY 1),
+             nt AS (SELECT count(*) AS n_total FROM un)
+             SELECT x, y, c_xy,
+               CAST(c_xy * n_total * 1000 // (cx.c * cy.c) AS BIGINT) AS lift_milli
+             FROM bg JOIN uc cx ON bg.x = cx.term
+                     JOIN uc cy ON bg.y = cy.term
+                     CROSS JOIN nt"""))
+
+  /** Per-type outlier trim (top-5% by value): the cutoff is defined by
+    * RANK, not by an interpolated quantile, so every comparison is
+    * exact integer arithmetic — cut position = (n*95) div 100 over
+    * rows ordered by (cents, event_id), rows above it are outliers.
+    * One shuffle + per-type sort for the rank; the per-type totals ride
+    * the same sorted run. Reports the cutoff value and the mass above
+    * it (the winsorization a feature pipeline applies to heavy tails).
+    */
+  private val qOutliers = GraftQuery(
+    "q_outliers",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val cents = (col("value").cast(dec) * 100).cast("long")
+      val w = Window.partitionBy("event_type").orderBy(col("__cents"), col("event_id"))
+      val wAll = Window.partitionBy("event_type")
+      events(s, dir)
+        .select(col("event_type"), col("event_id"), cents.as("__cents"))
+        .select(col("event_type"), col("__cents"),
+          row_number().over(w).cast("long").as("__rn"),
+          count(lit(1)).over(wAll).as("__n"))
+        .withColumn("__cut", expr("(__n * 95) div 100"))
+        .groupBy("event_type")
+        .agg(max(col("__n")).as("n"),
+          max(when(col("__rn") === col("__cut"), col("__cents"))).as("cut_cents"),
+          count(when(col("__rn") > col("__cut"), 1)).as("n_above"),
+          sum(when(col("__rn") > col("__cut"), col("__cents"))).as("sum_above_cents"))
+    },
+    Some("""WITH r AS (
+              SELECT event_type,
+                CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents,
+                row_number() OVER (PARTITION BY event_type
+                                   ORDER BY CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT), event_id) AS rn,
+                count(*) OVER (PARTITION BY event_type) AS n
+              FROM events)
+            SELECT event_type, CAST(max(n) AS BIGINT) AS n,
+              max(CASE WHEN rn = (n * 95) // 100 THEN cents END) AS cut_cents,
+              CAST(sum(CASE WHEN rn > (n * 95) // 100 THEN 1 ELSE 0 END) AS BIGINT) AS n_above,
+              CAST(sum(CASE WHEN rn > (n * 95) // 100 THEN cents END) AS BIGINT) AS sum_above_cents
+            FROM r GROUP BY event_type"""))
+
   /** Fixed-width value histogram per event type — the profiling view a
     * pipeline keeps per numeric column. Bucketing is a map-only
     * projection (floor of an IEEE-identical double division), then one
@@ -1695,6 +1797,7 @@ object Queries {
     qTfidfTopterms, qContamination,
     qShuffleOrder, qGopherQuality, qVocabCoverage, qFunnel, qRetention, qLangConfusion,
     qDedupSurvivors, qRunningStats, qSpanDedup, qTermScrub, qValueHistogram,
+    qBigramLift, qOutliers,
     qTokenCount, qFingerprint, qMultimodalMeta,
     qMultimodalDecode, qResizePlan, qFrameSample)
 

@@ -96,7 +96,10 @@ class PlanSpec extends SparkSpecBase {
     // self-joins legitimately carry 2 logical copies per shared
     // exchange (runtime reuse computes each once); ngram-jaccard has 3
     // reused subtrees, minhash-rescore 2 (candidates + gram arrays)
-    val bound = Map("q_ngram_jaccard" -> 6, "q_minhash_rescore" -> 4).withDefaultValue(2)
+    // bigram-lift reuses ONE unigram subtree 3× (x-join, y-join, N)
+    // plus the bigram branch — all four share two runtime tokenizes
+    val bound = Map("q_ngram_jaccard" -> 6, "q_minhash_rescore" -> 4,
+      "q_bigram_lift" -> 4).withDefaultValue(2)
     for ((name, fn) <- Queries.queries.toSeq.sortBy(_._1)) {
       val p = fn(spark, sfDir).queryExecution.optimizedPlan.toString.toLowerCase
       for (pat <- pats) {

@@ -72,6 +72,36 @@ class StreamStatsSpec extends SparkSpecBase {
     assert(out.agg(sum("n_hits")).head().getLong(0) > 0)
   }
 
+  test("q_bigram_lift: counts match an independent lead-window recomputation") {
+    val out = Queries.queries("q_bigram_lift")(spark, sfDir)
+    assert(out.filter(col("c_xy") < 5).isEmpty)
+    assert(out.filter(col("lift_milli") < 0).isEmpty)
+    // recompute adjacency counts with posexplode + lead (a different
+    // formation than the zipped-slice path)
+    import org.apache.spark.sql.expressions.Window
+    val terms = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id"), posexplode(graft.functions.TextFns.tokens(col("text"))))
+      .toDF("doc_id", "pos", "term")
+    val w = Window.partitionBy("doc_id").orderBy("pos")
+    val ref = terms.withColumn("nxt", lead("term", 1).over(w))
+      .filter(col("nxt").isNotNull)
+      .groupBy(col("term").as("x"), col("nxt").as("y"))
+      .agg(count(lit(1)).as("c_ref"))
+    val j = out.join(ref, Seq("x", "y"), "left")
+    assert(j.filter(col("c_ref").isNull || col("c_xy") =!= col("c_ref")).isEmpty)
+  }
+
+  test("q_outliers: rank accounting exact; above-mass bounded by the cutoff") {
+    val out = Queries.queries("q_outliers")(spark, sfDir)
+    // n_above is exactly n - (n*95) div 100 (ranks are unique)
+    assert(out.filter(col("n_above") =!= col("n") - expr("(n * 95) div 100")).isEmpty)
+    // every above-cutoff value is >= the cutoff value
+    assert(out.filter(col("sum_above_cents") < col("n_above") * col("cut_cents")).isEmpty)
+    val totals = spark.read.parquet(s"$sfDir/events.parquet")
+      .groupBy("event_type").agg(count(lit(1)).as("n_ref"))
+    assert(out.join(totals, "event_type").filter(col("n") =!= col("n_ref")).isEmpty)
+  }
+
   test("q_value_histogram: bucket mass equals corpus; buckets cover the value range") {
     val out = Queries.queries("q_value_histogram")(spark, sfDir)
     val total = spark.read.parquet(s"$sfDir/events.parquet").count()
