@@ -164,6 +164,40 @@ object StreamingOps {
       }
   }
 
+  /** A KeyedEvent carrying its per-key running fold: event index and
+    * exact running cents sum (the streaming scan).
+    */
+  final case class RunEvent(key: Long, tsUs: Long, value: Double, seq: Long, runCents: Long)
+
+  /** Per-key running-fold state: next index + accumulated cents. */
+  final case class RunState(next: Long, cents: Long)
+
+  /** Streaming per-key running fold / scan (reference StreamExt::fold
+    * observed mid-stream): emits every event with its per-key index and
+    * exact running sum in integer cents — the streaming twin of the
+    * batch `q_running_stats` cumulative frame. Cents stay exact longs
+    * (value is exact to 2 decimals), so replaying batches of any size
+    * produces identical sums — no float accumulation drift in state.
+    */
+  def runningFold(stream: Dataset[KeyedEvent]): Dataset[RunEvent] = {
+    implicit val outEnc = Encoders.product[RunEvent]
+    implicit val stEnc = Encoders.product[RunState]
+    stream.groupByKey(_.key)(Encoders.scalaLong)
+      .flatMapGroupsWithState[RunState, RunEvent](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout) {
+        (key: Long, events: Iterator[KeyedEvent], state: GroupState[RunState]) =>
+          var st = state.getOption.getOrElse(RunState(1L, 0L))
+          val out = events.toSeq.sortBy(e => (e.tsUs, e.value)).map { e =>
+            st = RunState(st.next + 1,
+              st.cents + new java.math.BigDecimal(e.value)
+                .setScale(2, java.math.RoundingMode.HALF_UP).movePointRight(2).longValueExact())
+            RunEvent(e.key, e.tsUs, e.value, st.next - 1, st.cents)
+          }
+          state.update(st)
+          out.iterator
+      }
+  }
+
   /** The reference's flagship end-to-end pipeline as ONE stateful
     * streaming operator: ticks → epoch-aligned tumbling OHLC candles →
     * Strat classification of each closed candle against its

@@ -230,6 +230,27 @@ class StreamingParitySpec extends SparkSpecBase {
     assert(gotChunk == expChunk)
   }
 
+  test("streaming runningFold matches the batch cumulative window") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val events = mkEvents
+    val out = StreamingOps.runningFold(streamOf(events).toDS())
+    runToTable(out.toDF(), "t_runfold", OutputMode.Append())
+    val got = spark.table("t_runfold").select("key", "tsUs", "seq", "runCents")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+
+    val w = Window.partitionBy("key").orderBy("tsUs", "value")
+    val expect = events.toDF()
+      .withColumn("seq", row_number().over(w).cast("long"))
+      .withColumn("runCents",
+        sum((col("value").cast("decimal(18,2)") * 100).cast("long"))
+          .over(w.rowsBetween(Window.unboundedPreceding, 0)))
+      .select("key", "tsUs", "seq", "runCents")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(got == expect)
+    assert(got.nonEmpty)
+  }
+
   test("streaming dedupExact matches batch first-occurrence dedup") {
     import spark.implicits._
     // dedup key = value (stands in for a content hash); dups across keys
