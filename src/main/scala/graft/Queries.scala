@@ -1767,6 +1767,44 @@ object Queries {
               CAST(sum(CASE WHEN rn > (n * 95) // 100 THEN cents END) AS BIGINT) AS sum_above_cents
             FROM r GROUP BY event_type"""))
 
+  /** Deterministic token-budget corpus cut: walk each source's docs in
+    * the reproducible shuffle order (md5(doc_id), doc_id) and keep docs
+    * until the per-source token budget fills — the "give me N tokens
+    * from this mixture" step that materializes a pretraining data
+    * recipe. Zero RNG state: the same budget always yields the same
+    * corpus. One shuffle on source + per-source sort here; at 100 TB
+    * the per-source sort becomes the two-phase md5-prefix-bucket walk
+    * of Relational.shuffleOrder applied per (source, bucket), with
+    * bucket token totals → exclusive offsets → only budget-straddling
+    * buckets need row-level cumulation.
+    */
+  private val qTokenBudget = GraftQuery(
+    "q_token_budget",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val base = Fence.guard(
+          t(s, dir, "documents")
+            .select(col("doc_id"), col("source"),
+              TextFns.tokensFast(col("text")).as("__toks"), Fence.col))
+        .select(col("doc_id"), col("source"),
+          size(col("__toks")).cast("long").as("n_tokens"))
+      val w = Window.partitionBy("source")
+        .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+      base
+        .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+        .filter(col("cum_tokens") <= 800)
+    },
+    Some(s"""WITH t0 AS (SELECT doc_id, source,
+               CAST(len($toksSql) AS BIGINT) AS n_tokens FROM documents),
+             c AS (SELECT doc_id, source, n_tokens,
+                     CAST(sum(n_tokens) OVER (PARTITION BY source
+                       ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+                       ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
+                   FROM t0)
+             SELECT doc_id, source, n_tokens, cum_tokens
+             FROM c WHERE cum_tokens <= 800"""))
+
   /** Fixed-width value histogram per event type — the profiling view a
     * pipeline keeps per numeric column. Bucketing is a map-only
     * projection (floor of an IEEE-identical double division), then one
@@ -1797,7 +1835,7 @@ object Queries {
     qTfidfTopterms, qContamination,
     qShuffleOrder, qGopherQuality, qVocabCoverage, qFunnel, qRetention, qLangConfusion,
     qDedupSurvivors, qRunningStats, qSpanDedup, qTermScrub, qValueHistogram,
-    qBigramLift, qOutliers,
+    qBigramLift, qOutliers, qTokenBudget,
     qTokenCount, qFingerprint, qMultimodalMeta,
     qMultimodalDecode, qResizePlan, qFrameSample)
 

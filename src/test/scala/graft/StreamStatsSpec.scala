@@ -102,6 +102,31 @@ class StreamStatsSpec extends SparkSpecBase {
     assert(out.join(totals, "event_type").filter(col("n") =!= col("n_ref")).isEmpty)
   }
 
+  test("q_token_budget: budget respected, cut is a shuffle-order prefix per source") {
+    val out = Queries.queries("q_token_budget")(spark, sfDir)
+    assert(out.filter(col("cum_tokens") > 800).isEmpty)
+    assert(out.filter(col("cum_tokens") < col("n_tokens")).isEmpty)
+    // prefix property: every kept doc's shuffle-order rank per source
+    // equals its row count up to and including it — no gaps
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("source")
+      .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+    val ranked = out.withColumn("rk", row_number().over(w))
+    val perSource = ranked.groupBy("source")
+      .agg(count(lit(1)).as("n"), max("rk").as("maxrk"))
+    assert(perSource.filter(col("n") =!= col("maxrk")).isEmpty)
+    // the cut is maximal: recomputing cum over the FULL corpus, every
+    // doc with cum <= budget is kept (same row set, no early stop)
+    val all = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id"), col("source"),
+        size(graft.functions.TextFns.tokens(col("text"))).cast("long").as("nt"))
+      .withColumn("cum", sum("nt").over(
+        w.rowsBetween(Window.unboundedPreceding, 0)))
+    val expectIds = all.filter(col("cum") <= 800).select("doc_id")
+    assert(out.select("doc_id").except(expectIds).isEmpty &&
+      expectIds.except(out.select("doc_id")).isEmpty)
+  }
+
   test("q_value_histogram: bucket mass equals corpus; buckets cover the value range") {
     val out = Queries.queries("q_value_histogram")(spark, sfDir)
     val total = spark.read.parquet(s"$sfDir/events.parquet").count()
