@@ -1805,6 +1805,57 @@ object Queries {
              SELECT doc_id, source, n_tokens, cum_tokens
              FROM c WHERE cum_tokens <= 800"""))
 
+  /** Multi-level rollup (corpus → per-source → per-source-per-lang
+    * totals in ONE scan): Spark `rollup` = DuckDB GROUPING SETS. Group
+    * keys are coalesced to a sentinel and the grouping bitmask rides
+    * along, so no NULL ever reaches the cross-engine compare. Rollup
+    * is partial-agg friendly — one shuffle, no per-level rescan.
+    */
+  private val qRollupStats = GraftQuery(
+    "q_rollup_stats",
+    (s, dir) =>
+      t(s, dir, "documents")
+        .rollup(col("source"), col("lang"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"),
+          grouping_id().as("gid"))
+        .select(coalesce(col("source"), lit("<all>")).as("source"),
+          coalesce(col("lang"), lit("<all>")).as("lang"),
+          col("n_docs"), col("sum_chars"), col("gid").cast("long").as("gid")),
+    Some("""SELECT COALESCE(source, '<all>') AS source,
+              COALESCE(lang, '<all>') AS lang,
+              CAST(count(*) AS BIGINT) AS n_docs,
+              CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+              CAST(GROUPING(source, lang) AS BIGINT) AS gid
+            FROM documents GROUP BY ROLLUP (source, lang)"""))
+
+  /** Per-key TIME-based sliding aggregate (the event-time twin of the
+    * count-window in q_running_stats): for every event, the count and
+    * exact cents sum of the same user's events in the trailing 30
+    * minutes. A RANGE frame over epoch micros — peers at the same
+    * timestamp are included identically in both engines. One shuffle +
+    * one per-key sort; both frames share the window spec.
+    */
+  private val qTimeWindowSum = GraftQuery(
+    "q_time_window_sum",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val cents = (col("value").cast(dec) * 100).cast("long")
+      val w = Window.partitionBy("user_id").orderBy(col("__us"))
+        .rangeBetween(-1800000000L, 0L)
+      events(s, dir)
+        .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("__us"),
+          cents.as("__cents"))
+        .select(col("event_id"), col("user_id"),
+          count(lit(1)).over(w).as("n_30m"),
+          sum(col("__cents")).over(w).as("sum_cents_30m"))
+    },
+    Some("""SELECT event_id, user_id,
+              CAST(count(*) OVER w AS BIGINT) AS n_30m,
+              CAST(sum(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) OVER w AS BIGINT) AS sum_cents_30m
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+                         RANGE BETWEEN 1800000000 PRECEDING AND CURRENT ROW)"""))
+
   /** Fixed-width value histogram per event type — the profiling view a
     * pipeline keeps per numeric column. Bucketing is a map-only
     * projection (floor of an IEEE-identical double division), then one
@@ -1835,7 +1886,7 @@ object Queries {
     qTfidfTopterms, qContamination,
     qShuffleOrder, qGopherQuality, qVocabCoverage, qFunnel, qRetention, qLangConfusion,
     qDedupSurvivors, qRunningStats, qSpanDedup, qTermScrub, qValueHistogram,
-    qBigramLift, qOutliers, qTokenBudget,
+    qBigramLift, qOutliers, qTokenBudget, qRollupStats, qTimeWindowSum,
     qTokenCount, qFingerprint, qMultimodalMeta,
     qMultimodalDecode, qResizePlan, qFrameSample)
 

@@ -127,6 +127,39 @@ class StreamStatsSpec extends SparkSpecBase {
       expectIds.except(out.select("doc_id")).isEmpty)
   }
 
+  test("q_rollup_stats: levels are consistent — details sum to subtotals sum to the grand total") {
+    val out = Queries.queries("q_rollup_stats")(spark, sfDir)
+    val total = spark.read.parquet(s"$sfDir/documents.parquet").count()
+    // grand total (gid=3)
+    assert(out.filter(col("gid") === 3).agg(sum("n_docs")).head().getLong(0) == total)
+    // per-source subtotals (gid=1) sum to the grand total
+    assert(out.filter(col("gid") === 1).agg(sum("n_docs")).head().getLong(0) == total)
+    // detail rows (gid=0) roll up to their source subtotal
+    val detail = out.filter(col("gid") === 0)
+      .groupBy("source").agg(sum("n_docs").as("d"), sum("sum_chars").as("dc"))
+    val sub = out.filter(col("gid") === 1)
+      .select(col("source"), col("n_docs").as("s"), col("sum_chars").as("sc"))
+    assert(detail.join(sub, "source")
+      .filter(col("d") =!= col("s") || col("dc") =!= col("sc")).isEmpty)
+  }
+
+  test("q_time_window_sum: trailing 30-min counts match an interval-join recomputation") {
+    val out = Queries.queries("q_time_window_sum")(spark, sfDir)
+    assert(out.filter(col("n_30m") < 1).isEmpty) // frame always includes self
+    val ev = spark.read.parquet(s"$sfDir/events.parquet")
+      .select(col("event_id"), col("user_id"),
+        expr("ts div 1000").as("us"),
+        (col("value").cast("decimal(18,2)") * 100).cast("long").as("cents"))
+    val ref = ev.as("a")
+      .join(ev.as("b"), col("a.user_id") === col("b.user_id") &&
+        col("b.us").between(col("a.us") - 1800000000L, col("a.us")))
+      .groupBy(col("a.event_id").as("event_id"))
+      .agg(count(lit(1)).as("n_ref"), sum(col("b.cents")).as("sum_ref"))
+    val j = out.join(ref, "event_id")
+    assert(j.filter(col("n_30m") =!= col("n_ref") ||
+      col("sum_cents_30m") =!= col("sum_ref")).isEmpty)
+  }
+
   test("q_value_histogram: bucket mass equals corpus; buckets cover the value range") {
     val out = Queries.queries("q_value_histogram")(spark, sfDir)
     val total = spark.read.parquet(s"$sfDir/events.parquet").count()
