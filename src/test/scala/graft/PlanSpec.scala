@@ -86,6 +86,21 @@ class PlanSpec extends SparkSpecBase {
     assert("Join".r.findAllIn(p).size == 1, p)
   }
 
+  test("round-5 window ops: one exchange per keyed window; scrub is map-only") {
+    // all three frames of the running stats share one shuffle + sort
+    val p1 = planOf(Queries.queries("q_running_stats")(spark, sfDir))
+    assert("Exchange hashpartitioning".r.findAllIn(p1).size == 1, p1)
+    // the time-range frame adds no second shuffle either
+    val p2 = planOf(Queries.queries("q_time_window_sum")(spark, sfDir))
+    assert("Exchange hashpartitioning".r.findAllIn(p2).size == 1, p2)
+    // outlier trim: both window frames + rollup ride one keyed shuffle
+    val p3 = planOf(Queries.queries("q_outliers")(spark, sfDir))
+    assert("Exchange hashpartitioning".r.findAllIn(p3).size == 1, p3)
+    // denylist scrub is a pure projection: no exchange at all
+    val p4 = planOf(Queries.queries("q_term_scrub")(spark, sfDir))
+    assert(!p4.contains("Exchange"), p4)
+  }
+
   test("fences hold: expensive signature expressions never duplicated per plan branch") {
     // Catalyst predicate substitution used to evaluate these up to 3×
     // per row per self-join side (see functions.Fence). Self-joins
