@@ -1856,6 +1856,72 @@ object Queries {
             WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
                          RANGE BETWEEN 1800000000 PRECEDING AND CURRENT ROW)"""))
 
+  /** Column profiling (completeness + cardinality per column in ONE
+    * scan): null counts and exact distinct counts for every events
+    * column, unpivoted to a tall (column, stat) table. Multi-column
+    * exact distincts plan as one Expand (scan×k) — the exact-profiling
+    * cost; swap countDistinct for approx_count_distinct at 100 TB when
+    * ±2% suffices. All-integer output, no float surface.
+    */
+  private val qProfile = GraftQuery(
+    "q_profile",
+    (s, dir) => {
+      val cols = Seq("event_id", "ts", "user_id", "event_type", "value", "props")
+      val aggs = count(lit(1)).as("__n") +:
+        cols.flatMap(c => Seq(
+          sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"__${c}_nulls"),
+          countDistinct(col(c)).as(s"__${c}_distinct")))
+      val stackArgs = cols.map(c => s"'$c', __${c}_nulls, __${c}_distinct").mkString(", ")
+      events(s, dir)
+        .agg(aggs.head, aggs.tail: _*)
+        .select(col("__n"), expr(s"stack(${cols.size}, $stackArgs) AS (col_name, n_nulls, n_distinct)"))
+        .select(col("col_name"), col("__n").as("n_rows"),
+          col("n_nulls").cast("long").as("n_nulls"),
+          col("n_distinct").cast("long").as("n_distinct"))
+    },
+    Some("""WITH s AS (
+              SELECT 'event_id' AS col_name, count(*) AS n_rows,
+                sum(CASE WHEN event_id IS NULL THEN 1 ELSE 0 END) AS n_nulls,
+                count(DISTINCT event_id) AS n_distinct FROM events
+              UNION ALL SELECT 'ts', count(*),
+                sum(CASE WHEN ts IS NULL THEN 1 ELSE 0 END), count(DISTINCT ts) FROM events
+              UNION ALL SELECT 'user_id', count(*),
+                sum(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END), count(DISTINCT user_id) FROM events
+              UNION ALL SELECT 'event_type', count(*),
+                sum(CASE WHEN event_type IS NULL THEN 1 ELSE 0 END), count(DISTINCT event_type) FROM events
+              UNION ALL SELECT 'value', count(*),
+                sum(CASE WHEN value IS NULL THEN 1 ELSE 0 END), count(DISTINCT value) FROM events
+              UNION ALL SELECT 'props', count(*),
+                sum(CASE WHEN props IS NULL THEN 1 ELSE 0 END), count(DISTINCT props) FROM events)
+            SELECT col_name, CAST(n_rows AS BIGINT) AS n_rows,
+              CAST(n_nulls AS BIGINT) AS n_nulls, CAST(n_distinct AS BIGINT) AS n_distinct
+            FROM s"""))
+
+  /** Deterministic stratified sampling by rate: keep a FRACTION of each
+    * source (src-dependent permille rate, md5-bucket threshold) — the
+    * rate-based complement of q_sample_per_key's fixed-count sampling
+    * and q_token_budget's budget cut. Map-only: the rate table rides in
+    * the plan as a CASE literal; zero RNG state, rerun-stable.
+    */
+  private val qStratifiedSample = GraftQuery(
+    "q_stratified_sample",
+    (s, dir) => {
+      // permille keep-rates by source bucket (srcN → (N % 4) flavors)
+      val rate = expr("CASE CAST(substr(source, 4, 4) AS INT) % 4 " +
+        "WHEN 0 THEN 1000 WHEN 1 THEN 500 WHEN 2 THEN 250 ELSE 100 END")
+      t(s, dir, "documents")
+        .select(col("doc_id"), col("source"),
+          (conv(substring(md5(col("doc_id").cast("string")), 1, 15), 16, 10)
+            .cast("long") % 1000L).as("__b"),
+          rate.as("__rate"))
+        .filter(col("__b") < col("__rate"))
+        .select(col("doc_id"), col("source"))
+    },
+    Some("""SELECT doc_id, source FROM documents
+            WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 1000
+                  < CASE CAST(substr(source, 4, 4) AS INT) % 4
+                      WHEN 0 THEN 1000 WHEN 1 THEN 500 WHEN 2 THEN 250 ELSE 100 END"""))
+
   /** Fixed-width value histogram per event type — the profiling view a
     * pipeline keeps per numeric column. Bucketing is a map-only
     * projection (floor of an IEEE-identical double division), then one
@@ -1887,6 +1953,7 @@ object Queries {
     qShuffleOrder, qGopherQuality, qVocabCoverage, qFunnel, qRetention, qLangConfusion,
     qDedupSurvivors, qRunningStats, qSpanDedup, qTermScrub, qValueHistogram,
     qBigramLift, qOutliers, qTokenBudget, qRollupStats, qTimeWindowSum,
+    qProfile, qStratifiedSample,
     qTokenCount, qFingerprint, qMultimodalMeta,
     qMultimodalDecode, qResizePlan, qFrameSample)
 

@@ -160,6 +160,37 @@ class StreamStatsSpec extends SparkSpecBase {
       col("sum_cents_30m") =!= col("sum_ref")).isEmpty)
   }
 
+  test("q_profile: stats bounded by row count; distinct counts match per-column recomputation") {
+    val out = Queries.queries("q_profile")(spark, sfDir)
+    assert(out.count() == 6)
+    assert(out.filter(col("n_nulls") > col("n_rows") ||
+      col("n_distinct") > col("n_rows")).isEmpty)
+    val ev = spark.read.parquet(s"$sfDir/events.parquet")
+    val uid = out.filter(col("col_name") === "user_id").head()
+    assert(uid.getLong(3) == ev.select("user_id").distinct().count())
+    assert(uid.getLong(1) == ev.count())
+  }
+
+  test("q_stratified_sample: per-source keep rates land within the md5-bucket tolerance") {
+    val out = Queries.queries("q_stratified_sample")(spark, sfDir)
+    val totals = spark.read.parquet(s"$sfDir/documents.parquet")
+      .groupBy("source").agg(count(lit(1)).as("n_total"))
+    val kept = out.groupBy("source").agg(count(lit(1)).as("n_kept"))
+    val rate = expr("CASE CAST(substr(source, 4, 4) AS INT) % 4 " +
+      "WHEN 0 THEN 1000 WHEN 1 THEN 500 WHEN 2 THEN 250 ELSE 100 END")
+    val j = totals.join(kept, Seq("source"), "left")
+      .select(col("source"), col("n_total"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"), rate.as("r"))
+    // rate-1000 sources keep everything; others stay within a generous
+    // binomial-ish band (small per-source counts at test scale)
+    assert(j.filter(col("r") === 1000 && col("n_kept") =!= col("n_total")).isEmpty)
+    assert(j.filter(col("n_kept") > col("n_total")).isEmpty)
+    val off = j.filter(col("r") < 1000)
+      .filter(abs(col("n_kept") * 1000 - col("n_total") * col("r")) >
+        col("n_total") * 450)
+    assert(off.isEmpty, off.collect().mkString(", "))
+  }
+
   test("q_value_histogram: bucket mass equals corpus; buckets cover the value range") {
     val out = Queries.queries("q_value_histogram")(spark, sfDir)
     val total = spark.read.parquet(s"$sfDir/events.parquet").count()
