@@ -1922,6 +1922,77 @@ object Queries {
                   < CASE CAST(substr(source, 4, 4) AS INT) % 4
                       WHEN 0 THEN 1000 WHEN 1 THEN 500 WHEN 2 THEN 250 ELSE 100 END"""))
 
+  /** Forward as-of with tolerance: each purchase matched to the NEXT
+    * click by the same user within 10 minutes (Joins.asofJoinForward —
+    * union-merge, one shuffle, no range join). Unmatched purchases ride
+    * with -1 sentinels so the cross-engine compare stays NULL-free.
+    */
+  private val qAsofForward = GraftQuery(
+    "q_asof_forward",
+    (s, dir) => {
+      val ev = events(s, dir)
+      val p = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("purchase_id"), col("user_id"), col("ts"))
+      val c = ev.filter(col("event_type") === "click")
+        .select(col("event_id").as("click_id"), col("user_id").as("c_user_id"),
+          col("ts").as("c_ts"))
+      Joins.asofJoinForward(p, c, "user_id", "c_user_id", "ts", "c_ts",
+          rightOrder = "click_id", rightPayload = Seq("click_id"),
+          toleranceUs = Some(600000000L))
+        .select(col("purchase_id"), col("user_id"),
+          coalesce(col("click_id"), lit(-1L)).as("click_id"),
+          coalesce(col("match_ts_us") - unix_micros(col("ts")), lit(-1L)).as("gap_us"))
+    },
+    Some("""WITH p AS (SELECT event_id AS purchase_id, user_id, epoch_us(ts) AS us
+                       FROM events WHERE event_type = 'purchase'),
+             c AS (SELECT event_id AS click_id, user_id, epoch_us(ts) AS us
+                   FROM events WHERE event_type = 'click'),
+             u AS (SELECT purchase_id, NULL::BIGINT AS click_id, user_id, us, 0 AS side FROM p
+                   UNION ALL
+                   SELECT NULL, click_id, user_id, us, 1 FROM c),
+             m AS (SELECT purchase_id, user_id, us, side,
+                     first_value(click_id IGNORE NULLS) OVER w AS mcid,
+                     first_value(CASE WHEN side = 1 THEN us END IGNORE NULLS) OVER w AS mus
+                   FROM u
+                   WINDOW w AS (PARTITION BY user_id ORDER BY us, side, click_id
+                                ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+             SELECT purchase_id, user_id,
+               COALESCE(CASE WHEN mus - us <= 600000000 THEN mcid END, -1) AS click_id,
+               COALESCE(CASE WHEN mus - us <= 600000000 THEN mus - us END, -1) AS gap_us
+             FROM m WHERE side = 0"""))
+
+  /** SCD2 state-interval compaction: collapse each user's event-type
+    * stream into validity intervals [valid_from, valid_to) — change
+    * detection (`lag` differs) then interval close (`lead` over the
+    * compacted rows). Both windows share the key+order, so the whole
+    * derivation is one shuffle + one per-key sort. Open intervals
+    * close at a +inf sentinel, keeping the compare NULL-free.
+    */
+  private val qScd2 = GraftQuery(
+    "q_scd2",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("user_id").orderBy(col("__us"), col("event_id"))
+      val changes = events(s, dir)
+        .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("__us"),
+          col("event_id"))
+        .withColumn("__prev", lag(col("event_type"), 1).over(w))
+        .filter(col("__prev").isNull || col("__prev") =!= col("event_type"))
+      changes
+        .withColumn("valid_to_us",
+          coalesce(lead(col("__us"), 1).over(w), lit(32503680000000000L)))
+        .select(col("user_id"), col("event_type").as("state"),
+          col("__us").as("valid_from_us"), col("valid_to_us"))
+    },
+    Some("""WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS us, event_id FROM events),
+             ch AS (SELECT user_id, event_type, us, event_id FROM e
+                    QUALIFY lag(event_type) OVER (PARTITION BY user_id ORDER BY us, event_id)
+                            IS DISTINCT FROM event_type)
+             SELECT user_id, event_type AS state, us AS valid_from_us,
+               COALESCE(lead(us) OVER (PARTITION BY user_id ORDER BY us, event_id),
+                        32503680000000000) AS valid_to_us
+             FROM ch"""))
+
   /** Fixed-width value histogram per event type — the profiling view a
     * pipeline keeps per numeric column. Bucketing is a map-only
     * projection (floor of an IEEE-identical double division), then one
@@ -1953,7 +2024,7 @@ object Queries {
     qShuffleOrder, qGopherQuality, qVocabCoverage, qFunnel, qRetention, qLangConfusion,
     qDedupSurvivors, qRunningStats, qSpanDedup, qTermScrub, qValueHistogram,
     qBigramLift, qOutliers, qTokenBudget, qRollupStats, qTimeWindowSum,
-    qProfile, qStratifiedSample,
+    qProfile, qStratifiedSample, qAsofForward, qScd2,
     qTokenCount, qFingerprint, qMultimodalMeta,
     qMultimodalDecode, qResizePlan, qFrameSample)
 

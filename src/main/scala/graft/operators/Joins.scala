@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -124,5 +124,67 @@ object Joins {
       .withColumn("__match", last(col("__pay"), ignoreNulls = true).over(w))
       .filter(col("__side") === 1)
       .select((leftCols.map(col) ++ rightPayload.map(c => col(s"__match.`$c`").as(c))).toIndexedSeq: _*)
+  }
+
+  /** FORWARD as-of join, optionally tolerance-bounded: for each left
+    * row, the FIRST right record at-or-after leftTs for the same key
+    * (>= semantics — a right row at the exact left timestamp matches),
+    * nulled out when the gap exceeds `toleranceUs`. Same union-merge
+    * shape as asofJoin: one shuffle on the key, one per-key sort, a
+    * `first(ignoreNulls)` over the FOLLOWING frame — no range join, no
+    * per-row subquery, no cross-join. Ties on rightTs resolve to the
+    * smallest `rightOrder`. Timestamps may be TimestampType (compared
+    * in epoch micros) or any numeric.
+    *
+    * Returns the left rows plus `rightPayload` columns and
+    * `match_ts_us` (all null when nothing follows within tolerance).
+    */
+  def asofJoinForward(
+      left: DataFrame,
+      right: DataFrame,
+      leftKey: String,
+      rightKey: String,
+      leftTs: String,
+      rightTs: String,
+      rightOrder: String,
+      rightPayload: Seq[String],
+      toleranceUs: Option[Long] = None
+  ): DataFrame = {
+    val leftCols = left.columns.toSeq
+    val payType = org.apache.spark.sql.types.StructType(
+      right.select(rightPayload.map(col).toIndexedSeq: _*).schema.fields)
+    def us(df: DataFrame, c: String): Column = df.schema(c).dataType match {
+      case _: org.apache.spark.sql.types.TimestampType => unix_micros(col(c))
+      case _ => col(c).cast("long")
+    }
+    val l = left
+      .withColumn("__k", col(leftKey)).withColumn("__t", us(left, leftTs))
+      .withColumn("__side", lit(0))
+      .withColumn("__ord", lit(null).cast("long"))
+      .withColumn("__pay", lit(null).cast(payType))
+    val r = right
+      .withColumn("__k", col(rightKey)).withColumn("__t", us(right, rightTs))
+      .withColumn("__side", lit(1))
+      .withColumn("__ord", col(rightOrder).cast("long"))
+      .withColumn("__pay", struct(rightPayload.map(col).toIndexedSeq: _*))
+      .select((leftCols.map(c => lit(null).cast(left.schema(c).dataType).as(c)) ++
+        Seq(col("__k"), col("__t"), col("__side"), col("__ord"), col("__pay"))).toIndexedSeq: _*)
+    val unioned = l.select((leftCols.map(col) ++
+      Seq(col("__k"), col("__t"), col("__side"), col("__ord"), col("__pay"))).toIndexedSeq: _*)
+      .unionByName(r)
+    val w = Window.partitionBy("__k").orderBy(col("__t"), col("__side"), col("__ord"))
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val matched = unioned
+      .withColumn("__match", first(col("__pay"), ignoreNulls = true).over(w))
+      .withColumn("__mt", first(when(col("__side") === 1, col("__t")), ignoreNulls = true).over(w))
+      .filter(col("__side") === 0)
+    val inTol = toleranceUs match {
+      case Some(tol) => col("__mt").isNotNull && col("__mt") - col("__t") <= tol
+      case None      => col("__mt").isNotNull
+    }
+    matched
+      .select((leftCols.map(col) ++
+        rightPayload.map(c => when(inTol, col(s"__match.`$c`")).as(c)) :+
+        when(inTol, col("__mt")).as("match_ts_us")).toIndexedSeq: _*)
   }
 }

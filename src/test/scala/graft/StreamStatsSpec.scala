@@ -191,6 +191,47 @@ class StreamStatsSpec extends SparkSpecBase {
     assert(off.isEmpty, off.collect().mkString(", "))
   }
 
+  test("q_asof_forward: matches agree with a brute-force range-join recomputation") {
+    val out = Queries.queries("q_asof_forward")(spark, sfDir)
+    assert(out.filter(col("gap_us") < -1 || col("gap_us") > 600000000L).isEmpty)
+    // brute force: min (c_us, click_id) over clicks in [ts, ts+10min]
+    val ev = spark.read.parquet(s"$sfDir/events.parquet")
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        expr("ts div 1000").as("us"))
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id"), col("us"))
+    val c = ev.filter(col("event_type") === "click")
+      .select(col("event_id").as("cid"), col("user_id").as("cu"), col("us").as("cus"))
+    val ref = p.join(c, col("user_id") === col("cu") &&
+        col("cus") >= col("us") && col("cus") - col("us") <= 600000000L, "left")
+      .groupBy("purchase_id")
+      .agg(min(struct(col("cus"), col("cid"))).as("m"))
+      .select(col("purchase_id"),
+        coalesce(col("m.cid"), lit(-1L)).as("ref_click"),
+        coalesce(col("m.cus"), lit(-1L)).as("ref_cus"))
+    val j = out.join(ref, "purchase_id")
+    assert(j.filter(col("click_id") =!= col("ref_click")).isEmpty)
+  }
+
+  test("q_scd2: intervals tile each user's timeline with no zero-width or overlapping spans") {
+    val out = Queries.queries("q_scd2")(spark, sfDir)
+    assert(out.filter(col("valid_from_us") >= col("valid_to_us")).isEmpty)
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id").orderBy("valid_from_us")
+    val seq = out
+      .withColumn("nxt_from", lead("valid_from_us", 1).over(w))
+      .withColumn("nxt_state", lead("state", 1).over(w))
+    // consecutive intervals abut exactly and never repeat a state
+    assert(seq.filter(col("nxt_from").isNotNull &&
+      col("valid_to_us") =!= col("nxt_from")).isEmpty)
+    assert(seq.filter(col("nxt_state").isNotNull &&
+      col("state") === col("nxt_state")).isEmpty)
+    // the open interval carries the +inf sentinel, exactly one per user
+    val opens = out.filter(col("valid_to_us") === 32503680000000000L)
+      .groupBy("user_id").agg(count(lit(1)).as("n"))
+    assert(opens.filter(col("n") =!= 1).isEmpty)
+  }
+
   test("q_value_histogram: bucket mass equals corpus; buckets cover the value range") {
     val out = Queries.queries("q_value_histogram")(spark, sfDir)
     val total = spark.read.parquet(s"$sfDir/events.parquet").count()
