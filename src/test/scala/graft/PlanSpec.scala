@@ -99,6 +99,15 @@ class PlanSpec extends SparkSpecBase {
     // denylist scrub is a pure projection: no exchange at all
     val p4 = planOf(Queries.queries("q_term_scrub")(spark, sfDir))
     assert(!p4.contains("Exchange"), p4)
+    // forward as-of and SCD2: both window passes share one key shuffle
+    val p5 = planOf(Queries.queries("q_asof_forward")(spark, sfDir))
+    assert("Exchange hashpartitioning".r.findAllIn(p5).size == 1, p5)
+    assert(!p5.contains("CartesianProduct") && !p5.contains("BroadcastNestedLoopJoin"), p5)
+    val p6 = planOf(Queries.queries("q_scd2")(spark, sfDir))
+    assert("Exchange hashpartitioning".r.findAllIn(p6).size == 1, p6)
+    // stratified sampling is map-only — the rate table is a literal
+    val p7 = planOf(Queries.queries("q_stratified_sample")(spark, sfDir))
+    assert(!p7.contains("Exchange"), p7)
   }
 
   test("fences hold: expensive signature expressions never duplicated per plan branch") {
