@@ -1993,6 +1993,37 @@ object Queries {
                         32503680000000000) AS valid_to_us
              FROM ch"""))
 
+  /** Cross-modal pair curation: join each document to its embedding
+    * row and keep pairs passing BOTH a text gate (token count) and a
+    * vector gate (integer squared norm inside a band — the quantized
+    * exact stand-in for an alignment-score threshold). The id equi-join
+    * hash-partitions both sides; scoring is the codegen'd QDot kernel;
+    * output is a per-source funnel (pairs seen vs kept).
+    */
+  private val qPairCuration = GraftQuery(
+    "q_pair_curation",
+    (s, dir) => {
+      val d = Fence.guard(
+          t(s, dir, "documents")
+            .select(col("doc_id"), col("source"),
+              TextFns.tokensFast(col("text")).as("__toks"), Fence.col))
+        .select(col("doc_id"), col("source"), size(col("__toks")).cast("long").as("__nt"))
+      val q = VectorFns.quantizeFast(col("embedding"))
+      val e = t(s, dir, "embeddings")
+        .select(col("vec_id"), VectorFns.qdotFast(q, q).as("__n2"))
+      d.join(e, col("doc_id") === col("vec_id"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_pairs"),
+          count(when(col("__nt") >= 20 && col("__n2") <= 1000000L, 1)).as("n_kept"))
+    },
+    Some(s"""WITH d AS (SELECT doc_id, source, CAST(len($toksSql) AS BIGINT) AS nt FROM documents),
+             e AS (SELECT vec_id,
+                     CAST(list_sum(list_transform(${quantSql("embedding")}, v -> v * v)) AS BIGINT) AS n2
+                   FROM embeddings)
+             SELECT source, CAST(count(*) AS BIGINT) AS n_pairs,
+               CAST(sum(CASE WHEN nt >= 20 AND n2 <= 1000000 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+             FROM d JOIN e ON doc_id = vec_id GROUP BY source"""))
+
   /** Fixed-width value histogram per event type — the profiling view a
     * pipeline keeps per numeric column. Bucketing is a map-only
     * projection (floor of an IEEE-identical double division), then one
@@ -2024,7 +2055,7 @@ object Queries {
     qShuffleOrder, qGopherQuality, qVocabCoverage, qFunnel, qRetention, qLangConfusion,
     qDedupSurvivors, qRunningStats, qSpanDedup, qTermScrub, qValueHistogram,
     qBigramLift, qOutliers, qTokenBudget, qRollupStats, qTimeWindowSum,
-    qProfile, qStratifiedSample, qAsofForward, qScd2,
+    qProfile, qStratifiedSample, qAsofForward, qScd2, qPairCuration,
     qTokenCount, qFingerprint, qMultimodalMeta,
     qMultimodalDecode, qResizePlan, qFrameSample)
 

@@ -232,6 +232,19 @@ class StreamStatsSpec extends SparkSpecBase {
     assert(opens.filter(col("n") =!= 1).isEmpty)
   }
 
+  test("q_pair_curation: funnel bounded; pair count equals the id-join cardinality") {
+    val out = Queries.queries("q_pair_curation")(spark, sfDir)
+    assert(out.filter(col("n_kept") > col("n_pairs")).isEmpty)
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet").select("doc_id")
+    val embs = spark.read.parquet(s"$sfDir/embeddings.parquet").select("vec_id")
+    val expected = docs.join(embs, col("doc_id") === col("vec_id")).count()
+    assert(out.agg(sum("n_pairs")).head().getLong(0) == expected)
+    // both gates are live at test scale: some pairs kept, some dropped
+    val t = out.agg(sum("n_pairs"), sum("n_kept")).head()
+    assert(t.getLong(1) > 0 && t.getLong(1) < t.getLong(0),
+      s"gates not exercised: kept ${t.getLong(1)} of ${t.getLong(0)}")
+  }
+
   test("q_value_histogram: bucket mass equals corpus; buckets cover the value range") {
     val out = Queries.queries("q_value_histogram")(spark, sfDir)
     val total = spark.read.parquet(s"$sfDir/events.parquet").count()
