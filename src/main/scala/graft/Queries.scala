@@ -2024,6 +2024,65 @@ object Queries {
                CAST(sum(CASE WHEN nt >= 20 AND n2 <= 1000000 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
              FROM d JOIN e ON doc_id = vec_id GROUP BY source"""))
 
+  /** Cumulative DISTINCT count per key (how many distinct event types
+    * has this user produced so far) — count(DISTINCT) over a running
+    * frame, which neither engine supports directly, re-expressed
+    * exactly as first-occurrence flags (`row_number == 1` per
+    * (key, value)) running-summed per key. Two keyed windows = two
+    * shuffles; both exact, no state blowup — the flag trick replaces a
+    * per-row distinct set.
+    */
+  private val qRunningDistinct = GraftQuery(
+    "q_running_distinct",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val wFirst = Window.partitionBy("user_id", "event_type")
+        .orderBy(col("__us"), col("event_id"))
+      val wRun = Window.partitionBy("user_id").orderBy(col("__us"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+      events(s, dir)
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          unix_micros(col("ts")).as("__us"))
+        .withColumn("__new", when(row_number().over(wFirst) === 1, 1L).otherwise(0L))
+        .select(col("event_id"), col("user_id"),
+          sum(col("__new")).over(wRun).as("n_types_seen"))
+    },
+    Some("""WITH e AS (SELECT event_id, user_id, event_type, epoch_us(ts) AS us FROM events),
+             f AS (SELECT event_id, user_id, us,
+                     CASE WHEN row_number() OVER (PARTITION BY user_id, event_type
+                                                  ORDER BY us, event_id) = 1
+                          THEN 1 ELSE 0 END AS newf
+                   FROM e)
+             SELECT event_id, user_id,
+               CAST(sum(newf) OVER (PARTITION BY user_id ORDER BY us, event_id
+                                    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS n_types_seen
+             FROM f"""))
+
+  /** New-vs-returning daily actives: per activity day, how many users
+    * are seen for the FIRST time vs returning — the companion view to
+    * q_retention. One distinct (user, day) projection, per-user min
+    * day via the same shuffle, then a day rollup.
+    */
+  private val qFirstSeen = GraftQuery(
+    "q_first_seen",
+    (s, dir) => {
+      val act = events(s, dir)
+        .select(col("user_id"), expr("unix_micros(ts) div 86400000000").as("day"))
+        .distinct()
+      import org.apache.spark.sql.expressions.Window
+      val first = min(col("day")).over(Window.partitionBy("user_id"))
+      act.withColumn("__first", first)
+        .groupBy("day")
+        .agg(count(when(col("day") === col("__first"), 1)).as("n_new"),
+          count(when(col("day") > col("__first"), 1)).as("n_returning"))
+    },
+    Some("""WITH a AS (SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS day FROM events),
+             f AS (SELECT user_id, min(day) AS fd FROM a GROUP BY 1)
+             SELECT day,
+               CAST(sum(CASE WHEN day = fd THEN 1 ELSE 0 END) AS BIGINT) AS n_new,
+               CAST(sum(CASE WHEN day > fd THEN 1 ELSE 0 END) AS BIGINT) AS n_returning
+             FROM a JOIN f USING (user_id) GROUP BY day"""))
+
   /** Fixed-width value histogram per event type — the profiling view a
     * pipeline keeps per numeric column. Bucketing is a map-only
     * projection (floor of an IEEE-identical double division), then one
@@ -2056,6 +2115,7 @@ object Queries {
     qDedupSurvivors, qRunningStats, qSpanDedup, qTermScrub, qValueHistogram,
     qBigramLift, qOutliers, qTokenBudget, qRollupStats, qTimeWindowSum,
     qProfile, qStratifiedSample, qAsofForward, qScd2, qPairCuration,
+    qRunningDistinct, qFirstSeen,
     qTokenCount, qFingerprint, qMultimodalMeta,
     qMultimodalDecode, qResizePlan, qFrameSample)
 

@@ -245,6 +245,26 @@ class StreamStatsSpec extends SparkSpecBase {
       s"gates not exercised: kept ${t.getLong(1)} of ${t.getLong(0)}")
   }
 
+  test("q_running_distinct: per-user maximum equals the exact distinct type count") {
+    val out = Queries.queries("q_running_distinct")(spark, sfDir)
+    assert(out.filter(col("n_types_seen") < 1).isEmpty)
+    val ref = spark.read.parquet(s"$sfDir/events.parquet")
+      .groupBy("user_id").agg(countDistinct("event_type").as("d"))
+    val j = out.groupBy("user_id").agg(max("n_types_seen").as("m")).join(ref, "user_id")
+    assert(j.filter(col("m") =!= col("d")).isEmpty)
+  }
+
+  test("q_first_seen: new users sum to the user base; new+returning equals daily actives") {
+    val out = Queries.queries("q_first_seen")(spark, sfDir)
+    val users = spark.read.parquet(s"$sfDir/events.parquet")
+      .select(countDistinct("user_id")).head().getLong(0)
+    assert(out.agg(sum("n_new")).head().getLong(0) == users)
+    val act = Queries.queries("q_retention")(spark, sfDir)
+      .select(col("day"), col("n_active"))
+    val j = out.join(act, "day")
+    assert(j.filter(col("n_new") + col("n_returning") =!= col("n_active")).isEmpty)
+  }
+
   test("q_value_histogram: bucket mass equals corpus; buckets cover the value range") {
     val out = Queries.queries("q_value_histogram")(spark, sfDir)
     val total = spark.read.parquet(s"$sfDir/events.parquet").count()
