@@ -813,6 +813,27 @@ object Queries {
              WHERE losers.id IS NULL
              GROUP BY source"""))
 
+  /** Degree histogram of the near-dup graph — the health check a dedup
+    * pipeline runs BEFORE clustering: a heavy tail here predicts giant
+    * connected components (and an expensive transitive closure), so
+    * it's the signal for raising the hamming/Jaccard threshold. Two
+    * aggregations over the exact pair set; never materializes
+    * neighborhoods.
+    */
+  private val qDedupDegree = GraftQuery(
+    "q_dedup_degree",
+    (s, dir) => {
+      val pairs = DedupFns.simhashNearDupPairs(t(s, dir, "documents"), "doc_id", "text", 3)
+      pairs.select(col("id_a").as("id"))
+        .unionAll(pairs.select(col("id_b").as("id")))
+        .groupBy("id").agg(count(lit(1)).as("degree"))
+        .groupBy("degree").agg(count(lit(1)).as("n_nodes"))
+    },
+    Some(s"""$simhashCcSql
+             SELECT degree, CAST(count(*) AS BIGINT) AS n_nodes
+             FROM (SELECT a, CAST(count(*) AS BIGINT) AS degree FROM e GROUP BY a)
+             GROUP BY degree"""))
+
   /** Per-document repetitiousness: the most frequent token's share of
     * all tokens, in exact milli-units (max_tf * 1000 // n_tokens) — a
     * junk signal for boilerplate/repeated-phrase documents. One
@@ -2115,7 +2136,7 @@ object Queries {
     qDedupSurvivors, qRunningStats, qSpanDedup, qTermScrub, qValueHistogram,
     qBigramLift, qOutliers, qTokenBudget, qRollupStats, qTimeWindowSum,
     qProfile, qStratifiedSample, qAsofForward, qScd2, qPairCuration,
-    qRunningDistinct, qFirstSeen,
+    qRunningDistinct, qFirstSeen, qDedupDegree,
     qTokenCount, qFingerprint, qMultimodalMeta,
     qMultimodalDecode, qResizePlan, qFrameSample)
 

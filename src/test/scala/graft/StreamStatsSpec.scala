@@ -265,6 +265,14 @@ class StreamStatsSpec extends SparkSpecBase {
     assert(j.filter(col("n_new") + col("n_returning") =!= col("n_active")).isEmpty)
   }
 
+  test("q_dedup_degree: handshake identity — degree mass equals twice the pair count") {
+    val out = Queries.queries("q_dedup_degree")(spark, sfDir)
+    val pairs = Queries.queries("q_dedup_simhash_pairs")(spark, sfDir).count()
+    val mass = out.agg(sum(col("degree") * col("n_nodes"))).head().getLong(0)
+    assert(mass == 2 * pairs, s"$mass != 2 * $pairs")
+    assert(out.filter(col("degree") < 1).isEmpty)
+  }
+
   test("q_value_histogram: bucket mass equals corpus; buckets cover the value range") {
     val out = Queries.queries("q_value_histogram")(spark, sfDir)
     val total = spark.read.parquet(s"$sfDir/events.parquet").count()
