@@ -768,12 +768,24 @@ object Queries {
     */
   private val ccCache =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+
+  /** Exact near-dup pairs shared by every DERIVED dedup query
+    * (clusters, survivors, degree histogram) — materialized once per
+    * (session, dir) via localCheckpoint so the band self-join runs
+    * once. q_dedup_simhash_pairs itself stays UN-cached: it is the
+    * benched query, and its plan (band equi-join, shared exchange) is
+    * the design artifact under PlanSpec.
+    */
+  private val pairsCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+  private def simhashPairs(s: SparkSession, dir: String): DataFrame =
+    pairsCache.getOrElseUpdate((s, dir),
+      DedupFns.simhashNearDupPairs(t(s, dir, "documents"), "doc_id", "text", maxHamming = 3)
+        .localCheckpoint(true))
+
   private def simhashClusters(s: SparkSession, dir: String): DataFrame =
-    ccCache.getOrElseUpdate((s, dir), {
-      val pairs =
-        DedupFns.simhashNearDupPairs(t(s, dir, "documents"), "doc_id", "text", maxHamming = 3)
-      Relational.connectedComponents(pairs, "id_a", "id_b")
-    })
+    ccCache.getOrElseUpdate((s, dir),
+      Relational.connectedComponents(simhashPairs(s, dir), "id_a", "id_b"))
 
   /** Duplicate CLUSTERS from the exact simhash near-dup pairs:
     * iterative min-label propagation (operators.Relational
@@ -823,7 +835,7 @@ object Queries {
   private val qDedupDegree = GraftQuery(
     "q_dedup_degree",
     (s, dir) => {
-      val pairs = DedupFns.simhashNearDupPairs(t(s, dir, "documents"), "doc_id", "text", 3)
+      val pairs = simhashPairs(s, dir)
       pairs.select(col("id_a").as("id"))
         .unionAll(pairs.select(col("id_b").as("id")))
         .groupBy("id").agg(count(lit(1)).as("degree"))
