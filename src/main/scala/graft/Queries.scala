@@ -1597,8 +1597,9 @@ object Queries {
              SELECT lang, $langCaseSql AS lang_pred, CAST(count(*) AS BIGINT) AS n_docs
              FROM sc GROUP BY 1, 2"""))
 
-  /** Per-key running stats over the event stream (reference fold +
-    * lag_window composed): event index, cumulative sum (exact decimal),
+  /** Per-key running stats over the event stream (reference
+    * StreamExt::fold, src/lib.rs:11-13, + lag_window, src/window.rs:9-41,
+    * composed): event index, cumulative sum (exact decimal),
     * and a 5-event count-window moving average in exact milli-units.
     * All three frames share ONE window spec (partition user_id, order
     * ts/event_id): one shuffle, one per-key sort, every frame computed

@@ -172,12 +172,15 @@ object StreamingOps {
   /** Per-key running-fold state: next index + accumulated cents. */
   final case class RunState(next: Long, cents: Long)
 
-  /** Streaming per-key running fold / scan (reference StreamExt::fold
-    * observed mid-stream): emits every event with its per-key index and
-    * exact running sum in integer cents — the streaming twin of the
-    * batch `q_running_stats` cumulative frame. Cents stay exact longs
-    * (value is exact to 2 decimals), so replaying batches of any size
-    * produces identical sums — no float accumulation drift in state.
+  /** Streaming per-key running fold / scan (reference StreamExt::fold,
+    * src/lib.rs:11-13, observed mid-stream): emits every event with its
+    * per-key index and exact running sum in integer cents — the
+    * streaming twin of the batch `q_running_stats` cumulative frame.
+    * Cents stay exact longs (value is exact to 2 decimals), so
+    * replaying batches of any size produces identical sums — no float
+    * accumulation drift in state. Cross-batch ordering is arrival order
+    * (the reference's single-stream in-order assumption, as lagWindow);
+    * within a batch events sort by (tsUs, value).
     */
   def runningFold(stream: Dataset[KeyedEvent]): Dataset[RunEvent] = {
     implicit val outEnc = Encoders.product[RunEvent]

@@ -302,6 +302,36 @@ class StreamingParitySpec extends SparkSpecBase {
     assert(latest == Set((1L, 61_000_000L, 20.0), (2L, 5_000_000L, 5.0)))
   }
 
+  test("runningFold state survives a query restart from checkpoint (sums continue exactly)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val tmp = java.nio.file.Files.createTempDirectory("graft-runfold-ckpt").toString
+    val ms = MemoryStream[KeyedEvent]
+    def start() = StreamingOps.runningFold(ms.toDS()).toDF()
+      .writeStream.outputMode(OutputMode.Append())
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, batchId: Long) =>
+        batch.write.mode("overwrite").parquet(s"$tmp/out/batch_id=$batchId")
+      }
+      .option("checkpointLocation", s"$tmp/ckpt").start()
+
+    ms.addData(Seq(KeyedEvent(1L, 1_000_000L, 10.50), KeyedEvent(1L, 2_000_000L, 0.25)))
+    val q1 = start()
+    q1.processAllAvailable(); q1.stop()
+
+    // restart: the running sum must continue from 1075 cents, seq from 3
+    ms.addData(Seq(KeyedEvent(1L, 3_000_000L, 1.00)))
+    val q2 = start()
+    q2.processAllAvailable(); q2.stop()
+
+    val rows = spark.read.parquet(s"$tmp/out")
+      .select("key", "tsUs", "seq", "runCents")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(rows == Set(
+      (1L, 1_000_000L, 1L, 1050L),
+      (1L, 2_000_000L, 2L, 1075L),
+      (1L, 3_000_000L, 3L, 1175L)))
+  }
+
   test("incremental minhash dedup drops near-dups within and across micro-batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
