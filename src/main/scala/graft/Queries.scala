@@ -1822,12 +1822,8 @@ object Queries {
               TextFns.tokensFast(col("text")).as("__toks"), Fence.col))
         .select(col("doc_id"), col("source"),
           size(col("__toks")).cast("long").as("n_tokens"))
-      val w = Window.partitionBy("source")
-        .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
-        .rowsBetween(Window.unboundedPreceding, 0)
-      base
-        .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
-        .filter(col("cum_tokens") <= 800)
+      Relational.budgetCut(base, "source", "doc_id", "n_tokens", budget = 800L)
+        .withColumnRenamed("cum_n_tokens", "cum_tokens")
     },
     Some(s"""WITH t0 AS (SELECT doc_id, source,
                CAST(len($toksSql) AS BIGINT) AS n_tokens FROM documents),
@@ -1943,12 +1939,7 @@ object Queries {
       // permille keep-rates by source bucket (srcN → (N % 4) flavors)
       val rate = expr("CASE CAST(substr(source, 4, 4) AS INT) % 4 " +
         "WHEN 0 THEN 1000 WHEN 1 THEN 500 WHEN 2 THEN 250 ELSE 100 END")
-      t(s, dir, "documents")
-        .select(col("doc_id"), col("source"),
-          (conv(substring(md5(col("doc_id").cast("string")), 1, 15), 16, 10)
-            .cast("long") % 1000L).as("__b"),
-          rate.as("__rate"))
-        .filter(col("__b") < col("__rate"))
+      Relational.stratifiedSample(t(s, dir, "documents"), "doc_id", rate)
         .select(col("doc_id"), col("source"))
     },
     Some("""SELECT doc_id, source FROM documents

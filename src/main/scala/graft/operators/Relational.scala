@@ -57,6 +57,35 @@ object Relational {
         (col("__off") + row_number().over(wb) - 1).cast("long").as("pos"))
   }
 
+  /** Deterministic stratified sampling: keep a row iff its id's
+    * md5-bucket (0-999) falls below `ratePermille` — a per-row Column,
+    * so rates can come from a literal CASE table, a broadcast join, or
+    * config. Map-only, zero RNG state, rerun-stable: the same rates
+    * always keep the same rows.
+    */
+  def stratifiedSample(df: DataFrame, idCol: String, ratePermille: Column): DataFrame =
+    df.filter(
+      (conv(substring(md5(col(idCol).cast("string")), 1, 15), 16, 10).cast("long") % 1000L)
+        < ratePermille)
+
+  /** Deterministic weighted budget cut per group: walk each group's
+    * rows in the reproducible shuffle order (md5(id), id) and keep rows
+    * while the running `weightCol` sum stays within `budget`. Adds
+    * `cum_<weightCol>`. One shuffle on the group + per-group sort; at
+    * 100 TB apply the md5-prefix bucket scheme of [[shuffleOrder]] per
+    * (group, bucket) — bucket weight totals → exclusive offsets, row
+    * work only in the budget-straddling bucket.
+    */
+  def budgetCut(df: DataFrame, groupCol: String, idCol: String, weightCol: String,
+      budget: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(groupCol)
+      .orderBy(md5(col(idCol).cast("string")), col(idCol))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    df.withColumn(s"cum_$weightCol", sum(col(weightCol)).over(w))
+      .filter(col(s"cum_$weightCol") <= budget)
+  }
+
   /** Connected components by iterative min-label propagation: every
     * node's label converges to the smallest id in its component — the
     * canonical "pick one representative per duplicate cluster" step
