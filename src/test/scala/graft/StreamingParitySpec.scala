@@ -68,6 +68,34 @@ class StreamingParitySpec extends SparkSpecBase {
     assert(got == expect)
   }
 
+  test("append-mode tumbling drops events arriving later than the watermark") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val ms = MemoryStream[KeyedEvent]
+    val sdf = ms.toDF().withColumn("ts", timestamp_micros(col("tsUs")))
+    val out = StreamingOps.tumbling(sdf, "ts", Seq("key"), "1 minute", "10 seconds")(
+      count(lit(1)).as("n"))
+    val q = out.writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("t_late").start()
+    try {
+      // batch 1: one event in [0,60s) + one at 200s advancing the
+      // watermark to 190s, which closes and emits the first window
+      ms.addData(Seq(KeyedEvent(1L, 1_000_000L, 1.0), KeyedEvent(1L, 200_000_000L, 1.0)))
+      q.processAllAvailable()
+      // batch 2: a LATE event for the closed [0,60s) window (30s < wm)
+      // must be dropped; 400s advances the watermark to finalize [180,240s)
+      ms.addData(Seq(KeyedEvent(1L, 30_000_000L, 99.0), KeyedEvent(1L, 400_000_000L, 1.0)))
+      q.processAllAvailable()
+    } finally q.stop()
+    val rows = spark.table("t_late")
+      .select(unix_micros(col("window_start")).as("ws"), col("n"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(rows.get(0L).contains(1L), s"late event leaked into the closed window: $rows")
+    assert(rows.get(180_000_000L).contains(1L), rows.toString)
+    // the 400s event's own window is still open (wm 390s < 420s) — not emitted
+    assert(!rows.contains(360_000_000L), rows.toString)
+  }
+
   test("changelog tableLatest matches batch latestByKey") {
     import spark.implicits._
     val events = mkEvents
