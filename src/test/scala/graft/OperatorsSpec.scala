@@ -79,6 +79,47 @@ class OperatorsSpec extends SparkSpecBase {
       (2L, 500L, None)))
   }
 
+  test("asofJoinForward picks first right >= left ts; tolerance and no-match null out") {
+    import spark.implicits._
+    val l = Seq((1L, 1000L), (1L, 2600L), (2L, 500L)).toDF("k", "tus")
+      .withColumn("ts", timestamp_micros(col("tus")))
+    val r = Seq((1L, 1000L, 200L, "tie"), (1L, 1000L, 100L, "tieLow"),
+        (1L, 2500L, 300L, "c"), (1L, 9000L, 400L, "far"))
+      .toDF("rk", "rtus", "ord", "payload")
+      .withColumn("rts", timestamp_micros(col("rtus")))
+    val out = Joins.asofJoinForward(l, r, "k", "rk", "ts", "rts", "ord", Seq("payload"),
+        toleranceUs = Some(7000L))
+      .select("k", "tus", "payload").collect()
+      .map(x => (x.getLong(0), x.getLong(1), Option(x.getString(2)))).toSet
+    assert(out == Set(
+      (1L, 1000L, Some("tieLow")), // same-ts match; tie → smaller ord wins
+      (1L, 2600L, Some("far")),    // next at 9000, gap 6400us <= 7000us
+      (2L, 500L, None)))           // key has no right rows at all
+    // tighter tolerance nulls the far match
+    val tight = Joins.asofJoinForward(l, r, "k", "rk", "ts", "rts", "ord", Seq("payload"),
+        toleranceUs = Some(1000L))
+      .select("k", "tus", "payload").collect()
+      .map(x => (x.getLong(0), x.getLong(1), Option(x.getString(2)))).toSet
+    assert(tight == Set(
+      (1L, 1000L, Some("tieLow")),
+      (1L, 2600L, None),
+      (2L, 500L, None)))
+  }
+
+  test("stratifiedSample and budgetCut edge rates/budgets") {
+    import spark.implicits._
+    val df = (1L to 100L).map(i => (i, "g")).toDF("id", "g")
+    // rate 1000 keeps everything, rate 0 keeps nothing
+    assert(Relational.stratifiedSample(df, "id", lit(1000)).count() == 100L)
+    assert(Relational.stratifiedSample(df, "id", lit(0)).count() == 0L)
+    // budget 0 keeps nothing; huge budget keeps everything, cum is exact
+    val wdf = df.withColumn("wt", lit(3L))
+    assert(Relational.budgetCut(wdf, "g", "id", "wt", budget = 0L).isEmpty)
+    val all = Relational.budgetCut(wdf, "g", "id", "wt", budget = 1000L)
+    assert(all.count() == 100L)
+    assert(all.agg(max("cum_wt")).head().getLong(0) == 300L)
+  }
+
   test("saltedJoin returns exactly the plain join's rows") {
     import spark.implicits._
     val dim = Seq((1L, "gold"), (2L, "silver")).toDF("dk", "tier")
