@@ -1772,16 +1772,10 @@ object Queries {
   private val qOutliers = GraftQuery(
     "q_outliers",
     (s, dir) => {
-      import org.apache.spark.sql.expressions.Window
       val cents = (col("value").cast(dec) * 100).cast("long")
-      val w = Window.partitionBy("event_type").orderBy(col("__cents"), col("event_id"))
-      val wAll = Window.partitionBy("event_type")
-      events(s, dir)
-        .select(col("event_type"), col("event_id"), cents.as("__cents"))
-        .select(col("event_type"), col("__cents"),
-          row_number().over(w).cast("long").as("__rn"),
-          count(lit(1)).over(wAll).as("__n"))
-        .withColumn("__cut", expr("(__n * 95) div 100"))
+      Keyed.rankCutoff(
+          events(s, dir).select(col("event_type"), col("event_id"), cents.as("__cents")),
+          Seq("event_type"), Seq(col("__cents"), col("event_id")), permille = 950)
         .groupBy("event_type")
         .agg(max(col("__n")).as("n"),
           max(when(col("__rn") === col("__cut"), col("__cents"))).as("cut_cents"),

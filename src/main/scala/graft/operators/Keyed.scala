@@ -68,4 +68,22 @@ object Keyed {
     */
   def fold(df: DataFrame, keys: Seq[String])(aggs: Column*): DataFrame =
     df.groupBy(keys.map(col).toIndexedSeq: _*).agg(aggs.head, aggs.tail: _*)
+
+  /** Rank-based top-fraction flagging (the winsorize/outlier-trim
+    * primitive): tags every row with its per-key rank over `order`,
+    * the key's row count, and the cut position `(n * permille) div
+    * 1000` — rows with `rank > cut` are the top (1000-permille)/1000
+    * tail. Cutoffs are exact integer ranks, never interpolated
+    * quantiles, so the flagged set is engine-portable. One shuffle +
+    * per-key sort; the count rides the same sorted run.
+    */
+  def rankCutoff(df: DataFrame, keys: Seq[String], order: Seq[Column],
+      permille: Int): DataFrame = {
+    val w = Window.partitionBy(keys.map(col).toIndexedSeq: _*)
+      .orderBy(order.toIndexedSeq: _*)
+    val wAll = Window.partitionBy(keys.map(col).toIndexedSeq: _*)
+    df.withColumn("__rn", row_number().over(w).cast("long"))
+      .withColumn("__n", count(lit(1)).over(wAll))
+      .withColumn("__cut", expr(s"(__n * $permille) div 1000"))
+  }
 }
