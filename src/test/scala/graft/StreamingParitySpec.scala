@@ -96,6 +96,48 @@ class StreamingParitySpec extends SparkSpecBase {
     assert(!rows.contains(360_000_000L), rows.toString)
   }
 
+  test("hopping and session windows also drop late arrivals") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // hopping: the late 30s event must not reach the closed [0,60s) window
+    val msH = MemoryStream[KeyedEvent]
+    val hop = StreamingOps.hopping(
+      msH.toDF().withColumn("ts", timestamp_micros(col("tsUs"))),
+      "ts", Seq("key"), "1 minute", "15 seconds", "10 seconds")(count(lit(1)).as("n"))
+    val qh = hop.writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("t_hop_late").start()
+    try {
+      msH.addData(Seq(KeyedEvent(1L, 1_000_000L, 1.0), KeyedEvent(1L, 200_000_000L, 1.0)))
+      qh.processAllAvailable()
+      msH.addData(Seq(KeyedEvent(1L, 30_000_000L, 9.0), KeyedEvent(1L, 400_000_000L, 1.0)))
+      qh.processAllAvailable()
+    } finally qh.stop()
+    val hopRows = spark.table("t_hop_late")
+      .select(unix_micros(col("window_start")).as("ws"), col("n"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(hopRows.get(0L).contains(1L), s"late event leaked into hopping window: $hopRows")
+
+    // session: the late 10s event must not reopen/extend the closed session
+    val msS = MemoryStream[KeyedEvent]
+    val ses = StreamingOps.session(
+      msS.toDF().withColumn("ts", timestamp_micros(col("tsUs"))),
+      "ts", Seq("key"), "30 seconds", "10 seconds")(count(lit(1)).as("n"))
+    val qs = ses.writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("t_ses_late").start()
+    try {
+      msS.addData(Seq(KeyedEvent(1L, 1_000_000L, 1.0), KeyedEvent(1L, 5_000_000L, 1.0),
+        KeyedEvent(1L, 300_000_000L, 1.0)))
+      qs.processAllAvailable()
+      msS.addData(Seq(KeyedEvent(1L, 10_000_000L, 9.0), KeyedEvent(1L, 600_000_000L, 1.0)))
+      qs.processAllAvailable()
+    } finally qs.stop()
+    val sesRows = spark.table("t_ses_late")
+      .select(unix_micros(col("session_start")).as("ss"), col("n"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(sesRows.get(1_000_000L).contains(2L),
+      s"late event leaked into the closed session: $sesRows")
+  }
+
   test("changelog tableLatest matches batch latestByKey") {
     import spark.implicits._
     val events = mkEvents
