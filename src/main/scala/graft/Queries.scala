@@ -563,6 +563,43 @@ object Queries {
             GROUP BY l_orderkey, o_orderdate, o_orderpriority
             ORDER BY revenue DESC, l_orderkey LIMIT 10"""))
 
+  /** TPC-H Q14 shape: promo revenue share for one month — conditional
+    * aggregation over the lineitem ⋈ part join (part broadcasts; the
+    * shipdate filter pushes to the fact scan). The share is emitted as
+    * exact integer milli-units (cents div cents) alongside the decimal
+    * sums, so no cross-engine division rounding exists.
+    */
+  private val q14Promo = GraftQuery(
+    "q14_promo",
+    (s, dir) => {
+      val p = t(s, dir, "part")
+        .select(col("p_partkey"), (col("p_type") === "PROMO").as("__promo"))
+      val l = t(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= ntz("1998-01-01 00:00:00") &&
+          col("l_shipdate") < ntz("1998-02-01 00:00:00"))
+      l.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+        .agg(
+          round(coalesce(sum(when(col("__promo"), discPrice)), lit(0)), 2)
+            .cast(dec).as("__np"),
+          round(sum(discPrice), 2).cast(dec).as("__nt"))
+        .select(col("__np").cast("double").as("sum_promo"),
+          col("__nt").cast("double").as("sum_total"),
+          expr("(CAST(__np * 100 AS BIGINT) * 1000) div CAST(__nt * 100 AS BIGINT)")
+            .as("promo_milli"))
+    },
+    Some("""WITH x AS (
+              SELECT
+                CAST(round(sum(CASE WHEN p_type = 'PROMO'
+                  THEN CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1.0 - l_discount AS DECIMAL(12,8))
+                  ELSE 0 END), 2) AS DECIMAL(18,2)) AS np,
+                CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1.0 - l_discount AS DECIMAL(12,8))), 2) AS DECIMAL(18,2)) AS nt
+              FROM lineitem JOIN part ON l_partkey = p_partkey
+              WHERE l_shipdate >= TIMESTAMP '1998-01-01 00:00:00'
+                AND l_shipdate < TIMESTAMP '1998-02-01 00:00:00')
+            SELECT CAST(np AS DOUBLE) AS sum_promo, CAST(nt AS DOUBLE) AS sum_total,
+              CAST(CAST(np * 100 AS BIGINT) * 1000 // CAST(nt * 100 AS BIGINT) AS BIGINT) AS promo_milli
+            FROM x"""))
+
   private val q5Region = GraftQuery(
     "q5_region",
     (s, dir) => {
@@ -2124,7 +2161,7 @@ object Queries {
     qMapFilter, qFilterMap, qCycle, qFoldAgg, qDistinctUsers, qTopkPerKey, qPivotCounts, qApproxDistinct, qQuantiles, qQuantilesExact, qTableLatest, qTumbling, qHopping, qLagWindow, qSession,
     qIntervalJoin, qStreamTableJoin, qMerge, qSplitBranch, qChunk, qSkipTake, qThrottle,
     qWordcount, qCandles, qCandlesHop, qStratClassify, qAsofJoin,
-    q1Pricing, q3Topk, q5Region, qJsonExtract,
+    q1Pricing, q3Topk, q5Region, q14Promo, qJsonExtract,
     qDedupExact, qDedupMinhash, qMinhashRescore, qDedupSimhash, qDedupSimhashPairs,
     qDedupClusters, qNgramJaccard, qDedupEmbed, qRepetition,
     qEmbedTopk, qEmbedLsh, qEmbedIvf,
