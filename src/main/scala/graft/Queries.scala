@@ -2139,6 +2139,33 @@ object Queries {
                CAST(sum(CASE WHEN day > fd THEN 1 ELSE 0 END) AS BIGINT) AS n_returning
              FROM a JOIN f USING (user_id) GROUP BY day"""))
 
+  /** Exact quantile binning (KBinsDiscretizer-style feature
+    * engineering): each event's value is assigned its per-type decile
+    * by integer RANK — bin = ((rank-1)*10) div n — so bin edges are
+    * never interpolated floats and the assignment is engine-portable.
+    * Composes Keyed.rankCutoff's rank machinery: one shuffle + one
+    * per-key sort.
+    */
+  private val qDecileBin = GraftQuery(
+    "q_decile_bin",
+    (s, dir) => {
+      val cents = (col("value").cast(dec) * 100).cast("long")
+      Keyed.rankCutoff(
+          events(s, dir).select(col("event_type"), col("event_id"), cents.as("__cents")),
+          Seq("event_type"), Seq(col("__cents"), col("event_id")), permille = 1000)
+        .select(col("event_id"), col("event_type"),
+          expr("((__rn - 1) * 10) div __n").as("decile"))
+    },
+    Some("""WITH r AS (
+              SELECT event_id, event_type,
+                row_number() OVER (PARTITION BY event_type
+                                   ORDER BY CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT), event_id) AS rn,
+                count(*) OVER (PARTITION BY event_type) AS n
+              FROM events)
+            SELECT event_id, event_type,
+              CAST((rn - 1) * 10 // n AS BIGINT) AS decile
+            FROM r"""))
+
   /** Fixed-width value histogram per event type — the profiling view a
     * pipeline keeps per numeric column. Bucketing is a map-only
     * projection (floor of an IEEE-identical double division), then one
@@ -2171,7 +2198,7 @@ object Queries {
     qDedupSurvivors, qRunningStats, qSpanDedup, qTermScrub, qValueHistogram,
     qBigramLift, qOutliers, qTokenBudget, qRollupStats, qTimeWindowSum,
     qProfile, qStratifiedSample, qAsofForward, qScd2, qPairCuration,
-    qRunningDistinct, qFirstSeen, qDedupDegree,
+    qRunningDistinct, qFirstSeen, qDedupDegree, qDecileBin,
     qTokenCount, qFingerprint, qMultimodalMeta,
     qMultimodalDecode, qResizePlan, qFrameSample)
 

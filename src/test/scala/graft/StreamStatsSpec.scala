@@ -273,6 +273,25 @@ class StreamStatsSpec extends SparkSpecBase {
     assert(out.filter(col("degree") < 1).isEmpty)
   }
 
+  test("q_decile_bin: bins are 0-9, near-uniform, and monotone in value") {
+    val out = Queries.queries("q_decile_bin")(spark, sfDir)
+    assert(out.filter(col("decile") < 0 || col("decile") > 9).isEmpty)
+    // near-uniform: per (type, decile) counts differ by at most 1 from n/10
+    val sizes = out.groupBy("event_type", "decile").agg(count(lit(1)).as("c"))
+      .groupBy("event_type").agg(min("c").as("lo"), max("c").as("hi"),
+        count(lit(1)).as("nbins"))
+    assert(sizes.filter(col("nbins") =!= 10).isEmpty)
+    assert(sizes.filter(col("hi") - col("lo") > 1).isEmpty)
+    // monotone: a higher-valued event never lands in a lower decile
+    val ev = spark.read.parquet(s"$sfDir/events.parquet")
+      .select(col("event_id"), (col("value").cast("decimal(18,2)") * 100).cast("long").as("cents"))
+    val j = out.join(ev, "event_id")
+    val cross = j.as("a").join(j.as("b"),
+        col("a.event_type") === col("b.event_type") &&
+        col("a.cents") < col("b.cents") && col("a.decile") > col("b.decile"))
+    assert(cross.isEmpty, "decile order contradicts value order")
+  }
+
   test("q_value_histogram: bucket mass equals corpus; buckets cover the value range") {
     val out = Queries.queries("q_value_histogram")(spark, sfDir)
     val total = spark.read.parquet(s"$sfDir/events.parquet").count()
