@@ -120,6 +120,23 @@ class OperatorsSpec extends SparkSpecBase {
     assert(all.agg(max("cum_wt")).head().getLong(0) == 300L)
   }
 
+  test("shuffleOrder permutation is invariant under the bucket-prefix width knob") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val w2 = Relational.shuffleOrder(docs, "doc_id", prefixChars = 2)
+    val w3 = Relational.shuffleOrder(docs, "doc_id", prefixChars = 3)
+    assert(w2.except(w3).isEmpty && w3.except(w2).isEmpty,
+      "widening the bucket prefix changed the global order")
+  }
+
+  test("asofJoinForward accepts plain numeric timestamps") {
+    import spark.implicits._
+    val l = Seq((1L, 1000L)).toDF("k", "ts")
+    val r = Seq((1L, 1500L, 1L, "hit")).toDF("rk", "rts", "ord", "payload")
+    val out = Joins.asofJoinForward(l, r, "k", "rk", "ts", "rts", "ord", Seq("payload"))
+      .select("k", "payload", "match_ts_us").collect()
+    assert(out.length == 1 && out(0).getString(1) == "hit" && out(0).getLong(2) == 1500L)
+  }
+
   test("saltedJoin returns exactly the plain join's rows") {
     import spark.implicits._
     val dim = Seq((1L, "gold"), (2L, "silver")).toDF("dk", "tier")
