@@ -3,10 +3,12 @@ package graft
 import org.apache.spark.sql.functions._
 
 /** Semantics of the round-5 operators, checked by properties a user
-  * relies on (not just oracle hashes): running stats agree with the
-  * independent per-key fold, span duplication saturates on exact
-  * duplicate documents, the scrub removes every denylisted token while
-  * preserving order, histogram mass equals the row count.
+  * relies on (not just oracle hashes): each query is cross-checked
+  * against an INDEPENDENT recomputation taking a different route to
+  * the same answer (fold vs window frames, raw gram strings vs span
+  * hashes, lead-window vs zipped-slice bigrams, brute-force range join
+  * vs union-merge as-of), plus structural invariants (funnels bounded,
+  * bins uniform and monotone, intervals tiling, handshake identity).
   */
 class StreamStatsSpec extends SparkSpecBase {
 
