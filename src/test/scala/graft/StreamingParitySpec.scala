@@ -300,6 +300,35 @@ class StreamingParitySpec extends SparkSpecBase {
     assert(gotChunk == expChunk)
   }
 
+  test("stream-stream interval join evicts state past the watermark (late right dropped)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val msL = MemoryStream[KeyedEvent]
+    val msR = MemoryStream[KeyedEvent]
+    val ls = msL.toDF().select(col("key").as("lk"),
+      timestamp_micros(col("tsUs")).as("lts"), col("tsUs").as("ltus"))
+    val rs = msR.toDF().select(col("key").as("rk"),
+      timestamp_micros(col("tsUs")).as("rts"), col("tsUs").as("rtus"))
+    val j = StreamingOps.intervalJoin(ls, rs, "lk", "rk", "lts", "rts", "1 MINUTE", "10 seconds")
+    val q = j.writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("t_ivj_late").start()
+    try {
+      // batch 1: (1s ⋈ 2s) matches; 500s rows advance both watermarks
+      msL.addData(Seq(KeyedEvent(1L, 1_000_000L, 1.0), KeyedEvent(1L, 500_000_000L, 1.0)))
+      msR.addData(Seq(KeyedEvent(1L, 2_000_000L, 1.0), KeyedEvent(1L, 500_000_000L, 1.0)))
+      q.processAllAvailable()
+      // batch 2: a right event at 30s would match left 1s, but both the
+      // event and the left state are far below the watermark → dropped
+      msR.addData(Seq(KeyedEvent(1L, 30_000_000L, 9.0)))
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("t_ivj_late").select("ltus", "rtus")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got.contains((1_000_000L, 2_000_000L)) && got.contains((500_000_000L, 500_000_000L)), got)
+    assert(!got.contains((1_000_000L, 30_000_000L)),
+      s"late right event joined against evicted state: $got")
+  }
+
   test("streaming runningFold matches the batch cumulative window") {
     import spark.implicits._
     import org.apache.spark.sql.expressions.Window
