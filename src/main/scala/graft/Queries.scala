@@ -769,6 +769,36 @@ object Queries {
                            JOIN ok gb ON p.id_b = gb.doc_id)
              SELECT id_a, id_b, inter, uni FROM sc WHERE inter * 2 >= uni"""))
 
+  /** The CHEAP rescore: MinHash signature-overlap Jaccard estimate
+    * (agree/16 in exact milli-units) for every LSH candidate pair —
+    * what a pipeline uses when the exact gram rescore is too expensive
+    * to run corpus-wide. Signatures are 16 longs/doc, so the rescore
+    * join moves ~128 B/doc instead of the gram arrays; the native
+    * plans.MinhashSig / LongArrayEqCount kernels keep both the
+    * signature and the agreement count codegen'd.
+    */
+  private val qMinhashEst = GraftQuery(
+    "q_minhash_est",
+    (s, dir) => DedupFns.minhashEstPairs(t(s, dir, "documents"), "doc_id", "text"),
+    Some(s"""WITH t0 AS (SELECT doc_id, $toksSql AS tk FROM documents),
+             g AS (SELECT doc_id, $grams3Sql AS gs FROM t0),
+             ok AS (SELECT doc_id, gs FROM g WHERE len(gs) > 0),
+             hs AS (SELECT doc_id, list_transform(gs, t -> ${h31Sql("t")}) AS h FROM ok),
+             sig AS (SELECT doc_id, $minhashSigSql AS s FROM hs),
+             bands AS (SELECT doc_id, k AS band, (s[2*k+1] * 1000003 + s[2*k+2]) % $M AS bh
+                       FROM sig, range(${DedupFns.NumHashes / DedupFns.BandRows}) t(k)),
+             p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+                   FROM bands a JOIN bands b
+                     ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
+                   GROUP BY 1, 2),
+             ag AS (SELECT id_a, id_b,
+                      CAST(len(list_filter(range(1, ${DedupFns.NumHashes + 1}), i -> sa.s[i] = sb.s[i])) AS BIGINT) AS agree
+                    FROM p JOIN sig sa ON p.id_a = sa.doc_id
+                           JOIN sig sb ON p.id_b = sb.doc_id)
+             SELECT id_a, id_b, agree,
+               CAST((agree * 1000) // ${DedupFns.NumHashes} AS BIGINT) AS est_milli
+             FROM ag"""))
+
   /** Shared DuckDB prefix: exact simhash near-dup pairs → recursive
     * transitive closure (`reach(id, r)`), the oracle twin of
     * Relational.connectedComponents over DedupFns.simhashNearDupPairs.
@@ -882,6 +912,30 @@ object Queries {
              SELECT degree, CAST(count(*) AS BIGINT) AS n_nodes
              FROM (SELECT a, CAST(count(*) AS BIGINT) AS degree FROM e GROUP BY a)
              GROUP BY degree"""))
+
+  /** Integer PageRank (3 iterations, d=0.85 in exact milli-units) over
+    * the simhash near-dup graph — the centrality signal for picking
+    * cluster representatives / spotting template hubs. Shares the
+    * materialized pair mining with the other derived dedup queries;
+    * the oracle unrolls the same three integer iterations (all values
+    * positive, so `div` and `//` agree).
+    */
+  private val qPagerank = GraftQuery(
+    "q_pagerank",
+    (s, dir) => Relational.pageRank(simhashPairs(s, dir), "id_a", "id_b", iters = 3),
+    Some(s"""$simhashCcSql,
+             deg AS (SELECT a AS id, CAST(count(*) AS BIGINT) AS deg FROM e GROUP BY 1),
+             pr0 AS (SELECT id, CAST(1000000 AS BIGINT) AS pr, deg FROM deg),
+             c1 AS (SELECT e.b AS id, sum(pr0.pr // pr0.deg) AS s FROM e JOIN pr0 ON e.a = pr0.id GROUP BY 1),
+             pr1 AS (SELECT deg.id, CAST(150000 + (850 * coalesce(c1.s, 0)) // 1000 AS BIGINT) AS pr, deg.deg AS deg
+                     FROM deg LEFT JOIN c1 USING (id)),
+             c2 AS (SELECT e.b AS id, sum(pr1.pr // pr1.deg) AS s FROM e JOIN pr1 ON e.a = pr1.id GROUP BY 1),
+             pr2 AS (SELECT deg.id, CAST(150000 + (850 * coalesce(c2.s, 0)) // 1000 AS BIGINT) AS pr, deg.deg AS deg
+                     FROM deg LEFT JOIN c2 USING (id)),
+             c3 AS (SELECT e.b AS id, sum(pr2.pr // pr2.deg) AS s FROM e JOIN pr2 ON e.a = pr2.id GROUP BY 1),
+             pr3 AS (SELECT deg.id, CAST(150000 + (850 * coalesce(c3.s, 0)) // 1000 AS BIGINT) AS pr
+                     FROM deg LEFT JOIN c3 USING (id))
+             SELECT id, pr AS pr_micro FROM pr3"""))
 
   /** Per-document repetitiousness: the most frequent token's share of
     * all tokens, in exact milli-units (max_tf * 1000 // n_tokens) — a
@@ -1016,6 +1070,42 @@ object Queries {
                      row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rnk
                    FROM sc)
              WHERE rnk <= 5"""))
+
+  /** One Lloyd k-means refinement step from the deterministic IVF
+    * centroid init, in exact integer arithmetic (VectorFns.kmeansStep):
+    * per centroid the member count, the per-dimension floor-mean
+    * checksum, and the L1 shift vs the old centroid — the convergence
+    * signal a production IVF build iterates on. Assignment is map-only
+    * (centroid literal in the plan); the dimension recompute's shuffle
+    * payload collapses to k×dims partials per task via partial agg.
+    * The oracle replicates the centroid choice, (d2, cid) assignment
+    * order, and the explicit floor division (Spark `div` truncates,
+    * DuckDB `//` floors — they differ on the negative sums quantized
+    * embeddings produce, so both sides use (s - pmod(s,n)) / n).
+    */
+  private val qKmeansStep = GraftQuery(
+    "q_kmeans_step",
+    (s, dir) => VectorFns.kmeansStep(t(s, dir, "embeddings"), "vec_id", "embedding", 16),
+    Some(s"""WITH e AS (SELECT vec_id, ${quantSql("embedding")} AS v FROM embeddings),
+             cents AS (SELECT row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), CAST(vec_id AS VARCHAR)) - 1 AS cid, v AS cv
+                       FROM e ORDER BY md5(CAST(vec_id AS VARCHAR)), CAST(vec_id AS VARCHAR) LIMIT 16),
+             d AS (SELECT e.vec_id, cents.cid,
+                     CAST(list_sum(list_transform(range(1, 65), i -> (v[i]-cv[i])*(v[i]-cv[i]))) AS BIGINT) AS d2
+                   FROM e CROSS JOIN cents),
+             assign AS (SELECT vec_id, cid FROM
+                          (SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn FROM d)
+                        WHERE rn = 1),
+             dm AS (SELECT a.cid, i, e.v[i] AS val
+                    FROM assign a JOIN e USING (vec_id) CROSS JOIN range(1, 65) t(i)),
+             sums AS (SELECT cid, i, CAST(sum(val) AS BIGINT) AS s, CAST(count(*) AS BIGINT) AS n
+                      FROM dm GROUP BY 1, 2),
+             m AS (SELECT s.cid, s.i,
+                     (s.s - ((s.s % s.n + s.n) % s.n)) // s.n AS mv,
+                     c.cv[s.i] AS old_v, s.n
+                   FROM sums s JOIN cents c USING (cid))
+             SELECT CAST(cid AS BIGINT) AS cid, CAST(max(n) AS BIGINT) AS n_members,
+               CAST(sum(mv) AS BIGINT) AS mean_sum, CAST(sum(abs(mv - old_v)) AS BIGINT) AS shift_l1
+             FROM m GROUP BY cid"""))
 
   private val qDedupEmbed = GraftQuery(
     "q_dedup_embed",
@@ -1314,6 +1404,37 @@ object Queries {
                           CAST(len(list_filter(string_split_regex(text, '\s+'), x -> x != '')) AS BIGINT) AS toks
                         FROM documents))
             GROUP BY 1, 2"""))
+
+  /** Context-window chunking: split every document into 64-token
+    * chunks with stride 32 (50% overlap) — the step that turns a
+    * curated corpus into training sequences. Entirely MAP-ONLY (one
+    * tokenize behind a Fence, one explode of the chunk starts, one
+    * slice per chunk — zero shuffles), so it scales embarrassingly:
+    * chunk identity is (doc_id, chunk_idx) and each chunk carries its
+    * exact token count plus an md5 content fingerprint for downstream
+    * chunk-level dedup.
+    */
+  private val qDocChunks = GraftQuery(
+    "q_doc_chunks",
+    (s, dir) =>
+      Fence.guard(
+          t(s, dir, "documents")
+            .select(col("doc_id"), TextFns.tokensFast(col("text")).as("__toks"), Fence.col))
+        .filter(size(col("__toks")) > 0)
+        .select(col("doc_id"), col("__toks"),
+          explode(sequence(lit(0), size(col("__toks")) - 1, lit(32))).as("start"))
+        .select(col("doc_id"), expr("start div 32").cast("long").as("chunk_idx"),
+          slice(col("__toks"), col("start") + 1, lit(64)).as("__chunk"))
+        .select(col("doc_id"), col("chunk_idx"),
+          size(col("__chunk")).cast("long").as("n_tokens"),
+          md5(concat_ws(" ", col("__chunk"))).as("chunk_md5")),
+    Some(s"""WITH t0 AS (SELECT doc_id, $toksSql AS tk FROM documents),
+             ok AS (SELECT doc_id, tk FROM t0 WHERE len(tk) > 0),
+             st AS (SELECT doc_id, tk, unnest(range(0, len(tk), 32)) AS start FROM ok)
+             SELECT doc_id, CAST(start // 32 AS BIGINT) AS chunk_idx,
+               CAST(len(tk[start+1:start+64]) AS BIGINT) AS n_tokens,
+               md5(array_to_string(tk[start+1:start+64], ' ')) AS chunk_md5
+             FROM st"""))
 
   /** Deterministic per-group sample: the 3 docs per source with the
     * smallest (md5(doc_id), doc_id) — a reproducible uniform group
@@ -2189,9 +2310,9 @@ object Queries {
     qIntervalJoin, qStreamTableJoin, qMerge, qSplitBranch, qChunk, qSkipTake, qThrottle,
     qWordcount, qCandles, qCandlesHop, qStratClassify, qAsofJoin,
     q1Pricing, q3Topk, q5Region, q14Promo, qJsonExtract,
-    qDedupExact, qDedupMinhash, qMinhashRescore, qDedupSimhash, qDedupSimhashPairs,
-    qDedupClusters, qNgramJaccard, qDedupEmbed, qRepetition,
-    qEmbedTopk, qEmbedLsh, qEmbedIvf,
+    qDedupExact, qDedupMinhash, qMinhashRescore, qMinhashEst, qDedupSimhash, qDedupSimhashPairs,
+    qDedupClusters, qPagerank, qNgramJaccard, qDedupEmbed, qRepetition,
+    qEmbedTopk, qEmbedLsh, qEmbedIvf, qKmeansStep, qDocChunks,
     qLangId, qQualityScore, qCuration, qSplitAssign, qPackSequences, qSamplePerKey,
     qTfidfTopterms, qContamination,
     qShuffleOrder, qGopherQuality, qVocabCoverage, qFunnel, qRetention, qLangConfusion,

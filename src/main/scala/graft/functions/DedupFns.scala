@@ -90,6 +90,49 @@ object DedupFns {
     GraftBridge.column(graft.plans.MinhashBands(GraftBridge.expression(toks), n))
   }
 
+  /** Native-loop raw 16-element MinHash signature from a token-array
+    * column (graft.plans.MinhashSig — same kernel as the bands, minus
+    * the band fold).
+    */
+  def minhashSigFast(toks: Column, n: Int = 3): Column = {
+    import org.apache.spark.sql.GraftBridge
+    GraftBridge.column(graft.plans.MinhashSig(GraftBridge.expression(toks), n))
+  }
+
+  /** Count of agreeing positions between two signature columns
+    * (graft.plans.LongArrayEqCount, codegen'd).
+    */
+  def sigAgreement(a: Column, b: Column): Column = {
+    import org.apache.spark.sql.GraftBridge
+    GraftBridge.column(
+      graft.plans.LongArrayEqCount(GraftBridge.expression(a), GraftBridge.expression(b)))
+  }
+
+  /** MinHash signature-overlap Jaccard ESTIMATE for every LSH candidate
+    * pair: est = agree/16, emitted in exact integer milli-units. The
+    * cheap streaming twin of the exact rescore (`q_minhash_rescore`) —
+    * no gram arrays travel anywhere: candidates come from the band
+    * equi-join and the estimator touches only the 16-long signatures,
+    * joined back by id (repartition(id) so both signature lookups share
+    * one exchange). At 100 TB the signature table is ~128 B/doc —
+    * orders of magnitude under the gram-array rescore payload.
+    */
+  def minhashEstPairs(df: DataFrame, idCol: String, textCol: String, n: Int = 3): DataFrame = {
+    val cands = minhashCandidates(df, idCol, textCol)
+    val sigs = Fence.guard(Fence.guard(
+        df.select(col(idCol).as("id"), tokensFast(col(textCol)).as("__toks"), Fence.col))
+      .filter(size(col("__toks")) >= n)
+      .select(col("id"), minhashSigFast(col("__toks"), n).as("sig"), Fence.col))
+      .repartition(col("id"))
+    cands
+      .join(sigs.as("sa"), col("id_a") === col("sa.id"))
+      .join(sigs.as("sb"), col("id_b") === col("sb.id"))
+      .select(col("id_a"), col("id_b"),
+        sigAgreement(col("sa.sig"), col("sb.sig")).as("agree"))
+      .select(col("id_a"), col("id_b"), col("agree"),
+        expr(s"(agree * 1000) div $NumHashes").as("est_milli"))
+  }
+
   /** LSH candidate pairs: docs sharing any band hash. Equi-join on
     * (band index, band hash) — shuffle-bounded, never all-pairs.
     * MinHash items are word 3-gram shingles (unigram sets collapse when

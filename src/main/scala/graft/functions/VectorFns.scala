@@ -168,6 +168,45 @@ object VectorFns {
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
 
+  /** One Lloyd iteration of k-means over quantized vectors in EXACT
+    * integer arithmetic — the refinement step a production pipeline
+    * runs from the deterministic `ivfCentroids` init before building
+    * the IVF index. Per centroid: member count, the per-dimension
+    * floor-mean checksum, and the total L1 shift vs the old centroid
+    * (the convergence signal).
+    *
+    * Scale shape: assignment is MAP-ONLY (centroids ride in the plan as
+    * a literal via plans.IvfProbesExpr — no join, no shuffle); the
+    * per-dimension recompute posexplodes to rows×dims but partial
+    * aggregation collapses each task's shuffle payload to ≤ k×dims
+    * partials, so the shuffle carries kilobytes regardless of corpus
+    * size. Engine portability: the mean uses explicit floor division
+    * `(s - pmod(s, n)) div n` because Spark's `div` truncates toward
+    * zero while DuckDB's `//` floors — they diverge on negative sums.
+    */
+  def kmeansStep(corpus: DataFrame, idCol: String, vecCol: String,
+      kCentroids: Int = 16): DataFrame = {
+    val cents = typedLit(ivfCentroids(corpus, idCol, vecCol, kCentroids))
+    val assigned = Fence.guard(Fence.guard(
+        corpus.select(col(idCol).as("id"), quantizeFast(col(vecCol)).as("qv"), Fence.col))
+      .filter(col("qv").isNotNull)
+      .select(col("id"), col("qv"),
+        element_at(ivfProbesFast(col("qv"), cents, 1), 1).as("cid"), Fence.col))
+    val sums = assigned
+      .select(col("cid"), posexplode(col("qv")).as(Seq("dim", "v")))
+      .groupBy("cid", "dim")
+      .agg(sum(col("v")).as("s"), count(lit(1)).as("n"))
+      .withColumn("mv", expr("(s - ((s % n + n) % n)) div n"))
+      .withColumn("old_v",
+        element_at(element_at(cents, col("cid").cast("int") + 1), col("dim").cast("int") + 1))
+    sums.groupBy("cid")
+      .agg(max(col("n")).as("n_members"),
+        sum(col("mv")).as("mean_sum"),
+        sum(abs(col("mv") - col("old_v"))).as("shift_l1"))
+      .select(col("cid").cast("long").as("cid"), col("n_members"),
+        col("mean_sum"), col("shift_l1"))
+  }
+
   /** Embedding-cosine near-duplicate pairs: all (id_a < id_b) sharing an
     * LSH bucket in any table whose exact quantized cosine clears
     * τ = tauNum/tauDen, decided in pure integer arithmetic:

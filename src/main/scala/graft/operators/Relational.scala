@@ -133,4 +133,47 @@ object Relational {
     }
     labels
   }
+
+  /** Fixed-iteration integer PageRank over an undirected pair list —
+    * the centrality score a dedup pipeline uses to pick cluster
+    * representatives (or to spot template hubs) on the near-dup graph.
+    *
+    * All-arithmetic-is-integer so the result is engine-portable: pr is
+    * scaled to micro-units (pr0 = 1,000,000), each node contributes
+    * `pr div deg` to every neighbor, and the damping update is
+    * pr' = 150000 + (850 * sum_contribs) div 1000 (d = 0.85 in exact
+    * milli-units). Fixed `iters` rather than convergence detection
+    * keeps the oracle expressible as a non-recursive unrolled query.
+    *
+    * Scale shape mirrors connectedComponents: edges materialize once
+    * (localCheckpoint) partitioned on src; each iteration is one
+    * equi-join + one partial-agg shuffle on dst; per-iteration
+    * localCheckpoint truncates the growing plan lineage.
+    */
+  def pageRank(pairs: DataFrame, srcCol: String, dstCol: String, iters: Int = 3): DataFrame = {
+    val edges = pairs.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .union(pairs.select(col(dstCol).as("src"), col(srcCol).as("dst")))
+      .distinct()
+      .repartition(col("src"))
+      .localCheckpoint(true)
+    val deg = edges.groupBy(col("src").as("id")).agg(count(lit(1)).as("deg"))
+    var pr = deg.select(col("id"), lit(1000000L).as("pr"), col("deg"))
+      .localCheckpoint(true)
+    var it = 0
+    while (it < iters) {
+      val contribs = edges
+        .join(pr.select(col("id").as("__src"), expr("pr div deg").as("__c")),
+          col("src") === col("__src"))
+        .groupBy(col("dst").as("id"))
+        .agg(sum(col("__c")).as("__s"))
+      pr = pr.select(col("id"), col("deg"))
+        .join(contribs, Seq("id"), "left")
+        .select(col("id"),
+          (lit(150000L) + expr("(850 * coalesce(__s, 0)) div 1000")).as("pr"),
+          col("deg"))
+        .localCheckpoint(true)
+      it += 1
+    }
+    pr.select(col("id"), col("pr").as("pr_micro"))
+  }
 }

@@ -177,8 +177,12 @@ object Kernels {
   private def tokenHash(md: MessageDigest, t: org.apache.spark.unsafe.types.UTF8String): Long =
     h60(md.digest(t.getBytes))
 
-  /** Null when the doc has fewer than n tokens (no shingle exists). */
-  def minhashBands(toks: ArrayData, n: Int): ArrayData = {
+  /** The 16 MinHash signature minima over word n-gram shingles; null
+    * when the doc has fewer than n tokens (no shingle exists). Shared
+    * by minhashBands (LSH bucketing) and minhashSig (signature-overlap
+    * Jaccard estimation) so the two can never diverge.
+    */
+  private def minhashMins(toks: ArrayData, n: Int): Array[Long] = {
     val m = toks.numElements()
     if (m < n) return null
     val numHashes = DedupFns.NumHashes
@@ -202,11 +206,38 @@ object Kernels {
       }
       i += 1
     }
-    val numBands = numHashes / DedupFns.BandRows
+    mins
+  }
+
+  /** Null when the doc has fewer than n tokens (no shingle exists). */
+  def minhashBands(toks: ArrayData, n: Int): ArrayData = {
+    val mins = minhashMins(toks, n)
+    if (mins == null) return null
+    val numBands = DedupFns.NumHashes / DedupFns.BandRows
     val bands = new Array[Long](numBands)
     var b = 0
     while (b < numBands) { bands(b) = (mins(2 * b) * 1000003L + mins(2 * b + 1)) % M; b += 1 }
     new GenericArrayData(bands)
+  }
+
+  /** The raw 16-element MinHash signature (see minhashMins). */
+  def minhashSig(toks: ArrayData, n: Int): ArrayData = {
+    val mins = minhashMins(toks, n)
+    if (mins == null) null else new GenericArrayData(mins)
+  }
+
+  /** Number of positions where two equal-length long arrays agree —
+    * the MinHash Jaccard estimator numerator (est = eqCount/numHashes).
+    */
+  def eqCount(a: ArrayData, b: ArrayData): Long = {
+    val n = a.numElements()
+    var c = 0L
+    var i = 0
+    while (i < n) {
+      if (a.getLong(i) == b.getLong(i)) c += 1
+      i += 1
+    }
+    c
   }
 
   /** Rolling polynomial fingerprint over the token-hash sequence in one

@@ -59,6 +59,41 @@ case class MinhashBands(child: Expression, n: Int) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** The raw 16-element MinHash signature over word n-gram shingles —
+  * same one-pass kernel as MinhashBands but WITHOUT the band fold, for
+  * consumers that need per-hash agreement (the unbiased Jaccard
+  * estimator: est = |{i : sig_a[i] = sig_b[i]}| / 16). Null semantics
+  * identical to MinhashBands.
+  */
+case class MinhashSig(child: Expression, n: Int) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    TypeChecks.requireArrayOf("graft_minhash_sig", StringType, child.dataType)
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true
+
+  private def elemNullable: Boolean = TypeChecks.elemNullable(child.dataType)
+
+  override def nullSafeEval(input: Any): Any = {
+    val toks = input.asInstanceOf[ArrayData]
+    if (elemNullable && Kernels.hasNullElement(toks)) null
+    else Kernels.minhashSig(toks, n)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val guard =
+        if (elemNullable) s"graft.plans.Kernels.hasNullElement($c) ? null : " else ""
+      s"""
+      ${ev.value} = $guard graft.plans.Kernels.minhashSig($c, $n);
+      ${ev.isNull} = ${ev.value} == null;
+    """
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): MinhashSig =
+    copy(child = newChild)
+}
+
 /** Rolling polynomial fingerprint over a token array in one native
   * pass (Kernels.fingerprint) — value-identical to
   * TextFns.fingerprint's declarative aggregate: each token's 60-bit

@@ -111,6 +111,42 @@ case class QDot(left: Expression, right: Expression) extends BinaryExpression {
     copy(left = l, right = r)
 }
 
+/** Count of positions where two equal-length array<long> columns hold
+  * the same value — the MinHash signature-agreement numerator. Null on
+  * mismatched lengths / null elements, mirroring QDot's contract.
+  */
+case class LongArrayEqCount(left: Expression, right: Expression) extends BinaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    TypeChecks.requireArrayOf("graft_eq_count", LongType, left.dataType, right.dataType)
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+  private def anyElemNullable: Boolean =
+    TypeChecks.elemNullable(left.dataType) || TypeChecks.elemNullable(right.dataType)
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    if (x.numElements() != y.numElements() ||
+        (anyElemNullable && (Kernels.hasNullElement(x) || Kernels.hasNullElement(y)))) null
+    else Kernels.eqCount(x, y)
+  }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val nullElems =
+        if (anyElemNullable)
+          s" || graft.plans.Kernels.hasNullElement($a) || graft.plans.Kernels.hasNullElement($b)"
+        else ""
+      s"""
+      if ($a.numElements() != $b.numElements()$nullElems) {
+        ${ev.isNull} = true;
+      } else {
+        ${ev.value} = graft.plans.Kernels.eqCount($a, $b);
+      }
+    """
+    })
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): LongArrayEqCount =
+    copy(left = l, right = r)
+}
+
 /** All `tables` LSH bucket ids of a pre-quantized vector in one pass:
   * bucket_t bit j = sign of sum_d qv(d) * (((t*131 + j*37 + d*17) mod 21) - 10).
   * Identical formula to VectorFns.lshBucketFor and the oracle SQL.

@@ -121,6 +121,29 @@ class FunctionsSpec extends SparkSpecBase {
     assert(f.nonEmpty)
   }
 
+  test("native MinhashSig matches the declarative signature; sigAgreement counts exactly") {
+    import spark.implicits._
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet").limit(100)
+    val base = docs.select(col("doc_id"), TextFns.tokens(col("text")).as("toks"))
+      .filter(size(col("toks")) >= 3)
+    val fast = base.select(col("doc_id"), DedupFns.minhashSigFast(col("toks"), 3).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val slow = base
+      .select(col("doc_id"), DedupFns.wordNgramsFromTokens(col("toks"), 3).as("g"))
+      .select(col("doc_id"), transform(col("g"), t => TextFns.tokenHash31(t)).as("h"))
+      .select(col("doc_id"), DedupFns.minhashSignatureFromHashes(col("h")).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(fast == slow)
+    assert(fast.nonEmpty && fast.values.forall(_.size == DedupFns.NumHashes))
+    // agreement: exact positional equality count; null on ragged lengths
+    val ag = Seq((Seq(1L, 2L, 3L, 4L), Seq(1L, 9L, 3L, 7L))).toDF("a", "b")
+      .select(DedupFns.sigAgreement(col("a"), col("b"))).head()
+    assert(ag.getLong(0) == 2L)
+    val ragged = Seq((Seq(1L, 2L), Seq(1L, 2L, 3L))).toDF("a", "b")
+      .select(DedupFns.sigAgreement(col("a"), col("b"))).head()
+    assert(ragged.isNullAt(0))
+  }
+
   test("ngramJaccardPairs computes exact intersection over full gram sets") {
     import spark.implicits._
     val docs = Seq(
@@ -251,13 +274,19 @@ class FunctionsSpec extends SparkSpecBase {
           VectorFns.lshBucketsFast(VectorFns.quantizeFast(col("v")), 2, 4).as("lsh"),
           VectorFns.ivfProbesFast(VectorFns.quantizeFast(col("v")), cents, 1).as("ivf"),
           DedupFns.simhash32Fast(TextFns.tokensFast(col("text"))).as("sim"),
-          DedupFns.minhashBandsFast(TextFns.tokensFast(col("text")), 3).as("mh"))
+          DedupFns.minhashBandsFast(TextFns.tokensFast(col("text")), 3).as("mh"),
+          DedupFns.minhashSigFast(TextFns.tokensFast(col("text")), 3).as("ms"),
+          DedupFns.sigAgreement(
+            DedupFns.minhashSigFast(TextFns.tokensFast(col("text")), 3),
+            DedupFns.minhashSigFast(TextFns.tokensFast(col("text")), 3)).as("ag"))
         .collect()(0)
       // float 0.9f = 0.8999999762…, so floor(x*1000) quantizes to 899
       assert(row.getLong(0) == 899L * 899 + 800L * 800)
       assert(row.getSeq[Long](1).size == 2)
       assert(row.getSeq[Long](2) == Seq(1L)) // (900,800) nearer (1000,1000)
       assert(!row.isNullAt(3) && row.getSeq[Long](4).size == 8)
+      assert(row.getSeq[Long](5).size == DedupFns.NumHashes)
+      assert(row.getLong(6) == DedupFns.NumHashes.toLong) // self-agreement is total
     } finally spark.conf.unset("spark.sql.codegen.factoryMode")
   }
 

@@ -80,4 +80,71 @@ class PipelineOpsSpec extends SparkSpecBase {
       .agg(sum("n_docs")).head().getLong(0)
     assert(total == spark.read.parquet(s"$sfDir/documents.parquet").count())
   }
+
+  test("q_doc_chunks: ceil(n/32) chunks per doc, 64-token bodies, shorter tail") {
+    val out = Queries.queries("q_doc_chunks")(spark, sfDir).cache()
+    val toks = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id"), size(graft.functions.TextFns.tokensFast(col("text"))).cast("long").as("n"))
+      .filter(col("n") > 0)
+    // chunk starts are 0, 32, … < n  →  exactly ceil(n/32) chunks, idx contiguous from 0
+    val agg = out.groupBy("doc_id")
+      .agg(count(lit(1)).as("chunks"), min("chunk_idx").as("mn"), max("chunk_idx").as("mx"))
+      .join(toks, "doc_id")
+    assert(agg.filter(col("chunks") =!= expr("(n + 31) div 32")).isEmpty)
+    assert(agg.filter(col("mn") =!= 0 || col("mx") =!= col("chunks") - 1).isEmpty)
+    assert(toks.join(agg, Seq("doc_id"), "left_anti").isEmpty) // every non-empty doc chunked
+    // a chunk is 64 tokens unless it starts within 64 of the end
+    val bad = out.join(toks, "doc_id")
+      .filter(col("n_tokens") =!= least(lit(64L), col("n") - col("chunk_idx") * 32))
+    assert(bad.isEmpty)
+    out.unpersist()
+    ()
+  }
+
+  test("q_minhash_est: pair set equals the LSH candidates; estimate is agree/16 in milli-units") {
+    val est = Queries.queries("q_minhash_est")(spark, sfDir).cache()
+    val cands = Queries.queries("q_dedup_minhash")(spark, sfDir)
+    assert(est.select("id_a", "id_b").except(cands).isEmpty &&
+      cands.except(est.select("id_a", "id_b")).isEmpty)
+    // band agreement implies ≥ 2 agreeing signature positions
+    assert(est.filter(col("agree") < 2 || col("agree") > 16).isEmpty)
+    assert(est.filter(col("est_milli") =!= expr("(agree * 1000) div 16")).isEmpty)
+    est.unpersist()
+    ()
+  }
+
+  test("pageRank: uniform on regular graphs, exact hand-computed values on a path") {
+    import spark.implicits._
+    // triangle: every node deg 2 → 1,000,000 is an exact fixed point
+    val tri = Seq((1L, 2L), (2L, 3L), (1L, 3L)).toDF("id_a", "id_b")
+    val prTri = graft.operators.Relational.pageRank(tri, "id_a", "id_b", iters = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(prTri == Map(1L -> 1000000L, 2L -> 1000000L, 3L -> 1000000L))
+    // path a-b-c after ONE iteration: ends get 150000 + 850*(1e6 div 2) div 1000,
+    // the middle gets 150000 + 850*(1e6 + 1e6) div 1000
+    val path = Seq((1L, 2L), (2L, 3L)).toDF("id_a", "id_b")
+    val pr1 = graft.operators.Relational.pageRank(path, "id_a", "id_b", iters = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(pr1 == Map(1L -> 575000L, 2L -> 1850000L, 3L -> 575000L), pr1)
+  }
+
+  test("q_pagerank: node set equals the near-dup graph; everyone keeps the damping floor") {
+    val pr = Queries.queries("q_pagerank")(spark, sfDir).cache()
+    val pairs = Queries.queries("q_dedup_simhash_pairs")(spark, sfDir)
+    val nodes = pairs.select(col("id_a").as("id")).union(pairs.select(col("id_b").as("id"))).distinct()
+    assert(pr.select("id").except(nodes).isEmpty && nodes.except(pr.select("id")).isEmpty)
+    assert(pr.filter(col("pr_micro") < 150000L).isEmpty)
+    pr.unpersist()
+    ()
+  }
+
+  test("q_kmeans_step: members partition the corpus; ≤16 centroids; shifts non-negative") {
+    val out = Queries.queries("q_kmeans_step")(spark, sfDir).collect()
+    val nVecs = spark.read.parquet(s"$sfDir/embeddings.parquet").count()
+    assert(out.map(_.getAs[Long]("n_members")).sum == nVecs)
+    assert(out.length <= 16 && out.nonEmpty)
+    assert(out.forall(_.getAs[Long]("shift_l1") >= 0L))
+    val cids = out.map(_.getAs[Long]("cid")).toSet
+    assert(cids.forall(c => c >= 0 && c < 16))
+  }
 }
