@@ -18,7 +18,8 @@ object Bench {
     "q_dedup_minhash", "q_dedup_simhash_pairs", "q_dedup_embed", "q_embed_lsh",
     "q_embed_ivf", "q_token_count", "q_distinct_users", "q_curation",
     "q_span_dedup", "q_running_stats",
-    "q_doc_chunks", "q_minhash_est", "q_kmeans_step", "q_pagerank")
+    "q_doc_chunks", "q_minhash_est", "q_kmeans_step", "q_pagerank",
+    "q2_mincost", "q18_bigorders", "q_chunk_dedup")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

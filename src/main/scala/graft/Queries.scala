@@ -632,6 +632,69 @@ object Queries {
               AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
             GROUP BY n_name"""))
 
+  /** TPC-H Q2 shape: cheapest supplier per (filtered) part — the
+    * argmin-per-group join pattern. The argmin is `min(struct(cost,
+    * suppkey))`: lexicographic struct ordering keeps it deterministic
+    * AND partial-agg friendly (map-side combine before one shuffle on
+    * partkey — a window row_number would sort every group instead).
+    * Unit cost is exact integer cents: decimal-cast price × 100 div
+    * quantity. Part filter and supplier lookup are broadcast joins.
+    */
+  private val q2Mincost = GraftQuery(
+    "q2_mincost",
+    (s, dir) => {
+      val p = t(s, dir, "part").filter(col("p_size") <= 10).select(col("p_partkey"))
+      val su = t(s, dir, "supplier")
+      t(s, dir, "lineitem")
+        .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+        .select(col("l_partkey"),
+          struct(
+            expr("cast(cast(l_extendedprice as decimal(18,2)) * 100 as bigint) div cast(l_quantity as bigint)")
+              .as("unit_cents"),
+            col("l_suppkey").as("suppkey")).as("m"))
+        .groupBy(col("l_partkey"))
+        .agg(min(col("m")).as("m"))
+        .select(col("l_partkey").as("p_partkey"),
+          col("m.unit_cents").as("unit_cents"), col("m.suppkey").as("suppkey"))
+        .join(broadcast(su), col("suppkey") === col("s_suppkey"))
+        .select(col("p_partkey"), col("s_name"), col("unit_cents"))
+    },
+    Some("""WITH u AS (SELECT l_partkey, l_suppkey,
+              CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) // CAST(l_quantity AS BIGINT) AS unit_cents
+              FROM lineitem JOIN part ON l_partkey = p_partkey WHERE p_size <= 10),
+            r AS (SELECT l_partkey AS p_partkey, l_suppkey AS suppkey, unit_cents,
+                    row_number() OVER (PARTITION BY l_partkey ORDER BY unit_cents, l_suppkey) AS rn
+                  FROM u)
+            SELECT p_partkey, s_name, unit_cents
+            FROM r JOIN supplier ON suppkey = s_suppkey WHERE rn = 1"""))
+
+  /** TPC-H Q18 shape: large-volume orders — aggregate lineitem per
+    * order, keep totals over a threshold, join back to orders and the
+    * broadcast customer dim. The quantity agg and the orders join share
+    * the orderkey, so AQE plans ONE shuffle for both; total quantity is
+    * an exact BIGINT (quantities are integral), the order price exact
+    * integer cents.
+    */
+  private val q18Bigorders = GraftQuery(
+    "q18_bigorders",
+    (s, dir) => {
+      val big = t(s, dir, "lineitem")
+        .groupBy(col("l_orderkey"))
+        .agg(sum(col("l_quantity").cast("long")).as("total_qty"))
+        .filter(col("total_qty") > 150)
+      t(s, dir, "orders")
+        .join(big, col("o_orderkey") === col("l_orderkey"))
+        .join(broadcast(t(s, dir, "customer")), col("o_custkey") === col("c_custkey"))
+        .select(col("c_name"), col("o_custkey"), col("o_orderkey"), col("total_qty"),
+          expr("cast(cast(o_totalprice as decimal(18,2)) * 100 as bigint)").as("price_cents"))
+    },
+    Some("""SELECT c_name, o_custkey, o_orderkey, CAST(total_qty AS BIGINT) AS total_qty,
+              CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS price_cents
+            FROM (SELECT l_orderkey, sum(CAST(l_quantity AS BIGINT)) AS total_qty
+                  FROM lineitem GROUP BY 1 HAVING sum(CAST(l_quantity AS BIGINT)) > 150) b
+            JOIN orders ON o_orderkey = b.l_orderkey
+            JOIN customer ON o_custkey = c_custkey"""))
+
   private val qJsonExtract = GraftQuery(
     "q_json_extract",
     (s, dir) =>
@@ -1414,27 +1477,60 @@ object Queries {
     * exact token count plus an md5 content fingerprint for downstream
     * chunk-level dedup.
     */
+  /** The shared chunking pipeline behind q_doc_chunks / q_chunk_dedup. */
+  private def docChunks(s: SparkSession, dir: String): DataFrame =
+    Fence.guard(
+        t(s, dir, "documents")
+          .select(col("doc_id"), TextFns.tokensFast(col("text")).as("__toks"), Fence.col))
+      .filter(size(col("__toks")) > 0)
+      .select(col("doc_id"), col("__toks"),
+        explode(sequence(lit(0), size(col("__toks")) - 1, lit(32))).as("start"))
+      .select(col("doc_id"), expr("start div 32").cast("long").as("chunk_idx"),
+        slice(col("__toks"), col("start") + 1, lit(64)).as("__chunk"))
+      .select(col("doc_id"), col("chunk_idx"),
+        size(col("__chunk")).cast("long").as("n_tokens"),
+        md5(concat_ws(" ", col("__chunk"))).as("chunk_md5"))
+
+  /** Shared DuckDB chunk CTE prefix ending in ch(doc_id, chunk_idx, n_tokens, chunk_md5). */
+  private def chunksSql: String =
+    s"""WITH t0 AS (SELECT doc_id, $toksSql AS tk FROM documents),
+             ok AS (SELECT doc_id, tk FROM t0 WHERE len(tk) > 0),
+             st AS (SELECT doc_id, tk, unnest(range(0, len(tk), 32)) AS start FROM ok),
+             ch AS (SELECT doc_id, CAST(start // 32 AS BIGINT) AS chunk_idx,
+                      CAST(len(tk[start+1:start+64]) AS BIGINT) AS n_tokens,
+                      md5(array_to_string(tk[start+1:start+64], ' ')) AS chunk_md5
+                    FROM st)"""
+
   private val qDocChunks = GraftQuery(
     "q_doc_chunks",
+    (s, dir) => docChunks(s, dir),
+    Some(s"""$chunksSql
+             SELECT doc_id, chunk_idx, n_tokens, chunk_md5 FROM ch"""))
+
+  /** Chunk-level exact dedup — the dedup granularity a training
+    * pipeline applies AFTER chunking (boilerplate repeats across docs
+    * even when whole docs don't). One hash shuffle on the content
+    * fingerprint; the keeper is the lexicographically smallest
+    * (doc_id, chunk_idx) via a partial-agg-friendly min(struct).
+    */
+  private val qChunkDedup = GraftQuery(
+    "q_chunk_dedup",
     (s, dir) =>
-      Fence.guard(
-          t(s, dir, "documents")
-            .select(col("doc_id"), TextFns.tokensFast(col("text")).as("__toks"), Fence.col))
-        .filter(size(col("__toks")) > 0)
-        .select(col("doc_id"), col("__toks"),
-          explode(sequence(lit(0), size(col("__toks")) - 1, lit(32))).as("start"))
-        .select(col("doc_id"), expr("start div 32").cast("long").as("chunk_idx"),
-          slice(col("__toks"), col("start") + 1, lit(64)).as("__chunk"))
-        .select(col("doc_id"), col("chunk_idx"),
-          size(col("__chunk")).cast("long").as("n_tokens"),
-          md5(concat_ws(" ", col("__chunk"))).as("chunk_md5")),
-    Some(s"""WITH t0 AS (SELECT doc_id, $toksSql AS tk FROM documents),
-             ok AS (SELECT doc_id, tk FROM t0 WHERE len(tk) > 0),
-             st AS (SELECT doc_id, tk, unnest(range(0, len(tk), 32)) AS start FROM ok)
-             SELECT doc_id, CAST(start // 32 AS BIGINT) AS chunk_idx,
-               CAST(len(tk[start+1:start+64]) AS BIGINT) AS n_tokens,
-               md5(array_to_string(tk[start+1:start+64], ' ')) AS chunk_md5
-             FROM st"""))
+      docChunks(s, dir)
+        .groupBy(col("chunk_md5"))
+        .agg(count(lit(1)).as("n"),
+          min(struct(col("doc_id"), col("chunk_idx"))).as("__k"))
+        .filter(col("n") > 1)
+        .select(col("chunk_md5"), col("n"),
+          col("__k.doc_id").as("keeper_doc"), col("__k.chunk_idx").as("keeper_idx")),
+    Some(s"""$chunksSql,
+             d AS (SELECT chunk_md5, CAST(count(*) AS BIGINT) AS n FROM ch
+                   GROUP BY 1 HAVING count(*) > 1),
+             k AS (SELECT chunk_md5, doc_id AS keeper_doc, chunk_idx AS keeper_idx,
+                     row_number() OVER (PARTITION BY chunk_md5 ORDER BY doc_id, chunk_idx) AS rn
+                   FROM ch)
+             SELECT d.chunk_md5, d.n, k.keeper_doc, k.keeper_idx
+             FROM d JOIN k USING (chunk_md5) WHERE rn = 1"""))
 
   /** Deterministic per-group sample: the 3 docs per source with the
     * smallest (md5(doc_id), doc_id) — a reproducible uniform group
@@ -2309,10 +2405,10 @@ object Queries {
     qMapFilter, qFilterMap, qCycle, qFoldAgg, qDistinctUsers, qTopkPerKey, qPivotCounts, qApproxDistinct, qQuantiles, qQuantilesExact, qTableLatest, qTumbling, qHopping, qLagWindow, qSession,
     qIntervalJoin, qStreamTableJoin, qMerge, qSplitBranch, qChunk, qSkipTake, qThrottle,
     qWordcount, qCandles, qCandlesHop, qStratClassify, qAsofJoin,
-    q1Pricing, q3Topk, q5Region, q14Promo, qJsonExtract,
+    q1Pricing, q3Topk, q5Region, q14Promo, q2Mincost, q18Bigorders, qJsonExtract,
     qDedupExact, qDedupMinhash, qMinhashRescore, qMinhashEst, qDedupSimhash, qDedupSimhashPairs,
     qDedupClusters, qPagerank, qNgramJaccard, qDedupEmbed, qRepetition,
-    qEmbedTopk, qEmbedLsh, qEmbedIvf, qKmeansStep, qDocChunks,
+    qEmbedTopk, qEmbedLsh, qEmbedIvf, qKmeansStep, qDocChunks, qChunkDedup,
     qLangId, qQualityScore, qCuration, qSplitAssign, qPackSequences, qSamplePerKey,
     qTfidfTopterms, qContamination,
     qShuffleOrder, qGopherQuality, qVocabCoverage, qFunnel, qRetention, qLangConfusion,

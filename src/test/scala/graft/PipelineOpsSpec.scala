@@ -138,6 +138,55 @@ class PipelineOpsSpec extends SparkSpecBase {
     ()
   }
 
+  test("q_chunk_dedup: counts match a recount; keeper is the smallest (doc, idx) of its group") {
+    val chunks = Queries.queries("q_doc_chunks")(spark, sfDir).cache()
+    val dups = Queries.queries("q_chunk_dedup")(spark, sfDir).cache()
+    assert(dups.count() > 0, "corpus has no duplicate chunks — dedup path not exercised")
+    assert(dups.filter(col("n") < 2).isEmpty)
+    val recount = chunks.groupBy("chunk_md5").agg(count(lit(1)).as("cnt"))
+    assert(dups.join(recount, "chunk_md5").filter(col("n") =!= col("cnt")).isEmpty)
+    // nothing of the same fingerprint sorts below the keeper
+    val smaller = dups.join(chunks,
+      dups("chunk_md5") === chunks("chunk_md5") &&
+        (chunks("doc_id") < dups("keeper_doc") ||
+          (chunks("doc_id") === dups("keeper_doc") && chunks("chunk_idx") < dups("keeper_idx"))))
+    assert(smaller.isEmpty)
+    chunks.unpersist(); dups.unpersist()
+    ()
+  }
+
+  test("q2_mincost: argmin agrees with an independent window recomputation") {
+    import org.apache.spark.sql.expressions.Window
+    val out = Queries.queries("q2_mincost")(spark, sfDir)
+    val parts = spark.read.parquet(s"$sfDir/part.parquet").filter(col("p_size") <= 10)
+      .select(col("p_partkey"))
+    val su = spark.read.parquet(s"$sfDir/supplier.parquet")
+    val naive = spark.read.parquet(s"$sfDir/lineitem.parquet")
+      .join(parts, col("l_partkey") === col("p_partkey"))
+      .select(col("l_partkey"), col("l_suppkey"),
+        expr("cast(cast(l_extendedprice as decimal(18,2)) * 100 as bigint) div cast(l_quantity as bigint)")
+          .as("unit_cents"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("l_partkey").orderBy(col("unit_cents"), col("l_suppkey"))))
+      .filter(col("rn") === 1)
+      .join(su, col("l_suppkey") === col("s_suppkey"))
+      .select(col("l_partkey").as("p_partkey"), col("s_name"), col("unit_cents"))
+    assert(out.except(naive).isEmpty && naive.except(out).isEmpty)
+    assert(out.count() > 0)
+  }
+
+  test("q18_bigorders: every order total recomputes exactly and clears the threshold") {
+    val out = Queries.queries("q18_bigorders")(spark, sfDir).cache()
+    assert(out.count() > 0)
+    assert(out.filter(col("total_qty") <= 150).isEmpty)
+    val re = spark.read.parquet(s"$sfDir/lineitem.parquet")
+      .groupBy(col("l_orderkey")).agg(sum(col("l_quantity").cast("long")).as("q"))
+    assert(out.join(re, col("o_orderkey") === col("l_orderkey"))
+      .filter(col("total_qty") =!= col("q")).isEmpty)
+    out.unpersist()
+    ()
+  }
+
   test("q_kmeans_step: members partition the corpus; ≤16 centroids; shifts non-negative") {
     val out = Queries.queries("q_kmeans_step")(spark, sfDir).collect()
     val nVecs = spark.read.parquet(s"$sfDir/embeddings.parquet").count()

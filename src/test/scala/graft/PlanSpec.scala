@@ -122,8 +122,11 @@ class PlanSpec extends SparkSpecBase {
     // reused subtrees, minhash-rescore 2 (candidates + gram arrays)
     // bigram-lift reuses ONE unigram subtree 3× (x-join, y-join, N)
     // plus the bigram branch — all four share two runtime tokenizes
+    // minhash-est mirrors rescore: band candidates (2 copies, one
+    // runtime exchange) + the signature table joined for both pair
+    // sides (2 copies, one runtime exchange)
     val bound = Map("q_ngram_jaccard" -> 6, "q_minhash_rescore" -> 4,
-      "q_bigram_lift" -> 4).withDefaultValue(2)
+      "q_bigram_lift" -> 4, "q_minhash_est" -> 4).withDefaultValue(2)
     for ((name, fn) <- Queries.queries.toSeq.sortBy(_._1)) {
       val p = fn(spark, sfDir).queryExecution.optimizedPlan.toString.toLowerCase
       for (pat <- pats) {
@@ -156,5 +159,25 @@ class PlanSpec extends SparkSpecBase {
   test("wordcount top-100 avoids a global sort") {
     val p = planOf(Queries.queries("q_wordcount")(spark, sfDir))
     assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("q2_mincost: argmin is a partial agg (no Window sort); part+supplier broadcast") {
+    val p = planOf(Queries.queries("q2_mincost")(spark, sfDir))
+    assert(p.contains("partial_"), p)
+    assert(!p.contains("Window"), p)
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 2, p)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("q18_bigorders: quantity agg is partial; customer dim broadcasts") {
+    val p = planOf(Queries.queries("q18_bigorders")(spark, sfDir))
+    assert(p.contains("partial_"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("q_doc_chunks: chunking is map-only — zero exchanges") {
+    val p = planOf(Queries.queries("q_doc_chunks")(spark, sfDir))
+    assert(!p.contains("Exchange"), p)
+    assert(!p.contains("Window"), p)
   }
 }
