@@ -1103,14 +1103,12 @@ object Queries {
     * replicates centroid choice, (d2, cid)-ordered assignment/probing,
     * and scoring exactly.
     */
-  private val qEmbedIvf = GraftQuery(
-    "q_embed_ivf",
-    (s, dir) => {
-      val e = t(s, dir, "embeddings")
-      VectorFns.ivfTopK(e.filter(col("vec_id") < 20), e, "vec_id", "embedding", 5)
-        .select(col("query_id"), col("neighbor_id"), col("score"), col("rank").cast("long").as("rnk"))
-    },
-    Some(s"""WITH e AS (SELECT vec_id, ${quantSql("embedding")} AS v FROM embeddings),
+  /** Shared DuckDB IVF chain: centroids → assignment → probes → scored
+    * candidates → `nn` = exact top-5 neighbors per query (mirror of
+    * VectorFns.ivfTopK at kCentroids=16, nprobe=4, k=5).
+    */
+  private def ivfNnSql: String =
+    s"""WITH e AS (SELECT vec_id, ${quantSql("embedding")} AS v FROM embeddings),
              cents AS (SELECT row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), CAST(vec_id AS VARCHAR)) - 1 AS cid, v AS cv
                        FROM e ORDER BY md5(CAST(vec_id AS VARCHAR)), CAST(vec_id AS VARCHAR) LIMIT 16),
              d AS (SELECT e.vec_id, cents.cid,
@@ -1127,12 +1125,79 @@ object Queries {
                       CAST(list_sum(list_transform(range(1, 65), i -> qe.v[i] * ce.v[i])) AS BIGINT) AS score
                     FROM probes p JOIN assign a ON p.cid = a.cid AND p.vec_id != a.vec_id
                     JOIN e qe ON qe.vec_id = p.vec_id
-                    JOIN e ce ON ce.vec_id = a.vec_id)
-             SELECT query_id, neighbor_id, score, CAST(rnk AS BIGINT) AS rnk
-             FROM (SELECT query_id, neighbor_id, score,
-                     row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rnk
-                   FROM sc)
-             WHERE rnk <= 5"""))
+                    JOIN e ce ON ce.vec_id = a.vec_id),
+             nn AS (SELECT query_id, neighbor_id, score, CAST(rnk AS BIGINT) AS rnk
+                    FROM (SELECT query_id, neighbor_id, score,
+                            row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rnk
+                          FROM sc)
+                    WHERE rnk <= 5)"""
+
+  private val qEmbedIvf = GraftQuery(
+    "q_embed_ivf",
+    (s, dir) => {
+      val e = t(s, dir, "embeddings")
+      VectorFns.ivfTopK(e.filter(col("vec_id") < 20), e, "vec_id", "embedding", 5)
+        .select(col("query_id"), col("neighbor_id"), col("score"), col("rank").cast("long").as("rnk"))
+    },
+    Some(s"""$ivfNnSql
+             SELECT query_id, neighbor_id, score, rnk FROM nn"""))
+
+  /** kNN label propagation: classify each query vector by the majority
+    * label of its 5 IVF-approximate nearest neighbors (vote ties break
+    * to the smallest label) — the weak-supervision / autolabel step of
+    * an embedding pipeline. Candidates flow through the same IVF
+    * equi-join as q_embed_ivf (map-only assignment, never all-pairs);
+    * the vote is one tiny aggregation over k×queries rows.
+    */
+  private val qKnnClassify = GraftQuery(
+    "q_knn_classify",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val e = t(s, dir, "embeddings")
+      val nn = VectorFns.ivfTopK(e.filter(col("vec_id") < 20), e, "vec_id", "embedding", 5)
+      val votes = nn.join(broadcast(e.select(col("vec_id").as("neighbor_id"),
+            col("label").cast("long").as("label"))), "neighbor_id")
+        .groupBy(col("query_id"), col("label"))
+        .agg(count(lit(1)).as("votes"))
+      votes
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("query_id").orderBy(col("votes").desc, col("label"))))
+        .filter(col("rn") === 1)
+        .select(col("query_id"), col("label").as("pred_label"), col("votes"))
+    },
+    Some(s"""$ivfNnSql,
+             v AS (SELECT query_id, CAST(label AS BIGINT) AS label, CAST(count(*) AS BIGINT) AS votes
+                   FROM nn JOIN embeddings emb ON nn.neighbor_id = emb.vec_id
+                   GROUP BY 1, 2)
+             SELECT query_id, label AS pred_label, votes
+             FROM (SELECT query_id, label, votes,
+                     row_number() OVER (PARTITION BY query_id ORDER BY votes DESC, label) AS rn
+                   FROM v)
+             WHERE rn = 1"""))
+
+  /** Per-label corpus balance: member count and mean squared norm in
+    * exact milli-units — the class-distribution health check before
+    * training on labeled embeddings. One partial-agg shuffle on the
+    * (10-value) label key.
+    */
+  private val qClassBalance = GraftQuery(
+    "q_class_balance",
+    (s, dir) => {
+      val e = t(s, dir, "embeddings")
+      Fence.guard(e.select(col("label").cast("long").as("label"),
+          VectorFns.quantizeFast(col("embedding")).as("__qv"), Fence.col))
+        .select(col("label"), VectorFns.qdotFast(col("__qv"), col("__qv")).as("__n2"))
+        .groupBy("label")
+        .agg(count(lit(1)).as("n"), sum(col("__n2")).as("sum_norm2"))
+        .select(col("label"), col("n"), col("sum_norm2"),
+          expr("(sum_norm2 * 1000) div n").as("mean_norm2_milli"))
+    },
+    Some(s"""WITH e AS (SELECT CAST(label AS BIGINT) AS label,
+                    CAST(list_sum(list_transform(${quantSql("embedding")}, x -> x * x)) AS BIGINT) AS n2
+                  FROM embeddings)
+             SELECT label, CAST(count(*) AS BIGINT) AS n, CAST(sum(n2) AS BIGINT) AS sum_norm2,
+               CAST((sum(n2) * 1000) // count(*) AS BIGINT) AS mean_norm2_milli
+             FROM e GROUP BY label"""))
 
   /** One Lloyd k-means refinement step from the deterministic IVF
     * centroid init, in exact integer arithmetic (VectorFns.kmeansStep):
@@ -2399,6 +2464,76 @@ object Queries {
                $nSql AS n, $sumValSql AS sum_value
              FROM events GROUP BY 1, 2"""))
 
+  /** Time-series gap filling: one row per (user, hour) over each
+    * user's ACTIVE span, zero-filled where no events landed — the
+    * resample/regularize step before any per-entity time-series model.
+    * Hours are exact epoch-hour integers (date_trunc then epoch
+    * seconds div 3600 — no float time math). The grid is generated by
+    * exploding a per-user `sequence(h0, h1)` (bounded by span length,
+    * generated distributed — never a driver-side calendar), then one
+    * LEFT join back to the hourly partial agg on (user, hour).
+    */
+  private val qGapFill = GraftQuery(
+    "q_gap_fill",
+    (s, dir) => {
+      val ev = events(s, dir).select(col("user_id"),
+        expr("cast(date_trunc('hour', ts) as long) div 3600").as("h"),
+        (col("value").cast(dec) * 100).cast("long").as("__cents"))
+      val hourly = ev.groupBy("user_id", "h")
+        .agg(count(lit(1)).as("__n"), sum(col("__cents")).as("__sum"))
+      val grid = ev.groupBy("user_id")
+        .agg(min(col("h")).as("__h0"), max(col("h")).as("__h1"))
+        .select(col("user_id"), explode(sequence(col("__h0"), col("__h1"))).as("h"))
+      grid.join(hourly, Seq("user_id", "h"), "left")
+        .select(col("user_id"), col("h"),
+          coalesce(col("__n"), lit(0L)).as("n_events"),
+          coalesce(col("__sum"), lit(0L)).as("sum_cents"))
+    },
+    Some("""WITH ev AS (SELECT user_id,
+                  CAST(floor(epoch(date_trunc('hour', ts))) AS BIGINT) // 3600 AS h,
+                  CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+                FROM events),
+            hourly AS (SELECT user_id, h, CAST(count(*) AS BIGINT) AS n, CAST(sum(cents) AS BIGINT) AS sm
+                       FROM ev GROUP BY 1, 2),
+            span AS (SELECT user_id, min(h) AS h0, max(h) AS h1 FROM ev GROUP BY 1),
+            grid AS (SELECT user_id, unnest(range(h0, h1 + 1)) AS h FROM span)
+            SELECT grid.user_id, grid.h,
+              coalesce(hourly.n, 0) AS n_events, coalesce(hourly.sm, 0) AS sum_cents
+            FROM grid LEFT JOIN hourly USING (user_id, h)"""))
+
+  /** Inverted index build: per term, the document frequency and an md5
+    * fingerprint of the (numerically sorted, 100-capped) posting list —
+    * the IR primitive behind retrieval-based contamination checks. The
+    * cap is applied BEFORE collecting (rank ≤ 100 per term), so no
+    * unbounded list ever materializes; the rank window and both
+    * aggregations share one hash shuffle on the term.
+    */
+  private val qInvertedIndex = GraftQuery(
+    "q_inverted_index",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val tk = Fence.guard(
+          t(s, dir, "documents")
+            .select(col("doc_id"), TextFns.tokensFast(col("text")).as("__toks"), Fence.col))
+        .select(col("doc_id"), explode(array_distinct(col("__toks"))).as("term"))
+        .repartition(col("term"))
+      val ranked = tk.withColumn("rn",
+        row_number().over(Window.partitionBy("term").orderBy("doc_id")))
+      val dfc = ranked.groupBy("term").agg(count(lit(1)).as("df"))
+      val post = ranked.filter(col("rn") <= 100)
+        .groupBy("term")
+        .agg(md5(concat_ws(",",
+          transform(sort_array(collect_list(col("doc_id"))), _.cast("string")))).as("posting_md5"))
+      dfc.join(post, "term")
+    },
+    Some(s"""WITH tk AS (SELECT doc_id, unnest(list_distinct($toksSql)) AS term FROM documents),
+             r AS (SELECT term, doc_id,
+                     row_number() OVER (PARTITION BY term ORDER BY doc_id) AS rn FROM tk),
+             d AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tk GROUP BY 1),
+             p AS (SELECT term, md5(array_to_string(list_sort(list(doc_id)), ',')) AS posting_md5
+                   FROM r WHERE rn <= 100 GROUP BY term)
+             SELECT d.term, d.df, p.posting_md5 FROM d JOIN p USING (term)"""))
+
   // =======================================================================
 
   val all: Seq[GraftQuery] = Seq(
@@ -2409,6 +2544,7 @@ object Queries {
     qDedupExact, qDedupMinhash, qMinhashRescore, qMinhashEst, qDedupSimhash, qDedupSimhashPairs,
     qDedupClusters, qPagerank, qNgramJaccard, qDedupEmbed, qRepetition,
     qEmbedTopk, qEmbedLsh, qEmbedIvf, qKmeansStep, qDocChunks, qChunkDedup,
+    qKnnClassify, qClassBalance, qGapFill, qInvertedIndex,
     qLangId, qQualityScore, qCuration, qSplitAssign, qPackSequences, qSamplePerKey,
     qTfidfTopterms, qContamination,
     qShuffleOrder, qGopherQuality, qVocabCoverage, qFunnel, qRetention, qLangConfusion,

@@ -145,10 +145,14 @@ object Relational {
     * milli-units). Fixed `iters` rather than convergence detection
     * keeps the oracle expressible as a non-recursive unrolled query.
     *
-    * Scale shape mirrors connectedComponents: edges materialize once
-    * (localCheckpoint) partitioned on src; each iteration is one
-    * equi-join + one partial-agg shuffle on dst; per-iteration
-    * localCheckpoint truncates the growing plan lineage.
+    * Scale shape: edges materialize ONCE (localCheckpoint, partitioned
+    * on src — they are referenced every iteration, so without the
+    * materialization the upstream pair mining would re-run per
+    * iteration); each iteration is one equi-join + one partial-agg
+    * shuffle on dst. Unlike connectedComponents there is no per-round
+    * driver count, so the whole fixed-depth loop stays ONE lazy plan —
+    * plan depth is bounded by `iters`, and periodic lineage truncation
+    * (every 8 rounds) only kicks in for deep runs.
     */
   def pageRank(pairs: DataFrame, srcCol: String, dstCol: String, iters: Int = 3): DataFrame = {
     val edges = pairs.select(col(srcCol).as("src"), col(dstCol).as("dst"))
@@ -156,9 +160,13 @@ object Relational {
       .distinct()
       .repartition(col("src"))
       .localCheckpoint(true)
+    // (id, deg) materializes once too: every iteration joins against it
+    // (referencing the PREVIOUS rank twice instead would double the
+    // plan per round — exponential), and every iteration's reference
+    // then reads the same checkpointed leaf
     val deg = edges.groupBy(col("src").as("id")).agg(count(lit(1)).as("deg"))
-    var pr = deg.select(col("id"), lit(1000000L).as("pr"), col("deg"))
       .localCheckpoint(true)
+    var pr = deg.select(col("id"), lit(1000000L).as("pr"), col("deg"))
     var it = 0
     while (it < iters) {
       val contribs = edges
@@ -166,12 +174,11 @@ object Relational {
           col("src") === col("__src"))
         .groupBy(col("dst").as("id"))
         .agg(sum(col("__c")).as("__s"))
-      pr = pr.select(col("id"), col("deg"))
-        .join(contribs, Seq("id"), "left")
+      pr = deg.join(contribs, Seq("id"), "left")
         .select(col("id"),
           (lit(150000L) + expr("(850 * coalesce(__s, 0)) div 1000")).as("pr"),
           col("deg"))
-        .localCheckpoint(true)
+      if (it % 8 == 7 && it != iters - 1) pr = pr.localCheckpoint(true)
       it += 1
     }
     pr.select(col("id"), col("pr").as("pr_micro"))

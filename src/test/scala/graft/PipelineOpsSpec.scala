@@ -187,6 +187,68 @@ class PipelineOpsSpec extends SparkSpecBase {
     ()
   }
 
+  test("q_knn_classify: one prediction per query; majority vote recomputes from the NN list") {
+    val out = Queries.queries("q_knn_classify")(spark, sfDir).cache()
+    assert(out.count() == 20 && out.select(countDistinct("query_id")).head().getLong(0) == 20)
+    assert(out.filter(col("votes") < 1 || col("votes") > 5).isEmpty)
+    assert(out.filter(col("pred_label") < 0 || col("pred_label") > 9).isEmpty)
+    // recompute the vote from the IVF neighbor list + labels
+    import org.apache.spark.sql.expressions.Window
+    val e = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val nn = Queries.queries("q_embed_ivf")(spark, sfDir)
+    val naive = nn.join(e.select(col("vec_id").as("neighbor_id"), col("label").cast("long").as("label")), "neighbor_id")
+      .groupBy("query_id", "label").agg(count(lit(1)).as("votes"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("query_id").orderBy(col("votes").desc, col("label"))))
+      .filter(col("rn") === 1)
+      .select(col("query_id"), col("label").as("pred_label"), col("votes"))
+    assert(out.except(naive).isEmpty && naive.except(out).isEmpty)
+    out.unpersist()
+    ()
+  }
+
+  test("q_gap_fill: grids are contiguous per user and totals reconcile with raw events") {
+    val out = Queries.queries("q_gap_fill")(spark, sfDir).cache()
+    // contiguity: rows per user == span length
+    val bad = out.groupBy("user_id")
+      .agg(count(lit(1)).as("rows"), (max("h") - min("h") + 1).as("span"))
+      .filter(col("rows") =!= col("span"))
+    assert(bad.isEmpty)
+    // zero-filled hours exist, and per-user event totals match the raw table
+    assert(out.filter(col("n_events") === 0 && col("sum_cents") === 0).count() > 0)
+    val totals = out.groupBy("user_id").agg(sum("n_events").as("n"))
+    val raw = spark.read.parquet(s"$sfDir/events.parquet").groupBy("user_id").agg(count(lit(1)).as("rn"))
+    assert(totals.join(raw, "user_id").filter(col("n") =!= col("rn")).isEmpty)
+    out.unpersist()
+    ()
+  }
+
+  test("q_inverted_index: df sums to the doc-term incidence; rare-term postings are complete") {
+    val out = Queries.queries("q_inverted_index")(spark, sfDir).cache()
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val tk = docs.select(col("doc_id"),
+        explode(array_distinct(graft.functions.TextFns.tokensFast(col("text")))).as("term"))
+    assert(out.agg(sum("df")).head().getLong(0) == tk.count())
+    // for a term with df <= 100 the fingerprint covers the FULL posting list
+    val full = tk.groupBy("term")
+      .agg(count(lit(1)).as("df2"),
+        md5(concat_ws(",", transform(sort_array(collect_list(col("doc_id"))), _.cast("string")))).as("p2"))
+      .filter(col("df2") <= 100)
+    val cmp = out.join(full, "term")
+    assert(cmp.count() > 0)
+    assert(cmp.filter(col("posting_md5") =!= col("p2") || col("df") =!= col("df2")).isEmpty)
+    out.unpersist()
+    ()
+  }
+
+  test("q_class_balance: label counts partition the corpus") {
+    val out = Queries.queries("q_class_balance")(spark, sfDir).collect()
+    val e = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    assert(out.map(_.getAs[Long]("n")).sum == e.count())
+    assert(out.length == e.select("label").distinct().count())
+    assert(out.forall(r => r.getAs[Long]("mean_norm2_milli") >= 0))
+  }
+
   test("q_kmeans_step: members partition the corpus; ≤16 centroids; shifts non-negative") {
     val out = Queries.queries("q_kmeans_step")(spark, sfDir).collect()
     val nVecs = spark.read.parquet(s"$sfDir/embeddings.parquet").count()
