@@ -1544,17 +1544,7 @@ object Queries {
     */
   /** The shared chunking pipeline behind q_doc_chunks / q_chunk_dedup. */
   private def docChunks(s: SparkSession, dir: String): DataFrame =
-    Fence.guard(
-        t(s, dir, "documents")
-          .select(col("doc_id"), TextFns.tokensFast(col("text")).as("__toks"), Fence.col))
-      .filter(size(col("__toks")) > 0)
-      .select(col("doc_id"), col("__toks"),
-        explode(sequence(lit(0), size(col("__toks")) - 1, lit(32))).as("start"))
-      .select(col("doc_id"), expr("start div 32").cast("long").as("chunk_idx"),
-        slice(col("__toks"), col("start") + 1, lit(64)).as("__chunk"))
-      .select(col("doc_id"), col("chunk_idx"),
-        size(col("__chunk")).cast("long").as("n_tokens"),
-        md5(concat_ws(" ", col("__chunk"))).as("chunk_md5"))
+    TextFns.chunkDocs(t(s, dir, "documents"), "doc_id", "text", chunk = 64, stride = 32)
 
   /** Shared DuckDB chunk CTE prefix ending in ch(doc_id, chunk_idx, n_tokens, chunk_md5). */
   private def chunksSql: String =

@@ -159,4 +159,24 @@ object TextFns {
   /** Punctuation/symbol character count. */
   def punctCount(text: Column): Column =
     size(regexp_extract_all(text, lit("""[^A-Za-z0-9\s]"""), lit(0)))
+
+  /** Context-window chunking: one row per (doc, chunk) for `chunk`-token
+    * windows advancing by `stride` (overlapping when stride < chunk),
+    * each with its exact token count and an md5 content fingerprint.
+    * Entirely stateless map-side work (tokenize behind a Fence, one
+    * explode of the chunk starts, one slice per chunk — zero shuffles),
+    * so the same transform runs unchanged in a streaming query.
+    */
+  def chunkDocs(df: org.apache.spark.sql.DataFrame, idCol: String, textCol: String,
+      chunk: Int = 64, stride: Int = 32): org.apache.spark.sql.DataFrame =
+    Fence.guard(
+        df.select(col(idCol), tokensFast(col(textCol)).as("__toks"), Fence.col))
+      .filter(size(col("__toks")) > 0)
+      .select(col(idCol), col("__toks"),
+        explode(sequence(lit(0), size(col("__toks")) - 1, lit(stride))).as("start"))
+      .select(col(idCol), expr(s"start div $stride").cast("long").as("chunk_idx"),
+        slice(col("__toks"), col("start") + 1, lit(chunk)).as("__chunk"))
+      .select(col(idCol), col("chunk_idx"),
+        size(col("__chunk")).cast("long").as("n_tokens"),
+        md5(concat_ws(" ", col("__chunk"))).as("chunk_md5"))
 }

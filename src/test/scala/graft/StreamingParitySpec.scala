@@ -455,6 +455,25 @@ class StreamingParitySpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("streaming chunkDocs matches batch chunking (stateless transform, append mode)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val docs = Seq(
+      (1L, ("w " * 100).trim), // 100 tokens → chunks at 0/32/64/96
+      (2L, "a b c"),           // single short chunk
+      (3L, ""))                // empty → no chunks
+    val ms = MemoryStream[(Long, String)]
+    ms.addData(docs)
+    val out = graft.functions.TextFns.chunkDocs(ms.toDF().toDF("doc_id", "text"), "doc_id", "text")
+    runToTable(out, "t_chunks", OutputMode.Append())
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3))).toSet
+    val got = canon(spark.table("t_chunks"))
+    val expect = canon(graft.functions.TextFns.chunkDocs(docs.toDF("doc_id", "text"), "doc_id", "text"))
+    assert(got == expect)
+    assert(got.count(_._1 == 1L) == 4 && got.count(_._1 == 2L) == 1 && !got.exists(_._1 == 3L))
+  }
+
   test("stream-static enrich matches batch enrich") {
     import spark.implicits._
     val dim = Seq((1L, "gold"), (2L, "silver")).toDF("dk", "tier")
