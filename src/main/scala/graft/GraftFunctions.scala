@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.plans.{FingerprintExpr, IvfProbesExpr, LangScores, LshBucketsExpr, MinhashBands, NgramsExpr, QDot, QuantizeVec, Simhash32, TextStats}
+import graft.plans.{FingerprintExpr, IvfProbesExpr, LangScores, LongArrayEqCount, LshBucketsExpr, MinhashBands, MinhashSig, NgramsExpr, QDot, QuantizeVec, Simhash32, TextStats}
 
 /** SQL-surface registration of graft's native expressions, so the
   * engine's extensions are first-class in `spark.sql(...)` exactly like
@@ -13,6 +13,8 @@ import graft.plans.{FingerprintExpr, IvfProbesExpr, LangScores, LshBucketsExpr, 
   *
   * Registered functions:
   *   graft_minhash_bands(tokens)   → array<bigint> (8 LSH band hashes)
+  *   graft_minhash_sig(tokens)     → array<bigint> (16 signature minima)
+  *   graft_eq_count(a, b)          → bigint (agreeing positions)
   *   graft_simhash32(tokens)       → bigint
   *   graft_quantize(vec)           → array<bigint> (floor(x*1000))
   *   graft_qdot(a, b)              → bigint (integer dot product)
@@ -52,6 +54,12 @@ object GraftFunctions {
     ("graft_minhash_bands", classOf[MinhashBands],
       "_FUNC_(tokens) - 8 MinHash LSH band hashes over word 3-gram shingles",
       arity("graft_minhash_bands", 1, "(tokens)")(args => MinhashBands(args.head, 3))),
+    ("graft_minhash_sig", classOf[MinhashSig],
+      "_FUNC_(tokens) - raw 16-element MinHash signature over word 3-gram shingles",
+      arity("graft_minhash_sig", 1, "(tokens)")(args => MinhashSig(args.head, 3))),
+    ("graft_eq_count", classOf[LongArrayEqCount],
+      "_FUNC_(a, b) - count of agreeing positions between two bigint arrays",
+      arity("graft_eq_count", 2, "(a, b)")(args => LongArrayEqCount(args.head, args(1)))),
     ("graft_simhash32", classOf[Simhash32],
       "_FUNC_(tokens) - 32-bit SimHash of the token array",
       arity("graft_simhash32", 1, "(tokens)")(args => Simhash32(args.head))),

@@ -2070,6 +2070,57 @@ object Queries {
                      JOIN uc cy ON bg.y = cy.term
                      CROSS JOIN nt"""))
 
+  /** Bigram language-model scoring of every document: the mean
+    * conditional bigram probability p(y|x) = c(xy)/c(x) over the doc's
+    * token sequence, in EXACT milli-units — the smoothing-free integer
+    * skeleton of the KenLM-style fluency filter pipelines run before
+    * training. Per-doc score = sum(c_xy*1000 div c_x) div n_bigrams;
+    * every quantity is a positive integer, so the result is
+    * engine-portable with no log/float surface.
+    *
+    * Scale shape: bigram instances join the corpus count tables by
+    * (x,y) and x — the instance side and the bigram-count aggregation
+    * share ONE canonical (x,y) exchange (AQE ReusedExchange), and the
+    * count tables are vocabulary-bounded (the optimizer broadcasts
+    * them when they fit, which real vocabularies at 100 TB mostly do).
+    */
+  private val qBigramLm = GraftQuery(
+    "q_bigram_lm",
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+      def toksOf = Fence.guard(
+        docs.select(col("doc_id"), TextFns.tokensFast(col("text")).as("__toks"), Fence.col))
+      val bi = toksOf
+        .filter(size(col("__toks")) >= 2)
+        .select(col("doc_id"), explode(arrays_zip(
+          slice(col("__toks"), lit(1), size(col("__toks")) - 1),
+          slice(col("__toks"), lit(2), size(col("__toks")) - 1))).as("p"))
+        .select(col("doc_id"), col("p.0").as("x"), col("p.1").as("y"))
+      val bc = bi.groupBy("x", "y").agg(count(lit(1)).as("c_xy"))
+      val uni = toksOf
+        .select(explode(col("__toks")).as("term"))
+        .groupBy("term").agg(count(lit(1)).as("c_x"))
+      bi.join(bc, Seq("x", "y"))
+        .join(uni, col("x") === col("term"))
+        .select(col("doc_id"), expr("(c_xy * 1000) div c_x").as("__p"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_bigrams"), sum(col("__p")).as("__sum"))
+        .select(col("doc_id"), col("n_bigrams"), expr("__sum div n_bigrams").as("lm_milli"))
+    },
+    Some(s"""WITH t0 AS (SELECT doc_id, $toksSql AS tk FROM documents),
+             pr AS (SELECT doc_id, unnest(list_transform(range(0, len(tk) - 1),
+                      i -> [tk[i+1], tk[i+2]])) AS p
+                    FROM t0 WHERE len(tk) >= 2),
+             bi AS (SELECT doc_id, p[1] AS x, p[2] AS y FROM pr),
+             bc AS (SELECT x, y, CAST(count(*) AS BIGINT) AS c_xy FROM bi GROUP BY 1, 2),
+             un AS (SELECT unnest(tk) AS term FROM t0),
+             uc AS (SELECT term, CAST(count(*) AS BIGINT) AS c_x FROM un GROUP BY 1),
+             sc AS (SELECT doc_id, (c_xy * 1000) // c_x AS p
+                    FROM bi JOIN bc USING (x, y) JOIN uc ON bi.x = uc.term)
+             SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+               CAST(sum(p) // count(*) AS BIGINT) AS lm_milli
+             FROM sc GROUP BY doc_id"""))
+
   /** Per-type outlier trim (top-5% by value): the cutoff is defined by
     * RANK, not by an interpolated quantile, so every comparison is
     * exact integer arithmetic — cut position = (n*95) div 100 over
@@ -2539,7 +2590,7 @@ object Queries {
     qTfidfTopterms, qContamination,
     qShuffleOrder, qGopherQuality, qVocabCoverage, qFunnel, qRetention, qLangConfusion,
     qDedupSurvivors, qRunningStats, qSpanDedup, qTermScrub, qValueHistogram,
-    qBigramLift, qOutliers, qTokenBudget, qRollupStats, qTimeWindowSum,
+    qBigramLift, qBigramLm, qOutliers, qTokenBudget, qRollupStats, qTimeWindowSum,
     qProfile, qStratifiedSample, qAsofForward, qScd2, qPairCuration,
     qRunningDistinct, qFirstSeen, qDedupDegree, qDecileBin,
     qTokenCount, qFingerprint, qMultimodalMeta,

@@ -241,6 +241,19 @@ class PipelineOpsSpec extends SparkSpecBase {
     ()
   }
 
+  test("q_bigram_lm: probabilities bounded by 1; bigram counts match token counts") {
+    val out = Queries.queries("q_bigram_lm")(spark, sfDir).cache()
+    assert(out.count() > 0)
+    assert(out.filter(col("lm_milli") <= 0 || col("lm_milli") > 1000).isEmpty)
+    val toks = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id"), size(graft.functions.TextFns.tokensFast(col("text"))).cast("long").as("n"))
+      .filter(col("n") >= 2)
+    assert(out.join(toks, "doc_id").filter(col("n_bigrams") =!= col("n") - 1).isEmpty)
+    assert(toks.join(out, Seq("doc_id"), "left_anti").isEmpty)
+    out.unpersist()
+    ()
+  }
+
   test("q_class_balance: label counts partition the corpus") {
     val out = Queries.queries("q_class_balance")(spark, sfDir).collect()
     val e = spark.read.parquet(s"$sfDir/embeddings.parquet")

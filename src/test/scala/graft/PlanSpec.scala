@@ -125,8 +125,10 @@ class PlanSpec extends SparkSpecBase {
     // minhash-est mirrors rescore: band candidates (2 copies, one
     // runtime exchange) + the signature table joined for both pair
     // sides (2 copies, one runtime exchange)
+    // bigram-lm: instance stream + its own (x,y) aggregation share one
+    // runtime exchange (2 logical copies) + the unigram branch (1)
     val bound = Map("q_ngram_jaccard" -> 6, "q_minhash_rescore" -> 4,
-      "q_bigram_lift" -> 4, "q_minhash_est" -> 4).withDefaultValue(2)
+      "q_bigram_lift" -> 4, "q_minhash_est" -> 4, "q_bigram_lm" -> 4).withDefaultValue(2)
     for ((name, fn) <- Queries.queries.toSeq.sortBy(_._1)) {
       val p = fn(spark, sfDir).queryExecution.optimizedPlan.toString.toLowerCase
       for (pat <- pats) {

@@ -16,6 +16,11 @@ class SqlSurfaceSpec extends SparkSpecBase {
     assert(spark.sql("SELECT graft_text_stats(text) FROM d").count() == 20)
     assert(spark.sql(s"SELECT graft_ngrams($toks, 3) FROM d").count() == 20)
     assert(spark.sql(s"SELECT graft_fingerprint($toks) FROM d").count() == 20)
+    // self-agreement of a signature is always the full 16
+    val selfAg = spark.sql(
+      s"SELECT graft_eq_count(graft_minhash_sig($toks), graft_minhash_sig($toks)) AS a FROM d")
+      .collect().flatMap(r => if (r.isNullAt(0)) None else Some(r.getLong(0)))
+    assert(selfAg.nonEmpty && selfAg.forall(_ == 16L))
     assert(spark.sql(
       "SELECT graft_qdot(graft_quantize(embedding), graft_quantize(embedding)) FROM e").count() == 20)
     assert(spark.sql(
