@@ -695,6 +695,45 @@ object Queries {
             JOIN orders ON o_orderkey = b.l_orderkey
             JOIN customer ON o_custkey = c_custkey"""))
 
+  /** TPC-H Q22 shape: churned high-value customers — above-average
+    * balance (scalar subquery) with no order since a cutoff (anti
+    * join), aggregated per nation. The scalar average rides a 1-row
+    * broadcast (Spark's scalar-attach shape, see §5); the LEFT ANTI
+    * join prunes the orders side to custkeys only and the date filter
+    * pushes to the orders scan. Balances are exact integer cents and
+    * the average an exact floor division.
+    */
+  private val q22Churn = GraftQuery(
+    "q22_churn",
+    (s, dir) => {
+      val c = t(s, dir, "customer")
+      val bal = expr("cast(cast(c_acctbal as decimal(18,2)) * 100 as bigint)")
+      val avgPos = c.filter(col("c_acctbal") > 0)
+        .agg(expr("sum(cast(cast(c_acctbal as decimal(18,2)) * 100 as bigint)) div count(1)")
+          .as("__avg_cents"))
+      val recent = t(s, dir, "orders")
+        .filter(col("o_orderdate") >= ntz("2001-01-01 00:00:00"))
+        .select(col("o_custkey"))
+      c.select(col("c_custkey"), col("c_nationkey").cast("long").as("nationkey"),
+          bal.as("__bal"))
+        .crossJoin(broadcast(avgPos))
+        .filter(col("__bal") > col("__avg_cents"))
+        .join(recent, col("c_custkey") === col("o_custkey"), "left_anti")
+        .groupBy(col("nationkey"))
+        .agg(count(lit(1)).as("n_cust"), sum(col("__bal")).as("sum_cents"))
+    },
+    Some("""WITH a AS (SELECT sum(CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT)) // count(*) AS avg_cents
+              FROM customer WHERE c_acctbal > 0)
+            SELECT CAST(c_nationkey AS BIGINT) AS nationkey,
+              CAST(count(*) AS BIGINT) AS n_cust,
+              CAST(sum(CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS sum_cents
+            FROM customer, a
+            WHERE CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT) > a.avg_cents
+              AND NOT EXISTS (SELECT 1 FROM orders
+                              WHERE o_custkey = c_custkey
+                                AND o_orderdate >= TIMESTAMP '2001-01-01 00:00:00')
+            GROUP BY c_nationkey"""))
+
   private val qJsonExtract = GraftQuery(
     "q_json_extract",
     (s, dir) =>
@@ -2581,7 +2620,7 @@ object Queries {
     qMapFilter, qFilterMap, qCycle, qFoldAgg, qDistinctUsers, qTopkPerKey, qPivotCounts, qApproxDistinct, qQuantiles, qQuantilesExact, qTableLatest, qTumbling, qHopping, qLagWindow, qSession,
     qIntervalJoin, qStreamTableJoin, qMerge, qSplitBranch, qChunk, qSkipTake, qThrottle,
     qWordcount, qCandles, qCandlesHop, qStratClassify, qAsofJoin,
-    q1Pricing, q3Topk, q5Region, q14Promo, q2Mincost, q18Bigorders, qJsonExtract,
+    q1Pricing, q3Topk, q5Region, q14Promo, q2Mincost, q18Bigorders, q22Churn, qJsonExtract,
     qDedupExact, qDedupMinhash, qMinhashRescore, qMinhashEst, qDedupSimhash, qDedupSimhashPairs,
     qDedupClusters, qPagerank, qNgramJaccard, qDedupEmbed, qRepetition,
     qEmbedTopk, qEmbedLsh, qEmbedIvf, qKmeansStep, qDocChunks, qChunkDedup,

@@ -201,6 +201,55 @@ object StreamingOps {
       }
   }
 
+  /** One filled (key, hour) row: event count + exact cents sum (both 0
+    * for gap hours) — the streaming twin of the batch q_gap_fill grid.
+    */
+  final case class GapFillOut(key: Long, hour: Long, nEvents: Long, sumCents: Long)
+
+  /** Per-key gap-fill state: the epoch-hour currently filling and its
+    * running aggregates.
+    */
+  final case class GapState(hour: Long, n: Long, cents: Long)
+
+  /** Streaming time-series gap fill / resample: per key, emit one row
+    * per epoch-hour — aggregated where events landed, ZERO-filled for
+    * every empty hour in between — the regularization step a
+    * per-entity model consumes. Like the reference's single-pass
+    * window semantics (and candleStrat), an hour is emitted when a
+    * later event CLOSES it: the hour still filling lives in state, so
+    * output matches the batch grid on all closed hours. Cents
+    * accumulate as exact longs (no float drift across micro-batch
+    * replays); events older than the filling hour are dropped.
+    */
+  def gapFill(stream: Dataset[KeyedEvent], hourUs: Long = 3_600_000_000L): Dataset[GapFillOut] = {
+    implicit val outEnc = Encoders.product[GapFillOut]
+    implicit val stEnc = Encoders.product[GapState]
+    stream.groupByKey(_.key)(Encoders.scalaLong)
+      .flatMapGroupsWithState[GapState, GapFillOut](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout) {
+        (key: Long, events: Iterator[KeyedEvent], state: GroupState[GapState]) =>
+          var st = state.getOption.orNull
+          val out = scala.collection.mutable.ArrayBuffer.empty[GapFillOut]
+          events.toSeq.sortBy(e => (e.tsUs, e.value)).foreach { e =>
+            val h = e.tsUs / hourUs
+            if (st == null) st = GapState(h, 0L, 0L)
+            if (h > st.hour) {
+              out += GapFillOut(key, st.hour, st.n, st.cents)
+              var g = st.hour + 1
+              while (g < h) { out += GapFillOut(key, g, 0L, 0L); g += 1 }
+              st = GapState(h, 0L, 0L)
+            }
+            if (h == st.hour) {
+              val cents = new java.math.BigDecimal(e.value)
+                .setScale(2, java.math.RoundingMode.HALF_UP).movePointRight(2).longValueExact()
+              st = GapState(st.hour, st.n + 1, st.cents + cents)
+            } // h < st.hour: late event older than the filling hour — dropped
+          }
+          if (st != null) state.update(st)
+          out.iterator
+      }
+  }
+
   /** The reference's flagship end-to-end pipeline as ONE stateful
     * streaming operator: ticks → epoch-aligned tumbling OHLC candles →
     * Strat classification of each closed candle against its

@@ -474,6 +474,47 @@ class StreamingParitySpec extends SparkSpecBase {
     assert(got.count(_._1 == 1L) == 4 && got.count(_._1 == 2L) == 1 && !got.exists(_._1 == 3L))
   }
 
+  test("streaming gapFill zero-fills closed hours and matches the batch grid across batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val hourUs = 3_600_000_000L
+    // key 1: hours 0,0,2,5 (gaps at 1,3,4); key 2: hours 0,3 (gaps 1,2)
+    val batch1 = Seq(
+      KeyedEvent(1L, 10L * 60_000_000L, 1.25), KeyedEvent(1L, 40L * 60_000_000L, 2.00),
+      KeyedEvent(2L, 5L * 60_000_000L, 7.50))
+    val batch2 = Seq(
+      KeyedEvent(1L, 2L * hourUs + 60_000_000L, 3.00),
+      KeyedEvent(1L, 5L * hourUs, 4.00),
+      KeyedEvent(2L, 3L * hourUs + 30L * 60_000_000L, 1.00))
+    val ms = MemoryStream[KeyedEvent]
+    val q = StreamingOps.gapFill(ms.toDS()).toDF().writeStream
+      .format("memory").queryName("t_gapfill").outputMode(OutputMode.Append()).start()
+    try {
+      ms.addData(batch1); q.processAllAvailable()
+      ms.addData(batch2); q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("t_gapfill")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    val expect = Set(
+      (1L, 0L, 2L, 325L), (1L, 1L, 0L, 0L), (1L, 2L, 1L, 300L),
+      (1L, 3L, 0L, 0L), (1L, 4L, 0L, 0L), // hour 5 still filling → not emitted
+      (2L, 0L, 1L, 750L), (2L, 1L, 0L, 0L), (2L, 2L, 0L, 0L)) // hour 3 still filling
+    assert(got == expect, got)
+    // batch parity: the streaming rows are exactly the batch grid minus
+    // each key's last (still-filling) hour
+    val all = batch1 ++ batch2
+    val ev = all.toDF().select(col("key"), (col("tsUs") / hourUs).cast("long").as("h"),
+      (col("value").cast("decimal(18,2)") * 100).cast("long").as("cents"))
+    val hourly = ev.groupBy("key", "h").agg(count(lit(1)).as("n"), sum("cents").as("sm"))
+    val grid = ev.groupBy("key").agg(min("h").as("h0"), max("h").as("h1"))
+      .select(col("key"), explode(sequence(col("h0"), col("h1"))).as("h"))
+    val batchRows = grid.join(hourly, Seq("key", "h"), "left")
+      .select(col("key"), col("h"), coalesce(col("n"), lit(0L)), coalesce(col("sm"), lit(0L)))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    val lastHours = Set((1L, 5L), (2L, 3L))
+    assert(got == batchRows.filterNot(r => lastHours((r._1, r._2))))
+  }
+
   test("stream-static enrich matches batch enrich") {
     import spark.implicits._
     val dim = Seq((1L, "gold"), (2L, "silver")).toDF("dk", "tier")
