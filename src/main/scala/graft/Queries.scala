@@ -2528,6 +2528,35 @@ object Queries {
               CAST((rn - 1) * 10 // n AS BIGINT) AS decile
             FROM r"""))
 
+  /** Trending items: top-3 event types per tumbling day window by
+    * count (ties break to the type name) — the per-window grouped
+    * top-k every analytics surface ships. One (day, type) partial-agg
+    * shuffle, then the rank filter plans as WindowGroupLimit: each
+    * partition keeps only its top rows BEFORE the window sort, so the
+    * per-day sort never sees the full type cardinality.
+    */
+  private val qWindowTopk = GraftQuery(
+    "q_window_topk",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      events(s, dir)
+        .select(expr("cast(date_trunc('day', ts) as long) div 86400").as("day"), col("event_type"))
+        .groupBy("day", "event_type").agg(count(lit(1)).as("n"))
+        .withColumn("rnk", row_number().over(
+          Window.partitionBy("day").orderBy(col("n").desc, col("event_type"))))
+        .filter(col("rnk") <= 3)
+        .select(col("day"), col("event_type"), col("n"), col("rnk").cast("long").as("rnk"))
+    },
+    Some("""WITH d AS (SELECT CAST(floor(epoch(date_trunc('day', ts))) AS BIGINT) // 86400 AS day,
+                  event_type
+                FROM events),
+            c AS (SELECT day, event_type, CAST(count(*) AS BIGINT) AS n FROM d GROUP BY 1, 2)
+            SELECT day, event_type, n, CAST(rnk AS BIGINT) AS rnk
+            FROM (SELECT day, event_type, n,
+                    row_number() OVER (PARTITION BY day ORDER BY n DESC, event_type) AS rnk
+                  FROM c)
+            WHERE rnk <= 3"""))
+
   /** Fixed-width value histogram per event type — the profiling view a
     * pipeline keeps per numeric column. Bucketing is a map-only
     * projection (floor of an IEEE-identical double division), then one
@@ -2630,7 +2659,7 @@ object Queries {
     qShuffleOrder, qGopherQuality, qVocabCoverage, qFunnel, qRetention, qLangConfusion,
     qDedupSurvivors, qRunningStats, qSpanDedup, qTermScrub, qValueHistogram,
     qBigramLift, qBigramLm, qOutliers, qTokenBudget, qRollupStats, qTimeWindowSum,
-    qProfile, qStratifiedSample, qAsofForward, qScd2, qPairCuration,
+    qProfile, qStratifiedSample, qAsofForward, qScd2, qPairCuration, qWindowTopk,
     qRunningDistinct, qFirstSeen, qDedupDegree, qDecileBin,
     qTokenCount, qFingerprint, qMultimodalMeta,
     qMultimodalDecode, qResizePlan, qFrameSample)

@@ -177,6 +177,11 @@ class PlanSpec extends SparkSpecBase {
     assert(p.contains("BroadcastHashJoin"), p)
   }
 
+  test("q_window_topk: rank filter plans as WindowGroupLimit (pre-sort pruning)") {
+    val p = planOf(Queries.queries("q_window_topk")(spark, sfDir))
+    assert(p.contains("WindowGroupLimit"), p)
+  }
+
   test("q_doc_chunks: chunking is map-only — zero exchanges") {
     val p = planOf(Queries.queries("q_doc_chunks")(spark, sfDir))
     assert(!p.contains("Exchange"), p)
