@@ -250,6 +250,75 @@ object StreamingOps {
       }
   }
 
+  /** KeyedEvent carrying its event-time column for watermark-driven
+    * operators (the watermark must ride a Timestamp column through the
+    * typed groupByKey).
+    */
+  final case class TsEvent(key: Long, tsUs: Long, value: Double, ts: java.sql.Timestamp)
+
+  /** Watermark-driven gap fill: like gapFill, but an hour also closes
+    * when the WATERMARK passes its end — an event-time timer
+    * (`GroupStateTimeout.EventTimeTimeout`) fires per key, so a key
+    * that goes silent still emits its filled hour and the zero rows up
+    * to the watermark without waiting for its own next event. This is
+    * the production resample semantics: emission lag is bounded by the
+    * watermark delay, not by per-key traffic. Late events older than
+    * the filling hour are dropped (consistent with the watermark
+    * contract).
+    */
+  def gapFillWatermarked(stream: Dataset[KeyedEvent], delay: String = "0 seconds",
+      hourUs: Long = 3_600_000_000L): Dataset[GapFillOut] = {
+    implicit val outEnc = Encoders.product[GapFillOut]
+    implicit val stEnc = Encoders.product[GapState]
+    implicit val evEnc = Encoders.product[TsEvent]
+    val hourMs = hourUs / 1000L
+    stream.toDF()
+      .withColumn("ts", timestamp_micros(col("tsUs")))
+      .withWatermark("ts", delay)
+      .as[TsEvent]
+      .groupByKey(_.key)(Encoders.scalaLong)
+      .flatMapGroupsWithState[GapState, GapFillOut](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout) {
+        (key: Long, events: Iterator[TsEvent], state: GroupState[GapState]) =>
+          val out = scala.collection.mutable.ArrayBuffer.empty[GapFillOut]
+          var st = state.getOption.orNull
+          if (state.hasTimedOut) {
+            // the watermark passed the filling hour's end: flush it and
+            // every complete empty hour behind the watermark
+            val wmHour = state.getCurrentWatermarkMs() / hourMs
+            if (st != null && wmHour > st.hour) {
+              out += GapFillOut(key, st.hour, st.n, st.cents)
+              var g = st.hour + 1
+              while (g < wmHour) { out += GapFillOut(key, g, 0L, 0L); g += 1 }
+              st = GapState(wmHour, 0L, 0L)
+              state.update(st)
+            }
+          } else {
+            events.toSeq.sortBy(e => (e.tsUs, e.value)).foreach { e =>
+              val h = e.tsUs / hourUs
+              if (st == null) st = GapState(h, 0L, 0L)
+              if (h > st.hour) {
+                out += GapFillOut(key, st.hour, st.n, st.cents)
+                var g = st.hour + 1
+                while (g < h) { out += GapFillOut(key, g, 0L, 0L); g += 1 }
+                st = GapState(h, 0L, 0L)
+              }
+              if (h == st.hour) {
+                val cents = new java.math.BigDecimal(e.value)
+                  .setScale(2, java.math.RoundingMode.HALF_UP).movePointRight(2).longValueExact()
+                st = GapState(st.hour, st.n + 1, st.cents + cents)
+              }
+            }
+            if (st != null) state.update(st)
+          }
+          // arm the timer for the filling hour's end (must sit strictly
+          // past the current watermark)
+          if (st != null) state.setTimeoutTimestamp(
+            math.max((st.hour + 1) * hourMs, state.getCurrentWatermarkMs() + 1))
+          out.iterator
+      }
+  }
+
   /** The reference's flagship end-to-end pipeline as ONE stateful
     * streaming operator: ticks → epoch-aligned tumbling OHLC candles →
     * Strat classification of each closed candle against its

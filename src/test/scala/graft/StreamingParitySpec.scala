@@ -515,6 +515,35 @@ class StreamingParitySpec extends SparkSpecBase {
     assert(got == batchRows.filterNot(r => lastHours((r._1, r._2))))
   }
 
+  test("watermark-driven gapFill flushes a silent key's hours via event-time timers") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val hourUs = 3_600_000_000L
+    val ms = MemoryStream[KeyedEvent]
+    val q = StreamingOps.gapFillWatermarked(ms.toDS()).toDF().writeStream
+      .format("memory").queryName("t_gapfill_wm").outputMode(OutputMode.Append()).start()
+    try {
+      // batch 1: key 1 and key 2 both live in hour 0
+      ms.addData(Seq(
+        KeyedEvent(1L, 10L * 60_000_000L, 1.25), KeyedEvent(1L, 40L * 60_000_000L, 2.00),
+        KeyedEvent(2L, 20L * 60_000_000L, 7.50)))
+      q.processAllAvailable()
+      // batch 2: only key 2 speaks again (hour 3) — advances the watermark
+      ms.addData(Seq(KeyedEvent(2L, 3L * hourUs + 10L * 60_000_000L, 1.00)))
+      q.processAllAvailable()
+      // batch 3: any event; during it the watermark sits at hour 3, so
+      // key 1's timer fires and flushes hours 0..2 with NO key-1 event
+      ms.addData(Seq(KeyedEvent(2L, 3L * hourUs + 20L * 60_000_000L, 2.00)))
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("t_gapfill_wm")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    val expect = Set(
+      (1L, 0L, 2L, 325L), (1L, 1L, 0L, 0L), (1L, 2L, 0L, 0L), // timer-flushed, no key-1 events
+      (2L, 0L, 1L, 750L), (2L, 1L, 0L, 0L), (2L, 2L, 0L, 0L)) // closed by key 2's own hour-3 event
+    assert(got == expect, got)
+  }
+
   test("stream-static enrich matches batch enrich") {
     import spark.implicits._
     val dim = Seq((1L, "gold"), (2L, "silver")).toDF("dk", "tier")
