@@ -734,6 +734,35 @@ object Queries {
                                 AND o_orderdate >= TIMESTAMP '2001-01-01 00:00:00')
             GROUP BY c_nationkey"""))
 
+  /** TPC-H Q4 shape: orders with at least one returned line, counted
+    * per priority — the EXISTS / LEFT SEMI join pattern (Q22 covers the
+    * anti side; this is its complement). The semi join needs only
+    * `l_orderkey` from the probe side after the returnflag filter
+    * pushes to the lineitem scan, duplicates on the lineitem side never
+    * multiply rows (semi short-circuits on first match), and both sides
+    * hash-partition on the shared orderkey.
+    */
+  private val q4Semi = GraftQuery(
+    "q4_semi",
+    (s, dir) => {
+      val o = t(s, dir, "orders")
+        .filter(col("o_orderdate") >= ntz("1996-01-01 00:00:00") &&
+          col("o_orderdate") < ntz("1996-07-01 00:00:00"))
+      val ret = t(s, dir, "lineitem")
+        .filter(col("l_returnflag") === "R")
+        .select(col("l_orderkey"))
+      o.join(ret, o("o_orderkey") === ret("l_orderkey"), "left_semi")
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_orders"))
+    },
+    Some("""SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_orders
+            FROM orders
+            WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+              AND o_orderdate < TIMESTAMP '1996-07-01 00:00:00'
+              AND EXISTS (SELECT 1 FROM lineitem
+                          WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+            GROUP BY o_orderpriority"""))
+
   private val qJsonExtract = GraftQuery(
     "q_json_extract",
     (s, dir) =>
@@ -2645,11 +2674,96 @@ object Queries {
 
   // =======================================================================
 
+  /** Deterministic negative-pair mining for contrastive training: each
+    * doc's "hard random" negative is the NEXT doc in md5 ring order
+    * within its (source, md5-prefix bucket) — reproducible across reruns
+    * with zero RNG state, and the ring wrap keeps every doc paired. The
+    * window partitions on (source, 1-hex-char bucket), so no per-source
+    * single-task sort exists: the bucket fan-out is the same scale knob
+    * as Relational.shuffleOrder's prefixChars (100 TB → 2-3 chars).
+    * Self-pairs from singleton buckets are dropped.
+    */
+  private val qNegPairs = GraftQuery(
+    "q_neg_pairs",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val d = t(s, dir, "documents")
+        .select(col("doc_id"), col("source"),
+          md5(col("doc_id").cast("string")).as("mk"))
+        .withColumn("bk", substring(col("mk"), 1, 1))
+      val w = Window.partitionBy(col("source"), col("bk")).orderBy(col("mk"), col("doc_id"))
+      val wf = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      d.withColumn("neg_id",
+          coalesce(lead(col("doc_id"), 1).over(w), first(col("doc_id")).over(wf)))
+        .filter(col("neg_id") =!= col("doc_id"))
+        .select(col("doc_id"), col("source"), col("neg_id"))
+    },
+    Some("""WITH o AS (SELECT doc_id, source, md5(CAST(doc_id AS VARCHAR)) AS mk,
+                         substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) AS bk
+                       FROM documents)
+            SELECT doc_id, source,
+              coalesce(
+                lead(doc_id) OVER (PARTITION BY source, bk ORDER BY mk, doc_id),
+                first_value(doc_id) OVER (PARTITION BY source, bk ORDER BY mk, doc_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)) AS neg_id
+            FROM o
+            QUALIFY neg_id != doc_id"""))
+
+  /** Numeric-identifier redaction — the regex-scrub skeleton of a PII
+    * pipeline: every digit run in the raw payload is replaced by a
+    * `<NUM>` sentinel, the hit count kept as the audit signal and the
+    * scrubbed text fingerprinted. Pattern is a pure character class
+    * (`[0-9]+`) so Java regex (Spark) and RE2 (DuckDB) agree; map-only,
+    * zero shuffles, codegen'd end to end.
+    */
+  private val qPiiScrub = GraftQuery(
+    "q_pii_scrub",
+    (s, dir) =>
+      events(s, dir).select(
+        col("event_id"),
+        expr("cast(regexp_count(props, '[0-9]+') as bigint)").as("n_hits"),
+        md5(regexp_replace(col("props"), "[0-9]+", "<NUM>")).as("scrub_md5")),
+    Some("""SELECT event_id,
+              CAST(len(regexp_extract_all(props, '[0-9]+')) AS BIGINT) AS n_hits,
+              md5(regexp_replace(props, '[0-9]+', '<NUM>', 'g')) AS scrub_md5
+            FROM events"""))
+
+  /** k-anonymity suppression (k=5): events are generalized to
+    * (event_type, value band of width 100), groups seen by fewer than k
+    * DISTINCT users are suppressed, and the surviving rows ship with
+    * their group's user count. The group stats and the row-level
+    * suppression join key on the SAME (event_type, band), so the
+    * generalized events shuffle once and AQE reuses the exchange for
+    * both consumers; the distinct-user count is the standard two-phase
+    * expand, never a per-group set.
+    */
+  private val qKanon = GraftQuery(
+    "q_kanon",
+    (s, dir) => {
+      val ev = events(s, dir)
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          expr("cast(floor(value / 100) as bigint)").as("band"))
+        .hint("shuffle_hash")
+      val g = ev.groupBy(col("event_type"), col("band"))
+        .agg(countDistinct(col("user_id")).as("n_users"))
+        .filter(col("n_users") >= 5)
+        .withColumnRenamed("event_type", "g_type").withColumnRenamed("band", "g_band")
+      ev.join(g, ev("event_type") === col("g_type") && ev("band") === col("g_band"))
+        .select(col("event_id"), col("event_type"), col("band"), col("n_users"))
+    },
+    Some("""WITH ev AS (SELECT event_id, user_id, event_type,
+                          CAST(floor(value / 100) AS BIGINT) AS band FROM events),
+            g AS (SELECT event_type, band, CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+                  FROM ev GROUP BY 1, 2 HAVING count(DISTINCT user_id) >= 5)
+            SELECT ev.event_id, ev.event_type, ev.band, g.n_users
+            FROM ev JOIN g USING (event_type, band)"""))
+
   val all: Seq[GraftQuery] = Seq(
     qMapFilter, qFilterMap, qCycle, qFoldAgg, qDistinctUsers, qTopkPerKey, qPivotCounts, qApproxDistinct, qQuantiles, qQuantilesExact, qTableLatest, qTumbling, qHopping, qLagWindow, qSession,
     qIntervalJoin, qStreamTableJoin, qMerge, qSplitBranch, qChunk, qSkipTake, qThrottle,
     qWordcount, qCandles, qCandlesHop, qStratClassify, qAsofJoin,
-    q1Pricing, q3Topk, q5Region, q14Promo, q2Mincost, q18Bigorders, q22Churn, qJsonExtract,
+    q1Pricing, q3Topk, q5Region, q14Promo, q2Mincost, q18Bigorders, q22Churn, q4Semi, qJsonExtract,
+    qNegPairs, qPiiScrub, qKanon,
     qDedupExact, qDedupMinhash, qMinhashRescore, qMinhashEst, qDedupSimhash, qDedupSimhashPairs,
     qDedupClusters, qPagerank, qNgramJaccard, qDedupEmbed, qRepetition,
     qEmbedTopk, qEmbedLsh, qEmbedIvf, qKmeansStep, qDocChunks, qChunkDedup,

@@ -187,4 +187,30 @@ class PlanSpec extends SparkSpecBase {
     assert(!p.contains("Exchange"), p)
     assert(!p.contains("Window"), p)
   }
+
+  test("q4_semi: EXISTS plans as a left semi join; returnflag filter pushes to the probe scan") {
+    val p = planOf(Queries.queries("q4_semi")(spark, sfDir))
+    assert(p.contains("LeftSemi"), p)
+    assert(p.contains("EqualTo(l_returnflag,R)"), p)
+    // probe side needs only the join key after the filter
+    assert(!p.contains("l_extendedprice") && !p.contains("l_quantity"), p)
+  }
+
+  test("q_neg_pairs: ring pairing is one keyed window — a single exchange, no join") {
+    val p = planOf(Queries.queries("q_neg_pairs")(spark, sfDir))
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1, p)
+    assert(!p.contains("Join"), p)
+  }
+
+  test("q_pii_scrub: regex redaction is map-only — zero exchanges") {
+    val p = planOf(Queries.queries("q_pii_scrub")(spark, sfDir))
+    assert(!p.contains("Exchange"), p)
+  }
+
+  test("q_kanon: suppression join is hash-partitioned on the group key, never nested-loop") {
+    val p = planOf(Queries.queries("q_kanon")(spark, sfDir))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("ShuffledHashJoin") || p.contains("SortMergeJoin"), p)
+    assert(p.contains("Expand") || p.contains("distinct"), p) // two-phase distinct users
+  }
 }
