@@ -1068,6 +1068,29 @@ object Queries {
                      FROM deg LEFT JOIN c3 USING (id))
              SELECT id, pr AS pr_micro FROM pr3"""))
 
+  /** Per-node triangle counts on the near-dup graph
+    * (Relational.triangleCounts): the clustering-coefficient numerator —
+    * triangle-rich components are cliques (safe to collapse to one
+    * representative), triangle-free chains are drift (A~B~C with A≁C),
+    * so this is the diagnostic run before trusting transitive closure.
+    * Degree-ordered orientation bounds the wedge join at m^1.5; the
+    * DuckDB oracle counts each id-ordered triangle (a<b<c) once via two
+    * equi-joins over the exact pair set.
+    */
+  private val qTriangles = GraftQuery(
+    "q_triangles",
+    (s, dir) => Relational.triangleCounts(simhashPairs(s, dir), "id_a", "id_b"),
+    Some(s"""$simhashCcSql,
+             tri AS (SELECT e1.id_a AS a, e1.id_b AS b, e2.id_b AS c
+                     FROM p e1
+                     JOIN p e2 ON e2.id_a = e1.id_b
+                     JOIN p e3 ON e3.id_a = e1.id_a AND e3.id_b = e2.id_b),
+             corners AS (SELECT a AS id FROM tri
+                         UNION ALL SELECT b FROM tri
+                         UNION ALL SELECT c FROM tri)
+             SELECT id, CAST(count(*) AS BIGINT) AS n_tri
+             FROM corners GROUP BY id"""))
+
   /** Per-document repetitiousness: the most frequent token's share of
     * all tokens, in exact milli-units (max_tf * 1000 // n_tokens) — a
     * junk signal for boilerplate/repeated-phrase documents. One
@@ -2765,7 +2788,7 @@ object Queries {
     q1Pricing, q3Topk, q5Region, q14Promo, q2Mincost, q18Bigorders, q22Churn, q4Semi, qJsonExtract,
     qNegPairs, qPiiScrub, qKanon,
     qDedupExact, qDedupMinhash, qMinhashRescore, qMinhashEst, qDedupSimhash, qDedupSimhashPairs,
-    qDedupClusters, qPagerank, qNgramJaccard, qDedupEmbed, qRepetition,
+    qDedupClusters, qPagerank, qTriangles, qNgramJaccard, qDedupEmbed, qRepetition,
     qEmbedTopk, qEmbedLsh, qEmbedIvf, qKmeansStep, qDocChunks, qChunkDedup,
     qKnnClassify, qClassBalance, qGapFill, qInvertedIndex,
     qLangId, qQualityScore, qCuration, qSplitAssign, qPackSequences, qSamplePerKey,

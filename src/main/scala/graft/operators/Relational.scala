@@ -154,6 +154,45 @@ object Relational {
     * plan depth is bounded by `iters`, and periodic lineage truncation
     * (every 8 rounds) only kicks in for deep runs.
     */
+  /** Per-node triangle counts over an undirected pair list — the
+    * clustering-coefficient numerator, and on a near-dup graph the
+    * "is this cluster a clique or a chain?" diagnostic that decides
+    * whether transitive closure is safe to apply.
+    *
+    * Uses the degree-ordered orientation: each edge points from its
+    * lower-(degree, id) endpoint to the higher one, so every node's
+    * out-degree is O(sqrt(m)) and the wedge join (the quadratic step in
+    * a naive count) is bounded by m^1.5 total wedges — the standard
+    * scale shape for triangle enumeration. Each triangle is found
+    * exactly once (its apex is the orientation-smallest corner); all
+    * three corners then get credit via one explode. Both the wedge join
+    * (on apex) and the closing join (on the (lo, hi) edge) are
+    * equi-joins — never all-pairs.
+    */
+  def triangleCounts(pairs: DataFrame, srcCol: String, dstCol: String): DataFrame = {
+    val p = pairs.select(col(srcCol).as("a"), col(dstCol).as("b")).distinct()
+    val deg = p.select(col("a").as("id")).unionAll(p.select(col("b").as("id")))
+      .groupBy("id").agg(count(lit(1)).as("deg"))
+    val e = p
+      .join(deg.select(col("id").as("__ia"), col("deg").as("da")), col("a") === col("__ia"))
+      .join(deg.select(col("id").as("__ib"), col("deg").as("db")), col("b") === col("__ib"))
+    val aFirst = struct(col("da"), col("a")) < struct(col("db"), col("b"))
+    val oriented = e.select(
+      when(aFirst, col("a")).otherwise(col("b")).as("src"),
+      when(aFirst, col("b")).otherwise(col("a")).as("dst"),
+      when(aFirst, struct(col("db").as("d"), col("b").as("i")))
+        .otherwise(struct(col("da").as("d"), col("a").as("i"))).as("dk"))
+    val e1 = oriented.select(col("src"), col("dst").as("lo"), col("dk").as("lk"))
+    val e2 = oriented.select(col("src").as("src2"), col("dst").as("hi"), col("dk").as("hk"))
+    val wedges = e1.join(e2, col("src") === col("src2") && col("lk") < col("hk"))
+      .select(col("src").as("apex"), col("lo"), col("hi"))
+    val closing = oriented.select(col("src").as("c_lo"), col("dst").as("c_hi"))
+    val tris = wedges.join(closing, col("lo") === col("c_lo") && col("hi") === col("c_hi"))
+      .select(col("apex"), col("lo"), col("hi"))
+    tris.select(explode(array(col("apex"), col("lo"), col("hi"))).as("id"))
+      .groupBy("id").agg(count(lit(1)).as("n_tri"))
+  }
+
   def pageRank(pairs: DataFrame, srcCol: String, dstCol: String, iters: Int = 3): DataFrame = {
     val edges = pairs.select(col(srcCol).as("src"), col(dstCol).as("dst"))
       .union(pairs.select(col(dstCol).as("src"), col(srcCol).as("dst")))

@@ -187,4 +187,18 @@ class OperatorsSpec extends SparkSpecBase {
     assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 5L -> 1L,
       10L -> 10L, 11L -> 10L))
   }
+
+  test("triangleCounts: 4-clique gives 3 per node, chains give none, each triangle counted once") {
+    import spark.implicits._
+    // K4 on {1..4} (4 triangles, each node in 3), a triangle {10,11,12}
+    // sharing no nodes, and a chain 20-21-22 (zero triangles)
+    val pairs = Seq(
+      (1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L),
+      (10L, 11L), (10L, 12L), (11L, 12L),
+      (20L, 21L), (21L, 22L)).toDF("id_a", "id_b")
+    val got = Relational.triangleCounts(pairs, "id_a", "id_b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L,
+      10L -> 1L, 11L -> 1L, 12L -> 1L))
+  }
 }

@@ -207,6 +207,11 @@ class PlanSpec extends SparkSpecBase {
     assert(!p.contains("Exchange"), p)
   }
 
+  test("q_triangles: wedge + closing joins are equi-joins, never all-pairs") {
+    val p = planOf(Queries.queries("q_triangles")(spark, sfDir))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
   test("q_kanon: suppression join is hash-partitioned on the group key, never nested-loop") {
     val p = planOf(Queries.queries("q_kanon")(spark, sfDir))
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
