@@ -763,6 +763,137 @@ object Queries {
                           WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
             GROUP BY o_orderpriority"""))
 
+  /** TPC-H Q6 shape: the pure scan→filter→agg forecast query — zero
+    * joins, zero shuffles past the partial agg. Every predicate
+    * (shipdate range, discount band, quantity cap) is a parquet
+    * pushdown (PlanSpec asserts PushedFilters), so at 100 TB the scan
+    * skips row groups on shipdate min/max stats and the agg reduces
+    * map-side to one row per task. Revenue is the exact decimal
+    * product sum; the discount factor goes through DECIMAL(12,8) like
+    * every money expression here (SURVEY §4).
+    */
+  private val q6Forecast = GraftQuery(
+    "q6_forecast",
+    (s, dir) =>
+      t(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= ntz("1997-01-01 00:00:00") &&
+          col("l_shipdate") < ntz("1998-01-01 00:00:00") &&
+          col("l_discount") >= 0.05 && col("l_discount") <= 0.07 &&
+          col("l_quantity") < 24)
+        .agg(
+          round(sum(col("l_extendedprice").cast(dec) *
+            col("l_discount").cast(DecimalType(12, 8))), 2).cast("double").as("revenue"),
+          count(lit(1)).as("n_lines")),
+    Some("""SELECT
+              CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(12,8))), 2) AS DOUBLE) AS revenue,
+              CAST(count(*) AS BIGINT) AS n_lines
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+              AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+              AND l_discount >= 0.05 AND l_discount <= 0.07
+              AND l_quantity < 24"""))
+
+  /** TPC-H Q10 shape: top-20 customers by revenue lost to returns in a
+    * quarter. lineitem(returnflag pushed) ⋈ orders(date pushed) is the
+    * one big shuffle (shared orderkey partitioning); customer and
+    * nation broadcast. The final top-20 is TakeOrderedAndProject —
+    * never a global sort — with c_custkey as the deterministic
+    * tiebreak. Account balance rides as exact integer cents inside the
+    * group key (functionally dependent on c_custkey, so the group
+    * count is unchanged).
+    */
+  private val q10Returns = GraftQuery(
+    "q10_returns",
+    (s, dir) => {
+      val o = t(s, dir, "orders")
+        .filter(col("o_orderdate") >= ntz("1997-01-01 00:00:00") &&
+          col("o_orderdate") < ntz("1997-04-01 00:00:00"))
+      val l = t(s, dir, "lineitem").filter(col("l_returnflag") === "R")
+      val c = t(s, dir, "customer")
+      val n = t(s, dir, "nation")
+      l.join(o, l("l_orderkey") === o("o_orderkey"))
+        .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+        .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+        .groupBy(col("c_custkey"), col("c_name"), col("n_name"),
+          expr("cast(cast(c_acctbal as decimal(18,2)) * 100 as bigint)").as("acctbal_cents"))
+        .agg(round(sum(discPrice), 2).cast("double").as("revenue"))
+        .orderBy(col("revenue").desc, col("c_custkey"))
+        .limit(20)
+    },
+    Some("""SELECT c_custkey, c_name, n_name,
+              CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT) AS acctbal_cents,
+              CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1.0 - l_discount AS DECIMAL(12,8))), 2) AS DOUBLE) AS revenue
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation ON c_nationkey = n_nationkey
+            WHERE l_returnflag = 'R'
+              AND o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+              AND o_orderdate < TIMESTAMP '1997-04-01 00:00:00'
+            GROUP BY c_custkey, c_name, n_name, acctbal_cents
+            ORDER BY revenue DESC, c_custkey LIMIT 20"""))
+
+  /** TPC-H Q12 shape re-keyed to this schema (no l_shipmode column):
+    * per returnflag class, how many lines belong to urgent vs
+    * non-urgent orders in a ship year. The canonical big-big join +
+    * conditional-aggregation pattern: lineitem ⋈ orders shuffle on the
+    * shared orderkey (orders is NOT broadcast — at 100 TB it is a fact
+    * table), the urgency CASE folds into the aggregate so one scan
+    * serves both counters, and the shipdate filter pushes down.
+    */
+  private val q12Priority = GraftQuery(
+    "q12_priority",
+    (s, dir) => {
+      val l = t(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= ntz("1997-01-01 00:00:00") &&
+          col("l_shipdate") < ntz("1998-01-01 00:00:00"))
+      val o = t(s, dir, "orders")
+      val urgent = col("o_orderpriority") === "1-URGENT" || col("o_orderpriority") === "2-HIGH"
+      l.join(o, l("l_orderkey") === o("o_orderkey"))
+        .groupBy(col("l_returnflag"))
+        .agg(
+          sum(when(urgent, lit(1L)).otherwise(lit(0L))).as("high_line_count"),
+          sum(when(urgent, lit(0L)).otherwise(lit(1L))).as("low_line_count"))
+    },
+    Some("""SELECT l_returnflag,
+              CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+              CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+              AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+            GROUP BY l_returnflag"""))
+
+  /** TPC-H Q19 shape: discounted revenue for three OR'd
+    * (type, size-band, quantity-band) brackets. Catalyst extracts the
+    * common `l_partkey = p_partkey` equi-conjunct for the broadcast
+    * hash join and keeps the disjunction as the join residual; the
+    * quantity bound common to all brackets (l_quantity <= 32) is
+    * OR-factored and pushed to the lineitem scan. The disjunctive-
+    * predicate pattern is the point: at 100 TB the fact scan must not
+    * evaluate three bracket predicates row-by-row pre-join — the resid
+    * runs only on rows surviving the hash probe.
+    */
+  private val q19Brackets = GraftQuery(
+    "q19_brackets",
+    (s, dir) => {
+      val p = t(s, dir, "part")
+      val l = t(s, dir, "lineitem")
+      val bracket =
+        (col("p_type") === "PROMO" && col("p_size").between(1, 10) && col("l_quantity").between(1, 11)) ||
+        (col("p_type") === "SMALL" && col("p_size").between(1, 20) && col("l_quantity").between(10, 20)) ||
+        (col("p_type") === "LARGE" && col("p_size").between(1, 30) && col("l_quantity").between(20, 32))
+      l.join(broadcast(p), l("l_partkey") === p("p_partkey") && bracket)
+        .agg(round(sum(discPrice), 2).cast("double").as("revenue"),
+          count(lit(1)).as("n_lines"))
+    },
+    Some("""SELECT
+              CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1.0 - l_discount AS DECIMAL(12,8))), 2) AS DOUBLE) AS revenue,
+              CAST(count(*) AS BIGINT) AS n_lines
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            WHERE (p_type = 'PROMO' AND p_size BETWEEN 1 AND 10 AND l_quantity BETWEEN 1 AND 11)
+               OR (p_type = 'SMALL' AND p_size BETWEEN 1 AND 20 AND l_quantity BETWEEN 10 AND 20)
+               OR (p_type = 'LARGE' AND p_size BETWEEN 1 AND 30 AND l_quantity BETWEEN 20 AND 32)"""))
+
   private val qJsonExtract = GraftQuery(
     "q_json_extract",
     (s, dir) =>
@@ -2785,7 +2916,8 @@ object Queries {
     qMapFilter, qFilterMap, qCycle, qFoldAgg, qDistinctUsers, qTopkPerKey, qPivotCounts, qApproxDistinct, qQuantiles, qQuantilesExact, qTableLatest, qTumbling, qHopping, qLagWindow, qSession,
     qIntervalJoin, qStreamTableJoin, qMerge, qSplitBranch, qChunk, qSkipTake, qThrottle,
     qWordcount, qCandles, qCandlesHop, qStratClassify, qAsofJoin,
-    q1Pricing, q3Topk, q5Region, q14Promo, q2Mincost, q18Bigorders, q22Churn, q4Semi, qJsonExtract,
+    q1Pricing, q3Topk, q5Region, q14Promo, q2Mincost, q18Bigorders, q22Churn, q4Semi,
+    q6Forecast, q10Returns, q12Priority, q19Brackets, qJsonExtract,
     qNegPairs, qPiiScrub, qKanon,
     qDedupExact, qDedupMinhash, qMinhashRescore, qMinhashEst, qDedupSimhash, qDedupSimhashPairs,
     qDedupClusters, qPagerank, qTriangles, qNgramJaccard, qDedupEmbed, qRepetition,

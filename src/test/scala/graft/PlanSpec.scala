@@ -177,6 +177,37 @@ class PlanSpec extends SparkSpecBase {
     assert(p.contains("BroadcastHashJoin"), p)
   }
 
+  test("q6_forecast: all three predicates push to the parquet scan; agg is partial, no join") {
+    val p = planOf(Queries.queries("q6_forecast")(spark, sfDir))
+    // PushedFilters renders truncated; the scan's pushdown prefix plus the
+    // full predicate set on the Filter node together prove the shape
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), IsNotNull(l_discount), IsNotNull(l_quantity)"), p)
+    assert("l_discount#\\d+ >= 0.05".r.findFirstIn(p).isDefined, p)
+    assert("l_quantity#\\d+ < 24.0".r.findFirstIn(p).isDefined, p)
+    assert(p.contains("partial_"), p)
+    assert(!p.contains("Join"), p)
+  }
+
+  test("q10_returns: customer+nation broadcast; top-20 is TakeOrderedAndProject") {
+    val p = planOf(Queries.queries("q10_returns")(spark, sfDir))
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 2, p)
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(p.contains("EqualTo(l_returnflag,R)"), p)
+  }
+
+  test("q12_priority: shipdate pushes down; conditional agg is partial; no nested loop") {
+    val p = planOf(Queries.queries("q12_priority")(spark, sfDir))
+    assert(p.contains("GreaterThanOrEqual(l_shipdate"), p)
+    assert(p.contains("partial_"), p)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("q19_brackets: disjunction stays a hash-join residual — equi key extracted, no nested loop") {
+    val p = planOf(Queries.queries("q19_brackets")(spark, sfDir))
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
   test("q_window_topk: rank filter plans as WindowGroupLimit (pre-sort pruning)") {
     val p = planOf(Queries.queries("q_window_topk")(spark, sfDir))
     assert(p.contains("WindowGroupLimit"), p)
