@@ -1031,6 +1031,56 @@ object Queries {
                            JOIN ok gb ON p.id_b = gb.doc_id)
              SELECT id_a, id_b, inter, uni FROM sc WHERE inter * 2 >= uni"""))
 
+  /** Asymmetric shingle CONTAINMENT over the minhash candidates:
+    * cont(A→B) = |A∩B| / |A| in exact milli-units, both directions per
+    * pair. Symmetric Jaccard under-scores a short doc embedded inside
+    * a long one (the union dilutes the score); containment is the
+    * standard quote/excerpt detector. Same scale shape as the exact
+    * rescore: only LSH candidate pairs are scored (never all-pairs),
+    * gram arrays travel once per side via the repartition on id, and
+    * the intersection is evaluated once per pair (single projection).
+    */
+  private val qContainment = GraftQuery(
+    "q_containment",
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+      val cands = DedupFns.minhashCandidates(docs, "doc_id", "text")
+      val grams = Fence.guard(Fence.guard(
+          docs.select(col("doc_id").as("id"), TextFns.tokensFast(col("text")).as("__toks"), Fence.col))
+        .filter(size(col("__toks")) >= 3)
+        .select(col("id"), DedupFns.wordNgramsFast(col("__toks"), 3).as("grams"), Fence.col))
+        .repartition(col("id"))
+      cands
+        .join(grams.as("ga"), col("id_a") === col("ga.id"))
+        .join(grams.as("gb"), col("id_b") === col("gb.id"))
+        .select(col("id_a"), col("id_b"),
+          size(array_intersect(col("ga.grams"), col("gb.grams"))).cast("long").as("inter"),
+          size(col("ga.grams")).cast("long").as("na"),
+          size(col("gb.grams")).cast("long").as("nb"))
+        .select(col("id_a"), col("id_b"),
+          expr("inter * 1000 div na").as("cont_a_milli"),
+          expr("inter * 1000 div nb").as("cont_b_milli"))
+        .filter(greatest(col("cont_a_milli"), col("cont_b_milli")) >= 500)
+    },
+    Some(s"""WITH t0 AS (SELECT doc_id, $toksSql AS tk FROM documents),
+             g AS (SELECT doc_id, $grams3Sql AS gs FROM t0),
+             ok AS (SELECT doc_id, gs FROM g WHERE len(gs) > 0),
+             hs AS (SELECT doc_id, list_transform(gs, t -> ${h31Sql("t")}) AS h FROM ok),
+             sig AS (SELECT doc_id, $minhashSigSql AS s FROM hs),
+             bands AS (SELECT doc_id, k AS band, (s[2*k+1] * 1000003 + s[2*k+2]) % $M AS bh
+                       FROM sig, range(${DedupFns.NumHashes / DedupFns.BandRows}) t(k)),
+             p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+                   FROM bands a JOIN bands b
+                     ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
+                   GROUP BY 1, 2),
+             sc AS (SELECT id_a, id_b,
+                      CAST(len(list_intersect(ga.gs, gb.gs)) AS BIGINT) * 1000 // CAST(len(ga.gs) AS BIGINT) AS cont_a_milli,
+                      CAST(len(list_intersect(ga.gs, gb.gs)) AS BIGINT) * 1000 // CAST(len(gb.gs) AS BIGINT) AS cont_b_milli
+                    FROM p JOIN ok ga ON p.id_a = ga.doc_id
+                           JOIN ok gb ON p.id_b = gb.doc_id)
+             SELECT id_a, id_b, cont_a_milli, cont_b_milli
+             FROM sc WHERE greatest(cont_a_milli, cont_b_milli) >= 500"""))
+
   /** The CHEAP rescore: MinHash signature-overlap Jaccard estimate
     * (agree/16 in exact milli-units) for every LSH candidate pair —
     * what a pipeline uses when the exact gram rescore is too expensive
@@ -2118,6 +2168,141 @@ object Queries {
     * pipeline keeps alongside the classifier. Pure composition of the
     * staged q_lang_id shape + one aggregation.
     */
+  /** Per-user inter-arrival gap statistics — the stream-health monitor
+    * (a collapsing gap distribution means a hot key; a stretching one
+    * means a stalled producer). One shuffle on user_id serves the lag
+    * window; the mean is an exact floor division of the total span by
+    * the gap count, so no float surface exists. Gaps are event-time
+    * micros between consecutive events in (ts, event_id) order.
+    */
+  private val qInterarrival = GraftQuery(
+    "q_interarrival",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      events(s, dir)
+        .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("us"))
+        .withColumn("gap", col("us") - lag(col("us"), 1).over(
+          Window.partitionBy("user_id").orderBy(col("us"), col("event_id"))))
+        .groupBy(col("user_id"))
+        .agg(
+          count(lit(1)).as("n_events"),
+          min(col("gap")).as("min_gap_us"),
+          max(col("gap")).as("max_gap_us"),
+          expr("sum(gap) div count(gap)").as("mean_gap_us"))
+    },
+    Some("""WITH x AS (
+              SELECT user_id, event_id, epoch_us(ts) AS us,
+                epoch_us(ts) - lag(epoch_us(ts))
+                  OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS gap
+              FROM events)
+            SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+              min(gap) AS min_gap_us, max(gap) AS max_gap_us,
+              CAST(sum(gap) // count(gap) AS BIGINT) AS mean_gap_us
+            FROM x GROUP BY user_id"""))
+
+  /** Per-source drift detection: pairwise L1 (total-variation×2)
+    * distance between token-count histograms, in exact milli-units.
+    * The ONLY fact-table shuffle is the per-(source, bucket) count —
+    * everything after operates on the tiny histogram (sources ×
+    * buckets), so at 100 TB the pairwise comparison costs nothing no
+    * matter how many source pairs exist. Shares are floor-divided
+    * milli fractions (exact in both engines); missing buckets
+    * contribute their full mass via the grid outer-coalesce.
+    */
+  private val qHistDistance = GraftQuery(
+    "q_hist_distance",
+    (s, dir) => {
+      val hist = t(s, dir, "documents")
+        .select(col("source"), size(TextFns.tokensFast(col("text"))).cast("long").as("nt"))
+        .select(col("source"), expr("nt div 8").as("bucket"))
+        .groupBy(col("source"), col("bucket")).agg(count(lit(1)).as("cnt"))
+      // the histogram is tiny (sources × buckets); localCheckpoint makes
+      // it a leaf so its five downstream references (two join sides,
+      // sources ×2, buckets) cost ONE fact pass, not five logical copies
+      val milli = hist
+        .withColumn("total", sum(col("cnt")).over(
+          org.apache.spark.sql.expressions.Window.partitionBy("source")))
+        .select(col("source"), col("bucket"), expr("cnt * 1000 div total").as("milli"))
+        .localCheckpoint()
+      val srcs = milli.select(col("source")).distinct()
+      val pairs = srcs.as("sa").crossJoin(srcs.as("sb"))
+        .filter(col("sa.source") < col("sb.source"))
+        .select(col("sa.source").as("source_a"), col("sb.source").as("source_b"))
+      val buckets = milli.select(col("bucket").as("bk")).distinct()
+      pairs.crossJoin(broadcast(buckets))
+        .join(broadcast(milli.as("ma")),
+          col("source_a") === col("ma.source") && col("bk") === col("ma.bucket"), "left")
+        .join(broadcast(milli.as("mb")),
+          col("source_b") === col("mb.source") && col("bk") === col("mb.bucket"), "left")
+        .groupBy(col("source_a"), col("source_b"))
+        .agg(sum(abs(coalesce(col("ma.milli"), lit(0L)) - coalesce(col("mb.milli"), lit(0L))))
+          .as("l1_milli"))
+    },
+    Some(s"""WITH t0 AS (SELECT source, len($toksSql) AS nt FROM documents),
+             h AS (SELECT source, nt // 8 AS bucket, count(*) AS cnt FROM t0 GROUP BY 1, 2),
+             m AS (SELECT source, bucket,
+                     cnt * 1000 // sum(cnt) OVER (PARTITION BY source) AS milli FROM h),
+             s AS (SELECT DISTINCT source FROM m),
+             p AS (SELECT a.source AS source_a, b.source AS source_b
+                   FROM s a JOIN s b ON a.source < b.source),
+             bk AS (SELECT DISTINCT bucket FROM m)
+             SELECT source_a, source_b,
+               CAST(sum(abs(coalesce(ma.milli, 0) - coalesce(mb.milli, 0))) AS BIGINT) AS l1_milli
+             FROM p CROSS JOIN bk
+             LEFT JOIN m ma ON ma.source = p.source_a AND ma.bucket = bk.bucket
+             LEFT JOIN m mb ON mb.source = p.source_b AND mb.bucket = bk.bucket
+             GROUP BY source_a, source_b"""))
+
+  /** Robust center/spread per event_type: exact lower-median and
+    * median-absolute-deviation in integer cents, both defined by
+    * row_number rank (rk = (n+1) div 2 over (value, event_id)) — the
+    * float-free twin of q_outliers' rank-cutoff idea, so every engine
+    * picks the identical row. Two keyed window shuffles (value rank,
+    * then deviation rank) + a broadcast of the 5-row median table; no
+    * interpolation, no epsilon reasoning.
+    */
+  private val qMad = GraftQuery(
+    "q_mad",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val ev = events(s, dir).select(col("event_type"), col("event_id"),
+        expr("cast(cast(value as decimal(18,2)) * 100 as bigint)").as("cents"))
+      val r = ev
+        .withColumn("rk", row_number().over(
+          Window.partitionBy("event_type").orderBy(col("cents"), col("event_id"))))
+        .withColumn("n", count(lit(1)).over(Window.partitionBy("event_type")))
+      // the median table is 5 rows; carrying med_cents + n through the
+      // deviation pass means the ranked subtree is consumed once and
+      // med joins once — no repeated fact passes
+      val med = r.groupBy(col("event_type"))
+        .agg(max(when(expr("rk = (n + 1) div 2"), col("cents"))).as("med_cents"),
+          max(col("n")).as("n"))
+      r.join(broadcast(med.select(col("event_type").as("et"), col("med_cents"), col("n").as("nn"))),
+          col("event_type") === col("et"))
+        .select(col("event_type"), col("event_id"), col("nn"), col("med_cents"),
+          abs(col("cents") - col("med_cents")).as("ad"))
+        .withColumn("rk2", row_number().over(
+          Window.partitionBy("event_type").orderBy(col("ad"), col("event_id"))))
+        .groupBy(col("event_type"))
+        .agg(max(col("nn")).as("n"), max(col("med_cents")).as("med_cents"),
+          max(when(expr("rk2 = (nn + 1) div 2"), col("ad"))).as("mad_cents"))
+    },
+    Some("""WITH ev AS (SELECT event_type, event_id,
+                  CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents FROM events),
+            r AS (SELECT *,
+                    row_number() OVER (PARTITION BY event_type ORDER BY cents, event_id) AS rk,
+                    count(*) OVER (PARTITION BY event_type) AS n FROM ev),
+            m AS (SELECT event_type, max(CASE WHEN rk = (n + 1) // 2 THEN cents END) AS med_cents,
+                    max(n) AS n FROM r GROUP BY 1),
+            d AS (SELECT r.event_type, r.event_id, abs(r.cents - m.med_cents) AS ad, m.n
+                  FROM r JOIN m USING (event_type)),
+            r2 AS (SELECT *, row_number() OVER (PARTITION BY event_type ORDER BY ad, event_id) AS rk2
+                   FROM d)
+            SELECT r2.event_type, CAST(max(r2.n) AS BIGINT) AS n, max(m.med_cents) AS med_cents,
+              max(CASE WHEN rk2 = (r2.n + 1) // 2 THEN ad END) AS mad_cents
+            FROM r2 JOIN m ON r2.event_type = m.event_type
+            GROUP BY r2.event_type"""))
+
   private val qLangConfusion = GraftQuery(
     "q_lang_confusion",
     (s, dir) =>
@@ -2919,13 +3104,14 @@ object Queries {
     q1Pricing, q3Topk, q5Region, q14Promo, q2Mincost, q18Bigorders, q22Churn, q4Semi,
     q6Forecast, q10Returns, q12Priority, q19Brackets, qJsonExtract,
     qNegPairs, qPiiScrub, qKanon,
-    qDedupExact, qDedupMinhash, qMinhashRescore, qMinhashEst, qDedupSimhash, qDedupSimhashPairs,
+    qDedupExact, qDedupMinhash, qMinhashRescore, qContainment, qMinhashEst, qDedupSimhash, qDedupSimhashPairs,
     qDedupClusters, qPagerank, qTriangles, qNgramJaccard, qDedupEmbed, qRepetition,
     qEmbedTopk, qEmbedLsh, qEmbedIvf, qKmeansStep, qDocChunks, qChunkDedup,
     qKnnClassify, qClassBalance, qGapFill, qInvertedIndex,
     qLangId, qQualityScore, qCuration, qSplitAssign, qPackSequences, qSamplePerKey,
     qTfidfTopterms, qContamination,
     qShuffleOrder, qGopherQuality, qVocabCoverage, qFunnel, qRetention, qLangConfusion,
+    qInterarrival, qHistDistance, qMad,
     qDedupSurvivors, qRunningStats, qSpanDedup, qTermScrub, qValueHistogram,
     qBigramLift, qBigramLm, qOutliers, qTokenBudget, qRollupStats, qTimeWindowSum,
     qProfile, qStratifiedSample, qAsofForward, qScd2, qPairCuration, qWindowTopk,

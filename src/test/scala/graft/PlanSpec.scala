@@ -127,8 +127,10 @@ class PlanSpec extends SparkSpecBase {
     // sides (2 copies, one runtime exchange)
     // bigram-lm: instance stream + its own (x,y) aggregation share one
     // runtime exchange (2 logical copies) + the unigram branch (1)
+    // q_containment mirrors minhash-rescore (candidates 2 + gram sides 2)
     val bound = Map("q_ngram_jaccard" -> 6, "q_minhash_rescore" -> 4,
-      "q_bigram_lift" -> 4, "q_minhash_est" -> 4, "q_bigram_lm" -> 4).withDefaultValue(2)
+      "q_bigram_lift" -> 4, "q_minhash_est" -> 4, "q_bigram_lm" -> 4,
+      "q_containment" -> 4).withDefaultValue(2)
     for ((name, fn) <- Queries.queries.toSeq.sortBy(_._1)) {
       val p = fn(spark, sfDir).queryExecution.optimizedPlan.toString.toLowerCase
       for (pat <- pats) {
@@ -206,6 +208,22 @@ class PlanSpec extends SparkSpecBase {
     val p = planOf(Queries.queries("q19_brackets")(spark, sfDir))
     assert(p.contains("BroadcastHashJoin"), p)
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("q_interarrival: lag window and per-user agg share ONE exchange") {
+    val p = planOf(Queries.queries("q_interarrival")(spark, sfDir))
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1, p)
+  }
+
+  test("q_containment: candidate scoring joins are equi-joins, never all-pairs") {
+    val p = planOf(Queries.queries("q_containment")(spark, sfDir))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("q_mad: both rank passes are keyed windows — no global (empty-partition) sort") {
+    val p = planOf(Queries.queries("q_mad")(spark, sfDir))
+    assert(p.contains("Window"), p)
+    assert(!p.contains("partitionBy=[]") && !p.contains("SinglePartition, ENSURE"), p)
   }
 
   test("q_window_topk: rank filter plans as WindowGroupLimit (pre-sort pruning)") {
