@@ -19,7 +19,8 @@ object Bench {
     "q_embed_ivf", "q_token_count", "q_distinct_users", "q_curation",
     "q_span_dedup", "q_running_stats",
     "q_doc_chunks", "q_minhash_est", "q_kmeans_step", "q_pagerank",
-    "q2_mincost", "q18_bigorders", "q_chunk_dedup")
+    "q2_mincost", "q18_bigorders", "q_chunk_dedup",
+    "q6_forecast", "q12_priority", "q19_brackets", "q_mad")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
