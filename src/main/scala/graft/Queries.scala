@@ -1111,11 +1111,11 @@ object Queries {
                CAST((agree * 1000) // ${DedupFns.NumHashes} AS BIGINT) AS est_milli
              FROM ag"""))
 
-  /** Shared DuckDB prefix: exact simhash near-dup pairs → recursive
-    * transitive closure (`reach(id, r)`), the oracle twin of
-    * Relational.connectedComponents over DedupFns.simhashNearDupPairs.
+  /** Shared DuckDB prefix: exact simhash near-dup pairs (`p(id_a,
+    * id_b)`), the oracle twin of DedupFns.simhashNearDupPairs. Declared
+    * WITH RECURSIVE so simhashCcSql can append the closure CTEs.
     */
-  private def simhashCcSql: String =
+  private def simhashPairsSql: String =
     s"""WITH RECURSIVE
              t0 AS (SELECT doc_id, $toksSql AS tk FROM documents),
              hs AS (SELECT doc_id, list_transform(tk, t -> ${h31Sql("t")}) AS h FROM t0 WHERE len(tk) > 0),
@@ -1131,7 +1131,13 @@ object Queries {
              bd AS (SELECT id, sim, k, (sim >> (8*k)) & 255 AS byte FROM s CROSS JOIN range(0, 4) tt(k)),
              p AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b
                    FROM bd a JOIN bd b ON a.k = b.k AND a.byte = b.byte AND a.id < b.id
-                   WHERE bit_count(xor(a.sim, b.sim)) <= 3),
+                   WHERE bit_count(xor(a.sim, b.sim)) <= 3)"""
+
+  /** simhash pairs → recursive transitive closure (`reach(id, r)`),
+    * the oracle twin of Relational.connectedComponents.
+    */
+  private def simhashCcSql: String =
+    s"""$simhashPairsSql,
              e AS (SELECT id_a AS a, id_b AS b FROM p UNION SELECT id_b, id_a FROM p),
              reach(id, r) AS (
                SELECT a, a FROM e
@@ -1271,6 +1277,81 @@ object Queries {
                          UNION ALL SELECT c FROM tri)
              SELECT id, CAST(count(*) AS BIGINT) AS n_tri
              FROM corners GROUP BY id"""))
+
+  /** Cross-signal curation analytics: per quality BAND, what fraction
+    * of documents sit in a near-dup pair — the "is low quality where
+    * the duplication lives?" question a corpus report answers before
+    * choosing filter thresholds. Quality bands are fixed-width value
+    * bands ((quality+20) div 10 — quality is bounded in [-20, 70], so
+    * truncating and flooring division agree), NOT rank deciles: banding
+    * is map-only, no global sort at any scale. Dup membership comes
+    * from the shared materialized simhash pair mining; the flag join is
+    * a doc_id equi-join against the distinct paired ids.
+    */
+  private val qQualityDup = GraftQuery(
+    "q_quality_dup",
+    (s, dir) => {
+      val q = qQualityScore.fn(s, dir)
+      val dupIds = simhashPairs(s, dir)
+        .select(explode(array(col("id_a"), col("id_b"))).as("id")).distinct()
+      q.join(dupIds, col("doc_id") === col("id"), "left")
+        .select(expr("(quality + 20) div 10").as("q_band"),
+          col("id").isNotNull.cast("long").as("is_dup"))
+        .groupBy(col("q_band"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("is_dup")).as("n_dup"),
+          expr("sum(is_dup) * 1000 div count(1)").as("dup_milli"))
+    },
+    Some(s"""$simhashPairsSql,
+             tq AS (SELECT doc_id,
+                      CAST(length(text) AS BIGINT) AS c,
+                      CAST(len(list_filter(string_split_regex(text, '\\s+'), x -> x != '')) AS BIGINT) AS t,
+                      CAST(len(list_filter($toksSql, t2 -> list_contains([${TextFns.Stopwords("en").map(w => s"'$w'").mkString(", ")}], t2))) AS BIGINT) AS sw,
+                      CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS BIGINT) AS pq
+                    FROM documents),
+             qual AS (SELECT doc_id,
+                        least(40, c // 10) + least(30, (sw * 100) // greatest(t, 1))
+                          - least(20, (pq * 100) // greatest(c, 1)) AS quality
+                      FROM tq),
+             ids AS (SELECT DISTINCT id FROM (SELECT id_a AS id FROM p UNION ALL SELECT id_b FROM p)),
+             x AS (SELECT (q.quality + 20) // 10 AS q_band,
+                     CASE WHEN ids.id IS NULL THEN 0 ELSE 1 END AS is_dup
+                   FROM qual q LEFT JOIN ids ON q.doc_id = ids.id)
+             SELECT q_band, CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(is_dup) AS BIGINT) AS n_dup,
+               CAST(sum(is_dup) * 1000 // count(*) AS BIGINT) AS dup_milli
+             FROM x GROUP BY q_band"""))
+
+  /** Per-document hapax share: the fraction of a doc's distinct token
+    * TYPES that occur in no other document (corpus df = 1), in exact
+    * milli-units — high hapax share flags OCR noise / gibberish, low
+    * flags boilerplate. The corpus-wide df rides a count-over-partition
+    * on the exploded (doc, type) stream, so ONE token shuffle serves
+    * the df computation and the per-doc re-aggregation follows on
+    * doc_id — the same two-exchange shape as the span-df and
+    * inverted-index queries.
+    */
+  private val qHapax = GraftQuery(
+    "q_hapax",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val types = Fence.guard(
+          t(s, dir, "documents").select(col("doc_id"),
+            array_distinct(TextFns.tokensFast(col("text"))).as("__tk"), Fence.col))
+        .select(col("doc_id"), explode(col("__tk")).as("tok"))
+      types
+        .withColumn("df", count(lit(1)).over(Window.partitionBy("tok")))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_types"),
+          sum(when(col("df") === 1, 1L).otherwise(0L)).as("n_hapax"),
+          expr("sum(case when df = 1 then 1 else 0 end) * 1000 div count(1)").as("hapax_milli"))
+    },
+    Some(s"""WITH t0 AS (SELECT doc_id, list_distinct($toksSql) AS tk FROM documents),
+             x AS (SELECT doc_id, unnest(tk) AS tok FROM t0),
+             d AS (SELECT doc_id, tok, count(*) OVER (PARTITION BY tok) AS df FROM x)
+             SELECT doc_id, CAST(count(*) AS BIGINT) AS n_types,
+               CAST(sum(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax,
+               CAST(sum(CASE WHEN df = 1 THEN 1 ELSE 0 END) * 1000 // count(*) AS BIGINT) AS hapax_milli
+             FROM d GROUP BY doc_id"""))
 
   /** Per-document repetitiousness: the most frequent token's share of
     * all tokens, in exact milli-units (max_tf * 1000 // n_tokens) — a
@@ -3105,7 +3186,7 @@ object Queries {
     q6Forecast, q10Returns, q12Priority, q19Brackets, qJsonExtract,
     qNegPairs, qPiiScrub, qKanon,
     qDedupExact, qDedupMinhash, qMinhashRescore, qContainment, qMinhashEst, qDedupSimhash, qDedupSimhashPairs,
-    qDedupClusters, qPagerank, qTriangles, qNgramJaccard, qDedupEmbed, qRepetition,
+    qDedupClusters, qPagerank, qTriangles, qQualityDup, qHapax, qNgramJaccard, qDedupEmbed, qRepetition,
     qEmbedTopk, qEmbedLsh, qEmbedIvf, qKmeansStep, qDocChunks, qChunkDedup,
     qKnnClassify, qClassBalance, qGapFill, qInvertedIndex,
     qLangId, qQualityScore, qCuration, qSplitAssign, qPackSequences, qSamplePerKey,

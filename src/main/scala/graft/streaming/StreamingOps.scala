@@ -164,6 +164,41 @@ object StreamingOps {
       }
   }
 
+  /** A KeyedEvent with its event-time gap (micros) to the previous
+    * event of the same key; gapUs = -1 marks the key's first event.
+    */
+  final case class GapEvent(key: Long, tsUs: Long, gapUs: Long)
+
+  /** Per-key last-seen event time. */
+  final case class LastTs(tsUs: Long)
+
+  /** Streaming inter-arrival monitor — the live twin of the batch
+    * q_interarrival lag: every event emits its event-time gap to its
+    * key's previous event (the input to stream-health aggregation — a
+    * collapsing gap distribution means a hot key, a stretching one a
+    * stalled producer). State is ONE long per key, so cardinality
+    * scales to 100 TB key counts trivially; within a batch events sort
+    * by (tsUs, value) like every order-dependent operator here, and
+    * the last-seen timestamp survives restarts via the state store.
+    */
+  def interArrival(stream: Dataset[KeyedEvent]): Dataset[GapEvent] = {
+    implicit val outEnc = Encoders.product[GapEvent]
+    implicit val stEnc = Encoders.product[LastTs]
+    stream.groupByKey(_.key)(Encoders.scalaLong)
+      .flatMapGroupsWithState[LastTs, GapEvent](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout) {
+        (key: Long, events: Iterator[KeyedEvent], state: GroupState[LastTs]) =>
+          var last = state.getOption.map(_.tsUs).getOrElse(-1L)
+          val out = events.toSeq.sortBy(e => (e.tsUs, e.value)).map { e =>
+            val g = if (last < 0) -1L else e.tsUs - last
+            last = e.tsUs
+            GapEvent(key, e.tsUs, g)
+          }
+          state.update(LastTs(last))
+          out.iterator
+      }
+  }
+
   /** A KeyedEvent carrying its per-key running fold: event index and
     * exact running cents sum (the streaming scan).
     */

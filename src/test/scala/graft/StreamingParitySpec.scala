@@ -350,6 +350,30 @@ class StreamingParitySpec extends SparkSpecBase {
     assert(got.nonEmpty)
   }
 
+  test("streaming interArrival matches the batch lag gap, across micro-batches") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    implicit val sqlCtx = spark.sqlContext
+    val all = mkEvents
+    val (b1, b2) = all.splitAt(3) // state must carry the gap across the batch boundary
+    val ms = MemoryStream[KeyedEvent]
+    val q = StreamingOps.interArrival(ms.toDS()).toDF()
+      .writeStream.format("memory").queryName("t_gap").outputMode(OutputMode.Append()).start()
+    ms.addData(b1); q.processAllAvailable()
+    ms.addData(b2); q.processAllAvailable()
+    q.stop()
+    val got = spark.table("t_gap").select("key", "tsUs", "gapUs")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+
+    val w = Window.partitionBy("key").orderBy("tsUs", "value")
+    val expect = all.toDF()
+      .withColumn("gapUs", coalesce(col("tsUs") - lag(col("tsUs"), 1).over(w), lit(-1L)))
+      .select("key", "tsUs", "gapUs")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == expect)
+    assert(got.exists(_._3 == -1L) && got.exists(_._3 > 0L))
+  }
+
   test("streaming dedupExact matches batch first-occurrence dedup") {
     import spark.implicits._
     // dedup key = value (stands in for a content hash); dups across keys
