@@ -894,6 +894,55 @@ object Queries {
                OR (p_type = 'SMALL' AND p_size BETWEEN 1 AND 20 AND l_quantity BETWEEN 10 AND 20)
                OR (p_type = 'LARGE' AND p_size BETWEEN 1 AND 30 AND l_quantity BETWEEN 20 AND 32)"""))
 
+  /** TPC-H Q13 shape: the customer order-count distribution — LEFT
+    * OUTER join (zero-order customers must appear with c_count = 0)
+    * feeding two stacked aggregations. The join and the per-customer
+    * count share the custkey hash partitioning (one exchange serves
+    * both); the second agg groups the tiny (c_count, custdist)
+    * histogram. count(o_orderkey) counts only matched rows — the LEFT
+    * join's null rows fall out of the count exactly as in SQL.
+    */
+  private val q13Custdist = GraftQuery(
+    "q13_custdist",
+    (s, dir) => {
+      val c = t(s, dir, "customer").select(col("c_custkey"))
+      val o = t(s, dir, "orders").select(col("o_custkey"), col("o_orderkey"))
+      c.join(o, c("c_custkey") === o("o_custkey"), "left")
+        .groupBy(col("c_custkey"))
+        .agg(count(col("o_orderkey")).as("c_count"))
+        .groupBy(col("c_count"))
+        .agg(count(lit(1)).as("custdist"))
+    },
+    Some("""SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+            FROM (SELECT c_custkey, CAST(count(o_orderkey) AS BIGINT) AS c_count
+                  FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+                  GROUP BY c_custkey)
+            GROUP BY c_count"""))
+
+  /** TPC-H Q16 shape re-keyed to this schema (no partsupp table):
+    * distinct suppliers that shipped each part type, excluding
+    * suppliers in bad standing (negative balance) — the NOT IN → LEFT
+    * ANTI join + two-phase exact distinct aggregation pattern. The
+    * anti join's build side is the tiny filtered supplier set; the
+    * distinct agg dedups (p_type, suppkey) map-side before the one
+    * count shuffle.
+    */
+  private val q16Suppliers = GraftQuery(
+    "q16_suppliers",
+    (s, dir) => {
+      val bad = t(s, dir, "supplier").filter(col("s_acctbal") < 0).select(col("s_suppkey"))
+      val p = t(s, dir, "part").select(col("p_partkey"), col("p_type"))
+      val l = t(s, dir, "lineitem").select(col("l_partkey"), col("l_suppkey"))
+      l.join(broadcast(p), l("l_partkey") === p("p_partkey"))
+        .join(broadcast(bad), l("l_suppkey") === bad("s_suppkey"), "left_anti")
+        .groupBy(col("p_type"))
+        .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+    },
+    Some("""SELECT p_type, CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            WHERE l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+            GROUP BY p_type"""))
+
   private val qJsonExtract = GraftQuery(
     "q_json_extract",
     (s, dir) =>
@@ -1352,6 +1401,35 @@ object Queries {
                CAST(sum(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax,
                CAST(sum(CASE WHEN df = 1 THEN 1 ELSE 0 END) * 1000 // count(*) AS BIGINT) AS hapax_milli
              FROM d GROUP BY doc_id"""))
+
+  /** Cross-source duplication leakage matrix: near-dup pair counts per
+    * unordered source pair — which sources are re-hosting each other's
+    * content (the governance view that decides source-level dedup
+    * priority). The pair set is the shared materialized mining; the
+    * doc→source attachment is two equi-joins against a two-column
+    * projection, and the unordered pair key is (least, greatest) so
+    * (A,B) and (B,A) collapse into one row.
+    */
+  private val qSourceOverlap = GraftQuery(
+    "q_source_overlap",
+    (s, dir) => {
+      val src = t(s, dir, "documents").select(col("doc_id"), col("source"))
+      simhashPairs(s, dir)
+        .join(src.as("sa"), col("id_a") === col("sa.doc_id"))
+        .join(src.as("sb"), col("id_b") === col("sb.doc_id"))
+        .groupBy(
+          least(col("sa.source"), col("sb.source")).as("source_lo"),
+          greatest(col("sa.source"), col("sb.source")).as("source_hi"))
+        .agg(count(lit(1)).as("n_pairs"))
+    },
+    Some(s"""$simhashPairsSql
+             SELECT least(sa.source, sb.source) AS source_lo,
+               greatest(sa.source, sb.source) AS source_hi,
+               CAST(count(*) AS BIGINT) AS n_pairs
+             FROM p
+             JOIN documents sa ON p.id_a = sa.doc_id
+             JOIN documents sb ON p.id_b = sb.doc_id
+             GROUP BY 1, 2"""))
 
   /** Per-document repetitiousness: the most frequent token's share of
     * all tokens, in exact milli-units (max_tf * 1000 // n_tokens) — a
@@ -2384,6 +2462,50 @@ object Queries {
             FROM r2 JOIN m ON r2.event_type = m.event_type
             GROUP BY r2.event_type"""))
 
+  /** Winsorized mean per event_type: values clamped to the exact
+    * [p05, p95] rank cutoffs before averaging — the robust mean that
+    * completes q_mad (spread) and q_outliers (cutoff). Cutoff VALUES
+    * are picked by integer row_number rank over (cents, event_id), so
+    * every engine clamps the identical rows; the mean is a floor
+    * division. One keyed rank window + a 5-row broadcast back-join.
+    */
+  private val qWinsorMean = GraftQuery(
+    "q_winsor_mean",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val ev = events(s, dir).select(col("event_type"), col("event_id"),
+        expr("cast(cast(value as decimal(18,2)) * 100 as bigint)").as("cents"))
+      val r = ev
+        .withColumn("rk", row_number().over(
+          Window.partitionBy("event_type").orderBy(col("cents"), col("event_id"))))
+        .withColumn("n", count(lit(1)).over(Window.partitionBy("event_type")))
+      val cuts = r.groupBy(col("event_type"))
+        .agg(max(when(expr("rk = (n * 5) div 100 + 1"), col("cents"))).as("lo_cents"),
+          max(when(expr("rk = (n * 95) div 100"), col("cents"))).as("hi_cents"))
+      r.join(broadcast(cuts.withColumnRenamed("event_type", "et")),
+          col("event_type") === col("et"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          max(col("lo_cents")).as("lo_cents"), max(col("hi_cents")).as("hi_cents"),
+          expr("sum(greatest(lo_cents, least(hi_cents, cents))) div count(1)")
+            .as("winsor_mean_cents"))
+    },
+    Some("""WITH ev AS (SELECT event_type, event_id,
+                  CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents FROM events),
+            r AS (SELECT *,
+                    row_number() OVER (PARTITION BY event_type ORDER BY cents, event_id) AS rk,
+                    count(*) OVER (PARTITION BY event_type) AS n FROM ev),
+            c AS (SELECT event_type,
+                    max(CASE WHEN rk = (n * 5) // 100 + 1 THEN cents END) AS lo_cents,
+                    max(CASE WHEN rk = (n * 95) // 100 THEN cents END) AS hi_cents
+                  FROM r GROUP BY 1)
+            SELECT r.event_type, CAST(count(*) AS BIGINT) AS n,
+              max(c.lo_cents) AS lo_cents, max(c.hi_cents) AS hi_cents,
+              CAST(sum(greatest(c.lo_cents, least(c.hi_cents, r.cents))) // count(*) AS BIGINT)
+                AS winsor_mean_cents
+            FROM r JOIN c USING (event_type)
+            GROUP BY r.event_type"""))
+
   private val qLangConfusion = GraftQuery(
     "q_lang_confusion",
     (s, dir) =>
@@ -3183,7 +3305,7 @@ object Queries {
     qIntervalJoin, qStreamTableJoin, qMerge, qSplitBranch, qChunk, qSkipTake, qThrottle,
     qWordcount, qCandles, qCandlesHop, qStratClassify, qAsofJoin,
     q1Pricing, q3Topk, q5Region, q14Promo, q2Mincost, q18Bigorders, q22Churn, q4Semi,
-    q6Forecast, q10Returns, q12Priority, q19Brackets, qJsonExtract,
+    q6Forecast, q10Returns, q12Priority, q19Brackets, q13Custdist, q16Suppliers, qJsonExtract,
     qNegPairs, qPiiScrub, qKanon,
     qDedupExact, qDedupMinhash, qMinhashRescore, qContainment, qMinhashEst, qDedupSimhash, qDedupSimhashPairs,
     qDedupClusters, qPagerank, qTriangles, qQualityDup, qHapax, qNgramJaccard, qDedupEmbed, qRepetition,
@@ -3192,7 +3314,7 @@ object Queries {
     qLangId, qQualityScore, qCuration, qSplitAssign, qPackSequences, qSamplePerKey,
     qTfidfTopterms, qContamination,
     qShuffleOrder, qGopherQuality, qVocabCoverage, qFunnel, qRetention, qLangConfusion,
-    qInterarrival, qHistDistance, qMad,
+    qInterarrival, qHistDistance, qMad, qWinsorMean, qSourceOverlap,
     qDedupSurvivors, qRunningStats, qSpanDedup, qTermScrub, qValueHistogram,
     qBigramLift, qBigramLm, qOutliers, qTokenBudget, qRollupStats, qTimeWindowSum,
     qProfile, qStratifiedSample, qAsofForward, qScd2, qPairCuration, qWindowTopk,

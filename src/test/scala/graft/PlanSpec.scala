@@ -226,6 +226,30 @@ class PlanSpec extends SparkSpecBase {
     assert(!p.contains("partitionBy=[]") && !p.contains("SinglePartition, ENSURE"), p)
   }
 
+  test("q13_custdist: left join and per-customer count share one custkey partitioning") {
+    val p = planOf(Queries.queries("q13_custdist")(spark, sfDir))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    // the per-customer agg must not re-shuffle after the custkey join
+    assert("Exchange hashpartitioning\\(c_custkey".r.findAllIn(p).size <= 1, p)
+  }
+
+  test("q16_suppliers: NOT IN plans as anti join; distinct agg is two-phase partial") {
+    val p = planOf(Queries.queries("q16_suppliers")(spark, sfDir))
+    assert(p.contains("LeftAnti"), p)
+    assert(p.contains("partial_"), p)
+  }
+
+  test("q_winsor_mean: rank pass is a keyed window, never a global sort") {
+    val p = planOf(Queries.queries("q_winsor_mean")(spark, sfDir))
+    assert(p.contains("Window"), p)
+    assert(!p.contains("partitionBy=[]"), p)
+  }
+
+  test("q_source_overlap: source attachment is equi-joins, never all-pairs") {
+    val p = planOf(Queries.queries("q_source_overlap")(spark, sfDir))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
   test("q_window_topk: rank filter plans as WindowGroupLimit (pre-sort pruning)") {
     val p = planOf(Queries.queries("q_window_topk")(spark, sfDir))
     assert(p.contains("WindowGroupLimit"), p)
