@@ -267,6 +267,29 @@ object Queries {
           count(lit(1)).as("n")),
     None)
 
+  /** Heavy-hitter tokens per source via the custom mergeable
+    * Misra-Gries Aggregator (functions.Sketches) — k=32 counters per
+    * group, NO per-token shuffle: map-side partials carry 32-entry
+    * maps, so at 100 TB the exchange moves kB per group instead of the
+    * token universe. Rows-only check (estimates are merge-order
+    * dependent); both MG guarantees (presence above n/k, undercount
+    * ≤ n/k) are asserted against exact counts in SketchSpec.
+    */
+  private val qHeavyHitters = GraftQuery(
+    "q_heavy_hitters",
+    (s, dir) => {
+      val mg = udaf(new graft.functions.MisraGries(32))
+      Fence.guard(t(s, dir, "documents")
+          .select(col("source"), TextFns.tokensFast(col("text")).as("__tk"), Fence.col))
+        .select(col("source"), explode(col("__tk")).as("tok"))
+        .groupBy(col("source"))
+        .agg(mg(col("tok")).as("sketch"))
+        .select(col("source"), posexplode(col("sketch")).as(Seq("rank", "entry")))
+        .select(col("source"), col("rank").cast("long").as("rank"),
+          col("entry._1").as("token"), col("entry._2").as("est_count"))
+    },
+    None)
+
   /** Approximate value quantiles per event type (Greenwald-Khanna) —
     * the sketch path for percentiles. Rows-only check; accuracy vs the
     * exact quantiles is asserted in SketchSpec.
@@ -893,6 +916,114 @@ object Queries {
             WHERE (p_type = 'PROMO' AND p_size BETWEEN 1 AND 10 AND l_quantity BETWEEN 1 AND 11)
                OR (p_type = 'SMALL' AND p_size BETWEEN 1 AND 20 AND l_quantity BETWEEN 10 AND 20)
                OR (p_type = 'LARGE' AND p_size BETWEEN 1 AND 30 AND l_quantity BETWEEN 20 AND 32)"""))
+
+  /** TPC-H Q7 shape: bilateral trade-lane revenue by year between two
+    * nations. Supplier and customer nation attach via broadcast dims;
+    * the (n1,n2)∈{(A,B),(B,A)} disjunction is a residual on the
+    * broadcast probe, and the only big shuffle is l⋈o on the shared
+    * orderkey. The year comes from the NTZ shipdate (identical
+    * date_part in both engines), revenue is the exact decimal sum.
+    */
+  private val q7Trade = GraftQuery(
+    "q7_trade",
+    (s, dir) => {
+      val l = t(s, dir, "lineitem")
+      val o = t(s, dir, "orders")
+      val c = t(s, dir, "customer")
+      val su = t(s, dir, "supplier")
+      val n1 = t(s, dir, "nation").select(col("n_nationkey").as("sk"), col("n_name").as("supp_nation"))
+      val n2 = t(s, dir, "nation").select(col("n_nationkey").as("ck"), col("n_name").as("cust_nation"))
+      val lanes = (col("supp_nation") === "NATION_1" && col("cust_nation") === "NATION_2") ||
+        (col("supp_nation") === "NATION_2" && col("cust_nation") === "NATION_1")
+      l.join(o, l("l_orderkey") === o("o_orderkey"))
+        .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+        .join(broadcast(su), l("l_suppkey") === su("s_suppkey"))
+        .join(broadcast(n1), su("s_nationkey") === col("sk"))
+        .join(broadcast(n2), c("c_nationkey") === col("ck"))
+        .filter(lanes)
+        .groupBy(col("supp_nation"), col("cust_nation"), year(col("l_shipdate")).as("l_year"))
+        .agg(round(sum(discPrice), 2).cast("double").as("revenue"))
+    },
+    Some("""SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+              CAST(year(l_shipdate) AS INTEGER) AS l_year,
+              CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1.0 - l_discount AS DECIMAL(12,8))), 2) AS DOUBLE) AS revenue
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN nation n1 ON s_nationkey = n1.n_nationkey
+            JOIN nation n2 ON c_nationkey = n2.n_nationkey
+            WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+               OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')
+            GROUP BY 1, 2, 3"""))
+
+  /** TPC-H Q15 shape: the top-revenue supplier(s) for a quarter — the
+    * scalar-max pattern. The per-supplier revenue aggregates once; its
+    * max rides a 1-row broadcast (Spark's scalar-subquery shape, §5)
+    * and the equality filter re-reads the SAME aggregated subtree
+    * (runtime stage reuse), so the fact scans once per exchange, never
+    * per candidate. Revenue is exact integer cents end to end.
+    */
+  private val q15TopSupp = GraftQuery(
+    "q15_topsupp",
+    (s, dir) => {
+      val rev = t(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= ntz("1997-01-01 00:00:00") &&
+          col("l_shipdate") < ntz("1997-04-01 00:00:00"))
+        .groupBy(col("l_suppkey"))
+        .agg(sum(expr("cast(cast(l_extendedprice as decimal(18,2)) * 100 as bigint)"))
+          .as("rev_cents"))
+      val mx = rev.agg(max(col("rev_cents")).as("mx"))
+      rev.crossJoin(broadcast(mx))
+        .filter(col("rev_cents") === col("mx"))
+        .join(broadcast(t(s, dir, "supplier")), col("l_suppkey") === col("s_suppkey"))
+        .select(col("s_suppkey"), col("s_name"), col("rev_cents"))
+    },
+    Some("""WITH rev AS (
+              SELECT l_suppkey, sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS rev_cents
+              FROM lineitem
+              WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+                AND l_shipdate < TIMESTAMP '1997-04-01 00:00:00'
+              GROUP BY l_suppkey)
+            SELECT s_suppkey, s_name, CAST(rev_cents AS BIGINT) AS rev_cents
+            FROM rev JOIN supplier ON l_suppkey = s_suppkey
+            WHERE rev_cents = (SELECT max(rev_cents) FROM rev)"""))
+
+  /** TPC-H Q17 shape: revenue from small-quantity lines of one part
+    * type — the correlated-scalar-subquery (per-part 0.2×avg quantity
+    * threshold) re-expressed as an aggregate + same-key join. The
+    * filtered fact joins its own per-partkey average ON THE KEY THE
+    * AVERAGE GROUPED BY, so one partkey exchange serves both; the
+    * threshold compare is exact integer cross-multiplication
+    * (5·qty·n < Σqty ⇔ qty < 0.2·avg), no float division anywhere.
+    */
+  private val q17SmallQty = GraftQuery(
+    "q17_smallqty",
+    (s, dir) => {
+      val p = t(s, dir, "part").filter(col("p_type") === "PROMO").select(col("p_partkey"))
+      val fl = t(s, dir, "lineitem")
+        .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+        .select(col("l_partkey"),
+          expr("cast(cast(l_quantity as decimal(18,3)) * 1000 as bigint)").as("qty_milli"),
+          expr("cast(cast(l_extendedprice as decimal(18,2)) * 100 as bigint)").as("price_cents"))
+      val ag = fl.groupBy(col("l_partkey"))
+        .agg(sum(col("qty_milli")).as("sq"), count(lit(1)).as("n"))
+      fl.join(ag.withColumnRenamed("l_partkey", "pk"), col("l_partkey") === col("pk"))
+        .filter(col("qty_milli") * 5 * col("n") < col("sq"))
+        .agg(coalesce(sum(col("price_cents")), lit(0L)).as("revenue_cents"),
+          count(lit(1)).as("n_lines"))
+    },
+    Some("""WITH fl AS (
+              SELECT l_partkey,
+                CAST(CAST(l_quantity AS DECIMAL(18,3)) * 1000 AS BIGINT) AS qty_milli,
+                CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS price_cents
+              FROM lineitem JOIN part ON l_partkey = p_partkey
+              WHERE p_type = 'PROMO'),
+            ag AS (SELECT l_partkey, sum(qty_milli) AS sq, count(*) AS n FROM fl GROUP BY 1)
+            SELECT CAST(coalesce(sum(price_cents), 0) AS BIGINT) AS revenue_cents,
+              CAST(count(*) AS BIGINT) AS n_lines
+            FROM fl JOIN ag USING (l_partkey)
+            WHERE fl.qty_milli * 5 * ag.n < ag.sq"""))
 
   /** TPC-H Q13 shape: the customer order-count distribution — LEFT
     * OUTER join (zero-order customers must appear with c_count = 0)
@@ -3301,11 +3432,12 @@ object Queries {
             FROM ev JOIN g USING (event_type, band)"""))
 
   val all: Seq[GraftQuery] = Seq(
-    qMapFilter, qFilterMap, qCycle, qFoldAgg, qDistinctUsers, qTopkPerKey, qPivotCounts, qApproxDistinct, qQuantiles, qQuantilesExact, qTableLatest, qTumbling, qHopping, qLagWindow, qSession,
+    qMapFilter, qFilterMap, qCycle, qFoldAgg, qDistinctUsers, qTopkPerKey, qPivotCounts, qApproxDistinct, qHeavyHitters, qQuantiles, qQuantilesExact, qTableLatest, qTumbling, qHopping, qLagWindow, qSession,
     qIntervalJoin, qStreamTableJoin, qMerge, qSplitBranch, qChunk, qSkipTake, qThrottle,
     qWordcount, qCandles, qCandlesHop, qStratClassify, qAsofJoin,
     q1Pricing, q3Topk, q5Region, q14Promo, q2Mincost, q18Bigorders, q22Churn, q4Semi,
-    q6Forecast, q10Returns, q12Priority, q19Brackets, q13Custdist, q16Suppliers, qJsonExtract,
+    q6Forecast, q10Returns, q12Priority, q19Brackets, q13Custdist, q16Suppliers,
+    q7Trade, q15TopSupp, q17SmallQty, qJsonExtract,
     qNegPairs, qPiiScrub, qKanon,
     qDedupExact, qDedupMinhash, qMinhashRescore, qContainment, qMinhashEst, qDedupSimhash, qDedupSimhashPairs,
     qDedupClusters, qPagerank, qTriangles, qQualityDup, qHapax, qNgramJaccard, qDedupEmbed, qRepetition,

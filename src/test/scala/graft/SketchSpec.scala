@@ -25,6 +25,31 @@ class SketchSpec extends SparkSpecBase {
     }
   }
 
+  test("Misra-Gries heavy hitters: frequent tokens present, undercount within n/k") {
+    import graft.functions.TextFns
+    val k = 32
+    val out = Queries.queries("q_heavy_hitters")(spark, sfDir)
+      .collect().map(r => (r.getString(0), r.getString(2)) -> r.getLong(3)).toMap
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val exact = docs
+      .select(col("source"), explode(TextFns.tokensFast(col("text"))).as("tok"))
+      .groupBy("source", "tok").count()
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    val n = exact.groupMapReduce(_._1._1)(_._2)(_ + _) // tokens per source
+    // guarantee 1: every token with true freq > n/k is in the sketch
+    exact.foreach { case ((src, tok), c) =>
+      if (c > n(src) / k)
+        assert(out.contains((src, tok)), s"frequent token ($src, $tok) freq=$c missing")
+    }
+    // guarantee 2: estimates never overcount and undercount by <= n/k
+    out.foreach { case ((src, tok), est) =>
+      val truth = exact((src, tok))
+      assert(est <= truth, s"($src, $tok): est=$est > true=$truth")
+      assert(truth - est <= n(src) / k, s"($src, $tok): undercount ${truth - est} > ${n(src) / k}")
+    }
+    assert(out.nonEmpty)
+  }
+
   test("percentile_approx values land in the right quantile band (rank-based accuracy)") {
     val got = Queries.queries("q_quantiles")(spark, sfDir)
       .collect().map(r => r.getString(0) -> Seq(r.getDouble(1), r.getDouble(2), r.getDouble(3))).toMap
