@@ -1025,6 +1025,43 @@ object Queries {
             FROM fl JOIN ag USING (l_partkey)
             WHERE fl.qty_milli * 5 * ag.n < ag.sq"""))
 
+  /** TPC-H Q21 shape: suppliers SOLELY responsible for an order's
+    * returned lines — the semi/anti composition. The distinct
+    * (orderkey, suppkey) return pairs anti-join themselves on the SAME
+    * orderkey with a suppkey-inequality residual ("no OTHER supplier
+    * returned in this order"): Catalyst extracts the orderkey
+    * equi-conjunct so the anti join stays hash-partitioned, and the
+    * inequality runs as the join residual — never a nested loop. The
+    * blame count then aggregates on suppkey and the name attaches via
+    * broadcast.
+    */
+  private val q21Blame = GraftQuery(
+    "q21_blame",
+    (s, dir) => {
+      val pairs = t(s, dir, "lineitem")
+        .filter(col("l_returnflag") === "R")
+        .select(col("l_orderkey"), col("l_suppkey")).distinct()
+      val others = pairs.select(col("l_orderkey").as("ok"), col("l_suppkey").as("sk"))
+      pairs.join(others,
+          pairs("l_orderkey") === others("ok") && pairs("l_suppkey") =!= others("sk"),
+          "left_anti")
+        .groupBy(col("l_suppkey"))
+        .agg(count(lit(1)).as("n_solo_orders"))
+        .join(broadcast(t(s, dir, "supplier")), col("l_suppkey") === col("s_suppkey"))
+        .select(col("s_suppkey"), col("s_name"), col("n_solo_orders"))
+        .orderBy(col("n_solo_orders").desc, col("s_suppkey"))
+        .limit(10)
+    },
+    Some("""WITH pairs AS (
+              SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem WHERE l_returnflag = 'R')
+            SELECT s_suppkey, s_name, CAST(count(*) AS BIGINT) AS n_solo_orders
+            FROM pairs JOIN supplier ON l_suppkey = s_suppkey
+            WHERE NOT EXISTS (SELECT 1 FROM pairs o
+                              WHERE o.l_orderkey = pairs.l_orderkey
+                                AND o.l_suppkey <> pairs.l_suppkey)
+            GROUP BY s_suppkey, s_name
+            ORDER BY n_solo_orders DESC, s_suppkey LIMIT 10"""))
+
   /** TPC-H Q13 shape: the customer order-count distribution — LEFT
     * OUTER join (zero-order customers must appear with c_count = 0)
     * feeding two stacked aggregations. The join and the per-customer
@@ -1886,6 +1923,26 @@ object Queries {
     Some("""SELECT doc_id AS asset_id, CAST(f AS BIGINT) AS frame_no,
               sha256(text || CAST(f AS VARCHAR)) AS frame_sha
             FROM documents CROSS JOIN range(0, 3) ff(f)"""))
+
+  /** Audio segmentation plan (Multimodal.segmentPlan): 30 s windows at
+    * a 10 s stride over stub-decoded durations — map-only sequence
+    * explode, the batch shape a feature extractor consumes.
+    */
+  private val qAudioSegments = GraftQuery(
+    "q_audio_segments",
+    (s, dir) =>
+      Multimodal.segmentPlan(
+        t(s, dir, "documents").select(col("doc_id"), col("text").cast("binary").as("payload")),
+        "doc_id", "payload"),
+    Some("""WITH d AS (SELECT doc_id,
+                  ('0x' || substr(md5(text), 1, 6))::BIGINT % 300000 + 1000 AS dur_ms
+                FROM documents),
+            g AS (SELECT doc_id, dur_ms,
+                    unnest(range(0, (dur_ms - 1) // 10000 + 1)) AS seg_no FROM d)
+            SELECT doc_id AS asset_id, CAST(seg_no AS BIGINT) AS seg_no,
+              CAST(seg_no * 10000 AS BIGINT) AS start_ms,
+              CAST(least(seg_no * 10000 + 30000, dur_ms) AS BIGINT) AS end_ms
+            FROM g"""))
 
   private def langScoreSql: String = {
     val langs = TextFns.Stopwords.keys.toSeq.sorted
@@ -3437,7 +3494,7 @@ object Queries {
     qWordcount, qCandles, qCandlesHop, qStratClassify, qAsofJoin,
     q1Pricing, q3Topk, q5Region, q14Promo, q2Mincost, q18Bigorders, q22Churn, q4Semi,
     q6Forecast, q10Returns, q12Priority, q19Brackets, q13Custdist, q16Suppliers,
-    q7Trade, q15TopSupp, q17SmallQty, qJsonExtract,
+    q7Trade, q15TopSupp, q17SmallQty, q21Blame, qJsonExtract,
     qNegPairs, qPiiScrub, qKanon,
     qDedupExact, qDedupMinhash, qMinhashRescore, qContainment, qMinhashEst, qDedupSimhash, qDedupSimhashPairs,
     qDedupClusters, qPagerank, qTriangles, qQualityDup, qHapax, qNgramJaccard, qDedupEmbed, qRepetition,
@@ -3452,7 +3509,7 @@ object Queries {
     qProfile, qStratifiedSample, qAsofForward, qScd2, qPairCuration, qWindowTopk,
     qRunningDistinct, qFirstSeen, qDedupDegree, qDecileBin,
     qTokenCount, qFingerprint, qMultimodalMeta,
-    qMultimodalDecode, qResizePlan, qFrameSample)
+    qMultimodalDecode, qResizePlan, qFrameSample, qAudioSegments)
 
   val queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.fn).toMap

@@ -121,6 +121,28 @@ object Multimodal {
         .otherwise((col("height") * maxEdge / longEdge).cast("int")).as("out_height"))
   }
 
+  /** Fixed-window segmentation plan over a (stub-decoded) audio
+    * payload: the duration comes from the payload's md5 (deterministic
+    * fake — a real decoder would read the container header inside
+    * mapPartitions like decodePartitioned), then one row per
+    * stride-aligned window via a codegen'd `sequence` explode —
+    * MAP-ONLY, zero shuffles, never a driver-side loop over assets.
+    * Window [start, start+windowMs) clipped to the duration; the last
+    * window may be shorter, exactly like a streaming feature-extractor
+    * frames audio.
+    */
+  def segmentPlan(df: DataFrame, idCol: String, payloadCol: String,
+      windowMs: Long = 30000L, strideMs: Long = 10000L): DataFrame = {
+    val durMs = (conv(substring(md5(col(payloadCol)), 1, 6), 16, 10).cast("long")
+      % lit(300000L)) + lit(1000L)
+    df.select(col(idCol).as("asset_id"), durMs.as("dur_ms"))
+      .select(col("asset_id"), col("dur_ms"),
+        explode(sequence(lit(0L), expr(s"(dur_ms - 1) div $strideMs"))).as("seg_no"))
+      .select(col("asset_id"), col("seg_no"),
+        (col("seg_no") * strideMs).as("start_ms"),
+        least(col("seg_no") * strideMs + windowMs, col("dur_ms")).as("end_ms"))
+  }
+
   /** One sampled frame of a (stub-decoded) video payload. */
   final case class SampledFrame(asset_id: Long, frame_no: Int, frame_sha: String)
 

@@ -250,6 +250,18 @@ class PlanSpec extends SparkSpecBase {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("q21_blame: sole-failer check is a hash anti join with inequality residual") {
+    val p = planOf(Queries.queries("q21_blame")(spark, sfDir))
+    assert(p.contains("LeftAnti"), p)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("q_audio_segments: segmentation plan is map-only — zero exchanges") {
+    val p = planOf(Queries.queries("q_audio_segments")(spark, sfDir))
+    assert(!p.contains("Exchange"), p)
+  }
+
   test("q_window_topk: rank filter plans as WindowGroupLimit (pre-sort pruning)") {
     val p = planOf(Queries.queries("q_window_topk")(spark, sfDir))
     assert(p.contains("WindowGroupLimit"), p)
