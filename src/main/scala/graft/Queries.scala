@@ -1062,6 +1062,37 @@ object Queries {
             GROUP BY s_suppkey, s_name
             ORDER BY n_solo_orders DESC, s_suppkey LIMIT 10"""))
 
+  /** TPC-H Q20 shape: suppliers shipping an outsized share of one part
+    * type — excess = more than 10% above the average per-supplier
+    * volume. The per-supplier aggregate computes once; the corpus
+    * average rides a 1-row broadcast (the scalar-attach shape, §5) and
+    * the threshold is an exact integer cross-multiplication
+    * (10·sq·n_supp > 11·Σ), so no division exists on either engine.
+    */
+  private val q20Excess = GraftQuery(
+    "q20_excess",
+    (s, dir) => {
+      val p = t(s, dir, "part").filter(col("p_type") === "PROMO").select(col("p_partkey"))
+      val perSupp = t(s, dir, "lineitem")
+        .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+        .groupBy(col("l_suppkey"))
+        .agg(sum(expr("cast(cast(l_quantity as decimal(18,3)) * 1000 as bigint)")).as("sq"))
+      val tot = perSupp.agg(sum(col("sq")).as("total"), count(lit(1)).as("n_supp"))
+      perSupp.crossJoin(broadcast(tot))
+        .filter(col("sq") * col("n_supp") * 10 > col("total") * 11)
+        .join(broadcast(t(s, dir, "supplier")), col("l_suppkey") === col("s_suppkey"))
+        .select(col("s_suppkey"), col("s_name"), col("sq").as("qty_milli"))
+    },
+    Some("""WITH per AS (
+              SELECT l_suppkey, sum(CAST(CAST(l_quantity AS DECIMAL(18,3)) * 1000 AS BIGINT)) AS sq
+              FROM lineitem JOIN part ON l_partkey = p_partkey
+              WHERE p_type = 'PROMO' GROUP BY 1),
+            tot AS (SELECT sum(sq) AS total, count(*) AS n_supp FROM per)
+            SELECT s_suppkey, s_name, CAST(sq AS BIGINT) AS qty_milli
+            FROM per, tot
+            JOIN supplier ON l_suppkey = s_suppkey
+            WHERE sq * n_supp * 10 > total * 11"""))
+
   /** TPC-H Q13 shape: the customer order-count distribution — LEFT
     * OUTER join (zero-order customers must appear with c_count = 0)
     * feeding two stacked aggregations. The join and the per-customer
@@ -2694,6 +2725,35 @@ object Queries {
             FROM r JOIN c USING (event_type)
             GROUP BY r.event_type"""))
 
+  /** Percentile-rank feature normalization per source: each doc's
+    * token count mapped to its exact rank position in [0, 1000] milli
+    * ((rk−1)·1000 div (n−1)) — the distribution-free normalization a
+    * mixture recipe uses to compare length profiles across sources.
+    * Rank ties break on doc_id, so every engine assigns identical
+    * positions; one keyed window shuffle, no floats.
+    */
+  private val qRankNorm = GraftQuery(
+    "q_rank_norm",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      t(s, dir, "documents")
+        .select(col("doc_id"), col("source"),
+          size(TextFns.tokensFast(col("text"))).cast("long").as("nt"))
+        .withColumn("rk", row_number().over(
+          Window.partitionBy("source").orderBy(col("nt"), col("doc_id"))))
+        .withColumn("n", count(lit(1)).over(Window.partitionBy("source")))
+        .select(col("doc_id"), col("source"), col("nt"),
+          when(col("n") > 1, expr("(rk - 1) * 1000 div (n - 1)")).otherwise(lit(0L))
+            .as("rank_milli"))
+    },
+    Some(s"""WITH t0 AS (SELECT doc_id, source, CAST(len($toksSql) AS BIGINT) AS nt FROM documents),
+             r AS (SELECT *,
+                     row_number() OVER (PARTITION BY source ORDER BY nt, doc_id) AS rk,
+                     count(*) OVER (PARTITION BY source) AS n FROM t0)
+             SELECT doc_id, source, nt,
+               CAST(CASE WHEN n > 1 THEN (rk - 1) * 1000 // (n - 1) ELSE 0 END AS BIGINT) AS rank_milli
+             FROM r"""))
+
   private val qLangConfusion = GraftQuery(
     "q_lang_confusion",
     (s, dir) =>
@@ -3494,7 +3554,7 @@ object Queries {
     qWordcount, qCandles, qCandlesHop, qStratClassify, qAsofJoin,
     q1Pricing, q3Topk, q5Region, q14Promo, q2Mincost, q18Bigorders, q22Churn, q4Semi,
     q6Forecast, q10Returns, q12Priority, q19Brackets, q13Custdist, q16Suppliers,
-    q7Trade, q15TopSupp, q17SmallQty, q21Blame, qJsonExtract,
+    q7Trade, q15TopSupp, q17SmallQty, q21Blame, q20Excess, qJsonExtract,
     qNegPairs, qPiiScrub, qKanon,
     qDedupExact, qDedupMinhash, qMinhashRescore, qContainment, qMinhashEst, qDedupSimhash, qDedupSimhashPairs,
     qDedupClusters, qPagerank, qTriangles, qQualityDup, qHapax, qNgramJaccard, qDedupEmbed, qRepetition,
@@ -3503,7 +3563,7 @@ object Queries {
     qLangId, qQualityScore, qCuration, qSplitAssign, qPackSequences, qSamplePerKey,
     qTfidfTopterms, qContamination,
     qShuffleOrder, qGopherQuality, qVocabCoverage, qFunnel, qRetention, qLangConfusion,
-    qInterarrival, qHistDistance, qMad, qWinsorMean, qSourceOverlap,
+    qInterarrival, qHistDistance, qMad, qWinsorMean, qSourceOverlap, qRankNorm,
     qDedupSurvivors, qRunningStats, qSpanDedup, qTermScrub, qValueHistogram,
     qBigramLift, qBigramLm, qOutliers, qTokenBudget, qRollupStats, qTimeWindowSum,
     qProfile, qStratifiedSample, qAsofForward, qScd2, qPairCuration, qWindowTopk,

@@ -199,6 +199,41 @@ object StreamingOps {
       }
   }
 
+  /** One heavy-hitter counter emitted by the streaming sketch, tagged
+    * with how many items its group had seen at emission time (so a
+    * consumer can pick the latest emission per group).
+    */
+  final case class HHEntry(group: String, token: String, estCount: Long, nSeen: Long)
+
+  /** Misra-Gries sketch state: k counters + items-seen. */
+  final case class MGState(counts: Map[String, Long], n: Long)
+
+  /** Streaming heavy hitters per group — the live twin of the batch
+    * q_heavy_hitters query, REUSING functions.MisraGries's reduce/merge
+    * kernel, so batch and streaming share one sketch implementation
+    * and one error bound (presence above n/k, undercount ≤ n/k —
+    * asserted against exact counts in StreamStatsSpec). State is k
+    * counters per group no matter how many distinct tokens stream
+    * through; each micro-batch folds its tokens into the state and
+    * re-emits the current sketch (Update-mode semantics).
+    */
+  def heavyHitters(stream: Dataset[(String, String)], k: Int): Dataset[HHEntry] = {
+    val mg = new graft.functions.MisraGries(k)
+    implicit val outEnc = Encoders.product[HHEntry]
+    implicit val stEnc = Encoders.product[MGState]
+    stream.groupByKey(_._1)(Encoders.STRING)
+      .flatMapGroupsWithState[MGState, HHEntry](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout) {
+        (group: String, items: Iterator[(String, String)], state: GroupState[MGState]) =>
+          val st = state.getOption.getOrElse(MGState(Map.empty, 0L))
+          var counts = st.counts
+          var n = st.n
+          items.foreach { case (_, tok) => counts = mg.reduce(counts, tok); n += 1 }
+          state.update(MGState(counts, n))
+          mg.finish(counts).iterator.map { case (tok, c) => HHEntry(group, tok, c, n) }
+      }
+  }
+
   /** A KeyedEvent carrying its per-key running fold: event index and
     * exact running cents sum (the streaming scan).
     */

@@ -374,6 +374,39 @@ class StreamingParitySpec extends SparkSpecBase {
     assert(got.exists(_._3 == -1L) && got.exists(_._3 > 0L))
   }
 
+  test("streaming heavyHitters keeps both Misra-Gries bounds across micro-batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val k = 8
+    val b1 = (1 to 60).map(i => ("g1", if (i % 3 == 0) "hot" else s"t$i")) ++
+      (1 to 30).map(_ => ("g2", "dominant"))
+    val b2 = (1 to 60).map(i => ("g1", if (i % 2 == 0) "hot" else s"u$i")) ++
+      (1 to 10).map(i => ("g2", s"rare$i"))
+    val ms = MemoryStream[(String, String)]
+    val q = StreamingOps.heavyHitters(ms.toDS(), k).toDF()
+      .writeStream.format("memory").queryName("t_hh").outputMode(OutputMode.Update()).start()
+    ms.addData(b1); q.processAllAvailable()
+    ms.addData(b2); q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("t_hh").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    // the sketch re-emits per batch; judge the LATEST emission per group
+    val latest = rows.groupBy(_._1).map { case (g, rs) =>
+      val mx = rs.map(_._4).max; g -> rs.filter(_._4 == mx)
+    }
+    val all = b1 ++ b2
+    val exact = all.groupBy(identity).map { case (gt, xs) => gt -> xs.size.toLong }
+    val nPer = all.groupBy(_._1).map { case (g, xs) => g -> xs.size.toLong }
+    for ((gt @ (g, t), c) <- exact if c > nPer(g) / k)
+      assert(latest(g).exists(_._2 == t), s"frequent ($g, $t) freq=$c missing from sketch")
+    for ((g, rs) <- latest; (_, t, est, _) <- rs) {
+      val truth = exact((g, t))
+      assert(est <= truth, s"($g, $t): est=$est overcounts true=$truth")
+      assert(truth - est <= nPer(g) / k, s"($g, $t): undercount ${truth - est} > ${nPer(g) / k}")
+    }
+    assert(latest.values.forall(_.nonEmpty))
+  }
+
   test("streaming dedupExact matches batch first-occurrence dedup") {
     import spark.implicits._
     // dedup key = value (stands in for a content hash); dups across keys
