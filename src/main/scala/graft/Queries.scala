@@ -2681,6 +2681,97 @@ object Queries {
             FROM r2 JOIN m ON r2.event_type = m.event_type
             GROUP BY r2.event_type"""))
 
+  /** Last-touch attribution: each purchase attributed to the user's
+    * latest click at-or-before it, within a 1-hour window — the
+    * composition of the as-of join (union-merge: one shuffle, one
+    * per-key sort, NO range join) with a per-day conversion rollup.
+    * The attribution flag and rate are exact integers; the oracle
+    * re-derives the same latest-click via a correlated max.
+    */
+  private val qAttribution = GraftQuery(
+    "q_attribution",
+    (s, dir) => {
+      val ev = events(s, dir)
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("p_us"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id").as("c_uid"), unix_micros(col("ts")).as("c_us"),
+          col("event_id").as("c_eid"))
+      Joins.asofJoin(purchases, clicks, "user_id", "c_uid", "p_us", "c_us", "c_eid", Seq("c_us"))
+        .select(expr("p_us div 86400000000").as("day"),
+          (col("c_us").isNotNull && col("p_us") - col("c_us") <= 3600L * 1000000L)
+            .cast("long").as("attributed"))
+        .groupBy(col("day"))
+        .agg(count(lit(1)).as("n_purchases"), sum(col("attributed")).as("n_attributed"),
+          expr("sum(attributed) * 1000 div count(1)").as("attr_milli"))
+    },
+    Some("""WITH p AS (SELECT user_id, event_id, epoch_us(ts) AS p_us
+                       FROM events WHERE event_type = 'purchase'),
+            c AS (SELECT user_id AS c_uid, epoch_us(ts) AS c_us
+                  FROM events WHERE event_type = 'click'),
+            j AS (SELECT p.*, (SELECT max(c_us) FROM c
+                               WHERE c.c_uid = p.user_id AND c.c_us <= p.p_us) AS c_us
+                  FROM p),
+            f AS (SELECT p_us // 86400000000 AS day,
+                    CASE WHEN c_us IS NOT NULL AND p_us - c_us <= 3600000000
+                         THEN 1 ELSE 0 END AS attributed
+                  FROM j)
+            SELECT day, CAST(count(*) AS BIGINT) AS n_purchases,
+              CAST(sum(attributed) AS BIGINT) AS n_attributed,
+              CAST(sum(attributed) * 1000 // count(*) AS BIGINT) AS attr_milli
+            FROM f GROUP BY day"""))
+
+  /** Trailing 7-day distinct actives per day — the sliding-window
+    * DISTINCT that no engine supports directly (distinct is not
+    * associative over sliding frames), re-expressed exactly: each
+    * (user, active-day) covers days d..d+6 via a 7-row map-only
+    * explode, and the per-day count-distinct follows. The fact table
+    * reduces to distinct (user, day) FIRST (one shuffle), so the
+    * explode fans out the reduced set, never raw events; reported
+    * days are clipped to observed activity days by a semi join.
+    */
+  private val qRollingActives = GraftQuery(
+    "q_rolling_actives",
+    (s, dir) => {
+      val ud = events(s, dir)
+        .select(expr("unix_micros(ts) div 86400000000").as("day"), col("user_id"))
+        .distinct()
+      val cover = ud.select(col("user_id"),
+        explode(sequence(col("day"), col("day") + 6)).as("cday"))
+      val days = ud.select(col("day")).distinct()
+      cover.join(days, cover("cday") === days("day"), "left_semi")
+        .groupBy(col("cday"))
+        .agg(countDistinct(col("user_id")).as("n_active_7d"))
+        .select(col("cday").as("day"), col("n_active_7d"))
+    },
+    Some("""WITH ud AS (SELECT DISTINCT epoch_us(ts) // 86400000000 AS day, user_id FROM events),
+            cov AS (SELECT user_id, unnest(range(day, day + 7)) AS cday FROM ud)
+            SELECT cday AS day, CAST(count(DISTINCT user_id) AS BIGINT) AS n_active_7d
+            FROM cov WHERE cday IN (SELECT day FROM ud)
+            GROUP BY cday"""))
+
+  /** Compaction planning: per source, how many target-size output
+    * files a rewrite should produce — the small-files operational
+    * answer (file counts, exact ceil division) a 100 TB table needs
+    * before every write. One aggregation; everything else is integer
+    * arithmetic on the per-source totals.
+    */
+  private val qCompactionPlan = GraftQuery(
+    "q_compaction_plan",
+    (s, dir) =>
+      t(s, dir, "documents")
+        .groupBy(col("source"))
+        .agg(sum(col("n_chars").cast("long")).as("total_bytes"),
+          count(lit(1)).as("n_docs"))
+        .select(col("source"), col("total_bytes"), col("n_docs"),
+          expr("(total_bytes + 4095) div 4096").as("n_files"),
+          expr("n_docs div ((total_bytes + 4095) div 4096)").as("docs_per_file")),
+    Some("""SELECT source, CAST(sum(n_chars) AS BIGINT) AS total_bytes,
+              CAST(count(*) AS BIGINT) AS n_docs,
+              CAST((sum(n_chars) + 4095) // 4096 AS BIGINT) AS n_files,
+              CAST(count(*) // ((sum(n_chars) + 4095) // 4096) AS BIGINT) AS docs_per_file
+            FROM documents GROUP BY source"""))
+
   /** Winsorized mean per event_type: values clamped to the exact
     * [p05, p95] rank cutoffs before averaging — the robust mean that
     * completes q_mad (spread) and q_outliers (cutoff). Cutoff VALUES
@@ -3564,6 +3655,7 @@ object Queries {
     qTfidfTopterms, qContamination,
     qShuffleOrder, qGopherQuality, qVocabCoverage, qFunnel, qRetention, qLangConfusion,
     qInterarrival, qHistDistance, qMad, qWinsorMean, qSourceOverlap, qRankNorm,
+    qAttribution, qRollingActives, qCompactionPlan,
     qDedupSurvivors, qRunningStats, qSpanDedup, qTermScrub, qValueHistogram,
     qBigramLift, qBigramLm, qOutliers, qTokenBudget, qRollupStats, qTimeWindowSum,
     qProfile, qStratifiedSample, qAsofForward, qScd2, qPairCuration, qWindowTopk,

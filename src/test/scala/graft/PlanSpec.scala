@@ -262,6 +262,23 @@ class PlanSpec extends SparkSpecBase {
     assert(!p.contains("Exchange"), p)
   }
 
+  test("q_attribution: as-of attribution is the union-merge window — no range join") {
+    val p = planOf(Queries.queries("q_attribution")(spark, sfDir))
+    assert(p.contains("Window"), p)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("q_rolling_actives: events reduce to distinct (user, day) BEFORE the 7-day explode") {
+    val p = planOf(Queries.queries("q_rolling_actives")(spark, sfDir))
+    // the explode (Generate) must consume an aggregated (deduped) child,
+    // not the raw scan: a Generate directly over the events scan would
+    // fan out raw events 7x
+    val gen = p.indexOf("Generate explode")
+    val agg = p.indexOf("HashAggregate")
+    assert(gen >= 0 && agg >= 0, p)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
   test("q_window_topk: rank filter plans as WindowGroupLimit (pre-sort pruning)") {
     val p = planOf(Queries.queries("q_window_topk")(spark, sfDir))
     assert(p.contains("WindowGroupLimit"), p)
