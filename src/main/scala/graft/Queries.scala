@@ -1025,6 +1025,58 @@ object Queries {
             FROM fl JOIN ag USING (l_partkey)
             WHERE fl.qty_milli * 5 * ag.n < ag.sq"""))
 
+  /** TPC-H Q8 shape: one supplier nation's market share, per year, of
+    * the revenue generated by ASIA-region customers — the
+    * ratio-of-conditional-sums pattern. Both the numerator and the
+    * denominator fold into ONE aggregation over the single l⋈o
+    * shuffle (dims broadcast); the share is an exact integer division
+    * of cents (milli-units), so no cross-engine float ratio exists.
+    */
+  private val q8Share = GraftQuery(
+    "q8_share",
+    (s, dir) => {
+      val l = t(s, dir, "lineitem")
+      val o = t(s, dir, "orders")
+      val n = t(s, dir, "nation")
+      val r = t(s, dir, "region").filter(col("r_name") === "ASIA")
+      val c = t(s, dir, "customer")
+        .join(broadcast(n.select(col("n_nationkey").as("cnk"), col("n_regionkey"))),
+          col("c_nationkey") === col("cnk"))
+        .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+        .select(col("c_custkey"))
+      val su = t(s, dir, "supplier")
+        .join(broadcast(n.select(col("n_nationkey").as("snk"), col("n_name").as("supp_nation"))),
+          col("s_nationkey") === col("snk"))
+        .select(col("s_suppkey"), col("supp_nation"))
+      val cents = expr("cast(cast(l_extendedprice as decimal(18,2)) * 100 as bigint)")
+      l.join(o, l("l_orderkey") === o("o_orderkey"))
+        .join(broadcast(c), o("o_custkey") === col("c_custkey"))
+        .join(broadcast(su), l("l_suppkey") === col("s_suppkey"))
+        .groupBy(year(col("o_orderdate")).as("o_year"))
+        .agg(sum(cents).as("total_cents"),
+          sum(when(col("supp_nation") === "NATION_2", cents).otherwise(lit(0L)))
+            .as("nation_cents"))
+        .select(col("o_year"), col("total_cents"), col("nation_cents"),
+          expr("nation_cents * 1000 div total_cents").as("share_milli"))
+    },
+    Some("""WITH x AS (
+              SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year,
+                CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents,
+                n2.n_name AS supp_nation
+              FROM lineitem
+              JOIN orders ON l_orderkey = o_orderkey
+              JOIN customer ON o_custkey = c_custkey
+              JOIN nation n1 ON c_nationkey = n1.n_nationkey
+              JOIN region ON n1.n_regionkey = r_regionkey
+              JOIN supplier ON l_suppkey = s_suppkey
+              JOIN nation n2 ON s_nationkey = n2.n_nationkey
+              WHERE r_name = 'ASIA')
+            SELECT o_year, CAST(sum(cents) AS BIGINT) AS total_cents,
+              CAST(sum(CASE WHEN supp_nation = 'NATION_2' THEN cents ELSE 0 END) AS BIGINT) AS nation_cents,
+              CAST(sum(CASE WHEN supp_nation = 'NATION_2' THEN cents ELSE 0 END) * 1000
+                   // sum(cents) AS BIGINT) AS share_milli
+            FROM x GROUP BY o_year"""))
+
   /** TPC-H Q21 shape: suppliers SOLELY responsible for an order's
     * returned lines — the semi/anti composition. The distinct
     * (orderkey, suppkey) return pairs anti-join themselves on the SAME
@@ -3645,7 +3697,7 @@ object Queries {
     qWordcount, qCandles, qCandlesHop, qStratClassify, qAsofJoin,
     q1Pricing, q3Topk, q5Region, q14Promo, q2Mincost, q18Bigorders, q22Churn, q4Semi,
     q6Forecast, q10Returns, q12Priority, q19Brackets, q13Custdist, q16Suppliers,
-    q7Trade, q15TopSupp, q17SmallQty, q21Blame, q20Excess, qJsonExtract,
+    q7Trade, q15TopSupp, q17SmallQty, q21Blame, q20Excess, q8Share, qJsonExtract,
     qNegPairs, qPiiScrub, qKanon,
     qDedupExact, qDedupMinhash, qMinhashRescore, qContainment, qMinhashEst, qDedupSimhash, qDedupSimhashPairs,
     qDedupClusters, qPagerank, qTriangles, qQualityDup, qHapax, qNgramJaccard, qDedupEmbed, qRepetition,

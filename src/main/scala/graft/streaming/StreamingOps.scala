@@ -199,6 +199,45 @@ object StreamingOps {
       }
   }
 
+  /** A touch (click) or conversion (purchase) event on one key. */
+  final case class TouchEvent(key: Long, tsUs: Long, isTouch: Boolean)
+
+  /** A conversion with its attribution: the latest touch at-or-before
+    * it (touchTsUs = -1 when none), and whether the gap fit the window.
+    */
+  final case class AttributionOut(key: Long, tsUs: Long, touchTsUs: Long, attributed: Boolean)
+
+  /** Per-key last-touch timestamp. */
+  final case class LastTouch(tsUs: Long)
+
+  /** Streaming LAST-TOUCH ATTRIBUTION — the live twin of the batch
+    * q_attribution as-of composition: one merged stream of touches and
+    * conversions per key, one long of state (the latest touch), each
+    * conversion emitted with its attribution immediately. Within a
+    * batch, events order by (tsUs, touches-first) so a touch at the
+    * conversion's exact timestamp attributes (the batch as-of join's
+    * inclusive <= semantics); across batches the state store carries
+    * the last touch. Parity with the batch asofJoin is under test.
+    */
+  def lastTouch(stream: Dataset[TouchEvent], windowUs: Long): Dataset[AttributionOut] = {
+    implicit val outEnc = Encoders.product[AttributionOut]
+    implicit val stEnc = Encoders.product[LastTouch]
+    stream.groupByKey(_.key)(Encoders.scalaLong)
+      .flatMapGroupsWithState[LastTouch, AttributionOut](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout) {
+        (key: Long, events: Iterator[TouchEvent], state: GroupState[LastTouch]) =>
+          var last = state.getOption.map(_.tsUs).getOrElse(-1L)
+          val out = scala.collection.mutable.ArrayBuffer.empty[AttributionOut]
+          events.toSeq.sortBy(e => (e.tsUs, if (e.isTouch) 0 else 1)).foreach { e =>
+            if (e.isTouch) last = e.tsUs
+            else out += AttributionOut(key, e.tsUs, last,
+              last >= 0 && e.tsUs - last <= windowUs)
+          }
+          state.update(LastTouch(last))
+          out.iterator
+      }
+  }
+
   /** One heavy-hitter counter emitted by the streaming sketch, tagged
     * with how many items its group had seen at emission time (so a
     * consumer can pick the latest emission per group).

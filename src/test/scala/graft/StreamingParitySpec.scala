@@ -407,6 +407,42 @@ class StreamingParitySpec extends SparkSpecBase {
     assert(latest.values.forall(_.nonEmpty))
   }
 
+  test("streaming lastTouch matches the batch as-of attribution, across micro-batches") {
+    import spark.implicits._
+    import graft.streaming.StreamingOps.TouchEvent
+    implicit val sqlCtx = spark.sqlContext
+    val winUs = 60_000_000L // 1 minute
+    val all = Seq(
+      TouchEvent(1L, 1_000_000L, isTouch = true),   // click
+      TouchEvent(1L, 2_000_000L, isTouch = false),  // purchase 1s later → attributed
+      TouchEvent(1L, 100_000_000L, isTouch = false), // 99s after click → outside window
+      TouchEvent(2L, 5_000_000L, isTouch = false),  // no click ever → unattributed
+      TouchEvent(2L, 6_000_000L, isTouch = true),
+      TouchEvent(2L, 6_000_000L + 30_000_000L, isTouch = false), // 30s → attributed (state from batch 1)
+      TouchEvent(1L, 200_000_000L, isTouch = true),
+      TouchEvent(1L, 200_000_000L, isTouch = false)) // same-ts touch attributes (<= semantics)
+    val (b1, b2) = all.splitAt(5)
+    val ms = MemoryStream[TouchEvent]
+    val q = StreamingOps.lastTouch(ms.toDS(), winUs).toDF()
+      .writeStream.format("memory").queryName("t_attr").outputMode(OutputMode.Append()).start()
+    ms.addData(b1); q.processAllAvailable()
+    ms.addData(b2); q.processAllAvailable()
+    q.stop()
+    val got = spark.table("t_attr").select("key", "tsUs", "attributed")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet
+
+    val purchases = all.filter(!_.isTouch).toDF()
+      .select(col("key"), col("tsUs").as("p_us"), monotonically_increasing_id().as("pid"))
+    val clicks = all.filter(_.isTouch).toDF()
+      .select(col("key").as("c_key"), col("tsUs").as("c_us"), lit(0L).as("c_ord"))
+    val expect = Joins.asofJoin(purchases, clicks, "key", "c_key", "p_us", "c_us", "c_ord", Seq("c_us"))
+      .select(col("key"), col("p_us"),
+        (col("c_us").isNotNull && col("p_us") - col("c_us") <= winUs).as("attributed"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet
+    assert(got == expect)
+    assert(got.count(_._3) == 3 && got.size == 5)
+  }
+
   test("streaming dedupExact matches batch first-occurrence dedup") {
     import spark.implicits._
     // dedup key = value (stands in for a content hash); dups across keys
