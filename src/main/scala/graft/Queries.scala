@@ -353,6 +353,23 @@ object Queries {
     Some("""SELECT o_orderkey, o_custkey, c_name, c_mktsegment, o_totalprice
             FROM orders JOIN customer ON o_custkey = c_custkey"""))
 
+  /** The SKEW path through the driver gate: the same enrichment join as
+    * q_stream_table_join but through Joins.saltedJoin (deterministic
+    * fact-side salt × `salt`-replicated dim) — the pathological-hot-key
+    * answer when one key exceeds an executor's memory and AQE's skew
+    * splits can't help. The oracle is the PLAIN join SQL: salting must
+    * be row-identical, and the hash-match proves it on real data, not
+    * just the unit spec.
+    */
+  private val qSaltedJoin = GraftQuery(
+    "q_salted_join",
+    (s, dir) =>
+      Joins.saltedJoin(t(s, dir, "orders"), t(s, dir, "customer"),
+          "o_custkey", "c_custkey", uniqueFactCol = "o_orderkey", salt = 8)
+        .select(col("o_orderkey"), col("o_custkey"), col("c_name"), col("c_mktsegment"), col("o_totalprice")),
+    Some("""SELECT o_orderkey, o_custkey, c_name, c_mktsegment, o_totalprice
+            FROM orders JOIN customer ON o_custkey = c_custkey"""))
+
   private val qMerge = GraftQuery(
     "q_merge",
     (s, dir) => {
@@ -3693,7 +3710,7 @@ object Queries {
 
   val all: Seq[GraftQuery] = Seq(
     qMapFilter, qFilterMap, qCycle, qFoldAgg, qDistinctUsers, qTopkPerKey, qPivotCounts, qApproxDistinct, qHeavyHitters, qQuantiles, qQuantilesExact, qTableLatest, qTumbling, qHopping, qLagWindow, qSession,
-    qIntervalJoin, qStreamTableJoin, qMerge, qSplitBranch, qChunk, qSkipTake, qThrottle,
+    qIntervalJoin, qStreamTableJoin, qSaltedJoin, qMerge, qSplitBranch, qChunk, qSkipTake, qThrottle,
     qWordcount, qCandles, qCandlesHop, qStratClassify, qAsofJoin,
     q1Pricing, q3Topk, q5Region, q14Promo, q2Mincost, q18Bigorders, q22Churn, q4Semi,
     q6Forecast, q10Returns, q12Priority, q19Brackets, q13Custdist, q16Suppliers,
