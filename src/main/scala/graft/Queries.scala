@@ -1955,6 +1955,49 @@ object Queries {
              SELECT id_a, id_b, dot FROM d
              WHERE dot > 0 AND 16 * dot * dot >= na * nb"""))
 
+  /** Cosine-threshold tuning curve: LSH candidate pairs banded by
+    * floor(10·cos) — the "how many pairs would each threshold keep"
+    * histogram a pipeline inspects before fixing its dedup τ. The
+    * band is decided ENTIRELY in integer space (dot²·100 ≥ na·nb·b²,
+    * sign split for negative dot), so no sqrt/float cosine surface
+    * exists in either engine; candidates come from the same shared-
+    * exchange LSH join as q_dedup_embed, never all-pairs.
+    */
+  private val qCosineBands = GraftQuery(
+    "q_cosine_bands",
+    (s, dir) => {
+      val cands = VectorFns.cosineCandidates(t(s, dir, "embeddings"), "vec_id", "embedding")
+      val base = when(col("dot") < 0, lit(-1L))
+      val banded = (10 to 1 by -1).foldLeft(base) { (acc, b) =>
+        acc.when(col("dot") * col("dot") * 100 >= col("na") * col("nb") * (b.toLong * b),
+          lit(b.toLong))
+      }.otherwise(lit(0L))
+      cands.select(banded.as("band"))
+        .groupBy(col("band")).agg(count(lit(1)).as("n_pairs"))
+    },
+    Some {
+      val cases = (10 to 1 by -1).map(b =>
+        s"WHEN dot * dot * 100 >= na * nb * ${b * b} THEN $b").mkString("\n                      ")
+      s"""WITH e AS (SELECT vec_id, ${quantSql("embedding")} AS v FROM embeddings),
+             nn AS (SELECT vec_id, v,
+                      CAST(list_sum(list_transform(range(1, 65), i -> v[i] * v[i])) AS BIGINT) AS nrm
+                    FROM e),
+             eb AS (SELECT vec_id, v, nrm, t, ${lshBucketSql("v")} AS bucket
+                    FROM nn CROSS JOIN range(0, 8) tt(t)),
+             p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                     CAST(list_sum(list_transform(range(1, 65), i -> a.v[i] * b.v[i])) AS BIGINT) AS dot,
+                     a.nrm AS na, b.nrm AS nb
+                   FROM eb a JOIN eb b
+                     ON a.t = b.t AND a.bucket = b.bucket AND a.vec_id < b.vec_id),
+             d AS (SELECT id_a, id_b, max(dot) AS dot, max(na) AS na, max(nb) AS nb
+                   FROM p GROUP BY 1, 2)
+             SELECT band, CAST(count(*) AS BIGINT) AS n_pairs FROM (
+               SELECT CAST(CASE WHEN dot < 0 THEN -1
+                      $cases
+                      ELSE 0 END AS BIGINT) AS band FROM d)
+             GROUP BY band"""
+    })
+
   /** Rows-only check (no SQL oracle: output carries a float array; the
     * decode path itself is cross-checked against the pure-expression
     * fakeWidth/fakeHeight in MultimodalSpec).
@@ -2061,6 +2104,54 @@ object Queries {
     }.mkString(" ")
     s"CASE WHEN greatest($all) = 0 THEN 'und' $arms END"
   }
+
+  /** Language PURITY per doc: the top language's share of all stopword
+    * hits, in exact milli-units — the mixing detector that separates a
+    * cleanly-monolingual doc (purity ≈ 1000) from code-switched /
+    * concatenated text (purity ≈ 1000/n_langs), which plain argmax
+    * language ID cannot distinguish. One scan; the native one-pass
+    * LangScores kernel feeds max and sum reductions over its array.
+    */
+  private val qLangPurity = GraftQuery(
+    "q_lang_purity",
+    (s, dir) =>
+      t(s, dir, "documents")
+        .select(col("doc_id"), TextFns.langScoresFast(TextFns.tokensFast(col("text"))).as("__ls"))
+        .select(col("doc_id"),
+          aggregate(col("__ls"), lit(0L), (acc, x) => acc + x).as("stop_hits"),
+          array_max(col("__ls")).as("__mx"))
+        .select(col("doc_id"), col("stop_hits"),
+          expr("__mx * 1000 div greatest(stop_hits, 1)").as("purity_milli")),
+    Some {
+      val langs = TextFns.Stopwords.keys.toSeq.sorted
+      val total = langs.map(l => s"s_$l").mkString(" + ")
+      val mx = s"greatest(${langs.map(l => s"s_$l").mkString(", ")})"
+      s"""WITH t0 AS (SELECT doc_id, $toksSql AS tk FROM documents),
+             sc AS (SELECT doc_id, $langScoreSql FROM t0)
+             SELECT doc_id, CAST($total AS BIGINT) AS stop_hits,
+               CAST($mx * 1000 // greatest($total, 1) AS BIGINT) AS purity_milli
+             FROM sc"""
+    })
+
+  /** Type-token ratio per doc (distinct types ·1000 div tokens) — the
+    * classic lexical-diversity signal completing repetition (top-token
+    * share) and hapax (corpus-rare types). Map-only: array_distinct
+    * over the one token array, zero shuffles.
+    */
+  private val qTtr = GraftQuery(
+    "q_ttr",
+    (s, dir) =>
+      t(s, dir, "documents")
+        .select(col("doc_id"), TextFns.tokensFast(col("text")).as("__tk"))
+        .select(col("doc_id"), size(col("__tk")).cast("long").as("n_tokens"),
+          size(array_distinct(col("__tk"))).cast("long").as("n_types"))
+        .select(col("doc_id"), col("n_tokens"), col("n_types"),
+          expr("n_types * 1000 div greatest(n_tokens, 1)").as("ttr_milli")),
+    Some(s"""WITH t0 AS (SELECT doc_id, $toksSql AS tk FROM documents)
+             SELECT doc_id, CAST(len(tk) AS BIGINT) AS n_tokens,
+               CAST(len(list_distinct(tk)) AS BIGINT) AS n_types,
+               CAST(len(list_distinct(tk)) * 1000 // greatest(len(tk), 1) AS BIGINT) AS ttr_milli
+             FROM t0"""))
 
   private val qLangId = GraftQuery(
     "q_lang_id",
@@ -2914,6 +3005,48 @@ object Queries {
                CAST(CASE WHEN n > 1 THEN (rk - 1) * 1000 // (n - 1) ELSE 0 END AS BIGINT) AS rank_milli
              FROM r"""))
 
+  /** EXACT global median without a global sort — the 100 TB order-
+    * statistic pattern: (1) one aggregation builds a bounded value-
+    * bucket histogram (cents div 1000), (2) a cumulative walk over the
+    * TINY histogram locates the bucket holding the target rank and its
+    * in-bucket offset, (3) a second pass ranks ONLY that bucket's rows
+    * (bounded by the bucket width, not the corpus). Two scans beat one
+    * global sort at scale; every rank is an integer, ties break on
+    * event_id. The oracle does the straightforward global rank — same
+    * row, different plan.
+    */
+  private val qGlobalMedian = GraftQuery(
+    "q_global_median",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val ev = events(s, dir).select(col("event_id"),
+        expr("cast(cast(value as decimal(18,2)) * 100 as bigint)").as("cents"))
+      val hist = ev.select(expr("cents div 1000").as("bucket"))
+        .groupBy(col("bucket")).agg(count(lit(1)).as("cnt"))
+      val cum = hist
+        .withColumn("cum", sum(col("cnt")).over(
+          Window.orderBy(col("bucket")).rowsBetween(Window.unboundedPreceding, 0)))
+        .withColumn("n", sum(col("cnt")).over(Window.partitionBy(lit(1))))
+      val medb = cum
+        .filter(col("cum") >= expr("(n + 1) div 2"))
+        .orderBy(col("bucket")).limit(1)
+        .select(col("bucket").as("med_bucket"),
+          expr("(n + 1) div 2 - (cum - cnt)").as("offset"), col("n"))
+      ev.crossJoin(broadcast(medb))
+        .filter(expr("cents div 1000") === col("med_bucket"))
+        .withColumn("rk", row_number().over(
+          Window.partitionBy("med_bucket").orderBy(col("cents"), col("event_id"))))
+        .filter(col("rk") === col("offset"))
+        .select(col("n"), col("cents").as("median_cents"))
+    },
+    Some("""WITH ev AS (SELECT event_id,
+                  CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents FROM events),
+            r AS (SELECT cents, row_number() OVER (ORDER BY cents, event_id) AS rk,
+                    count(*) OVER () AS n FROM ev)
+            SELECT CAST(max(n) AS BIGINT) AS n,
+              max(CASE WHEN rk = (n + 1) // 2 THEN cents END) AS median_cents
+            FROM r"""))
+
   private val qLangConfusion = GraftQuery(
     "q_lang_confusion",
     (s, dir) =>
@@ -3724,7 +3857,8 @@ object Queries {
     qTfidfTopterms, qContamination,
     qShuffleOrder, qGopherQuality, qVocabCoverage, qFunnel, qRetention, qLangConfusion,
     qInterarrival, qHistDistance, qMad, qWinsorMean, qSourceOverlap, qRankNorm,
-    qAttribution, qRollingActives, qCompactionPlan,
+    qAttribution, qRollingActives, qCompactionPlan, qGlobalMedian,
+    qLangPurity, qTtr, qCosineBands,
     qDedupSurvivors, qRunningStats, qSpanDedup, qTermScrub, qValueHistogram,
     qBigramLift, qBigramLm, qOutliers, qTokenBudget, qRollupStats, qTimeWindowSum,
     qProfile, qStratifiedSample, qAsofForward, qScd2, qPairCuration, qWindowTopk,

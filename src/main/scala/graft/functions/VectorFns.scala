@@ -246,4 +246,30 @@ object VectorFns {
       .agg(max("dot").as("dot"))
       .select(col("id_a"), col("id_b"), col("dot"))
   }
+
+  /** UN-thresholded LSH candidate pairs with exact integer dot and
+    * norms — the input for threshold-TUNING analyses (q_cosine_bands):
+    * same fenced / shared-exchange shape as cosineNearDupPairs, but
+    * every candidate survives to be banded downstream, so the
+    * pair-dedup aggregation carries (dot, na, nb) via max (every copy
+    * of a pair holds identical values).
+    */
+  def cosineCandidates(df: DataFrame, idCol: String, vecCol: String,
+      tables: Int = 8, planes: Int = 4): DataFrame = {
+    val e = Fence.guard(Fence.guard(df
+        .select(col(idCol).as("id"), quantizeFast(col(vecCol)).as("qv"), Fence.col))
+      .select(col("id"), col("qv"), qdotFast(col("qv"), col("qv")).as("nrm"),
+        lshBucketsFast(col("qv"), tables, planes).as("__bks"), Fence.col))
+      .select(col("id"), col("qv"), col("nrm"),
+        posexplode(col("__bks")).as(Seq("tbl", "bucket")))
+      .repartition(col("tbl"), col("bucket"))
+    e.as("a").hint("shuffle_hash").join(e.as("b").hint("shuffle_hash"),
+        col("a.tbl") === col("b.tbl") && col("a.bucket") === col("b.bucket") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        qdotFast(col("a.qv"), col("b.qv")).as("dot"),
+        col("a.nrm").as("na"), col("b.nrm").as("nb"))
+      .groupBy("id_a", "id_b")
+      .agg(max("dot").as("dot"), max("na").as("na"), max("nb").as("nb"))
+  }
 }

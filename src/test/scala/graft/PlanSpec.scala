@@ -279,6 +279,24 @@ class PlanSpec extends SparkSpecBase {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("q_global_median: refine pass ranks ONLY the median bucket — window keyed, not global") {
+    val p = planOf(Queries.queries("q_global_median")(spark, sfDir))
+    // the row_number over the fact rows must partition by med_bucket
+    // (the broadcast-filtered single bucket), never an empty partition
+    // spec over the full corpus
+    assert(p.contains("windowspecdefinition(med_bucket"), p)
+  }
+
+  test("q_cosine_bands: candidates come from the LSH equi-join, never all-pairs") {
+    val p = planOf(Queries.queries("q_cosine_bands")(spark, sfDir))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("q_ttr: lexical diversity is map-only — zero exchanges") {
+    val p = planOf(Queries.queries("q_ttr")(spark, sfDir))
+    assert(!p.contains("Exchange"), p)
+  }
+
   test("q_window_topk: rank filter plans as WindowGroupLimit (pre-sort pruning)") {
     val p = planOf(Queries.queries("q_window_topk")(spark, sfDir))
     assert(p.contains("WindowGroupLimit"), p)
