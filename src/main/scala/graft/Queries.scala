@@ -1595,6 +1595,36 @@ object Queries {
              SELECT id, CAST(count(*) AS BIGINT) AS n_tri
              FROM corners GROUP BY id"""))
 
+  /** MinHash-threshold tuning curve: candidate pairs per signature-
+    * agreement band (agree of 16 hashes) — q_cosine_bands' twin for
+    * the text-dedup τ. The estimate is already an exact integer
+    * (agree count), so banding is a direct group-by over the cheap
+    * signature-overlap rescore; candidates flow through the same
+    * LSH band join, never all-pairs.
+    */
+  private val qJaccardBands = GraftQuery(
+    "q_jaccard_bands",
+    (s, dir) =>
+      DedupFns.minhashEstPairs(t(s, dir, "documents"), "doc_id", "text")
+        .groupBy(col("agree")).agg(count(lit(1)).as("n_pairs")),
+    Some(s"""WITH t0 AS (SELECT doc_id, $toksSql AS tk FROM documents),
+             g AS (SELECT doc_id, $grams3Sql AS gs FROM t0),
+             ok AS (SELECT doc_id, gs FROM g WHERE len(gs) > 0),
+             hs AS (SELECT doc_id, list_transform(gs, t -> ${h31Sql("t")}) AS h FROM ok),
+             sig AS (SELECT doc_id, $minhashSigSql AS s FROM hs),
+             bands AS (SELECT doc_id, k AS band, (s[2*k+1] * 1000003 + s[2*k+2]) % $M AS bh
+                       FROM sig, range(${DedupFns.NumHashes / DedupFns.BandRows}) t(k)),
+             p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+                   FROM bands a JOIN bands b
+                     ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
+                   GROUP BY 1, 2),
+             ag AS (SELECT id_a, id_b,
+                      CAST(len(list_filter(range(1, ${DedupFns.NumHashes + 1}), i -> sa.s[i] = sb.s[i])) AS BIGINT) AS agree
+                    FROM p JOIN sig sa ON p.id_a = sa.doc_id
+                           JOIN sig sb ON p.id_b = sb.doc_id)
+             SELECT agree, CAST(count(*) AS BIGINT) AS n_pairs
+             FROM ag GROUP BY agree"""))
+
   /** Cross-signal curation analytics: per quality BAND, what fraction
     * of documents sit in a near-dup pair — the "is low quality where
     * the duplication lives?" question a corpus report answers before
@@ -3005,6 +3035,57 @@ object Queries {
                CAST(CASE WHEN n > 1 THEN (rk - 1) * 1000 // (n - 1) ELSE 0 END AS BIGINT) AS rank_milli
              FROM r"""))
 
+  /** Per-user event-type TRANSITION matrix (Markov counts): each
+    * consecutive (prev → next) pair in a user's event-time order,
+    * counted corpus-wide — the session-flow view behind funnel design
+    * and anomaly detection (an error→purchase edge is a bug). One
+    * keyed lag window, then the tiny (from, to) aggregation.
+    */
+  private val qTransitions = GraftQuery(
+    "q_transitions",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      events(s, dir)
+        .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+        .withColumn("prev_type", lag(col("event_type"), 1).over(w))
+        .filter(col("prev_type").isNotNull)
+        .groupBy(col("prev_type"), col("event_type").as("next_type"))
+        .agg(count(lit(1)).as("n"))
+    },
+    Some("""WITH x AS (
+              SELECT event_type,
+                lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+              FROM events)
+            SELECT prev_type, event_type AS next_type, CAST(count(*) AS BIGINT) AS n
+            FROM x WHERE prev_type IS NOT NULL
+            GROUP BY prev_type, next_type"""))
+
+  /** Weekly COHORT retention matrix: users grouped by first-seen week,
+    * tracked across week offsets — the canonical growth-analytics
+    * triangle. The fact reduces to distinct (user, week) first; the
+    * per-user first week is a min aggregation on the SAME user
+    * partitioning; the (cohort, offset) matrix then counts distinct
+    * users on the reduced set.
+    */
+  private val qCohorts = GraftQuery(
+    "q_cohorts",
+    (s, dir) => {
+      val uw = events(s, dir)
+        .select(col("user_id"), expr("unix_micros(ts) div 604800000000").as("week"))
+        .distinct()
+      val first = uw.groupBy(col("user_id")).agg(min(col("week")).as("cohort_week"))
+      uw.join(first, "user_id")
+        .groupBy(col("cohort_week"), (col("week") - col("cohort_week")).as("week_offset"))
+        .agg(countDistinct(col("user_id")).as("n_users"))
+    },
+    Some("""WITH uw AS (SELECT DISTINCT user_id, epoch_us(ts) // 604800000000 AS week FROM events),
+            f AS (SELECT user_id, min(week) AS cohort_week FROM uw GROUP BY user_id)
+            SELECT cohort_week, week - cohort_week AS week_offset,
+              CAST(count(DISTINCT uw.user_id) AS BIGINT) AS n_users
+            FROM uw JOIN f ON uw.user_id = f.user_id
+            GROUP BY cohort_week, week_offset"""))
+
   /** EXACT global median without a global sort — the 100 TB order-
     * statistic pattern: (1) one aggregation builds a bounded value-
     * bucket histogram (cents div 1000), (2) a cumulative walk over the
@@ -3858,7 +3939,7 @@ object Queries {
     qShuffleOrder, qGopherQuality, qVocabCoverage, qFunnel, qRetention, qLangConfusion,
     qInterarrival, qHistDistance, qMad, qWinsorMean, qSourceOverlap, qRankNorm,
     qAttribution, qRollingActives, qCompactionPlan, qGlobalMedian,
-    qLangPurity, qTtr, qCosineBands,
+    qLangPurity, qTtr, qCosineBands, qJaccardBands, qTransitions, qCohorts,
     qDedupSurvivors, qRunningStats, qSpanDedup, qTermScrub, qValueHistogram,
     qBigramLift, qBigramLm, qOutliers, qTokenBudget, qRollupStats, qTimeWindowSum,
     qProfile, qStratifiedSample, qAsofForward, qScd2, qPairCuration, qWindowTopk,
