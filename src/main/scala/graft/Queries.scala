@@ -1729,6 +1729,139 @@ object Queries {
              JOIN documents sb ON p.id_b = sb.doc_id
              GROUP BY 1, 2"""))
 
+  /** Dedup SAVINGS report: what near-dup removal buys, per source —
+    * docs removed, tokens removed, and the token-savings rate in exact
+    * milli-units. Losers come from the shared materialized clustering
+    * (min-id representative keeps its row); token counts ride the same
+    * scan that tags the losers, so the report is one fact pass + the
+    * cached cluster table.
+    */
+  private val qDedupSavings = GraftQuery(
+    "q_dedup_savings",
+    (s, dir) => {
+      val toks = t(s, dir, "documents")
+        .select(col("doc_id"), col("source"),
+          size(TextFns.tokensFast(col("text"))).cast("long").as("nt"))
+      val losers = simhashClusters(s, dir)
+        .filter(col("id") =!= col("cluster_root")).select(col("id"))
+      toks.join(losers, toks("doc_id") === losers("id"), "left")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("nt")).as("tokens_total"),
+          sum(when(col("id").isNotNull, 1L).otherwise(0L)).as("n_removed"),
+          coalesce(sum(when(col("id").isNotNull, col("nt"))), lit(0L)).as("tokens_removed"))
+        .select(col("source"), col("n_docs"), col("n_removed"),
+          col("tokens_total"), col("tokens_removed"),
+          expr("tokens_removed * 1000 div greatest(tokens_total, 1)").as("savings_milli"))
+    },
+    Some(s"""$simhashCcSql,
+             roots AS (SELECT id, CAST(min(r) AS BIGINT) AS root FROM reach GROUP BY id),
+             losers AS (SELECT id FROM roots WHERE id <> root),
+             tk AS (SELECT doc_id, source, CAST(len($toksSql) AS BIGINT) AS nt FROM documents),
+             x AS (SELECT tk.source, tk.nt,
+                     CASE WHEN losers.id IS NULL THEN 0 ELSE 1 END AS rem
+                   FROM tk LEFT JOIN losers ON tk.doc_id = losers.id)
+             SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(rem) AS BIGINT) AS n_removed,
+               CAST(sum(nt) AS BIGINT) AS tokens_total,
+               CAST(coalesce(sum(CASE WHEN rem = 1 THEN nt END), 0) AS BIGINT) AS tokens_removed,
+               CAST(coalesce(sum(CASE WHEN rem = 1 THEN nt END), 0) * 1000
+                    // greatest(sum(nt), 1) AS BIGINT) AS savings_milli
+             FROM x GROUP BY source"""))
+
+  /** Benchmark DECONTAMINATION — the removal step after detection:
+    * drop every doc sharing ≥2 distinct 4-grams with the broadcast
+    * probe set (q_contamination's flag at a keep/kill threshold) and
+    * report per-source survivors + token counts. The kill list is the
+    * aggregated contamination result (small); removal is a LEFT ANTI
+    * equi-join, never a scan-side gram recheck.
+    */
+  private val qDecontam = GraftQuery(
+    "q_decontam",
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+      def grams(df: DataFrame) = Fence.guard(Fence.guard(
+          df.select(col("doc_id"), TextFns.tokensFast(col("text")).as("__toks"), Fence.col))
+        .select(col("doc_id"),
+          DedupFns.wordNgramsFast(col("__toks"), 4).as("__grams"), Fence.col))
+        .select(col("doc_id"), explode(col("__grams")).as("g"))
+      val probeGrams = grams(docs.filter(col("doc_id") < 3)).select(col("g")).distinct()
+      val kill = grams(docs.filter(col("doc_id") >= 3))
+        .join(broadcast(probeGrams), "g")
+        .groupBy("doc_id")
+        .agg(countDistinct(col("g")).as("shared"))
+        .filter(col("shared") >= 2)
+        .select(col("doc_id").as("kid"))
+      docs.filter(col("doc_id") >= 3)
+        .join(kill, col("doc_id") === col("kid"), "left_anti")
+        .select(col("source"), size(TextFns.tokensFast(col("text"))).cast("long").as("nt"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_kept"), sum(col("nt")).as("tokens_kept"))
+    },
+    Some(s"""WITH tk AS (SELECT doc_id, $toksSql AS tks FROM documents),
+             g AS (SELECT doc_id, unnest(list_distinct(list_transform(
+                     range(1, greatest(len(tks) - 2, 1)),
+                     i -> array_to_string(tks[i:i+3], ' ')))) AS g
+                   FROM tk WHERE len(tks) >= 4),
+             probe AS (SELECT DISTINCT g FROM g WHERE doc_id < 3),
+             kill AS (SELECT doc_id FROM g JOIN probe USING (g)
+                      WHERE doc_id >= 3 GROUP BY doc_id HAVING count(DISTINCT g) >= 2)
+             SELECT source, CAST(count(*) AS BIGINT) AS n_kept,
+               CAST(sum(len($toksSql)) AS BIGINT) AS tokens_kept
+             FROM documents
+             WHERE doc_id >= 3 AND doc_id NOT IN (SELECT doc_id FROM kill)
+             GROUP BY source"""))
+
+  /** Exact Spearman components per source: Σd² between each doc's
+    * token-count rank and quality rank (ties broken on doc_id, so the
+    * ranks — and therefore Σd² — are engine-identical integers; ρ =
+    * 1 − 6Σd²/(n(n²−1)) is derivable offline without ever computing a
+    * float here). The "does length predict quality" question answered
+    * with two row_number windows sharing ONE source partitioning.
+    */
+  private val qRankCorr = GraftQuery(
+    "q_rank_corr",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val enIdx = TextFns.Stopwords.keys.toSeq.sorted.indexOf("en") + 1
+      val sig = t(s, dir, "documents")
+        .select(col("doc_id"), col("source"), length(col("text")).cast("long").as("__c"),
+          TextFns.textStatsFast(col("text")).as("__ts"),
+          TextFns.langScoresFast(TextFns.tokensFast(col("text"))).as("__ls"))
+        .select(col("doc_id"), col("source"),
+          element_at(col("__ts"), 1).as("nt"),
+          (least(lit(40L), (col("__c") / lit(10L)).cast("long")) +
+            least(lit(30L), (element_at(col("__ls"), enIdx) * 100L /
+              greatest(element_at(col("__ts"), 1), lit(1L))).cast("long")) -
+            least(lit(20L), (element_at(col("__ts"), 2) * 100L /
+              greatest(col("__c"), lit(1L))).cast("long"))).as("quality"))
+      sig
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("source").orderBy(col("nt"), col("doc_id"))))
+        .withColumn("rq", row_number().over(
+          Window.partitionBy("source").orderBy(col("quality"), col("doc_id"))))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n"),
+          sum((col("rn") - col("rq")) * (col("rn") - col("rq"))).cast("long").as("d2_sum"))
+    },
+    Some(s"""WITH tq AS (SELECT doc_id, source,
+                  CAST(length(text) AS BIGINT) AS c,
+                  CAST(len(list_filter(string_split_regex(text, '\\s+'), x -> x != '')) AS BIGINT) AS t,
+                  CAST(len(list_filter($toksSql, t2 -> list_contains([${TextFns.Stopwords("en").map(w => s"'$w'").mkString(", ")}], t2))) AS BIGINT) AS sw,
+                  CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS BIGINT) AS pq
+                FROM documents),
+             qual AS (SELECT doc_id, source, t AS nt,
+                        least(40, c // 10) + least(30, (sw * 100) // greatest(t, 1))
+                          - least(20, (pq * 100) // greatest(c, 1)) AS quality
+                      FROM tq),
+             r AS (SELECT source,
+                     row_number() OVER (PARTITION BY source ORDER BY nt, doc_id) AS rn,
+                     row_number() OVER (PARTITION BY source ORDER BY quality, doc_id) AS rq
+                   FROM qual)
+             SELECT source, CAST(count(*) AS BIGINT) AS n,
+               CAST(sum((rn - rq) * (rn - rq)) AS BIGINT) AS d2_sum
+             FROM r GROUP BY source"""))
+
   /** Per-document repetitiousness: the most frequent token's share of
     * all tokens, in exact milli-units (max_tf * 1000 // n_tokens) — a
     * junk signal for boilerplate/repeated-phrase documents. One
@@ -3935,7 +4068,7 @@ object Queries {
     qEmbedTopk, qEmbedLsh, qEmbedIvf, qKmeansStep, qDocChunks, qChunkDedup,
     qKnnClassify, qClassBalance, qGapFill, qInvertedIndex,
     qLangId, qQualityScore, qCuration, qSplitAssign, qPackSequences, qSamplePerKey,
-    qTfidfTopterms, qContamination,
+    qTfidfTopterms, qContamination, qDecontam, qDedupSavings, qRankCorr,
     qShuffleOrder, qGopherQuality, qVocabCoverage, qFunnel, qRetention, qLangConfusion,
     qInterarrival, qHistDistance, qMad, qWinsorMean, qSourceOverlap, qRankNorm,
     qAttribution, qRollingActives, qCompactionPlan, qGlobalMedian,
