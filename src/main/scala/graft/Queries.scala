@@ -3219,6 +3219,100 @@ object Queries {
             FROM uw JOIN f ON uw.user_id = f.user_id
             GROUP BY cohort_week, week_offset"""))
 
+  /** Exact quantile GRID + IQR outlier counts per event_type, all by
+    * integer row_number rank: q1/med/q3 picked at ranks ⌈n·p⌉, the
+    * 1.5·IQR fences applied by cross-multiplication (2·cents vs
+    * 2·bound keeps halves integral: lo = 2·q1·... — here fences are
+    * whole cents via 2·q3−2·q1 scaled), and the outlier counts
+    * conditional sums — ONE rank window + one broadcast back-join,
+    * everything engine-identical. Completes q_mad/q_winsor_mean into
+    * the full boxplot.
+    */
+  private val qIqr = GraftQuery(
+    "q_iqr",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val ev = events(s, dir).select(col("event_type"), col("event_id"),
+        expr("cast(cast(value as decimal(18,2)) * 100 as bigint)").as("cents"))
+      val r = ev
+        .withColumn("rk", row_number().over(
+          Window.partitionBy("event_type").orderBy(col("cents"), col("event_id"))))
+        .withColumn("n", count(lit(1)).over(Window.partitionBy("event_type")))
+      val cuts = r.groupBy(col("event_type"))
+        .agg(max(when(expr("rk = (n * 25 + 99) div 100"), col("cents"))).as("q1_cents"),
+          max(when(expr("rk = (n * 50 + 99) div 100"), col("cents"))).as("med_cents"),
+          max(when(expr("rk = (n * 75 + 99) div 100"), col("cents"))).as("q3_cents"))
+      // fences in DOUBLED cents so 1.5·IQR stays integral:
+      // lo = 2·q1 − 3·(q3−q1), hi = 2·q3 + 3·(q3−q1); compare 2·cents
+      r.join(broadcast(cuts.withColumnRenamed("event_type", "et")),
+          col("event_type") === col("et"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          max(col("q1_cents")).as("q1_cents"), max(col("med_cents")).as("med_cents"),
+          max(col("q3_cents")).as("q3_cents"),
+          sum(when(expr("2 * cents < 2 * q1_cents - 3 * (q3_cents - q1_cents)"), 1L)
+            .otherwise(0L)).as("n_below"),
+          sum(when(expr("2 * cents > 2 * q3_cents + 3 * (q3_cents - q1_cents)"), 1L)
+            .otherwise(0L)).as("n_above"))
+    },
+    Some("""WITH ev AS (SELECT event_type, event_id,
+                  CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents FROM events),
+            r AS (SELECT *,
+                    row_number() OVER (PARTITION BY event_type ORDER BY cents, event_id) AS rk,
+                    count(*) OVER (PARTITION BY event_type) AS n FROM ev),
+            c AS (SELECT event_type,
+                    max(CASE WHEN rk = (n * 25 + 99) // 100 THEN cents END) AS q1_cents,
+                    max(CASE WHEN rk = (n * 50 + 99) // 100 THEN cents END) AS med_cents,
+                    max(CASE WHEN rk = (n * 75 + 99) // 100 THEN cents END) AS q3_cents
+                  FROM r GROUP BY 1)
+            SELECT r.event_type, CAST(count(*) AS BIGINT) AS n,
+              max(c.q1_cents) AS q1_cents, max(c.med_cents) AS med_cents,
+              max(c.q3_cents) AS q3_cents,
+              CAST(sum(CASE WHEN 2 * r.cents < 2 * c.q1_cents - 3 * (c.q3_cents - c.q1_cents)
+                            THEN 1 ELSE 0 END) AS BIGINT) AS n_below,
+              CAST(sum(CASE WHEN 2 * r.cents > 2 * c.q3_cents + 3 * (c.q3_cents - c.q1_cents)
+                            THEN 1 ELSE 0 END) AS BIGINT) AS n_above
+            FROM r JOIN c USING (event_type)
+            GROUP BY r.event_type"""))
+
+  /** Trailing-window SPIKE detection per (event_type, day): a day is a
+    * spike when its count exceeds 2× the trailing 7-day average —
+    * decided by exact cross-multiplication (cnt·7 > 2·Σtrail) over a
+    * ROWS frame on the tiny per-day series. The fact table reduces to
+    * (type, day) counts first; everything after runs on days×types.
+    */
+  private val qSpikes = GraftQuery(
+    "q_spikes",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val daily = events(s, dir)
+        .groupBy(col("event_type"), expr("unix_micros(ts) div 86400000000").as("day"))
+        .agg(count(lit(1)).as("cnt"))
+      val w = Window.partitionBy("event_type").orderBy(col("day")).rowsBetween(-7, -1)
+      daily
+        .withColumn("trail_sum", sum(col("cnt")).over(w))
+        .withColumn("trail_days", count(col("cnt")).over(w))
+        .select(col("event_type"), col("day"), col("cnt"),
+          coalesce(col("trail_sum"), lit(0L)).as("trail_sum"),
+          col("trail_days"),
+          (col("trail_days") === 7 &&
+            col("cnt") * 7 > col("trail_sum") * 2).cast("long").as("is_spike"))
+    },
+    Some("""WITH d AS (SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+                  CAST(count(*) AS BIGINT) AS cnt FROM events GROUP BY 1, 2),
+            x AS (SELECT *,
+                    sum(cnt) OVER (PARTITION BY event_type ORDER BY day
+                                   ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING) AS trail_sum,
+                    count(cnt) OVER (PARTITION BY event_type ORDER BY day
+                                     ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING) AS trail_days
+                  FROM d)
+            SELECT event_type, day, cnt,
+              CAST(coalesce(trail_sum, 0) AS BIGINT) AS trail_sum,
+              CAST(trail_days AS BIGINT) AS trail_days,
+              CAST(CASE WHEN trail_days = 7 AND cnt * 7 > trail_sum * 2
+                        THEN 1 ELSE 0 END AS BIGINT) AS is_spike
+            FROM x"""))
+
   /** EXACT global median without a global sort — the 100 TB order-
     * statistic pattern: (1) one aggregation builds a bounded value-
     * bucket histogram (cents div 1000), (2) a cumulative walk over the
@@ -4073,6 +4167,7 @@ object Queries {
     qInterarrival, qHistDistance, qMad, qWinsorMean, qSourceOverlap, qRankNorm,
     qAttribution, qRollingActives, qCompactionPlan, qGlobalMedian,
     qLangPurity, qTtr, qCosineBands, qJaccardBands, qTransitions, qCohorts,
+    qIqr, qSpikes,
     qDedupSurvivors, qRunningStats, qSpanDedup, qTermScrub, qValueHistogram,
     qBigramLift, qBigramLm, qOutliers, qTokenBudget, qRollupStats, qTimeWindowSum,
     qProfile, qStratifiedSample, qAsofForward, qScd2, qPairCuration, qWindowTopk,
