@@ -129,9 +129,12 @@ class PlanSpec extends SparkSpecBase {
     // runtime exchange (2 logical copies) + the unigram branch (1)
     // q_containment mirrors minhash-rescore (candidates 2 + gram sides 2);
     // q_jaccard_bands mirrors minhash-est (band candidates 2 + sig table 2)
+    // q_decontam tokenizes three DISTINCT inputs (probe grams, corpus
+    // grams, survivor token count) — three sites, each evaluated once
     val bound = Map("q_ngram_jaccard" -> 6, "q_minhash_rescore" -> 4,
       "q_bigram_lift" -> 4, "q_minhash_est" -> 4, "q_bigram_lm" -> 4,
-      "q_containment" -> 4, "q_jaccard_bands" -> 4).withDefaultValue(2)
+      "q_containment" -> 4, "q_jaccard_bands" -> 4,
+      "q_decontam" -> 3).withDefaultValue(2)
     for ((name, fn) <- Queries.queries.toSeq.sortBy(_._1)) {
       val p = fn(spark, sfDir).queryExecution.optimizedPlan.toString.toLowerCase
       for (pat <- pats) {
