@@ -113,6 +113,11 @@ object GraftFunctions {
     fns.foreach { case (name, clazz, usage, builder) =>
       reg.registerFunction(FunctionIdentifier(name), info(clazz, name, usage), builder)
     }
+    // the Misra-Gries heavy-hitters UDAF goes through the session UDF
+    // registry (Aggregators are not FunctionRegistry expressions):
+    // SELECT graft_heavy_hitters(tok) ... GROUP BY src
+    spark.udf.register("graft_heavy_hitters",
+      org.apache.spark.sql.functions.udaf(new graft.functions.MisraGries(32)))
   }
 
   private[graft] def injectInto(ext: org.apache.spark.sql.SparkSessionExtensions): Unit =

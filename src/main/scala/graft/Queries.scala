@@ -2250,6 +2250,54 @@ object Queries {
               CAST(least(seg_no * 10000 + 30000, dur_ms) AS BIGINT) AS end_ms
             FROM g"""))
 
+  /** Vision tiling plan (Multimodal.tilePlan): 256 px tiles at 128 px
+    * stride over stub-decoded dims — map-only nested sequence explode.
+    */
+  private val qTilePlan = GraftQuery(
+    "q_tile_plan",
+    (s, dir) =>
+      Multimodal.tilePlan(
+        t(s, dir, "documents").select(col("doc_id"), col("text").cast("binary").as("payload")),
+        "doc_id", "payload"),
+    Some("""WITH d AS (SELECT doc_id,
+                  ('0x' || substr(md5(text), 1, 4))::BIGINT % 1024 + 1 AS w,
+                  ('0x' || substr(md5(text), 5, 4))::BIGINT % 1024 + 1 AS h
+                FROM documents),
+            gx AS (SELECT doc_id, w, h, unnest(range(0, (w - 1) // 128 + 1)) AS tx FROM d),
+            g AS (SELECT doc_id, w, h, tx, unnest(range(0, (h - 1) // 128 + 1)) AS ty FROM gx)
+            SELECT doc_id AS asset_id, CAST(tx AS BIGINT) AS tx, CAST(ty AS BIGINT) AS ty,
+              CAST(tx * 128 AS BIGINT) AS x0, CAST(ty * 128 AS BIGINT) AS y0,
+              CAST(least(tx * 128 + 256, w) AS BIGINT) AS x1,
+              CAST(least(ty * 128 + 256, h) AS BIGINT) AS y1
+            FROM g"""))
+
+  /** Mixture GAP report: each source's actual token share vs the
+    * uniform target, in exact milli-units — the rebalancing view a
+    * data-mixture recipe reads before adjusting sampling rates. One
+    * per-source aggregation; totals attach as a 1-row broadcast.
+    */
+  private val qMixGap = GraftQuery(
+    "q_mix_gap",
+    (s, dir) => {
+      val per = t(s, dir, "documents")
+        .select(col("source"), size(TextFns.tokensFast(col("text"))).cast("long").as("nt"))
+        .groupBy(col("source")).agg(sum(col("nt")).as("tok"))
+      val tot = per.agg(sum(col("tok")).as("total"), count(lit(1)).as("n_src"))
+      per.crossJoin(broadcast(tot))
+        .select(col("source"), col("tok"),
+          expr("tok * 1000 div total").as("actual_milli"),
+          expr("1000 div n_src").as("target_milli"),
+          expr("tok * 1000 div total - 1000 div n_src").as("gap_milli"))
+    },
+    Some(s"""WITH per AS (SELECT source, CAST(sum(len($toksSql)) AS BIGINT) AS tok
+                          FROM documents GROUP BY source),
+             tot AS (SELECT sum(tok) AS total, count(*) AS n_src FROM per)
+             SELECT source, tok,
+               CAST(tok * 1000 // total AS BIGINT) AS actual_milli,
+               CAST(1000 // n_src AS BIGINT) AS target_milli,
+               CAST(tok * 1000 // total - 1000 // n_src AS BIGINT) AS gap_milli
+             FROM per, tot"""))
+
   private def langScoreSql: String = {
     val langs = TextFns.Stopwords.keys.toSeq.sorted
     langs.map { l =>
@@ -4173,7 +4221,7 @@ object Queries {
     qProfile, qStratifiedSample, qAsofForward, qScd2, qPairCuration, qWindowTopk,
     qRunningDistinct, qFirstSeen, qDedupDegree, qDecileBin,
     qTokenCount, qFingerprint, qMultimodalMeta,
-    qMultimodalDecode, qResizePlan, qFrameSample, qAudioSegments)
+    qMultimodalDecode, qResizePlan, qFrameSample, qAudioSegments, qTilePlan, qMixGap)
 
   val queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.fn).toMap

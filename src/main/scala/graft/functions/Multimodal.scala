@@ -143,6 +143,28 @@ object Multimodal {
         least(col("seg_no") * strideMs + windowMs, col("dur_ms")).as("end_ms"))
   }
 
+  /** 2-D TILE plan over stub-decoded image dimensions: the grid of
+    * `tile`×`tile` crops at `stride` spacing a vision preprocessor
+    * feeds to an encoder — per-axis positions 0, stride, … with the
+    * edge tile clipped to the image (same clipping rule as
+    * segmentPlan's last audio window). MAP-ONLY: two nested codegen'd
+    * `sequence` explodes, zero shuffles, row count = Σ n_x·n_y.
+    */
+  def tilePlan(df: DataFrame, idCol: String, payloadCol: String,
+      tile: Int = 256, stride: Int = 128): DataFrame = {
+    val bin = col(payloadCol).cast("binary")
+    df.select(col(idCol).as("asset_id"),
+        fakeWidth(bin).cast("long").as("w"), fakeHeight(bin).cast("long").as("h"))
+      .select(col("asset_id"), col("w"), col("h"),
+        explode(sequence(lit(0L), expr(s"(w - 1) div $stride"))).as("tx"))
+      .select(col("asset_id"), col("w"), col("h"), col("tx"),
+        explode(sequence(lit(0L), expr(s"(h - 1) div $stride"))).as("ty"))
+      .select(col("asset_id"), col("tx"), col("ty"),
+        (col("tx") * stride).as("x0"), (col("ty") * stride).as("y0"),
+        least(col("tx") * stride + tile, col("w")).as("x1"),
+        least(col("ty") * stride + tile, col("h")).as("y1"))
+  }
+
   /** One sampled frame of a (stub-decoded) video payload. */
   final case class SampledFrame(asset_id: Long, frame_no: Int, frame_sha: String)
 

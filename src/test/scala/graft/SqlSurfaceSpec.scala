@@ -31,6 +31,12 @@ class SqlSurfaceSpec extends SparkSpecBase {
                                  array(array(0, 0), array(1000, 0), array(0, 1000)), 2) AS p""")
       .collect()(0).getSeq[Long](0)
     assert(probes == Seq(1L, 0L))
+    // the Misra-Gries UDAF aggregates from pure SQL
+    val hh = spark.sql(
+      s"SELECT source, graft_heavy_hitters(tok) AS sk FROM " +
+        s"(SELECT source, explode($toks) AS tok FROM d) GROUP BY source")
+      .collect()
+    assert(hh.nonEmpty && hh.forall(!_.isNullAt(1)))
   }
 
   test("wrong arity is a clean usage error, not a raw exception") {
