@@ -25,6 +25,17 @@ class AnnRecallSpec extends SparkSpecBase {
     assert(r8 >= 0.3, s"8-table recall collapsed on random data: $r8")
   }
 
+  test("cosineCandidates ⊇ cosineNearDupPairs: banding inputs cover every thresholded pair") {
+    val e = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val thresholded = VectorFns.cosineNearDupPairs(e, "vec_id", "embedding", 1, 4)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val cands = VectorFns.cosineCandidates(e, "vec_id", "embedding")
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(thresholded.subsetOf(cands),
+      s"${(thresholded -- cands).size} thresholded pairs missing from candidates")
+    assert(cands.size >= thresholded.size && cands.nonEmpty)
+  }
+
   test("IVF recall vs brute force is measured and grows with nprobe") {
     val e = spark.read.parquet(s"$sfDir/embeddings.parquet")
     val q = e.filter(col("vec_id") < 20)

@@ -57,6 +57,47 @@ class MultimodalSpec extends SparkSpecBase {
       again.map(f => (f.asset_id, f.frame_no, f.frame_sha)).toSet)
   }
 
+  test("segmentPlan: windows tile the full duration, last window clipped, never empty") {
+    val segs = Multimodal.segmentPlan(assets, "doc_id", "payload").collect()
+    assert(segs.nonEmpty)
+    val byAsset = segs.groupBy(_.getLong(0))
+    byAsset.foreach { case (_, rows) =>
+      val sorted = rows.sortBy(_.getLong(1))
+      // seg_no contiguous from 0; starts at stride spacing
+      sorted.zipWithIndex.foreach { case (r, i) =>
+        assert(r.getLong(1) == i && r.getLong(2) == i * 10000L)
+      }
+      // every window non-empty, end > start, ends clipped at the max end
+      assert(sorted.forall(r => r.getLong(3) > r.getLong(2)))
+      val dur = sorted.map(_.getLong(3)).max
+      // last window start < duration (no window past the end)
+      assert(sorted.last.getLong(2) < dur)
+      // all but possibly the last reach the full 30s or the clip
+      assert(sorted.init.forall(r => r.getLong(3) - r.getLong(2) <= 30000L))
+    }
+  }
+
+  test("tilePlan: grid covers the image, edge tiles clipped to (w, h)") {
+    val tiles = Multimodal.tilePlan(assets, "doc_id", "payload").collect()
+    assert(tiles.nonEmpty)
+    tiles.groupBy(_.getLong(0)).foreach { case (_, rows) =>
+      val w = rows.map(_.getLong(5)).max // max x1 == w (edge tile clipped)
+      val h = rows.map(_.getLong(6)).max
+      rows.foreach { r =>
+        val (tx, ty, x0, y0, x1, y1) =
+          (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6))
+        assert(x0 == tx * 128 && y0 == ty * 128)
+        assert(x1 > x0 && y1 > y0, "empty tile")
+        assert(x1 <= w && y1 <= h)
+        assert(x1 - x0 <= 256 && y1 - y0 <= 256)
+      }
+      // the grid is dense: tile counts match the per-axis formula
+      val nx = rows.map(_.getLong(1)).max + 1
+      val ny = rows.map(_.getLong(2)).max + 1
+      assert(rows.length == nx * ny, s"grid holes: ${rows.length} != $nx*$ny")
+    }
+  }
+
   test("decode output schema is stable and features are bounded") {
     val ds = Multimodal.decodePartitioned(assets, "doc_id", "payload")
     assert(ds.schema.fieldNames.toSeq == Seq("asset_id", "width", "height", "features"))
