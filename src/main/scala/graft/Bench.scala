@@ -20,7 +20,8 @@ object Bench {
     "q_span_dedup", "q_running_stats",
     "q_doc_chunks", "q_minhash_est", "q_kmeans_step", "q_pagerank",
     "q2_mincost", "q18_bigorders", "q_chunk_dedup",
-    "q6_forecast", "q12_priority", "q19_brackets", "q_mad")
+    "q6_forecast", "q12_priority", "q19_brackets", "q_mad",
+    "q_global_median", "q_heavy_hitters", "q_rolling_actives", "q_cosine_bands")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
