@@ -3323,6 +3323,37 @@ object Queries {
             FROM r JOIN c USING (event_type)
             GROUP BY r.event_type"""))
 
+  /** Deterministic BOOTSTRAP: 10 resampling replicates of the global
+    * mean value, with multiplicities derived from md5(event_id · b) —
+    * each event appears 0/1/2 times per replicate (mean 1), so the
+    * replicate spread estimates sampling variance with ZERO RNG state
+    * (rerun-identical, like every recipe op here). The explode is a
+    * bounded ×10 fan-out of (replicate, multiplicity) pairs; means are
+    * exact floor-divided cents.
+    */
+  private val qBootstrap = GraftQuery(
+    "q_bootstrap",
+    (s, dir) =>
+      events(s, dir)
+        .select(col("event_id"),
+          expr("cast(cast(value as decimal(18,2)) * 100 as bigint)").as("cents"))
+        .select(col("event_id"), col("cents"), explode(sequence(lit(0L), lit(9L))).as("b"))
+        .select(col("b"), col("cents"),
+          (conv(substring(md5(concat(col("event_id").cast("string"), lit("_"),
+            col("b").cast("string"))), 1, 6), 16, 10).cast("long") % 3).as("mult"))
+        .groupBy(col("b"))
+        .agg(sum(col("mult")).as("n_eff"),
+          expr("sum(mult * cents) div greatest(sum(mult), 1)").as("mean_cents")),
+    Some("""WITH ev AS (SELECT event_id,
+                  CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents FROM events),
+            x AS (SELECT event_id, cents, unnest(range(0, 10)) AS b FROM ev),
+            m AS (SELECT b, cents,
+                    ('0x' || substr(md5(event_id || '_' || b), 1, 6))::BIGINT % 3 AS mult
+                  FROM x)
+            SELECT b, CAST(sum(mult) AS BIGINT) AS n_eff,
+              CAST(sum(mult * cents) // greatest(sum(mult), 1) AS BIGINT) AS mean_cents
+            FROM m GROUP BY b"""))
+
   /** Trailing-window SPIKE detection per (event_type, day): a day is a
     * spike when its count exceeds 2× the trailing 7-day average —
     * decided by exact cross-multiplication (cnt·7 > 2·Σtrail) over a
@@ -4215,7 +4246,7 @@ object Queries {
     qInterarrival, qHistDistance, qMad, qWinsorMean, qSourceOverlap, qRankNorm,
     qAttribution, qRollingActives, qCompactionPlan, qGlobalMedian,
     qLangPurity, qTtr, qCosineBands, qJaccardBands, qTransitions, qCohorts,
-    qIqr, qSpikes,
+    qIqr, qSpikes, qBootstrap,
     qDedupSurvivors, qRunningStats, qSpanDedup, qTermScrub, qValueHistogram,
     qBigramLift, qBigramLm, qOutliers, qTokenBudget, qRollupStats, qTimeWindowSum,
     qProfile, qStratifiedSample, qAsofForward, qScd2, qPairCuration, qWindowTopk,

@@ -524,6 +524,34 @@ class StreamingParitySpec extends SparkSpecBase {
       (1L, 3_000_000L, 3L, 1175L)))
   }
 
+  test("lastTouch state survives a query restart from checkpoint (touch carries over)") {
+    import spark.implicits._
+    import graft.streaming.StreamingOps.TouchEvent
+    implicit val sqlCtx = spark.sqlContext
+    val tmp = java.nio.file.Files.createTempDirectory("graft-touch-ckpt").toString
+    val ms = MemoryStream[TouchEvent]
+    def start() = StreamingOps.lastTouch(ms.toDS(), 60_000_000L).toDF()
+      .writeStream.outputMode(OutputMode.Append())
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, batchId: Long) =>
+        batch.write.mode("overwrite").parquet(s"$tmp/out/batch_id=$batchId")
+      }
+      .option("checkpointLocation", s"$tmp/ckpt").start()
+
+    ms.addData(Seq(TouchEvent(1L, 1_000_000L, isTouch = true)))
+    val q1 = start()
+    q1.processAllAvailable(); q1.stop()
+
+    // restart: the click at 1s must attribute a purchase at 31s
+    ms.addData(Seq(TouchEvent(1L, 31_000_000L, isTouch = false)))
+    val q2 = start()
+    q2.processAllAvailable(); q2.stop()
+
+    val rows = spark.read.parquet(s"$tmp/out")
+      .select("key", "tsUs", "touchTsUs", "attributed")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3))).toSet
+    assert(rows == Set((1L, 31_000_000L, 1_000_000L, true)))
+  }
+
   test("incremental minhash dedup drops near-dups within and across micro-batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
