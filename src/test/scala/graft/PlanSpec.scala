@@ -301,6 +301,32 @@ class PlanSpec extends SparkSpecBase {
     assert(!p.contains("Exchange"), p)
   }
 
+  test("q_transitions: lag window is ONE keyed exchange; final agg on the tiny matrix") {
+    val p = planOf(Queries.queries("q_transitions")(spark, sfDir))
+    assert("Exchange hashpartitioning\\(user_id".r.findAllIn(p).size == 1, p)
+    assert(!p.contains("partitionBy=[]"), p)
+  }
+
+  test("q_spikes: fact reduces to daily counts BEFORE the trailing frame") {
+    val p = planOf(Queries.queries("q_spikes")(spark, sfDir))
+    // the Window (trailing frame) must sit above an aggregate, and the
+    // frame's sort partitions by event_type — never a global sort
+    assert(p.contains("HashAggregate") && p.contains("Window"), p)
+    assert(!p.contains("partitionBy=[]"), p)
+  }
+
+  test("q_bootstrap: replicate fan-out is map-only up to the 10-row aggregation") {
+    val p = planOf(Queries.queries("q_bootstrap")(spark, sfDir))
+    assert(p.contains("Generate explode"), p)
+    assert(p.contains("partial_"), p) // multiplicities combine map-side
+    assert(!p.contains("Join"), p)
+  }
+
+  test("q_hapax: ONE token exchange serves the df window; doc agg follows") {
+    val p = planOf(Queries.queries("q_hapax")(spark, sfDir))
+    assert("Exchange hashpartitioning\\(tok".r.findAllIn(p).size == 1, p)
+  }
+
   test("q_window_topk: rank filter plans as WindowGroupLimit (pre-sort pruning)") {
     val p = planOf(Queries.queries("q_window_topk")(spark, sfDir))
     assert(p.contains("WindowGroupLimit"), p)
