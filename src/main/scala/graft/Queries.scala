@@ -3244,21 +3244,22 @@ object Queries {
 
   /** Weekly COHORT retention matrix: users grouped by first-seen week,
     * tracked across week offsets — the canonical growth-analytics
-    * triangle. The fact reduces to distinct (user, week) first; the
-    * per-user first week is a min aggregation on the SAME user
-    * partitioning; the (cohort, offset) matrix then counts distinct
-    * users on the reduced set.
+    * triangle, in ONE user-keyed exchange: collect_set(week) per user
+    * (bounded by the observation span, map-side combined), cohort =
+    * array_min, then an explode back out — each user contributes
+    * exactly once per active week, so the matrix is a plain count.
+    * (A distinct + min-join formulation costs three exchanges; this
+    * shape was the round-6 plan iteration.)
     */
   private val qCohorts = GraftQuery(
     "q_cohorts",
     (s, dir) => {
-      val uw = events(s, dir)
+      events(s, dir)
         .select(col("user_id"), expr("unix_micros(ts) div 604800000000").as("week"))
-        .distinct()
-      val first = uw.groupBy(col("user_id")).agg(min(col("week")).as("cohort_week"))
-      uw.join(first, "user_id")
+        .groupBy(col("user_id")).agg(collect_set(col("week")).as("weeks"))
+        .select(array_min(col("weeks")).as("cohort_week"), explode(col("weeks")).as("week"))
         .groupBy(col("cohort_week"), (col("week") - col("cohort_week")).as("week_offset"))
-        .agg(countDistinct(col("user_id")).as("n_users"))
+        .agg(count(lit(1)).as("n_users"))
     },
     Some("""WITH uw AS (SELECT DISTINCT user_id, epoch_us(ts) // 604800000000 AS week FROM events),
             f AS (SELECT user_id, min(week) AS cohort_week FROM uw GROUP BY user_id)

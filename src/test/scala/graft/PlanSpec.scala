@@ -327,6 +327,12 @@ class PlanSpec extends SparkSpecBase {
     assert("Exchange hashpartitioning\\(tok".r.findAllIn(p).size == 1, p)
   }
 
+  test("q_cohorts: the whole matrix costs ONE user-keyed fact exchange") {
+    val p = planOf(Queries.queries("q_cohorts")(spark, sfDir))
+    assert("Exchange hashpartitioning\\(user_id".r.findAllIn(p).size == 1, p)
+    assert(!p.contains("Join"), p)
+  }
+
   test("q_window_topk: rank filter plans as WindowGroupLimit (pre-sort pruning)") {
     val p = planOf(Queries.queries("q_window_topk")(spark, sfDir))
     assert(p.contains("WindowGroupLimit"), p)
