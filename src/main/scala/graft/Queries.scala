@@ -4229,6 +4229,107 @@ object Queries {
             SELECT ev.event_id, ev.event_type, ev.band, g.n_users
             FROM ev JOIN g USING (event_type, band)"""))
 
+  /** L-DIVERSITY (k-anonymity's companion): a group is publishable
+    * only if its SENSITIVE attribute (the json props `k` field, mod 16
+    * as the sensitive class) takes ≥3 distinct values — a k-anonymous
+    * group whose members all share one sensitive value still leaks it.
+    * Same shape as q_kanon: group stats + row-level release join share
+    * one (type, band) exchange; rows carry both the size and the
+    * diversity so an auditor reads the release decision inline.
+    */
+  private val qLdiv = GraftQuery(
+    "q_ldiv",
+    (s, dir) => {
+      val ev = events(s, dir)
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          expr("cast(floor(value / 100) as bigint)").as("band"),
+          (get_json_object(col("props"), "$.k").cast("long") % 16).as("sens"))
+        .hint("shuffle_hash")
+      val g = ev.groupBy(col("event_type"), col("band"))
+        .agg(countDistinct(col("user_id")).as("n_users"),
+          countDistinct(col("sens")).as("n_sens"))
+        .filter(col("n_users") >= 5 && col("n_sens") >= 3)
+        .withColumnRenamed("event_type", "g_type").withColumnRenamed("band", "g_band")
+      ev.join(g, ev("event_type") === col("g_type") && ev("band") === col("g_band"))
+        .select(col("event_id"), col("event_type"), col("band"), col("n_users"), col("n_sens"))
+    },
+    Some("""WITH ev AS (SELECT event_id, user_id, event_type,
+                          CAST(floor(value / 100) AS BIGINT) AS band,
+                          json_extract_string(props, '$.k')::BIGINT % 16 AS sens FROM events),
+            g AS (SELECT event_type, band,
+                    CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+                    CAST(count(DISTINCT sens) AS BIGINT) AS n_sens
+                  FROM ev GROUP BY 1, 2
+                  HAVING count(DISTINCT user_id) >= 5 AND count(DISTINCT sens) >= 3)
+            SELECT ev.event_id, ev.event_type, ev.band, g.n_users, g.n_sens
+            FROM ev JOIN g USING (event_type, band)"""))
+
+  /** The DEDUP-METHODS report: every near-dup detector's flagged-pair
+    * and flagged-doc counts side by side in one result — the summary a
+    * corpus owner reads before choosing which detector (and τ) to
+    * trust. Each method contributes a one-row aggregate; the union is
+    * rows of (method, n_pairs, n_docs_flagged). The simhash rows reuse
+    * the materialized pair cache; the others aggregate their own
+    * candidate joins (all equi-join shapes, never all-pairs).
+    */
+  private val qDedupReport = GraftQuery(
+    "q_dedup_report",
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+      def summarize(name: String, pairs: DataFrame, a: String, b: String) =
+        pairs.agg(count(lit(1)).as("n_pairs"))
+          .crossJoin(pairs.select(explode(array(col(a), col(b))).as("id")).distinct()
+            .agg(count(lit(1)).as("n_docs_flagged")))
+          .select(lit(name).as("method"), col("n_pairs"), col("n_docs_flagged"))
+      val mh = DedupFns.minhashCandidates(docs, "doc_id", "text")
+      val sh = simhashPairs(s, dir)
+      val em = VectorFns.cosineNearDupPairs(t(s, dir, "embeddings"), "vec_id", "embedding", 1, 4)
+      summarize("minhash_lsh", mh, "id_a", "id_b")
+        .unionByName(summarize("simhash_h3", sh.select(col("id_a"), col("id_b")), "id_a", "id_b"))
+        .unionByName(summarize("embed_cos", em, "id_a", "id_b"))
+    },
+    Some(s"""$simhashPairsSql,
+             mh_t0 AS (SELECT doc_id, $toksSql AS tk FROM documents),
+             mh_g AS (SELECT doc_id, $grams3Sql AS gs FROM mh_t0),
+             mh_ok AS (SELECT doc_id, gs FROM mh_g WHERE len(gs) > 0),
+             mh_hs AS (SELECT doc_id, list_transform(gs, t -> ${h31Sql("t")}) AS h FROM mh_ok),
+             mh_sig AS (SELECT doc_id, $minhashSigSql AS s2 FROM mh_hs),
+             mh_bands AS (SELECT doc_id, k AS band, (s2[2*k+1] * 1000003 + s2[2*k+2]) % $M AS bh
+                          FROM mh_sig, range(${DedupFns.NumHashes / DedupFns.BandRows}) t(k)),
+             mh_p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+                      FROM mh_bands a JOIN mh_bands b
+                        ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
+                      GROUP BY 1, 2),
+             em_e AS (SELECT vec_id, ${quantSql("embedding")} AS v FROM embeddings),
+             em_nn AS (SELECT vec_id, v,
+                         CAST(list_sum(list_transform(range(1, 65), i -> v[i] * v[i])) AS BIGINT) AS nrm
+                       FROM em_e),
+             em_eb AS (SELECT vec_id, v, nrm, t, ${lshBucketSql("v")} AS bucket
+                       FROM em_nn CROSS JOIN range(0, 8) tt(t)),
+             em_p0 AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                         CAST(list_sum(list_transform(range(1, 65), i -> a.v[i] * b.v[i])) AS BIGINT) AS dot,
+                         a.nrm AS na, b.nrm AS nb
+                       FROM em_eb a JOIN em_eb b
+                         ON a.t = b.t AND a.bucket = b.bucket AND a.vec_id < b.vec_id),
+             em_d AS (SELECT id_a, id_b, max(dot) AS dot, max(na) AS na, max(nb) AS nb
+                      FROM em_p0 GROUP BY 1, 2),
+             em_p AS (SELECT id_a, id_b FROM em_d WHERE dot > 0 AND 16 * dot * dot >= na * nb),
+             u AS (
+               SELECT 'minhash_lsh' AS method,
+                 (SELECT count(*) FROM mh_p) AS n_pairs,
+                 (SELECT count(DISTINCT id) FROM (SELECT id_a AS id FROM mh_p UNION SELECT id_b FROM mh_p)) AS n_docs_flagged
+               UNION ALL
+               SELECT 'simhash_h3',
+                 (SELECT count(*) FROM p),
+                 (SELECT count(DISTINCT id) FROM (SELECT id_a AS id FROM p UNION SELECT id_b FROM p))
+               UNION ALL
+               SELECT 'embed_cos',
+                 (SELECT count(*) FROM em_p),
+                 (SELECT count(DISTINCT id) FROM (SELECT id_a AS id FROM em_p UNION SELECT id_b FROM em_p)))
+             SELECT method, CAST(n_pairs AS BIGINT) AS n_pairs,
+               CAST(n_docs_flagged AS BIGINT) AS n_docs_flagged
+             FROM u"""))
+
   val all: Seq[GraftQuery] = Seq(
     qMapFilter, qFilterMap, qCycle, qFoldAgg, qDistinctUsers, qTopkPerKey, qPivotCounts, qApproxDistinct, qHeavyHitters, qQuantiles, qQuantilesExact, qTableLatest, qTumbling, qHopping, qLagWindow, qSession,
     qIntervalJoin, qStreamTableJoin, qSaltedJoin, qMerge, qSplitBranch, qChunk, qSkipTake, qThrottle,
@@ -4236,7 +4337,7 @@ object Queries {
     q1Pricing, q3Topk, q5Region, q14Promo, q2Mincost, q18Bigorders, q22Churn, q4Semi,
     q6Forecast, q10Returns, q12Priority, q19Brackets, q13Custdist, q16Suppliers,
     q7Trade, q15TopSupp, q17SmallQty, q21Blame, q20Excess, q8Share, qJsonExtract,
-    qNegPairs, qPiiScrub, qKanon,
+    qNegPairs, qPiiScrub, qKanon, qLdiv, qDedupReport,
     qDedupExact, qDedupMinhash, qMinhashRescore, qContainment, qMinhashEst, qDedupSimhash, qDedupSimhashPairs,
     qDedupClusters, qPagerank, qTriangles, qQualityDup, qHapax, qNgramJaccard, qDedupEmbed, qRepetition,
     qEmbedTopk, qEmbedLsh, qEmbedIvf, qKmeansStep, qDocChunks, qChunkDedup,

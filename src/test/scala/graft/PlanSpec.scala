@@ -134,7 +134,10 @@ class PlanSpec extends SparkSpecBase {
     val bound = Map("q_ngram_jaccard" -> 6, "q_minhash_rescore" -> 4,
       "q_bigram_lift" -> 4, "q_minhash_est" -> 4, "q_bigram_lm" -> 4,
       "q_containment" -> 4, "q_jaccard_bands" -> 4,
-      "q_decontam" -> 3).withDefaultValue(2)
+      "q_decontam" -> 3,
+      // q_dedup_report reads each candidate join twice (pair count +
+      // flagged-doc count): 2 self-join copies × 2 references
+      "q_dedup_report" -> 4).withDefaultValue(2)
     for ((name, fn) <- Queries.queries.toSeq.sortBy(_._1)) {
       val p = fn(spark, sfDir).queryExecution.optimizedPlan.toString.toLowerCase
       for (pat <- pats) {
