@@ -3324,6 +3324,77 @@ object Queries {
             FROM r JOIN c USING (event_type)
             GROUP BY r.event_type"""))
 
+  /** Time-weighted average value (TWAP) per user: Σ value·Δt / ΣΔt
+    * with Δt the event-time gap to the NEXT event — each observation
+    * weighted by how long it was "in effect", the standard correction
+    * when sampling is irregular (a plain mean overweights bursts).
+    * Exact integer arithmetic throughout: cents·micros products are
+    * bounded (≤5·10¹³ per term) and the final division floors. One
+    * keyed lead window; the last event per key carries no interval and
+    * drops out, exactly as in both engines' SQL.
+    */
+  private val qTwap = GraftQuery(
+    "q_twap",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("user_id").orderBy(col("us"), col("event_id"))
+      events(s, dir)
+        .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("us"),
+          expr("cast(cast(value as decimal(18,2)) * 100 as bigint)").as("cents"))
+        .withColumn("gap", lead(col("us"), 1).over(w) - col("us"))
+        .filter(col("gap").isNotNull)
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_intervals"),
+          sum(col("gap")).as("span_us"),
+          expr("sum(cents * gap) div sum(gap)").as("twap_cents"))
+    },
+    Some("""WITH x AS (
+              SELECT user_id, event_id, epoch_us(ts) AS us,
+                CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents,
+                lead(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+                  - epoch_us(ts) AS gap
+              FROM events)
+            SELECT user_id, CAST(count(*) AS BIGINT) AS n_intervals,
+              CAST(sum(gap) AS BIGINT) AS span_us,
+              CAST(sum(cents * gap) // sum(gap) AS BIGINT) AS twap_cents
+            FROM x WHERE gap IS NOT NULL
+            GROUP BY user_id"""))
+
+  /** Per-candle RETURN in exact milli-units ((close−open)·1000 div
+    * open) plus the up/flat/down direction — the momentum layer on the
+    * stocks pipeline between raw candles (q_candles) and Strat
+    * classification (q_strat_classify). Same single tumbling-window
+    * aggregation; the return is a floor division of cents.
+    */
+  private val qCandleReturns = GraftQuery(
+    "q_candle_returns",
+    (s, dir) =>
+      Windows.tumbling(events(s, dir), "ts", Seq("user_id"), "1 hour")(
+        min_by(col("value"), col("event_id")).as("__open"),
+        max_by(col("value"), col("event_id")).as("__close"))
+        .select(col("user_id"), unix_micros(col("window_start")).as("window_start_us"),
+          expr("cast(cast(__open as decimal(18,2)) * 100 as bigint)").as("open_cents"),
+          expr("cast(cast(__close as decimal(18,2)) * 100 as bigint)").as("close_cents"))
+        .select(col("user_id"), col("window_start_us"), col("open_cents"), col("close_cents"),
+          // negative returns are safe: Spark `div` and DuckDB's INTEGER
+          // `//` both truncate toward zero (DuckDB floors only for
+          // DOUBLE operands — the kmeans-step trap involved a double
+          // intermediate; these are BIGINT end to end)
+          expr("(close_cents - open_cents) * 1000 div open_cents").as("return_milli"),
+          when(col("close_cents") > col("open_cents"), lit(1L))
+            .when(col("close_cents") < col("open_cents"), lit(-1L))
+            .otherwise(lit(0L)).as("direction")),
+    Some("""WITH c AS (
+              SELECT user_id, (epoch_us(ts) // 3600000000) * 3600000000 AS window_start_us,
+                CAST(CAST(arg_min(value, event_id) AS DECIMAL(18,2)) * 100 AS BIGINT) AS open_cents,
+                CAST(CAST(arg_max(value, event_id) AS DECIMAL(18,2)) * 100 AS BIGINT) AS close_cents
+              FROM events GROUP BY 1, 2)
+            SELECT user_id, window_start_us, open_cents, close_cents,
+              CAST((close_cents - open_cents) * 1000 // open_cents AS BIGINT) AS return_milli,
+              CAST(CASE WHEN close_cents > open_cents THEN 1
+                        WHEN close_cents < open_cents THEN -1 ELSE 0 END AS BIGINT) AS direction
+            FROM c"""))
+
   /** Deterministic BOOTSTRAP: 10 resampling replicates of the global
     * mean value, with multiplicities derived from md5(event_id · b) —
     * each event appears 0/1/2 times per replicate (mean 1), so the
@@ -4348,7 +4419,7 @@ object Queries {
     qInterarrival, qHistDistance, qMad, qWinsorMean, qSourceOverlap, qRankNorm,
     qAttribution, qRollingActives, qCompactionPlan, qGlobalMedian,
     qLangPurity, qTtr, qCosineBands, qJaccardBands, qTransitions, qCohorts,
-    qIqr, qSpikes, qBootstrap,
+    qIqr, qSpikes, qBootstrap, qTwap, qCandleReturns,
     qDedupSurvivors, qRunningStats, qSpanDedup, qTermScrub, qValueHistogram,
     qBigramLift, qBigramLm, qOutliers, qTokenBudget, qRollupStats, qTimeWindowSum,
     qProfile, qStratifiedSample, qAsofForward, qScd2, qPairCuration, qWindowTopk,
