@@ -3324,6 +3324,54 @@ object Queries {
             FROM r JOIN c USING (event_type)
             GROUP BY r.event_type"""))
 
+  /** Per-user engagement lifespan: active days, calendar span, and
+    * activity density in exact milli (active·1000 div span) — the
+    * user-level engagement profile behind retention/cohorts. One
+    * aggregation over the pre-reduced distinct (user, day) set.
+    */
+  private val qLifespan = GraftQuery(
+    "q_lifespan",
+    (s, dir) =>
+      events(s, dir)
+        .select(col("user_id"), expr("unix_micros(ts) div 86400000000").as("day"))
+        .distinct()
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_days_active"),
+          (max(col("day")) - min(col("day")) + 1).as("span_days"))
+        .select(col("user_id"), col("n_days_active"), col("span_days"),
+          expr("n_days_active * 1000 div span_days").as("density_milli")),
+    Some("""WITH ud AS (SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS day FROM events)
+            SELECT user_id, CAST(count(*) AS BIGINT) AS n_days_active,
+              CAST(max(day) - min(day) + 1 AS BIGINT) AS span_days,
+              CAST(count(*) * 1000 // (max(day) - min(day) + 1) AS BIGINT) AS density_milli
+            FROM ud GROUP BY user_id"""))
+
+  /** Zipf profile: the corpus's top-100 tokens with exact counts and
+    * dense frequency rank — the vocabulary head a tokenizer/stopword
+    * audit reads first. The heavy lifting is the word count (one token
+    * shuffle + TakeOrdered top-100); the rank window runs on the
+    * 100-row result only.
+    */
+  private val qZipfTop = GraftQuery(
+    "q_zipf_top",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val counts = Fence.guard(
+          t(s, dir, "documents").select(TextFns.tokensFast(col("text")).as("__tk"), Fence.col))
+        .select(explode(col("__tk")).as("token"))
+        .groupBy(col("token")).agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("token")).limit(100)
+      counts.withColumn("rank", row_number().over(
+        Window.partitionBy(lit(1)).orderBy(col("cnt").desc, col("token"))).cast("long"))
+    },
+    Some(s"""WITH t0 AS (SELECT $toksSql AS tk FROM documents),
+             x AS (SELECT unnest(tk) AS token FROM t0),
+             c AS (SELECT token, CAST(count(*) AS BIGINT) AS cnt FROM x GROUP BY token
+                   ORDER BY cnt DESC, token LIMIT 100)
+             SELECT token, cnt,
+               CAST(row_number() OVER (ORDER BY cnt DESC, token) AS BIGINT) AS rank
+             FROM c"""))
+
   /** Time-weighted average value (TWAP) per user: Σ value·Δt / ΣΔt
     * with Δt the event-time gap to the NEXT event — each observation
     * weighted by how long it was "in effect", the standard correction
@@ -3379,8 +3427,10 @@ object Queries {
           // negative returns are safe: Spark `div` and DuckDB's INTEGER
           // `//` both truncate toward zero (DuckDB floors only for
           // DOUBLE operands — the kmeans-step trap involved a double
-          // intermediate; these are BIGINT end to end)
-          expr("(close_cents - open_cents) * 1000 div open_cents").as("return_milli"),
+          // intermediate; these are BIGINT end to end). nullif guards
+          // the zero-open candle (sf0.1 has 0-cent values): NULL return
+          // in both engines instead of an ANSI divide-by-zero
+          expr("(close_cents - open_cents) * 1000 div nullif(open_cents, 0)").as("return_milli"),
           when(col("close_cents") > col("open_cents"), lit(1L))
             .when(col("close_cents") < col("open_cents"), lit(-1L))
             .otherwise(lit(0L)).as("direction")),
@@ -3390,7 +3440,7 @@ object Queries {
                 CAST(CAST(arg_max(value, event_id) AS DECIMAL(18,2)) * 100 AS BIGINT) AS close_cents
               FROM events GROUP BY 1, 2)
             SELECT user_id, window_start_us, open_cents, close_cents,
-              CAST((close_cents - open_cents) * 1000 // open_cents AS BIGINT) AS return_milli,
+              CAST((close_cents - open_cents) * 1000 // nullif(open_cents, 0) AS BIGINT) AS return_milli,
               CAST(CASE WHEN close_cents > open_cents THEN 1
                         WHEN close_cents < open_cents THEN -1 ELSE 0 END AS BIGINT) AS direction
             FROM c"""))
@@ -4419,7 +4469,7 @@ object Queries {
     qInterarrival, qHistDistance, qMad, qWinsorMean, qSourceOverlap, qRankNorm,
     qAttribution, qRollingActives, qCompactionPlan, qGlobalMedian,
     qLangPurity, qTtr, qCosineBands, qJaccardBands, qTransitions, qCohorts,
-    qIqr, qSpikes, qBootstrap, qTwap, qCandleReturns,
+    qIqr, qSpikes, qBootstrap, qTwap, qCandleReturns, qLifespan, qZipfTop,
     qDedupSurvivors, qRunningStats, qSpanDedup, qTermScrub, qValueHistogram,
     qBigramLift, qBigramLm, qOutliers, qTokenBudget, qRollupStats, qTimeWindowSum,
     qProfile, qStratifiedSample, qAsofForward, qScd2, qPairCuration, qWindowTopk,
