@@ -3372,6 +3372,89 @@ object Queries {
                CAST(row_number() OVER (ORDER BY cnt DESC, token) AS BIGINT) AS rank
              FROM c"""))
 
+  /** Churn snapshot: per event_type, users whose LAST activity is
+    * more than 7 days before the corpus's last day — the "who went
+    * quiet" operational cut. Per-user last-seen aggregates once; the
+    * corpus max day rides a 1-row broadcast (scalar-attach), and the
+    * churn flag is pure integer day arithmetic.
+    */
+  private val qChurnUsers = GraftQuery(
+    "q_churn_users",
+    (s, dir) => {
+      val lastSeen = events(s, dir)
+        .groupBy(col("user_id"))
+        .agg(max(expr("unix_micros(ts) div 86400000000")).as("last_day"))
+      val mx = lastSeen.agg(max(col("last_day")).as("corpus_last"))
+      lastSeen.crossJoin(broadcast(mx))
+        .select(when(col("last_day") < col("corpus_last") - 7, lit(1L)).otherwise(lit(0L))
+          .as("churned"))
+        .groupBy(col("churned"))
+        .agg(count(lit(1)).as("n_users"))
+    },
+    Some("""WITH ls AS (SELECT user_id, max(epoch_us(ts) // 86400000000) AS last_day
+                        FROM events GROUP BY user_id),
+            m AS (SELECT max(last_day) AS corpus_last FROM ls)
+            SELECT CAST(CASE WHEN last_day < corpus_last - 7 THEN 1 ELSE 0 END AS BIGINT) AS churned,
+              CAST(count(*) AS BIGINT) AS n_users
+            FROM ls, m GROUP BY 1"""))
+
+  /** Daily active users with a trailing 7-day floor-average — the
+    * dashboard smoothing every DAU chart applies. The fact reduces to
+    * distinct (user, day) then to per-day counts; the ROWS frame runs
+    * on the ~30-row daily series. The average is exact floor division
+    * over the actual frame size (partial windows at the series head
+    * use their real day count, not 7).
+    */
+  private val qDauMa = GraftQuery(
+    "q_dau_ma",
+    (s, dir) =>
+      events(s, dir)
+        .select(col("user_id"), expr("unix_micros(ts) div 86400000000").as("day"))
+        .distinct()
+        .groupBy(col("day")).agg(count(lit(1)).as("dau"))
+        .withColumn("ma7_dau", expr(
+          "sum(dau) over (order by day rows between 6 preceding and current row)" +
+            " div count(dau) over (order by day rows between 6 preceding and current row)"))
+        .select(col("day"), col("dau"), col("ma7_dau")),
+    Some("""WITH ud AS (SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS day FROM events),
+            d AS (SELECT day, CAST(count(*) AS BIGINT) AS dau FROM ud GROUP BY day)
+            SELECT day, dau,
+              CAST(sum(dau) OVER (ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+                   // count(dau) OVER (ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+                AS BIGINT) AS ma7_dau
+            FROM d"""))
+
+  /** Exact integer GINI coefficient of value per event_type — the
+    * inequality measure for spend/engagement concentration, computed
+    * entirely from integer ranks and sums: G·1000 = (2·Σ(i·xᵢ) −
+    * (n+1)·Σx)·1000 div (n·Σx) with i the (cents, event_id) rank. One
+    * keyed rank window, one aggregation, no floats anywhere.
+    */
+  private val qGini = GraftQuery(
+    "q_gini",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      events(s, dir)
+        .select(col("event_type"), col("event_id"),
+          expr("cast(cast(value as decimal(18,2)) * 100 as bigint)").as("cents"))
+        .withColumn("i", row_number().over(
+          Window.partitionBy("event_type").orderBy(col("cents"), col("event_id"))).cast("long"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(col("cents")).as("sum_cents"),
+          sum(col("i") * col("cents")).as("__s1"))
+        .select(col("event_type"), col("n"), col("sum_cents"),
+          expr("(2 * __s1 - (n + 1) * sum_cents) * 1000 div (n * sum_cents)").as("gini_milli"))
+    },
+    Some("""WITH ev AS (SELECT event_type, event_id,
+                  CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents FROM events),
+            r AS (SELECT *, CAST(row_number() OVER (PARTITION BY event_type ORDER BY cents, event_id) AS BIGINT) AS i
+                  FROM ev)
+            SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+              CAST(sum(cents) AS BIGINT) AS sum_cents,
+              CAST((2 * sum(i * cents) - (count(*) + 1) * sum(cents)) * 1000
+                   // (count(*) * sum(cents)) AS BIGINT) AS gini_milli
+            FROM r GROUP BY event_type"""))
+
   /** Time-weighted average value (TWAP) per user: Σ value·Δt / ΣΔt
     * with Δt the event-time gap to the NEXT event — each observation
     * weighted by how long it was "in effect", the standard correction
@@ -4470,6 +4553,7 @@ object Queries {
     qAttribution, qRollingActives, qCompactionPlan, qGlobalMedian,
     qLangPurity, qTtr, qCosineBands, qJaccardBands, qTransitions, qCohorts,
     qIqr, qSpikes, qBootstrap, qTwap, qCandleReturns, qLifespan, qZipfTop,
+    qChurnUsers, qDauMa, qGini,
     qDedupSurvivors, qRunningStats, qSpanDedup, qTermScrub, qValueHistogram,
     qBigramLift, qBigramLm, qOutliers, qTokenBudget, qRollupStats, qTimeWindowSum,
     qProfile, qStratifiedSample, qAsofForward, qScd2, qPairCuration, qWindowTopk,
