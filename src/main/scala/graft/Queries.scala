@@ -1625,6 +1625,93 @@ object Queries {
              SELECT agree, CAST(count(*) AS BIGINT) AS n_pairs
              FROM ag GROUP BY agree"""))
 
+  /** SPLIT LEAKAGE — the eval-hygiene check: near-dup pairs whose two
+    * docs fall in DIFFERENT train/val/test splits (same md5-bucket
+    * rule as q_split_assign). Any off-diagonal row means eval examples
+    * have training near-duplicates and the benchmark is soft. The pair
+    * set is the shared materialized mining; split labels attach via
+    * two equi-joins and the matrix groups on the unordered label pair.
+    */
+  private val qSplitLeakage = GraftQuery(
+    "q_split_leakage",
+    (s, dir) => {
+      val split = t(s, dir, "documents")
+        .select(col("doc_id"),
+          (conv(substring(md5(col("doc_id").cast("string")), 1, 4), 16, 10)
+            .cast("long") % 100).as("h"))
+        .select(col("doc_id"),
+          when(col("h") < 98, "train").when(col("h") < 99, "val").otherwise("test").as("split"))
+      simhashPairs(s, dir)
+        .join(split.as("sa"), col("id_a") === col("sa.doc_id"))
+        .join(split.as("sb"), col("id_b") === col("sb.doc_id"))
+        .groupBy(least(col("sa.split"), col("sb.split")).as("split_lo"),
+          greatest(col("sa.split"), col("sb.split")).as("split_hi"))
+        .agg(count(lit(1)).as("n_pairs"))
+    },
+    Some(s"""$simhashPairsSql,
+             sp AS (SELECT doc_id,
+                      CASE WHEN h < 98 THEN 'train' WHEN h < 99 THEN 'val' ELSE 'test' END AS split
+                    FROM (SELECT doc_id,
+                            ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))::BIGINT % 100 AS h
+                          FROM documents))
+             SELECT least(sa.split, sb.split) AS split_lo,
+               greatest(sa.split, sb.split) AS split_hi,
+               CAST(count(*) AS BIGINT) AS n_pairs
+             FROM p JOIN sp sa ON p.id_a = sa.doc_id
+                    JOIN sp sb ON p.id_b = sb.doc_id
+             GROUP BY 1, 2"""))
+
+  /** Estimator CALIBRATION: per signature-agreement band, the mean
+    * EXACT Jaccard (milli) of the same candidate pairs — the curve
+    * that tells a pipeline how to read the cheap estimate (agree/16)
+    * against ground truth before trusting it corpus-wide. Exact scores
+    * touch only LSH candidates; the mean is a floor division of exact
+    * per-pair milli scores.
+    */
+  private val qJaccardCalib = GraftQuery(
+    "q_jaccard_calibration",
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+      val est = DedupFns.minhashEstPairs(docs, "doc_id", "text")
+      val grams = Fence.guard(Fence.guard(
+          docs.select(col("doc_id").as("id"), TextFns.tokensFast(col("text")).as("__toks"), Fence.col))
+        .filter(size(col("__toks")) >= 3)
+        .select(col("id"), DedupFns.wordNgramsFast(col("__toks"), 3).as("grams"), Fence.col))
+        .repartition(col("id"))
+      est.join(grams.as("ga"), col("id_a") === col("ga.id"))
+        .join(grams.as("gb"), col("id_b") === col("gb.id"))
+        .select(col("agree"),
+          size(array_intersect(col("ga.grams"), col("gb.grams"))).cast("long").as("inter"),
+          (size(col("ga.grams")) + size(col("gb.grams"))).cast("long").as("sum_ab"))
+        .select(col("agree"), expr("inter * 1000 div (sum_ab - inter)").as("__ex"))
+        .groupBy(col("agree"))
+        .agg(count(lit(1)).as("n_pairs"),
+          expr("sum(__ex) div count(1)").as("mean_exact_milli"))
+    },
+    Some(s"""WITH t0 AS (SELECT doc_id, $toksSql AS tk FROM documents),
+             g AS (SELECT doc_id, $grams3Sql AS gs FROM t0),
+             ok AS (SELECT doc_id, gs FROM g WHERE len(gs) > 0),
+             hs AS (SELECT doc_id, list_transform(gs, t -> ${h31Sql("t")}) AS h FROM ok),
+             sig AS (SELECT doc_id, $minhashSigSql AS s FROM hs),
+             bands AS (SELECT doc_id, k AS band, (s[2*k+1] * 1000003 + s[2*k+2]) % $M AS bh
+                       FROM sig, range(${DedupFns.NumHashes / DedupFns.BandRows}) t(k)),
+             pp AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+                    FROM bands a JOIN bands b
+                      ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
+                    GROUP BY 1, 2),
+             ag AS (SELECT id_a, id_b,
+                      CAST(len(list_filter(range(1, ${DedupFns.NumHashes + 1}), i -> sa.s[i] = sb.s[i])) AS BIGINT) AS agree
+                    FROM pp JOIN sig sa ON pp.id_a = sa.doc_id
+                            JOIN sig sb ON pp.id_b = sb.doc_id),
+             sc AS (SELECT ag.agree,
+                      CAST(len(list_intersect(ga.gs, gb.gs)) AS BIGINT) * 1000
+                        // CAST(len(ga.gs) + len(gb.gs) - len(list_intersect(ga.gs, gb.gs)) AS BIGINT) AS ex
+                    FROM ag JOIN ok ga ON ag.id_a = ga.doc_id
+                            JOIN ok gb ON ag.id_b = gb.doc_id)
+             SELECT agree, CAST(count(*) AS BIGINT) AS n_pairs,
+               CAST(sum(ex) // count(*) AS BIGINT) AS mean_exact_milli
+             FROM sc GROUP BY agree"""))
+
   /** Cross-signal curation analytics: per quality BAND, what fraction
     * of documents sit in a near-dup pair — the "is low quality where
     * the duplication lives?" question a corpus report answers before
@@ -4544,6 +4631,7 @@ object Queries {
     qNegPairs, qPiiScrub, qKanon, qLdiv, qDedupReport,
     qDedupExact, qDedupMinhash, qMinhashRescore, qContainment, qMinhashEst, qDedupSimhash, qDedupSimhashPairs,
     qDedupClusters, qPagerank, qTriangles, qQualityDup, qHapax, qNgramJaccard, qDedupEmbed, qRepetition,
+    qSplitLeakage, qJaccardCalib,
     qEmbedTopk, qEmbedLsh, qEmbedIvf, qKmeansStep, qDocChunks, qChunkDedup,
     qKnnClassify, qClassBalance, qGapFill, qInvertedIndex,
     qLangId, qQualityScore, qCuration, qSplitAssign, qPackSequences, qSamplePerKey,

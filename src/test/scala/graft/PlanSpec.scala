@@ -137,7 +137,10 @@ class PlanSpec extends SparkSpecBase {
       "q_decontam" -> 3,
       // q_dedup_report reads each candidate join twice (pair count +
       // flagged-doc count): 2 self-join copies × 2 references
-      "q_dedup_report" -> 4).withDefaultValue(2)
+      "q_dedup_report" -> 4,
+      // calibration = est pipeline (4: band candidates 2 + sig table 2)
+      // + the exact-gram rescore sides (2)
+      "q_jaccard_calibration" -> 6).withDefaultValue(2)
     for ((name, fn) <- Queries.queries.toSeq.sortBy(_._1)) {
       val p = fn(spark, sfDir).queryExecution.optimizedPlan.toString.toLowerCase
       for (pat <- pats) {
