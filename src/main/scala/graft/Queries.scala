@@ -3459,6 +3459,59 @@ object Queries {
                CAST(row_number() OVER (ORDER BY cnt DESC, token) AS BIGINT) AS rank
              FROM c"""))
 
+  /** Cyclic DAY-PART profile: activity folded onto the 24-hour clock
+    * per event_type (hour = (µs div 3600·10⁶) mod 24, pure integer
+    * arithmetic — no calendar functions, so UTC alignment is explicit)
+    * — the seasonality view a tumbling window can't give because it
+    * never folds. Counts + exact floor-mean cents per cell.
+    */
+  private val qDaypart = GraftQuery(
+    "q_daypart",
+    (s, dir) =>
+      events(s, dir)
+        .select(col("event_type"),
+          expr("(unix_micros(ts) div 3600000000) % 24").as("hour"),
+          expr("cast(cast(value as decimal(18,2)) * 100 as bigint)").as("cents"))
+        .groupBy(col("event_type"), col("hour"))
+        .agg(count(lit(1)).as("n"),
+          expr("sum(cents) div count(1)").as("mean_cents")),
+    Some("""SELECT event_type, (epoch_us(ts) // 3600000000) % 24 AS hour,
+              CAST(count(*) AS BIGINT) AS n,
+              CAST(sum(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) // count(*) AS BIGINT) AS mean_cents
+            FROM events GROUP BY 1, 2"""))
+
+  /** Conversion LAG: per converting user, the event-time gap from
+    * first signup to the first purchase AT OR AFTER it — the funnel
+    * latency input (its percentiles come from the exact-rank quantile
+    * machinery). One user-keyed aggregation computes both firsts via
+    * conditional min; users who never signed up or never purchased
+    * after signup drop out in both engines identically.
+    */
+  private val qConversionLag = GraftQuery(
+    "q_conversion_lag",
+    (s, dir) =>
+      events(s, dir)
+        .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("us"))
+        .groupBy(col("user_id"))
+        .agg(min(when(col("event_type") === "signup", col("us"))).as("signup_us"))
+        .join(events(s, dir)
+            .filter(col("event_type") === "purchase")
+            .select(col("user_id").as("pu"), unix_micros(col("ts")).as("p_us")),
+          col("user_id") === col("pu"))
+        .filter(col("signup_us").isNotNull && col("p_us") >= col("signup_us"))
+        .groupBy(col("user_id"))
+        .agg(max(col("signup_us")).as("signup_us"), min(col("p_us")).as("first_purchase_us"))
+        .select(col("user_id"), col("signup_us"), col("first_purchase_us"),
+          (col("first_purchase_us") - col("signup_us")).as("lag_us")),
+    Some("""WITH s AS (SELECT user_id, min(epoch_us(ts)) AS signup_us
+                       FROM events WHERE event_type = 'signup' GROUP BY user_id),
+            p AS (SELECT user_id, epoch_us(ts) AS p_us FROM events WHERE event_type = 'purchase')
+            SELECT s.user_id, CAST(s.signup_us AS BIGINT) AS signup_us,
+              CAST(min(p.p_us) AS BIGINT) AS first_purchase_us,
+              CAST(min(p.p_us) - s.signup_us AS BIGINT) AS lag_us
+            FROM s JOIN p ON s.user_id = p.user_id AND p.p_us >= s.signup_us
+            GROUP BY s.user_id, s.signup_us"""))
+
   /** Churn snapshot: per event_type, users whose LAST activity is
     * more than 7 days before the corpus's last day — the "who went
     * quiet" operational cut. Per-user last-seen aggregates once; the
@@ -4641,7 +4694,7 @@ object Queries {
     qAttribution, qRollingActives, qCompactionPlan, qGlobalMedian,
     qLangPurity, qTtr, qCosineBands, qJaccardBands, qTransitions, qCohorts,
     qIqr, qSpikes, qBootstrap, qTwap, qCandleReturns, qLifespan, qZipfTop,
-    qChurnUsers, qDauMa, qGini,
+    qChurnUsers, qDauMa, qGini, qDaypart, qConversionLag,
     qDedupSurvivors, qRunningStats, qSpanDedup, qTermScrub, qValueHistogram,
     qBigramLift, qBigramLm, qOutliers, qTokenBudget, qRollupStats, qTimeWindowSum,
     qProfile, qStratifiedSample, qAsofForward, qScd2, qPairCuration, qWindowTopk,
