@@ -21,6 +21,46 @@ class KernelPropertySpec extends SparkSpecBase {
   private val textGen: Gen[String] = Gen.chooseNum(0, 60)
     .flatMap(n => Gen.listOfN(n, weirdChar).map(_.mkString))
 
+  test("MisraGries: n/k bounds hold under ARBITRARY random merge trees") {
+    // the mergeability claim (Agarwal et al.) is the whole reason the
+    // sketch can ride partial aggregation — so it is tested against
+    // random partition splits and random merge orders, not just
+    // Spark's actual merge schedule
+    val k = 8
+    val mg = new graft.functions.MisraGries(k)
+    val rnd = new scala.util.Random(42)
+    for (trial <- 1 to 20) {
+      // zipf-ish stream: few hot tokens + a long tail
+      val n = 200 + rnd.nextInt(400)
+      val stream = (1 to n).map { _ =>
+        val r = rnd.nextInt(100)
+        if (r < 30) "hot1" else if (r < 45) "hot2" else s"t${rnd.nextInt(200)}"
+      }
+      // random partitioning into 1..8 chunks, each reduced independently
+      val nChunks = 1 + rnd.nextInt(8)
+      val chunks = stream.grouped(math.max(1, n / nChunks)).toVector
+      var summaries = chunks.map(c => c.foldLeft(mg.zero)(mg.reduce))
+      // random merge tree
+      while (summaries.size > 1) {
+        val i = rnd.nextInt(summaries.size - 1)
+        summaries = summaries.updated(i, mg.merge(summaries(i), summaries(i + 1)))
+          .patch(i + 1, Nil, 1)
+      }
+      val sketch = mg.finish(summaries.head).toMap
+      val exact = stream.groupBy(identity).map { case (t, xs) => t -> xs.size.toLong }
+      val bound = n.toLong / k
+      exact.foreach { case (t, c) =>
+        if (c > bound) assert(sketch.contains(t), s"trial $trial: frequent $t freq=$c missing")
+      }
+      sketch.foreach { case (t, est) =>
+        val truth = exact(t)
+        assert(est <= truth, s"trial $trial: $t overcounts $est > $truth")
+        assert(truth - est <= bound, s"trial $trial: $t undercount ${truth - est} > $bound")
+      }
+      assert(sketch.size <= k)
+    }
+  }
+
   test("tokens / textStats / fingerprint / simhash: native == declarative on random text") {
     import spark.implicits._
     val texts = (1 to 40).flatMap(i => textGen.sample).distinct
