@@ -339,6 +339,21 @@ class PlanSpec extends SparkSpecBase {
     assert(!p.contains("Join"), p)
   }
 
+  test("q_gini and q_twap: rank/lead windows are keyed — never an empty partition spec") {
+    for (q <- Seq("q_gini", "q_twap")) {
+      val p = planOf(Queries.queries(q)(spark, sfDir))
+      assert(p.contains("Window"), s"$q: $p")
+      assert(!p.contains("partitionBy=[]"), s"$q: $p")
+      assert("Exchange hashpartitioning".r.findAllIn(p).size == 1, s"$q: one keyed exchange\n$p")
+    }
+  }
+
+  test("q_daypart: cyclic fold is one partial-agg exchange, no calendar expressions") {
+    val p = planOf(Queries.queries("q_daypart")(spark, sfDir))
+    assert(p.contains("partial_"), p)
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1, p)
+  }
+
   test("q_window_topk: rank filter plans as WindowGroupLimit (pre-sort pruning)") {
     val p = planOf(Queries.queries("q_window_topk")(spark, sfDir))
     assert(p.contains("WindowGroupLimit"), p)
