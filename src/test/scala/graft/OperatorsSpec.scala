@@ -188,6 +188,29 @@ class OperatorsSpec extends SparkSpecBase {
       10L -> 10L, 11L -> 10L))
   }
 
+  test("connectedComponents: scrambled 128-node chain converges in O(log n) star rounds") {
+    import spark.implicits._
+    // a path whose ids are NOT in path order (i -> (i*53 mod 128)+1 is a
+    // permutation), so the min sits mid-chain — the worst case for
+    // one-hop label propagation (127 rounds); star contraction must
+    // finish in O(log n).
+    val ids = (0 until 128).map(i => ((i * 53) % 128) + 1L)
+    val chain = ids.zip(ids.tail).toDF("id_a", "id_b")
+    val (labels, rounds) =
+      Relational.connectedComponentsWithRounds(chain, "id_a", "id_b")
+    assert(rounds <= 10, s"expected O(log n) star rounds on a 128-chain, got $rounds")
+    val got = labels.collect().map(r => r.getLong(0) -> r.getLong(1))
+    assert(got.length == 128 && got.forall(_._2 == 1L))
+  }
+
+  test("connectedComponents: self-loop-only nodes label themselves") {
+    import spark.implicits._
+    val pairs = Seq((7L, 7L), (1L, 2L)).toDF("id_a", "id_b")
+    val got = Relational.connectedComponents(pairs, "id_a", "id_b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(7L -> 7L, 1L -> 1L, 2L -> 1L))
+  }
+
   test("triangleCounts: 4-clique gives 3 per node, chains give none, each triangle counted once") {
     import spark.implicits._
     // K4 on {1..4} (4 triangles, each node in 3), a triangle {10,11,12}
