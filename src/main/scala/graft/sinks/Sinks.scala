@@ -70,4 +70,64 @@ object Sinks {
   def console(df: DataFrame, mode: OutputMode = OutputMode.Append()): StreamingQuery =
     df.writeStream.format("console").outputMode(mode)
       .trigger(Trigger.AvailableNow()).start()
+
+  // ---- kafka -------------------------------------------------------------
+  //
+  // Writer half of the reference's Kafka front door: the producer side
+  // (reference example/shakespeare_loader.rs:44-53 ProduceMessage
+  // {key, value}) plus the ParsedMessage JSON serde (reference
+  // src/lib.rs:32-37 to_bytes). The encoders are pure
+  // DataFrame→DataFrame (broker-free, tested in KafkaSerdeSpec); the
+  // Kafka sink itself consumes exactly the two-column (key, value)
+  // frame they produce and needs the spark-sql-kafka connector jar.
+
+  import org.apache.spark.sql.functions.{col, struct, to_json}
+
+  /** Encode rows into the raw Kafka producer frame: key/value as
+    * strings (Spark's kafka sink serializes string or binary). The
+    * reference's loader shape — key = source file, value = one word.
+    */
+  def toKafkaRaw(df: DataFrame, keyCol: String, valueCol: String): DataFrame =
+    df.select(col(keyCol).cast("string").as("key"),
+      col(valueCol).cast("string").as("value"))
+
+  /** Encode rows into a JSON-valued Kafka frame: `valueCols` become one
+    * JSON document per row — ParsedMessage{key, value: T} with JSON
+    * serde (reference src/lib.rs:32-37). Inverse of
+    * Sources.fromKafkaJson (round-trip asserted in KafkaSerdeSpec).
+    */
+  def toKafkaJson(df: DataFrame, keyCol: String, valueCols: Seq[String]): DataFrame =
+    df.select(col(keyCol).cast("string").as("key"),
+      to_json(struct(valueCols.map(col): _*)).as("value"))
+
+  /** Stream a (key, value) frame to a Kafka topic with exactly-once
+    * progress via the checkpoint (the producer half of a deployed
+    * topology).
+    */
+  def kafkaStream(df: DataFrame, bootstrap: String, topic: String,
+      checkpoint: String): StreamingQuery = {
+    if (!graft.sources.Sources.kafkaAvailable)
+      throw new IllegalStateException(
+        "the spark-sql-kafka connector is not on the classpath; submit with " +
+          "--packages org.apache.spark:spark-sql-kafka-0-10_2.13:<spark-version>")
+    df.writeStream.format("kafka")
+      .option("kafka.bootstrap.servers", bootstrap)
+      .option("topic", topic)
+      .option("checkpointLocation", checkpoint)
+      .start()
+  }
+
+  /** One-shot batch produce of a (key, value) frame to a topic — the
+    * reference loader's bounded file→topic replay.
+    */
+  def kafkaBatch(df: DataFrame, bootstrap: String, topic: String): Unit = {
+    if (!graft.sources.Sources.kafkaAvailable)
+      throw new IllegalStateException(
+        "the spark-sql-kafka connector is not on the classpath; submit with " +
+          "--packages org.apache.spark:spark-sql-kafka-0-10_2.13:<spark-version>")
+    df.write.format("kafka")
+      .option("kafka.bootstrap.servers", bootstrap)
+      .option("topic", topic)
+      .save()
+  }
 }

@@ -1,6 +1,8 @@
 package graft.sources
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DataType
 
 /** Batch and streaming readers — the engine's Source surface.
   *
@@ -36,11 +38,91 @@ object Sources {
   def rateStream(spark: SparkSession, rowsPerSecond: Int): DataFrame =
     spark.readStream.format("rate").option("rowsPerSecond", rowsPerSecond.toString).load()
 
-  /** Kafka topic source (requires the spark-sql-kafka connector jar). */
-  def kafkaStream(spark: SparkSession, bootstrap: String, topic: String): DataFrame =
+  // ---- kafka -------------------------------------------------------------
+  //
+  // The reference is Kafka-native: its sources are samsa consumers
+  // flattened into a record stream (reference src/lib.rs:43-55
+  // `into_flat_stream`) and its data model is ParsedMessage{key, value}
+  // with JSON serde (reference src/lib.rs:19-37). Spark re-expression:
+  // `format("kafka")` yields the wire frame
+  //   key binary, value binary, topic string, partition int,
+  //   offset long, timestamp timestamp, timestampType int
+  // and the serde layer below decodes that frame into ParsedMessage
+  // columns. The decode functions are pure DataFrame→DataFrame — they
+  // work on ANY frame with binary key/value columns, so they are fully
+  // testable without a broker (KafkaSerdeSpec builds wire frames from
+  // memory streams); only `kafkaStream`/`kafkaBatch` need the
+  // spark-sql-kafka connector jar on the classpath.
+
+  /** Kafka metadata columns we pass through when the input frame has
+    * them (a hand-built test frame may not).
+    */
+  private val KafkaMeta = Seq("topic", "partition", "offset", "timestamp")
+
+  /** True iff the spark-sql-kafka connector is on the classpath. The
+    * offline build container does not ship it, so broker-touching specs
+    * gate on this; on a real cluster submit with
+    * `--packages org.apache.spark:spark-sql-kafka-0-10_2.13:<version>`.
+    */
+  def kafkaAvailable: Boolean =
+    try { Class.forName("org.apache.spark.sql.kafka010.KafkaSourceProvider"); true }
+    catch { case _: ClassNotFoundException => false }
+
+  private def requireKafka(): Unit =
+    if (!kafkaAvailable)
+      throw new IllegalStateException(
+        "the spark-sql-kafka connector is not on the classpath; submit with " +
+          "--packages org.apache.spark:spark-sql-kafka-0-10_2.13:<spark-version>")
+
+  /** Streaming Kafka topic source → raw wire frame (reference consumer,
+    * example/shakespeare_consumer.rs:28-36). Decode with
+    * [[fromKafkaRaw]] / [[fromKafkaJson]].
+    */
+  def kafkaStream(spark: SparkSession, bootstrap: String, topic: String,
+      startingOffsets: String = "latest"): DataFrame = {
+    requireKafka()
     spark.readStream
       .format("kafka")
       .option("kafka.bootstrap.servers", bootstrap)
       .option("subscribe", topic)
+      .option("startingOffsets", startingOffsets)
       .load()
+  }
+
+  /** Batch read of a topic's current contents — the bounded replay a
+    * backfill job runs over the same wire frame the stream sees.
+    */
+  def kafkaBatch(spark: SparkSession, bootstrap: String, topic: String): DataFrame = {
+    requireKafka()
+    spark.read
+      .format("kafka")
+      .option("kafka.bootstrap.servers", bootstrap)
+      .option("subscribe", topic)
+      .load()
+  }
+
+  /** Decode a Kafka wire frame's key/value bytes as UTF-8 strings —
+    * the reference's raw-bytes path (shakespeare: key = source file,
+    * value = one word; example/shakespeare_loader.rs:43-53). Passes
+    * through whichever Kafka metadata columns the frame carries.
+    */
+  def fromKafkaRaw(frames: DataFrame): DataFrame = {
+    val meta = KafkaMeta.filter(frames.columns.contains).map(col)
+    frames.select(
+      (col("key").cast("string").as("key") +:
+        col("value").cast("string").as("value") +: meta): _*)
+  }
+
+  /** Decode a Kafka wire frame whose value bytes are a JSON document —
+    * the reference's ParsedMessage{key, value: T} JSON serde
+    * (reference src/lib.rs:25-37 from_bytes). `value` becomes a struct
+    * of `valueSchema`; malformed JSON yields null fields (PERMISSIVE
+    * mode — the streaming-safe analogue of the reference's Result).
+    */
+  def fromKafkaJson(frames: DataFrame, valueSchema: DataType): DataFrame = {
+    val meta = KafkaMeta.filter(frames.columns.contains).map(col)
+    frames.select(
+      (col("key").cast("string").as("key") +:
+        from_json(col("value").cast("string"), valueSchema).as("value") +: meta): _*)
+  }
 }
