@@ -107,23 +107,37 @@ object GraftFunctions {
         case _ => throw new IllegalArgumentException("graft_ivf_probes(qv, centroids, nprobe)")
       }))
 
+  // the Misra-Gries heavy-hitters UDAF: the typed Aggregator wraps into
+  // a ScalaAggregator AggregateExpression via functions.udaf, so it can
+  // go through the SAME FunctionRegistry/injectFunction path as the
+  // native expressions — both `GraftFunctions.register(spark)` and
+  // `--conf spark.sql.extensions=graft.GraftExtensions` expose
+  // SELECT graft_heavy_hitters(tok) ... GROUP BY src
+  private val hhName = "graft_heavy_hitters"
+  private def hhInfo = info(classOf[graft.functions.MisraGries], hhName,
+    "_FUNC_(token) - Misra-Gries heavy-hitters sketch (32 counters) as (token, count) pairs")
+  private def hhBuilder: Seq[Expression] => Expression =
+    arity(hhName, 1, "(token)") { args =>
+      org.apache.spark.sql.GraftBridge.aggregatorExpression(
+        new graft.functions.MisraGries(32),
+        org.apache.spark.sql.Encoders.STRING, hhName, args)
+    }
+
   /** Idempotently register all graft SQL functions on a session. */
   def register(spark: SparkSession): Unit = {
     val reg: FunctionRegistry = spark.sessionState.functionRegistry
     fns.foreach { case (name, clazz, usage, builder) =>
       reg.registerFunction(FunctionIdentifier(name), info(clazz, name, usage), builder)
     }
-    // the Misra-Gries heavy-hitters UDAF goes through the session UDF
-    // registry (Aggregators are not FunctionRegistry expressions):
-    // SELECT graft_heavy_hitters(tok) ... GROUP BY src
-    spark.udf.register("graft_heavy_hitters",
-      org.apache.spark.sql.functions.udaf(new graft.functions.MisraGries(32)))
+    reg.registerFunction(FunctionIdentifier(hhName), hhInfo, hhBuilder)
   }
 
-  private[graft] def injectInto(ext: org.apache.spark.sql.SparkSessionExtensions): Unit =
+  private[graft] def injectInto(ext: org.apache.spark.sql.SparkSessionExtensions): Unit = {
     fns.foreach { case (name, clazz, usage, builder) =>
       ext.injectFunction((FunctionIdentifier(name), info(clazz, name, usage), builder))
     }
+    ext.injectFunction((FunctionIdentifier(hhName), hhInfo, hhBuilder))
+  }
 }
 
 /** Canonical extensions entry point:

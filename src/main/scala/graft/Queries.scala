@@ -290,6 +290,45 @@ object Queries {
     },
     None)
 
+  /** VERIFIED heavy hitters per source: the deterministic half of the
+    * Misra-Gries contract, made oracle-checkable. MG guarantees every
+    * token with true frequency > n/k appears in its k-counter support
+    * set (only the ESTIMATES are merge-order dependent), so sketch →
+    * exact recount of the ≤k candidates → keep iff count·k > n yields
+    * exactly {token : freq > n/k} — a plain SQL set. Scale shape: the
+    * sketch pass moves 32-entry maps per group; the recount pass
+    * semi-joins the corpus against a BROADCAST candidate list (≤ 32 ×
+    * sources rows) — the token universe never shuffles in either pass.
+    */
+  private val qHeavyHittersVerified = GraftQuery(
+    "q_heavy_hitters_verified",
+    (s, dir) => {
+      val k = 32
+      val mg = udaf(new graft.functions.MisraGries(k))
+      def toks = Fence.guard(t(s, dir, "documents")
+          .select(col("source"), TextFns.tokensFast(col("text")).as("__tk"), Fence.col))
+        .select(col("source"), explode(col("__tk")).as("tok"))
+      // one aggregation carries BOTH the sketch and the group total
+      val candidates = toks.groupBy(col("source"))
+        .agg(mg(col("tok")).as("sketch"), count(lit(1)).as("n_tokens"))
+        .select(col("source"), col("n_tokens"), explode(col("sketch")).as("entry"))
+        .select(col("source"), col("n_tokens"), col("entry._1").as("tok"))
+      toks.join(broadcast(candidates), Seq("source", "tok"))
+        .groupBy(col("source"), col("tok"), col("n_tokens"))
+        .agg(count(lit(1)).as("exact_count"))
+        .filter(col("exact_count") * k > col("n_tokens"))
+        .select(col("source"), col("tok").as("token"),
+          col("exact_count"), col("n_tokens"))
+    },
+    Some(s"""WITH tk AS (SELECT source, unnest($toksSql) AS token FROM documents),
+             c AS (SELECT source, token, CAST(count(*) AS BIGINT) AS exact_count
+                   FROM tk GROUP BY source, token),
+             n AS (SELECT source, CAST(count(*) AS BIGINT) AS n_tokens
+                   FROM tk GROUP BY source)
+             SELECT c.source AS source, token, exact_count, n_tokens
+             FROM c JOIN n ON c.source = n.source
+             WHERE exact_count * 32 > n_tokens"""))
+
   /** Approximate value quantiles per event type (Greenwald-Khanna) —
     * the sketch path for percentiles. Rows-only check; accuracy vs the
     * exact quantiles is asserted in SketchSpec.
@@ -3569,6 +3608,13 @@ object Queries {
     * entirely from integer ranks and sums: G·1000 = (2·Σ(i·xᵢ) −
     * (n+1)·Σx)·1000 div (n·Σx) with i the (cents, event_id) rank. One
     * keyed rank window, one aggregation, no floats anywhere.
+    *
+    * Exactness bound: Σ(i·cents) must fit int64, i.e. n²·avg_cents <
+    * 2⁶³ — fine to ~10⁸ rows per event_type at ~10⁴ cents. Beyond
+    * that Spark's non-ANSI sum wraps silently while DuckDB promotes to
+    * HUGEINT, so cross-engine results diverge: for larger groups cast
+    * `__s1`'s operand to decimal(38,0) (costlier, unbounded) before
+    * summing.
     */
   private val qGini = GraftQuery(
     "q_gini",
@@ -3700,10 +3746,14 @@ object Queries {
             FROM m GROUP BY b"""))
 
   /** Trailing-window SPIKE detection per (event_type, day): a day is a
-    * spike when its count exceeds 2× the trailing 7-day average —
-    * decided by exact cross-multiplication (cnt·7 > 2·Σtrail) over a
-    * ROWS frame on the tiny per-day series. The fact table reduces to
-    * (type, day) counts first; everything after runs on days×types.
+    * spike when its count exceeds 2× the trailing average over the 7
+    * most recent OBSERVED days — a ROWS frame on the per-day series,
+    * so zero-event days are absent and after a gap the frame spans
+    * more than 7 calendar days (gap-fill the daily grid first, as
+    * q_gap_fill does, for strict calendar-window semantics). Decided
+    * by exact cross-multiplication (cnt·7 > 2·Σtrail); the fact table
+    * reduces to (type, day) counts first, everything after runs on
+    * days×types.
     */
   private val qSpikes = GraftQuery(
     "q_spikes",
@@ -4675,7 +4725,7 @@ object Queries {
              FROM u"""))
 
   val all: Seq[GraftQuery] = Seq(
-    qMapFilter, qFilterMap, qCycle, qFoldAgg, qDistinctUsers, qTopkPerKey, qPivotCounts, qApproxDistinct, qHeavyHitters, qQuantiles, qQuantilesExact, qTableLatest, qTumbling, qHopping, qLagWindow, qSession,
+    qMapFilter, qFilterMap, qCycle, qFoldAgg, qDistinctUsers, qTopkPerKey, qPivotCounts, qApproxDistinct, qHeavyHitters, qHeavyHittersVerified, qQuantiles, qQuantilesExact, qTableLatest, qTumbling, qHopping, qLagWindow, qSession,
     qIntervalJoin, qStreamTableJoin, qSaltedJoin, qMerge, qSplitBranch, qChunk, qSkipTake, qThrottle,
     qWordcount, qCandles, qCandlesHop, qStratClassify, qAsofJoin,
     q1Pricing, q3Topk, q5Region, q14Promo, q2Mincost, q18Bigorders, q22Churn, q4Semi,

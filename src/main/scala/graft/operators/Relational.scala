@@ -39,13 +39,18 @@ object Relational {
     * bucket-count-row window, broadcast back), then row_number within
     * each bucket: the only per-row movement is one bucket-way hash
     * shuffle. `prefixChars` is the scale knob bounding per-task sort
-    * size: 2 (256 buckets) suits test scale; at 100 TB use 3-4
-    * (4096/65536 buckets) so each bucket's sort fits one task.
+    * size: 2 (256 buckets) suits test scale; at 100 TB, 4-5
+    * (65536/1M buckets) keeps each bucket's sort inside one task. The
+    * default (0 = auto) turns the knob itself from the input count —
+    * smallest width keeping expected bucket size ≤ 10⁶ rows (one scan
+    * count action; the permutation is width-invariant, asserted in
+    * OperatorsSpec, so auto-sizing never changes results).
     */
-  def shuffleOrder(df: DataFrame, idCol: String, prefixChars: Int = 2): DataFrame = {
+  def shuffleOrder(df: DataFrame, idCol: String, prefixChars: Int = 0): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    val chars = if (prefixChars > 0) prefixChars else autoPrefixChars(df.count())
     val h = md5(col(idCol).cast("string"))
-    val base = df.select(col(idCol), h.as("__h"), substring(h, 1, prefixChars).as("__b"))
+    val base = df.select(col(idCol), h.as("__h"), substring(h, 1, chars).as("__b"))
     val offsets = base.groupBy("__b").agg(count(lit(1)).as("__n"))
       .withColumn("__off",
         coalesce(sum(col("__n")).over(
@@ -55,6 +60,17 @@ object Relational {
     base.join(broadcast(offsets), "__b")
       .select(col(idCol),
         (col("__off") + row_number().over(wb) - 1).cast("long").as("pos"))
+  }
+
+  /** Smallest md5-prefix width (2..8 hex chars) whose 16^c buckets keep
+    * the expected per-bucket sort ≤ 10⁶ rows — ~10⁹ rows pick 3, 100 TB
+    * row counts (~10¹¹) pick 5.
+    */
+  private[graft] def autoPrefixChars(n: Long): Int = {
+    var c = 2
+    var buckets = 256L
+    while (c < 8 && n / buckets > 1000000L) { c += 1; buckets *= 16 }
+    c
   }
 
   /** Deterministic stratified sampling: keep a row iff its id's

@@ -164,6 +164,44 @@ object StreamingOps {
       }
   }
 
+  /** TIME-BASED throttle — the reference's StreamExt::throttle
+    * (tokio-stream duration rate limiting) re-expressed per key in
+    * event time: an event is emitted iff at least `intervalUs` has
+    * elapsed since the key's last EMITTED event; closer arrivals drop.
+    * The greedy emit-then-arm rule matches tokio's throttle (the first
+    * element passes immediately and re-arms the interval). State is
+    * ONE timestamp per key (same shape as [[interArrival]]), so key
+    * cardinality scales freely; within a batch events order by
+    * (tsUs, value) like every order-dependent operator here, and the
+    * last-emit timestamp survives micro-batch boundaries and restarts
+    * via the state store. Parity with a greedy batch walk is under
+    * test in StreamingParitySpec.
+    *
+    * Count-based throttle (the reference's every-nth) stays the
+    * [[seqNumbers]] derivation; this is the wall-clock variant SURVEY
+    * row 14b previously waved to trigger intervals.
+    */
+  def throttleTime(stream: Dataset[KeyedEvent], intervalUs: Long): Dataset[KeyedEvent] = {
+    require(intervalUs > 0, s"throttle interval must be positive, got $intervalUs")
+    implicit val outEnc = Encoders.product[KeyedEvent]
+    implicit val stEnc = Encoders.product[LastTs]
+    stream.groupByKey(_.key)(Encoders.scalaLong)
+      .flatMapGroupsWithState[LastTs, KeyedEvent](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout) {
+        (key: Long, events: Iterator[KeyedEvent], state: GroupState[LastTs]) =>
+          // Long.MinValue = nothing emitted yet for this key
+          var lastEmit = state.getOption.map(_.tsUs).getOrElse(Long.MinValue)
+          val out = events.toSeq.sortBy(e => (e.tsUs, e.value)).flatMap { e =>
+            if (lastEmit == Long.MinValue || e.tsUs - lastEmit >= intervalUs) {
+              lastEmit = e.tsUs
+              Some(e)
+            } else None
+          }
+          state.update(LastTs(lastEmit))
+          out.iterator
+      }
+  }
+
   /** A KeyedEvent with its event-time gap (micros) to the previous
     * event of the same key; gapUs = -1 marks the key's first event.
     */
@@ -251,7 +289,8 @@ object StreamingOps {
     * q_heavy_hitters query, REUSING functions.MisraGries's reduce/merge
     * kernel, so batch and streaming share one sketch implementation
     * and one error bound (presence above n/k, undercount ≤ n/k —
-    * asserted against exact counts in StreamStatsSpec). State is k
+    * asserted against exact counts in StreamingParitySpec, with the
+    * merge-tree property test in KernelPropertySpec). State is k
     * counters per group no matter how many distinct tokens stream
     * through; each micro-batch folds its tokens into the state and
     * re-emits the current sketch (Update-mode semantics).

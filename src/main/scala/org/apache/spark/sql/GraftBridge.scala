@@ -9,4 +9,25 @@ import org.apache.spark.sql.catalyst.expressions.Expression
 object GraftBridge {
   def column(e: Expression): Column = classic.ExpressionUtils.column(e)
   def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
+
+  /** Wrap a typed Aggregator as a catalyst AggregateExpression, so a
+    * UDAF can register through the same FunctionRegistry/injectFunction
+    * path as ordinary expressions (the Column-level bridge yields a
+    * lazy, unevaluable node for aggregates).
+    */
+  def aggregatorExpression[IN, BUF, OUT](
+      agg: expressions.Aggregator[IN, BUF, OUT], inputEnc: Encoder[IN],
+      name: String, children: Seq[Expression]): Expression =
+    execution.aggregate.ScalaAggregator(
+      expressions.UserDefinedAggregator(agg, inputEnc, Some(name), true, true),
+      children).toAggregateExpression()
+
+  /** Apply an extensions object's injected functions to a session's
+    * FunctionRegistry — what session construction does with
+    * `spark.sql.extensions`, callable from tests (the conf itself is
+    * static and can't be added to an already-running SparkContext).
+    */
+  def applyInjectedFunctions(ext: SparkSessionExtensions,
+      reg: catalyst.analysis.FunctionRegistry): Unit =
+    ext.registerFunctions(reg)
 }

@@ -126,6 +126,20 @@ class OperatorsSpec extends SparkSpecBase {
     val w3 = Relational.shuffleOrder(docs, "doc_id", prefixChars = 3)
     assert(w2.except(w3).isEmpty && w3.except(w2).isEmpty,
       "widening the bucket prefix changed the global order")
+    // auto width (default) must land on the SAME permutation
+    val wAuto = Relational.shuffleOrder(docs, "doc_id")
+    assert(wAuto.except(w2).isEmpty && w2.except(wAuto).isEmpty,
+      "auto-sized bucket prefix changed the global order")
+  }
+
+  test("autoPrefixChars keeps expected bucket sorts bounded across scales") {
+    // ≤256M rows fit 256 buckets of ≤1M; ~10^9 rows pick 3; a 100 TB
+    // row count (~10^11) picks 5; the width never exceeds 8
+    assert(Relational.autoPrefixChars(60000L) == 2)
+    assert(Relational.autoPrefixChars(256000000L) == 2)
+    assert(Relational.autoPrefixChars(1000000000L) == 3)
+    assert(Relational.autoPrefixChars(100000000000L) == 5)
+    assert(Relational.autoPrefixChars(Long.MaxValue) == 8)
   }
 
   test("asofJoinForward accepts plain numeric timestamps") {

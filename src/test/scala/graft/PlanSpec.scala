@@ -283,10 +283,31 @@ class PlanSpec extends SparkSpecBase {
     // the explode (Generate) must consume an aggregated (deduped) child,
     // not the raw scan: a Generate directly over the events scan would
     // fan out raw events 7x
+    // plan text prints parents before children, so the dedup aggregate
+    // must appear AFTER the Generate (between it and the scan); only
+    // the final count aggregates sit above it. A Generate with no
+    // HashAggregate below it would be fanning out raw events 7x.
     val gen = p.indexOf("Generate explode")
-    val agg = p.indexOf("HashAggregate")
-    assert(gen >= 0 && agg >= 0, p)
+    assert(gen >= 0, p)
+    assert(p.lastIndexOf("HashAggregate") > gen,
+      s"no aggregate below the explode — Generate fans out raw events:\n$p")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("q_curation: single token pass — one tokenize site, bounded exchanges") {
+    val df = Queries.queries("q_curation")(spark, sfDir)
+    // all signals (lang scores, md5 dedup key, quality) stage off ONE
+    // fenced token array: a second tokensexpr site in the optimized
+    // plan means a fence broke and a signal re-tokenizes per row
+    val opt = df.queryExecution.optimizedPlan.toString.toLowerCase
+    for (pat <- Seq("tokensexpr(", "textstats(", "langscores(")) {
+      val cnt = opt.sliding(pat.length).count(_ == pat)
+      assert(cnt == 1, s"'$pat' appears $cnt times (want exactly 1) — fence broken?\n$opt")
+    }
+    // one scan feeding two aggregation shuffles (norm_md5 keeper, then
+    // per-source stats) — any extra exchange is a regression
+    val p = planOf(df)
+    assert("Exchange hashpartitioning".r.findAllIn(p).size <= 2, p)
   }
 
   test("q_global_median: refine pass ranks ONLY the median bucket — window keyed, not global") {

@@ -36,8 +36,22 @@ class SourcesSpec extends SparkSpecBase {
   }
 
   test("sessions created via GraftExtensions conf expose graft SQL functions") {
-    // same mechanism spark.sql.extensions uses, applied to our extensions class
+    // the cluster-wide --conf spark.sql.extensions=graft.GraftExtensions
+    // path: session construction applies the injected functions to the
+    // session's FunctionRegistry. The conf is STATIC (can't be set on
+    // the test JVM's running context), so drive the same mechanism by
+    // hand onto a fresh session's registry — both the native
+    // expressions AND the heavy-hitters UDAF must resolve without any
+    // register() call.
     val ext = new org.apache.spark.sql.SparkSessionExtensions
-    new GraftExtensions().apply(ext) // must not throw; registration path covered in OperatorsSpec
+    new GraftExtensions().apply(ext)
+    val s2 = spark.newSession()
+    org.apache.spark.sql.GraftBridge.applyInjectedFunctions(
+      ext, s2.sessionState.functionRegistry)
+    assert(s2.sql("SELECT graft_simhash32(array('a','b'))").collect().length == 1)
+    val hh = s2.sql(
+      "SELECT graft_heavy_hitters(t) AS sk FROM VALUES ('x'), ('x'), ('y') AS v(t)")
+      .collect()
+    assert(hh.length == 1 && !hh(0).isNullAt(0))
   }
 }

@@ -374,6 +374,39 @@ class StreamingParitySpec extends SparkSpecBase {
     assert(got.exists(_._3 == -1L) && got.exists(_._3 > 0L))
   }
 
+  test("streaming time-based throttle rate-limits per key, state carries across micro-batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // 60s interval over mkEvents: key 1 emits at 1s (first), 61s
+    // (gap 60s), drops 62s (gap 1s from last EMIT), emits 200s; key 2
+    // emits at 5s and 65s. The batch split lands between 62s and 200s
+    // so the last-emit timestamp must survive the boundary.
+    val all = mkEvents
+    val (b1, b2) = all.splitAt(3)
+    val ms = MemoryStream[KeyedEvent]
+    val q = StreamingOps.throttleTime(ms.toDS(), 60_000_000L).toDF()
+      .writeStream.format("memory").queryName("t_throttle")
+      .outputMode(OutputMode.Append()).start()
+    ms.addData(b1); q.processAllAvailable()
+    ms.addData(b2); q.processAllAvailable()
+    q.stop()
+    val got = spark.table("t_throttle").select("key", "tsUs")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+    // greedy emit-then-arm ground truth, walked per key in event order
+    val expect = all.groupBy(_.key).toSeq.flatMap { case (k, evs) =>
+      var lastEmit = Long.MinValue
+      evs.sortBy(e => (e.tsUs, e.value)).flatMap { e =>
+        if (lastEmit == Long.MinValue || e.tsUs - lastEmit >= 60_000_000L) {
+          lastEmit = e.tsUs; Some((k, e.tsUs))
+        } else None
+      }
+    }.toSet
+    assert(got == expect)
+    assert(got == Set((1L, 1_000_000L), (1L, 61_000_000L), (1L, 200_000_000L),
+      (2L, 5_000_000L), (2L, 65_000_000L)))
+  }
+
   test("streaming heavyHitters keeps both Misra-Gries bounds across micro-batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
