@@ -21,7 +21,12 @@ object Bench {
     "q_doc_chunks", "q_minhash_est", "q_kmeans_step", "q_pagerank",
     "q2_mincost", "q18_bigorders", "q_chunk_dedup",
     "q6_forecast", "q12_priority", "q19_brackets", "q_mad",
-    "q_global_median", "q_heavy_hitters", "q_rolling_actives", "q_cosine_bands")
+    "q_global_median", "q_heavy_hitters", "q_rolling_actives", "q_cosine_bands",
+    // the three cost profiles the set under-sampled: iterative graph
+    // (star-contraction CC over the session-cached pair mining), as-of
+    // attribution, and explode-heavy gap fill — plus the two-pass
+    // sketch-verify shape
+    "q_dedup_clusters", "q_attribution", "q_gap_fill", "q_heavy_hitters_verified")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
