@@ -118,7 +118,9 @@ object Relational {
     * O(log diameter) rounds on paths (O(log^2 n) worst case), each
     * round two groupBy-min + join shuffles. A 128-node chain converges
     * in 5 rounds where propagation needs 127 (asserted in
-    * OperatorsSpec).
+    * OperatorsSpec); the real sf0.1 simhash graph (311k pairs, one
+    * 4,7xx-node giant component) converges in 3 (measured). Random
+    * graphs are checked against union-find in KernelPropertySpec.
     *
     * Driver involvement per round is one star-shape test (a count) —
     * exact, no signature hashing — so total driver actions are

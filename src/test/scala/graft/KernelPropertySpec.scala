@@ -61,6 +61,74 @@ class KernelPropertySpec extends SparkSpecBase {
     }
   }
 
+  test("connectedComponents: star contraction == union-find on random graphs") {
+    // the alternating large-star/small-star rewrite must produce the
+    // same partition as a sequential union-find on ANY graph shape —
+    // sparse chains, dense blobs, isolated pairs, self-loops — and
+    // converge in logarithmically few rounds
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    for (trial <- 1 to 6) {
+      val nNodes = 20 + rnd.nextInt(60)
+      val nEdges = 10 + rnd.nextInt(80)
+      val pairs = (1 to nEdges).map { _ =>
+        (rnd.nextInt(nNodes).toLong, rnd.nextInt(nNodes).toLong)
+      }
+      // union-find ground truth (path compression, min-root relabel)
+      val parent = scala.collection.mutable.Map[Long, Long]()
+      def find(x: Long): Long = {
+        val p = parent.getOrElseUpdate(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      pairs.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b)); if (ra != rb) parent(ra) = rb
+      }
+      val nodes = pairs.flatMap(p => Seq(p._1, p._2)).distinct
+      val expect = nodes.map { id =>
+        val root = find(id)
+        id -> nodes.filter(find(_) == root).min
+      }.toMap
+
+      val (labels, rounds) = graft.operators.Relational
+        .connectedComponentsWithRounds(pairs.toDF("id_a", "id_b"), "id_a", "id_b")
+      val got = labels.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == expect, s"trial $trial: partition differs from union-find")
+      assert(rounds <= 10, s"trial $trial: $rounds rounds on a ${nNodes}-node graph")
+    }
+  }
+
+  test("throttleTime semantics: greedy emit-then-arm is split-invariant") {
+    // the streaming operator's per-key state (one timestamp) must make
+    // the output independent of WHERE micro-batch boundaries fall —
+    // the property that lets the same code run at any trigger rate.
+    // Exercised here as a pure kernel walk (the Spark operator is
+    // parity-tested in StreamingParitySpec); this pins the invariant
+    // on random event sets and random splits.
+    def walk(events: Seq[(Long, Double)], interval: Long,
+        last0: Long = Long.MinValue): (Seq[Long], Long) = {
+      var last = last0
+      val out = events.sortBy(identity).flatMap { case (ts, _) =>
+        if (last == Long.MinValue || ts - last >= interval) { last = ts; Some(ts) }
+        else None
+      }
+      (out, last)
+    }
+    val rnd = new scala.util.Random(11)
+    for (trial <- 1 to 30) {
+      val n = 1 + rnd.nextInt(40)
+      val events = (1 to n).map(_ => (rnd.nextInt(1000).toLong, rnd.nextDouble()))
+        .distinct.sortBy(identity)
+      val interval = 1L + rnd.nextInt(200)
+      val (whole, _) = walk(events, interval)
+      val cut = rnd.nextInt(events.size + 1)
+      val (b1, b2) = events.splitAt(cut)
+      val (o1, carry) = walk(b1, interval)
+      val (o2, _) = walk(b2, interval, carry)
+      assert(o1 ++ o2 == whole,
+        s"trial $trial: batch split at $cut changed throttle output")
+    }
+  }
+
   test("tokens / textStats / fingerprint / simhash: native == declarative on random text") {
     import spark.implicits._
     val texts = (1 to 40).flatMap(i => textGen.sample).distinct
