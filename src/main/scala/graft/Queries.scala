@@ -3487,6 +3487,9 @@ object Queries {
         .select(explode(col("__tk")).as("token"))
         .groupBy(col("token")).agg(count(lit(1)).as("cnt"))
         .orderBy(col("cnt").desc, col("token")).limit(100)
+      // rank window runs over the post-limit(100) head — 100 rows by
+      // construction, so its single-partition WindowExec warning is
+      // expected and bounded
       counts.withColumn("rank", row_number().over(
         Window.partitionBy(lit(1)).orderBy(col("cnt").desc, col("token"))).cast("long"))
     },
@@ -3805,6 +3808,11 @@ object Queries {
         expr("cast(cast(value as decimal(18,2)) * 100 as bigint)").as("cents"))
       val hist = ev.select(expr("cents div 1000").as("bucket"))
         .groupBy(col("bucket")).agg(count(lit(1)).as("cnt"))
+      // the cumulative walk's unpartitioned window runs over the BUCKET
+      // HISTOGRAM (cardinality = value range / 1000, never the corpus) —
+      // the WindowExec single-partition warning it triggers is expected
+      // and bounded, not a scale bug; the per-row refine pass below is
+      // keyed (PlanSpec pins windowspecdefinition(med_bucket))
       val cum = hist
         .withColumn("cum", sum(col("cnt")).over(
           Window.orderBy(col("bucket")).rowsBetween(Window.unboundedPreceding, 0)))

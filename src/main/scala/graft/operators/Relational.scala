@@ -51,6 +51,9 @@ object Relational {
     val chars = if (prefixChars > 0) prefixChars else autoPrefixChars(df.count())
     val h = md5(col(idCol).cast("string"))
     val base = df.select(col(idCol), h.as("__h"), substring(h, 1, chars).as("__b"))
+    // the offsets window spans only the 16^chars bucket-count rows
+    // (≤65k at width 4) — its single-partition WindowExec warning is
+    // expected and bounded; per-row work stays inside keyed buckets
     val offsets = base.groupBy("__b").agg(count(lit(1)).as("__n"))
       .withColumn("__off",
         coalesce(sum(col("__n")).over(

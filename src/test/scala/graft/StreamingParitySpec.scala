@@ -585,6 +585,34 @@ class StreamingParitySpec extends SparkSpecBase {
     assert(rows == Set((1L, 31_000_000L, 1_000_000L, true)))
   }
 
+  test("throttleTime state survives a query restart from checkpoint (interval stays armed)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val tmp = java.nio.file.Files.createTempDirectory("graft-throttle-ckpt").toString
+    val ms = MemoryStream[KeyedEvent]
+    def start() = StreamingOps.throttleTime(ms.toDS(), 60_000_000L).toDF()
+      .writeStream.outputMode(OutputMode.Append())
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, batchId: Long) =>
+        batch.write.mode("overwrite").parquet(s"$tmp/out/batch_id=$batchId")
+      }
+      .option("checkpointLocation", s"$tmp/ckpt").start()
+
+    // first event emits and arms the 60s interval
+    ms.addData(Seq(KeyedEvent(1L, 1_000_000L, 10.0)))
+    val q1 = start()
+    q1.processAllAvailable(); q1.stop()
+
+    // restart: 30s arrival must still be inside the armed interval
+    // (drop); 61s must pass
+    ms.addData(Seq(KeyedEvent(1L, 31_000_000L, 20.0), KeyedEvent(1L, 61_000_000L, 30.0)))
+    val q2 = start()
+    q2.processAllAvailable(); q2.stop()
+
+    val rows = spark.read.parquet(s"$tmp/out").select("key", "tsUs")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(rows == Set((1L, 1_000_000L), (1L, 61_000_000L)))
+  }
+
   test("incremental minhash dedup drops near-dups within and across micro-batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
