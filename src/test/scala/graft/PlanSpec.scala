@@ -272,6 +272,16 @@ class PlanSpec extends SparkSpecBase {
     assert(!p.contains("Exchange"), p)
   }
 
+  test("q_heavy_hitters_verified: recount joins BROADCAST candidates, token universe never shuffles as a join side") {
+    val p = planOf(Queries.queries("q_heavy_hitters_verified")(spark, sfDir))
+    // the exact-recount pass must join the exploded corpus against the
+    // ≤ 32 x sources candidate list as a broadcast — a shuffled join
+    // here would move the token universe and defeat the sketch's point
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
   test("q_attribution: as-of attribution is the union-merge window — no range join") {
     val p = planOf(Queries.queries("q_attribution")(spark, sfDir))
     assert(p.contains("Window"), p)
