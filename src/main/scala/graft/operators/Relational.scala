@@ -42,9 +42,12 @@ object Relational {
     * size: 2 (256 buckets) suits test scale; at 100 TB, 4-5
     * (65536/1M buckets) keeps each bucket's sort inside one task. The
     * default (0 = auto) turns the knob itself from the input count —
-    * smallest width keeping expected bucket size ≤ 10⁶ rows (one scan
-    * count action; the permutation is width-invariant, asserted in
-    * OperatorsSpec, so auto-sizing never changes results).
+    * smallest width keeping expected bucket size ≤ 10⁶ rows. Auto
+    * sizing runs ONE count action over `df` at construction time (an
+    * extra input pass); when the input has expensive upstream
+    * transforms, cache it first or pass an explicit width. The
+    * permutation is width-invariant (asserted in OperatorsSpec), so
+    * auto-sizing never changes results.
     */
   def shuffleOrder(df: DataFrame, idCol: String, prefixChars: Int = 0): DataFrame = {
     import org.apache.spark.sql.expressions.Window
@@ -185,12 +188,22 @@ object Relational {
     (labels, rounds)
   }
 
-  /** Converged iff the edge set is a disjoint union of stars: no edge
-    * source is any edge's destination (exact two-level test — one
-    * left-semi count, no hash-signature collision risk).
+  /** Converged iff the edge set is a DISJOINT union of stars, which
+    * needs BOTH exact conditions: (1) two-level — no edge source is any
+    * edge's destination; (2) single-parent — no destination carries two
+    * edges. Condition (1) alone accepts two stars sharing a leaf
+    * (e.g. {(0,3),(1,3)}: sources {0,1} never appear as destinations,
+    * yet 3 has two parents and components 0/1 are actually one) — that
+    * under-test stopped the loop early and emitted duplicate,
+    * wrongly-split labels. Both are exact counts, no hash-signature
+    * collision risk.
     */
-  private def isStar(e: DataFrame): Boolean =
-    e.join(e.select(col("b").as("a")).distinct(), Seq("a"), "left_semi").count() == 0L
+  private def isStar(e: DataFrame): Boolean = {
+    val singleParent = e.groupBy("b").agg(count(lit(1)).as("c"))
+      .filter(col("c") > 1).isEmpty
+    singleParent &&
+      e.join(e.select(col("b").as("a")).distinct(), Seq("a"), "left_semi").count() == 0L
+  }
 
   /** Fixed-iteration integer PageRank over an undirected pair list —
     * the centrality score a dedup pipeline uses to pick cluster

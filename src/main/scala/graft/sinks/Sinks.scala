@@ -106,10 +106,7 @@ object Sinks {
     */
   def kafkaStream(df: DataFrame, bootstrap: String, topic: String,
       checkpoint: String): StreamingQuery = {
-    if (!graft.sources.Sources.kafkaAvailable)
-      throw new IllegalStateException(
-        "the spark-sql-kafka connector is not on the classpath; submit with " +
-          "--packages org.apache.spark:spark-sql-kafka-0-10_2.13:<spark-version>")
+    graft.sources.Sources.requireKafka()
     df.writeStream.format("kafka")
       .option("kafka.bootstrap.servers", bootstrap)
       .option("topic", topic)
@@ -121,10 +118,7 @@ object Sinks {
     * reference loader's bounded file→topic replay.
     */
   def kafkaBatch(df: DataFrame, bootstrap: String, topic: String): Unit = {
-    if (!graft.sources.Sources.kafkaAvailable)
-      throw new IllegalStateException(
-        "the spark-sql-kafka connector is not on the classpath; submit with " +
-          "--packages org.apache.spark:spark-sql-kafka-0-10_2.13:<spark-version>")
+    graft.sources.Sources.requireKafka()
     df.write.format("kafka")
       .option("kafka.bootstrap.servers", bootstrap)
       .option("topic", topic)

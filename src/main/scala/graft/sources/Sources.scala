@@ -68,7 +68,7 @@ object Sources {
     try { Class.forName("org.apache.spark.sql.kafka010.KafkaSourceProvider"); true }
     catch { case _: ClassNotFoundException => false }
 
-  private def requireKafka(): Unit =
+  private[graft] def requireKafka(): Unit =
     if (!kafkaAvailable)
       throw new IllegalStateException(
         "the spark-sql-kafka connector is not on the classpath; submit with " +

@@ -10,17 +10,21 @@ object GraftBridge {
   def column(e: Expression): Column = classic.ExpressionUtils.column(e)
   def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
 
-  /** Wrap a typed Aggregator as a catalyst AggregateExpression, so a
+  /** Wrap a typed Aggregator as a catalyst AggregateFunction, so a
     * UDAF can register through the same FunctionRegistry/injectFunction
     * path as ordinary expressions (the Column-level bridge yields a
-    * lazy, unevaluable node for aggregates).
+    * lazy, unevaluable node for aggregates). Returns the BARE
+    * ScalaAggregator — the analyzer's validateFunction applies
+    * toAggregateExpression(isDistinct, filter) itself, which is what
+    * keeps `agg(DISTINCT x)` / `agg(x) FILTER (WHERE ...)` SQL working
+    * (pre-wrapping it here broke both with an AnalysisException).
     */
   def aggregatorExpression[IN, BUF, OUT](
       agg: expressions.Aggregator[IN, BUF, OUT], inputEnc: Encoder[IN],
       name: String, children: Seq[Expression]): Expression =
     execution.aggregate.ScalaAggregator(
       expressions.UserDefinedAggregator(agg, inputEnc, Some(name), true, true),
-      children).toAggregateExpression()
+      children)
 
   /** Apply an extensions object's injected functions to a session's
     * FunctionRegistry — what session construction does with

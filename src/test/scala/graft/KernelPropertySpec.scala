@@ -67,8 +67,11 @@ class KernelPropertySpec extends SparkSpecBase {
     // sparse chains, dense blobs, isolated pairs, self-loops — and
     // converge in logarithmically few rounds
     import spark.implicits._
+    // 25 trials: the round-7 isStar under-test (two-level only, missing
+    // the single-parent condition) failed ~2% of graphs this shape —
+    // 6 trials passed it by luck, 25 would not have
     val rnd = new scala.util.Random(7)
-    for (trial <- 1 to 6) {
+    for (trial <- 1 to 25) {
       val nNodes = 20 + rnd.nextInt(60)
       val nEdges = 10 + rnd.nextInt(80)
       val pairs = (1 to nEdges).map { _ =>

@@ -217,6 +217,26 @@ class OperatorsSpec extends SparkSpecBase {
     assert(got.length == 128 && got.forall(_._2 == 1L))
   }
 
+  test("connectedComponents: two stars sharing a leaf are ONE component (isStar regression)") {
+    import spark.implicits._
+    // {(0,3),(1,3)}: no source appears as a destination, so a
+    // two-level-only convergence test wrongly stops before the first
+    // round — node 3 got TWO label rows and 0/1 split into two
+    // clusters. The single-parent condition forces the round that
+    // merges them.
+    val got = Relational.connectedComponents(
+        Seq((0L, 3L), (1L, 3L)).toDF("id_a", "id_b"), "id_a", "id_b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+    assert(got.length == 3, s"duplicate label rows: ${got.toSeq}")
+    assert(got.toMap == Map(0L -> 0L, 1L -> 0L, 3L -> 0L))
+    // the post-contraction variant of the same shape (review example)
+    val pairs2 = Seq((0L, 4L), (1L, 7L), (3L, 6L), (4L, 7L), (5L, 6L), (5L, 7L))
+      .toDF("id_a", "id_b")
+    val got2 = Relational.connectedComponents(pairs2, "id_a", "id_b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+    assert(got2.length == 7 && got2.forall(_._2 == 0L), got2.toSeq.toString)
+  }
+
   test("connectedComponents: self-loop-only nodes label themselves") {
     import spark.implicits._
     val pairs = Seq((7L, 7L), (1L, 2L)).toDF("id_a", "id_b")

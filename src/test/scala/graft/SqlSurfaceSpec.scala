@@ -37,6 +37,18 @@ class SqlSurfaceSpec extends SparkSpecBase {
         s"(SELECT source, explode($toks) AS tok FROM d) GROUP BY source")
       .collect()
     assert(hh.nonEmpty && hh.forall(!_.isNullAt(1)))
+    // DISTINCT and FILTER modifiers must survive registration: the
+    // builder returns the bare AggregateFunction so the analyzer can
+    // wrap it (pre-wrapping in toAggregateExpression broke both)
+    val hhD = spark.sql(
+      "SELECT graft_heavy_hitters(DISTINCT t) FROM VALUES ('x'),('x'),('y') AS v(t)")
+      .collect()
+    assert(hhD.length == 1 && hhD(0).getSeq[Any](0).length == 2)
+    val hhF = spark.sql(
+      "SELECT graft_heavy_hitters(t) FILTER (WHERE t <> 'y') " +
+        "FROM VALUES ('x'),('x'),('y') AS v(t)")
+      .collect()
+    assert(hhF.length == 1 && hhF(0).getSeq[Any](0).length == 1)
   }
 
   test("wrong arity is a clean usage error, not a raw exception") {
