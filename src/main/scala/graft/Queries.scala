@@ -4732,6 +4732,214 @@ object Queries {
                CAST(n_docs_flagged AS BIGINT) AS n_docs_flagged
              FROM u"""))
 
+  /** SemDeDup semantic dedup report (Abbas et al. 2023): k-means-cell
+    * bucketing (deterministic IVF centroid init, map-only assignment)
+    * then within-cell cosine-τ drop of the higher-id twin — per cell
+    * the member/dropped/kept counts. The cell equi-join IS the
+    * algorithm's published scale shape: kCentroids grows ~√n so cells
+    * stay bounded and no all-pairs join ever exists. τ = 1/4 matches
+    * q_dedup_embed so the two methods' keep-sets are comparable.
+    */
+  private val qSemdedup = GraftQuery(
+    "q_semdedup",
+    (s, dir) => VectorFns.semDedupReport(t(s, dir, "embeddings"), "vec_id", "embedding",
+      tauNum = 1, tauDen = 4),
+    Some(s"""WITH e AS (SELECT vec_id, ${quantSql("embedding")} AS v FROM embeddings),
+             cents AS (SELECT row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), CAST(vec_id AS VARCHAR)) - 1 AS cid, v AS cv
+                       FROM e ORDER BY md5(CAST(vec_id AS VARCHAR)), CAST(vec_id AS VARCHAR) LIMIT 16),
+             d AS (SELECT e.vec_id, cents.cid,
+                     CAST(list_sum(list_transform(range(1, 65), i -> (v[i]-cv[i])*(v[i]-cv[i]))) AS BIGINT) AS d2
+                   FROM e CROSS JOIN cents),
+             assign AS (SELECT vec_id, cid FROM
+                          (SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn FROM d)
+                        WHERE rn = 1),
+             av AS (SELECT a.vec_id AS id, a.cid, e.v,
+                      CAST(list_sum(list_transform(range(1, 65), i -> e.v[i] * e.v[i])) AS BIGINT) AS nrm
+                    FROM assign a JOIN e ON a.vec_id = e.vec_id),
+             dropped AS (SELECT DISTINCT x.cid, y.id AS id_b
+                         FROM av x JOIN av y ON x.cid = y.cid AND x.id < y.id
+                         WHERE CAST(list_sum(list_transform(range(1, 65), i -> x.v[i] * y.v[i])) AS BIGINT) > 0
+                           AND 16 * CAST(list_sum(list_transform(range(1, 65), i -> x.v[i] * y.v[i])) AS BIGINT)
+                                  * CAST(list_sum(list_transform(range(1, 65), i -> x.v[i] * y.v[i])) AS BIGINT)
+                               >= x.nrm * y.nrm),
+             m AS (SELECT cid, CAST(count(*) AS BIGINT) AS n_members FROM assign GROUP BY 1),
+             dr AS (SELECT cid, CAST(count(*) AS BIGINT) AS n_dropped FROM dropped GROUP BY 1)
+             SELECT CAST(m.cid AS BIGINT) AS cid, n_members,
+               COALESCE(n_dropped, 0) AS n_dropped,
+               n_members - COALESCE(n_dropped, 0) AS n_kept
+             FROM m LEFT JOIN dr ON m.cid = dr.cid"""))
+
+  /** CCNet-style fluency bucketing (Wenzek et al. 2020): per-language
+    * head/middle/tail tertiles of the exact bigram-LM fluency score
+    * (q_bigram_lm's integer kernel — higher mean p(y|x) = tier 1), with
+    * per-(lang, tier) doc counts and the tier's score bounds — the cut
+    * table the perplexity filter of a CCNet-style corpus pipeline
+    * publishes. Tertile assignment is ntile(3) over a per-language
+    * keyed window with a doc_id tiebreak (deterministic, engine-
+    * portable); at 100 TB the keyed window is replaced by a GK-sketch
+    * tertile cut + map-side label join — documented, same output
+    * contract.
+    */
+  private val qPplBuckets = GraftQuery(
+    "q_ppl_buckets",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val docs = t(s, dir, "documents")
+      def toksOf = Fence.guard(
+        docs.select(col("doc_id"), TextFns.tokensFast(col("text")).as("__toks"), Fence.col))
+      val bi = toksOf
+        .filter(size(col("__toks")) >= 2)
+        .select(col("doc_id"), explode(arrays_zip(
+          slice(col("__toks"), lit(1), size(col("__toks")) - 1),
+          slice(col("__toks"), lit(2), size(col("__toks")) - 1))).as("p"))
+        .select(col("doc_id"), col("p.0").as("x"), col("p.1").as("y"))
+      val bc = bi.groupBy("x", "y").agg(count(lit(1)).as("c_xy"))
+      val uni = toksOf
+        .select(explode(col("__toks")).as("term"))
+        .groupBy("term").agg(count(lit(1)).as("c_x"))
+      val perDoc = bi.join(bc, Seq("x", "y"))
+        .join(uni, col("x") === col("term"))
+        .select(col("doc_id"), expr("(c_xy * 1000) div c_x").as("__p"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("__nb"), sum(col("__p")).as("__sum"))
+        .select(col("doc_id"), expr("__sum div __nb").as("lm_milli"))
+      val w = Window.partitionBy("lang").orderBy(col("lm_milli").desc, col("doc_id"))
+      perDoc.join(docs.select(col("doc_id"), col("lang")), Seq("doc_id"))
+        .withColumn("tier", ntile(3).over(w).cast("long"))
+        .groupBy(col("lang"), col("tier"))
+        .agg(count(lit(1)).as("n_docs"),
+          min(col("lm_milli")).as("lo_milli"), max(col("lm_milli")).as("hi_milli"))
+    },
+    Some(s"""WITH t0 AS (SELECT doc_id, $toksSql AS tk FROM documents),
+             pr AS (SELECT doc_id, unnest(list_transform(range(0, len(tk) - 1),
+                      i -> [tk[i+1], tk[i+2]])) AS p
+                    FROM t0 WHERE len(tk) >= 2),
+             bi AS (SELECT doc_id, p[1] AS x, p[2] AS y FROM pr),
+             bc AS (SELECT x, y, count(*) AS c_xy FROM bi GROUP BY 1, 2),
+             un AS (SELECT unnest(tk) AS term FROM t0),
+             uc AS (SELECT term, count(*) AS c_x FROM un GROUP BY 1),
+             pd AS (SELECT doc_id, count(*) AS nb, sum((c_xy * 1000) // c_x) AS sm
+                    FROM bi JOIN bc USING (x, y) JOIN uc ON bi.x = uc.term
+                    GROUP BY 1),
+             sc AS (SELECT doc_id, CAST(sm // nb AS BIGINT) AS lm_milli FROM pd),
+             tt AS (SELECT d.lang, sc.doc_id, lm_milli,
+                      ntile(3) OVER (PARTITION BY d.lang ORDER BY lm_milli DESC, sc.doc_id) AS tier
+                    FROM sc JOIN documents d USING (doc_id))
+             SELECT lang, CAST(tier AS BIGINT) AS tier, CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(min(lm_milli) AS BIGINT) AS lo_milli, CAST(max(lm_milli) AS BIGINT) AS hi_milli
+             FROM tt GROUP BY 1, 2"""))
+
+  /** Gopher duplicate-n-gram signal (Rae et al. 2021 §A1.1): per doc
+    * the fraction of word-trigram INSTANCES whose trigram occurs ≥ 2
+    * times within that doc, in exact milli-units — the within-document
+    * repetition filter ("fraction of chars in duplicate n-grams"
+    * family) that complements the corpus-level dedup queries. One
+    * token pass (fenced), explode to trigram instances, two partial-agg
+    * shuffles both keyed by doc_id — the second reuses the first's
+    * exchange prefix. All quantities are positive integers, so Spark
+    * `div` (truncate) and DuckDB `//` (floor) agree.
+    */
+  private val qDupNgram = GraftQuery(
+    "q_dup_ngram",
+    (s, dir) => {
+      val tri = Fence.guard(
+          t(s, dir, "documents")
+            .select(col("doc_id"), TextFns.tokensFast(col("text")).as("__toks"), Fence.col))
+        .filter(size(col("__toks")) >= 3)
+        .select(col("doc_id"), explode(arrays_zip(
+          slice(col("__toks"), lit(1), size(col("__toks")) - 2),
+          slice(col("__toks"), lit(2), size(col("__toks")) - 2),
+          slice(col("__toks"), lit(3), size(col("__toks")) - 2))).as("p"))
+        .select(col("doc_id"), concat_ws(" ", col("p.0"), col("p.1"), col("p.2")).as("tri"))
+      tri.groupBy("doc_id", "tri").agg(count(lit(1)).as("__c"))
+        .groupBy("doc_id")
+        .agg(sum(col("__c")).as("n_tri"),
+          sum(when(col("__c") >= 2, col("__c")).otherwise(lit(0L))).as("dup_tri"))
+        .select(col("doc_id"), col("n_tri"), col("dup_tri"),
+          expr("(dup_tri * 1000) div n_tri").as("dup_milli"))
+    },
+    Some(s"""WITH t0 AS (SELECT doc_id, $toksSql AS tk FROM documents),
+             tr AS (SELECT doc_id, unnest(list_transform(range(0, len(tk) - 2),
+                      i -> array_to_string(list_slice(tk, i + 1, i + 3), ' '))) AS tri
+                    FROM t0 WHERE len(tk) >= 3),
+             c AS (SELECT doc_id, tri, count(*) AS c FROM tr GROUP BY 1, 2)
+             SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tri,
+               CAST(sum(CASE WHEN c >= 2 THEN c ELSE 0 END) AS BIGINT) AS dup_tri,
+               CAST((sum(CASE WHEN c >= 2 THEN c ELSE 0 END) * 1000) // sum(c) AS BIGINT) AS dup_milli
+             FROM c GROUP BY doc_id"""))
+
+  /** BM25 relevance of every document against a fixed query term set,
+    * in the same log-free integer-skeleton style as q_bigram_lm: the
+    * Robertson idf (N-df+0.5)/(df+0.5) becomes the exact rational
+    * (2(N-df)+1)/(2df+1) in milli-units, and the tf saturation
+    * tf·(k1+1)/(tf + k1·(1-b+b·dl/avgdl)) is evaluated with k1=1.2,
+    * b=0.75 as scaled integers with explicit floor division at each
+    * step — every quantity positive, so Spark `div` and DuckDB `//`
+    * agree bit-for-bit. The retrieval-scoring counterpart of
+    * q_inverted_index: contamination probes and query-relevance
+    * curation both rank with exactly this shape.
+    *
+    * Scale shape: two runtime token passes total (the bigram-lm
+    * budget). The instance pass explodes and filters to the literal
+    * query-term set BEFORE its shuffle, so only (doc, term) partials
+    * travel, and df reuses the tf exchange. The doc-length pass
+    * collapses to a (doc_id, dl) projection pinned on one
+    * repartition(doc_id) exchange that BOTH the score join and the
+    * corpus-scalar aggregate reuse — shuffling 16 bytes/doc instead of
+    * tokenizing twice more or re-shuffling the token arrays. The
+    * corpus scalars (N, avgdl) ride a 1-row broadcast — no global
+    * sort, no all-pairs anything.
+    * Exactness bound: idf_milli·tf·2200 ≲ 2000·N·tf_max·2200 must fit
+    * int64 → safe to N ≈ 10¹² docs at tf ≤ 2000; past that, scale idf
+    * to micro- instead of milli-units or sum via decimal(38,0).
+    */
+  private val qBm25 = GraftQuery(
+    "q_bm25",
+    (s, dir) => {
+      val qterms = Seq("spark", "table", "fast", "query")
+      val docs = t(s, dir, "documents")
+      def toksOf = Fence.guard(
+        docs.select(col("doc_id"), TextFns.tokensFast(col("text")).as("__toks"), Fence.col))
+      val dl = toksOf.select(col("doc_id"), size(col("__toks")).cast("long").as("dl"))
+        .repartition(col("doc_id"))
+      val tf = toksOf.select(col("doc_id"), explode(col("__toks")).as("term"))
+        .filter(col("term").isin(qterms: _*))
+        .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+      val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+      val corpus = dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("__tot"))
+        .select(col("n_docs"), expr("(__tot * 1000) div n_docs").as("avgdl_milli"))
+      tf.join(df, Seq("term"))
+        .join(dl, Seq("doc_id"))
+        .crossJoin(broadcast(corpus))
+        .select(col("doc_id"),
+          expr("((2 * (n_docs - df) + 1) * 1000) div (2 * df + 1)").as("__idf_milli"),
+          expr("250 + (750 * ((dl * 1000000) div avgdl_milli)) div 1000").as("__norm_milli"),
+          col("tf"))
+        .select(col("doc_id"),
+          expr("(__idf_milli * tf * 2200) div (tf * 1000 + (1200 * __norm_milli) div 1000)")
+            .as("__term_score"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_hit_terms"), sum(col("__term_score")).as("bm25_milli"))
+    },
+    Some(s"""WITH t0 AS (SELECT doc_id, $toksSql AS tk FROM documents),
+             dl AS (SELECT doc_id, CAST(len(tk) AS BIGINT) AS dl FROM t0),
+             inst AS (SELECT doc_id, unnest(tk) AS term FROM t0),
+             tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+                    FROM inst WHERE term IN ('spark', 'table', 'fast', 'query')
+                    GROUP BY 1, 2),
+             df AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+             corpus AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+                          CAST((sum(dl) * 1000) // count(*) AS BIGINT) AS avgdl_milli
+                        FROM dl),
+             sc AS (SELECT doc_id,
+                      ((2 * (n_docs - df) + 1) * 1000) // (2 * df + 1) AS idf_milli,
+                      250 + (750 * ((dl * 1000000) // avgdl_milli)) // 1000 AS norm_milli,
+                      tf
+                    FROM tf JOIN df USING (term) JOIN dl USING (doc_id) CROSS JOIN corpus)
+             SELECT doc_id, CAST(count(*) AS BIGINT) AS n_hit_terms,
+               CAST(sum((idf_milli * tf * 2200) // (tf * 1000 + (1200 * norm_milli) // 1000)) AS BIGINT) AS bm25_milli
+             FROM sc GROUP BY doc_id"""))
+
   val all: Seq[GraftQuery] = Seq(
     qMapFilter, qFilterMap, qCycle, qFoldAgg, qDistinctUsers, qTopkPerKey, qPivotCounts, qApproxDistinct, qHeavyHitters, qHeavyHittersVerified, qQuantiles, qQuantilesExact, qTableLatest, qTumbling, qHopping, qLagWindow, qSession,
     qIntervalJoin, qStreamTableJoin, qSaltedJoin, qMerge, qSplitBranch, qChunk, qSkipTake, qThrottle,
@@ -4754,7 +4962,8 @@ object Queries {
     qIqr, qSpikes, qBootstrap, qTwap, qCandleReturns, qLifespan, qZipfTop,
     qChurnUsers, qDauMa, qGini, qDaypart, qConversionLag,
     qDedupSurvivors, qRunningStats, qSpanDedup, qTermScrub, qValueHistogram,
-    qBigramLift, qBigramLm, qOutliers, qTokenBudget, qRollupStats, qTimeWindowSum,
+    qBigramLift, qBigramLm, qPplBuckets, qDupNgram, qSemdedup, qBm25,
+    qOutliers, qTokenBudget, qRollupStats, qTimeWindowSum,
     qProfile, qStratifiedSample, qAsofForward, qScd2, qPairCuration, qWindowTopk,
     qRunningDistinct, qFirstSeen, qDedupDegree, qDecileBin,
     qTokenCount, qFingerprint, qMultimodalMeta,

@@ -247,6 +247,48 @@ object VectorFns {
       .select(col("id_a"), col("id_b"), col("dot"))
   }
 
+  /** SemDeDup-style semantic dedup report (Abbas et al. 2023,
+    * arXiv:2303.09540): assign every vector to its nearest of
+    * `kCentroids` deterministic centroids (map-only — centroids ride
+    * in the plan as a literal), then WITHIN each cell drop
+    * any vector whose exact quantized cosine to a lower-id cell-mate
+    * clears τ = tauNum/tauDen. Per cell: member/dropped/kept counts.
+    *
+    * The within-cell self-join is the algorithm's actual shape: a
+    * production run scales kCentroids with corpus size (√n is the
+    * usual rule) so cells stay O(√n) and the per-cell pair count stays
+    * bounded — candidates arrive via the cid equi-join, never
+    * all-pairs. The threshold test is pure integer arithmetic
+    * (tauDen²·dot² ≥ tauNum²·‖a‖²·‖b‖², dot > 0), engine-portable.
+    * Both join sides share one fenced assignment exchange
+    * (ReusedExchange), so scan + quantize + assign run once.
+    */
+  def semDedupReport(corpus: DataFrame, idCol: String, vecCol: String,
+      tauNum: Int, tauDen: Int, kCentroids: Int = 16): DataFrame = {
+    val cents = typedLit(ivfCentroids(corpus, idCol, vecCol, kCentroids))
+    val a = Fence.guard(Fence.guard(
+        corpus.select(col(idCol).as("id"), quantizeFast(col(vecCol)).as("qv"), Fence.col))
+      .select(col("id"), col("qv"),
+        element_at(ivfProbesFast(col("qv"), cents, 1), 1).as("cid"), Fence.col))
+      .select(col("id"), col("qv"), col("cid"),
+        qdotFast(col("qv"), col("qv")).as("nrm"))
+      .repartition(col("cid"))
+    val dropped = a.as("a").hint("shuffle_hash").join(a.as("b").hint("shuffle_hash"),
+        col("a.cid") === col("b.cid") && col("a.id") < col("b.id"))
+      .select(col("b.cid").as("cid"), col("b.id").as("id_b"),
+        qdotFast(col("a.qv"), col("b.qv")).as("dot"),
+        col("a.nrm").as("na"), col("b.nrm").as("nb"))
+      .filter(col("dot") > 0 &&
+        col("dot") * col("dot") * (tauDen.toLong * tauDen) >=
+          col("na") * col("nb") * (tauNum.toLong * tauNum))
+      .select(col("cid"), col("id_b")).distinct()
+    a.groupBy("cid").agg(count(lit(1)).as("n_members"))
+      .join(dropped.groupBy("cid").agg(count(lit(1)).as("n_dropped")), Seq("cid"), "left")
+      .select(col("cid").cast("long").as("cid"), col("n_members"),
+        coalesce(col("n_dropped"), lit(0L)).as("n_dropped"),
+        (col("n_members") - coalesce(col("n_dropped"), lit(0L))).as("n_kept"))
+  }
+
   /** UN-thresholded LSH candidate pairs with exact integer dot and
     * norms — the input for threshold-TUNING analyses (q_cosine_bands):
     * same fenced / shared-exchange shape as cosineNearDupPairs, but

@@ -622,6 +622,77 @@ object StreamingOps {
     }
   }
 
+  /** Incremental SEMANTIC dedup for an embedding stream — the streaming
+    * twin of VectorFns.semDedupReport's drop rule, via the same
+    * foreachBatch pattern as dedupMinhashIncremental: per micro-batch,
+    *  1. quantize each vector and assign it to its k-means cell — the
+    *     centroid table is a FIXED plan literal (a production pipeline
+    *     trains centroids offline and ships them with the job; letting
+    *     them drift per batch would silently re-bucket history);
+    *  2. drop vectors whose exact quantized cosine to a HISTORY keeper
+    *     in the same cell, or to a smaller-id same-cell batch-mate,
+    *     clears τ = tauNum/tauDen (one-pass greedy policy, decided in
+    *     pure integer arithmetic — same test as the batch operator);
+    *  3. append the survivors' (id, cid, qv, nrm) to the history table.
+    * History is cell-keyed parquet, so the collision check is an
+    * equi-join on cid — never all-pairs — and grows only by survivors;
+    * at scale the history table would be bucketed on cid for a
+    * co-located join. Per-batch subdirectories + overwrite make the
+    * at-least-once replay idempotent, and history reads filter
+    * batch_id < batchId so a replayed batch never collides with its
+    * own crashed attempt's output.
+    */
+  def semDedupIncremental(stream: DataFrame, idCol: String, vecCol: String,
+      centroids: Seq[Seq[Long]], tauNum: Int, tauDen: Int,
+      historyDir: String, survivorsDir: String): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    stream.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      val spark = batch.sparkSession
+      import graft.functions.{Fence, VectorFns}
+      val cents = typedLit(centroids)
+      val sigs = Fence.guard(Fence.guard(
+          batch.select(col(idCol).as("id"), VectorFns.quantizeFast(col(vecCol)).as("qv"), Fence.col))
+        .select(col("id"), col("qv"),
+          element_at(VectorFns.ivfProbesFast(col("qv"), cents, 1), 1).as("cid"), Fence.col))
+        .select(col("id"), col("qv"), col("cid"),
+          VectorFns.qdotFast(col("qv"), col("qv")).as("nrm"))
+        .cache()
+      def near(df: DataFrame): DataFrame = df
+        .select(col("a.id").as("id"),
+          VectorFns.qdotFast(col("a.qv"), col("b.qv")).as("dot"),
+          col("a.nrm").as("na"), col("b.nrm").as("nb"))
+        .filter(col("dot") > 0 &&
+          col("dot") * col("dot") * (tauDen.toLong * tauDen) >=
+            col("na") * col("nb") * (tauNum.toLong * tauNum))
+        .select("id").distinct()
+      try {
+        val histPath = new org.apache.hadoop.fs.Path(historyDir)
+        val fs = histPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val hist =
+          if (!fs.exists(histPath))
+            spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+              org.apache.spark.sql.types.StructType(Seq(
+                org.apache.spark.sql.types.StructField("id", org.apache.spark.sql.types.LongType),
+                org.apache.spark.sql.types.StructField("cid", org.apache.spark.sql.types.LongType),
+                org.apache.spark.sql.types.StructField("qv",
+                  org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.LongType)),
+                org.apache.spark.sql.types.StructField("nrm", org.apache.spark.sql.types.LongType))))
+          else spark.read.parquet(historyDir).filter(col("batch_id") < batchId)
+        val vsHist = near(sigs.as("a").join(hist.select("cid", "qv", "nrm").as("b"),
+          col("a.cid") === col("b.cid")))
+        val inBatch = near(sigs.as("a").join(sigs.as("b"),
+          col("a.cid") === col("b.cid") && col("a.id") > col("b.id")))
+        val dupIds = vsHist.union(inBatch).distinct()
+        val survivors = sigs.join(dupIds, Seq("id"), "left_anti").cache()
+        try {
+          survivors.select("id", "cid").write.mode("overwrite")
+            .parquet(s"$survivorsDir/batch_id=$batchId")
+          survivors.select("id", "cid", "qv", "nrm").write.mode("overwrite")
+            .parquet(s"$historyDir/batch_id=$batchId")
+        } finally { survivors.unpersist(); () }
+      } finally { sigs.unpersist(); () }
+    }
+  }
+
   /** Streaming exact dedup: emit only the first event per dedup key.
     * `dropDuplicatesWithinWatermark` keeps seen-keys state only until
     * the watermark passes them — the 100 TB shape for an infinite

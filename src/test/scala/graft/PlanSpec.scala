@@ -135,6 +135,19 @@ class PlanSpec extends SparkSpecBase {
       "q_bigram_lift" -> 4, "q_minhash_est" -> 4, "q_bigram_lm" -> 4,
       "q_containment" -> 4, "q_jaccard_bands" -> 4,
       "q_decontam" -> 3,
+      // ppl-buckets rides the bigram-lm kernel: instance stream + its
+      // (x,y) aggregation share one runtime exchange (2 logical
+      // copies) + the unigram branch (1)
+      "q_ppl_buckets" -> 3,
+      // semdedup references the fenced quantize+assign subtree three
+      // times (pair join a/b sides + the member count), all riding the
+      // single repartition(cid) exchange at runtime
+      "q_semdedup" -> 3,
+      // bm25 = two runtime tokenizes: the (doc_id, dl) projection is
+      // pinned on a repartition(doc_id) exchange shared by the score
+      // join and the corpus scalars (2 logical copies), and df reuses
+      // the tf exchange (2 more)
+      "q_bm25" -> 4,
       // q_dedup_report reads each candidate join twice (pair count +
       // flagged-doc count): 2 self-join copies × 2 references
       "q_dedup_report" -> 4,
@@ -418,6 +431,27 @@ class PlanSpec extends SparkSpecBase {
   test("q_triangles: wedge + closing joins are equi-joins, never all-pairs") {
     val p = planOf(Queries.queries("q_triangles")(spark, sfDir))
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("q_semdedup: within-cell pairs via cid equi-join, never all-pairs; one shared assignment exchange") {
+    val p = planOf(Queries.queries("q_semdedup")(spark, sfDir))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    // candidate generation must be the cid equi-join (both self-join
+    // sides sit on repartition(cid) exchanges — logical twins that
+    // AQE's runtime exchange reuse collapses to one, as in the other
+    // shared-exchange self-joins; see the fence test note)
+    assert(p.contains("ShuffledHashJoin [cid") || p.contains("SortMergeJoin [cid"), p)
+  }
+
+  test("q_dup_ngram: both aggregations ride the doc_id key — no join, no window") {
+    val p = planOf(Queries.queries("q_dup_ngram")(spark, sfDir))
+    assert(!p.contains("Join") && !p.contains("Window"), p)
+  }
+
+  test("q_ppl_buckets: tier window is keyed by lang, never a global single-partition sort") {
+    val p = planOf(Queries.queries("q_ppl_buckets")(spark, sfDir))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("Exchange SinglePartition"), p)
   }
 
   test("q_kanon: suppression join is hash-partitioned on the group key, never nested-loop") {

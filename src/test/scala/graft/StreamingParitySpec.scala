@@ -637,6 +637,39 @@ class StreamingParitySpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("incremental semantic dedup drops cosine twins within and across micro-batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val tmp = java.nio.file.Files.createTempDirectory("graft-isemdedup").toString
+    // two fixed well-separated centroids (offline-trained in production)
+    val cents = Seq(Seq(1000L, 0L, 0L, 0L), Seq(0L, 1000L, 0L, 0L))
+    val ms = MemoryStream[(Long, Array[Float])]
+    val writer = StreamingOps.semDedupIncremental(
+      ms.toDF().toDF("vec_id", "embedding"), "vec_id", "embedding",
+      cents, tauNum = 9, tauDen = 10,
+      s"$tmp/history", s"$tmp/survivors")
+    val q = writer.option("checkpointLocation", s"$tmp/ckpt").start()
+    try {
+      val a  = Array(1.0f, 0.05f, 0f, 0f)   // cell 0
+      val a2 = Array(0.999f, 0.06f, 0f, 0f) // cos(a, a2) ≈ 1 > 0.9
+      val b  = Array(0.05f, 1.0f, 0f, 0f)   // cell 1; cos(a, b) ≈ 0.1
+      // batch 1: 1 and its near-twin 2 land in cell 0 → only 1 survives
+      ms.addData((1L, a), (2L, a2))
+      q.processAllAvailable()
+      // batch 2: 3 is a twin of history keeper 1 → dropped; 4 is the
+      // first vector of cell 1 → survives
+      ms.addData((3L, a2), (4L, b))
+      q.processAllAvailable()
+      val survivors = spark.read.parquet(s"$tmp/survivors")
+        .select("id").collect().map(_.getLong(0)).toSet
+      assert(survivors == Set(1L, 4L))
+      // history carries one keeper per survivor, keyed by cell
+      val hist = spark.read.parquet(s"$tmp/history")
+        .select("id", "cid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(hist == Set((1L, 0L), (4L, 1L)))
+    } finally q.stop()
+  }
+
   test("streaming chunkDocs matches batch chunking (stateless transform, append mode)") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
