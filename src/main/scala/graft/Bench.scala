@@ -26,7 +26,11 @@ object Bench {
     // (star-contraction CC over the session-cached pair mining), as-of
     // attribution, and explode-heavy gap fill — plus the two-pass
     // sketch-verify shape
-    "q_dedup_clusters", "q_attribution", "q_gap_fill", "q_heavy_hitters_verified")
+    "q_dedup_clusters", "q_attribution", "q_gap_fill", "q_heavy_hitters_verified",
+    // round-7 additions: cell-bucketed semantic dedup self-join,
+    // keyed-ntile bucketing over the bigram-LM kernel, doc_id-keyed
+    // trigram repetition, and the two-pass BM25 shape
+    "q_semdedup", "q_ppl_buckets", "q_dup_ngram", "q_bm25")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -100,6 +100,48 @@ class KernelPropertySpec extends SparkSpecBase {
     }
   }
 
+  test("semDedupReport: cell assignment + cosine drop == brute-force reference on random vectors") {
+    // the report's three claims — (d2, cid)-ordered cell assignment,
+    // the integer cosine-τ drop against ANY smaller-id cell-mate, and
+    // members = dropped + kept per cell — checked against a sequential
+    // O(n²) reference on random low-dim vectors (low dims make cosine
+    // collisions frequent, so the drop path is actually exercised)
+    import spark.implicits._
+    val rnd = new scala.util.Random(13)
+    for (trial <- 1 to 10) {
+      val n = 20 + rnd.nextInt(40)
+      val dims = 4 + rnd.nextInt(3)
+      val vecs = (0 until n).map(i => (i.toLong * 3 + 1, Array.fill(dims)(rnd.nextFloat() * 2 - 1)))
+      val df = vecs.toDF("vec_id", "embedding")
+      val cents = VectorFns.ivfCentroids(df, "vec_id", "embedding", 4)
+      def q(v: Array[Float]): Array[Long] = v.map(x => math.floor(x.toDouble * 1000).toLong)
+      def d2(a: Array[Long], c: Seq[Long]): Long =
+        a.zip(c).map { case (x, y) => (x - y) * (x - y) }.sum
+      def dot(a: Array[Long], b: Array[Long]): Long =
+        a.zip(b).map { case (x, y) => x * y }.sum
+      val qv = vecs.map { case (id, v) => id -> q(v) }.toMap
+      val cid = qv.map { case (id, v) =>
+        id -> cents.zipWithIndex.map { case (c, i) => (d2(v, c), i.toLong) }.min._2
+      }
+      val droppedRef = qv.keys.filter { b =>
+        qv.keys.exists(a => a < b && cid(a) == cid(b) && {
+          val d = dot(qv(a), qv(b))
+          val (na, nb) = (dot(qv(a), qv(a)), dot(qv(b), qv(b)))
+          d > 0 && d * d * 4 >= na * nb // τ = 1/2
+        })
+      }.toSet
+      val expect = cid.groupBy(_._2).map { case (c, m) =>
+        val members = m.keys.toSet
+        val dr = members.count(droppedRef).toLong
+        c -> (members.size.toLong, dr, members.size - dr)
+      }
+      val got = VectorFns.semDedupReport(df, "vec_id", "embedding",
+          tauNum = 1, tauDen = 2, kCentroids = 4)
+        .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+      assert(got == expect, s"trial $trial: report differs from sequential reference")
+    }
+  }
+
   test("throttleTime semantics: greedy emit-then-arm is split-invariant") {
     // the streaming operator's per-key state (one timestamp) must make
     // the output independent of WHERE micro-batch boundaries fall —
