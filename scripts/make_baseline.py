@@ -21,11 +21,14 @@ def best(path):
 q001, n001 = best(sys.argv[1])
 q01, n01 = best(sys.argv[2])
 
-names = list(q01.keys())  # bench order
+# union, bench order from sf0.1 first: a query present in only one
+# file still gets a row (with '-' for the missing column) rather than
+# crashing or silently vanishing from the table
+names = list(q01.keys()) + [k for k in q001 if k not in q01]
 lines = []
 lines.append('# BASELINE — graft headline bench (round 7)\n')
-lines.append('''The absolute per-query anchor for the "within 2x" gate: best of %d
-steady-state runs per scale factor (per-query min — the repeatable
+lines.append('''The absolute per-query anchor for the "within 2x" gate: best of
+%s steady-state runs per scale factor (per-query min — the repeatable
 number with ambient load removed), `graft.Bench` methodology (one
 warm-up pass per query at sf0.001 for plan analysis + codegen compile,
 then each query timed exactly once per run at the bench scale, so no
@@ -44,13 +47,15 @@ iterative-graph and window-heavy shapes grow closest to linear.
 
 | query | sf0.01 (s) | sf0.1 (s) | sf0.1/sf0.01 |
 |---|---|---|---|
-''' % n001)
+''' % (f'{n001}/{n01}' if n001 != n01 else str(n001)))
 tot001 = tot01 = 0.0
 for k in names:
     a, b = q001.get(k), q01.get(k)
     tot001 += a or 0; tot01 += b or 0
     ratio = f'{b/a:.2f}' if a and b else '-'
-    lines.append(f'| {k} | {a:.3f} | {b:.3f} | {ratio} |\n')
+    ca = f'{a:.3f}' if a is not None else '-'
+    cb = f'{b:.3f}' if b is not None else '-'
+    lines.append(f'| {k} | {ca} | {cb} | {ratio} |\n')
 lines.append(f'| **total ({len(names)} queries)** | **{tot001:.2f}** | **{tot01:.2f}** | {tot01/tot001:.2f} |\n')
 open('BASELINE.md', 'w').writelines(lines)
 print('wrote BASELINE.md', len(names), 'queries; totals', round(tot001, 2), round(tot01, 2))

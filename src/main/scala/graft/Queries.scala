@@ -4025,30 +4025,39 @@ object Queries {
     * count tables are vocabulary-bounded (the optimizer broadcasts
     * them when they fit, which real vocabularies at 100 TB mostly do).
     */
-  private val qBigramLm = GraftQuery(
-    "q_bigram_lm",
-    (s, dir) => {
-      val docs = t(s, dir, "documents")
-      def toksOf = Fence.guard(
-        docs.select(col("doc_id"), TextFns.tokensFast(col("text")).as("__toks"), Fence.col))
-      val bi = toksOf
-        .filter(size(col("__toks")) >= 2)
-        .select(col("doc_id"), explode(arrays_zip(
-          slice(col("__toks"), lit(1), size(col("__toks")) - 1),
-          slice(col("__toks"), lit(2), size(col("__toks")) - 1))).as("p"))
-        .select(col("doc_id"), col("p.0").as("x"), col("p.1").as("y"))
-      val bc = bi.groupBy("x", "y").agg(count(lit(1)).as("c_xy"))
-      val uni = toksOf
-        .select(explode(col("__toks")).as("term"))
-        .groupBy("term").agg(count(lit(1)).as("c_x"))
-      bi.join(bc, Seq("x", "y"))
-        .join(uni, col("x") === col("term"))
-        .select(col("doc_id"), expr("(c_xy * 1000) div c_x").as("__p"))
-        .groupBy("doc_id")
-        .agg(count(lit(1)).as("n_bigrams"), sum(col("__p")).as("__sum"))
-        .select(col("doc_id"), col("n_bigrams"), expr("__sum div n_bigrams").as("lm_milli"))
-    },
-    Some(s"""WITH t0 AS (SELECT doc_id, $toksSql AS tk FROM documents),
+  /** Shared per-doc bigram-LM fluency kernel — the single definition
+    * both q_bigram_lm (raw scores) and q_ppl_buckets (CCNet tertile
+    * cut) build on, so the div semantics / size>=2 edge / slice bounds
+    * can only ever change in one place. Returns
+    * (doc_id, n_bigrams, lm_milli).
+    */
+  private def bigramLmPerDoc(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    def toksOf = Fence.guard(
+      docs.select(col("doc_id"), TextFns.tokensFast(col("text")).as("__toks"), Fence.col))
+    val bi = toksOf
+      .filter(size(col("__toks")) >= 2)
+      .select(col("doc_id"), explode(arrays_zip(
+        slice(col("__toks"), lit(1), size(col("__toks")) - 1),
+        slice(col("__toks"), lit(2), size(col("__toks")) - 1))).as("p"))
+      .select(col("doc_id"), col("p.0").as("x"), col("p.1").as("y"))
+    val bc = bi.groupBy("x", "y").agg(count(lit(1)).as("c_xy"))
+    val uni = toksOf
+      .select(explode(col("__toks")).as("term"))
+      .groupBy("term").agg(count(lit(1)).as("c_x"))
+    bi.join(bc, Seq("x", "y"))
+      .join(uni, col("x") === col("term"))
+      .select(col("doc_id"), expr("(c_xy * 1000) div c_x").as("__p"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("__p")).as("__sum"))
+      .select(col("doc_id"), col("n_bigrams"), expr("__sum div n_bigrams").as("lm_milli"))
+  }
+
+  /** DuckDB mirror of bigramLmPerDoc: CTE chain ending in
+    * `lm(doc_id, n_bigrams, lm_milli)`; embed as `WITH $bigramLmSql`.
+    */
+  private val bigramLmSql: String =
+    s"""t0 AS (SELECT doc_id, $toksSql AS tk FROM documents),
              pr AS (SELECT doc_id, unnest(list_transform(range(0, len(tk) - 1),
                       i -> [tk[i+1], tk[i+2]])) AS p
                     FROM t0 WHERE len(tk) >= 2),
@@ -4057,10 +4066,16 @@ object Queries {
              un AS (SELECT unnest(tk) AS term FROM t0),
              uc AS (SELECT term, CAST(count(*) AS BIGINT) AS c_x FROM un GROUP BY 1),
              sc AS (SELECT doc_id, (c_xy * 1000) // c_x AS p
-                    FROM bi JOIN bc USING (x, y) JOIN uc ON bi.x = uc.term)
-             SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
-               CAST(sum(p) // count(*) AS BIGINT) AS lm_milli
-             FROM sc GROUP BY doc_id"""))
+                    FROM bi JOIN bc USING (x, y) JOIN uc ON bi.x = uc.term),
+             lm AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+                      CAST(sum(p) // count(*) AS BIGINT) AS lm_milli
+                    FROM sc GROUP BY doc_id)"""
+
+  private val qBigramLm = GraftQuery(
+    "q_bigram_lm",
+    (s, dir) => bigramLmPerDoc(s, dir),
+    Some(s"""WITH $bigramLmSql
+             SELECT doc_id, n_bigrams, lm_milli FROM lm"""))
 
   /** Per-type outlier trim (top-5% by value): the cutoff is defined by
     * RANK, not by an interpolated quantile, so every comparison is
@@ -4784,47 +4799,18 @@ object Queries {
     "q_ppl_buckets",
     (s, dir) => {
       import org.apache.spark.sql.expressions.Window
-      val docs = t(s, dir, "documents")
-      def toksOf = Fence.guard(
-        docs.select(col("doc_id"), TextFns.tokensFast(col("text")).as("__toks"), Fence.col))
-      val bi = toksOf
-        .filter(size(col("__toks")) >= 2)
-        .select(col("doc_id"), explode(arrays_zip(
-          slice(col("__toks"), lit(1), size(col("__toks")) - 1),
-          slice(col("__toks"), lit(2), size(col("__toks")) - 1))).as("p"))
-        .select(col("doc_id"), col("p.0").as("x"), col("p.1").as("y"))
-      val bc = bi.groupBy("x", "y").agg(count(lit(1)).as("c_xy"))
-      val uni = toksOf
-        .select(explode(col("__toks")).as("term"))
-        .groupBy("term").agg(count(lit(1)).as("c_x"))
-      val perDoc = bi.join(bc, Seq("x", "y"))
-        .join(uni, col("x") === col("term"))
-        .select(col("doc_id"), expr("(c_xy * 1000) div c_x").as("__p"))
-        .groupBy("doc_id")
-        .agg(count(lit(1)).as("__nb"), sum(col("__p")).as("__sum"))
-        .select(col("doc_id"), expr("__sum div __nb").as("lm_milli"))
       val w = Window.partitionBy("lang").orderBy(col("lm_milli").desc, col("doc_id"))
-      perDoc.join(docs.select(col("doc_id"), col("lang")), Seq("doc_id"))
+      bigramLmPerDoc(s, dir)
+        .join(t(s, dir, "documents").select(col("doc_id"), col("lang")), Seq("doc_id"))
         .withColumn("tier", ntile(3).over(w).cast("long"))
         .groupBy(col("lang"), col("tier"))
         .agg(count(lit(1)).as("n_docs"),
           min(col("lm_milli")).as("lo_milli"), max(col("lm_milli")).as("hi_milli"))
     },
-    Some(s"""WITH t0 AS (SELECT doc_id, $toksSql AS tk FROM documents),
-             pr AS (SELECT doc_id, unnest(list_transform(range(0, len(tk) - 1),
-                      i -> [tk[i+1], tk[i+2]])) AS p
-                    FROM t0 WHERE len(tk) >= 2),
-             bi AS (SELECT doc_id, p[1] AS x, p[2] AS y FROM pr),
-             bc AS (SELECT x, y, count(*) AS c_xy FROM bi GROUP BY 1, 2),
-             un AS (SELECT unnest(tk) AS term FROM t0),
-             uc AS (SELECT term, count(*) AS c_x FROM un GROUP BY 1),
-             pd AS (SELECT doc_id, count(*) AS nb, sum((c_xy * 1000) // c_x) AS sm
-                    FROM bi JOIN bc USING (x, y) JOIN uc ON bi.x = uc.term
-                    GROUP BY 1),
-             sc AS (SELECT doc_id, CAST(sm // nb AS BIGINT) AS lm_milli FROM pd),
-             tt AS (SELECT d.lang, sc.doc_id, lm_milli,
-                      ntile(3) OVER (PARTITION BY d.lang ORDER BY lm_milli DESC, sc.doc_id) AS tier
-                    FROM sc JOIN documents d USING (doc_id))
+    Some(s"""WITH $bigramLmSql,
+             tt AS (SELECT d.lang, lm.doc_id, lm_milli,
+                      ntile(3) OVER (PARTITION BY d.lang ORDER BY lm_milli DESC, lm.doc_id) AS tier
+                    FROM lm JOIN documents d USING (doc_id))
              SELECT lang, CAST(tier AS BIGINT) AS tier, CAST(count(*) AS BIGINT) AS n_docs,
                CAST(min(lm_milli) AS BIGINT) AS lo_milli, CAST(max(lm_milli) AS BIGINT) AS hi_milli
              FROM tt GROUP BY 1, 2"""))

@@ -589,16 +589,22 @@ object StreamingOps {
         // read failure (transient FS error, corrupt footer) must fail
         // the batch, not silently re-admit known duplicates. The
         // batch_id < batchId partition filter keeps a REPLAYED batch
-        // from colliding with its own crashed attempt's output.
+        // from colliding with its own crashed attempt's output, and
+        // the EXPLICIT schema keeps a replay of a first batch whose
+        // write crashed before any footer landed from crash-looping
+        // on schema inference over an empty directory.
+        val histSchema = org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("id", org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("band", org.apache.spark.sql.types.IntegerType),
+          org.apache.spark.sql.types.StructField("bh", org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("batch_id", org.apache.spark.sql.types.LongType)))
         val histPath = new org.apache.hadoop.fs.Path(historyDir)
         val fs = histPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
         val hist =
           if (!fs.exists(histPath))
-            spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-              org.apache.spark.sql.types.StructType(Seq(
-                org.apache.spark.sql.types.StructField("band", org.apache.spark.sql.types.IntegerType),
-                org.apache.spark.sql.types.StructField("bh", org.apache.spark.sql.types.LongType))))
-          else spark.read.parquet(historyDir).filter(col("batch_id") < batchId)
+            spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], histSchema)
+          else spark.read.schema(histSchema).parquet(historyDir)
+            .filter(col("batch_id") < batchId)
         val vsHist = sigs.join(hist.select(col("band"), col("bh")).distinct(), Seq("band", "bh"),
           "left_semi").select("id").distinct()
         val inBatch = sigs.as("a")
@@ -629,18 +635,28 @@ object StreamingOps {
     *     centroid table is a FIXED plan literal (a production pipeline
     *     trains centroids offline and ships them with the job; letting
     *     them drift per batch would silently re-bucket history);
-    *  2. drop vectors whose exact quantized cosine to a HISTORY keeper
-    *     in the same cell, or to a smaller-id same-cell batch-mate,
-    *     clears τ = tauNum/tauDen (one-pass greedy policy, decided in
-    *     pure integer arithmetic — same test as the batch operator);
-    *  3. append the survivors' (id, cid, qv, nrm) to the history table.
+    *  2. drop vectors whose exact quantized cosine to ANY smaller-id
+    *     prior vector in the same cell — a history row or a same-batch
+    *     mate — clears τ = tauNum/tauDen (decided in pure integer
+    *     arithmetic, same test as the batch operator);
+    *  3. append ALL the batch's (id, cid, qv, nrm) rows to the history
+    *     table — dropped rows included. That makes the drop rule
+    *     EXACTLY semDedupReport's ("any smaller-id cell-mate", not
+    *     "any surviving keeper"), so for id-ordered arrival the
+    *     keep-set is identical to the batch operator's and INVARIANT
+    *     to where micro-batch boundaries fall (a keeper-only history
+    *     would re-admit a vector whose only twin was itself dropped —
+    *     split-variant; asserted in StreamingParitySpec).
     * History is cell-keyed parquet, so the collision check is an
-    * equi-join on cid — never all-pairs — and grows only by survivors;
-    * at scale the history table would be bucketed on cid for a
-    * co-located join. Per-batch subdirectories + overwrite make the
-    * at-least-once replay idempotent, and history reads filter
-    * batch_id < batchId so a replayed batch never collides with its
-    * own crashed attempt's output.
+    * equi-join on cid — never all-pairs; at scale the history table
+    * would be bucketed on cid for a co-located join (it grows with the
+    * stream, which exact dedup-against-everything inherently requires).
+    * Per-batch subdirectories + overwrite make the at-least-once
+    * replay idempotent; history reads use an EXPLICIT schema (a
+    * crashed first attempt can leave historyDir with no readable
+    * footer — schema inference would crash-loop the replay) and
+    * filter batch_id < batchId so a replayed batch never collides
+    * with its own crashed attempt's output.
     */
   def semDedupIncremental(stream: DataFrame, idCol: String, vecCol: String,
       centroids: Seq[Seq[Long]], tauNum: Int, tauDen: Int,
@@ -649,8 +665,12 @@ object StreamingOps {
       val spark = batch.sparkSession
       import graft.functions.{Fence, VectorFns}
       val cents = typedLit(centroids)
+      // an at-least-once source can deliver the same id twice INSIDE
+      // one batch; a.id > b.id never matches equal ids, so without
+      // this dedup both copies would survive and double the history
       val sigs = Fence.guard(Fence.guard(
-          batch.select(col(idCol).as("id"), VectorFns.quantizeFast(col(vecCol)).as("qv"), Fence.col))
+          batch.dropDuplicates(idCol)
+            .select(col(idCol).as("id"), VectorFns.quantizeFast(col(vecCol)).as("qv"), Fence.col))
         .select(col("id"), col("qv"),
           element_at(VectorFns.ivfProbesFast(col("qv"), cents, 1), 1).as("cid"), Fence.col))
         .select(col("id"), col("qv"), col("cid"),
@@ -665,30 +685,36 @@ object StreamingOps {
             col("na") * col("nb") * (tauNum.toLong * tauNum))
         .select("id").distinct()
       try {
+        val histSchema = org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("id", org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("cid", org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("qv",
+            org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.LongType)),
+          org.apache.spark.sql.types.StructField("nrm", org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("batch_id", org.apache.spark.sql.types.LongType)))
         val histPath = new org.apache.hadoop.fs.Path(historyDir)
         val fs = histPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
         val hist =
           if (!fs.exists(histPath))
-            spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-              org.apache.spark.sql.types.StructType(Seq(
-                org.apache.spark.sql.types.StructField("id", org.apache.spark.sql.types.LongType),
-                org.apache.spark.sql.types.StructField("cid", org.apache.spark.sql.types.LongType),
-                org.apache.spark.sql.types.StructField("qv",
-                  org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.LongType)),
-                org.apache.spark.sql.types.StructField("nrm", org.apache.spark.sql.types.LongType))))
-          else spark.read.parquet(historyDir).filter(col("batch_id") < batchId)
-        val vsHist = near(sigs.as("a").join(hist.select("cid", "qv", "nrm").as("b"),
-          col("a.cid") === col("b.cid")))
+            spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], histSchema)
+          // explicit schema: a crashed first attempt leaves historyDir
+          // with zero readable footers, where inference would throw
+          else spark.read.schema(histSchema).parquet(historyDir)
+            .filter(col("batch_id") < batchId)
+        // the history side carries a smaller-id guard too: a REPLAYED
+        // batch sees earlier batches only (batch_id filter), but exact
+        // smaller-id semantics also hold within out-of-order id arrival
+        val vsHist = near(sigs.as("a").join(hist.select("id", "cid", "qv", "nrm").as("b"),
+          col("a.cid") === col("b.cid") && col("a.id") > col("b.id")))
         val inBatch = near(sigs.as("a").join(sigs.as("b"),
           col("a.cid") === col("b.cid") && col("a.id") > col("b.id")))
         val dupIds = vsHist.union(inBatch).distinct()
-        val survivors = sigs.join(dupIds, Seq("id"), "left_anti").cache()
-        try {
-          survivors.select("id", "cid").write.mode("overwrite")
-            .parquet(s"$survivorsDir/batch_id=$batchId")
-          survivors.select("id", "cid", "qv", "nrm").write.mode("overwrite")
-            .parquet(s"$historyDir/batch_id=$batchId")
-        } finally { survivors.unpersist(); () }
+        val survivors = sigs.join(dupIds, Seq("id"), "left_anti")
+        survivors.select("id", "cid").write.mode("overwrite")
+          .parquet(s"$survivorsDir/batch_id=$batchId")
+        // ALL rows enter history (dropped included) — see scaladoc
+        sigs.select("id", "cid", "qv", "nrm").write.mode("overwrite")
+          .parquet(s"$historyDir/batch_id=$batchId")
       } finally { sigs.unpersist(); () }
     }
   }

@@ -663,11 +663,43 @@ class StreamingParitySpec extends SparkSpecBase {
       val survivors = spark.read.parquet(s"$tmp/survivors")
         .select("id").collect().map(_.getLong(0)).toSet
       assert(survivors == Set(1L, 4L))
-      // history carries one keeper per survivor, keyed by cell
+      // history carries EVERY seen vector (dropped included), keyed by
+      // cell — the exact-drop-rule requirement
       val hist = spark.read.parquet(s"$tmp/history")
         .select("id", "cid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-      assert(hist == Set((1L, 0L), (4L, 1L)))
+      assert(hist == Set((1L, 0L), (2L, 0L), (3L, 0L), (4L, 1L)))
     } finally q.stop()
+  }
+
+  test("incremental semantic dedup keep-set is invariant to micro-batch boundaries") {
+    // cosine chain 1–2–3 (cos(1,2) ≥ τ, cos(2,3) ≥ τ, cos(1,3) < τ):
+    // the batch rule drops 2 (by 1) AND 3 (by 2, even though 2 was
+    // itself dropped) → survivors {1}. A keeper-only history would
+    // re-admit 3 when the boundary falls between 2 and 3 — this test
+    // pins the all-seen-history semantics that keeps every split equal
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val cents = Seq(Seq(1000L, 0L, 0L, 0L), Seq(0L, -1000L, 0L, 0L))
+    val v1 = Array(1.0f, 0f, 0f, 0f)           // 0°
+    val v2 = Array(0.9397f, 0.342f, 0f, 0f)    // 20°: cos(v1,v2) ≈ 0.94
+    val v3 = Array(0.766f, 0.6428f, 0f, 0f)    // 40°: cos(v2,v3) ≈ 0.94, cos(v1,v3) ≈ 0.77
+    def run(batches: Seq[Seq[(Long, Array[Float])]]): Set[Long] = {
+      val tmp = java.nio.file.Files.createTempDirectory("graft-isplit").toString
+      val ms = MemoryStream[(Long, Array[Float])]
+      val q = StreamingOps.semDedupIncremental(
+          ms.toDF().toDF("vec_id", "embedding"), "vec_id", "embedding",
+          cents, tauNum = 9, tauDen = 10, s"$tmp/history", s"$tmp/survivors")
+        .option("checkpointLocation", s"$tmp/ckpt").start()
+      try {
+        batches.foreach { b => ms.addData(b); q.processAllAvailable() }
+        spark.read.parquet(s"$tmp/survivors")
+          .select("id").collect().map(_.getLong(0)).toSet
+      } finally q.stop()
+    }
+    val data = Seq(1L -> v1, 2L -> v2, 3L -> v3)
+    assert(run(Seq(data)) == Set(1L), "single batch")
+    assert(run(Seq(data.take(2), data.drop(2))) == Set(1L), "split between 2 and 3")
+    assert(run(data.map(Seq(_))) == Set(1L), "one vector per batch")
   }
 
   test("streaming chunkDocs matches batch chunking (stateless transform, append mode)") {
