@@ -4926,6 +4926,70 @@ object Queries {
                CAST(sum((idf_milli * tf * 2200) // (tf * 1000 + (1200 * norm_milli) // 1000)) AS BIGINT) AS bm25_milli
              FROM sc GROUP BY doc_id"""))
 
+  /** Content-defined chunking (the rsync/LBFS/FastCDC lineage, applied
+    * at token level): a chunk boundary falls AFTER any token whose
+    * portable hash ≡ 0 (mod 8) — so chunk boundaries are decided by
+    * CONTENT, not position, and an insertion near a doc's head shifts
+    * no boundary after the next anchor token. That is the property the
+    * fixed-stride q_doc_chunks/q_chunk_dedup pair lacks: under a
+    * one-token prefix edit every fixed chunk changes, while CDC chunks
+    * downstream of the edit keep their fingerprints. Per doc: total
+    * chunks and how many are cross-doc duplicates (fingerprint shared
+    * with ANOTHER doc — the shift-robust boilerplate signal).
+    *
+    * Scale shape: explode → per-doc running boundary count (keyed
+    * window) → (doc, chunk) aggregation — all keyed by doc_id, sharing
+    * the doc_id exchange prefix; the fingerprint dup check is an
+    * equi-join on fp. Expected chunk length is the anchor modulus (8
+    * tokens), so chunk count is bounded linear in corpus tokens.
+    */
+  private val qCdcChunks = GraftQuery(
+    "q_cdc_chunks",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val inst = Fence.guard(
+          t(s, dir, "documents")
+            .select(col("doc_id"), TextFns.tokensFast(col("text")).as("__toks"), Fence.col))
+        .filter(size(col("__toks")) >= 1)
+        .select(col("doc_id"), posexplode(col("__toks")).as(Seq("pos", "term")))
+        .withColumn("__b", (TextFns.tokenHash31(col("term")) % 8 === 0).cast("long"))
+      val w = Window.partitionBy("doc_id").orderBy(col("pos"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val chunks = inst
+        .withColumn("chunk_idx", coalesce(sum(col("__b")).over(w), lit(0L)))
+        .groupBy(col("doc_id"), col("chunk_idx"))
+        .agg(md5(array_join(transform(
+          array_sort(collect_list(struct(col("pos"), col("term")))),
+          x => x.getField("term")), " ")).as("fp"))
+      val dupFp = chunks.groupBy("fp")
+        .agg(countDistinct(col("doc_id")).as("__nd"))
+        .filter(col("__nd") >= 2)
+        .select(col("fp"), lit(1L).as("__dup"))
+      chunks.join(dupFp, Seq("fp"), "left")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_chunks"),
+          sum(coalesce(col("__dup"), lit(0L))).as("dup_chunks"))
+    },
+    Some(s"""WITH t0 AS (SELECT doc_id, $toksSql AS tk FROM documents),
+             inst AS (SELECT doc_id, pt.pos AS pos, pt.term AS term
+                      FROM (SELECT doc_id, unnest(list_transform(range(1, len(tk) + 1),
+                              i -> {'pos': i, 'term': tk[i]})) AS pt
+                            FROM t0 WHERE len(tk) >= 1)),
+             b AS (SELECT doc_id, pos, term,
+                     CASE WHEN (${h31Sql("term")}) % 8 = 0 THEN 1 ELSE 0 END AS bflag
+                   FROM inst),
+             c AS (SELECT doc_id, pos, term,
+                     COALESCE(sum(bflag) OVER (PARTITION BY doc_id ORDER BY pos
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS chunk_idx
+                   FROM b),
+             ch AS (SELECT doc_id, chunk_idx,
+                      md5(string_agg(term, ' ' ORDER BY pos)) AS fp
+                    FROM c GROUP BY 1, 2),
+             dup AS (SELECT fp FROM ch GROUP BY fp HAVING count(DISTINCT doc_id) >= 2)
+             SELECT doc_id, CAST(count(*) AS BIGINT) AS n_chunks,
+               CAST(sum(CASE WHEN fp IN (SELECT fp FROM dup) THEN 1 ELSE 0 END) AS BIGINT) AS dup_chunks
+             FROM ch GROUP BY doc_id"""))
+
   val all: Seq[GraftQuery] = Seq(
     qMapFilter, qFilterMap, qCycle, qFoldAgg, qDistinctUsers, qTopkPerKey, qPivotCounts, qApproxDistinct, qHeavyHitters, qHeavyHittersVerified, qQuantiles, qQuantilesExact, qTableLatest, qTumbling, qHopping, qLagWindow, qSession,
     qIntervalJoin, qStreamTableJoin, qSaltedJoin, qMerge, qSplitBranch, qChunk, qSkipTake, qThrottle,
@@ -4948,7 +5012,7 @@ object Queries {
     qIqr, qSpikes, qBootstrap, qTwap, qCandleReturns, qLifespan, qZipfTop,
     qChurnUsers, qDauMa, qGini, qDaypart, qConversionLag,
     qDedupSurvivors, qRunningStats, qSpanDedup, qTermScrub, qValueHistogram,
-    qBigramLift, qBigramLm, qPplBuckets, qDupNgram, qSemdedup, qBm25,
+    qBigramLift, qBigramLm, qPplBuckets, qDupNgram, qSemdedup, qBm25, qCdcChunks,
     qOutliers, qTokenBudget, qRollupStats, qTimeWindowSum,
     qProfile, qStratifiedSample, qAsofForward, qScd2, qPairCuration, qWindowTopk,
     qRunningDistinct, qFirstSeen, qDedupDegree, qDecileBin,

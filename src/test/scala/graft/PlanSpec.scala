@@ -454,6 +454,12 @@ class PlanSpec extends SparkSpecBase {
     assert(!p.contains("Exchange SinglePartition"), p)
   }
 
+  test("q_cdc_chunks: boundary window keyed by doc_id, fp dup check an equi-join") {
+    val p = planOf(Queries.queries("q_cdc_chunks")(spark, sfDir))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("Exchange SinglePartition"), p)
+  }
+
   test("q_kanon: suppression join is hash-partitioned on the group key, never nested-loop") {
     val p = planOf(Queries.queries("q_kanon")(spark, sfDir))
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
