@@ -31,6 +31,14 @@ object Sinks {
   def jsonLines(df: DataFrame, path: String): Unit =
     df.write.mode("overwrite").json(path)
 
+  /** ORC write (native in spark-sql); pairs with Sources.orc and takes
+    * the same partition-pruning advice as the parquet sink.
+    */
+  def orc(df: DataFrame, path: String, partitionBy: Seq[String] = Nil): Unit = {
+    val w = df.write.mode("overwrite")
+    (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w).orc(path)
+  }
+
   /** Bucketed managed table — pre-shuffles data by the join/agg key at
     * write time so later equi-joins and aggregations on `bucketCols`
     * between co-bucketed tables run with NO exchange (verified in

@@ -28,6 +28,15 @@ object Sources {
   def jsonLines(spark: SparkSession, path: String): DataFrame =
     spark.read.json(path)
 
+  /** ORC reader — the columnar interchange format besides parquet that
+    * ships native in spark-sql (predicate pushdown + column pruning
+    * apply exactly as for parquet). Avro is intentionally absent: the
+    * spark-avro connector jar is a separate artifact, surfaced the
+    * same way Kafka is when present on the classpath.
+    */
+  def orc(spark: SparkSession, path: String): DataFrame =
+    spark.read.orc(path)
+
   // ---- streaming sources -------------------------------------------------
 
   /** Streaming parquet directory source (file-arrival stream). */

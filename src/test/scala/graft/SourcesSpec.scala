@@ -22,6 +22,27 @@ class SourcesSpec extends SparkSpecBase {
     assert(j.count() == 2 && j.columns.sorted.toSeq == Seq("id", "name", "v"))
   }
 
+  test("orc source/sink round-trip preserves values, partitioning prunes, filters push down") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val dir = Files.createTempDirectory("graft-orc").toString
+    val df = Seq((1L, "a", 1.5), (2L, "b", 2.5), (3L, "a", 3.5)).toDF("id", "name", "v")
+
+    graft.sinks.Sinks.orc(df, s"$dir/flat")
+    val back = Sources.orc(spark, s"$dir/flat")
+    assert(back.collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSet ==
+      Set((1L, "a", 1.5), (2L, "b", 2.5), (3L, "a", 3.5)))
+    // predicate pushdown reaches the ORC scan exactly as for parquet
+    val plan = back.filter(col("id") > 1L).queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [IsNotNull(id), GreaterThan(id,1)]"), plan)
+
+    graft.sinks.Sinks.orc(df, s"$dir/part", partitionBy = Seq("name"))
+    val part = Sources.orc(spark, s"$dir/part").filter(col("name") === "a")
+    assert(part.count() == 2)
+    assert(part.queryExecution.executedPlan.toString
+      .contains("PartitionFilters: [isnotnull(name"), "partition pruning missing")
+  }
+
   test("table() reads a named testdata table; streaming parquet source streams it") {
     val r = Sources.table(spark, sfDir, "region")
     assert(r.count() == 5)
