@@ -555,17 +555,22 @@ object StreamingOps {
     * per micro-batch,
     *  1. compute MinHash LSH band hashes (native expression, same
     *     signature contract as batch);
-    *  2. drop docs whose any band collides with the HISTORY table or
-    *     with any smaller-id doc in the same batch (order-independent
-    *     greedy policy — the smallest id of a collision group survives;
-    *     a doc colliding only with an already-dropped smaller id is
-    *     still dropped, keeping the rule one-pass and deterministic);
-    *  3. append the survivors' bands to the history table.
+    *  2. drop docs whose any band collides with a SMALLER-id doc —
+    *     a history row or a same-batch mate (one-pass greedy policy:
+    *     the smallest id of a collision group survives; a doc whose
+    *     only colliding twin was itself dropped is STILL dropped);
+    *  3. append ALL the batch's bands to the history table — dropped
+    *     docs included. A keeper-only history would re-admit a doc
+    *     whose only twin was itself dropped when a micro-batch
+    *     boundary separates them; with full history the keep-set is
+    *     exactly the batch operator's smaller-id rule and INVARIANT
+    *     to where batch boundaries fall for id-ordered arrival
+    *     (asserted in StreamingParitySpec, same shape as semdedup's).
     * History lives as band-bucketed parquet, so the collision check is
-    * an equi-join on (band, bh) — never all-pairs — and grows only by
-    * survivors. At scale the history join inherits the same shuffle
-    * shape as the batch candidate join; a real deployment would bucket
-    * the history table on (band, bh) to make it co-located.
+    * an equi-join on (band, bh) — never all-pairs. At scale the
+    * history join inherits the same shuffle shape as the batch
+    * candidate join; a real deployment would bucket the history table
+    * on (band, bh) to make it co-located.
     * Returns the writer; the caller starts it with its own checkpoint.
     */
   def dedupMinhashIncremental(stream: DataFrame, idCol: String, textCol: String,
@@ -605,25 +610,30 @@ object StreamingOps {
             spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], histSchema)
           else spark.read.schema(histSchema).parquet(historyDir)
             .filter(col("batch_id") < batchId)
-        val vsHist = sigs.join(hist.select(col("band"), col("bh")).distinct(), Seq("band", "bh"),
-          "left_semi").select("id").distinct()
+        // the history side carries a smaller-id guard (like semdedup's):
+        // a replayed batch sees earlier batches only via the batch_id
+        // filter, but exact smaller-id semantics also hold under
+        // out-of-order id arrival across batches
+        val vsHist = sigs.as("a").join(hist.select("id", "band", "bh").as("b"),
+            col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
+              col("a.id") > col("b.id"), "left_semi")
+          .select("id").distinct()
         val inBatch = sigs.as("a")
           .join(sigs.as("b"),
             col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
               col("a.id") > col("b.id"))
           .select(col("a.id").as("id")).distinct()
         val dupIds = vsHist.union(inBatch).distinct()
-        val survivors = sigs.join(dupIds, Seq("id"), "left_anti").cache()
-        try {
-          val shortDocs = base.filter(size(col("__toks")) < 3).select(col("id"), col("text"))
-          // per-batch subdirectories + overwrite make the at-least-once
-          // foreachBatch replay idempotent: a re-run of batch N rewrites
-          // batch_id=N instead of appending a second copy
-          survivors.select("id", "text").distinct().union(shortDocs)
-            .write.mode("overwrite").parquet(s"$survivorsDir/batch_id=$batchId")
-          survivors.select(col("id"), col("band").cast("int").as("band"), col("bh"))
-            .write.mode("overwrite").parquet(s"$historyDir/batch_id=$batchId")
-        } finally { survivors.unpersist(); () }
+        val survivors = sigs.join(dupIds, Seq("id"), "left_anti")
+        val shortDocs = base.filter(size(col("__toks")) < 3).select(col("id"), col("text"))
+        // per-batch subdirectories + overwrite make the at-least-once
+        // foreachBatch replay idempotent: a re-run of batch N rewrites
+        // batch_id=N instead of appending a second copy
+        survivors.select("id", "text").distinct().union(shortDocs)
+          .write.mode("overwrite").parquet(s"$survivorsDir/batch_id=$batchId")
+        // ALL docs' bands enter history (dropped included) — see scaladoc
+        sigs.select(col("id"), col("band").cast("int").as("band"), col("bh"))
+          .write.mode("overwrite").parquet(s"$historyDir/batch_id=$batchId")
       } finally { sigs.unpersist(); () }
     }
   }

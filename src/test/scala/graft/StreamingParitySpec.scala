@@ -637,6 +637,47 @@ class StreamingParitySpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("incremental minhash dedup keep-set is invariant to micro-batch boundaries") {
+    // band chain A~B~C (B shares a band with A and with C; A shares
+    // none with C): the batch rule drops B (by A) AND C (by B, even
+    // though B was itself dropped) → survivors {A}. A survivors-only
+    // history would re-admit C when the boundary falls between B and
+    // C — this test pins the all-seen-history semantics.
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val textA = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val textC = "uno dos tres cuatro cinco seis siete ocho nueve diez"
+    val textB = s"$textA $textC" // per-slot min(A, C): bands from both sides
+    // precondition: the three texts really form the A~B~C band chain
+    // (disjoint vocabularies make A~C collisions all but impossible,
+    // but assert all three relations so a kernel change fails loudly)
+    val bands = Seq(1L -> textA, 2L -> textB, 3L -> textC).toDF("id", "text")
+      .select(col("id"), posexplode(graft.functions.DedupFns.minhashBandsFast(
+        graft.functions.TextFns.tokensFast(col("text")), 3)).as(Seq("band", "bh")))
+      .collect().map(r => (r.getLong(0), (r.getInt(1), r.getLong(2))))
+      .groupBy(_._1).map { case (id, rs) => id -> rs.map(_._2).toSet }
+    assert((bands(1L) & bands(2L)).nonEmpty, "A~B band collision (precondition)")
+    assert((bands(2L) & bands(3L)).nonEmpty, "B~C band collision (precondition)")
+    assert((bands(1L) & bands(3L)).isEmpty, "A and C share no band (precondition)")
+    def run(batches: Seq[Seq[(Long, String)]]): Set[Long] = {
+      val tmp = java.nio.file.Files.createTempDirectory("graft-imhsplit").toString
+      val ms = MemoryStream[(Long, String)]
+      val q = StreamingOps.dedupMinhashIncremental(
+          ms.toDF().toDF("doc_id", "text"), "doc_id", "text",
+          s"$tmp/history", s"$tmp/survivors")
+        .option("checkpointLocation", s"$tmp/ckpt").start()
+      try {
+        batches.foreach { b => ms.addData(b); q.processAllAvailable() }
+        spark.read.parquet(s"$tmp/survivors")
+          .select("id").collect().map(_.getLong(0)).toSet
+      } finally q.stop()
+    }
+    val data = Seq(1L -> textA, 2L -> textB, 3L -> textC)
+    assert(run(Seq(data)) == Set(1L), "single batch")
+    assert(run(Seq(data.take(2), data.drop(2))) == Set(1L), "split between B and C")
+    assert(run(data.map(Seq(_))) == Set(1L), "one doc per batch")
+  }
+
   test("incremental semantic dedup drops cosine twins within and across micro-batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
