@@ -4791,9 +4791,10 @@ object Queries {
     * table the perplexity filter of a CCNet-style corpus pipeline
     * publishes. Tertile assignment is ntile(3) over a per-language
     * keyed window with a doc_id tiebreak (deterministic, engine-
-    * portable); at 100 TB the keyed window is replaced by a GK-sketch
-    * tertile cut + map-side label join — documented, same output
-    * contract.
+    * portable) — this is the EXACT oracle twin; the 100 TB path that
+    * replaces the keyed window with a histogram tertile cut + map-side
+    * broadcast label is IMPLEMENTED as q_ppl_buckets_scale (SketchSpec
+    * bounds their disagreement to boundary tie groups).
     */
   private val qPplBuckets = GraftQuery(
     "q_ppl_buckets",
@@ -4812,6 +4813,59 @@ object Queries {
                       ntile(3) OVER (PARTITION BY d.lang ORDER BY lm_milli DESC, lm.doc_id) AS tier
                     FROM lm JOIN documents d USING (doc_id))
              SELECT lang, CAST(tier AS BIGINT) AS tier, CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(min(lm_milli) AS BIGINT) AS lo_milli, CAST(max(lm_milli) AS BIGINT) AS hi_milli
+             FROM tt GROUP BY 1, 2"""))
+
+  /** The 100 TB scale path q_ppl_buckets' scaladoc promises (SURVEY row
+    * 31u3): per-language tertile CUTS from a bounded score HISTOGRAM
+    * instead of a per-language window sort over the corpus. lm_milli is
+    * an integer in [0, 1000], so groupBy(lang, lm_milli) is a partial-agg
+    * shuffle of ≤ 1001 rows per language; the only window runs over that
+    * bounded histogram (the documented empty-partition-window pattern),
+    * and the tier label joins back BROADCAST + map-only. Tie semantics
+    * differ from ntile by design — all docs sharing a score share a
+    * tier: tier(v) = min(3, 1 + (3·|{docs > v}|) div n), exact rank
+    * arithmetic on positive integers (Spark div = DuckDB //), so this
+    * path is oracle-checkable, not merely sketch-bounded. For a score
+    * domain too wide to histogram, the same shape holds with
+    * approx_percentile (GK) supplying the cuts — SketchSpec bounds the
+    * disagreement between this path and the ntile oracle twin to
+    * boundary tie groups.
+    */
+  private val qPplBucketsScale = GraftQuery(
+    "q_ppl_buckets_scale",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val perDoc = bigramLmPerDoc(s, dir)
+        .join(t(s, dir, "documents").select(col("doc_id"), col("lang")), Seq("doc_id"))
+        .select(col("doc_id"), col("lang"), col("lm_milli"))
+      val histo = perDoc.groupBy(col("lang"), col("lm_milli"))
+        .agg(count(lit(1)).as("__c"))
+      // windows over the ≤1001-row-per-lang histogram, not the corpus
+      val above = Window.partitionBy("lang").orderBy(col("lm_milli").desc)
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val whole = Window.partitionBy("lang")
+      val tiers = histo
+        .withColumn("__hi", coalesce(sum(col("__c")).over(above), lit(0L)))
+        .withColumn("__n", sum(col("__c")).over(whole))
+        .withColumn("tier", least(lit(3L), lit(1L) + expr("(3 * __hi) div __n")))
+      perDoc.join(broadcast(tiers.select(col("lang"), col("lm_milli"), col("tier"))),
+          Seq("lang", "lm_milli"))
+        .groupBy(col("lang"), col("tier"))
+        .agg(count(lit(1)).as("n_docs"),
+          min(col("lm_milli")).as("lo_milli"), max(col("lm_milli")).as("hi_milli"))
+    },
+    Some(s"""WITH $bigramLmSql,
+             pd AS (SELECT lm.doc_id, d.lang, lm_milli FROM lm JOIN documents d USING (doc_id)),
+             h AS (SELECT lang, lm_milli, CAST(count(*) AS BIGINT) AS c FROM pd GROUP BY 1, 2),
+             k AS (SELECT lang, lm_milli, c,
+                     CAST(COALESCE(sum(c) OVER (PARTITION BY lang ORDER BY lm_milli DESC
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS hi_cnt,
+                     CAST(sum(c) OVER (PARTITION BY lang) AS BIGINT) AS n
+                   FROM h),
+             tt AS (SELECT lang, lm_milli, c,
+                      LEAST(3, 1 + (3 * hi_cnt) // n) AS tier FROM k)
+             SELECT lang, CAST(tier AS BIGINT) AS tier, CAST(sum(c) AS BIGINT) AS n_docs,
                CAST(min(lm_milli) AS BIGINT) AS lo_milli, CAST(max(lm_milli) AS BIGINT) AS hi_milli
              FROM tt GROUP BY 1, 2"""))
 
@@ -5012,7 +5066,7 @@ object Queries {
     qIqr, qSpikes, qBootstrap, qTwap, qCandleReturns, qLifespan, qZipfTop,
     qChurnUsers, qDauMa, qGini, qDaypart, qConversionLag,
     qDedupSurvivors, qRunningStats, qSpanDedup, qTermScrub, qValueHistogram,
-    qBigramLift, qBigramLm, qPplBuckets, qDupNgram, qSemdedup, qBm25, qCdcChunks,
+    qBigramLift, qBigramLm, qPplBuckets, qPplBucketsScale, qDupNgram, qSemdedup, qBm25, qCdcChunks,
     qOutliers, qTokenBudget, qRollupStats, qTimeWindowSum,
     qProfile, qStratifiedSample, qAsofForward, qScd2, qPairCuration, qWindowTopk,
     qRunningDistinct, qFirstSeen, qDedupDegree, qDecileBin,

@@ -249,6 +249,27 @@ class PlanSpec extends SparkSpecBase {
     assert(!p.contains("partitionBy=[]") && !p.contains("SinglePartition, ENSURE"), p)
   }
 
+  test("q_ppl_buckets_scale: windows run over the bounded histogram, tier label joins broadcast") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Window => LWindow}
+    val df = Queries.queries("q_ppl_buckets_scale")(spark, sfDir)
+    val wins = df.queryExecution.optimizedPlan.collect { case w: LWindow => w }
+    assert(wins.nonEmpty, "scale path must compute cuts via the histogram windows")
+    // every window's input subtree must contain the (lang, lm_milli)
+    // histogram aggregate — i.e. windows sort ≤1001 rows per language,
+    // never the per-doc corpus (the q_ppl_buckets ntile scale-killer)
+    wins.foreach { w =>
+      val histBelow = w.child.collect {
+        case a: Aggregate if Set("lang", "lm_milli").subsetOf(
+          a.groupingExpressions.flatMap(_.references.map(_.name)).toSet) => a
+      }
+      assert(histBelow.nonEmpty,
+        s"window over non-histogram input:\n${w.treeString}")
+    }
+    val p = planOf(df)
+    assert(p.contains("BroadcastHashJoin"), p) // map-only tier label
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
   test("q13_custdist: left join and per-customer count share one custkey partitioning") {
     val p = planOf(Queries.queries("q13_custdist")(spark, sfDir))
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)

@@ -50,6 +50,39 @@ class SketchSpec extends SparkSpecBase {
     assert(out.nonEmpty)
   }
 
+  test("q_ppl_buckets_scale tiers disagree with ntile only on boundary tie groups") {
+    import org.apache.spark.sql.expressions.Window
+    // per-doc ntile tier (the exact oracle twin's assignment)
+    val perDoc = Queries.queries("q_bigram_lm")(spark, sfDir)
+      .select(col("doc_id"), col("lm_milli"))
+      .join(spark.read.parquet(s"$sfDir/documents.parquet").select("doc_id", "lang"), Seq("doc_id"))
+    val w = Window.partitionBy("lang").orderBy(col("lm_milli").desc, col("doc_id"))
+    val ntiled = perDoc.withColumn("nt", ntile(3).over(w).cast("long"))
+    // per-doc scale tier, recovered from the scale query's (lo, hi) bounds
+    val scale = Queries.queries("q_ppl_buckets_scale")(spark, sfDir)
+      .select(col("lang").as("s_lang"), col("tier"), col("lo_milli"), col("hi_milli"))
+    val rows = ntiled.join(scale, col("lang") === col("s_lang") &&
+        col("lm_milli") >= col("lo_milli") && col("lm_milli") <= col("hi_milli"))
+      .select(col("lang"), col("doc_id"), col("lm_milli"), col("nt"), col("tier"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    // the scale tiers' value intervals tile each language exactly:
+    // every doc lands in exactly one tier
+    assert(rows.length == perDoc.count(), "scale tier intervals must partition each language's range")
+    val byValueGroup = rows.groupBy(r => (r._1, r._3))
+    val disagree = rows.filter(r => r._4 != r._5)
+    disagree.foreach { r =>
+      val grp = byValueGroup((r._1, r._3))
+      assert(grp.map(_._4).distinct.length >= 2,
+        s"doc ${r._2} (${r._1}, lm=${r._3}) got nt=${r._4} vs scale=${r._5} " +
+          "but its tie group does not straddle an ntile boundary")
+    }
+    // at most 2 boundaries per language can straddle, so disagreement is
+    // bounded by the total size of straddling tie groups
+    val straddleMass = byValueGroup.valuesIterator
+      .filter(g => g.map(_._4).distinct.length >= 2).map(_.length).sum
+    assert(disagree.length <= straddleMass)
+  }
+
   test("percentile_approx values land in the right quantile band (rank-based accuracy)") {
     val got = Queries.queries("q_quantiles")(spark, sfDir)
       .collect().map(r => r.getString(0) -> Seq(r.getDouble(1), r.getDouble(2), r.getDouble(3))).toMap
