@@ -2650,22 +2650,24 @@ object Queries {
     * sum is the streaming-friendly (single-pass) packing a sequence-
     * packing preprocessor uses. Output: per-shard doc count + token sum.
     *
-    * SCALE NOTE: the packing key is the window partition key, and each
-    * partition is processed by ONE task — at 100 TB choose a key fine
-    * enough to bound partition size (e.g. (source, ingest-date)); shard
-    * boundaries then reset per key, which packing tolerates by design.
-    * This query keys by `source` because the test corpus is small.
+    * SCALE SHAPE: the running sum is Relational.bucketedRunningSum over
+    * fixed-width doc_id ranges (id div 256 — a coarsening of the
+    * doc_id order), so NO window ever partitions on the bare source:
+    * bucket totals aggregate partially, the offsets window touches only
+    * buckets-per-source rows, and row-level cumulation parallelizes
+    * over (source, bucket). At 100 TB the id-range width grows to keep
+    * ~10⁶ rows per bucket (ids from an ingest sequence are dense
+    * enough; a skewed id space would swap in range-sampled bounds).
     */
   private val qPackSequences = GraftQuery(
     "q_pack_sequences",
     (s, dir) => {
-      import org.apache.spark.sql.expressions.Window
-      val w = Window.partitionBy("source").orderBy("doc_id")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      t(s, dir, "documents")
+      val base = t(s, dir, "documents")
         .select(col("source"), col("doc_id"),
           element_at(TextFns.textStatsFast(col("text")), 1).as("toks"))
-        .withColumn("shard_id", ((sum(col("toks")).over(w) - col("toks")) / lit(4096L)).cast("long"))
+      Relational.bucketedRunningSum(base, "source", expr("doc_id div 256"),
+          Seq(col("doc_id")), "toks", "__cum")
+        .withColumn("shard_id", ((col("__cum") - col("toks")) / lit(4096L)).cast("long"))
         .groupBy("source", "shard_id")
         .agg(count(lit(1)).as("n_docs"), sum(col("toks")).as("sum_tokens"))
     },
@@ -4116,11 +4118,12 @@ object Queries {
     * until the per-source token budget fills — the "give me N tokens
     * from this mixture" step that materializes a pretraining data
     * recipe. Zero RNG state: the same budget always yields the same
-    * corpus. One shuffle on source + per-source sort here; at 100 TB
-    * the per-source sort becomes the two-phase md5-prefix-bucket walk
-    * of Relational.shuffleOrder applied per (source, bucket), with
-    * bucket token totals → exclusive offsets → only budget-straddling
-    * buckets need row-level cumulation.
+    * corpus. Relational.budgetCut runs the two-phase md5-prefix-bucket
+    * walk (bucketedRunningSum): bucket token totals → exclusive
+    * offsets over bucket rows only → row-level cumulation only in
+    * buckets at or below the budget straddle — no window partitions on
+    * the bare source, and buckets wholly past the budget are pruned
+    * before any row-level work.
     */
   private val qTokenBudget = GraftQuery(
     "q_token_budget",

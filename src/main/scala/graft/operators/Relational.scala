@@ -51,6 +51,7 @@ object Relational {
     */
   def shuffleOrder(df: DataFrame, idCol: String, prefixChars: Int = 0): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    require(prefixChars >= 0, s"prefixChars must be >= 0 (0 = auto), got $prefixChars")
     val chars = if (prefixChars > 0) prefixChars else autoPrefixChars(df.count())
     val h = md5(col(idCol).cast("string"))
     val base = df.select(col(idCol), h.as("__h"), substring(h, 1, chars).as("__b"))
@@ -90,21 +91,57 @@ object Relational {
       (conv(substring(md5(col(idCol).cast("string")), 1, 15), 16, 10).cast("long") % 1000L)
         < ratePermille)
 
+  /** Two-phase bucketed running sum — the 100 TB replacement for a
+    * running-sum window partitioned on a coarse group key (one task
+    * per group: the canonical scale-killer). `bucket` must COARSEN the
+    * `orderCols` total order within each group (all rows of bucket b
+    * sort before all rows of bucket b+1). Phase 1: per-(group, bucket)
+    * weight totals — an ordinary partial-agg shuffle. Phase 2:
+    * exclusive bucket offsets via a window over BUCKET rows only
+    * (buckets-per-group rows, not corpus rows). Phase 3: the row-level
+    * running sum inside each (group, bucket) — parallelism = groups ×
+    * buckets — plus the broadcast offset. With nonnegative weights an
+    * optional `maxOffset` prunes whole buckets whose exclusive offset
+    * already exceeds a budget BEFORE any row-level work, so a budget
+    * cut touches only the buckets at or below the straddle point.
+    * Column names `__bk`/`__off`/`__n` are reserved; the offsets table
+    * (groups × buckets rows) must stay broadcastable — size the bucket
+    * width so it does (≈ rows / 10⁶ buckets, cf. [[autoPrefixChars]]).
+    */
+  def bucketedRunningSum(df: DataFrame, groupCol: String, bucket: Column,
+      orderCols: Seq[Column], weightCol: String, outCol: String,
+      maxOffset: Option[Long] = None): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = df.withColumn("__bk", bucket)
+    val offsets = base.groupBy(col(groupCol), col("__bk"))
+      .agg(sum(col(weightCol)).as("__n"))
+      .withColumn("__off", coalesce(sum(col("__n")).over(
+        Window.partitionBy(groupCol).orderBy(col("__bk"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col(groupCol), col("__bk"), col("__off"))
+    val pruned = maxOffset.fold(offsets)(m => offsets.filter(col("__off") <= m))
+    val wb = Window.partitionBy(col(groupCol), col("__bk")).orderBy(orderCols: _*)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    base.join(broadcast(pruned), Seq(groupCol, "__bk"))
+      .withColumn(outCol, (col("__off") + sum(col(weightCol)).over(wb)).cast("long"))
+      .select(df.columns.map(col).toSeq :+ col(outCol): _*) // keep input column order
+  }
+
   /** Deterministic weighted budget cut per group: walk each group's
     * rows in the reproducible shuffle order (md5(id), id) and keep rows
     * while the running `weightCol` sum stays within `budget`. Adds
-    * `cum_<weightCol>`. One shuffle on the group + per-group sort; at
-    * 100 TB apply the md5-prefix bucket scheme of [[shuffleOrder]] per
-    * (group, bucket) — bucket weight totals → exclusive offsets, row
-    * work only in the budget-straddling bucket.
+    * `cum_<weightCol>`. Runs as [[bucketedRunningSum]] over md5-prefix
+    * buckets (the prefix coarsens the (md5, id) order), so no window
+    * ever partitions on the bare group and buckets wholly past the
+    * budget are pruned before row-level work. `prefixChars` = 2 (256
+    * buckets) suits test scale; 4-5 at 100 TB row counts.
     */
   def budgetCut(df: DataFrame, groupCol: String, idCol: String, weightCol: String,
-      budget: Long): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy(groupCol)
-      .orderBy(md5(col(idCol).cast("string")), col(idCol))
-      .rowsBetween(Window.unboundedPreceding, 0)
-    df.withColumn(s"cum_$weightCol", sum(col(weightCol)).over(w))
+      budget: Long, prefixChars: Int = 2): DataFrame = {
+    require(prefixChars >= 1, s"prefixChars must be >= 1, got $prefixChars")
+    val h = md5(col(idCol).cast("string"))
+    bucketedRunningSum(df, groupCol, substring(h, 1, prefixChars),
+        Seq(h, col(idCol)), weightCol, s"cum_$weightCol", maxOffset = Some(budget))
       .filter(col(s"cum_$weightCol") <= budget)
   }
 

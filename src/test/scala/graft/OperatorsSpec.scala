@@ -120,6 +120,22 @@ class OperatorsSpec extends SparkSpecBase {
     assert(all.agg(max("cum_wt")).head().getLong(0) == 300L)
   }
 
+  test("budgetCut keep-set and cums are invariant under the bucket-prefix width knob") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val df = (1L to 500L).map(i => (i, s"g${i % 3}", i % 7)).toDF("id", "g", "wt")
+    // single-window reference: the exact semantics the two-phase walk must keep
+    val w = Window.partitionBy("g").orderBy(md5(col("id").cast("string")), col("id"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val ref = df.withColumn("cum_wt", sum(col("wt")).over(w))
+      .filter(col("cum_wt") <= 40L)
+    for (chars <- Seq(1, 2, 3)) {
+      val got = Relational.budgetCut(df, "g", "id", "wt", budget = 40L, prefixChars = chars)
+      assert(got.except(ref).isEmpty && ref.except(got).isEmpty,
+        s"prefixChars=$chars diverged from the single-window reference")
+    }
+  }
+
   test("shuffleOrder permutation is invariant under the bucket-prefix width knob") {
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
     val w2 = Relational.shuffleOrder(docs, "doc_id", prefixChars = 2)

@@ -163,12 +163,26 @@ class PlanSpec extends SparkSpecBase {
     }
   }
 
-  test("q_pack_sequences: window + aggregation share one shuffle") {
-    // the running-sum window partitions by source; the (source,
-    // shard_id) aggregation is satisfied by that same partitioning —
-    // a second exchange would be a regression
-    val p = planOf(Queries.queries("q_pack_sequences")(spark, sfDir))
-    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1, p)
+  test("q_pack_sequences + q_token_budget: no row-level window partitions on bare source") {
+    // two-phase bucket walk: the only window allowed to partition on
+    // source alone is the bucket-offsets pass, whose input is the
+    // (source, bucket) totals AGGREGATE (buckets-per-source rows);
+    // row-level cumulation must partition on (source, bucket)
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Window => LWindow}
+    for (q <- Seq("q_pack_sequences", "q_token_budget")) {
+      val lp = Queries.queries(q)(spark, sfDir).queryExecution.optimizedPlan
+      val wins = lp.collect { case w: LWindow => w }
+      assert(wins.nonEmpty, q)
+      wins.foreach { w =>
+        if (w.partitionSpec.size <= 1) {
+          val aggBelow = w.child.collect { case a: Aggregate => a }
+          assert(aggBelow.nonEmpty,
+            s"$q: window partitioned on the bare group runs over raw rows:\n${w.treeString}")
+        }
+      }
+      assert(wins.exists(_.partitionSpec.size >= 2),
+        s"$q: missing the (group, bucket) row-level window")
+    }
   }
 
   test("partitioned writes give readers partition pruning") {
