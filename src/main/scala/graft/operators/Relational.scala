@@ -236,10 +236,16 @@ object Relational {
     * collision risk.
     */
   private def isStar(e: DataFrame): Boolean = {
-    val singleParent = e.groupBy("b").agg(count(lit(1)).as("c"))
-      .filter(col("c") > 1).isEmpty
-    singleParent &&
-      e.join(e.select(col("b").as("a")).distinct(), Seq("a"), "left_semi").count() == 0L
+    // ONE driver action per round: fold both conditions into a single
+    // aggregation — (max parents per destination, any destination that
+    // is also a source). src∩dst ≠ ∅ iff some destination appears in
+    // the distinct source set, so the left join carries condition (2).
+    val r = e.groupBy("b").agg(count(lit(1)).as("c"))
+      .join(e.select(col("a")).distinct().withColumn("__hit", lit(1)),
+        col("b") === col("a"), "left")
+      .agg(max(col("c")).as("mx"), max(coalesce(col("__hit"), lit(0))).as("hit"))
+      .head()
+    r.isNullAt(0) || (r.getLong(0) <= 1 && r.getInt(1) == 0) // empty edge set is a star fixpoint
   }
 
   /** Fixed-iteration integer PageRank over an undirected pair list —
