@@ -4754,9 +4754,12 @@ object Queries {
     * bucketing (deterministic IVF centroid init, map-only assignment)
     * then within-cell cosine-τ drop of the higher-id twin — per cell
     * the member/dropped/kept counts. The cell equi-join IS the
-    * algorithm's published scale shape: kCentroids grows ~√n so cells
-    * stay bounded and no all-pairs join ever exists. τ = 1/4 matches
-    * q_dedup_embed so the two methods' keep-sets are comparable.
+    * algorithm's published scale shape: kCentroids AUTO-SIZES to ⌈√n⌉
+    * (VectorFns.autoCentroidCount — the oracle mirrors it with a
+    * LIMIT subquery) so cells stay bounded and no all-pairs join ever
+    * exists; VectorSpec asserts the cell-size bound that motivates √n.
+    * τ = 1/4 matches q_dedup_embed so the two methods' keep-sets are
+    * comparable.
     */
   private val qSemdedup = GraftQuery(
     "q_semdedup",
@@ -4764,7 +4767,8 @@ object Queries {
       tauNum = 1, tauDen = 4),
     Some(s"""WITH e AS (SELECT vec_id, ${quantSql("embedding")} AS v FROM embeddings),
              cents AS (SELECT row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), CAST(vec_id AS VARCHAR)) - 1 AS cid, v AS cv
-                       FROM e ORDER BY md5(CAST(vec_id AS VARCHAR)), CAST(vec_id AS VARCHAR) LIMIT 16),
+                       FROM e ORDER BY md5(CAST(vec_id AS VARCHAR)), CAST(vec_id AS VARCHAR)
+                       LIMIT (SELECT CAST(ceil(sqrt(count(*))) AS BIGINT) FROM embeddings)),
              d AS (SELECT e.vec_id, cents.cid,
                      CAST(list_sum(list_transform(range(1, 65), i -> (v[i]-cv[i])*(v[i]-cv[i]))) AS BIGINT) AS d2
                    FROM e CROSS JOIN cents),

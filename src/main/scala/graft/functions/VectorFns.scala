@@ -126,6 +126,14 @@ object VectorFns {
     * vectors to the driver; a production k-means refinement would
     * iterate assign+mean as Spark jobs from exactly this init.
     */
+  /** The √n centroid-count rule (SemDeDup / IVF practice): k = ⌈√n⌉
+    * makes the EXPECTED cell size n/k ≈ √n, so the within-cell pair
+    * work stays O(n·√n) total instead of O(n²). Engine-portable: both
+    * Spark and DuckDB evaluate ceil(sqrt(n)) in IEEE double.
+    */
+  def autoCentroidCount(n: Long): Int =
+    math.max(1L, math.ceil(math.sqrt(n.toDouble)).toLong).toInt
+
   def ivfCentroids(corpus: DataFrame, idCol: String, vecCol: String, k: Int): Seq[Seq[Long]] =
     corpus
       .select(quantizeFast(col(vecCol)).as("qv"), col(idCol).cast("string").as("id"))
@@ -254,18 +262,22 @@ object VectorFns {
     * any vector whose exact quantized cosine to a lower-id cell-mate
     * clears τ = tauNum/tauDen. Per cell: member/dropped/kept counts.
     *
-    * The within-cell self-join is the algorithm's actual shape: a
-    * production run scales kCentroids with corpus size (√n is the
-    * usual rule) so cells stay O(√n) and the per-cell pair count stays
-    * bounded — candidates arrive via the cid equi-join, never
-    * all-pairs. The threshold test is pure integer arithmetic
+    * The within-cell self-join is the algorithm's actual shape:
+    * kCentroids defaults to AUTO (0) = ⌈√n⌉ via [[autoCentroidCount]]
+    * (one count action over `corpus` at construction — cheap next to
+    * the pair join; pass an explicit k to skip it), so cells stay
+    * O(√n) in expectation and the per-cell pair count stays bounded —
+    * candidates arrive via the cid equi-join, never all-pairs. The
+    * threshold test is pure integer arithmetic
     * (tauDen²·dot² ≥ tauNum²·‖a‖²·‖b‖², dot > 0), engine-portable.
     * Both join sides share one fenced assignment exchange
     * (ReusedExchange), so scan + quantize + assign run once.
     */
   def semDedupReport(corpus: DataFrame, idCol: String, vecCol: String,
-      tauNum: Int, tauDen: Int, kCentroids: Int = 16): DataFrame = {
-    val cents = typedLit(ivfCentroids(corpus, idCol, vecCol, kCentroids))
+      tauNum: Int, tauDen: Int, kCentroids: Int = 0): DataFrame = {
+    require(kCentroids >= 0, s"kCentroids must be >= 0 (0 = auto sqrt(n)), got $kCentroids")
+    val k = if (kCentroids > 0) kCentroids else autoCentroidCount(corpus.count())
+    val cents = typedLit(ivfCentroids(corpus, idCol, vecCol, k))
     val a = Fence.guard(Fence.guard(
         corpus.select(col(idCol).as("id"), quantizeFast(col(vecCol)).as("qv"), Fence.col))
       .select(col("id"), col("qv"),

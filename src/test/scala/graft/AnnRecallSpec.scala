@@ -48,4 +48,20 @@ class AnnRecallSpec extends SparkSpecBase {
     assert(r4 >= r1, s"more probes must not lose recall: $r4 < $r1")
     assert(r4 >= 0.3, s"nprobe=4 recall collapsed on random data: $r4")
   }
+
+  test("semDedupReport auto-k: cells stay O(sqrt(n)) — the bound that motivates the sqrt rule") {
+    val e = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val n = e.count()
+    val k = VectorFns.autoCentroidCount(n)
+    assert(k == math.ceil(math.sqrt(n.toDouble)).toInt)
+    val cells = VectorFns.semDedupReport(e, "vec_id", "embedding", tauNum = 1, tauDen = 4)
+      .collect()
+    assert(cells.length <= k, "more cells than centroids")
+    assert(cells.map(_.getLong(1)).sum == n, "every vector assigned to exactly one cell")
+    val mx = cells.map(_.getLong(1)).max
+    // expected cell size is n/k ≈ sqrt(n); deterministic pseudo-random
+    // centroid picks keep the max within a small factor of it (measured
+    // ~1.5x at sf0.001/0.1) — 4x is the regression fence
+    assert(mx <= 4L * k, s"max cell $mx exceeds 4*sqrt(n)=${4L * k}: pair work no longer O(n*sqrt(n))")
+  }
 }

@@ -743,6 +743,38 @@ class StreamingParitySpec extends SparkSpecBase {
     assert(run(data.map(Seq(_))) == Set(1L), "one vector per batch")
   }
 
+  test("incremental semantic dedup with auto-sized centroids matches the batch report") {
+    // centroids auto-sized from the corpus (sqrt-n rule) and shipped to
+    // the stream as the fixed plan literal — per-cell kept counts must
+    // equal semDedupReport's on the same corpus, centroids, and tau
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.functions.VectorFns
+    val corpus = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .filter(col("vec_id") < 200)
+    val k = VectorFns.autoCentroidCount(corpus.count())
+    val cents = VectorFns.ivfCentroids(corpus, "vec_id", "embedding", k)
+    val batchKept = VectorFns.semDedupReport(corpus, "vec_id", "embedding",
+        tauNum = 1, tauDen = 4, kCentroids = k)
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    val tmp = java.nio.file.Files.createTempDirectory("graft-iautok").toString
+    val rows = corpus.select("vec_id", "embedding")
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    val ms = MemoryStream[(Long, Array[Float])]
+    val q = StreamingOps.semDedupIncremental(
+        ms.toDF().toDF("vec_id", "embedding"), "vec_id", "embedding",
+        cents, tauNum = 1, tauDen = 4, s"$tmp/history", s"$tmp/survivors")
+      .option("checkpointLocation", s"$tmp/ckpt").start()
+    try {
+      rows.sortBy(_._1).grouped(75).foreach { b => ms.addData(b.toSeq); q.processAllAvailable() }
+      val streamKept = spark.read.parquet(s"$tmp/survivors")
+        .groupBy("cid").agg(count(lit(1)).as("n"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+      assert(streamKept == batchKept.filter(_._2 > 0L),
+        s"stream kept-per-cell $streamKept != batch $batchKept")
+    } finally q.stop()
+  }
+
   test("streaming chunkDocs matches batch chunking (stateless transform, append mode)") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
