@@ -39,6 +39,15 @@ object Sinks {
     (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w).orc(path)
   }
 
+  /** Avro write; pairs with Sources.avro. Classpath-gated like the
+    * Kafka sink (see Sources.avroAvailable).
+    */
+  def avro(df: DataFrame, path: String, partitionBy: Seq[String] = Nil): Unit = {
+    graft.sources.Sources.requireAvro()
+    val w = df.write.mode("overwrite").format("avro")
+    (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w).save(path)
+  }
+
   /** Bucketed managed table — pre-shuffles data by the join/agg key at
     * write time so later equi-joins and aggregations on `bucketCols`
     * between co-bucketed tables run with NO exchange (verified in

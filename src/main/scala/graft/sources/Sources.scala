@@ -30,12 +30,37 @@ object Sources {
 
   /** ORC reader — the columnar interchange format besides parquet that
     * ships native in spark-sql (predicate pushdown + column pruning
-    * apply exactly as for parquet). Avro is intentionally absent: the
-    * spark-avro connector jar is a separate artifact, surfaced the
-    * same way Kafka is when present on the classpath.
+    * apply exactly as for parquet).
     */
   def orc(spark: SparkSession, path: String): DataFrame =
     spark.read.orc(path)
+
+  /** True iff the spark-avro connector is on the classpath. Like Kafka
+    * it is a separate artifact (absent in this offline container); on a
+    * real cluster submit with
+    * `--packages org.apache.spark:spark-avro_2.13:<spark-version>`.
+    */
+  def avroAvailable: Boolean =
+    // NOT Class.forName: Spark 4 ships the avro classes inside
+    // spark-sql while the "avro" source registration stays in the
+    // external artifact — only the registry lookup answers correctly
+    org.apache.spark.sql.GraftBridge.dataSourceAvailable("avro")
+
+  private[graft] def requireAvro(): Unit =
+    if (!avroAvailable)
+      throw new IllegalStateException(
+        "the spark-avro connector is not on the classpath; submit with " +
+          "--packages org.apache.spark:spark-avro_2.13:<spark-version>")
+
+  /** Avro reader — the row-oriented interchange format of the Kafka /
+    * schema-registry world (the reference's JSON serde upgraded to a
+    * schema'd wire format). Classpath-gated exactly like Kafka; the
+    * round-trip spec runs wherever the jar is present.
+    */
+  def avro(spark: SparkSession, path: String): DataFrame = {
+    requireAvro()
+    spark.read.format("avro").load(path)
+  }
 
   // ---- streaming sources -------------------------------------------------
 

@@ -26,6 +26,19 @@ object GraftBridge {
       expressions.UserDefinedAggregator(agg, inputEnc, Some(name), true, true),
       children)
 
+  /** True iff `shortName` resolves to a registered data source — the
+    * check Spark itself runs at read/write time. Spark 4 ships the
+    * avro CLASSES inside spark-sql but the "avro" SOURCE registration
+    * still lives in the external spark-avro artifact, so a bare
+    * Class.forName probe false-positives; only the real lookup tells.
+    */
+  def dataSourceAvailable(shortName: String): Boolean =
+    try {
+      execution.datasources.DataSource.lookupDataSource(
+        shortName, internal.SQLConf.get)
+      true
+    } catch { case _: Exception => false }
+
   /** Apply an extensions object's injected functions to a session's
     * FunctionRegistry — what session construction does with
     * `spark.sql.extensions`, callable from tests (the conf itself is
