@@ -4998,30 +4998,20 @@ object Queries {
     * chunks and how many are cross-doc duplicates (fingerprint shared
     * with ANOTHER doc — the shift-robust boilerplate signal).
     *
-    * Scale shape: explode → per-doc running boundary count (keyed
-    * window) → (doc, chunk) aggregation — all keyed by doc_id, sharing
-    * the doc_id exchange prefix; the fingerprint dup check is an
-    * equi-join on fp. Expected chunk length is the anchor modulus (8
-    * tokens), so chunk count is bounded linear in corpus tokens.
+    * Scale shape: TextFns.cdcChunkDocs computes chunk starts INSIDE
+    * the token array (higher-order functions), so chunking itself is
+    * MAP-ONLY — zero shuffles, the same transform runs on a stream in
+    * append mode (StreamingParitySpec) — and only the fingerprint dup
+    * check shuffles (equi-join on fp). Expected chunk length is the
+    * anchor modulus (8 tokens), so chunk count is bounded linear in
+    * corpus tokens. The oracle keeps the equivalent explode + running-
+    * count formulation, pinning the two shapes to the same answer.
     */
   private val qCdcChunks = GraftQuery(
     "q_cdc_chunks",
     (s, dir) => {
-      import org.apache.spark.sql.expressions.Window
-      val inst = Fence.guard(
-          t(s, dir, "documents")
-            .select(col("doc_id"), TextFns.tokensFast(col("text")).as("__toks"), Fence.col))
-        .filter(size(col("__toks")) >= 1)
-        .select(col("doc_id"), posexplode(col("__toks")).as(Seq("pos", "term")))
-        .withColumn("__b", (TextFns.tokenHash31(col("term")) % 8 === 0).cast("long"))
-      val w = Window.partitionBy("doc_id").orderBy(col("pos"))
-        .rowsBetween(Window.unboundedPreceding, -1)
-      val chunks = inst
-        .withColumn("chunk_idx", coalesce(sum(col("__b")).over(w), lit(0L)))
-        .groupBy(col("doc_id"), col("chunk_idx"))
-        .agg(md5(array_join(transform(
-          array_sort(collect_list(struct(col("pos"), col("term")))),
-          x => x.getField("term")), " ")).as("fp"))
+      val chunks = TextFns.cdcChunkDocs(t(s, dir, "documents"), "doc_id", "text", modulus = 8)
+        .select(col("doc_id"), col("chunk_idx"), col("fp"))
       val dupFp = chunks.groupBy("fp")
         .agg(countDistinct(col("doc_id")).as("__nd"))
         .filter(col("__nd") >= 2)

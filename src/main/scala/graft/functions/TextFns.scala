@@ -179,4 +179,38 @@ object TextFns {
       .select(col(idCol), col("chunk_idx"),
         size(col("__chunk")).cast("long").as("n_tokens"),
         md5(concat_ws(" ", col("__chunk"))).as("chunk_md5"))
+
+  /** Content-defined chunking, MAP-ONLY: a boundary falls where
+    * tokenHash31(term) % modulus == 0 and a new chunk starts right
+    * AFTER the boundary token (a position's chunk_idx = boundaries
+    * strictly before it — shift-robust: an insertion re-chunks only
+    * its own chunk). Chunk starts/ends are computed inside the token
+    * array with higher-order functions, so there is ZERO shuffle —
+    * unlike an explode + per-doc running-count window this runs
+    * unchanged on a stream in append mode (parity-tested) and scales
+    * embarrassingly. Output: (id, chunk_idx, n_tokens, fp), one row
+    * per chunk; expected chunk length is `modulus` tokens.
+    */
+  def cdcChunkDocs(df: org.apache.spark.sql.DataFrame, idCol: String, textCol: String,
+      modulus: Int = 8): org.apache.spark.sql.DataFrame =
+    Fence.guard(
+        df.select(col(idCol), tokensFast(col(textCol)).as("__toks"), Fence.col))
+      .filter(size(col("__toks")) >= 1)
+      .withColumn("__starts",
+        // position p starts a chunk iff p == 0 or the previous token
+        // is a boundary (1-based element_at)
+        filter(sequence(lit(0), size(col("__toks")) - 1),
+          // when() keeps element_at unevaluated at p = 0 (index 0 is
+          // an ANSI error; Or does not guarantee short-circuit)
+          p => when(p === 0, lit(true))
+            .otherwise(tokenHash31(element_at(col("__toks"), p)) % modulus === 0)))
+      .withColumn("__ends",
+        concat(slice(col("__starts"), lit(2), size(col("__starts")) - 1),
+          array(size(col("__toks")))))
+      .select(col(idCol), posexplode(
+        zip_with(col("__starts"), col("__ends"),
+          (s, e) => slice(col("__toks"), s + 1, e - s))).as(Seq("chunk_idx", "__chunk")))
+      .select(col(idCol), col("chunk_idx").cast("long").as("chunk_idx"),
+        size(col("__chunk")).cast("long").as("n_tokens"),
+        md5(concat_ws(" ", col("__chunk"))).as("fp"))
 }

@@ -794,6 +794,30 @@ class StreamingParitySpec extends SparkSpecBase {
     assert(got.count(_._1 == 1L) == 4 && got.count(_._1 == 2L) == 1 && !got.exists(_._1 == 3L))
   }
 
+  test("streaming cdcChunkDocs matches batch content-defined chunking (append mode)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // a corpus big enough to contain real anchors (hash % 8 == 0 hits
+    // ~1 token in 8), a short doc with likely no anchor, and an empty doc
+    val docs = Seq(
+      (1L, (1 to 80).map(i => s"tok$i").mkString(" ")),
+      (2L, "just three words"),
+      (3L, ""))
+    val ms = MemoryStream[(Long, String)]
+    ms.addData(docs)
+    val out = graft.functions.TextFns.cdcChunkDocs(ms.toDF().toDF("doc_id", "text"), "doc_id", "text")
+    runToTable(out, "t_cdc_chunks", OutputMode.Append())
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3))).toSet
+    val got = canon(spark.table("t_cdc_chunks"))
+    val expect = canon(graft.functions.TextFns.cdcChunkDocs(docs.toDF("doc_id", "text"), "doc_id", "text"))
+    assert(got == expect)
+    // chunk tokens must tile each doc: per-doc n_tokens sums to doc length
+    val perDoc = got.groupBy(_._1).view.mapValues(_.toSeq.map(_._3).sum).toMap
+    assert(perDoc(1L) == 80L && perDoc(2L) == 3L && !perDoc.contains(3L))
+    assert(got.count(_._1 == 1L) > 1, "80 tokens should contain at least one anchor")
+  }
+
   test("streaming gapFill zero-fills closed hours and matches the batch grid across batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
