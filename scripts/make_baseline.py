@@ -26,13 +26,15 @@ q01, n01 = best(sys.argv[2])
 # crashing or silently vanishing from the table
 names = list(q01.keys()) + [k for k in q001 if k not in q01]
 lines = []
-lines.append('# BASELINE — graft headline bench (round 7)\n')
+lines.append('# BASELINE — graft headline bench (round 8)\n')
 lines.append('''The absolute per-query anchor for the "within 2x" gate: best of
 %s steady-state runs per scale factor (per-query min — the repeatable
 number with ambient load removed), `graft.Bench` methodology (one
 warm-up pass per query at sf0.001 for plan analysis + codegen compile,
 then each query timed exactly once per run at the bench scale, so no
-timed number benefits from warmed data caches).
+timed number benefits from warmed data caches; queries materialize
+through the noop SINK, not count(), so column pruning cannot drop
+timed projection work).
 
 **Machine**: 32-core Intel Xeon @ 2.10 GHz (1 thread/core), 125 GiB
 RAM, OpenJDK 17.0.20, Spark 4.1.2 `local[32]`,
@@ -44,18 +46,28 @@ RAM, OpenJDK 17.0.20, Spark 4.1.2 `local[32]`,
 sf-scaling note: a ~10x data step costs well under 10x wall time on
 most queries (scan-bound shapes amortize fixed job latency); the
 iterative-graph and window-heavy shapes grow closest to linear.
+q_triangles is the one deliberately superlinear shape: its wedge join
+is bounded by m^1.5 and the sf0.1 near-dup graph is far denser (one
+~4,700-node component), so ~10x edges cost ~11x wall — the documented
+cost of exact triangle counting, not a plan regression.
 
 | query | sf0.01 (s) | sf0.1 (s) | sf0.1/sf0.01 |
 |---|---|---|---|
 ''' % (f'{n001}/{n01}' if n001 != n01 else str(n001)))
-tot001 = tot01 = 0.0
 for k in names:
     a, b = q001.get(k), q01.get(k)
-    tot001 += a or 0; tot01 += b or 0
     ratio = f'{b/a:.2f}' if a and b else '-'
     ca = f'{a:.3f}' if a is not None else '-'
     cb = f'{b:.3f}' if b is not None else '-'
     lines.append(f'| {k} | {ca} | {cb} | {ratio} |\n')
-lines.append(f'| **total ({len(names)} queries)** | **{tot001:.2f}** | **{tot01:.2f}** | {tot01/tot001:.2f} |\n')
+# totals over the INTERSECTION only, so the bottom-row ratio compares
+# identical query sets; queries missing from one file are flagged
+both = [k for k in names if k in q001 and k in q01]
+tot001 = sum(q001[k] for k in both)
+tot01 = sum(q01[k] for k in both)
+lines.append(f'| **total ({len(both)} queries in both)** | **{tot001:.2f}** | **{tot01:.2f}** | {tot01/tot001:.2f} |\n')
+only = [k for k in names if k not in both]
+if only:
+    lines.append(f'\nExcluded from totals (present at one scale only): {", ".join(only)}\n')
 open('BASELINE.md', 'w').writelines(lines)
 print('wrote BASELINE.md', len(names), 'queries; totals', round(tot001, 2), round(tot01, 2))

@@ -263,6 +263,13 @@ class PlanSpec extends SparkSpecBase {
     assert(!p.contains("partitionBy=[]") && !p.contains("SinglePartition, ENSURE"), p)
   }
 
+  test("cdcChunkDocs: content-defined chunking is map-only — zero exchanges") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val p = planOf(graft.functions.TextFns.cdcChunkDocs(docs, "doc_id", "text"))
+    assert(!p.contains("Exchange"), p)
+    assert(!p.contains("Window"), p)
+  }
+
   test("q_ppl_buckets_scale: windows run over the bounded histogram, tier label joins broadcast") {
     import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Window => LWindow}
     val df = Queries.queries("q_ppl_buckets_scale")(spark, sfDir)
