@@ -36,7 +36,10 @@ object Bench {
     // join, and the posting-list build — cost shapes the set
     // under-sampled — plus the histogram-cut fluency-tier scale path
     "q_cdc_chunks", "q_multimodal_decode", "q_triangles", "q_inverted_index",
-    "q_ppl_buckets_scale")
+    "q_ppl_buckets_scale",
+    // the sampled scale path benched NEXT TO its exact twin, so the
+    // baseline shows the p^3 wedge-work cut at the denser sf0.1 graph
+    "q_triangles_approx")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

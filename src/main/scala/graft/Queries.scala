@@ -1634,6 +1634,42 @@ object Queries {
              SELECT id, CAST(count(*) AS BIGINT) AS n_tri
              FROM corners GROUP BY id"""))
 
+  /** DOULION-style sampled triangle estimate (Tsourakakis et al., KDD
+    * 2009) — the 100 TB answer to q_triangles' inherent m^1.5 wedge
+    * bound: keep each edge independently with p = 1/2 (deterministic
+    * md5 bucket of the canonical pair, zero RNG state), count
+    * triangles on the sampled graph with the SAME degree-oriented
+    * operator, scale by 1/p³ = 8. Sampling is a map-only filter, cuts
+    * wedge work to ~p² and triangle work to ~p³; the estimator is
+    * unbiased, and at production scale p drops to ~0.1 for a ~1000×
+    * wedge-work cut. Exact integer arithmetic end-to-end keeps the
+    * estimate oracle-checkable; SketchSpec bounds it against the exact
+    * count.
+    */
+  private val qTrianglesApprox = GraftQuery(
+    "q_triangles_approx",
+    (s, dir) => {
+      val keep = (conv(substring(md5(concat_ws(":", col("id_a"), col("id_b"))), 1, 15), 16, 10)
+        .cast("long") % 1000L) < 500L
+      val e = simhashPairs(s, dir).filter(keep)
+      val nTri = Relational.triangleCounts(e, "id_a", "id_b")
+        .agg(coalesce(expr("sum(n_tri) div 3"), lit(0L)).as("n_tri_sampled"))
+      e.agg(count(lit(1)).as("n_edges_sampled")).crossJoin(nTri)
+        .select(col("n_edges_sampled"), col("n_tri_sampled"),
+          (col("n_tri_sampled") * 8).as("est_tri"))
+    },
+    Some(s"""$simhashPairsSql,
+             se AS (SELECT id_a, id_b FROM p
+                    WHERE ('0x' || substr(md5(id_a || ':' || id_b), 1, 15))::BIGINT % 1000 < 500),
+             tri AS (SELECT e1.id_a AS a, e1.id_b AS b, e2.id_b AS c
+                     FROM se e1
+                     JOIN se e2 ON e2.id_a = e1.id_b
+                     JOIN se e3 ON e3.id_a = e1.id_a AND e3.id_b = e2.id_b)
+             SELECT (SELECT CAST(count(*) AS BIGINT) FROM se) AS n_edges_sampled,
+               CAST(count(*) AS BIGINT) AS n_tri_sampled,
+               CAST(count(*) * 8 AS BIGINT) AS est_tri
+             FROM tri"""))
+
   /** MinHash-threshold tuning curve: candidate pairs per signature-
     * agreement band (agree of 16 hashes) — q_cosine_bands' twin for
     * the text-dedup τ. The estimate is already an exact integer
@@ -4829,7 +4865,9 @@ object Queries {
     * an integer in [0, 1000], so groupBy(lang, lm_milli) is a partial-agg
     * shuffle of ≤ 1001 rows per language; the only window runs over that
     * bounded histogram (the documented empty-partition-window pattern),
-    * and the tier label joins back BROADCAST + map-only. Tie semantics
+    * the report aggregates the histogram in place, and PER-DOC labeling
+    * (when a pipeline filters docs by tier) broadcasts the tiny cut
+    * table — map-only, no second pass over the kernel. Tie semantics
     * differ from ntile by design — all docs sharing a score share a
     * tier: tier(v) = min(3, 1 + (3·|{docs > v}|) div n), exact rank
     * arithmetic on positive integers (Spark div = DuckDB //), so this
@@ -4848,18 +4886,20 @@ object Queries {
         .select(col("doc_id"), col("lang"), col("lm_milli"))
       val histo = perDoc.groupBy(col("lang"), col("lm_milli"))
         .agg(count(lit(1)).as("__c"))
-      // windows over the ≤1001-row-per-lang histogram, not the corpus
+      // windows over the ≤1001-row-per-lang histogram, not the corpus;
+      // the report aggregates the HISTOGRAM directly (one reference to
+      // the per-doc kernel — per-doc labeling at scale broadcasts the
+      // tiny (lang, lm_milli, tier) cut table instead, map-only, as
+      // SketchSpec's per-doc disagreement check does)
       val above = Window.partitionBy("lang").orderBy(col("lm_milli").desc)
         .rowsBetween(Window.unboundedPreceding, -1)
       val whole = Window.partitionBy("lang")
-      val tiers = histo
+      histo
         .withColumn("__hi", coalesce(sum(col("__c")).over(above), lit(0L)))
         .withColumn("__n", sum(col("__c")).over(whole))
         .withColumn("tier", least(lit(3L), lit(1L) + expr("(3 * __hi) div __n")))
-      perDoc.join(broadcast(tiers.select(col("lang"), col("lm_milli"), col("tier"))),
-          Seq("lang", "lm_milli"))
         .groupBy(col("lang"), col("tier"))
-        .agg(count(lit(1)).as("n_docs"),
+        .agg(sum(col("__c")).as("n_docs"),
           min(col("lm_milli")).as("lo_milli"), max(col("lm_milli")).as("hi_milli"))
     },
     Some(s"""WITH $bigramLmSql,
@@ -5050,7 +5090,7 @@ object Queries {
     q7Trade, q15TopSupp, q17SmallQty, q21Blame, q20Excess, q8Share, qJsonExtract,
     qNegPairs, qPiiScrub, qKanon, qLdiv, qDedupReport,
     qDedupExact, qDedupMinhash, qMinhashRescore, qContainment, qMinhashEst, qDedupSimhash, qDedupSimhashPairs,
-    qDedupClusters, qPagerank, qTriangles, qQualityDup, qHapax, qNgramJaccard, qDedupEmbed, qRepetition,
+    qDedupClusters, qPagerank, qTriangles, qTrianglesApprox, qQualityDup, qHapax, qNgramJaccard, qDedupEmbed, qRepetition,
     qSplitLeakage, qJaccardCalib,
     qEmbedTopk, qEmbedLsh, qEmbedIvf, qKmeansStep, qDocChunks, qChunkDedup,
     qKnnClassify, qClassBalance, qGapFill, qInvertedIndex,

@@ -137,8 +137,9 @@ class PlanSpec extends SparkSpecBase {
       "q_decontam" -> 3,
       // ppl-buckets rides the bigram-lm kernel: instance stream + its
       // (x,y) aggregation share one runtime exchange (2 logical
-      // copies) + the unigram branch (1)
-      "q_ppl_buckets" -> 3,
+      // copies) + the unigram branch (1); the _scale twin references
+      // the kernel once too (report aggregates the histogram in place)
+      "q_ppl_buckets" -> 3, "q_ppl_buckets_scale" -> 3,
       // semdedup references the fenced quantize+assign subtree three
       // times (pair join a/b sides + the member count), all riding the
       // single repartition(cid) exchange at runtime
@@ -270,7 +271,7 @@ class PlanSpec extends SparkSpecBase {
     assert(!p.contains("Window"), p)
   }
 
-  test("q_ppl_buckets_scale: windows run over the bounded histogram, tier label joins broadcast") {
+  test("q_ppl_buckets_scale: windows run over the bounded histogram, never the corpus") {
     import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Window => LWindow}
     val df = Queries.queries("q_ppl_buckets_scale")(spark, sfDir)
     val wins = df.queryExecution.optimizedPlan.collect { case w: LWindow => w }
@@ -287,7 +288,6 @@ class PlanSpec extends SparkSpecBase {
         s"window over non-histogram input:\n${w.treeString}")
     }
     val p = planOf(df)
-    assert(p.contains("BroadcastHashJoin"), p) // map-only tier label
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
   }
 

@@ -50,6 +50,20 @@ class SketchSpec extends SparkSpecBase {
     assert(out.nonEmpty)
   }
 
+  test("sampled triangle estimate lands within 2x of the exact count") {
+    // DOULION p=1/2: unbiased, variance shrinks with triangle count —
+    // at sf0.001 the deterministic sample sits within ~6% of exact;
+    // 2x is the regression fence (a broken estimator is off by 8x:
+    // forgetting the 1/p^3 rescale, or sampling after the wedge join)
+    val exact = Queries.queries("q_triangles")(spark, sfDir)
+      .agg(expr("sum(n_tri) div 3")).head().getLong(0)
+    val row = Queries.queries("q_triangles_approx")(spark, sfDir).head()
+    val est = row.getLong(2)
+    assert(est >= 0L && row.getLong(1) * 8 == est, "estimate must be count * 1/p^3")
+    assert(est >= exact / 2 && est <= exact * 2,
+      s"sampled estimate $est vs exact $exact is outside the 2x fence")
+  }
+
   test("q_ppl_buckets_scale tiers disagree with ntile only on boundary tie groups") {
     import org.apache.spark.sql.expressions.Window
     // per-doc ntile tier (the exact oracle twin's assignment)
