@@ -63,6 +63,8 @@ for k in names:
 # totals over the INTERSECTION only, so the bottom-row ratio compares
 # identical query sets; queries missing from one file are flagged
 both = [k for k in names if k in q001 and k in q01]
+if not both:
+    sys.exit('no query timed at BOTH scale factors — refusing to write a baseline with no comparable totals')
 tot001 = sum(q001[k] for k in both)
 tot01 = sum(q01[k] for k in both)
 lines.append(f'| **total ({len(both)} queries in both)** | **{tot001:.2f}** | **{tot01:.2f}** | {tot01/tot001:.2f} |\n')

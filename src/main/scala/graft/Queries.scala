@@ -1649,9 +1649,11 @@ object Queries {
   private val qTrianglesApprox = GraftQuery(
     "q_triangles_approx",
     (s, dir) => {
-      val keep = (conv(substring(md5(concat_ws(":", col("id_a"), col("id_b"))), 1, 15), 16, 10)
-        .cast("long") % 1000L) < 500L
-      val e = simhashPairs(s, dir).filter(keep)
+      // the sample IS stratifiedSample's deterministic md5-permille
+      // rule, applied to the canonical "a:b" edge key at rate 500
+      val e = Relational.stratifiedSample(
+          simhashPairs(s, dir).withColumn("__ek", concat_ws(":", col("id_a"), col("id_b"))),
+          "__ek", lit(500)).drop("__ek")
       val nTri = Relational.triangleCounts(e, "id_a", "id_b")
         .agg(coalesce(expr("sum(n_tri) div 3"), lit(0L)).as("n_tri_sampled"))
       e.agg(count(lit(1)).as("n_edges_sampled")).crossJoin(nTri)

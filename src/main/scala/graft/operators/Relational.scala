@@ -112,7 +112,13 @@ object Relational {
       orderCols: Seq[Column], weightCol: String, outCol: String,
       maxOffset: Option[Long] = None): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val base = df.withColumn("__bk", bucket)
+    // pin base on its (group, bucket) exchange: the offsets aggregate
+    // and the row-level window both consume it, and without the
+    // explicit repartition their exchange subtrees differ (partial agg
+    // inside one of them) so the upstream input — often a full
+    // tokenize pass — would be computed twice instead of riding one
+    // ReusedExchange (the semDedupReport pattern)
+    val base = df.withColumn("__bk", bucket).repartition(col(groupCol), col("__bk"))
     val offsets = base.groupBy(col(groupCol), col("__bk"))
       .agg(sum(col(weightCol)).as("__n"))
       .withColumn("__off", coalesce(sum(col("__n")).over(

@@ -610,13 +610,17 @@ object StreamingOps {
             spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], histSchema)
           else spark.read.schema(histSchema).parquet(historyDir)
             .filter(col("batch_id") < batchId)
-        // the history side carries a smaller-id guard (like semdedup's):
-        // a replayed batch sees earlier batches only via the batch_id
-        // filter, but exact smaller-id semantics also hold under
-        // out-of-order id arrival across batches
+        // the history side guards on a.id >= b.id, NOT strictly >: the
+        // equal-id case is an at-least-once RE-DELIVERY in a LATER
+        // batch (same doc, same bands — the batch_id filter only
+        // covers same-batch replays), which must collide with its own
+        // history bands and drop instead of being emitted twice. The
+        // in-batch join below stays strict (a doc never drops itself
+        // within its first batch). Out-of-order smaller-id arrival
+        // across batches keeps exact smaller-id semantics.
         val vsHist = sigs.as("a").join(hist.select("id", "band", "bh").as("b"),
             col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
-              col("a.id") > col("b.id"), "left_semi")
+              col("a.id") >= col("b.id"), "left_semi")
           .select("id").distinct()
         val inBatch = sigs.as("a")
           .join(sigs.as("b"),
@@ -711,11 +715,14 @@ object StreamingOps {
           // with zero readable footers, where inference would throw
           else spark.read.schema(histSchema).parquet(historyDir)
             .filter(col("batch_id") < batchId)
-        // the history side carries a smaller-id guard too: a REPLAYED
-        // batch sees earlier batches only (batch_id filter), but exact
-        // smaller-id semantics also hold within out-of-order id arrival
+        // the history side guards on a.id >= b.id, NOT strictly >: an
+        // equal id in a LATER batch is an at-least-once re-delivery
+        // (same vector — cosine 1 to its own history row), which must
+        // drop instead of being emitted twice; the batch_id filter
+        // only covers same-batch replays, and dropDuplicates only
+        // within one batch. In-batch join stays strict below.
         val vsHist = near(sigs.as("a").join(hist.select("id", "cid", "qv", "nrm").as("b"),
-          col("a.cid") === col("b.cid") && col("a.id") > col("b.id")))
+          col("a.cid") === col("b.cid") && col("a.id") >= col("b.id")))
         val inBatch = near(sigs.as("a").join(sigs.as("b"),
           col("a.cid") === col("b.cid") && col("a.id") > col("b.id")))
         val dupIds = vsHist.union(inBatch).distinct()

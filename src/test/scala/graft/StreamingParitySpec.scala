@@ -678,6 +678,44 @@ class StreamingParitySpec extends SparkSpecBase {
     assert(run(data.map(Seq(_))) == Set(1L), "one doc per batch")
   }
 
+  test("incremental dedup drops an at-least-once RE-DELIVERY of the same doc in a later batch") {
+    // same id arriving again in a LATER batch (re-uploaded ingest file)
+    // must collide with its OWN history rows — the batch_id replay
+    // filter only covers same-batch replays, so a strict smaller-id
+    // guard would emit the doc twice from a dedup operator
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // minhash path
+    val tmp1 = java.nio.file.Files.createTempDirectory("graft-redeliver-mh").toString
+    val text = "alpha beta gamma delta epsilon zeta eta theta"
+    val ms1 = MemoryStream[(Long, String)]
+    val q1 = StreamingOps.dedupMinhashIncremental(
+        ms1.toDF().toDF("doc_id", "text"), "doc_id", "text",
+        s"$tmp1/history", s"$tmp1/survivors")
+      .option("checkpointLocation", s"$tmp1/ckpt").start()
+    try {
+      ms1.addData(Seq(7L -> text)); q1.processAllAvailable()
+      ms1.addData(Seq(7L -> text)); q1.processAllAvailable()
+      val rows = spark.read.parquet(s"$tmp1/survivors").select("id").collect().map(_.getLong(0))
+      assert(rows.toSeq == Seq(7L), s"re-delivered doc emitted ${rows.length} times")
+    } finally q1.stop()
+    // semantic path
+    val tmp2 = java.nio.file.Files.createTempDirectory("graft-redeliver-sd").toString
+    val cents = Seq(Seq(1000L, 0L, 0L, 0L), Seq(0L, 1000L, 0L, 0L))
+    val v = Array(1.0f, 0.05f, 0f, 0f)
+    val ms2 = MemoryStream[(Long, Array[Float])]
+    val q2 = StreamingOps.semDedupIncremental(
+        ms2.toDF().toDF("vec_id", "embedding"), "vec_id", "embedding",
+        cents, tauNum = 9, tauDen = 10, s"$tmp2/history", s"$tmp2/survivors")
+      .option("checkpointLocation", s"$tmp2/ckpt").start()
+    try {
+      ms2.addData(Seq(7L -> v)); q2.processAllAvailable()
+      ms2.addData(Seq(7L -> v)); q2.processAllAvailable()
+      val rows = spark.read.parquet(s"$tmp2/survivors").select("id").collect().map(_.getLong(0))
+      assert(rows.toSeq == Seq(7L), s"re-delivered vector emitted ${rows.length} times")
+    } finally q2.stop()
+  }
+
   test("incremental semantic dedup drops cosine twins within and across micro-batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
