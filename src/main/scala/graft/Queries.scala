@@ -1933,6 +1933,25 @@ object Queries {
                     // greatest(sum(nt), 1) AS BIGINT) AS savings_milli
              FROM x GROUP BY source"""))
 
+  /** Shared oracle for q_decontam and q_bloom_decontam: the bloom
+    * prefilter is candidate pruning only (no false negatives; false
+    * positives die in the exact confirm join), so both queries must
+    * hash-match this same exact answer.
+    */
+  private val decontamOracleSql = s"""WITH tk AS (SELECT doc_id, $toksSql AS tks FROM documents),
+             g AS (SELECT doc_id, unnest(list_distinct(list_transform(
+                     range(1, greatest(len(tks) - 2, 1)),
+                     i -> array_to_string(tks[i:i+3], ' ')))) AS g
+                   FROM tk WHERE len(tks) >= 4),
+             probe AS (SELECT DISTINCT g FROM g WHERE doc_id < 3),
+             kill AS (SELECT doc_id FROM g JOIN probe USING (g)
+                      WHERE doc_id >= 3 GROUP BY doc_id HAVING count(DISTINCT g) >= 2)
+             SELECT source, CAST(count(*) AS BIGINT) AS n_kept,
+               CAST(sum(len($toksSql)) AS BIGINT) AS tokens_kept
+             FROM documents
+             WHERE doc_id >= 3 AND doc_id NOT IN (SELECT doc_id FROM kill)
+             GROUP BY source"""
+
   /** Benchmark DECONTAMINATION — the removal step after detection:
     * drop every doc sharing ≥2 distinct 4-grams with the broadcast
     * probe set (q_contamination's flag at a keep/kill threshold) and
@@ -1962,19 +1981,7 @@ object Queries {
         .groupBy(col("source"))
         .agg(count(lit(1)).as("n_kept"), sum(col("nt")).as("tokens_kept"))
     },
-    Some(s"""WITH tk AS (SELECT doc_id, $toksSql AS tks FROM documents),
-             g AS (SELECT doc_id, unnest(list_distinct(list_transform(
-                     range(1, greatest(len(tks) - 2, 1)),
-                     i -> array_to_string(tks[i:i+3], ' ')))) AS g
-                   FROM tk WHERE len(tks) >= 4),
-             probe AS (SELECT DISTINCT g FROM g WHERE doc_id < 3),
-             kill AS (SELECT doc_id FROM g JOIN probe USING (g)
-                      WHERE doc_id >= 3 GROUP BY doc_id HAVING count(DISTINCT g) >= 2)
-             SELECT source, CAST(count(*) AS BIGINT) AS n_kept,
-               CAST(sum(len($toksSql)) AS BIGINT) AS tokens_kept
-             FROM documents
-             WHERE doc_id >= 3 AND doc_id NOT IN (SELECT doc_id FROM kill)
-             GROUP BY source"""))
+    Some(decontamOracleSql))
 
   /** Exact Spearman components per source: Σd² between each doc's
     * token-count rank and quality rank (ties broken on doc_id, so the
@@ -5083,6 +5090,233 @@ object Queries {
                CAST(sum(CASE WHEN fp IN (SELECT fp FROM dup) THEN 1 ELSE 0 END) AS BIGINT) AS dup_chunks
              FROM ch GROUP BY doc_id"""))
 
+  /** BLOOM-PREFILTERED decontamination — q_decontam's 100 TB shape.
+    *
+    * q_decontam broadcasts the probe gram table into the confirm join,
+    * which works while the contamination probe (a benchmark suite)
+    * fits a broadcast hash relation. At production scale the probe
+    * gram set is GBs — too big to broadcast as a hash table but ~16x
+    * smaller as a Bloom filter. This query runs that shape end to end:
+    *
+    *  1. build a Bloom filter over xxhash64(probe grams) with Spark's
+    *     public distributed builder (`df.stat.bloomFilter`, a
+    *     treeAggregate — the driver holds only the final filter bits,
+    *     sized by the probe count, never corpus-sized);
+    *  2. ship the serialized filter as a plan LITERAL and prefilter
+    *     the corpus gram stream MAP-SIDE with the codegen'd
+    *     `BloomFilterMightContain` — the same Catalyst expression
+    *     Spark's own runtime row-level filtering injects — so the
+    *     ~non-matching corpus grams (the overwhelming majority) never
+    *     reach the exchange;
+    *  3. confirm the survivors in an exact SHUFFLE-HASH equi-join
+    *     (deliberately hinted: at target scale this join cannot be a
+    *     broadcast) — bloom false positives die here, so the final
+    *     answer is exactly q_decontam's (same oracle, hash-checked).
+    *
+    * xxhash64 appears only inside the filter probe (an engine-local
+    * candidate heuristic, like LSH bucketing) — it never touches the
+    * exact output, so the portability rules hold.
+    */
+  private val qBloomDecontam = GraftQuery(
+    "q_bloom_decontam",
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+      def grams(df: DataFrame) = Fence.guard(Fence.guard(
+          df.select(col("doc_id"), TextFns.tokensFast(col("text")).as("__toks"), Fence.col))
+        .select(col("doc_id"),
+          DedupFns.wordNgramsFast(col("__toks"), 4).as("__grams"), Fence.col))
+        .select(col("doc_id"), explode(col("__grams")).as("g"))
+      val probeGrams = grams(docs.filter(col("doc_id") < 3)).select(col("g")).distinct()
+      val probeHashes = probeGrams.select(xxhash64(col("g")).as("h"))
+      val nProbe = math.max(probeHashes.count(), 1L)
+      val bf = probeHashes.stat.bloomFilter("h", nProbe, 0.01)
+      val bos = new java.io.ByteArrayOutputStream()
+      bf.writeTo(bos)
+      val mightHit =
+        org.apache.spark.sql.GraftBridge.bloomMightContain(bos.toByteArray, xxhash64(col("g")))
+      val kill = grams(docs.filter(col("doc_id") >= 3))
+        .filter(mightHit)
+        .join(probeGrams.hint("shuffle_hash"), "g")
+        .groupBy("doc_id")
+        .agg(countDistinct(col("g")).as("shared"))
+        .filter(col("shared") >= 2)
+        .select(col("doc_id").as("kid"))
+      docs.filter(col("doc_id") >= 3)
+        .join(kill, col("doc_id") === col("kid"), "left_anti")
+        .select(col("source"), size(TextFns.tokensFast(col("text"))).cast("long").as("nt"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_kept"), sum(col("nt")).as("tokens_kept"))
+    },
+    Some(decontamOracleSql))
+
+  /** Duplicated-substring RUN detection (the Lee et al. 2022
+    * "Deduplicating Training Data" §4 substring signal, re-expressed
+    * relationally): q_span_dedup counts which distinct 8-token windows
+    * recur; this query finds how LONG the copied stretches are. A
+    * window is cross-doc duplicated iff its 60-bit hash occurs in ≥2
+    * distinct docs (min(doc_id)≠max(doc_id) over the hash partition —
+    * exact, and ONE hash shuffle with no df self-join); consecutive
+    * duplicated window starts then collapse gaps-and-islands style
+    * (pos − running-dup-count is constant within a run) into maximal
+    * runs. A run of r consecutive duplicated 8-windows certifies a
+    * duplicated substring of r+7 tokens — the excision length a
+    * substring-level dedup pass would cut.
+    *
+    * Scale shape: positional windows ride as 8-byte hashes (native
+    * PosNgramsExpr builds them in one pass); the only shuffles are the
+    * hash partition and the doc_id partition; the run window sorts
+    * within one document only — never a low-cardinality key.
+    */
+  private val qDupSpanRuns = GraftQuery(
+    "q_dup_span_runs",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val g = Fence.guard(
+          t(s, dir, "documents")
+            .select(col("doc_id"), TextFns.tokensFast(col("text")).as("__toks"), Fence.col))
+        .filter(size(col("__toks")) >= 8)
+        .select(col("doc_id"),
+          posexplode(DedupFns.wordNgramsPositional(col("__toks"), 8)).as(Seq("pos", "__gram")))
+        .select(col("doc_id"), col("pos").cast("long").as("pos"),
+          TextFns.tokenHash31(col("__gram")).as("__gh"))
+      val wh = Window.partitionBy("__gh")
+      val wd = Window.partitionBy("doc_id").orderBy(col("pos"))
+      g.withColumn("__dup",
+          when(min(col("doc_id")).over(wh) =!= max(col("doc_id")).over(wh), 1L).otherwise(0L))
+        .withColumn("__rnd", sum(col("__dup")).over(wd))
+        .withColumn("__isl", when(col("__dup") === 1L, col("pos") - col("__rnd")))
+        .groupBy(col("doc_id"), col("__isl"))
+        .agg(count(lit(1)).as("__cnt"))
+        .groupBy(col("doc_id"))
+        .agg(sum(col("__cnt")).as("n_spans"),
+          coalesce(sum(when(col("__isl").isNotNull, col("__cnt"))), lit(0L)).as("n_dup_spans"),
+          coalesce(max(when(col("__isl").isNotNull, col("__cnt"))), lit(0L)).as("max_run"))
+        .select(col("doc_id"), col("n_spans"), col("n_dup_spans"), col("max_run"),
+          when(col("max_run") > 0, col("max_run") + lit(7L)).otherwise(lit(0L)).as("max_dup_tokens"))
+    },
+    Some(s"""WITH t0 AS (SELECT doc_id, $toksSql AS tk FROM documents),
+             sp AS (SELECT doc_id, pg.pos AS pos, pg.g AS g
+                    FROM (SELECT doc_id, unnest(list_transform(range(0, len(tk) - 7),
+                            i -> {'pos': i, 'g': array_to_string(list_slice(tk, i + 1, i + 8), ' ')})) AS pg
+                          FROM t0 WHERE len(tk) >= 8)),
+             h AS (SELECT doc_id, pos, ${h31Sql("g")} AS gh FROM sp),
+             m AS (SELECT doc_id, pos,
+                     CASE WHEN min(doc_id) OVER (PARTITION BY gh) <> max(doc_id) OVER (PARTITION BY gh)
+                          THEN 1 ELSE 0 END AS dup
+                   FROM h),
+             i AS (SELECT doc_id, pos, dup,
+                     sum(dup) OVER (PARTITION BY doc_id ORDER BY pos) AS rnd
+                   FROM m),
+             r AS (SELECT doc_id, isl, count(*) AS cnt
+                   FROM (SELECT doc_id, CASE WHEN dup = 1 THEN pos - rnd END AS isl FROM i)
+                   GROUP BY doc_id, isl),
+             f AS (SELECT doc_id, sum(cnt) AS n_spans,
+                     coalesce(sum(CASE WHEN isl IS NOT NULL THEN cnt END), 0) AS n_dup,
+                     coalesce(max(CASE WHEN isl IS NOT NULL THEN cnt END), 0) AS max_run
+                   FROM r GROUP BY doc_id)
+             SELECT doc_id, CAST(n_spans AS BIGINT) AS n_spans,
+               CAST(n_dup AS BIGINT) AS n_dup_spans,
+               CAST(max_run AS BIGINT) AS max_run,
+               CAST(CASE WHEN max_run > 0 THEN max_run + 7 ELSE 0 END AS BIGINT) AS max_dup_tokens
+             FROM f"""))
+
+  /** Per-dimension int8 scalar quantization report over the embedding
+    * corpus — the compression decision view before building a
+    * quantized ANN index (the SQ step of FAISS's SQ8 / IVF-SQ lineage,
+    * in exact integer space): per dim, the [min, max] range over
+    * milli-quantized components, the 255-level code reconstruction
+    * error (code = (v−min)·255 div range; recon = min + code·range
+    * div 255 — all non-negative integer div, so Spark `div` == DuckDB
+    * `//`), and exact mean/max absolute error.
+    *
+    * Scale shape: two passes over the embeddings. Pass 1 posexplodes
+    * to (dim, v) and partial-aggregates min/max/count into ≤dims
+    * groups — map-side combine collapses the shuffle to dims rows per
+    * task. Pass 2 re-explodes, joins the BROADCAST dims-row stats
+    * table, and partial-aggregates the error sums the same way. No
+    * fact-sized shuffle exists in either pass.
+    */
+  private val qEmbedQuant = GraftQuery(
+    "q_embed_quant",
+    (s, dir) => {
+      def comps = t(s, dir, "embeddings")
+        .select(col("vec_id"), posexplode(VectorFns.quantizeFast(col("embedding"))).as(Seq("dim", "v")))
+        .select(col("dim").cast("long").as("dim"), col("v"))
+      val stats = comps.groupBy(col("dim"))
+        .agg(min(col("v")).as("vmin"), max(col("v")).as("vmax"))
+      comps.join(broadcast(stats), Seq("dim"))
+        .withColumn("__rng", col("vmax") - col("vmin"))
+        .withColumn("__code",
+          when(col("__rng") > 0, expr("((v - vmin) * 255) div __rng")).otherwise(lit(0L)))
+        .withColumn("__rec",
+          col("vmin") + when(col("__rng") > 0, expr("(__code * __rng) div 255")).otherwise(lit(0L)))
+        .groupBy(col("dim"))
+        .agg(min(col("vmin")).as("vmin"), min(col("vmax")).as("vmax"),
+          count(lit(1)).as("n"),
+          sum(abs(col("__rec") - col("v"))).as("abs_err_sum"),
+          max(abs(col("__rec") - col("v"))).as("max_err"))
+        .withColumn("mae_milli", expr("abs_err_sum div n"))
+    },
+    Some(s"""WITH e AS (SELECT vec_id, ${quantSql("embedding")} AS qv FROM embeddings),
+             x AS (SELECT vec_id, pv.dim AS dim, pv.v AS v
+                   FROM (SELECT vec_id, unnest(list_transform(range(0, len(qv)),
+                           i -> {'dim': i, 'v': qv[i + 1]})) AS pv
+                         FROM e)),
+             st AS (SELECT dim, min(v) AS vmin, max(v) AS vmax FROM x GROUP BY dim),
+             r AS (SELECT x.dim AS dim, v, vmin, vmax, vmax - vmin AS rng
+                   FROM x JOIN st USING (dim)),
+             c AS (SELECT dim, v, vmin, vmax, rng,
+                     CASE WHEN rng > 0 THEN ((v - vmin) * 255) // rng ELSE 0 END AS code
+                   FROM r),
+             rc AS (SELECT dim, v, vmin, vmax,
+                      vmin + CASE WHEN rng > 0 THEN (code * rng) // 255 ELSE 0 END AS recv
+                    FROM c)
+             SELECT CAST(dim AS BIGINT) AS dim, CAST(min(vmin) AS BIGINT) AS vmin,
+               CAST(min(vmax) AS BIGINT) AS vmax, CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(abs(recv - v)) AS BIGINT) AS abs_err_sum,
+               CAST(max(abs(recv - v)) AS BIGINT) AS max_err,
+               CAST(sum(abs(recv - v)) // count(*) AS BIGINT) AS mae_milli
+             FROM rc GROUP BY dim"""))
+
+  /** Temperature-rebalanced mixture weights (the alpha=0.5 exponent of
+    * mBERT/XLM-R multilingual sampling, Conneau et al. 2020 §3.1):
+    * per-source sampling share proportional to sqrt(token count),
+    * next to the raw share it replaces — the "how much does alpha=0.5
+    * flatten the mixture" view q_mix_gap's uniform target can't give.
+    *
+    * Portability: w = floor(sqrt(tok)) is cross-engine exact — both
+    * engines convert the SAME bigint to double (one round-to-nearest)
+    * and IEEE-754 sqrt is correctly rounded in both, so the doubles,
+    * and therefore the floors, are bit-identical. Shares are then
+    * integer milli arithmetic. One per-source aggregation; totals
+    * attach as a 1-row broadcast (no unpartitioned window).
+    */
+  private val qMixWeights = GraftQuery(
+    "q_mix_weights",
+    (s, dir) => {
+      val per = t(s, dir, "documents")
+        .select(col("source"), size(TextFns.tokensFast(col("text"))).cast("long").as("nt"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("nt")).as("tok"))
+        .withColumn("w", floor(sqrt(col("tok").cast("double"))).cast("long"))
+      val tot = per.agg(sum(col("tok")).as("__tt"), sum(col("w")).as("__tw"))
+      per.crossJoin(broadcast(tot))
+        .select(col("source"), col("n_docs"), col("tok"), col("w"),
+          expr("tok * 1000 div __tt").as("raw_share_milli"),
+          expr("w * 1000 div __tw").as("samp_share_milli"))
+    },
+    Some(s"""WITH per AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+                    CAST(sum(len($toksSql)) AS BIGINT) AS tok
+                  FROM documents GROUP BY source),
+             w AS (SELECT source, n_docs, tok,
+                     CAST(floor(sqrt(tok::DOUBLE)) AS BIGINT) AS w
+                   FROM per),
+             tt AS (SELECT sum(tok) AS tt, sum(w) AS tw FROM w)
+             SELECT source, n_docs, tok, w,
+               CAST(tok * 1000 // tt AS BIGINT) AS raw_share_milli,
+               CAST(w * 1000 // tw AS BIGINT) AS samp_share_milli
+             FROM w, tt"""))
+
   val all: Seq[GraftQuery] = Seq(
     qMapFilter, qFilterMap, qCycle, qFoldAgg, qDistinctUsers, qTopkPerKey, qPivotCounts, qApproxDistinct, qHeavyHitters, qHeavyHittersVerified, qQuantiles, qQuantilesExact, qTableLatest, qTumbling, qHopping, qLagWindow, qSession,
     qIntervalJoin, qStreamTableJoin, qSaltedJoin, qMerge, qSplitBranch, qChunk, qSkipTake, qThrottle,
@@ -5109,6 +5343,7 @@ object Queries {
     qOutliers, qTokenBudget, qRollupStats, qTimeWindowSum,
     qProfile, qStratifiedSample, qAsofForward, qScd2, qPairCuration, qWindowTopk,
     qRunningDistinct, qFirstSeen, qDedupDegree, qDecileBin,
+    qBloomDecontam, qDupSpanRuns, qEmbedQuant, qMixWeights,
     qTokenCount, qFingerprint, qMultimodalMeta,
     qMultimodalDecode, qResizePlan, qFrameSample, qAudioSegments, qTilePlan, qMixGap)
 

@@ -271,6 +271,15 @@ object DedupFns {
     GraftBridge.column(graft.plans.NgramsExpr(GraftBridge.expression(toks), n))
   }
 
+  /** POSITIONAL (non-distinct) n-grams: one entry per window start,
+    * array index = token position — for span-run analysis where
+    * consecutive-position structure matters (plans.PosNgramsExpr).
+    */
+  def wordNgramsPositional(toks: Column, n: Int): Column = {
+    import org.apache.spark.sql.GraftBridge
+    GraftBridge.column(graft.plans.PosNgramsExpr(GraftBridge.expression(toks), n))
+  }
+
   /** Exact n-gram Jaccard over candidate pairs.
     *
     * Candidate generation is an equi-join on *rare* grams only: grams

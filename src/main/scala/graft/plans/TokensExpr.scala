@@ -116,6 +116,73 @@ case class NgramsExpr(child: Expression, n: Int) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** POSITIONAL word n-grams over a token array in one native pass: one
+  * space-joined entry per window start, NOT deduplicated, array index =
+  * window position. The positional complement of NgramsKernel for
+  * span-run analysis (where consecutive-position structure matters);
+  * value-identical to
+  * `transform(sequence(0, size(toks)-n), i -> concat_ws(" ", slice(toks, i+1, n)))`
+  * without the interpreted lambda per window. Fewer than n tokens
+  * yields an EMPTY array.
+  */
+object PosNgramsKernel {
+  def ngrams(toks: ArrayData, n: Int): GenericArrayData = {
+    val m = toks.numElements()
+    if (m < n) return new GenericArrayData(Array.empty[Any])
+    val words = new Array[String](m)
+    var i = 0
+    while (i < m) { words(i) = toks.getUTF8String(i).toString; i += 1 }
+    val out = new Array[Any](m - n + 1)
+    val sb = new java.lang.StringBuilder()
+    i = 0
+    while (i + n <= m) {
+      sb.setLength(0)
+      var j = 0
+      while (j < n) {
+        if (j > 0) sb.append(' ')
+        sb.append(words(i + j))
+        j += 1
+      }
+      out(i) = UTF8String.fromString(sb.toString)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+}
+
+/** See PosNgramsKernel — array<string> of positional n-grams. */
+case class PosNgramsExpr(child: Expression, n: Int) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == ArrayType(StringType, containsNull = false) ||
+        child.dataType == ArrayType(StringType, containsNull = true))
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"graft_pos_ngrams requires array<string> input, got ${child.dataType.catalogString}")
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  private def elemNullable: Boolean = child.dataType match {
+    case ArrayType(_, cn) => cn
+    case _ => true
+  }
+  override def nullable: Boolean = child.nullable || elemNullable
+  override def nullSafeEval(input: Any): Any = {
+    val toks = input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    if (elemNullable && Kernels.hasNullElement(toks)) null
+    else PosNgramsKernel.ngrams(toks, n)
+  }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      if (elemNullable) s"""
+        if (graft.plans.Kernels.hasNullElement($c)) {
+          ${ev.isNull} = true;
+        } else {
+          ${ev.value} = graft.plans.PosNgramsKernel.ngrams($c, $n);
+        }
+      """
+      else s"${ev.value} = graft.plans.PosNgramsKernel.ngrams($c, $n);")
+  override protected def withNewChildInternal(newChild: Expression): PosNgramsExpr =
+    copy(child = newChild)
+}
+
 /** One-pass raw-text statistics, value-identical to the declarative
   * trio over the same text:
   *  [0] ws_tokens — count of maximal non-whitespace runs

@@ -39,6 +39,20 @@ object GraftBridge {
       true
     } catch { case _: Exception => false }
 
+  /** `might_contain(<literal filter bytes>, value)` as a Column — the
+    * codegen'd Catalyst membership probe Spark's own runtime row-level
+    * filtering uses (InjectRuntimeFilter). `value` must be LongType and
+    * hashed the same way the filter was built (the filter stores raw
+    * longs via putLong/mightContainLong). The serialized filter rides
+    * in the plan as a foldable Literal, satisfying the expression's
+    * constant-or-subquery input check.
+    */
+  def bloomMightContain(filterBytes: Array[Byte], value: Column): Column =
+    classic.ExpressionUtils.column(
+      catalyst.expressions.BloomFilterMightContain(
+        catalyst.expressions.Literal.create(filterBytes, types.BinaryType),
+        classic.ExpressionUtils.expression(value)))
+
   /** Apply an extensions object's injected functions to a session's
     * FunctionRegistry — what session construction does with
     * `spark.sql.extensions`, callable from tests (the conf itself is

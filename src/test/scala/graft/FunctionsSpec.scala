@@ -94,6 +94,26 @@ class FunctionsSpec extends SparkSpecBase {
     }
   }
 
+  test("native PosNgramsExpr matches the declarative positional transform; keeps duplicates in order") {
+    import spark.implicits._
+    val df = (Seq(
+      "a b c a b c a b",        // repeated trigrams must appear at every position
+      "one two", "", "x y z w") // short arrays give empty, exact-length gives 1
+      ).toDF("text")
+      .select(TextFns.tokens(col("text")).as("toks"))
+    val fast = df.select(DedupFns.wordNgramsPositional(col("toks"), 3).as("g"))
+      .collect().map(_.getSeq[String](0).toList)
+    val slow = df.select(
+        when(size(col("toks")) >= 3,
+          transform(sequence(lit(0), size(col("toks")) - 3),
+            i => concat_ws(" ", slice(col("toks"), i + 1, lit(3)))))
+          .otherwise(array().cast("array<string>")).as("g"))
+      .collect().map(_.getSeq[String](0).toList)
+    assert(fast.toList == slow.toList)
+    assert(fast(0).size == 6 && fast(0).distinct.size == 3) // positional, NOT distinct
+    assert(fast(1).isEmpty && fast(2).isEmpty && fast(3).size == 2)
+  }
+
   test("native Simhash32 expression matches the declarative simhash32") {
     val docs = spark.read.parquet(s"$sfDir/documents.parquet").limit(100)
     val base = docs.select(col("doc_id"), col("text"), TextFns.tokens(col("text")).as("toks"))
@@ -275,6 +295,7 @@ class FunctionsSpec extends SparkSpecBase {
           VectorFns.ivfProbesFast(VectorFns.quantizeFast(col("v")), cents, 1).as("ivf"),
           DedupFns.simhash32Fast(TextFns.tokensFast(col("text"))).as("sim"),
           DedupFns.minhashBandsFast(TextFns.tokensFast(col("text")), 3).as("mh"),
+          DedupFns.wordNgramsPositional(TextFns.tokensFast(col("text")), 3).as("pg"),
           DedupFns.minhashSigFast(TextFns.tokensFast(col("text")), 3).as("ms"),
           DedupFns.sigAgreement(
             DedupFns.minhashSigFast(TextFns.tokensFast(col("text")), 3),
@@ -285,8 +306,9 @@ class FunctionsSpec extends SparkSpecBase {
       assert(row.getSeq[Long](1).size == 2)
       assert(row.getSeq[Long](2) == Seq(1L)) // (900,800) nearer (1000,1000)
       assert(!row.isNullAt(3) && row.getSeq[Long](4).size == 8)
-      assert(row.getSeq[Long](5).size == DedupFns.NumHashes)
-      assert(row.getLong(6) == DedupFns.NumHashes.toLong) // self-agreement is total
+      assert(row.getSeq[String](5) == Seq("the cat sat", "cat sat on", "sat on the", "on the mat"))
+      assert(row.getSeq[Long](6).size == DedupFns.NumHashes)
+      assert(row.getLong(7) == DedupFns.NumHashes.toLong) // self-agreement is total
     } finally spark.conf.unset("spark.sql.codegen.factoryMode")
   }
 

@@ -26,6 +26,67 @@ class PipelineOpsSpec extends SparkSpecBase {
     assert(out.except(naive).isEmpty && naive.except(out).isEmpty)
   }
 
+  test("q_bloom_decontam: bloom prefilter + exact confirm equals the plain exact decontam") {
+    val bloom = Queries.queries("q_bloom_decontam")(spark, sfDir)
+    val exact = Queries.queries("q_decontam")(spark, sfDir)
+    assert(bloom.except(exact).isEmpty && exact.except(bloom).isEmpty)
+    assert(bloom.count() > 0)
+  }
+
+  test("q_dup_span_runs: run accounting is internally consistent and matches a crafted duplicate") {
+    val out = Queries.queries("q_dup_span_runs")(spark, sfDir).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val (nSpans, nDup, maxRun, maxTok) =
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+      assert(nDup <= nSpans, r)
+      assert(maxRun <= nDup, r)
+      assert(if (maxRun > 0) maxTok == maxRun + 7 else maxTok == 0, r)
+    }
+    // a doc fully contained in another doc: every one of its windows is
+    // cross-doc duplicated, so its longest run is ALL its windows and
+    // the certified duplicated-substring length is its full token count
+    import spark.implicits._
+    val a = (1 to 40).map(i => s"w$i").mkString(" ")      // 40 tokens
+    val b = a + " " + (1 to 20).map(i => s"x$i").mkString(" ")
+    val df = Seq((1L, a, "s"), (2L, b, "s")).toDF("doc_id", "text", "source")
+    val dir = java.nio.file.Files.createTempDirectory("spanruns").toString
+    df.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val rows = Queries.queries("q_dup_span_runs")(spark, dir)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(3), r.getLong(4))).toMap
+    assert(rows(1L) == ((33L, 33L, 40L)), rows)  // doc1: all 33 windows dup, substring = 40 tokens
+    assert(rows(2L)._2 == 33L && rows(2L)._3 == 40L, rows) // doc2's copied prefix certifies the same 40
+  }
+
+  test("q_embed_quant: int8 reconstruction error is bounded by range/255 (+1 floor slack)") {
+    val rows = Queries.queries("q_embed_quant")(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (vmin, vmax, maxErr, mae) = (r.getLong(1), r.getLong(2), r.getLong(5), r.getLong(6))
+      val rng = vmax - vmin
+      assert(maxErr <= rng / 255 + 1, s"dim ${r.getLong(0)}: maxErr $maxErr vs range $rng")
+      assert(mae <= maxErr, r)
+    }
+  }
+
+  test("q_mix_weights: alpha=0.5 flattens the mixture toward uniform; shares sum to ~1000") {
+    val rows = Queries.queries("q_mix_weights")(spark, sfDir).collect()
+    assert(rows.length > 1)
+    val nSrc = rows.length
+    val rawSum = rows.map(_.getLong(4)).sum
+    val sampSum = rows.map(_.getLong(5)).sum
+    // floor-division rounding loses at most 1 milli per source
+    assert(rawSum > 1000 - nSrc && rawSum <= 1000, rawSum)
+    assert(sampSum > 1000 - nSrc && sampSum <= 1000, sampSum)
+    // temperature flattening: above-average sources shrink, below-average grow
+    // (compare against the EXACT rational mean share n/nSrc without floats)
+    rows.foreach { r =>
+      val (raw, samp) = (r.getLong(4), r.getLong(5))
+      if (raw * nSrc > 1000 + nSrc) assert(samp <= raw + 1, r)   // big source: not boosted
+      if (raw * nSrc < 1000 - nSrc) assert(samp + 1 >= raw, r)   // small source: not shrunk
+    }
+  }
+
   test("q_funnel: stage counts are monotone non-increasing") {
     val rows = Queries.queries("q_funnel")(spark, sfDir)
       .orderBy("stage").collect().map(_.getLong(1))

@@ -135,6 +135,11 @@ class PlanSpec extends SparkSpecBase {
       "q_bigram_lift" -> 4, "q_minhash_est" -> 4, "q_bigram_lm" -> 4,
       "q_containment" -> 4, "q_jaccard_bands" -> 4,
       "q_decontam" -> 3,
+      // the bloom variant has the same three distinct tokenize inputs
+      // (probe grams for the confirm join, corpus grams, survivor
+      // token count); the filter BUILD is a separate eager job whose
+      // plan is not the returned one
+      "q_bloom_decontam" -> 3,
       // ppl-buckets rides the bigram-lm kernel: instance stream + its
       // (x,y) aggregation share one runtime exchange (2 logical
       // copies) + the unigram branch (1); the _scale twin references
@@ -507,5 +512,34 @@ class PlanSpec extends SparkSpecBase {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
     assert(p.contains("ShuffledHashJoin") || p.contains("SortMergeJoin"), p)
     assert(p.contains("Expand") || p.contains("distinct"), p) // two-phase distinct users
+  }
+
+  test("q_bloom_decontam: map-side might_contain prefilter feeds a NON-broadcast confirm join") {
+    val p = planOf(Queries.queries("q_bloom_decontam")(spark, sfDir))
+    // the codegen'd bloom probe sits in a Filter above the gram explode
+    assert(p.contains("might_contain"), p)
+    // the exact confirm join is the hinted shuffle-hash shape (at target
+    // scale the probe gram table cannot be a broadcast hash relation)
+    assert(p.contains("ShuffledHashJoin [g"), p)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("q_dup_span_runs: one hash window + one doc window — no join anywhere") {
+    val p = planOf(Queries.queries("q_dup_span_runs")(spark, sfDir))
+    assert(!p.contains("Join"), p)
+    assert(!p.contains("Exchange SinglePartition"), p)
+  }
+
+  test("q_embed_quant: dims-row stats table broadcasts back; both aggs partial") {
+    val p = planOf(Queries.queries("q_embed_quant")(spark, sfDir))
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(p.contains("partial_"), p)
+    assert(!p.contains("Exchange SinglePartition"), p)
+  }
+
+  test("q_mix_weights: totals attach as a 1-row broadcast, no unpartitioned window") {
+    val p = planOf(Queries.queries("q_mix_weights")(spark, sfDir))
+    assert(!p.contains("Window"), p)
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"), p)
   }
 }
