@@ -329,6 +329,46 @@ object Queries {
              FROM c JOIN n ON c.source = n.source
              WHERE exact_count * 32 > n_tokens"""))
 
+  /** COUNT-MIN frequency point-estimates per source (Cormode &
+    * Muthukrishnan 2005) — the third mergeable sketch family next to
+    * Misra-Gries (top-k) and HLL++ (distinct): constant-memory
+    * arbitrary-key frequency queries. The custom Aggregator
+    * (functions.CountMin) builds a 4×256 counter matrix per group —
+    * map-side partials move one flat long array per group, never the
+    * token universe — and the probe side is pure COLUMN arithmetic:
+    * the same md5-affine row hashes (Sketches.tokenHash31 is
+    * byte-identical to the TextFns.tokenHash31 expression, asserted in
+    * SketchSpec) index the sketch array with element_at + least, so
+    * estimating any literal key needs no second pass over the data.
+    * Merge is elementwise sum → estimates are merge-order INDEPENDENT
+    * (unlike MG) but hash-dependent → rows-only surface like the other
+    * sketch paths; one-sided est ≥ exact plus the ε·n overshoot are
+    * asserted against exact counts in SketchSpec.
+    */
+  private val qCmsFreq = GraftQuery(
+    "q_cms_freq",
+    (s, dir) => {
+      val depth = 4; val width = 256
+      val cms = udaf(new graft.functions.CountMin(depth, width))
+      val probes = Seq("the", "of", "and", "to", "a", "in", "data", "model", "stream", "query")
+      val g = Fence.guard(t(s, dir, "documents")
+          .select(col("source"), TextFns.tokensFast(col("text")).as("__tk"), Fence.col))
+        .select(col("source"), explode(col("__tk")).as("tok"))
+        .groupBy(col("source"))
+        .agg(cms(col("tok")).as("sketch"), count(lit(1)).as("n_tokens"))
+      g.select(col("source"), col("n_tokens"), col("sketch"),
+          explode(array(probes.map(lit): _*)).as("token"))
+        .withColumn("__h", TextFns.tokenHash31(col("token")))
+        .select(col("source"), col("token"), col("n_tokens"),
+          least((0 until depth).map { i =>
+            element_at(col("sketch"),
+              (lit(i * width) +
+                ((lit(DedupFns.MinhashA(i)) * col("__h") + lit(DedupFns.MinhashB(i))) % M) % width
+                + 1).cast("int"))
+          }: _*).as("est_count"))
+    },
+    None)
+
   /** Approximate value quantiles per event type (Greenwald-Khanna) —
     * the sketch path for percentiles. Rows-only check; accuracy vs the
     * exact quantiles is asserted in SketchSpec.
@@ -2781,6 +2821,54 @@ object Queries {
              SELECT d.chunk_md5, d.n, k.keeper_doc, k.keeper_idx
              FROM d JOIN k USING (chunk_md5) WHERE rn = 1"""))
 
+  /** Deterministic WEIGHTED sampling per source — the integer skeleton
+    * of priority sampling (Duffield et al. 2007; the u^(1/w) family of
+    * Efraimidis-Spirakis weighted reservoirs): priority = u div w with
+    * u the 60-bit md5 hash of the doc id and w the token count, take
+    * the k smallest (priority, doc_id) per source. Heavier docs get
+    * proportionally smaller priorities → proportionally higher
+    * selection odds, with ZERO RNG state: the sample is reproducible,
+    * engine-portable, and stable under data reordering — the
+    * token-weighted counterpart of q_sample_per_key's uniform pick.
+    *
+    * Scale shape: the per-source top-k runs as the two-phase
+    * md5-prefix-bucket walk (256 buckets): the row-level rank window
+    * partitions on (source, bucket) — parallel, bounded sorts — and
+    * only the ≤ 256·k survivors per source meet the source-level rank
+    * window (PlanSpec-guarded). Selecting the global per-source top-k
+    * from per-bucket top-ks is lossless, so the result is exactly the
+    * naive single-window answer (asserted in PipelineOpsSpec).
+    */
+  private val qWeightedSample = GraftQuery(
+    "q_weighted_sample",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val k = 5
+      val base = Fence.guard(t(s, dir, "documents")
+          .select(col("doc_id"), col("source"), TextFns.tokensFast(col("text")).as("__tk"), Fence.col))
+        .select(col("doc_id"), col("source"),
+          greatest(size(col("__tk")).cast("long"), lit(1L)).as("weight"))
+        .withColumn("__u", TextFns.tokenHash(col("doc_id").cast("string")))
+        .withColumn("priority", expr("__u div weight"))
+        .withColumn("__bkt", substring(md5(col("doc_id").cast("string")), 1, 2))
+      val wb = Window.partitionBy("source", "__bkt").orderBy(col("priority"), col("doc_id"))
+      val ws = Window.partitionBy("source").orderBy(col("priority"), col("doc_id"))
+      base.withColumn("__rb", row_number().over(wb)).filter(col("__rb") <= k)
+        .withColumn("rank", row_number().over(ws).cast("long")).filter(col("rank") <= k)
+        .select(col("source"), col("doc_id"), col("weight"), col("priority"), col("rank"))
+    },
+    Some(s"""WITH t0 AS (SELECT doc_id, source,
+                    greatest(len($toksSql), 1) AS w FROM documents),
+             pr AS (SELECT doc_id, source, w,
+                      ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT // w AS priority
+                    FROM t0),
+             r AS (SELECT doc_id, source, w, priority,
+                     row_number() OVER (PARTITION BY source ORDER BY priority, doc_id) AS rank
+                   FROM pr)
+             SELECT source, doc_id, CAST(w AS BIGINT) AS weight,
+               CAST(priority AS BIGINT) AS priority, CAST(rank AS BIGINT) AS rank
+             FROM r WHERE rank <= 5"""))
+
   /** Deterministic per-group sample: the 3 docs per source with the
     * smallest (md5(doc_id), doc_id) — a reproducible uniform group
     * sample (same shape as IVF centroid selection). No RNG, engine-
@@ -5127,13 +5215,8 @@ object Queries {
           DedupFns.wordNgramsFast(col("__toks"), 4).as("__grams"), Fence.col))
         .select(col("doc_id"), explode(col("__grams")).as("g"))
       val probeGrams = grams(docs.filter(col("doc_id") < 3)).select(col("g")).distinct()
-      val probeHashes = probeGrams.select(xxhash64(col("g")).as("h"))
-      val nProbe = math.max(probeHashes.count(), 1L)
-      val bf = probeHashes.stat.bloomFilter("h", nProbe, 0.01)
-      val bos = new java.io.ByteArrayOutputStream()
-      bf.writeTo(bos)
-      val mightHit =
-        org.apache.spark.sql.GraftBridge.bloomMightContain(bos.toByteArray, xxhash64(col("g")))
+      val mightHit = org.apache.spark.sql.GraftBridge.bloomMightContain(
+        DedupFns.gramBloomBytes(probeGrams, "g"), xxhash64(col("g")))
       val kill = grams(docs.filter(col("doc_id") >= 3))
         .filter(mightHit)
         .join(probeGrams.hint("shuffle_hash"), "g")
@@ -5318,7 +5401,7 @@ object Queries {
              FROM w, tt"""))
 
   val all: Seq[GraftQuery] = Seq(
-    qMapFilter, qFilterMap, qCycle, qFoldAgg, qDistinctUsers, qTopkPerKey, qPivotCounts, qApproxDistinct, qHeavyHitters, qHeavyHittersVerified, qQuantiles, qQuantilesExact, qTableLatest, qTumbling, qHopping, qLagWindow, qSession,
+    qMapFilter, qFilterMap, qCycle, qFoldAgg, qDistinctUsers, qTopkPerKey, qPivotCounts, qApproxDistinct, qHeavyHitters, qHeavyHittersVerified, qCmsFreq, qQuantiles, qQuantilesExact, qTableLatest, qTumbling, qHopping, qLagWindow, qSession,
     qIntervalJoin, qStreamTableJoin, qSaltedJoin, qMerge, qSplitBranch, qChunk, qSkipTake, qThrottle,
     qWordcount, qCandles, qCandlesHop, qStratClassify, qAsofJoin,
     q1Pricing, q3Topk, q5Region, q14Promo, q2Mincost, q18Bigorders, q22Churn, q4Semi,
@@ -5330,7 +5413,7 @@ object Queries {
     qSplitLeakage, qJaccardCalib,
     qEmbedTopk, qEmbedLsh, qEmbedIvf, qKmeansStep, qDocChunks, qChunkDedup,
     qKnnClassify, qClassBalance, qGapFill, qInvertedIndex,
-    qLangId, qQualityScore, qCuration, qSplitAssign, qPackSequences, qSamplePerKey,
+    qLangId, qQualityScore, qCuration, qSplitAssign, qPackSequences, qSamplePerKey, qWeightedSample,
     qTfidfTopterms, qContamination, qDecontam, qDedupSavings, qRankCorr,
     qShuffleOrder, qGopherQuality, qVocabCoverage, qFunnel, qRetention, qLangConfusion,
     qInterarrival, qHistDistance, qMad, qWinsorMean, qSourceOverlap, qRankNorm,

@@ -280,6 +280,21 @@ object DedupFns {
     GraftBridge.column(graft.plans.PosNgramsExpr(GraftBridge.expression(toks), n))
   }
 
+  /** Serialized bloom filter over xxhash64 of a gram column —
+    * distributed build (stat.bloomFilter's treeAggregate; the driver
+    * holds only the final filter bits, sized by the gram count).
+    * Probe map-side with GraftBridge.bloomMightContain(bytes,
+    * xxhash64(g)): same putLong/mightContainLong hashing on both ends.
+    */
+  def gramBloomBytes(grams: DataFrame, gramCol: String, fpp: Double = 0.01): Array[Byte] = {
+    val h = grams.select(xxhash64(col(gramCol)).as("h"))
+    val n = math.max(h.count(), 1L)
+    val bf = h.stat.bloomFilter("h", n, fpp)
+    val bos = new java.io.ByteArrayOutputStream()
+    bf.writeTo(bos)
+    bos.toByteArray
+  }
+
   /** Exact n-gram Jaccard over candidate pairs.
     *
     * Candidate generation is an equi-join on *rare* grams only: grams

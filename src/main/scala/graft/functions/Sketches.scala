@@ -24,6 +24,27 @@ import org.apache.spark.sql.expressions.Aggregator
   * query surface is rows-only (no cross-engine oracle), like the
   * HLL++/GK sketch paths.
   */
+object Sketches {
+  /** JVM twin of TextFns.tokenHash31 (first 15 hex chars of md5 as a
+    * long, mod 2^31-1) — byte-identical to the column expression, so a
+    * JVM-side sketch and a Spark-side probe expression index the same
+    * cells. MessageDigest is not thread-safe → one per thread.
+    */
+  private val md5Local = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+  def tokenHash31(s: String): Long = {
+    val d = md5Local.get()
+    d.reset()
+    val b = d.digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val hex = new java.lang.StringBuilder(16)
+    var i = 0
+    while (i < 8) { hex.append(f"${b(i) & 0xff}%02x"); i += 1 }
+    java.lang.Long.parseLong(hex.substring(0, 15), 16) % TextFns.HashMod
+  }
+}
+
 final class MisraGries(k: Int) extends Aggregator[String, Map[String, Long], Seq[(String, Long)]] {
   require(k >= 1, s"need at least one counter, got $k")
 
@@ -53,4 +74,60 @@ final class MisraGries(k: Int) extends Aggregator[String, Map[String, Long], Seq
 
   def bufferEncoder: Encoder[Map[String, Long]] = ExpressionEncoder()
   def outputEncoder: Encoder[Seq[(String, Long)]] = ExpressionEncoder()
+}
+
+/** Mergeable COUNT-MIN sketch (Cormode & Muthukrishnan 2005): a
+  * depth × width counter matrix; add = +1 at (i, h_i(x)) for each of
+  * the depth rows; point estimate = min over rows of the probed cell.
+  * Merge is elementwise sum — associative AND commutative, so unlike
+  * Misra-Gries the estimates are merge-order INDEPENDENT; they remain
+  * hash-dependent, so the query surface stays rows-only like the other
+  * sketch paths.
+  *
+  * Row hashes are the portable affine family the minhash permutations
+  * use: h_i(x) = ((a_i·h61(x) + b_i) mod 2^31-1) mod width over the
+  * 60-bit md5 token hash (Sketches.tokenHash31 — byte-identical to the
+  * TextFns.tokenHash31 COLUMN expression, so a Spark-side probe
+  * expression indexes the same cells the JVM-side build incremented;
+  * asserted in SketchSpec).
+  *
+  * Guarantees (asserted in SketchSpec against exact counts):
+  *  - est ≥ true count ALWAYS (counters only increase — one-sided);
+  *  - est ≤ true + ε·n holds with probability 1−δ over hash draws
+  *    (ε = e/width, δ = e^-depth); with this FIXED hash family the
+  *    bound is measured on the corpus, not guaranteed.
+  *
+  * Scale shape: identical to MisraGries — map-side partials carry one
+  * depth×width long array per group, the exchange moves kB per group,
+  * the token universe never shuffles.
+  */
+final class CountMin(depth: Int, width: Int)
+    extends Aggregator[String, Array[Long], Array[Long]] {
+  require(depth >= 1 && depth <= DedupFns.NumHashes,
+    s"depth must be in [1, ${DedupFns.NumHashes}] (one affine pair per row), got $depth")
+  require(width >= 2, s"width must be >= 2, got $width")
+  private val M = TextFns.HashMod
+
+  def zero: Array[Long] = new Array[Long](depth * width)
+
+  def reduce(b: Array[Long], tok: String): Array[Long] = {
+    val h = Sketches.tokenHash31(tok)
+    var i = 0
+    while (i < depth) {
+      b(i * width + (((DedupFns.MinhashA(i) * h + DedupFns.MinhashB(i)) % M) % width).toInt) += 1L
+      i += 1
+    }
+    b
+  }
+
+  def merge(a: Array[Long], b: Array[Long]): Array[Long] = {
+    var i = 0
+    while (i < a.length) { a(i) += b(i); i += 1 }
+    a
+  }
+
+  def finish(m: Array[Long]): Array[Long] = m
+
+  def bufferEncoder: Encoder[Array[Long]] = ExpressionEncoder()
+  def outputEncoder: Encoder[Array[Long]] = ExpressionEncoder()
 }

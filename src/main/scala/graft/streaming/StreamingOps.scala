@@ -736,6 +736,49 @@ object StreamingOps {
     }
   }
 
+  /** Streaming DECONTAMINATION against a fixed benchmark probe set —
+    * the live twin of q_bloom_decontam. The verdict is PER-DOC (shares
+    * ≥ minShared distinct 4-grams with the probe → killed), so unlike
+    * the dedup twins there is NO cross-batch state: batch-boundary
+    * invariance is structural, and the probe set rides along as a
+    * STATIC DataFrame plus its pre-built serialized bloom filter
+    * (a production pipeline builds the filter once per benchmark
+    * release, not per batch). Per micro-batch:
+    *  1. explode corpus 4-grams and prefilter MAP-SIDE with the
+    *     codegen'd might_contain literal — the overwhelming majority
+    *     of grams never reach the confirm join;
+    *  2. exact confirm equi-join against the static probe grams
+    *     (bloom false positives die here), count distinct shared
+    *     grams per doc, kill at >= minShared;
+    *  3. append survivors to per-batch subdirectories (overwrite →
+    *     at-least-once replays stay idempotent).
+    * Same kill rule as the batch query, asserted batching-invariant
+    * in StreamingParitySpec.
+    */
+  def decontamIncremental(stream: DataFrame, idCol: String, textCol: String,
+      probeGrams: DataFrame, bloomBytes: Array[Byte], survivorsDir: String,
+      minShared: Int = 2): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    stream.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      import graft.functions.{DedupFns, Fence, TextFns}
+      val docs = batch.select(col(idCol).as("id"), col(textCol).as("text"))
+      val grams = Fence.guard(Fence.guard(
+          docs.select(col("id"), TextFns.tokensFast(col("text")).as("__toks"), Fence.col))
+        .select(col("id"), DedupFns.wordNgramsFast(col("__toks"), 4).as("__grams"), Fence.col))
+        .select(col("id"), explode(col("__grams")).as("g"))
+      val mightHit =
+        org.apache.spark.sql.GraftBridge.bloomMightContain(bloomBytes, xxhash64(col("g")))
+      val kill = grams.filter(mightHit)
+        .join(probeGrams.select(col("g")).hint("shuffle_hash"), Seq("g"))
+        .groupBy("id")
+        .agg(countDistinct(col("g")).as("shared"))
+        .filter(col("shared") >= minShared)
+        .select("id")
+      docs.join(kill, Seq("id"), "left_anti").distinct()
+        .write.mode("overwrite").parquet(s"$survivorsDir/batch_id=$batchId")
+      ()
+    }
+  }
+
   /** Streaming exact dedup: emit only the first event per dedup key.
     * `dropDuplicatesWithinWatermark` keeps seen-keys state only until
     * the watermark passes them — the 100 TB shape for an infinite

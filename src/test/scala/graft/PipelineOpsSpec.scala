@@ -26,6 +26,27 @@ class PipelineOpsSpec extends SparkSpecBase {
     assert(out.except(naive).isEmpty && naive.except(out).isEmpty)
   }
 
+  test("q_weighted_sample: two-phase bucket walk equals the naive single-window answer; weights bias the pick") {
+    import org.apache.spark.sql.expressions.Window
+    import graft.functions.TextFns
+    val out = Queries.queries("q_weighted_sample")(spark, sfDir)
+    val naive = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id"), col("source"),
+        greatest(size(TextFns.tokensFast(col("text"))).cast("long"), lit(1L)).as("weight"))
+      .withColumn("priority", expr(
+        "conv(substring(md5(cast(doc_id as string)), 1, 15), 16, 10) div weight"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("source").orderBy(col("priority"), col("doc_id"))).cast("long"))
+      .filter(col("rank") <= 5)
+      .select("source", "doc_id", "weight", "priority", "rank")
+    assert(out.except(naive).isEmpty && naive.except(out).isEmpty)
+    // weighting works: sampled docs are heavier on average than the corpus
+    val sampleMean = out.agg(avg("weight")).head().getDouble(0)
+    val corpusMean = naive.sparkSession.read.parquet(s"$sfDir/documents.parquet")
+      .agg(avg(size(TextFns.tokensFast(col("text"))))).head().getDouble(0)
+    assert(sampleMean > corpusMean, s"sample mean $sampleMean <= corpus mean $corpusMean")
+  }
+
   test("q_bloom_decontam: bloom prefilter + exact confirm equals the plain exact decontam") {
     val bloom = Queries.queries("q_bloom_decontam")(spark, sfDir)
     val exact = Queries.queries("q_decontam")(spark, sfDir)

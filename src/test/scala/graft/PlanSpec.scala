@@ -514,6 +514,23 @@ class PlanSpec extends SparkSpecBase {
     assert(p.contains("Expand") || p.contains("distinct"), p) // two-phase distinct users
   }
 
+  test("q_weighted_sample: row-level rank window partitions on (source, bucket), source-only window on survivors") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Filter, Window => LWindow}
+    val lp = Queries.queries("q_weighted_sample")(spark, sfDir).queryExecution.optimizedPlan
+    val wins = lp.collect { case w: LWindow => w }
+    assert(wins.size == 2, lp.treeString)
+    wins.foreach { w =>
+      if (w.partitionSpec.size <= 1) {
+        // the source-only window must run over the per-bucket top-k
+        // filter's survivors, never the raw rows
+        val filterBelow = w.child.collect { case f: Filter => f }
+        assert(filterBelow.exists(_.condition.toString.contains("__rb")),
+          s"source-only window over raw rows:\n${w.treeString}")
+      }
+    }
+    assert(wins.exists(_.partitionSpec.size >= 2), lp.treeString)
+  }
+
   test("q_bloom_decontam: map-side might_contain prefilter feeds a NON-broadcast confirm join") {
     val p = planOf(Queries.queries("q_bloom_decontam")(spark, sfDir))
     // the codegen'd bloom probe sits in a Filter above the gram explode

@@ -50,6 +50,38 @@ class SketchSpec extends SparkSpecBase {
     assert(out.nonEmpty)
   }
 
+  test("Count-Min estimates: JVM and column hashes agree; est >= exact; overshoot within eps*n") {
+    import graft.functions.{Sketches, TextFns}
+    // the probe expression indexes the cells the JVM build incremented
+    // only if the two tokenHash31 implementations are byte-identical
+    val toks = Seq("the", "of", "naive", "Ünïcødé", "a b", "", "query")
+    val colHashes = toks.foldLeft(Map.empty[String, Long]) { (m, t) =>
+      m + (t -> spark.range(1).select(TextFns.tokenHash31(lit(t))).head().getLong(0))
+    }
+    toks.foreach(t => assert(Sketches.tokenHash31(t) == colHashes(t), t))
+
+    val out = Queries.queries("q_cms_freq")(spark, sfDir)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> (r.getLong(2), r.getLong(3))).toMap
+    assert(out.nonEmpty)
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val exact = docs
+      .select(col("source"), explode(TextFns.tokensFast(col("text"))).as("tok"))
+      .groupBy("source", "tok").count()
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    out.foreach { case ((src, tok), (n, est)) =>
+      val truth = exact.getOrElse((src, tok), 0L)
+      // one-sided guarantee: counters only increase
+      assert(est >= truth, s"($src, $tok): est=$est < true=$truth")
+      // CM bound est <= true + eps*n with eps = e/width — holds per row
+      // with prob 1-1/e over hash draws; with the fixed md5-affine
+      // family and depth=4 rows we assert the bound itself on this
+      // corpus (measured, and with margin: typical overshoot is ~n/width)
+      val eps = math.E / 256
+      assert(est - truth <= (eps * n).ceil.toLong,
+        s"($src, $tok): overshoot ${est - truth} > eps*n=${(eps * n).ceil}")
+    }
+  }
+
   test("sampled triangle estimate lands within 2x of the exact count") {
     // DOULION p=1/2: unbiased, variance shrinks with triangle count —
     // at sf0.001 the deterministic sample sits within ~6% of exact;

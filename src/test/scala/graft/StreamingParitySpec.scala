@@ -813,6 +813,44 @@ class StreamingParitySpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("incremental decontamination matches the batch kill rule and is batching-invariant") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.functions.{DedupFns, TextFns}
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id"), col("text")).filter(col("doc_id") < 120)
+    def grams(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("doc_id"), explode(
+        DedupFns.wordNgramsFast(TextFns.tokensFast(col("text")), 4)).as("g"))
+    val probeGrams = grams(docs.filter(col("doc_id") < 3)).select("g").distinct().cache()
+    val bloom = DedupFns.gramBloomBytes(probeGrams, "g")
+    // batch ground truth: exact >= 2 shared distinct grams -> killed
+    val killBatch = grams(docs.filter(col("doc_id") >= 3))
+      .join(probeGrams, Seq("g"))
+      .groupBy("doc_id").agg(countDistinct(col("g")).as("s"))
+      .filter(col("s") >= 2).collect().map(_.getLong(0)).toSet
+    val expected = docs.filter(col("doc_id") >= 3)
+      .collect().map(_.getLong(0)).toSet -- killBatch
+    assert(killBatch.nonEmpty, "probe must contaminate something at this sf")
+    val rows = docs.filter(col("doc_id") >= 3)
+      .collect().map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
+    def run(groups: Seq[Seq[(Long, String)]]): Set[Long] = {
+      val tmp = java.nio.file.Files.createTempDirectory("graft-idecon").toString
+      val ms = MemoryStream[(Long, String)]
+      val q = StreamingOps.decontamIncremental(
+          ms.toDF().toDF("doc_id", "text"), "doc_id", "text",
+          probeGrams, bloom, s"$tmp/survivors")
+        .option("checkpointLocation", s"$tmp/ckpt").start()
+      try {
+        groups.foreach { b => ms.addData(b); q.processAllAvailable() }
+        spark.read.parquet(s"$tmp/survivors").select("id").collect().map(_.getLong(0)).toSet
+      } finally q.stop()
+    }
+    assert(run(Seq(rows.toSeq)) == expected, "single batch")
+    assert(run(rows.grouped(40).map(_.toSeq).toSeq) == expected, "three batches")
+    probeGrams.unpersist()
+  }
+
   test("streaming chunkDocs matches batch chunking (stateless transform, append mode)") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
