@@ -449,6 +449,45 @@ object Queries {
     Some("""SELECT o_orderkey, o_custkey, c_name, c_mktsegment, o_totalprice
             FROM orders JOIN customer ON o_custkey = c_custkey"""))
 
+  /** JOIN-KEY SKEW REPORT — the diagnostic a 100 TB pipeline runs
+    * BEFORE choosing a salt factor (q_salted_join is the cure; this is
+    * the diagnosis): per-key row counts folded into a log2-bucket
+    * histogram (bucket = bit-length of the count — integer-exact on
+    * both engines via length(bin(cnt)), no float log anywhere), plus
+    * the global skew ratio max·n_keys·1000 div n_rows (1000 = uniform;
+    * the salt factor to neutralize the hottest key is ≈ ratio/1000).
+    *
+    * Scale shape: the per-key count is the one fact shuffle (the same
+    * exchange the join itself would pay); the histogram partial-
+    * aggregates the key table into ≤64 groups and the 1-row totals
+    * attach as a broadcast — the report adds nothing fact-sized.
+    */
+  private val qSkewReport = GraftQuery(
+    "q_skew_report",
+    (s, dir) => {
+      val cnts = events(s, dir).groupBy(col("user_id"))
+        .agg(count(lit(1)).as("cnt"))
+      val hist = cnts.groupBy(length(bin(col("cnt"))).cast("long").as("bucket"))
+        .agg(count(lit(1)).as("n_keys"), sum(col("cnt")).as("n_rows"),
+          max(col("cnt")).as("max_cnt"))
+      val tot = cnts.agg(sum(col("cnt")).as("__total"), count(lit(1)).as("__keys"),
+        max(col("cnt")).as("__gmax"))
+      hist.crossJoin(broadcast(tot))
+        .select(col("bucket"), col("n_keys"), col("n_rows"), col("max_cnt"),
+          expr("__gmax * __keys * 1000 div __total").as("skew_milli"))
+    },
+    Some("""WITH c AS (SELECT user_id, CAST(count(*) AS BIGINT) AS cnt
+                  FROM events GROUP BY user_id),
+            h AS (SELECT CAST(length(bin(cnt)) AS BIGINT) AS bucket,
+                    CAST(count(*) AS BIGINT) AS n_keys,
+                    CAST(sum(cnt) AS BIGINT) AS n_rows,
+                    CAST(max(cnt) AS BIGINT) AS max_cnt
+                  FROM c GROUP BY 1),
+            t AS (SELECT sum(cnt) AS total, count(*) AS keys, max(cnt) AS gmax FROM c)
+            SELECT bucket, n_keys, n_rows, max_cnt,
+              CAST(gmax * keys * 1000 // total AS BIGINT) AS skew_milli
+            FROM h, t"""))
+
   private val qMerge = GraftQuery(
     "q_merge",
     (s, dir) => {
@@ -5402,7 +5441,7 @@ object Queries {
 
   val all: Seq[GraftQuery] = Seq(
     qMapFilter, qFilterMap, qCycle, qFoldAgg, qDistinctUsers, qTopkPerKey, qPivotCounts, qApproxDistinct, qHeavyHitters, qHeavyHittersVerified, qCmsFreq, qQuantiles, qQuantilesExact, qTableLatest, qTumbling, qHopping, qLagWindow, qSession,
-    qIntervalJoin, qStreamTableJoin, qSaltedJoin, qMerge, qSplitBranch, qChunk, qSkipTake, qThrottle,
+    qIntervalJoin, qStreamTableJoin, qSaltedJoin, qSkewReport, qMerge, qSplitBranch, qChunk, qSkipTake, qThrottle,
     qWordcount, qCandles, qCandlesHop, qStratClassify, qAsofJoin,
     q1Pricing, q3Topk, q5Region, q14Promo, q2Mincost, q18Bigorders, q22Churn, q4Semi,
     q6Forecast, q10Returns, q12Priority, q19Brackets, q13Custdist, q16Suppliers,

@@ -312,6 +312,49 @@ object StreamingOps {
       }
   }
 
+  /** One Count-Min probe estimate emitted by the streaming sketch. */
+  final case class CmsEntry(group: String, token: String, estCount: Long, nSeen: Long)
+
+  /** Count-Min sketch state: the flat depth×width counter matrix + items seen. */
+  final case class CmsState(counters: Array[Long], n: Long)
+
+  /** Streaming Count-Min frequency estimates per group — the live twin
+    * of the batch q_cms_freq query, REUSING functions.CountMin's
+    * reduce kernel. Because CM merge is elementwise sum (associative +
+    * commutative), the streaming sketch is EXACTLY the batch sketch on
+    * the same data no matter how micro-batches fall — asserted as
+    * exact equality in StreamingParitySpec (a stronger parity than the
+    * merge-order-dependent MG twin can offer). State is one
+    * depth×width long array per group; each micro-batch folds its
+    * tokens in and re-emits the probe-key estimates (Update-mode).
+    */
+  def cmsFreq(stream: Dataset[(String, String)], depth: Int, width: Int,
+      probes: Seq[String]): Dataset[CmsEntry] = {
+    val cm = new graft.functions.CountMin(depth, width)
+    val probeHashes = probes.map(t => t -> graft.functions.Sketches.tokenHash31(t))
+    val M = graft.functions.TextFns.HashMod
+    implicit val outEnc = Encoders.product[CmsEntry]
+    implicit val stEnc = Encoders.product[CmsState]
+    stream.groupByKey(_._1)(Encoders.STRING)
+      .flatMapGroupsWithState[CmsState, CmsEntry](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout) {
+        (group: String, items: Iterator[(String, String)], state: GroupState[CmsState]) =>
+          val st = state.getOption.getOrElse(CmsState(new Array[Long](depth * width), 0L))
+          val counters = st.counters.clone()
+          var n = st.n
+          items.foreach { case (_, tok) => cm.reduce(counters, tok); n += 1 }
+          state.update(CmsState(counters, n))
+          probeHashes.iterator.map { case (tok, h) =>
+            val est = (0 until depth).map { i =>
+              counters(i * width +
+                (((graft.functions.DedupFns.MinhashA(i) * h +
+                   graft.functions.DedupFns.MinhashB(i)) % M) % width).toInt)
+            }.min
+            CmsEntry(group, tok, est, n)
+          }
+      }
+  }
+
   /** A KeyedEvent carrying its per-key running fold: event index and
     * exact running cents sum (the streaming scan).
     */

@@ -440,6 +440,46 @@ class StreamingParitySpec extends SparkSpecBase {
     assert(latest.values.forall(_.nonEmpty))
   }
 
+  test("streaming cmsFreq equals the batch Count-Min sketch EXACTLY, for any batching") {
+    // CM merge is elementwise sum — associative + commutative — so the
+    // streaming estimates must EQUAL the batch aggregator's on the same
+    // data regardless of micro-batch boundaries (not just bounds-close)
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val depth = 4; val width = 64
+    val probes = Seq("hot", "dominant", "absent", "t5")
+    val all = ((1 to 60).map(i => ("g1", if (i % 3 == 0) "hot" else s"t$i")) ++
+      (1 to 30).map(_ => ("g2", "dominant"))).toIndexedSeq
+    // batch ground truth straight from the shared kernel
+    val cm = new graft.functions.CountMin(depth, width)
+    val M = graft.functions.TextFns.HashMod
+    val expected = all.groupBy(_._1).flatMap { case (g, xs) =>
+      val sk = xs.foldLeft(cm.zero) { case (b, (_, t)) => cm.reduce(b, t) }
+      probes.map { t =>
+        val h = graft.functions.Sketches.tokenHash31(t)
+        val est = (0 until depth).map { i =>
+          sk(i * width + (((graft.functions.DedupFns.MinhashA(i) * h +
+            graft.functions.DedupFns.MinhashB(i)) % M) % width).toInt)
+        }.min
+        (g, t) -> est
+      }
+    }
+    def run(batches: Seq[Seq[(String, String)]]): Map[(String, String), Long] = {
+      val ms = MemoryStream[(String, String)]
+      val name = s"t_cms_${batches.size}"
+      val q = StreamingOps.cmsFreq(ms.toDS(), depth, width, probes).toDF()
+        .writeStream.format("memory").queryName(name).outputMode(OutputMode.Update()).start()
+      try {
+        batches.foreach { b => ms.addData(b); q.processAllAvailable() }
+        val rows = spark.table(name).collect()
+          .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
+        rows.groupBy(r => (r._1, r._2)).map { case (k, rs) => k -> rs.maxBy(_._4)._3 }
+      } finally q.stop()
+    }
+    assert(run(Seq(all)) == expected, "single batch")
+    assert(run(all.grouped(25).map(_.toSeq).toSeq) == expected, "four batches")
+  }
+
   test("streaming lastTouch matches the batch as-of attribution, across micro-batches") {
     import spark.implicits._
     import graft.streaming.StreamingOps.TouchEvent
