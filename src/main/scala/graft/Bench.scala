@@ -39,7 +39,14 @@ object Bench {
     "q_ppl_buckets_scale",
     // the sampled scale path benched NEXT TO its exact twin, so the
     // baseline shows the p^3 wedge-work cut at the denser sf0.1 graph
-    "q_triangles_approx")
+    "q_triangles_approx",
+    // round-8 session-2 additions: the bloom-prefilter + shuffle-hash
+    // confirm shape, the double-window span-run pass, the two-pass
+    // broadcast-stats quantization report, the two-phase weighted
+    // rank walk, the ObjectHashAggregate sketch build, and the
+    // key-count histogram — six cost shapes new to the set
+    "q_bloom_decontam", "q_dup_span_runs", "q_embed_quant",
+    "q_weighted_sample", "q_cms_freq", "q_skew_report")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -123,6 +123,19 @@ object GraftFunctions {
         org.apache.spark.sql.Encoders.STRING, hhName, args)
     }
 
+  // Count-Min sketch UDAF (4×256): SELECT graft_cms(tok) ... GROUP BY g
+  // returns the flat counter matrix; probe with the md5-affine hashes
+  // (see q_cms_freq for the probe-side column arithmetic)
+  private val cmsName = "graft_cms"
+  private def cmsInfo = info(classOf[graft.functions.CountMin], cmsName,
+    "_FUNC_(token) - Count-Min sketch (4x256 counters) as a flat bigint array")
+  private def cmsBuilder: Seq[Expression] => Expression =
+    arity(cmsName, 1, "(token)") { args =>
+      org.apache.spark.sql.GraftBridge.aggregatorExpression(
+        new graft.functions.CountMin(4, 256),
+        org.apache.spark.sql.Encoders.STRING, cmsName, args)
+    }
+
   /** Idempotently register all graft SQL functions on a session. */
   def register(spark: SparkSession): Unit = {
     val reg: FunctionRegistry = spark.sessionState.functionRegistry
@@ -130,6 +143,7 @@ object GraftFunctions {
       reg.registerFunction(FunctionIdentifier(name), info(clazz, name, usage), builder)
     }
     reg.registerFunction(FunctionIdentifier(hhName), hhInfo, hhBuilder)
+    reg.registerFunction(FunctionIdentifier(cmsName), cmsInfo, cmsBuilder)
   }
 
   private[graft] def injectInto(ext: org.apache.spark.sql.SparkSessionExtensions): Unit = {
@@ -137,6 +151,7 @@ object GraftFunctions {
       ext.injectFunction((FunctionIdentifier(name), info(clazz, name, usage), builder))
     }
     ext.injectFunction((FunctionIdentifier(hhName), hhInfo, hhBuilder))
+    ext.injectFunction((FunctionIdentifier(cmsName), cmsInfo, cmsBuilder))
   }
 }
 

@@ -4133,6 +4133,38 @@ object Queries {
     * At 100 TB swap the lift numerator to DECIMAL(38,0): c_xy·N·1000
     * can exceed 2^63 when N ~ 10^12.
     */
+  /** BPE PAIR-COUNT step — the inner loop of byte-pair-encoding vocab
+    * induction (Sennrich et al. 2016): count adjacent CHARACTER pairs
+    * inside word tokens across the corpus and emit the top-20 merge
+    * candidates (the pair a BPE trainer would merge next is rank 1).
+    * Pairs explode map-only from the fenced token array via an
+    * in-array substr transform; ONE pair shuffle with map-side
+    * partials; top-20 via TakeOrdered on (count desc, pair) — never a
+    * global sort. The word-level counterpart is q_bigram_lift; this is
+    * the character level where tokenizers are actually trained.
+    */
+  private val qBpePairs = GraftQuery(
+    "q_bpe_pairs",
+    (s, dir) => {
+      val pairs = Fence.guard(t(s, dir, "documents")
+          .select(TextFns.tokensFast(col("text")).as("__tk"), Fence.col))
+        .select(explode(col("__tk")).as("tok"))
+        .filter(length(col("tok")) >= 2)
+        .select(explode(expr(
+          "transform(sequence(1, length(tok) - 1), i -> substr(tok, i, 2))")).as("pair"))
+      pairs.groupBy(col("pair")).agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("pair")).limit(20)
+        .withColumn("rank", row_number().over(
+          org.apache.spark.sql.expressions.Window.orderBy(col("cnt").desc, col("pair"))).cast("long"))
+    },
+    Some(s"""WITH tk AS (SELECT unnest($toksSql) AS tok FROM documents),
+             pr AS (SELECT unnest(list_transform(range(1, length(tok)),
+                      i -> substr(tok, i, 2))) AS pair
+                    FROM tk WHERE length(tok) >= 2),
+             c AS (SELECT pair, CAST(count(*) AS BIGINT) AS cnt FROM pr GROUP BY pair)
+             SELECT pair, cnt, CAST(row_number() OVER (ORDER BY cnt DESC, pair) AS BIGINT) AS rank
+             FROM c ORDER BY cnt DESC, pair LIMIT 20"""))
+
   private val qBigramLift = GraftQuery(
     "q_bigram_lift",
     (s, dir) => {
@@ -4791,6 +4823,43 @@ object Queries {
               md5(regexp_replace(props, '[0-9]+', '<NUM>', 'g')) AS scrub_md5
             FROM events"""))
 
+  /** Differentially-private-SKELETON noisy histogram — the release
+    * mechanism completing the privacy family (k-anon suppresses,
+    * l-div gates, this PERTURBS): per-group counts plus two-sided
+    * geometric noise, built ENTIRELY in integer space so the oracle
+    * stays exact. Noise = Z(h1) − Z(h2) where Z(h) is the number of
+    * leading zero bits of a 60-bit md5-derived uniform (Z ~
+    * Geometric(1/2) — the difference is the discrete-Laplace/two-sided-
+    * geometric shape of the geometric mechanism at alpha = 1/2, i.e.
+    * eps = ln 2). Z computes as 60 − length(bin(h)) on both engines —
+    * no float log anywhere. A production release swaps the md5-derived
+    * uniforms for a real DP RNG; everything else (sensitivity-1
+    * counting query, mechanism shape, post-processing clamp at 0) is
+    * the production shape. Deterministic → reproducible AND
+    * oracle-checked; the clamped release never reveals a negative.
+    */
+  private val qDpHistogram = GraftQuery(
+    "q_dp_histogram",
+    (s, dir) => {
+      def z(salt: String) = lit(60L) - length(bin(
+        conv(substring(md5(concat(col("event_type"), lit(salt))), 1, 15), 16, 10).cast("long")))
+      events(s, dir).groupBy(col("event_type"))
+        .agg(count(lit(1)).as("true_count"))
+        .select(col("event_type"), col("true_count"),
+          (z("|a").cast("long") - z("|b").cast("long")).as("noise"),
+          greatest(col("true_count") + z("|a").cast("long") - z("|b").cast("long"), lit(0L))
+            .as("released_count"))
+    },
+    Some("""WITH c AS (SELECT event_type, CAST(count(*) AS BIGINT) AS true_count
+                  FROM events GROUP BY event_type),
+            nz AS (SELECT event_type, true_count,
+                     CAST(60 - length(bin(('0x' || substr(md5(event_type || '|a'), 1, 15))::BIGINT)) AS BIGINT)
+                     - CAST(60 - length(bin(('0x' || substr(md5(event_type || '|b'), 1, 15))::BIGINT)) AS BIGINT) AS noise
+                   FROM c)
+            SELECT event_type, true_count, noise,
+              greatest(true_count + noise, 0) AS released_count
+            FROM nz"""))
+
   /** k-anonymity suppression (k=5): events are generalized to
     * (event_type, value band of width 100), groups seen by fewer than k
     * DISTINCT users are suppressed, and the surviving rows ship with
@@ -5446,7 +5515,8 @@ object Queries {
     q1Pricing, q3Topk, q5Region, q14Promo, q2Mincost, q18Bigorders, q22Churn, q4Semi,
     q6Forecast, q10Returns, q12Priority, q19Brackets, q13Custdist, q16Suppliers,
     q7Trade, q15TopSupp, q17SmallQty, q21Blame, q20Excess, q8Share, qJsonExtract,
-    qNegPairs, qPiiScrub, qKanon, qLdiv, qDedupReport,
+    qNegPairs, qPiiScrub, qKanon, qLdiv, qDpHistogram, qDedupReport,
+    qBpePairs,
     qDedupExact, qDedupMinhash, qMinhashRescore, qContainment, qMinhashEst, qDedupSimhash, qDedupSimhashPairs,
     qDedupClusters, qPagerank, qTriangles, qTrianglesApprox, qQualityDup, qHapax, qNgramJaccard, qDedupEmbed, qRepetition,
     qSplitLeakage, qJaccardCalib,

@@ -34,15 +34,17 @@ object Sketches {
     override def initialValue(): java.security.MessageDigest =
       java.security.MessageDigest.getInstance("MD5")
   }
-  def tokenHash31(s: String): Long = {
+  /** JVM twin of TextFns.tokenHash (60-bit md5 prefix, no mod). */
+  def tokenHash60(s: String): Long = {
     val d = md5Local.get()
     d.reset()
     val b = d.digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     val hex = new java.lang.StringBuilder(16)
     var i = 0
     while (i < 8) { hex.append(f"${b(i) & 0xff}%02x"); i += 1 }
-    java.lang.Long.parseLong(hex.substring(0, 15), 16) % TextFns.HashMod
+    java.lang.Long.parseLong(hex.substring(0, 15), 16)
   }
+  def tokenHash31(s: String): Long = tokenHash60(s) % TextFns.HashMod
 }
 
 final class MisraGries(k: Int) extends Aggregator[String, Map[String, Long], Seq[(String, Long)]] {

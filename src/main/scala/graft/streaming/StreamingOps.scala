@@ -355,6 +355,45 @@ object StreamingOps {
       }
   }
 
+  /** One weighted-sample member emitted by the streaming sampler. */
+  final case class WSampleEntry(group: String, id: Long, weight: Long, priority: Long, rank: Long)
+
+  /** Weighted-sample state: the current k smallest (priority, id, weight). */
+  final case class WSampleState(entries: Seq[(Long, Long, Long)])
+
+  /** Streaming deterministic WEIGHTED sampling — the live twin of the
+    * batch q_weighted_sample query (integer priority sampling:
+    * priority = 60-bit md5 hash of the id div weight, keep the k
+    * smallest (priority, id) per group). Priorities are a pure
+    * function of (id, weight), and top-k is ORDER-INDEPENDENT over
+    * distinct ids, so the streaming sample EXACTLY equals the batch
+    * sample on the same rows for ANY micro-batch boundaries (asserted
+    * in StreamingParitySpec). State is ≤ k entries per group; each
+    * batch folds its rows in and re-emits the current ranked sample
+    * (Update-mode). Re-delivered rows collapse via the id-keyed merge.
+    */
+  def weightedSampleIncremental(stream: Dataset[(String, Long, Long)],
+      k: Int): Dataset[WSampleEntry] = {
+    implicit val outEnc = Encoders.product[WSampleEntry]
+    implicit val stEnc = Encoders.product[WSampleState]
+    stream.groupByKey(_._1)(Encoders.STRING)
+      .flatMapGroupsWithState[WSampleState, WSampleEntry](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout) {
+        (group: String, items: Iterator[(String, Long, Long)], state: GroupState[WSampleState]) =>
+          val prev = state.getOption.map(_.entries).getOrElse(Seq.empty)
+          val merged = (prev.iterator ++ items.map { case (_, id, w) =>
+            val ww = math.max(w, 1L)
+            (graft.functions.Sketches.tokenHash60(id.toString) / ww, id, ww)
+          }).toSeq
+            .groupBy(_._2).values.map(_.head).toSeq // re-delivery collapses by id
+            .sortBy(e => (e._1, e._2)).take(k)
+          state.update(WSampleState(merged))
+          merged.iterator.zipWithIndex.map { case ((pr, id, w), i) =>
+            WSampleEntry(group, id, w, pr, i + 1L)
+          }
+      }
+  }
+
   /** A KeyedEvent carrying its per-key running fold: event index and
     * exact running cents sum (the streaming scan).
     */

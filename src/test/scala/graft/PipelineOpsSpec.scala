@@ -47,6 +47,40 @@ class PipelineOpsSpec extends SparkSpecBase {
     assert(sampleMean > corpusMean, s"sample mean $sampleMean <= corpus mean $corpusMean")
   }
 
+  test("q_dp_histogram: release = clamp(true + noise, 0); noise recomputes from the md5 bit-lengths") {
+    val rows = Queries.queries("q_dp_histogram")(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (et, t, nz, rel) = (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(rel == math.max(t + nz, 0L), r)
+      def z(salt: String): Long = {
+        val h = graft.functions.Sketches.tokenHash60(et + salt)
+        60L - java.lang.Long.toBinaryString(h).length
+      }
+      assert(nz == z("|a") - z("|b"), s"$et: noise $nz != recomputed ${z("|a") - z("|b")}")
+    }
+  }
+
+  test("q_bpe_pairs: 20 ranked 2-char pairs with non-increasing counts that recount exactly") {
+    val rows = Queries.queries("q_bpe_pairs")(spark, sfDir)
+      .orderBy("rank").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(rows.length == 20)
+    assert(rows.map(_._3).toSeq == (1L to 20L))
+    assert(rows.forall(_._1.length == 2))
+    assert(rows.sliding(2).forall { case Array(a, b) => a._2 >= b._2 }, rows.toSeq)
+    // the top pair's count recomputes exactly from raw tokens
+    import graft.functions.TextFns
+    val (topPair, topCnt, _) = rows.head
+    val recount = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(explode(TextFns.tokensFast(col("text"))).as("tok"))
+      .filter(length(col("tok")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(1, length(tok) - 1), i -> substr(tok, i, 2))")).as("pair"))
+      .filter(col("pair") === topPair).count()
+    assert(recount == topCnt, s"$topPair: $recount != $topCnt")
+  }
+
   test("q_bloom_decontam: bloom prefilter + exact confirm equals the plain exact decontam") {
     val bloom = Queries.queries("q_bloom_decontam")(spark, sfDir)
     val exact = Queries.queries("q_decontam")(spark, sfDir)

@@ -49,6 +49,15 @@ class SqlSurfaceSpec extends SparkSpecBase {
         "FROM VALUES ('x'),('x'),('y') AS v(t)")
       .collect()
     assert(hhF.length == 1 && hhF(0).getSeq[Any](0).length == 1)
+    // the Count-Min UDAF: 4x256 flat matrix, each row sums to the input size
+    val cms = spark.sql(
+      "SELECT graft_cms(t) FROM VALUES ('x'),('x'),('y') AS v(t)").collect()
+    assert(cms.length == 1)
+    val sk = cms(0).getSeq[Long](0)
+    assert(sk.length == 4 * 256)
+    (0 until 4).foreach { i =>
+      assert(sk.slice(i * 256, (i + 1) * 256).sum == 3L, s"row $i")
+    }
   }
 
   test("wrong arity is a clean usage error, not a raw exception") {

@@ -480,6 +480,41 @@ class StreamingParitySpec extends SparkSpecBase {
     assert(run(all.grouped(25).map(_.toSeq).toSeq) == expected, "four batches")
   }
 
+  test("streaming weightedSampleIncremental equals the batch weighted sample, for any batching") {
+    // priorities are a pure function of (id, weight) and top-k over
+    // distinct ids is order-independent, so the parity is EXACT
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.functions.TextFns
+    val rows = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("source"), col("doc_id"),
+        greatest(size(TextFns.tokensFast(col("text"))).cast("long"), lit(1L)).as("w"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).sortBy(_._2)
+    val expected = Queries.queries("q_weighted_sample")(spark, sfDir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toSet
+    def run(batches: Seq[Seq[(String, Long, Long)]]): Set[(String, Long, Long, Long, Long)] = {
+      val ms = MemoryStream[(String, Long, Long)]
+      val name = s"t_wsamp_${batches.size}"
+      val q = StreamingOps.weightedSampleIncremental(ms.toDS(), 5).toDF()
+        .writeStream.format("memory").queryName(name).outputMode(OutputMode.Update()).start()
+      try {
+        batches.foreach { b => ms.addData(b); q.processAllAvailable() }
+        // latest emission per (group, id): the final sample is the last
+        // batch's emission per group — pick rows from the max-rank-set
+        // emission by taking each group's LAST emitted batch; memory
+        // sink appends, so dedupe to the final state via groupBy rank
+        // ordering: take the last occurrence per (group, rank)
+        val all = spark.table(name).collect()
+          .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+        all.zipWithIndex.groupBy { case (t, _) => (t._1, t._5) }
+          .map { case (_, xs) => xs.maxBy(_._2)._1 }.toSet
+      } finally q.stop()
+    }
+    assert(run(Seq(rows.toSeq)) == expected, "single batch")
+    assert(run(rows.grouped(150).map(_.toSeq).toSeq) == expected, "multiple batches")
+  }
+
   test("streaming lastTouch matches the batch as-of attribution, across micro-batches") {
     import spark.implicits._
     import graft.streaming.StreamingOps.TouchEvent
