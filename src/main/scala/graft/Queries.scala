@@ -74,6 +74,13 @@ object Queries {
   /** 60-bit md5-prefix token hash mod 2^31-1 (mirror of TextFns.tokenHash31). */
   private def h31Sql(v: String) = s"('0x' || substr(md5($v), 1, 15))::BIGINT % $M"
 
+  /** Full 60-bit md5-prefix hash, NO mod (mirror of TextFns.tokenHash):
+    * for span/window fingerprints, where the 31-bit reduction's
+    * birthday collisions (~W^2/2^32 false shared spans at production
+    * window counts) would manufacture false duplication signals.
+    */
+  private def h60Sql(v: String) = s"('0x' || substr(md5($v), 1, 15))::BIGINT"
+
   /** Distinct word 3-grams over tk (mirror of DedupFns.wordNgrams(_, 3)). */
   private val grams3Sql =
     "CASE WHEN len(tk) >= 3 THEN list_distinct(list_transform(range(0, len(tk) - 2), i -> array_to_string(list_slice(tk, i + 1, i + 3), ' '))) ELSE []::VARCHAR[] END"
@@ -454,8 +461,11 @@ object Queries {
     * the diagnosis): per-key row counts folded into a log2-bucket
     * histogram (bucket = bit-length of the count — integer-exact on
     * both engines via length(bin(cnt)), no float log anywhere), plus
-    * the global skew ratio max·n_keys·1000 div n_rows (1000 = uniform;
+    * the global skew ratio max·1000 div floor-mean (1000 = uniform;
     * the salt factor to neutralize the hottest key is ≈ ratio/1000).
+    * The ratio multiplies only max·1000, so it cannot overflow bigint
+    * even at 10⁹ keys — max·keys·1000 div total would wrap at exactly
+    * the scale this report exists to diagnose.
     *
     * Scale shape: the per-key count is the one fact shuffle (the same
     * exchange the join itself would pay); the histogram partial-
@@ -474,7 +484,7 @@ object Queries {
         max(col("cnt")).as("__gmax"))
       hist.crossJoin(broadcast(tot))
         .select(col("bucket"), col("n_keys"), col("n_rows"), col("max_cnt"),
-          expr("__gmax * __keys * 1000 div __total").as("skew_milli"))
+          expr("__gmax * 1000 div greatest(__total div __keys, 1)").as("skew_milli"))
     },
     Some("""WITH c AS (SELECT user_id, CAST(count(*) AS BIGINT) AS cnt
                   FROM events GROUP BY user_id),
@@ -485,7 +495,7 @@ object Queries {
                   FROM c GROUP BY 1),
             t AS (SELECT sum(cnt) AS total, count(*) AS keys, max(cnt) AS gmax FROM c)
             SELECT bucket, n_keys, n_rows, max_cnt,
-              CAST(gmax * keys * 1000 // total AS BIGINT) AS skew_milli
+              CAST(gmax * 1000 // greatest(total // keys, 1) AS BIGINT) AS skew_milli
             FROM h, t"""))
 
   private val qMerge = GraftQuery(
@@ -4057,7 +4067,9 @@ object Queries {
   /** Exact substring-duplication signal (the span-level twin of
     * document near-dup): for each doc, how many of its distinct 8-token
     * windows also occur in ANOTHER doc. Spans ride as portable 60-bit
-    * md5 hashes (never the strings) so the df shuffle moves 8 bytes per
+    * md5 hashes (never the strings — and genuinely 60-bit: the 31-bit
+    * reduction's birthday collisions would manufacture false shared
+    * spans at production window counts) so the df shuffle moves 8 B per
     * span; a count-over-partition on the span hash replaces the df
     * self-join, so span df + per-doc rollup is ONE hash shuffle total.
     * Docs under 8 tokens have no spans and emit no row.
@@ -4072,7 +4084,7 @@ object Queries {
         .filter(size(col("__toks")) >= 8)
         .select(col("doc_id"),
           explode(DedupFns.wordNgramsFast(col("__toks"), 8)).as("__gram"))
-        .select(col("doc_id"), TextFns.tokenHash31(col("__gram")).as("__gh"))
+        .select(col("doc_id"), TextFns.tokenHash(col("__gram")).as("__gh"))
       g.withColumn("__df", count(lit(1)).over(Window.partitionBy("__gh")))
         .groupBy("doc_id")
         .agg(count(lit(1)).as("n_spans"),
@@ -4086,7 +4098,7 @@ object Queries {
                                  i -> array_to_string(list_slice(tk, i + 1, i + 8), ' ')))
                           ELSE []::VARCHAR[] END AS gs
                    FROM t0),
-             gr AS (SELECT doc_id, ${h31Sql("unnest(gs)")} AS gh FROM g),
+             gr AS (SELECT doc_id, ${h60Sql("unnest(gs)")} AS gh FROM g),
              d AS (SELECT gh, count(*) AS df FROM gr GROUP BY gh)
              SELECT doc_id, CAST(count(*) AS BIGINT) AS n_spans,
                CAST(sum(CASE WHEN df >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_spans,
@@ -5322,7 +5334,11 @@ object Queries {
         .select(col("doc_id"),
           DedupFns.wordNgramsFast(col("__toks"), 4).as("__grams"), Fence.col))
         .select(col("doc_id"), explode(col("__grams")).as("g"))
-      val probeGrams = grams(docs.filter(col("doc_id") < 3)).select(col("g")).distinct()
+      // cache: the probe gram pipeline (tokenize + explode + distinct
+      // shuffle) otherwise runs THREE times — the sizing count, the
+      // filter build treeAggregate, and the confirm join (same
+      // session-cache pattern as the simhash pair mining)
+      val probeGrams = grams(docs.filter(col("doc_id") < 3)).select(col("g")).distinct().cache()
       val mightHit = org.apache.spark.sql.GraftBridge.bloomMightContain(
         DedupFns.gramBloomBytes(probeGrams, "g"), xxhash64(col("g")))
       val kill = grams(docs.filter(col("doc_id") >= 3))
@@ -5369,7 +5385,7 @@ object Queries {
         .select(col("doc_id"),
           posexplode(DedupFns.wordNgramsPositional(col("__toks"), 8)).as(Seq("pos", "__gram")))
         .select(col("doc_id"), col("pos").cast("long").as("pos"),
-          TextFns.tokenHash31(col("__gram")).as("__gh"))
+          TextFns.tokenHash(col("__gram")).as("__gh"))
       val wh = Window.partitionBy("__gh")
       val wd = Window.partitionBy("doc_id").orderBy(col("pos"))
       g.withColumn("__dup",
@@ -5390,7 +5406,7 @@ object Queries {
                     FROM (SELECT doc_id, unnest(list_transform(range(0, len(tk) - 7),
                             i -> {'pos': i, 'g': array_to_string(list_slice(tk, i + 1, i + 8), ' ')})) AS pg
                           FROM t0 WHERE len(tk) >= 8)),
-             h AS (SELECT doc_id, pos, ${h31Sql("g")} AS gh FROM sp),
+             h AS (SELECT doc_id, pos, ${h60Sql("g")} AS gh FROM sp),
              m AS (SELECT doc_id, pos,
                      CASE WHEN min(doc_id) OVER (PARTITION BY gh) <> max(doc_id) OVER (PARTITION BY gh)
                           THEN 1 ELSE 0 END AS dup

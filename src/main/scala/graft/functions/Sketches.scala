@@ -34,15 +34,20 @@ object Sketches {
     override def initialValue(): java.security.MessageDigest =
       java.security.MessageDigest.getInstance("MD5")
   }
-  /** JVM twin of TextFns.tokenHash (60-bit md5 prefix, no mod). */
+  /** JVM twin of TextFns.tokenHash (60-bit md5 prefix, no mod). The
+    * first 15 hex chars are the first 7.5 digest bytes, i.e. the
+    * big-endian 64-bit value of bytes 0-7 shifted right 4 — computed
+    * directly (this sits in the per-token hot path of CountMin.reduce;
+    * the hex round-trip costs ~50× the shift).
+    */
   def tokenHash60(s: String): Long = {
     val d = md5Local.get()
     d.reset()
     val b = d.digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    val hex = new java.lang.StringBuilder(16)
+    var v = 0L
     var i = 0
-    while (i < 8) { hex.append(f"${b(i) & 0xff}%02x"); i += 1 }
-    java.lang.Long.parseLong(hex.substring(0, 15), 16)
+    while (i < 8) { v = (v << 8) | (b(i) & 0xffL); i += 1 }
+    v >>> 4
   }
   def tokenHash31(s: String): Long = tokenHash60(s) % TextFns.HashMod
 }
@@ -129,6 +134,24 @@ final class CountMin(depth: Int, width: Int)
   }
 
   def finish(m: Array[Long]): Array[Long] = m
+
+  /** Point estimate for one key: min over rows of the probed cell —
+    * the ONE place (besides the Column-side twin in q_cms_freq) that
+    * knows the cell layout; streaming probes and tests go through
+    * here so build and probe can never drift apart.
+    */
+  def estimate(counters: Array[Long], token: String): Long = {
+    val h = Sketches.tokenHash31(token)
+    var best = Long.MaxValue
+    var i = 0
+    while (i < depth) {
+      val c = counters(
+        i * width + (((DedupFns.MinhashA(i) * h + DedupFns.MinhashB(i)) % M) % width).toInt)
+      if (c < best) best = c
+      i += 1
+    }
+    best
+  }
 
   def bufferEncoder: Encoder[Array[Long]] = ExpressionEncoder()
   def outputEncoder: Encoder[Array[Long]] = ExpressionEncoder()

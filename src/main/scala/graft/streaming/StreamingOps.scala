@@ -331,8 +331,6 @@ object StreamingOps {
   def cmsFreq(stream: Dataset[(String, String)], depth: Int, width: Int,
       probes: Seq[String]): Dataset[CmsEntry] = {
     val cm = new graft.functions.CountMin(depth, width)
-    val probeHashes = probes.map(t => t -> graft.functions.Sketches.tokenHash31(t))
-    val M = graft.functions.TextFns.HashMod
     implicit val outEnc = Encoders.product[CmsEntry]
     implicit val stEnc = Encoders.product[CmsState]
     stream.groupByKey(_._1)(Encoders.STRING)
@@ -344,14 +342,7 @@ object StreamingOps {
           var n = st.n
           items.foreach { case (_, tok) => cm.reduce(counters, tok); n += 1 }
           state.update(CmsState(counters, n))
-          probeHashes.iterator.map { case (tok, h) =>
-            val est = (0 until depth).map { i =>
-              counters(i * width +
-                (((graft.functions.DedupFns.MinhashA(i) * h +
-                   graft.functions.DedupFns.MinhashB(i)) % M) % width).toInt)
-            }.min
-            CmsEntry(group, tok, est, n)
-          }
+          probes.iterator.map(tok => CmsEntry(group, tok, cm.estimate(counters, tok), n))
       }
   }
 
@@ -833,14 +824,20 @@ object StreamingOps {
     *     (bloom false positives die here), count distinct shared
     *     grams per doc, kill at >= minShared;
     *  3. append survivors to per-batch subdirectories (overwrite →
-    *     at-least-once replays stay idempotent).
+    *     a REPLAY of the same batch id stays idempotent), suppressing
+    *     ids already written by EARLIER batches — the verdict is
+    *     deterministic, so a cross-batch at-least-once re-delivery
+    *     would otherwise emit an identical duplicate row. The
+    *     survivors table itself is the only state read (batch_id <
+    *     current, mirroring the dedup twins' history filter).
     * Same kill rule as the batch query, asserted batching-invariant
-    * in StreamingParitySpec.
+    * and re-delivery-safe in StreamingParitySpec.
     */
   def decontamIncremental(stream: DataFrame, idCol: String, textCol: String,
       probeGrams: DataFrame, bloomBytes: Array[Byte], survivorsDir: String,
       minShared: Int = 2): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
     stream.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      val spark = batch.sparkSession
       import graft.functions.{DedupFns, Fence, TextFns}
       val docs = batch.select(col(idCol).as("id"), col(textCol).as("text"))
       val grams = Fence.guard(Fence.guard(
@@ -855,7 +852,24 @@ object StreamingOps {
         .agg(countDistinct(col("g")).as("shared"))
         .filter(col("shared") >= minShared)
         .select("id")
+      // ids emitted by EARLIER batches: only a missing dir counts as
+      // "first batch" (a real read failure must fail the batch); the
+      // explicit schema survives a crashed first attempt's footerless
+      // dir, and batch_id < batchId keeps a replayed batch from
+      // suppressing against its own crashed attempt's output
+      val seenSchema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("id", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("text", org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("batch_id", org.apache.spark.sql.types.LongType)))
+      val survPath = new org.apache.hadoop.fs.Path(survivorsDir)
+      val fs = survPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val seen =
+        if (!fs.exists(survPath))
+          spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], seenSchema)
+        else spark.read.schema(seenSchema).parquet(survivorsDir)
+          .filter(col("batch_id") < batchId)
       docs.join(kill, Seq("id"), "left_anti").distinct()
+        .join(seen.select("id"), Seq("id"), "left_anti")
         .write.mode("overwrite").parquet(s"$survivorsDir/batch_id=$batchId")
       ()
     }

@@ -452,17 +452,9 @@ class StreamingParitySpec extends SparkSpecBase {
       (1 to 30).map(_ => ("g2", "dominant"))).toIndexedSeq
     // batch ground truth straight from the shared kernel
     val cm = new graft.functions.CountMin(depth, width)
-    val M = graft.functions.TextFns.HashMod
     val expected = all.groupBy(_._1).flatMap { case (g, xs) =>
       val sk = xs.foldLeft(cm.zero) { case (b, (_, t)) => cm.reduce(b, t) }
-      probes.map { t =>
-        val h = graft.functions.Sketches.tokenHash31(t)
-        val est = (0 until depth).map { i =>
-          sk(i * width + (((graft.functions.DedupFns.MinhashA(i) * h +
-            graft.functions.DedupFns.MinhashB(i)) % M) % width).toInt)
-        }.min
-        (g, t) -> est
-      }
+      probes.map(t => (g, t) -> cm.estimate(sk, t))
     }
     def run(batches: Seq[Seq[(String, String)]]): Map[(String, String), Long] = {
       val ms = MemoryStream[(String, String)]
@@ -923,6 +915,23 @@ class StreamingParitySpec extends SparkSpecBase {
     }
     assert(run(Seq(rows.toSeq)) == expected, "single batch")
     assert(run(rows.grouped(40).map(_.toSeq).toSeq) == expected, "three batches")
+    // cross-batch at-least-once re-delivery: a surviving doc delivered
+    // again in a LATER batch must not appear twice in the output (the
+    // verdict is deterministic; the survivors table is the dedup state)
+    val tmp = java.nio.file.Files.createTempDirectory("graft-idecon-redeliver").toString
+    val ms = MemoryStream[(Long, String)]
+    val q = StreamingOps.decontamIncremental(
+        ms.toDF().toDF("doc_id", "text"), "doc_id", "text",
+        probeGrams, bloom, s"$tmp/survivors")
+      .option("checkpointLocation", s"$tmp/ckpt").start()
+    try {
+      ms.addData(rows.take(40).toSeq); q.processAllAvailable()
+      ms.addData(rows.take(10).toSeq); q.processAllAvailable() // re-delivery
+      val ids = spark.read.parquet(s"$tmp/survivors").select("id")
+        .collect().map(_.getLong(0)).toSeq
+      assert(ids.distinct.size == ids.size, s"duplicate survivor rows: $ids")
+      assert(ids.toSet == rows.take(40).map(_._1).toSet.intersect(expected), ids.toString)
+    } finally q.stop()
     probeGrams.unpersist()
   }
 
