@@ -46,7 +46,10 @@ object Bench {
     // rank walk, the ObjectHashAggregate sketch build, and the
     // key-count histogram — six cost shapes new to the set
     "q_bloom_decontam", "q_dup_span_runs", "q_embed_quant",
-    "q_weighted_sample", "q_cms_freq", "q_skew_report")
+    "q_weighted_sample", "q_cms_freq", "q_skew_report",
+    // round-8 session-3: the bucket-decomposed range-lookup join —
+    // the explode×equi-join cost shape (vs the nested loop it avoids)
+    "q_range_join")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

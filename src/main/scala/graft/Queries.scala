@@ -498,6 +498,42 @@ object Queries {
               CAST(gmax * 1000 // greatest(total // keys, 1) AS BIGINT) AS skew_milli
             FROM h, t"""))
 
+  /** RANGE-LOOKUP JOIN (Joins.bucketedRangeJoin): the IP-range /
+    * tier-table enrichment shape, demonstrated as a plausibility
+    * diagnostic — for each event type's observed value span
+    * [min, max] cents, how many events of ANY type fall inside it
+    * (values outside a type's span cannot be that type). A pure
+    * BETWEEN-predicate join plans as BroadcastNestedLoopJoin (every
+    * fact row probes every range; the range table may not even fit
+    * broadcast at production sizes); the bucket decomposition turns it
+    * into an EQUI-join on fixed-width buckets + exact BETWEEN refine —
+    * PlanSpec asserts the nested loop is gone. Exact cents, exact
+    * containment; the oracle is the naive BETWEEN join.
+    */
+  private val qRangeJoin = GraftQuery(
+    "q_range_join",
+    (s, dir) => {
+      val cents = events(s, dir)
+        .select(col("event_id"), col("event_type"),
+          (col("value").cast(dec) * 100).cast("long").as("cents"))
+      val ranges = cents.groupBy(col("event_type").as("r_type"))
+        .agg(min(col("cents")).as("lo"), max(col("cents")).as("hi"))
+      Joins.bucketedRangeJoin(cents.select(col("event_id"), col("cents")),
+          "cents", ranges, "lo", "hi", width = 10000L)
+        .groupBy(col("r_type"), col("lo"), col("hi"))
+        .agg(count(lit(1)).as("n_contained"))
+    },
+    Some("""WITH c AS (SELECT event_id,
+                  CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents,
+                  event_type
+                FROM events),
+            r AS (SELECT event_type AS r_type, CAST(min(cents) AS BIGINT) AS lo,
+                    CAST(max(cents) AS BIGINT) AS hi
+                  FROM c GROUP BY event_type)
+            SELECT r_type, lo, hi, CAST(count(*) AS BIGINT) AS n_contained
+            FROM c JOIN r ON c.cents BETWEEN r.lo AND r.hi
+            GROUP BY r_type, lo, hi"""))
+
   private val qMerge = GraftQuery(
     "q_merge",
     (s, dir) => {
@@ -5526,7 +5562,7 @@ object Queries {
 
   val all: Seq[GraftQuery] = Seq(
     qMapFilter, qFilterMap, qCycle, qFoldAgg, qDistinctUsers, qTopkPerKey, qPivotCounts, qApproxDistinct, qHeavyHitters, qHeavyHittersVerified, qCmsFreq, qQuantiles, qQuantilesExact, qTableLatest, qTumbling, qHopping, qLagWindow, qSession,
-    qIntervalJoin, qStreamTableJoin, qSaltedJoin, qSkewReport, qMerge, qSplitBranch, qChunk, qSkipTake, qThrottle,
+    qIntervalJoin, qStreamTableJoin, qSaltedJoin, qSkewReport, qRangeJoin, qMerge, qSplitBranch, qChunk, qSkipTake, qThrottle,
     qWordcount, qCandles, qCandlesHop, qStratClassify, qAsofJoin,
     q1Pricing, q3Topk, q5Region, q14Promo, q2Mincost, q18Bigorders, q22Churn, q4Semi,
     q6Forecast, q10Returns, q12Priority, q19Brackets, q13Custdist, q16Suppliers,

@@ -90,6 +90,42 @@ object Joins {
     * Returns the left rows plus `rightPayload` columns (null when no
     * right record precedes).
     */
+  /** RANGE-LOOKUP JOIN via bucket decomposition: enrich each fact row
+    * with the range row(s) whose [lo, hi] contains its value — the
+    * IP-range / tier-table / geo-band lookup shape. Spark's native
+    * plan for a pure range-predicate join is BroadcastNestedLoopJoin
+    * (every fact row probes every range — quadratic, and the dim may
+    * not even fit broadcast at production range-table sizes).
+    * Decomposing into fixed-width buckets makes it an EQUI-join:
+    *
+    *  - each range explodes to the buckets it covers (a range of
+    *    length L costs ~L/width + 1 rows — width is the fan-out knob;
+    *    set it near the median range length);
+    *  - each fact row computes its bucket MAP-ONLY;
+    *  - candidates meet on an equi-join on bucket, and the exact
+    *    BETWEEN refine keeps only true containments (a fact row
+    *    matches each containing range exactly once, because its one
+    *    bucket meets a covering range exactly once).
+    *
+    * Overlapping ranges yield one output row per containing range
+    * (lookup semantics decide policy upstream); values outside every
+    * range drop (inner). Floor-division bucketing ((v − pmod(v, w))
+    * div w) keeps negative values correct — truncating div would
+    * split bucket −0/+0.
+    */
+  def bucketedRangeJoin(fact: DataFrame, valueCol: String,
+      ranges: DataFrame, loCol: String, hiCol: String, width: Long): DataFrame = {
+    require(width >= 1, s"bucket width must be >= 1, got $width")
+    def bucketOf(c: Column): Column =
+      ((c - pmod(c, lit(width))) / lit(width)).cast("long")
+    val r = ranges.withColumn("__b",
+      explode(sequence(bucketOf(col(loCol)), bucketOf(col(hiCol)))))
+    fact.withColumn("__b", bucketOf(col(valueCol)))
+      .join(r, Seq("__b"))
+      .filter(col(valueCol) >= col(loCol) && col(valueCol) <= col(hiCol))
+      .drop("__b")
+  }
+
   def asofJoin(
       left: DataFrame,
       right: DataFrame,

@@ -16,6 +16,22 @@ class OperatorsSpec extends SparkSpecBase {
     ).toDF("k", "tus", "v").withColumn("ts", timestamp_micros(col("tus")))
   }
 
+  test("bucketedRangeJoin: inclusive bounds, overlap multi-match, negatives, outside drops") {
+    import spark.implicits._
+    val fact = Seq((1L, -15L), (2L, 0L), (3L, 10L), (4L, 99L), (5L, 250L))
+      .toDF("id", "v")
+    val ranges = Seq(("neg", -20L, -10L), ("low", 0L, 10L), ("mid", 5L, 99L))
+      .toDF("name", "lo", "hi")
+    val got = graft.operators.Joins.bucketedRangeJoin(fact, "v", ranges, "lo", "hi", 7L)
+      .select("id", "name").collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(got == Set(
+      (1L, "neg"),              // negative value, floor-div bucketing
+      (2L, "low"),              // inclusive lo boundary
+      (3L, "low"), (3L, "mid"), // overlap -> one row per containing range
+      (4L, "mid")               // inclusive hi boundary; id 5 outside all
+    ), got)
+  }
+
   test("latestByKey keeps exactly the max-order row per key") {
     val out = Keyed.latestByKey(ev, Seq("k"), Seq("tus"))
       .select("k", "tus", "v").collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet

@@ -514,6 +514,13 @@ class PlanSpec extends SparkSpecBase {
     assert(p.contains("Expand") || p.contains("distinct"), p) // two-phase distinct users
   }
 
+  test("q_range_join: bucket decomposition kills the nested loop — hash equi-join on the bucket") {
+    val p = planOf(Queries.queries("q_range_join")(spark, sfDir))
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)
+    assert(p.contains("BroadcastHashJoin") || p.contains("ShuffledHashJoin") ||
+      p.contains("SortMergeJoin"), p)
+  }
+
   test("q_weighted_sample: row-level rank window partitions on (source, bucket), source-only window on survivors") {
     import org.apache.spark.sql.catalyst.plans.logical.{Filter, Window => LWindow}
     val lp = Queries.queries("q_weighted_sample")(spark, sfDir).queryExecution.optimizedPlan
