@@ -47,9 +47,10 @@ object Bench {
     // key-count histogram — six cost shapes new to the set
     "q_bloom_decontam", "q_dup_span_runs", "q_embed_quant",
     "q_weighted_sample", "q_cms_freq", "q_skew_report",
-    // round-8 session-3: the bucket-decomposed range-lookup join —
-    // the explode×equi-join cost shape (vs the nested loop it avoids)
-    "q_range_join")
+    // round-8 session-3: the bucket-decomposed range-lookup join and
+    // the double-explode grid overlap join — the explode×equi-join
+    // cost shapes (vs the nested loops they avoid)
+    "q_range_join", "q_overlap_sessions")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -534,6 +534,49 @@ object Queries {
             FROM c JOIN r ON c.cents BETWEEN r.lo AND r.hi
             GROUP BY r_type, lo, hi"""))
 
+  /** INTERVAL-OVERLAP JOIN (Joins.intervalOverlapJoin): co-presence —
+    * for each user pair, how many of their 30-min-gap sessions
+    * intersected in time and for how long (exact microseconds). Both
+    * sides are intervals, so this is the grid-bucketed overlap join:
+    * each session explodes onto a 1-hour grid, candidates meet on an
+    * equi-join on the cell, and the report-once rule (emit only in the
+    * cell of max(lo_a, lo_b)) replaces the distinct a naive grid join
+    * needs. Oracle = gaps-and-islands sessions + naive inequality
+    * self-join.
+    */
+  private val qOverlapSessions = GraftQuery(
+    "q_overlap_sessions",
+    (s, dir) => {
+      def sess(sfx: String) =
+        Windows.session(events(s, dir), "ts", Seq("user_id"), "30 minutes")(
+          min(unix_micros(col("ts"))).as("lo" + sfx),
+          max(unix_micros(col("ts"))).as("hi" + sfx))
+          .select(col("user_id").as("user" + sfx), col("lo" + sfx), col("hi" + sfx))
+      Joins.intervalOverlapJoin(sess("_a"), "lo_a", "hi_a",
+          sess("_b"), "lo_b", "hi_b", width = 3600000000L)
+        .filter(col("user_a") < col("user_b"))
+        .groupBy(col("user_a"), col("user_b"))
+        .agg(count(lit(1)).as("n_overlaps"),
+          sum(least(col("hi_a"), col("hi_b")) - greatest(col("lo_a"), col("lo_b")))
+            .as("overlap_us"))
+    },
+    Some("""WITH x AS (
+              SELECT user_id, event_id, epoch_us(ts) AS e,
+                CASE WHEN epoch_us(ts) - lag(epoch_us(ts))
+                       OVER (PARTITION BY user_id ORDER BY ts, event_id) >= 1800000000
+                     THEN 1 ELSE 0 END AS brk
+              FROM events),
+            y AS (SELECT user_id, e,
+                    sum(brk) OVER (PARTITION BY user_id ORDER BY e, event_id ROWS UNBOUNDED PRECEDING) AS sid
+                  FROM x),
+            s AS (SELECT user_id, min(e) AS lo, max(e) AS hi FROM y GROUP BY user_id, sid)
+            SELECT a.user_id AS user_a, b.user_id AS user_b,
+              CAST(count(*) AS BIGINT) AS n_overlaps,
+              CAST(sum(least(a.hi, b.hi) - greatest(a.lo, b.lo)) AS BIGINT) AS overlap_us
+            FROM s a JOIN s b
+              ON a.user_id < b.user_id AND a.lo <= b.hi AND b.lo <= a.hi
+            GROUP BY 1, 2"""))
+
   private val qMerge = GraftQuery(
     "q_merge",
     (s, dir) => {
@@ -5562,7 +5605,7 @@ object Queries {
 
   val all: Seq[GraftQuery] = Seq(
     qMapFilter, qFilterMap, qCycle, qFoldAgg, qDistinctUsers, qTopkPerKey, qPivotCounts, qApproxDistinct, qHeavyHitters, qHeavyHittersVerified, qCmsFreq, qQuantiles, qQuantilesExact, qTableLatest, qTumbling, qHopping, qLagWindow, qSession,
-    qIntervalJoin, qStreamTableJoin, qSaltedJoin, qSkewReport, qRangeJoin, qMerge, qSplitBranch, qChunk, qSkipTake, qThrottle,
+    qIntervalJoin, qStreamTableJoin, qSaltedJoin, qSkewReport, qRangeJoin, qOverlapSessions, qMerge, qSplitBranch, qChunk, qSkipTake, qThrottle,
     qWordcount, qCandles, qCandlesHop, qStratClassify, qAsofJoin,
     q1Pricing, q3Topk, q5Region, q14Promo, q2Mincost, q18Bigorders, q22Churn, q4Semi,
     q6Forecast, q10Returns, q12Priority, q19Brackets, q13Custdist, q16Suppliers,

@@ -126,6 +126,40 @@ object Joins {
       .drop("__b")
   }
 
+  /** INTERVAL-OVERLAP JOIN via grid bucketing: emit each (left, right)
+    * pair whose closed intervals [lLo,lHi] and [rLo,rHi] intersect —
+    * the temporal/spatial overlap shape (co-presence, reservation
+    * conflicts, 1-D spatial join). Like [[bucketedRangeJoin]] this
+    * avoids the BroadcastNestedLoopJoin a bare overlap predicate plans
+    * to, but here BOTH sides are intervals, so both explode onto a
+    * fixed-width grid and candidates meet on an equi-join on the cell.
+    *
+    * A pair intersecting k shared cells would naively emit k times;
+    * instead of a distinct (an extra full-output shuffle) each pair is
+    * emitted ONCE via the report-once rule: only in the cell containing
+    * `max(lLo, rLo)` — a cell both bucket ranges provably cover exactly
+    * when the intervals overlap. Per-task fan-in is bounded by cell
+    * population × cell span, tunable via `width` (set near the median
+    * interval length; longer intervals cost ~len/width+1 candidate
+    * rows). Column names must be disjoint across the two inputs.
+    */
+  def intervalOverlapJoin(left: DataFrame, lLo: String, lHi: String,
+      right: DataFrame, rLo: String, rHi: String, width: Long): DataFrame = {
+    require(width >= 1, s"grid width must be >= 1, got $width")
+    val dup = left.columns.toSet.intersect(right.columns.toSet)
+    require(dup.isEmpty, s"column names must be disjoint, both sides have: ${dup.mkString(",")}")
+    def bucketOf(c: Column): Column =
+      ((c - pmod(c, lit(width))) / lit(width)).cast("long")
+    val l = left.withColumn("__b",
+      explode(sequence(bucketOf(col(lLo)), bucketOf(col(lHi)))))
+    val r = right.withColumn("__b",
+      explode(sequence(bucketOf(col(rLo)), bucketOf(col(rHi)))))
+    l.join(r, Seq("__b"))
+      .filter(col(lLo) <= col(rHi) && col(rLo) <= col(lHi))
+      .filter(bucketOf(greatest(col(lLo), col(rLo))) === col("__b"))
+      .drop("__b")
+  }
+
   def asofJoin(
       left: DataFrame,
       right: DataFrame,

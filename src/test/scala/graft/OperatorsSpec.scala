@@ -32,6 +32,24 @@ class OperatorsSpec extends SparkSpecBase {
     ), got)
   }
 
+  test("intervalOverlapJoin: exactly-once per overlapping pair, point touch, negatives") {
+    import spark.implicits._
+    val l = Seq((1L, 0L, 10L), (2L, 5L, 30L), (3L, 100L, 100L))
+      .toDF("lid", "lo_a", "hi_a")
+    val r = Seq(("x", 8L, 20L), ("y", -5L, 0L), ("z", 31L, 40L))
+      .toDF("rid", "lo_b", "hi_b")
+    // width=4 makes overlapping pairs share several grid cells — the
+    // report-once rule must still emit each pair exactly once
+    val rows = graft.operators.Joins.intervalOverlapJoin(l, "lo_a", "hi_a", r, "lo_b", "hi_b", 4L)
+      .select("lid", "rid").collect().map(x => (x.getLong(0), x.getString(1))).toSeq
+    assert(rows.size == 3, rows)  // no k-cell duplicates
+    assert(rows.toSet == Set(
+      (1L, "x"),  // plain overlap spanning cells
+      (1L, "y"),  // point touch at 0, negative-lo interval
+      (2L, "x")   // [5,30]x[8,20]: containment counts as overlap
+    ), rows)
+  }
+
   test("latestByKey keeps exactly the max-order row per key") {
     val out = Keyed.latestByKey(ev, Seq("k"), Seq("tus"))
       .select("k", "tus", "v").collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet

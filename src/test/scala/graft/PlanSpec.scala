@@ -521,6 +521,13 @@ class PlanSpec extends SparkSpecBase {
       p.contains("SortMergeJoin"), p)
   }
 
+  test("q_overlap_sessions: grid cells make the overlap join an equi-join, no nested loop") {
+    val p = planOf(Queries.queries("q_overlap_sessions")(spark, sfDir))
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)
+    assert(p.contains("BroadcastHashJoin") || p.contains("ShuffledHashJoin") ||
+      p.contains("SortMergeJoin"), p)
+  }
+
   test("q_weighted_sample: row-level rank window partitions on (source, bucket), source-only window on survivors") {
     import org.apache.spark.sql.catalyst.plans.logical.{Filter, Window => LWindow}
     val lp = Queries.queries("q_weighted_sample")(spark, sfDir).queryExecution.optimizedPlan
