@@ -157,6 +157,47 @@ object Queries {
             FROM events
             QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) = 1"""))
 
+  /** SNAPSHOT DIFF (Relational.snapshotDiff): what changed between two
+    * versions of a keyed state table — here, latest value-cents per
+    * (user, event_type) as of Jan 3 vs Jan 20. One full-outer join on
+    * the key, non-key columns compared as one null-safe struct,
+    * unchanged keys dropped (the delta contract). Oracle = two
+    * QUALIFY-latest CTEs + FULL OUTER JOIN + IS DISTINCT FROM.
+    */
+  private val qSnapshotDiff = GraftQuery(
+    "q_snapshot_diff",
+    (s, dir) => {
+      def stateAt(cutUs: Long) = {
+        val e = events(s, dir)
+          .withColumn("e", unix_micros(col("ts")))
+          .filter(col("e") <= cutUs)
+          .select(col("user_id"), col("event_type"), col("event_id"), col("e"),
+            (col("value").cast(dec) * 100).cast("long").as("cents"))
+        Keyed.latestByKey(e, Seq("user_id", "event_type"), Seq("e", "event_id"))
+          .select(col("user_id"), col("event_type"), col("cents"))
+      }
+      Relational.snapshotDiff(
+        stateAt(1704240000000000L),  // 2024-01-03 00:00:00 UTC
+        stateAt(1705708800000000L),  // 2024-01-20 00:00:00 UTC
+        Seq("user_id", "event_type"))
+    },
+    Some("""WITH e AS (SELECT user_id, event_type, event_id, epoch_us(ts) AS e,
+                  CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+                FROM events),
+            o AS (SELECT user_id, event_type, cents FROM e WHERE e <= 1704240000000000
+                  QUALIFY row_number() OVER (PARTITION BY user_id, event_type ORDER BY e DESC, event_id DESC) = 1),
+            c AS (SELECT user_id, event_type, cents FROM e WHERE e <= 1705708800000000
+                  QUALIFY row_number() OVER (PARTITION BY user_id, event_type ORDER BY e DESC, event_id DESC) = 1)
+            SELECT COALESCE(o.user_id, c.user_id) AS user_id,
+              COALESCE(o.event_type, c.event_type) AS event_type,
+              CASE WHEN o.user_id IS NULL THEN 'added'
+                   WHEN c.user_id IS NULL THEN 'removed'
+                   ELSE 'changed' END AS change
+            FROM o FULL OUTER JOIN c
+              ON o.user_id = c.user_id AND o.event_type = c.event_type
+            WHERE o.user_id IS NULL OR c.user_id IS NULL
+               OR o.cents IS DISTINCT FROM c.cents"""))
+
   private val qTumbling = GraftQuery(
     "q_tumbling_window",
     (s, dir) =>
@@ -5604,7 +5645,7 @@ object Queries {
              FROM w, tt"""))
 
   val all: Seq[GraftQuery] = Seq(
-    qMapFilter, qFilterMap, qCycle, qFoldAgg, qDistinctUsers, qTopkPerKey, qPivotCounts, qApproxDistinct, qHeavyHitters, qHeavyHittersVerified, qCmsFreq, qQuantiles, qQuantilesExact, qTableLatest, qTumbling, qHopping, qLagWindow, qSession,
+    qMapFilter, qFilterMap, qCycle, qFoldAgg, qDistinctUsers, qTopkPerKey, qPivotCounts, qApproxDistinct, qHeavyHitters, qHeavyHittersVerified, qCmsFreq, qQuantiles, qQuantilesExact, qTableLatest, qSnapshotDiff, qTumbling, qHopping, qLagWindow, qSession,
     qIntervalJoin, qStreamTableJoin, qSaltedJoin, qSkewReport, qRangeJoin, qOverlapSessions, qMerge, qSplitBranch, qChunk, qSkipTake, qThrottle,
     qWordcount, qCandles, qCandlesHop, qStratClassify, qAsofJoin,
     q1Pricing, q3Topk, q5Region, q14Promo, q2Mincost, q18Bigorders, q22Churn, q4Semi,

@@ -91,6 +91,35 @@ object Relational {
       (conv(substring(md5(col(idCol).cast("string")), 1, 15), 16, 10).cast("long") % 1000L)
         < ratePermille)
 
+  /** SNAPSHOT DIFF — classify each key as added / removed / changed
+    * between two snapshots of the same keyed schema (the audit /
+    * CDC-extract shape: "what changed between yesterday's load and
+    * today's"). One full-outer equi-join on the key; all non-key
+    * columns compare as a single struct with null-safe equality, so a
+    * wide schema costs one comparison, not one per column; unchanged
+    * keys drop (the delta contract — at 100 TB the delta is typically
+    * orders of magnitude smaller than either snapshot, and emitting it
+    * instead of the joined pair keeps the output shuffle tiny). Both
+    * inputs must share the exact column set; a missing side is
+    * detected via join-produced null structs (a present row's struct
+    * is never null, even if every field inside is).
+    */
+  def snapshotDiff(old: DataFrame, cur: DataFrame, keys: Seq[String]): DataFrame = {
+    require(old.columns.sorted.sameElements(cur.columns.sorted),
+      s"snapshots must share columns, got ${old.columns.mkString(",")} vs ${cur.columns.mkString(",")}")
+    require(keys.nonEmpty && keys.forall(old.columns.contains), s"bad keys: ${keys.mkString(",")}")
+    val nonKey = old.columns.filterNot(keys.contains).toIndexedSeq
+    def packed(df: DataFrame, as: String) =
+      df.select(keys.map(col) :+ struct(nonKey.map(col): _*).as(as): _*)
+    packed(old, "__ov").join(packed(cur, "__cv"), keys, "full_outer")
+      .filter(col("__ov").isNull || col("__cv").isNull || !(col("__ov") <=> col("__cv")))
+      .withColumn("change",
+        when(col("__ov").isNull, lit("added"))
+          .when(col("__cv").isNull, lit("removed"))
+          .otherwise(lit("changed")))
+      .select(keys.map(col) :+ col("change"): _*)
+  }
+
   /** Two-phase bucketed running sum — the 100 TB replacement for a
     * running-sum window partitioned on a coarse group key (one task
     * per group: the canonical scale-killer). `bucket` must COARSEN the

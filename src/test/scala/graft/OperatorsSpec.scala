@@ -50,6 +50,27 @@ class OperatorsSpec extends SparkSpecBase {
     ), rows)
   }
 
+  test("snapshotDiff: added/removed/changed classified, unchanged dropped, nulls null-safe") {
+    import spark.implicits._
+    val old = Seq(
+      (1L, Some("a"), Some(10L)),   // unchanged -> dropped
+      (2L, Some("b"), Some(20L)),   // changed (cents)
+      (3L, None, Some(30L)),        // unchanged with null field -> dropped
+      (4L, Some("d"), None),        // removed
+      (5L, Some("e"), Some(50L))    // changed: value becomes null
+    ).toDF("k", "t", "cents")
+    val cur = Seq(
+      (1L, Some("a"), Some(10L)),
+      (2L, Some("b"), Some(21L)),
+      (3L, None, Some(30L)),
+      (5L, Some("e"), None),
+      (6L, Some("f"), Some(60L))    // added
+    ).toDF("k", "t", "cents")
+    val got = graft.operators.Relational.snapshotDiff(old, cur, Seq("k"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(got == Set((2L, "changed"), (4L, "removed"), (5L, "changed"), (6L, "added")), got)
+  }
+
   test("latestByKey keeps exactly the max-order row per key") {
     val out = Keyed.latestByKey(ev, Seq("k"), Seq("tus"))
       .select("k", "tus", "v").collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
