@@ -156,6 +156,29 @@ class StreamingParitySpec extends SparkSpecBase {
     assert(got == expect)
   }
 
+  test("stream-static bucketedRangeJoin matches batch, stateless across micro-batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val ranges = Seq(("neg", -20L, -10L), ("low", 0L, 10L), ("mid", 5L, 99L))
+      .toDF("name", "lo", "hi")
+    val b1 = Seq((1L, -15L), (2L, 0L), (3L, 10L))
+    val b2 = Seq((4L, 99L), (5L, 250L))
+
+    val ms = MemoryStream[(Long, Long)]
+    val out = Joins.bucketedRangeJoin(ms.toDF().toDF("id", "v"), "v", ranges, "lo", "hi", 7L)
+    val q = out.writeStream.format("memory").queryName("t_rrj")
+      .outputMode(OutputMode.Append()).start()
+    ms.addData(b1); q.processAllAvailable()   // the fact bucket is map-only,
+    ms.addData(b2); q.processAllAvailable()   // so the join is stateless: no
+    q.stop()                                  // watermark, batches independent
+
+    val got = spark.table("t_rrj").select("id", "name")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    val expect = Joins.bucketedRangeJoin((b1 ++ b2).toDF("id", "v"), "v", ranges, "lo", "hi", 7L)
+      .select("id", "name").collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(got == expect && got.nonEmpty, s"got=$got expect=$expect")
+  }
+
   test("stream-stream interval join matches batch intervalJoin") {
     import spark.implicits._
     val le = mkEvents
