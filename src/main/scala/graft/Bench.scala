@@ -50,7 +50,15 @@ object Bench {
     // round-8 session-3: the bucket-decomposed range-lookup join and
     // the double-explode grid overlap join — the explode×equi-join
     // cost shapes (vs the nested loops they avoid)
-    "q_range_join", "q_overlap_sessions")
+    "q_range_join", "q_overlap_sessions",
+    // the two-snapshot full-outer keyed-delta shape
+    "q_snapshot_diff",
+    // round-8 session-4: the MERGE apply (compact-then-full-outer), the
+    // shared-sort multi-frame session assignment, the deletion-
+    // neighborhood vocabulary self-join, the prefix-filtered
+    // set-similarity join, and the zone-map audit scan
+    "q_cdc_apply", "q_sessionize", "q_typo_pairs", "q_prefix_jaccard",
+    "q_zonemap")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

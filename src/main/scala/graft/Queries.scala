@@ -5644,9 +5644,182 @@ object Queries {
                CAST(w * 1000 // tw AS BIGINT) AS samp_share_milli
              FROM w, tt"""))
 
+  /** CDC MERGE apply (Relational.applyChangelog): upsert a changelog
+    * onto a base snapshot with DELETE semantics — the lakehouse MERGE
+    * INTO. Base = latest cents per (user, event_type) as of Jan 3;
+    * changelog = the Jan 3→20 events, rows with cents ≡ 0 (mod 10)
+    * acting as deterministic tombstones. Per key only the LATEST change
+    * applies: tombstone → key removed, upsert → replaced, untouched →
+    * passes through. The changelog compacts via map-side max_by BEFORE
+    * the single full-outer key join; the base never sorts.
+    */
+  private val qCdcApply = GraftQuery(
+    "q_cdc_apply",
+    (s, dir) => {
+      val e = events(s, dir)
+        .withColumn("e", unix_micros(col("ts")))
+        .select(col("user_id"), col("event_type"), col("e"), col("event_id"),
+          (col("value").cast(dec) * 100).cast("long").as("cents"))
+      val base = Keyed.latestByKey(
+          e.filter(col("e") <= 1704240000000000L), Seq("user_id", "event_type"), Seq("e", "event_id"))
+        .select("user_id", "event_type", "cents")
+      val changes = e.filter(col("e") > 1704240000000000L && col("e") <= 1705708800000000L)
+        .withColumn("is_delete", col("cents") % 10 === 0)
+      Relational.applyChangelog(base, changes, Seq("user_id", "event_type"),
+        Seq("e", "event_id"), "is_delete")
+    },
+    Some("""WITH e AS (SELECT user_id, event_type, event_id, epoch_us(ts) AS e,
+                  CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+                FROM events),
+            base AS (SELECT user_id, event_type, cents FROM e
+                     WHERE e <= 1704240000000000
+                     QUALIFY row_number() OVER (PARTITION BY user_id, event_type
+                                                ORDER BY e DESC, event_id DESC) = 1),
+            latest AS (SELECT user_id, event_type, cents, cents % 10 = 0 AS is_delete FROM e
+                       WHERE e > 1704240000000000 AND e <= 1705708800000000
+                       QUALIFY row_number() OVER (PARTITION BY user_id, event_type
+                                                  ORDER BY e DESC, event_id DESC) = 1)
+            SELECT COALESCE(b.user_id, l.user_id) AS user_id,
+                   COALESCE(b.event_type, l.event_type) AS event_type,
+                   CASE WHEN l.user_id IS NULL THEN b.cents ELSE l.cents END AS cents
+            FROM base b FULL OUTER JOIN latest l
+              ON b.user_id = l.user_id AND b.event_type = l.event_type
+            WHERE l.user_id IS NULL OR NOT l.is_delete"""))
+
+  /** Per-event session ASSIGNMENT (Keyed.sessionize): 30-minute-gap
+    * session index + position within session for every event — the
+    * row-level twin of the q_session_window aggregate, for downstream
+    * per-event features. One window spec shared by all four frames =
+    * one shuffle + one sort, partitioned on the high-cardinality user
+    * key.
+    */
+  private val qSessionize = GraftQuery(
+    "q_sessionize",
+    (s, dir) => {
+      val e = events(s, dir).withColumn("e_us", unix_micros(col("ts")))
+        .select("event_id", "user_id", "e_us")
+      Keyed.sessionize(e, Seq("user_id"), "e_us", Seq("e_us", "event_id"), 1800000000L)
+    },
+    Some("""WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS e_us FROM events),
+            f AS (SELECT event_id, user_id, e_us,
+                    CASE WHEN lag(e_us) OVER w IS NULL
+                           OR e_us - lag(e_us) OVER w > 1800000000 THEN 1 ELSE 0 END AS nw,
+                    row_number() OVER w AS rn
+                  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY e_us, event_id))
+            SELECT event_id, user_id, e_us,
+              CAST(sum(nw) OVER r AS BIGINT) AS session_idx,
+              CAST(rn - max(CASE WHEN nw = 1 THEN rn END) OVER r + 1 AS BIGINT) AS pos_in_session
+            FROM f WINDOW r AS (PARTITION BY user_id ORDER BY e_us, event_id
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"""))
+
+  /** Edit-distance-1 vocabulary pairs (DedupFns.typoPairs): SymSpell
+    * deletion-neighborhood blocking — complete for distance 1, never
+    * all-pairs, exact levenshtein verify on candidates only. The
+    * synthetic corpus vocabulary contains no natural near-words, so the
+    * query injects deterministic OCR noise first (every vocabulary term
+    * of length ≥ 5 loses its (h31 mod len)+1-th character — the same
+    * stub-the-unavailable-input philosophy as the multimodal decode),
+    * and the miner must recover every (original, corrupted) pair.
+    */
+  private val qTypoPairs = GraftQuery(
+    "q_typo_pairs",
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+      val term = col("t")
+      val cut = pmod(TextFns.tokenHash31(term), length(term))
+      val noisy = docs.select(explode(TextFns.tokensFast(col("text"))).as("t"))
+        .distinct()
+        .filter(length(term).between(5, 12))
+        .select(concat(term.substr(lit(1), cut),
+          term.substr(cut + 2, length(term))).as("text"))
+      DedupFns.typoPairs(docs.select("text").unionByName(noisy), "text", 4, 12)
+    },
+    Some(s"""WITH t0 AS (SELECT $toksSql AS tk FROM documents),
+            vocab AS (SELECT DISTINCT t FROM (SELECT unnest(tk) AS t FROM t0)),
+            noisy AS (SELECT substr(t, 1, ${h31Sql("t")} % len(t)) ||
+                        substr(t, ${h31Sql("t")} % len(t) + 2, len(t)) AS t
+                      FROM vocab WHERE len(t) BETWEEN 5 AND 12),
+            v AS (SELECT DISTINCT t
+                  FROM (SELECT t FROM vocab UNION ALL SELECT t FROM noisy)
+                  WHERE len(t) BETWEEN 4 AND 12),
+            var AS (SELECT t, unnest(list_distinct(list_append(
+                      list_transform(range(1, len(t) + 1),
+                        i -> substr(t, 1, i - 1) || substr(t, i + 1, len(t))), t))) AS v
+                    FROM v),
+            cand AS (SELECT DISTINCT a.t AS term_a, b.t AS term_b
+                     FROM var a JOIN var b ON a.v = b.v AND a.t < b.t)
+            SELECT term_a, term_b FROM cand WHERE levenshtein(term_a, term_b) = 1"""))
+
+  /** PPJoin prefix-filtered shingle-set Jaccard self-join
+    * (DedupFns.prefixJaccardPairs) at τ = 0.5 over distinct word
+    * 3-gram sets: candidates only through each doc's rarest
+    * |s|−⌈τ|s|⌉+1 shingles under one global df order — provably
+    * complete above τ (unlike q_ngram_jaccard's maxDf/minShared
+    * heuristic, which can miss pairs), with far fewer join rows —
+    * then exact integer rescore.
+    */
+  private val qPrefixJaccard = GraftQuery(
+    "q_prefix_jaccard",
+    (s, dir) => DedupFns.prefixJaccardPairs(t(s, dir, "documents"), "doc_id", "text", 3, 500),
+    Some(s"""WITH t0 AS (SELECT doc_id AS id, $toksSql AS tk FROM documents),
+            g AS (SELECT id, $grams3Sql AS toks FROM t0),
+            docs AS (SELECT id, toks FROM g WHERE len(toks) > 0),
+            tk AS (SELECT id, unnest(toks) AS tok FROM docs),
+            dfq AS (SELECT tok, count(*) AS df FROM tk GROUP BY tok),
+            rk AS (SELECT id, tok,
+                     row_number() OVER (PARTITION BY id ORDER BY df, tok) AS rn,
+                     count(*) OVER (PARTITION BY id) AS sz
+                   FROM tk JOIN dfq USING (tok)),
+            pre AS (SELECT id, tok FROM rk
+                    WHERE rn <= sz - (sz * 500 + 999) // 1000 + 1),
+            cand AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b
+                     FROM pre a JOIN pre b ON a.tok = b.tok AND a.id < b.id),
+            sc AS (SELECT id_a, id_b,
+                     len(list_intersect(da.toks, db.toks)) AS inter,
+                     len(da.toks) + len(db.toks) - len(list_intersect(da.toks, db.toks)) AS uni
+                   FROM cand
+                   JOIN docs da ON id_a = da.id
+                   JOIN docs db ON id_b = db.id)
+            SELECT id_a, id_b, CAST(inter AS BIGINT) AS inter, CAST(uni AS BIGINT) AS uni,
+                   CAST(inter * 1000 // uni AS BIGINT) AS jac_milli
+            FROM sc WHERE inter * 1000 >= uni * 500"""))
+
+  /** Zone-map / data-skipping audit: per-day min/max/count of the
+    * predicate columns, plus 0/1 prunability verdicts for two concrete
+    * predicates — the report that tells you whether the table's
+    * physical clustering lets a reader skip row groups (the mechanism
+    * parquet min/max stats + partition pruning use at 100 TB). Pure
+    * one-scan partial aggregation; the bucket column would be the
+    * file/row-group id in a real lakehouse audit.
+    */
+  private val qZonemap = GraftQuery(
+    "q_zonemap",
+    (s, dir) =>
+      events(s, dir)
+        .select(expr("unix_micros(ts) div 86400000000").as("day"),
+          (col("value").cast(dec) * 100).cast("long").as("cents"), col("user_id"))
+        .groupBy("day")
+        .agg(count(lit(1)).as("n"),
+          min("cents").as("min_cents"), max("cents").as("max_cents"),
+          min("user_id").as("min_user"), max("user_id").as("max_user"))
+        .withColumn("prune_cents_ge_1500", when(col("max_cents") < 1500, 1L).otherwise(0L))
+        .withColumn("prune_user_ge_90", when(col("max_user") < 90, 1L).otherwise(0L)),
+    Some("""WITH e AS (SELECT epoch_us(ts) // 86400000000 AS day,
+                  CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents, user_id
+                FROM events),
+            z AS (SELECT day, CAST(count(*) AS BIGINT) AS n,
+                    min(cents) AS min_cents, max(cents) AS max_cents,
+                    min(user_id) AS min_user, max(user_id) AS max_user
+                  FROM e GROUP BY day)
+            SELECT day, n, min_cents, max_cents, min_user, max_user,
+              CAST(CASE WHEN max_cents < 1500 THEN 1 ELSE 0 END AS BIGINT) AS prune_cents_ge_1500,
+              CAST(CASE WHEN max_user < 90 THEN 1 ELSE 0 END AS BIGINT) AS prune_user_ge_90
+            FROM z"""))
+
   val all: Seq[GraftQuery] = Seq(
     qMapFilter, qFilterMap, qCycle, qFoldAgg, qDistinctUsers, qTopkPerKey, qPivotCounts, qApproxDistinct, qHeavyHitters, qHeavyHittersVerified, qCmsFreq, qQuantiles, qQuantilesExact, qTableLatest, qSnapshotDiff, qTumbling, qHopping, qLagWindow, qSession,
     qIntervalJoin, qStreamTableJoin, qSaltedJoin, qSkewReport, qRangeJoin, qOverlapSessions, qMerge, qSplitBranch, qChunk, qSkipTake, qThrottle,
+    qCdcApply, qSessionize, qTypoPairs, qPrefixJaccard, qZonemap,
     qWordcount, qCandles, qCandlesHop, qStratClassify, qAsofJoin,
     q1Pricing, q3Topk, q5Region, q14Promo, q2Mincost, q18Bigorders, q22Churn, q4Semi,
     q6Forecast, q10Returns, q12Priority, q19Brackets, q13Custdist, q16Suppliers,

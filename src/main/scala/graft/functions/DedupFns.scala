@@ -344,4 +344,97 @@ object DedupFns {
         (size(col("da.grams")) + size(col("db.grams")) -
           size(array_intersect(col("da.grams"), col("db.grams")))).cast("long").as("uni"))
   }
+
+  /** All edit-distance-1 term pairs in the corpus vocabulary, via the
+    * SymSpell deletion-neighborhood (Garbe 2012; the spelling-variant /
+    * OCR-noise miner): every term meets its single-character deletions,
+    * and two terms within one edit ALWAYS share a neighborhood entry
+    * (insert → the inserted char's deletion on one side; substitute →
+    * the same position's deletion on both; delete → the term itself).
+    * So an equi-join on the variant string is a COMPLETE candidate
+    * generator — never all-pairs, never a length-bucket cross join —
+    * and the exact `levenshtein` verify only ever runs on candidates.
+    * Blowup is bounded: ≤ len+1 variants per VOCABULARY term (the
+    * distinct-token table, orders of magnitude smaller than the
+    * corpus; the distinct() is its one shuffle). The variant transform
+    * is a higher-order function (interpreted, not codegen'd) — fine
+    * here because it runs per vocabulary term, not per corpus token.
+    */
+  def typoPairs(df: DataFrame, textCol: String,
+      minLen: Int = 4, maxLen: Int = 12): DataFrame = {
+    val vocab = df.select(explode(tokensFast(col(textCol))).as("t"))
+      .filter(length(col("t")).between(minLen, maxLen))
+      .distinct()
+    val variants = vocab.select(col("t"), explode(array_distinct(concat(
+        array(col("t")),
+        transform(sequence(lit(1), length(col("t"))), i =>
+          concat(col("t").substr(lit(1), i - lit(1)),
+            col("t").substr(i + lit(1), length(col("t")))))))).as("v"))
+    variants.as("a").hint("shuffle_hash")
+      .join(variants.as("b").hint("shuffle_hash"),
+        col("a.v") === col("b.v") && col("a.t") < col("b.t"))
+      .select(col("a.t").as("term_a"), col("b.t").as("term_b"))
+      .distinct()
+      .filter(levenshtein(col("term_a"), col("term_b")) === 1)
+  }
+
+  /** Set-similarity self-join with PPJoin-style PREFIX FILTERING
+    * (Chaudhuri, Ganti & Kaushik 2006; Xiao et al. 2008) over distinct
+    * word n-gram shingle sets (n = 1 → raw token sets): order every
+    * doc's set by ascending global document frequency (rarest
+    * first, tie-broken by the token string — one global total order),
+    * and join only on each doc's first |s| − ⌈τ·|s|⌉ + 1 tokens. Two
+    * sets with Jaccard ≥ τ MUST share a prefix token under a common
+    * order, so the candidate set is complete — and far smaller than
+    * joining on every rare token (the [[ngramJaccardPairs]] generator):
+    * a 1000-token doc at τ=0.5 exposes 501 join rows instead of 1000,
+    * and the rarest-first order makes those the lowest-collision
+    * tokens. Exact integer Jaccard rescore on candidates only; emits
+    * pairs with `inter·1000 ≥ uni·tauPermille` (never a float
+    * threshold). The per-doc rank window partitions on the
+    * high-cardinality doc id — no coarse-key sort anywhere.
+    */
+  def prefixJaccardPairs(df: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, tauPermille: Int = 500): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(tauPermille > 0 && tauPermille <= 1000, s"bad tau: $tauPermille")
+    // set elements: distinct word n-gram shingles (n = 1 → the raw
+    // token set). Fences pin tokenize and the shingle array to one
+    // evaluation each: the array feeds the explode AND both
+    // exact-rescore joins
+    val docs = Fence.guard(Fence.guard(
+        df.select(col(idCol).as("id"), tokensFast(col(textCol)).as("__toks"), Fence.col))
+      .filter(size(col("__toks")) >= n)
+      .select(col("id"),
+        (if (n == 1) array_distinct(col("__toks")) else wordNgramsFast(col("__toks"), n)).as("toks"),
+        Fence.col))
+      .filter(size(col("toks")) > 0)
+    // one tok exchange feeds the df-aggregation and the ranked join side
+    val toks = docs.select(col("id"), explode(col("toks")).as("tok"))
+      .repartition(col("tok"))
+    val dfreq = toks.groupBy("tok").agg(count(lit(1)).as("df"))
+    val w = Window.partitionBy("id").orderBy(col("df"), col("tok"))
+    val wAll = Window.partitionBy("id")
+    val pre = toks.join(dfreq, "tok")
+      .withColumn("rn", row_number().over(w))
+      .withColumn("sz", count(lit(1)).over(wAll))
+      // prefix length |s| - ceil(τ|s|) + 1, all-integer ceil
+      .filter(col("rn") <= col("sz") - expr(s"(sz * $tauPermille + 999) div 1000") + 1)
+      .select("id", "tok")
+    val cands = pre.as("a").hint("shuffle_hash")
+      .join(pre.as("b").hint("shuffle_hash"),
+        col("a.tok") === col("b.tok") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .distinct()
+    val docsP = docs.repartition(col("id"))
+    cands
+      .join(docsP.as("da"), col("id_a") === col("da.id"))
+      .join(docsP.as("db"), col("id_b") === col("db.id"))
+      .select(col("id_a"), col("id_b"),
+        size(array_intersect(col("da.toks"), col("db.toks"))).cast("long").as("inter"),
+        (size(col("da.toks")) + size(col("db.toks")) -
+          size(array_intersect(col("da.toks"), col("db.toks")))).cast("long").as("uni"))
+      .filter(col("inter") * 1000 >= col("uni") * tauPermille)
+      .withColumn("jac_milli", expr("inter * 1000 div uni"))
+  }
 }

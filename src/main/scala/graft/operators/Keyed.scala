@@ -86,4 +86,35 @@ object Keyed {
       .withColumn("__n", count(lit(1)).over(wAll))
       .withColumn("__cut", expr(s"(__n * $permille) div 1000"))
   }
+
+  /** Per-event session ASSIGNMENT (the row-level twin of the
+    * `session_window` aggregate, reference src/window.rs:9-180 family):
+    * a new session starts at a key's first event or after a gap
+    * `> gapUs` in `tsUsCol` (epoch micros). Emits `session_idx`
+    * (1-based per key) and `pos_in_session` (1-based within the
+    * session) so downstream per-event features can key on the session
+    * without re-aggregating.
+    *
+    * All four frames (lag, running flag-sum, running session-start rank,
+    * row number) share ONE window spec → one shuffle + one sort,
+    * partitioned on the (high-cardinality) key — never on a coarse
+    * derivative, so no single-task skew at 100 TB. `order` must start
+    * with `tsUsCol` and end with a unique tiebreak.
+    */
+  def sessionize(df: DataFrame, keys: Seq[String], tsUsCol: String,
+      order: Seq[String], gapUs: Long): DataFrame = {
+    val w = Window.partitionBy(keys.map(col).toIndexedSeq: _*)
+      .orderBy(order.map(col).toIndexedSeq: _*)
+    val run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.withColumn("__new", when(
+        lag(col(tsUsCol), 1).over(w).isNull ||
+          col(tsUsCol) - lag(col(tsUsCol), 1).over(w) > gapUs, 1L).otherwise(0L))
+      .withColumn("__rn", row_number().over(w).cast("long"))
+      .withColumn("session_idx", sum(col("__new")).over(run))
+      // rank of the session's first row, via the same sorted run: the
+      // latest __rn where a session started
+      .withColumn("pos_in_session",
+        col("__rn") - max(when(col("__new") === 1L, col("__rn"))).over(run) + 1L)
+      .drop("__new", "__rn")
+  }
 }

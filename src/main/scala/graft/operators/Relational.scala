@@ -120,6 +120,37 @@ object Relational {
       .select(keys.map(col) :+ col("change"): _*)
   }
 
+  /** MERGE-style changelog apply (the lakehouse upsert: reference
+    * src/table.rs:17-45 keeps only the latest record per key — this is
+    * that compaction plus DELETE semantics, applied against an existing
+    * base snapshot). `changes` carries the base's columns plus `order`
+    * (a deterministic total order per key; pass a unique tiebreak
+    * last) and a boolean `deleteCol` marking tombstones. Per key, only
+    * the LATEST change matters: a final tombstone removes the key, a
+    * final upsert replaces the base row, keys never touched pass
+    * through. Plan shape: the changelog compacts FIRST (map-side
+    * partial `max_by` — the changelog at 100 TB is typically orders of
+    * magnitude smaller than the base), then ONE full-outer key join;
+    * the base never sees a window sort. Output = base schema.
+    */
+  def applyChangelog(base: DataFrame, changes: DataFrame, keys: Seq[String],
+      order: Seq[String], deleteCol: String): DataFrame = {
+    val nonKey = base.columns.filterNot(keys.contains).toIndexedSeq
+    require(keys.nonEmpty && keys.forall(base.columns.contains), s"bad keys: ${keys.mkString(",")}")
+    require((keys ++ nonKey ++ order :+ deleteCol).forall(changes.columns.contains),
+      s"changes must carry base columns + order + $deleteCol, got ${changes.columns.mkString(",")}")
+    val latest = Keyed.latestByKey(changes, keys, order)
+      .select(keys.map(col) :+ struct((nonKey.map(col) :+ col(deleteCol).as("__del")): _*).as("__cv"): _*)
+    val packedBase = base.select(keys.map(col) :+ struct(nonKey.map(col): _*).as("__bv"): _*)
+    packedBase.join(latest, keys, "full_outer")
+      // a surviving key is: untouched (no change row), or its latest
+      // change is an upsert; a latest tombstone for an absent base key
+      // is a no-op delete and also drops here
+      .filter(col("__cv").isNull || !col("__cv.__del"))
+      .select(keys.map(col) ++ nonKey.map(c =>
+        when(col("__cv").isNull, col(s"__bv.`$c`")).otherwise(col(s"__cv.`$c`")).as(c)): _*)
+  }
+
   /** Two-phase bucketed running sum — the 100 TB replacement for a
     * running-sum window partitioned on a coarse group key (one task
     * per group: the canonical scale-killer). `bucket` must COARSEN the

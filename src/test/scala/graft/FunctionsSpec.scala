@@ -177,6 +177,35 @@ class FunctionsSpec extends SparkSpecBase {
     assert(!out.contains((1L, 3L)))
   }
 
+  test("typoPairs finds every distance-1 shape (sub/ins/del), excludes transpositions and distance 2") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "hello helo world worlds abcd abce"),
+      (2L, "acbd zzzz xy")  // acbd = transposition of abcd (distance 2); xy under minLen
+    ).toDF("doc_id", "text")
+    val got = DedupFns.typoPairs(docs, "text", 4, 12)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(got == Set(
+      ("abcd", "abce"),   // substitution
+      ("hello", "helo"),  // insertion/deletion ("hello" < "helo": 'l' < 'o' at pos 4)
+      ("world", "worlds") // trailing insertion
+    ), got)
+  }
+
+  test("prefixJaccardPairs: complete at tau, prefix excludes below-tau, exact integer rescore") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b c d"),     // J(1,2) = 3/5 = 0.6 >= 0.5
+      (2L, "a b c e"),
+      (3L, "p q r s t u"), // disjoint from 1/2
+      (4L, "a p q")        // J(4,1) = 1/6, J(4,3) = 2/7 — below tau
+    ).toDF("doc_id", "text")
+    val out = DedupFns.prefixJaccardPairs(docs, "doc_id", "text", 1, 500)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), (r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(out.keySet == Set((1L, 2L)), out)
+    assert(out((1L, 2L)) == ((3L, 5L, 600L))) // inter=3, union=5, jac_milli=600
+  }
+
   test("cosine/qdot agree on direction; lsh bucket is deterministic") {
     import spark.implicits._
     val df = Seq((Array(1.0f, 0.0f), Array(1.0f, 0.0f)), (Array(1.0f, 0.0f), Array(0.0f, 1.0f)))

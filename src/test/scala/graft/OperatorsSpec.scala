@@ -32,6 +32,41 @@ class OperatorsSpec extends SparkSpecBase {
     ), got)
   }
 
+  test("applyChangelog: latest change wins, tombstone deletes, untouched passes, no-op delete drops") {
+    import spark.implicits._
+    val base = Seq((1L, 10L), (2L, 20L), (3L, 30L)).toDF("k", "v")
+    val changes = Seq(
+      // key 2: older upsert then newer tombstone -> deleted
+      (2L, 25L, 1L, false), (2L, 0L, 2L, true),
+      // key 3: older tombstone then newer upsert -> upserted
+      (3L, 0L, 1L, true), (3L, 35L, 2L, false),
+      // key 4: insert (no base row)
+      (4L, 40L, 1L, false),
+      // key 5: tombstone with no base row -> stays absent
+      (5L, 0L, 1L, true)
+    ).toDF("k", "v", "seq", "del")
+    val got = Relational.applyChangelog(base, changes, Seq("k"), Seq("seq"), "del")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == Set((1L, 10L), (3L, 35L), (4L, 40L)), got)
+  }
+
+  test("sessionize: gap starts a new session, per-key indexes and positions are 1-based") {
+    import spark.implicits._
+    val e = Seq(
+      (1L, 0L), (1L, 500L), (1L, 2000L), (1L, 2400L), (1L, 2800L),
+      (2L, 100L)
+    ).toDF("k", "tus").withColumn("eid", col("tus"))
+    val got = Keyed.sessionize(e, Seq("k"), "tus", Seq("tus", "eid"), 1000L)
+      .select("k", "tus", "session_idx", "pos_in_session")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(got == Set(
+      (1L, 0L, 1L, 1L), (1L, 500L, 1L, 2L),        // gap 500 <= 1000: same session
+      (1L, 2000L, 2L, 1L),                          // gap 1500 > 1000: new session
+      (1L, 2400L, 2L, 2L), (1L, 2800L, 2L, 3L),     // 400-gaps chain on
+      (2L, 100L, 1L, 1L)                            // fresh key restarts at 1/1
+    ), got)
+  }
+
   test("intervalOverlapJoin: exactly-once per overlapping pair, point touch, negatives") {
     import spark.implicits._
     val l = Seq((1L, 0L, 10L), (2L, 5L, 30L), (3L, 100L, 100L))
