@@ -1751,6 +1751,39 @@ object Queries {
              SELECT id, CAST(min(r) AS BIGINT) AS cluster_root
              FROM reach GROUP BY id"""))
 
+  /** LEAKAGE-SAFE train/val/test split (GroupShuffleSplit semantics,
+    * the fix for q_split_leakage's finding): the split is a pure
+    * function of the near-dup cluster REPRESENTATIVE, not the doc id,
+    * so every member of a duplicate cluster lands in the same split by
+    * construction — eval contamination via near-dups is structurally
+    * impossible. Singletons (never paired) represent themselves. Same
+    * md5 98/1/1 rule as q_split_assign, applied to the rep; one left
+    * join against the (paired-docs-only, corpus≪) cluster-roots table
+    * on top of the shared CC machinery — no new shuffle shape.
+    */
+  private val qGroupSplit = GraftQuery(
+    "q_group_split",
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+      val roots = simhashClusters(s, dir)
+      val h = (conv(substring(md5(col("rep").cast("string")), 1, 4), 16, 10)
+        .cast("long") % 100)
+      docs.join(roots, docs("doc_id") === roots("id"), "left")
+        .select(col("source"), col("doc_id"),
+          coalesce(col("cluster_root"), col("doc_id")).as("rep"))
+        .withColumn("split",
+          when(h < 98, "train").when(h < 99, "val").otherwise("test"))
+    },
+    Some(s"""$simhashCcSql,
+            roots AS (SELECT id, min(r) AS root FROM reach GROUP BY id),
+            rep AS (SELECT d.source, d.doc_id, COALESCE(r.root, d.doc_id) AS rep
+                    FROM documents d LEFT JOIN roots r ON d.doc_id = r.id)
+            SELECT source, doc_id, rep,
+              CASE WHEN ('0x' || substr(md5(CAST(rep AS VARCHAR)), 1, 4))::BIGINT % 100 < 98 THEN 'train'
+                   WHEN ('0x' || substr(md5(CAST(rep AS VARCHAR)), 1, 4))::BIGINT % 100 < 99 THEN 'val'
+                   ELSE 'test' END AS split
+            FROM rep"""))
+
   /** The step AFTER clustering that a dedup pipeline actually ships:
     * drop every cluster member except the min-doc_id representative and
     * report the surviving corpus per source. The losers stay
@@ -5828,7 +5861,7 @@ object Queries {
     qBpePairs,
     qDedupExact, qDedupMinhash, qMinhashRescore, qContainment, qMinhashEst, qDedupSimhash, qDedupSimhashPairs,
     qDedupClusters, qPagerank, qTriangles, qTrianglesApprox, qQualityDup, qHapax, qNgramJaccard, qDedupEmbed, qRepetition,
-    qSplitLeakage, qJaccardCalib,
+    qSplitLeakage, qJaccardCalib, qGroupSplit,
     qEmbedTopk, qEmbedLsh, qEmbedIvf, qKmeansStep, qDocChunks, qChunkDedup,
     qKnnClassify, qClassBalance, qGapFill, qInvertedIndex,
     qLangId, qQualityScore, qCuration, qSplitAssign, qPackSequences, qSamplePerKey, qWeightedSample,

@@ -164,6 +164,47 @@ object StreamingOps {
       }
   }
 
+  /** A KeyedEvent tagged with its session index and position (the
+    * streaming twin of operators.Keyed.sessionize's output).
+    */
+  final case class SessionEvent(key: Long, tsUs: Long, value: Double,
+      sessionIdx: Long, pos: Long)
+
+  /** Per-key sessionizer state: last event time + current counters. */
+  final case class SessState(lastTs: Long, idx: Long, pos: Long)
+
+  /** Streaming per-event session ASSIGNMENT — the stateful twin of
+    * operators.Keyed.sessionize: a new session starts at a key's first
+    * event or after an event-time gap `> gapUs`. State is THREE longs
+    * per key (last timestamp + counters), so key cardinality scales
+    * freely and the assignment is identical for ANY micro-batch
+    * split of an in-order stream (the state carries exactly the
+    * quantities the batch window derives from the previous row —
+    * split-invariance is property-tested across batchings in
+    * StreamingParitySpec). Within a batch, events order by
+    * (tsUs, value) like every order-dependent operator here.
+    */
+  def sessionize(stream: Dataset[KeyedEvent], gapUs: Long): Dataset[SessionEvent] = {
+    require(gapUs > 0, s"session gap must be positive, got $gapUs")
+    implicit val outEnc = Encoders.product[SessionEvent]
+    implicit val stEnc = Encoders.product[SessState]
+    stream.groupByKey(_.key)(Encoders.scalaLong)
+      .flatMapGroupsWithState[SessState, SessionEvent](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout) {
+        (key: Long, events: Iterator[KeyedEvent], state: GroupState[SessState]) =>
+          var st = state.getOption.getOrElse(SessState(0L, 0L, 0L))
+          val out = events.toSeq.sortBy(e => (e.tsUs, e.value)).map { e =>
+            st =
+              if (st.idx == 0L || e.tsUs - st.lastTs > gapUs)
+                SessState(e.tsUs, st.idx + 1, 1L)
+              else SessState(e.tsUs, st.idx, st.pos + 1)
+            SessionEvent(e.key, e.tsUs, e.value, st.idx, st.pos)
+          }
+          state.update(st)
+          out.iterator
+      }
+  }
+
   /** TIME-BASED throttle — the reference's StreamExt::throttle
     * (tokio-stream duration rate limiting) re-expressed per key in
     * event time: an event is emitted iff at least `intervalUs` has

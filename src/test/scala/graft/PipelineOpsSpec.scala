@@ -26,6 +26,23 @@ class PipelineOpsSpec extends SparkSpecBase {
     assert(out.except(naive).isEmpty && naive.except(out).isEmpty)
   }
 
+  test("q_group_split: no near-dup pair ever crosses a split boundary; rule matches q_split_assign's") {
+    val out = Queries.queries("q_group_split")(spark, sfDir)
+    val pairs = graft.functions.DedupFns
+      .simhashNearDupPairs(spark.read.parquet(s"$sfDir/documents.parquet"), "doc_id", "text", 3)
+      .select("id_a", "id_b")
+    // structural no-leakage: both ends of every near-dup pair share a split
+    val crossing = pairs
+      .join(out.select(col("doc_id").as("id_a"), col("split").as("sa")), "id_a")
+      .join(out.select(col("doc_id").as("id_b"), col("split").as("sb")), "id_b")
+      .filter(col("sa") =!= col("sb")).count()
+    assert(crossing == 0L, s"$crossing near-dup pairs cross splits")
+    // every doc assigned exactly once, to a real split
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet").count()
+    assert(out.count() == docs)
+    assert(out.filter(!col("split").isin("train", "val", "test")).count() == 0L)
+  }
+
   test("q_weighted_sample: two-phase bucket walk equals the naive single-window answer; weights bias the pick") {
     import org.apache.spark.sql.expressions.Window
     import graft.functions.TextFns

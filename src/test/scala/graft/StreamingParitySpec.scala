@@ -323,6 +323,34 @@ class StreamingParitySpec extends SparkSpecBase {
     assert(gotChunk == expChunk)
   }
 
+  test("streaming sessionize matches batch sessionize for every micro-batch split") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // 30 s gap splits mkEvents' key-1 times into real sessions:
+    // 1M | 61M, 62M | 200M; key 2 into 5M | 65M
+    val gapUs = 30_000_000L
+    val events = mkEvents
+    val bdf = events.toDF()
+    val expect = Keyed.sessionize(bdf, Seq("key"), "tsUs", Seq("tsUs", "value"), gapUs)
+      .select("key", "tsUs", "session_idx", "pos_in_session")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    // three different batchings of the SAME in-order stream
+    val splits = Seq(Seq(events), events.grouped(2).toSeq, events.map(Seq(_)))
+    for ((batches, i) <- splits.zipWithIndex) {
+      val ms = MemoryStream[KeyedEvent]
+      val q = StreamingOps.sessionize(ms.toDS(), gapUs).toDF()
+        .writeStream.format("memory").queryName(s"t_sess_$i")
+        .outputMode(OutputMode.Append()).start()
+      batches.foreach { b => ms.addData(b); q.processAllAvailable() }
+      q.stop()
+      val got = spark.table(s"t_sess_$i")
+        .select("key", "tsUs", "sessionIdx", "pos")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+      assert(got == expect, s"batching $i diverged")
+      assert(got.nonEmpty && got.exists(_._3 >= 2L), "expected at least two sessions per some key")
+    }
+  }
+
   test("stream-stream interval join evicts state past the watermark (late right dropped)") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
