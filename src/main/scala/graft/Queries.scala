@@ -41,14 +41,29 @@ object Queries {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")
 
-  /** events.parquet carries INT64 TIMESTAMP(NANOS), which Spark's
-    * parquet reader rejects outright; read nanos as long and convert to
-    * a microsecond TimestampType (truncation — identical to DuckDB's
-    * ns→µs read behavior).
+  /** Schema-adaptive events reader. The testdata generator has shipped
+    * `ts` as both INT64 TIMESTAMP(NANOS) (which Spark's parquet reader
+    * rejects outright without the legacy nanosAsLong conf) and plain
+    * TIMESTAMP(MICROS, utc=false) (read as TIMESTAMP_NTZ). Normalize
+    * both to a microsecond TimestampType: the session is pinned to UTC
+    * (GraftSession), so the NTZ→TZ cast is epoch-preserving and
+    * `unix_micros(ts)` matches DuckDB's `epoch_us(ts)` on either
+    * encoding (ns→µs truncation is DuckDB's read behavior too).
     */
-  private def events(s: SparkSession, dir: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    t(s, dir, "events").withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  private[graft] def events(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+    val df =
+      try t(s, dir, "events")
+      catch { // INT64 TIMESTAMP(NANOS) footer: retry with the legacy long read
+        case scala.util.control.NonFatal(_) =>
+          s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+          t(s, dir, "events")
+      }
+    df.schema("ts").dataType match {
+      case LongType         => df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType => df.withColumn("ts", col("ts").cast(TimestampType))
+      case _                => df // already TimestampType
+    }
   }
 
   private val dec = DecimalType(18, 2)

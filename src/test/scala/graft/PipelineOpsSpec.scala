@@ -350,7 +350,7 @@ class PipelineOpsSpec extends SparkSpecBase {
     // zero-filled hours exist, and per-user event totals match the raw table
     assert(out.filter(col("n_events") === 0 && col("sum_cents") === 0).count() > 0)
     val totals = out.groupBy("user_id").agg(sum("n_events").as("n"))
-    val raw = spark.read.parquet(s"$sfDir/events.parquet").groupBy("user_id").agg(count(lit(1)).as("rn"))
+    val raw = eventsDF.groupBy("user_id").agg(count(lit(1)).as("rn"))
     assert(totals.join(raw, "user_id").filter(col("n") =!= col("rn")).isEmpty)
     out.unpersist()
     ()

@@ -8,11 +8,7 @@ import org.apache.spark.sql.functions._
   */
 class SketchSpec extends SparkSpecBase {
 
-  // reading events.parquet directly needs the nanos conf a Queries call sets
-  private lazy val ev = {
-    Queries.queries("q_approx_distinct")(spark, sfDir).count()
-    spark.read.parquet(s"$sfDir/events.parquet")
-  }
+  private lazy val ev = eventsDF
 
   test("approx_count_distinct within 5% of exact per group") {
     val got = Queries.queries("q_approx_distinct")(spark, sfDir)

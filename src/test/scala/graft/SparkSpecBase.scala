@@ -14,4 +14,10 @@ trait SparkSpecBase extends AnyFunSuite with BeforeAndAfterAll {
     s
   }
   def sfDir = "/root/testdata/sf0.001"
+
+  /** Schema-adaptive events table (ts normalized to TimestampType) —
+    * always read events through this, never raw, so specs survive the
+    * generator's nanos/micros encoding changes the same way main does.
+    */
+  def eventsDF: org.apache.spark.sql.DataFrame = Queries.events(spark, sfDir)
 }

@@ -23,7 +23,7 @@ class StreamStatsSpec extends SparkSpecBase {
     assert(joined.filter(col("n") =!= col("n2")).isEmpty)
     assert(joined.filter(col("final_sum") =!= col("sum_value")).isEmpty)
     // moving average stays within the per-user [min, max] value range
-    val rng = spark.read.parquet(s"$sfDir/events.parquet")
+    val rng = eventsDF
       .groupBy("user_id")
       .agg((min("value") * 1000).as("lo"), (max("value") * 1000).as("hi"))
     val bad = out.join(rng, "user_id")
@@ -99,7 +99,7 @@ class StreamStatsSpec extends SparkSpecBase {
     assert(out.filter(col("n_above") =!= col("n") - expr("(n * 95) div 100")).isEmpty)
     // every above-cutoff value is >= the cutoff value
     assert(out.filter(col("sum_above_cents") < col("n_above") * col("cut_cents")).isEmpty)
-    val totals = spark.read.parquet(s"$sfDir/events.parquet")
+    val totals = eventsDF
       .groupBy("event_type").agg(count(lit(1)).as("n_ref"))
     assert(out.join(totals, "event_type").filter(col("n") =!= col("n_ref")).isEmpty)
   }
@@ -148,9 +148,9 @@ class StreamStatsSpec extends SparkSpecBase {
   test("q_time_window_sum: trailing 30-min counts match an interval-join recomputation") {
     val out = Queries.queries("q_time_window_sum")(spark, sfDir)
     assert(out.filter(col("n_30m") < 1).isEmpty) // frame always includes self
-    val ev = spark.read.parquet(s"$sfDir/events.parquet")
+    val ev = eventsDF
       .select(col("event_id"), col("user_id"),
-        expr("ts div 1000").as("us"),
+        unix_micros(col("ts")).as("us"),
         (col("value").cast("decimal(18,2)") * 100).cast("long").as("cents"))
     val ref = ev.as("a")
       .join(ev.as("b"), col("a.user_id") === col("b.user_id") &&
@@ -167,7 +167,7 @@ class StreamStatsSpec extends SparkSpecBase {
     assert(out.count() == 6)
     assert(out.filter(col("n_nulls") > col("n_rows") ||
       col("n_distinct") > col("n_rows")).isEmpty)
-    val ev = spark.read.parquet(s"$sfDir/events.parquet")
+    val ev = eventsDF
     val uid = out.filter(col("col_name") === "user_id").head()
     assert(uid.getLong(3) == ev.select("user_id").distinct().count())
     assert(uid.getLong(1) == ev.count())
@@ -197,9 +197,9 @@ class StreamStatsSpec extends SparkSpecBase {
     val out = Queries.queries("q_asof_forward")(spark, sfDir)
     assert(out.filter(col("gap_us") < -1 || col("gap_us") > 600000000L).isEmpty)
     // brute force: min (c_us, click_id) over clicks in [ts, ts+10min]
-    val ev = spark.read.parquet(s"$sfDir/events.parquet")
+    val ev = eventsDF
       .select(col("event_id"), col("user_id"), col("event_type"),
-        expr("ts div 1000").as("us"))
+        unix_micros(col("ts")).as("us"))
     val p = ev.filter(col("event_type") === "purchase")
       .select(col("event_id").as("purchase_id"), col("user_id"), col("us"))
     val c = ev.filter(col("event_type") === "click")
@@ -250,7 +250,7 @@ class StreamStatsSpec extends SparkSpecBase {
   test("q_running_distinct: per-user maximum equals the exact distinct type count") {
     val out = Queries.queries("q_running_distinct")(spark, sfDir)
     assert(out.filter(col("n_types_seen") < 1).isEmpty)
-    val ref = spark.read.parquet(s"$sfDir/events.parquet")
+    val ref = eventsDF
       .groupBy("user_id").agg(countDistinct("event_type").as("d"))
     val j = out.groupBy("user_id").agg(max("n_types_seen").as("m")).join(ref, "user_id")
     assert(j.filter(col("m") =!= col("d")).isEmpty)
@@ -258,7 +258,7 @@ class StreamStatsSpec extends SparkSpecBase {
 
   test("q_first_seen: new users sum to the user base; new+returning equals daily actives") {
     val out = Queries.queries("q_first_seen")(spark, sfDir)
-    val users = spark.read.parquet(s"$sfDir/events.parquet")
+    val users = eventsDF
       .select(countDistinct("user_id")).head().getLong(0)
     assert(out.agg(sum("n_new")).head().getLong(0) == users)
     val act = Queries.queries("q_retention")(spark, sfDir)
@@ -285,7 +285,7 @@ class StreamStatsSpec extends SparkSpecBase {
     assert(sizes.filter(col("nbins") =!= 10).isEmpty)
     assert(sizes.filter(col("hi") - col("lo") > 1).isEmpty)
     // monotone: a higher-valued event never lands in a lower decile
-    val ev = spark.read.parquet(s"$sfDir/events.parquet")
+    val ev = eventsDF
       .select(col("event_id"), (col("value").cast("decimal(18,2)") * 100).cast("long").as("cents"))
     val j = out.join(ev, "event_id")
     val cross = j.as("a").join(j.as("b"),
@@ -296,7 +296,7 @@ class StreamStatsSpec extends SparkSpecBase {
 
   test("q_value_histogram: bucket mass equals corpus; buckets cover the value range") {
     val out = Queries.queries("q_value_histogram")(spark, sfDir)
-    val total = spark.read.parquet(s"$sfDir/events.parquet").count()
+    val total = eventsDF.count()
     assert(out.agg(sum("n")).head().getLong(0) == total)
     assert(out.filter(col("bucket") < 0).isEmpty)
     assert(out.select(countDistinct("bucket")).head().getLong(0) >= 2,
