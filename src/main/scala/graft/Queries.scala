@@ -5507,8 +5507,13 @@ object Queries {
       // filter build treeAggregate, and the confirm join (same
       // session-cache pattern as the simhash pair mining)
       val probeGrams = grams(docs.filter(col("doc_id") < 3)).select(col("g")).distinct().cache()
+      // build-once: the probe filter is keyed by its probe-set identity
+      // (dir + the doc_id<3 probe definition + gram width) and memoized
+      // for the JVM lifetime — repeat decontam passes skip the sizing
+      // count and the treeAggregate build entirely
       val mightHit = org.apache.spark.sql.GraftBridge.bloomMightContain(
-        DedupFns.gramBloomBytes(probeGrams, "g"), xxhash64(col("g")))
+        DedupFns.gramBloomBytesCached(s"decontam4:$dir:doc_id<3", probeGrams, "g"),
+        xxhash64(col("g")))
       val kill = grams(docs.filter(col("doc_id") >= 3))
         .filter(mightHit)
         .join(probeGrams.hint("shuffle_hash"), "g")
@@ -5538,9 +5543,15 @@ object Queries {
     * substring-level dedup pass would cut.
     *
     * Scale shape: positional windows ride as 8-byte hashes (native
-    * PosNgramsExpr builds them in one pass); the only shuffles are the
-    * hash partition and the doc_id partition; the run window sorts
-    * within one document only — never a low-cardinality key.
+    * PosNgramsExpr builds them in one pass). The cross-doc test is NOT
+    * a window over the hash partition (that sorts every positional
+    * hash — one giant sort at corpus scale): one `repartition(__gh)`
+    * exchange is shared (ReusedExchange) by (a) a complete aggregation
+    * to the min≠max dup-hash set and (b) a sort-free shuffle-hash left
+    * join of the positions against that set — the per-partition hash
+    * table holds only duplicated hashes, a small fraction of all spans.
+    * The run window then sorts within one document only — never a
+    * low-cardinality key.
     */
   private val qDupSpanRuns = GraftQuery(
     "q_dup_span_runs",
@@ -5554,10 +5565,28 @@ object Queries {
           posexplode(DedupFns.wordNgramsPositional(col("__toks"), 8)).as(Seq("pos", "__gram")))
         .select(col("doc_id"), col("pos").cast("long").as("pos"),
           TextFns.tokenHash(col("__gram")).as("__gh"))
-      val wh = Window.partitionBy("__gh")
+        .filter(col("__gh").isNotNull)
+        .repartition(col("__gh"))
+      // Exchange-reuse discipline: the one __gh exchange below feeds BOTH
+      // the dup-hash aggregate and the join probe side, so their subtrees
+      // must stay byte-identical after optimization. Two rules defend
+      // that: (a) the explicit isNotNull above pre-materializes the
+      // filter the outer join would infer on the build side only (__gh is
+      // md5-derived, never null — semantics unchanged); (b) the __mp
+      // disjunct below is never true (pos ≥ 0) but keeps pos CONSUMED on
+      // this side, so column pruning cannot shrink this projection below
+      // the probe side's. Plain min/max longs keep this a HashAggregate —
+      // a struct min/max would plan a SortAggregate and reintroduce the
+      // very sort this shape removes.
+      val dupHashes = g.groupBy(col("__gh"))
+        .agg(min(col("doc_id")).as("__mn"), max(col("doc_id")).as("__mx"),
+          max(col("pos")).as("__mp"))
+        .filter(col("__mn") =!= col("__mx") || col("__mp") < 0)
+        .select(col("__gh").as("__dgh"))
       val wd = Window.partitionBy("doc_id").orderBy(col("pos"))
-      g.withColumn("__dup",
-          when(min(col("doc_id")).over(wh) =!= max(col("doc_id")).over(wh), 1L).otherwise(0L))
+      g.join(dupHashes.hint("shuffle_hash"), col("__gh") === col("__dgh"), "left")
+        .select(col("doc_id"), col("pos"),
+          when(col("__dgh").isNotNull, 1L).otherwise(0L).as("__dup"))
         .withColumn("__rnd", sum(col("__dup")).over(wd))
         .withColumn("__isl", when(col("__dup") === 1L, col("pos") - col("__rnd")))
         .groupBy(col("doc_id"), col("__isl"))

@@ -295,6 +295,22 @@ object DedupFns {
     bos.toByteArray
   }
 
+  /** JVM-lifetime memo of serialized probe bloom filters, keyed by the
+    * caller's probe-set identity. The probe set (a benchmark suite)
+    * changes on release cadence while decontam passes run per-ingest,
+    * so the filter is a BUILD-ONCE artifact: at production scale it
+    * would be written next to the probe set and loaded, not rebuilt per
+    * pass — this memo gives a long-lived session the same skip (the
+    * sizing count + treeAggregate build run once; repeat calls are a
+    * map lookup). Entries are small (the filter is ~1.2 bytes/element
+    * at fpp 0.01) and keys are few (one per probe set), so no eviction.
+    */
+  private val bloomMemo = new java.util.concurrent.ConcurrentHashMap[String, Array[Byte]]()
+
+  def gramBloomBytesCached(key: String, grams: => DataFrame, gramCol: String,
+      fpp: Double = 0.01): Array[Byte] =
+    bloomMemo.computeIfAbsent(key, _ => gramBloomBytes(grams, gramCol, fpp))
+
   /** Exact n-gram Jaccard over candidate pairs.
     *
     * Candidate generation is an equi-join on *rare* grams only: grams
@@ -420,10 +436,25 @@ object DedupFns {
       .withColumn("sz", count(lit(1)).over(wAll))
       // prefix length |s| - ceil(τ|s|) + 1, all-integer ceil
       .filter(col("rn") <= col("sz") - expr(s"(sz * $tauPermille + 999) div 1000") + 1)
-      .select("id", "tok")
+      .select("id", "tok", "rn", "sz")
+    // PPJoin candidate pruning (Xiao et al. 2008 §3), both cheap column
+    // predicates on state the prefix rows already carry:
+    //  - LENGTH filter: J ≥ τ forces min(|x|,|y|) ≥ τ·max(|x|,|y|)
+    //    (|x∩y| ≤ min, |x∪y| ≥ max);
+    //  - POSITIONAL filter: J ≥ τ forces overlap ≥ α = ⌈τ/(1+τ)·(|x|+|y|)⌉,
+    //    and for the FIRST shared prefix token (positions i, j) the
+    //    prefix-side overlap is exactly 1, so overlap ≤ 1 + min(|x|−i,
+    //    |y|−j); pruning join rows failing that bound keeps the
+    //    first-shared-token row of every true pair → the post-distinct
+    //    candidate set stays complete while common-prefix groups stop
+    //    exploding quadratically.
+    val denom = 1000 + tauPermille
     val cands = pre.as("a").hint("shuffle_hash")
       .join(pre.as("b").hint("shuffle_hash"),
-        col("a.tok") === col("b.tok") && col("a.id") < col("b.id"))
+        col("a.tok") === col("b.tok") && col("a.id") < col("b.id") &&
+          expr(s"least(a.sz, b.sz) * 1000 >= greatest(a.sz, b.sz) * $tauPermille") &&
+          expr(s"1 + least(a.sz - a.rn, b.sz - b.rn) >= " +
+            s"($tauPermille * (a.sz + b.sz) + ${denom - 1}) div $denom"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .distinct()
     val docsP = docs.repartition(col("id"))

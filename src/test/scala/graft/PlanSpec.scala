@@ -599,10 +599,22 @@ class PlanSpec extends SparkSpecBase {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
   }
 
-  test("q_dup_span_runs: one hash window + one doc window — no join anywhere") {
-    val p = planOf(Queries.queries("q_dup_span_runs")(spark, sfDir))
-    assert(!p.contains("Join"), p)
+  test("q_dup_span_runs: dup-hash flags via shared-exchange shuffle-hash join — never a hash-partition window sort") {
+    val df = Queries.queries("q_dup_span_runs")(spark, sfDir)
+    val p = planOf(df)
+    // cross-doc test = sort-free shuffle-hash join against the min≠max
+    // dup-hash set, both sides riding ONE repartition(__gh) exchange
+    assert(p.contains("ShuffledHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p) // a sort here is the thing we removed
+    // exactly one Window remains: the per-doc run window
+    assert("Window".r.findAllIn(p).size == 1, p)
     assert(!p.contains("Exchange SinglePartition"), p)
+    // both __gh subtrees compute once: AQE materializes the exchange
+    // reuse, visible in the final adaptive plan (collect() executes
+    // THIS df's plan — count() would plan a separate execution)
+    df.collect()
+    val f = planOf(df)
+    assert(f.contains("ReusedExchange") || f.contains("ReusedQueryStage"), f)
   }
 
   test("q_embed_quant: dims-row stats table broadcasts back; both aggs partial") {
