@@ -26,7 +26,7 @@ q01, n01 = best(sys.argv[2])
 # crashing or silently vanishing from the table
 names = list(q01.keys()) + [k for k in q001 if k not in q01]
 lines = []
-lines.append('# BASELINE — graft headline bench (round 8)\n')
+lines.append('# BASELINE — graft headline bench (round 9, re-anchored on regenerated testdata)\n')
 lines.append('''The absolute per-query anchor for the "within 2x" gate: best of
 %s steady-state runs per scale factor (per-query min — the repeatable
 number with ambient load removed), `graft.Bench` methodology (one

@@ -164,6 +164,81 @@ object StreamingOps {
       }
   }
 
+  /** One emitted chunk: `values` in event-time order, `n` = size
+    * (`n < maxSize` marks a timeout-flushed partial chunk).
+    */
+  final case class ChunkOut(key: Long, chunkId: Long, n: Int,
+      firstTsUs: Long, lastTsUs: Long, values: Seq[Double])
+
+  /** Per-key open-chunk state: the id counter + the filling buffer. */
+  final case class ChunkTState(chunkId: Long, firstTs: Long, lastTs: Long,
+      values: Seq[Double])
+
+  /** Size-OR-timeout chunking — the reference's
+    * `StreamExt::chunks_timeout(n, dur)` (tokio-stream; used by
+    * reference example/tpipe2.rs for batched folds), re-expressed per
+    * key in EVENT time: a chunk closes when it holds `maxSize` events,
+    * OR `timeoutUs` of event time passes since its first event —
+    * whichever first — so a slow key still flushes a partial chunk.
+    *
+    * Split-invariant semantics (identical output for ANY micro-batch
+    * split of an in-order stream): an event at `ts > firstTs +
+    * timeoutUs` first closes the open chunk as partial, then starts
+    * the next one — the expiry is decided in event time, never by
+    * which micro-batch happened to carry the event. The event-time
+    * timer (`GroupStateTimeout.EventTimeTimeout`, armed at `firstTs +
+    * timeoutUs`) covers the key-goes-silent tail: when the WATERMARK
+    * passes the open chunk's deadline the partial flushes without
+    * waiting for the key's next event — emission lag is bounded by the
+    * watermark delay, not per-key traffic. State is one small buffer
+    * (≤ maxSize doubles) per key, so key cardinality scales freely.
+    */
+  def chunksTimeout(stream: Dataset[KeyedEvent], maxSize: Int, timeoutUs: Long,
+      delay: String = "0 seconds"): Dataset[ChunkOut] = {
+    require(maxSize >= 1, s"chunk size must be positive, got $maxSize")
+    require(timeoutUs > 0, s"chunk timeout must be positive, got $timeoutUs")
+    implicit val outEnc = Encoders.product[ChunkOut]
+    implicit val stEnc = Encoders.product[ChunkTState]
+    implicit val evEnc = Encoders.product[TsEvent]
+    val timeoutMs = timeoutUs / 1000L
+    stream.toDF()
+      .withColumn("ts", timestamp_micros(col("tsUs")))
+      .withWatermark("ts", delay)
+      .as[TsEvent]
+      .groupByKey(_.key)(Encoders.scalaLong)
+      .flatMapGroupsWithState[ChunkTState, ChunkOut](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout) {
+        (key: Long, events: Iterator[TsEvent], state: GroupState[ChunkTState]) =>
+          val out = scala.collection.mutable.ArrayBuffer.empty[ChunkOut]
+          var st = state.getOption.orNull
+          def flush(): Unit = if (st != null && st.values.nonEmpty) {
+            out += ChunkOut(key, st.chunkId, st.values.size, st.firstTs, st.lastTs, st.values)
+            st = ChunkTState(st.chunkId + 1, 0L, 0L, Seq.empty)
+          }
+          if (state.hasTimedOut) {
+            flush() // watermark passed firstTs + timeout: the partial goes out
+            state.update(st) // keep the id counter; no timer until the next event
+          } else {
+            events.toSeq.sortBy(e => (e.tsUs, e.value)).foreach { e =>
+              if (st == null) st = ChunkTState(1L, 0L, 0L, Seq.empty)
+              // event-time expiry: close the open chunk BEFORE consuming an
+              // event beyond its deadline (micro-batch-split-invariant)
+              if (st.values.nonEmpty && e.tsUs > st.firstTs + timeoutUs) flush()
+              st =
+                if (st.values.isEmpty) st.copy(firstTs = e.tsUs, lastTs = e.tsUs, values = Seq(e.value))
+                else st.copy(lastTs = e.tsUs, values = st.values :+ e.value)
+              if (st.values.size >= maxSize) flush()
+            }
+            if (st != null) {
+              state.update(st)
+              if (st.values.nonEmpty) state.setTimeoutTimestamp(math.max(
+                st.firstTs / 1000L + timeoutMs, state.getCurrentWatermarkMs() + 1))
+            }
+          }
+          out.iterator
+      }
+  }
+
   /** A KeyedEvent tagged with its session index and position (the
     * streaming twin of operators.Keyed.sessionize's output).
     */

@@ -1099,6 +1099,53 @@ class StreamingParitySpec extends SparkSpecBase {
     assert(got == expect, got)
   }
 
+  test("chunksTimeout: size-full chunks, event-time expiry, watermark partial flush — split-invariant") {
+    // maxSize=3, timeout=60s. key 1's tape exercises every close path:
+    //  [1s,2s,3s]   → closes FULL (size 3)
+    //  [10s,15s]    → closes PARTIAL when the 100s event passes 10s+60s
+    //  [100..102s]  → closes FULL
+    //  [200s]       → closes PARTIAL via the EVENT-TIME TIMER once key
+    //                 2's 300s event drives the watermark past 260s
+    // key 2's own open chunk (deadline 360s > watermark 300s) must NOT flush.
+    val events = Seq(
+      KeyedEvent(1L, 1_000_000L, 1.0), KeyedEvent(1L, 2_000_000L, 2.0),
+      KeyedEvent(1L, 3_000_000L, 3.0), KeyedEvent(1L, 10_000_000L, 4.0),
+      KeyedEvent(1L, 15_000_000L, 5.0), KeyedEvent(1L, 100_000_000L, 6.0),
+      KeyedEvent(1L, 101_000_000L, 7.0), KeyedEvent(1L, 102_000_000L, 8.0),
+      KeyedEvent(1L, 200_000_000L, 9.0),
+      KeyedEvent(2L, 300_000_000L, 50.0))
+    val expect = Set(
+      (1L, 1L, 3, 1_000_000L, 3_000_000L, List(1.0, 2.0, 3.0)),
+      (1L, 2L, 2, 10_000_000L, 15_000_000L, List(4.0, 5.0)),
+      (1L, 3L, 3, 100_000_000L, 102_000_000L, List(6.0, 7.0, 8.0)),
+      (1L, 4L, 1, 200_000_000L, 200_000_000L, List(9.0)))
+
+    def run(name: String)(feed: (org.apache.spark.sql.execution.streaming.runtime.MemoryStream[KeyedEvent],
+        org.apache.spark.sql.streaming.StreamingQuery) => Unit): Set[(Long, Long, Int, Long, Long, List[Double])] = {
+      import spark.implicits._
+      implicit val sqlCtx = spark.sqlContext
+      val ms = MemoryStream[KeyedEvent]
+      val q = StreamingOps.chunksTimeout(ms.toDS(), 3, 60_000_000L).toDF().writeStream
+        .format("memory").queryName(name).outputMode(OutputMode.Append()).start()
+      try feed(ms, q) finally q.stop()
+      spark.table(name).collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2),
+        r.getLong(3), r.getLong(4), r.getSeq[Double](5).toList)).toSet
+    }
+    // one batch: all size/expiry closes happen inline, the tail partial
+    // flushes in the no-data batch the advanced watermark triggers
+    val oneShot = run("t_chunks_one") { (ms, q) =>
+      ms.addData(events); q.processAllAvailable()
+    }
+    assert(oneShot == expect, oneShot)
+    // the SAME tape split mid-chunk across micro-batches: identical output
+    val split = run("t_chunks_split") { (ms, q) =>
+      ms.addData(events.take(4)); q.processAllAvailable()
+      ms.addData(events.slice(4, 7)); q.processAllAvailable()
+      ms.addData(events.drop(7)); q.processAllAvailable()
+    }
+    assert(split == expect, split)
+  }
+
   test("stream-static enrich matches batch enrich") {
     import spark.implicits._
     val dim = Seq((1L, "gold"), (2L, "silver")).toDF("dk", "tier")
