@@ -50,6 +50,10 @@ q_triangles is the one deliberately superlinear shape: its wedge join
 is bounded by m^1.5 and the sf0.1 near-dup graph is far denser (one
 ~4,700-node component), so ~10x edges cost ~11x wall — the documented
 cost of exact triangle counting, not a plan regression.
+q_prefix_jaccard is the steepest non-graph scaler (~6x per 10x): PPJoin
+length+positional filters bound the candidate set, but common-prefix
+group sizes still grow with corpus density — the documented set-
+similarity-join cost envelope (Xiao et al. 2008), not a missing filter.
 
 | query | sf0.01 (s) | sf0.1 (s) | sf0.1/sf0.01 |
 |---|---|---|---|
