@@ -135,6 +135,14 @@ object Queries {
   /** cycle(k) (reference StreamExt::cycle): batch re-expression — each
     * record replayed k times with a cycle index (a lateral range join;
     * no driver loop, no shuffle).
+    *
+    * Deliberately batch-only: the reference's cycle is an INFINITE
+    * replay of a finite upstream, which has no Structured Streaming
+    * twin — an unbounded source cannot be re-consumed from the start,
+    * and an infinite per-record emit never lets a micro-batch finish.
+    * Finite k-fold replay is the semantics a data pipeline actually
+    * uses (epoch repetition), and it composes with every streaming
+    * operator here by applying BEFORE the stream source.
     */
   private val qCycle = GraftQuery(
     "q_cycle",

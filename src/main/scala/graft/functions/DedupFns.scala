@@ -437,25 +437,48 @@ object DedupFns {
       // prefix length |s| - ceil(τ|s|) + 1, all-integer ceil
       .filter(col("rn") <= col("sz") - expr(s"(sz * $tauPermille + 999) div 1000") + 1)
       .select("id", "tok", "rn", "sz")
-    // PPJoin candidate pruning (Xiao et al. 2008 §3), both cheap column
-    // predicates on state the prefix rows already carry:
-    //  - LENGTH filter: J ≥ τ forces min(|x|,|y|) ≥ τ·max(|x|,|y|)
-    //    (|x∩y| ≤ min, |x∪y| ≥ max);
-    //  - POSITIONAL filter: J ≥ τ forces overlap ≥ α = ⌈τ/(1+τ)·(|x|+|y|)⌉,
-    //    and for the FIRST shared prefix token (positions i, j) the
-    //    prefix-side overlap is exactly 1, so overlap ≤ 1 + min(|x|−i,
-    //    |y|−j); pruning join rows failing that bound keeps the
-    //    first-shared-token row of every true pair → the post-distinct
-    //    candidate set stays complete while common-prefix groups stop
-    //    exploding quadratically.
+    // PPJoin candidate pruning (Xiao et al. 2008 §3) — the full
+    // asymmetric scheme, all cheap predicates on state the prefix rows
+    // already carry. Pairs are oriented size-smaller-side-first
+    // ((sz, id) lexicographic), which unlocks PPJoin's INDEXING-PREFIX
+    // cut: for a true pair x ≤ y (by size), overlap ≥ α =
+    // ⌈τ/(1+τ)(|x|+|y|)⌉, and α ≥ ⌈2τ/(1+τ)·|x|⌉ (|y| ≥ |x|) while
+    // α ≥ ⌈τ·|y|⌉ (|x| ≥ τ|y| — the length filter every true pair
+    // passes). The first shared token therefore sits within x's
+    // (|x|−⌈2τ/(1+τ)|x|⌉+1)-prefix AND y's (|y|−⌈τ|y|⌉+1)-prefix (both
+    // are supersets of the α-prefixes the first-shared-token lemma
+    // bounds), so joining x's SHORTER indexing prefix against y's
+    // probing prefix stays complete — at τ=0.5 the indexing prefix is
+    // |x|/3 instead of |x|/2, a multiplicative cut in join rows.
+    //  - LENGTH filter: a.sz ≥ τ·b.sz (a is the smaller side);
+    //  - POSITIONAL filter: the first shared token's prefix-side
+    //    overlap is exactly 1, so overlap ≤ 1 + min(|x|−i, |y|−j);
+    //    rows failing the α bound drop, the first-shared-token row of
+    //    every true pair survives → post-distinct completeness holds
+    //    while common-prefix groups stop exploding quadratically.
+    // The indexing-prefix cut must NOT split the join sides into two
+    // differently-filtered subtrees — that would compute the token
+    // window pipeline twice and shuffle it twice. One explicit
+    // repartition(tok) materializes the prefix rows ONCE; the fenced
+    // projection above it is a pushdown barrier, so the a-side cut
+    // stays a post-shuffle filter over the SHARED exchange (AQE reuse)
+    // instead of sinking below it.
     val denom = 1000 + tauPermille
-    val cands = pre.as("a").hint("shuffle_hash")
-      .join(pre.as("b").hint("shuffle_hash"),
-        col("a.tok") === col("b.tok") && col("a.id") < col("b.id") &&
-          expr(s"least(a.sz, b.sz) * 1000 >= greatest(a.sz, b.sz) * $tauPermille") &&
+    val preShared = Fence.guard(
+      pre.repartition(col("tok"))
+        .select(col("id"), col("tok"), col("rn"), col("sz"), Fence.col))
+    val preA = preShared.filter(
+      col("rn") <= col("sz") - expr(s"(2 * $tauPermille * sz + ${denom - 1}) div $denom") + 1)
+    val cands = preA.as("a").hint("shuffle_hash")
+      .join(preShared.as("b").hint("shuffle_hash"),
+        col("a.tok") === col("b.tok") &&
+          (col("a.sz") < col("b.sz") ||
+            (col("a.sz") === col("b.sz") && col("a.id") < col("b.id"))) &&
+          expr(s"a.sz * 1000 >= b.sz * $tauPermille") &&
           expr(s"1 + least(a.sz - a.rn, b.sz - b.rn) >= " +
             s"($tauPermille * (a.sz + b.sz) + ${denom - 1}) div $denom"))
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .select(least(col("a.id"), col("b.id")).as("id_a"),
+        greatest(col("a.id"), col("b.id")).as("id_b"))
       .distinct()
     val docsP = docs.repartition(col("id"))
     cands

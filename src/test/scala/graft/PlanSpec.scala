@@ -78,6 +78,17 @@ class PlanSpec extends SparkSpecBase {
     }
   }
 
+  test("q_prefix_jaccard: both candidate sides ride ONE materialized prefix exchange") {
+    // the indexing-prefix cut is a post-shuffle filter above the fenced
+    // repartition(tok) — NOT a pushed-down predicate splitting the join
+    // sides into two separately-computed (and separately-shuffled)
+    // window pipelines
+    val df = Queries.queries("q_prefix_jaccard")(spark, sfDir)
+    df.collect()
+    val f = planOf(df)
+    assert(f.contains("ReusedExchange") || f.contains("ReusedQueryStage"), f)
+  }
+
   test("q_cdc_apply: changelog compacts via max_by partial agg — no window sort anywhere") {
     val p = planOf(Queries.queries("q_cdc_apply")(spark, sfDir))
     assert(!p.contains("Window"), p)

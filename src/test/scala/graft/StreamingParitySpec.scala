@@ -1146,6 +1146,42 @@ class StreamingParitySpec extends SparkSpecBase {
     assert(split == expect, split)
   }
 
+  test("chunksTimeout open chunk survives a query restart from checkpoint") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val tmp = java.nio.file.Files.createTempDirectory("graft-chunks-ckpt").toString
+    val ms = MemoryStream[KeyedEvent]
+    def start() = StreamingOps.chunksTimeout(ms.toDS(), 3, 60_000_000L).toDF()
+      .writeStream.outputMode(OutputMode.Append())
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, batchId: Long) =>
+        batch.write.mode("overwrite").parquet(s"$tmp/out/batch_id=$batchId")
+      }
+      .option("checkpointLocation", s"$tmp/ckpt").start()
+
+    // first query: key 1 buffers [1.0, 2.0] — chunk still OPEN at stop
+    ms.addData(Seq(KeyedEvent(1L, 1_000_000L, 1.0), KeyedEvent(1L, 2_000_000L, 2.0)))
+    val q1 = start()
+    q1.processAllAvailable(); q1.stop()
+
+    // second query from the SAME checkpoint: the 3s event must COMPLETE
+    // the recovered buffer (id 1, values [1,2,3]) — lost state would
+    // emit nothing and restart ids at 1; the 200s event opens chunk 2,
+    // and key 2's 300s event drives the watermark past its deadline so
+    // the partial [9.0] flushes via the recovered event-time timer path
+    ms.addData(Seq(KeyedEvent(1L, 3_000_000L, 3.0), KeyedEvent(1L, 200_000_000L, 9.0),
+      KeyedEvent(2L, 300_000_000L, 50.0)))
+    val q2 = start()
+    q2.processAllAvailable(); q2.stop()
+
+    val rows = spark.read.parquet(s"$tmp/out")
+      .select("key", "chunkId", "n", "firstTsUs", "lastTsUs", "values")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getLong(3),
+        r.getLong(4), r.getSeq[Double](5).toList)).toSet
+    assert(rows == Set(
+      (1L, 1L, 3, 1_000_000L, 3_000_000L, List(1.0, 2.0, 3.0)),
+      (1L, 2L, 1, 200_000_000L, 200_000_000L, List(9.0))), rows)
+  }
+
   test("stream-static enrich matches batch enrich") {
     import spark.implicits._
     val dim = Seq((1L, "gold"), (2L, "silver")).toDF("dk", "tier")
