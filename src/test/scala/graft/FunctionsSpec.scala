@@ -206,6 +206,33 @@ class FunctionsSpec extends SparkSpecBase {
     assert(out((1L, 2L)) == ((3L, 5L, 600L))) // inter=3, union=5, jac_milli=600
   }
 
+  test("prefixJaccardPairs equals brute force on a randomized corpus, across tau") {
+    // the asymmetric indexing/probing prefix + length + positional
+    // filters rest on a chain of completeness lemmas — this pins them
+    // against ground truth on a corpus dense enough that every filter
+    // actually prunes (30-token vocabulary, 80 docs → heavy overlap)
+    import spark.implicits._
+    val rnd = new scala.util.Random(42)
+    val vocab = (1 to 30).map(i => s"w$i")
+    val docs = (1L to 80L).map { id =>
+      val n = 3 + rnd.nextInt(12)
+      (id, rnd.shuffle(vocab).take(n).mkString(" "))
+    }
+    val sets = docs.map { case (id, t) => id -> t.split(" ").toSet }.toMap
+    val df = docs.toDF("doc_id", "text")
+    for (tau <- Seq(300, 500, 700, 1000)) {
+      val expect = (for {
+        a <- sets.keys; b <- sets.keys if a < b
+        inter = (sets(a) & sets(b)).size; uni = (sets(a) | sets(b)).size
+        if inter * 1000 >= uni * tau
+      } yield (a, b)).toSet
+      val got = DedupFns.prefixJaccardPairs(df, "doc_id", "text", 1, tau)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got == expect,
+        s"tau=$tau missing=${expect -- got} spurious=${got -- expect}")
+    }
+  }
+
   test("cosine/qdot agree on direction; lsh bucket is deterministic") {
     import spark.implicits._
     val df = Seq((Array(1.0f, 0.0f), Array(1.0f, 0.0f)), (Array(1.0f, 0.0f), Array(0.0f, 1.0f)))

@@ -1146,6 +1146,58 @@ class StreamingParitySpec extends SparkSpecBase {
     assert(split == expect, split)
   }
 
+  test("chunksTimeout matches an independent batch walk on a random tape, for any batching") {
+    // second-granularity timestamps keep the µs→ms timer arithmetic
+    // away from rounding edges; the walk mirrors the operator's rules
+    // exactly: close on size, close on strict event-time expiry before
+    // consuming, final partial flushes only if the tape's watermark
+    // STRICTLY passed its deadline
+    val rnd = new scala.util.Random(11)
+    val tape = (1 to 60).map { _ =>
+      KeyedEvent(1L + rnd.nextInt(3), (1L + rnd.nextInt(600)) * 1_000_000L, rnd.nextInt(100).toDouble)
+    }.distinct
+    val maxSize = 4
+    val timeoutUs = 90_000_000L
+    val wmUs = tape.map(_.tsUs).max
+    val expect: Set[(Long, Long, Int, Long, Long, List[Double])] = tape.groupBy(_.key).flatMap {
+      case (k, evs) =>
+        val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Int, Long, Long, List[Double])]
+        var (cid, first, last) = (1L, 0L, 0L)
+        var buf = List.empty[Double]
+        def flush(): Unit = if (buf.nonEmpty) {
+          out += ((k, cid, buf.size, first, last, buf.reverse)); cid += 1; buf = Nil
+        }
+        evs.sortBy(e => (e.tsUs, e.value)).foreach { e =>
+          if (buf.nonEmpty && e.tsUs > first + timeoutUs) flush()
+          if (buf.isEmpty) first = e.tsUs
+          last = e.tsUs; buf = e.value :: buf
+          if (buf.size >= maxSize) flush()
+        }
+        if (buf.nonEmpty && wmUs / 1000L > first / 1000L + timeoutUs / 1000L) flush()
+        out
+    }.toSet
+
+    def run(name: String, batches: Seq[Seq[KeyedEvent]]): Set[(Long, Long, Int, Long, Long, List[Double])] = {
+      import spark.implicits._
+      implicit val sqlCtx = spark.sqlContext
+      val ms = MemoryStream[KeyedEvent]
+      val q = StreamingOps.chunksTimeout(ms.toDS(), maxSize, timeoutUs).toDF().writeStream
+        .format("memory").queryName(name).outputMode(OutputMode.Append()).start()
+      try batches.foreach { b => ms.addData(b); q.processAllAvailable() } finally q.stop()
+      spark.table(name).collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2),
+        r.getLong(3), r.getLong(4), r.getSeq[Double](5).toList)).toSet
+    }
+    // one shot — but feed the tape time-sorted: watermark semantics
+    // assume an in-order stream ACROSS batches, and random batch cuts
+    // of a sorted tape exercise every mid-chunk boundary
+    val sorted = tape.sortBy(e => (e.tsUs, e.value))
+    assert(run("t_ct_rand1", Seq(sorted)) == expect)
+    val cut1 = 1 + rnd.nextInt(sorted.size - 2)
+    val cut2 = cut1 + 1 + rnd.nextInt(sorted.size - cut1 - 1)
+    val three = Seq(sorted.take(cut1), sorted.slice(cut1, cut2), sorted.drop(cut2))
+    assert(run("t_ct_rand3", three) == expect)
+  }
+
   test("chunksTimeout open chunk survives a query restart from checkpoint") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
