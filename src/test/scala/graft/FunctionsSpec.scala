@@ -206,6 +206,19 @@ class FunctionsSpec extends SparkSpecBase {
     assert(out((1L, 2L)) == ((3L, 5L, 600L))) // inter=3, union=5, jac_milli=600
   }
 
+  test("gramBloomBytesCached: one build per key, byte-stable, distinct keys isolated") {
+    import spark.implicits._
+    var builds = 0
+    def probe = { builds += 1; Seq("alpha beta gamma delta").toDF("g") }
+    val k = s"spec-bloom-${System.nanoTime()}" // fresh key per test run
+    val b1 = DedupFns.gramBloomBytesCached(k, probe, "g")
+    val b2 = DedupFns.gramBloomBytesCached(k, probe, "g")
+    assert(builds == 1, s"memoized call re-built the filter ($builds builds)")
+    assert(java.util.Arrays.equals(b1, b2))
+    DedupFns.gramBloomBytesCached(s"$k-other", probe, "g")
+    assert(builds == 2, "distinct probe-set keys must build independently")
+  }
+
   test("prefixJaccardPairs equals brute force on a randomized corpus, across tau") {
     // the asymmetric indexing/probing prefix + length + positional
     // filters rest on a chain of completeness lemmas — this pins them

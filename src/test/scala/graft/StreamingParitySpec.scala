@@ -1158,8 +1158,10 @@ class StreamingParitySpec extends SparkSpecBase {
     }.distinct
     val maxSize = 4
     val timeoutUs = 90_000_000L
-    val wmUs = tape.map(_.tsUs).max
-    val expect: Set[(Long, Long, Int, Long, Long, List[Double])] = tape.groupBy(_.key).flatMap {
+    // walk parameterized by the tape's final watermark: with delay d,
+    // wm = max event time − d, and only partials whose deadline the
+    // watermark STRICTLY passed flush at the end
+    def walk(wmUs: Long): Set[(Long, Long, Int, Long, Long, List[Double])] = tape.groupBy(_.key).flatMap {
       case (k, evs) =>
         val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Int, Long, Long, List[Double])]
         var (cid, first, last) = (1L, 0L, 0L)
@@ -1176,12 +1178,14 @@ class StreamingParitySpec extends SparkSpecBase {
         if (buf.nonEmpty && wmUs / 1000L > first / 1000L + timeoutUs / 1000L) flush()
         out
     }.toSet
+    val maxTs = tape.map(_.tsUs).max
 
-    def run(name: String, batches: Seq[Seq[KeyedEvent]]): Set[(Long, Long, Int, Long, Long, List[Double])] = {
+    def run(name: String, batches: Seq[Seq[KeyedEvent]],
+        delay: String = "0 seconds"): Set[(Long, Long, Int, Long, Long, List[Double])] = {
       import spark.implicits._
       implicit val sqlCtx = spark.sqlContext
       val ms = MemoryStream[KeyedEvent]
-      val q = StreamingOps.chunksTimeout(ms.toDS(), maxSize, timeoutUs).toDF().writeStream
+      val q = StreamingOps.chunksTimeout(ms.toDS(), maxSize, timeoutUs, delay).toDF().writeStream
         .format("memory").queryName(name).outputMode(OutputMode.Append()).start()
       try batches.foreach { b => ms.addData(b); q.processAllAvailable() } finally q.stop()
       spark.table(name).collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2),
@@ -1191,11 +1195,15 @@ class StreamingParitySpec extends SparkSpecBase {
     // assume an in-order stream ACROSS batches, and random batch cuts
     // of a sorted tape exercise every mid-chunk boundary
     val sorted = tape.sortBy(e => (e.tsUs, e.value))
+    val expect = walk(maxTs)
     assert(run("t_ct_rand1", Seq(sorted)) == expect)
     val cut1 = 1 + rnd.nextInt(sorted.size - 2)
     val cut2 = cut1 + 1 + rnd.nextInt(sorted.size - cut1 - 1)
     val three = Seq(sorted.take(cut1), sorted.slice(cut1, cut2), sorted.drop(cut2))
     assert(run("t_ct_rand3", three) == expect)
+    // a 30s watermark delay holds back exactly the tail partials whose
+    // deadline the delayed watermark no longer passes
+    assert(run("t_ct_rand_delay", Seq(sorted), "30 seconds") == walk(maxTs - 30_000_000L))
   }
 
   test("chunksTimeout open chunk survives a query restart from checkpoint") {
