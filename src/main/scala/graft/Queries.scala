@@ -45,8 +45,9 @@ object Queries {
     * `ts` as both INT64 TIMESTAMP(NANOS) (which Spark's parquet reader
     * rejects outright without the legacy nanosAsLong conf) and plain
     * TIMESTAMP(MICROS, utc=false) (read as TIMESTAMP_NTZ). Normalize
-    * both to a microsecond TimestampType: the session is pinned to UTC
-    * (GraftSession), so the NTZ→TZ cast is epoch-preserving and
+    * both to a microsecond TimestampType via an explicitly-UTC cast
+    * (GraftBridge.castUtc), so the conversion is epoch-preserving under
+    * ANY session time zone — not just GraftSession's pinned UTC — and
     * `unix_micros(ts)` matches DuckDB's `epoch_us(ts)` on either
     * encoding (ns→µs truncation is DuckDB's read behavior too).
     */
@@ -54,14 +55,29 @@ object Queries {
     import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
     val df =
       try t(s, dir, "events")
-      catch { // INT64 TIMESTAMP(NANOS) footer: retry with the legacy long read
-        case scala.util.control.NonFatal(_) =>
+      catch {
+        // ONLY the INT64 TIMESTAMP(NANOS) footer rejection retries with
+        // the legacy long read; unrelated failures (missing file,
+        // permissions) rethrow as themselves. If the retry fails too,
+        // the original rejection rides along as a suppressed exception
+        // instead of being swallowed.
+        case scala.util.control.NonFatal(first)
+            if first.getMessage != null && first.getMessage.contains("NANOS") =>
           s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-          t(s, dir, "events")
+          try t(s, dir, "events")
+          catch {
+            case scala.util.control.NonFatal(second) =>
+              second.addSuppressed(first); throw second
+          }
       }
     df.schema("ts").dataType match {
       case LongType         => df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-      case TimestampNTZType => df.withColumn("ts", col("ts").cast(TimestampType))
+      // interpret the naive wall clock as UTC REGARDLESS of session tz
+      // (a bare cast would shift the epoch under a non-UTC session,
+      // breaking unix_micros-vs-DuckDB-epoch_us parity)
+      case TimestampNTZType =>
+        df.withColumn("ts",
+          org.apache.spark.sql.GraftBridge.castUtc(col("ts"), TimestampType))
       case _                => df // already TimestampType
     }
   }
@@ -327,39 +343,79 @@ object Queries {
 
   /** HLL++ approximate distinct users per event type — the sketch path
     * for cardinality at 100 TB (constant memory per group vs the exact
-    * two-phase distinct). Rows-only check: sketch estimates are
-    * engine-specific; accuracy vs exact is asserted in SketchSpec.
+    * two-phase distinct). The HLL ESTIMATE itself is engine-specific
+    * (Spark's HLL++ register layout), so the oracle-checked surface is
+    * the sketch CONTRACT: the exact per-group cardinality plus a
+    * within-band boolean |est − exact| ≤ 6%·exact + 2 (3× the rsd=0.02
+    * the sketch was configured with, integer milli-arithmetic). DuckDB
+    * recomputes the exact side and expects TRUE — a sketch regression
+    * flips the boolean and fails the hash compare. Tighter per-run
+    * accuracy is asserted in SketchSpec.
     */
   private val qApproxDistinct = GraftQuery(
     "q_approx_distinct",
     (s, dir) =>
       events(s, dir).groupBy("event_type")
-        .agg(approx_count_distinct(col("user_id"), 0.02).as("approx_users"),
-          count(lit(1)).as("n")),
-    None)
+        .agg(approx_count_distinct(col("user_id"), 0.02).as("__approx"),
+          countDistinct(col("user_id")).as("exact_users"),
+          count(lit(1)).as("n"))
+        .select(col("event_type"), col("exact_users"), col("n"),
+          (abs(col("__approx") - col("exact_users")) * 1000 <=
+            col("exact_users") * 60 + 2000).as("within_band")),
+    Some("""SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users,
+              CAST(count(*) AS BIGINT) AS n, TRUE AS within_band
+            FROM events GROUP BY event_type"""))
 
   /** Heavy-hitter tokens per source via the custom mergeable
     * Misra-Gries Aggregator (functions.Sketches) — k=32 counters per
     * group, NO per-token shuffle: map-side partials carry 32-entry
     * maps, so at 100 TB the exchange moves kB per group instead of the
-    * token universe. Rows-only check (estimates are merge-order
-    * dependent); both MG guarantees (presence above n/k, undercount
-    * ≤ n/k) are asserted against exact counts in SketchSpec.
+    * token universe. The raw estimates are merge-order dependent, so
+    * the oracle-checked surface is the MG CONTRACT, which is NOT:
+    *  - `n_over` = |{token : freq·k > n}| — computable Spark-side from
+    *    the sketch support ALONE (every true heavy hitter is guaranteed
+    *    present; est ≤ exact always) via a broadcast recount of the
+    *    ≤ k×sources candidates, and DuckDB-side from the full word
+    *    count: if the sketch ever MISSED a true heavy hitter, the two
+    *    disagree and the hash compare fails — the presence guarantee is
+    *    cross-engine-checked without a Spark-side full wordcount;
+    *  - `bounds_ok` = AND over entries of (est ≤ exact ∧
+    *    (exact−est)·k ≤ n) — the undercount contract; DuckDB expects
+    *    TRUE.
+    * Per-entry accuracy is additionally asserted in SketchSpec.
     */
   private val qHeavyHitters = GraftQuery(
     "q_heavy_hitters",
     (s, dir) => {
-      val mg = udaf(new graft.functions.MisraGries(32))
-      Fence.guard(t(s, dir, "documents")
+      val k = 32
+      val mg = udaf(new graft.functions.MisraGries(k))
+      def toks = Fence.guard(t(s, dir, "documents")
           .select(col("source"), TextFns.tokensFast(col("text")).as("__tk"), Fence.col))
         .select(col("source"), explode(col("__tk")).as("tok"))
-        .groupBy(col("source"))
-        .agg(mg(col("tok")).as("sketch"))
-        .select(col("source"), posexplode(col("sketch")).as(Seq("rank", "entry")))
-        .select(col("source"), col("rank").cast("long").as("rank"),
-          col("entry._1").as("token"), col("entry._2").as("est_count"))
+      val entries = toks.groupBy(col("source"))
+        .agg(mg(col("tok")).as("sketch"), count(lit(1)).as("n_tokens"))
+        .select(col("source"), col("n_tokens"), explode(col("sketch")).as("entry"))
+        .select(col("source"), col("n_tokens"),
+          col("entry._1").as("tok"), col("entry._2").as("est"))
+      toks.join(broadcast(entries), Seq("source", "tok"))
+        .groupBy(col("source"), col("tok"), col("n_tokens"), col("est"))
+        .agg(count(lit(1)).as("exact_count"))
+        .groupBy(col("source"), col("n_tokens"))
+        .agg(
+          count(when(col("exact_count") * k > col("n_tokens"), 1)).as("n_over"),
+          (count(when(col("est") <= col("exact_count") &&
+            (col("exact_count") - col("est")) * k <= col("n_tokens"), 1)) ===
+            count(lit(1))).as("bounds_ok"))
+        .select(col("source"), col("n_tokens"), col("n_over"), col("bounds_ok"))
     },
-    None)
+    Some(s"""WITH tk AS (SELECT source, unnest($toksSql) AS tok FROM documents),
+             n AS (SELECT source, $nSql AS n_tokens FROM tk GROUP BY source),
+             c AS (SELECT source, tok, count(*) AS c FROM tk GROUP BY source, tok)
+             SELECT n.source AS source, n.n_tokens AS n_tokens,
+               CAST(coalesce(sum(CASE WHEN c.c * 32 > n.n_tokens THEN 1 END), 0) AS BIGINT) AS n_over,
+               TRUE AS bounds_ok
+             FROM n LEFT JOIN c ON c.source = n.source
+             GROUP BY n.source, n.n_tokens"""))
 
   /** VERIFIED heavy hitters per source: the deterministic half of the
     * Misra-Gries contract, made oracle-checkable. MG guarantees every
@@ -1741,6 +1797,21 @@ object Queries {
     */
   private val ccCache =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+
+  /** Drop every session-scoped DataFrame memo and free its checkpointed
+    * blocks — the between-queries hygiene hook Bench calls so one
+    * query's materialized state can't squeeze the next query's
+    * execution memory. The memos rebuild lazily on next use, so this is
+    * always safe; it only trades recompute for memory headroom. (The
+    * bloom-bytes memo in DedupFns stays: it holds plain byte arrays,
+    * not block-manager storage.)
+    */
+  def clearSessionMemos(): Unit = {
+    (pairsCache.values ++ ccCache.values)
+      .foreach(org.apache.spark.sql.GraftBridge.freeLocalCheckpoint)
+    pairsCache.clear()
+    ccCache.clear()
+  }
 
   /** Exact near-dup pairs shared by every DERIVED dedup query
     * (clusters, survivors, degree histogram) — materialized once per
@@ -5510,11 +5581,14 @@ object Queries {
         .select(col("doc_id"),
           DedupFns.wordNgramsFast(col("__toks"), 4).as("__grams"), Fence.col))
         .select(col("doc_id"), explode(col("__grams")).as("g"))
-      // cache: the probe gram pipeline (tokenize + explode + distinct
-      // shuffle) otherwise runs THREE times — the sizing count, the
-      // filter build treeAggregate, and the confirm join (same
-      // session-cache pattern as the simhash pair mining)
-      val probeGrams = grams(docs.filter(col("doc_id") < 3)).select(col("g")).distinct().cache()
+      // deliberately UN-cached: the probe side is a handful of docs
+      // (doc_id < 3), so recomputing its gram pipeline is cheap, and
+      // the bloom memo below already collapses the sizing count + the
+      // treeAggregate build to once per JVM — a `.cache()` here would
+      // leak a session-lifetime cached frame per invocation (there is
+      // no post-execution hook on a lazily-returned DataFrame to
+      // unpersist it), squeezing execution memory for every later job
+      val probeGrams = grams(docs.filter(col("doc_id") < 3)).select(col("g")).distinct()
       // build-once: the probe filter is keyed by its probe-set identity
       // (dir + the doc_id<3 probe definition + gram width) and memoized
       // for the JVM lifetime — repeat decontam passes skip the sizing

@@ -307,9 +307,19 @@ object DedupFns {
     */
   private val bloomMemo = new java.util.concurrent.ConcurrentHashMap[String, Array[Byte]]()
 
+  /** The caller's `key` must name the probe DATA identity (dir + probe
+    * definition + gram width) and must change whenever the probe data
+    * changes (e.g. a test regenerating parquet at the same path within
+    * one JVM must vary the key) — a stale filter means false negatives,
+    * i.e. MISSED decontamination kills, not just wasted work. Build
+    * parameters that alter the filter itself (`fpp`) are folded into
+    * the memo key here, so the same probe set at two fpp settings never
+    * aliases.
+    */
   def gramBloomBytesCached(key: String, grams: => DataFrame, gramCol: String,
       fpp: Double = 0.01): Array[Byte] =
-    bloomMemo.computeIfAbsent(key, _ => gramBloomBytes(grams, gramCol, fpp))
+    bloomMemo.computeIfAbsent(s"$key@fpp=$fpp",
+      _ => gramBloomBytes(grams, gramCol, fpp))
 
   /** Exact n-gram Jaccard over candidate pairs.
     *
@@ -425,15 +435,17 @@ object DedupFns {
         (if (n == 1) array_distinct(col("__toks")) else wordNgramsFast(col("__toks"), n)).as("toks"),
         Fence.col))
       .filter(size(col("toks")) > 0)
-    // one tok exchange feeds the df-aggregation and the ranked join side
-    val toks = docs.select(col("id"), explode(col("toks")).as("tok"))
+    // one tok exchange feeds the df-aggregation and the ranked join
+    // side. `sz` rides from the doc projection (the shingle array is
+    // distinct, so |set| = size(toks)) — computing it as a second
+    // count-over-partition window would add a whole extra WindowExec
+    // pass over every token row.
+    val toks = docs.select(col("id"), explode(col("toks")).as("tok"), size(col("toks")).as("sz"))
       .repartition(col("tok"))
     val dfreq = toks.groupBy("tok").agg(count(lit(1)).as("df"))
     val w = Window.partitionBy("id").orderBy(col("df"), col("tok"))
-    val wAll = Window.partitionBy("id")
     val pre = toks.join(dfreq, "tok")
       .withColumn("rn", row_number().over(w))
-      .withColumn("sz", count(lit(1)).over(wAll))
       // prefix length |s| - ceil(τ|s|) + 1, all-integer ceil
       .filter(col("rn") <= col("sz") - expr(s"(sz * $tauPermille + 999) div 1000") + 1)
       .select("id", "tok", "rn", "sz")
@@ -469,6 +481,19 @@ object DedupFns {
         .select(col("id"), col("tok"), col("rn"), col("sz"), Fence.col))
     val preA = preShared.filter(
       col("rn") <= col("sz") - expr(s"(2 * $tauPermille * sz + ${denom - 1}) div $denom") + 1)
+    // The pair aggregation replaces a bare `distinct()` with PPJoin+'s
+    // suffixal pruning (Xiao et al. 2008 §4's purpose, re-expressed on
+    // aggregate state so no token ARRAY ever travels through the
+    // candidate join): under the consistent global (df, tok) order,
+    // every shared token outside the matched prefix rows sorts strictly
+    // AFTER the last matched row in BOTH documents (were it inside
+    // either prefix before that row, it would itself be a matched row).
+    // Hence overlap ≤ cnt + min(sa − max_rn_a, sb − max_rn_b) — a
+    // strictly tighter upper bound than the single-row positional
+    // filter whenever a pair shares ≥ 2 prefix tokens — and pairs whose
+    // bound misses α = ⌈τ/(1+τ)(sa+sb)⌉ die BEFORE the exact-rescore
+    // join ships any shingle array. The aggregate costs what the
+    // distinct() already paid (one hash shuffle on the pair key).
     val cands = preA.as("a").hint("shuffle_hash")
       .join(preShared.as("b").hint("shuffle_hash"),
         col("a.tok") === col("b.tok") &&
@@ -477,17 +502,26 @@ object DedupFns {
           expr(s"a.sz * 1000 >= b.sz * $tauPermille") &&
           expr(s"1 + least(a.sz - a.rn, b.sz - b.rn) >= " +
             s"($tauPermille * (a.sz + b.sz) + ${denom - 1}) div $denom"))
-      .select(least(col("a.id"), col("b.id")).as("id_a"),
-        greatest(col("a.id"), col("b.id")).as("id_b"))
-      .distinct()
-    val docsP = docs.repartition(col("id"))
+      .groupBy(col("a.id").as("ia"), col("b.id").as("ib"))
+      .agg(count(lit(1)).as("cnt"),
+        max(col("a.rn")).as("mra"), max(col("b.rn")).as("mrb"),
+        min(col("a.sz")).as("sa"), min(col("b.sz")).as("sb"))
+      .filter(expr(s"cnt + least(sa - mra, sb - mrb) >= " +
+        s"($tauPermille * (sa + sb) + ${denom - 1}) div $denom"))
+      .select(least(col("ia"), col("ib")).as("id_a"),
+        greatest(col("ia"), col("ib")).as("id_b"),
+        (col("sa") + col("sb")).as("szsum"))
+    val docsP = docs.select(col("id"), col("toks")).repartition(col("id"))
+    // sizes rode through the aggregate, so the union is arithmetic
+    // (|x|+|y|−inter) and array_intersect evaluates ONCE per pair
     cands
       .join(docsP.as("da"), col("id_a") === col("da.id"))
       .join(docsP.as("db"), col("id_b") === col("db.id"))
       .select(col("id_a"), col("id_b"),
         size(array_intersect(col("da.toks"), col("db.toks"))).cast("long").as("inter"),
-        (size(col("da.toks")) + size(col("db.toks")) -
-          size(array_intersect(col("da.toks"), col("db.toks")))).cast("long").as("uni"))
+        col("szsum"))
+      .select(col("id_a"), col("id_b"), col("inter"),
+        (col("szsum") - col("inter")).cast("long").as("uni"))
       .filter(col("inter") * 1000 >= col("uni") * tauPermille)
       .withColumn("jac_milli", expr("inter * 1000 div uni"))
   }

@@ -176,6 +176,93 @@ object VectorFns {
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
 
+  /** TWO-LEVEL IVF top-k — the production-scale variant of [[ivfTopK]]
+    * for large centroid counts (k = ⌈√n⌉ at production n means k ≈ 10⁵:
+    * a single-level centroid list embedded as a plan literal would put
+    * ~6.4M longs in every plan and charge every row an O(k·d) probe
+    * scan). Structure:
+    *
+    *  - k1 = ⌈√k⌉ COARSE centroids ride as the plan literal (√k keeps
+    *    the literal kilobytes at any realistic k) — they are the FIRST
+    *    k1 of the deterministic (md5(id), id) sample, so the coarse set
+    *    nests inside the fine set by construction;
+    *  - the k FINE centroids ride as a BROADCAST RELATION
+    *    (fcid, ccid, fv, fnrm), each pre-assigned to its nearest coarse
+    *    cell — no driver collect of the fine set, no plan literal;
+    *  - corpus rows probe `assignProbes` coarse cells (map-only, O(k1·d))
+    *    and resolve their fine cell among ONLY those cells' fine
+    *    centroids via a broadcast equi-join on ccid + an argmin
+    *    aggregate (min_by on exact integer L2, fcid tiebreak) — O(k/k1·d)
+    *    expected per row instead of O(k·d);
+    *  - queries probe `coarseProbes` coarse cells, rank the fine
+    *    centroids inside them, and keep `nprobe`; candidates then meet
+    *    in a plain equi-join on fcid exactly as single-level IVF.
+    *
+    * With assignProbes = coarseProbes = k1 every coarse cell is probed,
+    * the fine argmin ranges over ALL fine centroids, and the output is
+    * IDENTICAL to [[ivfTopK]] — AnnRecallSpec pins that equivalence and
+    * measures the recall of the truncated (scale) settings. Exact
+    * integer L2 throughout: d² = ‖x‖² + ‖y‖² − 2x·y from the quantized
+    * dot kernel, so the result is deterministic and engine-portable.
+    */
+  def ivfTopK2(queries: DataFrame, corpus: DataFrame, idCol: String, vecCol: String, k: Int,
+      kCentroids: Int = 1024, nprobe: Int = 8, coarseProbes: Int = 4,
+      assignProbes: Int = 1): DataFrame = {
+    val k1 = math.max(1, math.ceil(math.sqrt(kCentroids.toDouble)).toInt)
+    val coarse = typedLit(ivfCentroids(corpus, idCol, vecCol, k1))
+    // fine sample as a RELATION: k rows funnel through
+    // TakeOrderedAndProject (no full sort, no driver round-trip); fcid
+    // = rank in the sample order. The rank window sorts k rows in one
+    // task — bounded by the centroid count, never the corpus.
+    val sampled = corpus
+      .select(quantizeFast(col(vecCol)).as("fv"), col(idCol).cast("string").as("__sid"))
+      .filter(col("fv").isNotNull)
+      .orderBy(md5(col("__sid")), col("__sid"))
+      .limit(kCentroids)
+    val fineRel = sampled
+      .withColumn("fcid", row_number().over(
+        Window.orderBy(md5(col("__sid")), col("__sid"))).cast("long") - 1)
+      .select(col("fcid"), col("fv"), qdotFast(col("fv"), col("fv")).as("fnrm"),
+        element_at(ivfProbesFast(col("fv"), coarse, 1), 1).as("ccid"))
+    def d2(nrm: Column, vec: Column, other: Column, onrm: Column): Column =
+      nrm + onrm - lit(2L) * qdotFast(vec, other)
+    // corpus side: coarse probe (map-only) → fine argmin within probed
+    // cells. min_by keys on (d², fcid) so ties are deterministic; both
+    // aggregates share the key, so fcid and the carried vector always
+    // come from the same winning row.
+    val cRows = Fence.guard(Fence.guard(
+        corpus.select(col(idCol).as("neighbor_id"), quantizeFast(col(vecCol)).as("cv"), Fence.col))
+      .filter(col("cv").isNotNull)
+      .select(col("neighbor_id"), col("cv"), qdotFast(col("cv"), col("cv")).as("cnrm"),
+        ivfProbesFast(col("cv"), coarse, assignProbes).as("__cps"), Fence.col))
+      .select(col("neighbor_id"), col("cv"), col("cnrm"), explode(col("__cps")).as("ccid"))
+    val asg = cRows.join(broadcast(fineRel), "ccid")
+      .select(col("neighbor_id"), col("cv"),
+        struct(d2(col("cnrm"), col("cv"), col("fv"), col("fnrm")).as("d"),
+          col("fcid").as("f")).as("__key"))
+      .groupBy("neighbor_id")
+      .agg(min_by(struct(col("__key.f").as("fcid"), col("cv").as("cv")), col("__key")).as("__w"))
+      .select(col("neighbor_id"), col("__w.fcid").as("fcid"), col("__w.cv").as("cv"))
+    // query side: coarse probe → rank fine centroids in probed cells →
+    // keep nprobe (the window spans coarseProbes·k/k1 rows per query)
+    val qRows = Fence.guard(Fence.guard(
+        queries.select(col(idCol).as("query_id"), quantizeFast(col(vecCol)).as("qv"), Fence.col))
+      .filter(col("qv").isNotNull)
+      .select(col("query_id"), col("qv"), qdotFast(col("qv"), col("qv")).as("qnrm"),
+        ivfProbesFast(col("qv"), coarse, coarseProbes).as("__qps"), Fence.col))
+      .select(col("query_id"), col("qv"), col("qnrm"), explode(col("__qps")).as("ccid"))
+    val wq = Window.partitionBy("query_id").orderBy(col("__qd"), col("fcid"))
+    val probes = qRows.join(broadcast(fineRel), "ccid")
+      .select(col("query_id"), col("qv"),
+        d2(col("qnrm"), col("qv"), col("fv"), col("fnrm")).as("__qd"), col("fcid"))
+      .withColumn("__pr", row_number().over(wq)).filter(col("__pr") <= nprobe)
+      .select(col("query_id"), col("qv"), col("fcid"))
+    val scored = probes.join(asg, Seq("fcid")).filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"), qdotFast(col("qv"), col("cv")).as("score"))
+    val w = Window.partitionBy("query_id").orderBy(col("score").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+
   /** One Lloyd iteration of k-means over quantized vectors in EXACT
     * integer arithmetic — the refinement step a production pipeline
     * runs from the deterministic `ivfCentroids` init before building

@@ -273,10 +273,17 @@ object Relational {
       // all smaller neighbors (and b itself) to m(b) = min of them.
       val sMins = ls.groupBy("b").agg(min(col("a")).as("m"))
       val withMin = ls.join(sMins, "b")
+      val prev = e
       e = withMin.select(col("m").as("a"), col("a").as("b")).filter(col("a") =!= col("b"))
         .union(withMin.select(col("m").as("a"), col("b")))
         .distinct()
         .localCheckpoint(true)
+      // the new round's checkpoint is eager, so the previous round's
+      // blocks are dead the moment it returns — free them NOW rather
+      // than waiting for a driver GC that a 128 GiB heap may never run
+      // (the blocks otherwise accumulate across rounds AND across
+      // queries, decaying every later job in the session)
+      org.apache.spark.sql.GraftBridge.freeLocalCheckpoint(prev)
       star = isStar(e)
       rounds += 1
     }
@@ -386,6 +393,7 @@ object Relational {
     val deg = edges.groupBy(col("src").as("id")).agg(count(lit(1)).as("deg"))
       .localCheckpoint(true)
     var pr = deg.select(col("id"), lit(1000000L).as("pr"), col("deg"))
+    var lastCut: DataFrame = null // the live lineage-truncation checkpoint
     var it = 0
     while (it < iters) {
       val contribs = edges
@@ -397,7 +405,13 @@ object Relational {
         .select(col("id"),
           (lit(150000L) + expr("(850 * coalesce(__s, 0)) div 1000")).as("pr"),
           col("deg"))
-      if (it % 8 == 7 && it != iters - 1) pr = pr.localCheckpoint(true)
+      if (it % 8 == 7 && it != iters - 1) {
+        pr = pr.localCheckpoint(true)
+        // the fresh (eager) cut supersedes the previous one — free its
+        // blocks immediately instead of leaving them to driver GC
+        if (lastCut != null) org.apache.spark.sql.GraftBridge.freeLocalCheckpoint(lastCut)
+        lastCut = pr
+      }
       it += 1
     }
     pr.select(col("id"), col("pr").as("pr_micro"))

@@ -175,9 +175,10 @@ object StreamingOps {
       values: Seq[Double])
 
   /** Size-OR-timeout chunking — the reference's
-    * `StreamExt::chunks_timeout(n, dur)` (tokio-stream; used by
-    * reference example/tpipe2.rs for batched folds), re-expressed per
-    * key in EVENT time: a chunk closes when it holds `maxSize` events,
+    * `StreamExt::chunks_timeout(n, dur)` (part of the tokio-stream
+    * StreamExt surface the reference README lists as inherited
+    * capability), re-expressed per key in EVENT time: a chunk closes
+    * when it holds `maxSize` events,
     * OR `timeoutUs` of event time passes since its first event —
     * whichever first — so a slow key still flushes a partial chunk.
     *
@@ -196,11 +197,13 @@ object StreamingOps {
   def chunksTimeout(stream: Dataset[KeyedEvent], maxSize: Int, timeoutUs: Long,
       delay: String = "0 seconds"): Dataset[ChunkOut] = {
     require(maxSize >= 1, s"chunk size must be positive, got $maxSize")
-    require(timeoutUs > 0, s"chunk timeout must be positive, got $timeoutUs")
+    // the event-time timer has MILLISECOND granularity; a sub-ms
+    // timeout would truncate to an always-due timer
+    require(timeoutUs >= 1000,
+      s"chunk timeout must be >= 1000 us (event-time timers are ms-granular), got $timeoutUs")
     implicit val outEnc = Encoders.product[ChunkOut]
     implicit val stEnc = Encoders.product[ChunkTState]
     implicit val evEnc = Encoders.product[TsEvent]
-    val timeoutMs = timeoutUs / 1000L
     stream.toDF()
       .withColumn("ts", timestamp_micros(col("tsUs")))
       .withWatermark("ts", delay)
@@ -231,8 +234,11 @@ object StreamingOps {
             }
             if (st != null) {
               state.update(st)
+              // ceil to the next ms so the timer NEVER fires before the
+              // µs-exact deadline the event path enforces (floor/floor
+              // could close a chunk up to ~1 ms early on watermark flush)
               if (st.values.nonEmpty) state.setTimeoutTimestamp(math.max(
-                st.firstTs / 1000L + timeoutMs, state.getCurrentWatermarkMs() + 1))
+                (st.firstTs + timeoutUs + 999L) / 1000L, state.getCurrentWatermarkMs() + 1))
             }
           }
           out.iterator

@@ -53,6 +53,37 @@ object GraftBridge {
         catalyst.expressions.Literal.create(filterBytes, types.BinaryType),
         classic.ExpressionUtils.expression(value)))
 
+  /** Cast with an EXPLICIT "UTC" zone id, bypassing session-timezone
+    * resolution: ResolveTimeZone only fills `timeZoneId` when it is
+    * empty, so the pinned zone survives analysis. This is how a
+    * TIMESTAMP_NTZ wall clock is interpreted AS UTC deterministically —
+    * a bare `.cast(TimestampType)` would shift the epoch by whatever
+    * session zone the caller happens to run under.
+    */
+  def castUtc(c: Column, dt: types.DataType): Column =
+    classic.ExpressionUtils.column(
+      catalyst.expressions.Cast(
+        classic.ExpressionUtils.expression(c), dt, Some("UTC")))
+
+  /** Release the block-manager storage behind a `localCheckpoint(true)`d
+    * Dataset. A local checkpoint persists its internal RDD's blocks and
+    * frees them only when the ContextCleaner GCs the referencing RDD —
+    * in a long-lived large-heap driver (any 100 TB job stream) GC is
+    * rare, so superseded iteration state (CC star rounds, PageRank
+    * lineage cuts) piles up in the block manager and squeezes execution
+    * memory for every later job. Call this on a checkpointed frame once
+    * nothing will read it again; the next checkpoint in the loop must
+    * already be materialized (eager=true does that). Non-checkpoint
+    * plans are a no-op.
+    */
+  def freeLocalCheckpoint(df: Dataset[_]): Unit =
+    df.queryExecution.logical.foreach {
+      case lr: execution.LogicalRDD =>
+        lr.rdd.cleanShuffleDependencies(blocking = false)
+        lr.rdd.unpersist(blocking = false)
+      case _ => ()
+    }
+
   /** Apply an extensions object's injected functions to a session's
     * FunctionRegistry — what session construction does with
     * `spark.sql.extensions`, callable from tests (the conf itself is

@@ -49,6 +49,45 @@ class AnnRecallSpec extends SparkSpecBase {
     assert(r4 >= 0.3, s"nprobe=4 recall collapsed on random data: $r4")
   }
 
+  test("ivfTopK2 with full coarse probing is IDENTICAL to single-level ivfTopK") {
+    // assignProbes = coarseProbes = k1 probes every coarse cell, so the
+    // fine argmin ranges over all fine centroids and the two-level path
+    // must reproduce the single-level result EXACTLY (same assignment,
+    // same probes, same rescore) — the correctness anchor that lets the
+    // truncated scale settings be judged purely on recall
+    val e = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val q = e.filter(col("vec_id") < 20)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "neighbor_id", "score", "rank").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3))).toSet
+    val k1 = math.ceil(math.sqrt(16.0)).toInt
+    val one = rows(VectorFns.ivfTopK(q, e, "vec_id", "embedding", 5, kCentroids = 16, nprobe = 4))
+    val two = rows(VectorFns.ivfTopK2(q, e, "vec_id", "embedding", 5, kCentroids = 16,
+      nprobe = 4, coarseProbes = k1, assignProbes = k1))
+    assert(two == one, s"two-level(full probing) diverged: ${(two diff one).take(5)} vs ${(one diff two).take(5)}")
+  }
+
+  test("ivfTopK2 at k>=1024 centroids: no plan literal blowup, recall measured at scale settings") {
+    // the production-shape path: 1024 fine centroids would be a ~0.5MB
+    // plan literal in single-level form; two-level keeps the literal at
+    // k1=32 vectors and ships the fine set as a broadcast relation
+    val e = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val q = e.filter(col("vec_id") < 20)
+    val truth = topkSet(VectorFns.bruteForceTopK(q, e, "vec_id", "embedding", 5))
+    val out = VectorFns.ivfTopK2(q, e, "vec_id", "embedding", 5,
+      kCentroids = 1024, nprobe = 64, coarseProbes = 8, assignProbes = 2)
+    val got = topkSet(out)
+    val r = (truth & got).size.toDouble / truth.size
+    info(f"two-level IVF recall@5 (1024 centroids, 8/32 coarse cells probed): $r%.3f")
+    assert(r >= 0.3, s"two-level recall collapsed: $r")
+    // the single-level literal is the scale hazard being designed out:
+    // the two-level plan must not embed a fine-centroid literal. A
+    // 1024-vector literal would render as a >100k-char plan string;
+    // the coarse literal (32 vectors) stays far below that.
+    val plan = out.queryExecution.optimizedPlan.toString
+    assert(plan.length < 100000, s"plan string blew up to ${plan.length} chars — literal leak?")
+  }
+
   test("semDedupReport auto-k: cells stay O(sqrt(n)) — the bound that motivates the sqrt rule") {
     val e = spark.read.parquet(s"$sfDir/embeddings.parquet")
     val n = e.count()
