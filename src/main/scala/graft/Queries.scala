@@ -468,9 +468,13 @@ object Queries {
     * SketchSpec) index the sketch array with element_at + least, so
     * estimating any literal key needs no second pass over the data.
     * Merge is elementwise sum → estimates are merge-order INDEPENDENT
-    * (unlike MG) but hash-dependent → rows-only surface like the other
-    * sketch paths; one-sided est ≥ exact plus the ε·n overshoot are
-    * asserted against exact counts in SketchSpec.
+    * (unlike MG), and the row-hash family is the portable md5-affine
+    * one — so unlike HLL/MG the CMS estimate is EXACTLY reproducible in
+    * SQL: DuckDB rebuilds each row's slot histogram as a group-by on
+    * the same affine slot formula and takes the same least() over rows.
+    * The oracle below does exactly that — the full estimate surface is
+    * hash-compared cross-engine, not just a band. One-sided est ≥ exact
+    * plus the ε·n overshoot are additionally asserted in SketchSpec.
     */
   private val qCmsFreq = GraftQuery(
     "q_cms_freq",
@@ -494,25 +498,61 @@ object Queries {
                 + 1).cast("int"))
           }: _*).as("est_count"))
     },
-    None)
+    Some {
+      val probes = Seq("the", "of", "and", "to", "a", "in", "data", "model", "stream", "query")
+      def slot(i: Int, h: String) =
+        s"((${DedupFns.MinhashA(i)} * $h + ${DedupFns.MinhashB(i)}) % $M) % 256"
+      s"""WITH tk AS (SELECT source, unnest($toksSql) AS tok FROM documents),
+          th AS (SELECT source, ${h31Sql("tok")} AS h FROM tk),
+          n AS (SELECT source, $nSql AS n_tokens FROM th GROUP BY source),
+          pr(token) AS (VALUES ${probes.map(p => s"('$p')").mkString(", ")}),
+          ph AS (SELECT token, ${h31Sql("token")} AS h FROM pr),
+          ${(0 until 4).map(i =>
+            s"c$i AS (SELECT source, ${slot(i, "h")} AS s, CAST(count(*) AS BIGINT) AS c FROM th GROUP BY source, s)")
+            .mkString(",\n          ")}
+          SELECT n.source AS source, ph.token AS token, n.n_tokens AS n_tokens,
+            least(${(0 until 4).map(i => s"coalesce(c$i.c, 0)").mkString(", ")}) AS est_count
+          FROM n CROSS JOIN ph
+          ${(0 until 4).map(i =>
+            s"LEFT JOIN c$i ON c$i.source = n.source AND c$i.s = ${slot(i, "ph.h")}")
+            .mkString("\n          ")}"""
+    })
 
   /** Approximate value quantiles per event type (Greenwald-Khanna) —
-    * the sketch path for percentiles. Rows-only check; accuracy vs the
-    * exact quantiles is asserted in SketchSpec.
+    * the sketch path for percentiles. The sketch VALUES are
+    * engine-specific, but the GK contract is not: each reported
+    * quantile is an actual input value whose RANK lies within ±ε of the
+    * target (ε = 1/accuracy; checked at 10×ε slack). The query rescans
+    * the group once to compute the exact rank brackets of the sketch's
+    * outputs — count(< v)·1000 ≤ (q‰+10)·n and count(≤ v)·1000 ≥
+    * (q‰−10)·n, all-integer — and emits one boolean per quantile.
+    * DuckDB recomputes n exactly and expects TRUE across the board, so
+    * a rank-contract violation fails the hash compare. Tighter accuracy
+    * is asserted in SketchSpec.
     */
   private val qQuantiles = GraftQuery(
     "q_quantiles",
-    (s, dir) =>
-      events(s, dir).groupBy("event_type")
+    (s, dir) => {
+      val ev = events(s, dir)
+      val sk = ev.groupBy("event_type")
         .agg(percentile_approx(col("value"), array(lit(0.5), lit(0.95), lit(0.99)), lit(1000))
           .as("qs"))
-        // scalar columns, not an array: array cells crash the driver's
-        // rows-only canonicalization (pandas sort on ndarray cells)
         .select(col("event_type"),
-          element_at(col("qs"), 1).as("p50"),
-          element_at(col("qs"), 2).as("p95"),
-          element_at(col("qs"), 3).as("p99")),
-    None)
+          element_at(col("qs"), 1).as("__p50"),
+          element_at(col("qs"), 2).as("__p95"),
+          element_at(col("qs"), 3).as("__p99"))
+      def okQ(p: String, qMilli: Int): Column =
+        (count(when(col("value") < col(p), 1)) * 1000 <= lit(qMilli + 10) * count(lit(1))) &&
+          (count(when(col("value") <= col(p), 1)) * 1000 >= lit(qMilli - 10) * count(lit(1)))
+      ev.join(broadcast(sk), "event_type")
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          okQ("__p50", 500).as("ok50"), okQ("__p95", 950).as("ok95"),
+          okQ("__p99", 990).as("ok99"))
+    },
+    Some("""SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+              TRUE AS ok50, TRUE AS ok95, TRUE AS ok99
+            FROM events GROUP BY event_type"""))
 
   /** EXACT per-group quantiles (Spark `percentile`, linear
     * interpolation — same definition as DuckDB quantile_cont) — the

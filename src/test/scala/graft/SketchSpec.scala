@@ -10,13 +10,23 @@ class SketchSpec extends SparkSpecBase {
 
   private lazy val ev = eventsDF
 
-  test("approx_count_distinct within 5% of exact per group") {
+  test("approx_count_distinct within 5% of exact per group; query bands all true") {
+    // the oracle-checked query emits (exact, within_band); the tighter
+    // 5% accuracy is measured here on the raw sketch
     val got = Queries.queries("q_approx_distinct")(spark, sfDir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getBoolean(3)))
+    assert(got.nonEmpty)
+    got.foreach { case (t, _, ok) => assert(ok, s"$t: within_band=false") }
+    val approx = ev.groupBy("event_type")
+      .agg(approx_count_distinct(col("user_id"), 0.02).as("a"))
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     val truth = ev.groupBy("event_type").agg(countDistinct(col("user_id")).as("d"))
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    got.foreach { case (t, exactFromQuery, _) =>
+      assert(exactFromQuery == truth(t), s"$t: query exact ${exactFromQuery} != ${truth(t)}")
+    }
     truth.foreach { case (t, d) =>
-      val a = got(t)
+      val a = approx(t)
       assert(math.abs(a - d).toDouble / d <= 0.05, s"$t: approx=$a exact=$d")
     }
   }
@@ -24,8 +34,14 @@ class SketchSpec extends SparkSpecBase {
   test("Misra-Gries heavy hitters: frequent tokens present, undercount within n/k") {
     import graft.functions.TextFns
     val k = 32
-    val out = Queries.queries("q_heavy_hitters")(spark, sfDir)
-      .collect().map(r => (r.getString(0), r.getString(2)) -> r.getLong(3)).toMap
+    // raw sketch entries, built exactly as the query builds them
+    val mg = udaf(new graft.functions.MisraGries(k))
+    val out = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("source"), explode(TextFns.tokensFast(col("text"))).as("tok"))
+      .groupBy("source").agg(mg(col("tok")).as("sketch"))
+      .select(col("source"), explode(col("sketch")).as("e"))
+      .select(col("source"), col("e._1").as("tok"), col("e._2").as("est"))
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
     val exact = docs
       .select(col("source"), explode(TextFns.tokensFast(col("text"))).as("tok"))
@@ -44,6 +60,17 @@ class SketchSpec extends SparkSpecBase {
       assert(truth - est <= n(src) / k, s"($src, $tok): undercount ${truth - est} > ${n(src) / k}")
     }
     assert(out.nonEmpty)
+    // and the oracle-checked query's contract surface agrees with the
+    // exact side computed independently here
+    val q = Queries.queries("q_heavy_hitters")(spark, sfDir)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getBoolean(3))).toMap
+    n.foreach { case (src, total) =>
+      val (nTok, nOver, boundsOk) = q(src)
+      assert(nTok == total, s"$src: n_tokens $nTok != $total")
+      val exactOver = exact.count { case ((s2, _), c) => s2 == src && c * k > total }
+      assert(nOver == exactOver, s"$src: n_over $nOver != $exactOver")
+      assert(boundsOk, s"$src: bounds_ok=false")
+    }
   }
 
   test("Count-Min estimates: JVM and column hashes agree; est >= exact; overshoot within eps*n") {
@@ -126,7 +153,16 @@ class SketchSpec extends SparkSpecBase {
   }
 
   test("percentile_approx values land in the right quantile band (rank-based accuracy)") {
-    val got = Queries.queries("q_quantiles")(spark, sfDir)
+    // the oracle-checked query emits rank-contract booleans; assert
+    // them, then measure the tighter 5% band on the raw sketch values
+    val flags = Queries.queries("q_quantiles")(spark, sfDir)
+      .collect().map(r => r.getString(0) -> Seq(r.getBoolean(2), r.getBoolean(3), r.getBoolean(4)))
+    assert(flags.nonEmpty)
+    flags.foreach { case (t, oks) => assert(oks.forall(identity), s"$t: rank contract violated") }
+    val got = ev.groupBy("event_type")
+      .agg(percentile_approx(col("value"), array(lit(0.5), lit(0.95), lit(0.99)), lit(1000)).as("qs"))
+      .select(col("event_type"), element_at(col("qs"), 1), element_at(col("qs"), 2),
+        element_at(col("qs"), 3))
       .collect().map(r => r.getString(0) -> Seq(r.getDouble(1), r.getDouble(2), r.getDouble(3))).toMap
     val qs = Seq(0.5, 0.95, 0.99)
     got.foreach { case (t, approxes) =>
