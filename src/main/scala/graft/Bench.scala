@@ -124,8 +124,74 @@ object Bench {
     val qs = ok.map { case (k, v) => f""""$k":$v%.3f""" }.mkString("{", ",", "}")
     val errs = err.map { case (k, m) => s""""$k":"$m"""" }.mkString("{", ",", "}")
     val total = ok.map(_._2).sum
+    val streaming =
+      if (sys.env.getOrElse("SPARK_GRAFT_STREAM", "1") == "0") "{}"
+      else {
+        sweep()
+        try streamingSection(spark, sfDir)
+        catch { case e: Throwable => s"""{"error":"${e.getClass.getSimpleName}"}""" }
+      }
     println(
-      s"""{"metric":"headline_total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
+      s"""{"metric":"headline_total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"streaming":$streaming,"sf":"$sfDir"}""")
     spark.stop()
+  }
+
+  /** Streaming micro-bench: drive the bench SF's events table through
+    * the stateful streaming twins as an in-order MemoryStream tape in
+    * ~10 micro-batches (RocksDB state store, same session), and report
+    * end-to-end seconds per operator — so streaming throughput is a
+    * round-over-round number the way batch has been. The tape replays
+    * REAL event data (key = user_id, event-time = ts), not synthetic
+    * rows, so state cardinality and per-key traffic match the batch
+    * queries' shapes.
+    */
+  private def streamingSection(spark: org.apache.spark.sql.SparkSession, sfDir: String): String = {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.OutputMode
+    import graft.streaming.{KeyedEvent, StreamingOps}
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val tape = Queries.events(spark, sfDir)
+      .select(col("user_id").cast("long").as("k"), unix_micros(col("ts")).as("t"),
+        col("value").cast("double").as("v"))
+      .orderBy(col("t"), col("k"), col("v"))
+      .collect().map(r => KeyedEvent(r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val batches = tape.grouped(math.max(1, tape.length / 10)).map(_.toSeq).toSeq
+    def run(name: String, mode: OutputMode)(
+        mk: org.apache.spark.sql.Dataset[KeyedEvent] => org.apache.spark.sql.DataFrame): (String, Double) = {
+      val ms = MemoryStream[KeyedEvent]
+      val t0 = System.nanoTime()
+      val q = mk(ms.toDS()).writeStream.format("noop").outputMode(mode).start()
+      try batches.foreach { b => ms.addData(b); q.processAllAvailable() }
+      finally q.stop()
+      name -> (System.nanoTime() - t0) / 1e9
+    }
+    val cms: (String, Double) = {
+      // the CMS twin streams (group, token) pairs; replay the same tape
+      // as (event-key-bucket, user id) so group count and token traffic
+      // are data-shaped
+      val ms = MemoryStream[(String, String)]
+      val pairs = tape.map(e => ((e.key % 8).toString, e.key.toString))
+      val pb = pairs.grouped(math.max(1, pairs.length / 10)).map(_.toSeq).toSeq
+      val t0 = System.nanoTime()
+      val q = StreamingOps.cmsFreq(ms.toDS(), 4, 256, (0L until 10L).map(_.toString))
+        .toDF().writeStream.format("noop").outputMode(OutputMode.Update()).start()
+      try pb.foreach { b => ms.addData(b); q.processAllAvailable() }
+      finally q.stop()
+      "cms_freq" -> (System.nanoTime() - t0) / 1e9
+    }
+    val res = Seq(
+      run("chunks_timeout", OutputMode.Append())(ds =>
+        StreamingOps.chunksTimeout(ds, 32, 3_600_000_000L).toDF()),
+      run("sessionize", OutputMode.Append())(ds =>
+        StreamingOps.sessionize(ds, 1_800_000_000L).toDF()),
+      run("throttle", OutputMode.Append())(ds =>
+        StreamingOps.throttleTime(ds, 60_000_000L).toDF()),
+      run("candle_strat", OutputMode.Append())(ds =>
+        StreamingOps.candleStrat(ds, 60_000_000L).toDF()),
+      cms)
+    res.map { case (k, v) => f""""$k":$v%.3f""" }
+      .mkString(s"""{"rows":${tape.length},""", ",", "}")
   }
 }

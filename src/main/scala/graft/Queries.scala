@@ -1018,7 +1018,10 @@ object Queries {
       val su = t(s, dir, "supplier")
       val n = t(s, dir, "nation")
       val r = t(s, dir, "region").filter(col("r_name") === "ASIA")
-      l.join(o, l("l_orderkey") === o("o_orderkey"))
+      // the one fact-fact join: shuffle-hash with the build on the
+      // year-filtered orders side — lineitem (the big stream) is never
+      // sorted, which a sort-merge plan would charge at every scale
+      l.join(o.hint("shuffle_hash"), l("l_orderkey") === o("o_orderkey"))
         .join(broadcast(c), o("o_custkey") === c("c_custkey"))
         .join(broadcast(su), l("l_suppkey") === su("s_suppkey") && c("c_nationkey") === su("s_nationkey"))
         .join(broadcast(n), su("s_nationkey") === n("n_nationkey"))

@@ -34,6 +34,10 @@ class PlanSpec extends SparkSpecBase {
   test("q5_region: all four dims broadcast — no shuffle join against a dim") {
     val p = planOf(Queries.queries("q5_region")(spark, sfDir))
     assert("BroadcastHashJoin".r.findAllIn(p).size >= 4, p)
+    // the one fact-fact join is pinned shuffle-hash (build = filtered
+    // orders): lineitem must never pay a sort here
+    assert(p.contains("ShuffledHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
   }
 
   test("q_fold_agg: single shuffle with map-side partial aggregation") {

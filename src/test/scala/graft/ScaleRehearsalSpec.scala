@@ -12,25 +12,28 @@ import org.apache.spark.sql.functions._
   * near-dup density) and compare wall time + output rows per query
   * vs sf0.1.
   *
-  * Recorded results (round 9, local[4]):
+  * Recorded results (round 10, after the PPJoin+ aggregate pruning):
   * {{{
-  *   q_prefix_jaccard       10.0 s ->  60.8 s (6.1x)   output   256 ->   156,384 rows (611x)
-  *   q_dup_span_runs         1.8 s ->   2.6 s (1.4x)
-  *   q_dedup_minhash         0.7 s ->   1.2 s (1.6x)
-  *   q_dedup_simhash_pairs   1.3 s ->  33.0 s (24.5x)  output 311,610 -> 18,578,944 rows (59.6x)
-  *   q_span_dedup            1.1 s ->   2.9 s (2.6x)
-  *   q_semdedup              1.0 s ->   1.0 s (1.0x)
-  *   q_dedup_exact           1.8 s ->   0.6 s (0.3x)
+  *   q_prefix_jaccard        7.3 s ->  59.1 s (8.1x)   output   256 ->   156,384 rows (611x)
+  *   q_dup_span_runs         1.6 s ->   2.0 s (1.2x)
+  *   q_dedup_minhash         0.6 s ->   1.2 s (2.1x)
+  *   q_dedup_simhash_pairs   1.2 s ->  30.3 s (26.1x)  output 311,610 -> 18,578,944 rows (59.6x)
+  *   q_span_dedup            2.4 s ->   4.1 s (1.7x)
+  *   q_semdedup              1.3 s ->   1.3 s (1.0x)
+  *   q_dedup_exact           1.9 s ->   0.9 s (0.5x)
   * }}}
   *
   * Reading: every shape is sublinear in input except the two
   * pair-EMITTING queries, whose runtime growth is strictly below their
-  * true-output growth (24.5x work for 59.6x pairs; 6.1x for 611x) —
+  * true-output growth (26.1x work for 59.6x pairs; 8.1x for 611x) —
   * i.e. the candidate generators stay output-bound even when every doc
-  * has 8 near-copies. Quadratic pair OUTPUT on a heavily-cloned corpus
-  * is inherent to the operator contract, not a plan defect; the
-  * linear-output alternatives for that regime are q_dedup_clusters /
-  * q_dedup_survivors (cluster-then-survivor).
+  * has 8 near-copies (on the cloned corpus most candidates ARE true
+  * pairs, so no filter can cut them — the suffixal pruning pays off on
+  * the REALISTIC corpus, where the sf0.1 point dropped 10.0→7.3 s).
+  * Quadratic pair OUTPUT on a heavily-cloned corpus is inherent to the
+  * operator contract, not a plan defect; the linear-output alternatives
+  * for that regime are q_dedup_clusters / q_dedup_survivors
+  * (cluster-then-survivor).
   */
 class ScaleRehearsalSpec extends SparkSpecBase {
   ignore("8x corpus scale rehearsal: dedup/similarity stay output-bound") {
@@ -59,6 +62,58 @@ class ScaleRehearsalSpec extends SparkSpecBase {
       val t1 = time(fn(spark, src).write.mode("overwrite").format("noop").save())
       val t8 = time(fn(spark, dst).write.mode("overwrite").format("noop").save())
       info(f"$q%-24s sf0.1=$t1%6.1f s  8x=$t8%6.1f s  ratio=${t8 / t1}%5.2f")
+    }
+  }
+
+  /** Triangle-density rehearsal — the superlinear graph pair. The 8×
+    * near-dup corpus multiplies simhash graph EDGES ~60× (see the main
+    * rehearsal), and the exact wedge walk is m^1.5-bounded, so the sf0.1
+    * 8× point is ~hours — deliberately out of rehearsal budget. The
+    * density ENVELOPE is instead measured on an sf0.01-based 8× corpus,
+    * where the same 60×-edges regime completes in minutes: what is
+    * being measured is the growth SHAPE (exact m^1.5 vs the DOULION
+    * twin's p³-cut), which is scale-free.
+    *
+    * Recorded results (round 10, sf0.01 base → 8× replicas):
+    * {{{
+    *   edges (simhash pairs)  2,989 -> 196,610  (65.8x)
+    *   q_triangles          2.4 s -> 4.6 s (1.92x)
+    *   q_triangles_approx   1.6 s -> 1.8 s (1.12x)
+    * }}}
+    * Reading: 65.8× edges cost the exact walk 1.92× wall — far inside
+    * the m^1.5 worst case (≈530×), because degree-ordered orientation
+    * bounds wedge fan-out by √m and fixed job latency still dominates
+    * at this absolute size; the sampled twin grows even flatter (1.12×)
+    * with its p³ wedge-work cut (its floor is the shared pair-mining
+    * pass, not the wedge join). Both stay equi-join shapes throughout —
+    * no all-pairs stage appears at any density.
+    */
+  ignore("8x corpus triangle rehearsal: exact m^1.5 walk vs DOULION twin under 60x edge density") {
+    val src = "/root/testdata/sf0.01"
+    val dst = "/tmp/graft-scale8-small"
+    val docs = spark.read.parquet(s"$src/documents.parquet")
+    val maxId = docs.agg(max("doc_id")).head().getLong(0) + 1
+    (0 until 8).map { i =>
+      if (i == 0) docs
+      else docs.withColumn("doc_id", col("doc_id") + lit(i * maxId))
+        .withColumn("text", concat(col("text"), lit(s" replica$i")))
+    }.reduce(_ unionByName _)
+      .write.mode("overwrite").parquet(s"$dst/documents.parquet")
+
+    def time(f: => Unit): Double = {
+      val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+    }
+    val e1 = graft.functions.DedupFns
+      .simhashNearDupPairs(docs, "doc_id", "text", maxHamming = 3).count()
+    val e8 = graft.functions.DedupFns
+      .simhashNearDupPairs(spark.read.parquet(s"$dst/documents.parquet"),
+        "doc_id", "text", maxHamming = 3).count()
+    info(f"edges: sf0.01=$e1%,d  8x=$e8%,d  (${e8.toDouble / e1}%.1fx)")
+    for (q <- Seq("q_triangles", "q_triangles_approx")) {
+      val fn = Queries.queries(q)
+      val t1 = time(fn(spark, src).write.mode("overwrite").format("noop").save())
+      val t8 = time(fn(spark, dst).write.mode("overwrite").format("noop").save())
+      info(f"$q%-20s sf0.01=$t1%6.1f s  8x=$t8%6.1f s  ratio=${t8 / t1}%5.2f")
     }
   }
 }
