@@ -2554,6 +2554,79 @@ object Queries {
     Some(s"""$ivfNnSql
              SELECT query_id, neighbor_id, score, rnk FROM nn"""))
 
+  /** TWO-LEVEL IVF top-k (VectorFns.ivfTopK2) as a first-class
+    * oracle-checked query: 64 fine centroids (only their ⌈√64⌉=8
+    * coarse prefix rides as a plan literal; the fine set is a broadcast
+    * relation), queries probe 4 of 8 coarse cells and keep the 8
+    * nearest fine centroids inside them, corpus rows assign through
+    * their single nearest coarse cell. Every step is deterministic
+    * integer arithmetic over the portable quantized vectors and the
+    * md5 sample order, so DuckDB replays the ENTIRE two-level pipeline
+    * — sample ranks, fine→coarse assignment, truncated probe sets,
+    * argmin cell resolution, exact rescore — and the hash compare
+    * covers the full approximation structure, not just the output
+    * bound. (The d² forms differ syntactically — Spark uses
+    * ‖x‖²+‖y‖²−2x·y off the dot kernel, the oracle sums squared
+    * differences — but are identical in exact integers.)
+    */
+  private val qEmbedIvf2 = GraftQuery(
+    "q_embed_ivf2",
+    (s, dir) => {
+      val e = t(s, dir, "embeddings")
+      VectorFns.ivfTopK2(e.filter(col("vec_id") < 20), e, "vec_id", "embedding", 5,
+          kCentroids = 64, nprobe = 8, coarseProbes = 4, assignProbes = 1)
+        .select(col("query_id"), col("neighbor_id"), col("score"), col("rank").cast("long").as("rnk"))
+    },
+    Some {
+      val d2 = (a: String, b: String) =>
+        s"CAST(list_sum(list_transform(range(1, 65), i -> ($a[i]-$b[i])*($a[i]-$b[i]))) AS BIGINT)"
+      s"""WITH e AS (SELECT vec_id, ${quantSql("embedding")} AS v FROM embeddings),
+          samp AS (SELECT vec_id, v AS fv, fcid FROM
+                     (SELECT vec_id, v, row_number() OVER (
+                        ORDER BY md5(CAST(vec_id AS VARCHAR)), CAST(vec_id AS VARCHAR)) - 1 AS fcid
+                      FROM e)
+                   WHERE fcid < 64),
+          coarse AS (SELECT fcid AS ccid, fv AS cv FROM samp WHERE fcid < 8),
+          fasg AS (SELECT fcid, fv, ccid FROM
+                     (SELECT f.fcid, f.fv, c.ccid,
+                        row_number() OVER (PARTITION BY f.fcid
+                          ORDER BY ${d2("f.fv", "c.cv")}, c.ccid) AS rn
+                      FROM samp f CROSS JOIN coarse c)
+                   WHERE rn = 1),
+          ca AS (SELECT vec_id, v, ccid FROM
+                   (SELECT e.vec_id, e.v, c.ccid,
+                      row_number() OVER (PARTITION BY e.vec_id
+                        ORDER BY ${d2("e.v", "c.cv")}, c.ccid) AS rn
+                    FROM e CROSS JOIN coarse c)
+                 WHERE rn = 1),
+          asg AS (SELECT vec_id, v, fcid FROM
+                    (SELECT ca.vec_id, ca.v, f.fcid,
+                       row_number() OVER (PARTITION BY ca.vec_id
+                         ORDER BY ${d2("ca.v", "f.fv")}, f.fcid) AS rn
+                     FROM ca JOIN fasg f ON f.ccid = ca.ccid)
+                  WHERE rn = 1),
+          qc AS (SELECT vec_id, v, ccid FROM
+                   (SELECT e.vec_id, e.v, c.ccid,
+                      row_number() OVER (PARTITION BY e.vec_id
+                        ORDER BY ${d2("e.v", "c.cv")}, c.ccid) AS rn
+                    FROM e CROSS JOIN coarse c WHERE e.vec_id < 20)
+                 WHERE rn <= 4),
+          qf AS (SELECT vec_id, v, fcid FROM
+                   (SELECT q.vec_id, q.v, f.fcid,
+                      row_number() OVER (PARTITION BY q.vec_id
+                        ORDER BY ${d2("q.v", "f.fv")}, f.fcid) AS rn
+                    FROM qc q JOIN fasg f ON f.ccid = q.ccid)
+                 WHERE rn <= 8),
+          sc AS (SELECT q.vec_id AS query_id, a.vec_id AS neighbor_id,
+                   CAST(list_sum(list_transform(range(1, 65), i -> q.v[i] * a.v[i])) AS BIGINT) AS score
+                 FROM qf q JOIN asg a ON q.fcid = a.fcid AND q.vec_id != a.vec_id)
+          SELECT query_id, neighbor_id, score, CAST(rnk AS BIGINT) AS rnk
+          FROM (SELECT query_id, neighbor_id, score,
+                  row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rnk
+                FROM sc)
+          WHERE rnk <= 5"""
+    })
+
   /** kNN label propagation: classify each query vector by the majority
     * label of its 5 IVF-approximate nearest neighbors (vote ties break
     * to the smallest label) — the weak-supervision / autolabel step of
@@ -6031,7 +6104,7 @@ object Queries {
     qDedupExact, qDedupMinhash, qMinhashRescore, qContainment, qMinhashEst, qDedupSimhash, qDedupSimhashPairs,
     qDedupClusters, qPagerank, qTriangles, qTrianglesApprox, qQualityDup, qHapax, qNgramJaccard, qDedupEmbed, qRepetition,
     qSplitLeakage, qJaccardCalib, qGroupSplit,
-    qEmbedTopk, qEmbedLsh, qEmbedIvf, qKmeansStep, qDocChunks, qChunkDedup,
+    qEmbedTopk, qEmbedLsh, qEmbedIvf, qEmbedIvf2, qKmeansStep, qDocChunks, qChunkDedup,
     qKnnClassify, qClassBalance, qGapFill, qInvertedIndex,
     qLangId, qQualityScore, qCuration, qSplitAssign, qPackSequences, qSamplePerKey, qWeightedSample,
     qTfidfTopterms, qContamination, qDecontam, qDedupSavings, qRankCorr,
