@@ -176,6 +176,21 @@ class PipelineOpsSpec extends SparkSpecBase {
     assert(survivors == total - losers, s"$survivors != $total - $losers")
   }
 
+  test("clearSessionMemos: Bench's between-queries sweep rebuilds dedup state identically") {
+    // the sweep unpersists the memoized pair/cluster frames' checkpoint
+    // blocks AND every persistent RDD — a later query must rebuild the
+    // memo from scratch (never touch freed blocks) and land on the
+    // identical result
+    val before = Queries.queries("q_dedup_clusters")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    Queries.clearSessionMemos()
+    spark.catalog.clearCache()
+    spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
+    val after = Queries.queries("q_dedup_clusters")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(after == before, s"rebuild diverged: ${(after diff before).take(5)}")
+  }
+
   test("q_vocab_coverage: ratios in [0,1000], token counts match q_token_count") {
     val out = Queries.queries("q_vocab_coverage")(spark, sfDir)
     assert(out.filter(col("oov_milli") < 0 || col("oov_milli") > 1000).isEmpty)

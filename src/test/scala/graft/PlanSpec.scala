@@ -68,6 +68,14 @@ class PlanSpec extends SparkSpecBase {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("q_embed_ivf2: two-level candidates via equi-joins, fine set broadcast, never all-pairs") {
+    val p = planOf(Queries.queries("q_embed_ivf2")(spark, sfDir))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    // the fine-centroid relation must arrive as a broadcast (corpus
+    // assignment + query probing both join it on the coarse cell key)
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
   test("q_asof_join: union-merge plan — one shuffle, one sort, no range join") {
     val p = planOf(Queries.queries("q_asof_join")(spark, sfDir))
     assert(p.contains("Window"), p)
@@ -218,7 +226,14 @@ class PlanSpec extends SparkSpecBase {
       // tokenize + the noisy-injection tokenize (2×2 logical), all on
       // one shared variant exchange → 1 runtime evaluation per side
       // pipeline
-      "q_typo_pairs" -> 4).withDefaultValue(2)
+      "q_typo_pairs" -> 4,
+      // two-level IVF: the fine-centroid relation (which embeds the
+      // corpus-sample quantize) is broadcast to BOTH the corpus
+      // assignment and the query probing — 2 logical copies that the
+      // executed plan collapses to one BroadcastExchange + one
+      // ReusedExchange (verified: 1 ReusedExchange in the adaptive
+      // plan) — plus the fenced corpus- and query-side quantizes
+      "q_embed_ivf2" -> 6).withDefaultValue(2)
     for ((name, fn) <- Queries.queries.toSeq.sortBy(_._1)) {
       val p = fn(spark, sfDir).queryExecution.optimizedPlan.toString.toLowerCase
       for (pat <- pats) {
