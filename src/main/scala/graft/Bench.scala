@@ -58,7 +58,12 @@ object Bench {
     // neighborhood vocabulary self-join, the prefix-filtered
     // set-similarity join, and the zone-map audit scan
     "q_cdc_apply", "q_sessionize", "q_typo_pairs", "q_prefix_jaccard",
-    "q_zonemap")
+    "q_zonemap",
+    // round-10 additions: the map-only PQ encode, the O(m)-lookup ADC
+    // scan, the two-stage ADC-shortlist + exact-re-rank search, and the
+    // min_by priority survivor over the shared CC state — the
+    // quantized-ANN and cross-source-dedup cost shapes
+    "q_embed_pq", "q_pq_adc", "q_pq_rescore", "q_dedup_prio")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -1945,6 +1945,44 @@ object Queries {
              WHERE losers.id IS NULL
              GROUP BY source"""))
 
+  /** Source-priority survivor selection — the cross-source dedup rule a
+    * corpus-curation pipeline ships when duplicate clusters span
+    * sources of unequal quality (keep the curated copy, drop the crawl
+    * copy — the C4/FineWeb-style canonicalization step), replacing
+    * q_dedup_survivors' min-id rule. Priority = the source's numeric
+    * rank (src0 ≻ src1 ≻ …); survivor per cluster = (min src_num, min
+    * doc_id). The survivor resolves via a min_by AGGREGATE over the
+    * members (clusters ≪ corpus) joined back on the root — no window
+    * sort over the corpus; reuses the session-cached simhash CC state.
+    */
+  private val qDedupPrio = GraftQuery(
+    "q_dedup_prio",
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), expr("CAST(substring(source, 4) AS BIGINT)").as("src_num"))
+      val members = simhashClusters(s, dir)
+        .join(docs, col("id") === col("doc_id"))
+        .select(col("doc_id"), col("cluster_root"), col("src_num"))
+      val surv = members.groupBy("cluster_root")
+        .agg(min_by(col("doc_id"), struct(col("src_num"), col("doc_id"))).as("survivor_id"))
+      members.join(surv, Seq("cluster_root"))
+        .select(col("doc_id"), col("cluster_root"), col("src_num"), col("survivor_id"),
+          when(col("doc_id") === col("survivor_id"), 1L).otherwise(0L).as("kept"))
+    },
+    Some(s"""$simhashCcSql,
+             roots AS (SELECT id, min(r) AS root FROM reach GROUP BY id),
+             pm AS (SELECT r.id AS doc_id, r.root AS cluster_root,
+                      CAST(substr(d.source, 4) AS BIGINT) AS src_num
+                    FROM roots r JOIN documents d ON d.doc_id = r.id),
+             psv AS (SELECT cluster_root, doc_id AS survivor_id FROM
+                       (SELECT cluster_root, doc_id,
+                          row_number() OVER (PARTITION BY cluster_root ORDER BY src_num, doc_id) AS rn
+                        FROM pm)
+                     WHERE rn = 1)
+             SELECT pm.doc_id, pm.cluster_root, pm.src_num, psv.survivor_id,
+               CAST(CASE WHEN pm.doc_id = psv.survivor_id THEN 1 ELSE 0 END AS BIGINT) AS kept
+             FROM pm JOIN psv USING (cluster_root)"""))
+
   /** Degree histogram of the near-dup graph — the health check a dedup
     * pipeline runs BEFORE clustering: a heavy tail here predicts giant
     * connected components (and an expensive transitive closure), so
@@ -5919,6 +5957,126 @@ object Queries {
                CAST(w * 1000 // tw AS BIGINT) AS samp_share_milli
              FROM w, tt"""))
 
+  /** Shared DuckDB PQ chain (mirror of VectorFns.pqCodebook/pqEncode at
+    * m=8 subspaces × k=16 codes over 64 dims): `cb` rebuilds the
+    * codebook from the same (md5(id), id) sample, `enc` is the per-
+    * (vector, subspace) argmin code with its squared error. Every step
+    * is exact integer arithmetic, so the full encode replays
+    * cross-engine.
+    */
+  private def pqEncSql: String =
+    s"""WITH e AS (SELECT vec_id, ${quantSql("embedding")} AS v FROM embeddings),
+             cb0 AS (SELECT row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), CAST(vec_id AS VARCHAR)) - 1 AS j, v
+                     FROM e ORDER BY md5(CAST(vec_id AS VARCHAR)), CAST(vec_id AS VARCHAR) LIMIT 16),
+             cb AS (SELECT m, j, list_slice(v, m*8 + 1, m*8 + 8) AS cv
+                    FROM cb0 CROSS JOIN range(0, 8) mm(m)),
+             sd AS (SELECT e.vec_id, cb.m, cb.j,
+                      CAST(list_sum(list_transform(range(1, 9), i -> (v[m*8+i]-cv[i])*(v[m*8+i]-cv[i]))) AS BIGINT) AS d2
+                    FROM e CROSS JOIN cb),
+             enc AS (SELECT vec_id, m, j AS code, d2 FROM
+                       (SELECT vec_id, m, j, d2,
+                          row_number() OVER (PARTITION BY vec_id, m ORDER BY d2, j) AS rn FROM sd)
+                     WHERE rn = 1)"""
+
+  /** pqEncSql + the ADC scan: `ad` = per-(query, corpus vector)
+    * approximate distance (sum over subspaces of the query's distance
+    * table entry at the corpus vector's code). */
+  private def pqAdcSql: String =
+    s"""$pqEncSql,
+             q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 20),
+             qd AS (SELECT query_id, cb.m, cb.j,
+                      CAST(list_sum(list_transform(range(1, 9), i -> (qv[m*8+i]-cv[i])*(qv[m*8+i]-cv[i]))) AS BIGINT) AS d2
+                    FROM q CROSS JOIN cb),
+             ad AS (SELECT qd.query_id, enc.vec_id AS neighbor_id,
+                      CAST(sum(qd.d2) AS BIGINT) AS adist
+                    FROM enc JOIN qd ON qd.m = enc.m AND qd.j = enc.code
+                    WHERE qd.query_id != enc.vec_id
+                    GROUP BY 1, 2)"""
+
+  /** Product-quantization encode report (VectorFns.pqCodebook/pqEncode,
+    * Jégou et al. 2011): every embedding compressed to 8 4-bit codes
+    * (packed into one BIGINT) plus its exact integer squared
+    * quantization error — the artifact a 100 TB ANN pipeline
+    * materializes once so searches scan 4-byte codes instead of 256-byte
+    * vectors. The encode is MAP-ONLY (per-subspace codebooks ride as
+    * ~1 KiB plan literals into the native probe kernel; no join, no
+    * shuffle) — the plan is scan → project, nothing else.
+    */
+  private val qEmbedPq = GraftQuery(
+    "q_embed_pq",
+    (s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val cb = VectorFns.pqCodebook(e, "vec_id", "embedding", m = 8, k = 16, dims = 64)
+      Fence.guard(Fence.guard(
+          e.select(col("vec_id"), VectorFns.quantizeFast(col("embedding")).as("qv"), Fence.col))
+        .select(col("vec_id"), col("qv"), VectorFns.pqEncode(col("qv"), cb).as("codes"), Fence.col))
+        .select(col("vec_id"),
+          (0 until 8).map(mi => element_at(col("codes"), mi + 1) * lit(1L << (4 * mi))).reduce(_ + _).as("pq_code"),
+          VectorFns.pqError(col("qv"), col("codes"), cb).as("qerr"))
+    },
+    Some(s"""$pqEncSql
+             SELECT vec_id, CAST(sum(code * (1::BIGINT << (4*m))) AS BIGINT) AS pq_code,
+               CAST(sum(d2) AS BIGINT) AS qerr
+             FROM enc GROUP BY vec_id"""))
+
+  /** PQ/ADC top-5 ANN (VectorFns.pqAdcTopK): queries rank the encoded
+    * corpus by the O(m)-lookup asymmetric distance — sum over subspaces
+    * of the query's precomputed distance-table entry at the corpus
+    * vector's code. The scan touches only 4-byte codes (32× smaller
+    * than the vectors) and does NO vector arithmetic per candidate;
+    * distances are approximate (quantization error) but the whole
+    * pipeline — sample codebook, argmin codes, distance tables, ranking
+    * — is deterministic integer math, so DuckDB replays it exactly and
+    * the hash compare covers the approximation structure itself.
+    */
+  private val qPqAdc = GraftQuery(
+    "q_pq_adc",
+    (s, dir) => {
+      val e = t(s, dir, "embeddings")
+      VectorFns.pqAdcTopK(e.filter(col("vec_id") < 20), e, "vec_id", "embedding", kNN = 5)
+        .select(col("query_id"), col("neighbor_id"), col("adist"),
+          col("rank").cast("long").as("rnk"))
+    },
+    Some(s"""$pqAdcSql
+             SELECT query_id, neighbor_id, adist, CAST(rnk AS BIGINT) AS rnk
+             FROM (SELECT query_id, neighbor_id, adist,
+                     row_number() OVER (PARTITION BY query_id ORDER BY adist, neighbor_id) AS rnk
+                   FROM ad)
+             WHERE rnk <= 5"""))
+
+  /** Two-stage PQ search (VectorFns.pqAdcRescoreTopK): ADC shortlists
+    * 40 candidates per query by table-lookup distance, then EXACT
+    * integer L2 re-ranks ONLY the shortlist to the final top 5 — the
+    * production composition (AnnRecallSpec measures it recovering
+    * recall 0.10 → 0.40 on random data). The full-vector fetch is an
+    * equi-join sized queries×shortlist, never corpus-sized.
+    */
+  private val qPqRescore = GraftQuery(
+    "q_pq_rescore",
+    (s, dir) => {
+      val e = t(s, dir, "embeddings")
+      VectorFns.pqAdcRescoreTopK(e.filter(col("vec_id") < 20), e, "vec_id", "embedding",
+          kNN = 5, shortlist = 40)
+        .select(col("query_id"), col("neighbor_id"), col("d2"),
+          col("rank").cast("long").as("rnk"))
+    },
+    Some(s"""$pqAdcSql,
+             sl AS (SELECT query_id, neighbor_id FROM
+                      (SELECT query_id, neighbor_id,
+                         row_number() OVER (PARTITION BY query_id ORDER BY adist, neighbor_id) AS srn
+                       FROM ad)
+                    WHERE srn <= 40),
+             ex AS (SELECT sl.query_id, sl.neighbor_id,
+                      CAST(list_sum(list_transform(range(1, 65), i -> (qe.v[i]-ce.v[i])*(qe.v[i]-ce.v[i]))) AS BIGINT) AS d2
+                    FROM sl
+                    JOIN e qe ON qe.vec_id = sl.query_id
+                    JOIN e ce ON ce.vec_id = sl.neighbor_id)
+             SELECT query_id, neighbor_id, d2, CAST(rnk AS BIGINT) AS rnk
+             FROM (SELECT query_id, neighbor_id, d2,
+                     row_number() OVER (PARTITION BY query_id ORDER BY d2, neighbor_id) AS rnk
+                   FROM ex)
+             WHERE rnk <= 5"""))
+
   /** CDC MERGE apply (Relational.applyChangelog): upsert a changelog
     * onto a base snapshot with DELETE semantics — the lakehouse MERGE
     * INTO. Base = latest cents per (user, event_type) as of Jan 3;
@@ -6119,7 +6277,7 @@ object Queries {
     qOutliers, qTokenBudget, qRollupStats, qTimeWindowSum,
     qProfile, qStratifiedSample, qAsofForward, qScd2, qPairCuration, qWindowTopk,
     qRunningDistinct, qFirstSeen, qDedupDegree, qDecileBin,
-    qBloomDecontam, qDupSpanRuns, qEmbedQuant, qMixWeights,
+    qBloomDecontam, qDupSpanRuns, qEmbedQuant, qMixWeights, qEmbedPq, qPqAdc, qPqRescore, qDedupPrio,
     qTokenCount, qFingerprint, qMultimodalMeta,
     qMultimodalDecode, qResizePlan, qFrameSample, qAudioSegments, qTilePlan, qMixGap)
 

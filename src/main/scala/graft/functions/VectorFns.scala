@@ -302,6 +302,135 @@ object VectorFns {
         col("mean_sum"), col("shift_l1"))
   }
 
+  // ---- Product quantization (Jégou et al. 2011, "Product quantization
+  // for nearest neighbor search") ---------------------------------------
+
+  /** PQ codebook: `m` subspaces × `k` codes over `dims`-long quantized
+    * vectors. Code j of subspace mi = dims [mi·sub, (mi+1)·sub) of the
+    * j-th vector of the SAME deterministic (md5(id), id) sample that
+    * seeds [[ivfCentroids]] — PQ's train-on-a-sample step with the
+    * engine-portable sample, so a DuckDB oracle can rebuild the exact
+    * codebook. Indexed [subspace][code][dim-in-subspace]; k·dims longs
+    * total (k=16, dims=64 → 1 KiB), collected via
+    * TakeOrderedAndProject — never a full sort.
+    */
+  def pqCodebook(corpus: DataFrame, idCol: String, vecCol: String,
+      m: Int = 8, k: Int = 16, dims: Int = 64): Seq[Seq[Seq[Long]]] = {
+    require(dims % m == 0, s"dims=$dims not divisible by m=$m subspaces")
+    val sub = dims / m
+    val sample = ivfCentroids(corpus, idCol, vecCol, k)
+    (0 until m).map(mi => sample.map(v => v.slice(mi * sub, (mi + 1) * sub)))
+  }
+
+  /** PQ codes of a pre-quantized vector: array of `m` code indexes,
+    * code mi = argmin_j integer L2 between the mi-th subvector and
+    * codebook[mi][j] (smallest-j tiebreak). Each subspace reuses the
+    * native [[graft.plans.IvfProbesExpr]] probe kernel on the sliced
+    * subvector with the per-subspace codebook as a tiny plan literal —
+    * the whole encode is MAP-ONLY (no join, no shuffle): at 100 TB,
+    * PQ-encoding a corpus is one embarrassingly-parallel projection
+    * writing m·log2(k) bits per vector.
+    */
+  def pqEncode(qv: Column, codebook: Seq[Seq[Seq[Long]]]): Column = {
+    val sub = codebook.head.head.length
+    array(codebook.indices.map { mi =>
+      element_at(
+        ivfProbesFast(slice(qv, mi * sub + 1, sub), typedLit(codebook(mi)), 1), 1)
+    }: _*)
+  }
+
+  /** Total integer squared quantization error of `qv` against its PQ
+    * `codes`: Σ_mi ‖subvec_mi − codebook[mi][code_mi]‖². Uses the exact
+    * d² = ‖x‖²+‖c‖²−2x·c identity off the native dot kernel (integer
+    * arithmetic — identical to summing squared differences).
+    */
+  def pqError(qv: Column, codes: Column, codebook: Seq[Seq[Seq[Long]]]): Column = {
+    val sub = codebook.head.head.length
+    codebook.indices.map { mi =>
+      val sv = slice(qv, mi * sub + 1, sub)
+      val cv = element_at(typedLit(codebook(mi)), element_at(codes, mi + 1).cast("int") + 1)
+      qdotFast(sv, sv) + qdotFast(cv, cv) - lit(2L) * qdotFast(sv, cv)
+    }.reduce(_ + _)
+  }
+
+  /** ADC distance table of a pre-quantized QUERY vector: flat array of
+    * m·k integer entries, entry mi·k+j = ‖subvec_mi − codebook[mi][j]‖².
+    * Codebook norms fold at plan-build time (they are driver-side
+    * constants), so each entry costs one sub-dot. Computed ONCE per
+    * query row (query side ≪ corpus); corpus rows never touch it.
+    */
+  def pqDistTable(qv: Column, codebook: Seq[Seq[Seq[Long]]]): Column = {
+    val sub = codebook.head.head.length
+    array((for (mi <- codebook.indices; j <- codebook(mi).indices) yield {
+      val sv = slice(qv, mi * sub + 1, sub)
+      val cb = codebook(mi)(j)
+      val cbNorm = cb.map(x => x * x).sum
+      qdotFast(sv, sv) + lit(cbNorm) - lit(2L) * qdotFast(sv, typedLit(cb))
+    }): _*)
+  }
+
+  /** ADC approximate distance: Σ_mi dtab[mi·k + codes[mi]] — m array
+    * lookups per (query, corpus) pair, NO vector arithmetic. This is
+    * PQ's payoff: after the one-time encode, scanning a candidate costs
+    * O(m) instead of O(dims), and the codes are m·log2(k) bits instead
+    * of dims·32 — the corpus that rides the scan shrinks 32×.
+    * Unrolled (not a HOF fold) so it stays inside whole-stage codegen.
+    */
+  def pqAdcDistance(dtab: Column, codes: Column, m: Int, k: Int): Column =
+    (0 until m).map { mi =>
+      element_at(dtab, (element_at(codes, mi + 1).cast("int") + lit(mi * k + 1)))
+    }.reduce(_ + _)
+
+  /** PQ/ADC top-`kNN` — the quantized-scan ANN: corpus rows PQ-encode
+    * (map-only), query rows build their ADC distance table (map-only,
+    * query side ≪ corpus), and the scan ranks candidates by the O(m)
+    * table-lookup distance — approximate in DISTANCE (quantization
+    * error) but deterministic and engine-portable, so an oracle can
+    * replay it exactly. Smallest distance first; neighbor-id tiebreak.
+    * The query side broadcasts; the corpus never shuffles before the
+    * per-query top-k.
+    */
+  def pqAdcTopK(queries: DataFrame, corpus: DataFrame, idCol: String, vecCol: String,
+      kNN: Int, m: Int = 8, k: Int = 16, dims: Int = 64): DataFrame = {
+    val cb = pqCodebook(corpus, idCol, vecCol, m, k, dims)
+    val c = Fence.guard(Fence.guard(
+        corpus.select(col(idCol).as("neighbor_id"), quantizeFast(col(vecCol)).as("cv"), Fence.col))
+      .select(col("neighbor_id"), pqEncode(col("cv"), cb).as("codes"), Fence.col))
+      .select(col("neighbor_id"), col("codes"))
+    val q = Fence.guard(Fence.guard(
+        queries.select(col(idCol).as("query_id"), quantizeFast(col(vecCol)).as("qv"), Fence.col))
+      .select(col("query_id"), pqDistTable(col("qv"), cb).as("dtab"), Fence.col))
+      .select(col("query_id"), col("dtab"))
+    val scored = broadcast(q).join(c, col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        pqAdcDistance(col("dtab"), col("codes"), m, k).as("adist"))
+    val w = Window.partitionBy("query_id").orderBy(col("adist"), col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= kNN)
+  }
+
+  /** Two-stage PQ search — ADC shortlist then EXACT integer-L2 re-rank,
+    * the standard production composition (quantized scan recalls a
+    * candidate superset cheaply; exact arithmetic touches only the
+    * shortlist): [[pqAdcTopK]] keeps `shortlist` candidates per query
+    * by table-lookup distance, then ONLY those rows re-join the corpus
+    * vectors for the exact distance. At 100 TB the full-vector fetch is
+    * an equi-join sized queries×shortlist — never corpus-sized.
+    */
+  def pqAdcRescoreTopK(queries: DataFrame, corpus: DataFrame, idCol: String, vecCol: String,
+      kNN: Int, shortlist: Int = 0, m: Int = 8, k: Int = 16, dims: Int = 64): DataFrame = {
+    val sl = if (shortlist > 0) shortlist else 4 * kNN
+    val cand = pqAdcTopK(queries, corpus, idCol, vecCol, sl, m, k, dims)
+      .select(col("query_id"), col("neighbor_id"))
+    val qv = queries.select(col(idCol).as("query_id"), quantizeFast(col(vecCol)).as("qa"))
+    val cv = corpus.select(col(idCol).as("neighbor_id"), quantizeFast(col(vecCol)).as("ca"))
+    val scored = cand.join(broadcast(qv), Seq("query_id")).join(cv, Seq("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        (qdotFast(col("qa"), col("qa")) + qdotFast(col("ca"), col("ca")) -
+          lit(2L) * qdotFast(col("qa"), col("ca"))).as("d2"))
+    val w = Window.partitionBy("query_id").orderBy(col("d2"), col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= kNN)
+  }
+
   /** Embedding-cosine near-duplicate pairs: all (id_a < id_b) sharing an
     * LSH bucket in any table whose exact quantized cosine clears
     * τ = tauNum/tauDen, decided in pure integer arithmetic:

@@ -88,6 +88,69 @@ class AnnRecallSpec extends SparkSpecBase {
     assert(plan.length < 100000, s"plan string blew up to ${plan.length} chars — literal leak?")
   }
 
+  test("PQ: codes valid, sample vectors encode losslessly, self-ADC distance equals qerr") {
+    val e = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val cb = VectorFns.pqCodebook(e, "vec_id", "embedding")
+    assert(cb.length == 8 && cb.forall(_.length == 16) && cb.forall(_.forall(_.length == 8)))
+    val enc = e
+      .select(col("vec_id"), VectorFns.quantizeFast(col("embedding")).as("qv"))
+      .select(col("vec_id"), col("qv"), VectorFns.pqEncode(col("qv"), cb).as("codes"))
+      .select(col("vec_id"), col("codes"),
+        VectorFns.pqError(col("qv"), col("codes"), cb).as("qerr"),
+        VectorFns.pqAdcDistance(
+          VectorFns.pqDistTable(col("qv"), cb), col("codes"), 8, 16).as("self_adist"))
+      .collect()
+    enc.foreach { r =>
+      val codes = r.getSeq[Long](1)
+      assert(codes.length == 8 && codes.forall(c => c >= 0 && c < 16),
+        s"invalid codes $codes for vec ${r.getLong(0)}")
+      assert(r.getLong(2) >= 0, s"negative qerr for vec ${r.getLong(0)}")
+      // the ADC distance of a vector to ITSELF (through its own codes)
+      // is by definition its quantization error — the identity that
+      // pins dist-table lookups to the encode arithmetic
+      assert(r.getLong(3) == r.getLong(2),
+        s"self-ADC ${r.getLong(3)} != qerr ${r.getLong(2)} for vec ${r.getLong(0)}")
+    }
+    // the 16 codebook-sample vectors ARE codebook entries in every
+    // subspace, so they must encode with zero error
+    assert(enc.count(_.getLong(2) == 0L) >= 16, "codebook sample vectors not lossless")
+  }
+
+  test("PQ/ADC recall vs exact-L2 top-5 is measured and bounded") {
+    val e = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val q = e.filter(col("vec_id") < 20)
+    // exact integer-L2 truth (ADC approximates L2, not dot, so the
+    // baseline must be the L2 ranking)
+    val qv = q.select(col("vec_id").as("query_id"), VectorFns.quantizeFast(col("embedding")).as("qa"))
+    val cv = e.select(col("vec_id").as("neighbor_id"), VectorFns.quantizeFast(col("embedding")).as("ca"))
+    val d2 = VectorFns.qdotFast(col("qa"), col("qa")) + VectorFns.qdotFast(col("ca"), col("ca")) -
+      lit(2L) * VectorFns.qdotFast(col("qa"), col("ca"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(col("d2"), col("neighbor_id"))
+    val truth = topkSet(broadcast(qv).join(cv, col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"), d2.as("d2"))
+      .withColumn("rank", row_number().over(w)).filter(col("rank") <= 5))
+    // random data is PQ's hardest case (no cluster structure for the
+    // codebook to exploit) — measure the recall LEVER (codes per
+    // subspace) the way the LSH test measures tables: k=64 strictly
+    // refines k=16 (the (md5,id) sample nests), so error drops and
+    // recall must not collapse
+    val adc16 = topkSet(VectorFns.pqAdcTopK(q, e, "vec_id", "embedding", 5, k = 16))
+    val adc64 = topkSet(VectorFns.pqAdcTopK(q, e, "vec_id", "embedding", 5, k = 64))
+    val r16 = (truth & adc16).size.toDouble / truth.size
+    val r64 = (truth & adc64).size.toDouble / truth.size
+    info(f"PQ/ADC recall@5 vs exact L2: 8x16 codebook $r16%.3f, 8x64 codebook $r64%.3f")
+    assert(r64 >= r16, s"larger codebook lost recall: $r64 < $r16")
+    // the production composition: ADC shortlists 8x candidates, exact
+    // re-rank touches only the shortlist — recall recovers while the
+    // corpus-sized scan stays O(m) lookups per candidate
+    val rr = topkSet(VectorFns.pqAdcRescoreTopK(q, e, "vec_id", "embedding", 5, shortlist = 40))
+    val rRr = (truth & rr).size.toDouble / truth.size
+    info(f"PQ/ADC + exact re-rank (shortlist 40) recall@5: $rRr%.3f")
+    assert(rRr >= r16, s"re-rank lost recall vs plain ADC: $rRr < $r16")
+    assert(rRr >= 0.3, s"re-ranked recall collapsed: $rRr")
+  }
+
   test("semDedupReport auto-k: cells stay O(sqrt(n)) — the bound that motivates the sqrt rule") {
     val e = spark.read.parquet(s"$sfDir/embeddings.parquet")
     val n = e.count()

@@ -76,6 +76,18 @@ class PlanSpec extends SparkSpecBase {
     assert(p.contains("BroadcastHashJoin"), p)
   }
 
+  test("q_embed_pq: the encode is MAP-ONLY — scan → project, zero exchanges") {
+    val p = planOf(Queries.queries("q_embed_pq")(spark, sfDir))
+    assert(!p.contains("Exchange"), p)
+    assert(!p.contains("Join"), p)
+  }
+
+  test("q_dedup_prio: survivor via min_by aggregate, no window sort over members") {
+    val p = planOf(Queries.queries("q_dedup_prio")(spark, sfDir))
+    assert(p.contains("min_by") || p.contains("partial_"), p)
+    assert(!p.contains("Window"), p)
+  }
+
   test("q_asof_join: union-merge plan — one shuffle, one sort, no range join") {
     val p = planOf(Queries.queries("q_asof_join")(spark, sfDir))
     assert(p.contains("Window"), p)
@@ -233,7 +245,15 @@ class PlanSpec extends SparkSpecBase {
       // executed plan collapses to one BroadcastExchange + one
       // ReusedExchange (verified: 1 ReusedExchange in the adaptive
       // plan) — plus the fenced corpus- and query-side quantizes
-      "q_embed_ivf2" -> 6).withDefaultValue(2)
+      "q_embed_ivf2" -> 6,
+      // PQ encode runs ONE probe kernel per subspace (m=8) — 8 distinct
+      // single-evaluation sites, not a fence break; the ADC query adds
+      // the same 8-probe encode on the corpus side only (the query side
+      // builds its dist table from dot kernels, no probes)
+      "q_embed_pq" -> 8, "q_pq_adc" -> 8,
+      // rescore adds the exact-L2 candidate fetch (query + corpus
+      // quantize sites) on top of the 8-probe encode
+      "q_pq_rescore" -> 8).withDefaultValue(2)
     for ((name, fn) <- Queries.queries.toSeq.sortBy(_._1)) {
       val p = fn(spark, sfDir).queryExecution.optimizedPlan.toString.toLowerCase
       for (pat <- pats) {

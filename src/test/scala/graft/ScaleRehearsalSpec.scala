@@ -65,6 +65,62 @@ class ScaleRehearsalSpec extends SparkSpecBase {
     }
   }
 
+  /** ANN rehearsal over an 8× embedding corpus (sf0.1 × 8 = ~40k
+    * vectors, each with 7 exact twins — adversarial for candidate
+    * dedup): fixed 20-query side, corpus side 8×. Expected shapes:
+    * the PQ/ADC scan is corpus-LINEAR by construction (it is a scan —
+    * O(m) lookups per candidate; the win is the constant, not the
+    * asymptote), two-stage rescore adds only the fixed-size shortlist
+    * join on top, and two-level IVF is candidate-bound (probed-cell
+    * volume), i.e. sublinear vs the scan pair.
+    *
+    * Recorded results (round 10; warm pass first, best-of-2 per point):
+    * {{{
+    *   q_embed_pq (full encode)     0.3 s -> 0.3 s (0.9x)   (map-only; job fixed cost dominates)
+    *   pqAdcTopK                    1.2 s -> 1.3 s (1.1x)
+    *   pqAdcRescoreTopK             1.0 s -> 1.3 s (1.3x)
+    *   ivfTopK2 (k=1024,cp=8,ap=2)  0.9 s -> 1.4 s (1.6x)
+    *   lshTopK  (8 tables)          0.5 s -> 0.6 s (1.3x)
+    * }}}
+    * All ≤1.6× wall at 8× corpus (fixed job latency still dominates at
+    * this absolute size) — every path is candidate- or scan-constant-
+    * bound, none re-introduces an all-pairs stage.
+    */
+  ignore("8x embedding corpus ANN rehearsal: PQ scan linear, IVF2/LSH candidate-bound") {
+    val src = "/root/testdata/sf0.1"
+    val dst = "/tmp/graft-scale8-ann"
+    val emb = spark.read.parquet(s"$src/embeddings.parquet")
+    val maxVid = emb.agg(max("vec_id")).head().getLong(0) + 1
+    (0 until 8).map { i =>
+      if (i == 0) emb else emb.withColumn("vec_id", col("vec_id") + lit(i * maxVid))
+    }.reduce(_ unionByName _).write.mode("overwrite").parquet(s"$dst/embeddings.parquet")
+
+    def time(f: => Unit): Double = {
+      val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+    }
+    def noop(df: org.apache.spark.sql.DataFrame): Unit =
+      df.write.mode("overwrite").format("noop").save()
+    import graft.functions.VectorFns
+    val e8 = spark.read.parquet(s"$dst/embeddings.parquet")
+    val q1 = emb.filter(col("vec_id") < 20)
+    for ((name, run) <- Seq[(String, org.apache.spark.sql.DataFrame => Unit)](
+        ("q_embed_pq(encode)", c => noop(
+          c.select(col("vec_id"), VectorFns.quantizeFast(col("embedding")).as("qv"))
+            .select(VectorFns.pqEncode(col("qv"),
+              VectorFns.pqCodebook(c, "vec_id", "embedding")).as("codes")))),
+        ("pqAdcTopK", c => noop(VectorFns.pqAdcTopK(q1, c, "vec_id", "embedding", 5))),
+        ("pqAdcRescoreTopK", c => noop(
+          VectorFns.pqAdcRescoreTopK(q1, c, "vec_id", "embedding", 5, shortlist = 40))),
+        ("ivfTopK2", c => noop(VectorFns.ivfTopK2(q1, c, "vec_id", "embedding", 5,
+          kCentroids = 1024, nprobe = 64, coarseProbes = 8, assignProbes = 2))),
+        ("lshTopK", c => noop(VectorFns.lshTopK(q1, c, "vec_id", "embedding", 5))))) {
+      run(emb) // warm: codegen compile + JIT must not land on a timed point
+      val t1 = math.min(time(run(emb)), time(run(emb)))
+      val t8 = math.min(time(run(e8)), time(run(e8)))
+      info(f"$name%-22s sf0.1=$t1%6.1f s  8x=$t8%6.1f s  ratio=${t8 / t1}%5.2f")
+    }
+  }
+
   /** Triangle-density rehearsal — the superlinear graph pair. The 8×
     * near-dup corpus multiplies simhash graph EDGES ~60× (see the main
     * rehearsal), and the exact wedge walk is m^1.5-bounded, so the sf0.1
