@@ -63,10 +63,18 @@ object Bench {
     // scan, the two-stage ADC-shortlist + exact-re-rank search, and the
     // min_by priority survivor over the shared CC state — the
     // quantized-ANN and cross-source-dedup cost shapes
-    "q_embed_pq", "q_pq_adc", "q_pq_rescore", "q_dedup_prio")
+    "q_embed_pq", "q_pq_adc", "q_pq_rescore", "q_dedup_prio",
+    // the all-to-all approximate-kNN in-degree shape (queries = corpus)
+    // and the IVFADC composition (cell-bounded candidates × O(m) ADC)
+    "q_knn_hubs", "q_ivfpq", "q_embed_binary")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    // Dev subset (comma-separated names): per-query times are position-
+    // independent (full sweep between queries), so a subset run anchors
+    // the same numbers as a full pass. The driver never sets this.
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
+    val headline = only.fold(Headline)(s => Headline.filter(s))
     val spark = GraftSession.local("graft-bench")
     // Warm EACH query once on the TINY scale factor first: plan
     // analysis + whole-stage codegen compile are one-time JVM costs,
@@ -95,7 +103,7 @@ object Bench {
     }
 
     if (sys.env.getOrElse("SPARK_GRAFT_WARM", "1") != "0") {
-      Headline.foreach { name =>
+      headline.foreach { name =>
         try SparkEntry.queries.get(name).foreach(fn => materialize(fn(spark, "/root/testdata/sf0.001")))
         catch { case _: Throwable => () }
       }
@@ -109,7 +117,7 @@ object Bench {
     // one query (that is the steady state being measured) and is swept
     // BETWEEN queries (so no query's timing depends on bench position).
     val trials = sys.env.getOrElse("SPARK_GRAFT_TRIALS", "3").toInt
-    val results = Headline.flatMap { name =>
+    val results = headline.flatMap { name =>
       SparkEntry.queries.get(name).map { fn =>
         sweep()
         try {

@@ -5957,6 +5957,64 @@ object Queries {
                CAST(w * 1000 // tw AS BIGINT) AS samp_share_milli
              FROM w, tt"""))
 
+  /** Embedding hubness report (Radovanović et al. 2010: in high-dim
+    * spaces some points become "hubs" that appear in far more kNN lists
+    * than expected — over-represented in retrieval and a dedup/quality
+    * hazard): EVERY corpus vector queries the IVF index for its top-5
+    * approximate neighbors, then in-degree per neighbor; top-20 hubs.
+    * The all-to-all kNN graph rides the same cid equi-join as
+    * `q_embed_ivf` (candidates bounded by probed-cell volume — never
+    * all-pairs even though queries = corpus), and the in-degree
+    * aggregate + top-20 run on candidate-sized data. The oracle replays
+    * the full IVF chain with the unrestricted query side.
+    */
+  private val qKnnHubs = GraftQuery(
+    "q_knn_hubs",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val e = t(s, dir, "embeddings")
+      // top-20 via orderBy+limit = TakeOrderedAndProject (scale-safe:
+      // the in-degree table is corpus-sized, a global rank window over
+      // it would be a single-partition sort); the rank window then runs
+      // over the 20 surviving rows only
+      VectorFns.ivfTopK(e, e, "vec_id", "embedding", 5)
+        .groupBy(col("neighbor_id").as("hub_id"))
+        .agg(count(lit(1)).as("in_deg"))
+        .orderBy(col("in_deg").desc, col("hub_id"))
+        .limit(20)
+        .withColumn("rnk", row_number().over(
+          Window.orderBy(col("in_deg").desc, col("hub_id"))).cast("long"))
+    },
+    Some(s"""WITH e AS (SELECT vec_id, ${quantSql("embedding")} AS v FROM embeddings),
+             cents AS (SELECT row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), CAST(vec_id AS VARCHAR)) - 1 AS cid, v AS cv
+                       FROM e ORDER BY md5(CAST(vec_id AS VARCHAR)), CAST(vec_id AS VARCHAR) LIMIT 16),
+             d AS (SELECT e.vec_id, cents.cid,
+                     CAST(list_sum(list_transform(range(1, 65), i -> (v[i]-cv[i])*(v[i]-cv[i]))) AS BIGINT) AS d2
+                   FROM e CROSS JOIN cents),
+             assign AS (SELECT vec_id, cid FROM
+                          (SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn FROM d)
+                        WHERE rn = 1),
+             probes AS (SELECT vec_id, cid FROM
+                          (SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn FROM d)
+                        WHERE rn <= 4),
+             sc AS (SELECT p.vec_id AS query_id, a.vec_id AS neighbor_id,
+                      CAST(list_sum(list_transform(range(1, 65), i -> qe.v[i] * ce.v[i])) AS BIGINT) AS score
+                    FROM probes p JOIN assign a ON p.cid = a.cid AND p.vec_id != a.vec_id
+                    JOIN e qe ON qe.vec_id = p.vec_id
+                    JOIN e ce ON ce.vec_id = a.vec_id),
+             nn AS (SELECT query_id, neighbor_id FROM
+                      (SELECT query_id, neighbor_id,
+                         row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rnk
+                       FROM sc)
+                    WHERE rnk <= 5),
+             deg AS (SELECT neighbor_id AS hub_id, CAST(count(*) AS BIGINT) AS in_deg
+                     FROM nn GROUP BY neighbor_id)
+             SELECT hub_id, in_deg, CAST(rnk AS BIGINT) AS rnk
+             FROM (SELECT hub_id, in_deg,
+                     row_number() OVER (ORDER BY in_deg DESC, hub_id) AS rnk
+                   FROM deg)
+             WHERE rnk <= 20"""))
+
   /** Shared DuckDB PQ chain (mirror of VectorFns.pqCodebook/pqEncode at
     * m=8 subspaces × k=16 codes over 64 dims): `cb` rebuilds the
     * codebook from the same (md5(id), id) sample, `enc` is the per-
@@ -6075,6 +6133,96 @@ object Queries {
              FROM (SELECT query_id, neighbor_id, d2,
                      row_number() OVER (PARTITION BY query_id ORDER BY d2, neighbor_id) AS rnk
                    FROM ex)
+             WHERE rnk <= 5"""))
+
+  /** Binary-hashing ANN (VectorFns.binaryHammingTopK): 1-bit-per-dim
+    * sign codes (native SignBits kernel — 64 bits/vector, 128× smaller
+    * than the floats), candidates ranked by Hamming distance = one
+    * xor+popcount per pair. The oracle never builds the packed code
+    * (a 64-bit shift in SQL sum arithmetic would overflow-promote):
+    * it counts sign DISAGREEMENTS per dimension directly — the same
+    * integer by definition — so the hash compare still pins the full
+    * ranking.
+    */
+  private val qEmbedBinary = GraftQuery(
+    "q_embed_binary",
+    (s, dir) => {
+      val e = t(s, dir, "embeddings")
+      VectorFns.binaryHammingTopK(e.filter(col("vec_id") < 20), e, "vec_id", "embedding", 5)
+        .select(col("query_id"), col("neighbor_id"), col("hamming"),
+          col("rank").cast("long").as("rnk"))
+    },
+    Some(s"""WITH e AS (SELECT vec_id, ${quantSql("embedding")} AS v FROM embeddings),
+             q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 20),
+             sc AS (SELECT query_id, e.vec_id AS neighbor_id,
+                      CAST(len(list_filter(range(1, 65), i -> (qv[i] >= 0) != (e.v[i] >= 0))) AS BIGINT) AS hamming
+                    FROM q CROSS JOIN e WHERE query_id != e.vec_id)
+             SELECT query_id, neighbor_id, hamming, CAST(rnk AS BIGINT) AS rnk
+             FROM (SELECT query_id, neighbor_id, hamming,
+                     row_number() OVER (PARTITION BY query_id ORDER BY hamming, neighbor_id) AS rnk
+                   FROM sc)
+             WHERE rnk <= 5"""))
+
+  /** IVF-PQ / IVFADC top-5 (VectorFns.ivfPqTopK, Jégou et al. 2011
+    * §IVFADC) — the production ANN index composition: coarse IVF cells
+    * bound the candidate set (cid equi-join), PQ codes on RESIDUALS
+    * (native VecSub kernel; residuals concentrate near 0, tightening a
+    * shared codebook) bound the per-candidate cost at O(m) lookups.
+    * Queries build one distance table per probed cell from their
+    * per-cell residual. The oracle rebuilds the coarse sample, the
+    * residual codebook (the next 16 sample vectors, residualized
+    * against their nearest centroid), every corpus assignment + encode,
+    * the per-cell query tables and the ADC ranking — the entire
+    * two-level approximation structure hash-checks.
+    */
+  private val qIvfPq = GraftQuery(
+    "q_ivfpq",
+    (s, dir) => {
+      val e = t(s, dir, "embeddings")
+      VectorFns.ivfPqTopK(e.filter(col("vec_id") < 20), e, "vec_id", "embedding", kNN = 5)
+        .select(col("query_id"), col("neighbor_id"), col("adist"),
+          col("rank").cast("long").as("rnk"))
+    },
+    Some(s"""WITH e AS (SELECT vec_id, ${quantSql("embedding")} AS v FROM embeddings),
+             samp AS (SELECT v, row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), CAST(vec_id AS VARCHAR)) - 1 AS sid FROM e),
+             cents AS (SELECT sid AS cid, v AS cv FROM samp WHERE sid < 16),
+             csrc AS (SELECT sid - 16 AS j, v AS sv FROM samp WHERE sid >= 16 AND sid < 32),
+             sd0 AS (SELECT j, sv, cid, cv,
+                       CAST(list_sum(list_transform(range(1, 65), i -> (sv[i]-cv[i])*(sv[i]-cv[i]))) AS BIGINT) AS d2
+                     FROM csrc CROSS JOIN cents),
+             sres AS (SELECT j, list_transform(range(1, 65), i -> sv[i] - cv[i]) AS rv FROM
+                        (SELECT j, sv, cv, row_number() OVER (PARTITION BY j ORDER BY d2, cid) AS rn FROM sd0)
+                      WHERE rn = 1),
+             cb AS (SELECT m, j, list_slice(rv, m*8 + 1, m*8 + 8) AS cbv
+                    FROM sres CROSS JOIN range(0, 8) mm(m)),
+             cd AS (SELECT e.vec_id, cents.cid, e.v, cents.cv,
+                      CAST(list_sum(list_transform(range(1, 65), i -> (v[i]-cv[i])*(v[i]-cv[i]))) AS BIGINT) AS d2
+                    FROM e CROSS JOIN cents),
+             casg AS (SELECT vec_id, cid, list_transform(range(1, 65), i -> v[i] - cv[i]) AS rv FROM
+                        (SELECT vec_id, cid, v, cv, row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn FROM cd)
+                      WHERE rn = 1),
+             sd AS (SELECT casg.vec_id, casg.cid, cb.m, cb.j,
+                      CAST(list_sum(list_transform(range(1, 9), i -> (rv[m*8+i]-cbv[i])*(rv[m*8+i]-cbv[i]))) AS BIGINT) AS d2
+                    FROM casg CROSS JOIN cb),
+             enc AS (SELECT vec_id, cid, m, j AS code FROM
+                       (SELECT vec_id, cid, m, j, row_number() OVER (PARTITION BY vec_id, m ORDER BY d2, j) AS rn FROM sd)
+                     WHERE rn = 1),
+             qp AS (SELECT vec_id AS query_id, cid, list_transform(range(1, 65), i -> v[i] - cv[i]) AS qrv FROM
+                      (SELECT vec_id, cid, v, cv, row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+                       FROM cd WHERE vec_id < 20)
+                    WHERE rn <= 4),
+             qd AS (SELECT query_id, qp.cid, cb.m, cb.j,
+                      CAST(list_sum(list_transform(range(1, 9), i -> (qrv[m*8+i]-cbv[i])*(qrv[m*8+i]-cbv[i]))) AS BIGINT) AS d2
+                    FROM qp CROSS JOIN cb),
+             ad AS (SELECT qd.query_id, enc.vec_id AS neighbor_id,
+                      CAST(sum(qd.d2) AS BIGINT) AS adist
+                    FROM enc JOIN qd ON qd.cid = enc.cid AND qd.m = enc.m AND qd.j = enc.code
+                    WHERE qd.query_id != enc.vec_id
+                    GROUP BY 1, 2)
+             SELECT query_id, neighbor_id, adist, CAST(rnk AS BIGINT) AS rnk
+             FROM (SELECT query_id, neighbor_id, adist,
+                     row_number() OVER (PARTITION BY query_id ORDER BY adist, neighbor_id) AS rnk
+                   FROM ad)
              WHERE rnk <= 5"""))
 
   /** CDC MERGE apply (Relational.applyChangelog): upsert a changelog
@@ -6277,7 +6425,7 @@ object Queries {
     qOutliers, qTokenBudget, qRollupStats, qTimeWindowSum,
     qProfile, qStratifiedSample, qAsofForward, qScd2, qPairCuration, qWindowTopk,
     qRunningDistinct, qFirstSeen, qDedupDegree, qDecileBin,
-    qBloomDecontam, qDupSpanRuns, qEmbedQuant, qMixWeights, qEmbedPq, qPqAdc, qPqRescore, qDedupPrio,
+    qBloomDecontam, qDupSpanRuns, qEmbedQuant, qMixWeights, qEmbedPq, qPqAdc, qPqRescore, qDedupPrio, qKnnHubs, qIvfPq, qEmbedBinary,
     qTokenCount, qFingerprint, qMultimodalMeta,
     qMultimodalDecode, qResizePlan, qFrameSample, qAudioSegments, qTilePlan, qMixGap)
 

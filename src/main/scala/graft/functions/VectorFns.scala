@@ -408,6 +408,98 @@ object VectorFns {
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= kNN)
   }
 
+  def vecSubFast(a: Column, b: Column): Column = toCol(graft.plans.VecSub(toExpr(a), toExpr(b)))
+  def signBitsFast(qv: Column): Column = toCol(graft.plans.SignBits(toExpr(qv)))
+
+  /** Binary-hashing ANN (1 bit/dim sign codes, Charikar 2002 hyperplane
+    * rounding with axis planes): every vector compresses to ONE 64-bit
+    * code (128× smaller than the float vector), candidates rank by
+    * Hamming distance = one xor + popcount per pair — the cheapest
+    * quantized-scan path of the compression family (SQ → PQ → binary).
+    * The code column is the only corpus payload that travels; encode is
+    * map-only. Smallest Hamming first; neighbor-id tiebreak.
+    */
+  def binaryHammingTopK(queries: DataFrame, corpus: DataFrame, idCol: String, vecCol: String,
+      kNN: Int): DataFrame = {
+    def coded(df: DataFrame, id: String, code: String) =
+      Fence.guard(
+          df.select(col(idCol).as(id), quantizeFast(col(vecCol)).as("__qv"), Fence.col))
+        .select(col(id), signBitsFast(col("__qv")).as(code))
+    val q = coded(queries, "query_id", "qcode")
+    val c = coded(corpus, "neighbor_id", "ccode")
+    val scored = broadcast(q).join(c, col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        expr("bit_count(qcode ^ ccode)").cast("long").as("hamming"))
+    val w = Window.partitionBy("query_id").orderBy(col("hamming"), col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= kNN)
+  }
+
+  /** IVF-PQ codebooks (Jégou et al. 2011 §IVFADC): `kCells` coarse
+    * centroids + a `k`-code-per-subspace PQ codebook trained on the
+    * RESIDUALS (vector − its nearest centroid) of the NEXT `k` vectors
+    * of the same deterministic (md5,id) sample — disjoint from the
+    * centroid prefix, so residuals are non-degenerate. All driver-side
+    * arithmetic is the same exact integer L2 the plan uses, so a SQL
+    * oracle can rebuild both structures.
+    */
+  def ivfPqCodebooks(corpus: DataFrame, idCol: String, vecCol: String,
+      kCells: Int = 16, k: Int = 16, m: Int = 8, dims: Int = 64)
+      : (Seq[Seq[Long]], Seq[Seq[Seq[Long]]]) = {
+    require(dims % m == 0, s"dims=$dims not divisible by m=$m subspaces")
+    val sample = ivfCentroids(corpus, idCol, vecCol, kCells + k)
+    val cents = sample.take(kCells)
+    val src = sample.drop(kCells)
+    def d2(a: Seq[Long], b: Seq[Long]): Long =
+      a.iterator.zip(b.iterator).map { case (x, y) => (x - y) * (x - y) }.sum
+    val sub = dims / m
+    val resid = src.map { v =>
+      val ci = cents.indices.minBy(i => (d2(v, cents(i)), i))
+      v.zip(cents(ci)).map { case (x, c) => x - c }
+    }
+    (cents, (0 until m).map(mi => resid.map(_.slice(mi * sub, (mi + 1) * sub))))
+  }
+
+  /** IVF-PQ / IVFADC top-`kNN` — the production ANN index composition:
+    * corpus rows assign to their nearest coarse cell (map-only) and
+    * PQ-encode their RESIDUAL (native [[graft.plans.VecSub]] kernel —
+    * residuals concentrate around 0, which is what makes a shared
+    * residual codebook tight); queries probe `nprobe` cells and build
+    * ONE ADC distance table PER PROBED CELL from their per-cell
+    * residual (map-only, queries ≪ corpus); candidates meet in a plain
+    * cid equi-join and cost O(m) lookups each. A corpus row lives in
+    * exactly one cell, so no pair dedup is needed. Deterministic
+    * integer arithmetic end-to-end — oracle-replayable.
+    */
+  def ivfPqTopK(queries: DataFrame, corpus: DataFrame, idCol: String, vecCol: String,
+      kNN: Int, kCells: Int = 16, nprobe: Int = 4, m: Int = 8, k: Int = 16,
+      dims: Int = 64): DataFrame = {
+    val (cents, rcb) = ivfPqCodebooks(corpus, idCol, vecCol, kCells, k, m, dims)
+    val centsLit = typedLit(cents)
+    val c = Fence.guard(Fence.guard(Fence.guard(
+        corpus.select(col(idCol).as("neighbor_id"), quantizeFast(col(vecCol)).as("cv"), Fence.col))
+      .select(col("neighbor_id"), col("cv"),
+        element_at(ivfProbesFast(col("cv"), centsLit, 1), 1).as("cid"), Fence.col))
+      .select(col("neighbor_id"), col("cid"),
+        vecSubFast(col("cv"), element_at(centsLit, col("cid").cast("int") + 1)).as("rv"),
+        Fence.col))
+      .select(col("neighbor_id"), col("cid"), pqEncode(col("rv"), rcb).as("codes"))
+    val q = Fence.guard(Fence.guard(
+        queries.select(col(idCol).as("query_id"), quantizeFast(col(vecCol)).as("qv"), Fence.col))
+      .select(col("query_id"), col("qv"),
+        ivfProbesFast(col("qv"), centsLit, nprobe).as("__ps"), Fence.col))
+      .select(col("query_id"), col("qv"), explode(col("__ps")).as("cid"))
+    val q2 = Fence.guard(
+        q.select(col("query_id"), col("cid"),
+          vecSubFast(col("qv"), element_at(centsLit, col("cid").cast("int") + 1)).as("qrv"),
+          Fence.col))
+      .select(col("query_id"), col("cid"), pqDistTable(col("qrv"), rcb).as("dtab"))
+    val scored = q2.join(c, Seq("cid")).filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        pqAdcDistance(col("dtab"), col("codes"), m, k).as("adist"))
+    val w = Window.partitionBy("query_id").orderBy(col("adist"), col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= kNN)
+  }
+
   /** Two-stage PQ search — ADC shortlist then EXACT integer-L2 re-rank,
     * the standard production composition (quantized scan recalls a
     * candidate superset cheaply; exact arithmetic touches only the

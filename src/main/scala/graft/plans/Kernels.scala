@@ -48,6 +48,28 @@ object Kernels {
     s
   }
 
+  /** Sign-bit binarization of a quantized vector (≤64 dims): bit d set
+    * iff component d ≥ 0 — the 1-bit-per-dim embedding compression
+    * whose Hamming distance approximates angular distance (Charikar
+    * 2002 hyperplane rounding with axis-aligned planes). */
+  def signBits(v: ArrayData): Long = {
+    val n = math.min(v.numElements(), 64)
+    var code = 0L
+    var i = 0
+    while (i < n) { if (v.getLong(i) >= 0) code |= (1L << i); i += 1 }
+    code
+  }
+
+  /** Element-wise difference of two equal-length long vectors — the
+    * IVF-PQ residual step (vector − its cell centroid). */
+  def vsub(a: ArrayData, b: ArrayData): ArrayData = {
+    val n = a.numElements()
+    val out = new Array[Long](n)
+    var i = 0
+    while (i < n) { out(i) = a.getLong(i) - b.getLong(i); i += 1 }
+    new GenericArrayData(out)
+  }
+
   def lshBuckets(qv: ArrayData, tables: Int, planes: Int): ArrayData = {
     val dims = qv.numElements()
     val out = new Array[Long](tables)

@@ -111,6 +111,69 @@ case class QDot(left: Expression, right: Expression) extends BinaryExpression {
     copy(left = l, right = r)
 }
 
+/** 64-bit sign code of a pre-quantized array<long> vector: bit d set
+  * iff component d ≥ 0. Null (whole row) on a null element.
+  */
+case class SignBits(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    TypeChecks.requireArrayOf("graft_sign_bits", LongType, child.dataType)
+  override def dataType: DataType = LongType
+  private def elemNullable: Boolean = TypeChecks.elemNullable(child.dataType)
+  override def nullable: Boolean = child.nullable || elemNullable
+  override def nullSafeEval(input: Any): Any = {
+    val a = input.asInstanceOf[ArrayData]
+    if (elemNullable && Kernels.hasNullElement(a)) null else Kernels.signBits(a)
+  }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      if (elemNullable) s"""
+        if (graft.plans.Kernels.hasNullElement($c)) {
+          ${ev.isNull} = true;
+        } else {
+          ${ev.value} = graft.plans.Kernels.signBits($c);
+        }
+      """
+      else s"${ev.value} = graft.plans.Kernels.signBits($c);")
+  override protected def withNewChildInternal(newChild: Expression): SignBits =
+    copy(child = newChild)
+}
+
+/** Element-wise difference of two pre-quantized array<long> vectors —
+  * the IVF-PQ residual (vector − its cell centroid). Null on mismatched
+  * lengths / null elements, mirroring QDot's contract.
+  */
+case class VecSub(left: Expression, right: Expression) extends BinaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    TypeChecks.requireArrayOf("graft_vsub", LongType, left.dataType, right.dataType)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true
+  private def anyElemNullable: Boolean =
+    TypeChecks.elemNullable(left.dataType) || TypeChecks.elemNullable(right.dataType)
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    if (x.numElements() != y.numElements() ||
+        (anyElemNullable && (Kernels.hasNullElement(x) || Kernels.hasNullElement(y)))) null
+    else Kernels.vsub(x, y)
+  }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val nullElems =
+        if (anyElemNullable)
+          s" || graft.plans.Kernels.hasNullElement($a) || graft.plans.Kernels.hasNullElement($b)"
+        else ""
+      s"""
+      if ($a.numElements() != $b.numElements()$nullElems) {
+        ${ev.isNull} = true;
+      } else {
+        ${ev.value} = graft.plans.Kernels.vsub($a, $b);
+      }
+    """
+    })
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): VecSub =
+    copy(left = l, right = r)
+}
+
 /** Count of positions where two equal-length array<long> columns hold
   * the same value — the MinHash signature-agreement numerator. Null on
   * mismatched lengths / null elements, mirroring QDot's contract.

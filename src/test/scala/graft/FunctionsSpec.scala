@@ -368,7 +368,11 @@ class FunctionsSpec extends SparkSpecBase {
           DedupFns.minhashSigFast(TextFns.tokensFast(col("text")), 3).as("ms"),
           DedupFns.sigAgreement(
             DedupFns.minhashSigFast(TextFns.tokensFast(col("text")), 3),
-            DedupFns.minhashSigFast(TextFns.tokensFast(col("text")), 3)).as("ag"))
+            DedupFns.minhashSigFast(TextFns.tokensFast(col("text")), 3)).as("ag"),
+          VectorFns.vecSubFast(VectorFns.quantizeFast(col("v")),
+            typedLit(Seq(100L, -100L))).as("vs"),
+          VectorFns.signBitsFast(VectorFns.vecSubFast(VectorFns.quantizeFast(col("v")),
+            typedLit(Seq(1000L, 0L)))).as("sb"))
         .collect()(0)
       // float 0.9f = 0.8999999762…, so floor(x*1000) quantizes to 899
       assert(row.getLong(0) == 899L * 899 + 800L * 800)
@@ -378,6 +382,9 @@ class FunctionsSpec extends SparkSpecBase {
       assert(row.getSeq[String](5) == Seq("the cat sat", "cat sat on", "sat on the", "on the mat"))
       assert(row.getSeq[Long](6).size == DedupFns.NumHashes)
       assert(row.getLong(7) == DedupFns.NumHashes.toLong) // self-agreement is total
+      assert(row.getSeq[Long](8) == Seq(799L, 900L)) // (899,800) - (100,-100)
+      // (899-1000, 800-0) = (-101, 800): bit0 clear (negative), bit1 set
+      assert(row.getLong(9) == 2L)
     } finally spark.conf.unset("spark.sql.codegen.factoryMode")
   }
 

@@ -218,6 +218,40 @@ class KernelPropertySpec extends SparkSpecBase {
     assert(fast.toSeq == slow.toSeq)
   }
 
+  test("vecSub / signBits: native == declarative on random vectors") {
+    import spark.implicits._
+    val vecGen = Gen.listOfN(8, Gen.chooseNum(-2.0f, 2.0f))
+    val pairs = (1 to 30).flatMap(_ => (for { a <- vecGen; b <- vecGen } yield (a, b)).sample)
+    val df = pairs.toDF("a", "b")
+    val fast = df.select(
+        VectorFns.vecSubFast(VectorFns.quantizeFast(col("a")), VectorFns.quantizeFast(col("b"))).as("d"),
+        VectorFns.signBitsFast(VectorFns.quantizeFast(col("a"))).as("s"))
+      .collect()
+    val slow = df.collect().map { r =>
+      val qa = r.getSeq[Float](0).map(x => math.floor(x.toDouble * 1000).toLong)
+      val qb = r.getSeq[Float](1).map(x => math.floor(x.toDouble * 1000).toLong)
+      val sub = qa.zip(qb).map { case (x, y) => x - y }
+      val code = qa.zipWithIndex.map { case (x, i) => if (x >= 0) 1L << i else 0L }.sum
+      (sub, code)
+    }
+    fast.zip(slow).foreach { case (f, (sub, code)) =>
+      assert(f.getSeq[Long](0) == sub)
+      assert(f.getLong(1) == code)
+    }
+    // Hamming identity: bit_count(sign(a) ^ sign(b)) counts exactly the
+    // dims where the signs disagree — the oracle's direct-count form
+    val hf = df.select(VectorFns.signBitsFast(VectorFns.quantizeFast(col("a"))).as("graft_sb_a"),
+        VectorFns.signBitsFast(VectorFns.quantizeFast(col("b"))).as("graft_sb_b"))
+      .select(expr("bit_count(graft_sb_a ^ graft_sb_b)").cast("long").as("hm"))
+      .collect().map(_.getLong(0))
+    val hs = df.collect().map { r =>
+      val qa = r.getSeq[Float](0).map(x => math.floor(x.toDouble * 1000).toLong)
+      val qb = r.getSeq[Float](1).map(x => math.floor(x.toDouble * 1000).toLong)
+      qa.zip(qb).count { case (x, y) => (x >= 0) != (y >= 0) }.toLong
+    }
+    assert(hf.toSeq == hs.toSeq)
+  }
+
   test("ivfProbes: probe list is sorted by exact distance with index tiebreak") {
     import spark.implicits._
     val vecGen = Gen.listOfN(4, Gen.chooseNum(-1.0f, 1.0f))

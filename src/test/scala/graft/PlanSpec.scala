@@ -88,6 +88,17 @@ class PlanSpec extends SparkSpecBase {
     assert(!p.contains("Window"), p)
   }
 
+  test("q_ivfpq: candidates via cid equi-join, never all-pairs") {
+    val p = planOf(Queries.queries("q_ivfpq")(spark, sfDir))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("q_knn_hubs: all-to-all kNN rides the cid equi-join; top-20 is TakeOrderedAndProject") {
+    val p = planOf(Queries.queries("q_knn_hubs")(spark, sfDir))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
   test("q_asof_join: union-merge plan — one shuffle, one sort, no range join") {
     val p = planOf(Queries.queries("q_asof_join")(spark, sfDir))
     assert(p.contains("Window"), p)
@@ -253,7 +264,10 @@ class PlanSpec extends SparkSpecBase {
       "q_embed_pq" -> 8, "q_pq_adc" -> 8,
       // rescore adds the exact-L2 candidate fetch (query + corpus
       // quantize sites) on top of the 8-probe encode
-      "q_pq_rescore" -> 8).withDefaultValue(2)
+      "q_pq_rescore" -> 8,
+      // IVF-PQ: corpus cell assignment (1) + 8-subspace residual encode
+      // + query cell probing (1) — 10 single-evaluation probe sites
+      "q_ivfpq" -> 10).withDefaultValue(2)
     for ((name, fn) <- Queries.queries.toSeq.sortBy(_._1)) {
       val p = fn(spark, sfDir).queryExecution.optimizedPlan.toString.toLowerCase
       for (pat <- pats) {
