@@ -10,6 +10,20 @@ import org.apache.spark.sql.functions._
   */
 class PipelineOpsSpec extends SparkSpecBase {
 
+  test("SparkEntry.entry is session-timezone independent (driver may run non-UTC)") {
+    // the driver contract warns entry() may be called under a non-UTC
+    // session; everything it touches must be tz-independent (NTZ
+    // literals, explicitly-UTC event casts)
+    val utcRows = SparkEntry.entry(spark).collect().map(_.toString).sorted.toSeq
+    val prev = spark.conf.get("spark.sql.session.timeZone")
+    try {
+      spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+      val nyRows = SparkEntry.entry(spark).collect().map(_.toString).sorted.toSeq
+      assert(nyRows.nonEmpty, "entry returned no rows")
+      assert(nyRows == utcRows, "entry() result depends on session time zone")
+    } finally spark.conf.set("spark.sql.session.timeZone", prev)
+  }
+
   test("q_shuffle_order: positions are an exact 0..N-1 permutation matching the naive global sort") {
     val out = Queries.queries("q_shuffle_order")(spark, sfDir)
     val n = out.count()
