@@ -66,7 +66,10 @@ object Bench {
     "q_embed_pq", "q_pq_adc", "q_pq_rescore", "q_dedup_prio",
     // the all-to-all approximate-kNN in-degree shape (queries = corpus)
     // and the IVFADC composition (cell-bounded candidates × O(m) ADC)
-    "q_knn_hubs", "q_ivfpq", "q_embed_binary")
+    "q_knn_hubs", "q_ivfpq", "q_embed_binary",
+    // exact interval-union span-removal accounting: the q_dup_span_runs
+    // exchange plus a two-window island walk over the aggregate
+    "q_span_scrub")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

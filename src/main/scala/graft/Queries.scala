@@ -5860,6 +5860,93 @@ object Queries {
                CAST(CASE WHEN max_run > 0 THEN max_run + 7 ELSE 0 END AS BIGINT) AS max_dup_tokens
              FROM f"""))
 
+  /** Exact substring-dedup REMOVAL accounting (the deletion step of
+    * Lee et al. 2022 exact substring dedup): per doc, how many tokens
+    * the cross-doc duplicated 8-gram spans actually COVER — computed as
+    * the exact INTERVAL UNION of the dup-span islands, not the naive
+    * Σ(run+7) (islands separated by <8 positions overlap in token
+    * space; summing runs over-counts the overlap). Island i covers
+    * tokens [s, e+7]; a lag window per doc clips each island at the
+    * previous island's end+7, so the sum is the exact union length.
+    * Emits n_tokens / dup_tokens / keep_milli — the budget view a
+    * pipeline reads before shipping span removal. Same single shared
+    * __gh exchange as q_dup_span_runs; the interval walk runs over the
+    * ISLAND aggregate (docs × islands rows ≪ spans).
+    */
+  private val qSpanScrub = GraftQuery(
+    "q_span_scrub",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val g = Fence.guard(
+          t(s, dir, "documents")
+            .select(col("doc_id"), TextFns.tokensFast(col("text")).as("__toks"), Fence.col))
+        .filter(size(col("__toks")) >= 8)
+        .select(col("doc_id"),
+          posexplode(DedupFns.wordNgramsPositional(col("__toks"), 8)).as(Seq("pos", "__gram")))
+        .select(col("doc_id"), col("pos").cast("long").as("pos"),
+          TextFns.tokenHash(col("__gram")).as("__gh"))
+        .filter(col("__gh").isNotNull)
+        .repartition(col("__gh"))
+      // same exchange-reuse discipline as q_dup_span_runs (see there)
+      val dupHashes = g.groupBy(col("__gh"))
+        .agg(min(col("doc_id")).as("__mn"), max(col("doc_id")).as("__mx"),
+          max(col("pos")).as("__mp"))
+        .filter(col("__mn") =!= col("__mx") || col("__mp") < 0)
+        .select(col("__gh").as("__dgh"))
+      val wd = Window.partitionBy("doc_id").orderBy(col("pos"))
+      val byIsl = g.join(dupHashes.hint("shuffle_hash"), col("__gh") === col("__dgh"), "left")
+        .select(col("doc_id"), col("pos"),
+          when(col("__dgh").isNotNull, 1L).otherwise(0L).as("__dup"))
+        .withColumn("__rnd", sum(col("__dup")).over(wd))
+        .withColumn("__isl", when(col("__dup") === 1L, col("pos") - col("__rnd")))
+        .groupBy(col("doc_id"), col("__isl"))
+        .agg(count(lit(1)).as("__cnt"), min(col("pos")).as("__s"), max(col("pos")).as("__e"))
+      // ONE downstream pass: the clip window partitions on
+      // (doc_id, __isl IS NULL) so the null-island row (non-dup
+      // positions) sits in its own partition and can never be the lag
+      // predecessor of a real island — letting n_tokens and the
+      // clipped coverage fold into a single groupBy(doc_id) instead of
+      // re-deriving byIsl (which would re-plan the tokenize subtree)
+      val wl = Window.partitionBy(col("doc_id"), col("__isl").isNull).orderBy(col("__s"))
+      byIsl
+        .withColumn("__pe", lag(col("__e"), 1).over(wl))
+        .withColumn("__cov",
+          when(col("__isl").isNotNull,
+            col("__e") + lit(7L) -
+              greatest(col("__s"), coalesce(col("__pe") + lit(8L), col("__s"))) + lit(1L))
+            .otherwise(lit(0L)))
+        .groupBy(col("doc_id"))
+        .agg((sum(col("__cnt")) + lit(7L)).as("n_tokens"), sum(col("__cov")).as("dup_tokens"))
+        .select(col("doc_id"), col("n_tokens"), col("dup_tokens"),
+          expr("(n_tokens - dup_tokens) * 1000 div n_tokens").as("keep_milli"))
+    },
+    Some(s"""WITH t0 AS (SELECT doc_id, $toksSql AS tk FROM documents),
+             sp AS (SELECT doc_id, pg.pos AS pos, pg.g AS g
+                    FROM (SELECT doc_id, unnest(list_transform(range(0, len(tk) - 7),
+                            i -> {'pos': i, 'g': array_to_string(list_slice(tk, i + 1, i + 8), ' ')})) AS pg
+                          FROM t0 WHERE len(tk) >= 8)),
+             h AS (SELECT doc_id, pos, ${h60Sql("g")} AS gh FROM sp),
+             m AS (SELECT doc_id, pos,
+                     CASE WHEN min(doc_id) OVER (PARTITION BY gh) <> max(doc_id) OVER (PARTITION BY gh)
+                          THEN 1 ELSE 0 END AS dup
+                   FROM h),
+             i AS (SELECT doc_id, pos, dup,
+                     sum(dup) OVER (PARTITION BY doc_id ORDER BY pos) AS rnd
+                   FROM m),
+             isl0 AS (SELECT doc_id, isl, count(*) AS cnt, min(pos) AS s, max(pos) AS e
+                      FROM (SELECT doc_id, pos, CASE WHEN dup = 1 THEN pos - rnd END AS isl FROM i)
+                      GROUP BY doc_id, isl),
+             cov AS (SELECT doc_id,
+                       sum(e + 7 - greatest(s, coalesce(pe + 8, s)) + 1) AS dt
+                     FROM (SELECT doc_id, s, e, lag(e) OVER (PARTITION BY doc_id ORDER BY s) AS pe
+                           FROM isl0 WHERE isl IS NOT NULL)
+                     GROUP BY doc_id),
+             tot AS (SELECT doc_id, sum(cnt) + 7 AS n_tokens FROM isl0 GROUP BY doc_id)
+             SELECT tot.doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+               CAST(coalesce(dt, 0) AS BIGINT) AS dup_tokens,
+               CAST((n_tokens - coalesce(dt, 0)) * 1000 // n_tokens AS BIGINT) AS keep_milli
+             FROM tot LEFT JOIN cov USING (doc_id)"""))
+
   /** Per-dimension int8 scalar quantization report over the embedding
     * corpus — the compression decision view before building a
     * quantized ANN index (the SQ step of FAISS's SQ8 / IVF-SQ lineage,
@@ -6425,7 +6512,7 @@ object Queries {
     qOutliers, qTokenBudget, qRollupStats, qTimeWindowSum,
     qProfile, qStratifiedSample, qAsofForward, qScd2, qPairCuration, qWindowTopk,
     qRunningDistinct, qFirstSeen, qDedupDegree, qDecileBin,
-    qBloomDecontam, qDupSpanRuns, qEmbedQuant, qMixWeights, qEmbedPq, qPqAdc, qPqRescore, qDedupPrio, qKnnHubs, qIvfPq, qEmbedBinary,
+    qBloomDecontam, qDupSpanRuns, qEmbedQuant, qMixWeights, qEmbedPq, qPqAdc, qPqRescore, qDedupPrio, qKnnHubs, qIvfPq, qEmbedBinary, qSpanScrub,
     qTokenCount, qFingerprint, qMultimodalMeta,
     qMultimodalDecode, qResizePlan, qFrameSample, qAudioSegments, qTilePlan, qMixGap)
 

@@ -144,6 +144,36 @@ class PipelineOpsSpec extends SparkSpecBase {
     assert(rows(2L)._2 == 33L && rows(2L)._3 == 40L, rows) // doc2's copied prefix certifies the same 40
   }
 
+  test("q_span_scrub: dup_tokens is the EXACT brute-force union of duplicated 8-gram token spans") {
+    val out = Queries.queries("q_span_scrub")(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(out.nonEmpty)
+    // brute force on the driver: tokenize identically, find 8-grams seen
+    // in >1 DISTINCT doc, mark every token each dup window covers, count
+    // the marked set — the interval-union walk must reproduce it exactly
+    import graft.functions.TextFns
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id"), TextFns.tokensFast(col("text")).as("t"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1).toIndexedSeq).toMap
+    val docsOf = scala.collection.mutable.Map.empty[Seq[String], Set[Long]]
+    for ((id, toks) <- docs if toks.size >= 8; p <- 0 to toks.size - 8)
+      docsOf.updateWith(toks.slice(p, p + 8)) {
+        prev => Some(prev.getOrElse(Set.empty) + id)
+      }
+    for ((id, toks) <- docs) {
+      if (toks.size < 8) assert(!out.contains(id), s"doc $id has <8 tokens but was emitted")
+      else {
+        val covered = scala.collection.mutable.BitSet.empty
+        for (p <- 0 to toks.size - 8 if docsOf(toks.slice(p, p + 8)).size > 1)
+          covered ++= (p to p + 7)
+        val n = toks.size.toLong
+        val dup = covered.size.toLong
+        assert(out(id) == ((n, dup, (n - dup) * 1000 / n)),
+          s"doc $id: got ${out(id)} want ($n, $dup, ${(n - dup) * 1000 / n})")
+      }
+    }
+  }
+
   test("q_embed_quant: int8 reconstruction error is bounded by range/255 (+1 floor slack)") {
     val rows = Queries.queries("q_embed_quant")(spark, sfDir).collect()
     assert(rows.nonEmpty)

@@ -681,6 +681,21 @@ class PlanSpec extends SparkSpecBase {
     assert(f.contains("ReusedExchange") || f.contains("ReusedQueryStage"), f)
   }
 
+  test("q_span_scrub: dup flags ride the shared __gh exchange; island walk never sorts the hash partition") {
+    val df = Queries.queries("q_span_scrub")(spark, sfDir)
+    val p = planOf(df)
+    // same discipline as q_dup_span_runs: cross-doc test is a sort-free
+    // shuffle-hash join on the ONE repartition(__gh) exchange
+    assert(p.contains("ShuffledHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    // the two per-doc windows (run id over pos, interval clip over island
+    // start) are doc_id-partitioned — no single-partition exchange
+    assert(!p.contains("Exchange SinglePartition"), p)
+    df.collect()
+    val f = planOf(df)
+    assert(f.contains("ReusedExchange") || f.contains("ReusedQueryStage"), f)
+  }
+
   test("q_embed_quant: dims-row stats table broadcasts back; both aggs partial") {
     val p = planOf(Queries.queries("q_embed_quant")(spark, sfDir))
     assert(p.contains("BroadcastHashJoin"), p)
