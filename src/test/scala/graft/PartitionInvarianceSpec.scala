@@ -1,0 +1,77 @@
+package graft
+
+/** Distributed-determinism contract: a query's RESULT must be a pure
+  * function of its input tables — never of how the cluster happened to
+  * partition them. On a 1000-executor cluster the engine does not
+  * control reducer counts (AQE re-plans them per stage) or scan split
+  * boundaries (they follow file layout), so any query whose output
+  * shifts with `spark.sql.shuffle.partitions` or
+  * `spark.sql.files.maxPartitionBytes` is broken at scale even if it
+  * hash-matches the oracle at the verify harness's fixed settings.
+  *
+  * The subset below is every risk class in the inventory, not a random
+  * sample: deterministic-pseudorandom ops (hash-seeded shuffle/sample/
+  * bootstrap/DP noise — must NOT fall back to partition-seeded rand),
+  * top-k tie-breaking, two-phase exact rank statistics (median/MAD
+  * walk partial aggregates whose merge order changes with reducer
+  * count), sketch contract surfaces (HLL register-max and CMS slot-sum
+  * merges commute; the Misra-Gries and GK outputs are projected onto
+  * merge-robust contract columns — this spec is what pins that
+  * projection), iterative graph state (CC star-contraction round
+  * structure changes with partitioning; the FIXPOINT must not),
+  * clustering/ANN (centroid init must be data-keyed, not
+  * partition-keyed), and position-sensitive stream ops (chunk/skip/
+  * throttle ride an explicit total order, not arrival order).
+  *
+  * Float caveat: double-sum merge order differs across reducer counts;
+  * queries here survive because they aggregate in exact decimal/long
+  * space or round at a contract boundary — a new query failing this
+  * spec on an ulp should switch to a decimal sum, not loosen the spec.
+  */
+class PartitionInvarianceSpec extends SparkSpecBase {
+
+  private val subset = Seq(
+    // deterministic-pseudorandom
+    "q_shuffle_order", "q_weighted_sample", "q_sample_per_key",
+    "q_stratified_sample", "q_bootstrap", "q_dp_histogram", "q_split_assign",
+    // top-k / tie-breaking
+    "q3_topk", "q_topk_per_key", "q_window_topk", "q_embed_topk",
+    // two-phase exact rank statistics
+    "q_global_median", "q_mad",
+    // sketch contract surfaces
+    "q_approx_distinct", "q_quantiles", "q_heavy_hitters", "q_cms_freq",
+    // iterative graph fixpoints
+    "q_dedup_clusters", "q_pagerank", "q_dedup_prio",
+    // clustering / ANN assignment
+    "q_kmeans_step", "q_embed_ivf", "q_semdedup",
+    // position-sensitive stream ops
+    "q_pack_sequences", "q_chunk", "q_skip_take", "q_throttle")
+
+  private def runAll(): Map[String, Seq[String]] =
+    subset.map { q =>
+      q -> Queries.queries(q)(spark, sfDir).collect().map(_.toString).sorted.toSeq
+    }.toMap
+
+  test("27 risk-class queries are bit-identical under 1 / 4 / 13 shuffle partitions and 64 KiB scan splits") {
+    val shufKey = "spark.sql.shuffle.partitions"
+    val splitKey = "spark.sql.files.maxPartitionBytes"
+    val origShuf = spark.conf.get(shufKey)
+    val origSplit = spark.conf.get(splitKey)
+    try {
+      val base = runAll() // harness default: 4 reducers, default splits
+      base.foreach { case (q, rows) => assert(rows.nonEmpty, s"$q returned no rows") }
+      for ((shuf, split) <- Seq(("1", origSplit), ("13", "65536"))) {
+        spark.conf.set(shufKey, shuf)
+        spark.conf.set(splitKey, split)
+        val got = runAll()
+        for (q <- subset)
+          assert(got(q) == base(q),
+            s"$q result depends on partitioning ($shufKey=$shuf, $splitKey=$split): " +
+              s"${got(q).diff(base(q)).take(3)} vs ${base(q).diff(got(q)).take(3)}")
+      }
+    } finally {
+      spark.conf.set(shufKey, origShuf)
+      spark.conf.set(splitKey, origSplit)
+    }
+  }
+}
