@@ -69,7 +69,9 @@ object Bench {
     "q_knn_hubs", "q_ivfpq", "q_embed_binary",
     // exact interval-union span-removal accounting: the q_dup_span_runs
     // exchange plus a two-window island walk over the aggregate
-    "q_span_scrub")
+    "q_span_scrub",
+    // basket self-join association mining (Σ basket² pair explode)
+    "q_copurchase")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -4630,6 +4630,59 @@ object Queries {
                      JOIN uc cy ON bg.y = cy.term
                      CROSS JOIN nt"""))
 
+  /** Market-basket co-purchase mining over the order/part bipartite
+    * graph (the support/confidence/lift core of Agrawal-Srikant
+    * association rules, reference-class analytics over the TPC-H
+    * schema): part pairs that co-occur in an order, with exact
+    * integer-milli confidence (c_ab/c_a) and lift (n·c_ab/(c_a·c_b)).
+    *
+    * Scale shape: the pair generator is a SELF-EQUI-JOIN on l_orderkey
+    * over the distinct (order, part) projection — output bounded by
+    * Σ basket² (baskets are small and bounded by order size, never
+    * corpus²), and both join sides ride ONE orderkey exchange (AQE
+    * ReusedExchange). Part supports are a dim-bounded aggregate
+    * attached via shuffle_hash (broadcast-eligible when the part dim
+    * fits); the order total rides a 1-row broadcast. Top-50 by lift is
+    * TakeOrderedAndProject with a full-tuple tie-break — never a
+    * global sort.
+    */
+  private val qCopurchase = GraftQuery(
+    "q_copurchase",
+    (s, dir) => {
+      val li = t(s, dir, "lineitem")
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")).distinct()
+      val pairs = li.as("a").join(li.as("b").hint("shuffle_hash"), Seq("ok"))
+        .filter(col("a.pk") < col("b.pk"))
+        .groupBy(col("a.pk").as("p1"), col("b.pk").as("p2"))
+        .agg(count(lit(1)).as("c_ab"))
+        .filter(col("c_ab") >= 3)
+      val supp = li.groupBy(col("pk")).agg(count(lit(1)).as("c"))
+      val n = li.agg(countDistinct(col("ok")).as("n_orders"))
+      pairs
+        .join(supp.as("sa").hint("shuffle_hash"), col("p1") === col("sa.pk"))
+        .join(supp.as("sb").hint("shuffle_hash"), col("p2") === col("sb.pk"))
+        .crossJoin(broadcast(n))
+        .select(col("p1"), col("p2"), col("c_ab"),
+          expr("c_ab * 1000 div sa.c").as("conf_milli"),
+          expr("c_ab * n_orders * 1000 div (sa.c * sb.c)").as("lift_milli"))
+        .orderBy(col("lift_milli").desc, col("c_ab").desc, col("p1"), col("p2"))
+        .limit(50)
+    },
+    Some("""WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+             pr AS (SELECT a.pk AS p1, b.pk AS p2, CAST(count(*) AS BIGINT) AS c_ab
+                    FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk
+                    GROUP BY 1, 2 HAVING count(*) >= 3),
+             sp AS (SELECT pk, count(*) AS c FROM li GROUP BY 1),
+             n AS (SELECT count(DISTINCT ok) AS n_orders FROM li)
+             SELECT p1, p2, c_ab,
+               CAST(c_ab * 1000 // sa.c AS BIGINT) AS conf_milli,
+               CAST(c_ab * n_orders * 1000 // (sa.c * sb.c) AS BIGINT) AS lift_milli
+             FROM pr JOIN sp sa ON pr.p1 = sa.pk
+                     JOIN sp sb ON pr.p2 = sb.pk
+                     CROSS JOIN n
+             ORDER BY lift_milli DESC, c_ab DESC, p1, p2
+             LIMIT 50"""))
+
   /** Bigram language-model scoring of every document: the mean
     * conditional bigram probability p(y|x) = c(xy)/c(x) over the doc's
     * token sequence, in EXACT milli-units — the smoothing-free integer
@@ -6508,7 +6561,7 @@ object Queries {
     qIqr, qSpikes, qBootstrap, qTwap, qCandleReturns, qLifespan, qZipfTop,
     qChurnUsers, qDauMa, qGini, qDaypart, qConversionLag,
     qDedupSurvivors, qRunningStats, qSpanDedup, qTermScrub, qValueHistogram,
-    qBigramLift, qBigramLm, qPplBuckets, qPplBucketsScale, qDupNgram, qSemdedup, qBm25, qCdcChunks,
+    qBigramLift, qCopurchase, qBigramLm, qPplBuckets, qPplBucketsScale, qDupNgram, qSemdedup, qBm25, qCdcChunks,
     qOutliers, qTokenBudget, qRollupStats, qTimeWindowSum,
     qProfile, qStratifiedSample, qAsofForward, qScd2, qPairCuration, qWindowTopk,
     qRunningDistinct, qFirstSeen, qDedupDegree, qDecileBin,

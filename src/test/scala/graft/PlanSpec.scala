@@ -696,6 +696,19 @@ class PlanSpec extends SparkSpecBase {
     assert(f.contains("ReusedExchange") || f.contains("ReusedQueryStage"), f)
   }
 
+  test("q_copurchase: basket self-join shares one orderkey exchange; top-50 is TakeOrderedAndProject") {
+    val df = Queries.queries("q_copurchase")(spark, sfDir)
+    val p = planOf(df)
+    assert(p.contains("TakeOrderedAndProject"), p) // never a global sort
+    assert(!p.contains("CartesianProduct") &&
+      !(p.contains("BroadcastNestedLoopJoin") && !p.contains("n_orders")), p)
+    df.collect()
+    val f = planOf(df)
+    // the distinct (order, part) projection feeds both sides of the
+    // pair self-join AND the support aggregate — materialized once
+    assert(f.contains("ReusedExchange") || f.contains("ReusedQueryStage"), f)
+  }
+
   test("q_embed_quant: dims-row stats table broadcasts back; both aggs partial") {
     val p = planOf(Queries.queries("q_embed_quant")(spark, sfDir))
     assert(p.contains("BroadcastHashJoin"), p)
