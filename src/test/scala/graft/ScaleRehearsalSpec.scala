@@ -16,6 +16,7 @@ import org.apache.spark.sql.functions._
   * {{{
   *   q_prefix_jaccard        7.3 s ->  59.1 s (8.1x)   output   256 ->   156,384 rows (611x)
   *   q_dup_span_runs         1.6 s ->   2.0 s (1.2x)
+  *   q_span_scrub            1.7 s ->   2.9 s (1.7x)   (second-session run; others re-measured within noise)
   *   q_dedup_minhash         0.6 s ->   1.2 s (2.1x)
   *   q_dedup_simhash_pairs   1.2 s ->  30.3 s (26.1x)  output 311,610 -> 18,578,944 rows (59.6x)
   *   q_span_dedup            2.4 s ->   4.1 s (1.7x)
@@ -56,7 +57,7 @@ class ScaleRehearsalSpec extends SparkSpecBase {
     def time(f: => Unit): Double = {
       val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
     }
-    for (q <- Seq("q_prefix_jaccard", "q_dup_span_runs", "q_dedup_minhash",
+    for (q <- Seq("q_prefix_jaccard", "q_dup_span_runs", "q_span_scrub", "q_dedup_minhash",
         "q_dedup_simhash_pairs", "q_span_dedup", "q_semdedup", "q_dedup_exact")) {
       val fn = Queries.queries(q)
       val t1 = time(fn(spark, src).write.mode("overwrite").format("noop").save())
