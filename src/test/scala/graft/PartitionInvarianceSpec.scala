@@ -52,26 +52,34 @@ class PartitionInvarianceSpec extends SparkSpecBase {
       q -> Queries.queries(q)(spark, sfDir).collect().map(_.toString).sorted.toSeq
     }.toMap
 
-  test("27 risk-class queries are bit-identical under 1 / 4 / 13 shuffle partitions and 64 KiB scan splits") {
+  test("27 risk-class queries are bit-identical under 1 / 4 / 13 shuffle partitions, 64 KiB scan splits, and AQE off") {
     val shufKey = "spark.sql.shuffle.partitions"
     val splitKey = "spark.sql.files.maxPartitionBytes"
+    val aqeKey = "spark.sql.adaptive.enabled"
     val origShuf = spark.conf.get(shufKey)
     val origSplit = spark.conf.get(splitKey)
+    val origAqe = spark.conf.get(aqeKey)
     try {
-      val base = runAll() // harness default: 4 reducers, default splits
+      val base = runAll() // harness default: 4 reducers, default splits, AQE on
       base.foreach { case (q, rows) => assert(rows.nonEmpty, s"$q returned no rows") }
-      for ((shuf, split) <- Seq(("1", origSplit), ("13", "65536"))) {
+      // the third point also disables AQE: runtime coalescing/skew
+      // re-planning changes reducer counts and join strategies mid-query
+      // on a real cluster, and results must not notice
+      for ((shuf, split, aqe) <- Seq(("1", origSplit, origAqe), ("13", "65536", origAqe),
+          ("7", origSplit, "false"))) {
         spark.conf.set(shufKey, shuf)
         spark.conf.set(splitKey, split)
+        spark.conf.set(aqeKey, aqe)
         val got = runAll()
         for (q <- subset)
           assert(got(q) == base(q),
-            s"$q result depends on partitioning ($shufKey=$shuf, $splitKey=$split): " +
+            s"$q result depends on partitioning ($shufKey=$shuf, $splitKey=$split, $aqeKey=$aqe): " +
               s"${got(q).diff(base(q)).take(3)} vs ${base(q).diff(got(q)).take(3)}")
       }
     } finally {
       spark.conf.set(shufKey, origShuf)
       spark.conf.set(splitKey, origSplit)
+      spark.conf.set(aqeKey, origAqe)
     }
   }
 }
