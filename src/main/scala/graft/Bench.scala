@@ -71,7 +71,9 @@ object Bench {
     // exchange plus a two-window island walk over the aggregate
     "q_span_scrub",
     // basket self-join association mining (Σ basket² pair explode)
-    "q_copurchase")
+    "q_copurchase",
+    // the per-key ordered-array linear-recurrence fold
+    "q_ewma")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -208,6 +210,8 @@ object Bench {
         StreamingOps.throttleTime(ds, 60_000_000L).toDF()),
       run("candle_strat", OutputMode.Append())(ds =>
         StreamingOps.candleStrat(ds, 60_000_000L).toDF()),
+      run("ewma", OutputMode.Append())(ds =>
+        StreamingOps.ewma(ds).toDF()),
       cms)
     res.map { case (k, v) => f""""$k":$v%.3f""" }
       .mkString(s"""{"rows":${tape.length},""", ",", "}")

@@ -4465,6 +4465,41 @@ object Queries {
                    // count(*) OVER (w ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS BIGINT) AS mov_avg_milli
             FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)"""))
 
+  /** Exponential smoothing (EWMA, α = 0.3) of each user's value
+    * series in EXACT integer arithmetic: e₀ = v₀, eᵢ = (300·vᵢ +
+    * 700·eᵢ₋₁) div 1000 over cents — the float-free skeleton of the
+    * smoothed-metric layer (same integer-milli discipline as
+    * q_running_stats), so batch, the streaming twin
+    * (StreamingOps.ewma) and the DuckDB oracle agree bit-for-bit.
+    * Values must be non-negative for div/floor-division agreement
+    * (they are: event values are amounts).
+    *
+    * Scale shape: a linear recurrence is inherently sequential PER KEY
+    * (each step needs its predecessor), so the engine folds a per-key
+    * ordered array — one groupBy exchange, fold work linear in the
+    * key's history, parallel across keys (the only axis that grows at
+    * 100 TB; per-entity history is bounded). No window, no self-join;
+    * the (ts, event_id) sort happens inside sort_array on
+    * key-local data, never as a global sort.
+    */
+  private val qEwma = GraftQuery(
+    "q_ewma",
+    (s, dir) =>
+      events(s, dir)
+        .select(col("user_id"),
+          struct(col("ts"), col("event_id"),
+            (col("value").cast(dec) * 100).cast("long").as("cents")).as("__e"))
+        .groupBy("user_id")
+        .agg(sort_array(collect_list(col("__e"))).as("__l"), count(lit(1)).as("n"))
+        .withColumn("__c", expr("transform(__l, x -> x.cents)"))
+        .select(col("user_id"), col("n"),
+          expr("""aggregate(slice(__c, 2, size(__c) - 1), element_at(__c, 1),
+                            (acc, x) -> (300 * x + 700 * acc) div 1000)""").as("ewma_cents")),
+    Some("""SELECT user_id, CAST(count(*) AS BIGINT) AS n,
+              list_reduce(list(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) ORDER BY ts, event_id),
+                          (acc, x) -> (300 * x + 700 * acc) // 1000) AS ewma_cents
+            FROM events GROUP BY user_id"""))
+
   /** Exact substring-duplication signal (the span-level twin of
     * document near-dup): for each doc, how many of its distinct 8-token
     * windows also occur in ANOTHER doc. Spans ride as portable 60-bit
@@ -6560,7 +6595,7 @@ object Queries {
     qLangPurity, qTtr, qCosineBands, qJaccardBands, qTransitions, qCohorts,
     qIqr, qSpikes, qBootstrap, qTwap, qCandleReturns, qLifespan, qZipfTop,
     qChurnUsers, qDauMa, qGini, qDaypart, qConversionLag,
-    qDedupSurvivors, qRunningStats, qSpanDedup, qTermScrub, qValueHistogram,
+    qDedupSurvivors, qRunningStats, qEwma, qSpanDedup, qTermScrub, qValueHistogram,
     qBigramLift, qCopurchase, qBigramLm, qPplBuckets, qPplBucketsScale, qDupNgram, qSemdedup, qBm25, qCdcChunks,
     qOutliers, qTokenBudget, qRollupStats, qTimeWindowSum,
     qProfile, qStratifiedSample, qAsofForward, qScd2, qPairCuration, qWindowTopk,

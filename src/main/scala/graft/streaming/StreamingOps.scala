@@ -544,6 +544,46 @@ object StreamingOps {
       }
   }
 
+  /** A KeyedEvent carrying the EWMA value after folding it (exact
+    * integer cents).
+    */
+  final case class EwmaEvent(key: Long, tsUs: Long, value: Double, ewmaCents: Long)
+
+  /** Per-key EWMA state: seeded flag + current smoothed cents. */
+  final case class EwmaState(seeded: Boolean, cents: Long)
+
+  /** Streaming exponential smoothing — the incremental twin of the
+    * batch `q_ewma` fold: e₀ = v₀, eᵢ = (α·vᵢ + (1000−α)·eᵢ₋₁) div
+    * 1000, α in milli-units, values as exact cents, so state replayed
+    * across ANY micro-batch split matches the batch per-key array fold
+    * bit-for-bit (a float EWMA in state would drift under replay and
+    * merge order). Values must be non-negative (floor/trunc division
+    * agreement — same contract as the batch query). Within a batch
+    * events sort by (tsUs, value); cross-batch ordering is arrival
+    * order, as runningFold/lagWindow.
+    */
+  def ewma(stream: Dataset[KeyedEvent], alphaMilli: Long = 300L): Dataset[EwmaEvent] = {
+    require(alphaMilli >= 0L && alphaMilli <= 1000L, s"alphaMilli out of [0,1000]: $alphaMilli")
+    implicit val outEnc = Encoders.product[EwmaEvent]
+    implicit val stEnc = Encoders.product[EwmaState]
+    stream.groupByKey(_.key)(Encoders.scalaLong)
+      .flatMapGroupsWithState[EwmaState, EwmaEvent](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout) {
+        (key: Long, events: Iterator[KeyedEvent], state: GroupState[EwmaState]) =>
+          var st = state.getOption.getOrElse(EwmaState(seeded = false, 0L))
+          val out = events.toSeq.sortBy(e => (e.tsUs, e.value)).map { e =>
+            val cents = new java.math.BigDecimal(e.value)
+              .setScale(2, java.math.RoundingMode.HALF_UP).movePointRight(2).longValueExact()
+            st = if (!st.seeded) EwmaState(seeded = true, cents)
+            else EwmaState(seeded = true,
+              (alphaMilli * cents + (1000L - alphaMilli) * st.cents) / 1000L)
+            EwmaEvent(e.key, e.tsUs, e.value, st.cents)
+          }
+          state.update(st)
+          out.iterator
+      }
+  }
+
   /** One filled (key, hour) row: event count + exact cents sum (both 0
     * for gap hours) — the streaming twin of the batch q_gap_fill grid.
     */

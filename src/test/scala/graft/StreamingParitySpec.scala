@@ -425,6 +425,35 @@ class StreamingParitySpec extends SparkSpecBase {
     assert(got.exists(_._3 == -1L) && got.exists(_._3 > 0L))
   }
 
+  test("streaming ewma matches the exact integer fold, state carries across micro-batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val all = mkEvents
+    val (b1, b2) = all.splitAt(3) // smoothed value must survive the batch boundary
+    val ms = MemoryStream[KeyedEvent]
+    val q = StreamingOps.ewma(ms.toDS()).toDF()
+      .writeStream.format("memory").queryName("t_ewma").outputMode(OutputMode.Append()).start()
+    ms.addData(b1); q.processAllAvailable()
+    ms.addData(b2); q.processAllAvailable()
+    q.stop()
+    val got = spark.table("t_ewma").select("key", "tsUs", "ewmaCents")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+
+    // reference fold, driver-side, in the same exact integer arithmetic
+    val expect = all.groupBy(_.key).toSeq.flatMap { case (k, es) =>
+      var acc = -1L
+      es.sortBy(e => (e.tsUs, e.value)).map { e =>
+        val cents = (BigDecimal(e.value).setScale(2, BigDecimal.RoundingMode.HALF_UP) * 100).toLongExact
+        acc = if (acc < 0L) cents else (300L * cents + 700L * acc) / 1000L
+        (k, e.tsUs, acc)
+      }
+    }.toSet
+    assert(got == expect)
+    // the recurrence actually smoothed something (not just echoing v_i)
+    assert(got.map(_._3) != all.map(e =>
+      (BigDecimal(e.value).setScale(2, BigDecimal.RoundingMode.HALF_UP) * 100).toLongExact).toSet)
+  }
+
   test("streaming time-based throttle rate-limits per key, state carries across micro-batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
