@@ -72,8 +72,9 @@ object Bench {
     "q_span_scrub",
     // basket self-join association mining (Σ basket² pair explode)
     "q_copurchase",
-    // the per-key ordered-array linear-recurrence fold
-    "q_ewma")
+    // the per-key ordered-array linear-recurrence fold, and the
+    // closed-form (windowed) recurrence it contrasts with
+    "q_ewma", "q_cusum")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -4500,6 +4500,60 @@ object Queries {
                           (acc, x) -> (300 * x + 700 * acc) // 1000) AS ewma_cents
             FROM events GROUP BY user_id"""))
 
+  /** CUSUM drift detection (Page 1954) per user, in closed RELATIONAL
+    * form: the recurrence sᵢ = max(0, sᵢ₋₁ + (vᵢ − μ)) has the closed
+    * form sᵢ = Pᵢ − min(0, min_{j≤i} Pⱼ) where Pᵢ is the prefix sum of
+    * deviations — so the whole change-point statistic is two running
+    * windows over ONE (user, time) sort, no sequential fold at all
+    * (unlike q_ewma, whose recurrence has no such closed form). μ is
+    * the user's integer mean cents; emits the peak CUSUM excursion
+    * (the drift alarm statistic) and the number of resets (s returning
+    * to 0 = distinct drift episodes). All integer arithmetic on exact
+    * cents — portable bit-for-bit.
+    *
+    * Scale shape: one exchange on user_id; the partition-total mean
+    * and both running frames share that partitioning (the ordered
+    * frames share one sort); final rollup is a partial agg on the same
+    * key. Nothing global, nothing quadratic.
+    */
+  private val qCusum = GraftQuery(
+    "q_cusum",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+      events(s, dir)
+        .select(col("user_id"), col("ts"), col("event_id"),
+          (col("value").cast(dec) * 100).cast("long").as("__cents"))
+        .withColumn("__mu",
+          expr("sum(__cents) OVER (PARTITION BY user_id) div count(1) OVER (PARTITION BY user_id)"))
+        .withColumn("__p", sum(col("__cents") - col("__mu")).over(w))
+        .withColumn("__s", col("__p") - least(lit(0L), min(col("__p")).over(w)))
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n"), max(col("__mu")).as("mu_cents"),
+          max(col("__s")).as("peak_cusum"),
+          sum(when(col("__s") === 0L, 1L).otherwise(0L)).as("n_resets"))
+    },
+    Some("""WITH x AS (
+              SELECT user_id, ts, event_id,
+                CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents,
+                sum(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) OVER (PARTITION BY user_id)
+                  // count(*) OVER (PARTITION BY user_id) AS mu
+              FROM events),
+             p AS (
+              SELECT user_id, mu, ts, event_id,
+                sum(cents - mu) OVER w AS pp
+              FROM x WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING)),
+             q AS (
+              SELECT user_id, mu, pp,
+                min(pp) OVER w AS mn
+              FROM p WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING))
+             SELECT user_id, CAST(count(*) AS BIGINT) AS n,
+               CAST(max(mu) AS BIGINT) AS mu_cents,
+               CAST(max(pp - least(0, mn)) AS BIGINT) AS peak_cusum,
+               CAST(sum(CASE WHEN pp - least(0, mn) = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_resets
+             FROM q GROUP BY user_id"""))
+
   /** Exact substring-duplication signal (the span-level twin of
     * document near-dup): for each doc, how many of its distinct 8-token
     * windows also occur in ANOTHER doc. Spans ride as portable 60-bit
@@ -6595,7 +6649,7 @@ object Queries {
     qLangPurity, qTtr, qCosineBands, qJaccardBands, qTransitions, qCohorts,
     qIqr, qSpikes, qBootstrap, qTwap, qCandleReturns, qLifespan, qZipfTop,
     qChurnUsers, qDauMa, qGini, qDaypart, qConversionLag,
-    qDedupSurvivors, qRunningStats, qEwma, qSpanDedup, qTermScrub, qValueHistogram,
+    qDedupSurvivors, qRunningStats, qEwma, qCusum, qSpanDedup, qTermScrub, qValueHistogram,
     qBigramLift, qCopurchase, qBigramLm, qPplBuckets, qPplBucketsScale, qDupNgram, qSemdedup, qBm25, qCdcChunks,
     qOutliers, qTokenBudget, qRollupStats, qTimeWindowSum,
     qProfile, qStratifiedSample, qAsofForward, qScd2, qPairCuration, qWindowTopk,

@@ -709,6 +709,17 @@ class PlanSpec extends SparkSpecBase {
     assert(f.contains("ReusedExchange") || f.contains("ReusedQueryStage"), f)
   }
 
+  test("q_cusum: one user_id exchange carries mean window, both running frames, and the rollup") {
+    val p = planOf(Queries.queries("q_cusum")(spark, sfDir))
+    // single hash exchange; ordered frames share one sort; the final
+    // aggregate sits on the same partitioning (partial+final, no
+    // re-shuffle)
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1, p)
+    assert(!p.contains("Exchange SinglePartition"), p)
+    assert(p.contains("partial_"), p)
+    assert("Sort \\[".r.findAllIn(p).size <= 2, p) // [user_id] + [user_id, ts, event_id]
+  }
+
   test("q_embed_quant: dims-row stats table broadcasts back; both aggs partial") {
     val p = planOf(Queries.queries("q_embed_quant")(spark, sfDir))
     assert(p.contains("BroadcastHashJoin"), p)

@@ -31,6 +31,35 @@ class StreamStatsSpec extends SparkSpecBase {
     assert(bad.isEmpty)
   }
 
+  test("q_ewma + q_cusum: closed/array forms equal the literal driver-side recurrences") {
+    val tape = eventsDF
+      .select(col("user_id"), unix_micros(col("ts")).as("us"), col("event_id"),
+        (col("value").cast("decimal(18,2)") * 100).cast("long").as("cents"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .groupBy(_._1).map { case (u, rs) => u -> rs.sortBy(r => (r._2, r._3)).map(_._4).toSeq }
+    // EWMA: literal e0=v0, ei=(300*vi+700*e(i-1)) div 1000
+    val ewma = Queries.queries("q_ewma")(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    for ((u, vs) <- tape) {
+      val e = vs.tail.foldLeft(vs.head)((acc, x) => (300L * x + 700L * acc) / 1000L)
+      assert(ewma(u) == ((vs.size.toLong, e)), s"user $u ewma")
+    }
+    // CUSUM: literal s_i = max(0, s_(i-1) + (v_i - mu)); the query's
+    // prefix-sum/running-min closed form must reproduce peak AND resets
+    val cusum = Queries.queries("q_cusum")(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    for ((u, vs) <- tape) {
+      val mu = vs.sum / vs.size
+      var s = 0L; var peak = 0L; var resets = 0L
+      for (v <- vs) {
+        s = math.max(0L, s + (v - mu))
+        if (s > peak) peak = s
+        if (s == 0L) resets += 1
+      }
+      assert(cusum(u) == ((vs.size.toLong, mu, peak, resets)), s"user $u cusum")
+    }
+  }
+
   test("q_span_dedup: ratios in range; counts match a raw-gram-string recomputation") {
     val out = Queries.queries("q_span_dedup")(spark, sfDir)
     assert(out.filter(col("n_dup_spans") > col("n_spans")).isEmpty)
