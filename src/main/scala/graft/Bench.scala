@@ -74,7 +74,9 @@ object Bench {
     "q_copurchase",
     // the per-key ordered-array linear-recurrence fold, and the
     // closed-form (windowed) recurrence it contrasts with
-    "q_ewma", "q_cusum")
+    "q_ewma", "q_cusum",
+    // fixed-round monotone peel over the near-dup graph
+    "q_kcore")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

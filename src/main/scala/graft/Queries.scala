@@ -2028,6 +2028,37 @@ object Queries {
                      FROM deg LEFT JOIN c3 USING (id))
              SELECT id, pr AS pr_micro FROM pr3"""))
 
+  /** k-core membership (k=3, Seidman 1983) of the simhash near-dup
+    * graph — the dense-template-cluster detector: nodes surviving the
+    * degree-≥3 peel sit in near-clique duplication structure (boiler-
+    * plate families), while chains/pendants peel away; emits each core
+    * node with its within-core degree. FIXED 8 peel rounds on both
+    * engines (the peel is monotone, so post-convergence rounds are
+    * no-ops — deterministic without a data-dependent fixpoint test).
+    * Shares the materialized pair mining (`simhashPairs`) with the
+    * other derived graph queries; the oracle replays the peel as a
+    * recursive CTE over the same pair SQL.
+    */
+  private val qKcore = GraftQuery(
+    "q_kcore",
+    (s, dir) => Relational.kCore(simhashPairs(s, dir), "id_a", "id_b", k = 3, rounds = 8),
+    Some(s"""$simhashPairsSql,
+             und AS (SELECT id_a AS a, id_b AS b FROM p UNION ALL SELECT id_b, id_a FROM p),
+             peel(r, a, b) AS (
+               SELECT 0, a, b FROM und
+               UNION ALL
+               (WITH kdeg AS (SELECT a AS n, count(*) AS d FROM peel GROUP BY a),
+                     rr AS (SELECT max(r) AS r FROM peel)
+                SELECT rr.r + 1, u.a, u.b
+                FROM und u
+                JOIN kdeg ka ON u.a = ka.n AND ka.d >= 3
+                JOIN kdeg kb ON u.b = kb.n AND kb.d >= 3
+                CROSS JOIN rr
+                WHERE rr.r < 8)
+             )
+             SELECT a AS id, CAST(count(*) AS BIGINT) AS degree
+             FROM peel WHERE r = 8 GROUP BY a"""))
+
   /** Per-node triangle counts on the near-dup graph
     * (Relational.triangleCounts): the clustering-coefficient numerator —
     * triangle-rich components are cliques (safe to collapse to one
@@ -6637,7 +6668,7 @@ object Queries {
     qNegPairs, qPiiScrub, qKanon, qLdiv, qDpHistogram, qDedupReport,
     qBpePairs,
     qDedupExact, qDedupMinhash, qMinhashRescore, qContainment, qMinhashEst, qDedupSimhash, qDedupSimhashPairs,
-    qDedupClusters, qPagerank, qTriangles, qTrianglesApprox, qQualityDup, qHapax, qNgramJaccard, qDedupEmbed, qRepetition,
+    qDedupClusters, qPagerank, qKcore, qTriangles, qTrianglesApprox, qQualityDup, qHapax, qNgramJaccard, qDedupEmbed, qRepetition,
     qSplitLeakage, qJaccardCalib, qGroupSplit,
     qEmbedTopk, qEmbedLsh, qEmbedIvf, qEmbedIvf2, qKmeansStep, qDocChunks, qChunkDedup,
     qKnnClassify, qClassBalance, qGapFill, qInvertedIndex,

@@ -416,4 +416,44 @@ object Relational {
     }
     pr.select(col("id"), col("pr").as("pr_micro"))
   }
+
+  /** k-core peel (Seidman 1983 degeneracy cores), FIXED-round variant:
+    * W₀ = all undirected edges; Wᵣ₊₁ = edges of W₀ whose BOTH endpoints
+    * have degree ≥ k in Wᵣ. The filter is monotone (Wᵣ₊₁ ⊆ Wᵣ: a
+    * dropped edge's endpoint degree can only shrink), so extra rounds
+    * after convergence are no-ops — running EXACTLY `rounds` rounds is
+    * deterministic and engine-portable without a data-dependent
+    * fixpoint test. Returns surviving (id, degree) — the k-core
+    * membership plus within-core degree.
+    *
+    * Scale shape: each round is one groupBy(degree) + two equi-joins
+    * of the STATIC edge list against the (node, deg) table — never a
+    * growing frontier; per-round state is edge-list-bounded.
+    * Checkpoint discipline as pageRank: each round's eager cut frees
+    * the previous one immediately.
+    */
+  def kCore(pairs: DataFrame, srcCol: String, dstCol: String, k: Int,
+      rounds: Int = 8): DataFrame = {
+    val edges = pairs.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .union(pairs.select(col(dstCol).as("src"), col(srcCol).as("dst")))
+      .distinct()
+      .repartition(col("src"))
+      .localCheckpoint(true)
+    var w = edges
+    var lastCut: DataFrame = null
+    var r = 0
+    while (r < rounds) {
+      val deg = w.groupBy(col("src").as("__n")).agg(count(lit(1)).as("__d"))
+        .filter(col("__d") >= k)
+      val next = edges
+        .join(deg.select(col("__n").as("__na")), col("src") === col("__na"), "left_semi")
+        .join(deg.select(col("__n").as("__nb")), col("dst") === col("__nb"), "left_semi")
+        .localCheckpoint(true)
+      if (lastCut != null) org.apache.spark.sql.GraftBridge.freeLocalCheckpoint(lastCut)
+      lastCut = next
+      w = next
+      r += 1
+    }
+    w.groupBy(col("src").as("id")).agg(count(lit(1)).as("degree"))
+  }
 }

@@ -364,4 +364,27 @@ class OperatorsSpec extends SparkSpecBase {
     assert(got == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L,
       10L -> 1L, 11L -> 1L, 12L -> 1L))
   }
+
+  test("kCore: 3-core keeps exactly the K4, peels triangle-with-pendant and chains; extra rounds no-op") {
+    import spark.implicits._
+    // K4 on {1..4}; triangle {10,11,12} + pendant 13 (a 2-core but not
+    // a 3-core); chain 20-21-22 (no 2-core at all); bridge 4-20 links
+    // the chain to the K4 without changing either core
+    val pairs = Seq(
+      (1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L),
+      (10L, 11L), (10L, 12L), (11L, 12L), (12L, 13L),
+      (20L, 21L), (21L, 22L), (4L, 20L)).toDF("id_a", "id_b")
+    val core3 = Relational.kCore(pairs, "id_a", "id_b", k = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(core3 == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L), core3)
+    val core2 = Relational.kCore(pairs, "id_a", "id_b", k = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // 2-core: K4 (degrees still 3 within it) + the bare triangle
+    assert(core2 == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L,
+      10L -> 2L, 11L -> 2L, 12L -> 2L), core2)
+    // monotone peel: more rounds than needed change nothing
+    val core3Long = Relational.kCore(pairs, "id_a", "id_b", k = 3, rounds = 20)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(core3Long == core3)
+  }
 }
