@@ -215,6 +215,8 @@ object Bench {
         StreamingOps.candleStrat(ds, 60_000_000L).toDF()),
       run("ewma", OutputMode.Append())(ds =>
         StreamingOps.ewma(ds).toDF()),
+      run("cusum", OutputMode.Append())(ds =>
+        StreamingOps.cusum(ds, targetCents = 10_000L, thresholdCents = 100_000L).toDF()),
       cms)
     res.map { case (k, v) => f""""$k":$v%.3f""" }
       .mkString(s"""{"rows":${tape.length},""", ",", "}")

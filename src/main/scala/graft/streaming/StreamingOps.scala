@@ -584,6 +584,46 @@ object StreamingOps {
       }
   }
 
+  /** A KeyedEvent carrying its CUSUM statistic after folding it, plus
+    * the threshold alarm.
+    */
+  final case class CusumEvent(key: Long, tsUs: Long, value: Double,
+      cusumCents: Long, alarmed: Boolean)
+
+  /** Per-key CUSUM state: the current one-sided statistic. */
+  final case class CusumState(s: Long)
+
+  /** Streaming CUSUM drift monitor (Page 1954) against a FIXED target:
+    * sᵢ = max(0, sᵢ₋₁ + (vᵢ − target)) in exact integer cents, alarm
+    * when s crosses `thresholdCents`. The batch `q_cusum` centers on
+    * the key's realized mean (a two-pass quantity); the streaming
+    * monitor necessarily runs against a configured target — the
+    * standard deployment split for this statistic. Exact long state →
+    * bit-identical under any micro-batch split (parity spec). Within a
+    * batch events sort by (tsUs, value); cross-batch ordering is
+    * arrival order, as runningFold/ewma.
+    */
+  def cusum(stream: Dataset[KeyedEvent], targetCents: Long,
+      thresholdCents: Long): Dataset[CusumEvent] = {
+    require(thresholdCents > 0L, s"thresholdCents must be positive: $thresholdCents")
+    implicit val outEnc = Encoders.product[CusumEvent]
+    implicit val stEnc = Encoders.product[CusumState]
+    stream.groupByKey(_.key)(Encoders.scalaLong)
+      .flatMapGroupsWithState[CusumState, CusumEvent](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout) {
+        (key: Long, events: Iterator[KeyedEvent], state: GroupState[CusumState]) =>
+          var st = state.getOption.getOrElse(CusumState(0L))
+          val out = events.toSeq.sortBy(e => (e.tsUs, e.value)).map { e =>
+            val cents = new java.math.BigDecimal(e.value)
+              .setScale(2, java.math.RoundingMode.HALF_UP).movePointRight(2).longValueExact()
+            st = CusumState(math.max(0L, st.s + (cents - targetCents)))
+            CusumEvent(e.key, e.tsUs, e.value, st.s, st.s >= thresholdCents)
+          }
+          state.update(st)
+          out.iterator
+      }
+  }
+
   /** One filled (key, hour) row: event count + exact cents sum (both 0
     * for gap hours) — the streaming twin of the batch q_gap_fill grid.
     */

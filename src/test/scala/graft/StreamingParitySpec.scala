@@ -454,6 +454,34 @@ class StreamingParitySpec extends SparkSpecBase {
       (BigDecimal(e.value).setScale(2, BigDecimal.RoundingMode.HALF_UP) * 100).toLongExact).toSet)
   }
 
+  test("streaming cusum matches the literal recurrence; alarm fires exactly at threshold") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val all = mkEvents
+    val (b1, b2) = all.splitAt(3)
+    val target = 1200L // cents; tape values 5–40 → drifts both ways
+    val thresh = 1500L
+    val ms = MemoryStream[KeyedEvent]
+    val q = StreamingOps.cusum(ms.toDS(), target, thresh).toDF()
+      .writeStream.format("memory").queryName("t_cusum").outputMode(OutputMode.Append()).start()
+    ms.addData(b1); q.processAllAvailable()
+    ms.addData(b2); q.processAllAvailable()
+    q.stop()
+    val got = spark.table("t_cusum").select("key", "tsUs", "cusumCents", "alarmed")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3))).toSet
+
+    val expect = all.groupBy(_.key).toSeq.flatMap { case (k, es) =>
+      var s = 0L
+      es.sortBy(e => (e.tsUs, e.value)).map { e =>
+        val cents = (BigDecimal(e.value).setScale(2, BigDecimal.RoundingMode.HALF_UP) * 100).toLongExact
+        s = math.max(0L, s + (cents - target))
+        (k, e.tsUs, s, s >= thresh)
+      }
+    }.toSet
+    assert(got == expect)
+    assert(got.exists(_._4) && got.exists(!_._4), got) // both alarm states exercised
+  }
+
   test("streaming time-based throttle rate-limits per key, state carries across micro-batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
