@@ -732,6 +732,37 @@ class StreamingParitySpec extends SparkSpecBase {
       (1L, 3_000_000L, 3L, 1175L)))
   }
 
+  test("ewma state survives a query restart from checkpoint (smoothing continues exactly)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val tmp = java.nio.file.Files.createTempDirectory("graft-ewma-ckpt").toString
+    val ms = MemoryStream[KeyedEvent]
+    def start() = StreamingOps.ewma(ms.toDS()).toDF()
+      .writeStream.outputMode(OutputMode.Append())
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, batchId: Long) =>
+        batch.write.mode("overwrite").parquet(s"$tmp/out/batch_id=$batchId")
+      }
+      .option("checkpointLocation", s"$tmp/ckpt").start()
+
+    ms.addData(Seq(KeyedEvent(1L, 1_000_000L, 10.00), KeyedEvent(1L, 2_000_000L, 20.00)))
+    val q1 = start()
+    q1.processAllAvailable(); q1.stop()
+
+    // e0 = 1000; e1 = (300*2000 + 700*1000) div 1000 = 1300; after
+    // restart e2 must continue from 1300, not reseed
+    ms.addData(Seq(KeyedEvent(1L, 3_000_000L, 30.00)))
+    val q2 = start()
+    q2.processAllAvailable(); q2.stop()
+
+    val rows = spark.read.parquet(s"$tmp/out")
+      .select("key", "tsUs", "ewmaCents")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(rows == Set(
+      (1L, 1_000_000L, 1000L),
+      (1L, 2_000_000L, 1300L),
+      (1L, 3_000_000L, (300L * 3000L + 700L * 1300L) / 1000L))) // 1810
+  }
+
   test("lastTouch state survives a query restart from checkpoint (touch carries over)") {
     import spark.implicits._
     import graft.streaming.StreamingOps.TouchEvent
