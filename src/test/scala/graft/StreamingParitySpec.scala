@@ -1294,6 +1294,38 @@ class StreamingParitySpec extends SparkSpecBase {
     assert(run("t_ct_rand_delay", Seq(sorted), "30 seconds") == walk(maxTs - 30_000_000L))
   }
 
+  test("ewma + cusum are batching-invariant on a random tape (any micro-batch cuts)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // exact-long state means ANY cut of an in-order tape folds to the
+    // same values — the property the recurrences were integerized for
+    val rnd = new scala.util.Random(23)
+    val tape = (1 to 80).map { i =>
+      KeyedEvent(1L + rnd.nextInt(4), i * 1_000_000L, (rnd.nextInt(5000) + 1) / 100.0 * 1.0)
+    }
+    val sorted = tape.sortBy(e => (e.tsUs, e.value))
+    def cuts(): Seq[Seq[KeyedEvent]] = {
+      val c1 = 1 + rnd.nextInt(sorted.size - 2)
+      val c2 = c1 + 1 + rnd.nextInt(sorted.size - c1 - 1)
+      Seq(sorted.take(c1), sorted.slice(c1, c2), sorted.drop(c2))
+    }
+    def run(name: String, mk: org.apache.spark.sql.Dataset[KeyedEvent] => org.apache.spark.sql.DataFrame,
+        batches: Seq[Seq[KeyedEvent]]): Set[String] = {
+      val ms = MemoryStream[KeyedEvent]
+      val q = mk(ms.toDS()).writeStream
+        .format("memory").queryName(name).outputMode(OutputMode.Append()).start()
+      try batches.foreach { b => ms.addData(b); q.processAllAvailable() } finally q.stop()
+      spark.table(name).collect().map(_.toString).toSet
+    }
+    val e1 = run("t_ewma_b1", ds => StreamingOps.ewma(ds).toDF(), Seq(sorted))
+    val e2 = run("t_ewma_b3", ds => StreamingOps.ewma(ds).toDF(), cuts())
+    val e3 = run("t_ewma_b3b", ds => StreamingOps.ewma(ds).toDF(), cuts())
+    assert(e1 == e2 && e1 == e3 && e1.nonEmpty)
+    val c1 = run("t_cusum_b1", ds => StreamingOps.cusum(ds, 2500L, 4000L).toDF(), Seq(sorted))
+    val c2 = run("t_cusum_b3", ds => StreamingOps.cusum(ds, 2500L, 4000L).toDF(), cuts())
+    assert(c1 == c2 && c1.nonEmpty)
+  }
+
   test("chunksTimeout open chunk survives a query restart from checkpoint") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
