@@ -76,7 +76,9 @@ object Bench {
     // closed-form (windowed) recurrence it contrasts with
     "q_ewma", "q_cusum",
     // fixed-round monotone peel over the near-dup graph
-    "q_kcore")
+    "q_kcore",
+    // the excision content pass (island array back-join + HOF filter)
+    "q_span_excise")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

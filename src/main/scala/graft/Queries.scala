@@ -6033,6 +6033,93 @@ object Queries {
                CAST(CASE WHEN max_run > 0 THEN max_run + 7 ELSE 0 END AS BIGINT) AS max_dup_tokens
              FROM f"""))
 
+  /** The EXCISION itself — the step after q_span_scrub's accounting:
+    * per doc, the surviving token stream with every cross-doc
+    * duplicated 8-gram span removed, pinned by an md5 fingerprint of
+    * the kept tokens (so the oracle verifies the exact post-deletion
+    * CONTENT, not just counts). Islands ride back to the doc as a
+    * SMALL array (islands ≪ tokens); the keep/drop decision is a
+    * per-row higher-order filter over positions against that array —
+    * no position×interval range join, no second corpus shuffle beyond
+    * the doc_id island attach. Docs without dup spans keep everything
+    * (left join, empty island array).
+    */
+  private val qSpanExcise = GraftQuery(
+    "q_span_excise",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val g = Fence.guard(
+          t(s, dir, "documents")
+            .select(col("doc_id"), TextFns.tokensFast(col("text")).as("__toks"), Fence.col))
+        .filter(size(col("__toks")) >= 8)
+        .select(col("doc_id"),
+          posexplode(DedupFns.wordNgramsPositional(col("__toks"), 8)).as(Seq("pos", "__gram")))
+        .select(col("doc_id"), col("pos").cast("long").as("pos"),
+          TextFns.tokenHash(col("__gram")).as("__gh"))
+        .filter(col("__gh").isNotNull)
+        .repartition(col("__gh"))
+      val dupHashes = g.groupBy(col("__gh"))
+        .agg(min(col("doc_id")).as("__mn"), max(col("doc_id")).as("__mx"))
+        .filter(col("__mn") =!= col("__mx"))
+        .select(col("__gh").as("__dgh"))
+      val wd = Window.partitionBy("doc_id").orderBy(col("pos"))
+      val islands = g.join(dupHashes.hint("shuffle_hash"), col("__gh") === col("__dgh"), "left")
+        .select(col("doc_id"), col("pos"),
+          when(col("__dgh").isNotNull, 1L).otherwise(0L).as("__dup"))
+        .withColumn("__rnd", sum(col("__dup")).over(wd))
+        .withColumn("__isl", when(col("__dup") === 1L, col("pos") - col("__rnd")))
+        .filter(col("__isl").isNotNull)
+        .groupBy(col("doc_id"), col("__isl"))
+        .agg(min(col("pos")).as("s"), max(col("pos")).as("e"))
+        .groupBy(col("doc_id"))
+        .agg(collect_list(struct(col("s"), col("e"))).as("__islands"))
+      Fence.guard(
+          t(s, dir, "documents")
+            .select(col("doc_id"), TextFns.tokensFast(col("text")).as("__tk"), Fence.col))
+        .filter(size(col("__tk")) >= 8)
+        .join(islands, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("__tk"),
+          coalesce(col("__islands"),
+            array().cast("array<struct<s:bigint,e:bigint>>")).as("__ia"))
+        .select(col("doc_id"),
+          size(col("__tk")).cast("long").as("n_tokens"),
+          expr("""filter(sequence(0L, size(__tk) - 1L),
+                         t -> NOT exists(__ia, i -> t >= i.s AND t <= i.e + 7L))""").as("__kept"),
+          col("__tk"))
+        .select(col("doc_id"), col("n_tokens"),
+          size(col("__kept")).cast("long").as("kept_tokens"),
+          md5(concat_ws(" ",
+            expr("transform(__kept, t -> element_at(__tk, CAST(t + 1 AS INT)))"))).as("scrub_fp"))
+    },
+    Some(s"""WITH t0 AS (SELECT doc_id, $toksSql AS tk FROM documents),
+             sp AS (SELECT doc_id, pg.pos AS pos, pg.g AS g
+                    FROM (SELECT doc_id, unnest(list_transform(range(0, len(tk) - 7),
+                            i -> {'pos': i, 'g': array_to_string(list_slice(tk, i + 1, i + 8), ' ')})) AS pg
+                          FROM t0 WHERE len(tk) >= 8)),
+             h AS (SELECT doc_id, pos, ${h60Sql("g")} AS gh FROM sp),
+             m AS (SELECT doc_id, pos,
+                     CASE WHEN min(doc_id) OVER (PARTITION BY gh) <> max(doc_id) OVER (PARTITION BY gh)
+                          THEN 1 ELSE 0 END AS dup
+                   FROM h),
+             i AS (SELECT doc_id, pos, dup,
+                     sum(dup) OVER (PARTITION BY doc_id ORDER BY pos) AS rnd
+                   FROM m),
+             isl AS (SELECT doc_id, min(pos) AS s, max(pos) AS e
+                     FROM (SELECT doc_id, pos, CASE WHEN dup = 1 THEN pos - rnd END AS isl FROM i)
+                     WHERE isl IS NOT NULL GROUP BY doc_id, isl),
+             ia AS (SELECT doc_id, list({'s': s, 'e': e}) AS islands FROM isl GROUP BY doc_id),
+             d AS (SELECT doc_id, tk, len(tk) AS n FROM t0 WHERE len(tk) >= 8),
+             kp AS (SELECT d.doc_id, tk, n,
+                      CASE WHEN islands IS NULL THEN range(0, n)
+                           ELSE list_filter(range(0, n),
+                                  t -> len(list_filter(islands,
+                                         x -> t >= x['s'] AND t <= x['e'] + 7)) = 0) END AS kept
+                    FROM d LEFT JOIN ia USING (doc_id))
+             SELECT doc_id, CAST(n AS BIGINT) AS n_tokens,
+               CAST(len(kept) AS BIGINT) AS kept_tokens,
+               md5(coalesce(array_to_string(list_transform(kept, t -> tk[t + 1]), ' '), '')) AS scrub_fp
+             FROM kp"""))
+
   /** Exact substring-dedup REMOVAL accounting (the deletion step of
     * Lee et al. 2022 exact substring dedup): per doc, how many tokens
     * the cross-doc duplicated 8-gram spans actually COVER — computed as
@@ -6685,7 +6772,7 @@ object Queries {
     qOutliers, qTokenBudget, qRollupStats, qTimeWindowSum,
     qProfile, qStratifiedSample, qAsofForward, qScd2, qPairCuration, qWindowTopk,
     qRunningDistinct, qFirstSeen, qDedupDegree, qDecileBin,
-    qBloomDecontam, qDupSpanRuns, qEmbedQuant, qMixWeights, qEmbedPq, qPqAdc, qPqRescore, qDedupPrio, qKnnHubs, qIvfPq, qEmbedBinary, qSpanScrub,
+    qBloomDecontam, qDupSpanRuns, qEmbedQuant, qMixWeights, qEmbedPq, qPqAdc, qPqRescore, qDedupPrio, qKnnHubs, qIvfPq, qEmbedBinary, qSpanScrub, qSpanExcise,
     qTokenCount, qFingerprint, qMultimodalMeta,
     qMultimodalDecode, qResizePlan, qFrameSample, qAudioSegments, qTilePlan, qMixGap)
 

@@ -174,6 +174,25 @@ class PipelineOpsSpec extends SparkSpecBase {
     }
   }
 
+  test("q_span_excise: kept size equals scrub accounting exactly; untouched docs fingerprint their full text") {
+    import graft.functions.TextFns
+    val scrub = Queries.queries("q_span_scrub")(spark, sfDir)
+      .select(col("doc_id"), col("n_tokens").as("s_n"), col("dup_tokens"))
+    val exc = Queries.queries("q_span_excise")(spark, sfDir)
+    // the interval-union ACCOUNTING and the actual EXCISION must agree
+    // doc by doc: kept = n - dup, same doc set
+    val j = exc.join(scrub, Seq("doc_id"), "full")
+    assert(j.filter(col("s_n").isNull || col("kept_tokens").isNull).isEmpty)
+    assert(j.filter(col("n_tokens") =!= col("s_n")).isEmpty)
+    assert(j.filter(col("kept_tokens") =!= col("s_n") - col("dup_tokens")).isEmpty)
+    // docs with zero dup coverage keep their exact token stream
+    val full = exc.filter(col("kept_tokens") === col("n_tokens"))
+      .join(spark.read.parquet(s"$sfDir/documents.parquet"), "doc_id")
+      .withColumn("__fp", md5(concat_ws(" ", TextFns.tokensFast(col("text")))))
+    assert(full.count() > 0)
+    assert(full.filter(col("scrub_fp") =!= col("__fp")).isEmpty)
+  }
+
   test("q_embed_quant: int8 reconstruction error is bounded by range/255 (+1 floor slack)") {
     val rows = Queries.queries("q_embed_quant")(spark, sfDir).collect()
     assert(rows.nonEmpty)

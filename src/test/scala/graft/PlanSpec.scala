@@ -267,7 +267,11 @@ class PlanSpec extends SparkSpecBase {
       "q_pq_rescore" -> 8,
       // IVF-PQ: corpus cell assignment (1) + 8-subspace residual encode
       // + query cell probing (1) — 10 single-evaluation probe sites
-      "q_ivfpq" -> 10).withDefaultValue(2)
+      "q_ivfpq" -> 10,
+      // excision needs the token ARRAY back at the doc row on top of
+      // the gram pipeline's shared-exchange pair — 3 single-evaluation
+      // tokenize sites, each fenced
+      "q_span_excise" -> 3).withDefaultValue(2)
     for ((name, fn) <- Queries.queries.toSeq.sortBy(_._1)) {
       val p = fn(spark, sfDir).queryExecution.optimizedPlan.toString.toLowerCase
       for (pat <- pats) {
