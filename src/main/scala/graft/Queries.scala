@@ -6058,9 +6058,13 @@ object Queries {
           TextFns.tokenHash(col("__gram")).as("__gh"))
         .filter(col("__gh").isNotNull)
         .repartition(col("__gh"))
+      // pos stays referenced on the aggregate side (never-true filter)
+      // so both __gh subtrees canonicalize identically → one exchange,
+      // AQE ReusedExchange (see q_span_scrub)
       val dupHashes = g.groupBy(col("__gh"))
-        .agg(min(col("doc_id")).as("__mn"), max(col("doc_id")).as("__mx"))
-        .filter(col("__mn") =!= col("__mx"))
+        .agg(min(col("doc_id")).as("__mn"), max(col("doc_id")).as("__mx"),
+          max(col("pos")).as("__mp"))
+        .filter(col("__mn") =!= col("__mx") || col("__mp") < 0)
         .select(col("__gh").as("__dgh"))
       val wd = Window.partitionBy("doc_id").orderBy(col("pos"))
       val islands = g.join(dupHashes.hint("shuffle_hash"), col("__gh") === col("__dgh"), "left")
@@ -6136,7 +6140,6 @@ object Queries {
   private val qSpanScrub = GraftQuery(
     "q_span_scrub",
     (s, dir) => {
-      import org.apache.spark.sql.expressions.Window
       val g = Fence.guard(
           t(s, dir, "documents")
             .select(col("doc_id"), TextFns.tokensFast(col("text")).as("__toks"), Fence.col))
@@ -6147,36 +6150,25 @@ object Queries {
           TextFns.tokenHash(col("__gram")).as("__gh"))
         .filter(col("__gh").isNotNull)
         .repartition(col("__gh"))
-      // same exchange-reuse discipline as q_dup_span_runs (see there)
+      // same exchange-reuse discipline as q_dup_span_runs: the
+      // never-true `__mp < 0` keeps `pos` REFERENCED on the aggregate
+      // side so column pruning cannot shrink its exchange subtree —
+      // both sides then canonicalize to the SAME repartition(__gh)
+      // exchange and AQE materializes it once (ReusedExchange, asserted
+      // in PlanSpec). Dropping it re-plans the tokenize+explode scan
+      // twice.
       val dupHashes = g.groupBy(col("__gh"))
         .agg(min(col("doc_id")).as("__mn"), max(col("doc_id")).as("__mx"),
           max(col("pos")).as("__mp"))
         .filter(col("__mn") =!= col("__mx") || col("__mp") < 0)
         .select(col("__gh").as("__dgh"))
-      val wd = Window.partitionBy("doc_id").orderBy(col("pos"))
-      val byIsl = g.join(dupHashes.hint("shuffle_hash"), col("__gh") === col("__dgh"), "left")
-        .select(col("doc_id"), col("pos"),
-          when(col("__dgh").isNotNull, 1L).otherwise(0L).as("__dup"))
-        .withColumn("__rnd", sum(col("__dup")).over(wd))
-        .withColumn("__isl", when(col("__dup") === 1L, col("pos") - col("__rnd")))
-        .groupBy(col("doc_id"), col("__isl"))
-        .agg(count(lit(1)).as("__cnt"), min(col("pos")).as("__s"), max(col("pos")).as("__e"))
-      // ONE downstream pass: the clip window partitions on
-      // (doc_id, __isl IS NULL) so the null-island row (non-dup
-      // positions) sits in its own partition and can never be the lag
-      // predecessor of a real island — letting n_tokens and the
-      // clipped coverage fold into a single groupBy(doc_id) instead of
-      // re-deriving byIsl (which would re-plan the tokenize subtree)
-      val wl = Window.partitionBy(col("doc_id"), col("__isl").isNull).orderBy(col("__s"))
-      byIsl
-        .withColumn("__pe", lag(col("__e"), 1).over(wl))
-        .withColumn("__cov",
-          when(col("__isl").isNotNull,
-            col("__e") + lit(7L) -
-              greatest(col("__s"), coalesce(col("__pe") + lit(8L), col("__s"))) + lit(1L))
-            .otherwise(lit(0L)))
-        .groupBy(col("doc_id"))
-        .agg((sum(col("__cnt")) + lit(7L)).as("n_tokens"), sum(col("__cov")).as("dup_tokens"))
+      // the island walk lives in DedupFns.spanCoverage — ONE shared
+      // implementation with the streaming incremental twin, so their
+      // parity is structural rather than re-proved per change
+      DedupFns.spanCoverage(
+          g.join(dupHashes.hint("shuffle_hash"), col("__gh") === col("__dgh"), "left")
+            .select(col("doc_id"), col("pos"),
+              when(col("__dgh").isNotNull, 1L).otherwise(0L).as("__dup")))
         .select(col("doc_id"), col("n_tokens"), col("dup_tokens"),
           expr("(n_tokens - dup_tokens) * 1000 div n_tokens").as("keep_milli"))
     },

@@ -525,4 +525,38 @@ object DedupFns {
       .filter(col("inter") * 1000 >= col("uni") * tauPermille)
       .withColumn("jac_milli", expr("inter * 1000 div uni"))
   }
+
+  /** Exact interval-union token coverage from per-position dup flags
+    * (the island walk shared by batch `q_span_scrub` and the streaming
+    * incremental twin — one implementation, so their parity is
+    * structural): input one row per positional w-gram
+    * (doc_id, pos, __dup ∈ {0,1}); output (doc_id, n_tokens,
+    * dup_tokens) where dup_tokens is the EXACT union of the flagged
+    * windows' [p, p+w−1] token footprints. Consecutive flagged
+    * positions collapse to islands (gaps-and-islands over one per-doc
+    * window); the clip window partitions on (doc_id, island IS NULL)
+    * so the null-island row can never be a lag predecessor; islands
+    * closer than w clip at the previous island's end+w−1, making the
+    * sum the exact union length. One doc_id exchange carries
+    * everything downstream of the flags.
+    */
+  def spanCoverage(flags: DataFrame, w: Int = 8): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wd = Window.partitionBy("doc_id").orderBy(col("pos"))
+    val byIsl = flags
+      .withColumn("__rnd", sum(col("__dup")).over(wd))
+      .withColumn("__isl", when(col("__dup") === 1L, col("pos") - col("__rnd")))
+      .groupBy(col("doc_id"), col("__isl"))
+      .agg(count(lit(1)).as("__cnt"), min(col("pos")).as("__s"), max(col("pos")).as("__e"))
+    val wl = Window.partitionBy(col("doc_id"), col("__isl").isNull).orderBy(col("__s"))
+    byIsl
+      .withColumn("__pe", lag(col("__e"), 1).over(wl))
+      .withColumn("__cov",
+        when(col("__isl").isNotNull,
+          col("__e") + lit(w - 1L) -
+            greatest(col("__s"), coalesce(col("__pe") + lit(w.toLong), col("__s"))) + lit(1L))
+          .otherwise(lit(0L)))
+      .groupBy(col("doc_id"))
+      .agg((sum(col("__cnt")) + lit(w - 1L)).as("n_tokens"), sum(col("__cov")).as("dup_tokens"))
+  }
 }

@@ -49,14 +49,16 @@ class PartitionInvarianceSpec extends SparkSpecBase {
     // round-10 session-2 additions: interval-union islands, basket
     // top-50 tie-break, per-key array fold, closed-form recurrence,
     // fixed-round iterative peel
-    "q_span_scrub", "q_copurchase", "q_ewma", "q_cusum", "q_kcore")
+    "q_span_scrub", "q_copurchase", "q_ewma", "q_cusum", "q_kcore",
+    // island arrays collect in partition order — output must not notice
+    "q_span_excise")
 
   private def runAll(): Map[String, Seq[String]] =
     subset.map { q =>
       q -> Queries.queries(q)(spark, sfDir).collect().map(_.toString).sorted.toSeq
     }.toMap
 
-  test("32 risk-class queries are bit-identical under 1 / 4 / 13 shuffle partitions, 64 KiB scan splits, and AQE off") {
+  test("33 risk-class queries are bit-identical under 1 / 4 / 13 shuffle partitions, 64 KiB scan splits, and AQE off") {
     val shufKey = "spark.sql.shuffle.partitions"
     val splitKey = "spark.sql.files.maxPartitionBytes"
     val aqeKey = "spark.sql.adaptive.enabled"

@@ -713,6 +713,16 @@ class PlanSpec extends SparkSpecBase {
     assert(f.contains("ReusedExchange") || f.contains("ReusedQueryStage"), f)
   }
 
+  test("q_span_excise: gram sides share the __gh exchange; island attach is an equi-join") {
+    val df = Queries.queries("q_span_excise")(spark, sfDir)
+    val p = planOf(df)
+    assert(p.contains("ShuffledHashJoin"), p)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    df.collect()
+    val f = planOf(df)
+    assert(f.contains("ReusedExchange") || f.contains("ReusedQueryStage"), f)
+  }
+
   test("q_cusum: one user_id exchange carries mean window, both running frames, and the rollup") {
     val p = planOf(Queries.queries("q_cusum")(spark, sfDir))
     // single hash exchange; ordered frames share one sort; the final
