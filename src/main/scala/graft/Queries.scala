@@ -6056,7 +6056,11 @@ object Queries {
           posexplode(DedupFns.wordNgramsPositional(col("__toks"), 8)).as(Seq("pos", "__gram")))
         .select(col("doc_id"), col("pos").cast("long").as("pos"),
           TextFns.tokenHash(col("__gram")).as("__gh"))
-        .filter(col("__gh").isNotNull)
+        // doc_id isNotNull is stated EXPLICITLY: the doc-side left join
+        // infers it onto the islands branch only, and an asymmetric
+        // pushed-down conjunct would de-canonicalize the two __gh
+        // subtrees and silently kill the exchange reuse
+        .filter(col("__gh").isNotNull && col("doc_id").isNotNull)
         .repartition(col("__gh"))
       // pos stays referenced on the aggregate side (never-true filter)
       // so both __gh subtrees canonicalize identically → one exchange,
