@@ -825,6 +825,70 @@ object StreamingOps {
   def enrich(stream: DataFrame, dim: DataFrame, streamKey: String, dimKey: String): DataFrame =
     stream.join(broadcast(dim), stream(streamKey) === dim(dimKey), "inner")
 
+  /** Incremental substring-duplication coverage — the streaming twin
+    * of batch `q_span_scrub` via the foreachBatch pattern above: a
+    * gram position is DUP if its 60-bit hash was seen in ANY prior
+    * batch or in ANOTHER doc of this batch; coverage is the exact
+    * interval union via the SHARED DedupFns.spanCoverage island walk,
+    * and all grams append to batch-keyed parquet history (idempotent
+    * replay). Single-batch runs equal the batch query bit-for-bit
+    * (StreamingParitySpec); multi-batch runs give prefix semantics —
+    * the online view a streaming ingest pipeline wants.
+    */
+  def spanScrubIncremental(stream: DataFrame, idCol: String, textCol: String,
+      historyDir: String, outDir: String): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    stream.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      val spark = batch.sparkSession
+      import graft.functions.{DedupFns, Fence, TextFns}
+      val g = Fence.guard(
+          batch.select(col(idCol).as("doc_id"),
+            TextFns.tokensFast(col(textCol)).as("__toks"), Fence.col))
+        .filter(size(col("__toks")) >= 8)
+        .select(col("doc_id"),
+          posexplode(DedupFns.wordNgramsPositional(col("__toks"), 8)).as(Seq("pos", "__gram")))
+        .select(col("doc_id"), col("pos").cast("long").as("pos"),
+          TextFns.tokenHash(col("__gram")).as("__gh"))
+        .filter(col("__gh").isNotNull)
+        .cache()
+      try {
+        val histSchema = org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("gh", org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("batch_id", org.apache.spark.sql.types.LongType)))
+        val histPath = new org.apache.hadoop.fs.Path(historyDir)
+        val fs = histPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val hist =
+          if (!fs.exists(histPath))
+            spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], histSchema)
+          else spark.read.schema(histSchema).parquet(historyDir)
+            .filter(col("batch_id") < batchId)
+        // dup = gram seen in ANY prior batch (any doc — prefix
+        // semantics) OR in another doc of THIS batch (min≠max, the
+        // batch rule) — so a one-batch run reproduces q_span_scrub
+        // exactly and later copies flag against everything streamed
+        val dup = g.groupBy(col("__gh"))
+          .agg(min(col("doc_id")).as("__mn"), max(col("doc_id")).as("__mx"))
+          .filter(col("__mn") =!= col("__mx"))
+          .select(col("__gh").as("__dgh"))
+          .union(hist.select(col("gh").as("__dgh")))
+          .distinct()
+        val flags = g.join(dup.hint("shuffle_hash"), col("__gh") === col("__dgh"), "left")
+          .select(col("doc_id"), col("pos"),
+            when(col("__dgh").isNotNull, 1L).otherwise(0L).as("__dup"))
+        // the SAME island walk the batch query plans (DedupFns
+        // .spanCoverage) — parity is structural, not re-proved
+        DedupFns.spanCoverage(flags)
+          .select(col("doc_id"), col("n_tokens"), col("dup_tokens"),
+            expr("(n_tokens - dup_tokens) * 1000 div n_tokens").as("keep_milli"))
+          .write.mode("overwrite").parquet(s"$outDir/batch_id=$batchId")
+        // ALL grams enter history (dup included); per-batch overwrite +
+        // batch_id < batchId read filter make at-least-once replay
+        // idempotent, as dedupMinhashIncremental
+        g.select(col("__gh").as("gh")).distinct()
+          .write.mode("overwrite").parquet(s"$historyDir/batch_id=$batchId")
+      } finally { g.unpersist(); () }
+    }
+  }
+
   /** Incremental NEAR-dup dedup for a document stream — the streaming
     * twin of DedupFns.minhashCandidates, via the foreachBatch pattern:
     * per micro-batch,

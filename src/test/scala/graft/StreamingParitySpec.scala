@@ -819,6 +819,46 @@ class StreamingParitySpec extends SparkSpecBase {
     assert(rows == Set((1L, 1_000_000L), (1L, 61_000_000L)))
   }
 
+  test("incremental span coverage: one batch equals q_span_scrub; later copies flag against history") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // single-batch run over the real corpus == the batch query, row for row
+    val tmp1 = java.nio.file.Files.createTempDirectory("graft-ispan1").toString
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id"), col("text"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    val ms1 = MemoryStream[(Long, String)]
+    val q1 = StreamingOps.spanScrubIncremental(
+        ms1.toDF().toDF("doc_id", "text"), "doc_id", "text",
+        s"$tmp1/history", s"$tmp1/out")
+      .option("checkpointLocation", s"$tmp1/ckpt").start()
+    try { ms1.addData(docs); q1.processAllAvailable() } finally q1.stop()
+    val got = spark.read.parquet(s"$tmp1/out")
+      .select("doc_id", "n_tokens", "dup_tokens", "keep_milli")
+      .collect().map(_.toString).sorted.toSeq
+    val batchRows = Queries.queries("q_span_scrub")(spark, sfDir)
+      .collect().map(_.toString).sorted.toSeq
+    assert(got == batchRows && got.nonEmpty)
+
+    // prefix semantics across batches: an exact copy arriving LATER is
+    // fully covered; the original (batch 1) stays untouched
+    val tmp2 = java.nio.file.Files.createTempDirectory("graft-ispan2").toString
+    val a = (1 to 20).map(i => s"w$i").mkString(" ")
+    val ms2 = MemoryStream[(Long, String)]
+    def start2() = StreamingOps.spanScrubIncremental(
+        ms2.toDF().toDF("doc_id", "text"), "doc_id", "text",
+        s"$tmp2/history", s"$tmp2/out")
+      .option("checkpointLocation", s"$tmp2/ckpt").start()
+    val qa = start2()
+    try { ms2.addData(Seq((1L, a))); qa.processAllAvailable() } finally qa.stop()
+    val qb = start2()
+    try { ms2.addData(Seq((2L, a))); qb.processAllAvailable() } finally qb.stop()
+    val rows = spark.read.parquet(s"$tmp2/out")
+      .select("doc_id", "n_tokens", "dup_tokens")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(rows == Map(1L -> ((20L, 0L)), 2L -> ((20L, 20L))), rows)
+  }
+
   test("incremental minhash dedup drops near-dups within and across micro-batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
