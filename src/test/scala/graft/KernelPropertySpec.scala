@@ -61,6 +61,34 @@ class KernelPropertySpec extends SparkSpecBase {
     }
   }
 
+  test("spanCoverage: island clip == brute-force window-footprint union on random flag tapes") {
+    // the clip arithmetic (__pe + w) is exactly the regime where islands
+    // sit 1..w-1 positions apart and their [p, p+w-1] footprints overlap
+    // — random dense tapes hit every gap size; brute force marks the
+    // footprint token-by-token
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    for (trial <- 1 to 8) {
+      val w = 2 + rnd.nextInt(7) // window widths 2..8
+      val tape = for {
+        doc <- 1 to 6
+        n = 1 + rnd.nextInt(30) // gram positions per doc
+        pos <- 0 until n
+      } yield (doc.toLong, pos.toLong, if (rnd.nextInt(3) == 0) 1L else 0L)
+      val got = graft.functions.DedupFns.spanCoverage(
+          tape.toDF("doc_id", "pos", "__dup"), w)
+        .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+      val expect = tape.groupBy(_._1).map { case (doc, rows) =>
+        val covered = scala.collection.mutable.BitSet.empty
+        rows.foreach { case (_, p, d) =>
+          if (d == 1L) covered ++= (p.toInt until p.toInt + w)
+        }
+        doc -> ((rows.size.toLong + w - 1, covered.size.toLong))
+      }
+      assert(got == expect, s"trial $trial (w=$w): $got vs $expect")
+    }
+  }
+
   test("connectedComponents: star contraction == union-find on random graphs") {
     // the alternating large-star/small-star rewrite must produce the
     // same partition as a sequential union-find on ANY graph shape —
