@@ -723,6 +723,14 @@ class PlanSpec extends SparkSpecBase {
     assert(f.contains("ReusedExchange") || f.contains("ReusedQueryStage"), f)
   }
 
+  test("q_ewma: per-key array fold — one exchange, no Window, partial aggs") {
+    val p = planOf(Queries.queries("q_ewma")(spark, sfDir))
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1, p)
+    assert(!p.contains("Window"), p) // the recurrence folds a key-local array
+    assert(p.contains("partial_"), p)
+    assert(!p.contains("Exchange SinglePartition"), p)
+  }
+
   test("q_cusum: one user_id exchange carries mean window, both running frames, and the rollup") {
     val p = planOf(Queries.queries("q_cusum")(spark, sfDir))
     // single hash exchange; ordered frames share one sort; the final
