@@ -78,7 +78,9 @@ object Bench {
     // fixed-round monotone peel over the near-dup graph
     "q_kcore",
     // the excision content pass (island array back-join + HOF filter)
-    "q_span_excise")
+    "q_span_excise",
+    // the sorting-based candidate generator (block window + adjacent-bucket join)
+    "q_sorted_dedup")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

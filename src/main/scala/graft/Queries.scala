@@ -2526,6 +2526,66 @@ object Queries {
              JOIN docs da ON id_a = da.doc_id
              JOIN docs db ON id_b = db.doc_id"""))
 
+  /** Sorted-neighborhood dedup (Hernández-Stolfo 1995), the classic
+    * SORTING-based candidate generator — the inventory's hashing-based
+    * generators (LSH bands, simhash byte-bands, deletion neighborhoods,
+    * PPJoin prefixes) all bucket by content hashes; this one instead
+    * sorts by a blocking key and compares only docs within a sliding
+    * rank window. Productionized as BLOCKED sorted-neighborhood: a
+    * global sort would need range partitioning, so the sort happens
+    * WITHIN a coarse block (first token) as a keyed window — scalable,
+    * and exactly the multi-pass variant the original paper ships.
+    * Window pairs (rank distance 1..W−1) resolve via an equi-join on
+    * (block, rank div W) with the left side doubled to (k, k+1) — an
+    * adjacent-bucket join, never a cross join; candidates rescore by
+    * exact distinct-token Jaccard, keeping pairs ≥ 0.2.
+    */
+  private val qSortedDedup = GraftQuery(
+    "q_sorted_dedup",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val W = 6
+      val d = Fence.guard(
+          t(s, dir, "documents")
+            .select(col("doc_id"), TextFns.tokensFast(col("text")).as("__tk"), Fence.col))
+        .filter(size(col("__tk")) >= 1)
+        .select(col("doc_id"),
+          element_at(col("__tk"), 1).as("__blk"),
+          array_join(slice(col("__tk"), 1, 4), " ").as("__sk"),
+          array_distinct(col("__tk")).as("__set"))
+      val wb = Window.partitionBy("__blk").orderBy(col("__sk"), col("doc_id"))
+      val r = d.select(col("doc_id"), col("__blk"), col("__set"),
+        (row_number().over(wb) - 1).cast("long").as("__r"))
+      val a = r.select(col("doc_id").as("id_a"), col("__blk"),
+        col("__set").as("__sa"), col("__r").as("__ra"),
+        explode(array(expr(s"__r div $W"), expr(s"__r div $W + 1"))).as("__bk"))
+      val b = r.select(col("doc_id").as("id_b"), col("__blk"),
+        col("__set").as("__sb"), col("__r").as("__rb"),
+        expr(s"__r div $W").as("__bk"))
+      a.join(b.hint("shuffle_hash"), Seq("__blk", "__bk"))
+        .filter((col("__rb") - col("__ra")).between(1, W - 1))
+        .select(col("id_a"), col("id_b"),
+          size(array_intersect(col("__sa"), col("__sb"))).cast("long").as("__i"),
+          (size(col("__sa")) + size(col("__sb"))).cast("long").as("__ssum"))
+        .select(col("id_a"), col("id_b"),
+          expr("__i * 1000 div (__ssum - __i)").as("jac_milli"))
+        .filter(col("jac_milli") >= 200)
+    },
+    Some(s"""WITH t0 AS (SELECT doc_id, $toksSql AS tk FROM documents),
+             d AS (SELECT doc_id, tk[1] AS blk,
+                     array_to_string(list_slice(tk, 1, 4), ' ') AS sk,
+                     list_distinct(tk) AS st
+                   FROM t0 WHERE len(tk) >= 1),
+             r AS (SELECT doc_id, blk, st,
+                     CAST(row_number() OVER (PARTITION BY blk ORDER BY sk, doc_id) - 1 AS BIGINT) AS r
+                   FROM d),
+             pr AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                      CAST(len(list_intersect(a.st, b.st)) AS BIGINT) AS i,
+                      CAST(len(a.st) + len(b.st) AS BIGINT) AS ssum
+                    FROM r a JOIN r b ON a.blk = b.blk AND b.r - a.r BETWEEN 1 AND 5)
+             SELECT id_a, id_b, CAST(i * 1000 // (ssum - i) AS BIGINT) AS jac_milli
+             FROM pr WHERE i * 1000 >= (ssum - i) * 200"""))
+
   private val qEmbedTopk = GraftQuery(
     "q_embed_topk",
     (s, dir) => {
@@ -6751,7 +6811,7 @@ object Queries {
     qNegPairs, qPiiScrub, qKanon, qLdiv, qDpHistogram, qDedupReport,
     qBpePairs,
     qDedupExact, qDedupMinhash, qMinhashRescore, qContainment, qMinhashEst, qDedupSimhash, qDedupSimhashPairs,
-    qDedupClusters, qPagerank, qKcore, qTriangles, qTrianglesApprox, qQualityDup, qHapax, qNgramJaccard, qDedupEmbed, qRepetition,
+    qDedupClusters, qPagerank, qKcore, qTriangles, qTrianglesApprox, qQualityDup, qHapax, qNgramJaccard, qSortedDedup, qDedupEmbed, qRepetition,
     qSplitLeakage, qJaccardCalib, qGroupSplit,
     qEmbedTopk, qEmbedLsh, qEmbedIvf, qEmbedIvf2, qKmeansStep, qDocChunks, qChunkDedup,
     qKnnClassify, qClassBalance, qGapFill, qInvertedIndex,

@@ -723,6 +723,13 @@ class PlanSpec extends SparkSpecBase {
     assert(f.contains("ReusedExchange") || f.contains("ReusedQueryStage"), f)
   }
 
+  test("q_sorted_dedup: neighborhood pairs via adjacent-bucket equi-join; block window, no global sort") {
+    val p = planOf(Queries.queries("q_sorted_dedup")(spark, sfDir))
+    assert(p.contains("ShuffledHashJoin"), p)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("Exchange SinglePartition"), p) // the sort lives inside blocks
+  }
+
   test("q_ewma: per-key array fold — one exchange, no Window, partial aggs") {
     val p = planOf(Queries.queries("q_ewma")(spark, sfDir))
     assert("Exchange hashpartitioning".r.findAllIn(p).size == 1, p)
