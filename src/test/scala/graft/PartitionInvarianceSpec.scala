@@ -51,14 +51,16 @@ class PartitionInvarianceSpec extends SparkSpecBase {
     // fixed-round iterative peel
     "q_span_scrub", "q_copurchase", "q_ewma", "q_cusum", "q_kcore",
     // island arrays collect in partition order — output must not notice
-    "q_span_excise")
+    "q_span_excise",
+    // block-window ranks + adjacent-bucket pair join
+    "q_sorted_dedup")
 
   private def runAll(): Map[String, Seq[String]] =
     subset.map { q =>
       q -> Queries.queries(q)(spark, sfDir).collect().map(_.toString).sorted.toSeq
     }.toMap
 
-  test("33 risk-class queries are bit-identical under 1 / 4 / 13 shuffle partitions, 64 KiB scan splits, and AQE off") {
+  test("34 risk-class queries are bit-identical under 1 / 4 / 13 shuffle partitions, 64 KiB scan splits, and AQE off") {
     val shufKey = "spark.sql.shuffle.partitions"
     val splitKey = "spark.sql.files.maxPartitionBytes"
     val aqeKey = "spark.sql.adaptive.enabled"
