@@ -80,7 +80,11 @@ object Bench {
     // the excision content pass (island array back-join + HOF filter)
     "q_span_excise",
     // the sorting-based candidate generator (block window + adjacent-bucket join)
-    "q_sorted_dedup")
+    "q_sorted_dedup",
+    // round-10 session-3: the map-only model-inference pass (zero
+    // exchanges), the shared-exchange OLS sums, and the d²-bounded
+    // moment aggregation — three cost shapes new to the set
+    "q_classifier_score", "q_trend_slope", "q_gram_matrix")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.plans.{FingerprintExpr, IvfProbesExpr, LangScores, LongArrayEqCount, LshBucketsExpr, MinhashBands, MinhashSig, NgramsExpr, QDot, QuantizeVec, Simhash32, TextStats}
+import graft.plans.{FingerprintExpr, IvfProbesExpr, LangScores, LongArrayEqCount, LshBucketsExpr, MinhashBands, MinhashSig, NgramsExpr, OuterMoments, QDot, QuantizeVec, Simhash32, TextStats, TokenLogit}
 
 /** SQL-surface registration of graft's native expressions, so the
   * engine's extensions are first-class in `spark.sql(...)` exactly like
@@ -24,6 +24,8 @@ import graft.plans.{FingerprintExpr, IvfProbesExpr, LangScores, LongArrayEqCount
   *   graft_text_stats(text)        → array<bigint> [ws_tokens, punct, bpe]
   *   graft_fingerprint(tokens)     → bigint (rolling polynomial hash)
   *   graft_ngrams(tokens, n)       → array<string> (distinct word n-grams)
+  *   graft_token_logit(tokens[, b]) → bigint (hashed linear-model logit)
+  *   graft_outer_moments(qv)       → array<bigint> (upper-tri products + components)
   */
 object GraftFunctions {
 
@@ -84,6 +86,20 @@ object GraftFunctions {
       "_FUNC_(tokens, n) - distinct space-joined word n-grams",
       arity("graft_ngrams", 2, "(tokens, n)")(args =>
         NgramsExpr(args.head, intLiteral(args(1), "n")))),
+    ("graft_token_logit", classOf[TokenLogit],
+      "_FUNC_(tokens[, buckets]) - hashed-bag linear classifier logit (default 4096 slots)",
+      (args: Seq[Expression]) => args match {
+        case Seq(t) => TokenLogit(t, 4096)
+        case Seq(t, b) =>
+          val buckets = intLiteral(b, "buckets")
+          if (buckets < 1) throw new IllegalArgumentException(
+            s"graft_token_logit: buckets must be >= 1, got $buckets")
+          TokenLogit(t, buckets)
+        case _ => throw new IllegalArgumentException("graft_token_logit(tokens[, buckets])")
+      }),
+    ("graft_outer_moments", classOf[OuterMoments],
+      "_FUNC_(qv) - upper-triangle products then components of a quantized vector (covariance sufficient statistics)",
+      arity("graft_outer_moments", 1, "(qv)")(args => OuterMoments(args.head))),
     ("graft_text_stats", classOf[TextStats],
       "_FUNC_(text) - one-pass raw-text stats [ws_tokens, punct, bpe]",
       arity("graft_text_stats", 1, "(text)")(args => TextStats(args.head))),

@@ -3573,6 +3573,46 @@ object Queries {
     * length(concat_ws("", toks)) — exact, codegen'd, no per-element
     * lambda.
     */
+  /** Model-based quality filtering — the fastText-style hashed linear
+    * classifier (Joulin et al. 2016; the filtering stage of
+    * CCNet/FineWeb-edu-style curation), distinct from the heuristic
+    * scorers (q_quality_score/q_gopher_quality): the signal is a
+    * LEARNED-model inference pass, here with the weight table
+    * materialized as a fixed affine function of the hash slot
+    * (Kernels.tokenLogit) so both engines rebuild bit-identical
+    * weights from nothing. Emits the exact integer logit, the
+    * length-normalized score_milli = (logit + 1000n)·1000 / (2000n)
+    * ∈ [0, 1000] (mean token weight rescaled to [0,1000] — exact
+    * nonneg integer division), and keep = score ≥ 500 (⇔ logit ≥ 0).
+    *
+    * Scale shape: ZERO exchanges — tokenize, score, and emit are one
+    * codegen'd map stage (PlanSpec pins no-Exchange), which is the
+    * shape model-based filtering must have at 100 TB: classifier
+    * inference rides the scan, never a shuffle.
+    */
+  private val qClassifierScore = GraftQuery(
+    "q_classifier_score",
+    (s, dir) =>
+      t(s, dir, "documents")
+        .select(col("doc_id"), col("source"),
+          TextFns.tokensFast(col("text")).as("__tk"))
+        .filter(size(col("__tk")) >= 1)
+        .select(col("doc_id"), col("source"),
+          size(col("__tk")).cast("long").as("n_tokens"),
+          TextFns.tokenLogitFast(col("__tk"), 4096).as("logit"))
+        .withColumn("score_milli",
+          expr("(logit + 1000 * n_tokens) * 1000 div (2000 * n_tokens)"))
+        .withColumn("keep", col("score_milli") >= 500),
+    Some(s"""WITH tk AS (SELECT doc_id, source, $toksSql AS tk FROM documents),
+             d AS (SELECT doc_id, source, CAST(len(tk) AS BIGINT) AS n_tokens,
+                     CAST(list_sum(list_transform(tk, t2 ->
+                       (((('0x' || substr(md5(t2), 1, 15))::BIGINT % $M) % 4096) * 1103515245 + 12345) % 2001 - 1000)) AS BIGINT) AS logit
+                   FROM tk WHERE len(tk) >= 1)
+             SELECT doc_id, source, n_tokens, logit,
+               (logit + 1000 * n_tokens) * 1000 // (2000 * n_tokens) AS score_milli,
+               (logit + 1000 * n_tokens) * 1000 // (2000 * n_tokens) >= 500 AS keep
+             FROM d"""))
+
   private val qGopherQuality = GraftQuery(
     "q_gopher_quality",
     (s, dir) => {
@@ -4644,6 +4684,56 @@ object Queries {
                CAST(max(pp - least(0, mn)) AS BIGINT) AS peak_cusum,
                CAST(sum(CASE WHEN pp - least(0, mn) = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_resets
              FROM q GROUP BY user_id"""))
+
+  /** Per-key least-squares trend (the regression member of the
+    * running-stats family — q_running_stats gives moments, q_ewma a
+    * smoothed level, q_cusum a drift alarm; this gives the SLOPE): an
+    * OLS fit of exact cents against the per-user event index, emitted
+    * as the exact integer numerator/denominator pair
+    * num = n·Σxy − Σx·Σy, den = n·Σx² − (Σx)² (slope = num/den; the
+    * division is left to the consumer so the contract stays bit-exact)
+    * plus the sign classification. x is the 0-based (ts, event_id)
+    * rank, so the fit is invariant to the tape's absolute epoch.
+    *
+    * Scale shape: ONE exchange on user_id — the row_number window and
+    * the groupBy reuse the same hash partitioning; all sums are
+    * map-side partial-agg longs. 64-bit headroom: n·Σx² ~ n⁴·… holds
+    * past ~50k events/key at cent scale; beyond that lift the four
+    * sums to DECIMAL(38,0) (same plan shape, still exact).
+    */
+  private val qTrendSlope = GraftQuery(
+    "q_trend_slope",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      events(s, dir)
+        .select(col("user_id"), col("ts"), col("event_id"),
+          (col("value").cast(dec) * 100).cast("long").as("__y"))
+        .withColumn("__x", (row_number().over(w) - 1).cast("long"))
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n"), sum(col("__x")).as("__sx"),
+          sum(col("__y")).as("__sy"),
+          sum(col("__x") * col("__y")).as("__sxy"),
+          sum(col("__x") * col("__x")).as("__sxx"))
+        .select(col("user_id"), col("n"),
+          (col("n") * col("__sxy") - col("__sx") * col("__sy")).as("num"),
+          (col("n") * col("__sxx") - col("__sx") * col("__sx")).as("den"))
+        .withColumn("trend",
+          when(col("num") > 0, lit("up"))
+            .when(col("num") < 0, lit("down")).otherwise(lit("flat")))
+    },
+    Some("""WITH e AS (SELECT user_id,
+              CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS y,
+              CAST(row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) - 1 AS BIGINT) AS x
+            FROM events),
+            a AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n,
+              CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+              CAST(sum(x*y) AS BIGINT) AS sxy, CAST(sum(x*x) AS BIGINT) AS sxx
+            FROM e GROUP BY 1)
+            SELECT user_id, n, n*sxy - sx*sy AS num, n*sxx - sx*sx AS den,
+              CASE WHEN n*sxy - sx*sy > 0 THEN 'up'
+                   WHEN n*sxy - sx*sy < 0 THEN 'down' ELSE 'flat' END AS trend
+            FROM a"""))
 
   /** Exact substring-duplication signal (the span-level twin of
     * document near-dup): for each doc, how many of its distinct 8-token
@@ -6321,6 +6411,63 @@ object Queries {
                CAST(sum(abs(recv - v)) // count(*) AS BIGINT) AS mae_milli
              FROM rc GROUP BY dim"""))
 
+  /** Covariance/Gram sufficient statistics of the embedding corpus —
+    * the first pass of distributed PCA / ZCA whitening (what an
+    * SVD-of-covariance consumes): for every dim pair i ≤ j, the exact
+    * integer second moment Σ xᵢxⱼ over milli-quantized components,
+    * the first moments Σ xᵢ, Σ xⱼ, and the covariance numerator
+    * n·Σxᵢxⱼ − Σxᵢ·Σxⱼ. One native map-side kernel
+    * (Kernels.outerMoments) emits all d(d+1)/2 products PLUS the d
+    * components per row, so ONE groupBy(pos) aggregates every
+    * statistic: the shuffle carries ≤ (d(d+1)/2 + d) rows per
+    * partition REGARDLESS of corpus size (never n·d² — the explode
+    * feeds straight into map-side partial aggs), and the final
+    * (i, j) labelling and first-moment attach are broadcast joins
+    * over ≤ 2,144 aggregated rows reading the SAME exchange
+    * (ReusedExchange, pinned in PlanSpec). 64-bit headroom: |x| ≤ 10³
+    * (milli-quantized unit-scale floats) ⇒ covnum < n²·10⁶ — exact
+    * past 3×10⁹ rows; lift the two sums to DECIMAL(38,0) beyond.
+    */
+  private val qGramMatrix = GraftQuery(
+    "q_gram_matrix",
+    (s, dir) => {
+      val d = 64
+      val tri = d * (d + 1) / 2
+      val mom = t(s, dir, "embeddings")
+        .select(posexplode(
+          VectorFns.outerMomentsFast(VectorFns.quantizeFast(col("embedding"))))
+          .as(Seq("__pos", "__m")))
+        .groupBy(col("__pos"))
+        .agg(count(lit(1)).as("n"), sum(col("__m")).as("__s"))
+      val pt = s.range(0, d).select(col("id").as("i"))
+        .crossJoin(s.range(0, d).select(col("id").as("j")))
+        .filter(col("j") >= col("i"))
+        .withColumn("__pos",
+          expr(s"i * $d - (i * (i - 1)) div 2 + (j - i)").cast("int"))
+      val si = mom.filter(col("__pos") >= tri)
+        .select((col("__pos") - tri).cast("long").as("i"), col("__s").as("sx"))
+      val sj = si.select(col("i").as("j"), col("sx").as("sy"))
+      mom.filter(col("__pos") < tri)
+        .join(broadcast(pt), "__pos")
+        .join(broadcast(si), "i")
+        .join(broadcast(sj), "j")
+        .select(col("i"), col("j"), col("n"), col("__s").as("sxy"),
+          col("sx"), col("sy"),
+          (col("n") * col("__s") - col("sx") * col("sy")).as("covnum"))
+    },
+    Some(s"""WITH q AS (SELECT ${quantSql("embedding")} AS qv FROM embeddings),
+             p AS (SELECT CAST(i.range AS BIGINT) AS i, CAST(j.range AS BIGINT) AS j
+                   FROM range(64) i, range(64) j WHERE j.range >= i.range),
+             prod AS (SELECT p.i, p.j, CAST(count(*) AS BIGINT) AS n,
+                        CAST(sum(qv[p.i + 1] * qv[p.j + 1]) AS BIGINT) AS sxy
+                      FROM q, p GROUP BY 1, 2),
+             sd AS (SELECT CAST(dd.range AS BIGINT) AS dim,
+                      CAST(sum(qv[dd.range + 1]) AS BIGINT) AS sd
+                    FROM q, range(64) dd GROUP BY 1)
+             SELECT prod.i, prod.j, prod.n, prod.sxy, si.sd AS sx, sj.sd AS sy,
+               prod.n * prod.sxy - si.sd * sj.sd AS covnum
+             FROM prod JOIN sd si ON prod.i = si.dim JOIN sd sj ON prod.j = sj.dim"""))
+
   /** Temperature-rebalanced mixture weights (the alpha=0.5 exponent of
     * mBERT/XLM-R multilingual sampling, Conneau et al. 2020 §3.1):
     * per-source sampling share proportional to sqrt(token count),
@@ -6817,18 +6964,18 @@ object Queries {
     qKnnClassify, qClassBalance, qGapFill, qInvertedIndex,
     qLangId, qQualityScore, qCuration, qSplitAssign, qPackSequences, qSamplePerKey, qWeightedSample,
     qTfidfTopterms, qContamination, qDecontam, qDedupSavings, qRankCorr,
-    qShuffleOrder, qGopherQuality, qVocabCoverage, qFunnel, qRetention, qLangConfusion,
+    qShuffleOrder, qClassifierScore, qGopherQuality, qVocabCoverage, qFunnel, qRetention, qLangConfusion,
     qInterarrival, qHistDistance, qMad, qWinsorMean, qSourceOverlap, qRankNorm,
     qAttribution, qRollingActives, qCompactionPlan, qGlobalMedian,
     qLangPurity, qTtr, qCosineBands, qJaccardBands, qTransitions, qCohorts,
     qIqr, qSpikes, qBootstrap, qTwap, qCandleReturns, qLifespan, qZipfTop,
     qChurnUsers, qDauMa, qGini, qDaypart, qConversionLag,
-    qDedupSurvivors, qRunningStats, qEwma, qCusum, qSpanDedup, qTermScrub, qValueHistogram,
+    qDedupSurvivors, qRunningStats, qEwma, qCusum, qTrendSlope, qSpanDedup, qTermScrub, qValueHistogram,
     qBigramLift, qCopurchase, qBigramLm, qPplBuckets, qPplBucketsScale, qDupNgram, qSemdedup, qBm25, qCdcChunks,
     qOutliers, qTokenBudget, qRollupStats, qTimeWindowSum,
     qProfile, qStratifiedSample, qAsofForward, qScd2, qPairCuration, qWindowTopk,
     qRunningDistinct, qFirstSeen, qDedupDegree, qDecileBin,
-    qBloomDecontam, qDupSpanRuns, qEmbedQuant, qMixWeights, qEmbedPq, qPqAdc, qPqRescore, qDedupPrio, qKnnHubs, qIvfPq, qEmbedBinary, qSpanScrub, qSpanExcise,
+    qBloomDecontam, qDupSpanRuns, qEmbedQuant, qGramMatrix, qMixWeights, qEmbedPq, qPqAdc, qPqRescore, qDedupPrio, qKnnHubs, qIvfPq, qEmbedBinary, qSpanScrub, qSpanExcise,
     qTokenCount, qFingerprint, qMultimodalMeta,
     qMultimodalDecode, qResizePlan, qFrameSample, qAudioSegments, qTilePlan, qMixGap)
 

@@ -38,6 +38,16 @@ object TextFns {
     GraftBridge.column(graft.plans.TokensExpr(GraftBridge.expression(c)))
   }
 
+  /** Native one-pass hashed-linear-classifier logit over a token array
+    * (graft.plans.TokenLogit / Kernels.tokenLogit): the fastText-style
+    * hashing-trick score Σ w(h(t) mod buckets) with weights a fixed
+    * affine function of the slot id — exact integers, engine-portable.
+    */
+  def tokenLogitFast(toks: Column, buckets: Int): Column = {
+    import org.apache.spark.sql.GraftBridge
+    GraftBridge.column(graft.plans.TokenLogit(GraftBridge.expression(toks), buckets))
+  }
+
   /** Portable 60-bit token hash: first 15 hex digits of md5, as a long.
     * Identical in any engine that has md5 + hex parsing.
     */

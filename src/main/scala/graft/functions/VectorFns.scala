@@ -25,6 +25,8 @@ object VectorFns {
   def qdotFast(a: Column, b: Column): Column = toCol(graft.plans.QDot(toExpr(a), toExpr(b)))
   def lshBucketsFast(qv: Column, tables: Int, planes: Int): Column =
     toCol(graft.plans.LshBucketsExpr(toExpr(qv), tables, planes))
+  def outerMomentsFast(qv: Column): Column =
+    toCol(graft.plans.OuterMoments(toExpr(qv)))
 
   /** Exact integer dot product of two quantized vectors. */
   def qdot(a: Column, b: Column): Column =

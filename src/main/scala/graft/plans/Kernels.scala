@@ -301,4 +301,54 @@ object Kernels {
     while (j < 32) { if (votes(j) > 0) sim |= (1L << j); j += 1 }
     sim
   }
+
+  /** Hashed-bag-of-tokens linear-model logit — the "hashing trick"
+    * (Weinberger et al. 2009) as used by fastText-style quality
+    * classifiers (Joulin et al. 2016): every token maps to one of
+    * `buckets` shared weight slots via the portable md5 token hash, and
+    * the slot weight is a fixed affine function of the slot id —
+    * ((b*1103515245 + 12345) mod 2001) − 1000, integer milli-units in
+    * [−1000, 1000] — so any engine rebuilds the identical model with
+    * zero shipped parameters. Returns the exact integer logit
+    * Σ w(h(t) mod buckets) over ALL tokens (bag semantics: repeats
+    * count). One pass, no allocation beyond the digest.
+    */
+  def tokenLogit(toks: ArrayData, buckets: Int): Long = {
+    val m = toks.numElements()
+    val md = MessageDigest.getInstance("MD5")
+    var s = 0L
+    var i = 0
+    while (i < m) {
+      val b = tokenHash(md, toks.getUTF8String(i)) % buckets
+      s += (b * 1103515245L + 12345L) % 2001L - 1000L
+      i += 1
+    }
+    s
+  }
+
+  /** Flat second-moment statistics of one quantized vector: the
+    * d(d+1)/2 upper-triangle products x_i·x_j (row-major, j ≥ i)
+    * followed by the d components themselves — every sufficient
+    * statistic of the corpus covariance/Gram matrix emitted in one
+    * map-side pass, so the aggregation that follows is a single
+    * groupBy(pos) whose partial aggregates are bounded by
+    * d(d+1)/2 + d slots per partition REGARDLESS of row count.
+    * pos(i,j) = i·d − i(i−1)/2 + (j − i); component k sits at
+    * T + k where T = d(d+1)/2.
+    */
+  def outerMoments(q: ArrayData): ArrayData = {
+    val d = q.numElements()
+    val out = new Array[Long](d * (d + 1) / 2 + d)
+    var p = 0
+    var i = 0
+    while (i < d) {
+      val xi = q.getLong(i)
+      var j = i
+      while (j < d) { out(p) = xi * q.getLong(j); p += 1; j += 1 }
+      i += 1
+    }
+    var k = 0
+    while (k < d) { out(p) = q.getLong(k); p += 1; k += 1 }
+    new GenericArrayData(out)
+  }
 }

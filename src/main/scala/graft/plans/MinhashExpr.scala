@@ -194,3 +194,39 @@ case class Simhash32(child: Expression) extends UnaryExpression {
   override protected def withNewChildInternal(newChild: Expression): Simhash32 =
     copy(child = newChild)
 }
+
+/** Hashed linear-model logit over a token array in one native pass
+  * (Kernels.tokenLogit) — the fastText-style hashing-trick classifier
+  * score, value-identical to the declarative
+  * aggregate(transform(toks, w∘h), 0, +) form and to the oracle SQL's
+  * list_sum(list_transform(...)). Empty arrays yield 0; null-element
+  * arrays propagate null (declarative HOF null propagation).
+  */
+case class TokenLogit(child: Expression, buckets: Int) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    TypeChecks.requireArrayOf("graft_token_logit", StringType, child.dataType)
+
+  override def dataType: DataType = LongType
+  private def elemNullable: Boolean = TypeChecks.elemNullable(child.dataType)
+  override def nullable: Boolean = child.nullable || elemNullable
+
+  override def nullSafeEval(input: Any): Any = {
+    val toks = input.asInstanceOf[ArrayData]
+    if (elemNullable && Kernels.hasNullElement(toks)) null
+    else Kernels.tokenLogit(toks, buckets)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      if (elemNullable) s"""
+        if (graft.plans.Kernels.hasNullElement($c)) {
+          ${ev.isNull} = true;
+        } else {
+          ${ev.value} = graft.plans.Kernels.tokenLogit($c, $buckets);
+        }
+      """
+      else s"${ev.value} = graft.plans.Kernels.tokenLogit($c, $buckets);")
+
+  override protected def withNewChildInternal(newChild: Expression): TokenLogit =
+    copy(child = newChild)
+}

@@ -283,3 +283,35 @@ case class LshBucketsExpr(child: Expression, tables: Int, planes: Int) extends U
   override protected def withNewChildInternal(newChild: Expression): LshBucketsExpr =
     copy(child = newChild)
 }
+
+/** Flat covariance/Gram sufficient statistics of one pre-quantized
+  * array<long> vector (Kernels.outerMoments): the d(d+1)/2
+  * upper-triangle products x_i·x_j followed by the d components — the
+  * map-side emit of a distributed PCA/whitening prep pass. Input
+  * element nulls propagate null for the row (same as the declarative
+  * nested-transform form would).
+  */
+case class OuterMoments(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    TypeChecks.requireArrayOf("graft_outer_moments", LongType, child.dataType)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  private def elemNullable: Boolean = TypeChecks.elemNullable(child.dataType)
+  override def nullable: Boolean = child.nullable || elemNullable
+  override def nullSafeEval(input: Any): Any = {
+    val a = input.asInstanceOf[ArrayData]
+    if (elemNullable && Kernels.hasNullElement(a)) null
+    else Kernels.outerMoments(a)
+  }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      if (elemNullable) s"""
+        if (graft.plans.Kernels.hasNullElement($c)) {
+          ${ev.isNull} = true;
+        } else {
+          ${ev.value} = graft.plans.Kernels.outerMoments($c);
+        }
+      """
+      else s"${ev.value} = graft.plans.Kernels.outerMoments($c);")
+  override protected def withNewChildInternal(newChild: Expression): OuterMoments =
+    copy(child = newChild)
+}

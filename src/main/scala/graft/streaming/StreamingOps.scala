@@ -624,6 +624,53 @@ object StreamingOps {
       }
   }
 
+  /** A KeyedEvent carrying the exact OLS trend statistics after folding
+    * it in — the streaming twin of the batch `q_trend_slope`: x is the
+    * per-key 0-based arrival rank in (tsUs, value) order (identical to
+    * the batch query's (ts, event_id) rank whenever per-key timestamps
+    * are unique), and num/den are the exact integer slope pair
+    * n·Σxy − Σx·Σy / n·Σx² − (Σx)².
+    */
+  final case class TrendEvent(key: Long, tsUs: Long, value: Double,
+      n: Long, num: Long, den: Long, trend: String)
+
+  /** Exact incremental OLS sums per key — five longs, so the state is
+    * constant-size regardless of stream length and any micro-batch cut
+    * of an in-order tape folds to the same values.
+    */
+  final case class TrendState(n: Long, sx: Long, sy: Long, sxy: Long, sxx: Long)
+
+  /** Streaming per-key least-squares trend: each event extends the
+    * exact OLS sufficient statistics (x = arrival rank, y = exact
+    * cents) and emits the updated num/den/sign — the monitoring form
+    * of the batch regression (watch a key's metric trend flip without
+    * re-scanning history). State is five exact longs; 64-bit headroom
+    * matches the batch query (~50k events/key at cent scale).
+    */
+  def trendSlope(stream: Dataset[KeyedEvent]): Dataset[TrendEvent] = {
+    implicit val outEnc = Encoders.product[TrendEvent]
+    implicit val stEnc = Encoders.product[TrendState]
+    stream.groupByKey(_.key)(Encoders.scalaLong)
+      .flatMapGroupsWithState[TrendState, TrendEvent](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout) {
+        (key: Long, events: Iterator[KeyedEvent], state: GroupState[TrendState]) =>
+          var st = state.getOption.getOrElse(TrendState(0L, 0L, 0L, 0L, 0L))
+          val out = events.toSeq.sortBy(e => (e.tsUs, e.value)).map { e =>
+            val cents = new java.math.BigDecimal(e.value)
+              .setScale(2, java.math.RoundingMode.HALF_UP).movePointRight(2).longValueExact()
+            val x = st.n
+            st = TrendState(st.n + 1, st.sx + x, st.sy + cents,
+              st.sxy + x * cents, st.sxx + x * x)
+            val num = st.n * st.sxy - st.sx * st.sy
+            val den = st.n * st.sxx - st.sx * st.sx
+            TrendEvent(e.key, e.tsUs, e.value, st.n, num, den,
+              if (num > 0) "up" else if (num < 0) "down" else "flat")
+          }
+          state.update(st)
+          out.iterator
+      }
+  }
+
   /** One filled (key, hour) row: event count + exact cents sum (both 0
     * for gap hours) — the streaming twin of the batch q_gap_fill grid.
     */

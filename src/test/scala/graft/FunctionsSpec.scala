@@ -372,7 +372,9 @@ class FunctionsSpec extends SparkSpecBase {
           VectorFns.vecSubFast(VectorFns.quantizeFast(col("v")),
             typedLit(Seq(100L, -100L))).as("vs"),
           VectorFns.signBitsFast(VectorFns.vecSubFast(VectorFns.quantizeFast(col("v")),
-            typedLit(Seq(1000L, 0L)))).as("sb"))
+            typedLit(Seq(1000L, 0L)))).as("sb"),
+          TextFns.tokenLogitFast(TextFns.tokensFast(col("text")), 4096).as("tl"),
+          VectorFns.outerMomentsFast(VectorFns.quantizeFast(col("v"))).as("om"))
         .collect()(0)
       // float 0.9f = 0.8999999762…, so floor(x*1000) quantizes to 899
       assert(row.getLong(0) == 899L * 899 + 800L * 800)
@@ -385,6 +387,19 @@ class FunctionsSpec extends SparkSpecBase {
       assert(row.getSeq[Long](8) == Seq(799L, 900L)) // (899,800) - (100,-100)
       // (899-1000, 800-0) = (-101, 800): bit0 clear (negative), bit1 set
       assert(row.getLong(9) == 2L)
+      // tokenLogit: Σ over the 6-token bag of the affine slot weight —
+      // replay the definition in plain Scala against the kernel
+      val expectLogit = "the cat sat on the mat".split(' ').map { t2 =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        val dgst = md.digest(t2.getBytes("UTF-8"))
+        var v = 0L; (0 until 8).foreach(k => v = (v << 8) | (dgst(k) & 0xffL))
+        val b = ((v >>> 4) % 2147483647L) % 4096L
+        (b * 1103515245L + 12345L) % 2001L - 1000L
+      }.sum
+      assert(row.getLong(10) == expectLogit)
+      // outerMoments of (899, 800): [899², 899·800, 800², 899, 800]
+      assert(row.getSeq[Long](11) ==
+        Seq(899L * 899, 899L * 800, 800L * 800, 899L, 800L))
     } finally spark.conf.unset("spark.sql.codegen.factoryMode")
   }
 

@@ -53,14 +53,18 @@ class PartitionInvarianceSpec extends SparkSpecBase {
     // island arrays collect in partition order — output must not notice
     "q_span_excise",
     // block-window ranks + adjacent-bucket pair join
-    "q_sorted_dedup")
+    "q_sorted_dedup",
+    // exact-integer sufficient statistics whose partial-agg merge
+    // order must commute (OLS sums; d² moment slots), and a map-only
+    // model-inference pass that must not notice scan splits
+    "q_trend_slope", "q_gram_matrix", "q_classifier_score")
 
   private def runAll(): Map[String, Seq[String]] =
     subset.map { q =>
       q -> Queries.queries(q)(spark, sfDir).collect().map(_.toString).sorted.toSeq
     }.toMap
 
-  test("34 risk-class queries are bit-identical under 1 / 4 / 13 shuffle partitions, 64 KiB scan splits, and AQE off") {
+  test("37 risk-class queries are bit-identical under 1 / 4 / 13 shuffle partitions, 64 KiB scan splits, and AQE off") {
     val shufKey = "spark.sql.shuffle.partitions"
     val splitKey = "spark.sql.files.maxPartitionBytes"
     val aqeKey = "spark.sql.adaptive.enabled"

@@ -482,4 +482,47 @@ class PipelineOpsSpec extends SparkSpecBase {
     val cids = out.map(_.getAs[Long]("cid")).toSet
     assert(cids.forall(c => c >= 0 && c < 16))
   }
+
+  test("q_classifier_score: kernel logit equals the declarative HOF form; keep ⇔ logit ≥ 0") {
+    val out = Queries.queries("q_classifier_score")(spark, sfDir)
+    // one row per tokenizable doc
+    val eligible = spark.read.parquet(s"$sfDir/documents.parquet")
+      .filter(size(graft.functions.TextFns.tokens(col("text"))) >= 1)
+    assert(out.count() == eligible.count())
+    val rows = out.collect()
+    assert(rows.forall { r =>
+      val s = r.getAs[Long]("score_milli")
+      s >= 0 && s <= 1000 &&
+        (r.getAs[Boolean]("keep") == (r.getAs[Long]("logit") >= 0L)) &&
+        ((s >= 500) == (r.getAs[Long]("logit") >= 0L))
+    })
+    // declarative twin of the native kernel: same hash, same affine
+    // slot weight, via transform + aggregate — must agree on every doc
+    val decl = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id"),
+        aggregate(
+          transform(graft.functions.TextFns.tokens(col("text")),
+            t => (graft.functions.TextFns.tokenHash31(t) % 4096L * 1103515245L + 12345L) % 2001L - 1000L),
+          lit(0L), (acc, w) => acc + w).as("logit2"))
+    val mism = out.join(decl, "doc_id").filter(col("logit") =!= col("logit2"))
+    assert(mism.isEmpty, mism.take(3).mkString(","))
+  }
+
+  test("q_gram_matrix: every (i,j) statistic equals the brute-force driver-side recompute") {
+    val out = Queries.queries("q_gram_matrix")(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6)))).toMap
+    val vecs = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select(graft.functions.VectorFns.quantizeFast(col("embedding")).as("q"))
+      .collect().map(_.getSeq[Long](0).toArray)
+    val d = vecs.head.length
+    assert(out.size == d * (d + 1) / 2)
+    val n = vecs.length.toLong
+    val sums = Array.tabulate(d)(i => vecs.map(_(i)).sum)
+    for (i <- 0 until d; j <- i until d) {
+      val sxy = vecs.map(v => v(i) * v(j)).sum
+      val expect = (n, sxy, sums(i), sums(j), n * sxy - sums(i) * sums(j))
+      assert(out((i.toLong, j.toLong)) == expect, s"pair ($i,$j)")
+    }
+  }
 }

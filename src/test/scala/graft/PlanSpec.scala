@@ -82,6 +82,29 @@ class PlanSpec extends SparkSpecBase {
     assert(!p.contains("Join"), p)
   }
 
+  test("q_classifier_score: model inference is MAP-ONLY — scan → score, zero exchanges") {
+    val p = planOf(Queries.queries("q_classifier_score")(spark, sfDir))
+    assert(!p.contains("Exchange"), p)
+    assert(!p.contains("Join"), p)
+  }
+
+  test("q_trend_slope: row_number window and the OLS sums share ONE exchange") {
+    val p = planOf(Queries.queries("q_trend_slope")(spark, sfDir))
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1, p)
+  }
+
+  test("q_gram_matrix: one moment exchange feeds pairs AND first-moment branches (reused)") {
+    // the d(d+1)/2-slot aggregation is shuffled once; the (i,j) label
+    // table and the Σx attach joins all read that same exchange — the
+    // only cartesian in the plan is the 64×64 dim-pair table
+    val df = Queries.queries("q_gram_matrix")(spark, sfDir)
+    df.collect()
+    val p = planOf(df)
+    assert(p.contains("ReusedExchange") || p.contains("ReusedQueryStage") ||
+      "Exchange hashpartitioning\\(__pos".r.findAllIn(p).size == 1, p)
+    assert(p.contains("partial_count") || p.contains("HashAggregate"), p)
+  }
+
   test("q_dedup_prio: survivor via min_by aggregate, no window sort over members") {
     val p = planOf(Queries.queries("q_dedup_prio")(spark, sfDir))
     assert(p.contains("min_by") || p.contains("partial_"), p)
@@ -271,7 +294,12 @@ class PlanSpec extends SparkSpecBase {
       // excision needs the token ARRAY back at the doc row on top of
       // the gram pipeline's shared-exchange pair — 3 single-evaluation
       // tokenize sites, each fenced
-      "q_span_excise" -> 3).withDefaultValue(2)
+      "q_span_excise" -> 3,
+      // gram-matrix: the single moment aggregation is referenced three
+      // times (pair products + the Σxᵢ and Σxⱼ attaches) — 3 logical
+      // copies riding ONE runtime exchange (ReusedExchange pinned in
+      // the q_gram_matrix plan test above)
+      "q_gram_matrix" -> 3).withDefaultValue(2)
     for ((name, fn) <- Queries.queries.toSeq.sortBy(_._1)) {
       val p = fn(spark, sfDir).queryExecution.optimizedPlan.toString.toLowerCase
       for (pat <- pats) {

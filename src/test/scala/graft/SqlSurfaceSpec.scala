@@ -31,6 +31,16 @@ class SqlSurfaceSpec extends SparkSpecBase {
                                  array(array(0, 0), array(1000, 0), array(0, 1000)), 2) AS p""")
       .collect()(0).getSeq[Long](0)
     assert(probes == Seq(1L, 0L))
+    // classifier logit: default and explicit bucket counts agree
+    val tl = spark.sql(
+      s"SELECT graft_token_logit($toks) AS a, graft_token_logit($toks, 4096) AS b FROM d")
+      .collect()
+    assert(tl.length == 20 && tl.forall(r => r.getLong(0) == r.getLong(1)))
+    // outer moments of a d-vector: d(d+1)/2 + d slots, diagonal first
+    val om = spark.sql(
+      """SELECT graft_outer_moments(graft_quantize(array(cast(1.0 as float), cast(2.0 as float)))) AS m""")
+      .collect()(0).getSeq[Long](0)
+    assert(om == Seq(1000L * 1000, 1000L * 2000, 2000L * 2000, 1000L, 2000L))
     // the Misra-Gries UDAF aggregates from pure SQL
     val hh = spark.sql(
       s"SELECT source, graft_heavy_hitters(tok) AS sk FROM " +

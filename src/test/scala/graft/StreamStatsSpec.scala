@@ -58,6 +58,21 @@ class StreamStatsSpec extends SparkSpecBase {
       }
       assert(cusum(u) == ((vs.size.toLong, mu, peak, resets)), s"user $u cusum")
     }
+    // OLS trend: literal num = n·Σxy − Σx·Σy, den = n·Σx² − (Σx)² over
+    // the SAME (ts, event_id)-ordered tape with x = 0-based index
+    val slope = Queries.queries("q_trend_slope")(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4)))).toMap
+    for ((u, vs) <- tape) {
+      val n = vs.size.toLong
+      val xs = vs.indices.map(_.toLong)
+      val sx = xs.sum; val sy = vs.sum
+      val sxy = xs.zip(vs).map { case (x, y) => x * y }.sum
+      val sxx = xs.map(x => x * x).sum
+      val num = n * sxy - sx * sy
+      val den = n * sxx - sx * sx
+      val trend = if (num > 0) "up" else if (num < 0) "down" else "flat"
+      assert(slope(u) == ((n, num, den, trend)), s"user $u trend")
+    }
   }
 
   test("q_span_dedup: ratios in range; counts match a raw-gram-string recomputation") {

@@ -1364,6 +1364,51 @@ class StreamingParitySpec extends SparkSpecBase {
     val c1 = run("t_cusum_b1", ds => StreamingOps.cusum(ds, 2500L, 4000L).toDF(), Seq(sorted))
     val c2 = run("t_cusum_b3", ds => StreamingOps.cusum(ds, 2500L, 4000L).toDF(), cuts())
     assert(c1 == c2 && c1.nonEmpty)
+    val t1 = run("t_trend_b1", ds => StreamingOps.trendSlope(ds).toDF(), Seq(sorted))
+    val t2 = run("t_trend_b3", ds => StreamingOps.trendSlope(ds).toDF(), cuts())
+    assert(t1 == t2 && t1.nonEmpty)
+  }
+
+  test("streaming trendSlope matches the literal OLS fold, state carries across micro-batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val all = mkEvents
+    val (b1, b2) = all.splitAt(3) // the sums must survive the batch boundary
+    val ms = MemoryStream[KeyedEvent]
+    val q = StreamingOps.trendSlope(ms.toDS()).toDF()
+      .writeStream.format("memory").queryName("t_trend").outputMode(OutputMode.Append()).start()
+    ms.addData(b1); q.processAllAvailable()
+    ms.addData(b2); q.processAllAvailable()
+    q.stop()
+    val got = spark.table("t_trend").select("key", "tsUs", "n", "num", "den", "trend")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getString(5))).toSet
+    // literal per-key OLS over the growing prefix, driver-side
+    val expect = all.groupBy(_.key).toSeq.flatMap { case (k, es) =>
+      var n = 0L; var sx = 0L; var sy = 0L; var sxy = 0L; var sxx = 0L
+      es.sortBy(e => (e.tsUs, e.value)).map { e =>
+        val cents = (BigDecimal(e.value).setScale(2, BigDecimal.RoundingMode.HALF_UP) * 100).toLongExact
+        val x = n
+        n += 1; sx += x; sy += cents; sxy += x * cents; sxx += x * x
+        val num = n * sxy - sx * sy
+        val den = n * sxx - sx * sx
+        (k, e.tsUs, n, num, den, if (num > 0) "up" else if (num < 0) "down" else "flat")
+      }
+    }.toSet
+    assert(got == expect)
+    // and the FINAL per-key statistics equal the batch q_trend_slope
+    // formula on the same tape (the monitoring stream converges to the
+    // batch answer)
+    val finals = got.groupBy(_._1).map { case (k, rs) => k -> rs.maxBy(_._3) }
+    for ((k, es) <- all.groupBy(_.key)) {
+      val ys = es.sortBy(e => (e.tsUs, e.value)).map(e =>
+        (BigDecimal(e.value).setScale(2, BigDecimal.RoundingMode.HALF_UP) * 100).toLongExact)
+      val n = ys.size.toLong
+      val xs = ys.indices.map(_.toLong)
+      val num = n * xs.zip(ys).map { case (x, y) => x * y }.sum - xs.sum * ys.sum
+      val den = n * xs.map(x => x * x).sum - xs.sum * xs.sum
+      assert(finals(k)._4 == num && finals(k)._5 == den, s"key $k final")
+    }
   }
 
   test("chunksTimeout open chunk survives a query restart from checkpoint") {
