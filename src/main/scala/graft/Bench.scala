@@ -84,7 +84,10 @@ object Bench {
     // round-10 session-3: the map-only model-inference pass (zero
     // exchanges), the shared-exchange OLS sums, and the d²-bounded
     // moment aggregation — three cost shapes new to the set
-    "q_classifier_score", "q_trend_slope", "q_gram_matrix")
+    "q_classifier_score", "q_trend_slope", "q_gram_matrix",
+    // the two-frame nearest-asof window, the autocorrelation triple
+    // frame, and the sketch-vs-recount join-cardinality pass
+    "q_asof_nearest", "q_autocorr", "q_join_card_est")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

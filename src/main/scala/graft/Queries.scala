@@ -518,6 +518,73 @@ object Queries {
             .mkString("\n          ")}"""
     })
 
+  /** Join-cardinality ESTIMATION — the optimizer statistic a 100 TB
+    * planner needs before committing to a join order: |A ⋈ B| on a
+    * key is the inner product of the two key-frequency vectors, and a
+    * Count-Min sketch of each side estimates it as min over rows of
+    * the row-wise counter inner product (Cormode-Muthukrishnan 2005
+    * §4.2) — always an overestimate, error ≤ (e/width)·|A|·|B|. The
+    * sketch build is two 1 KiB-bounded aggregations (the planning-time
+    * cost); the exact Σ n_A(k)·n_B(k) is recomputed here only to make
+    * the estimate's contract hash-checkable (over_ok: est ≥ exact;
+    * bound_ok: (est − exact)·width ≤ 3·|A|·|B|), exactly as the other
+    * sketch queries carry their recount. Clicks vs purchases on
+    * user_id is the skew-shaped join this estimates.
+    */
+  private val qJoinCardEst = GraftQuery(
+    "q_join_card_est",
+    (s, dir) => {
+      val depth = 4; val width = 256
+      val cms = udaf(new graft.functions.CountMin(depth, width))
+      val ev = events(s, dir)
+      def side(t: String) = ev.filter(col("event_type") === t)
+        .select(col("user_id").cast("string").as("u"))
+      val skA = side("click").agg(cms(col("u")).as("sa"), count(lit(1)).as("n_click"))
+      val skB = side("purchase").agg(cms(col("u")).as("sb"), count(lit(1)).as("n_purchase"))
+      val exact = ev.filter(col("event_type").isin("click", "purchase"))
+        .groupBy("user_id")
+        .agg(count(when(col("event_type") === "click", 1)).as("__na"),
+          count(when(col("event_type") === "purchase", 1)).as("__nb"))
+        .agg(coalesce(sum(col("__na") * col("__nb")), lit(0L)).as("exact_card"))
+      skA.crossJoin(skB).crossJoin(exact)
+        .select(col("n_click"), col("n_purchase"), col("exact_card"),
+          least((0 until depth).map(r =>
+            VectorFns.qdotFast(slice(col("sa"), r * width + 1, width),
+              slice(col("sb"), r * width + 1, width))): _*).as("est_card"))
+        .select(col("n_click"), col("n_purchase"), col("exact_card"), col("est_card"),
+          (col("est_card") >= col("exact_card")).as("over_ok"),
+          ((col("est_card") - col("exact_card")) * lit(width.toLong) <=
+            lit(3L) * col("n_click") * col("n_purchase")).as("bound_ok"))
+    },
+    Some {
+      def slot(i: Int, h: String) =
+        s"((${DedupFns.MinhashA(i)} * $h + ${DedupFns.MinhashB(i)}) % $M) % 256"
+      val hists = (for (sd <- Seq("a", "b"); i <- 0 until 4) yield
+        s"$sd$i AS (SELECT ${slot(i, "h")} AS s, CAST(count(*) AS BIGINT) AS c FROM h$sd GROUP BY 1)")
+        .mkString(",\n            ")
+      val ests = (0 until 4).map(i =>
+        s"e$i AS (SELECT CAST(coalesce(sum(a$i.c * b$i.c), 0) AS BIGINT) AS v FROM a$i JOIN b$i USING (s))")
+        .mkString(",\n            ")
+      s"""WITH ca AS (SELECT CAST(user_id AS VARCHAR) AS u FROM events WHERE event_type = 'click'),
+            cb AS (SELECT CAST(user_id AS VARCHAR) AS u FROM events WHERE event_type = 'purchase'),
+            ha AS (SELECT ${h31Sql("u")} AS h FROM ca),
+            hb AS (SELECT ${h31Sql("u")} AS h FROM cb),
+            $hists,
+            $ests,
+            ex AS (SELECT CAST(coalesce(sum(x.na * y.nb), 0) AS BIGINT) AS exact_card FROM
+              (SELECT user_id, CAST(count(*) AS BIGINT) AS na FROM events
+               WHERE event_type = 'click' GROUP BY 1) x
+              JOIN (SELECT user_id, CAST(count(*) AS BIGINT) AS nb FROM events
+                    WHERE event_type = 'purchase' GROUP BY 1) y USING (user_id)),
+            n AS (SELECT (SELECT CAST(count(*) AS BIGINT) FROM ca) AS n_click,
+                         (SELECT CAST(count(*) AS BIGINT) FROM cb) AS n_purchase)
+            SELECT n.n_click, n.n_purchase, ex.exact_card,
+              least(e0.v, e1.v, e2.v, e3.v) AS est_card,
+              least(e0.v, e1.v, e2.v, e3.v) >= ex.exact_card AS over_ok,
+              (least(e0.v, e1.v, e2.v, e3.v) - ex.exact_card) * 256 <= 3 * n.n_click * n.n_purchase AS bound_ok
+            FROM n, ex, e0, e1, e2, e3"""
+    })
+
   /** Approximate value quantiles per event type (Greenwald-Khanna) —
     * the sketch path for percentiles. The sketch VALUES are
     * engine-specific, but the GK contract is not: each reported
@@ -4735,6 +4802,50 @@ object Queries {
                    WHEN n*sxy - sx*sy < 0 THEN 'down' ELSE 'flat' END AS trend
             FROM a"""))
 
+  /** Per-key lag-1 autocorrelation — the serial-dependence member of
+    * the running-stats family (q_trend_slope gives the drift, this the
+    * STICKINESS: do deviations persist or mean-revert?). Deviations
+    * are taken from the exact floor-mean (μ = Σc div n, the q_cusum
+    * convention), so num = Σ dᵢ·dᵢ₊₁ and den = Σ dᵢ² are exact
+    * integers (ACF = num/den left to the consumer) plus the sign
+    * class. ONE user_id exchange: the partition-total mean frame, the
+    * lead frame, and the final sums all share it (plan-pinned).
+    */
+  private val qAutocorr = GraftQuery(
+    "q_autocorr",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val wo = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      events(s, dir)
+        .select(col("user_id"), col("ts"), col("event_id"),
+          (col("value").cast(dec) * 100).cast("long").as("__c"))
+        .withColumn("__mu",
+          expr("sum(__c) OVER (PARTITION BY user_id) div count(1) OVER (PARTITION BY user_id)"))
+        .withColumn("__d", col("__c") - col("__mu"))
+        .withColumn("__dn", lead(col("__d"), 1).over(wo))
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n"), max(col("__mu")).as("mu_cents"),
+          sum(col("__d") * col("__d")).as("den"),
+          sum(when(col("__dn").isNotNull, col("__d") * col("__dn")).otherwise(0L)).as("num"))
+        .withColumn("ac_sign",
+          when(col("num") > 0, lit("pos"))
+            .when(col("num") < 0, lit("neg")).otherwise(lit("zero")))
+    },
+    Some("""WITH x AS (SELECT user_id, ts, event_id,
+              CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS c FROM events),
+            m AS (SELECT user_id, ts, event_id, c,
+              sum(c) OVER (PARTITION BY user_id) // count(*) OVER (PARTITION BY user_id) AS mu FROM x),
+            d AS (SELECT user_id, mu, c - mu AS dd,
+              lead(c - mu) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS dn FROM m)
+            SELECT user_id, CAST(count(*) AS BIGINT) AS n,
+              CAST(max(mu) AS BIGINT) AS mu_cents,
+              CAST(sum(dd*dd) AS BIGINT) AS den,
+              CAST(sum(CASE WHEN dn IS NOT NULL THEN dd*dn ELSE 0 END) AS BIGINT) AS num,
+              CASE WHEN sum(CASE WHEN dn IS NOT NULL THEN dd*dn ELSE 0 END) > 0 THEN 'pos'
+                   WHEN sum(CASE WHEN dn IS NOT NULL THEN dd*dn ELSE 0 END) < 0 THEN 'neg'
+                   ELSE 'zero' END AS ac_sign
+            FROM d GROUP BY user_id"""))
+
   /** Exact substring-duplication signal (the span-level twin of
     * document near-dup): for each doc, how many of its distinct 8-token
     * windows also occur in ANOTHER doc. Spans ride as portable 60-bit
@@ -5238,6 +5349,62 @@ object Queries {
                COALESCE(CASE WHEN mus - us <= 600000000 THEN mcid END, -1) AS click_id,
                COALESCE(CASE WHEN mus - us <= 600000000 THEN mus - us END, -1) AS gap_us
              FROM m WHERE side = 0"""))
+
+  /** BIDIRECTIONAL as-of — the nearest-event join: q_asof_join matches
+    * backward, q_asof_forward forward; this picks whichever purchase
+    * is CLOSER in time to each click, either direction (ties prefer
+    * the backward match) — the feature-store enrichment semantics
+    * ("the reading nearest the label"). Same union-window discipline
+    * as the directional twins: clicks and purchases ride ONE user_id
+    * exchange carrying two ordered frames (ascending running-last for
+    * the backward candidate, descending for the forward), so there is
+    * no range join and no per-row search — plan-pinned to one
+    * exchange. Emits exact epoch-µs deltas.
+    */
+  private val qAsofNearest = GraftQuery(
+    "q_asof_nearest",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val wb = Window.partitionBy("user_id").orderBy(col("t"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wf = Window.partitionBy("user_id").orderBy(col("t").desc, col("event_id").desc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      events(s, dir)
+        .filter(col("event_type").isin("click", "purchase"))
+        .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("t"),
+          (col("event_type") === "purchase").as("__p"))
+        .withColumn("__pt", when(col("__p"), col("t")))
+        .withColumn("back_t", last(col("__pt"), ignoreNulls = true).over(wb))
+        .withColumn("fwd_t", last(col("__pt"), ignoreNulls = true).over(wf))
+        .filter(!col("__p") && (col("back_t").isNotNull || col("fwd_t").isNotNull))
+        .withColumn("__useBack",
+          col("fwd_t").isNull ||
+            (col("back_t").isNotNull && (col("t") - col("back_t") <= col("fwd_t") - col("t"))))
+        .select(col("event_id"), col("user_id"), col("t").as("t_us"),
+          when(col("__useBack"), col("back_t")).otherwise(col("fwd_t")).as("near_us"),
+          when(col("__useBack"), col("t") - col("back_t"))
+            .otherwise(col("fwd_t") - col("t")).as("delta_us"),
+          when(col("__useBack"), lit("back")).otherwise(lit("fwd")).as("direction"))
+    },
+    Some("""WITH cp AS (SELECT user_id, event_id, epoch_us(ts) AS t,
+              event_type = 'purchase' AS is_p
+            FROM events WHERE event_type IN ('click', 'purchase')),
+            w AS (SELECT user_id, event_id, t, is_p,
+              last_value(CASE WHEN is_p THEN t END IGNORE NULLS)
+                OVER (PARTITION BY user_id ORDER BY t, event_id
+                      ROWS UNBOUNDED PRECEDING) AS back_t,
+              last_value(CASE WHEN is_p THEN t END IGNORE NULLS)
+                OVER (PARTITION BY user_id ORDER BY t DESC, event_id DESC
+                      ROWS UNBOUNDED PRECEDING) AS fwd_t
+            FROM cp)
+            SELECT event_id, user_id, t AS t_us,
+              CASE WHEN fwd_t IS NULL OR (back_t IS NOT NULL AND t - back_t <= fwd_t - t)
+                   THEN back_t ELSE fwd_t END AS near_us,
+              CASE WHEN fwd_t IS NULL OR (back_t IS NOT NULL AND t - back_t <= fwd_t - t)
+                   THEN t - back_t ELSE fwd_t - t END AS delta_us,
+              CASE WHEN fwd_t IS NULL OR (back_t IS NOT NULL AND t - back_t <= fwd_t - t)
+                   THEN 'back' ELSE 'fwd' END AS direction
+            FROM w WHERE NOT is_p AND (back_t IS NOT NULL OR fwd_t IS NOT NULL)"""))
 
   /** SCD2 state-interval compaction: collapse each user's event-type
     * stream into validity intervals [valid_from, valid_to) — change
@@ -6948,7 +7115,7 @@ object Queries {
             FROM z"""))
 
   val all: Seq[GraftQuery] = Seq(
-    qMapFilter, qFilterMap, qCycle, qFoldAgg, qDistinctUsers, qTopkPerKey, qPivotCounts, qApproxDistinct, qHeavyHitters, qHeavyHittersVerified, qCmsFreq, qQuantiles, qQuantilesExact, qTableLatest, qSnapshotDiff, qTumbling, qHopping, qLagWindow, qSession,
+    qMapFilter, qFilterMap, qCycle, qFoldAgg, qDistinctUsers, qTopkPerKey, qPivotCounts, qApproxDistinct, qHeavyHitters, qHeavyHittersVerified, qCmsFreq, qJoinCardEst, qQuantiles, qQuantilesExact, qTableLatest, qSnapshotDiff, qTumbling, qHopping, qLagWindow, qSession,
     qIntervalJoin, qStreamTableJoin, qSaltedJoin, qSkewReport, qRangeJoin, qOverlapSessions, qMerge, qSplitBranch, qChunk, qSkipTake, qThrottle,
     qCdcApply, qSessionize, qTypoPairs, qPrefixJaccard, qZonemap,
     qWordcount, qCandles, qCandlesHop, qStratClassify, qAsofJoin,
@@ -6970,10 +7137,10 @@ object Queries {
     qLangPurity, qTtr, qCosineBands, qJaccardBands, qTransitions, qCohorts,
     qIqr, qSpikes, qBootstrap, qTwap, qCandleReturns, qLifespan, qZipfTop,
     qChurnUsers, qDauMa, qGini, qDaypart, qConversionLag,
-    qDedupSurvivors, qRunningStats, qEwma, qCusum, qTrendSlope, qSpanDedup, qTermScrub, qValueHistogram,
+    qDedupSurvivors, qRunningStats, qEwma, qCusum, qTrendSlope, qAutocorr, qSpanDedup, qTermScrub, qValueHistogram,
     qBigramLift, qCopurchase, qBigramLm, qPplBuckets, qPplBucketsScale, qDupNgram, qSemdedup, qBm25, qCdcChunks,
     qOutliers, qTokenBudget, qRollupStats, qTimeWindowSum,
-    qProfile, qStratifiedSample, qAsofForward, qScd2, qPairCuration, qWindowTopk,
+    qProfile, qStratifiedSample, qAsofForward, qAsofNearest, qScd2, qPairCuration, qWindowTopk,
     qRunningDistinct, qFirstSeen, qDedupDegree, qDecileBin,
     qBloomDecontam, qDupSpanRuns, qEmbedQuant, qGramMatrix, qMixWeights, qEmbedPq, qPqAdc, qPqRescore, qDedupPrio, qKnnHubs, qIvfPq, qEmbedBinary, qSpanScrub, qSpanExcise,
     qTokenCount, qFingerprint, qMultimodalMeta,

@@ -483,6 +483,52 @@ class PipelineOpsSpec extends SparkSpecBase {
     assert(cids.forall(c => c >= 0 && c < 16))
   }
 
+  test("q_asof_nearest: every match equals the brute-force nearest purchase; ties go backward") {
+    val out = Queries.queries("q_asof_nearest")(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getString(5)))).toMap
+    val ev = eventsDF.select(col("event_id"), col("user_id"),
+        unix_micros(col("ts")).as("t"), col("event_type"))
+      .filter(col("event_type").isin("click", "purchase"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    val byUser = ev.groupBy(_._2)
+    var checked = 0
+    for ((u, rows) <- byUser) {
+      val purchases = rows.filter(_._4 == "purchase").map(p => (p._3, p._1)).sorted
+      for ((cid, _, t, tp) <- rows if tp == "click" && purchases.nonEmpty) {
+        // brute force: minimize |Δt|; ties prefer the backward match
+        // (and among equal-|Δt| backward candidates the LATEST, which
+        // the running-last window picks by construction)
+        val best = purchases.map { case (pt, _) =>
+          (math.abs(pt - t), if (pt <= t) 0 else 1, -pt)
+        }.min
+        val (gotU, gotT, gotNear, gotDelta, gotDir) = out(cid)
+        assert(gotU == u && gotT == t, s"click $cid id/ts")
+        assert(gotDelta == best._1, s"click $cid delta: got $gotDelta want ${best._1}")
+        assert((gotDir == "back") == (best._2 == 0), s"click $cid direction")
+        assert(math.abs(gotNear - t) == best._1, s"click $cid near ts")
+        checked += 1
+      }
+    }
+    assert(checked == out.size && checked > 0)
+  }
+
+  test("q_join_card_est: exact side recomputes; estimate is a bounded overestimate") {
+    val r = Queries.queries("q_join_card_est")(spark, sfDir).collect()
+    assert(r.length == 1)
+    val row = r(0)
+    val exact = eventsDF.filter(col("event_type").isin("click", "purchase"))
+      .groupBy("user_id")
+      .agg(count(when(col("event_type") === "click", 1)).as("na"),
+        count(when(col("event_type") === "purchase", 1)).as("nb"))
+      .collect().map(x => x.getLong(1) * x.getLong(2)).sum
+    assert(row.getAs[Long]("exact_card") == exact)
+    // and exact_card IS the true join cardinality
+    val c = eventsDF.filter(col("event_type") === "click").select(col("user_id"))
+    val p = eventsDF.filter(col("event_type") === "purchase").select(col("user_id"))
+    assert(exact == c.join(p, "user_id").count())
+    assert(row.getAs[Boolean]("over_ok") && row.getAs[Boolean]("bound_ok"))
+  }
+
   test("q_classifier_score: kernel logit equals the declarative HOF form; keep ⇔ logit ≥ 0") {
     val out = Queries.queries("q_classifier_score")(spark, sfDir)
     // one row per tokenizable doc

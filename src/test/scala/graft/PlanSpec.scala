@@ -105,6 +105,26 @@ class PlanSpec extends SparkSpecBase {
     assert(p.contains("partial_count") || p.contains("HashAggregate"), p)
   }
 
+  test("q_autocorr: mean frame, lead frame, and final sums share ONE exchange") {
+    val p = planOf(Queries.queries("q_autocorr")(spark, sfDir))
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1, p)
+  }
+
+  test("q_asof_nearest: both directional frames ride ONE exchange — no range join") {
+    val p = planOf(Queries.queries("q_asof_nearest")(spark, sfDir))
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1, p)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("q_join_card_est: the only keyed shuffle is the exact recount; sketch sides are 1 KiB global aggs") {
+    // the CMS builds reduce to single-row sketches before any join; the
+    // 1-row × 1-row combines may plan as nested-loop joins, but the
+    // events fact itself never joins
+    val p = planOf(Queries.queries("q_join_card_est")(spark, sfDir))
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1, p)
+    assert(p.contains("ObjectHashAggregate") || p.contains("SortAggregate"), p)
+  }
+
   test("q_dedup_prio: survivor via min_by aggregate, no window sort over members") {
     val p = planOf(Queries.queries("q_dedup_prio")(spark, sfDir))
     assert(p.contains("min_by") || p.contains("partial_"), p)

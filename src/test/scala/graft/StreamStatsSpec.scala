@@ -73,6 +73,17 @@ class StreamStatsSpec extends SparkSpecBase {
       val trend = if (num > 0) "up" else if (num < 0) "down" else "flat"
       assert(slope(u) == ((n, num, den, trend)), s"user $u trend")
     }
+    // lag-1 autocorrelation: literal floor-mean deviations fold
+    val ac = Queries.queries("q_autocorr")(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getString(5)))).toMap
+    for ((u, vs) <- tape) {
+      val mu = vs.sum / vs.size
+      val ds = vs.map(_ - mu)
+      val den = ds.map(d => d * d).sum
+      val num = ds.zip(ds.tail).map { case (a, b) => a * b }.sum
+      val sign = if (num > 0) "pos" else if (num < 0) "neg" else "zero"
+      assert(ac(u) == ((vs.size.toLong, mu, den, num, sign)), s"user $u autocorr")
+    }
   }
 
   test("q_span_dedup: ratios in range; counts match a raw-gram-string recomputation") {
