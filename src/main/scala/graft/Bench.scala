@@ -87,7 +87,10 @@ object Bench {
     "q_classifier_score", "q_trend_slope", "q_gram_matrix",
     // the two-frame nearest-asof window, the autocorrelation triple
     // frame, and the sketch-vs-recount join-cardinality pass
-    "q_asof_nearest", "q_autocorr", "q_join_card_est")
+    "q_asof_nearest", "q_autocorr", "q_join_card_est",
+    // fixed-depth frontier walk over the cached pair graph, and the
+    // all-to-all IVF majority screen
+    "q_bfs_hops", "q_label_consistency")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -228,6 +231,8 @@ object Bench {
         StreamingOps.ewma(ds).toDF()),
       run("cusum", OutputMode.Append())(ds =>
         StreamingOps.cusum(ds, targetCents = 10_000L, thresholdCents = 100_000L).toDF()),
+      run("trend_slope", OutputMode.Append())(ds =>
+        StreamingOps.trendSlope(ds).toDF()),
       cms)
     res.map { case (k, v) => f""""$k":$v%.3f""" }
       .mkString(s"""{"rows":${tape.length},""", ",", "}")

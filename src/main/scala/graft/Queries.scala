@@ -2126,6 +2126,33 @@ object Queries {
              SELECT a AS id, CAST(count(*) AS BIGINT) AS degree
              FROM peel WHERE r = 8 GROUP BY a"""))
 
+  /** Fixed-depth multi-source BFS over the near-dup graph
+    * (Relational.bfsHops) — the blast-radius / contamination-spread
+    * walk: given flagged seed docs (here the deterministic id % 7
+    * slice of graph nodes), every doc within ≤3 near-dup hops gets
+    * its minimum hop distance. This is the graph-traversal member the
+    * iterative family lacked (CC converges labels, PageRank mass,
+    * kCore peels — none answers "how FAR is v from the flagged set").
+    * Node-space rounds like kCore: one checkpointed symmetric edge
+    * list, each round one broadcast frontier probe + anti-join against
+    * the labeled set; superseded checkpoints freed eagerly. The DuckDB
+    * twin is a depth-bounded recursive CTE with min() collapse.
+    */
+  private val qBfsHops = GraftQuery(
+    "q_bfs_hops",
+    (s, dir) => Relational.bfsHops(simhashPairs(s, dir), "id_a", "id_b",
+      col("id") % 7 === 0, maxHops = 3),
+    Some(s"""$simhashPairsSql,
+             und AS (SELECT id_a AS a, id_b AS b FROM p UNION ALL SELECT id_b, id_a FROM p),
+             sd AS (SELECT DISTINCT a AS id FROM und WHERE a % 7 = 0),
+             walk(id, dist) AS (
+               SELECT id, 0 FROM sd
+               UNION
+               SELECT u.b, walk.dist + 1 FROM walk JOIN und u ON u.a = walk.id
+               WHERE walk.dist < 3
+             )
+             SELECT id, CAST(min(dist) AS BIGINT) AS dist FROM walk GROUP BY id"""))
+
   /** Per-node triangle counts on the near-dup graph
     * (Relational.triangleCounts): the clustering-coefficient numerator —
     * triangle-rich components are cliques (safe to collapse to one
@@ -2855,6 +2882,57 @@ object Queries {
                      row_number() OVER (PARTITION BY query_id ORDER BY votes DESC, label) AS rn
                    FROM v)
              WHERE rn = 1"""))
+
+  /** Label-consistency screen over the labeled embedding corpus — the
+    * Confident-Learning-style mislabel signal (Northcutt et al. 2021):
+    * EVERY vector queries the IVF index for its approximate top-5
+    * neighbors (all-to-all, the q_knn_hubs chain), takes the neighbor
+    * label majority (ties → smaller label), and per CLASS we report
+    * how many members agree with their neighborhood — classes with low
+    * consistency_milli are where label noise concentrates. The
+    * all-to-all kNN stays a cid equi-join (never all-pairs); label
+    * attach + majority are broadcast-dim joins and a keyed rank
+    * window over the ≤ 10-label vote table. n counts vectors whose
+    * probed cells contain at least one other vector (the others have
+    * no neighborhood to disagree with).
+    */
+  private val qLabelConsistency = GraftQuery(
+    "q_label_consistency",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val e = t(s, dir, "embeddings")
+      val lbl = e.select(col("vec_id"), col("label").cast("long").as("label"))
+      val votes = VectorFns.ivfTopK(e, e, "vec_id", "embedding", 5)
+        .join(broadcast(lbl.select(col("vec_id").as("neighbor_id"), col("label").as("__nl"))),
+          "neighbor_id")
+        .groupBy(col("query_id"), col("__nl"))
+        .agg(count(lit(1)).as("__votes"))
+      val maj = votes
+        .withColumn("__rn", row_number().over(
+          Window.partitionBy("query_id").orderBy(col("__votes").desc, col("__nl"))))
+        .filter(col("__rn") === 1)
+        .select(col("query_id"), col("__nl").as("__pred"))
+      maj.join(broadcast(lbl.select(col("vec_id").as("query_id"), col("label"))), "query_id")
+        .groupBy(col("label"))
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("__pred") === col("label"), 1L).otherwise(0L)).as("n_consistent"))
+        .withColumn("consistency_milli", expr("(n_consistent * 1000) div n"))
+    },
+    Some(s"""$ivfAllNnSql,
+             v AS (SELECT query_id, CAST(emb.label AS BIGINT) AS nl, CAST(count(*) AS BIGINT) AS votes
+                   FROM nn JOIN embeddings emb ON nn.neighbor_id = emb.vec_id
+                   GROUP BY 1, 2),
+             maj AS (SELECT query_id, nl AS pred FROM
+                       (SELECT query_id, nl, votes,
+                          row_number() OVER (PARTITION BY query_id ORDER BY votes DESC, nl) AS rn
+                        FROM v)
+                     WHERE rn = 1)
+             SELECT CAST(q.label AS BIGINT) AS label, CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(CASE WHEN maj.pred = CAST(q.label AS BIGINT) THEN 1 ELSE 0 END) AS BIGINT) AS n_consistent,
+               CAST(sum(CASE WHEN maj.pred = CAST(q.label AS BIGINT) THEN 1 ELSE 0 END) AS BIGINT) * 1000
+                 // CAST(count(*) AS BIGINT) AS consistency_milli
+             FROM maj JOIN embeddings q ON maj.query_id = q.vec_id
+             GROUP BY 1"""))
 
   /** Per-label corpus balance: member count and mean squared norm in
     * exact milli-units — the class-distribution health check before
@@ -6685,24 +6763,13 @@ object Queries {
     * aggregate + top-20 run on candidate-sized data. The oracle replays
     * the full IVF chain with the unrestricted query side.
     */
-  private val qKnnHubs = GraftQuery(
-    "q_knn_hubs",
-    (s, dir) => {
-      import org.apache.spark.sql.expressions.Window
-      val e = t(s, dir, "embeddings")
-      // top-20 via orderBy+limit = TakeOrderedAndProject (scale-safe:
-      // the in-degree table is corpus-sized, a global rank window over
-      // it would be a single-partition sort); the rank window then runs
-      // over the 20 surviving rows only
-      VectorFns.ivfTopK(e, e, "vec_id", "embedding", 5)
-        .groupBy(col("neighbor_id").as("hub_id"))
-        .agg(count(lit(1)).as("in_deg"))
-        .orderBy(col("in_deg").desc, col("hub_id"))
-        .limit(20)
-        .withColumn("rnk", row_number().over(
-          Window.orderBy(col("in_deg").desc, col("hub_id"))).cast("long"))
-    },
-    Some(s"""WITH e AS (SELECT vec_id, ${quantSql("embedding")} AS v FROM embeddings),
+  /** Shared ALL-TO-ALL IVF kNN chain (queries = corpus; mirror of
+    * VectorFns.ivfTopK(e, e, _, _, 5)) — used by the hubness report
+    * and the label-consistency screen. Ends at `nn(query_id,
+    * neighbor_id)`.
+    */
+  private def ivfAllNnSql: String =
+    s"""WITH e AS (SELECT vec_id, ${quantSql("embedding")} AS v FROM embeddings),
              cents AS (SELECT row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), CAST(vec_id AS VARCHAR)) - 1 AS cid, v AS cv
                        FROM e ORDER BY md5(CAST(vec_id AS VARCHAR)), CAST(vec_id AS VARCHAR) LIMIT 16),
              d AS (SELECT e.vec_id, cents.cid,
@@ -6723,7 +6790,26 @@ object Queries {
                       (SELECT query_id, neighbor_id,
                          row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rnk
                        FROM sc)
-                    WHERE rnk <= 5),
+                    WHERE rnk <= 5)"""
+
+  private val qKnnHubs = GraftQuery(
+    "q_knn_hubs",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val e = t(s, dir, "embeddings")
+      // top-20 via orderBy+limit = TakeOrderedAndProject (scale-safe:
+      // the in-degree table is corpus-sized, a global rank window over
+      // it would be a single-partition sort); the rank window then runs
+      // over the 20 surviving rows only
+      VectorFns.ivfTopK(e, e, "vec_id", "embedding", 5)
+        .groupBy(col("neighbor_id").as("hub_id"))
+        .agg(count(lit(1)).as("in_deg"))
+        .orderBy(col("in_deg").desc, col("hub_id"))
+        .limit(20)
+        .withColumn("rnk", row_number().over(
+          Window.orderBy(col("in_deg").desc, col("hub_id"))).cast("long"))
+    },
+    Some(s"""$ivfAllNnSql,
              deg AS (SELECT neighbor_id AS hub_id, CAST(count(*) AS BIGINT) AS in_deg
                      FROM nn GROUP BY neighbor_id)
              SELECT hub_id, in_deg, CAST(rnk AS BIGINT) AS rnk
@@ -7125,10 +7211,10 @@ object Queries {
     qNegPairs, qPiiScrub, qKanon, qLdiv, qDpHistogram, qDedupReport,
     qBpePairs,
     qDedupExact, qDedupMinhash, qMinhashRescore, qContainment, qMinhashEst, qDedupSimhash, qDedupSimhashPairs,
-    qDedupClusters, qPagerank, qKcore, qTriangles, qTrianglesApprox, qQualityDup, qHapax, qNgramJaccard, qSortedDedup, qDedupEmbed, qRepetition,
+    qDedupClusters, qPagerank, qKcore, qBfsHops, qTriangles, qTrianglesApprox, qQualityDup, qHapax, qNgramJaccard, qSortedDedup, qDedupEmbed, qRepetition,
     qSplitLeakage, qJaccardCalib, qGroupSplit,
     qEmbedTopk, qEmbedLsh, qEmbedIvf, qEmbedIvf2, qKmeansStep, qDocChunks, qChunkDedup,
-    qKnnClassify, qClassBalance, qGapFill, qInvertedIndex,
+    qKnnClassify, qClassBalance, qLabelConsistency, qGapFill, qInvertedIndex,
     qLangId, qQualityScore, qCuration, qSplitAssign, qPackSequences, qSamplePerKey, qWeightedSample,
     qTfidfTopterms, qContamination, qDecontam, qDedupSavings, qRankCorr,
     qShuffleOrder, qClassifierScore, qGopherQuality, qVocabCoverage, qFunnel, qRetention, qLangConfusion,

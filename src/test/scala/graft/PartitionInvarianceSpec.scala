@@ -60,14 +60,16 @@ class PartitionInvarianceSpec extends SparkSpecBase {
     "q_trend_slope", "q_gram_matrix", "q_classifier_score",
     // two-frame window joins and a sketch inner product whose counter
     // merges must commute across reducer counts
-    "q_asof_nearest", "q_autocorr", "q_join_card_est")
+    "q_asof_nearest", "q_autocorr", "q_join_card_est",
+    // iterative frontier fixpoint and the IVF-majority label screen
+    "q_bfs_hops", "q_label_consistency")
 
   private def runAll(): Map[String, Seq[String]] =
     subset.map { q =>
       q -> Queries.queries(q)(spark, sfDir).collect().map(_.toString).sorted.toSeq
     }.toMap
 
-  test("40 risk-class queries are bit-identical under 1 / 4 / 13 shuffle partitions, 64 KiB scan splits, and AQE off") {
+  test("42 risk-class queries are bit-identical under 1 / 4 / 13 shuffle partitions, 64 KiB scan splits, and AQE off") {
     val shufKey = "spark.sql.shuffle.partitions"
     val splitKey = "spark.sql.files.maxPartitionBytes"
     val aqeKey = "spark.sql.adaptive.enabled"

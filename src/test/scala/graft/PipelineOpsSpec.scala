@@ -483,6 +483,48 @@ class PipelineOpsSpec extends SparkSpecBase {
     assert(cids.forall(c => c >= 0 && c < 16))
   }
 
+  test("bfsHops: exact hop distances on a path and a star; depth bound respected") {
+    import spark.implicits._
+    // path 1-2-3-4-5, seed {1} (pred id % 97 == 1): dists 0,1,2,3; node 5 is 4 hops away → absent
+    val path = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L)).toDF("id_a", "id_b")
+    val d = graft.operators.Relational.bfsHops(path, "id_a", "id_b",
+        col("id") === 1L, maxHops = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(d == Map(1L -> 0L, 2L -> 1L, 3L -> 2L, 4L -> 3L), d)
+    // star centered at 10 with leaves 1,2,3, seeds = {1, 2}: leaves at
+    // dist 0/0/2, center at 1; min-dist semantics (not last-writer)
+    val star = Seq((10L, 1L), (10L, 2L), (10L, 3L)).toDF("id_a", "id_b")
+    val ds = graft.operators.Relational.bfsHops(star, "id_a", "id_b",
+        col("id") <= 2L, maxHops = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(ds == Map(1L -> 0L, 2L -> 0L, 10L -> 1L, 3L -> 2L), ds)
+    // no seeds → empty
+    assert(graft.operators.Relational.bfsHops(path, "id_a", "id_b",
+      col("id") > 100L, maxHops = 3).isEmpty)
+  }
+
+  test("q_label_consistency: per-class counts bounded and consistent with the IVF majority") {
+    val out = Queries.queries("q_label_consistency")(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(out.nonEmpty)
+    assert(out.values.forall { case (n, nc, cm) =>
+      nc >= 0 && nc <= n && cm == nc * 1000 / n })
+    // recompute the majority from the same ANN result, driver-side
+    val e = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val labels = e.collect().map(r => r.getAs[Long]("vec_id") -> r.getAs[Int]("label").toLong).toMap
+    val nn = graft.functions.VectorFns.ivfTopK(e, e, "vec_id", "embedding", 5)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val byClass = nn.groupBy(_._1).toSeq.map { case (q, rows) =>
+      val votes = rows.map(x => labels(x._2)).groupBy(identity).toSeq
+        .map { case (l, v) => (v.size, l) }
+      val pred = votes.map { case (v, l) => (-v, l) }.min._2
+      (labels(q), pred == labels(q))
+    }.groupBy(_._1).map { case (l, xs) => l -> ((xs.size.toLong, xs.count(_._2).toLong)) }
+    for ((l, (n, nc)) <- byClass)
+      assert(out(l) == ((n, nc, nc * 1000 / n)), s"label $l")
+  }
+
   test("q_asof_nearest: every match equals the brute-force nearest purchase; ties go backward") {
     val out = Queries.queries("q_asof_nearest")(spark, sfDir).collect()
       .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getString(5)))).toMap

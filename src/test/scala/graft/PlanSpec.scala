@@ -105,6 +105,11 @@ class PlanSpec extends SparkSpecBase {
     assert(p.contains("partial_count") || p.contains("HashAggregate"), p)
   }
 
+  test("q_label_consistency: kNN stays a cid equi-join; label attach and majority never all-pairs") {
+    val p = planOf(Queries.queries("q_label_consistency")(spark, sfDir))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
   test("q_autocorr: mean frame, lead frame, and final sums share ONE exchange") {
     val p = planOf(Queries.queries("q_autocorr")(spark, sfDir))
     assert("Exchange hashpartitioning".r.findAllIn(p).size == 1, p)

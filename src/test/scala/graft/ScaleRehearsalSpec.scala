@@ -24,6 +24,9 @@ import org.apache.spark.sql.functions._
   *   q_dedup_exact           1.9 s ->   0.9 s (0.5x)
   *   q_kcore                 4.6 s ->  53.2 s (7.4x)   (node-space peel; 59.6x edges, so sublinear per edge —
   *                                                      the edge-space peel re-materializing W per round was 608 s)
+  *   q_classifier_score      0.3 s ->   0.4 s (1.3x)   (map-only inference: fixed job latency dominates)
+  *   q_gram_matrix           1.9 s ->   0.7 s (0.4x)   (d²-bounded shuffle: corpus size is invisible;
+  *                                                      the sf0.1 point paid one-time plan warmup)
   * }}}
   *
   * Reading: every shape is sublinear in input except the two
@@ -60,7 +63,8 @@ class ScaleRehearsalSpec extends SparkSpecBase {
       val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
     }
     for (q <- Seq("q_prefix_jaccard", "q_dup_span_runs", "q_span_scrub", "q_dedup_minhash",
-        "q_dedup_simhash_pairs", "q_span_dedup", "q_semdedup", "q_dedup_exact", "q_kcore")) {
+        "q_dedup_simhash_pairs", "q_span_dedup", "q_semdedup", "q_dedup_exact", "q_kcore",
+        "q_classifier_score", "q_gram_matrix")) {
       val fn = Queries.queries(q)
       val t1 = time(fn(spark, src).write.mode("overwrite").format("noop").save())
       val t8 = time(fn(spark, dst).write.mode("overwrite").format("noop").save())
