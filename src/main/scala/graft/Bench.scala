@@ -90,7 +90,10 @@ object Bench {
     "q_asof_nearest", "q_autocorr", "q_join_card_est",
     // fixed-depth frontier walk over the cached pair graph, and the
     // all-to-all IVF majority screen
-    "q_bfs_hops", "q_label_consistency")
+    "q_bfs_hops", "q_label_consistency",
+    // DP release algebra, the cohort-TV drift rollup, and the
+    // dual-pipeline recall evaluation
+    "q_dp_mean", "q_drift", "q_ann_recall")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

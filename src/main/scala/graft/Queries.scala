@@ -2699,6 +2699,46 @@ object Queries {
                    FROM sc)
              WHERE rnk <= 5"""))
 
+  /** ANN index QUALITY evaluation as a first-class query — recall@5 of
+    * the IVF index against the exact brute-force top-5 on the same
+    * tie-break (score desc, neighbor_id): the self-evaluation an engine
+    * runs before trusting an approximate index in production (the spec
+    * twin AnnRecallSpec asserts thresholds; this emits the per-query
+    * numbers as data). hits = |IVF@5 ∩ exact@5|, recall_milli =
+    * hits·1000 div 5 — exact integers, so the whole evaluation
+    * hash-checks. The exact side scans once against the broadcast
+    * 20-query side (the correctness baseline shape); the IVF side is
+    * the cid equi-join.
+    */
+  private val qAnnRecall = GraftQuery(
+    "q_ann_recall",
+    (s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val q20 = e.filter(col("vec_id") < 20)
+      val approx = VectorFns.ivfTopK(q20, e, "vec_id", "embedding", 5)
+        .select(col("query_id").as("__q"), col("neighbor_id").as("__n"))
+      VectorFns.bruteForceTopK(q20, e, "vec_id", "embedding", 5)
+        .select(col("query_id"), col("neighbor_id"))
+        .join(approx, col("query_id") === col("__q") && col("neighbor_id") === col("__n"),
+          "left")
+        .groupBy(col("query_id"))
+        .agg(count(col("__n")).as("hits"))
+        .withColumn("recall_milli", expr("hits * 1000 div 5"))
+    },
+    Some(s"""$ivfNnSql,
+             bsc AS (SELECT qe.vec_id AS query_id, ce.vec_id AS neighbor_id,
+                       CAST(list_sum(list_transform(range(1, 65), i -> qe.v[i] * ce.v[i])) AS BIGINT) AS score
+                     FROM e qe, e ce WHERE qe.vec_id < 20 AND qe.vec_id != ce.vec_id),
+             bx AS (SELECT query_id, neighbor_id FROM
+                      (SELECT query_id, neighbor_id,
+                         row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rnk
+                       FROM bsc)
+                    WHERE rnk <= 5)
+             SELECT bx.query_id AS query_id, CAST(count(nn.neighbor_id) AS BIGINT) AS hits,
+               CAST(count(nn.neighbor_id) AS BIGINT) * 1000 // 5 AS recall_milli
+             FROM bx LEFT JOIN nn ON bx.query_id = nn.query_id AND bx.neighbor_id = nn.neighbor_id
+             GROUP BY 1"""))
+
   /** Mirror of VectorFns.lshBucketFor with the table index `t` as a
     * correlated column (table 0 == the original single-table formula).
     */
@@ -5841,6 +5881,88 @@ object Queries {
               greatest(true_count + noise, 0) AS released_count
             FROM nz"""))
 
+  /** Differentially-private MEAN release (the Laplace-mechanism mean,
+    * the aggregate-release companion of q_dp_histogram's counts): per
+    * event type, each value's cents CLIP at C = 20,000 (bounding one
+    * record's influence — the sensitivity), the clipped sum is exact,
+    * and the released sum adds C × the same md5-seeded two-sided-
+    * geometric noise q_dp_histogram uses (deterministic, so the
+    * release replays cross-engine; swap the salt for a per-release
+    * nonce in production). released_mean_cents divides by the PUBLIC
+    * group count, floored at 0 — all integer, one partial-agg shuffle.
+    */
+  private val qDpMean = GraftQuery(
+    "q_dp_mean",
+    (s, dir) => {
+      def z(salt: String) = (lit(60L) - length(bin(
+        conv(substring(md5(concat(col("event_type"), lit(salt))), 1, 15), 16, 10)
+          .cast("long")))).cast("long")
+      events(s, dir)
+        .select(col("event_type"),
+          least((col("value").cast(dec) * 100).cast("long"), lit(20000L)).as("__c"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(col("__c")).as("clipped_sum"))
+        .select(col("event_type"), col("n"), col("clipped_sum"),
+          (z("|a") - z("|b")).as("noise"))
+        .withColumn("released_sum",
+          greatest(col("clipped_sum") + col("noise") * 20000L, lit(0L)))
+        .withColumn("released_mean_cents", expr("released_sum div n"))
+    },
+    Some("""WITH c AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+              CAST(sum(least(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT), 20000)) AS BIGINT) AS clipped_sum
+            FROM events GROUP BY event_type),
+            nz AS (SELECT event_type, n, clipped_sum,
+              CAST(60 - length(bin(('0x' || substr(md5(event_type || '|a'), 1, 15))::BIGINT)) AS BIGINT)
+              - CAST(60 - length(bin(('0x' || substr(md5(event_type || '|b'), 1, 15))::BIGINT)) AS BIGINT) AS noise
+            FROM c)
+            SELECT event_type, n, clipped_sum, noise,
+              greatest(clipped_sum + noise * 20000, 0) AS released_sum,
+              greatest(clipped_sum + noise * 20000, 0) // n AS released_mean_cents
+            FROM nz"""))
+
+  /** Distribution-drift monitor — exact total-variation distance
+    * between two cohorts of the same metric (the PSI/KS-family check a
+    * pipeline runs before trusting that yesterday's data looks like
+    * today's; TV is used over PSI because it is EXACT in integers —
+    * no logs, no float drift). Cohorts are the deterministic
+    * event_id-parity split; values bucket at $50 width; per event
+    * type, TV = ½ Σ_b |pA(b) − pB(b)| emitted in milli as
+    * Σ|nA_b·NB − nB_b·NA| · 1000 // (2·NA·NB) — one exchange on
+    * (type, bucket) partials, then a type-level rollup of ≤ a dozen
+    * bucket rows.
+    */
+  private val qDrift = GraftQuery(
+    "q_drift",
+    (s, dir) =>
+      events(s, dir)
+        .select(col("event_type"), (col("event_id") % 2 === 0).as("__a"),
+          expr("cast(floor(value / 50) as bigint)").as("__b"))
+        .groupBy(col("event_type"), col("__b"))
+        .agg(sum(when(col("__a"), 1L).otherwise(0L)).as("__na"),
+          sum(when(!col("__a"), 1L).otherwise(0L)).as("__nb"))
+        .withColumn("__ta", sum(col("__na")).over(
+          org.apache.spark.sql.expressions.Window.partitionBy("event_type")))
+        .withColumn("__tb", sum(col("__nb")).over(
+          org.apache.spark.sql.expressions.Window.partitionBy("event_type")))
+        .groupBy(col("event_type"))
+        .agg(max(col("__ta")).as("na"), max(col("__tb")).as("nb"),
+          sum(abs(col("__na") * col("__tb") - col("__nb") * col("__ta"))).as("__l1"))
+        .select(col("event_type"), col("na"), col("nb"),
+          expr("__l1 * 1000 div (2 * na * nb)").as("tv_milli")),
+    Some("""WITH b AS (SELECT event_type, event_id % 2 = 0 AS a,
+              CAST(floor(value / 50) AS BIGINT) AS bk FROM events),
+            g AS (SELECT event_type, bk,
+              CAST(sum(CASE WHEN a THEN 1 ELSE 0 END) AS BIGINT) AS na_b,
+              CAST(sum(CASE WHEN a THEN 0 ELSE 1 END) AS BIGINT) AS nb_b
+            FROM b GROUP BY 1, 2),
+            t AS (SELECT event_type, bk, na_b, nb_b,
+              sum(na_b) OVER (PARTITION BY event_type) AS ta,
+              sum(nb_b) OVER (PARTITION BY event_type) AS tb FROM g)
+            SELECT event_type, CAST(max(ta) AS BIGINT) AS na, CAST(max(tb) AS BIGINT) AS nb,
+              CAST(sum(abs(na_b * tb - nb_b * ta)) AS BIGINT) * 1000
+                // (2 * CAST(max(ta) AS BIGINT) * CAST(max(tb) AS BIGINT)) AS tv_milli
+            FROM t GROUP BY event_type"""))
+
   /** k-anonymity suppression (k=5): events are generalized to
     * (event_type, value band of width 100), groups seen by fewer than k
     * DISTINCT users are suppressed, and the surviving rows ship with
@@ -7208,12 +7330,12 @@ object Queries {
     q1Pricing, q3Topk, q5Region, q14Promo, q2Mincost, q18Bigorders, q22Churn, q4Semi,
     q6Forecast, q10Returns, q12Priority, q19Brackets, q13Custdist, q16Suppliers,
     q7Trade, q15TopSupp, q17SmallQty, q21Blame, q20Excess, q8Share, qJsonExtract,
-    qNegPairs, qPiiScrub, qKanon, qLdiv, qDpHistogram, qDedupReport,
+    qNegPairs, qPiiScrub, qKanon, qLdiv, qDpHistogram, qDpMean, qDrift, qDedupReport,
     qBpePairs,
     qDedupExact, qDedupMinhash, qMinhashRescore, qContainment, qMinhashEst, qDedupSimhash, qDedupSimhashPairs,
     qDedupClusters, qPagerank, qKcore, qBfsHops, qTriangles, qTrianglesApprox, qQualityDup, qHapax, qNgramJaccard, qSortedDedup, qDedupEmbed, qRepetition,
     qSplitLeakage, qJaccardCalib, qGroupSplit,
-    qEmbedTopk, qEmbedLsh, qEmbedIvf, qEmbedIvf2, qKmeansStep, qDocChunks, qChunkDedup,
+    qEmbedTopk, qAnnRecall, qEmbedLsh, qEmbedIvf, qEmbedIvf2, qKmeansStep, qDocChunks, qChunkDedup,
     qKnnClassify, qClassBalance, qLabelConsistency, qGapFill, qInvertedIndex,
     qLangId, qQualityScore, qCuration, qSplitAssign, qPackSequences, qSamplePerKey, qWeightedSample,
     qTfidfTopterms, qContamination, qDecontam, qDedupSavings, qRankCorr,

@@ -62,14 +62,17 @@ class PartitionInvarianceSpec extends SparkSpecBase {
     // merges must commute across reducer counts
     "q_asof_nearest", "q_autocorr", "q_join_card_est",
     // iterative frontier fixpoint and the IVF-majority label screen
-    "q_bfs_hops", "q_label_consistency")
+    "q_bfs_hops", "q_label_consistency",
+    // hash-seeded DP noise, cohort histograms, and the IVF-vs-exact
+    // recall intersection
+    "q_dp_mean", "q_drift", "q_ann_recall")
 
   private def runAll(): Map[String, Seq[String]] =
     subset.map { q =>
       q -> Queries.queries(q)(spark, sfDir).collect().map(_.toString).sorted.toSeq
     }.toMap
 
-  test("42 risk-class queries are bit-identical under 1 / 4 / 13 shuffle partitions, 64 KiB scan splits, and AQE off") {
+  test("45 risk-class queries are bit-identical under 1 / 4 / 13 shuffle partitions, 64 KiB scan splits, and AQE off") {
     val shufKey = "spark.sql.shuffle.partitions"
     val splitKey = "spark.sql.files.maxPartitionBytes"
     val aqeKey = "spark.sql.adaptive.enabled"

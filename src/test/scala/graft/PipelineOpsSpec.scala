@@ -483,6 +483,55 @@ class PipelineOpsSpec extends SparkSpecBase {
     assert(cids.forall(c => c >= 0 && c < 16))
   }
 
+  test("q_dp_mean: release algebra exact; clipping bounds the sum; DP noise is the histogram's") {
+    val out = Queries.queries("q_dp_mean")(spark, sfDir).collect()
+    assert(out.nonEmpty)
+    for (r <- out) {
+      val (n, cs, nz, rs, rm) = (r.getAs[Long]("n"), r.getAs[Long]("clipped_sum"),
+        r.getAs[Long]("noise"), r.getAs[Long]("released_sum"), r.getAs[Long]("released_mean_cents"))
+      assert(cs >= 0 && cs <= 20000L * n)
+      assert(rs == math.max(cs + nz * 20000L, 0L))
+      assert(rm == rs / n)
+    }
+    // same deterministic noise stream as q_dp_histogram (same salt)
+    val hn = Queries.queries("q_dp_histogram")(spark, sfDir).collect()
+      .map(r => r.getString(0) -> r.getAs[Long]("noise")).toMap
+    assert(out.forall(r => hn(r.getString(0)) == r.getAs[Long]("noise")))
+  }
+
+  test("q_drift: TV in [0,1000]; cohorts partition each type; matches a driver recompute") {
+    val out = Queries.queries("q_drift")(spark, sfDir).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    val ev = eventsDF.select(col("event_type"), col("event_id"), col("value")).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    for ((tp, rows) <- ev.groupBy(_._1)) {
+      val (a, b) = rows.partition(_._2 % 2 == 0)
+      def histo(xs: Array[(String, Long, Double)]) =
+        xs.groupBy(x => math.floor(x._3 / 50).toLong).view.mapValues(_.size.toLong).toMap
+      val (ha, hb) = (histo(a), histo(b))
+      val (na, nb) = (a.length.toLong, b.length.toLong)
+      val l1 = (ha.keySet ++ hb.keySet).toSeq
+        .map(k => math.abs(ha.getOrElse(k, 0L) * nb - hb.getOrElse(k, 0L) * na)).sum
+      val tv = l1 * 1000L / (2L * na * nb)
+      assert(out(tp) == ((na, nb, tv)), s"type $tp")
+      assert(tv >= 0 && tv <= 1000)
+    }
+  }
+
+  test("q_ann_recall: per-query hits equal the library-level IVF ∩ brute intersection") {
+    val out = Queries.queries("q_ann_recall")(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(out.size == 20 && out.values.forall { case (h, m) => h >= 0 && h <= 5 && m == h * 1000 / 5 })
+    val e = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val q20 = e.filter(col("vec_id") < 20)
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "neighbor_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = pairs(graft.functions.VectorFns.bruteForceTopK(q20, e, "vec_id", "embedding", 5))
+    val approx = pairs(graft.functions.VectorFns.ivfTopK(q20, e, "vec_id", "embedding", 5))
+    val inter = exact.intersect(approx).groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    for ((q, (h, _)) <- out) assert(h == inter.getOrElse(q, 0L), s"query $q")
+  }
+
   test("bfsHops: exact hop distances on a path and a star; depth bound respected") {
     import spark.implicits._
     // path 1-2-3-4-5, seed {1} (pred id % 97 == 1): dists 0,1,2,3; node 5 is 4 hops away → absent

@@ -105,6 +105,17 @@ class PlanSpec extends SparkSpecBase {
     assert(p.contains("partial_count") || p.contains("HashAggregate"), p)
   }
 
+  test("q_dp_mean: one partial-agg exchange; q_drift: bucket partials then a bounded rollup") {
+    val p1 = planOf(Queries.queries("q_dp_mean")(spark, sfDir))
+    assert("Exchange hashpartitioning".r.findAllIn(p1).size == 1, p1)
+    assert(p1.contains("partial_"), p1)
+    // drift: the (type, bucket) partial agg is the only fact-sized
+    // shuffle; the type-level window + rollup run over ≤ types×buckets
+    val p2 = planOf(Queries.queries("q_drift")(spark, sfDir))
+    assert("Exchange hashpartitioning".r.findAllIn(p2).size <= 2, p2)
+    assert(!p2.contains("CartesianProduct") && !p2.contains("BroadcastNestedLoopJoin"), p2)
+  }
+
   test("q_label_consistency: kNN stays a cid equi-join; label attach and majority never all-pairs") {
     val p = planOf(Queries.queries("q_label_consistency")(spark, sfDir))
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
@@ -320,6 +331,10 @@ class PlanSpec extends SparkSpecBase {
       // the gram pipeline's shared-exchange pair — 3 single-evaluation
       // tokenize sites, each fenced
       "q_span_excise" -> 3,
+      // ann-recall runs BOTH retrieval pipelines (that is the query):
+      // brute force quantizes query+corpus, IVF quantizes query+corpus
+      // — 4 single-evaluation sites, two per pipeline
+      "q_ann_recall" -> 4,
       // gram-matrix: the single moment aggregation is referenced three
       // times (pair products + the Σxᵢ and Σxⱼ attaches) — 3 logical
       // copies riding ONE runtime exchange (ReusedExchange pinned in
