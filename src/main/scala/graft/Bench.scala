@@ -164,16 +164,52 @@ object Bench {
     val qs = ok.map { case (k, v) => f""""$k":$v%.3f""" }.mkString("{", ",", "}")
     val errs = err.map { case (k, m) => s""""$k":"$m"""" }.mkString("{", ",", "}")
     val total = ok.map(_._2).sum
-    val streaming =
-      if (sys.env.getOrElse("SPARK_GRAFT_STREAM", "1") == "0") "{}"
-      else {
-        sweep()
-        try streamingSection(spark, sfDir)
-        catch { case e: Throwable => s"""{"error":"${e.getClass.getSimpleName}"}""" }
-      }
-    println(
-      s"""{"metric":"headline_total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"streaming":$streaming,"sf":"$sfDir"}""")
+    // Two tape sizes (the bench SF and the next SF down) so streaming
+    // rows/s regressions surface round-over-round the way batch ones
+    // do — one size can't distinguish fixed micro-batch latency from
+    // per-row cost; two sizes separate the intercept from the slope.
+    def streamAt(dir: String): String = {
+      sweep()
+      try streamingSection(spark, dir)
+      catch { case e: Throwable => s"""{"error":"${e.getClass.getSimpleName}"}""" }
+    }
+    val (streaming, streamingSmall) =
+      if (sys.env.getOrElse("SPARK_GRAFT_STREAM", "1") == "0") ("{}", "{}")
+      else (streamAt(sfDir), streamAt(smallerSf(sfDir)))
+    val json =
+      s"""{"metric":"headline_total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"streaming":$streaming,"streaming_small":$streamingSmall,"sf":"$sfDir"}"""
+    println(json)
+    // Durable copy: the driver's stdout capture front-truncates long
+    // runs (BENCH_r10.json lost the headline total and first 8
+    // queries), so the full record also lands in bench_runs/.
+    try {
+      val dir = java.nio.file.Paths.get("bench_runs")
+      java.nio.file.Files.createDirectories(dir)
+      val sfName = sfDir.split('/').last
+      val round = sys.env.get("SPARK_GRAFT_ROUND").orElse(nextRound()).getOrElse("x")
+      java.nio.file.Files.write(dir.resolve(s"bench_${sfName}_r$round.json"),
+        (json + "\n").getBytes("UTF-8"))
+    } catch { case _: Throwable => () } // durability is best-effort, never fails the bench
     spark.stop()
+  }
+
+  /** The next SF down from the bench dir (sf0.1 → sf0.01 → sf0.001),
+    * for the second streaming tape; the smallest SF reuses itself.
+    */
+  private def smallerSf(sfDir: String): String = {
+    val steps = Seq("sf0.1" -> "sf0.01", "sf0.01" -> "sf0.001")
+    steps.collectFirst { case (big, small) if sfDir.endsWith(big) =>
+      sfDir.stripSuffix(big) + small }.getOrElse(sfDir)
+  }
+
+  /** Infer the current round from the driver's committed BENCH_r*.json
+    * files in the CWD (max + 1); SPARK_GRAFT_ROUND overrides.
+    */
+  private def nextRound(): Option[String] = {
+    val re = "BENCH_r(\\d+)\\.json".r
+    val files = Option(new java.io.File(".").list()).getOrElse(Array.empty[String])
+    val rounds = files.collect { case re(n) => n.toInt }
+    if (rounds.isEmpty) None else Some((rounds.max + 1).toString.reverse.padTo(2, '0').reverse)
   }
 
   /** Streaming micro-bench: drive the bench SF's events table through
@@ -183,7 +219,9 @@ object Bench {
     * round-over-round number the way batch has been. The tape replays
     * REAL event data (key = user_id, event-time = ts), not synthetic
     * rows, so state cardinality and per-key traffic match the batch
-    * queries' shapes.
+    * queries' shapes. Emits per-op seconds AND rows/s (the tape's row
+    * count over wall time) so two tape sizes expose per-row cost
+    * separately from fixed micro-batch latency.
     */
   private def streamingSection(spark: org.apache.spark.sql.SparkSession, sfDir: String): String = {
     import org.apache.spark.sql.functions._
@@ -237,7 +275,10 @@ object Bench {
       run("trend_slope", OutputMode.Append())(ds =>
         StreamingOps.trendSlope(ds).toDF()),
       cms)
-    res.map { case (k, v) => f""""$k":$v%.3f""" }
-      .mkString(s"""{"rows":${tape.length},""", ",", "}")
+    val secs = res.map { case (k, v) => f""""$k":$v%.3f""" }.mkString("{", ",", "}")
+    val rps = res.map { case (k, v) =>
+      f""""$k":${if (v > 0) tape.length / v else 0.0}%.0f""" }.mkString("{", ",", "}")
+    s"""{"rows":${tape.length},"sf":"$sfDir","ops_sec":$secs,"ops_rows_per_sec":$rps,""" +
+      res.map { case (k, v) => f""""$k":$v%.3f""" }.mkString("", ",", "}")
   }
 }

@@ -5883,8 +5883,10 @@ object Queries {
 
   /** Differentially-private MEAN release (the Laplace-mechanism mean,
     * the aggregate-release companion of q_dp_histogram's counts): per
-    * event type, each value's cents CLIP at C = 20,000 (bounding one
-    * record's influence — the sensitivity), the clipped sum is exact,
+    * event type, each value's cents CLIP TWO-SIDED into [0, C],
+    * C = 20,000 (bounding one record's influence — the sensitivity —
+    * without assuming the data is nonnegative), the clipped sum is
+    * exact,
     * and the released sum adds C × the same md5-seeded two-sided-
     * geometric noise q_dp_histogram uses (deterministic, so the
     * release replays cross-engine; swap the salt for a per-release
@@ -5899,7 +5901,7 @@ object Queries {
           .cast("long")))).cast("long")
       events(s, dir)
         .select(col("event_type"),
-          least((col("value").cast(dec) * 100).cast("long"), lit(20000L)).as("__c"))
+          greatest(least((col("value").cast(dec) * 100).cast("long"), lit(20000L)), lit(0L)).as("__c"))
         .groupBy(col("event_type"))
         .agg(count(lit(1)).as("n"), sum(col("__c")).as("clipped_sum"))
         .select(col("event_type"), col("n"), col("clipped_sum"),
@@ -5909,7 +5911,7 @@ object Queries {
         .withColumn("released_mean_cents", expr("released_sum div n"))
     },
     Some("""WITH c AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
-              CAST(sum(least(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT), 20000)) AS BIGINT) AS clipped_sum
+              CAST(sum(greatest(least(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT), 20000), 0)) AS BIGINT) AS clipped_sum
             FROM events GROUP BY event_type),
             nz AS (SELECT event_type, n, clipped_sum,
               CAST(60 - length(bin(('0x' || substr(md5(event_type || '|a'), 1, 15))::BIGINT)) AS BIGINT)
@@ -6792,8 +6794,12 @@ object Queries {
     * (i, j) labelling and first-moment attach are broadcast joins
     * over ≤ 2,144 aggregated rows reading the SAME exchange
     * (ReusedExchange, pinned in PlanSpec). 64-bit headroom: |x| ≤ 10³
-    * (milli-quantized unit-scale floats) ⇒ covnum < n²·10⁶ — exact
-    * past 3×10⁹ rows; lift the two sums to DECIMAL(38,0) beyond.
+    * (milli-quantized unit-scale floats) ⇒ |covnum| ≤ n²·10⁶, which
+    * stays inside int64 only up to n ≈ 3×10⁶ rows at that worst case
+    * (n²·10⁶ ≤ 2⁶³ ⇔ n ≤ 3.0×10⁶); for unit-NORM embeddings the
+    * effective bound is Σxᵢxⱼ ≤ n·10⁶ per pair, i.e. n ≈ 9×10¹² —
+    * lift the two sums to DECIMAL(38,0) before trusting either limit
+    * at corpus scale.
     */
   private val qGramMatrix = GraftQuery(
     "q_gram_matrix",

@@ -212,9 +212,14 @@ object DedupFns {
     * each (inferred size/isnotnull predicates otherwise re-hash every
     * row); the join-key repartition gives both self-join sides ONE
     * shared exchange (AQE ReusedExchange) and shuffle_hash prevents a
-    * corpus-sized broadcast; the hamming filter runs BEFORE the
-    * pair-dedup distinct (every copy of a pair carries the same
-    * signatures), shrinking the aggregation input.
+    * corpus-sized broadcast. A pair within hamming ≤ 3 can share up
+    * to 4 bands, so the raw join would emit it up to 4×; instead of a
+    * pair-dedup `.distinct()` (a second full shuffle of the pair
+    * output) each pair is reported ONCE, at its MINIMUM matching band:
+    * both join sides carry the full signature, so "no band j < k also
+    * matches" is a map-side post-join predicate — duplicate-free by
+    * construction, zero extra exchanges (the q_overlap_sessions
+    * report-once rule).
     */
   def simhashNearDupPairs(df: DataFrame, idCol: String, textCol: String,
       maxHamming: Int): DataFrame = {
@@ -227,13 +232,16 @@ object DedupFns {
       posexplode(array((0 until 4).map(k =>
         shiftright(col("sim"), 8 * k).bitwiseAND(lit(255L))): _*)).as(Seq("k", "byte")))
       .repartition(col("k"), col("byte"))
+    def byteAt(sim: Column, j: Int) = shiftright(sim, 8 * j).bitwiseAND(lit(255L))
+    val minBand = (0 until 3).map(j =>
+      col("a.k") <= j || byteAt(col("a.sim"), j) =!= byteAt(col("b.sim"), j)).reduce(_ && _)
     bands.as("a").hint("shuffle_hash")
       .join(bands.as("b").hint("shuffle_hash"),
         col("a.k") === col("b.k") && col("a.byte") === col("b.byte") && col("a.id") < col("b.id"))
+      .filter(minBand)
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
         hamming(col("a.sim"), col("b.sim")).cast("long").as("dist"))
       .filter(col("dist") <= maxHamming)
-      .distinct()
   }
 
   // ---- n-gram Jaccard ---------------------------------------------------

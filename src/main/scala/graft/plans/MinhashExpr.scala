@@ -203,6 +203,11 @@ case class Simhash32(child: Expression) extends UnaryExpression {
   * arrays propagate null (declarative HOF null propagation).
   */
 case class TokenLogit(child: Expression, buckets: Int) extends UnaryExpression {
+  // Fail fast at construction for BOTH entry points (SQL registration
+  // validates separately; the Scala API previously reached eval/codegen
+  // with buckets = 0 and died in `% 0`).
+  require(buckets >= 1, s"graft_token_logit needs buckets >= 1, got $buckets")
+
   override def checkInputDataTypes(): TypeCheckResult =
     TypeChecks.requireArrayOf("graft_token_logit", StringType, child.dataType)
 

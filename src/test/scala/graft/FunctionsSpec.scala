@@ -374,7 +374,18 @@ class FunctionsSpec extends SparkSpecBase {
           VectorFns.signBitsFast(VectorFns.vecSubFast(VectorFns.quantizeFast(col("v")),
             typedLit(Seq(1000L, 0L)))).as("sb"),
           TextFns.tokenLogitFast(TextFns.tokensFast(col("text")), 4096).as("tl"),
-          VectorFns.outerMomentsFast(VectorFns.quantizeFast(col("v"))).as("om"))
+          VectorFns.outerMomentsFast(VectorFns.quantizeFast(col("v"))).as("om"),
+          // the four kernels the sweep previously missed, each next to
+          // its value-identical declarative twin (both sides run under
+          // CODEGEN_ONLY, so a codegen bug in either surfaces here)
+          TextFns.fingerprintFast(TextFns.tokensFast(col("text"))).as("fp"),
+          TextFns.fingerprint(col("text")).as("fp_slow"),
+          TextFns.langScoresFast(TextFns.tokensFast(col("text"))).as("lang"),
+          TextFns.textStatsFast(col("text")).as("ts"),
+          TextFns.wsTokenCount(col("text")).cast("long").as("ts_ws"),
+          TextFns.punctCount(col("text")).cast("long").as("ts_punct"),
+          TextFns.bpeTokenCount(col("text")).cast("long").as("ts_bpe"),
+          DedupFns.wordNgramsFast(TextFns.tokensFast(col("text")), 3).as("ng"))
         .collect()(0)
       // float 0.9f = 0.8999999762…, so floor(x*1000) quantizes to 899
       assert(row.getLong(0) == 899L * 899 + 800L * 800)
@@ -400,6 +411,18 @@ class FunctionsSpec extends SparkSpecBase {
       // outerMoments of (899, 800): [899², 899·800, 800², 899, 800]
       assert(row.getSeq[Long](11) ==
         Seq(899L * 899, 899L * 800, 800L * 800, 899L, 800L))
+      // fingerprint kernel == declarative fold (same md5 rolling hash)
+      assert(row.getLong(12) == row.getLong(13))
+      // langScores: only "the"×2 hits any stopword list (en) → the en
+      // slot is 2 and every other slot is 0
+      val langsSorted = TextFns.Stopwords.keys.toSeq.sorted
+      val scores = row.getSeq[Long](14)
+      assert(scores(langsSorted.indexOf("en")) == 2L, scores)
+      assert(scores.sum == 2L, scores)
+      // textStats kernel == the three declarative scans
+      assert(row.getSeq[Long](15) == Seq(row.getLong(16), row.getLong(17), row.getLong(18)))
+      // distinct trigrams of the 6-token sentence (all 4 are distinct)
+      assert(row.getSeq[String](19) == Seq("the cat sat", "cat sat on", "sat on the", "on the mat"))
     } finally spark.conf.unset("spark.sql.codegen.factoryMode")
   }
 

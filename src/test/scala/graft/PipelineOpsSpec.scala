@@ -588,9 +588,12 @@ class PipelineOpsSpec extends SparkSpecBase {
       for ((cid, _, t, tp) <- rows if tp == "click" && purchases.nonEmpty) {
         // brute force: minimize |Δt|; ties prefer the backward match
         // (and among equal-|Δt| backward candidates the LATEST, which
-        // the running-last window picks by construction)
-        val best = purchases.map { case (pt, _) =>
-          (math.abs(pt - t), if (pt <= t) 0 else 1, -pt)
+        // the running-last window picks by construction). "Backward"
+        // mirrors the query's (t, event_id) frames: a purchase at the
+        // exact same µs sits in the backward frame iff its event_id is
+        // <= the click's — i.e. backward ⇔ (pt, pid) <= (t, cid).
+        val best = purchases.map { case (pt, pid) =>
+          (math.abs(pt - t), if (pt < t || (pt == t && pid <= cid)) 0 else 1, -pt)
         }.min
         val (gotU, gotT, gotNear, gotDelta, gotDir) = out(cid)
         assert(gotU == u && gotT == t, s"click $cid id/ts")

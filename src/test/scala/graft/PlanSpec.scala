@@ -205,6 +205,26 @@ class PlanSpec extends SparkSpecBase {
     }
   }
 
+  test("simhash pairs: report-once-at-min-band — ONE band exchange, no pair-dedup shuffle") {
+    // the raw band join would emit a hamming<=3 pair up to 4x; the
+    // min-matching-band predicate makes the output duplicate-free by
+    // construction, so no trailing distinct/aggregate shuffle exists:
+    // the ONLY hash exchange is the (k, byte) band repartition both
+    // self-join sides reuse
+    val df = Queries.queries("q_dedup_simhash_pairs")(spark, sfDir)
+    df.collect()
+    // count inside the AQE FINAL plan only (post-collect toString also
+    // replays the pre-reuse Initial Plan)
+    val p = planOf(df).split("== Initial Plan ==").head
+    assert(!p.contains("HashAggregate") && !p.contains("SortAggregate"), p)
+    // a ReusedExchange node's toString restates its target's
+    // "Exchange hashpartitioning(...)" — count real Exchange nodes only
+    val real = p.linesIterator.count(l =>
+      l.contains("Exchange hashpartitioning") && !l.contains("ReusedExchange"))
+    assert(real == 1, p)
+    assert(p.contains("ReusedExchange") || p.contains("ReusedQueryStage"), p)
+  }
+
   test("q_embed_ivf: map-only assignment — one equi-join on cid, never all-pairs") {
     val p = planOf(Queries.queries("q_embed_ivf")(spark, sfDir))
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
