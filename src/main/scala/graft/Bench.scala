@@ -101,7 +101,11 @@ object Bench {
     // independent (full sweep between queries), so a subset run anchors
     // the same numbers as a full pass. The driver never sets this.
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
-    val headline = only.fold(Headline)(s => Headline.filter(s))
+    // Exclusion filter for scale rehearsals: the deliberately
+    // superlinear exact-graph shapes (documented in BASELINE.md) get
+    // skipped at sf1+ with their approx counterparts timed instead.
+    val skip = sys.env.get("SPARK_GRAFT_SKIP").map(_.split(",").toSet).getOrElse(Set.empty)
+    val headline = only.fold(Headline)(s => Headline.filter(s)).filterNot(skip)
     val spark = GraftSession.local("graft-bench")
     // Warm EACH query once on the TINY scale factor first: plan
     // analysis + whole-stage codegen compile are one-time JVM costs,
@@ -187,7 +191,9 @@ object Bench {
       java.nio.file.Files.createDirectories(dir)
       val sfName = sfDir.split('/').last
       val round = sys.env.get("SPARK_GRAFT_ROUND").orElse(nextRound()).getOrElse("x")
-      java.nio.file.Files.write(dir.resolve(s"bench_${sfName}_r$round.json"),
+      // dev subset/skip runs must not overwrite the round's canonical file
+      val suffix = if (only.isDefined || skip.nonEmpty) "_subset" else ""
+      java.nio.file.Files.write(dir.resolve(s"bench_${sfName}_r$round$suffix.json"),
         (json + "\n").getBytes("UTF-8"))
     } catch { case _: Throwable => () } // durability is best-effort, never fails the bench
     spark.stop()

@@ -1930,6 +1930,26 @@ object Queries {
     * benched query, and its plan (band equi-join, shared exchange) is
     * the design artifact under PlanSpec.
     */
+  /** Corpus row counts for auto-sized index parameters (the √n IVF
+    * discipline): one scalar count() per (session, dir, table), then a
+    * plain long — no block-manager storage, so clearSessionMemos leaves
+    * it alone (the testdata dir never changes mid-session).
+    */
+  private val countCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String, String), Long]
+  private def tableCount(s: SparkSession, dir: String, table: String): Long =
+    countCache.getOrElseUpdate((s, dir, table), t(s, dir, table).count())
+
+  /** Auto-sized IVF centroid count for the all-to-all screens:
+    * ⌈√n⌉ floored at 64 — cells (and thus per-query candidate volume
+    * ≈ nprobe·√n) track the corpus instead of a fixed 16, so total
+    * screen work is O(n^1.5), not O(n²). The sf1 rehearsal measured
+    * the fixed-16 version at 75-79× per 10× data; this rule is the
+    * fix (see BASELINE.md round-11 appendix).
+    */
+  private def autoK(n: Long): Int =
+    math.max(64, math.ceil(math.sqrt(n.toDouble)).toInt)
+
   private val pairsCache =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
   private def simhashPairs(s: SparkSession, dir: String): DataFrame =
@@ -2741,12 +2761,24 @@ object Queries {
 
   /** Mirror of VectorFns.lshBucketFor with the table index `t` as a
     * correlated column (table 0 == the original single-table formula).
+    * `planesExpr` parameterizes the plane count — "4" for the fixed
+    * query-side uses (lshTopK), or a scalar subquery against the
+    * auto-sizing CTE [[lshPlanesSql]] for the corpus-tracking pair
+    * miners.
     */
-  private def lshBucketSql(v: String): String =
-    s"""CAST(list_sum(list_transform(range(0, 4), j ->
+  private def lshBucketSql(v: String, planesExpr: String = "4"): String =
+    s"""CAST(list_sum(list_transform(range(0, $planesExpr), j ->
         CASE WHEN CAST(list_sum(list_transform(range(1, 65), i ->
                $v[i] * (((t*131 + j*37 + (i-1)*17) % 21) - 10))) AS BIGINT) >= 0
              THEN (1::BIGINT << j) ELSE 0 END)) AS BIGINT)"""
+
+  /** Oracle twin of VectorFns.autoPlanes: the smallest P with 2^P ≥
+    * ⌈n/32⌉, floored at 4, as a one-row CTE (`lshp(p)`) — bucket count
+    * tracks the corpus so LSH candidate volume stays O(n·occupancy).
+    * Integer-exact: length(bin(m−1)) is bitlen, never a float log.
+    */
+  private def lshPlanesSql: String =
+    """lshp AS (SELECT greatest(4, CAST(length(bin(((count(*) + 31) // 32) - 1)) AS BIGINT)) AS p FROM e)"""
 
   private val qEmbedLsh = GraftQuery(
     "q_embed_lsh",
@@ -2930,19 +2962,23 @@ object Queries {
     * label majority (ties → smaller label), and per CLASS we report
     * how many members agree with their neighborhood — classes with low
     * consistency_milli are where label noise concentrates. The
-    * all-to-all kNN stays a cid equi-join (never all-pairs); label
-    * attach + majority are broadcast-dim joins and a keyed rank
-    * window over the ≤ 10-label vote table. n counts vectors whose
-    * probed cells contain at least one other vector (the others have
-    * no neighborhood to disagree with).
+    * all-to-all kNN rides the auto-sized (√n-cell) two-level IVF
+    * equi-join — O(n^1.5) total, never all-pairs and never the
+    * O(n²/k) of a fixed cell count (see q_knn_hubs); label attach +
+    * majority are broadcast-dim joins and a keyed rank window over
+    * the ≤ 10-label vote table. n counts vectors whose probed cells
+    * contain at least one other vector (the others have no
+    * neighborhood to disagree with).
     */
   private val qLabelConsistency = GraftQuery(
     "q_label_consistency",
     (s, dir) => {
       import org.apache.spark.sql.expressions.Window
       val e = t(s, dir, "embeddings")
+      val kc = autoK(tableCount(s, dir, "embeddings"))
       val lbl = e.select(col("vec_id"), col("label").cast("long").as("label"))
-      val votes = VectorFns.ivfTopK(e, e, "vec_id", "embedding", 5)
+      val votes = VectorFns.ivfTopK2(e, e, "vec_id", "embedding", 5,
+          kCentroids = kc, nprobe = 8, coarseProbes = 4, assignProbes = 1)
         .join(broadcast(lbl.select(col("vec_id").as("neighbor_id"), col("label").as("__nl"))),
           "neighbor_id")
         .groupBy(col("query_id"), col("__nl"))
@@ -3040,10 +3076,11 @@ object Queries {
       VectorFns.cosineNearDupPairs(t(s, dir, "embeddings"), "vec_id", "embedding",
         tauNum = 1, tauDen = 4),
     Some(s"""WITH e AS (SELECT vec_id, ${quantSql("embedding")} AS v FROM embeddings),
+             $lshPlanesSql,
              nn AS (SELECT vec_id, v,
                       CAST(list_sum(list_transform(range(1, 65), i -> v[i] * v[i])) AS BIGINT) AS nrm
                     FROM e),
-             eb AS (SELECT vec_id, v, nrm, t, ${lshBucketSql("v")} AS bucket
+             eb AS (SELECT vec_id, v, nrm, t, ${lshBucketSql("v", "(SELECT p FROM lshp)")} AS bucket
                     FROM nn CROSS JOIN range(0, 8) tt(t)),
              p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
                      CAST(list_sum(list_transform(range(1, 65), i -> a.v[i] * b.v[i])) AS BIGINT) AS dot,
@@ -3079,10 +3116,11 @@ object Queries {
       val cases = (10 to 1 by -1).map(b =>
         s"WHEN dot * dot * 100 >= na * nb * ${b * b} THEN $b").mkString("\n                      ")
       s"""WITH e AS (SELECT vec_id, ${quantSql("embedding")} AS v FROM embeddings),
+             $lshPlanesSql,
              nn AS (SELECT vec_id, v,
                       CAST(list_sum(list_transform(range(1, 65), i -> v[i] * v[i])) AS BIGINT) AS nrm
                     FROM e),
-             eb AS (SELECT vec_id, v, nrm, t, ${lshBucketSql("v")} AS bucket
+             eb AS (SELECT vec_id, v, nrm, t, ${lshBucketSql("v", "(SELECT p FROM lshp)")} AS bucket
                     FROM nn CROSS JOIN range(0, 8) tt(t)),
              p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
                      CAST(list_sum(list_transform(range(1, 65), i -> a.v[i] * b.v[i])) AS BIGINT) AS dot,
@@ -6067,10 +6105,11 @@ object Queries {
                         ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
                       GROUP BY 1, 2),
              em_e AS (SELECT vec_id, ${quantSql("embedding")} AS v FROM embeddings),
+             em_lshp AS (SELECT greatest(4, CAST(length(bin(((count(*) + 31) // 32) - 1)) AS BIGINT)) AS p FROM em_e),
              em_nn AS (SELECT vec_id, v,
                          CAST(list_sum(list_transform(range(1, 65), i -> v[i] * v[i])) AS BIGINT) AS nrm
                        FROM em_e),
-             em_eb AS (SELECT vec_id, v, nrm, t, ${lshBucketSql("v")} AS bucket
+             em_eb AS (SELECT vec_id, v, nrm, t, ${lshBucketSql("v", "(SELECT p FROM em_lshp)")} AS bucket
                        FROM em_nn CROSS JOIN range(0, 8) tt(t)),
              em_p0 AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
                          CAST(list_sum(list_transform(range(1, 65), i -> a.v[i] * b.v[i])) AS BIGINT) AS dot,
@@ -6885,51 +6924,97 @@ object Queries {
     * than expected — over-represented in retrieval and a dedup/quality
     * hazard): EVERY corpus vector queries the IVF index for its top-5
     * approximate neighbors, then in-degree per neighbor; top-20 hubs.
-    * The all-to-all kNN graph rides the same cid equi-join as
-    * `q_embed_ivf` (candidates bounded by probed-cell volume — never
-    * all-pairs even though queries = corpus), and the in-degree
-    * aggregate + top-20 run on candidate-sized data. The oracle replays
-    * the full IVF chain with the unrestricted query side.
+    * The all-to-all kNN graph rides the two-level IVF equi-join
+    * (`VectorFns.ivfTopK2`) with an AUTO-SIZED fine-centroid count
+    * k = max(64, ⌈√n⌉): candidates per query are nprobe·n/k ≈ 8√n, so
+    * the whole screen is O(n^1.5) — never all-pairs even though
+    * queries = corpus, and never the O(n²/k) a FIXED k degrades to
+    * (the sf1 rehearsal measured the fixed-16 single-level version at
+    * 79× per 10× data; this shape re-measured at ~4×). The in-degree
+    * aggregate + top-20 run on candidate-sized data. The oracle
+    * replays the full two-level chain with the same ⌈√n⌉ rule.
     */
   /** Shared ALL-TO-ALL IVF kNN chain (queries = corpus; mirror of
-    * VectorFns.ivfTopK(e, e, _, _, 5)) — used by the hubness report
-    * and the label-consistency screen. Ends at `nn(query_id,
-    * neighbor_id)`.
+    * VectorFns.ivfTopK2(e, e, _, _, 5, kCentroids = max(64, ⌈√n⌉),
+    * nprobe = 8, coarseProbes = 4, assignProbes = 1)) — used by the
+    * hubness report and the label-consistency screen. Ends at
+    * `nn(query_id, neighbor_id)`.
+    *
+    * The centroid count is a FUNCTION OF THE CORPUS (⌈√n⌉, floored at
+    * 64 — `params`): with a fixed k, per-query candidates are n/k·
+    * nprobe, so an all-to-all screen is O(n²/k) — the sf1 rehearsal
+    * measured exactly that (75-79× per 10× data at k=16). At k = √n
+    * the screen is O(n^1.5) with two-level assignment cost O(n·√k)
+    * and an n^¼-sized coarse plan literal — the shape that survives
+    * the next several decades; past ~10⁹ vectors the IVFADC variant
+    * (q_ivfpq) replaces exact re-scoring entirely.
     */
-  private def ivfAllNnSql: String =
+  private def ivfAllNnSql: String = {
+    val d2 = (a: String, b: String) =>
+      s"CAST(list_sum(list_transform(range(1, 65), i -> ($a[i]-$b[i])*($a[i]-$b[i]))) AS BIGINT)"
     s"""WITH e AS (SELECT vec_id, ${quantSql("embedding")} AS v FROM embeddings),
-             cents AS (SELECT row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), CAST(vec_id AS VARCHAR)) - 1 AS cid, v AS cv
-                       FROM e ORDER BY md5(CAST(vec_id AS VARCHAR)), CAST(vec_id AS VARCHAR) LIMIT 16),
-             d AS (SELECT e.vec_id, cents.cid,
-                     CAST(list_sum(list_transform(range(1, 65), i -> (v[i]-cv[i])*(v[i]-cv[i]))) AS BIGINT) AS d2
-                   FROM e CROSS JOIN cents),
-             assign AS (SELECT vec_id, cid FROM
-                          (SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn FROM d)
-                        WHERE rn = 1),
-             probes AS (SELECT vec_id, cid FROM
-                          (SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn FROM d)
-                        WHERE rn <= 4),
-             sc AS (SELECT p.vec_id AS query_id, a.vec_id AS neighbor_id,
-                      CAST(list_sum(list_transform(range(1, 65), i -> qe.v[i] * ce.v[i])) AS BIGINT) AS score
-                    FROM probes p JOIN assign a ON p.cid = a.cid AND p.vec_id != a.vec_id
-                    JOIN e qe ON qe.vec_id = p.vec_id
-                    JOIN e ce ON ce.vec_id = a.vec_id),
+             params AS (SELECT greatest(64, CAST(ceil(sqrt(count(*))) AS BIGINT)) AS k,
+                          CAST(ceil(sqrt(greatest(64, CAST(ceil(sqrt(count(*))) AS BIGINT)))) AS BIGINT) AS k1
+                        FROM e),
+             samp AS (SELECT vec_id, v AS fv, fcid FROM
+                        (SELECT vec_id, v, row_number() OVER (
+                           ORDER BY md5(CAST(vec_id AS VARCHAR)), CAST(vec_id AS VARCHAR)) - 1 AS fcid
+                         FROM e)
+                      WHERE fcid < (SELECT k FROM params)),
+             coarse AS (SELECT fcid AS ccid, fv AS cv FROM samp
+                        WHERE fcid < (SELECT k1 FROM params)),
+             fasg AS (SELECT fcid, fv, ccid FROM
+                        (SELECT f.fcid, f.fv, c.ccid,
+                           row_number() OVER (PARTITION BY f.fcid
+                             ORDER BY ${d2("f.fv", "c.cv")}, c.ccid) AS rn
+                         FROM samp f CROSS JOIN coarse c)
+                      WHERE rn = 1),
+             ca AS (SELECT vec_id, v, ccid FROM
+                      (SELECT e.vec_id, e.v, c.ccid,
+                         row_number() OVER (PARTITION BY e.vec_id
+                           ORDER BY ${d2("e.v", "c.cv")}, c.ccid) AS rn
+                       FROM e CROSS JOIN coarse c)
+                    WHERE rn = 1),
+             asg AS (SELECT vec_id, v, fcid FROM
+                       (SELECT ca.vec_id, ca.v, f.fcid,
+                          row_number() OVER (PARTITION BY ca.vec_id
+                            ORDER BY ${d2("ca.v", "f.fv")}, f.fcid) AS rn
+                        FROM ca JOIN fasg f ON f.ccid = ca.ccid)
+                     WHERE rn = 1),
+             qc AS (SELECT vec_id, v, ccid FROM
+                      (SELECT e.vec_id, e.v, c.ccid,
+                         row_number() OVER (PARTITION BY e.vec_id
+                           ORDER BY ${d2("e.v", "c.cv")}, c.ccid) AS rn
+                       FROM e CROSS JOIN coarse c)
+                    WHERE rn <= 4),
+             qf AS (SELECT vec_id, v, fcid FROM
+                      (SELECT q.vec_id, q.v, f.fcid,
+                         row_number() OVER (PARTITION BY q.vec_id
+                           ORDER BY ${d2("q.v", "f.fv")}, f.fcid) AS rn
+                       FROM qc q JOIN fasg f ON f.ccid = q.ccid)
+                    WHERE rn <= 8),
+             sc AS (SELECT q.vec_id AS query_id, a.vec_id AS neighbor_id,
+                      CAST(list_sum(list_transform(range(1, 65), i -> q.v[i] * a.v[i])) AS BIGINT) AS score
+                    FROM qf q JOIN asg a ON q.fcid = a.fcid AND q.vec_id != a.vec_id),
              nn AS (SELECT query_id, neighbor_id FROM
                       (SELECT query_id, neighbor_id,
                          row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rnk
                        FROM sc)
                     WHERE rnk <= 5)"""
+  }
 
   private val qKnnHubs = GraftQuery(
     "q_knn_hubs",
     (s, dir) => {
       import org.apache.spark.sql.expressions.Window
       val e = t(s, dir, "embeddings")
+      val kc = autoK(tableCount(s, dir, "embeddings"))
       // top-20 via orderBy+limit = TakeOrderedAndProject (scale-safe:
       // the in-degree table is corpus-sized, a global rank window over
       // it would be a single-partition sort); the rank window then runs
       // over the 20 surviving rows only
-      VectorFns.ivfTopK(e, e, "vec_id", "embedding", 5)
+      VectorFns.ivfTopK2(e, e, "vec_id", "embedding", 5,
+          kCentroids = kc, nprobe = 8, coarseProbes = 4, assignProbes = 1)
         .groupBy(col("neighbor_id").as("hub_id"))
         .agg(count(lit(1)).as("in_deg"))
         .orderBy(col("in_deg").desc, col("hub_id"))

@@ -533,18 +533,35 @@ object VectorFns {
     * shape (candidates via equi-join, never all-pairs); its recall
     * follows the lshTopK table/plane tradeoff.
     */
+  /** AUTO-SIZED LSH plane count: the smallest P with 2^P buckets per
+    * table ≥ n/32 (floored at 4), i.e. expected bucket occupancy ≤ 32
+    * regardless of corpus size — bucket count tracks n, so candidate
+    * pairs stay O(n·occupancy), never the O(n²/2^P) a FIXED P degrades
+    * to (the sf1 rehearsal measured fixed-4 at 10-16× per 10× data).
+    * Integer-exact on both engines: P = max(4, bitlen(⌈n/32⌉ − 1))
+    * (the oracle's length(bin(...)) twin). Per-table recall for a
+    * true pair decays as cos^P; production tunes (tables, occupancy)
+    * jointly — here tables stays 8 and the recall curve is itself
+    * measured data (q_cosine_bands / q_jaccard_calibration).
+    */
+  def autoPlanes(n: Long): Int = {
+    val m = (n + 31) / 32
+    math.max(4, 64 - java.lang.Long.numberOfLeadingZeros(math.max(0L, m - 1)))
+  }
+
   def cosineNearDupPairs(df: DataFrame, idCol: String, vecCol: String,
-      tauNum: Int, tauDen: Int, tables: Int = 8, planes: Int = 4): DataFrame = {
+      tauNum: Int, tauDen: Int, tables: Int = 8, planes: Int = 0): DataFrame = {
     // Fences pin quantize and the bucket array to one evaluation each
     // (inferred generate predicates otherwise recompute them); the
     // join-key repartition gives both self-join sides ONE shared
     // exchange (ReusedExchange) — scan + quantize + norms + buckets run
     // once; shuffle_hash avoids a corpus-sized broadcast (see
     // minhashCandidates)
+    val p = if (planes > 0) planes else autoPlanes(df.count())
     val e = Fence.guard(Fence.guard(df
         .select(col(idCol).as("id"), quantizeFast(col(vecCol)).as("qv"), Fence.col))
       .select(col("id"), col("qv"), qdotFast(col("qv"), col("qv")).as("nrm"),
-        lshBucketsFast(col("qv"), tables, planes).as("__bks"), Fence.col))
+        lshBucketsFast(col("qv"), tables, p).as("__bks"), Fence.col))
       .select(col("id"), col("qv"), col("nrm"),
         posexplode(col("__bks")).as(Seq("tbl", "bucket")))
       .repartition(col("tbl"), col("bucket"))
@@ -619,11 +636,12 @@ object VectorFns {
     * of a pair holds identical values).
     */
   def cosineCandidates(df: DataFrame, idCol: String, vecCol: String,
-      tables: Int = 8, planes: Int = 4): DataFrame = {
+      tables: Int = 8, planes: Int = 0): DataFrame = {
+    val p = if (planes > 0) planes else autoPlanes(df.count())
     val e = Fence.guard(Fence.guard(df
         .select(col(idCol).as("id"), quantizeFast(col(vecCol)).as("qv"), Fence.col))
       .select(col("id"), col("qv"), qdotFast(col("qv"), col("qv")).as("nrm"),
-        lshBucketsFast(col("qv"), tables, planes).as("__bks"), Fence.col))
+        lshBucketsFast(col("qv"), tables, p).as("__bks"), Fence.col))
       .select(col("id"), col("qv"), col("nrm"),
         posexplode(col("__bks")).as(Seq("tbl", "bucket")))
       .repartition(col("tbl"), col("bucket"))

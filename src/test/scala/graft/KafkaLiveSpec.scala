@@ -18,6 +18,20 @@ import graft.sources.Sources
   * Both gates use `assume`, so absence CANCELS the test (reported as
   * canceled, never failed) — in this offline build container neither
   * gate holds and the suite stays green.
+  *
+  * Hosting feasibility (probed 2026-08-14, round 11): the container
+  * CANNOT host a broker. (1) No kafka artifact exists anywhere on the
+  * filesystem — no broker distribution, no kafka jar under
+  * /opt/spark/jars, no org.apache.kafka entry in the pre-warmed
+  * coursier cache. (2) Resolution is impossible: a probe project
+  * adding `"org.apache.kafka" %% "kafka" % "3.8.0"` fails under
+  * COURSIER_MODE=offline with "not found" against the local cache for
+  * the pom AND the ivy descriptor (zero egress, so no fetch path
+  * exists). (3) The spark-sql-kafka-0-10 connector needed by the Spark
+  * side is equally absent. An embedded KRaft test-jar server is
+  * therefore unreachable too — it ships in the same unresolvable
+  * artifacts. The spec stays the contract for environments that do
+  * provide both gates.
   */
 class KafkaLiveSpec extends SparkSpecBase {
 

@@ -558,10 +558,13 @@ class PipelineOpsSpec extends SparkSpecBase {
     assert(out.nonEmpty)
     assert(out.values.forall { case (n, nc, cm) =>
       nc >= 0 && nc <= n && cm == nc * 1000 / n })
-    // recompute the majority from the same ANN result, driver-side
+    // recompute the majority from the same ANN result, driver-side —
+    // the query's auto-sized two-level IVF chain (k = max(64, ceil √n))
     val e = spark.read.parquet(s"$sfDir/embeddings.parquet")
     val labels = e.collect().map(r => r.getAs[Long]("vec_id") -> r.getAs[Int]("label").toLong).toMap
-    val nn = graft.functions.VectorFns.ivfTopK(e, e, "vec_id", "embedding", 5)
+    val kc = math.max(64, math.ceil(math.sqrt(e.count().toDouble)).toInt)
+    val nn = graft.functions.VectorFns.ivfTopK2(e, e, "vec_id", "embedding", 5,
+        kCentroids = kc, nprobe = 8, coarseProbes = 4, assignProbes = 1)
       .select("query_id", "neighbor_id").collect()
       .map(r => (r.getLong(0), r.getLong(1)))
     val byClass = nn.groupBy(_._1).toSeq.map { case (q, rows) =>

@@ -359,7 +359,15 @@ class PlanSpec extends SparkSpecBase {
       // times (pair products + the Σxᵢ and Σxⱼ attaches) — 3 logical
       // copies riding ONE runtime exchange (ReusedExchange pinned in
       // the q_gram_matrix plan test above)
-      "q_gram_matrix" -> 3).withDefaultValue(2)
+      "q_gram_matrix" -> 3,
+      // two-level IVF (ivfTopK2): the √n-BOUNDED fine-centroid sample
+      // subtree is referenced by both the corpus-assignment and the
+      // query-probe side (2 logical copies of a sample whose size is
+      // the centroid count, not the corpus), and the corpus / query
+      // streams quantize once each — the corpus-sized subtrees stay
+      // single-evaluation; only the bounded sample is duplicated
+      "q_knn_hubs" -> 6,
+      "q_label_consistency" -> 6).withDefaultValue(2)
     for ((name, fn) <- Queries.queries.toSeq.sortBy(_._1)) {
       val p = fn(spark, sfDir).queryExecution.optimizedPlan.toString.toLowerCase
       for (pat <- pats) {
