@@ -46,18 +46,24 @@ object ScaleUp {
     val dst = args.lift(1).getOrElse("testdata_sf1")
     val factor = args.lift(2).map(_.toInt).getOrElse(10)
     val spark = GraftSession.local("graft-scaleup")
-    try {
-      copyDims(spark, src, dst)
-      replicateKeyed(spark, src, dst, factor, "customer", Seq("c_custkey"))
-      replicateKeyed(spark, src, dst, factor, "supplier", Seq("s_suppkey"))
-      replicateKeyed(spark, src, dst, factor, "part", Seq("p_partkey"))
-      replicateKeyed(spark, src, dst, factor, "orders", Seq("o_orderkey", "o_custkey"))
-      replicateKeyed(spark, src, dst, factor, "lineitem",
-        Seq("l_orderkey", "l_partkey", "l_suppkey"))
-      replicateKeyed(spark, src, dst, factor, "events", Seq("event_id", "user_id"))
-      replicateDocuments(spark, src, dst, factor)
-      replicateEmbeddings(spark, src, dst, factor)
-    } finally spark.stop()
+    try run(spark, src, dst, factor)
+    finally spark.stop()
+  }
+
+  /** Generation body, session-agnostic (ScaleUpSpec drives it on the
+    * shared test session; main owns its own session lifecycle).
+    */
+  def run(spark: SparkSession, src: String, dst: String, factor: Int): Unit = {
+    copyDims(spark, src, dst)
+    replicateKeyed(spark, src, dst, factor, "customer", Seq("c_custkey"))
+    replicateKeyed(spark, src, dst, factor, "supplier", Seq("s_suppkey"))
+    replicateKeyed(spark, src, dst, factor, "part", Seq("p_partkey"))
+    replicateKeyed(spark, src, dst, factor, "orders", Seq("o_orderkey", "o_custkey"))
+    replicateKeyed(spark, src, dst, factor, "lineitem",
+      Seq("l_orderkey", "l_partkey", "l_suppkey"))
+    replicateKeyed(spark, src, dst, factor, "events", Seq("event_id", "user_id"))
+    replicateDocuments(spark, src, dst, factor)
+    replicateEmbeddings(spark, src, dst, factor)
   }
 
   private def read(spark: SparkSession, dir: String, t: String): DataFrame =

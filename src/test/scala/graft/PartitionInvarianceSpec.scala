@@ -65,14 +65,20 @@ class PartitionInvarianceSpec extends SparkSpecBase {
     "q_bfs_hops", "q_label_consistency",
     // hash-seeded DP noise, cohort histograms, and the IVF-vs-exact
     // recall intersection
-    "q_dp_mean", "q_drift", "q_ann_recall")
+    "q_dp_mean", "q_drift", "q_ann_recall",
+    // round-11 re-parameterized screens: auto-sized two-level IVF
+    // (√n fine cells, md5-ordered sample ranks, min_by ties) and
+    // corpus-tracking LSH planes — the parameter now DEPENDS on a
+    // count whose partial-agg merge order must not matter, and the
+    // candidate sets ride new windows/argmins with explicit tie keys
+    "q_knn_hubs", "q_cosine_bands", "q_dedup_embed")
 
   private def runAll(): Map[String, Seq[String]] =
     subset.map { q =>
       q -> Queries.queries(q)(spark, sfDir).collect().map(_.toString).sorted.toSeq
     }.toMap
 
-  test("45 risk-class queries are bit-identical under 1 / 4 / 13 shuffle partitions, 64 KiB scan splits, and AQE off") {
+  test("48 risk-class queries are bit-identical under 1 / 4 / 13 shuffle partitions, 64 KiB scan splits, and AQE off") {
     val shufKey = "spark.sql.shuffle.partitions"
     val splitKey = "spark.sql.files.maxPartitionBytes"
     val aqeKey = "spark.sql.adaptive.enabled"
