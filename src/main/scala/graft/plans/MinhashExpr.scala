@@ -31,6 +31,7 @@ import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
   * propagation).
   */
 case class MinhashBands(child: Expression, n: Int) extends UnaryExpression {
+  require(n >= 1, s"graft_minhash_bands needs shingle size n >= 1, got $n")
   override def checkInputDataTypes(): TypeCheckResult =
     TypeChecks.requireArrayOf("graft_minhash_bands", StringType, child.dataType)
 
@@ -66,6 +67,7 @@ case class MinhashBands(child: Expression, n: Int) extends UnaryExpression {
   * identical to MinhashBands.
   */
 case class MinhashSig(child: Expression, n: Int) extends UnaryExpression {
+  require(n >= 1, s"graft_minhash_sig needs shingle size n >= 1, got $n")
   override def checkInputDataTypes(): TypeCheckResult =
     TypeChecks.requireArrayOf("graft_minhash_sig", StringType, child.dataType)
 

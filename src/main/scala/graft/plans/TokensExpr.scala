@@ -85,6 +85,7 @@ object NgramsKernel {
 
 /** See NgramsKernel — array<string> of distinct space-joined n-grams. */
 case class NgramsExpr(child: Expression, n: Int) extends UnaryExpression {
+  require(n >= 1, s"graft_word_ngrams needs n >= 1, got $n")
   override def checkInputDataTypes(): TypeCheckResult =
     if (child.dataType == ArrayType(StringType, containsNull = false) ||
         child.dataType == ArrayType(StringType, containsNull = true))
@@ -152,6 +153,7 @@ object PosNgramsKernel {
 
 /** See PosNgramsKernel — array<string> of positional n-grams. */
 case class PosNgramsExpr(child: Expression, n: Int) extends UnaryExpression {
+  require(n >= 1, s"graft_pos_ngrams needs n >= 1, got $n")
   override def checkInputDataTypes(): TypeCheckResult =
     if (child.dataType == ArrayType(StringType, containsNull = false) ||
         child.dataType == ArrayType(StringType, containsNull = true))

@@ -225,6 +225,7 @@ case class LongArrayEqCount(left: Expression, right: Expression) extends BinaryE
   */
 case class IvfProbesExpr(vec: Expression, centroids: Expression, nprobe: Int)
     extends BinaryExpression {
+  require(nprobe >= 1, s"graft_ivf_probes needs nprobe >= 1, got $nprobe")
   override def left: Expression = vec
   override def right: Expression = centroids
   override def checkInputDataTypes(): TypeCheckResult = {
@@ -260,6 +261,9 @@ case class IvfProbesExpr(vec: Expression, centroids: Expression, nprobe: Int)
 }
 
 case class LshBucketsExpr(child: Expression, tables: Int, planes: Int) extends UnaryExpression {
+  require(tables >= 1, s"graft_lsh_buckets needs tables >= 1, got $tables")
+  require(planes >= 1 && planes <= 63,
+    s"graft_lsh_buckets needs planes in [1, 63] (bucket id is a long), got $planes")
   override def checkInputDataTypes(): TypeCheckResult =
     TypeChecks.requireArrayOf("graft_lsh_buckets", LongType, child.dataType)
   override def dataType: DataType = ArrayType(LongType, containsNull = false)

@@ -426,6 +426,24 @@ class FunctionsSpec extends SparkSpecBase {
     } finally spark.conf.unset("spark.sql.codegen.factoryMode")
   }
 
+  test("parameterized native expressions fail fast at construction on invalid params") {
+    import graft.plans._
+    import org.apache.spark.sql.GraftBridge
+    val toks = GraftBridge.expression(TextFns.tokensFast(lit("a b c")))
+    val vec = GraftBridge.expression(VectorFns.quantizeFast(typedLit(Seq(0.5f, 0.5f))))
+    // the Scala API must never reach eval/codegen with a nonsense
+    // parameter (the SQL surface validates separately; both entry
+    // points now fail at construction)
+    assertThrows[IllegalArgumentException](TokenLogit(toks, 0))
+    assertThrows[IllegalArgumentException](MinhashBands(toks, 0))
+    assertThrows[IllegalArgumentException](MinhashSig(toks, -1))
+    assertThrows[IllegalArgumentException](NgramsExpr(toks, 0))
+    assertThrows[IllegalArgumentException](PosNgramsExpr(toks, 0))
+    assertThrows[IllegalArgumentException](IvfProbesExpr(vec, vec, 0))
+    assertThrows[IllegalArgumentException](LshBucketsExpr(vec, 0, 4))
+    assertThrows[IllegalArgumentException](LshBucketsExpr(vec, 8, 64))
+  }
+
   test("quality score is bounded and monotone-ish in stopword density") {
     import spark.implicits._
     val q = Seq("the cat is in the bag and the dog is in the house of the cat",
