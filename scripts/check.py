@@ -19,7 +19,9 @@ TABLES = "region nation customer supplier part orders lineitem events documents 
 def load(con, sfdir):
     for t in TABLES:
         p = f"{sfdir}/{t}.parquet"
-        if os.path.exists(p):
+        if os.path.isdir(p):  # Spark-written dataset dir (e.g. ScaleUp's sf1 corpus)
+            con.execute(f"CREATE OR REPLACE VIEW {t} AS SELECT * FROM '{p}/*.parquet'")
+        elif os.path.exists(p):
             con.execute(f"CREATE OR REPLACE VIEW {t} AS SELECT * FROM '{p}'")
 
 def canon(df):
