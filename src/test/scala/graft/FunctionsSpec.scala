@@ -426,6 +426,21 @@ class FunctionsSpec extends SparkSpecBase {
     } finally spark.conf.unset("spark.sql.codegen.factoryMode")
   }
 
+  test("autoPlanes: occupancy-tracking plane count matches the oracle bitlen formula at boundaries") {
+    import graft.functions.VectorFns.autoPlanes
+    // smallest P with 2^P >= ceil(n/32), floored at 4 — exact integer
+    // twins of the oracle's greatest(4, length(bin(((n+31)//32)-1)))
+    assert(autoPlanes(1) == 4 && autoPlanes(32) == 4 && autoPlanes(33) == 4)
+    assert(autoPlanes(200) == 4)    // verify SF: unchanged vs the old fixed 4
+    assert(autoPlanes(512) == 4 && autoPlanes(513) == 5)
+    assert(autoPlanes(2000) == 6 && autoPlanes(2048) == 6 && autoPlanes(2049) == 7)
+    assert(autoPlanes(20000) == 10)
+    assert((1L << autoPlanes(1L << 30)) >= (1L << 30) / 32) // occupancy bound holds
+    // monotone non-decreasing across a sweep
+    val ps = (1L to 20L).map(k => autoPlanes(1L << k))
+    assert(ps == ps.sorted, ps)
+  }
+
   test("parameterized native expressions fail fast at construction on invalid params") {
     import graft.plans._
     import org.apache.spark.sql.GraftBridge
