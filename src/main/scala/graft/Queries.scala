@@ -7413,6 +7413,312 @@ object Queries {
               CAST(CASE WHEN max_user < 90 THEN 1 ELSE 0 END AS BIGINT) AS prune_user_ge_90
             FROM z"""))
 
+  // =======================================================================
+  // Round-11 additions: TPC-H Q9/Q11 shapes on the available star schema,
+  // KMV sketch set-intersection, exact moment sufficient statistics,
+  // epoch-mix materialization plan, deterministic A/B lift report.
+  // =======================================================================
+
+  /** TPC-H Q9 shape: product-type profit by supplier nation and order
+    * year — the widest join tree in the suite (lineitem ⋈ part ⋈
+    * supplier ⋈ nation ⋈ orders). The schema has no partsupp, so unit
+    * supply cost is p_retailprice (the same proxy substitution as
+    * q2_mincost's derived unit cost). Dims broadcast; the only big-big
+    * shuffle is lineitem ⋈ orders on orderkey; the (nation, year)
+    * group-by is partial-aggregated map-side so the final exchange
+    * carries ~|nations|×|years| rows regardless of fact size. Profit is
+    * exact integer cents on both engines: revenue via the
+    * ep_cents·(100−disc_e2) div 100 integer identity (numerators always
+    * positive, so Spark's truncating div = DuckDB's floor //), cost via
+    * retail_cents·quantity.
+    */
+  private val q9Profit = GraftQuery(
+    "q9_profit",
+    (s, dir) => {
+      val p = t(s, dir, "part")
+        .filter(col("p_type") === "STANDARD")
+        .select(col("p_partkey"),
+          (col("p_retailprice").cast(dec) * 100).cast("long").as("__cost_cents"))
+      val sn = t(s, dir, "supplier")
+        .join(broadcast(t(s, dir, "nation")), col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey"), col("n_name"))
+      val o = t(s, dir, "orders")
+        .select(col("o_orderkey"), year(col("o_orderdate")).cast("long").as("o_year"))
+      t(s, dir, "lineitem")
+        .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+        .join(broadcast(sn), col("l_suppkey") === col("s_suppkey"))
+        .join(o, col("l_orderkey") === col("o_orderkey"))
+        .select(col("n_name").as("nation"), col("o_year"),
+          expr("""(cast(cast(l_extendedprice as decimal(18,2)) * 100 as bigint)
+                   * (100 - cast(round(l_discount * 100) as bigint))) div 100
+                  - __cost_cents * cast(l_quantity as bigint)""").as("__profit"))
+        .groupBy("nation", "o_year")
+        .agg(sum(col("__profit")).as("profit_cents"), count(lit(1)).as("n"))
+    },
+    Some("""SELECT n_name AS nation, CAST(year(o_orderdate) AS BIGINT) AS o_year,
+              CAST(sum((CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+                          * (100 - CAST(round(l_discount * 100) AS BIGINT))) // 100
+                       - CAST(CAST(p_retailprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+                          * CAST(l_quantity AS BIGINT)) AS BIGINT) AS profit_cents,
+              CAST(count(*) AS BIGINT) AS n
+            FROM lineitem
+            JOIN part ON l_partkey = p_partkey
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN nation ON s_nationkey = n_nationkey
+            JOIN orders ON l_orderkey = o_orderkey
+            WHERE p_type = 'STANDARD'
+            GROUP BY 1, 2"""))
+
+  /** TPC-H Q11 shape: "important stock" — per-part value held by one
+    * nation's suppliers, kept only where the part's share exceeds a
+    * global threshold (> 0.1% of that nation's total). The signature
+    * move is the scalar subquery: the per-part aggregate is reused for
+    * the grand total (a second, one-row aggregation over the SAME
+    * per-part frame — no second fact scan), attached as a broadcast
+    * 1-row cross join. Threshold compare is pure integer
+    * (value_cents·1000 > total), share emitted in exact basis points.
+    */
+  private val q11Stock = GraftQuery(
+    "q11_stock",
+    (s, dir) => {
+      val sn = t(s, dir, "supplier")
+        .join(broadcast(t(s, dir, "nation").filter(col("n_name") === "NATION_3")),
+          col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey"))
+      val perPart = t(s, dir, "lineitem")
+        .join(broadcast(sn), col("l_suppkey") === col("s_suppkey"))
+        .groupBy(col("l_partkey"))
+        .agg(expr("sum(cast(cast(l_extendedprice as decimal(18,2)) * 100 as bigint))")
+            .as("value_cents"),
+          count(lit(1)).as("n_lines"))
+      val tot = perPart.agg(sum(col("value_cents")).as("__tot"))
+      perPart.crossJoin(broadcast(tot))
+        .filter(col("value_cents") * 1000 > col("__tot"))
+        .select(col("l_partkey").as("p_partkey"), col("value_cents"), col("n_lines"),
+          expr("value_cents * 10000 div __tot").as("share_bp"))
+    },
+    Some("""WITH v AS (SELECT l_partkey AS p_partkey,
+                  CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS value_cents,
+                  CAST(count(*) AS BIGINT) AS n_lines
+                FROM lineitem
+                JOIN supplier ON l_suppkey = s_suppkey
+                JOIN nation ON s_nationkey = n_nationkey
+                WHERE n_name = 'NATION_3'
+                GROUP BY 1),
+            tot AS (SELECT CAST(sum(value_cents) AS BIGINT) AS tt FROM v)
+            SELECT p_partkey, value_cents, n_lines,
+              CAST(value_cents * 10000 // tt AS BIGINT) AS share_bp
+            FROM v, tot WHERE value_cents * 1000 > tt"""))
+
+  /** KMV (k-minimum-values) sketch set-intersection across sources
+    * (Beyer et al., SIGMOD'07; Cohen & Kaplan's bottom-k): per source,
+    * the 64 smallest distinct 60-bit token hashes form a bounded-size
+    * vocabulary sketch; any source PAIR is then compared in O(k) via
+    * the inclusion rule — members of both sketches that survive into
+    * the k smallest of the merged sketch estimate Jaccard as ρ = c/k.
+    * Emits the CONTRACT values (k-th minima of each sketch and of the
+    * union sketch, the common-survivor count, and ρ in exact milli),
+    * all deterministic integers — the same hash-checked-sketch
+    * discipline as q_cms_freq/q_heavy_hitters.
+    *
+    * Scale: the sketch build is one distinct + one bounded rank-cutoff
+    * per source (at production vocabularies, a two-pass h < t prefilter
+    * from a first-pass per-source count bounds the sort input before
+    * the window, same as the LSH occupancy rule); the pair frame is
+    * |sources|² rows of 64-element arrays — a tiny dim×dim frame, never
+    * per-token all-pairs.
+    */
+  private val qKmvOverlap = GraftQuery(
+    "q_kmv_overlap",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val hs = t(s, dir, "documents")
+        .select(col("source"), explode(TextFns.tokensFast(col("text"))).as("t"))
+        .select(col("source"), TextFns.tokenHash(col("t")).as("h"))
+        .distinct()
+      val sk = hs
+        .withColumn("__rn", row_number().over(Window.partitionBy("source").orderBy("h")))
+        .filter(col("__rn") <= 64)
+        .groupBy("source")
+        .agg(sort_array(collect_list(col("h"))).as("sk"))
+      val a = sk.select(col("source").as("src_a"), col("sk").as("__ska"))
+      val b = sk.select(col("source").as("src_b"), col("sk").as("__skb"))
+      a.join(broadcast(b), col("src_a") < col("src_b"))
+        .withColumn("__mk", slice(array_sort(array_union(col("__ska"), col("__skb"))), 1, 64))
+        .select(col("src_a"), col("src_b"),
+          element_at(col("__ska"), size(col("__ska"))).as("kmv_a"),
+          element_at(col("__skb"), size(col("__skb"))).as("kmv_b"),
+          element_at(col("__mk"), size(col("__mk"))).as("kmv_union"),
+          size(array_intersect(col("__mk"), array_intersect(col("__ska"), col("__skb"))))
+            .cast("long").as("n_common"),
+          size(col("__mk")).cast("long").as("__mlen"))
+        .withColumn("est_jacc_milli", expr("n_common * 1000 div __mlen"))
+        .drop("__mlen")
+    },
+    Some(s"""WITH t0 AS (SELECT source, unnest($toksSql) AS t FROM documents),
+            hs AS (SELECT DISTINCT source, ${h60Sql("t")} AS h FROM t0),
+            rk AS (SELECT source, h,
+                     row_number() OVER (PARTITION BY source ORDER BY h) AS rn
+                   FROM hs),
+            sk AS (SELECT source, list_sort(list(h)) AS sk FROM rk WHERE rn <= 64 GROUP BY source),
+            pr AS (SELECT a.source AS src_a, b.source AS src_b, a.sk AS ska, b.sk AS skb
+                   FROM sk a JOIN sk b ON a.source < b.source),
+            m AS (SELECT src_a, src_b, ska, skb,
+                    list_slice(list_sort(list_distinct(list_concat(ska, skb))), 1, 64) AS mk
+                  FROM pr)
+            SELECT src_a, src_b,
+              ska[len(ska)] AS kmv_a, skb[len(skb)] AS kmv_b, mk[len(mk)] AS kmv_union,
+              CAST(len(list_intersect(mk, list_intersect(ska, skb))) AS BIGINT) AS n_common,
+              CAST(len(list_intersect(mk, list_intersect(ska, skb))) * 1000 // len(mk) AS BIGINT) AS est_jacc_milli
+            FROM m"""))
+
+  /** Exact higher-moment sufficient statistics per key: n and the
+    * power sums Σx..Σx⁴ in integer cents, the map-side-combinable form
+    * from which variance/skewness/kurtosis derive — plus the assembled
+    * central-moment numerators m2num = n·S2 − S1² and
+    * m3num = n²·S3 − 3n·S2·S1 + 2·S1³ and the skew sign. Everything is
+    * DECIMAL(38,0)/HUGEINT-exact on both engines (x⁴ alone can exceed
+    * int64 at cents ≥ 55k, and S1³ exceeds it from ~sf1), so there is
+    * no float anywhere — the cross-engine-portable way to ship
+    * "skewness at 100 TB" is these sums, combined associatively.
+    */
+  private val qMoments = GraftQuery(
+    "q_moments",
+    (s, dir) => {
+      val d38 = "decimal(38,0)"
+      events(s, dir)
+        .select(col("event_type"), (col("value").cast(dec) * 100).cast("long").as("__x"))
+        .withColumn("__x2", col("__x") * col("__x"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          sum(col("__x")).as("s1"),
+          sum(col("__x2").cast(d38)).as("s2"),
+          sum((col("__x2").cast(d38) * col("__x")).cast(d38)).as("s3"),
+          sum((col("__x2").cast(d38) * col("__x2")).cast(d38)).as("s4"))
+        .withColumn("m2num",
+          expr(s"cast(cast(n as $d38) * s2 - cast(s1 as $d38) * cast(s1 as $d38) as $d38)"))
+        .withColumn("m3num",
+          expr(s"""cast(cast(n as $d38) * cast(n as $d38) * s3
+                    - 3 * cast(n as $d38) * s2 * cast(s1 as $d38)
+                    + 2 * cast(s1 as $d38) * cast(s1 as $d38) * cast(s1 as $d38) as $d38)"""))
+        .withColumn("skew_sign", signum(col("m3num")).cast("long"))
+    },
+    Some("""WITH e AS (SELECT event_type,
+                  CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS x
+                FROM events),
+            p AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+                    CAST(sum(x) AS BIGINT) AS s1,
+                    sum(CAST(x AS HUGEINT) * x) AS s2,
+                    sum(CAST(x AS HUGEINT) * x * x) AS s3,
+                    sum(CAST(x AS HUGEINT) * x * x * x) AS s4
+                  FROM e GROUP BY 1)
+            SELECT event_type, n, s1,
+              CAST(s2 AS DECIMAL(38,0)) AS s2,
+              CAST(s3 AS DECIMAL(38,0)) AS s3,
+              CAST(s4 AS DECIMAL(38,0)) AS s4,
+              CAST(n * s2 - CAST(s1 AS HUGEINT) * s1 AS DECIMAL(38,0)) AS m2num,
+              CAST(CAST(n AS HUGEINT) * n * s3 - 3 * n * s2 * s1
+                   + 2 * CAST(s1 AS HUGEINT) * s1 * s1 AS DECIMAL(38,0)) AS m3num,
+              CAST(CASE WHEN CAST(n AS HUGEINT) * n * s3 - 3 * n * s2 * s1
+                             + 2 * CAST(s1 AS HUGEINT) * s1 * s1 > 0 THEN 1
+                        WHEN CAST(n AS HUGEINT) * n * s3 - 3 * n * s2 * s1
+                             + 2 * CAST(s1 AS HUGEINT) * s1 * s1 < 0 THEN -1
+                        ELSE 0 END AS BIGINT) AS skew_sign
+            FROM p"""))
+
+  /** Epoch-mix materialization plan: given the α=0.5
+    * temperature-rebalanced shares (q_mix_weights' rule) and a global
+    * budget of 2× the corpus, how many FULL passes (epochs) of each
+    * source does the recipe take, and how many residual tokens of a
+    * partial pass remain — the step that turns sampling weights into an
+    * executable repeat-factor plan (how multi-epoch pretraining
+    * mixtures are actually materialized). All integer arithmetic; the
+    * budget product routes through DECIMAL(38,0)/HUGEINT because
+    * 2·total_tokens·w overflows int64 at production corpus sizes. One
+    * per-source aggregation + a 1-row broadcast total — no shuffle
+    * grows with the corpus.
+    */
+  private val qEpochPlan = GraftQuery(
+    "q_epoch_plan",
+    (s, dir) => {
+      val per = t(s, dir, "documents")
+        .select(col("source"), size(TextFns.tokensFast(col("text"))).cast("long").as("__nt"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"), sum(col("__nt")).as("tok"))
+        .withColumn("w", floor(sqrt(col("tok").cast("double"))).cast("long"))
+      val tot = per.agg(sum(col("tok")).as("__tt"), sum(col("w")).as("__tw"))
+      per.crossJoin(broadcast(tot))
+        .withColumn("budget_tokens",
+          expr("cast((2 * cast(__tt as decimal(38,0)) * w) div __tw as bigint)"))
+        .select(col("source"), col("n_docs"), col("tok"), col("w"), col("budget_tokens"),
+          expr("budget_tokens div tok").as("epochs_full"),
+          expr("budget_tokens % tok").as("residual_tokens"))
+        .withColumn("residual_docs_est", expr("(residual_tokens * n_docs) div tok"))
+    },
+    Some(s"""WITH per AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+                    CAST(sum(len($toksSql)) AS BIGINT) AS tok
+                  FROM documents GROUP BY source),
+            w AS (SELECT source, n_docs, tok,
+                    CAST(floor(sqrt(tok::DOUBLE)) AS BIGINT) AS w
+                  FROM per),
+            tt AS (SELECT sum(tok) AS tt, sum(w) AS tw FROM w),
+            b AS (SELECT source, n_docs, tok, w,
+                    CAST((2 * CAST(tt AS HUGEINT) * w) // tw AS BIGINT) AS budget_tokens
+                  FROM w, tt)
+            SELECT source, n_docs, tok, w, budget_tokens,
+              CAST(budget_tokens // tok AS BIGINT) AS epochs_full,
+              CAST(budget_tokens % tok AS BIGINT) AS residual_tokens,
+              CAST(((budget_tokens % tok) * n_docs) // tok AS BIGINT) AS residual_docs_est
+            FROM b"""))
+
+  /** Deterministic A/B lift report: users split into two arms by
+    * user_id parity (the deterministic stand-in for experiment
+    * assignment), conversion = any 'purchase' event. Emits per-arm
+    * exposure/conversion counts plus the exact integer effect sizes —
+    * conversion per-mille per arm, their difference, and the
+    * odds-ratio cross products (numerator c1·(u0−c0) vs denominator
+    * c0·(u1−c1)), whose comparison gives the direction of association
+    * without a single float. Shape: one shuffle on user_id for the
+    * per-user conversion flag, then a 2-row partial-agg rollup and a
+    * driver-free 1-row pivot — invariant to fact scale.
+    */
+  private val qAbLift = GraftQuery(
+    "q_ab_lift",
+    (s, dir) => {
+      val perUser = events(s, dir)
+        .groupBy(pmod(col("user_id"), lit(2)).cast("long").as("__arm"), col("user_id"))
+        .agg(max(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("__conv"))
+      perUser.groupBy("__arm")
+        .agg(count(lit(1)).as("__u"), sum(col("__conv")).as("__c"))
+        .agg(
+          max(when(col("__arm") === 0, col("__u"))).as("u0"),
+          max(when(col("__arm") === 0, col("__c"))).as("c0"),
+          max(when(col("__arm") === 1, col("__u"))).as("u1"),
+          max(when(col("__arm") === 1, col("__c"))).as("c1"))
+        .withColumn("conv0_permille", expr("c0 * 1000 div u0"))
+        .withColumn("conv1_permille", expr("c1 * 1000 div u1"))
+        .withColumn("lift_permille", expr("c1 * 1000 div u1 - c0 * 1000 div u0"))
+        .withColumn("odds_num", expr("c1 * (u0 - c0)"))
+        .withColumn("odds_den", expr("c0 * (u1 - c1)"))
+    },
+    Some("""WITH pu AS (SELECT user_id % 2 AS arm, user_id,
+                  max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS conv
+                FROM events GROUP BY 1, 2),
+            a AS (SELECT arm, CAST(count(*) AS BIGINT) AS u, CAST(sum(conv) AS BIGINT) AS c
+                  FROM pu GROUP BY 1),
+            p AS (SELECT max(CASE WHEN arm = 0 THEN u END) AS u0,
+                    max(CASE WHEN arm = 0 THEN c END) AS c0,
+                    max(CASE WHEN arm = 1 THEN u END) AS u1,
+                    max(CASE WHEN arm = 1 THEN c END) AS c1
+                  FROM a)
+            SELECT u0, c0, u1, c1,
+              CAST(c0 * 1000 // u0 AS BIGINT) AS conv0_permille,
+              CAST(c1 * 1000 // u1 AS BIGINT) AS conv1_permille,
+              CAST(c1 * 1000 // u1 - c0 * 1000 // u0 AS BIGINT) AS lift_permille,
+              CAST(c1 * (u0 - c0) AS BIGINT) AS odds_num,
+              CAST(c0 * (u1 - c1) AS BIGINT) AS odds_den
+            FROM p"""))
+
   val all: Seq[GraftQuery] = Seq(
     qMapFilter, qFilterMap, qCycle, qFoldAgg, qDistinctUsers, qTopkPerKey, qPivotCounts, qApproxDistinct, qHeavyHitters, qHeavyHittersVerified, qCmsFreq, qJoinCardEst, qQuantiles, qQuantilesExact, qTableLatest, qSnapshotDiff, qTumbling, qHopping, qLagWindow, qSession,
     qIntervalJoin, qStreamTableJoin, qSaltedJoin, qSkewReport, qRangeJoin, qOverlapSessions, qMerge, qSplitBranch, qChunk, qSkipTake, qThrottle,
@@ -7443,7 +7749,8 @@ object Queries {
     qRunningDistinct, qFirstSeen, qDedupDegree, qDecileBin,
     qBloomDecontam, qDupSpanRuns, qEmbedQuant, qGramMatrix, qMixWeights, qEmbedPq, qPqAdc, qPqRescore, qDedupPrio, qKnnHubs, qIvfPq, qEmbedBinary, qSpanScrub, qSpanExcise,
     qTokenCount, qFingerprint, qMultimodalMeta,
-    qMultimodalDecode, qResizePlan, qFrameSample, qAudioSegments, qTilePlan, qMixGap)
+    qMultimodalDecode, qResizePlan, qFrameSample, qAudioSegments, qTilePlan, qMixGap,
+    q9Profit, q11Stock, qKmvOverlap, qMoments, qEpochPlan, qAbLift)
 
   val queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.fn).toMap

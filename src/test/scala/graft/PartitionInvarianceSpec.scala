@@ -71,7 +71,12 @@ class PartitionInvarianceSpec extends SparkSpecBase {
     // corpus-tracking LSH planes — the parameter now DEPENDS on a
     // count whose partial-agg merge order must not matter, and the
     // candidate sets ride new windows/argmins with explicit tie keys
-    "q_knn_hubs", "q_cosine_bands", "q_dedup_embed")
+    "q_knn_hubs", "q_cosine_bands", "q_dedup_embed",
+    // round-11 session-2: bounded rank-cutoff sketch + collect_list
+    // array build (sorted before use — this pins that), DECIMAL(38,0)
+    // partial-sum merges, and a global scalar threshold assembled from
+    // a partial-agg total
+    "q_kmv_overlap", "q_moments", "q11_stock")
 
   private def runAll(): Map[String, Seq[String]] =
     subset.map { q =>
