@@ -93,7 +93,13 @@ object Bench {
     "q_bfs_hops", "q_label_consistency",
     // DP release algebra, the cohort-TV drift rollup, and the
     // dual-pipeline recall evaluation
-    "q_dp_mean", "q_drift", "q_ann_recall")
+    "q_dp_mean", "q_drift", "q_ann_recall",
+    // round-11 session-2: the widest broadcast join tree (Q9 shape),
+    // the scalar-threshold aggregate-reuse shape (Q11), the bounded
+    // rank-cutoff sketch build + tiny pair frame (KMV), and the
+    // DECIMAL(38,0) power-sum aggregation — four cost shapes new to
+    // the set (q_epoch_plan/q_ab_lift ride shapes already sampled)
+    "q9_profit", "q11_stock", "q_kmv_overlap", "q_moments")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -507,6 +507,39 @@ object StreamingOps {
       }
   }
 
+  /** Streaming exact higher-moment sufficient statistics per key — the
+    * live twin of the batch `q_moments` query. The power sums n, Σx,
+    * Σx², Σx³, Σx⁴ (x in integer cents, sums in DECIMAL(38,0)) are
+    * associative and commutative, so the streaming aggregation STATE is
+    * itself the shipped answer: any micro-batching folds into identical
+    * sums, with zero float drift (asserted batching-invariant in
+    * StreamingParitySpec). The central-moment numerators
+    * m2num = n·S2 − S1² and m3num = n²·S3 − 3n·S2·S1 + 2·S1³ and the
+    * skew sign are stateless projections of that state, recomputed per
+    * emission. Complete/Update output; state is 5 numbers per key.
+    *
+    * `valueCentsCol` must already be exact integer cents (long).
+    */
+  def moments(stream: DataFrame, keyCol: String, valueCentsCol: String): DataFrame = {
+    val d38 = "decimal(38,0)"
+    stream
+      .select(col(keyCol).as("k"), col(valueCentsCol).cast("long").as("__x"))
+      .withColumn("__x2", col("__x") * col("__x"))
+      .groupBy("k")
+      .agg(count(lit(1)).as("n"),
+        sum(col("__x")).as("s1"),
+        sum(col("__x2").cast(d38)).as("s2"),
+        sum((col("__x2").cast(d38) * col("__x")).cast(d38)).as("s3"),
+        sum((col("__x2").cast(d38) * col("__x2")).cast(d38)).as("s4"))
+      .withColumn("m2num",
+        expr(s"cast(cast(n as $d38) * s2 - cast(s1 as $d38) * cast(s1 as $d38) as $d38)"))
+      .withColumn("m3num",
+        expr(s"""cast(cast(n as $d38) * cast(n as $d38) * s3
+                  - 3 * cast(n as $d38) * s2 * cast(s1 as $d38)
+                  + 2 * cast(s1 as $d38) * cast(s1 as $d38) * cast(s1 as $d38) as $d38)"""))
+      .withColumn("skew_sign", signum(col("m3num")).cast("long"))
+  }
+
   /** A KeyedEvent carrying its per-key running fold: event index and
     * exact running cents sum (the streaming scan).
     */

@@ -1460,4 +1460,47 @@ class StreamingParitySpec extends SparkSpecBase {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
     assert(got == expect)
   }
+
+  test("streaming moments equals a BigInt brute force and is batching-invariant") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // Deterministic tape over 3 keys; cents reach ±100k so x⁴ ≈ 1e20
+    // exceeds int64 — any silent long overflow in the streaming state
+    // would show against the BigInt model. Negatives included: the
+    // operator is generic even though the batch oracle's events data
+    // happens to be nonnegative.
+    val tape: Seq[(String, Long)] = (0 until 240).map { i =>
+      (s"k${i % 3}", ((i * i * 7919L) % 200001L) - 100000L)
+    }
+    def run(splits: Seq[Seq[(String, Long)]], name: String): Map[String, (Long, BigInt, BigInt, BigInt, BigInt, BigInt, BigInt, Long)] = {
+      val ms = MemoryStream[(String, Long)]
+      val out = StreamingOps.moments(ms.toDF().toDF("k0", "cents"), "k0", "cents")
+      val q = out.writeStream.format("memory").queryName(name)
+        .outputMode(OutputMode.Complete()).start()
+      splits.foreach { s => ms.addData(s); q.processAllAvailable() }
+      q.stop()
+      spark.table(name).collect().map { r =>
+        def big(i: Int): BigInt = BigInt(r.getDecimal(i).toBigInteger)
+        r.getString(0) -> ((r.getLong(1), BigInt(r.getLong(2)), big(3), big(4), big(5),
+          big(6), big(7), r.getLong(8)))
+      }.toMap
+    }
+    val oneBatch = run(Seq(tape), "t_moments_a")
+    val manyBatches = run(tape.grouped(37).toSeq, "t_moments_b")
+    assert(oneBatch == manyBatches, "micro-batch boundaries changed the sums")
+    // independent BigInt model
+    tape.groupBy(_._1).foreach { case (k, rows) =>
+      val xs = rows.map(r => BigInt(r._2))
+      val n = BigInt(xs.size)
+      val s1 = xs.sum; val s2 = xs.map(x => x * x).sum
+      val s3 = xs.map(x => x * x * x).sum; val s4 = xs.map(x => x * x * x * x).sum
+      val m2 = n * s2 - s1 * s1
+      val m3 = n * n * s3 - 3 * n * s2 * s1 + 2 * s1 * s1 * s1
+      val got = oneBatch(k)
+      assert(got == ((xs.size.toLong, s1, s2, s3, s4, m2, m3, m3.signum.toLong)),
+        s"key $k: got $got expected (${xs.size}, $s1, $s2, $s3, $s4, $m2, $m3, ${m3.signum})")
+    }
+    assert(oneBatch.values.map(_._5).max > BigInt(Long.MaxValue),
+      "tape failed to exercise the beyond-int64 decimal path")
+  }
 }
