@@ -10,11 +10,68 @@ package graft
 object Explain {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
+    // --exec: run each query first, then print the FINAL adaptive plan —
+    // the only place runtime exchange reuse (ReusedQueryStage /
+    // ReusedExchange under AQE) is visible; the static plan always
+    // shows both copies of a repeated subtree.
+    val exec = args.contains("--exec")
     val spark = GraftSession.local("graft-explain")
-    val names = if (args.nonEmpty) args.toSeq else Bench.Headline
+    val names = args.toSeq.filterNot(_.startsWith("--")) match {
+      case Nil => Bench.Headline.toSeq
+      case ns  => ns
+    }
     names.foreach { name =>
       println(s"\n===== $name =====")
-      SparkEntry.queries(name)(spark, sfDir).explain("formatted")
+      val df = SparkEntry.queries(name)(spark, sfDir)
+      if (exec) {
+        df.collect()
+        println(df.queryExecution.executedPlan.toString)
+      } else df.explain("formatted")
+    }
+    spark.stop()
+  }
+}
+
+/** Suite-wide physical-plan audit: run EVERY registered query, then
+  * grade its FINAL adaptive plan (the post-AQE one, where runtime
+  * exchange reuse is visible) on the properties that decide 100 TB
+  * behavior — how many times each base table is actually scanned, how
+  * many real shuffles run, whether anything nested-loops or funnels
+  * through a single partition, and whether repeated subtrees were
+  * reused. One JSON line per query on stdout (diagnostics to stderr);
+  * `scripts/plan_audit.py` summarizes and diffs against the committed
+  * snapshot. PlanSpec pins individual load-bearing shapes; this is the
+  * whole-suite sweep that catches a regression in a query nobody
+  * thought to pin.
+  */
+object PlanAudit {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
+    val spark = GraftSession.local("graft-plan-audit")
+    val names = if (args.nonEmpty) args.toSeq else SparkEntry.queries.keys.toSeq.sorted
+    names.foreach { name =>
+      val t0 = System.nanoTime()
+      try {
+        val df = SparkEntry.queries(name)(spark, sfDir)
+        df.collect()
+        // the executed-plan toString replays the pre-reuse Initial Plan
+        // below the final one — audit the final section only
+        val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+        val lines = p.linesIterator.toSeq
+        val scans = lines.flatMap { l =>
+          ".*/([a-z_]+)\\.parquet.*".r.findFirstMatchIn(l).map(_.group(1))
+        }.groupBy(identity).view.mapValues(_.size).toMap
+        def n(pat: String): Int = lines.count(_.contains(pat))
+        val json = scans.toSeq.sorted.map { case (t, c) => s""""$t":$c""" }.mkString(",")
+        println(s"""{"q":"$name","scans":{$json}""" +
+          s""","exch":${lines.count(l => l.contains("Exchange hashpartitioning") && !l.contains("ReusedExchange"))}""" +
+          s""","single":${lines.count(l => l.contains("Exchange SinglePartition") && !l.contains("ReusedExchange"))}""" +
+          s""","reused":${n("ReusedExchange") + n("ReusedQueryStage")}""" +
+          s""","cartesian":${n("CartesianProduct") + n("BroadcastNestedLoopJoin")}""" +
+          s""","sec":${(System.nanoTime() - t0) / 1e9}}""")
+      } catch {
+        case e: Exception => System.err.println(s"[audit] $name FAILED: ${e.getMessage}")
+      } finally Queries.clearSessionMemos()
     }
     spark.stop()
   }

@@ -1421,9 +1421,17 @@ object Queries {
   private val q15TopSupp = GraftQuery(
     "q15_topsupp",
     (s, dir) => {
+      // The explicit l_suppkey IS NOT NULL mirrors the constraint the
+      // optimizer infers on the MAIN branch from the supplier equi-join
+      // — without it the two rev branches' scans differ by exactly that
+      // inferred filter, are no longer canonically equal, and the fact
+      // scans twice instead of riding one reused exchange (PlanSpec).
+      // Semantics unchanged: an inner join on l_suppkey drops null keys
+      // anyway, and a null key can't carry the max revenue group here.
       val rev = t(s, dir, "lineitem")
         .filter(col("l_shipdate") >= ntz("1997-01-01 00:00:00") &&
-          col("l_shipdate") < ntz("1997-04-01 00:00:00"))
+          col("l_shipdate") < ntz("1997-04-01 00:00:00") &&
+          col("l_suppkey").isNotNull)
         .groupBy(col("l_suppkey"))
         .agg(sum(expr("cast(cast(l_extendedprice as decimal(18,2)) * 100 as bigint)"))
           .as("rev_cents"))
@@ -7491,7 +7499,30 @@ object Queries {
         .agg(expr("sum(cast(cast(l_extendedprice as decimal(18,2)) * 100 as bigint))")
             .as("value_cents"),
           count(lit(1)).as("n_lines"))
-      val tot = perPart.agg(sum(col("value_cents")).as("__tot"))
+      // The grand total re-aggregates perPart — but column pruning
+      // would drop n_lines from THIS branch's per-part partial
+      // aggregate, making its shuffle canonically different from the
+      // main branch's (partial_sum vs partial_sum+partial_count) and
+      // defeating AQE exchange reuse: the fact subtree would scan
+      // twice. The when-guard below is a pruning fence: it references
+      // n_lines through a predicate that is always true (a count is
+      // ≥ 1) but that no Catalyst rule can fold (there is no integer
+      // range analysis; note a literal `* 0` weight DOES get folded),
+      // so both branches keep the identical [partial_sum,
+      // partial_count] aggregate and the lineitem scan+join+partial-agg
+      // runs ONCE — the total is a tiny re-read of the reused exchange
+      // (pinned in PlanSpec). value_cents must be referenced BEFORE
+      // n_lines: the extracted aggregate-function order follows first
+      // reference, and [sum, count] vs [count, sum] de-canonicalizes
+      // the exchange just as surely as pruning does. The guard is
+      // null-exact: the condition is true whenever value_cents is
+      // non-null OR the group is non-empty, so __v = value_cents
+      // always (including a hypothetical all-null group, where both
+      // are null).
+      val tot = perPart
+        .select(when(col("value_cents").isNotNull || col("n_lines") > lit(0L),
+          col("value_cents")).as("__v"))
+        .agg(sum(col("__v")).as("__tot"))
       perPart.crossJoin(broadcast(tot))
         .filter(col("value_cents") * 1000 > col("__tot"))
         .select(col("l_partkey").as("p_partkey"), col("value_cents"), col("n_lines"),

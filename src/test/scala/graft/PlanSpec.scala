@@ -857,4 +857,31 @@ class PlanSpec extends SparkSpecBase {
     assert(!p.contains("Window"), p)
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"), p)
   }
+
+  test("q11_stock / q15_topsupp: scalar-total branch rides a REUSED fact exchange — one scan") {
+    // The Q11/Q15 signature shape is "per-key aggregate + a scalar
+    // re-aggregation of the SAME frame". Catalyst only collapses the
+    // two subtrees when they stay canonically identical — branch-local
+    // column pruning (q11: partial_count dropped) or constraint
+    // inference (q15: isnotnull(l_suppkey) on one side only) silently
+    // doubles the fact scan. Both queries carry an explicit
+    // canonicality fence; this pins that the FINAL adaptive plan scans
+    // lineitem exactly once and reuses the per-key exchange.
+    for (q <- Seq("q11_stock", "q15_topsupp")) {
+      val df = Queries.queries(q)(spark, sfDir)
+      df.collect()
+      val p = planOf(df).split("== Initial Plan ==").head
+      assert(p.contains("ReusedExchange") || p.contains("ReusedQueryStage"), s"$q: $p")
+      val scans = p.linesIterator.count(_.contains("lineitem.parquet"))
+      assert(scans == 1, s"$q: lineitem scanned $scans times\n$p")
+    }
+  }
+
+  test("q_kmv_overlap: both sketch sides ride ONE tokenize+distinct exchange — one doc scan") {
+    val df = Queries.queries("q_kmv_overlap")(spark, sfDir)
+    df.collect()
+    val p = planOf(df).split("== Initial Plan ==").head
+    assert(p.contains("ReusedExchange") || p.contains("ReusedQueryStage"), p)
+    assert(p.linesIterator.count(_.contains("documents.parquet")) == 1, p)
+  }
 }
