@@ -905,6 +905,85 @@ object StreamingOps {
   def enrich(stream: DataFrame, dim: DataFrame, streamKey: String, dimKey: String): DataFrame =
     stream.join(broadcast(dim), stream(streamKey) === dim(dimKey), "inner")
 
+  /** One tagged record of the streaming as-of join's merged input:
+    * probes (`isRight = false`) and quotes (`isRight = true`) union
+    * into a single stream so ONE stateful operator observes both sides
+    * of a key in event-time order.
+    */
+  final case class AsofIn(key: Long, tsUs: Long, id: Long, value: Double,
+      isRight: Boolean)
+
+  /** A probe joined to the latest quote at-or-before it (backward
+    * as-of). `matched = false` (left join) carries rightId = -1.
+    */
+  final case class AsofOut(key: Long, tsUs: Long, id: Long,
+      rightId: Long, rightTsUs: Long, rightValue: Double, matched: Boolean)
+
+  /** Per-key quote buffer, ascending (tsUs, id); pruned each batch to
+    * the newest quote at-or-before the largest probe seen plus all
+    * newer quotes — exactly the set any future in-order probe can
+    * still select.
+    */
+  final case class AsofState(quotes: Seq[(Long, Long, Double)], maxLeftTs: Long)
+
+  /** Streaming backward AS-OF join — the live twin of the batch
+    * `q_asof_join` (operators.Joins.asofJoin): every probe emits the
+    * quote with the largest (tsUs, id) among quotes of its key with
+    * tsUs ≤ probe.tsUs, or an unmatched row (LEFT semantics). Same
+    * tie rule as the batch operator: a quote AT the probe's timestamp
+    * matches, and equal-timestamp quotes resolve to the max id.
+    *
+    * Union the two sides into [[AsofIn]] (quotes tagged isRight) and
+    * group by key: state is the per-key quote buffer, pruned per batch
+    * to quotes a future in-order probe could still pick — the newest
+    * quote ≤ the largest probe timestamp plus everything newer, the
+    * streaming analogue of the batch window frame. For an in-order
+    * tape the output is identical under ANY micro-batch split
+    * (asserted in StreamingParitySpec); within a batch records order
+    * by (tsUs, side, id) with quotes applied before probes at equal
+    * timestamps, mirroring the ≤ bound. State is O(quotes between the
+    * probe high-water mark and now) per key — bounded by the sides'
+    * rate skew, never by stream length.
+    */
+  def asofJoin(stream: Dataset[AsofIn]): Dataset[AsofOut] = {
+    implicit val outEnc = Encoders.product[AsofOut]
+    implicit val stEnc = Encoders.product[AsofState]
+    stream.groupByKey(_.key)(Encoders.scalaLong)
+      .flatMapGroupsWithState[AsofState, AsofOut](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout) {
+        (key: Long, recs: Iterator[AsofIn], state: GroupState[AsofState]) =>
+          var st = state.getOption.getOrElse(AsofState(Vector.empty, Long.MinValue))
+          var quotes = st.quotes.toVector
+          var maxLeftTs = st.maxLeftTs
+          // quotes before probes at equal ts: a quote at the probe's
+          // own timestamp is eligible (rightTs <= leftTs)
+          val ordered = recs.toSeq.sortBy(r => (r.tsUs, if (r.isRight) 0 else 1, r.id))
+          val out = ordered.flatMap { r =>
+            if (r.isRight) {
+              // maintain ascending (tsUs, id); out-of-order quotes
+              // insert at their sorted position
+              val at = quotes.lastIndexWhere(q =>
+                q._1 < r.tsUs || (q._1 == r.tsUs && q._2 <= r.id)) + 1
+              quotes = (quotes.take(at) :+ ((r.tsUs, r.id, r.value))) ++ quotes.drop(at)
+              None
+            } else {
+              maxLeftTs = math.max(maxLeftTs, r.tsUs)
+              quotes.lastIndexWhere(_._1 <= r.tsUs) match {
+                case -1 => Some(AsofOut(r.key, r.tsUs, r.id, -1L, Long.MinValue, 0.0, matched = false))
+                case i  =>
+                  val q = quotes(i)
+                  Some(AsofOut(r.key, r.tsUs, r.id, q._2, q._1, q._3, matched = true))
+              }
+            }
+          }
+          // prune: drop quotes no future in-order probe can select
+          val keepFrom = quotes.lastIndexWhere(_._1 <= maxLeftTs)
+          if (keepFrom > 0) quotes = quotes.drop(keepFrom)
+          state.update(AsofState(quotes, maxLeftTs))
+          out.iterator
+      }
+  }
+
   /** Incremental substring-duplication coverage — the streaming twin
     * of batch `q_span_scrub` via the foreachBatch pattern above: a
     * gram position is DUP if its 60-bit hash was seen in ANY prior

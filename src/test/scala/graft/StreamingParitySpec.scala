@@ -1503,4 +1503,50 @@ class StreamingParitySpec extends SparkSpecBase {
     assert(oneBatch.values.map(_._5).max > BigInt(Long.MaxValue),
       "tape failed to exercise the beyond-int64 decimal path")
   }
+
+  test("streaming as-of join equals a brute-force model and is batching-invariant") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // Deterministic tape over 4 keys with heavy timestamp collisions
+    // ACROSS sides (37 and 100 are coprime → every residue hit), so
+    // the <=-inclusive bound and the max-id tie rule both get
+    // exercised; 2/3 of records are quotes so the buffer sees
+    // out-of-order inserts and multi-candidate picks.
+    val raw = (0 until 400).map { i =>
+      val key = i % 4
+      val base = ((i * 37) % 100) * 1000L
+      val isRight = i % 3 != 0
+      // key 3's quotes all arrive at ts >= 60 ms, so its earlier
+      // probes exercise the unmatched (LEFT) path
+      val ts = if (key == 3 && isRight) base + 60_000L else base
+      StreamingOps.AsofIn(key, ts, i.toLong, (i % 17) / 10.0, isRight)
+    }
+    // split-invariance is contractual for IN-ORDER tapes: order by the
+    // operator's own (ts, side, id) rule before cutting into batches
+    val tape = raw.sortBy(r => (r.tsUs, if (r.isRight) 0 else 1, r.id))
+    def run(splits: Seq[Seq[StreamingOps.AsofIn]], name: String): Set[StreamingOps.AsofOut] = {
+      val ms = MemoryStream[StreamingOps.AsofIn]
+      val q = StreamingOps.asofJoin(ms.toDS()).writeStream
+        .format("memory").queryName(name).outputMode(OutputMode.Append()).start()
+      splits.foreach { s => ms.addData(s); q.processAllAvailable() }
+      q.stop()
+      spark.table(name).as[StreamingOps.AsofOut].collect().toSet
+    }
+    val oneBatch = run(Seq(tape), "t_asof_a")
+    val manyBatches = run(tape.grouped(23).toSeq, "t_asof_b")
+    assert(oneBatch == manyBatches, "micro-batch boundaries changed the join")
+    // independent brute force: per probe, the max-(ts, id) quote of
+    // its key with ts <= probe ts
+    val expect = raw.filterNot(_.isRight).map { p =>
+      val cands = raw.filter(r => r.isRight && r.key == p.key && r.tsUs <= p.tsUs)
+      if (cands.isEmpty) StreamingOps.AsofOut(p.key, p.tsUs, p.id, -1L, Long.MinValue, 0.0, matched = false)
+      else {
+        val q = cands.maxBy(r => (r.tsUs, r.id))
+        StreamingOps.AsofOut(p.key, p.tsUs, p.id, q.id, q.tsUs, q.value, matched = true)
+      }
+    }.toSet
+    assert(oneBatch == expect)
+    assert(expect.exists(!_.matched) && expect.exists(_.matched),
+      "tape failed to exercise both matched and unmatched paths")
+  }
 }
