@@ -3681,9 +3681,12 @@ object Queries {
       val terms = Fence.guard(
           docs.select(col("doc_id"), TextFns.tokensFast(col("text")).as("__toks"), Fence.col))
         .select(col("doc_id"), explode(col("__toks")).as("term"))
-      val tf = terms.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
-      val df = terms.select("doc_id", "term").distinct()
-        .groupBy("term").agg(count(lit(1)).as("df"))
+      // df derives FROM tf (already one row per doc×term — the
+      // distinct() re-derivation tokenized the corpus a second time),
+      // and tf wears the keepAll fence so its two consumers (score
+      // join + df rollup) ride ONE reused exchange.
+      val tf = Fence.keepAll(terms.groupBy("doc_id", "term").agg(count(lit(1)).as("tf")))
+      val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
       val w = Window.partitionBy("doc_id").orderBy(col("score").desc, col("term"))
       tf.join(broadcast(df), "term")
         .withColumn("score", (col("tf") * 1000000L * lit(nDocs) / col("df")).cast("long"))
@@ -3921,28 +3924,41 @@ object Queries {
              FROM j GROUP BY doc_id"""))
 
   /** Ordered conversion funnel over the event stream: first signup →
-    * first later click → any later purchase, counted per stage. Each
-    * stage is a per-user aggregate joined forward (user-keyed shuffle,
-    * per-user rows only — never event×event), strict ts ordering.
+    * first later click → any later purchase, counted per stage — in
+    * ONE pass. The stage-N-depends-on-stage-N-1 chain rides three
+    * chained UNORDERED window aggregates over the same user_id
+    * partitioning (min-signup-ts → min-later-click-ts → any-later-
+    * purchase), so the whole funnel costs one typed-filtered scan +
+    * one user_id exchange, no sort; the per-user reduce reuses that
+    * partitioning (no second exchange) and the three stage counts fold
+    * into a single 1-row rollup unpivoted by stack(). The previous
+    * shape (per-stage aggregate joined forward) re-derived the signup
+    * aggregate for every later stage — five fact scans where one
+    * suffices at 100 TB.
     */
   private val qFunnel = GraftQuery(
     "q_funnel",
     (s, dir) => {
-      val ev = events(s, dir).select(col("user_id"), col("event_type"), col("ts"))
-      val su = ev.filter(col("event_type") === "signup")
-        .groupBy("user_id").agg(min(col("ts")).as("s_ts"))
-      val cl = ev.filter(col("event_type") === "click")
-        .join(su, "user_id").filter(col("ts") > col("s_ts"))
-        .groupBy("user_id").agg(min(col("ts")).as("c_ts"))
-      val pu = ev.filter(col("event_type") === "purchase")
-        .join(cl, "user_id").filter(col("ts") > col("c_ts"))
-        .groupBy("user_id").agg(count(lit(1)).as("__n"))
-      su.agg(count(lit(1)).as("n_users"))
-        .select(lit("1_signup").as("stage"), col("n_users"))
-        .unionByName(cl.agg(count(lit(1)).as("n_users"))
-          .select(lit("2_click_after_signup").as("stage"), col("n_users")))
-        .unionByName(pu.agg(count(lit(1)).as("n_users"))
-          .select(lit("3_purchase_after_click").as("stage"), col("n_users")))
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("user_id")
+      val perUser = events(s, dir)
+        .filter(col("event_type").isin("signup", "click", "purchase"))
+        .select(col("user_id"), col("event_type"), col("ts"))
+        .withColumn("s_ts",
+          min(when(col("event_type") === "signup", col("ts"))).over(w))
+        .withColumn("c_ts",
+          min(when(col("event_type") === "click" && col("ts") > col("s_ts"), col("ts"))).over(w))
+        .withColumn("__p",
+          when(col("event_type") === "purchase" && col("ts") > col("c_ts"), 1L).otherwise(0L))
+        .groupBy("user_id")
+        .agg(max(col("s_ts")).as("s_ts"), max(col("c_ts")).as("c_ts"),
+          max(col("__p")).as("p"))
+      perUser.agg(
+          count(col("s_ts")).as("n1"), count(col("c_ts")).as("n2"),
+          sum(col("p")).as("n3"))
+        .select(expr("""stack(3, '1_signup', n1,
+                                 '2_click_after_signup', n2,
+                                 '3_purchase_after_click', n3) AS (stage, n_users)"""))
     },
     Some("""WITH s AS (SELECT user_id, min(ts) AS s_ts FROM events
                        WHERE event_type = 'signup' GROUP BY 1),
@@ -3965,16 +3981,20 @@ object Queries {
   private val qRetention = GraftQuery(
     "q_retention",
     (s, dir) => {
-      val act = events(s, dir)
+      // Single-pass shape: after the (user, day) dedup, a user's
+      // next ACTIVE day via lead() makes "retained into day+1" a row-
+      // local flag, so actives and retained fold into ONE day-level
+      // aggregation — one scan and three bounded exchanges, where the
+      // self-join form re-derived the distinct frame three times.
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("user_id").orderBy("day")
+      events(s, dir)
         .select(col("user_id"), expr("unix_micros(ts) div 86400000000").as("day"))
         .distinct()
-      val ret = act.join(act.select(col("user_id"), (col("day") - 1).as("day")),
-          Seq("user_id", "day"))
-        .groupBy("day").agg(count(lit(1)).as("n_retained"))
-      act.groupBy("day").agg(count(lit(1)).as("n_active"))
-        .join(ret, Seq("day"), "left")
-        .select(col("day"), col("n_active"),
-          coalesce(col("n_retained"), lit(0L)).as("n_retained"))
+        .withColumn("__next", lead(col("day"), 1).over(w))
+        .groupBy("day")
+        .agg(count(lit(1)).as("n_active"),
+          count(when(col("__next") === col("day") + 1, 1)).as("n_retained"))
     },
     Some("""WITH a AS (SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS day FROM events),
              r AS (SELECT a.day, count(*) AS n_retained
@@ -5236,11 +5256,16 @@ object Queries {
     * every quantity is a positive integer, so the result is
     * engine-portable with no log/float surface.
     *
-    * Scale shape: bigram instances join the corpus count tables by
-    * (x,y) and x — the instance side and the bigram-count aggregation
-    * share ONE canonical (x,y) exchange (AQE ReusedExchange), and the
-    * count tables are vocabulary-bounded (the optimizer broadcasts
-    * them when they fit, which real vocabularies at 100 TB mostly do).
+    * Scale shape: c_xy is a COUNT WINDOW over the (x,y) partitioning
+    * of the bigram-instance frame itself — one exchange by
+    * construction, where the aggregate+self-join form built the
+    * instance exchange and the count exchange from separately-derived
+    * (and separately-tokenized) subtrees that branch-local pruning
+    * kept AQE from ever reusing. Only the unigram table keeps a join;
+    * it is vocabulary-bounded (the optimizer broadcasts it when it
+    * fits, which real vocabularies at 100 TB mostly do). Total: two
+    * tokenize passes (bigram + unigram positions differ), down from
+    * three.
     */
   /** Shared per-doc bigram-LM fluency kernel — the single definition
     * both q_bigram_lm (raw scores) and q_ppl_buckets (CCNet tertile
@@ -5258,11 +5283,11 @@ object Queries {
         slice(col("__toks"), lit(1), size(col("__toks")) - 1),
         slice(col("__toks"), lit(2), size(col("__toks")) - 1))).as("p"))
       .select(col("doc_id"), col("p.0").as("x"), col("p.1").as("y"))
-    val bc = bi.groupBy("x", "y").agg(count(lit(1)).as("c_xy"))
     val uni = toksOf
       .select(explode(col("__toks")).as("term"))
       .groupBy("term").agg(count(lit(1)).as("c_x"))
-    bi.join(bc, Seq("x", "y"))
+    bi.withColumn("c_xy",
+        count(lit(1)).over(org.apache.spark.sql.expressions.Window.partitionBy("x", "y")))
       .join(uni, col("x") === col("term"))
       .select(col("doc_id"), expr("(c_xy * 1000) div c_x").as("__p"))
       .groupBy("doc_id")
@@ -5817,14 +5842,22 @@ object Queries {
             .select(col("doc_id"), TextFns.tokensFast(col("text")).as("__toks"), Fence.col))
         .select(col("doc_id"), explode(array_distinct(col("__toks"))).as("term"))
         .repartition(col("term"))
-      val ranked = tk.withColumn("rn",
-        row_number().over(Window.partitionBy("term").orderBy("doc_id")))
-      val dfc = ranked.groupBy("term").agg(count(lit(1)).as("df"))
-      val post = ranked.filter(col("rn") <= 100)
+      // df rides the SAME term partitioning as the posting rank (an
+      // unordered count window chained onto the ordered rank window —
+      // the (term, doc_id) sort serves both), so the whole index is
+      // one scan + one exchange + one sort + one aggregation. The
+      // df-as-separate-aggregate-joined-back form re-derived the
+      // tokenize+explode subtree per consumer (pruning dropped doc_id
+      // from the df branch's scan, de-canonicalizing the exchange).
+      val ranked = tk
+        .withColumn("rn",
+          row_number().over(Window.partitionBy("term").orderBy("doc_id")))
+        .withColumn("df", count(lit(1)).over(Window.partitionBy("term")))
+      ranked.filter(col("rn") <= 100)
         .groupBy("term")
-        .agg(md5(concat_ws(",",
-          transform(sort_array(collect_list(col("doc_id"))), _.cast("string")))).as("posting_md5"))
-      dfc.join(post, "term")
+        .agg(max(col("df")).as("df"),
+          md5(concat_ws(",",
+            transform(sort_array(collect_list(col("doc_id"))), _.cast("string")))).as("posting_md5"))
     },
     Some(s"""WITH tk AS (SELECT doc_id, unnest(list_distinct($toksSql)) AS term FROM documents),
              r AS (SELECT term, doc_id,
@@ -6344,11 +6377,24 @@ object Queries {
       val docs = t(s, dir, "documents")
       def toksOf = Fence.guard(
         docs.select(col("doc_id"), TextFns.tokensFast(col("text")).as("__toks"), Fence.col))
-      val dl = toksOf.select(col("doc_id"), size(col("__toks")).cast("long").as("dl"))
-        .repartition(col("doc_id"))
-      val tf = toksOf.select(col("doc_id"), explode(col("__toks")).as("term"))
-        .filter(col("term").isin(qterms: _*))
-        .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+      // dl feeds the score join AND the corpus scalars; tf feeds the
+      // score join AND the df table. Both are bounded frames consumed
+      // twice, so both wear the keepAll canonicality fence — without
+      // it branch-local pruning specializes each consumer's copy and
+      // the tokenize pipeline runs once PER CONSUMER (four document
+      // scans, measured by PlanAudit) instead of once per derivation.
+      val dl = Fence.keepAll(
+        toksOf.select(col("doc_id"), size(col("__toks")).cast("long").as("dl"))
+          .filter(col("doc_id").isNotNull)
+          .repartition(col("doc_id")))
+      // the explicit doc_id isNotNull pre-materializes the constraint
+      // the dl join would otherwise infer on the join-side copy only
+      // (the q15 disease — one branch's scan grows an extra filter and
+      // the shared exchange de-canonicalizes)
+      val tf = Fence.keepAll(
+        toksOf.select(col("doc_id"), explode(col("__toks")).as("term"))
+          .filter(col("term").isin(qterms: _*) && col("doc_id").isNotNull)
+          .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf")))
       val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
       val corpus = dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("__tot"))
         .select(col("n_docs"), expr("(__tot * 1000) div n_docs").as("avgdl_milli"))

@@ -51,4 +51,33 @@ object Fence {
     */
   def guard(df: DataFrame): DataFrame =
     df.filter(org.apache.spark.sql.functions.col(name) >= 0).drop(name)
+
+  /** Canonicality fence for a subtree referenced MORE THAN ONCE:
+    * returns `df` filtered by an always-true predicate that references
+    * EVERY column, so branch-local column pruning cannot specialize
+    * one consumer's copy of the shared aggregate/exchange (dropping a
+    * partial agg function, or reordering the function list) and
+    * silently defeat AQE exchange reuse — the failure mode that made
+    * q11_stock's scalar-total branch re-scan the fact.
+    *
+    * The predicate is `xxhash64(all columns) >= Long.MinValue`: true
+    * for every row (xxhash64 is non-null total), referencing all
+    * columns (nothing prunes), and un-foldable (Catalyst has no
+    * integer range analysis, and the hash of non-literal inputs never
+    * constant-folds). Cost: every consumer branch carries all of
+    * `df`'s columns up to this fence — apply it only to BOUNDED frames
+    * (per-key aggregates, dimension projections), where a few unused
+    * columns in a reused exchange are far cheaper than recomputing the
+    * subtree per consumer.
+    *
+    * Note: predicates INFERRED above the fence (a downstream join's
+    * isnotnull on the key) still push below it in that branch only —
+    * if a consumer joins on a nullable key, pre-materialize the
+    * `isNotNull` inside the shared subtree too (the [[guard]] pattern
+    * / round-9 dup-flag join discipline).
+    */
+  def keepAll(df: DataFrame): DataFrame = {
+    val cols = df.columns.toIndexedSeq.map(org.apache.spark.sql.functions.col)
+    df.filter(xxhash64(cols: _*) >= Long.MinValue)
+  }
 }

@@ -278,8 +278,12 @@ class PlanSpec extends SparkSpecBase {
     // q_jaccard_bands mirrors minhash-est (band candidates 2 + sig table 2)
     // q_decontam tokenizes three DISTINCT inputs (probe grams, corpus
     // grams, survivor token count) — three sites, each evaluated once
+    // bigram-lm (and the ppl-buckets pair riding its kernel) dropped to
+    // the default 2: c_xy is a count window over the instance frame's
+    // own (x,y) partitioning, so only the bigram + unigram tokenize
+    // sites remain
     val bound = Map("q_ngram_jaccard" -> 6, "q_minhash_rescore" -> 4,
-      "q_bigram_lift" -> 4, "q_minhash_est" -> 4, "q_bigram_lm" -> 4,
+      "q_bigram_lift" -> 4, "q_minhash_est" -> 4,
       "q_containment" -> 4, "q_jaccard_bands" -> 4,
       // q_decontam: 3 distinct tokenize inputs, one being the probe
       // subtree q_bloom_decontam caches → InMemoryRelation double-render
@@ -299,19 +303,16 @@ class PlanSpec extends SparkSpecBase {
       // InMemoryRelation (probe side FREE at runtime) — and the
       // double-render makes the textual count 3 for 2 runtime sites
       "q_contamination" -> 3,
-      // ppl-buckets rides the bigram-lm kernel: instance stream + its
-      // (x,y) aggregation share one runtime exchange (2 logical
-      // copies) + the unigram branch (1); the _scale twin references
-      // the kernel once too (report aggregates the histogram in place)
-      "q_ppl_buckets" -> 3, "q_ppl_buckets_scale" -> 3,
       // semdedup references the fenced quantize+assign subtree three
       // times (pair join a/b sides + the member count), all riding the
       // single repartition(cid) exchange at runtime
       "q_semdedup" -> 3,
-      // bm25 = two runtime tokenizes: the (doc_id, dl) projection is
-      // pinned on a repartition(doc_id) exchange shared by the score
-      // join and the corpus scalars (2 logical copies), and df reuses
-      // the tf exchange (2 more)
+      // bm25 = two runtime tokenizes, both now genuinely reused
+      // (keepAll fences + pre-materialized isnotnull): the dl
+      // projection's repartition(doc_id) exchange is shared by the
+      // score join and the corpus scalars (2 logical copies), and the
+      // df rollup reuses the tf exchange (2 more) — 4 textual sites,
+      // 2 runtime evaluations (ReusedExchange ×2 in the final plan)
       "q_bm25" -> 4,
       // q_dedup_report reads each candidate join twice (pair count +
       // flagged-doc count): 2 self-join copies × 2 references
@@ -489,16 +490,24 @@ class PlanSpec extends SparkSpecBase {
     val df = Queries.queries("q_ppl_buckets_scale")(spark, sfDir)
     val wins = df.queryExecution.optimizedPlan.collect { case w: LWindow => w }
     assert(wins.nonEmpty, "scale path must compute cuts via the histogram windows")
-    // every window's input subtree must contain the (lang, lm_milli)
-    // histogram aggregate — i.e. windows sort ≤1001 rows per language,
-    // never the per-doc corpus (the q_ppl_buckets ntile scale-killer)
+    // every TIER window's input subtree must contain the
+    // (lang, lm_milli) histogram aggregate — i.e. tier cuts sort
+    // ≤1001 rows per language, never the per-doc corpus (the
+    // q_ppl_buckets ntile scale-killer). The one exception is the
+    // bigram-LM kernel's c_xy COUNT window: keyed by (x, y), it rides
+    // the instance frame's own exchange in place of the former
+    // aggregate+self-join pair (same shuffle volume, one exchange) —
+    // a keyed count, not a corpus sort.
     wins.foreach { w =>
-      val histBelow = w.child.collect {
-        case a: Aggregate if Set("lang", "lm_milli").subsetOf(
-          a.groupingExpressions.flatMap(_.references.map(_.name)).toSet) => a
+      val partCols = w.partitionSpec.flatMap(_.references.map(_.name)).toSet
+      if (partCols != Set("x", "y")) {
+        val histBelow = w.child.collect {
+          case a: Aggregate if Set("lang", "lm_milli").subsetOf(
+            a.groupingExpressions.flatMap(_.references.map(_.name)).toSet) => a
+        }
+        assert(histBelow.nonEmpty,
+          s"window over non-histogram input:\n${w.treeString}")
       }
-      assert(histBelow.nonEmpty,
-        s"window over non-histogram input:\n${w.treeString}")
     }
     val p = planOf(df)
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
