@@ -76,14 +76,20 @@ class PartitionInvarianceSpec extends SparkSpecBase {
     // array build (sorted before use — this pins that), DECIMAL(38,0)
     // partial-sum merges, and a global scalar threshold assembled from
     // a partial-agg total
-    "q_kmv_overlap", "q_moments", "q11_stock")
+    "q_kmv_overlap", "q_moments", "q11_stock",
+    // round-11 session-3 one-pass rewrites: chained unordered user
+    // windows + stack rollup (funnel), lead()-based next-active-day
+    // (retention), the (x,y) count-window bigram kernel, and the
+    // rank-window inverted index — window frames and partial merges
+    // must not notice reducer counts or scan splits
+    "q_funnel", "q_retention", "q_bigram_lm", "q_inverted_index")
 
   private def runAll(): Map[String, Seq[String]] =
     subset.map { q =>
       q -> Queries.queries(q)(spark, sfDir).collect().map(_.toString).sorted.toSeq
     }.toMap
 
-  test("48 risk-class queries are bit-identical under 1 / 4 / 13 shuffle partitions, 64 KiB scan splits, and AQE off") {
+  test("55 risk-class queries are bit-identical under 1 / 4 / 13 shuffle partitions, 64 KiB scan splits, and AQE off") {
     val shufKey = "spark.sql.shuffle.partitions"
     val splitKey = "spark.sql.files.maxPartitionBytes"
     val aqeKey = "spark.sql.adaptive.enabled"
