@@ -271,6 +271,21 @@ object Bench {
       finally q.stop()
       "cms_freq" -> (System.nanoTime() - t0) / 1e9
     }
+    val asof: (String, Double) = {
+      // the as-of twin streams tagged probe/quote records; replay the
+      // tape with 2/3 quotes so the per-key buffer sees realistic
+      // insert traffic and every probe pays a real buffer lookup
+      val ms = MemoryStream[StreamingOps.AsofIn]
+      val recs = tape.zipWithIndex.map { case (e, i) =>
+        StreamingOps.AsofIn(e.key, e.tsUs, i.toLong, e.value, isRight = i % 3 != 0) }
+      val rb = recs.grouped(math.max(1, recs.length / 10)).map(_.toSeq).toSeq
+      val t0 = System.nanoTime()
+      val q = StreamingOps.asofJoin(ms.toDS()).toDF().writeStream.format("noop")
+        .outputMode(OutputMode.Append()).start()
+      try rb.foreach { b => ms.addData(b); q.processAllAvailable() }
+      finally q.stop()
+      "asof_join" -> (System.nanoTime() - t0) / 1e9
+    }
     val res = Seq(
       run("chunks_timeout", OutputMode.Append())(ds =>
         StreamingOps.chunksTimeout(ds, 32, 3_600_000_000L).toDF()),
@@ -286,7 +301,7 @@ object Bench {
         StreamingOps.cusum(ds, targetCents = 10_000L, thresholdCents = 100_000L).toDF()),
       run("trend_slope", OutputMode.Append())(ds =>
         StreamingOps.trendSlope(ds).toDF()),
-      cms)
+      cms, asof)
     val secs = res.map { case (k, v) => f""""$k":$v%.3f""" }.mkString("{", ",", "}")
     val rps = res.map { case (k, v) =>
       f""""$k":${if (v > 0) tape.length / v else 0.0}%.0f""" }.mkString("{", ",", "}")

@@ -1463,14 +1463,21 @@ object Queries {
     "q17_smallqty",
     (s, dir) => {
       val p = t(s, dir, "part").filter(col("p_type") === "PROMO").select(col("p_partkey"))
-      val fl = t(s, dir, "lineitem")
+      // the per-part average rides UNORDERED windows over the SAME
+      // l_partkey partitioning the rows already need — one scan, one
+      // exchange, no sort beyond the partition key. The
+      // aggregate-joined-back-on-its-own-key form scanned the fact
+      // twice (the agg branch's partial aggregate de-canonicalized the
+      // exchange — PlanAudit).
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("l_partkey")
+      t(s, dir, "lineitem")
         .join(broadcast(p), col("l_partkey") === col("p_partkey"))
         .select(col("l_partkey"),
           expr("cast(cast(l_quantity as decimal(18,3)) * 1000 as bigint)").as("qty_milli"),
           expr("cast(cast(l_extendedprice as decimal(18,2)) * 100 as bigint)").as("price_cents"))
-      val ag = fl.groupBy(col("l_partkey"))
-        .agg(sum(col("qty_milli")).as("sq"), count(lit(1)).as("n"))
-      fl.join(ag.withColumnRenamed("l_partkey", "pk"), col("l_partkey") === col("pk"))
+        .withColumn("sq", sum(col("qty_milli")).over(w))
+        .withColumn("n", count(lit(1)).over(w))
         .filter(col("qty_milli") * 5 * col("n") < col("sq"))
         .agg(coalesce(sum(col("price_cents")), lit(0L)).as("revenue_cents"),
           count(lit(1)).as("n_lines"))
@@ -1587,7 +1594,13 @@ object Queries {
     "q20_excess",
     (s, dir) => {
       val p = t(s, dir, "part").filter(col("p_type") === "PROMO").select(col("p_partkey"))
+      // explicit isNotNull mirrors the constraint the supplier join
+      // infers on the MAIN branch only — without it the scalar-total
+      // branch's scan lacks that filter, the two per-supplier
+      // exchanges de-canonicalize, and the fact scans twice (the q15
+      // disease; PlanSpec pins the reuse)
       val perSupp = t(s, dir, "lineitem")
+        .filter(col("l_suppkey").isNotNull)
         .join(broadcast(p), col("l_partkey") === col("p_partkey"))
         .groupBy(col("l_suppkey"))
         .agg(sum(expr("cast(cast(l_quantity as decimal(18,3)) * 1000 as bigint)")).as("sq"))

@@ -893,4 +893,18 @@ class PlanSpec extends SparkSpecBase {
     assert(p.contains("ReusedExchange") || p.contains("ReusedQueryStage"), p)
     assert(p.linesIterator.count(_.contains("documents.parquet")) == 1, p)
   }
+
+  test("q17_smallqty / q20_excess: correlated-average shapes scan lineitem once") {
+    // q17: the per-part average rides unordered windows over the rows'
+    // own l_partkey exchange (no aggregate-joined-back second scan);
+    // q20: the scalar-total branch reuses the per-supplier exchange
+    // (pre-materialized isnotnull keeps both branches canonical)
+    for (q <- Seq("q17_smallqty", "q20_excess")) {
+      val df = Queries.queries(q)(spark, sfDir)
+      df.collect()
+      val p = planOf(df).split("== Initial Plan ==").head
+      assert(p.linesIterator.count(_.contains("lineitem.parquet")) == 1,
+        s"$q: lineitem scanned more than once\n$p")
+    }
+  }
 }
