@@ -1559,13 +1559,26 @@ object Queries {
   private val q21Blame = GraftQuery(
     "q21_blame",
     (s, dir) => {
-      val pairs = t(s, dir, "lineitem")
+      // "sole supplier of an order's returns" = orders whose DISTINCT
+      // returned-supplier count is one — a per-order property, so the
+      // whole check rides ONE fenced l_orderkey repartition: the
+      // (orderkey, suppkey) dedup aggregates on it without a second
+      // exchange (clustering by orderkey already co-locates every
+      // (orderkey, suppkey) pair), the solo test is an unordered count
+      // window over the same partitioning, and only the final
+      // per-supplier rollup re-shuffles. The previous self-anti-join
+      // scanned lineitem twice AND broadcast a fact-derived frame —
+      // the shape AQE happily builds at bench scale and a cluster
+      // cannot at 100 TB (PlanSpec pins the single scan).
+      import org.apache.spark.sql.expressions.Window
+      t(s, dir, "lineitem")
         .filter(col("l_returnflag") === "R")
-        .select(col("l_orderkey"), col("l_suppkey")).distinct()
-      val others = pairs.select(col("l_orderkey").as("ok"), col("l_suppkey").as("sk"))
-      pairs.join(others,
-          pairs("l_orderkey") === others("ok") && pairs("l_suppkey") =!= others("sk"),
-          "left_anti")
+        .select(col("l_orderkey"), col("l_suppkey"))
+        .repartition(col("l_orderkey"))
+        .dropDuplicates("l_orderkey", "l_suppkey")
+        .withColumn("__nsupp",
+          count(lit(1)).over(Window.partitionBy("l_orderkey")))
+        .filter(col("__nsupp") === 1)
         .groupBy(col("l_suppkey"))
         .agg(count(lit(1)).as("n_solo_orders"))
         .join(broadcast(t(s, dir, "supplier")), col("l_suppkey") === col("s_suppkey"))
