@@ -14,7 +14,9 @@ and documented in BASELINE.md / query scaladoc):
                wrong for anything fact-sized)
   funnel       >1 SinglePartition exchange
 """
-import json, sys
+import json, signal, sys
+
+signal.signal(signal.SIGPIPE, signal.SIG_DFL)  # no traceback under `| head`
 
 FACTS = {"lineitem", "orders", "events", "documents", "embeddings"}
 

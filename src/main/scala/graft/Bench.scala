@@ -99,7 +99,14 @@ object Bench {
     // rank-cutoff sketch build + tiny pair frame (KMV), and the
     // DECIMAL(38,0) power-sum aggregation — four cost shapes new to
     // the set (q_epoch_plan/q_ab_lift ride shapes already sampled)
-    "q9_profit", "q11_stock", "q_kmv_overlap", "q_moments")
+    "q9_profit", "q11_stock", "q_kmv_overlap", "q_moments",
+    // round-11 session-3: the audit-driven one-pass rewrites, anchored
+    // so the single-scan shapes sit under the 2× gate permanently —
+    // correlated-average windows (Q17), reused scalar-total (Q20),
+    // the orderkey solo pass (Q21), chained-window funnel, lead-based
+    // retention, and the fenced tf/df share (tfidf)
+    "q17_smallqty", "q20_excess", "q21_blame", "q_funnel", "q_retention",
+    "q_tfidf_topterms")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -1446,6 +1446,7 @@ object Queries {
               FROM lineitem
               WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
                 AND l_shipdate < TIMESTAMP '1997-04-01 00:00:00'
+                AND l_suppkey IS NOT NULL
               GROUP BY l_suppkey)
             SELECT s_suppkey, s_name, CAST(rev_cents AS BIGINT) AS rev_cents
             FROM rev JOIN supplier ON l_suppkey = s_suppkey
@@ -1626,7 +1627,7 @@ object Queries {
     Some("""WITH per AS (
               SELECT l_suppkey, sum(CAST(CAST(l_quantity AS DECIMAL(18,3)) * 1000 AS BIGINT)) AS sq
               FROM lineitem JOIN part ON l_partkey = p_partkey
-              WHERE p_type = 'PROMO' GROUP BY 1),
+              WHERE p_type = 'PROMO' AND l_suppkey IS NOT NULL GROUP BY 1),
             tot AS (SELECT sum(sq) AS total, count(*) AS n_supp FROM per)
             SELECT s_suppkey, s_name, CAST(sq AS BIGINT) AS qty_milli
             FROM per, tot
@@ -3981,7 +3982,9 @@ object Queries {
           max(col("__p")).as("p"))
       perUser.agg(
           count(col("s_ts")).as("n1"), count(col("c_ts")).as("n2"),
-          sum(col("p")).as("n3"))
+          // coalesce: sum over an EMPTY input is null where the
+          // oracle's count(*) is 0 — stage 3 must degrade to 0 too
+          coalesce(sum(col("p")), lit(0L)).as("n3"))
         .select(expr("""stack(3, '1_signup', n1,
                                  '2_click_after_signup', n2,
                                  '3_purchase_after_click', n3) AS (stage, n_users)"""))
@@ -6437,7 +6440,8 @@ object Queries {
         .groupBy(col("doc_id"))
         .agg(count(lit(1)).as("n_hit_terms"), sum(col("__term_score")).as("bm25_milli"))
     },
-    Some(s"""WITH t0 AS (SELECT doc_id, $toksSql AS tk FROM documents),
+    Some(s"""WITH t0 AS (SELECT doc_id, $toksSql AS tk FROM documents
+                         WHERE doc_id IS NOT NULL),
              dl AS (SELECT doc_id, CAST(len(tk) AS BIGINT) AS dl FROM t0),
              inst AS (SELECT doc_id, unnest(tk) AS term FROM t0),
              tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
@@ -7576,25 +7580,12 @@ object Queries {
       // aggregate, making its shuffle canonically different from the
       // main branch's (partial_sum vs partial_sum+partial_count) and
       // defeating AQE exchange reuse: the fact subtree would scan
-      // twice. The when-guard below is a pruning fence: it references
-      // n_lines through a predicate that is always true (a count is
-      // ≥ 1) but that no Catalyst rule can fold (there is no integer
-      // range analysis; note a literal `* 0` weight DOES get folded),
-      // so both branches keep the identical [partial_sum,
-      // partial_count] aggregate and the lineitem scan+join+partial-agg
-      // runs ONCE — the total is a tiny re-read of the reused exchange
-      // (pinned in PlanSpec). value_cents must be referenced BEFORE
-      // n_lines: the extracted aggregate-function order follows first
-      // reference, and [sum, count] vs [count, sum] de-canonicalizes
-      // the exchange just as surely as pruning does. The guard is
-      // null-exact: the condition is true whenever value_cents is
-      // non-null OR the group is non-empty, so __v = value_cents
-      // always (including a hypothetical all-null group, where both
-      // are null).
-      val tot = perPart
-        .select(when(col("value_cents").isNotNull || col("n_lines") > lit(0L),
-          col("value_cents")).as("__v"))
-        .agg(sum(col("__v")).as("__tot"))
+      // twice. Fence.keepAll (whose scaladoc documents exactly this
+      // failure mode) keeps every perPart column referenced, so both
+      // branches carry the identical authored aggregate and the
+      // lineitem scan+join+partial-agg runs ONCE — the total is a tiny
+      // re-read of the reused exchange (pinned in PlanSpec).
+      val tot = Fence.keepAll(perPart).agg(sum(col("value_cents")).as("__tot"))
       perPart.crossJoin(broadcast(tot))
         .filter(col("value_cents") * 1000 > col("__tot"))
         .select(col("l_partkey").as("p_partkey"), col("value_cents"), col("n_lines"),
@@ -7691,7 +7682,10 @@ object Queries {
       val d38 = "decimal(38,0)"
       events(s, dir)
         .select(col("event_type"), (col("value").cast(dec) * 100).cast("long").as("__x"))
-        .withColumn("__x2", col("__x") * col("__x"))
+        // x² must be computed IN decimal: a long×long square silently
+        // wraps from |cents| ≈ 3.04e9 (≈ $30M), poisoning every
+        // higher sum while the HUGEINT oracle stays exact
+        .withColumn("__x2", (col("__x").cast(d38) * col("__x")).cast(d38))
         .groupBy("event_type")
         .agg(count(lit(1)).as("n"),
           sum(col("__x")).as("s1"),

@@ -519,12 +519,17 @@ object StreamingOps {
     * emission. Complete/Update output; state is 5 numbers per key.
     *
     * `valueCentsCol` must already be exact integer cents (long).
+    * Exactness domain: |cents| ≲ 3.16e9 (x⁴ must fit DECIMAL(38,0));
+    * beyond it s4 nulls out loudly rather than wrapping — squaring is
+    * done IN decimal precisely so no long×long wrap can precede that.
     */
   def moments(stream: DataFrame, keyCol: String, valueCentsCol: String): DataFrame = {
     val d38 = "decimal(38,0)"
     stream
       .select(col(keyCol).as("k"), col(valueCentsCol).cast("long").as("__x"))
-      .withColumn("__x2", col("__x") * col("__x"))
+      // x² in decimal, not long: a long×long square wraps from
+      // |cents| ≈ 3.04e9 and would silently poison the exact state
+      .withColumn("__x2", (col("__x").cast(d38) * col("__x")).cast(d38))
       .groupBy("k")
       .agg(count(lit(1)).as("n"),
         sum(col("__x")).as("s1"),

@@ -467,4 +467,30 @@ class FunctionsSpec extends SparkSpecBase {
     assert(q(0) > q(1))
     assert(q.forall(x => x >= -20 && x <= 70))
   }
+
+  test("Fence.keepAll: identity on rows/schema; its filter survives optimization in a pruning branch") {
+    // NOT a literal Seq: ConvertToLocalRelation evaluates filters over
+    // LocalRelation at optimization time, which would erase the fence
+    // before the property under test even applies. Range-backed input
+    // behaves like a real scan.
+    val base = spark.range(1, 4).toDF("k")
+      .withColumn("s", when(col("k") =!= 2, concat(lit("x"), col("k"))))
+      .withColumn("v", col("k") * 10)
+    val fenced = Fence.keepAll(base)
+    // identity: same schema, same rows (nulls included — xxhash64 is
+    // non-null total, so the predicate is true for every row)
+    assert(fenced.schema == base.schema)
+    assert(fenced.collect().toSet == base.collect().toSet)
+    // the load-bearing property: a consumer that uses only ONE column
+    // still carries all of them below the fence — the optimized plan
+    // keeps the all-columns hash filter (no rule folds the >=
+    // Long.MinValue tautology), so pruning cannot specialize the
+    // shared subtree
+    val pruningConsumer = fenced.select(sum(col("v")).as("t"))
+    val opt = pruningConsumer.queryExecution.optimizedPlan.toString
+    assert(opt.contains("xxhash64"), opt)
+    // the consumer uses only v, yet s's expression (the concat) still
+    // computes below the fence — pruning could not specialize it
+    assert(opt.contains("concat"), s"unused column's expression pruned through the fence:\n$opt")
+  }
 }

@@ -1471,7 +1471,11 @@ class StreamingParitySpec extends SparkSpecBase {
     // happens to be nonnegative.
     val tape: Seq[(String, Long)] = (0 until 240).map { i =>
       (s"k${i % 3}", ((i * i * 7919L) % 200001L) - 100000L)
-    }
+    } ++ Seq(
+      // |x| = 3.05e9: x² = 9.30e18 exceeds Long.MaxValue (9.22e18) —
+      // a long×long square would WRAP here while x⁴ = 8.65e37 still
+      // fits DECIMAL(38,0); pins that squaring happens in decimal
+      ("k0", 3_050_000_000L), ("k1", -3_050_000_000L), ("k2", 3_050_000_000L))
     def run(splits: Seq[Seq[(String, Long)]], name: String): Map[String, (Long, BigInt, BigInt, BigInt, BigInt, BigInt, BigInt, Long)] = {
       val ms = MemoryStream[(String, Long)]
       val out = StreamingOps.moments(ms.toDF().toDF("k0", "cents"), "k0", "cents")
