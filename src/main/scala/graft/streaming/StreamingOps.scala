@@ -545,6 +545,60 @@ object StreamingOps {
       .withColumn("skew_sign", signum(col("m3num")).cast("long"))
   }
 
+  /** One typed event of the streaming funnel. */
+  final case class FunnelEvent(userId: Long, tsUs: Long, eventType: String)
+
+  /** A user's first arrival at a funnel stage (1 = signup,
+    * 2 = click-after-signup, 3 = purchase-after-click) — emitted at
+    * most once per (user, stage), so stage counts are exact distinct-
+    * user counts by construction.
+    */
+  final case class FunnelTransition(userId: Long, stage: Int, tsUs: Long)
+
+  /** Per-user funnel progress: Long.MinValue marks a stage not yet
+    * reached.
+    */
+  final case class FunnelState(sTs: Long, cTs: Long, converted: Boolean)
+
+  /** Streaming ordered-funnel twin of the batch `q_funnel`: per user,
+    * the FIRST signup, the FIRST later click, and ANY later purchase
+    * each emit one transition row the moment they happen — the live
+    * view whose per-stage distinct-user counts equal the batch query's
+    * stage counts on the same (in-order) tape (asserted, with
+    * micro-batch-split invariance, in StreamingParitySpec). Strict
+    * event-time ordering matches the batch semantics: a click at the
+    * signup's exact timestamp does not qualify. State is two
+    * timestamps and a flag per user; output is append-only and bounded
+    * by 3 rows per user ever.
+    */
+  def funnel(stream: Dataset[FunnelEvent]): Dataset[FunnelTransition] = {
+    implicit val outEnc = Encoders.product[FunnelTransition]
+    implicit val stEnc = Encoders.product[FunnelState]
+    val unset = Long.MinValue
+    stream.groupByKey(_.userId)(Encoders.scalaLong)
+      .flatMapGroupsWithState[FunnelState, FunnelTransition](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout) {
+        (uid: Long, events: Iterator[FunnelEvent], state: GroupState[FunnelState]) =>
+          var st = state.getOption.getOrElse(FunnelState(unset, unset, converted = false))
+          val out = events.toSeq.sortBy(e => (e.tsUs, e.eventType)).flatMap { e =>
+            e.eventType match {
+              case "signup" if st.sTs == unset =>
+                st = st.copy(sTs = e.tsUs)
+                Some(FunnelTransition(uid, 1, e.tsUs))
+              case "click" if st.sTs != unset && st.cTs == unset && e.tsUs > st.sTs =>
+                st = st.copy(cTs = e.tsUs)
+                Some(FunnelTransition(uid, 2, e.tsUs))
+              case "purchase" if st.cTs != unset && !st.converted && e.tsUs > st.cTs =>
+                st = st.copy(converted = true)
+                Some(FunnelTransition(uid, 3, e.tsUs))
+              case _ => None
+            }
+          }
+          state.update(st)
+          out.iterator
+      }
+  }
+
   /** A KeyedEvent carrying its per-key running fold: event index and
     * exact running cents sum (the streaming scan).
     */
@@ -950,6 +1004,23 @@ object StreamingOps {
     * probe high-water mark and now) per key — bounded by the sides'
     * rate skew, never by stream length.
     */
+  /** Greatest index whose quote is ≤ the probe point in (tsUs[, id])
+    * order, or -1 — binary search over the ascending buffer, so a
+    * rate-skewed key with a large buffer pays O(log m) per record
+    * instead of a linear walk.
+    */
+  private def asofSearchLe(quotes: Vector[(Long, Long, Double)],
+      ts: Long, id: Long, byIdToo: Boolean): Int = {
+    var lo = 0; var hi = quotes.length - 1; var res = -1
+    while (lo <= hi) {
+      val mid = (lo + hi) >>> 1
+      val q = quotes(mid)
+      val le = if (byIdToo) q._1 < ts || (q._1 == ts && q._2 <= id) else q._1 <= ts
+      if (le) { res = mid; lo = mid + 1 } else hi = mid - 1
+    }
+    res
+  }
+
   def asofJoin(stream: Dataset[AsofIn]): Dataset[AsofOut] = {
     implicit val outEnc = Encoders.product[AsofOut]
     implicit val stEnc = Encoders.product[AsofState]
@@ -966,14 +1037,15 @@ object StreamingOps {
           val out = ordered.flatMap { r =>
             if (r.isRight) {
               // maintain ascending (tsUs, id); out-of-order quotes
-              // insert at their sorted position
-              val at = quotes.lastIndexWhere(q =>
-                q._1 < r.tsUs || (q._1 == r.tsUs && q._2 <= r.id)) + 1
-              quotes = (quotes.take(at) :+ ((r.tsUs, r.id, r.value))) ++ quotes.drop(at)
+              // insert at their sorted position (in-order tapes append)
+              val at = asofSearchLe(quotes, r.tsUs, r.id, byIdToo = true) + 1
+              quotes =
+                if (at == quotes.length) quotes :+ ((r.tsUs, r.id, r.value))
+                else (quotes.take(at) :+ ((r.tsUs, r.id, r.value))) ++ quotes.drop(at)
               None
             } else {
               maxLeftTs = math.max(maxLeftTs, r.tsUs)
-              quotes.lastIndexWhere(_._1 <= r.tsUs) match {
+              asofSearchLe(quotes, r.tsUs, 0L, byIdToo = false) match {
                 case -1 => Some(AsofOut(r.key, r.tsUs, r.id, -1L, Long.MinValue, 0.0, matched = false))
                 case i  =>
                   val q = quotes(i)
@@ -982,7 +1054,7 @@ object StreamingOps {
             }
           }
           // prune: drop quotes no future in-order probe can select
-          val keepFrom = quotes.lastIndexWhere(_._1 <= maxLeftTs)
+          val keepFrom = asofSearchLe(quotes, maxLeftTs, 0L, byIdToo = false)
           if (keepFrom > 0) quotes = quotes.drop(keepFrom)
           state.update(AsofState(quotes, maxLeftTs))
           out.iterator

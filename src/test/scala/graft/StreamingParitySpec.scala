@@ -1553,4 +1553,43 @@ class StreamingParitySpec extends SparkSpecBase {
     assert(expect.exists(!_.matched) && expect.exists(_.matched),
       "tape failed to exercise both matched and unmatched paths")
   }
+
+  test("streaming funnel equals the batch stage semantics and is batching-invariant") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // deterministic multi-user tape with a non-funnel event type mixed
+    // in; 73 and 300 share no factors so timestamps collide across
+    // users and types, exercising the strict-ordering edges
+    val raw = (0 until 600).map { i =>
+      StreamingOps.FunnelEvent((i % 37).toLong, ((i * 73) % 300) * 1_000_000L,
+        Seq("signup", "click", "purchase", "view")(i % 4))
+    }
+    val tape = raw.sortBy(e => (e.tsUs, e.eventType))
+    def run(splits: Seq[Seq[StreamingOps.FunnelEvent]], name: String): Set[StreamingOps.FunnelTransition] = {
+      val ms = MemoryStream[StreamingOps.FunnelEvent]
+      val q = StreamingOps.funnel(ms.toDS()).writeStream
+        .format("memory").queryName(name).outputMode(OutputMode.Append()).start()
+      splits.foreach { s => ms.addData(s); q.processAllAvailable() }
+      q.stop()
+      spark.table(name).as[StreamingOps.FunnelTransition].collect().toSet
+    }
+    val one = run(Seq(tape), "t_funnel_a")
+    val many = run(tape.grouped(41).toSeq, "t_funnel_b")
+    assert(one == many, "micro-batch boundaries changed the funnel")
+    // brute force mirroring batch q_funnel's min-signup / first-later-
+    // click / first-later-purchase semantics
+    val expect = raw.groupBy(_.userId).toSeq.flatMap { case (uid, evs) =>
+      def tsOf(t: String) = evs.filter(_.eventType == t).map(_.tsUs)
+      val s = tsOf("signup").minOption
+      val c = s.flatMap(st => tsOf("click").filter(_ > st).minOption)
+      val p = c.flatMap(ct => tsOf("purchase").filter(_ > ct).minOption)
+      s.map(StreamingOps.FunnelTransition(uid, 1, _)) ++
+        c.map(StreamingOps.FunnelTransition(uid, 2, _)) ++
+        p.map(StreamingOps.FunnelTransition(uid, 3, _))
+    }.toSet
+    assert(one == expect)
+    // stage counts are monotone and every stage is populated
+    val n = (1 to 3).map(st => one.count(_.stage == st))
+    assert(n(0) >= n(1) && n(1) >= n(2) && n(2) > 0, n.toString)
+  }
 }
