@@ -5243,8 +5243,16 @@ object Queries {
   private val qCopurchase = GraftQuery(
     "q_copurchase",
     (s, dir) => {
-      val li = t(s, dir, "lineitem")
-        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")).distinct()
+      // li is referenced FOUR times (both pair sides, the per-part
+      // support counts, the order total): the keepAll fence plus
+      // pre-materialized isnotnull on both keys keep every reference's
+      // copy of the (ok, pk) dedup canonically identical, so the fact
+      // scans once and the shared exchange serves all four (the
+      // unfenced form computed three separate scans — PlanAudit).
+      val li = Fence.keepAll(
+        t(s, dir, "lineitem")
+          .filter(col("l_orderkey").isNotNull && col("l_partkey").isNotNull)
+          .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")).distinct())
       val pairs = li.as("a").join(li.as("b").hint("shuffle_hash"), Seq("ok"))
         .filter(col("a.pk") < col("b.pk"))
         .groupBy(col("a.pk").as("p1"), col("b.pk").as("p2"))
@@ -5262,7 +5270,8 @@ object Queries {
         .orderBy(col("lift_milli").desc, col("c_ab").desc, col("p1"), col("p2"))
         .limit(50)
     },
-    Some("""WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+    Some("""WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem
+                        WHERE l_orderkey IS NOT NULL AND l_partkey IS NOT NULL),
              pr AS (SELECT a.pk AS p1, b.pk AS p2, CAST(count(*) AS BIGINT) AS c_ab
                     FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk
                     GROUP BY 1, 2 HAVING count(*) >= 3),
