@@ -366,6 +366,46 @@ object Queries {
               CAST(count(*) AS BIGINT) AS n, TRUE AS within_band
             FROM events GROUP BY event_type"""))
 
+  /** Mergeable-distinct ROLLUP via DataSketches HLL (Spark's
+    * hll_sketch_agg / hll_union_agg): per-source token sketches —
+    * bounded binary state, map-side combinable — union into the
+    * corpus-wide distinct estimate WITHOUT re-touching raw tokens.
+    * This is the pre-aggregation pattern that answers "distinct tokens
+    * this month" from stored per-day sketches at 100 TB: only the
+    * union + estimate runs at query time. The estimate is
+    * engine-specific, so the oracle-checked surface is the CONTRACT:
+    * exact per-source distinct counts ride the same aggregation, the
+    * exact global distinct rides a second pass (this is an EVALUATION
+    * query — it exists to check the sketch against truth), and the
+    * union estimate must land within the documented HLL band
+    * (lgConfigK=12 → RSE ≈ 1.04/√4096 ≈ 1.6%; asserted at ±5% + 2).
+    */
+  private val qHllRollup = GraftQuery(
+    "q_hll_rollup",
+    (s, dir) => {
+      def toks = Fence.guard(t(s, dir, "documents")
+          .select(col("source"), TextFns.tokensFast(col("text")).as("__tk"), Fence.col))
+        .select(col("source"), explode(col("__tk")).as("tok"))
+      val per = toks.groupBy("source")
+        .agg(hll_sketch_agg(col("tok")).as("__sk"),
+          countDistinct(col("tok")).as("__nd"))
+      val roll = per.agg(count(lit(1)).as("n_sources"),
+        sum(col("__nd")).as("sum_source_distinct"),
+        hll_sketch_estimate(hll_union_agg(col("__sk"))).as("__est"))
+      val exact = toks.agg(countDistinct(col("tok")).as("n_exact_global"))
+      roll.crossJoin(broadcast(exact))
+        .select(col("n_sources"), col("sum_source_distinct"), col("n_exact_global"),
+          (abs(col("__est") - col("n_exact_global")) * 1000 <=
+            col("n_exact_global") * 50 + 2000).as("union_within_band"))
+    },
+    Some(s"""WITH tk AS (SELECT source, unnest($toksSql) AS tok FROM documents),
+             per AS (SELECT source, count(DISTINCT tok) AS nd FROM tk GROUP BY 1)
+             SELECT CAST(count(*) AS BIGINT) AS n_sources,
+               CAST(sum(nd) AS BIGINT) AS sum_source_distinct,
+               (SELECT CAST(count(DISTINCT tok) AS BIGINT) FROM tk) AS n_exact_global,
+               TRUE AS union_within_band
+             FROM per"""))
+
   /** Heavy-hitter tokens per source via the custom mergeable
     * Misra-Gries Aggregator (functions.Sketches) — k=32 counters per
     * group, NO per-token shuffle: map-side partials carry 32-entry
@@ -7826,7 +7866,7 @@ object Queries {
             FROM p"""))
 
   val all: Seq[GraftQuery] = Seq(
-    qMapFilter, qFilterMap, qCycle, qFoldAgg, qDistinctUsers, qTopkPerKey, qPivotCounts, qApproxDistinct, qHeavyHitters, qHeavyHittersVerified, qCmsFreq, qJoinCardEst, qQuantiles, qQuantilesExact, qTableLatest, qSnapshotDiff, qTumbling, qHopping, qLagWindow, qSession,
+    qMapFilter, qFilterMap, qCycle, qFoldAgg, qDistinctUsers, qTopkPerKey, qPivotCounts, qApproxDistinct, qHllRollup, qHeavyHitters, qHeavyHittersVerified, qCmsFreq, qJoinCardEst, qQuantiles, qQuantilesExact, qTableLatest, qSnapshotDiff, qTumbling, qHopping, qLagWindow, qSession,
     qIntervalJoin, qStreamTableJoin, qSaltedJoin, qSkewReport, qRangeJoin, qOverlapSessions, qMerge, qSplitBranch, qChunk, qSkipTake, qThrottle,
     qCdcApply, qSessionize, qTypoPairs, qPrefixJaccard, qZonemap,
     qWordcount, qCandles, qCandlesHop, qStratClassify, qAsofJoin,
