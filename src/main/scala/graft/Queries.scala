@@ -4176,12 +4176,19 @@ object Queries {
     "q_mad",
     (s, dir) => {
       import org.apache.spark.sql.expressions.Window
-      val ev = events(s, dir).select(col("event_type"), col("event_id"),
-        expr("cast(cast(value as decimal(18,2)) * 100 as bigint)").as("cents"))
-      val r = ev
+      // isNotNull pre-materialized (the med join would infer it on one
+      // branch only) + keepAll: the ranked frame feeds BOTH the median
+      // extraction and the deviation pass, and without the fence the
+      // med branch's pruned copy de-canonicalized the type exchange
+      // and re-scanned the fact (PlanAudit)
+      val ev = events(s, dir)
+        .filter(col("event_type").isNotNull)
+        .select(col("event_type"), col("event_id"),
+          expr("cast(cast(value as decimal(18,2)) * 100 as bigint)").as("cents"))
+      val r = Fence.keepAll(ev
         .withColumn("rk", row_number().over(
           Window.partitionBy("event_type").orderBy(col("cents"), col("event_id"))))
-        .withColumn("n", count(lit(1)).over(Window.partitionBy("event_type")))
+        .withColumn("n", count(lit(1)).over(Window.partitionBy("event_type"))))
       // the median table is 5 rows; carrying med_cents + n through the
       // deviation pass means the ranked subtree is consumed once and
       // med joins once — no repeated fact passes
@@ -4199,7 +4206,8 @@ object Queries {
           max(when(expr("rk2 = (nn + 1) div 2"), col("ad"))).as("mad_cents"))
     },
     Some("""WITH ev AS (SELECT event_type, event_id,
-                  CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents FROM events),
+                  CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents FROM events
+                WHERE event_type IS NOT NULL),
             r AS (SELECT *,
                     row_number() OVER (PARTITION BY event_type ORDER BY cents, event_id) AS rk,
                     count(*) OVER (PARTITION BY event_type) AS n FROM ev),
@@ -4316,12 +4324,17 @@ object Queries {
     "q_winsor_mean",
     (s, dir) => {
       import org.apache.spark.sql.expressions.Window
-      val ev = events(s, dir).select(col("event_type"), col("event_id"),
-        expr("cast(cast(value as decimal(18,2)) * 100 as bigint)").as("cents"))
-      val r = ev
+      // canonicality treatment (see q_mad): the ranked frame feeds the
+      // cuts aggregate AND the clamp/fence pass — keepAll + explicit
+      // isNotNull keep both copies riding ONE type exchange
+      val ev = events(s, dir)
+        .filter(col("event_type").isNotNull)
+        .select(col("event_type"), col("event_id"),
+          expr("cast(cast(value as decimal(18,2)) * 100 as bigint)").as("cents"))
+      val r = Fence.keepAll(ev
         .withColumn("rk", row_number().over(
           Window.partitionBy("event_type").orderBy(col("cents"), col("event_id"))))
-        .withColumn("n", count(lit(1)).over(Window.partitionBy("event_type")))
+        .withColumn("n", count(lit(1)).over(Window.partitionBy("event_type"))))
       val cuts = r.groupBy(col("event_type"))
         .agg(max(when(expr("rk = (n * 5) div 100 + 1"), col("cents"))).as("lo_cents"),
           max(when(expr("rk = (n * 95) div 100"), col("cents"))).as("hi_cents"))
@@ -4334,7 +4347,8 @@ object Queries {
             .as("winsor_mean_cents"))
     },
     Some("""WITH ev AS (SELECT event_type, event_id,
-                  CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents FROM events),
+                  CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents FROM events
+                WHERE event_type IS NOT NULL),
             r AS (SELECT *,
                     row_number() OVER (PARTITION BY event_type ORDER BY cents, event_id) AS rk,
                     count(*) OVER (PARTITION BY event_type) AS n FROM ev),
@@ -4443,12 +4457,17 @@ object Queries {
     "q_iqr",
     (s, dir) => {
       import org.apache.spark.sql.expressions.Window
-      val ev = events(s, dir).select(col("event_type"), col("event_id"),
-        expr("cast(cast(value as decimal(18,2)) * 100 as bigint)").as("cents"))
-      val r = ev
+      // canonicality treatment (see q_mad): the ranked frame feeds the
+      // cuts aggregate AND the clamp/fence pass — keepAll + explicit
+      // isNotNull keep both copies riding ONE type exchange
+      val ev = events(s, dir)
+        .filter(col("event_type").isNotNull)
+        .select(col("event_type"), col("event_id"),
+          expr("cast(cast(value as decimal(18,2)) * 100 as bigint)").as("cents"))
+      val r = Fence.keepAll(ev
         .withColumn("rk", row_number().over(
           Window.partitionBy("event_type").orderBy(col("cents"), col("event_id"))))
-        .withColumn("n", count(lit(1)).over(Window.partitionBy("event_type")))
+        .withColumn("n", count(lit(1)).over(Window.partitionBy("event_type"))))
       val cuts = r.groupBy(col("event_type"))
         .agg(max(when(expr("rk = (n * 25 + 99) div 100"), col("cents"))).as("q1_cents"),
           max(when(expr("rk = (n * 50 + 99) div 100"), col("cents"))).as("med_cents"),
@@ -4467,7 +4486,8 @@ object Queries {
             .otherwise(0L)).as("n_above"))
     },
     Some("""WITH ev AS (SELECT event_type, event_id,
-                  CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents FROM events),
+                  CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents FROM events
+                WHERE event_type IS NOT NULL),
             r AS (SELECT *,
                     row_number() OVER (PARTITION BY event_type ORDER BY cents, event_id) AS rk,
                     count(*) OVER (PARTITION BY event_type) AS n FROM ev),
