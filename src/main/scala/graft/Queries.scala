@@ -6154,9 +6154,17 @@ object Queries {
   private val qKanon = GraftQuery(
     "q_kanon",
     (s, dir) => {
-      val ev = events(s, dir)
+      // ONE fenced (type, band) repartition serves everything: the
+      // group-size aggregate rides it (partitioning by the full group
+      // key already clusters the distinct-user dedup), and the
+      // release join's row side IS it — no second fact scan, no join
+      // exchange (the aggregate-then-join-back form re-scanned events
+      // for the group branch; PlanAudit)
+      val ev = Fence.keepAllPinned(events(s, dir)
         .select(col("event_id"), col("user_id"), col("event_type"),
           expr("cast(floor(value / 100) as bigint)").as("band"))
+        .filter(col("event_type").isNotNull && col("band").isNotNull)
+        .repartition(col("event_type"), col("band")))
         .hint("shuffle_hash")
       val g = ev.groupBy(col("event_type"), col("band"))
         .agg(countDistinct(col("user_id")).as("n_users"))
@@ -6183,10 +6191,15 @@ object Queries {
   private val qLdiv = GraftQuery(
     "q_ldiv",
     (s, dir) => {
-      val ev = events(s, dir)
+      // same shared-repartition discipline as q_kanon: one (type,
+      // band) exchange serves the diversity aggregate and the release
+      // join's row side
+      val ev = Fence.keepAllPinned(events(s, dir)
         .select(col("event_id"), col("user_id"), col("event_type"),
           expr("cast(floor(value / 100) as bigint)").as("band"),
           (get_json_object(col("props"), "$.k").cast("long") % 16).as("sens"))
+        .filter(col("event_type").isNotNull && col("band").isNotNull)
+        .repartition(col("event_type"), col("band")))
         .hint("shuffle_hash")
       val g = ev.groupBy(col("event_type"), col("band"))
         .agg(countDistinct(col("user_id")).as("n_users"),
@@ -7054,7 +7067,12 @@ object Queries {
         .groupBy(col("source"))
         .agg(count(lit(1)).as("n_docs"), sum(col("nt")).as("tok"))
         .withColumn("w", floor(sqrt(col("tok").cast("double"))).cast("long"))
-      val tot = per.agg(sum(col("tok")).as("__tt"), sum(col("w")).as("__tw"))
+      // keepAll: the totals branch would otherwise prune n_docs out of
+      // the per-source partial aggregate, de-canonicalize the source
+      // exchange, and tokenize the corpus twice (the q11_stock failure
+      // mode — see Fence.keepAll)
+      val tot = Fence.keepAll(per)
+        .agg(sum(col("tok")).as("__tt"), sum(col("w")).as("__tw"))
       per.crossJoin(broadcast(tot))
         .select(col("source"), col("n_docs"), col("tok"), col("w"),
           expr("tok * 1000 div __tt").as("raw_share_milli"),
@@ -7812,7 +7830,12 @@ object Queries {
         .groupBy("source")
         .agg(count(lit(1)).as("n_docs"), sum(col("__nt")).as("tok"))
         .withColumn("w", floor(sqrt(col("tok").cast("double"))).cast("long"))
-      val tot = per.agg(sum(col("tok")).as("__tt"), sum(col("w")).as("__tw"))
+      // keepAll: the totals branch would otherwise prune n_docs out of
+      // the per-source partial aggregate, de-canonicalize the source
+      // exchange, and tokenize the corpus twice (the q11_stock failure
+      // mode — see Fence.keepAll)
+      val tot = Fence.keepAll(per)
+        .agg(sum(col("tok")).as("__tt"), sum(col("w")).as("__tw"))
       per.crossJoin(broadcast(tot))
         .withColumn("budget_tokens",
           expr("cast((2 * cast(__tt as decimal(38,0)) * w) div __tw as bigint)"))

@@ -80,4 +80,27 @@ object Fence {
     val cols = df.columns.toIndexedSeq.map(org.apache.spark.sql.functions.col)
     df.filter(xxhash64(cols: _*) >= Long.MinValue)
   }
+
+  /** [[keepAll]] variant that also PINS the fence at its position.
+    * keepAll's predicate is deterministic, so above a
+    * repartition/exchange PushPredicateThroughNonJoin sinks it to the
+    * scan — and branch-local pruning then inserts per-consumer
+    * Projects BETWEEN the sunk filter and the exchange, which
+    * de-canonicalizes the exchange anyway (observed on q_kanon's
+    * shared (type, band) repartition). Embedding a never-true
+    * NON-DETERMINISTIC disjunct makes the predicate unpushable, so it
+    * stays directly above the exchange and every column stays alive
+    * below it in every branch. The disjunct is
+    * `spark_partition_id() < 0` — never true, and unlike a rand()
+    * bound it survives optimization (Catalyst DOES range-fold
+    * `rand() < 2` to true and then erases the whole fence). Use this
+    * when fencing a REPARTITION; plain keepAll suffices above an
+    * aggregate (predicates referencing aggregate output can't sink
+    * through it).
+    */
+  def keepAllPinned(df: DataFrame): DataFrame = {
+    val cols = df.columns.toIndexedSeq.map(org.apache.spark.sql.functions.col)
+    df.filter(xxhash64(cols: _*) >= Long.MinValue ||
+      org.apache.spark.sql.functions.spark_partition_id() < 0)
+  }
 }
