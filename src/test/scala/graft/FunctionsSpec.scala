@@ -493,4 +493,20 @@ class FunctionsSpec extends SparkSpecBase {
     // computes below the fence — pruning could not specialize it
     assert(opt.contains("concat"), s"unused column's expression pruned through the fence:\n$opt")
   }
+
+  test("Fence.keepAllPinned: the fence stays ABOVE a repartition and survives optimization") {
+    val base = spark.range(1, 8).toDF("k").withColumn("v", col("k") * 2)
+    val fenced = Fence.keepAllPinned(base.repartition(col("k")))
+    assert(fenced.collect().toSet == base.collect().toSet)
+    val opt = fenced.select(sum(col("v")).as("t")).queryExecution.optimizedPlan.toString
+    // survives (a rand()-based disjunct is range-folded away and the
+    // whole fence erased — spark_partition_id() is not), and is NOT
+    // pushed below the repartition: plan order must be
+    // Filter → RepartitionByExpression
+    assert(opt.contains("SPARK_PARTITION_ID"), opt)
+    val fIdx = opt.indexOf("Filter")
+    val rIdx = opt.indexOf("RepartitionByExpression")
+    assert(fIdx >= 0 && rIdx >= 0 && fIdx < rIdx,
+      s"fence was pushed through the repartition:\n$opt")
+  }
 }
