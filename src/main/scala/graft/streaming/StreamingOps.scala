@@ -545,6 +545,22 @@ object StreamingOps {
       .withColumn("skew_sign", signum(col("m3num")).cast("long"))
   }
 
+  /** Streaming per-key approximate-distinct via DataSketches HLL —
+    * the live twin of the batch `q_hll_rollup` sketch build: the HLL
+    * register state is the streaming aggregation state, and register
+    * max (the HLL merge) is commutative/associative and idempotent, so
+    * ANY micro-batching — including at-least-once replays of whole
+    * batches — folds to the identical sketch and estimate
+    * (batching-invariance + batch-equality asserted in
+    * StreamingParitySpec). Complete/Update output; state is one
+    * bounded sketch (lgK=12 → ≤ 4 KiB) per key regardless of stream
+    * length — the live dashboard's "distinct so far" at any corpus
+    * rate.
+    */
+  def hllDistinct(stream: DataFrame, keyCol: String, tokenCol: String): DataFrame =
+    stream.groupBy(col(keyCol))
+      .agg(hll_sketch_estimate(hll_sketch_agg(col(tokenCol))).as("est_distinct"))
+
   /** One typed event of the streaming funnel. */
   final case class FunnelEvent(userId: Long, tsUs: Long, eventType: String)
 

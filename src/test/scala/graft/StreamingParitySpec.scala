@@ -1592,4 +1592,34 @@ class StreamingParitySpec extends SparkSpecBase {
     val n = (1 to 3).map(st => one.count(_.stage == st))
     assert(n(0) >= n(1) && n(1) >= n(2) && n(2) > 0, n.toString)
   }
+
+  test("streaming HLL distinct equals the batch sketch and is batching-invariant") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // 3 keys, overlapping token universes with heavy repetition so the
+    // idempotent register-max path (same token in many batches) is
+    // exercised alongside genuine cardinality growth
+    val tape = (0 until 900).map(i => (s"k${i % 3}", s"tok${(i * 7) % 211}"))
+    def run(splits: Seq[Seq[(String, String)]], name: String): Map[String, Long] = {
+      val ms = MemoryStream[(String, String)]
+      val out = StreamingOps.hllDistinct(ms.toDF().toDF("key", "tok"), "key", "tok")
+      val q = out.writeStream.format("memory").queryName(name)
+        .outputMode(OutputMode.Complete()).start()
+      splits.foreach { s => ms.addData(s); q.processAllAvailable() }
+      q.stop()
+      spark.table(name).collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    }
+    val one = run(Seq(tape), "t_hll_a")
+    val many = run(tape.grouped(77).toSeq, "t_hll_b")
+    assert(one == many, "micro-batch boundaries changed the sketch")
+    // equals the BATCH sketch estimate on the same data (identical
+    // register state), and at this cardinality (≤ 211 per key, far
+    // under the lgK=12 sparse threshold) the estimate is EXACT
+    val batch = tape.toDF("key", "tok").groupBy("key")
+      .agg(hll_sketch_estimate(hll_sketch_agg(col("tok"))).as("est_distinct"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(one == batch)
+    val exact = tape.groupBy(_._1).map { case (k, ts) => k -> ts.map(_._2).distinct.size.toLong }
+    assert(one == exact, s"sparse-mode HLL should be exact here: $one vs $exact")
+  }
 }
