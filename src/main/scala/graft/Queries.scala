@@ -6174,7 +6174,9 @@ object Queries {
         .select(col("event_id"), col("event_type"), col("band"), col("n_users"))
     },
     Some("""WITH ev AS (SELECT event_id, user_id, event_type,
-                          CAST(floor(value / 100) AS BIGINT) AS band FROM events),
+                          CAST(floor(value / 100) AS BIGINT) AS band FROM events
+                        WHERE event_type IS NOT NULL
+                          AND CAST(floor(value / 100) AS BIGINT) IS NOT NULL),
             g AS (SELECT event_type, band, CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
                   FROM ev GROUP BY 1, 2 HAVING count(DISTINCT user_id) >= 5)
             SELECT ev.event_id, ev.event_type, ev.band, g.n_users
@@ -6211,7 +6213,9 @@ object Queries {
     },
     Some("""WITH ev AS (SELECT event_id, user_id, event_type,
                           CAST(floor(value / 100) AS BIGINT) AS band,
-                          json_extract_string(props, '$.k')::BIGINT % 16 AS sens FROM events),
+                          json_extract_string(props, '$.k')::BIGINT % 16 AS sens FROM events
+                        WHERE event_type IS NOT NULL
+                          AND CAST(floor(value / 100) AS BIGINT) IS NOT NULL),
             g AS (SELECT event_type, band,
                     CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
                     CAST(count(DISTINCT sens) AS BIGINT) AS n_sens

@@ -76,10 +76,17 @@ object Fence {
     * `isNotNull` inside the shared subtree too (the [[guard]] pattern
     * / round-9 dup-flag join discipline).
     */
-  def keepAll(df: DataFrame): DataFrame = {
+  /** The always-true all-columns predicate both fences share: an
+    * xxhash64 over every column (nothing prunes) compared against
+    * Long.MinValue (true for any long; Catalyst has no integer range
+    * analysis to fold it).
+    */
+  private def allColsPred(df: DataFrame): Column = {
     val cols = df.columns.toIndexedSeq.map(org.apache.spark.sql.functions.col)
-    df.filter(xxhash64(cols: _*) >= Long.MinValue)
+    xxhash64(cols: _*) >= Long.MinValue
   }
+
+  def keepAll(df: DataFrame): DataFrame = df.filter(allColsPred(df))
 
   /** [[keepAll]] variant that also PINS the fence at its position.
     * keepAll's predicate is deterministic, so above a
@@ -98,9 +105,7 @@ object Fence {
     * aggregate (predicates referencing aggregate output can't sink
     * through it).
     */
-  def keepAllPinned(df: DataFrame): DataFrame = {
-    val cols = df.columns.toIndexedSeq.map(org.apache.spark.sql.functions.col)
-    df.filter(xxhash64(cols: _*) >= Long.MinValue ||
+  def keepAllPinned(df: DataFrame): DataFrame =
+    df.filter(allColsPred(df) ||
       org.apache.spark.sql.functions.spark_partition_id() < 0)
-  }
 }

@@ -1001,6 +1001,23 @@ object StreamingOps {
     */
   final case class AsofState(quotes: Seq[(Long, Long, Double)], maxLeftTs: Long)
 
+  /** Greatest index whose quote is ≤ the probe point in (tsUs[, id])
+    * order, or -1 — binary search over the ascending buffer, so a
+    * rate-skewed key with a large buffer pays O(log m) per record
+    * instead of a linear walk.
+    */
+  private def asofSearchLe(quotes: Vector[(Long, Long, Double)],
+      ts: Long, id: Long, byIdToo: Boolean): Int = {
+    var lo = 0; var hi = quotes.length - 1; var res = -1
+    while (lo <= hi) {
+      val mid = (lo + hi) >>> 1
+      val q = quotes(mid)
+      val le = if (byIdToo) q._1 < ts || (q._1 == ts && q._2 <= id) else q._1 <= ts
+      if (le) { res = mid; lo = mid + 1 } else hi = mid - 1
+    }
+    res
+  }
+
   /** Streaming backward AS-OF join — the live twin of the batch
     * `q_asof_join` (operators.Joins.asofJoin): every probe emits the
     * quote with the largest (tsUs, id) among quotes of its key with
@@ -1020,23 +1037,6 @@ object StreamingOps {
     * probe high-water mark and now) per key — bounded by the sides'
     * rate skew, never by stream length.
     */
-  /** Greatest index whose quote is ≤ the probe point in (tsUs[, id])
-    * order, or -1 — binary search over the ascending buffer, so a
-    * rate-skewed key with a large buffer pays O(log m) per record
-    * instead of a linear walk.
-    */
-  private def asofSearchLe(quotes: Vector[(Long, Long, Double)],
-      ts: Long, id: Long, byIdToo: Boolean): Int = {
-    var lo = 0; var hi = quotes.length - 1; var res = -1
-    while (lo <= hi) {
-      val mid = (lo + hi) >>> 1
-      val q = quotes(mid)
-      val le = if (byIdToo) q._1 < ts || (q._1 == ts && q._2 <= id) else q._1 <= ts
-      if (le) { res = mid; lo = mid + 1 } else hi = mid - 1
-    }
-    res
-  }
-
   def asofJoin(stream: Dataset[AsofIn]): Dataset[AsofOut] = {
     implicit val outEnc = Encoders.product[AsofOut]
     implicit val stEnc = Encoders.product[AsofState]
