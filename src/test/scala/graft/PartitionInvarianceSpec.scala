@@ -82,14 +82,20 @@ class PartitionInvarianceSpec extends SparkSpecBase {
     // (retention), the (x,y) count-window bigram kernel, and the
     // rank-window inverted index — window frames and partial merges
     // must not notice reducer counts or scan splits
-    "q_funnel", "q_retention", "q_bigram_lm", "q_inverted_index")
+    "q_funnel", "q_retention", "q_bigram_lm", "q_inverted_index",
+    // the pinned-fence privacy gates LEXICALLY reference
+    // spark_partition_id() (in a never-true disjunct — this pins that
+    // it can never leak into results), the HLL union contract must be
+    // register-merge-order independent, and the epoch plan's
+    // DECIMAL(38,0) budget products ride partial-sum merges
+    "q_kanon", "q_ldiv", "q_hll_rollup", "q_epoch_plan")
 
   private def runAll(): Map[String, Seq[String]] =
     subset.map { q =>
       q -> Queries.queries(q)(spark, sfDir).collect().map(_.toString).sorted.toSeq
     }.toMap
 
-  test("55 risk-class queries are bit-identical under 1 / 4 / 13 shuffle partitions, 64 KiB scan splits, and AQE off") {
+  test("59 risk-class queries are bit-identical under 1 / 4 / 13 shuffle partitions, 64 KiB scan splits, and AQE off") {
     val shufKey = "spark.sql.shuffle.partitions"
     val splitKey = "spark.sql.files.maxPartitionBytes"
     val aqeKey = "spark.sql.adaptive.enabled"
