@@ -4,6 +4,7 @@
 Usage:
   python3 scripts/plan_audit.py <audit.jsonl>            # summary + flags
   python3 scripts/plan_audit.py <audit.jsonl> <old.jsonl> # + diff vs snapshot
+  python3 scripts/plan_audit.py --strict <audit.jsonl>   # regression GATE
 
 Flags raised (scale smells, not hard failures — some are adjudicated
 and documented in BASELINE.md / query scaladoc):
@@ -13,8 +14,19 @@ and documented in BASELINE.md / query scaladoc):
                (fine for 1-row scalar attaches and dim-pair frames;
                wrong for anything fact-sized)
   funnel       >1 SinglePartition exchange
+
+--strict exits 1 if any query MULTI-SCANS a fact without an entry in
+scripts/plan_audit_allowlist.json (the per-query adjudication into the
+SURVEY §5 classes: two-role scans, k-pass token pipelines, evaluation
+queries, ANN index-build passes). cartesian/funnel flags alone do not
+gate — they are the bounded-frame classes 1/5 by construction. A new
+multi-scan means either fix the plan (Fence.keepAll /
+keepAllPinned + pre-materialized isnotnull, see SURVEY §5) or
+consciously adjudicate it here.
 """
-import json, signal, sys
+import json, os, signal, sys
+
+ALLOWLIST = os.path.join(os.path.dirname(__file__), "plan_audit_allowlist.json")
 
 signal.signal(signal.SIGPIPE, signal.SIG_DFL)  # no traceback under `| head`
 
@@ -33,8 +45,10 @@ def load(path):
 
 
 def main():
-    cur = load(sys.argv[1])
-    old = load(sys.argv[2]) if len(sys.argv) > 2 else None
+    args = [a for a in sys.argv[1:] if a != "--strict"]
+    strict = "--strict" in sys.argv
+    cur = load(args[0])
+    old = load(args[1]) if len(args) > 1 else None
     flags = []
     for q, r in sorted(cur.items()):
         f = []
@@ -65,6 +79,21 @@ def main():
             if d:
                 print(f"  DIFF  {q}: " + ", ".join(
                     f"{k} {a.get(k)}->{b.get(k)}" for k in d))
+    if strict:
+        allow = json.load(open(ALLOWLIST)) if os.path.exists(ALLOWLIST) else {}
+        bad = []
+        for q, r in sorted(cur.items()):
+            multi = {t: c for t, c in r.get("scans", {}).items()
+                     if t in FACTS and c > 1}
+            if multi and q not in allow:
+                bad.append((q, multi))
+        if bad:
+            print("\nSTRICT GATE FAILED — unadjudicated fact multi-scans:")
+            for q, m in bad:
+                print(f"  {q}: {m}  (fix the plan or add to {ALLOWLIST})")
+            return 1
+        print(f"\nstrict gate OK: every fact multi-scan is adjudicated "
+              f"({len(allow)} allowlist entries)")
     return 0
 
 
