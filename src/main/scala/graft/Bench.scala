@@ -293,6 +293,37 @@ object Bench {
       finally q.stop()
       "asof_join" -> (System.nanoTime() - t0) / 1e9
     }
+    val funnel: (String, Double) = {
+      // funnel twin streams typed events; derive the type from the
+      // value band so per-user stage traffic is data-shaped
+      val ms = MemoryStream[StreamingOps.FunnelEvent]
+      val recs = tape.map { e =>
+        val tpe = (e.value % 4).toInt match {
+          case 0 => "signup"; case 1 => "click"; case 2 => "purchase"; case _ => "view"
+        }
+        StreamingOps.FunnelEvent(e.key, e.tsUs, tpe)
+      }
+      val rb = recs.grouped(math.max(1, recs.length / 10)).map(_.toSeq).toSeq
+      val t0 = System.nanoTime()
+      val q = StreamingOps.funnel(ms.toDS()).toDF().writeStream.format("noop")
+        .outputMode(OutputMode.Append()).start()
+      try rb.foreach { b => ms.addData(b); q.processAllAvailable() }
+      finally q.stop()
+      "funnel" -> (System.nanoTime() - t0) / 1e9
+    }
+    val hll: (String, Double) = {
+      // HLL twin streams (key-bucket, token) pairs — same tape shape
+      // as the CMS twin, sketch-register state per bucket
+      val ms = MemoryStream[(String, String)]
+      val pairs = tape.map(e => ((e.key % 8).toString, e.key.toString))
+      val pb = pairs.grouped(math.max(1, pairs.length / 10)).map(_.toSeq).toSeq
+      val t0 = System.nanoTime()
+      val q = StreamingOps.hllDistinct(ms.toDF().toDF("key", "tok"), "key", "tok")
+        .writeStream.format("noop").outputMode(OutputMode.Update()).start()
+      try pb.foreach { b => ms.addData(b); q.processAllAvailable() }
+      finally q.stop()
+      "hll_distinct" -> (System.nanoTime() - t0) / 1e9
+    }
     val res = Seq(
       run("chunks_timeout", OutputMode.Append())(ds =>
         StreamingOps.chunksTimeout(ds, 32, 3_600_000_000L).toDF()),
@@ -308,7 +339,7 @@ object Bench {
         StreamingOps.cusum(ds, targetCents = 10_000L, thresholdCents = 100_000L).toDF()),
       run("trend_slope", OutputMode.Append())(ds =>
         StreamingOps.trendSlope(ds).toDF()),
-      cms, asof)
+      cms, asof, funnel, hll)
     val secs = res.map { case (k, v) => f""""$k":$v%.3f""" }.mkString("{", ",", "}")
     val rps = res.map { case (k, v) =>
       f""""$k":${if (v > 0) tape.length / v else 0.0}%.0f""" }.mkString("{", ",", "}")
