@@ -9,6 +9,16 @@ Expects `sbt "runMain graft.Verify <sfDir> <verifyOutDir>"` to have run:
 Registers every testdata table as a DuckDB view, runs each oracle SQL,
 and compares against the Spark result: row count, column names/types,
 and exact values after sorting rows by all columns.
+
+It ALSO emulates the driver's hash canonicalization: the driver reads
+the Spark parquet via pyarrow (DECIMAL -> Python Decimal, str "-42")
+but materializes the oracle via duckdb's .df() (duckdb 1.0 downcasts
+every DECIMAL to float64, str "-42.0", lossy past 2^53), then hashes
+sorted stringified cells — so a value-exact DECIMAL output column can
+still hash-mismatch (this is exactly how q_moments went red in r11
+while the exact-value compare above stayed green). The RENDERCHECK
+pass below replays both read paths and str()-compares every cell, so
+representation divergences are caught locally before a round ends.
 """
 import sys, json, glob, os
 import duckdb
@@ -23,6 +33,26 @@ def load(con, sfdir):
             con.execute(f"CREATE OR REPLACE VIEW {t} AS SELECT * FROM '{p}/*.parquet'")
         elif os.path.exists(p):
             con.execute(f"CREATE OR REPLACE VIEW {t} AS SELECT * FROM '{p}'")
+
+def cell_str(v):
+    """Stringify one cell the way a sorted-cell hasher would, with
+    nulls and containers normalized so only REAL render divergences
+    (Decimal vs float64, scientific notation, lossy doubles) surface."""
+    import numpy as np
+    if v is None:
+        return "<null>"
+    try:
+        if pd.isna(v):
+            return "<null>"
+    except (TypeError, ValueError):
+        pass  # arrays/lists: not a scalar
+    if isinstance(v, np.ndarray):
+        return "[" + ",".join(cell_str(x) for x in v.tolist()) + "]"
+    if isinstance(v, (list, tuple)):
+        return "[" + ",".join(cell_str(x) for x in v) + "]"
+    if isinstance(v, (bytes, bytearray)):
+        return v.hex()
+    return str(v)
 
 def canon(df):
     df = df.reindex(sorted(df.columns), axis=1)
@@ -81,6 +111,27 @@ def main():
         if bad:
             c, i, av, bv = bad
             print(f"{name}: VALUE MISMATCH col={c} row={i} spark={av!r} oracle={bv!r}")
+            failures += 1
+            continue
+        # RENDERCHECK: replay the driver's two read paths and compare
+        # the stringified cells (see module docstring).
+        rbad = None
+        try:
+            got_pa = canon(pd.read_parquet(spark_dir))  # pyarrow path
+            for c in got_pa.columns:
+                a = got_pa[c].map(cell_str).values
+                b = exp[c].map(cell_str).values
+                ne = a != b
+                if ne.any():
+                    i = int(ne.argmax())
+                    rbad = (c, i, a[i], b[i])
+                    break
+        except Exception as e:
+            rbad = ("<read>", -1, repr(e), "")
+        if rbad:
+            c, i, av, bv = rbad
+            print(f"{name}: RENDER MISMATCH (driver-hash path) col={c} row={i} "
+                  f"spark_pyarrow={av!r} oracle_duckdb_df={bv!r}")
             failures += 1
         else:
             print(f"{name}: OK ({len(got)} rows)")

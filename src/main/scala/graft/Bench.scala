@@ -331,6 +331,8 @@ object Bench {
         StreamingOps.sessionize(ds, 1_800_000_000L).toDF()),
       run("throttle", OutputMode.Append())(ds =>
         StreamingOps.throttleTime(ds, 60_000_000L).toDF()),
+      run("timeout_monitor", OutputMode.Append())(ds =>
+        StreamingOps.timeoutMonitor(ds, 3_600_000_000L).toDF()),
       run("candle_strat", OutputMode.Append())(ds =>
         StreamingOps.candleStrat(ds, 60_000_000L).toDF()),
       run("ewma", OutputMode.Append())(ds =>

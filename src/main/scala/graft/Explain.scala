@@ -45,6 +45,29 @@ object Explain {
   * thought to pin.
   */
 object PlanAudit {
+  import org.apache.spark.sql.execution.{FileSourceScanExec, ReusedSubqueryExec, SparkPlan}
+  import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+  import org.apache.spark.sql.execution.exchange.ReusedExchangeExec
+
+  /** Count base-table scans by walking the final plan TREE, one count
+    * per scan NODE — not by regexing plan text, where a truncated or
+    * multi-line FileScan rendering under- or over-counts and a cached
+    * InMemoryRelation hides the scan entirely. Reused exchanges /
+    * subqueries (and AQE stage reuse, which wraps a ReusedExchange in a
+    * fresh stage) execute their subtree ONCE, so the walk does not
+    * descend into them.
+    */
+  private[graft] def scanTables(p: SparkPlan): Seq[String] = p match {
+    case a: AdaptiveSparkPlanExec => scanTables(a.finalPhysicalPlan)
+    case q: QueryStageExec        => scanTables(q.plan)
+    case _: ReusedExchangeExec    => Nil
+    case _: ReusedSubqueryExec    => Nil
+    case f: FileSourceScanExec =>
+      f.relation.location.rootPaths.map(_.getName.stripSuffix(".parquet")).distinct.toSeq
+    case other =>
+      (other.children ++ other.subqueries).flatMap(scanTables)
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
     val spark = GraftSession.local("graft-plan-audit")
@@ -58,9 +81,8 @@ object PlanAudit {
         // below the final one — audit the final section only
         val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
         val lines = p.linesIterator.toSeq
-        val scans = lines.flatMap { l =>
-          ".*/([a-z_]+)\\.parquet.*".r.findFirstMatchIn(l).map(_.group(1))
-        }.groupBy(identity).view.mapValues(_.size).toMap
+        val scans = scanTables(df.queryExecution.executedPlan)
+          .groupBy(identity).view.mapValues(_.size).toMap
         def n(pat: String): Int = lines.count(_.contains(pat))
         val json = scans.toSeq.sorted.map { case (t, c) => s""""$t":$c""" }.mkString(",")
         println(s"""{"q":"$name","scans":{$json}""" +

@@ -1944,9 +1944,17 @@ object Queries {
     * id_b)`), the oracle twin of DedupFns.simhashNearDupPairs. Declared
     * WITH RECURSIVE so simhashCcSql can append the closure CTEs.
     */
-  private def simhashPairsSql: String =
+  private def simhashPairsSql: String = simhashPairsSqlWhere("")
+
+  /** The same pair-mining pyramid over a restricted document set —
+    * `where` is a full ` WHERE …` suffix (empty = whole corpus). The
+    * sliced decade-up parity twins (see [[qDedupClustersSliced]]) plug
+    * the md5 doc-slice predicate in here so the recursive oracle stays
+    * single-node-feasible at any SF.
+    */
+  private def simhashPairsSqlWhere(where: String): String =
     s"""WITH RECURSIVE
-             t0 AS (SELECT doc_id, $toksSql AS tk FROM documents),
+             t0 AS (SELECT doc_id, $toksSql AS tk FROM documents$where),
              hs AS (SELECT doc_id, list_transform(tk, t -> ${h31Sql("t")}) AS h FROM t0 WHERE len(tk) > 0),
              sums AS (SELECT doc_id,
                         list_transform(range(0, 32), j ->
@@ -1965,8 +1973,10 @@ object Queries {
   /** simhash pairs → recursive transitive closure (`reach(id, r)`),
     * the oracle twin of Relational.connectedComponents.
     */
-  private def simhashCcSql: String =
-    s"""$simhashPairsSql,
+  private def simhashCcSql: String = simhashCcSqlWhere("")
+
+  private def simhashCcSqlWhere(where: String): String =
+    s"""${simhashPairsSqlWhere(where)},
              e AS (SELECT id_a AS a, id_b AS b FROM p UNION SELECT id_b, id_a FROM p),
              reach(id, r) AS (
                SELECT a, a FROM e
@@ -1992,10 +2002,11 @@ object Queries {
     * not block-manager storage.)
     */
   def clearSessionMemos(): Unit = {
-    (pairsCache.values ++ ccCache.values)
+    (pairsCache.values ++ ccCache.values ++ sliceCache.values)
       .foreach(org.apache.spark.sql.GraftBridge.freeLocalCheckpoint)
     pairsCache.clear()
     ccCache.clear()
+    sliceCache.clear()
   }
 
   /** Exact near-dup pairs shared by every DERIVED dedup query
@@ -2035,6 +2046,47 @@ object Queries {
   private def simhashClusters(s: SparkSession, dir: String): DataFrame =
     ccCache.getOrElseUpdate((s, dir),
       Relational.connectedComponents(simhashPairs(s, dir), "id_a", "id_b"))
+
+  // ---- Deterministic 1/16 md5 slice: the decade-up parity valve ----
+  // The recursive-CC / pair-explode / basket² oracle shapes are
+  // single-node-bound: at sf1 they exceed what DuckDB finishes (the
+  // round-11 appendix's 8 oracle timeouts) while the Spark side
+  // completes — which left their decade-up parity VACUOUS. Each gets a
+  // `_sliced` twin running the IDENTICAL operator chain over the docs
+  // (or orders) whose md5 starts with hex '0': the slice keeps the
+  // oracle's input at ~1/16 of any SF (sf1 slice ≈ 3.1k docs, below the
+  // measured-good full sf0.1), so decade-up parity is MEASURED on every
+  // shape. The predicate is engine-portable (md5-of-string both sides)
+  // and the same family as q_split_assign's bucketing.
+  private val sliceHex = "0"
+  private def sliceDocPredSql(idCol: String): String =
+    s"substr(md5(CAST($idCol AS VARCHAR)), 1, 1) = '$sliceHex'"
+  private def sliceCond(idCol: Column): Column =
+    substring(md5(idCol.cast("string")), 1, 1) === sliceHex
+  /** The sliced document set, MATERIALIZED once per (session, dir) like
+    * simhashPairs: a bare filter under the downstream operators'
+    * Fence.guard subtrees de-canonicalizes them branch-by-branch (the
+    * md5 predicate gets woven differently into each join side, so the
+    * token pipeline re-derives per branch — PlanSpec's fence test
+    * caught 6 tokenize sites on the twin vs 2 on the original), while a
+    * checkpointed leaf keeps the twins' plans structurally identical to
+    * their full-corpus originals. The slice is 1/16 of the corpus, so
+    * the materialization is noise next to the pair joins above it.
+    */
+  private val sliceCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+  private def slicedDocs(s: SparkSession, dir: String): DataFrame =
+    sliceCache.getOrElseUpdate((s, dir),
+      t(s, dir, "documents").filter(sliceCond(col("doc_id"))).localCheckpoint(true))
+
+  private def simhashPairsSliced(s: SparkSession, dir: String): DataFrame =
+    pairsCache.getOrElseUpdate((s, dir + "#slice16"),
+      DedupFns.simhashNearDupPairs(slicedDocs(s, dir), "doc_id", "text", maxHamming = 3)
+        .localCheckpoint(true))
+
+  private def simhashClustersSliced(s: SparkSession, dir: String): DataFrame =
+    ccCache.getOrElseUpdate((s, dir + "#slice16"),
+      Relational.connectedComponents(simhashPairsSliced(s, dir), "id_a", "id_b"))
 
   /** Duplicate CLUSTERS from the exact simhash near-dup pairs:
     * iterative min-label propagation (operators.Relational
@@ -3744,7 +3796,7 @@ object Queries {
     (s, dir) => {
       import org.apache.spark.sql.expressions.Window
       val docs = t(s, dir, "documents")
-      val nDocs = docs.count()
+      val nDocs = tableCount(s, dir, "documents")
       val terms = Fence.guard(
           docs.select(col("doc_id"), TextFns.tokensFast(col("text")).as("__toks"), Fence.col))
         .select(col("doc_id"), explode(col("__toks")).as("term"))
@@ -7766,6 +7818,17 @@ object Queries {
     * int64 at cents ≥ 55k, and S1³ exceeds it from ~sf1), so there is
     * no float anywhere — the cross-engine-portable way to ship
     * "skewness at 100 TB" is these sums, combined associatively.
+    *
+    * The big sums cross the contract surface as CANONICAL DIGIT
+    * STRINGS, not decimals: a DECIMAL(38,0) parquet column is exact in
+    * both engines, but the two client render paths diverge — pyarrow
+    * reads it as Python Decimal ("-42"), while duckdb 1.0's .df()
+    * downcasts every DECIMAL to float64 ("-42.0", and lossy past 2^53)
+    * — so any stringified-cell hash of the same exact values
+    * mismatches. A string column renders identically everywhere.
+    * S1 is likewise summed IN decimal (a plain long sum would wrap
+    * silently past 2^63 ≈ n·|cents| at corpus scale, where the
+    * HUGEINT→BIGINT oracle cast errors instead of wrapping).
     */
   private val qMoments = GraftQuery(
     "q_moments",
@@ -7779,38 +7842,46 @@ object Queries {
         .withColumn("__x2", (col("__x").cast(d38) * col("__x")).cast(d38))
         .groupBy("event_type")
         .agg(count(lit(1)).as("n"),
-          sum(col("__x")).as("s1"),
-          sum(col("__x2").cast(d38)).as("s2"),
-          sum((col("__x2").cast(d38) * col("__x")).cast(d38)).as("s3"),
-          sum((col("__x2").cast(d38) * col("__x2")).cast(d38)).as("s4"))
-        .withColumn("m2num",
-          expr(s"cast(cast(n as $d38) * s2 - cast(s1 as $d38) * cast(s1 as $d38) as $d38)"))
-        .withColumn("m3num",
-          expr(s"""cast(cast(n as $d38) * cast(n as $d38) * s3
-                    - 3 * cast(n as $d38) * s2 * cast(s1 as $d38)
-                    + 2 * cast(s1 as $d38) * cast(s1 as $d38) * cast(s1 as $d38) as $d38)"""))
-        .withColumn("skew_sign", signum(col("m3num")).cast("long"))
+          sum(col("__x").cast(d38)).as("__s1"),
+          sum(col("__x2").cast(d38)).as("__s2"),
+          sum((col("__x2").cast(d38) * col("__x")).cast(d38)).as("__s3"),
+          sum((col("__x2").cast(d38) * col("__x2")).cast(d38)).as("__s4"))
+        .withColumn("__m2",
+          expr(s"cast(cast(n as $d38) * __s2 - __s1 * __s1 as $d38)"))
+        .withColumn("__m3",
+          expr(s"""cast(cast(n as $d38) * cast(n as $d38) * __s3
+                    - 3 * cast(n as $d38) * __s2 * __s1
+                    + 2 * __s1 * __s1 * __s1 as $d38)"""))
+        .select(col("event_type"), col("n"),
+          col("__s1").cast("string").as("s1"),
+          col("__s2").cast("string").as("s2"),
+          col("__s3").cast("string").as("s3"),
+          col("__s4").cast("string").as("s4"),
+          col("__m2").cast("string").as("m2num"),
+          col("__m3").cast("string").as("m3num"),
+          signum(col("__m3")).cast("long").as("skew_sign"))
     },
     Some("""WITH e AS (SELECT event_type,
                   CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS x
                 FROM events),
             p AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
-                    CAST(sum(x) AS BIGINT) AS s1,
+                    sum(CAST(x AS HUGEINT)) AS s1,
                     sum(CAST(x AS HUGEINT) * x) AS s2,
                     sum(CAST(x AS HUGEINT) * x * x) AS s3,
                     sum(CAST(x AS HUGEINT) * x * x * x) AS s4
                   FROM e GROUP BY 1)
-            SELECT event_type, n, s1,
-              CAST(s2 AS DECIMAL(38,0)) AS s2,
-              CAST(s3 AS DECIMAL(38,0)) AS s3,
-              CAST(s4 AS DECIMAL(38,0)) AS s4,
-              CAST(n * s2 - CAST(s1 AS HUGEINT) * s1 AS DECIMAL(38,0)) AS m2num,
+            SELECT event_type, n,
+              CAST(s1 AS VARCHAR) AS s1,
+              CAST(s2 AS VARCHAR) AS s2,
+              CAST(s3 AS VARCHAR) AS s3,
+              CAST(s4 AS VARCHAR) AS s4,
+              CAST(n * s2 - s1 * s1 AS VARCHAR) AS m2num,
               CAST(CAST(n AS HUGEINT) * n * s3 - 3 * n * s2 * s1
-                   + 2 * CAST(s1 AS HUGEINT) * s1 * s1 AS DECIMAL(38,0)) AS m3num,
+                   + 2 * s1 * s1 * s1 AS VARCHAR) AS m3num,
               CAST(CASE WHEN CAST(n AS HUGEINT) * n * s3 - 3 * n * s2 * s1
-                             + 2 * CAST(s1 AS HUGEINT) * s1 * s1 > 0 THEN 1
+                             + 2 * s1 * s1 * s1 > 0 THEN 1
                         WHEN CAST(n AS HUGEINT) * n * s3 - 3 * n * s2 * s1
-                             + 2 * CAST(s1 AS HUGEINT) * s1 * s1 < 0 THEN -1
+                             + 2 * s1 * s1 * s1 < 0 THEN -1
                         ELSE 0 END AS BIGINT) AS skew_sign
             FROM p"""))
 
@@ -7879,6 +7950,9 @@ object Queries {
     "q_ab_lift",
     (s, dir) => {
       val perUser = events(s, dir)
+        // pmod, and the oracle mirrors it with ((u%2)+2)%2: DuckDB's %
+        // is remainder-signed (-1 for negative ids), which would mint a
+        // third arm the Spark side can never produce
         .groupBy(pmod(col("user_id"), lit(2)).cast("long").as("__arm"), col("user_id"))
         .agg(max(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("__conv"))
       perUser.groupBy("__arm")
@@ -7894,7 +7968,7 @@ object Queries {
         .withColumn("odds_num", expr("c1 * (u0 - c0)"))
         .withColumn("odds_den", expr("c0 * (u1 - c1)"))
     },
-    Some("""WITH pu AS (SELECT user_id % 2 AS arm, user_id,
+    Some("""WITH pu AS (SELECT ((user_id % 2) + 2) % 2 AS arm, user_id,
                   max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS conv
                 FROM events GROUP BY 1, 2),
             a AS (SELECT arm, CAST(count(*) AS BIGINT) AS u, CAST(sum(conv) AS BIGINT) AS c
@@ -7911,6 +7985,225 @@ object Queries {
               CAST(c1 * (u0 - c0) AS BIGINT) AS odds_num,
               CAST(c0 * (u1 - c1) AS BIGINT) AS odds_den
             FROM p"""))
+
+  // =======================================================================
+  // Round-12: sliced decade-up parity twins. Same operator chains as
+  // their full-corpus originals, over the deterministic md5 1/16 slice
+  // (see the slice helpers above) — they exist so the 8 shapes whose
+  // full-corpus DuckDB oracle is single-node-bound at sf1 (round-11
+  // appendix, BASELINE.md) still get MEASURED (non-vacuous) decade-up
+  // oracle parity. The originals remain the engine's product surface;
+  // these are its cross-scale verification instruments.
+  // =======================================================================
+
+  private val sliceWhere = s" WHERE ${sliceDocPredSql("doc_id")}"
+
+  /** [[qDedupClusters]] over the md5 doc slice — identical CC chain. */
+  private val qDedupClustersSliced = GraftQuery(
+    "q_dedup_clusters_sliced",
+    (s, dir) => simhashClustersSliced(s, dir),
+    Some(s"""${simhashCcSqlWhere(sliceWhere)}
+             SELECT id, CAST(min(r) AS BIGINT) AS cluster_root
+             FROM reach GROUP BY id"""))
+
+  /** [[qGroupSplit]] over the md5 doc slice — identical rep/split rule. */
+  private val qGroupSplitSliced = GraftQuery(
+    "q_group_split_sliced",
+    (s, dir) => {
+      val docs = slicedDocs(s, dir)
+      val roots = simhashClustersSliced(s, dir)
+      val h = (conv(substring(md5(col("rep").cast("string")), 1, 4), 16, 10)
+        .cast("long") % 100)
+      docs.join(roots, docs("doc_id") === roots("id"), "left")
+        .select(col("source"), col("doc_id"),
+          coalesce(col("cluster_root"), col("doc_id")).as("rep"))
+        .withColumn("split",
+          when(h < 98, "train").when(h < 99, "val").otherwise("test"))
+    },
+    Some(s"""${simhashCcSqlWhere(sliceWhere)},
+            roots AS (SELECT id, min(r) AS root FROM reach GROUP BY id),
+            rep AS (SELECT d.source, d.doc_id, COALESCE(r.root, d.doc_id) AS rep
+                    FROM documents d LEFT JOIN roots r ON d.doc_id = r.id
+                    WHERE ${sliceDocPredSql("d.doc_id")})
+            SELECT source, doc_id, rep,
+              CASE WHEN ('0x' || substr(md5(CAST(rep AS VARCHAR)), 1, 4))::BIGINT % 100 < 98 THEN 'train'
+                   WHEN ('0x' || substr(md5(CAST(rep AS VARCHAR)), 1, 4))::BIGINT % 100 < 99 THEN 'val'
+                   ELSE 'test' END AS split
+            FROM rep"""))
+
+  /** [[qDedupSurvivors]] over the md5 doc slice — identical anti-join. */
+  private val qDedupSurvivorsSliced = GraftQuery(
+    "q_dedup_survivors_sliced",
+    (s, dir) => {
+      val docs = slicedDocs(s, dir)
+      val losers = simhashClustersSliced(s, dir)
+        .filter(col("id") =!= col("cluster_root"))
+        .select(col("id"))
+      docs.join(losers, docs("doc_id") === losers("id"), "left_anti")
+        .groupBy("source").agg(count(lit(1)).as("n_docs"))
+    },
+    Some(s"""${simhashCcSqlWhere(sliceWhere)},
+             losers AS (SELECT id FROM (SELECT id, min(r) AS root FROM reach GROUP BY id)
+                        WHERE id != root)
+             SELECT source, CAST(count(*) AS BIGINT) AS n_docs
+             FROM documents LEFT JOIN losers ON doc_id = losers.id
+             WHERE losers.id IS NULL AND ${sliceDocPredSql("doc_id")}
+             GROUP BY source"""))
+
+  /** [[qDedupPrio]] over the md5 doc slice — identical min_by survivor. */
+  private val qDedupPrioSliced = GraftQuery(
+    "q_dedup_prio_sliced",
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), expr("CAST(substring(source, 4) AS BIGINT)").as("src_num"))
+      val members = simhashClustersSliced(s, dir)
+        .join(docs, col("id") === col("doc_id"))
+        .select(col("doc_id"), col("cluster_root"), col("src_num"))
+      val surv = members.groupBy("cluster_root")
+        .agg(min_by(col("doc_id"), struct(col("src_num"), col("doc_id"))).as("survivor_id"))
+      members.join(surv, Seq("cluster_root"))
+        .select(col("doc_id"), col("cluster_root"), col("src_num"), col("survivor_id"),
+          when(col("doc_id") === col("survivor_id"), 1L).otherwise(0L).as("kept"))
+    },
+    Some(s"""${simhashCcSqlWhere(sliceWhere)},
+             roots AS (SELECT id, min(r) AS root FROM reach GROUP BY id),
+             pm AS (SELECT r.id AS doc_id, r.root AS cluster_root,
+                      CAST(substr(d.source, 4) AS BIGINT) AS src_num
+                    FROM roots r JOIN documents d ON d.doc_id = r.id),
+             psv AS (SELECT cluster_root, doc_id AS survivor_id FROM
+                       (SELECT cluster_root, doc_id,
+                          row_number() OVER (PARTITION BY cluster_root ORDER BY src_num, doc_id) AS rn
+                        FROM pm)
+                     WHERE rn = 1)
+             SELECT pm.doc_id, pm.cluster_root, pm.src_num, psv.survivor_id,
+               CAST(CASE WHEN pm.doc_id = psv.survivor_id THEN 1 ELSE 0 END AS BIGINT) AS kept
+             FROM pm JOIN psv USING (cluster_root)"""))
+
+  /** [[qDedupSavings]] over the md5 doc slice — identical accounting. */
+  private val qDedupSavingsSliced = GraftQuery(
+    "q_dedup_savings_sliced",
+    (s, dir) => {
+      val toks = slicedDocs(s, dir)
+        .select(col("doc_id"), col("source"),
+          size(TextFns.tokensFast(col("text"))).cast("long").as("nt"))
+      val losers = simhashClustersSliced(s, dir)
+        .filter(col("id") =!= col("cluster_root")).select(col("id"))
+      toks.join(losers, toks("doc_id") === losers("id"), "left")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("nt")).as("tokens_total"),
+          sum(when(col("id").isNotNull, 1L).otherwise(0L)).as("n_removed"),
+          coalesce(sum(when(col("id").isNotNull, col("nt"))), lit(0L)).as("tokens_removed"))
+        .select(col("source"), col("n_docs"), col("n_removed"),
+          col("tokens_total"), col("tokens_removed"),
+          expr("tokens_removed * 1000 div greatest(tokens_total, 1)").as("savings_milli"))
+    },
+    Some(s"""${simhashCcSqlWhere(sliceWhere)},
+             roots AS (SELECT id, CAST(min(r) AS BIGINT) AS root FROM reach GROUP BY id),
+             losers AS (SELECT id FROM roots WHERE id <> root),
+             tk AS (SELECT doc_id, source, CAST(len($toksSql) AS BIGINT) AS nt
+                    FROM documents$sliceWhere),
+             x AS (SELECT tk.source, tk.nt,
+                     CASE WHEN losers.id IS NULL THEN 0 ELSE 1 END AS rem
+                   FROM tk LEFT JOIN losers ON tk.doc_id = losers.id)
+             SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(rem) AS BIGINT) AS n_removed,
+               CAST(sum(nt) AS BIGINT) AS tokens_total,
+               CAST(coalesce(sum(CASE WHEN rem = 1 THEN nt END), 0) AS BIGINT) AS tokens_removed,
+               CAST(coalesce(sum(CASE WHEN rem = 1 THEN nt END), 0) * 1000
+                    // greatest(sum(nt), 1) AS BIGINT) AS savings_milli
+             FROM x GROUP BY source"""))
+
+  /** [[qTriangles]] over the md5 doc slice — identical wedge join. */
+  private val qTrianglesSliced = GraftQuery(
+    "q_triangles_sliced",
+    (s, dir) => Relational.triangleCounts(simhashPairsSliced(s, dir), "id_a", "id_b"),
+    Some(s"""${simhashPairsSqlWhere(sliceWhere)},
+             tri AS (SELECT e1.id_a AS a, e1.id_b AS b, e2.id_b AS c
+                     FROM p e1
+                     JOIN p e2 ON e2.id_a = e1.id_b
+                     JOIN p e3 ON e3.id_a = e1.id_a AND e3.id_b = e2.id_b),
+             corners AS (SELECT a AS id FROM tri
+                         UNION ALL SELECT b FROM tri
+                         UNION ALL SELECT c FROM tri)
+             SELECT id, CAST(count(*) AS BIGINT) AS n_tri
+             FROM corners GROUP BY id"""))
+
+  /** [[qPrefixJaccard]] over the md5 doc slice — identical PPJoin. */
+  private val qPrefixJaccardSliced = GraftQuery(
+    "q_prefix_jaccard_sliced",
+    (s, dir) => DedupFns.prefixJaccardPairs(slicedDocs(s, dir), "doc_id", "text", 3, 500),
+    Some(s"""WITH t0 AS (SELECT doc_id AS id, $toksSql AS tk FROM documents$sliceWhere),
+            g AS (SELECT id, $grams3Sql AS toks FROM t0),
+            docs AS (SELECT id, toks FROM g WHERE len(toks) > 0),
+            tk AS (SELECT id, unnest(toks) AS tok FROM docs),
+            dfq AS (SELECT tok, count(*) AS df FROM tk GROUP BY tok),
+            rk AS (SELECT id, tok,
+                     row_number() OVER (PARTITION BY id ORDER BY df, tok) AS rn,
+                     count(*) OVER (PARTITION BY id) AS sz
+                   FROM tk JOIN dfq USING (tok)),
+            pre AS (SELECT id, tok FROM rk
+                    WHERE rn <= sz - (sz * 500 + 999) // 1000 + 1),
+            cand AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b
+                     FROM pre a JOIN pre b ON a.tok = b.tok AND a.id < b.id),
+            sc AS (SELECT id_a, id_b,
+                     len(list_intersect(da.toks, db.toks)) AS inter,
+                     len(da.toks) + len(db.toks) - len(list_intersect(da.toks, db.toks)) AS uni
+                   FROM cand
+                   JOIN docs da ON id_a = da.id
+                   JOIN docs db ON id_b = db.id)
+            SELECT id_a, id_b, CAST(inter AS BIGINT) AS inter, CAST(uni AS BIGINT) AS uni,
+                   CAST(inter * 1000 // uni AS BIGINT) AS jac_milli
+            FROM sc WHERE inter * 1000 >= uni * 500"""))
+
+  /** [[qCopurchase]] over the md5 ORDER slice (1/16 of orderkeys) —
+    * identical basket² association mining; the slice bounds the
+    * oracle's per-order pair explode, not the rule. Support threshold
+    * drops 3 → 2 here: cross-order pair counts fall ~16× with the
+    * slice, and ≥3 would leave the instrument vacuous (0 rows) at sf1
+    * (measured: the sf1 slice has 148 pairs at support 2, none at 3).
+    */
+  private val qCopurchaseSliced = GraftQuery(
+    "q_copurchase_sliced",
+    (s, dir) => {
+      val li = Fence.keepAll(
+        t(s, dir, "lineitem")
+          .filter(col("l_orderkey").isNotNull && col("l_partkey").isNotNull &&
+            sliceCond(col("l_orderkey")))
+          .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")).distinct())
+      val pairs = li.as("a").join(li.as("b").hint("shuffle_hash"), Seq("ok"))
+        .filter(col("a.pk") < col("b.pk"))
+        .groupBy(col("a.pk").as("p1"), col("b.pk").as("p2"))
+        .agg(count(lit(1)).as("c_ab"))
+        .filter(col("c_ab") >= 2)  // sliced support threshold (see scaladoc)
+      val supp = li.groupBy(col("pk")).agg(count(lit(1)).as("c"))
+      val n = li.agg(countDistinct(col("ok")).as("n_orders"))
+      pairs
+        .join(supp.as("sa").hint("shuffle_hash"), col("p1") === col("sa.pk"))
+        .join(supp.as("sb").hint("shuffle_hash"), col("p2") === col("sb.pk"))
+        .crossJoin(broadcast(n))
+        .select(col("p1"), col("p2"), col("c_ab"),
+          expr("c_ab * 1000 div sa.c").as("conf_milli"),
+          expr("c_ab * n_orders * 1000 div (sa.c * sb.c)").as("lift_milli"))
+        .orderBy(col("lift_milli").desc, col("c_ab").desc, col("p1"), col("p2"))
+        .limit(50)
+    },
+    Some(s"""WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem
+                        WHERE l_orderkey IS NOT NULL AND l_partkey IS NOT NULL
+                          AND ${sliceDocPredSql("l_orderkey")}),
+             pr AS (SELECT a.pk AS p1, b.pk AS p2, CAST(count(*) AS BIGINT) AS c_ab
+                    FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk
+                    GROUP BY 1, 2 HAVING count(*) >= 2),
+             sp AS (SELECT pk, count(*) AS c FROM li GROUP BY 1),
+             n AS (SELECT count(DISTINCT ok) AS n_orders FROM li)
+             SELECT p1, p2, c_ab,
+               CAST(c_ab * 1000 // sa.c AS BIGINT) AS conf_milli,
+               CAST(c_ab * n_orders * 1000 // (sa.c * sb.c) AS BIGINT) AS lift_milli
+             FROM pr JOIN sp sa ON pr.p1 = sa.pk
+                     JOIN sp sb ON pr.p2 = sb.pk
+                     CROSS JOIN n
+             ORDER BY lift_milli DESC, c_ab DESC, p1, p2
+             LIMIT 50"""))
 
   val all: Seq[GraftQuery] = Seq(
     qMapFilter, qFilterMap, qCycle, qFoldAgg, qDistinctUsers, qTopkPerKey, qPivotCounts, qApproxDistinct, qHllRollup, qHeavyHitters, qHeavyHittersVerified, qCmsFreq, qJoinCardEst, qQuantiles, qQuantilesExact, qTableLatest, qSnapshotDiff, qTumbling, qHopping, qLagWindow, qSession,
@@ -7943,7 +8236,9 @@ object Queries {
     qBloomDecontam, qDupSpanRuns, qEmbedQuant, qGramMatrix, qMixWeights, qEmbedPq, qPqAdc, qPqRescore, qDedupPrio, qKnnHubs, qIvfPq, qEmbedBinary, qSpanScrub, qSpanExcise,
     qTokenCount, qFingerprint, qMultimodalMeta,
     qMultimodalDecode, qResizePlan, qFrameSample, qAudioSegments, qTilePlan, qMixGap,
-    q9Profit, q11Stock, qKmvOverlap, qMoments, qEpochPlan, qAbLift)
+    q9Profit, q11Stock, qKmvOverlap, qMoments, qEpochPlan, qAbLift,
+    qDedupClustersSliced, qGroupSplitSliced, qDedupSurvivorsSliced, qDedupPrioSliced,
+    qDedupSavingsSliced, qTrianglesSliced, qPrefixJaccardSliced, qCopurchaseSliced)
 
   val queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.fn).toMap

@@ -117,8 +117,12 @@ object ScaleUp {
             .cast("float") / lit(1000.0f)))))
       .withColumn("__n", sqrt(aggregate(col("__v"), lit(0.0),
         (a, x) => a + x.cast("double") * x.cast("double"))))
+      // replica 0 must stay BYTE-identical to the source: re-normalizing
+      // it too would round-trip through double and can flip the
+      // milli-quantized values the ANN kernels derive from it
       .withColumn("embedding",
-        transform(col("__v"), x => (x.cast("double") / col("__n")).cast("float")))
+        when(col("__r") === 0, col("embedding")).otherwise(
+          transform(col("__v"), x => (x.cast("double") / col("__n")).cast("float"))))
     write(noisy.drop("__r", "__v", "__n"), dst, "embeddings")
   }
 }

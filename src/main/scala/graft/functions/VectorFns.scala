@@ -136,6 +136,8 @@ object VectorFns {
   def autoCentroidCount(n: Long): Int =
     math.max(1L, math.ceil(math.sqrt(n.toDouble)).toLong).toInt
 
+  private def memoCount(df: DataFrame): Long = CountMemo.of(df)
+
   def ivfCentroids(corpus: DataFrame, idCol: String, vecCol: String, k: Int): Seq[Seq[Long]] =
     corpus
       .select(quantizeFast(col(vecCol)).as("qv"), col(idCol).cast("string").as("id"))
@@ -557,7 +559,7 @@ object VectorFns {
     // exchange (ReusedExchange) — scan + quantize + norms + buckets run
     // once; shuffle_hash avoids a corpus-sized broadcast (see
     // minhashCandidates)
-    val p = if (planes > 0) planes else autoPlanes(df.count())
+    val p = if (planes > 0) planes else autoPlanes(memoCount(df))
     val e = Fence.guard(Fence.guard(df
         .select(col(idCol).as("id"), quantizeFast(col(vecCol)).as("qv"), Fence.col))
       .select(col("id"), col("qv"), qdotFast(col("qv"), col("qv")).as("nrm"),
@@ -603,7 +605,7 @@ object VectorFns {
   def semDedupReport(corpus: DataFrame, idCol: String, vecCol: String,
       tauNum: Int, tauDen: Int, kCentroids: Int = 0): DataFrame = {
     require(kCentroids >= 0, s"kCentroids must be >= 0 (0 = auto sqrt(n)), got $kCentroids")
-    val k = if (kCentroids > 0) kCentroids else autoCentroidCount(corpus.count())
+    val k = if (kCentroids > 0) kCentroids else autoCentroidCount(memoCount(corpus))
     val cents = typedLit(ivfCentroids(corpus, idCol, vecCol, k))
     val a = Fence.guard(Fence.guard(
         corpus.select(col(idCol).as("id"), quantizeFast(col(vecCol)).as("qv"), Fence.col))
@@ -637,7 +639,7 @@ object VectorFns {
     */
   def cosineCandidates(df: DataFrame, idCol: String, vecCol: String,
       tables: Int = 8, planes: Int = 0): DataFrame = {
-    val p = if (planes > 0) planes else autoPlanes(df.count())
+    val p = if (planes > 0) planes else autoPlanes(memoCount(df))
     val e = Fence.guard(Fence.guard(df
         .select(col(idCol).as("id"), quantizeFast(col(vecCol)).as("qv"), Fence.col))
       .select(col("id"), col("qv"), qdotFast(col("qv"), col("qv")).as("nrm"),

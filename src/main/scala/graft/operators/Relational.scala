@@ -43,16 +43,20 @@ object Relational {
     * (65536/1M buckets) keeps each bucket's sort inside one task. The
     * default (0 = auto) turns the knob itself from the input count —
     * smallest width keeping expected bucket size ≤ 10⁶ rows. Auto
-    * sizing runs ONE count action over `df` at construction time (an
-    * extra input pass); when the input has expensive upstream
-    * transforms, cache it first or pass an explicit width. The
+    * sizing runs ONE count action over `df` at construction time,
+    * memoized per canonicalized plan (CountMemo) so repeated
+    * construction and plan-only paths don't re-scan; when the input has
+    * expensive upstream transforms, cache it first or pass an explicit
+    * width. The
     * permutation is width-invariant (asserted in OperatorsSpec), so
     * auto-sizing never changes results.
     */
   def shuffleOrder(df: DataFrame, idCol: String, prefixChars: Int = 0): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(prefixChars >= 0, s"prefixChars must be >= 0 (0 = auto), got $prefixChars")
-    val chars = if (prefixChars > 0) prefixChars else autoPrefixChars(df.count())
+    val chars =
+      if (prefixChars > 0) prefixChars
+      else autoPrefixChars(graft.functions.CountMemo.of(df))
     val h = md5(col(idCol).cast("string"))
     val base = df.select(col(idCol), h.as("__h"), substring(h, 1, chars).as("__b"))
     // the offsets window spans only the 16^chars bucket-count rows

@@ -359,6 +359,87 @@ object StreamingOps {
       }
   }
 
+  /** A key's silence alarm: the key's last event before the silence
+    * and the deadline (lastSeen + timeout) that passed without one.
+    */
+  final case class StallEvent(key: Long, lastSeenTsUs: Long, deadlineUs: Long)
+
+  /** Per-key stall-monitor state: last-seen event time + whether the
+    * CURRENT silence period already raised its alarm (the timer and
+    * the next event's gap check would otherwise both emit one).
+    */
+  final case class StallState(lastTs: Long, stallEmitted: Boolean)
+
+  /** Per-key silence / timeout monitor — the reference's
+    * `StreamExt::timeout(d)` (src/lib.rs: each `next()` races a
+    * duration and yields an Elapsed error when the stream stays
+    * silent), re-expressed per key in EVENT time: when a key goes
+    * `> timeoutUs` without an event, ONE [[StallEvent]] goes out for
+    * that silence period. Tokio's poll-level semantics would re-raise
+    * every `d` while silence continues; a distributed monitor wants
+    * the deduplicated edge signal, so the alarm raises once per
+    * silence and re-arms on the key's next event.
+    *
+    * Emission is two-path with identical record content, so output is
+    * a pure function of the tape (micro-batch-split-invariant, under
+    * test in StreamingParitySpec):
+    *  - the TIMER path (`GroupStateTimeout.EventTimeTimeout`, armed at
+    *    lastSeen + timeout like [[chunksTimeout]]'s tail flush) fires
+    *    when the WATERMARK passes the deadline — a genuinely dead key
+    *    alarms with lag bounded by the watermark delay, never waiting
+    *    for its own next event;
+    *  - the EVENT path raises the same record when the next event
+    *    itself arrives beyond the deadline before the watermark got
+    *    there (and `stallEmitted` dedupes against a fired timer).
+    * The record carries (lastSeen, deadline), deliberately NOT the
+    * closing gap — that would differ between an open (timer) and a
+    * closed (event) emission and break invariance.
+    *
+    * State is two small fields per key, so key cardinality scales
+    * freely; within a batch events order by (tsUs, value) like every
+    * order-dependent operator here.
+    */
+  def timeoutMonitor(stream: Dataset[KeyedEvent], timeoutUs: Long,
+      delay: String = "0 seconds"): Dataset[StallEvent] = {
+    // ms-granular event-time timers, same floor as chunksTimeout
+    require(timeoutUs >= 1000,
+      s"timeout must be >= 1000 us (event-time timers are ms-granular), got $timeoutUs")
+    implicit val outEnc = Encoders.product[StallEvent]
+    implicit val stEnc = Encoders.product[StallState]
+    implicit val evEnc = Encoders.product[TsEvent]
+    stream.toDF()
+      .withColumn("ts", timestamp_micros(col("tsUs")))
+      .withWatermark("ts", delay)
+      .as[TsEvent]
+      .groupByKey(_.key)(Encoders.scalaLong)
+      .flatMapGroupsWithState[StallState, StallEvent](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout) {
+        (key: Long, events: Iterator[TsEvent], state: GroupState[StallState]) =>
+          val out = scala.collection.mutable.ArrayBuffer.empty[StallEvent]
+          if (state.hasTimedOut) {
+            val st = state.get
+            if (!st.stallEmitted) out += StallEvent(key, st.lastTs, st.lastTs + timeoutUs)
+            // no re-arm: one alarm per silence; the key's next event resets
+            state.update(st.copy(stallEmitted = true))
+          } else {
+            // first-ever event raises nothing (stallEmitted starts true)
+            var st = state.getOption.getOrElse(StallState(-1L, true))
+            events.toSeq.sortBy(e => (e.tsUs, e.value)).foreach { e =>
+              if (st.lastTs >= 0 && e.tsUs - st.lastTs > timeoutUs && !st.stallEmitted)
+                out += StallEvent(key, st.lastTs, st.lastTs + timeoutUs)
+              st = StallState(math.max(st.lastTs, e.tsUs), stallEmitted = false)
+            }
+            state.update(st)
+            // ceil to the next ms so the timer NEVER fires before the
+            // µs-exact deadline the event path enforces (chunksTimeout's
+            // rule); clamp above the current watermark or Spark rejects it
+            if (!st.stallEmitted) state.setTimeoutTimestamp(math.max(
+              (st.lastTs + timeoutUs + 999L) / 1000L, state.getCurrentWatermarkMs() + 1))
+          }
+          out.iterator
+      }
+  }
+
   /** A touch (click) or conversion (purchase) event on one key. */
   final case class TouchEvent(key: Long, tsUs: Long, isTouch: Boolean)
 
@@ -521,7 +602,10 @@ object StreamingOps {
     * `valueCentsCol` must already be exact integer cents (long).
     * Exactness domain: |cents| ≲ 3.16e9 (x⁴ must fit DECIMAL(38,0));
     * beyond it s4 nulls out loudly rather than wrapping — squaring is
-    * done IN decimal precisely so no long×long wrap can precede that.
+    * done IN decimal precisely so no long×long wrap can precede that,
+    * and S1 too is summed IN decimal (a plain long sum would wrap
+    * silently once n·|cents| passes 2^63, which a long-lived stream
+    * reaches long before the per-element domain does).
     */
   def moments(stream: DataFrame, keyCol: String, valueCentsCol: String): DataFrame = {
     val d38 = "decimal(38,0)"
@@ -532,16 +616,16 @@ object StreamingOps {
       .withColumn("__x2", (col("__x").cast(d38) * col("__x")).cast(d38))
       .groupBy("k")
       .agg(count(lit(1)).as("n"),
-        sum(col("__x")).as("s1"),
+        sum(col("__x").cast(d38)).as("s1"),
         sum(col("__x2").cast(d38)).as("s2"),
         sum((col("__x2").cast(d38) * col("__x")).cast(d38)).as("s3"),
         sum((col("__x2").cast(d38) * col("__x2")).cast(d38)).as("s4"))
       .withColumn("m2num",
-        expr(s"cast(cast(n as $d38) * s2 - cast(s1 as $d38) * cast(s1 as $d38) as $d38)"))
+        expr(s"cast(cast(n as $d38) * s2 - s1 * s1 as $d38)"))
       .withColumn("m3num",
         expr(s"""cast(cast(n as $d38) * cast(n as $d38) * s3
-                  - 3 * cast(n as $d38) * s2 * cast(s1 as $d38)
-                  + 2 * cast(s1 as $d38) * cast(s1 as $d38) * cast(s1 as $d38) as $d38)"""))
+                  - 3 * cast(n as $d38) * s2 * s1
+                  + 2 * s1 * s1 * s1 as $d38)"""))
       .withColumn("skew_sign", signum(col("m3num")).cast("long"))
   }
 

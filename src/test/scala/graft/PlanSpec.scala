@@ -325,6 +325,10 @@ class PlanSpec extends SparkSpecBase {
       // repartition(tok) exchange, + the 2 rescore sides riding ONE
       // repartition(id) exchange → 2 runtime tokenize evaluations
       "q_prefix_jaccard" -> 6,
+      // the sliced decade-up parity twin runs the IDENTICAL pipeline
+      // over the checkpointed md5 doc slice — same 6 logical sites,
+      // same 2 runtime evaluations
+      "q_prefix_jaccard_sliced" -> 6,
       // typo-pairs: variant join a/b sides each contain the vocab
       // tokenize + the noisy-injection tokenize (2×2 logical), all on
       // one shared variant exchange → 1 runtime evaluation per side

@@ -110,14 +110,17 @@ class Round11OpsSpec extends SparkSpecBase {
       val n = BigInt(v.size)
       val s1 = v.sum; val s2 = v.map(x => x * x).sum
       val s3 = v.map(x => x * x * x).sum; val s4 = v.map(x => x * x * x * x).sum
-      assert(BigInt(r.getAs[Long]("n")) == n && BigInt(r.getAs[Long]("s1")) == s1)
-      assert(BigInt(r.getAs[java.math.BigDecimal]("s2").toBigInteger) == s2)
-      assert(BigInt(r.getAs[java.math.BigDecimal]("s3").toBigInteger) == s3)
-      assert(BigInt(r.getAs[java.math.BigDecimal]("s4").toBigInteger) == s4)
+      assert(BigInt(r.getAs[Long]("n")) == n)
+      // the big sums cross the contract surface as canonical digit
+      // strings (see qMoments scaladoc) — parse and compare exactly
+      assert(BigInt(r.getAs[String]("s1")) == s1)
+      assert(BigInt(r.getAs[String]("s2")) == s2)
+      assert(BigInt(r.getAs[String]("s3")) == s3)
+      assert(BigInt(r.getAs[String]("s4")) == s4)
       val m2 = n * s2 - s1 * s1
       val m3 = n * n * s3 - 3 * n * s2 * s1 + 2 * s1 * s1 * s1
-      assert(BigInt(r.getAs[java.math.BigDecimal]("m2num").toBigInteger) == m2)
-      assert(BigInt(r.getAs[java.math.BigDecimal]("m3num").toBigInteger) == m3)
+      assert(BigInt(r.getAs[String]("m2num")) == m2)
+      assert(BigInt(r.getAs[String]("m3num")) == m3)
       assert(m2 >= 0, "m2num (n^2 * variance) must be nonnegative")
       assert(r.getAs[Long]("skew_sign") == m3.signum.toLong)
     }

@@ -55,6 +55,20 @@ class ScaleUpSpec extends SparkSpecBase {
     assert(r0 == src)
   }
 
+  test("replica 0 is the BIT-identity slice for embeddings") {
+    // a renormalize of replica 0 would round-trip through double and
+    // can flip milli-quantized values the ANN kernels derive from it —
+    // so compare raw float bits, not approximate cosine
+    def vecs(path: String, pred: org.apache.spark.sql.Column) =
+      spark.read.parquet(path).filter(pred)
+        .select("vec_id", "embedding").collect()
+        .map(r => r.getLong(0) -> r.getSeq[Float](1).map(java.lang.Float.floatToRawIntBits).toSeq)
+        .toMap
+    val src = vecs(s"$sfDir/embeddings.parquet", lit(true))
+    val r0 = vecs(s"$out/embeddings.parquet", col("vec_id") < (1L << 40))
+    assert(r0 == src)
+  }
+
   test("document replicas share zero tokens across replicas but keep within-replica token structure") {
     val d = spark.read.parquet(s"$out/documents.parquet")
       .withColumn("r", (col("doc_id") / lit(1L << 40)).cast("long"))

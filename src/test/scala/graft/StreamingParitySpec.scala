@@ -1334,6 +1334,89 @@ class StreamingParitySpec extends SparkSpecBase {
     assert(run("t_ct_rand_delay", Seq(sorted), "30 seconds") == walk(maxTs - 30_000_000L))
   }
 
+  test("timeoutMonitor: one stall per silence via timer OR closing event — split-invariant") {
+    // timeout 60s. key 1 goes silent twice mid-tape and once at the end;
+    // key 2's single silence closes by its own event; key 3 exists to
+    // drive the watermark between key 1's events so the TIMER path (not
+    // just the closing-event path) raises alarms under split feeding.
+    val events = Seq(
+      KeyedEvent(1L, 1_000_000L, 1.0), KeyedEvent(1L, 2_000_000L, 2.0),
+      KeyedEvent(2L, 5_000_000L, 3.0),
+      KeyedEvent(3L, 150_000_000L, 4.0),
+      KeyedEvent(1L, 200_000_000L, 5.0),
+      KeyedEvent(2L, 300_000_000L, 6.0))
+    // key 1: 2s→200s silence; trailing 200s+60s=260s < wm 300s
+    // key 2: 5s→300s silence; trailing 360s > wm 300s → stays open
+    // key 3: trailing 210s < wm 300s
+    val expect = Set(
+      (1L, 2_000_000L, 62_000_000L), (1L, 200_000_000L, 260_000_000L),
+      (2L, 5_000_000L, 65_000_000L), (3L, 150_000_000L, 210_000_000L))
+
+    def run(name: String, batches: Seq[Seq[KeyedEvent]]): Set[(Long, Long, Long)] = {
+      import spark.implicits._
+      implicit val sqlCtx = spark.sqlContext
+      val ms = MemoryStream[KeyedEvent]
+      val q = StreamingOps.timeoutMonitor(ms.toDS(), 60_000_000L).toDF().writeStream
+        .format("memory").queryName(name).outputMode(OutputMode.Append()).start()
+      try batches.foreach { b => ms.addData(b); q.processAllAvailable() } finally q.stop()
+      spark.table(name).collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    }
+    // one batch: every mid-tape silence closes via the EVENT path, tails
+    // via the no-data batch after the watermark lands at 300s
+    assert(run("t_stall_one", Seq(events)) == expect)
+    // split so key 3's 150s event advances the watermark past key 1's
+    // 62s deadline BEFORE key 1's 200s event arrives: the timer raises
+    // the alarm first, and the later event must NOT duplicate it
+    val split = Seq(events.take(3), Seq(events(3)), Seq(events(4)), Seq(events(5)))
+    assert(run("t_stall_split", split) == expect)
+  }
+
+  test("timeoutMonitor matches an independent batch walk on a random tape, for any batching") {
+    // second-granularity timestamps keep µs→ms timer arithmetic away
+    // from rounding edges (chunksTimeout's discipline); the walk is the
+    // operator's spec: one stall per consecutive-pair gap > timeout,
+    // plus a trailing stall when the tape's final watermark strictly
+    // passed lastSeen + timeout
+    val rnd = new scala.util.Random(47)
+    val tape = (1 to 70).map { _ =>
+      KeyedEvent(1L + rnd.nextInt(4), (1L + rnd.nextInt(900)) * 1_000_000L, rnd.nextInt(100).toDouble)
+    }.distinct
+    val timeoutUs = 120_000_000L
+    def walk(wmUs: Long): Set[(Long, Long, Long)] = tape.groupBy(_.key).flatMap {
+      case (k, evs) =>
+        val ts = evs.map(_.tsUs).distinct.sorted
+        val mid = ts.zip(ts.tail).collect {
+          case (a, b) if b - a > timeoutUs => (k, a, a + timeoutUs)
+        }
+        val tail = if (wmUs / 1000L > (ts.last + timeoutUs) / 1000L)
+          Seq((k, ts.last, ts.last + timeoutUs)) else Nil
+        mid ++ tail
+    }.toSet
+    val sorted = tape.sortBy(e => (e.tsUs, e.value))
+    val maxTs = tape.map(_.tsUs).max
+
+    def run(name: String, batches: Seq[Seq[KeyedEvent]],
+        delay: String = "0 seconds"): Set[(Long, Long, Long)] = {
+      import spark.implicits._
+      implicit val sqlCtx = spark.sqlContext
+      val ms = MemoryStream[KeyedEvent]
+      val q = StreamingOps.timeoutMonitor(ms.toDS(), timeoutUs, delay).toDF().writeStream
+        .format("memory").queryName(name).outputMode(OutputMode.Append()).start()
+      try batches.foreach { b => ms.addData(b); q.processAllAvailable() } finally q.stop()
+      spark.table(name).collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    }
+    val expect = walk(maxTs)
+    assert(expect.nonEmpty, "tape failed to produce any silence period")
+    assert(run("t_stall_rand1", Seq(sorted)) == expect)
+    val cut1 = 1 + rnd.nextInt(sorted.size - 2)
+    val cut2 = cut1 + 1 + rnd.nextInt(sorted.size - cut1 - 1)
+    assert(run("t_stall_rand3",
+      Seq(sorted.take(cut1), sorted.slice(cut1, cut2), sorted.drop(cut2))) == expect)
+    // a 60s watermark delay holds back exactly the tail stalls whose
+    // deadline the delayed watermark no longer passes
+    assert(run("t_stall_rand_delay", Seq(sorted), "60 seconds") == walk(maxTs - 60_000_000L))
+  }
+
   test("ewma + cusum are batching-invariant on a random tape (any micro-batch cuts)") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
@@ -1485,7 +1568,7 @@ class StreamingParitySpec extends SparkSpecBase {
       q.stop()
       spark.table(name).collect().map { r =>
         def big(i: Int): BigInt = BigInt(r.getDecimal(i).toBigInteger)
-        r.getString(0) -> ((r.getLong(1), BigInt(r.getLong(2)), big(3), big(4), big(5),
+        r.getString(0) -> ((r.getLong(1), big(2), big(3), big(4), big(5),
           big(6), big(7), r.getLong(8)))
       }.toMap
     }
