@@ -106,7 +106,11 @@ object Bench {
     // the orderkey solo pass (Q21), chained-window funnel, lead-based
     // retention, and the fenced tf/df share (tfidf)
     "q17_smallqty", "q20_excess", "q21_blame", "q_funnel", "q_retention",
-    "q_tfidf_topterms")
+    "q_tfidf_topterms",
+    // round-12 additions: the zero-exchange HOF run-length fold over a
+    // row-local sorted array, and the bit-interleave key + tiny-bucket
+    // partial agg — two map-dominated cost shapes new to the set
+    "q_diversity", "q_zorder")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -216,6 +220,10 @@ object Bench {
     * for the second streaming tape; the smallest SF reuses itself.
     */
   private def smallerSf(sfDir: String): String = {
+    // The ScaleUp rehearsal dir steps down to the real sf0.1 it was
+    // generated from, so the decade-up streaming pass gets the same
+    // two-tape intercept/slope split as the driver's sf0.1 runs.
+    if (sfDir.endsWith("testdata_sf1")) return "/root/testdata/sf0.1"
     val steps = Seq("sf0.1" -> "sf0.01", "sf0.01" -> "sf0.001")
     steps.collectFirst { case (big, small) if sfDir.endsWith(big) =>
       sfDir.stripSuffix(big) + small }.getOrElse(sfDir)

@@ -7986,6 +7986,120 @@ object Queries {
               CAST(c0 * (u1 - c1) AS BIGINT) AS odds_den
             FROM p"""))
 
+  /** Lexical diversity per doc: the inverse-Simpson "effective
+    * vocabulary size" and its collision-mass complement (Simpson 1949;
+    * the Rényi-2 exponential), the repetition signal that L∞
+    * (q_repetition's top-token share) and type/token ratio (q_ttr)
+    * both miss — a doc can have low top-token share and high TTR yet
+    * still concentrate mass in a few mid-rank tokens, which is what
+    * Σp² sees. All-integer: coll_micro = Σc²·10⁶ div n², and
+    * eff_types_milli = n²·10³ div Σc² (= 10³/Σp², the effective number
+    * of types ×1000), exact on both engines (exactness domain:
+    * per-doc n ≤ ~3·10⁶ tokens keeps n²·10⁶ under 2⁶³ — a 100 TB
+    * corpus bounds per-DOC length, not corpus size, so the domain is
+    * the realistic one).
+    *
+    * Shape: map-only — tokens sort WITHIN the row and a single
+    * higher-order `aggregate` fold over the sorted array computes
+    * run-lengths (type count + Σc²) with zero exchanges and zero
+    * per-token rows; output is one row per doc off the scan. The
+    * oracle takes the orthodox unnest + GROUP BY route to the same
+    * integers, so the fold itself is cross-checked.
+    */
+  private val qDiversity = GraftQuery(
+    "q_diversity",
+    (s, dir) => {
+      val fold =
+        """aggregate(
+             __st,
+             named_struct('prev', cast(null as string), 'run', 0L, 'types', 0L, 'ss', 0L),
+             (acc, x) -> if(acc.prev is null,
+                            named_struct('prev', x, 'run', 1L, 'types', 1L, 'ss', 0L),
+                            if(x = acc.prev,
+                               named_struct('prev', x, 'run', acc.run + 1L, 'types', acc.types, 'ss', acc.ss),
+                               named_struct('prev', x, 'run', 1L, 'types', acc.types + 1L, 'ss', acc.ss + acc.run * acc.run))),
+             acc -> named_struct('types', acc.types, 'ss', acc.ss + acc.run * acc.run))"""
+      t(s, dir, "documents")
+        .select(col("doc_id"), array_sort(TextFns.tokensFast(col("text"))).as("__st"))
+        .filter(size(col("__st")) > 0)
+        .withColumn("__n", size(col("__st")).cast("long"))
+        .withColumn("__f", expr(fold))
+        .select(col("doc_id"), col("__n").as("n_tokens"),
+          col("__f.types").as("n_types"),
+          expr("__f.ss * 1000000 div (__n * __n)").as("coll_micro"),
+          expr("__n * __n * 1000 div __f.ss").as("eff_types_milli"))
+    },
+    Some(s"""WITH t0 AS (SELECT doc_id, $toksSql AS tk FROM documents),
+            tok AS (SELECT doc_id, unnest(tk) AS t FROM t0 WHERE len(tk) > 0),
+            cnt AS (SELECT doc_id, t, count(*) AS c FROM tok GROUP BY doc_id, t),
+            agg AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+                      CAST(count(*) AS BIGINT) AS n_types,
+                      CAST(sum(c * c) AS BIGINT) AS ss
+                    FROM cnt GROUP BY doc_id)
+            SELECT doc_id, n_tokens, n_types,
+              CAST(ss * 1000000 // (n_tokens * n_tokens) AS BIGINT) AS coll_micro,
+              CAST(n_tokens * n_tokens * 1000 // ss AS BIGINT) AS eff_types_milli
+            FROM agg"""))
+
+  /** Z-order clustering key + layout audit (Morton 1966; the
+    * multi-dimensional clustering behind Delta/Iceberg Z-ORDER BY):
+    * interleave the low 16 bits of two predicate dimensions
+    * (user bucket, value cents clamped to [0, 65535]) into one 32-bit
+    * Morton key, bucket
+    * rows by its top 10 bits, and report per-bucket count + min/max of
+    * BOTH dims and the summed span — the zone-map audit (31n11b) run
+    * against the layout a Z-ORDER rewrite WOULD produce. A
+    * single-dimension sort gives tight zones on one predicate column
+    * and full-range zones on every other; the Morton key bounds both
+    * spans at once, which is why it is the standard data-skipping
+    * layout for two-predicate scans at 100 TB. Bit-spreading is the
+    * classic mask-and-shift sequence, identical integer ops on both
+    * engines; cents clamp to [0, 65535] so negative values can never
+    * reach the truncate-vs-floor divide divergence or the bit ops.
+    * Shape: map-only key computation + one partial-agg
+    * group-by on the 1024-value bucket — one scan, one tiny exchange,
+    * invariant to fact scale.
+    */
+  private val qZorder = GraftQuery(
+    "q_zorder",
+    (s, dir) => {
+      def spread(c: Column): Column = {
+        val a = c.bitwiseOR(shiftleft(c, 8)).bitwiseAND(lit(16711935L))
+        val b = a.bitwiseOR(shiftleft(a, 4)).bitwiseAND(lit(252645135L))
+        val d = b.bitwiseOR(shiftleft(b, 2)).bitwiseAND(lit(858993459L))
+        d.bitwiseOR(shiftleft(d, 1)).bitwiseAND(lit(1431655765L))
+      }
+      events(s, dir)
+        .select(pmod(abs(col("user_id")), lit(65536L)).as("__ux"),
+          least(greatest(expr("cast(cast(value as decimal(18,2)) * 100 as bigint)"), lit(0L)),
+            lit(65535L)).as("__vy"))
+        .withColumn("__z", spread(col("__ux")).bitwiseOR(shiftleft(spread(col("__vy")), 1)))
+        .groupBy(expr("__z div 4194304").as("zbucket"))
+        .agg(count(lit(1)).as("n"),
+          min("__ux").as("min_u"), max("__ux").as("max_u"),
+          min("__vy").as("min_v"), max("__vy").as("max_v"))
+        .withColumn("span_sum", expr("(max_u - min_u) + (max_v - min_v)"))
+    },
+    Some {
+      def spreadSql(v: String): String = {
+        val a = s"((($v) | (($v) << 8)) & 16711935)"
+        val b = s"(($a | ($a << 4)) & 252645135)"
+        val c = s"(($b | ($b << 2)) & 858993459)"
+        s"(($c | ($c << 1)) & 1431655765)"
+      }
+      s"""WITH e AS (SELECT abs(user_id) % 65536 AS ux,
+                least(greatest(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT), 0), 65535) AS vy
+              FROM events),
+          z AS (SELECT (${spreadSql("ux")} | (${spreadSql("vy")} << 1)) AS zv, ux, vy FROM e),
+          g AS (SELECT zv // 4194304 AS zbucket, CAST(count(*) AS BIGINT) AS n,
+                  min(ux) AS min_u, max(ux) AS max_u,
+                  min(vy) AS min_v, max(vy) AS max_v
+                FROM z GROUP BY 1)
+          SELECT zbucket, n, min_u, max_u, min_v, max_v,
+            CAST((max_u - min_u) + (max_v - min_v) AS BIGINT) AS span_sum
+          FROM g"""
+    })
+
   // =======================================================================
   // Round-12: sliced decade-up parity twins. Same operator chains as
   // their full-corpus originals, over the deterministic md5 1/16 slice
@@ -8237,6 +8351,7 @@ object Queries {
     qTokenCount, qFingerprint, qMultimodalMeta,
     qMultimodalDecode, qResizePlan, qFrameSample, qAudioSegments, qTilePlan, qMixGap,
     q9Profit, q11Stock, qKmvOverlap, qMoments, qEpochPlan, qAbLift,
+    qDiversity, qZorder,
     qDedupClustersSliced, qGroupSplitSliced, qDedupSurvivorsSliced, qDedupPrioSliced,
     qDedupSavingsSliced, qTrianglesSliced, qPrefixJaccardSliced, qCopurchaseSliced)
 

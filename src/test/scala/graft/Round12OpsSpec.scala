@@ -1,0 +1,93 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Semantics of the round-12 operators, verified against independent
+  * in-memory recomputations (BigInt / bit-twiddling brute force)
+  * rather than just the DuckDB oracle hashes: the diversity fold is
+  * re-derived from a Scala token-count map per doc, and the Morton
+  * keys are re-interleaved bit by bit.
+  */
+class Round12OpsSpec extends SparkSpecBase {
+
+  /** Mirror of TextFns.tokens / toksSql: lower, strip [(),";:'.], ws-split. */
+  private def toks(text: String): Seq[String] =
+    text.toLowerCase.replaceAll("""[(),";:'.]""", "").split("""\s+""").filter(_.nonEmpty).toSeq
+
+  test("q_diversity: fold equals the brute-force count-map identities per doc") {
+    val out = Queries.queries("q_diversity")(spark, sfDir).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_tokens"), r.getAs[Long]("n_types"),
+          r.getAs[Long]("coll_micro"), r.getAs[Long]("eff_types_milli"))).toMap
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("text"))
+    var nonTrivial = 0
+    docs.foreach { case (id, text) =>
+      val tk = toks(text)
+      if (tk.isEmpty) assert(!out.contains(id), s"doc $id: empty docs must be absent")
+      else {
+        val counts = tk.groupBy(identity).view.mapValues(_.size.toLong).toMap
+        val n = BigInt(tk.size)
+        val ss = counts.values.map(c => BigInt(c) * c).sum
+        val expected = (tk.size.toLong, counts.size.toLong,
+          (ss * 1000000 / (n * n)).toLong, (n * n * 1000 / ss).toLong)
+        assert(out(id) == expected, s"doc $id: got ${out(id)} want $expected")
+        if (counts.size < tk.size) nonTrivial += 1
+      }
+    }
+    assert(out.size == docs.count { case (_, t) => toks(t).nonEmpty })
+    // the fold's run-length branch must actually execute somewhere
+    assert(nonTrivial > 0, "corpus has no doc with a repeated token — fold untested")
+  }
+
+  test("q_diversity: bounds — types <= tokens, collision mass in (0, 1e6], eff types in [1000, 1000*types]") {
+    val rows = Queries.queries("q_diversity")(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (n, ty, cm, ef) = (r.getAs[Long]("n_tokens"), r.getAs[Long]("n_types"),
+        r.getAs[Long]("coll_micro"), r.getAs[Long]("eff_types_milli"))
+      assert(ty >= 1 && ty <= n)
+      assert(cm > 0 && cm <= 1000000, s"coll_micro $cm out of range")
+      assert(ef >= 1000 - 1 && ef <= 1000L * ty, s"eff_types_milli $ef vs types $ty")
+    }
+  }
+
+  /** Reference bit-interleave: bit i of x lands at 2i, of y at 2i+1. */
+  private def morton(x: Long, y: Long): Long =
+    (0 until 16).foldLeft(0L) { (z, i) =>
+      z | ((x >> i) & 1L) << (2 * i) | ((y >> i) & 1L) << (2 * i + 1)
+    }
+
+  test("q_zorder: buckets equal a brute-force Morton interleave of the same rows") {
+    val out = Queries.queries("q_zorder")(spark, sfDir).collect()
+      .map(r => r.getAs[Long]("zbucket") ->
+        (r.getAs[Long]("n"), r.getAs[Long]("min_u"), r.getAs[Long]("max_u"),
+          r.getAs[Long]("min_v"), r.getAs[Long]("max_v"), r.getAs[Long]("span_sum"))).toMap
+    val rows = eventsDF.select("user_id", "value").collect().map { r =>
+      val ux = math.abs(r.getAs[Long]("user_id")) % 65536
+      val cents = (BigDecimal(r.getAs[Double]("value")).setScale(2) * 100).toLongExact
+      val vy = math.min(math.max(cents, 0L), 65535L)
+      (morton(ux, vy) / 4194304, ux, vy)
+    }
+    val expected = rows.groupBy(_._1).map { case (b, xs) =>
+      val us = xs.map(_._2); val vs = xs.map(_._3)
+      b -> (xs.length.toLong, us.min, us.max, vs.min, vs.max,
+        (us.max - us.min) + (vs.max - vs.min))
+    }
+    assert(out == expected)
+  }
+
+  test("q_zorder: the Morton layout bounds BOTH dim spans per bucket (the data-skipping payoff)") {
+    val rows = Queries.queries("q_zorder")(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      // top-10-bit bucket fixes 5 interleaved bits of each dim, so each
+      // span is bounded by the remaining 11 bits: 2^11 - 1
+      assert(r.getAs[Long]("max_u") - r.getAs[Long]("min_u") <= 2047,
+        s"bucket ${r.getAs[Long]("zbucket")}: u span unbounded")
+      assert(r.getAs[Long]("max_v") - r.getAs[Long]("min_v") <= 2047,
+        s"bucket ${r.getAs[Long]("zbucket")}: v span unbounded")
+    }
+  }
+}
