@@ -6477,30 +6477,46 @@ object Queries {
     * the fraction of word-trigram INSTANCES whose trigram occurs ≥ 2
     * times within that doc, in exact milli-units — the within-document
     * repetition filter ("fraction of chars in duplicate n-grams"
-    * family) that complements the corpus-level dedup queries. One
-    * token pass (fenced), explode to trigram instances, two partial-agg
-    * shuffles both keyed by doc_id — the second reuses the first's
-    * exchange prefix. All quantities are positive integers, so Spark
-    * `div` (truncate) and DuckDB `//` (floor) agree.
+    * family) that complements the corpus-level dedup queries.
+    *
+    * Shape (round-12 rewrite): the statistic is entirely WITHIN one
+    * document, so nothing needs to shuffle — the original
+    * explode → groupBy(doc_id, tri) → groupBy(doc_id) chain carried
+    * every trigram INSTANCE STRING through two exchanges and measured
+    * 21×/decade in the second decade of the sf10 rehearsal (100M
+    * string rows through the fixed-width shuffle; spill-bound). Now
+    * the trigram multiset sorts INSIDE the row and one higher-order
+    * `aggregate` run-length fold (the q_diversity kernel) counts total
+    * and duplicated instances — map-only, ZERO exchanges, one row per
+    * doc off the scan, and per-doc cost is w log w in the doc's own
+    * trigram count, independent of corpus size. All quantities are
+    * positive integers, so Spark `div` (truncate) and DuckDB `//`
+    * (floor) agree.
     */
   private val qDupNgram = GraftQuery(
     "q_dup_ngram",
     (s, dir) => {
-      val tri = Fence.guard(
-          t(s, dir, "documents")
-            .select(col("doc_id"), TextFns.tokensFast(col("text")).as("__toks"), Fence.col))
+      val fold =
+        """aggregate(
+             __tris,
+             named_struct('prev', cast(null as string), 'run', 0L, 'dup', 0L),
+             (acc, x) -> if(acc.prev is null,
+                            named_struct('prev', x, 'run', 1L, 'dup', 0L),
+                            if(x = acc.prev,
+                               named_struct('prev', x, 'run', acc.run + 1L, 'dup', acc.dup),
+                               named_struct('prev', x, 'run', 1L,
+                                 'dup', acc.dup + if(acc.run >= 2L, acc.run, 0L)))),
+             acc -> acc.dup + if(acc.run >= 2L, acc.run, 0L))"""
+      t(s, dir, "documents")
+        .select(col("doc_id"), TextFns.tokensFast(col("text")).as("__toks"))
         .filter(size(col("__toks")) >= 3)
-        .select(col("doc_id"), explode(arrays_zip(
-          slice(col("__toks"), lit(1), size(col("__toks")) - 2),
-          slice(col("__toks"), lit(2), size(col("__toks")) - 2),
-          slice(col("__toks"), lit(3), size(col("__toks")) - 2))).as("p"))
-        .select(col("doc_id"), concat_ws(" ", col("p.0"), col("p.1"), col("p.2")).as("tri"))
-      tri.groupBy("doc_id", "tri").agg(count(lit(1)).as("__c"))
-        .groupBy("doc_id")
-        .agg(sum(col("__c")).as("n_tri"),
-          sum(when(col("__c") >= 2, col("__c")).otherwise(lit(0L))).as("dup_tri"))
-        .select(col("doc_id"), col("n_tri"), col("dup_tri"),
-          expr("(dup_tri * 1000) div n_tri").as("dup_milli"))
+        .withColumn("__tris", array_sort(expr(
+          """transform(sequence(1, size(__toks) - 2),
+               i -> concat_ws(' ', element_at(__toks, i),
+                              element_at(__toks, i + 1), element_at(__toks, i + 2)))""")))
+        .select(col("doc_id"), size(col("__tris")).cast("long").as("n_tri"),
+          expr(fold).as("dup_tri"))
+        .withColumn("dup_milli", expr("(dup_tri * 1000) div n_tri"))
     },
     Some(s"""WITH t0 AS (SELECT doc_id, $toksSql AS tk FROM documents),
              tr AS (SELECT doc_id, unnest(list_transform(range(0, len(tk) - 2),

@@ -1488,4 +1488,62 @@ object StreamingOps {
       watermark: String): DataFrame =
     stream.withWatermark(tsCol, watermark)
       .dropDuplicatesWithinWatermark(keyCols)
+
+  /** A drift-monitored event: the metric owner (event type), the
+    * deterministic cohort source (event id — parity picks the cohort,
+    * the batch q_drift rule), and the metric value.
+    */
+  final case class DriftIn(etype: String, eventId: Long, value: Double)
+
+  /** One drift snapshot per (event type, micro-batch): current cohort
+    * totals and the exact integer total-variation distance in milli.
+    */
+  final case class DriftOut(etype: String, na: Long, nb: Long, tvMilli: Long)
+
+  /** Per-type drift state: the bounded $50-bucket histogram of each
+    * cohort as parallel arrays (schema'd product encoder; bucket count
+    * is bounded by the metric's value domain, NOT the stream length,
+    * so state per key is a few dozen longs forever).
+    */
+  final case class DriftHist(buckets: Array[Long], na: Array[Long], nb: Array[Long])
+
+  /** Streaming distribution-drift monitor — the live twin of the batch
+    * `q_drift` (exact TV distance between the event-id-parity cohorts
+    * of one metric, per event type). Each micro-batch folds its events
+    * into the per-type cohort histograms and emits ONE refreshed
+    * snapshot per touched type (Update mode), computing
+    * tv_milli = Σ_b |na_b·NB − nb_b·NA| · 1000 / (2·NA·NB) in pure
+    * integers — identical to the batch formula, so the last snapshot
+    * per type equals the batch row on the same tape (asserted, with
+    * micro-batch-split invariance, in Round12OpsSpec). While one
+    * cohort is still empty the distributions are vacuously disjoint
+    * and the monitor reports the 1000-milli maximum.
+    */
+  def drift(stream: Dataset[DriftIn]): Dataset[DriftOut] = {
+    implicit val outEnc = Encoders.product[DriftOut]
+    implicit val stEnc = Encoders.product[DriftHist]
+    stream.groupByKey(_.etype)(Encoders.STRING)
+      .flatMapGroupsWithState[DriftHist, DriftOut](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout) {
+        (etype: String, events: Iterator[DriftIn], state: GroupState[DriftHist]) =>
+          val st = state.getOption.getOrElse(
+            DriftHist(Array.empty, Array.empty, Array.empty))
+          val hist = scala.collection.mutable.LinkedHashMap.empty[Long, (Long, Long)]
+          st.buckets.indices.foreach(i => hist(st.buckets(i)) = (st.na(i), st.nb(i)))
+          events.foreach { e =>
+            val b = math.floor(e.value / 50.0).toLong
+            val (a0, b0) = hist.getOrElse(b, (0L, 0L))
+            hist(b) = if (e.eventId % 2 == 0) (a0 + 1, b0) else (a0, b0 + 1)
+          }
+          val ks = hist.keys.toArray
+          state.update(DriftHist(ks, ks.map(k => hist(k)._1), ks.map(k => hist(k)._2)))
+          val na = hist.valuesIterator.map(_._1).sum
+          val nb = hist.valuesIterator.map(_._2).sum
+          val tv =
+            if (na == 0L || nb == 0L) 1000L
+            else hist.valuesIterator.map { case (a, b) => math.abs(a * nb - b * na) }.sum *
+              1000L / (2L * na * nb)
+          Iterator.single(DriftOut(etype, na, nb, tv))
+      }
+  }
 }

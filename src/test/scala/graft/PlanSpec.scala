@@ -716,9 +716,14 @@ class PlanSpec extends SparkSpecBase {
     assert(p.contains("ShuffledHashJoin [cid") || p.contains("SortMergeJoin [cid"), p)
   }
 
-  test("q_dup_ngram: both aggregations ride the doc_id key — no join, no window") {
+  test("q_dup_ngram: map-only row-local fold — no join, no window, ZERO exchanges") {
     val p = planOf(Queries.queries("q_dup_ngram")(spark, sfDir))
     assert(!p.contains("Join") && !p.contains("Window"), p)
+    // the round-12 rewrite: the statistic is within-document, so the
+    // whole query is one scan with zero shuffles (the sf10 rehearsal
+    // measured the old two-exchange trigram-string shuffle at
+    // 21x/decade in its second decade)
+    assert(!p.contains("Exchange"), p)
   }
 
   test("q_ppl_buckets: tier window is keyed by lang, never a global single-partition sort") {

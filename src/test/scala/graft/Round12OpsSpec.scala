@@ -78,6 +78,57 @@ class Round12OpsSpec extends SparkSpecBase {
     assert(out == expected)
   }
 
+  private def driftTape: Seq[graft.streaming.StreamingOps.DriftIn] =
+    eventsDF.select("event_type", "event_id", "value").collect()
+      .map(r => graft.streaming.StreamingOps.DriftIn(
+        r.getAs[String]("event_type"), r.getAs[Long]("event_id"), r.getAs[Double]("value")))
+      .toSeq
+
+  private def runDrift(batches: Seq[Seq[graft.streaming.StreamingOps.DriftIn]],
+      name: String): Map[String, (Long, Long, Long)] = {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.OutputMode
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val ms = MemoryStream[graft.streaming.StreamingOps.DriftIn]
+    val q = graft.streaming.StreamingOps.drift(ms.toDS()).toDF()
+      .writeStream.format("memory").queryName(name).outputMode(OutputMode.Update()).start()
+    batches.foreach { b => ms.addData(b); q.processAllAvailable() }
+    q.stop()
+    // last snapshot per type = the one with the largest cumulative
+    // count (a key only emits when it received events, so its
+    // snapshots grow strictly batch over batch)
+    spark.table(name).collect()
+      .map(r => (r.getAs[String]("etype"),
+        (r.getAs[Long]("na"), r.getAs[Long]("nb"), r.getAs[Long]("tvMilli"))))
+      .groupBy(_._1).map { case (k, xs) => k -> xs.maxBy(x => x._2._1 + x._2._2)._2 }
+  }
+
+  test("streaming drift: final snapshot per type equals the batch q_drift row") {
+    val batch = Queries.queries("q_drift")(spark, sfDir).collect()
+      .map(r => r.getAs[String]("event_type") ->
+        (r.getAs[Long]("na"), r.getAs[Long]("nb"), r.getAs[Long]("tv_milli"))).toMap
+    val got = runDrift(Seq(driftTape), "t_drift_one")
+    assert(got == batch)
+    assert(got.nonEmpty && got.valuesIterator.forall { case (na, nb, tv) =>
+      na > 0 && nb > 0 && tv >= 0 && tv <= 1000 })
+  }
+
+  test("streaming drift: micro-batch split invariance (3-way vs 1-way tape)") {
+    val tape = driftTape
+    val third = math.max(1, tape.length / 3)
+    val split = tape.grouped(third).toSeq
+    assert(split.length >= 3)
+    assert(runDrift(split, "t_drift_split") == runDrift(Seq(tape), "t_drift_whole"))
+  }
+
+  test("streaming drift: one empty cohort reports the 1000-milli maximum") {
+    import graft.streaming.StreamingOps.DriftIn
+    val only = Seq(DriftIn("x", 0L, 10.0), DriftIn("x", 2L, 260.0), DriftIn("x", 4L, 510.0))
+    val got = runDrift(Seq(only), "t_drift_vacuous")
+    assert(got == Map("x" -> ((3L, 0L, 1000L))))
+  }
+
   test("q_zorder: the Morton layout bounds BOTH dim spans per bucket (the data-skipping payoff)") {
     val rows = Queries.queries("q_zorder")(spark, sfDir).collect()
     assert(rows.nonEmpty)
