@@ -108,9 +108,11 @@ object Bench {
     "q17_smallqty", "q20_excess", "q21_blame", "q_funnel", "q_retention",
     "q_tfidf_topterms",
     // round-12 additions: the zero-exchange HOF run-length fold over a
-    // row-local sorted array, and the bit-interleave key + tiny-bucket
-    // partial agg — two map-dominated cost shapes new to the set
-    "q_diversity", "q_zorder")
+    // row-local sorted array, the bit-interleave key + tiny-bucket
+    // partial agg — two map-dominated cost shapes new to the set —
+    // and the TypedImperativeAggregate sketch rollup + broadcast
+    // recount (the KLL quantiles quartet member)
+    "q_diversity", "q_zorder", "q_kll_rollup")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -26,6 +26,9 @@ import graft.plans.{FingerprintExpr, IvfProbesExpr, LangScores, LongArrayEqCount
   *   graft_ngrams(tokens, n)       → array<string> (distinct word n-grams)
   *   graft_token_logit(tokens[, b]) → bigint (hashed linear-model logit)
   *   graft_outer_moments(qv)       → array<bigint> (upper-tri products + components)
+  *   graft_kll_agg(v[, k])         → binary (mergeable KLL quantiles sketch)
+  *   graft_kll_union_agg(sk[, k])  → binary (union of KLL sketches)
+  *   graft_kll_quantile(sk, rank)  → double (quantile estimate)
   */
 object GraftFunctions {
 
@@ -106,6 +109,37 @@ object GraftFunctions {
     ("graft_lang_scores", classOf[LangScores],
       "_FUNC_(tokens) - per-language stopword hit counts (sorted lang order)",
       arity("graft_lang_scores", 1, "(tokens)")(args => LangScores(args.head))),
+    ("graft_kll_agg", classOf[graft.plans.KllSketchAgg],
+      "_FUNC_(v[, k]) - mergeable KLL quantiles sketch of double v (serialized)",
+      (args: Seq[Expression]) => args match {
+        case Seq(v) => graft.plans.KllSketchAgg(v, 200)
+        case Seq(v, k) => graft.plans.KllSketchAgg(v, intLiteral(k, "k"))
+        case _ => throw new IllegalArgumentException("graft_kll_agg(v[, k])")
+      }),
+    ("graft_kll_union_agg", classOf[graft.plans.KllUnionAgg],
+      "_FUNC_(sketch[, k]) - union-merge of serialized KLL sketches",
+      (args: Seq[Expression]) => args match {
+        case Seq(v) => graft.plans.KllUnionAgg(v, 200)
+        case Seq(v, k) => graft.plans.KllUnionAgg(v, intLiteral(k, "k"))
+        case _ => throw new IllegalArgumentException("graft_kll_union_agg(sketch[, k])")
+      }),
+    ("graft_kll_quantile", classOf[graft.plans.KllQuantile],
+      "_FUNC_(sketch, rank) - quantile estimate of a serialized KLL sketch at rank in [0, 1]",
+      (args: Seq[Expression]) => args match {
+        case Seq(v, r) =>
+          val rank = {
+            if (!r.foldable) throw new IllegalArgumentException(
+              s"rank must be a numeric literal, got ${r.sql}")
+            r.eval() match {
+              case n: Number => n.doubleValue()
+              case other: org.apache.spark.sql.types.Decimal => other.toDouble
+              case other => throw new IllegalArgumentException(
+                s"rank must be a numeric literal, got $other")
+            }
+          }
+          graft.plans.KllQuantile(v, rank)
+        case _ => throw new IllegalArgumentException("graft_kll_quantile(sketch, rank)")
+      }),
     ("graft_ivf_probes", classOf[IvfProbesExpr],
       "_FUNC_(qv, centroids, nprobe) - indexes of the nprobe nearest centroids (integer L2)",
       (args: Seq[Expression]) => args match {

@@ -8116,6 +8116,66 @@ object Queries {
           FROM g"""
     })
 
+  /** Mergeable-quantiles ROLLUP via KLL sketches (Karnin-Lang-Liberty
+    * FOCS'16; plans/KllExprs.scala, the DataSketches library Spark
+    * itself ships) — the QUANTILES member of the mergeable-sketch
+    * family, completing the quartet next to HLL distinct (2e2),
+    * Misra-Gries heavy hitters (2f2) and Count-Min frequency (2f5):
+    * per-type sketches build map-side (~kB per group crosses the
+    * exchange, never the value universe), union-merge into ONE global
+    * sketch WITHOUT rescanning the raw values — the way percentiles
+    * ship at 100 TB, where re-sorting per rollup level is not an
+    * option — and answer the global median/p90 afterwards.
+    *
+    * KLL compaction is randomized (the library's design), so the
+    * estimates are not run-deterministic; the oracle-checked contract
+    * is therefore the q_hll_rollup pattern: exact integers (type
+    * count, total count) hash-checked, plus rank-error-band booleans
+    * the oracle expects TRUE — each estimate's EXACT rank interval
+    * [count(v < est), count(v ≤ est)] must overlap the requested rank
+    * ±50 milli, a band ~3× the k=200 sketch's 99%-confidence rank
+    * error, checked tie-robustly by a broadcast recount (the
+    * q_heavy_hitters_verified mechanism). Per-estimate accuracy and
+    * mergeability are additionally asserted in SketchSpec.
+    */
+  private val qKllRollup = GraftQuery(
+    "q_kll_rollup",
+    (s, dir) => {
+      import org.apache.spark.sql.GraftBridge
+      def kllAgg(c: Column): Column = GraftBridge.column(
+        graft.plans.KllSketchAgg(GraftBridge.expression(c), 200).toAggregateExpression())
+      def kllUnion(c: Column): Column = GraftBridge.column(
+        graft.plans.KllUnionAgg(GraftBridge.expression(c), 200).toAggregateExpression())
+      def kllQ(c: Column, r: Double): Column = GraftBridge.column(
+        graft.plans.KllQuantile(GraftBridge.expression(c), r))
+      val vals = events(s, dir).select(col("event_type"), col("value").cast("double").as("__v"))
+      val per = vals.groupBy("event_type")
+        .agg(kllAgg(col("__v")).as("__sk"), count(lit(1)).as("__n"))
+      val g = per
+        .agg(count(lit(1)).as("n_types"), sum(col("__n")).as("n_total"),
+          kllUnion(col("__sk")).as("__gsk"))
+        .select(col("n_types"), col("n_total"),
+          kllQ(col("__gsk"), 0.5).as("__med"), kllQ(col("__gsk"), 0.9).as("__p90"))
+      // tie-robust exact-rank recount: the estimate's rank interval
+      // [count(< est), count(<= est)] must overlap rank ± 50 milli
+      vals.crossJoin(broadcast(g))
+        .groupBy(col("n_types"), col("n_total"))
+        .agg(
+          sum(when(col("__v") < col("__med"), 1L).otherwise(0L)).as("__ltm"),
+          sum(when(col("__v") <= col("__med"), 1L).otherwise(0L)).as("__lem"),
+          sum(when(col("__v") < col("__p90"), 1L).otherwise(0L)).as("__ltp"),
+          sum(when(col("__v") <= col("__p90"), 1L).otherwise(0L)).as("__lep"))
+        .select(col("n_types"), col("n_total"),
+          (col("__ltm") * 1000 <= col("n_total") * 550 &&
+            col("__lem") * 1000 >= col("n_total") * 450).as("med_within_band"),
+          (col("__ltp") * 1000 <= col("n_total") * 950 &&
+            col("__lep") * 1000 >= col("n_total") * 850).as("p90_within_band"))
+    },
+    Some("""SELECT CAST(count(DISTINCT event_type) AS BIGINT) AS n_types,
+              CAST(count(*) AS BIGINT) AS n_total,
+              TRUE AS med_within_band, TRUE AS p90_within_band
+            FROM events"""))
+
   // =======================================================================
   // Round-12: sliced decade-up parity twins. Same operator chains as
   // their full-corpus originals, over the deterministic md5 1/16 slice
@@ -8367,7 +8427,7 @@ object Queries {
     qTokenCount, qFingerprint, qMultimodalMeta,
     qMultimodalDecode, qResizePlan, qFrameSample, qAudioSegments, qTilePlan, qMixGap,
     q9Profit, q11Stock, qKmvOverlap, qMoments, qEpochPlan, qAbLift,
-    qDiversity, qZorder,
+    qDiversity, qZorder, qKllRollup,
     qDedupClustersSliced, qGroupSplitSliced, qDedupSurvivorsSliced, qDedupPrioSliced,
     qDedupSavingsSliced, qTrianglesSliced, qPrefixJaccardSliced, qCopurchaseSliced)
 

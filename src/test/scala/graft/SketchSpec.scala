@@ -174,4 +174,74 @@ class SketchSpec extends SparkSpecBase {
       }
     }
   }
+
+  // ---- KLL mergeable quantiles (plans/KllExprs.scala) ----
+
+  private def kllCol(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    org.apache.spark.sql.GraftBridge.column(
+      graft.plans.KllSketchAgg(org.apache.spark.sql.GraftBridge.expression(c), 200)
+        .toAggregateExpression())
+  private def kllQuantile(c: org.apache.spark.sql.Column, r: Double): org.apache.spark.sql.Column =
+    org.apache.spark.sql.GraftBridge.column(
+      graft.plans.KllQuantile(org.apache.spark.sql.GraftBridge.expression(c), r))
+
+  test("KLL sketch: quantile estimates sit within 3% rank error of exact, per event type") {
+    val vals = ev.select(col("event_type"), col("value").cast("double").as("v"))
+    val sk = vals.groupBy("event_type").agg(kllCol(col("v")).as("sk"))
+      .select(col("event_type"),
+        kllQuantile(col("sk"), 0.25).as("q25"),
+        kllQuantile(col("sk"), 0.5).as("q50"),
+        kllQuantile(col("sk"), 0.9).as("q90"))
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2), r.getDouble(3))).toMap
+    val byType = vals.collect().map(r => r.getString(0) -> r.getDouble(1))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
+    assert(sk.nonEmpty && sk.keySet == byType.keySet)
+    sk.foreach { case (t, (q25, q50, q90)) =>
+      val xs = byType(t); val n = xs.length.toDouble
+      def rankOf(v: Double): Double = xs.count(_ <= v) / n
+      // k=200 gives ~1.65% rank error at 99% confidence; 3% is the slack band
+      assert(math.abs(rankOf(q25) - 0.25) <= 0.03, s"$t q25=$q25 rank=${rankOf(q25)}")
+      assert(math.abs(rankOf(q50) - 0.50) <= 0.03, s"$t q50=$q50 rank=${rankOf(q50)}")
+      assert(math.abs(rankOf(q90) - 0.90) <= 0.03, s"$t q90=$q90 rank=${rankOf(q90)}")
+    }
+  }
+
+  test("KLL union: merged per-type sketches answer GLOBAL quantiles within 3% rank error") {
+    val vals = ev.select(col("event_type"), col("value").cast("double").as("v"))
+    val per = vals.groupBy("event_type").agg(kllCol(col("v")).as("sk"))
+    val union = org.apache.spark.sql.GraftBridge.column(
+      graft.plans.KllUnionAgg(
+        org.apache.spark.sql.GraftBridge.expression(col("sk")), 200).toAggregateExpression())
+    val g = per.agg(union.as("gsk"))
+      .select(kllQuantile(col("gsk"), 0.5).as("q50"), kllQuantile(col("gsk"), 0.9).as("q90"))
+      .collect().head
+    val xs = vals.select("v").collect().map(_.getDouble(0)).sorted
+    val n = xs.length.toDouble
+    def rankOf(v: Double): Double = xs.count(_ <= v) / n
+    assert(math.abs(rankOf(g.getDouble(0)) - 0.5) <= 0.03, s"union q50=${g.getDouble(0)}")
+    assert(math.abs(rankOf(g.getDouble(1)) - 0.9) <= 0.03, s"union q90=${g.getDouble(1)}")
+  }
+
+  test("KLL SQL surface: graft_kll_agg / graft_kll_union_agg / graft_kll_quantile") {
+    GraftFunctions.register(spark)
+    ev.select(col("event_type"), col("value").cast("double").as("v"))
+      .createOrReplaceTempView("kll_ev")
+    val row = spark.sql(
+      """SELECT graft_kll_quantile(graft_kll_union_agg(sk), 0.5) AS med,
+               CAST(sum(n) AS BIGINT) AS n_total
+         FROM (SELECT graft_kll_agg(v) AS sk, count(*) AS n FROM kll_ev GROUP BY event_type)"""
+    ).collect().head
+    val xs = ev.select(col("value").cast("double")).collect().map(_.getDouble(0)).sorted
+    assert(row.getLong(1) == xs.length)
+    val frac = xs.count(_ <= row.getDouble(0)).toDouble / xs.length
+    assert(math.abs(frac - 0.5) <= 0.03, s"sql med=${row.getDouble(0)} rank=$frac")
+  }
+
+  test("q_kll_rollup: exact counts match; both rank bands true") {
+    val r = Queries.queries("q_kll_rollup")(spark, sfDir).collect()
+    assert(r.length == 1)
+    val row = r.head
+    assert(row.getAs[Long]("n_total") == ev.count())
+    assert(row.getAs[Boolean]("med_within_band") && row.getAs[Boolean]("p90_within_band"))
+  }
 }
