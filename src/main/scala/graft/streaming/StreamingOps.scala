@@ -1489,6 +1489,47 @@ object StreamingOps {
     stream.withWatermark(tsCol, watermark)
       .dropDuplicatesWithinWatermark(keyCols)
 
+  /** Per-key live-quantile state: the serialized KLL sketch (heapified
+    * once per key per MICRO-BATCH, never per row — the
+    * TypedImperativeAggregate economics carried into streaming state).
+    */
+  final case class KllState(bytes: Array[Byte])
+
+  /** One quantile snapshot per (key, micro-batch): events seen so far
+    * and the current p50/p90 estimates.
+    */
+  final case class QuantileSnap(key: Long, n: Long, q50: Double, q90: Double)
+
+  /** Streaming per-key quantile monitor — the live twin of the batch
+    * KLL rollup (`q_kll_rollup`, plans/KllExprs.scala): per-key KLL
+    * sketch state (a few kB per key FOREVER, independent of stream
+    * length — the constant-memory property that makes percentiles
+    * streamable at all), one refreshed p50/p90 snapshot per touched
+    * key per micro-batch in Update mode. KLL compaction is randomized,
+    * so snapshots are rank-band-accurate rather than bit-deterministic
+    * across batchings; `n` IS exact and batching-invariant. Accuracy
+    * bands + exact-n invariance asserted in Round12OpsSpec.
+    */
+  def quantiles(stream: Dataset[KeyedEvent], k: Int = 200): Dataset[QuantileSnap] = {
+    import org.apache.datasketches.kll.KllDoublesSketch
+    import org.apache.datasketches.memory.Memory
+    implicit val outEnc = Encoders.product[QuantileSnap]
+    implicit val stEnc = Encoders.product[KllState]
+    stream.groupByKey(_.key)(Encoders.scalaLong)
+      .flatMapGroupsWithState[KllState, QuantileSnap](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout) {
+        (key: Long, events: Iterator[KeyedEvent], state: GroupState[KllState]) =>
+          val sk = state.getOption
+            .map(s => KllDoublesSketch.heapify(Memory.wrap(s.bytes)))
+            .getOrElse(KllDoublesSketch.newHeapInstance(k))
+          events.foreach(e => sk.update(e.value))
+          state.update(KllState(sk.toByteArray))
+          if (sk.isEmpty) Iterator.empty
+          else Iterator.single(
+            QuantileSnap(key, sk.getN, sk.getQuantile(0.5), sk.getQuantile(0.9)))
+      }
+  }
+
   /** A drift-monitored event: the metric owner (event type), the
     * deterministic cohort source (event id — parity picks the cohort,
     * the batch q_drift rule), and the metric value.

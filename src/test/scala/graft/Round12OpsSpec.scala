@@ -129,6 +129,47 @@ class Round12OpsSpec extends SparkSpecBase {
     assert(got == Map("x" -> ((3L, 0L, 1000L))))
   }
 
+  private def runQuantiles(batches: Seq[Seq[graft.streaming.KeyedEvent]],
+      name: String): Map[Long, (Long, Double, Double)] = {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.OutputMode
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val ms = MemoryStream[graft.streaming.KeyedEvent]
+    val q = graft.streaming.StreamingOps.quantiles(ms.toDS()).toDF()
+      .writeStream.format("memory").queryName(name).outputMode(OutputMode.Update()).start()
+    batches.foreach { b => ms.addData(b); q.processAllAvailable() }
+    q.stop()
+    spark.table(name).collect()
+      .map(r => (r.getAs[Long]("key"),
+        (r.getAs[Long]("n"), r.getAs[Double]("q50"), r.getAs[Double]("q90"))))
+      .groupBy(_._1).map { case (k, xs) => k -> xs.maxBy(_._2._1)._2 }
+  }
+
+  test("streaming quantiles: exact n per key; p50/p90 within 5% rank error; n batching-invariant") {
+    val tape = eventsDF.select("user_id", "ts", "value").collect().map(r =>
+      graft.streaming.KeyedEvent(r.getAs[Long]("user_id"),
+        r.getAs[java.sql.Timestamp]("ts").getTime * 1000L, r.getAs[Double]("value"))).toSeq
+    val byKey = tape.groupBy(_.key).view.mapValues(_.map(_.value).sorted).toMap
+    val whole = runQuantiles(Seq(tape), "t_kll_whole")
+    val split = runQuantiles(tape.grouped(math.max(1, tape.length / 4)).toSeq, "t_kll_split")
+    assert(whole.keySet == byKey.keySet && split.keySet == byKey.keySet)
+    // n is exact and invariant to micro-batching; estimates are
+    // rank-banded (KLL compaction is randomized, so not bitwise)
+    byKey.foreach { case (k, xs) =>
+      assert(whole(k)._1 == xs.length && split(k)._1 == xs.length, s"key $k: n")
+      val n = xs.length.toDouble
+      for ((got, label) <- Seq(whole(k) -> "whole", split(k) -> "split")) {
+        val r50 = xs.count(_ <= got._2) / n
+        val r90 = xs.count(_ <= got._3) / n
+        // small per-key streams (sf0.001: tens of events/key) quantize
+        // rank in 1/n steps; 5% + one step covers the discretization
+        assert(math.abs(r50 - 0.5) <= 0.05 + 1.0 / n, s"key $k $label p50 rank $r50")
+        assert(math.abs(r90 - 0.9) <= 0.10 + 1.0 / n, s"key $k $label p90 rank $r90")
+      }
+    }
+  }
+
   test("q_zorder: the Morton layout bounds BOTH dim spans per bucket (the data-skipping payoff)") {
     val rows = Queries.queries("q_zorder")(spark, sfDir).collect()
     assert(rows.nonEmpty)
