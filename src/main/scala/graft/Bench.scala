@@ -334,9 +334,25 @@ object Bench {
       finally q.stop()
       "hll_distinct" -> (System.nanoTime() - t0) / 1e9
     }
+    val drift: (String, Double) = {
+      // drift twin streams (type, id, value) triples; derive the type
+      // from the key bucket so per-type histogram traffic is data-shaped
+      val ms = MemoryStream[StreamingOps.DriftIn]
+      val recs = tape.zipWithIndex.map { case (e, i) =>
+        StreamingOps.DriftIn((e.key % 8).toString, i.toLong, e.value) }
+      val rb = recs.grouped(math.max(1, recs.length / 10)).map(_.toSeq).toSeq
+      val t0 = System.nanoTime()
+      val q = StreamingOps.drift(ms.toDS()).toDF().writeStream.format("noop")
+        .outputMode(OutputMode.Update()).start()
+      try rb.foreach { b => ms.addData(b); q.processAllAvailable() }
+      finally q.stop()
+      "drift" -> (System.nanoTime() - t0) / 1e9
+    }
     val res = Seq(
       run("chunks_timeout", OutputMode.Append())(ds =>
         StreamingOps.chunksTimeout(ds, 32, 3_600_000_000L).toDF()),
+      run("quantiles", OutputMode.Update())(ds =>
+        StreamingOps.quantiles(ds).toDF()),
       run("sessionize", OutputMode.Append())(ds =>
         StreamingOps.sessionize(ds, 1_800_000_000L).toDF()),
       run("throttle", OutputMode.Append())(ds =>
@@ -351,7 +367,7 @@ object Bench {
         StreamingOps.cusum(ds, targetCents = 10_000L, thresholdCents = 100_000L).toDF()),
       run("trend_slope", OutputMode.Append())(ds =>
         StreamingOps.trendSlope(ds).toDF()),
-      cms, asof, funnel, hll)
+      cms, asof, funnel, hll, drift)
     val secs = res.map { case (k, v) => f""""$k":$v%.3f""" }.mkString("{", ",", "}")
     val rps = res.map { case (k, v) =>
       f""""$k":${if (v > 0) tape.length / v else 0.0}%.0f""" }.mkString("{", ",", "}")
