@@ -161,70 +161,162 @@ object Bench {
       System.gc()  // drop warmup garbage so timed runs don't pay its GC
     }
 
-    // Best-of-N per query (default 3), matching BASELINE.md's
-    // best-of-6-min methodology: the min isolates steady-state plan
-    // cost from one-off JIT/GC noise. State persists ACROSS trials of
-    // one query (that is the steady state being measured) and is swept
-    // BETWEEN queries (so no query's timing depends on bench position).
-    val trials = sys.env.getOrElse("SPARK_GRAFT_TRIALS", "3").toInt
-    val results = headline.flatMap { name =>
-      SparkEntry.queries.get(name).map { fn =>
-        sweep()
-        try {
-          val times = (1 to trials).map { _ =>
-            val t0 = System.nanoTime()
-            materialize(fn(spark, sfDir))
-            (System.nanoTime() - t0) / 1e9
+    // Best-of-N per query (default 2) inside each sweep, and (round 13)
+    // MIN ACROSS ≥2 FULL SWEEPS (default 2) for the canonical line:
+    // back-to-back trials isolate one-off JIT/GC noise, but an
+    // ambient-load window (another process on the box during one
+    // sweep) inflates every trial of a query the same way — the
+    // r10/r11/r12 outlier pattern that cost three rounds of isolated
+    // re-run adjudication. Two sweeps separated by the full pass put
+    // each query in two distant time windows; the per-query min is the
+    // steady-state plan cost unless the load spanned the whole run.
+    // State persists ACROSS trials of one query (that is the steady
+    // state being measured) and is swept BETWEEN queries (so no
+    // query's timing depends on bench position). Each sweep's own full
+    // record is also written durably, so the canonical min stays
+    // auditable against its inputs.
+    val trials = sys.env.getOrElse("SPARK_GRAFT_TRIALS", "2").toInt
+    val sweeps = sys.env.getOrElse("SPARK_GRAFT_SWEEPS", "2").toInt
+    val streamOn = sys.env.getOrElse("SPARK_GRAFT_STREAM", "1") != "0"
+    val sfName = sfDir.split('/').last
+    val round = sys.env.get("SPARK_GRAFT_ROUND").orElse(nextRound()).getOrElse("x")
+    // dev subset/skip runs must not shadow the round's canonical file
+    val suffix = if (only.isDefined || skip.nonEmpty) "_subset" else ""
+
+    def runSweep(): (Seq[(String, Either[String, Double])], Option[StreamRes], Option[StreamRes]) = {
+      val results = headline.flatMap { name =>
+        SparkEntry.queries.get(name).map { fn =>
+          sweep()
+          try {
+            val times = (1 to trials).map { _ =>
+              val t0 = System.nanoTime()
+              materialize(fn(spark, sfDir))
+              (System.nanoTime() - t0) / 1e9
+            }
+            name -> (Right(times.min): Either[String, Double])
+          } catch {
+            case e: Throwable => name -> (Left(e.getClass.getSimpleName): Either[String, Double])
           }
-          name -> Right(times.min)
-        } catch {
-          case e: Throwable => name -> Left(e.getClass.getSimpleName)
         }
       }
+      // Two tape sizes (the bench SF and the next SF down) so streaming
+      // rows/s regressions surface round-over-round the way batch ones
+      // do — one size can't distinguish fixed micro-batch latency from
+      // per-row cost; two sizes separate the intercept from the slope.
+      def streamAt(dir: String): Option[StreamRes] = {
+        sweep()
+        try Some(streamingSection(spark, dir))
+        catch { case _: Throwable => None }
+      }
+      val (st, stSmall) =
+        if (!streamOn) (None, None) else (streamAt(sfDir), streamAt(smallerSf(sfDir)))
+      (results, st, stSmall)
     }
-    val ok = results.collect { case (n, Right(s)) => n -> s }
-    val err = results.collect { case (n, Left(m)) => n -> m }
-    val qs = ok.map { case (k, v) => f""""$k":$v%.3f""" }.mkString("{", ",", "}")
-    val errs = err.map { case (k, m) => s""""$k":"$m"""" }.mkString("{", ",", "}")
-    val total = ok.map(_._2).sum
-    // Two tape sizes (the bench SF and the next SF down) so streaming
-    // rows/s regressions surface round-over-round the way batch ones
-    // do — one size can't distinguish fixed micro-batch latency from
-    // per-row cost; two sizes separate the intercept from the slope.
-    def streamAt(dir: String): String = {
-      sweep()
-      try streamingSection(spark, dir)
-      catch { case e: Throwable => s"""{"error":"${e.getClass.getSimpleName}"}""" }
+
+    def renderSweep(r: (Seq[(String, Either[String, Double])], Option[StreamRes], Option[StreamRes])): String = {
+      val ok = r._1.collect { case (n, Right(s)) => n -> s }
+      val err = r._1.collect { case (n, Left(m)) => n -> m }
+      json(ok, err, r._2, r._3, sfDir, sweeps = 1)
     }
-    val (streaming, streamingSmall) =
-      if (sys.env.getOrElse("SPARK_GRAFT_STREAM", "1") == "0") ("{}", "{}")
-      else (streamAt(sfDir), streamAt(smallerSf(sfDir)))
-    val json =
-      s"""{"metric":"headline_total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"streaming":$streaming,"streaming_small":$streamingSmall,"sf":"$sfDir"}"""
-    println(json)
+
+    val all = (1 to sweeps).map { i =>
+      val r = runSweep()
+      // each sweep's full record lands durably before the next starts,
+      // so a crash mid-run never loses the completed sweep
+      durableWrite(s"bench_${sfName}_r$round${suffix}_run$i", renderSweep(r))
+      r
+    }
+    // canonical = per-query min over the sweeps (a query erroring in
+    // one sweep but timed in another keeps its timing; erroring in all
+    // sweeps keeps the last error marker)
+    val names = headline.filter(SparkEntry.queries.contains)
+    val merged: Seq[(String, Either[String, Double])] = names.map { n =>
+      val per = all.flatMap(_._1.collect { case (`n`, v) => v })
+      val oks = per.collect { case Right(s) => s }
+      if (oks.nonEmpty) n -> Right(oks.min)
+      else n -> per.lastOption.getOrElse(Left("missing"))
+    }
+    def mergeStream(sel: ((Seq[(String, Either[String, Double])], Option[StreamRes], Option[StreamRes])) => Option[StreamRes]): Option[StreamRes] = {
+      val rs = all.flatMap(r => sel(r))
+      if (rs.isEmpty) None
+      else Some(StreamRes(rs.head.rows, rs.head.sf,
+        rs.head.ops.map(_._1).map { op =>
+          op -> rs.flatMap(_.ops.collect { case (`op`, s) => s }).min }))
+    }
+    val ok = merged.collect { case (n, Right(s)) => n -> s }
+    val err = merged.collect { case (n, Left(m)) => n -> m }
+    val line = json(ok, err, mergeStream(_._2), mergeStream(_._3), sfDir, sweeps)
+    println(line)
     // Durable copy: the driver's stdout capture front-truncates long
     // runs (BENCH_r10.json lost the headline total and first 8
     // queries), so the full record also lands in bench_runs/.
-    try {
-      val dir = java.nio.file.Paths.get("bench_runs")
-      java.nio.file.Files.createDirectories(dir)
-      val sfName = sfDir.split('/').last
-      val round = sys.env.get("SPARK_GRAFT_ROUND").orElse(nextRound()).getOrElse("x")
-      // dev subset/skip runs must not overwrite the round's canonical file
-      val suffix = if (only.isDefined || skip.nonEmpty) "_subset" else ""
-      java.nio.file.Files.write(dir.resolve(s"bench_${sfName}_r$round$suffix.json"),
-        (json + "\n").getBytes("UTF-8"))
-    } catch { case _: Throwable => () } // durability is best-effort, never fails the bench
+    durableWrite(s"bench_${sfName}_r$round$suffix", line)
     spark.stop()
   }
+
+  /** One streaming-tape result: tape row count, tape dir, per-op wall
+    * seconds (rows/s derives from rows + seconds at render time).
+    */
+  final case class StreamRes(rows: Int, sf: String, ops: Seq[(String, Double)])
+
+  private def json(ok: Seq[(String, Double)], err: Seq[(String, String)],
+      st: Option[StreamRes], stSmall: Option[StreamRes], sfDir: String, sweeps: Int): String = {
+    val qs = ok.map { case (k, v) => f""""$k":$v%.3f""" }.mkString("{", ",", "}")
+    val errs = err.map { case (k, m) => s""""$k":"$m"""" }.mkString("{", ",", "}")
+    val total = ok.map(_._2).sum
+    def streamJson(r: Option[StreamRes]): String = r match {
+      case None => "{}"
+      case Some(s) =>
+        val secs = s.ops.map { case (k, v) => f""""$k":$v%.3f""" }.mkString("{", ",", "}")
+        val rps = s.ops.map { case (k, v) =>
+          f""""$k":${if (v > 0) s.rows / v else 0.0}%.0f""" }.mkString("{", ",", "}")
+        s"""{"rows":${s.rows},"sf":"${s.sf}","ops_sec":$secs,"ops_rows_per_sec":$rps}"""
+    }
+    s"""{"metric":"headline_total","value":$total,"unit":"sec","sweeps":$sweeps,""" +
+      s""""queries":$qs,"errors":$errs,"streaming":${streamJson(st)},""" +
+      s""""streaming_small":${streamJson(stSmall)},"sf":"$sfDir"}"""
+  }
+
+  /** Write `content` under bench_runs/ WITHOUT ever overwriting: the
+    * first free of base.json, base_2.json, base_3.json… is used. Round
+    * 12 lost its only full sf10 sweep record because a later isolated
+    * re-run computed the same `bench_${sf}_r${round}` name and
+    * clobbered it before the first commit — durable artifacts must be
+    * append-only. Best-effort (never fails the bench); returns the
+    * path written, if any.
+    */
+  private[graft] def durableWrite(base: String, content: String,
+      dirName: String = "bench_runs"): Option[java.nio.file.Path] =
+    try {
+      val dir = java.nio.file.Paths.get(dirName)
+      java.nio.file.Files.createDirectories(dir)
+      // CREATE_NEW makes the existence check atomic, so two concurrent
+      // writers cannot both land on the same free name — the loser
+      // just advances to the next one.
+      (Iterator(dir.resolve(s"$base.json")) ++
+        Iterator.from(2).map(i => dir.resolve(s"${base}_$i.json")))
+        .take(10000).flatMap { p =>
+          try {
+            java.nio.file.Files.write(p, (content + "\n").getBytes("UTF-8"),
+              java.nio.file.StandardOpenOption.CREATE_NEW)
+            Some(p)
+          } catch { case _: java.nio.file.FileAlreadyExistsException => None }
+        }.nextOption()
+    } catch { case _: Throwable => None }
 
   /** The next SF down from the bench dir (sf0.1 → sf0.01 → sf0.001),
     * for the second streaming tape; the smallest SF reuses itself.
     */
   private def smallerSf(sfDir: String): String = {
-    // The ScaleUp rehearsal dir steps down to the real sf0.1 it was
-    // generated from, so the decade-up streaming pass gets the same
-    // two-tape intercept/slope split as the driver's sf0.1 runs.
+    // The ScaleUp rehearsal dirs step down one decade each (sf10 →
+    // sf1 → the real sf0.1 they were generated from), so every
+    // decade-up streaming pass gets the same two-tape intercept/slope
+    // split as the driver's sf0.1 runs. sf10 is checked FIRST:
+    // "testdata_sf10" would otherwise fall through both remaining
+    // suffix checks and silently reuse its own full-size tape (the
+    // r12 two-decade rehearsal ran its "small" tape at full sf10).
+    if (sfDir.endsWith("testdata_sf10"))
+      return sfDir.stripSuffix("testdata_sf10") + "testdata_sf1"
     if (sfDir.endsWith("testdata_sf1")) return "/root/testdata/sf0.1"
     val steps = Seq("sf0.1" -> "sf0.01", "sf0.01" -> "sf0.001")
     steps.collectFirst { case (big, small) if sfDir.endsWith(big) =>
@@ -252,7 +344,7 @@ object Bench {
     * count over wall time) so two tape sizes expose per-row cost
     * separately from fixed micro-batch latency.
     */
-  private def streamingSection(spark: org.apache.spark.sql.SparkSession, sfDir: String): String = {
+  private def streamingSection(spark: org.apache.spark.sql.SparkSession, sfDir: String): StreamRes = {
     import org.apache.spark.sql.functions._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import org.apache.spark.sql.streaming.OutputMode
@@ -368,10 +460,6 @@ object Bench {
       run("trend_slope", OutputMode.Append())(ds =>
         StreamingOps.trendSlope(ds).toDF()),
       cms, asof, funnel, hll, drift)
-    val secs = res.map { case (k, v) => f""""$k":$v%.3f""" }.mkString("{", ",", "}")
-    val rps = res.map { case (k, v) =>
-      f""""$k":${if (v > 0) tape.length / v else 0.0}%.0f""" }.mkString("{", ",", "}")
-    s"""{"rows":${tape.length},"sf":"$sfDir","ops_sec":$secs,"ops_rows_per_sec":$rps,""" +
-      res.map { case (k, v) => f""""$k":$v%.3f""" }.mkString("", ",", "}")
+    StreamRes(tape.length, sfDir, res)
   }
 }

@@ -2059,10 +2059,32 @@ object Queries {
   // shape. The predicate is engine-portable (md5-of-string both sides)
   // and the same family as q_split_assign's bucketing.
   private val sliceHex = "0"
+  private val sliceHex2 = "00"
+
+  /** Two-decade slice rule (round 13): the deterministic md5 slice is
+    * 1/16 (one hex char) while the sliced id domain holds < 100k rows
+    * (documents) / < 10M rows (lineitem), and narrows to 1/256 (two
+    * chars — a strict SUBSET: prefix "00" ⊂ prefix "0") above, so the
+    * DuckDB oracle's input stays bounded at ANY scale factor: sf0.01
+    * and sf1 keep their measured 1/16 pins bit-for-bit, and sf10
+    * (500k docs / 60M lineitem) gets measured 100×-parity instead of
+    * an oracle timeout. Both engines derive the width from the SAME
+    * rule — Spark from a (cached) metadata count-star, the oracle
+    * from a scalar subquery — the dynamic-parameter oracle rule every
+    * auto-sized query already follows. (Counts come from the same
+    * countCache the √n IVF auto-sizing uses, above.)
+    */
+  private def slicePredSql(idCol: String, table: String, threshold: Long): String =
+    s"""(CASE WHEN (SELECT count(*) FROM $table) >= $threshold
+          THEN substr(md5(CAST($idCol AS VARCHAR)), 1, 2) = '$sliceHex2'
+          ELSE substr(md5(CAST($idCol AS VARCHAR)), 1, 1) = '$sliceHex' END)"""
   private def sliceDocPredSql(idCol: String): String =
-    s"substr(md5(CAST($idCol AS VARCHAR)), 1, 1) = '$sliceHex'"
-  private def sliceCond(idCol: Column): Column =
-    substring(md5(idCol.cast("string")), 1, 1) === sliceHex
+    slicePredSql(idCol, "documents", 100000L)
+  private def sliceCondAt(s: SparkSession, dir: String, table: String,
+      threshold: Long)(idCol: Column): Column =
+    if (tableCount(s, dir, table) >= threshold)
+      substring(md5(idCol.cast("string")), 1, 2) === sliceHex2
+    else substring(md5(idCol.cast("string")), 1, 1) === sliceHex
   /** The sliced document set, MATERIALIZED once per (session, dir) like
     * simhashPairs: a bare filter under the downstream operators'
     * Fence.guard subtrees de-canonicalizes them branch-by-branch (the
@@ -2077,7 +2099,9 @@ object Queries {
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
   private def slicedDocs(s: SparkSession, dir: String): DataFrame =
     sliceCache.getOrElseUpdate((s, dir),
-      t(s, dir, "documents").filter(sliceCond(col("doc_id"))).localCheckpoint(true))
+      t(s, dir, "documents")
+        .filter(sliceCondAt(s, dir, "documents", 100000L)(col("doc_id")))
+        .localCheckpoint(true))
 
   private def simhashPairsSliced(s: SparkSession, dir: String): DataFrame =
     pairsCache.getOrElseUpdate((s, dir + "#slice16"),
@@ -6507,8 +6531,8 @@ object Queries {
                                named_struct('prev', x, 'run', 1L,
                                  'dup', acc.dup + if(acc.run >= 2L, acc.run, 0L)))),
              acc -> acc.dup + if(acc.run >= 2L, acc.run, 0L))"""
-      t(s, dir, "documents")
-        .select(col("doc_id"), TextFns.tokensFast(col("text")).as("__toks"))
+      Fence.guard(t(s, dir, "documents")
+          .select(col("doc_id"), TextFns.tokensFast(col("text")).as("__toks"), Fence.col))
         .filter(size(col("__toks")) >= 3)
         .withColumn("__tris", array_sort(expr(
           """transform(sequence(1, size(__toks) - 2),
@@ -8035,8 +8059,8 @@ object Queries {
                                named_struct('prev', x, 'run', acc.run + 1L, 'types', acc.types, 'ss', acc.ss),
                                named_struct('prev', x, 'run', 1L, 'types', acc.types + 1L, 'ss', acc.ss + acc.run * acc.run))),
              acc -> named_struct('types', acc.types, 'ss', acc.ss + acc.run * acc.run))"""
-      t(s, dir, "documents")
-        .select(col("doc_id"), array_sort(TextFns.tokensFast(col("text"))).as("__st"))
+      Fence.guard(t(s, dir, "documents")
+          .select(col("doc_id"), array_sort(TextFns.tokensFast(col("text"))).as("__st"), Fence.col))
         .filter(size(col("__st")) > 0)
         .withColumn("__n", size(col("__st")).cast("long"))
         .withColumn("__f", expr(fold))
@@ -8359,7 +8383,7 @@ object Queries {
       val li = Fence.keepAll(
         t(s, dir, "lineitem")
           .filter(col("l_orderkey").isNotNull && col("l_partkey").isNotNull &&
-            sliceCond(col("l_orderkey")))
+            sliceCondAt(s, dir, "lineitem", 10000000L)(col("l_orderkey")))
           .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")).distinct())
       val pairs = li.as("a").join(li.as("b").hint("shuffle_hash"), Seq("ok"))
         .filter(col("a.pk") < col("b.pk"))
@@ -8380,7 +8404,7 @@ object Queries {
     },
     Some(s"""WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem
                         WHERE l_orderkey IS NOT NULL AND l_partkey IS NOT NULL
-                          AND ${sliceDocPredSql("l_orderkey")}),
+                          AND ${slicePredSql("l_orderkey", "lineitem", 10000000L)}),
              pr AS (SELECT a.pk AS p1, b.pk AS p2, CAST(count(*) AS BIGINT) AS c_ab
                     FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk
                     GROUP BY 1, 2 HAVING count(*) >= 2),

@@ -3,7 +3,7 @@ package graft.plans
 import org.apache.datasketches.kll.KllDoublesSketch
 import org.apache.datasketches.memory.Memory
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{Expression, ImplicitCastInputTypes, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
 import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.catalyst.trees.UnaryLike
@@ -35,12 +35,18 @@ case class KllSketchAgg(
     k: Int,
     mutableAggBufferOffset: Int = 0,
     inputAggBufferOffset: Int = 0)
-  extends TypedImperativeAggregate[KllDoublesSketch] with UnaryLike[Expression] {
+  extends TypedImperativeAggregate[KllDoublesSketch] with UnaryLike[Expression]
+  with ImplicitCastInputTypes {
   require(k >= 8 && k <= 65535, s"KLL k must be in [8, 65535], got $k")
 
   override def prettyName: String = "graft_kll_agg"
   override def dataType: DataType = BinaryType
   override def nullable: Boolean = false
+  // Analysis-time type contract (Spark's HllSketchAgg pattern): an
+  // implicit Cast to double is inserted for numeric args, and a
+  // wrong-typed arg (binary, string) fails analysis instead of
+  // ClassCastException-ing inside executors at runtime.
+  override def inputTypes: Seq[DataType] = Seq(DoubleType)
 
   override def createAggregationBuffer(): KllDoublesSketch =
     KllDoublesSketch.newHeapInstance(k)
@@ -79,12 +85,15 @@ case class KllUnionAgg(
     k: Int,
     mutableAggBufferOffset: Int = 0,
     inputAggBufferOffset: Int = 0)
-  extends TypedImperativeAggregate[KllDoublesSketch] with UnaryLike[Expression] {
+  extends TypedImperativeAggregate[KllDoublesSketch] with UnaryLike[Expression]
+  with ImplicitCastInputTypes {
   require(k >= 8 && k <= 65535, s"KLL k must be in [8, 65535], got $k")
 
   override def prettyName: String = "graft_kll_union_agg"
   override def dataType: DataType = BinaryType
   override def nullable: Boolean = false
+  // Serialized-sketch input only; non-binary args fail analysis.
+  override def inputTypes: Seq[DataType] = Seq(BinaryType)
 
   override def createAggregationBuffer(): KllDoublesSketch =
     KllDoublesSketch.newHeapInstance(k)
@@ -120,11 +129,12 @@ case class KllUnionAgg(
   * aggregated (groups-sized) frame, never in a per-row hot path.
   */
 case class KllQuantile(child: Expression, rank: Double)
-  extends UnaryExpression with CodegenFallback {
+  extends UnaryExpression with CodegenFallback with ImplicitCastInputTypes {
   require(rank >= 0.0 && rank <= 1.0, s"rank must be in [0, 1], got $rank")
 
   override def prettyName: String = "graft_kll_quantile"
   override def dataType: DataType = DoubleType
+  override def inputTypes: Seq[DataType] = Seq(BinaryType)
 
   override protected def nullSafeEval(bytes: Any): Any = {
     val sk = KllDoublesSketch.heapify(Memory.wrap(bytes.asInstanceOf[Array[Byte]]))

@@ -600,9 +600,13 @@ object StreamingOps {
     * emission. Complete/Update output; state is 5 numbers per key.
     *
     * `valueCentsCol` must already be exact integer cents (long).
-    * Exactness domain: |cents| ≲ 3.16e9 (x⁴ must fit DECIMAL(38,0));
-    * beyond it s4 nulls out loudly rather than wrapping — squaring is
-    * done IN decimal precisely so no long×long wrap can precede that,
+    * Exactness domain: Σx⁴ must fit DECIMAL(38,0), so
+    * |cents| ≲ (10³⁸/n)^¼ — about 3.16e9 for one row, 1.78e9 at
+    * n = 10⁹ (the SUM domain, not just the per-element one, bounds
+    * the usable range; asserted in Round13OpsSpec). Beyond it the
+    * decimal-sum overflow FAILS the query loudly (ANSI arithmetic
+    * error) rather than wrapping — squaring is done IN decimal
+    * precisely so no silent long×long wrap can precede that check,
     * and S1 too is summed IN decimal (a plain long sum would wrap
     * silently once n·|cents| passes 2^63, which a long-lived stream
     * reaches long before the per-element domain does).
@@ -1580,10 +1584,18 @@ object StreamingOps {
           state.update(DriftHist(ks, ks.map(k => hist(k)._1), ks.map(k => hist(k)._2)))
           val na = hist.valuesIterator.map(_._1).sum
           val nb = hist.valuesIterator.map(_._2).sum
+          // The numerator term a·NB (and the ·1000 scale) leaves the
+          // int64 domain once na·nb exceeds ~4.6e15 — reachable on a
+          // NoTimeout monitor that runs for months — so the TV ratio
+          // is evaluated in BigInt. State stays Long (bounded by the
+          // bucket domain); only this per-snapshot arithmetic widens.
           val tv =
             if (na == 0L || nb == 0L) 1000L
-            else hist.valuesIterator.map { case (a, b) => math.abs(a * nb - b * na) }.sum *
-              1000L / (2L * na * nb)
+            else {
+              val bna = BigInt(na); val bnb = BigInt(nb)
+              (hist.valuesIterator.map { case (a, b) => (BigInt(a) * bnb - BigInt(b) * bna).abs }
+                .sum * 1000 / (2 * bna * bnb)).toLong
+            }
           Iterator.single(DriftOut(etype, na, nb, tv))
       }
   }
