@@ -112,7 +112,11 @@ object Bench {
     // partial agg — two map-dominated cost shapes new to the set —
     // and the TypedImperativeAggregate sketch rollup + broadcast
     // recount (the KLL quantiles quartet member)
-    "q_diversity", "q_zorder", "q_kll_rollup")
+    "q_diversity", "q_zorder", "q_kll_rollup",
+    // round-13 addition: hybrid-retrieval fusion — two TakeOrdered
+    // heads (the shared BM25 two-pass + the broadcast-query embedding
+    // scan) fused on a 100-row full-outer join
+    "q_rrf_fusion")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -426,6 +430,19 @@ object Bench {
       finally q.stop()
       "hll_distinct" -> (System.nanoTime() - t0) / 1e9
     }
+    val hh: (String, Double) = {
+      // MG twin streams the same (key-bucket, user id) pairs as the
+      // CMS/HLL twins — ≤32-counter state per bucket
+      val ms = MemoryStream[(String, String)]
+      val pairs = tape.map(e => ((e.key % 8).toString, e.key.toString))
+      val pb = pairs.grouped(math.max(1, pairs.length / 10)).map(_.toSeq).toSeq
+      val t0 = System.nanoTime()
+      val q = StreamingOps.heavyHitters(ms.toDS(), 32)
+        .toDF().writeStream.format("noop").outputMode(OutputMode.Update()).start()
+      try pb.foreach { b => ms.addData(b); q.processAllAvailable() }
+      finally q.stop()
+      "heavy_hitters" -> (System.nanoTime() - t0) / 1e9
+    }
     val drift: (String, Double) = {
       // drift twin streams (type, id, value) triples; derive the type
       // from the key bucket so per-type histogram traffic is data-shaped
@@ -459,7 +476,7 @@ object Bench {
         StreamingOps.cusum(ds, targetCents = 10_000L, thresholdCents = 100_000L).toDF()),
       run("trend_slope", OutputMode.Append())(ds =>
         StreamingOps.trendSlope(ds).toDF()),
-      cms, asof, funnel, hll, drift)
+      cms, asof, funnel, hll, hh, drift)
     StreamRes(tape.length, sfDir, res)
   }
 }

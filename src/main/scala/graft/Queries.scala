@@ -6577,9 +6577,11 @@ object Queries {
     * int64 → safe to N ≈ 10¹² docs at tf ≤ 2000; past that, scale idf
     * to micro- instead of milli-units or sum via decimal(38,0).
     */
-  private val qBm25 = GraftQuery(
-    "q_bm25",
-    (s, dir) => {
+  /** (doc_id, n_hit_terms, bm25_milli) — the shared BM25 integer
+    * scoring pipeline (scaladoc above); consumed by q_bm25 itself and
+    * as the lexical side of q_rrf_fusion.
+    */
+  private def bm25Scores(s: SparkSession, dir: String): DataFrame = {
       val qterms = Seq("spark", "table", "fast", "query")
       val docs = t(s, dir, "documents")
       def toksOf = Fence.guard(
@@ -6617,8 +6619,11 @@ object Queries {
             .as("__term_score"))
         .groupBy(col("doc_id"))
         .agg(count(lit(1)).as("n_hit_terms"), sum(col("__term_score")).as("bm25_milli"))
-    },
-    Some(s"""WITH t0 AS (SELECT doc_id, $toksSql AS tk FROM documents
+  }
+
+  /** The bm25 oracle's CTE chain (t0..sc), shared with q_rrf_fusion. */
+  private val bm25CoreSql =
+    s"""t0 AS (SELECT doc_id, $toksSql AS tk FROM documents
                          WHERE doc_id IS NOT NULL),
              dl AS (SELECT doc_id, CAST(len(tk) AS BIGINT) AS dl FROM t0),
              inst AS (SELECT doc_id, unnest(tk) AS term FROM t0),
@@ -6633,10 +6638,89 @@ object Queries {
                       ((2 * (n_docs - df) + 1) * 1000) // (2 * df + 1) AS idf_milli,
                       250 + (750 * ((dl * 1000000) // avgdl_milli)) // 1000 AS norm_milli,
                       tf
-                    FROM tf JOIN df USING (term) JOIN dl USING (doc_id) CROSS JOIN corpus)
+                    FROM tf JOIN df USING (term) JOIN dl USING (doc_id) CROSS JOIN corpus)"""
+
+  private val qBm25 = GraftQuery(
+    "q_bm25",
+    (s, dir) => bm25Scores(s, dir),
+    Some(s"""WITH $bm25CoreSql
              SELECT doc_id, CAST(count(*) AS BIGINT) AS n_hit_terms,
                CAST(sum((idf_milli * tf * 2200) // (tf * 1000 + (1200 * norm_milli) // 1000)) AS BIGINT) AS bm25_milli
              FROM sc GROUP BY doc_id"""))
+
+  /** Hybrid-retrieval reciprocal-rank fusion (Cormack, Clarke &
+    * Buettcher SIGIR 2009): fuse the LEXICAL ranking (BM25 against the
+    * fixed query-term set — exactly the q_bm25 integer pipeline,
+    * shared via bm25Scores) with the SEMANTIC ranking (exact integer
+    * dot product of every corpus embedding against the min-vec_id
+    * query embedding) by RRF(d) = Σ_r floor(10⁶ / (60 + rank_r(d))) —
+    * the standard k=60 constant, integer at every step, so the fused
+    * ranking hash-checks cross-engine. The curation use: hybrid
+    * retrieval is how relevance-targeted corpus selection and
+    * contamination probes actually rank candidates — neither signal
+    * alone survives paraphrase (lexical blind spot) or rare terms
+    * (semantic blind spot).
+    *
+    * Scale shape: each side collapses to a ≤100-row head via
+    * TakeOrderedAndProject (orderBy + limit — no global sort at any
+    * scale); the rank windows run over those bounded frames only
+    * (q_zipf_top's documented single-partition class). The query
+    * vector is a 1-row broadcast; the fusion is a full-outer join of
+    * two ≤100-row frames. Corpus passes (adjudicated two-role in the
+    * plan-audit allowlist): bm25Scores' two bounded token passes
+    * (dl + the literal-filtered tf — its documented budget), and two
+    * embeddings roles — the 1-row query head (LIMIT 1 scan) + the
+    * corpus scoring scan.
+    */
+  private val qRrfFusion = GraftQuery(
+    "q_rrf_fusion",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val lexHead = bm25Scores(s, dir)
+        .orderBy(col("bm25_milli").desc, col("doc_id")).limit(100)
+      val lex = lexHead.withColumn("lex_rank", row_number().over(
+        Window.partitionBy(lit(1)).orderBy(col("bm25_milli").desc, col("doc_id"))).cast("long"))
+        .select(col("doc_id"), col("lex_rank"))
+      val e = t(s, dir, "embeddings")
+      val qv = broadcast(e.orderBy(col("vec_id")).limit(1)
+        .select(VectorFns.quantizeFast(col("embedding")).as("__qv")))
+      val semHead = e.crossJoin(qv)
+        .select(col("vec_id").as("doc_id"),
+          VectorFns.qdotFast(VectorFns.quantizeFast(col("embedding")), col("__qv")).as("__score"))
+        .orderBy(col("__score").desc, col("doc_id")).limit(100)
+      val sem = semHead.withColumn("sem_rank", row_number().over(
+        Window.partitionBy(lit(1)).orderBy(col("__score").desc, col("doc_id"))).cast("long"))
+        .select(col("doc_id"), col("sem_rank"))
+      lex.join(sem, Seq("doc_id"), "full_outer")
+        .na.fill(0L, Seq("lex_rank", "sem_rank"))
+        .withColumn("rrf_scaled",
+          when(col("lex_rank") > 0, expr("1000000 div (60 + lex_rank)")).otherwise(lit(0L)) +
+          when(col("sem_rank") > 0, expr("1000000 div (60 + sem_rank)")).otherwise(lit(0L)))
+        .orderBy(col("rrf_scaled").desc, col("doc_id")).limit(20)
+    },
+    Some(s"""WITH $bm25CoreSql,
+             bm AS (SELECT doc_id,
+                      CAST(sum((idf_milli * tf * 2200) // (tf * 1000 + (1200 * norm_milli) // 1000)) AS BIGINT) AS bm25_milli
+                    FROM sc GROUP BY doc_id),
+             lex AS (SELECT doc_id,
+                       CAST(row_number() OVER (ORDER BY bm25_milli DESC, doc_id) AS BIGINT) AS lex_rank
+                     FROM bm
+                     QUALIFY row_number() OVER (ORDER BY bm25_milli DESC, doc_id) <= 100),
+             qv AS (SELECT ${quantSql("embedding")} AS qv FROM embeddings ORDER BY vec_id LIMIT 1),
+             ssc AS (SELECT vec_id AS doc_id,
+                       CAST(list_sum(list_transform(range(1, 65), i -> v[i] * qv.qv[i])) AS BIGINT) AS score
+                     FROM (SELECT vec_id, ${quantSql("embedding")} AS v FROM embeddings) ev, qv),
+             sem AS (SELECT doc_id,
+                       CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS sem_rank
+                     FROM ssc
+                     QUALIFY row_number() OVER (ORDER BY score DESC, doc_id) <= 100),
+             f AS (SELECT COALESCE(lex.doc_id, sem.doc_id) AS doc_id,
+                     COALESCE(lex_rank, 0) AS lex_rank, COALESCE(sem_rank, 0) AS sem_rank,
+                     (CASE WHEN lex_rank IS NOT NULL THEN 1000000 // (60 + lex_rank) ELSE 0 END +
+                      CASE WHEN sem_rank IS NOT NULL THEN 1000000 // (60 + sem_rank) ELSE 0 END) AS rrf
+                   FROM lex FULL OUTER JOIN sem ON lex.doc_id = sem.doc_id)
+             SELECT doc_id, lex_rank, sem_rank, CAST(rrf AS BIGINT) AS rrf_scaled
+             FROM f ORDER BY rrf DESC, doc_id LIMIT 20"""))
 
   /** Content-defined chunking (the rsync/LBFS/FastCDC lineage, applied
     * at token level): a chunk boundary falls AFTER any token whose
@@ -8443,7 +8527,7 @@ object Queries {
     qIqr, qSpikes, qBootstrap, qTwap, qCandleReturns, qLifespan, qZipfTop,
     qChurnUsers, qDauMa, qGini, qDaypart, qConversionLag,
     qDedupSurvivors, qRunningStats, qEwma, qCusum, qTrendSlope, qAutocorr, qSpanDedup, qTermScrub, qValueHistogram,
-    qBigramLift, qCopurchase, qBigramLm, qPplBuckets, qPplBucketsScale, qDupNgram, qSemdedup, qBm25, qCdcChunks,
+    qBigramLift, qCopurchase, qBigramLm, qPplBuckets, qPplBucketsScale, qDupNgram, qSemdedup, qBm25, qRrfFusion, qCdcChunks,
     qOutliers, qTokenBudget, qRollupStats, qTimeWindowSum,
     qProfile, qStratifiedSample, qAsofForward, qAsofNearest, qScd2, qPairCuration, qWindowTopk,
     qRunningDistinct, qFirstSeen, qDedupDegree, qDecileBin,

@@ -314,6 +314,10 @@ class PlanSpec extends SparkSpecBase {
       // df rollup reuses the tf exchange (2 more) — 4 textual sites,
       // 2 runtime evaluations (ReusedExchange ×2 in the final plan)
       "q_bm25" -> 4,
+      // rrf-fusion's lexical side IS the shared bm25Scores pipeline —
+      // the same 4 textual sites / 2 runtime evaluations as q_bm25
+      // (the semantic side quantizes, never tokenizes)
+      "q_rrf_fusion" -> 4,
       // q_dedup_report reads each candidate join twice (pair count +
       // flagged-doc count): 2 self-join copies × 2 references
       "q_dedup_report" -> 4,

@@ -1705,4 +1705,42 @@ class StreamingParitySpec extends SparkSpecBase {
     val exact = tape.groupBy(_._1).map { case (k, ts) => k -> ts.map(_._2).distinct.size.toLong }
     assert(one == exact, s"sparse-mode HLL should be exact here: $one vs $exact")
   }
+
+  test("streaming heavyHitters: micro-batch splits bit-identical; MG guarantees hold") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // skewed tape: t0 a true heavy hitter, t1..t10 mid-band, long tail
+    val toks: Seq[String] = (1 to 400).map(_ => "t0") ++
+      (1 to 10).flatMap(i => Seq.fill(30)(s"t$i")) ++
+      (1 to 300).map(i => s"tail$i")
+    val rows = toks.map(t => ("g", t))
+    val k = 8
+    def run(splits: Int, name: String): Seq[(String, String, Long, Long)] = {
+      val ms = MemoryStream[(String, String)]
+      val q = StreamingOps.heavyHitters(ms.toDS(), k).toDF()
+        .writeStream.format("memory").queryName(name)
+        .outputMode(OutputMode.Update()).start()
+      try rows.grouped(math.max(1, rows.length / splits)).foreach { b =>
+        ms.addData(b.toSeq); q.processAllAvailable() }
+      finally q.stop()
+      // final snapshot = the rows emitted at the max n per group
+      val all = spark.table(name).collect()
+        .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
+      val maxN = all.map(_._4).max
+      all.filter(_._4 == maxN).sortBy(e => (e._1, e._2)).toSeq
+    }
+    val one = run(1, "t_hh_a")
+    val five = run(5, "t_hh_b")
+    assert(one == five, "sequential MG fold must be batching-invariant bit-for-bit")
+    // guarantees vs exact counts: est ≤ true; support ⊇ {freq > n/(k+1)}
+    val exact = toks.groupBy(identity).map { case (t, g) => t -> g.size.toLong }
+    val n = toks.size.toLong
+    val est = one.map(e => e._2 -> e._3).toMap
+    assert(est.size <= k)
+    est.foreach { case (t, c) =>
+      assert(c <= exact(t), s"$t overestimated: $c > ${exact(t)}")
+      assert(exact(t) - c <= n / (k + 1), s"$t undershoots past n/(k+1): $c vs ${exact(t)}") }
+    exact.filter { case (_, c) => c * (k + 1) > n }.keys.foreach { t =>
+      assert(est.contains(t), s"guaranteed hitter $t missing from support") }
+  }
 }
