@@ -28,6 +28,14 @@ object GraftSession {
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.autoBroadcastJoinThreshold", (64L * 1024 * 1024).toString)
+      // TypedImperativeAggregates (TopKPairsAgg, the sketch family) run
+      // in ObjectHashAggregateExec, whose default sort-based fallback
+      // fires at just 128 in-memory keys — that would re-sort the very
+      // candidate frames the mergeable top-k exists to keep unsorted
+      // (plans/TopKExprs.scala). 1M keys × ~150 B/top-k buffer caps the
+      // map at ~150 MB/task; per-task key counts are bounded by design
+      // (queries-probing-this-task's-cells, not the corpus)
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "1000000")
       // RocksDB-backed streaming state: the in-memory (HashMap) provider
       // caps stateful-operator state at executor heap; RocksDB spills to
       // local disk with incremental checkpointing — the only viable

@@ -23,6 +23,15 @@ object VectorFns {
   // declarative forms above/below, ~100× faster than interpreted HOFs.
   def quantizeFast(v: Column): Column = toCol(graft.plans.QuantizeVec(toExpr(v)))
   def qdotFast(a: Column, b: Column): Column = toCol(graft.plans.QDot(toExpr(a), toExpr(b)))
+
+  /** Mergeable top-k aggregation column: the k best (score, id) pairs
+    * under (score DESC, id ASC) as array<struct<score,id>> best-first —
+    * the shuffle-light replacement for a rank window over an expanded
+    * candidate frame (see plans/TopKExprs.scala). For ascending metrics
+    * negate the score.
+    */
+  def topKPairs(score: Column, id: Column, k: Int): Column =
+    toCol(graft.plans.TopKPairsAgg(toExpr(score), toExpr(id), k).toAggregateExpression())
   def lshBucketsFast(qv: Column, tables: Int, planes: Int): Column =
     toCol(graft.plans.LshBucketsExpr(toExpr(qv), tables, planes))
   def outerMomentsFast(qv: Column): Column =
@@ -255,16 +264,31 @@ object VectorFns {
       .select(col("query_id"), col("qv"), qdotFast(col("qv"), col("qv")).as("qnrm"),
         ivfProbesFast(col("qv"), coarse, coarseProbes).as("__qps"), Fence.col))
       .select(col("query_id"), col("qv"), col("qnrm"), explode(col("__qps")).as("ccid"))
-    val wq = Window.partitionBy("query_id").orderBy(col("__qd"), col("fcid"))
+    // nearest-nprobe cells per query via the mergeable top-k aggregate
+    // (negated distance: (-d DESC, fcid ASC) == (d ASC, fcid ASC)) —
+    // map-side ≤nprobe-entry partials instead of a rank-window SORT of
+    // the (queries × coarseProbes·k/k₁) probe frame. first(qv) is
+    // deterministic here: qv is a pure function of query_id, constant
+    // within the group.
     val probes = qRows.join(broadcast(fineRel), "ccid")
       .select(col("query_id"), col("qv"),
         d2(col("qnrm"), col("qv"), col("fv"), col("fnrm")).as("__qd"), col("fcid"))
-      .withColumn("__pr", row_number().over(wq)).filter(col("__pr") <= nprobe)
-      .select(col("query_id"), col("qv"), col("fcid"))
+      .groupBy("query_id")
+      .agg(first(col("qv")).as("qv"),
+        topKPairs(-col("__qd"), col("fcid"), nprobe).as("__np"))
+      .select(col("query_id"), col("qv"), explode(col("__np.id")).as("fcid"))
     val scored = probes.join(asg, Seq("fcid")).filter(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"), qdotFast(col("qv"), col("cv")).as("score"))
-    val w = Window.partitionBy("query_id").orderBy(col("score").desc, col("neighbor_id"))
-    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+    // final top-k per query: the same aggregate over the n·nprobe·(n/k)
+    // candidate frame — the shape whose rank-window sort the q_knn_hubs
+    // stage ledger measured at ~10 GB spill per run at sf10. Bit-equal
+    // to the window form (total order, merge-schedule independent);
+    // rank = 1 + position in the best-first array.
+    scored.groupBy("query_id")
+      .agg(topKPairs(col("score"), col("neighbor_id"), k).as("__top"))
+      .select(col("query_id"), posexplode(col("__top")))
+      .select(col("query_id"), col("col.id").as("neighbor_id"),
+        col("col.score").as("score"), (col("pos") + 1).cast("int").as("rank"))
   }
 
   /** One Lloyd iteration of k-means over quantized vectors in EXACT

@@ -183,6 +183,44 @@ class Round13OpsSpec extends SparkSpecBase {
       }
   }
 
+  test("TopKPairsAgg equals the rank-window top-k bit-for-bit (ties, small groups, any partitioning)") {
+    import spark.implicits._
+    import graft.functions.VectorFns
+    // adversarial: heavy score ties (broken by id ASC), groups with
+    // fewer than k members, and a 13-way repartition so partial/merge
+    // schedules actually vary
+    val rows = (1 to 5000).map { i =>
+      ((i % 37).toLong, (i * 2654435761L) % 100, (i * 48271L) % 100000)
+    }.distinct
+    val df = rows.toDF("g", "score", "id").repartition(13)
+    val viaAgg = df.groupBy("g")
+      .agg(VectorFns.topKPairs(col("score"), col("id"), 5).as("t"))
+      .select(col("g"), posexplode(col("t")))
+      .select(col("g"), col("col.score").as("score"), col("col.id").as("id"),
+        (col("pos") + 1).cast("int").as("rank"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3)))
+      .sortBy(t => (t._1, t._4))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("g").orderBy(col("score").desc, col("id"))
+    val viaWin = df.withColumn("rank", row_number().over(w)).filter(col("rank") <= 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3)))
+      .sortBy(t => (t._1, t._4))
+    assert(viaAgg.length == viaWin.length && viaAgg.sameElements(viaWin),
+      s"agg vs window diverged; first diff: ${viaAgg.zip(viaWin).find(p => p._1 != p._2)}")
+    // ascending-metric form: negated score == ORDER BY metric ASC
+    val viaAggAsc = df.groupBy("g")
+      .agg(VectorFns.topKPairs(-col("score"), col("id"), 3).as("t"))
+      .select(col("g"), posexplode(col("t")))
+      .select(col("g"), (-col("col.score")).as("score"), col("col.id").as("id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted
+    val wAsc = org.apache.spark.sql.expressions.Window
+      .partitionBy("g").orderBy(col("score").asc, col("id"))
+    val viaWinAsc = df.withColumn("r", row_number().over(wAsc)).filter(col("r") <= 3)
+      .select("g", "score", "id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted
+    assert(viaAggAsc.sameElements(viaWinAsc))
+  }
+
   test("KLL SQL surface: numeric args cast implicitly, wrong-typed args fail analysis") {
     GraftFunctions.register(spark)
     // INT input: ImplicitTypeCasts inserts int→double, so the agg runs
