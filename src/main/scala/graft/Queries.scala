@@ -2266,6 +2266,33 @@ object Queries {
                      FROM deg LEFT JOIN c3 USING (id))
              SELECT id, pr AS pr_micro FROM pr3"""))
 
+  /** Personalized PageRank over the near-dup graph (Jeh & Widom 2003;
+    * Relational.personalizedPageRank): teleport mass restarts at the
+    * deterministic id % 5 seed slice, so each doc's score is its
+    * random-walk PROXIMITY TO THE SEEDS — the seed-based corpus
+    * selection / weighted blast-radius member of the graph family
+    * (CC converges labels, PageRank global mass, BFS min hops; PPR
+    * weights BY proximity). Exact integer milli recurrence, floor
+    * division at each step; oracle unrolls the same 3 iterations.
+    */
+  private val qPprSeeds = GraftQuery(
+    "q_ppr_seeds",
+    (s, dir) => Relational.personalizedPageRank(simhashPairs(s, dir), "id_a", "id_b",
+      col("id") % 5 === 0, iters = 3),
+    Some(s"""$simhashCcSql,
+             deg AS (SELECT a AS id, CAST(count(*) AS BIGINT) AS deg FROM e GROUP BY 1),
+             pr0 AS (SELECT id, CAST(CASE WHEN id % 5 = 0 THEN 1000000 ELSE 0 END AS BIGINT) AS pr, deg FROM deg),
+             c1 AS (SELECT e.b AS id, sum(pr0.pr // pr0.deg) AS s FROM e JOIN pr0 ON e.a = pr0.id GROUP BY 1),
+             pr1 AS (SELECT deg.id, CAST(CASE WHEN deg.id % 5 = 0 THEN 150000 ELSE 0 END + (850 * coalesce(c1.s, 0)) // 1000 AS BIGINT) AS pr, deg.deg AS deg
+                     FROM deg LEFT JOIN c1 USING (id)),
+             c2 AS (SELECT e.b AS id, sum(pr1.pr // pr1.deg) AS s FROM e JOIN pr1 ON e.a = pr1.id GROUP BY 1),
+             pr2 AS (SELECT deg.id, CAST(CASE WHEN deg.id % 5 = 0 THEN 150000 ELSE 0 END + (850 * coalesce(c2.s, 0)) // 1000 AS BIGINT) AS pr, deg.deg AS deg
+                     FROM deg LEFT JOIN c2 USING (id)),
+             c3 AS (SELECT e.b AS id, sum(pr2.pr // pr2.deg) AS s FROM e JOIN pr2 ON e.a = pr2.id GROUP BY 1),
+             pr3 AS (SELECT deg.id, CAST(CASE WHEN deg.id % 5 = 0 THEN 150000 ELSE 0 END + (850 * coalesce(c3.s, 0)) // 1000 AS BIGINT) AS pr
+                     FROM deg LEFT JOIN c3 USING (id))
+             SELECT id, pr AS ppr_micro FROM pr3"""))
+
   /** k-core membership (k=3, Seidman 1983) of the simhash near-dup
     * graph — the dense-template-cluster detector: nodes surviving the
     * degree-≥3 peel sit in near-clique duplication structure (boiler-
@@ -8514,7 +8541,7 @@ object Queries {
     qNegPairs, qPiiScrub, qKanon, qLdiv, qDpHistogram, qDpMean, qDrift, qDedupReport,
     qBpePairs,
     qDedupExact, qDedupMinhash, qMinhashRescore, qContainment, qMinhashEst, qDedupSimhash, qDedupSimhashPairs,
-    qDedupClusters, qPagerank, qKcore, qBfsHops, qTriangles, qTrianglesApprox, qQualityDup, qHapax, qNgramJaccard, qSortedDedup, qDedupEmbed, qRepetition,
+    qDedupClusters, qPagerank, qPprSeeds, qKcore, qBfsHops, qTriangles, qTrianglesApprox, qQualityDup, qHapax, qNgramJaccard, qSortedDedup, qDedupEmbed, qRepetition,
     qSplitLeakage, qJaccardCalib, qGroupSplit,
     qEmbedTopk, qAnnRecall, qEmbedLsh, qEmbedIvf, qEmbedIvf2, qKmeansStep, qDocChunks, qChunkDedup,
     qKnnClassify, qClassBalance, qLabelConsistency, qGapFill, qInvertedIndex,

@@ -421,6 +421,53 @@ object Relational {
     pr.select(col("id"), col("pr").as("pr_micro"))
   }
 
+  /** Personalized PageRank / random-walk-with-restart (Page et al.
+    * 1999 §6 "personalized PageRank"; Jeh & Widom WWW'03): the teleport
+    * mass returns to a SEED set instead of uniformly, so the stationary
+    * mass scores RELEVANCE TO THE SEEDS — the seed-based corpus
+    * selection walk ("rank everything by proximity to my curated
+    * docs") and the weighted form of the BFS blast radius. Same exact
+    * integer milli recurrence as [[pageRank]] with the restart term
+    * seed-gated:
+    *   pr₀(v)    = 1 000 000·[v ∈ S]
+    *   prₜ₊₁(v) = 150 000·[v ∈ S] + (850·Σ_{u→v} ⌊prₜ(u)/deg(u)⌋)div 1000
+    * — floor division at each step, so both engines agree bit-for-bit.
+    * Non-seed sinks hold mass 0 until reached; total mass decays where
+    * the graph leaks, exactly like the uniform variant. Scale shape is
+    * pageRank's: one checkpointed symmetric edge list, per round one
+    * src-keyed join + dst-keyed partial aggregate, rank state one row
+    * per node.
+    */
+  def personalizedPageRank(pairs: DataFrame, srcCol: String, dstCol: String,
+      seedPred: Column, iters: Int = 3): DataFrame = {
+    val edges = pairs.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .union(pairs.select(col(dstCol).as("src"), col(srcCol).as("dst")))
+      .distinct()
+      .repartition(col("src"))
+      .localCheckpoint(true)
+    val deg = edges.groupBy(col("src").as("id")).agg(count(lit(1)).as("deg"))
+      .withColumn("__seed", seedPred)
+      .localCheckpoint(true)
+    var pr = deg.select(col("id"),
+      when(col("__seed"), lit(1000000L)).otherwise(lit(0L)).as("pr"),
+      col("deg"), col("__seed"))
+    var it = 0
+    while (it < iters) {
+      val contribs = edges
+        .join(pr.select(col("id").as("__src"), expr("pr div deg").as("__c")),
+          col("src") === col("__src"))
+        .groupBy(col("dst").as("id"))
+        .agg(sum(col("__c")).as("__s"))
+      pr = deg.join(contribs, Seq("id"), "left")
+        .select(col("id"),
+          (when(col("__seed"), lit(150000L)).otherwise(lit(0L)) +
+            expr("(850 * coalesce(__s, 0)) div 1000")).as("pr"),
+          col("deg"), col("__seed"))
+      it += 1
+    }
+    pr.select(col("id"), col("pr").as("ppr_micro"))
+  }
+
   /** k-core peel (Seidman 1983 degeneracy cores), FIXED-round variant:
     * W₀ = all undirected edges; Wᵣ₊₁ = edges of W₀ whose BOTH endpoints
     * have degree ≥ k in Wᵣ. The filter is monotone (Wᵣ₊₁ ⊆ Wᵣ: a

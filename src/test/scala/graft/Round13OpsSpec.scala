@@ -221,6 +221,31 @@ class Round13OpsSpec extends SparkSpecBase {
     assert(viaAggAsc.sameElements(viaWinAsc))
   }
 
+  test("personalizedPageRank equals the hand-unrolled seed-gated recurrence on a toy graph") {
+    import spark.implicits._
+    // path 0-1-2-3 plus triangle 3-4-5; seeds = ids % 5 == 0 → {0, 5}
+    val pairs = Seq((0L, 1L), (1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (3L, 5L))
+      .toDF("id_a", "id_b")
+    val got = graft.operators.Relational
+      .personalizedPageRank(pairs, "id_a", "id_b", col("id") % 5 === 0, iters = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // driver-side brute force of the exact integer recurrence
+    val und = Seq((0L,1L),(1L,2L),(2L,3L),(3L,4L),(4L,5L),(3L,5L))
+      .flatMap { case (a, b) => Seq(a -> b, b -> a) }.distinct
+    val deg = und.groupBy(_._1).map { case (n, es) => n -> es.size.toLong }
+    val seeds = deg.keySet.filter(_ % 5 == 0)
+    var pr: Map[Long, Long] = deg.map { case (n, _) => n -> (if (seeds(n)) 1000000L else 0L) }
+    for (_ <- 1 to 3) {
+      val contrib = und.groupBy(_._2).map { case (v, es) =>
+        v -> es.map { case (u, _) => pr(u) / deg(u) }.sum }
+      pr = deg.map { case (n, _) =>
+        n -> ((if (seeds(n)) 150000L else 0L) + 850L * contrib.getOrElse(n, 0L) / 1000L) }
+    }
+    assert(got == pr, s"got $got\nexpected $pr")
+    // seeds dominate; mass reaches non-seeds only through edges
+    assert(got(0L) > got(2L) && got(5L) > got(2L))
+  }
+
   test("KLL SQL surface: numeric args cast implicitly, wrong-typed args fail analysis") {
     GraftFunctions.register(spark)
     // INT input: ImplicitTypeCasts inserts int→double, so the agg runs
