@@ -116,7 +116,12 @@ object Bench {
     // round-13 addition: hybrid-retrieval fusion — two TakeOrdered
     // heads (the shared BM25 two-pass + the broadcast-query embedding
     // scan) fused on a 100-row full-outer join
-    "q_rrf_fusion")
+    "q_rrf_fusion",
+    // round-14 additions: the random-walk-with-restart over the cached
+    // pair graph (anchored per VERDICT r13 item 3), and the iterated
+    // BPE merge loop — one corpus tokenize + 10 vocab-bounded
+    // argmax/replace rounds under checkpoint discipline
+    "q_ppr_seeds", "q_bpe_merges")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -254,7 +259,20 @@ object Bench {
     // Durable copy: the driver's stdout capture front-truncates long
     // runs (BENCH_r10.json lost the headline total and first 8
     // queries), so the full record also lands in bench_runs/.
-    durableWrite(s"bench_${sfName}_r$round$suffix", line)
+    val durable = durableWrite(s"bench_${sfName}_r$round$suffix", line)
+    // The driver parses a JSON line out of the LAST ~2000 chars of
+    // stdout; the full canonical line outgrew that window at 101
+    // queries (BENCH_r10..r13 all came back parsed:null). Print a
+    // SHORT summary line LAST — same schema, totals + error markers
+    // inline, per-query detail via the durable path — so the driver's
+    // parse window always contains one complete JSON object.
+    val errsShort = err.map { case (k, m) => s""""$k":"$m"""" }.mkString("{", ",", "}")
+    println(
+      s"""{"metric":"headline_total","value":${f"${ok.map(_._2).sum}%.3f"},"unit":"sec",""" +
+      s""""sweeps":$sweeps,"queries_n":${ok.size},"errors_n":${err.size},""" +
+      s""""queries":{},"errors":$errsShort,""" +
+      s""""per_query_in":"${durable.map(_.toString).getOrElse("(durable write failed)")}",""" +
+      s""""sf":"$sfDir"}""")
     spark.stop()
   }
 
@@ -330,7 +348,7 @@ object Bench {
   /** Infer the current round from the driver's committed BENCH_r*.json
     * files in the CWD (max + 1); SPARK_GRAFT_ROUND overrides.
     */
-  private def nextRound(): Option[String] = {
+  private[graft] def nextRound(): Option[String] = {
     val re = "BENCH_r(\\d+)\\.json".r
     val files = Option(new java.io.File(".").list()).getOrElse(Array.empty[String])
     val rounds = files.collect { case re(n) => n.toInt }

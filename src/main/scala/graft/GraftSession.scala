@@ -34,7 +34,18 @@ object GraftSession {
       // candidate frames the mergeable top-k exists to keep unsorted
       // (plans/TopKExprs.scala). 1M keys × ~150 B/top-k buffer caps the
       // map at ~150 MB/task; per-task key counts are bounded by design
-      // (queries-probing-this-task's-cells, not the corpus)
+      // (queries-probing-this-task's-cells, not the corpus).
+      // The setting is GLOBAL, so it also governs the sketch
+      // TypedImperativeAggregates — per-task bound there is
+      // max-in-memory-groups × buffer size: KLL(k=200) ≈ 3.2 KB and
+      // Misra-Gries(k=32) ≈ 1 KB serialized → ≤ 3.2 GB/task in the
+      // worst case BEFORE the sort fallback fires, but every sketch
+      // group-by in the suite keys on bounded dimensions (source, lang,
+      // source×lang, key-bucket: ≤ thousands of groups ≈ MBs/task),
+      // never on a corpus-cardinality id. A NEW sketch rollup keyed on
+      // an unbounded column must either pre-reduce the key space or
+      // lower this threshold per-query via spark.conf.set around the
+      // consumer — do not raise it further globally.
       .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "1000000")
       // RocksDB-backed streaming state: the in-memory (HashMap) provider
       // caps stateful-operator state at executor heap; RocksDB spills to

@@ -5335,6 +5335,120 @@ object Queries {
              SELECT pair, cnt, CAST(row_number() OVER (ORDER BY cnt DESC, pair) AS BIGINT) AS rank
              FROM c ORDER BY cnt DESC, pair LIMIT 20"""))
 
+  /** ITERATED BPE vocabulary induction (Sennrich et al. 2016, the full
+    * learn-BPE loop — completes the single-step q_bpe_pairs): k=10
+    * merge rounds over the word-frequency vocabulary. Each round
+    * counts adjacent symbol pairs weighted by word frequency, merges
+    * the argmax pair (count desc, then lexicographic — a deterministic
+    * version of the paper's arbitrary tie-break) in every word, and
+    * repeats on the re-tokenized vocab. Words carry the paper's </w>
+    * end-of-word marker so merges can learn whole-word units.
+    *
+    * Merge-application portability: a word is its symbols joined by
+    * TWO spaces ("l  o  w  </w>"), so one plain `replace` of
+    * " x  y " with " xy " applies the merge greedily left-to-right
+    * WITHOUT the shared-boundary bug of single-space joins (the
+    * pattern consumes one of the two separator spaces on each side,
+    * so back-to-back occurrences "a b a b" both merge — exactly
+    * Sennrich's non-overlapping regex semantics, asserted against a
+    * brute-force fold in Round14OpsSpec). `replace` scans and consumes
+    * identically in Spark (UTF8String.replace) and DuckDB, so the
+    * oracle unrolls the same 10 rounds as a WITH chain and the merge
+    * tables hash-match.
+    *
+    * Scale shape: the corpus is touched ONCE (tokenize + one token
+    * shuffle into the distinct-word vocab — the same exchange budget
+    * as q_bpe_pairs); all 10 rounds run over the VOCAB (bounded by
+    * distinct tokens, ~10⁸ at 100 TB — never corpus-sized), each round
+    * one map-only pair explode + one partial-agg pair count + a 1-row
+    * TakeOrdered argmax broadcast back into a map-only replace. Lineage
+    * is cut per round with an eager localCheckpoint (the q_pagerank /
+    * q_kcore fixed-iteration discipline) and the loop exits early if a
+    * round finds no pairs (count-based early exit; 1-row driver checks
+    * per round, bounded by k=10).
+    */
+  private val qBpeMerges = GraftQuery(
+    "q_bpe_merges",
+    (s, dir) => {
+      val rounds = 10
+      val un = Fence.guard(t(s, dir, "documents")
+          .select(TextFns.tokensFast(col("text")).as("__tk"), Fence.col))
+        .select(explode(col("__tk")).as("tok"))
+      var vocab = un.groupBy("tok").agg(count(lit(1)).as("f"))
+        .select(expr(
+          """concat(array_join(transform(sequence(1, length(tok)),
+               i -> substr(tok, i, 1)), '  '), '  </w>')""").as("w"),
+          col("f"))
+        .localCheckpoint()
+      var merges = Vector.empty[DataFrame]
+      var r = 1
+      var done = false
+      while (r <= rounds && !done) {
+        // pairs via zipped slices (the qBigramLift pattern): a fully
+        // merged single-symbol word slices to empty arrays and drops
+        // out — sequence(1, size-1) would DESCEND to [1,0] at size=1
+        // and index out of bounds
+        val best = vocab
+          .select(split(col("w"), "  ").as("sy"), col("f"))
+          .select(explode(arrays_zip(
+            slice(col("sy"), lit(1), size(col("sy")) - 1),
+            slice(col("sy"), lit(2), size(col("sy")) - 1))).as("p"), col("f"))
+          .select(col("p.0").as("x"), col("p.1").as("y"), col("f"))
+          .groupBy("x", "y").agg(sum(col("f")).as("cnt"))
+          .orderBy(col("cnt").desc, col("x"), col("y")).limit(1)
+          .withColumn("merge_round", lit(r.toLong))
+          .localCheckpoint()
+        if (best.isEmpty) done = true
+        else {
+          merges :+= best
+          vocab = vocab.crossJoin(broadcast(best.select(col("x"), col("y"))))
+            .select(expr(
+              """trim(replace(concat('  ', w, '  '),
+                              concat(' ', x, '  ', y, ' '),
+                              concat(' ', x, y, ' ')))""").as("w"),
+              col("f"))
+            .localCheckpoint()
+        }
+        r += 1
+      }
+      merges.reduce(_ unionByName _)
+        .select(col("merge_round"), col("x").as("lhs"), col("y").as("rhs"),
+          concat(col("x"), col("y")).as("merged"), col("cnt"))
+        .orderBy("merge_round")
+    },
+    Some {
+      val rounds = 10
+      // AS MATERIALIZED throughout: DuckDB inlines plain CTEs, and each
+      // v_r is referenced twice (p_{r+1} and v_{r+1}) plus b_r three
+      // times — inlining would expand v10 into 2^10 copies of the
+      // documents scan (observed as "Too many open files" at sf0.001)
+      val v0 =
+        s"""v0 AS MATERIALIZED (SELECT array_to_string(list_transform(range(1, length(tok) + 1),
+                     i -> substr(tok, i, 1)), '  ') || '  </w>' AS w,
+                     CAST(count(*) AS BIGINT) AS f
+                   FROM (SELECT unnest($toksSql) AS tok FROM documents)
+                   GROUP BY 1)"""
+      val chain = (1 to rounds).map { r =>
+        s"""p$r AS (SELECT pr[1] AS x, pr[2] AS y, CAST(sum(f) AS BIGINT) AS cnt
+                   FROM (SELECT unnest(list_transform(range(1, len(sy)),
+                           i -> [sy[i], sy[i+1]])) AS pr, f
+                         FROM (SELECT string_split(w, '  ') AS sy, f FROM v${r - 1}))
+                   GROUP BY 1, 2),
+             b$r AS MATERIALIZED (SELECT x, y, cnt FROM p$r ORDER BY cnt DESC, x, y LIMIT 1),
+             v$r AS MATERIALIZED (SELECT trim(replace('  ' || w || '  ',
+                       ' ' || (SELECT x FROM b$r) || '  ' || (SELECT y FROM b$r) || ' ',
+                       ' ' || (SELECT x FROM b$r) || (SELECT y FROM b$r) || ' ')) AS w, f
+                     FROM v${r - 1})"""
+      }.mkString(",\n")
+      val union = (1 to rounds)
+        .map(r => s"SELECT CAST($r AS BIGINT) AS merge_round, x, y, cnt FROM b$r")
+        .mkString(" UNION ALL ")
+      s"""WITH $v0,
+          $chain
+          SELECT merge_round, x AS lhs, y AS rhs, x || y AS merged, cnt
+          FROM ($union) ORDER BY merge_round"""
+    })
+
   private val qBigramLift = GraftQuery(
     "q_bigram_lift",
     (s, dir) => {
@@ -8539,7 +8653,7 @@ object Queries {
     q6Forecast, q10Returns, q12Priority, q19Brackets, q13Custdist, q16Suppliers,
     q7Trade, q15TopSupp, q17SmallQty, q21Blame, q20Excess, q8Share, qJsonExtract,
     qNegPairs, qPiiScrub, qKanon, qLdiv, qDpHistogram, qDpMean, qDrift, qDedupReport,
-    qBpePairs,
+    qBpePairs, qBpeMerges,
     qDedupExact, qDedupMinhash, qMinhashRescore, qContainment, qMinhashEst, qDedupSimhash, qDedupSimhashPairs,
     qDedupClusters, qPagerank, qPprSeeds, qKcore, qBfsHops, qTriangles, qTrianglesApprox, qQualityDup, qHapax, qNgramJaccard, qSortedDedup, qDedupEmbed, qRepetition,
     qSplitLeakage, qJaccardCalib, qGroupSplit,

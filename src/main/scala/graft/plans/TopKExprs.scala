@@ -1,7 +1,7 @@
 package graft.plans
 
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{Expression, GenericInternalRow}
+import org.apache.spark.sql.catalyst.expressions.{Expression, GenericInternalRow, ImplicitCastInputTypes}
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
 import org.apache.spark.sql.catalyst.trees.BinaryLike
 import org.apache.spark.sql.catalyst.util.GenericArrayData
@@ -63,8 +63,16 @@ case class TopKPairsAgg(
     k: Int,
     mutableAggBufferOffset: Int = 0,
     inputAggBufferOffset: Int = 0)
-  extends TypedImperativeAggregate[TopKBuf] with BinaryLike[Expression] {
+  extends TypedImperativeAggregate[TopKBuf] with BinaryLike[Expression]
+  with ImplicitCastInputTypes {
   require(k >= 1 && k <= 4096, s"top-k k must be in [1, 4096], got $k")
+
+  // update() reads both args as Long: a typed input contract makes a
+  // wrong-typed score/id fail ANALYSIS (numeric args implicitly cast)
+  // instead of throwing ClassCastException inside executors, and pins
+  // the output id type to LongType explicitly — the same contract the
+  // KLL surface carries (KllExprs.scala).
+  override def inputTypes: Seq[DataType] = Seq(LongType, LongType)
 
   override def prettyName: String = "graft_topk_pairs"
   override def dataType: DataType = ArrayType(

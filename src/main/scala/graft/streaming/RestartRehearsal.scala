@@ -20,15 +20,30 @@ import org.apache.spark.sql.streaming.OutputMode
   * the same shape as the bench's MemoryStream tape.
   *
   * Parity contract per operator:
-  *  - Append-mode ops (sessionize / ewma / cusum): the exactly-once
-  *    parquet sink's committed rows must be IDENTICAL (as multisets)
-  *    between the interrupted-then-recovered run and the uninterrupted
-  *    run — recovery replays the in-flight batch, the sink's
-  *    _spark_metadata commits each batch once.
-  *  - Update-mode ops (quantiles): emission is at-least-once under
-  *    foreachBatch, so the contract is the FINAL snapshot per key
-  *    (row at the max committed batch per key) — state recovery makes
-  *    the replayed batch emit byte-identical snapshots.
+  *  - Append-mode ops (sessionize / ewma / cusum / asof_join / funnel):
+  *    the exactly-once parquet sink's committed rows must be IDENTICAL
+  *    (as multisets) between the interrupted-then-recovered run and the
+  *    uninterrupted run — recovery replays the in-flight batch, the
+  *    sink's _spark_metadata commits each batch once.
+  *  - Update-mode ops (quantiles / heavy_hitters): emission is
+  *    at-least-once under foreachBatch, so the contract is the FINAL
+  *    snapshot per group (all rows at the max committed batch per
+  *    group, deduplicated — a replayed batch re-writes byte-identical
+  *    rows) — state recovery makes the replayed batch emit identical
+  *    snapshots.
+  *
+  * Round-14 additions (VERDICT r13 item 5): the JOIN-shaped state
+  * (asof_join — per-key quote buffer), the multi-timestamp state
+  * (funnel — two timestamps + flag per user), and a sketch twin
+  * (heavy_hitters — Misra-Gries counters per group), each fed by a
+  * deterministic row-content adapter over the same KeyedEvent tape the
+  * bench's streaming section uses. And the interruption is now
+  * VERIFIED effective (ADVICE r13): the kill records the batch id
+  * committed at stop time, the recovery records its final batch id,
+  * and a run whose stop landed after the tape drained (parity would
+  * pass vacuously) retries once with an earlier stop and is flagged
+  * `effective:false` if it still drained; the kill wait is bounded by
+  * a deadline so an over-large stopAfterBatch can never spin forever.
   *
   * Usage: `runMain graft.streaming.RestartRehearsal <sfDir> <workDir>
   * [nChunks] [stopAfterBatch]` — prints one JSON line per op and a
@@ -36,19 +51,57 @@ import org.apache.spark.sql.streaming.OutputMode
   */
 object RestartRehearsal {
 
-  /** The ops rehearsed: name → (query builder, output mode). The four
-    * heaviest RocksDB-stateful shapes from the bench's streaming
-    * section: per-key session assignment, the two linear-recurrence
-    * folds, and the KLL quantile monitor (Update mode).
+  /** One rehearsed op: name, query builder over the KeyedEvent tape
+    * (adapters derive typed inputs from row content only — both runs
+    * read identical files, so derived inputs are identical), output
+    * mode, and — for Update-mode ops — the snapshot grouping column.
     */
-  def ops(spark: SparkSession): Seq[(String, Dataset[KeyedEvent] => DataFrame, OutputMode)] = Seq(
-    ("sessionize", (ds: Dataset[KeyedEvent]) => StreamingOps.sessionize(ds, 1_800_000_000L).toDF(),
-      OutputMode.Append()),
-    ("ewma", (ds: Dataset[KeyedEvent]) => StreamingOps.ewma(ds).toDF(), OutputMode.Append()),
-    ("cusum", (ds: Dataset[KeyedEvent]) => StreamingOps.cusum(ds,
-      targetCents = 10_000L, thresholdCents = 100_000L).toDF(), OutputMode.Append()),
-    ("quantiles", (ds: Dataset[KeyedEvent]) => StreamingOps.quantiles(ds).toDF(),
-      OutputMode.Update()))
+  final case class Op(name: String, mk: Dataset[KeyedEvent] => DataFrame,
+      mode: OutputMode, snapKey: Option[String] = None)
+
+  /** The ops rehearsed: the heaviest RocksDB-stateful shapes from the
+    * bench's streaming section — per-key session assignment, the two
+    * linear-recurrence folds, the KLL quantile monitor, and (round 14)
+    * the as-of join buffer, the funnel's multi-timestamp state, and
+    * the Misra-Gries sketch.
+    */
+  def ops(spark: SparkSession): Seq[Op] = {
+    import org.apache.spark.sql.Encoders
+    Seq(
+      Op("sessionize", ds => StreamingOps.sessionize(ds, 1_800_000_000L).toDF(),
+        OutputMode.Append()),
+      Op("ewma", ds => StreamingOps.ewma(ds).toDF(), OutputMode.Append()),
+      Op("cusum", ds => StreamingOps.cusum(ds,
+        targetCents = 10_000L, thresholdCents = 100_000L).toDF(), OutputMode.Append()),
+      Op("quantiles", ds => StreamingOps.quantiles(ds).toDF(),
+        OutputMode.Update(), snapKey = Some("key")),
+      // as-of join: 2/3 quotes, 1/3 probes, both derived from row
+      // content (never a zip index — the derivation must be identical
+      // across restarts and partitionings); id is a row fingerprint so
+      // the (tsUs, id) tie-break is content-deterministic
+      Op("asof_join", ds => StreamingOps.asofJoin(
+        ds.map(e => StreamingOps.AsofIn(e.key, e.tsUs,
+          id = e.tsUs ^ (e.key * 2654435761L) ^ java.lang.Double.doubleToLongBits(e.value),
+          e.value, isRight = (e.tsUs + e.key) % 3 != 0))(
+          Encoders.product[StreamingOps.AsofIn])).toDF(),
+        OutputMode.Append()),
+      // funnel: event type from the value band — same derivation as the
+      // bench's streaming tape
+      Op("funnel", ds => StreamingOps.funnel(
+        ds.map { e =>
+          val tpe = (e.value % 4).toInt match {
+            case 0 => "signup"; case 1 => "click"; case 2 => "purchase"; case _ => "view"
+          }
+          StreamingOps.FunnelEvent(e.key, e.tsUs, tpe)
+        }(Encoders.product[StreamingOps.FunnelEvent])).toDF(),
+        OutputMode.Append()),
+      // Misra-Gries heavy hitters: (key-bucket, user id) pairs — the
+      // bench streaming section's tape shape, ≤32 counters per bucket
+      Op("heavy_hitters", ds => StreamingOps.heavyHitters(
+        ds.map(e => ((e.key % 8).toString, e.key.toString))(
+          Encoders.tuple(Encoders.STRING, Encoders.STRING)), 32).toDF(),
+        OutputMode.Update(), snapKey = Some("group")))
+  }
 
   /** Write the events table as `nChunks` in-order parquet chunk files
     * under `tapeDir` with strictly increasing mtimes (the file
@@ -90,24 +143,36 @@ object RestartRehearsal {
       .as[KeyedEvent]
   }
 
+  /** One run's outcome: wall seconds total, wall seconds of the
+    * recovery phase, the batch id committed when the kill landed (-1
+    * for uninterrupted runs), and the final committed batch id of the
+    * recovery query (-1 if it processed nothing — a vacuous kill).
+    */
+  final case class RunStats(totalSec: Double, recoverySec: Double,
+      stopBatch: Long, finalBatch: Long) {
+    /** The kill interrupted real work: batches remained for recovery. */
+    def effective: Boolean = stopBatch >= 0 && finalBatch > stopBatch
+  }
+
   /** Run one op to completion over the tape. If `stopAfterBatch` is
     * set, the query is killed as soon as the checkpoint has committed
     * that batch id (mid-tape — later batches still pending) and then
-    * RESTARTED from the same checkpoint to drain the rest. Returns
-    * (wall seconds total, wall seconds of the recovery phase).
+    * RESTARTED from the same checkpoint to drain the rest. The kill
+    * wait is deadline-bounded (a stopAfterBatch beyond the tape can
+    * never spin forever), and the committed batch ids at stop and at
+    * drain are recorded so a vacuous interruption is detectable.
     */
   def runOnce(spark: SparkSession, tapeDir: String, outDir: String, ckptDir: String,
-      mk: Dataset[KeyedEvent] => DataFrame, mode: OutputMode,
-      stopAfterBatch: Option[Int]): (Double, Double) = {
+      op: Op, stopAfterBatch: Option[Int]): RunStats = {
     def start() = {
-      val df = mk(fileStream(spark, tapeDir))
-      if (mode == OutputMode.Append())
+      val df = op.mk(fileStream(spark, tapeDir))
+      if (op.mode == OutputMode.Append())
         df.writeStream.format("parquet").option("path", outDir)
-          .option("checkpointLocation", ckptDir).outputMode(mode).start()
+          .option("checkpointLocation", ckptDir).outputMode(op.mode).start()
       else
         // Update mode has no exactly-once file sink; foreachBatch with
         // the batch id column gives the last-snapshot-per-key contract
-        df.writeStream.outputMode(mode)
+        df.writeStream.outputMode(op.mode)
           .option("checkpointLocation", ckptDir)
           .foreachBatch { (batch: DataFrame, id: Long) =>
             batch.withColumn("__batch", lit(id))
@@ -120,35 +185,48 @@ object RestartRehearsal {
         val q = start()
         try q.processAllAvailable() finally q.stop()
         val s = (System.nanoTime() - t0) / 1e9
-        (s, s)
+        RunStats(s, s, -1L, Option(q.lastProgress).map(_.batchId).getOrElse(-1L))
       case Some(k) =>
         val q = start()
         try {
-          // kill once batch k is committed — later batches pending
-          while (Option(q.lastProgress).forall(_.batchId < k) && q.isActive)
-            Thread.sleep(50)
+          // kill once batch k is committed — later batches pending;
+          // bounded: a drained or wedged query exits the wait at the
+          // deadline instead of spinning
+          val deadline = System.nanoTime() + 600L * 1_000_000_000L
+          while (Option(q.lastProgress).forall(_.batchId < k) && q.isActive &&
+              System.nanoTime() < deadline)
+            Thread.sleep(20)
         } finally q.stop()
+        // read AFTER stop: this is the batch id the checkpoint actually
+        // holds — batches can commit between the wait's observation and
+        // the stop landing (the ADVICE r13 race)
+        val stopBatch = Option(q.lastProgress).map(_.batchId).getOrElse(-1L)
         val t1 = System.nanoTime()
         val q2 = start()
         try q2.processAllAvailable() finally q2.stop()
+        val finalBatch = Option(q2.lastProgress).map(_.batchId).getOrElse(-1L)
         val t2 = System.nanoTime()
-        ((t2 - t0) / 1e9, (t2 - t1) / 1e9)
+        RunStats((t2 - t0) / 1e9, (t2 - t1) / 1e9, stopBatch, finalBatch)
     }
   }
 
-  /** Multiset of output rows for the parity compare (append ops), or
-    * the last-batch snapshot per key (update ops).
+  /** Multiset of output rows for the parity compare (append ops), or —
+    * for update ops — the final snapshot per group: all rows at the
+    * group's max committed batch, deduplicated (foreachBatch is
+    * at-least-once, so a recovered run may re-append the replayed
+    * batch's byte-identical rows).
     */
-  def outputSignature(spark: SparkSession, outDir: String, update: Boolean): Seq[String] = {
+  def outputSignature(spark: SparkSession, outDir: String, snapKey: Option[String]): Seq[String] = {
     val df = spark.read.parquet(outDir)
-    val rows =
-      if (!update) df
-      else {
-        val w = org.apache.spark.sql.expressions.Window
-          .partitionBy(col("key")).orderBy(col("__batch").desc)
-        df.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1)
-          .drop("__rn", "__batch")
-      }
+    val rows = snapKey match {
+      case None => df
+      case Some(keyCol) =>
+        val w = org.apache.spark.sql.expressions.Window.partitionBy(col(keyCol))
+        df.withColumn("__mb", max(col("__batch")).over(w))
+          .filter(col("__batch") === col("__mb"))
+          .drop("__mb", "__batch")
+          .distinct()
+    }
     rows.collect().map(_.toString).sorted.toSeq
   }
 
@@ -162,30 +240,44 @@ object RestartRehearsal {
     spark.sparkContext.setLogLevel("WARN")
     val tapeDir = s"$workDir/tape"
     val rows = buildTape(spark, sfDir, tapeDir, nChunks)
-    val results = ops(spark).map { case (name, mk, mode) =>
-      val upd = mode == OutputMode.Update()
-      val (refS, _) = runOnce(spark, tapeDir, s"$workDir/$name/ref_out",
-        s"$workDir/$name/ref_ckpt", mk, mode, None)
-      val (totS, recS) = runOnce(spark, tapeDir, s"$workDir/$name/rec_out",
-        s"$workDir/$name/rec_ckpt", mk, mode, Some(stopAfter))
-      val a = outputSignature(spark, s"$workDir/$name/ref_out", upd)
-      val b = outputSignature(spark, s"$workDir/$name/rec_out", upd)
+    val results = ops(spark).map { op =>
+      val name = op.name
+      val ref = runOnce(spark, tapeDir, s"$workDir/$name/ref_out",
+        s"$workDir/$name/ref_ckpt", op, None)
+      var rec = runOnce(spark, tapeDir, s"$workDir/$name/rec_out",
+        s"$workDir/$name/rec_ckpt", op, Some(stopAfter))
+      var recDir = s"$workDir/$name/rec_out"
+      if (!rec.effective) {
+        // the tape drained before the kill landed — parity would pass
+        // vacuously; retry once with the earliest possible stop
+        recDir = s"$workDir/$name/rec2_out"
+        rec = runOnce(spark, tapeDir, recDir, s"$workDir/$name/rec2_ckpt",
+          op, Some(1))
+      }
+      val a = outputSignature(spark, s"$workDir/$name/ref_out", op.snapKey)
+      val b = outputSignature(spark, recDir, op.snapKey)
       val ok = a == b
       val line = f"""{"op":"$name","rows":$rows,"parity":$ok,""" +
-        f""""uninterrupted_sec":$refS%.1f,"interrupted_total_sec":$totS%.1f,""" +
-        f""""recovery_sec":$recS%.1f,"recovered_rows_per_sec":${rows / totS}%.0f,""" +
+        f""""effective":${rec.effective},"stop_batch":${rec.stopBatch},""" +
+        f""""final_batch":${rec.finalBatch},""" +
+        f""""uninterrupted_sec":${ref.totalSec}%.1f,""" +
+        f""""interrupted_total_sec":${rec.totalSec}%.1f,""" +
+        f""""recovery_sec":${rec.recoverySec}%.1f,""" +
+        f""""recovered_rows_per_sec":${rows / rec.totalSec}%.0f,""" +
         f""""out_rows":${a.length}}"""
       println(line)
-      (name, ok, line)
+      (name, ok, rec.effective, line)
     }
     val allOk = results.forall(_._2)
+    val allEff = results.forall(_._3)
     val sfName = sfDir.split('/').last
+    val round = sys.env.get("SPARK_GRAFT_ROUND").orElse(graft.Bench.nextRound()).getOrElse("x")
     val doc = s"""{"rehearsal":"streaming_restart","sf":"$sfDir","chunks":$nChunks,""" +
-      s""""stop_after_batch":$stopAfter,"all_parity":$allOk,"ops":[""" +
-      results.map(_._3).mkString(",") + "]}"
+      s""""stop_after_batch":$stopAfter,"all_parity":$allOk,"all_effective":$allEff,"ops":[""" +
+      results.map(_._4).mkString(",") + "]}"
     println(doc)
-    graft.Bench.durableWrite(s"restart_${sfName}_r13", doc): Unit
+    graft.Bench.durableWrite(s"restart_${sfName}_r$round", doc): Unit
     spark.stop()
-    if (!allOk) sys.exit(1)
+    if (!allOk || !allEff) sys.exit(1)
   }
 }

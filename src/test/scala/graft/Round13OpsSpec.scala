@@ -160,7 +160,6 @@ class Round13OpsSpec extends SparkSpecBase {
 
   test("RestartRehearsal: mid-tape kill + checkpoint recovery reaches output parity") {
     import graft.streaming.RestartRehearsal
-    import org.apache.spark.sql.streaming.OutputMode
     val work = java.nio.file.Files.createTempDirectory("graft-r13-restart").toString
     val tapeDir = s"$work/tape"
     val rows = RestartRehearsal.buildTape(spark, sfDir, tapeDir, nChunks = 6)
@@ -168,15 +167,17 @@ class Round13OpsSpec extends SparkSpecBase {
     // one append-mode (per-event session assignment) and one
     // update-mode (KLL quantile monitor) op, killed after batch 1 of 6
     RestartRehearsal.ops(spark)
-      .filter(o => o._1 == "sessionize" || o._1 == "quantiles")
-      .foreach { case (name, mk, mode) =>
-        val upd = mode == OutputMode.Update()
+      .filter(o => o.name == "sessionize" || o.name == "quantiles")
+      .foreach { op =>
+        val name = op.name
         RestartRehearsal.runOnce(spark, tapeDir, s"$work/$name/ref_out",
-          s"$work/$name/ref_ckpt", mk, mode, None)
-        RestartRehearsal.runOnce(spark, tapeDir, s"$work/$name/rec_out",
-          s"$work/$name/rec_ckpt", mk, mode, Some(1))
-        val a = RestartRehearsal.outputSignature(spark, s"$work/$name/ref_out", upd)
-        val b = RestartRehearsal.outputSignature(spark, s"$work/$name/rec_out", upd)
+          s"$work/$name/ref_ckpt", op, None)
+        val rec = RestartRehearsal.runOnce(spark, tapeDir, s"$work/$name/rec_out",
+          s"$work/$name/rec_ckpt", op, Some(1))
+        assert(rec.effective, s"$name: the kill landed after the tape drained " +
+          s"(stop_batch=${rec.stopBatch}, final_batch=${rec.finalBatch}) — parity vacuous")
+        val a = RestartRehearsal.outputSignature(spark, s"$work/$name/ref_out", op.snapKey)
+        val b = RestartRehearsal.outputSignature(spark, s"$work/$name/rec_out", op.snapKey)
         assert(a.nonEmpty, s"$name: empty reference output")
         assert(a == b, s"$name: recovered output diverged " +
           s"(${a.length} vs ${b.length} rows; first diff: ${a.diff(b).headOption})")
