@@ -118,10 +118,13 @@ object Bench {
     // scan) fused on a 100-row full-outer join
     "q_rrf_fusion",
     // round-14 additions: the random-walk-with-restart over the cached
-    // pair graph (anchored per VERDICT r13 item 3), and the iterated
+    // pair graph (anchored per VERDICT r13 item 3), the iterated
     // BPE merge loop — one corpus tokenize + 10 vocab-bounded
-    // argmax/replace rounds under checkpoint discipline
-    "q_ppr_seeds", "q_bpe_merges")
+    // argmax/replace rounds under checkpoint discipline — and the two
+    // remaining top-k-rewrite consumers (VERDICT item 3 asks them
+    // re-anchored, which means headline + BASELINE rows): the
+    // two-level IVF search itself and the kNN majority-vote classifier
+    "q_ppr_seeds", "q_bpe_merges", "q_embed_ivf2", "q_knn_classify")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

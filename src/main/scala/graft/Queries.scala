@@ -3042,6 +3042,60 @@ object Queries {
     * ‖x‖²+‖y‖²−2x·y off the dot kernel, the oracle sums squared
     * differences — but are identical in exact integers.)
     */
+  /** Two-level IVF candidate chain — the DuckDB mirror of
+    * VectorFns.ivfTopK2 at (kCentroids=64, nprobe=8, coarseProbes=4,
+    * assignProbes=1): CTE chain e..sc where `sc` holds the exact
+    * integer dot scores of every (query, candidate) pair meeting in a
+    * probed fine cell (self excluded). `queryPred` filters which
+    * embeddings rows act as queries; callers rank `sc` to their k.
+    * Shared by q_embed_ivf2 (its own oracle) and q_rrf_fusion (the
+    * IVF-backed semantic head).
+    */
+  private def ivf2ChainSql(queryPred: String): String = {
+    val d2 = (a: String, b: String) =>
+      s"CAST(list_sum(list_transform(range(1, 65), i -> ($a[i]-$b[i])*($a[i]-$b[i]))) AS BIGINT)"
+    s"""e AS (SELECT vec_id, ${quantSql("embedding")} AS v FROM embeddings),
+        samp AS (SELECT vec_id, v AS fv, fcid FROM
+                   (SELECT vec_id, v, row_number() OVER (
+                      ORDER BY md5(CAST(vec_id AS VARCHAR)), CAST(vec_id AS VARCHAR)) - 1 AS fcid
+                    FROM e)
+                 WHERE fcid < 64),
+        coarse AS (SELECT fcid AS ccid, fv AS cv FROM samp WHERE fcid < 8),
+        fasg AS (SELECT fcid, fv, ccid FROM
+                   (SELECT f.fcid, f.fv, c.ccid,
+                      row_number() OVER (PARTITION BY f.fcid
+                        ORDER BY ${d2("f.fv", "c.cv")}, c.ccid) AS rn
+                    FROM samp f CROSS JOIN coarse c)
+                 WHERE rn = 1),
+        ca AS (SELECT vec_id, v, ccid FROM
+                 (SELECT e.vec_id, e.v, c.ccid,
+                    row_number() OVER (PARTITION BY e.vec_id
+                      ORDER BY ${d2("e.v", "c.cv")}, c.ccid) AS rn
+                  FROM e CROSS JOIN coarse c)
+               WHERE rn = 1),
+        asg AS (SELECT vec_id, v, fcid FROM
+                  (SELECT ca.vec_id, ca.v, f.fcid,
+                     row_number() OVER (PARTITION BY ca.vec_id
+                       ORDER BY ${d2("ca.v", "f.fv")}, f.fcid) AS rn
+                   FROM ca JOIN fasg f ON f.ccid = ca.ccid)
+                WHERE rn = 1),
+        qc AS (SELECT vec_id, v, ccid FROM
+                 (SELECT e.vec_id, e.v, c.ccid,
+                    row_number() OVER (PARTITION BY e.vec_id
+                      ORDER BY ${d2("e.v", "c.cv")}, c.ccid) AS rn
+                  FROM e CROSS JOIN coarse c WHERE $queryPred)
+               WHERE rn <= 4),
+        qf AS (SELECT vec_id, v, fcid FROM
+                 (SELECT q.vec_id, q.v, f.fcid,
+                    row_number() OVER (PARTITION BY q.vec_id
+                      ORDER BY ${d2("q.v", "f.fv")}, f.fcid) AS rn
+                  FROM qc q JOIN fasg f ON f.ccid = q.ccid)
+               WHERE rn <= 8),
+        sc AS (SELECT q.vec_id AS query_id, a.vec_id AS neighbor_id,
+                 CAST(list_sum(list_transform(range(1, 65), i -> q.v[i] * a.v[i])) AS BIGINT) AS score
+               FROM qf q JOIN asg a ON q.fcid = a.fcid AND q.vec_id != a.vec_id)"""
+  }
+
   private val qEmbedIvf2 = GraftQuery(
     "q_embed_ivf2",
     (s, dir) => {
@@ -3050,55 +3104,12 @@ object Queries {
           kCentroids = 64, nprobe = 8, coarseProbes = 4, assignProbes = 1)
         .select(col("query_id"), col("neighbor_id"), col("score"), col("rank").cast("long").as("rnk"))
     },
-    Some {
-      val d2 = (a: String, b: String) =>
-        s"CAST(list_sum(list_transform(range(1, 65), i -> ($a[i]-$b[i])*($a[i]-$b[i]))) AS BIGINT)"
-      s"""WITH e AS (SELECT vec_id, ${quantSql("embedding")} AS v FROM embeddings),
-          samp AS (SELECT vec_id, v AS fv, fcid FROM
-                     (SELECT vec_id, v, row_number() OVER (
-                        ORDER BY md5(CAST(vec_id AS VARCHAR)), CAST(vec_id AS VARCHAR)) - 1 AS fcid
-                      FROM e)
-                   WHERE fcid < 64),
-          coarse AS (SELECT fcid AS ccid, fv AS cv FROM samp WHERE fcid < 8),
-          fasg AS (SELECT fcid, fv, ccid FROM
-                     (SELECT f.fcid, f.fv, c.ccid,
-                        row_number() OVER (PARTITION BY f.fcid
-                          ORDER BY ${d2("f.fv", "c.cv")}, c.ccid) AS rn
-                      FROM samp f CROSS JOIN coarse c)
-                   WHERE rn = 1),
-          ca AS (SELECT vec_id, v, ccid FROM
-                   (SELECT e.vec_id, e.v, c.ccid,
-                      row_number() OVER (PARTITION BY e.vec_id
-                        ORDER BY ${d2("e.v", "c.cv")}, c.ccid) AS rn
-                    FROM e CROSS JOIN coarse c)
-                 WHERE rn = 1),
-          asg AS (SELECT vec_id, v, fcid FROM
-                    (SELECT ca.vec_id, ca.v, f.fcid,
-                       row_number() OVER (PARTITION BY ca.vec_id
-                         ORDER BY ${d2("ca.v", "f.fv")}, f.fcid) AS rn
-                     FROM ca JOIN fasg f ON f.ccid = ca.ccid)
-                  WHERE rn = 1),
-          qc AS (SELECT vec_id, v, ccid FROM
-                   (SELECT e.vec_id, e.v, c.ccid,
-                      row_number() OVER (PARTITION BY e.vec_id
-                        ORDER BY ${d2("e.v", "c.cv")}, c.ccid) AS rn
-                    FROM e CROSS JOIN coarse c WHERE e.vec_id < 20)
-                 WHERE rn <= 4),
-          qf AS (SELECT vec_id, v, fcid FROM
-                   (SELECT q.vec_id, q.v, f.fcid,
-                      row_number() OVER (PARTITION BY q.vec_id
-                        ORDER BY ${d2("q.v", "f.fv")}, f.fcid) AS rn
-                    FROM qc q JOIN fasg f ON f.ccid = q.ccid)
-                 WHERE rn <= 8),
-          sc AS (SELECT q.vec_id AS query_id, a.vec_id AS neighbor_id,
-                   CAST(list_sum(list_transform(range(1, 65), i -> q.v[i] * a.v[i])) AS BIGINT) AS score
-                 FROM qf q JOIN asg a ON q.fcid = a.fcid AND q.vec_id != a.vec_id)
+    Some(s"""WITH ${ivf2ChainSql("e.vec_id < 20")}
           SELECT query_id, neighbor_id, score, CAST(rnk AS BIGINT) AS rnk
           FROM (SELECT query_id, neighbor_id, score,
                   row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rnk
                 FROM sc)
-          WHERE rnk <= 5"""
-    })
+          WHERE rnk <= 5"""))
 
   /** kNN label propagation: classify each query vector by the majority
     * label of its 5 IVF-approximate nearest neighbors (vote ties break
@@ -3842,15 +3853,12 @@ object Queries {
     * document frequencies (broadcast — vocabulary-sized), one window
     * for the per-doc top-k. Ties break on the term.
     */
-  private val qTfidfTopterms = GraftQuery(
-    "q_tfidf_topterms",
-    (s, dir) => {
+  /** tf-idf top-terms from an arbitrary (doc_id, __toks) frame — the
+    * TokenMat re-point seam (see bm25ScoresToks).
+    */
+  private[graft] def tfidfFromToks(toksOf: DataFrame, nDocs: Long): DataFrame = {
       import org.apache.spark.sql.expressions.Window
-      val docs = t(s, dir, "documents")
-      val nDocs = tableCount(s, dir, "documents")
-      val terms = Fence.guard(
-          docs.select(col("doc_id"), TextFns.tokensFast(col("text")).as("__toks"), Fence.col))
-        .select(col("doc_id"), explode(col("__toks")).as("term"))
+      val terms = toksOf.select(col("doc_id"), explode(col("__toks")).as("term"))
       // df derives FROM tf (already one row per doc×term — the
       // distinct() re-derivation tokenized the corpus a second time),
       // and tf wears the keepAll fence so its two consumers (score
@@ -3863,6 +3871,15 @@ object Queries {
         .withColumn("rn", row_number().over(w))
         .filter(col("rn") <= 3)
         .select(col("doc_id"), col("term"), col("score"), col("rn").cast("long").as("rn"))
+  }
+
+  private val qTfidfTopterms = GraftQuery(
+    "q_tfidf_topterms",
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+      tfidfFromToks(Fence.guard(
+        docs.select(col("doc_id"), TextFns.tokensFast(col("text")).as("__toks"), Fence.col)),
+        tableCount(s, dir, "documents"))
     },
     Some(s"""WITH tk AS (SELECT doc_id, unnest($toksSql) AS term FROM documents),
              tf AS (SELECT doc_id, term, $nSql AS tf FROM tk GROUP BY 1, 2),
@@ -5590,8 +5607,15 @@ object Queries {
     */
   private def bigramLmPerDoc(s: SparkSession, dir: String): DataFrame = {
     val docs = t(s, dir, "documents")
-    def toksOf = Fence.guard(
-      docs.select(col("doc_id"), TextFns.tokensFast(col("text")).as("__toks"), Fence.col))
+    bigramLmFromToks(Fence.guard(
+      docs.select(col("doc_id"), TextFns.tokensFast(col("text")).as("__toks"), Fence.col)))
+  }
+
+  /** bigram-LM kernel from an arbitrary (doc_id, __toks) frame — the
+    * TokenMat re-point seam (see bm25ScoresToks).
+    */
+  private[graft] def bigramLmFromToks(toksOf0: => DataFrame): DataFrame = {
+    def toksOf = toksOf0
     val bi = toksOf
       .filter(size(col("__toks")) >= 2)
       .select(col("doc_id"), explode(arrays_zip(
@@ -6599,13 +6623,12 @@ object Queries {
     * disagreement between this path and the ntile oracle twin to
     * boundary tie groups.
     */
-  private val qPplBucketsScale = GraftQuery(
-    "q_ppl_buckets_scale",
-    (s, dir) => {
+  /** ppl_buckets_scale's histogram-cut body from an arbitrary
+    * (doc_id, lang, lm_milli) frame — the TokenMat re-point seam (see
+    * bm25ScoresToks).
+    */
+  private[graft] def pplBucketsScaleFrom(perDoc: DataFrame): DataFrame = {
       import org.apache.spark.sql.expressions.Window
-      val perDoc = bigramLmPerDoc(s, dir)
-        .join(t(s, dir, "documents").select(col("doc_id"), col("lang")), Seq("doc_id"))
-        .select(col("doc_id"), col("lang"), col("lm_milli"))
       val histo = perDoc.groupBy(col("lang"), col("lm_milli"))
         .agg(count(lit(1)).as("__c"))
       // windows over the ≤1001-row-per-lang histogram, not the corpus;
@@ -6623,7 +6646,14 @@ object Queries {
         .groupBy(col("lang"), col("tier"))
         .agg(sum(col("__c")).as("n_docs"),
           min(col("lm_milli")).as("lo_milli"), max(col("lm_milli")).as("hi_milli"))
-    },
+  }
+
+  private val qPplBucketsScale = GraftQuery(
+    "q_ppl_buckets_scale",
+    (s, dir) => pplBucketsScaleFrom(
+      bigramLmPerDoc(s, dir)
+        .join(t(s, dir, "documents").select(col("doc_id"), col("lang")), Seq("doc_id"))
+        .select(col("doc_id"), col("lang"), col("lm_milli"))),
     Some(s"""WITH $bigramLmSql,
              pd AS (SELECT lm.doc_id, d.lang, lm_milli FROM lm JOIN documents d USING (doc_id)),
              h AS (SELECT lang, lm_milli, CAST(count(*) AS BIGINT) AS c FROM pd GROUP BY 1, 2),
@@ -6723,10 +6753,20 @@ object Queries {
     * as the lexical side of q_rrf_fusion.
     */
   private def bm25Scores(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    bm25ScoresToks(Fence.guard(
+      docs.select(col("doc_id"), TextFns.tokensFast(col("text")).as("__toks"), Fence.col)))
+  }
+
+  /** The bm25 pipeline from an arbitrary (doc_id, __toks) frame — the
+    * seam the tokenized-corpus materialization rehearsal (TokenMat)
+    * re-points at a pre-tokenized bucketed table instead of the
+    * per-query tokenize. By-name so each use site instantiates its own
+    * subtree (the keepAll fences then pin exchange reuse).
+    */
+  private[graft] def bm25ScoresToks(toksOf0: => DataFrame): DataFrame = {
       val qterms = Seq("spark", "table", "fast", "query")
-      val docs = t(s, dir, "documents")
-      def toksOf = Fence.guard(
-        docs.select(col("doc_id"), TextFns.tokensFast(col("text")).as("__toks"), Fence.col))
+      def toksOf = toksOf0
       // dl feeds the score join AND the corpus scalars; tf feeds the
       // score join AND the df table. Both are bounded frames consumed
       // twice, so both wear the keepAll canonicality fence — without
@@ -6802,16 +6842,25 @@ object Queries {
     * alone survives paraphrase (lexical blind spot) or rare terms
     * (semantic blind spot).
     *
-    * Scale shape: each side collapses to a ≤100-row head via
-    * TakeOrderedAndProject (orderBy + limit — no global sort at any
-    * scale); the rank windows run over those bounded frames only
-    * (q_zipf_top's documented single-partition class). The query
-    * vector is a 1-row broadcast; the fusion is a full-outer join of
-    * two ≤100-row frames. Corpus passes (adjudicated two-role in the
-    * plan-audit allowlist): bm25Scores' two bounded token passes
-    * (dl + the literal-filtered tf — its documented budget), and two
-    * embeddings roles — the 1-row query head (LIMIT 1 scan) + the
-    * corpus scoring scan.
+    * Scale shape (round 14: the semantic head now RIDES THE PRODUCTION
+    * INDEX — VectorFns.ivfTopK2, the same two-level IVF the ANN suite
+    * ships — instead of brute-scanning the corpus against the query
+    * embedding; VERDICT r13 item 8): the lexical side collapses to a
+    * ≤100-row head via TakeOrderedAndProject; the semantic side is the
+    * IVF pipeline with ONE query row — map-only coarse probing,
+    * broadcast fine-centroid relation, candidates met in an fcid
+    * equi-join, top-100 via the mergeable top-k aggregate (never a
+    * global sort, never all-pairs). The rank window runs over the
+    * bounded lexical head only (q_zipf_top's documented
+    * single-partition class); the fusion is a full-outer join of two
+    * ≤100-row frames. Corpus passes (adjudicated two-role+ann-index in
+    * the plan-audit allowlist): bm25Scores' two bounded token passes
+    * (dl + the literal-filtered tf — its documented budget), and three
+    * embeddings roles — the 1-row query head (LIMIT 1 scan), the
+    * fine-centroid sample (TakeOrdered k rows), and the corpus
+    * assignment scan. The oracle replays the ENTIRE two-level IVF
+    * (shared ivf2ChainSql) so the hash compare covers the
+    * approximation structure, exactly as q_embed_ivf2's does.
     */
   private val qRrfFusion = GraftQuery(
     "q_rrf_fusion",
@@ -6823,15 +6872,10 @@ object Queries {
         Window.partitionBy(lit(1)).orderBy(col("bm25_milli").desc, col("doc_id"))).cast("long"))
         .select(col("doc_id"), col("lex_rank"))
       val e = t(s, dir, "embeddings")
-      val qv = broadcast(e.orderBy(col("vec_id")).limit(1)
-        .select(VectorFns.quantizeFast(col("embedding")).as("__qv")))
-      val semHead = e.crossJoin(qv)
-        .select(col("vec_id").as("doc_id"),
-          VectorFns.qdotFast(VectorFns.quantizeFast(col("embedding")), col("__qv")).as("__score"))
-        .orderBy(col("__score").desc, col("doc_id")).limit(100)
-      val sem = semHead.withColumn("sem_rank", row_number().over(
-        Window.partitionBy(lit(1)).orderBy(col("__score").desc, col("doc_id"))).cast("long"))
-        .select(col("doc_id"), col("sem_rank"))
+      val qdf = e.orderBy(col("vec_id")).limit(1)
+      val sem = VectorFns.ivfTopK2(qdf, e, "vec_id", "embedding", 100,
+          kCentroids = 64, nprobe = 8, coarseProbes = 4, assignProbes = 1)
+        .select(col("neighbor_id").as("doc_id"), col("rank").cast("long").as("sem_rank"))
       lex.join(sem, Seq("doc_id"), "full_outer")
         .na.fill(0L, Seq("lex_rank", "sem_rank"))
         .withColumn("rrf_scaled",
@@ -6839,29 +6883,33 @@ object Queries {
           when(col("sem_rank") > 0, expr("1000000 div (60 + sem_rank)")).otherwise(lit(0L)))
         .orderBy(col("rrf_scaled").desc, col("doc_id")).limit(20)
     },
-    Some(s"""WITH $bm25CoreSql,
+    Some {
+      // the bm25 chain's sc and the ivf2 chain's sc collide — rename
+      // the bm25 one to bsc for this composition
+      val bm25ForRrf = bm25CoreSql.replace("sc AS (SELECT doc_id,", "bsc AS (SELECT doc_id,")
+      s"""WITH $bm25ForRrf,
              bm AS (SELECT doc_id,
                       CAST(sum((idf_milli * tf * 2200) // (tf * 1000 + (1200 * norm_milli) // 1000)) AS BIGINT) AS bm25_milli
-                    FROM sc GROUP BY doc_id),
+                    FROM bsc GROUP BY doc_id),
              lex AS (SELECT doc_id,
                        CAST(row_number() OVER (ORDER BY bm25_milli DESC, doc_id) AS BIGINT) AS lex_rank
                      FROM bm
                      QUALIFY row_number() OVER (ORDER BY bm25_milli DESC, doc_id) <= 100),
-             qv AS (SELECT ${quantSql("embedding")} AS qv FROM embeddings ORDER BY vec_id LIMIT 1),
-             ssc AS (SELECT vec_id AS doc_id,
-                       CAST(list_sum(list_transform(range(1, 65), i -> v[i] * qv.qv[i])) AS BIGINT) AS score
-                     FROM (SELECT vec_id, ${quantSql("embedding")} AS v FROM embeddings) ev, qv),
-             sem AS (SELECT doc_id,
-                       CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS sem_rank
-                     FROM ssc
-                     QUALIFY row_number() OVER (ORDER BY score DESC, doc_id) <= 100),
+             ${ivf2ChainSql("e.vec_id = (SELECT min(vec_id) FROM embeddings)")},
+             sem AS (SELECT neighbor_id AS doc_id, CAST(rnk AS BIGINT) AS sem_rank
+                     FROM (SELECT neighbor_id,
+                             row_number() OVER (PARTITION BY query_id
+                               ORDER BY score DESC, neighbor_id) AS rnk
+                           FROM sc)
+                     WHERE rnk <= 100),
              f AS (SELECT COALESCE(lex.doc_id, sem.doc_id) AS doc_id,
                      COALESCE(lex_rank, 0) AS lex_rank, COALESCE(sem_rank, 0) AS sem_rank,
                      (CASE WHEN lex_rank IS NOT NULL THEN 1000000 // (60 + lex_rank) ELSE 0 END +
                       CASE WHEN sem_rank IS NOT NULL THEN 1000000 // (60 + sem_rank) ELSE 0 END) AS rrf
                    FROM lex FULL OUTER JOIN sem ON lex.doc_id = sem.doc_id)
              SELECT doc_id, lex_rank, sem_rank, CAST(rrf AS BIGINT) AS rrf_scaled
-             FROM f ORDER BY rrf DESC, doc_id LIMIT 20"""))
+             FROM f ORDER BY rrf DESC, doc_id LIMIT 20"""
+    })
 
   /** Content-defined chunking (the rsync/LBFS/FastCDC lineage, applied
     * at token level): a chunk boundary falls AFTER any token whose

@@ -76,6 +76,20 @@ class PlanSpec extends SparkSpecBase {
     assert(p.contains("BroadcastHashJoin"), p)
   }
 
+  test("q_rrf_fusion: semantic head rides the IVF index — fine set broadcast, top-k aggregate, never all-pairs") {
+    val p = planOf(Queries.queries("q_rrf_fusion")(spark, sfDir))
+    // the pre-r14 brute head scanned the corpus against the query
+    // embedding as a BroadcastNestedLoopJoin over ALL corpus rows; the
+    // IVF head meets candidates in an fcid equi-join with the fine
+    // centroids broadcast and ranks via the mergeable top-k aggregate
+    assert(p.contains("graft_topk_pairs"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    // the only nested-loop is the bounded 1-row scalar attach (corpus
+    // stats / query-head broadcast), never a corpus×corpus pairing
+    assert(p.linesIterator.count(_.contains("BroadcastNestedLoopJoin")) <= 1, p)
+  }
+
   test("q_embed_pq: the encode is MAP-ONLY — scan → project, zero exchanges") {
     val p = planOf(Queries.queries("q_embed_pq")(spark, sfDir))
     assert(!p.contains("Exchange"), p)
@@ -315,9 +329,12 @@ class PlanSpec extends SparkSpecBase {
       // 2 runtime evaluations (ReusedExchange ×2 in the final plan)
       "q_bm25" -> 4,
       // rrf-fusion's lexical side IS the shared bm25Scores pipeline —
-      // the same 4 textual sites / 2 runtime evaluations as q_bm25
-      // (the semantic side quantizes, never tokenizes)
-      "q_rrf_fusion" -> 4,
+      // the same 4 textual tokenize sites / 2 runtime evaluations as
+      // q_bm25 — and (round 14) its semantic side IS the two-level IVF
+      // pipeline, inheriting q_embed_ivf2's 6 quantize sites (bounded
+      // fine sample ×2 logical + corpus + query, collapsing to one
+      // BroadcastExchange + ReusedExchange at runtime)
+      "q_rrf_fusion" -> 6,
       // q_dedup_report reads each candidate join twice (pair count +
       // flagged-doc count): 2 self-join copies × 2 references
       "q_dedup_report" -> 4,

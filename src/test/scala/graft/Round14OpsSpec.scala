@@ -116,6 +116,24 @@ class Round14OpsSpec extends SparkSpecBase {
       s"round-1 pair should be (a,b,18), got ${got.head}")
   }
 
+  test("TokenMat variants are EXACTLY the original pipelines (sf0.001, all three)") {
+    val (table, _, n) = TokenMat.materialize(spark, sfDir, "graft_tokens_spec")
+    assert(n > 0)
+    try {
+      TokenMat.variants(spark, table).foreach { case (name, mkVar) =>
+        val orig = Queries.queries(name)(spark, sfDir)
+        val varr = mkVar()
+        assert(orig.columns.sorted.sameElements(varr.columns.sorted), s"$name schema diverged")
+        val cols = orig.columns.sorted.map(col)
+        val a = orig.select(cols: _*).collect().map(_.toString).sorted
+        val b = varr.select(cols: _*).collect().map(_.toString).sorted
+        assert(a.length == b.length && a.sameElements(b),
+          s"$name: materialized-token variant diverged (${a.length} vs ${b.length} rows; " +
+          s"first diff: ${a.zip(b).find(p => p._1 != p._2)})")
+      }
+    } finally spark.sql("DROP TABLE IF EXISTS graft_tokens_spec"): Unit
+  }
+
   test("TopKPairsAgg: numeric args implicitly cast; non-numeric args fail analysis") {
     import spark.implicits._
     import graft.functions.VectorFns
