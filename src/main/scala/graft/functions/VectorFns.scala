@@ -668,16 +668,28 @@ object VectorFns {
         .select(col(idCol).as("id"), quantizeFast(col(vecCol)).as("qv"), Fence.col))
       .select(col("id"), col("qv"), qdotFast(col("qv"), col("qv")).as("nrm"),
         lshBucketsFast(col("qv"), tables, p).as("__bks"), Fence.col))
-      .select(col("id"), col("qv"), col("nrm"),
+      .select(col("id"), col("qv"), col("nrm"), col("__bks"),
         posexplode(col("__bks")).as(Seq("tbl", "bucket")))
       .repartition(col("tbl"), col("bucket"))
+    // Report-once-at-min-table (the q_dedup_simhash_pairs device): a
+    // pair colliding in k of the `tables` hash tables used to be
+    // emitted k times and deduplicated by a (id_a, id_b) max-aggregate
+    // — at sf10 that exchange moved ~256·n candidate rows and was the
+    // whole cost of q_cosine_bands (232 s, 20×/decade; the first
+    // full-headline two-decade sweep, r14). Each side carries its full
+    // bucket array, so "no earlier table also collides" is a row-LOCAL
+    // predicate on the joined row: the pair is emitted exactly once,
+    // from its minimum colliding table, and the dedup exchange
+    // disappears. dot/na/nb are table-independent, so the output is
+    // identical to the old max-dedup.
+    val noEarlier = !toCol(graft.plans.EarlierCollision(
+      toExpr(col("a.__bks")), toExpr(col("b.__bks")), toExpr(col("a.tbl"))))
     e.as("a").hint("shuffle_hash").join(e.as("b").hint("shuffle_hash"),
         col("a.tbl") === col("b.tbl") && col("a.bucket") === col("b.bucket") &&
           col("a.id") < col("b.id"))
+      .filter(noEarlier)
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
         qdotFast(col("a.qv"), col("b.qv")).as("dot"),
         col("a.nrm").as("na"), col("b.nrm").as("nb"))
-      .groupBy("id_a", "id_b")
-      .agg(max("dot").as("dot"), max("na").as("na"), max("nb").as("nb"))
   }
 }

@@ -262,6 +262,26 @@ object Kernels {
     c
   }
 
+  /** Whether two LSH bucket arrays share an equal value at any index
+    * BELOW `t` — the earlier-table-collision test behind
+    * report-once-at-min-table pair emission (VectorFns.cosineCandidates):
+    * a pair met at table t is emitted only when no table before t also
+    * matched, so every colliding pair surfaces exactly once with no
+    * dedup shuffle. Primitive loop: the declarative
+    * exists(arrays_zip(slice…)) form is an interpreted HOF allocating
+    * two arrays per candidate pair — measured as the whole cost of the
+    * sf10 q_cosine_bands pass.
+    */
+  def earlierCollision(a: ArrayData, b: ArrayData, t: Int): Boolean = {
+    var i = 0
+    val n = math.min(math.min(a.numElements(), b.numElements()), t)
+    while (i < n) {
+      if (a.getLong(i) == b.getLong(i)) return true
+      i += 1
+    }
+    false
+  }
+
   /** Rolling polynomial fingerprint over the token-hash sequence in one
     * native pass: h := (h*1000003 + h60(md5(t)) mod M) mod M, h0 = 0 —
     * value-identical to TextFns.fingerprint (order-sensitive; empty

@@ -319,3 +319,38 @@ case class OuterMoments(child: Expression) extends UnaryExpression {
   override protected def withNewChildInternal(newChild: Expression): OuterMoments =
     copy(child = newChild)
 }
+
+/** Earlier-table LSH collision test (report-once-at-min-table pair
+  * emission, VectorFns.cosineCandidates): TRUE iff the two bucket
+  * arrays share an equal value at any index below `tbl`. A pair
+  * meeting at table t is kept only when this is FALSE — each
+  * colliding pair then surfaces exactly once, replacing the
+  * (id_a, id_b) dedup shuffle with a row-local primitive loop.
+  * Native because it sits on the candidate-pair hot path (~256·n rows
+  * at auto-sized planes): the declarative exists(arrays_zip(slice…))
+  * form is interpreted and allocates two arrays per pair — measured
+  * as the dominant cost of the sf10 q_cosine_bands pass (round 14).
+  */
+case class EarlierCollision(first: Expression, second: Expression, third: Expression)
+  extends org.apache.spark.sql.catalyst.expressions.TernaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val arr = TypeChecks.requireArrayOf("graft_earlier_collision", LongType,
+      first.dataType, second.dataType)
+    if (arr != TypeCheckResult.TypeCheckSuccess) arr
+    else if (third.dataType != org.apache.spark.sql.types.IntegerType)
+      TypeCheckResult.TypeCheckFailure(
+        s"graft_earlier_collision requires an int table index, got ${third.dataType.catalogString}")
+    else TypeCheckResult.TypeCheckSuccess
+  }
+  override def dataType: DataType = org.apache.spark.sql.types.BooleanType
+  override def nullable: Boolean = first.nullable || second.nullable || third.nullable
+  override def nullSafeEval(a: Any, b: Any, t: Any): Any =
+    Kernels.earlierCollision(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData],
+      t.asInstanceOf[Int])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b, t) =>
+      s"${ev.value} = graft.plans.Kernels.earlierCollision($a, $b, $t);")
+  override protected def withNewChildrenInternal(
+      newFirst: Expression, newSecond: Expression, newThird: Expression): EarlierCollision =
+    copy(first = newFirst, second = newSecond, third = newThird)
+}

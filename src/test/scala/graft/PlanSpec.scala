@@ -239,6 +239,25 @@ class PlanSpec extends SparkSpecBase {
     assert(p.contains("ReusedExchange") || p.contains("ReusedQueryStage"), p)
   }
 
+  test("q_cosine_bands: report-once-at-min-table — bucket + band exchanges only, no pair-dedup shuffle") {
+    val df = Queries.queries("q_cosine_bands")(spark, sfDir)
+    df.collect()
+    // count inside the AQE FINAL plan only (post-collect toString also
+    // replays the pre-reuse Initial Plan)
+    val p = planOf(df).split("== Initial Plan ==").head
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    // the candidate self-join rides ONE bucket repartition (the other
+    // side is a runtime ReusedExchange); the only other exchange is
+    // the ≤12-row band rollup — the old (id_a, id_b) max-dedup moved
+    // ~256·n pair rows and is gone (each pair now emits exactly once,
+    // from its minimum colliding table, via a row-local bucket-array
+    // predicate)
+    val real = p.linesIterator.count(l =>
+      l.contains("Exchange hashpartitioning") && !l.contains("ReusedExchange"))
+    assert(real == 2, s"expected 2 real hash exchanges (bucket + band), got $real:\n$p")
+    assert(p.contains("ReusedExchange") || p.contains("ReusedQueryStage"), p)
+  }
+
   test("q_embed_ivf: map-only assignment — one equi-join on cid, never all-pairs") {
     val p = planOf(Queries.queries("q_embed_ivf")(spark, sfDir))
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
