@@ -124,7 +124,9 @@ object Bench {
     // remaining top-k-rewrite consumers (VERDICT item 3 asks them
     // re-anchored, which means headline + BASELINE rows): the
     // two-level IVF search itself and the kNN majority-vote classifier
-    "q_ppr_seeds", "q_bpe_merges", "q_embed_ivf2", "q_knn_classify")
+    "q_ppr_seeds", "q_bpe_merges", "q_embed_ivf2", "q_knn_classify",
+    // the BPE apply/compression curve riding the same learn loop
+    "q_bpe_apply")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -5384,10 +5384,15 @@ object Queries {
     * round finds no pairs (count-based early exit; 1-row driver checks
     * per round, bounded by k=10).
     */
-  private val qBpeMerges = GraftQuery(
-    "q_bpe_merges",
-    (s, dir) => {
-      val rounds = 10
+  /** The BPE learn loop's frames: per-round argmax merges (1-row
+    * frames, index 0 = round 1) and per-round vocabularies (index 0 =
+    * the pre-merge character vocab, index r = after r merges). Shared
+    * by q_bpe_merges (consumes the merges) and q_bpe_apply (consumes
+    * the vocab sequence — the apply/compression view). Each frame is
+    * eagerly localCheckpointed (lineage cut per round).
+    */
+  private def bpeRounds(s: SparkSession, dir: String,
+      rounds: Int): (Vector[DataFrame], Vector[DataFrame]) = {
       val un = Fence.guard(t(s, dir, "documents")
           .select(TextFns.tokensFast(col("text")).as("__tk"), Fence.col))
         .select(explode(col("__tk")).as("tok"))
@@ -5398,6 +5403,7 @@ object Queries {
           col("f"))
         .localCheckpoint()
       var merges = Vector.empty[DataFrame]
+      var vocabs = Vector(vocab)
       var r = 1
       var done = false
       while (r <= rounds && !done) {
@@ -5425,28 +5431,48 @@ object Queries {
                               concat(' ', x, y, ' ')))""").as("w"),
               col("f"))
             .localCheckpoint()
+          vocabs :+= vocab
         }
         r += 1
       }
+      (merges, vocabs)
+  }
+
+  private val qBpeMerges = GraftQuery(
+    "q_bpe_merges",
+    (s, dir) => {
+      val (merges, _) = bpeRounds(s, dir, rounds = 10)
       merges.reduce(_ unionByName _)
         .select(col("merge_round"), col("x").as("lhs"), col("y").as("rhs"),
           concat(col("x"), col("y")).as("merged"), col("cnt"))
         .orderBy("merge_round")
     },
     Some {
-      val rounds = 10
-      // AS MATERIALIZED throughout: DuckDB inlines plain CTEs, and each
-      // v_r is referenced twice (p_{r+1} and v_{r+1}) plus b_r three
-      // times — inlining would expand v10 into 2^10 copies of the
-      // documents scan (observed as "Too many open files" at sf0.001)
-      val v0 =
-        s"""v0 AS MATERIALIZED (SELECT array_to_string(list_transform(range(1, length(tok) + 1),
+      val union = (1 to 10)
+        .map(r => s"SELECT CAST($r AS BIGINT) AS merge_round, x, y, cnt FROM b$r")
+        .mkString(" UNION ALL ")
+      s"""WITH ${bpeChainSql(10)}
+          SELECT merge_round, x AS lhs, y AS rhs, x || y AS merged, cnt
+          FROM ($union) ORDER BY merge_round"""
+    })
+
+  /** DuckDB mirror of the bpeRounds loop: CTE chain v0, (p_r, b_r,
+    * v_r) for r = 1..rounds — shared by the q_bpe_merges and
+    * q_bpe_apply oracles. AS MATERIALIZED throughout: DuckDB inlines
+    * plain CTEs, and each v_r is referenced twice (p_{r+1} and
+    * v_{r+1}) plus b_r three times — inlining would expand v10 into
+    * 2^10 copies of the documents scan (observed as "Too many open
+    * files" at sf0.001).
+    */
+  private def bpeChainSql(rounds: Int): String = {
+    val v0 =
+      s"""v0 AS MATERIALIZED (SELECT array_to_string(list_transform(range(1, length(tok) + 1),
                      i -> substr(tok, i, 1)), '  ') || '  </w>' AS w,
                      CAST(count(*) AS BIGINT) AS f
                    FROM (SELECT unnest($toksSql) AS tok FROM documents)
                    GROUP BY 1)"""
-      val chain = (1 to rounds).map { r =>
-        s"""p$r AS (SELECT pr[1] AS x, pr[2] AS y, CAST(sum(f) AS BIGINT) AS cnt
+    val chain = (1 to rounds).map { r =>
+      s"""p$r AS (SELECT pr[1] AS x, pr[2] AS y, CAST(sum(f) AS BIGINT) AS cnt
                    FROM (SELECT unnest(list_transform(range(1, len(sy)),
                            i -> [sy[i], sy[i+1]])) AS pr, f
                          FROM (SELECT string_split(w, '  ') AS sy, f FROM v${r - 1}))
@@ -5456,14 +5482,55 @@ object Queries {
                        ' ' || (SELECT x FROM b$r) || '  ' || (SELECT y FROM b$r) || ' ',
                        ' ' || (SELECT x FROM b$r) || (SELECT y FROM b$r) || ' ')) AS w, f
                      FROM v${r - 1})"""
-      }.mkString(",\n")
-      val union = (1 to rounds)
-        .map(r => s"SELECT CAST($r AS BIGINT) AS merge_round, x, y, cnt FROM b$r")
-        .mkString(" UNION ALL ")
-      s"""WITH $v0,
-          $chain
-          SELECT merge_round, x AS lhs, y AS rhs, x || y AS merged, cnt
-          FROM ($union) ORDER BY merge_round"""
+    }.mkString(",\n")
+    s"$v0,\n$chain"
+  }
+
+  /** BPE APPLY / compression curve (completes q_bpe_merges — the
+    * monitoring view a tokenizer trainer watches while learning
+    * merges): after every merge round r = 0..10, the corpus
+    * tokenization statistics over the merged vocabulary — distinct
+    * words, distinct symbols (the growing subword vocabulary), total
+    * weighted symbol instances (the shrinking tokenized-corpus
+    * length), and average symbols-per-word in exact milli-units.
+    * Round 0 is the pre-merge character tokenization, so the curve
+    * starts at chars+1 per word and falls as merges absorb frequent
+    * pairs — Sennrich 2016's compression trade-off made queryable.
+    *
+    * Scale shape: identical to q_bpe_merges (one corpus tokenize, all
+    * rounds vocab-bounded under checkpoint discipline); each round
+    * adds two vocab-bounded partial-agg rollups (stats + distinct
+    * symbols) producing one output row.
+    */
+  private val qBpeApply = GraftQuery(
+    "q_bpe_apply",
+    (s, dir) => {
+      val (_, vocabs) = bpeRounds(s, dir, rounds = 10)
+      val stats = vocabs.zipWithIndex.map { case (v, r) =>
+        val sy = v.select(split(col("w"), "  ").as("sy"), col("f"))
+        val a = sy.agg(count(lit(1)).as("n_words"),
+          sum(col("f") * size(col("sy"))).as("total_instances"),
+          sum(col("f")).as("__fsum"))
+        val b = sy.select(explode(col("sy")).as("s"))
+          .agg(countDistinct(col("s")).as("n_symbols"))
+        a.crossJoin(b).select(lit(r.toLong).as("merge_round"), col("n_words"),
+          col("n_symbols"), col("total_instances"),
+          expr("(total_instances * 1000) div __fsum").as("avg_sym_milli"))
+      }
+      stats.reduce(_ unionByName _).orderBy("merge_round")
+    },
+    Some {
+      val perRound = (0 to 10).map { r =>
+        s"""SELECT CAST($r AS BIGINT) AS merge_round,
+              CAST(count(*) AS BIGINT) AS n_words,
+              (SELECT CAST(count(DISTINCT s) AS BIGINT)
+               FROM (SELECT unnest(string_split(w, '  ')) AS s FROM v$r)) AS n_symbols,
+              CAST(sum(f * len(string_split(w, '  '))) AS BIGINT) AS total_instances,
+              CAST((sum(f * len(string_split(w, '  '))) * 1000) // sum(f) AS BIGINT) AS avg_sym_milli
+            FROM v$r"""
+      }.mkString(" UNION ALL ")
+      s"""WITH ${bpeChainSql(10)}
+          SELECT * FROM ($perRound) ORDER BY merge_round"""
     })
 
   private val qBigramLift = GraftQuery(
@@ -8701,7 +8768,7 @@ object Queries {
     q6Forecast, q10Returns, q12Priority, q19Brackets, q13Custdist, q16Suppliers,
     q7Trade, q15TopSupp, q17SmallQty, q21Blame, q20Excess, q8Share, qJsonExtract,
     qNegPairs, qPiiScrub, qKanon, qLdiv, qDpHistogram, qDpMean, qDrift, qDedupReport,
-    qBpePairs, qBpeMerges,
+    qBpePairs, qBpeMerges, qBpeApply,
     qDedupExact, qDedupMinhash, qMinhashRescore, qContainment, qMinhashEst, qDedupSimhash, qDedupSimhashPairs,
     qDedupClusters, qPagerank, qPprSeeds, qKcore, qBfsHops, qTriangles, qTrianglesApprox, qQualityDup, qHapax, qNgramJaccard, qSortedDedup, qDedupEmbed, qRepetition,
     qSplitLeakage, qJaccardCalib, qGroupSplit,

@@ -116,6 +116,34 @@ class Round14OpsSpec extends SparkSpecBase {
       s"round-1 pair should be (a,b,18), got ${got.head}")
   }
 
+  test("q_bpe_apply: compression curve obeys instances_r = instances_{r-1} - cnt_r against the merge table") {
+    // every occurrence of the merged pair collapses 2 symbols into 1,
+    // so the tokenized-corpus length must fall by EXACTLY the merge
+    // count each round — a cross-op invariant tying q_bpe_apply to
+    // q_bpe_merges row by row
+    val vocab = Map("low" -> 5L, "lower" -> 2L, "newest" -> 6L, "widest" -> 3L)
+    val text = vocab.toSeq.sortBy(_._1)
+      .flatMap { case (w, f) => Seq.fill(f.toInt)(w) }.mkString(" ")
+    val dir = writeDocs(Seq(text))
+    val merges = runMerges(dir)
+    val curve = Queries.queries("q_bpe_apply")(spark, dir)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .sortBy(_._1)
+    assert(curve.length == 11 && curve.head._1 == 0L)
+    // round 0: 4 words; instances = Σ f·(chars+1 for </w>) = 5·4+2·6+6·7+3·7 = 95
+    assert(curve.head._2 == 4L && curve.head._4 == 95L, s"round-0 stats: ${curve.head}")
+    merges.foreach { case (r, _, _, _, cnt) =>
+      val prev = curve(r.toInt - 1)._4
+      val cur = curve(r.toInt)._4
+      assert(cur == prev - cnt,
+        s"round $r: instances $prev -> $cur but merge count was $cnt")
+    }
+    // n_words never changes; avg falls monotonically (merges only shrink)
+    assert(curve.forall(_._2 == 4L))
+    assert(curve.sliding(2).forall { case Array(a, b) => b._5 <= a._5 })
+  }
+
   test("TokenMat variants are EXACTLY the original pipelines (sf0.001, all three)") {
     val (table, _, n) = TokenMat.materialize(spark, sfDir, "graft_tokens_spec")
     assert(n > 0)
