@@ -126,7 +126,12 @@ object Bench {
     // two-level IVF search itself and the kNN majority-vote classifier
     "q_ppr_seeds", "q_bpe_merges", "q_embed_ivf2", "q_knn_classify",
     // the BPE apply/compression curve riding the same learn loop
-    "q_bpe_apply")
+    "q_bpe_apply",
+    // round-14 session-2: the struct-max argmax iteration (LPA
+    // communities + modularity over the cached pair graph), the
+    // bounded-bucket window DP selection, and the explode-to-tiny
+    // centroid rollup + dimension-sized self-join
+    "q_label_prop", "q_dp_quantile", "q_domain_sim")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -2412,6 +2412,75 @@ object Queries {
                CAST(count(*) * 8 AS BIGINT) AS est_tri
              FROM tri"""))
 
+  /** Majority-label-propagation communities (Raghavan et al. 2007;
+    * Relational.labelPropagation, 3 synchronous rounds, min-label
+    * ties) over the near-dup graph, each community reported with its
+    * exact-integer MODULARITY contribution (Newman 2004): contrib =
+    * 4m·e_c − d_c², i.e. the numerator of Q = Σ_c (e_c/m − (d_c/2m)²)
+    * scaled by 4m² — no division, so both engines agree bit-for-bit.
+    * This answers the question CC can't: q_dedup_clusters says WHAT is
+    * transitively connected; LPA + modularity says whether a cluster
+    * is one dense boilerplate family (high contrib) or several
+    * communities chained by weak bridges (the "should I really
+    * collapse this to one survivor?" diagnostic before dedup commits).
+    * Scale shape: 3 fixed rounds over the checkpointed symmetric edge
+    * list (src-keyed join + (dst,label) partial agg + struct-max
+    * argmax per round — never a rank window), then the stats are two
+    * label-keyed partial aggs over node- and pair-sized frames; the
+    * single-row edge total attaches as a broadcast scalar.
+    */
+  private val qLabelProp = GraftQuery(
+    "q_label_prop",
+    (s, dir) => {
+      val pairs = simhashPairs(s, dir)
+      // node-sized result of the 3-round loop, referenced three times
+      // below (degree join + both endpoint attaches) — materialize once
+      // so the loop doesn't re-run per reference; Bench's between-
+      // queries sweep reclaims the blocks like every session memo
+      val labels = Relational.labelPropagation(pairs, "id_a", "id_b", iters = 3)
+        .localCheckpoint(true)
+      val deg = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+        .union(pairs.select(col("id_b"), col("id_a")))
+        .distinct()
+        .groupBy(col("src").as("id")).agg(count(lit(1)).as("__deg"))
+      val m = pairs.agg(count(lit(1)).as("__m"))
+      val ein = pairs
+        .join(labels.select(col("id").as("__ia"), col("community").as("__ca")),
+          col("id_a") === col("__ia"))
+        .join(labels.select(col("id").as("__ib"), col("community").as("__cb")),
+          col("id_b") === col("__ib"))
+        .filter(col("__ca") === col("__cb"))
+        .groupBy(col("__ca").as("community")).agg(count(lit(1)).as("__ein"))
+      labels.join(deg, Seq("id"))
+        .groupBy("community")
+        .agg(count(lit(1)).as("n_nodes"), sum(col("__deg")).as("d_sum"))
+        .join(ein, Seq("community"), "left")
+        .crossJoin(m)
+        .select(col("community"), col("n_nodes"),
+          coalesce(col("__ein"), lit(0L)).as("e_in"), col("d_sum"),
+          (lit(4L) * col("__m") * coalesce(col("__ein"), lit(0L)) -
+            col("d_sum") * col("d_sum")).as("contrib"))
+    },
+    Some(s"""$simhashCcSql,
+             l0 AS (SELECT DISTINCT a AS id, a AS lab FROM e),
+             v1 AS (SELECT e.b AS id, l.lab, count(*) AS cnt FROM e JOIN l0 l ON e.a = l.id GROUP BY 1, 2),
+             l1 AS (SELECT id, lab FROM (SELECT id, lab, row_number() OVER (PARTITION BY id ORDER BY cnt DESC, lab) AS rn FROM v1) WHERE rn = 1),
+             v2 AS (SELECT e.b AS id, l.lab, count(*) AS cnt FROM e JOIN l1 l ON e.a = l.id GROUP BY 1, 2),
+             l2 AS (SELECT id, lab FROM (SELECT id, lab, row_number() OVER (PARTITION BY id ORDER BY cnt DESC, lab) AS rn FROM v2) WHERE rn = 1),
+             v3 AS (SELECT e.b AS id, l.lab, count(*) AS cnt FROM e JOIN l2 l ON e.a = l.id GROUP BY 1, 2),
+             l3 AS (SELECT id, lab FROM (SELECT id, lab, row_number() OVER (PARTITION BY id ORDER BY cnt DESC, lab) AS rn FROM v3) WHERE rn = 1),
+             deg AS (SELECT a AS id, CAST(count(*) AS BIGINT) AS deg FROM e GROUP BY 1),
+             mm AS (SELECT CAST(count(*) AS BIGINT) AS m FROM p),
+             ein AS (SELECT la.lab AS community, CAST(count(*) AS BIGINT) AS e_in
+                     FROM p JOIN l3 la ON p.id_a = la.id JOIN l3 lb ON p.id_b = lb.id
+                     WHERE la.lab = lb.lab GROUP BY 1),
+             ds AS (SELECT l3.lab AS community, CAST(count(*) AS BIGINT) AS n_nodes,
+                      CAST(sum(deg.deg) AS BIGINT) AS d_sum
+                    FROM l3 JOIN deg USING (id) GROUP BY 1)
+             SELECT ds.community, ds.n_nodes, coalesce(ein.e_in, 0) AS e_in, ds.d_sum,
+               CAST(4 * mm.m * coalesce(ein.e_in, 0) - ds.d_sum * ds.d_sum AS BIGINT) AS contrib
+             FROM ds LEFT JOIN ein USING (community) CROSS JOIN mm"""))
+
   /** MinHash-threshold tuning curve: candidate pairs per signature-
     * agreement band (agree of 16 hashes) — q_cosine_bands' twin for
     * the text-dedup τ. The estimate is already an exact integer
@@ -6407,6 +6476,72 @@ object Queries {
               greatest(clipped_sum + noise * 20000, 0) // n AS released_mean_cents
             FROM nz"""))
 
+  /** Differentially-private MEDIAN release via the EXPONENTIAL
+    * mechanism (McSherry & Talwar FOCS'07 — the selection member of
+    * the DP family: the geometric mechanism perturbs counts, Laplace
+    * perturbs sums, the exponential mechanism picks a candidate with
+    * probability ∝ exp(ε·u/2)): per event type, candidates are the
+    * $50 value buckets, utility −dist where dist = |2·cum_b − n| (how
+    * far bucket b's upper cut sits from the median, sensitivity-2 in
+    * half-row units), and the weight halves per utility unit —
+    * w_b = 2^(55 − (dist_b − dist_min)), truncated to 0 beyond 55
+    * doublings (mass < 2⁻⁵⁵ of the max — the documented finite-
+    * precision clamp). Selection replays deterministically: the
+    * 60-bit md5 uniform of the group key mod the total weight picks
+    * the first bucket whose cumulative weight exceeds it (inverse-CDF
+    * sampling in exact integers — swap the md5 uniform for a real DP
+    * RNG in production, as q_dp_histogram documents). ZERO floats:
+    * weights are shifted 1-bits, the CDF walk is a window cumsum.
+    * Scale shape: one (type, bucket) partial-agg exchange, then every
+    * window runs over the ≤dozen-bucket per-type frame.
+    */
+  private val qDpQuantile = GraftQuery(
+    "q_dp_quantile",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val byType = Window.partitionBy("event_type")
+      val cdf = Window.partitionBy("event_type").orderBy("bucket")
+      events(s, dir)
+        .groupBy(col("event_type"), floor(col("value") / 50.0).cast("long").as("bucket"))
+        .agg(count(lit(1)).as("nb"))
+        .withColumn("n", sum(col("nb")).over(byType))
+        .withColumn("dist", abs(lit(2L) * sum(col("nb")).over(cdf) - col("n")))
+        .withColumn("dmin", min(col("dist")).over(byType))
+        .withColumn("wgt", expr(
+          "CASE WHEN dist - dmin > 55 THEN 0L ELSE shiftleft(cast(1 as bigint), cast(55 - (dist - dmin) as int)) END"))
+        .withColumn("cw", sum(col("wgt")).over(cdf))
+        .withColumn("thr",
+          conv(substring(md5(col("event_type")), 1, 15), 16, 10).cast("long") %
+            sum(col("wgt")).over(byType))
+        .groupBy(col("event_type"))
+        .agg(max(col("n")).as("n"),
+          min(when(col("dist") === col("dmin"), col("bucket"))).as("true_med_bucket"),
+          min(when(col("cw") > col("thr"), col("bucket"))).as("released_bucket"))
+        .withColumn("released_cents", col("released_bucket") * 5000 + 2500)
+    },
+    Some("""WITH b AS (SELECT event_type, CAST(floor(value / 50.0) AS BIGINT) AS bucket,
+                  CAST(count(*) AS BIGINT) AS nb
+                FROM events GROUP BY 1, 2),
+            c AS (SELECT event_type, bucket, nb,
+                    sum(nb) OVER (PARTITION BY event_type) AS n,
+                    sum(nb) OVER (PARTITION BY event_type ORDER BY bucket) AS cum
+                  FROM b),
+            d AS (SELECT *, abs(2 * cum - n) AS dist,
+                    min(abs(2 * cum - n)) OVER (PARTITION BY event_type) AS dmin
+                  FROM c),
+            w AS (SELECT *, CASE WHEN dist - dmin > 55 THEN 0::BIGINT
+                    ELSE (1::BIGINT << CAST(55 - (dist - dmin) AS INT)) END AS wgt
+                  FROM d),
+            cw AS (SELECT *, sum(wgt) OVER (PARTITION BY event_type) AS wtot,
+                     sum(wgt) OVER (PARTITION BY event_type ORDER BY bucket) AS cw
+                   FROM w),
+            t AS (SELECT *, ('0x' || substr(md5(event_type), 1, 15))::BIGINT % wtot AS thr FROM cw)
+            SELECT event_type, CAST(max(n) AS BIGINT) AS n,
+              CAST(min(CASE WHEN dist = dmin THEN bucket END) AS BIGINT) AS true_med_bucket,
+              CAST(min(CASE WHEN cw > thr THEN bucket END) AS BIGINT) AS released_bucket,
+              CAST(min(CASE WHEN cw > thr THEN bucket END) * 5000 + 2500 AS BIGINT) AS released_cents
+            FROM t GROUP BY event_type"""))
+
   /** Distribution-drift monitor — exact total-variation distance
     * between two cohorts of the same metric (the PSI/KS-family check a
     * pipeline runs before trusting that yesterday's data looks like
@@ -7525,6 +7660,70 @@ object Queries {
                CAST(tok * 1000 // tt AS BIGINT) AS raw_share_milli,
                CAST(w * 1000 // tw AS BIGINT) AS samp_share_milli
              FROM w, tt"""))
+
+  /** Cross-source DOMAIN-SIMILARITY matrix: per-source embedding
+    * centroid (exact-integer floored mean per dim over the quantized
+    * milli vectors), then pairwise centroid cosine — the corpus-level
+    * "which domains say the same things" view that drives mixture
+    * design (near-identical sources are dedup candidates at the SOURCE
+    * level; dissimilar ones justify separate q_mix_weights shares) and
+    * transfer-ability heuristics. Cosine stays in integers: emit dot,
+    * both squared norms, and the sign-preserved cos²·1000 floor-div —
+    * no sqrt on either engine. Scale shape: one id equi-join
+    * (embeddings ⋈ documents), a posexplode whose (source, dim)
+    * partial agg map-side-combines to sources×64 rows per task, then
+    * the pairwise frame is (sources choose 2) — dimension-table sized
+    * at any corpus scale, broadcast-joined against itself.
+    */
+  private val qDomainSim = GraftQuery(
+    "q_domain_sim",
+    (s, dir) => {
+      val e = t(s, dir, "embeddings")
+        .select(col("vec_id"), VectorFns.quantizeFast(col("embedding")).as("qv"))
+        .filter(col("qv").isNotNull)
+      val d = t(s, dir, "documents").select(col("doc_id"), col("source"))
+      val cents = e.join(d, e("vec_id") === d("doc_id"))
+        .select(col("source"), posexplode(col("qv")).as(Seq("dim", "v")))
+        .groupBy("source", "dim")
+        .agg(sum(col("v")).as("sm"), count(lit(1)).as("cnt"))
+        .withColumn("c", expr("(sm - ((sm % cnt + cnt) % cnt)) div cnt"))
+        .groupBy("source")
+        .agg(transform(array_sort(collect_list(struct(col("dim"), col("c")))),
+          x => x.getField("c")).as("cv"))
+        .withColumn("nrm", VectorFns.qdotFast(col("cv"), col("cv")))
+        // sources-sized (one row per source) — materialize once so the
+        // pairwise self-join below reads a tiny leaf twice instead of
+        // scanning the corpus twice
+        .localCheckpoint(true)
+      val a = cents.select(col("source").as("source_a"), col("cv").as("__cva"), col("nrm").as("na"))
+      val b = cents.select(col("source").as("source_b"), col("cv").as("__cvb"), col("nrm").as("nb"))
+      a.join(broadcast(b), col("source_a") < col("source_b"))
+        .withColumn("dot", VectorFns.qdotFast(col("__cva"), col("__cvb")))
+        .withColumn("cos2_milli",
+          when(col("na") === 0 || col("nb") === 0, lit(0L))
+            .when(col("dot") < 0, -expr("(dot * dot * 1000) div (na * nb)"))
+            .otherwise(expr("(dot * dot * 1000) div (na * nb)")))
+        .select(col("source_a"), col("source_b"), col("dot"), col("na"), col("nb"), col("cos2_milli"))
+    },
+    Some(s"""WITH e AS (SELECT vec_id, ${quantSql("embedding")} AS v FROM embeddings),
+             j AS (SELECT d.source, e.v FROM e JOIN documents d ON e.vec_id = d.doc_id),
+             dm AS (SELECT source, i, v[i] AS val FROM j CROSS JOIN range(1, 65) t(i)),
+             sums AS (SELECT source, i, CAST(sum(val) AS BIGINT) AS sm, CAST(count(*) AS BIGINT) AS cnt
+                      FROM dm GROUP BY 1, 2),
+             cm AS (SELECT source, i, (sm - ((sm % cnt + cnt) % cnt)) // cnt AS c FROM sums),
+             cv AS (SELECT source, list(c ORDER BY i) AS cv FROM cm GROUP BY source),
+             nn AS (SELECT source, cv,
+                      CAST(list_sum(list_transform(range(1, 65), i -> cv[i] * cv[i])) AS BIGINT) AS nrm
+                    FROM cv),
+             pr AS (SELECT a.source AS source_a, b.source AS source_b,
+                      CAST(list_sum(list_transform(range(1, 65), i -> a.cv[i] * b.cv[i])) AS BIGINT) AS dot,
+                      a.nrm AS na, b.nrm AS nb
+                    FROM nn a JOIN nn b ON a.source < b.source)
+             SELECT source_a, source_b, dot, na, nb,
+               CAST(CASE WHEN na = 0 OR nb = 0 THEN 0
+                    WHEN dot < 0 THEN -((dot * dot * 1000) // (na * nb))
+                    ELSE (dot * dot * 1000) // (na * nb) END AS BIGINT) AS cos2_milli
+             FROM pr"""))
 
   /** Embedding hubness report (Radovanović et al. 2010: in high-dim
     * spaces some points become "hubs" that appear in far more kNN lists
@@ -8767,10 +8966,10 @@ object Queries {
     q1Pricing, q3Topk, q5Region, q14Promo, q2Mincost, q18Bigorders, q22Churn, q4Semi,
     q6Forecast, q10Returns, q12Priority, q19Brackets, q13Custdist, q16Suppliers,
     q7Trade, q15TopSupp, q17SmallQty, q21Blame, q20Excess, q8Share, qJsonExtract,
-    qNegPairs, qPiiScrub, qKanon, qLdiv, qDpHistogram, qDpMean, qDrift, qDedupReport,
+    qNegPairs, qPiiScrub, qKanon, qLdiv, qDpHistogram, qDpMean, qDpQuantile, qDrift, qDedupReport,
     qBpePairs, qBpeMerges, qBpeApply,
     qDedupExact, qDedupMinhash, qMinhashRescore, qContainment, qMinhashEst, qDedupSimhash, qDedupSimhashPairs,
-    qDedupClusters, qPagerank, qPprSeeds, qKcore, qBfsHops, qTriangles, qTrianglesApprox, qQualityDup, qHapax, qNgramJaccard, qSortedDedup, qDedupEmbed, qRepetition,
+    qDedupClusters, qPagerank, qPprSeeds, qKcore, qBfsHops, qTriangles, qTrianglesApprox, qLabelProp, qQualityDup, qHapax, qNgramJaccard, qSortedDedup, qDedupEmbed, qRepetition,
     qSplitLeakage, qJaccardCalib, qGroupSplit,
     qEmbedTopk, qAnnRecall, qEmbedLsh, qEmbedIvf, qEmbedIvf2, qKmeansStep, qDocChunks, qChunkDedup,
     qKnnClassify, qClassBalance, qLabelConsistency, qGapFill, qInvertedIndex,
@@ -8787,7 +8986,7 @@ object Queries {
     qOutliers, qTokenBudget, qRollupStats, qTimeWindowSum,
     qProfile, qStratifiedSample, qAsofForward, qAsofNearest, qScd2, qPairCuration, qWindowTopk,
     qRunningDistinct, qFirstSeen, qDedupDegree, qDecileBin,
-    qBloomDecontam, qDupSpanRuns, qEmbedQuant, qGramMatrix, qMixWeights, qEmbedPq, qPqAdc, qPqRescore, qDedupPrio, qKnnHubs, qIvfPq, qEmbedBinary, qSpanScrub, qSpanExcise,
+    qBloomDecontam, qDupSpanRuns, qEmbedQuant, qGramMatrix, qMixWeights, qDomainSim, qEmbedPq, qPqAdc, qPqRescore, qDedupPrio, qKnnHubs, qIvfPq, qEmbedBinary, qSpanScrub, qSpanExcise,
     qTokenCount, qFingerprint, qMultimodalMeta,
     qMultimodalDecode, qResizePlan, qFrameSample, qAudioSegments, qTilePlan, qMixGap,
     q9Profit, q11Stock, qKmvOverlap, qMoments, qEpochPlan, qAbLift,

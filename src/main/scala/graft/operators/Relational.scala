@@ -586,4 +586,49 @@ object Relational {
     if (frontier ne labeled) org.apache.spark.sql.GraftBridge.freeLocalCheckpoint(frontier)
     labeled
   }
+
+  /** Synchronous majority-label propagation (Raghavan, Albert & Kumara
+    * 2007 "Near linear time algorithm to detect community structures"),
+    * FIXED `iters` rounds — the COMMUNITY member of the graph family:
+    * CC converges reachability (every connected node ends in one
+    * cluster), LPA instead pulls each node toward the label most
+    * common among its NEIGHBORS, so dense near-clique regions keep
+    * their own labels while sparse bridges flip — sub-component
+    * structure CC is blind to. Deterministic variant: all nodes update
+    * simultaneously from the previous round's labels (no update-order
+    * dependence), ties break to the SMALLEST label, label₀(v) = v.
+    * Fixed round count like pageRank (no data-dependent fixpoint), so
+    * any engine replays it bit-for-bit.
+    *
+    * Scale shape: one checkpointed symmetric edge list; each round is
+    * one src-keyed join + one (dst, label) partial aggregate + one
+    * per-node argmax — and the argmax is a declarative max over a
+    * (count, −label) struct, so it partial-aggregates map-side instead
+    * of rank-windowing the vote frame. State is one label per node.
+    */
+  def labelPropagation(pairs: DataFrame, srcCol: String, dstCol: String,
+      iters: Int = 3): DataFrame = {
+    val edges = pairs.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .union(pairs.select(col(dstCol).as("src"), col(srcCol).as("dst")))
+      .distinct()
+      .repartition(col("src"))
+      .localCheckpoint(true)
+    var lab = edges.select(col("src").as("id")).distinct()
+      .select(col("id"), col("id").as("lab"))
+    var it = 0
+    while (it < iters) {
+      val votes = edges
+        .join(lab.select(col("id").as("__src"), col("lab")), col("src") === col("__src"))
+        .groupBy(col("dst").as("id"), col("lab"))
+        .agg(count(lit(1)).as("__cnt"))
+      // argmax(count, then min label): max over the lexicographic
+      // (count, −label) struct — partial-agg friendly, no window sort
+      lab = votes
+        .groupBy("id")
+        .agg(max(struct(col("__cnt"), (-col("lab")).as("__nl"))).as("__m"))
+        .select(col("id"), (-col("__m.__nl")).as("lab"))
+      it += 1
+    }
+    lab.select(col("id"), col("lab").as("community"))
+  }
 }
