@@ -6268,10 +6268,20 @@ object Queries {
     * user's ACTIVE span, zero-filled where no events landed — the
     * resample/regularize step before any per-entity time-series model.
     * Hours are exact epoch-hour integers (date_trunc then epoch
-    * seconds div 3600 — no float time math). The grid is generated by
-    * exploding a per-user `sequence(h0, h1)` (bounded by span length,
-    * generated distributed — never a driver-side calendar), then one
-    * LEFT join back to the hourly partial agg on (user, hour).
+    * seconds div 3600 — no float time math).
+    *
+    * Shape (round-14 rewrite of the r14-appendix watch item): fill
+    * ONLY the gaps. Each hourly row looks at its per-user successor
+    * (one lead window) and emits the zero rows for the missing hours
+    * between them via `sequence` — so nothing output-sized is ever
+    * joined or sorted: the full output exists only as the map-side
+    * union of the hourly aggregate and the exploded gap runs. The
+    * previous form generated the whole span grid (output-sized) and
+    * LEFT-joined the hourly aggregate back — at sf10 that shuffled and
+    * sorted 104M grid rows and ran 1.93× above output growth under
+    * task-memory pressure. Everything rides ONE user_id exchange: the
+    * explicit repartition satisfies both the (user, hour) aggregate's
+    * clustering and the lead window's partitioning.
     */
   private val qGapFill = GraftQuery(
     "q_gap_fill",
@@ -6279,15 +6289,25 @@ object Queries {
       val ev = events(s, dir).select(col("user_id"),
         expr("cast(date_trunc('hour', ts) as long) div 3600").as("h"),
         (col("value").cast(dec) * 100).cast("long").as("__cents"))
+        .repartition(col("user_id"))
       val hourly = ev.groupBy("user_id", "h")
-        .agg(count(lit(1)).as("__n"), sum(col("__cents")).as("__sum"))
-      val grid = ev.groupBy("user_id")
-        .agg(min(col("h")).as("__h0"), max(col("h")).as("__h1"))
-        .select(col("user_id"), explode(sequence(col("__h0"), col("__h1"))).as("h"))
-      grid.join(hourly, Seq("user_id", "h"), "left")
-        .select(col("user_id"), col("h"),
-          coalesce(col("__n"), lit(0L)).as("n_events"),
-          coalesce(col("__sum"), lit(0L)).as("sum_cents"))
+        .agg(count(lit(1)).as("n_events"), sum(col("__cents")).as("sum_cents"))
+        .withColumn("__nh", lead(col("h"), 1).over(
+          org.apache.spark.sql.expressions.Window.partitionBy("user_id").orderBy("h")))
+      // each hourly row emits itself + the zero rows up to its
+      // successor from ONE explode — a union of (hourly, gaps)
+      // branches would re-derive the scan+agg+window subtree twice
+      val gapRow = (x: Column) =>
+        struct(x.as("h"), lit(0L).as("n_events"), lit(0L).as("sum_cents"))
+      hourly.select(col("user_id"), explode(concat(
+          array(struct(col("h"), col("n_events"), col("sum_cents"))),
+          when(col("__nh").isNotNull && col("__nh") > col("h") + 1,
+            transform(sequence(col("h") + 1, col("__nh") - 1), gapRow))
+            .otherwise(expr("array()")
+              .cast("array<struct<h:bigint,n_events:bigint,sum_cents:bigint>>"))))
+          .as("__r"))
+        .select(col("user_id"), col("__r.h").as("h"),
+          col("__r.n_events").as("n_events"), col("__r.sum_cents").as("sum_cents"))
     },
     Some("""WITH ev AS (SELECT user_id,
                   CAST(floor(epoch(date_trunc('hour', ts))) AS BIGINT) // 3600 AS h,
