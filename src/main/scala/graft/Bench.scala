@@ -129,9 +129,10 @@ object Bench {
     "q_bpe_apply",
     // round-14 session-2: the struct-max argmax iteration (LPA
     // communities + modularity over the cached pair graph), the
-    // bounded-bucket window DP selection, and the explode-to-tiny
-    // centroid rollup + dimension-sized self-join
-    "q_label_prop", "q_dp_quantile", "q_domain_sim")
+    // bounded-bucket window DP selection, the explode-to-tiny
+    // centroid rollup + dimension-sized self-join, and the
+    // moment-collect + literal-projection spectral pass
+    "q_label_prop", "q_dp_quantile", "q_domain_sim", "q_pca_power")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -7637,6 +7637,67 @@ object Queries {
                prod.n * prod.sxy - si.sd * sj.sd AS covnum
              FROM prod JOIN sd si ON prod.i = si.dim JOIN sd sj ON prod.j = sj.dim"""))
 
+  /** Top-principal-component projection per source — the SPECTRAL
+    * member completing q_gram_matrix's sufficient-stats story (that
+    * query ships the moments a PCA consumes; this one consumes them):
+    * fixed 4-round power iteration (von Mises 1929) over the mean
+    * outer product M = ⌊Σxxᵀ/n⌋ in exact integer arithmetic (floor
+    * division at every step — both engines replay the walk
+    * bit-for-bit; M's entries are n-independent ≤ 10⁶, so no scale
+    * overflows), then every embedding projects onto the resulting
+    * milli-scaled direction and per-source distribution stats come
+    * back (min/max/floored mean) — the "which sources sit where along
+    * the corpus's dominant axis" view that catches a source drifting
+    * off-manifold before it poisons a mixture. Scale shape: the
+    * moment pass is ONE map-side-combined exchange (≤ 2,144 rows per
+    * partition regardless of corpus size) with a BOUNDED 2,080-long
+    * driver collect (the spectral index build, like ivfCentroids);
+    * the apply pass is a map-only native qdot against the plan-
+    * literal direction + one id equi-join + a source partial agg.
+    */
+  private val qPcaPower = GraftQuery(
+    "q_pca_power",
+    (s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val pc = VectorFns.pcaPower(emb, "embedding", dims = 64, iters = 4)
+      val proj = emb.select(col("vec_id"),
+        VectorFns.qdotFast(VectorFns.quantizeFast(col("embedding")), typedLit(pc)).as("proj"))
+      val d = t(s, dir, "documents").select(col("doc_id"), col("source"))
+      proj.join(d, proj("vec_id") === d("doc_id"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_vecs"), min("proj").as("proj_min"),
+          max("proj").as("proj_max"), sum("proj").as("__ps"))
+        .withColumn("proj_mean", expr("(__ps - ((__ps % n_vecs + n_vecs) % n_vecs)) div n_vecs"))
+        .select(col("source"), col("n_vecs"), col("proj_min"), col("proj_max"), col("proj_mean"))
+    },
+    Some {
+      val rounds = (1 to 4).map { tt =>
+        val pv = s"v${tt - 1}"
+        s"""y$tt AS (SELECT mm.i, CAST(sum(mm.m * $pv.x) AS BIGINT) AS y FROM mm JOIN $pv ON mm.j = $pv.i GROUP BY 1),
+             r$tt AS (SELECT max(abs(y)) AS r FROM y$tt),
+             v$tt AS (SELECT y$tt.i, CASE WHEN r = 0 THEN $pv.x ELSE (y * 1000 - (((y * 1000) % r + r) % r)) // r END AS x
+                    FROM y$tt JOIN $pv ON y$tt.i = $pv.i CROSS JOIN r$tt)"""
+      }.mkString(",\n             ")
+      s"""WITH e AS (SELECT vec_id, ${quantSql("embedding")} AS v FROM embeddings),
+             nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM e),
+             pm AS (SELECT p.i, p.j, CAST(sum(v[p.i + 1] * v[p.j + 1]) AS BIGINT) AS s
+                    FROM e CROSS JOIN (SELECT i.range AS i, j.range AS j
+                                       FROM range(64) i, range(64) j) p
+                    GROUP BY 1, 2),
+             mm AS (SELECT i, j, (s - ((s % n + n) % n)) // n AS m FROM pm, nn),
+             v0 AS (SELECT CAST(range AS BIGINT) AS i, CAST(1000 AS BIGINT) AS x FROM range(64)),
+             $rounds,
+             pc AS (SELECT list(x ORDER BY i) AS p FROM v4),
+             proj AS (SELECT e.vec_id,
+                        CAST(list_sum(list_transform(range(1, 65), k -> v[k] * p[k])) AS BIGINT) AS proj
+                      FROM e CROSS JOIN pc),
+             jn AS (SELECT d.source, proj FROM proj JOIN documents d ON proj.vec_id = d.doc_id)
+             SELECT source, CAST(count(*) AS BIGINT) AS n_vecs,
+               CAST(min(proj) AS BIGINT) AS proj_min, CAST(max(proj) AS BIGINT) AS proj_max,
+               CAST((sum(proj) - ((sum(proj) % count(*) + count(*)) % count(*))) // count(*) AS BIGINT) AS proj_mean
+             FROM jn GROUP BY source"""
+    })
+
   /** Temperature-rebalanced mixture weights (the alpha=0.5 exponent of
     * mBERT/XLM-R multilingual sampling, Conneau et al. 2020 §3.1):
     * per-source sampling share proportional to sqrt(token count),
@@ -9006,7 +9067,7 @@ object Queries {
     qOutliers, qTokenBudget, qRollupStats, qTimeWindowSum,
     qProfile, qStratifiedSample, qAsofForward, qAsofNearest, qScd2, qPairCuration, qWindowTopk,
     qRunningDistinct, qFirstSeen, qDedupDegree, qDecileBin,
-    qBloomDecontam, qDupSpanRuns, qEmbedQuant, qGramMatrix, qMixWeights, qDomainSim, qEmbedPq, qPqAdc, qPqRescore, qDedupPrio, qKnnHubs, qIvfPq, qEmbedBinary, qSpanScrub, qSpanExcise,
+    qBloomDecontam, qDupSpanRuns, qEmbedQuant, qGramMatrix, qPcaPower, qMixWeights, qDomainSim, qEmbedPq, qPqAdc, qPqRescore, qDedupPrio, qKnnHubs, qIvfPq, qEmbedBinary, qSpanScrub, qSpanExcise,
     qTokenCount, qFingerprint, qMultimodalMeta,
     qMultimodalDecode, qResizePlan, qFrameSample, qAudioSegments, qTilePlan, qMixGap,
     q9Profit, q11Stock, qKmvOverlap, qMoments, qEpochPlan, qAbLift,

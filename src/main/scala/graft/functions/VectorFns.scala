@@ -330,6 +330,60 @@ object VectorFns {
         col("mean_sum"), col("shift_l1"))
   }
 
+  /** Top principal direction of the embedding corpus by FIXED-round
+    * power iteration (von Mises & Pollaczek-Geiringer 1929; the first
+    * factor of a distributed PCA) in EXACT integer arithmetic:
+    * the d(d+1)/2 second-moment sufficient statistics aggregate in one
+    * map-side-combined pass (the same `outerMoments` kernel as the
+    * gram query — the exchange carries ≤ tri+d rows per partition
+    * regardless of corpus size), collect BOUNDED to the driver (d=64 →
+    * 2,080 longs — the documented driver cost of a spectral index
+    * build, exactly like [[ivfCentroids]]), normalize to the mean
+    * outer product M = ⌊Σxxᵀ/n⌋ (entries ≤ 10⁶ for unit-norm milli
+    * vectors — n-independent, so the iteration below can never
+    * overflow at ANY corpus size), then `iters` rounds of
+    * x ← ⌊(M·x)·1000 / max|M·x|⌋ with FLOOR division at every step so
+    * any engine replays the walk bit-for-bit. Returns the milli-scaled
+    * direction (‖x‖∞ = 1000, sign fixed by the iteration itself —
+    * deterministic because every step is).
+    */
+  def pcaPower(corpus: DataFrame, vecCol: String,
+      dims: Int = 64, iters: Int = 4): Seq[Long] = {
+    val tri = dims * (dims + 1) / 2
+    val rows = corpus
+      .select(posexplode(outerMomentsFast(quantizeFast(col(vecCol))))
+        .as(Seq("__pos", "__m")))
+      .groupBy(col("__pos"))
+      .agg(count(lit(1)).as("__n"), sum(col("__m")).as("__s"))
+      .filter(col("__pos") < tri)
+      .collect()
+    val n = rows.head.getLong(1)
+    // invert the kernel's row-major upper-triangle layout
+    val posIJ = {
+      val b = Array.ofDim[(Int, Int)](tri)
+      var p = 0
+      for (i <- 0 until dims; j <- i until dims) { b(p) = (i, j); p += 1 }
+      b
+    }
+    val m = Array.ofDim[Long](dims, dims)
+    rows.foreach { r =>
+      val (i, j) = posIJ(r.getInt(0))
+      val v = Math.floorDiv(r.getLong(2), n)
+      m(i)(j) = v; m(j)(i) = v
+    }
+    var x = Array.fill(dims)(1000L)
+    for (_ <- 1 to iters) {
+      val y = Array.tabulate(dims) { i =>
+        var s = 0L; var j = 0
+        while (j < dims) { s += m(i)(j) * x(j); j += 1 }
+        s
+      }
+      val r = y.map(math.abs).max
+      if (r != 0) x = y.map(v => Math.floorDiv(v * 1000L, r))
+    }
+    x.toSeq
+  }
+
   // ---- Product quantization (Jégou et al. 2011, "Product quantization
   // for nearest neighbor search") ---------------------------------------
 

@@ -156,4 +156,39 @@ class Round14bOpsSpec extends SparkSpecBase {
     // cos² ≤ 1 exactly (Cauchy-Schwarz) — the integer emission keeps it
     assert(got.values.forall { case (_, _, _, c2) => math.abs(c2) <= 1000L })
   }
+
+  // ---- independent power-iteration brute force ----------------------------
+
+  test("q_pca_power matches a plain-Scala power iteration + projection end to end") {
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(f => math.floor(f.toDouble * 1000).toLong))
+    val n = emb.length.toLong
+    val m = Array.tabulate(64, 64) { (i, j) =>
+      Math.floorDiv(emb.map { case (_, v) => v(i) * v(j) }.sum, n)
+    }
+    var x = Array.fill(64)(1000L)
+    for (_ <- 1 to 4) {
+      val y = Array.tabulate(64)(i => (0 until 64).map(j => m(i)(j) * x(j)).sum)
+      val r = y.map(math.abs).max
+      if (r != 0) x = y.map(v => Math.floorDiv(v * 1000L, r))
+    }
+    // the rescale contract: the direction is milli-normalized in L∞
+    assert(x.map(math.abs).max === 1000L)
+    val src = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("doc_id", "source").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val projBySrc = emb.flatMap { case (id, v) =>
+      src.get(id).map(_ -> (0 until 64).map(i => v(i) * x(i)).sum)
+    }.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    val want = projBySrc.map { case (s, ps) =>
+      s -> ((ps.size.toLong, ps.min, ps.max, Math.floorDiv(ps.sum, ps.size.toLong)))
+    }
+    val got = Queries.queries("q_pca_power")(spark, sfDir)
+      .collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))))
+      .toMap
+    assert(got === want)
+  }
 }
