@@ -88,14 +88,22 @@ class PartitionInvarianceSpec extends SparkSpecBase {
     // it can never leak into results), the HLL union contract must be
     // register-merge-order independent, and the epoch plan's
     // DECIMAL(38,0) budget products ride partial-sum merges
-    "q_kanon", "q_ldiv", "q_hll_rollup", "q_epoch_plan")
+    "q_kanon", "q_ldiv", "q_hll_rollup", "q_epoch_plan",
+    // round-14 session-2: synchronous LPA argmax merges (struct-max
+    // partials must commute), the exponential-mechanism CDF walk
+    // (bucket cumsum + md5 threshold), the centroid floor-div matrix,
+    // the power-iteration moment collect (partial second-moment merge
+    // order), and the gaps-only explode rewrite (lead frames must not
+    // notice reducer counts)
+    "q_label_prop", "q_dp_quantile", "q_domain_sim", "q_pca_power",
+    "q_gap_fill")
 
   private def runAll(): Map[String, Seq[String]] =
     subset.map { q =>
       q -> Queries.queries(q)(spark, sfDir).collect().map(_.toString).sorted.toSeq
     }.toMap
 
-  test("59 risk-class queries are bit-identical under 1 / 4 / 13 shuffle partitions, 64 KiB scan splits, and AQE off") {
+  test("64 risk-class queries are bit-identical under 1 / 4 / 13 shuffle partitions, 64 KiB scan splits, and AQE off") {
     val shufKey = "spark.sql.shuffle.partitions"
     val splitKey = "spark.sql.files.maxPartitionBytes"
     val aqeKey = "spark.sql.adaptive.enabled"
