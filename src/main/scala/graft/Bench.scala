@@ -132,7 +132,10 @@ object Bench {
     // bounded-bucket window DP selection, the explode-to-tiny
     // centroid rollup + dimension-sized self-join, and the
     // moment-collect + literal-projection spectral pass
-    "q_label_prop", "q_dp_quantile", "q_domain_sim", "q_pca_power")
+    "q_label_prop", "q_dp_quantile", "q_domain_sim", "q_pca_power",
+    // the iterated Lloyd loop (3 literal-table assignment rounds +
+    // bounded k·d collects)
+    "q_kmeans_train")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

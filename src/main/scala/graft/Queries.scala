@@ -3328,6 +3328,52 @@ object Queries {
                CAST(sum(mv) AS BIGINT) AS mean_sum, CAST(sum(abs(mv - old_v)) AS BIGINT) AS shift_l1
              FROM m GROUP BY cid"""))
 
+  /** FIXED-round k-means TRAINING loop (Lloyd 1982;
+    * VectorFns.kmeansTrain) — the iterated completion of
+    * q_kmeans_step's single refinement, the clustering twin of the BPE
+    * learn loop: 3 assign→mean rounds from the deterministic sample
+    * init (empty clusters keep their position), then the final
+    * assignment's per-cluster membership and EXACT integer inertia
+    * (Σ L2² to the trained centroid — the convergence number a
+    * training loop monitors; its decrease across rounds is
+    * Lloyd-guaranteed and spec-fenced). Per round: one map-only
+    * assignment against the plan-literal centroid table + one
+    * (cid, dim) partial agg + a bounded k·d driver collect — the
+    * ivfCentroids precedent, never corpus-sized. The oracle unrolls
+    * all 3 update rounds + the final assignment.
+    */
+  private val qKmeansTrain = GraftQuery(
+    "q_kmeans_train",
+    (s, dir) => VectorFns.kmeansTrain(t(s, dir, "embeddings"), "vec_id", "embedding",
+      kCentroids = 16, rounds = 3),
+    Some {
+      val rounds = (1 to 3).map { r =>
+        val prev = s"c${r - 1}"
+        s"""d$r AS (SELECT e.vec_id, e.v, c.cid,
+                   CAST(list_sum(list_transform(range(1, 65), k -> (e.v[k] - c.cv[k]) * (e.v[k] - c.cv[k]))) AS BIGINT) AS d2
+                 FROM e CROSS JOIN $prev c),
+             a$r AS (SELECT vec_id, v, cid FROM (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn FROM d$r) WHERE rn = 1),
+             m$r AS (SELECT cid, i, (s - ((s % n + n) % n)) // n AS mv
+                 FROM (SELECT cid, t.i AS i, CAST(sum(v[t.i]) AS BIGINT) AS s, CAST(count(*) AS BIGINT) AS n
+                       FROM a$r CROSS JOIN range(1, 65) t(i) GROUP BY 1, 2)),
+             c$r AS (SELECT p.cid, list(coalesce(m.mv, p.cv[t.i]) ORDER BY t.i) AS cv
+                 FROM $prev p CROSS JOIN range(1, 65) t(i)
+                 LEFT JOIN m$r m ON m.cid = p.cid AND m.i = t.i
+                 GROUP BY p.cid)"""
+      }.mkString(",\n             ")
+      s"""WITH e AS (SELECT vec_id, ${quantSql("embedding")} AS v FROM embeddings),
+             c0 AS (SELECT row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), CAST(vec_id AS VARCHAR)) - 1 AS cid, v AS cv
+                    FROM e ORDER BY md5(CAST(vec_id AS VARCHAR)), CAST(vec_id AS VARCHAR) LIMIT 16),
+             $rounds,
+             d4 AS (SELECT e.vec_id, c.cid,
+                      CAST(list_sum(list_transform(range(1, 65), k -> (e.v[k] - c.cv[k]) * (e.v[k] - c.cv[k]))) AS BIGINT) AS d2
+                    FROM e CROSS JOIN c3 c),
+             a4 AS (SELECT vec_id, cid, d2 FROM (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn FROM d4) WHERE rn = 1)
+             SELECT CAST(cid AS BIGINT) AS cid, CAST(count(*) AS BIGINT) AS n_members,
+               CAST(sum(d2) AS BIGINT) AS inertia
+             FROM a4 GROUP BY cid"""
+    })
+
   private val qDedupEmbed = GraftQuery(
     "q_dedup_embed",
     (s, dir) =>
@@ -9052,7 +9098,7 @@ object Queries {
     qDedupExact, qDedupMinhash, qMinhashRescore, qContainment, qMinhashEst, qDedupSimhash, qDedupSimhashPairs,
     qDedupClusters, qPagerank, qPprSeeds, qKcore, qBfsHops, qTriangles, qTrianglesApprox, qLabelProp, qQualityDup, qHapax, qNgramJaccard, qSortedDedup, qDedupEmbed, qRepetition,
     qSplitLeakage, qJaccardCalib, qGroupSplit,
-    qEmbedTopk, qAnnRecall, qEmbedLsh, qEmbedIvf, qEmbedIvf2, qKmeansStep, qDocChunks, qChunkDedup,
+    qEmbedTopk, qAnnRecall, qEmbedLsh, qEmbedIvf, qEmbedIvf2, qKmeansStep, qKmeansTrain, qDocChunks, qChunkDedup,
     qKnnClassify, qClassBalance, qLabelConsistency, qGapFill, qInvertedIndex,
     qLangId, qQualityScore, qCuration, qSplitAssign, qPackSequences, qSamplePerKey, qWeightedSample,
     qTfidfTopterms, qContamination, qDecontam, qDedupSavings, qRankCorr,

@@ -330,6 +330,51 @@ object VectorFns {
         col("mean_sum"), col("shift_l1"))
   }
 
+  /** FIXED-round Lloyd k-means TRAINING loop (Lloyd 1982) — the
+    * iterated completion of [[kmeansStep]]'s single refinement, the
+    * way the BPE merge loop completes the single pair-count step:
+    * start from the deterministic [[ivfCentroids]] sample, then
+    * `rounds` rounds of (map-only nearest-centroid assignment against
+    * the plan-literal centroid table → per-(cluster, dim) partial-agg
+    * means in exact floored integer arithmetic → BOUNDED k·d driver
+    * collect of the new table, empty clusters keeping their previous
+    * position). Returns the final assignment's per-cluster membership
+    * and EXACT integer inertia (Σ L2² to the trained centroid — the
+    * convergence number a training loop monitors). Scale shape per
+    * round: one corpus scan + one (cid, dim) exchange that map-side-
+    * combines to ≤ k·d rows per partition; the collect is k·d longs
+    * (16×64 here — the ivfCentroids precedent), never corpus-sized.
+    */
+  def kmeansTrain(corpus: DataFrame, idCol: String, vecCol: String,
+      kCentroids: Int = 16, rounds: Int = 3, dims: Int = 64): DataFrame = {
+    var cents: Seq[Seq[Long]] = ivfCentroids(corpus, idCol, vecCol, kCentroids)
+    val q = corpus.select(quantizeFast(col(vecCol)).as("qv"))
+      .filter(col("qv").isNotNull)
+    var r = 0
+    while (r < rounds) {
+      val cl = typedLit(cents)
+      val rows = q
+        .select(element_at(ivfProbesFast(col("qv"), cl, 1), 1).as("cid"), col("qv"))
+        .select(col("cid"), posexplode(col("qv")).as(Seq("dim", "v")))
+        .groupBy("cid", "dim")
+        .agg(sum(col("v")).as("s"), count(lit(1)).as("n"))
+        .withColumn("mv", expr("(s - ((s % n + n) % n)) div n"))
+        .select(col("cid").cast("int"), col("dim"), col("mv"))
+        .collect()
+      val next = Array.tabulate(kCentroids)(i => cents(i).toArray.clone())
+      rows.foreach(row => next(row.getInt(0))(row.getInt(1)) = row.getLong(2))
+      cents = next.map(_.toSeq)
+      r += 1
+    }
+    val cl = typedLit(cents)
+    val cvec = element_at(cl, (col("cid") + 1).cast("int"))
+    q.select(element_at(ivfProbesFast(col("qv"), cl, 1), 1).as("cid"), col("qv"))
+      .withColumn("__d", vecSubFast(col("qv"), cvec))
+      .withColumn("__d2", qdotFast(col("__d"), col("__d")))
+      .groupBy(col("cid").cast("long").as("cid"))
+      .agg(count(lit(1)).as("n_members"), sum(col("__d2")).as("inertia"))
+  }
+
   /** Top principal direction of the embedding corpus by FIXED-round
     * power iteration (von Mises & Pollaczek-Geiringer 1929; the first
     * factor of a distributed PCA) in EXACT integer arithmetic:

@@ -157,6 +157,46 @@ class Round14bOpsSpec extends SparkSpecBase {
     assert(got.values.forall { case (_, _, _, c2) => math.abs(c2) <= 1000L })
   }
 
+  // ---- independent Lloyd-loop brute force ---------------------------------
+
+  test("q_kmeans_train matches a plain-Scala Lloyd loop and its inertia is Lloyd-monotone") {
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(f => math.floor(f.toDouble * 1000).toLong))
+    def md5(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    var cents: Seq[Seq[Long]] = emb.sortBy { case (id, _) => (md5(id.toString), id.toString) }
+      .take(16).map(_._2.toSeq).toSeq
+    def d2(a: Seq[Long], b: Seq[Long]): Long =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    def assign(cs: Seq[Seq[Long]]): Array[(Int, Long)] = emb.map { case (_, v) =>
+      (0 until 16).map(c => (d2(v, cs(c)), c)).min match { case (d, c) => (c, d) }
+    }
+    def inertia(cs: Seq[Seq[Long]]): Long = assign(cs).map(_._2).sum
+    val inertias = scala.collection.mutable.ArrayBuffer(inertia(cents))
+    for (_ <- 1 to 3) {
+      val byC = emb.map(_._2).zip(assign(cents)).groupBy(_._2._1)
+      cents = (0 until 16).map { c =>
+        byC.get(c) match {
+          case Some(vs) =>
+            val n = vs.length.toLong
+            (0 until 64).map(i => Math.floorDiv(vs.map(_._1(i)).sum, n))
+          case None => cents(c)
+        }
+      }
+      inertias += inertia(cents)
+    }
+    // Lloyd monotonicity (up to the integer-floor of the mean, which
+    // at this data still strictly improves each round)
+    assert(inertias.sliding(2).forall(w => w(1) <= w(0)))
+    val want = assign(cents).groupBy(_._1).map { case (c, xs) =>
+      c.toLong -> ((xs.length.toLong, xs.map(_._2).sum))
+    }
+    val got = Queries.queries("q_kmeans_train")(spark, sfDir)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got === want)
+  }
+
   // ---- independent power-iteration brute force ----------------------------
 
   test("q_pca_power matches a plain-Scala power iteration + projection end to end") {
