@@ -96,14 +96,16 @@ class PartitionInvarianceSpec extends SparkSpecBase {
     // order), and the gaps-only explode rewrite (lead frames must not
     // notice reducer counts)
     "q_label_prop", "q_dp_quantile", "q_domain_sim", "q_pca_power",
-    "q_gap_fill")
+    "q_gap_fill",
+    // per-round centroid collects must not notice partial-merge order
+    "q_kmeans_train")
 
   private def runAll(): Map[String, Seq[String]] =
     subset.map { q =>
       q -> Queries.queries(q)(spark, sfDir).collect().map(_.toString).sorted.toSeq
     }.toMap
 
-  test("64 risk-class queries are bit-identical under 1 / 4 / 13 shuffle partitions, 64 KiB scan splits, and AQE off") {
+  test("65 risk-class queries are bit-identical under 1 / 4 / 13 shuffle partitions, 64 KiB scan splits, and AQE off") {
     val shufKey = "spark.sql.shuffle.partitions"
     val splitKey = "spark.sql.files.maxPartitionBytes"
     val aqeKey = "spark.sql.adaptive.enabled"
