@@ -2436,13 +2436,13 @@ object Queries {
       // node-sized result of the 3-round loop, referenced three times
       // below (degree join + both endpoint attaches) — materialize once
       // so the loop doesn't re-run per reference; Bench's between-
-      // queries sweep reclaims the blocks like every session memo
-      val labels = Relational.labelPropagation(pairs, "id_a", "id_b", iters = 3)
-        .localCheckpoint(true)
-      val deg = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
-        .union(pairs.select(col("id_b"), col("id_a")))
-        .distinct()
-        .groupBy(col("src").as("id")).agg(count(lit(1)).as("__deg"))
+      // queries sweep reclaims the blocks like every session memo.
+      // Degrees read the loop's own checkpointed symmetric edge list
+      // instead of re-deriving the union+distinct exchange.
+      val (labels0, edges) =
+        Relational.labelPropagationWithEdges(pairs, "id_a", "id_b", iters = 3)
+      val labels = labels0.localCheckpoint(true)
+      val deg = edges.groupBy(col("src").as("id")).agg(count(lit(1)).as("__deg"))
       val m = pairs.agg(count(lit(1)).as("__m"))
       val ein = pairs
         .join(labels.select(col("id").as("__ia"), col("community").as("__ca")),
@@ -3361,7 +3361,8 @@ object Queries {
                  LEFT JOIN m$r m ON m.cid = p.cid AND m.i = t.i
                  GROUP BY p.cid)"""
       }.mkString(",\n             ")
-      s"""WITH e AS (SELECT vec_id, ${quantSql("embedding")} AS v FROM embeddings),
+      s"""WITH e AS (SELECT vec_id, ${quantSql("embedding")} AS v FROM embeddings
+                    WHERE embedding IS NOT NULL AND len(list_filter(embedding, x -> x IS NULL)) = 0),
              c0 AS (SELECT row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), CAST(vec_id AS VARCHAR)) - 1 AS cid, v AS cv
                     FROM e ORDER BY md5(CAST(vec_id AS VARCHAR)), CAST(vec_id AS VARCHAR) LIMIT 16),
              $rounds,
@@ -7706,8 +7707,14 @@ object Queries {
     (s, dir) => {
       val emb = t(s, dir, "embeddings")
       val pc = VectorFns.pcaPower(emb, "embedding", dims = 64, iters = 4)
-      val proj = emb.select(col("vec_id"),
-        VectorFns.qdotFast(VectorFns.quantizeFast(col("embedding")), typedLit(pc)).as("proj"))
+      // null-screen mirrors the oracle's e CTE (a null/null-element
+      // vector projects to null — drop it, as the moment pass did);
+      // Fence pins the qdot+quantize to one evaluation under the
+      // pushed-down isNotNull
+      val proj = Fence.guard(emb.select(col("vec_id"),
+          VectorFns.qdotFast(VectorFns.quantizeFast(col("embedding")), typedLit(pc)).as("proj"),
+          Fence.col))
+        .filter(col("proj").isNotNull)
       val d = t(s, dir, "documents").select(col("doc_id"), col("source"))
       proj.join(d, proj("vec_id") === d("doc_id"))
         .groupBy("source")
@@ -7724,7 +7731,8 @@ object Queries {
              v$tt AS (SELECT y$tt.i, CASE WHEN r = 0 THEN $pv.x ELSE (y * 1000 - (((y * 1000) % r + r) % r)) // r END AS x
                     FROM y$tt JOIN $pv ON y$tt.i = $pv.i CROSS JOIN r$tt)"""
       }.mkString(",\n             ")
-      s"""WITH e AS (SELECT vec_id, ${quantSql("embedding")} AS v FROM embeddings),
+      s"""WITH e AS (SELECT vec_id, ${quantSql("embedding")} AS v FROM embeddings
+                    WHERE embedding IS NOT NULL AND len(list_filter(embedding, x -> x IS NULL)) = 0),
              nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM e),
              pm AS (SELECT p.i, p.j, CAST(sum(v[p.i + 1] * v[p.j + 1]) AS BIGINT) AS s
                     FROM e CROSS JOIN (SELECT i.range AS i, j.range AS j
@@ -7805,8 +7813,11 @@ object Queries {
   private val qDomainSim = GraftQuery(
     "q_domain_sim",
     (s, dir) => {
-      val e = t(s, dir, "embeddings")
-        .select(col("vec_id"), VectorFns.quantizeFast(col("embedding")).as("qv"))
+      // Fence pins quantize to one evaluation (the isNotNull pushdown
+      // would substitute the kernel into the filter — kmeansStep's
+      // precedent); the filter itself mirrors the oracle's null screen
+      val e = Fence.guard(t(s, dir, "embeddings")
+          .select(col("vec_id"), VectorFns.quantizeFast(col("embedding")).as("qv"), Fence.col))
         .filter(col("qv").isNotNull)
       val d = t(s, dir, "documents").select(col("doc_id"), col("source"))
       val cents = e.join(d, e("vec_id") === d("doc_id"))
@@ -7832,7 +7843,8 @@ object Queries {
             .otherwise(expr("(dot * dot * 1000) div (na * nb)")))
         .select(col("source_a"), col("source_b"), col("dot"), col("na"), col("nb"), col("cos2_milli"))
     },
-    Some(s"""WITH e AS (SELECT vec_id, ${quantSql("embedding")} AS v FROM embeddings),
+    Some(s"""WITH e AS (SELECT vec_id, ${quantSql("embedding")} AS v FROM embeddings
+                    WHERE embedding IS NOT NULL AND len(list_filter(embedding, x -> x IS NULL)) = 0),
              j AS (SELECT d.source, e.v FROM e JOIN documents d ON e.vec_id = d.doc_id),
              dm AS (SELECT source, i, v[i] AS val FROM j CROSS JOIN range(1, 65) t(i)),
              sums AS (SELECT source, i, CAST(sum(val) AS BIGINT) AS sm, CAST(count(*) AS BIGINT) AS cnt

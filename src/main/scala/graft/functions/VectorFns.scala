@@ -346,10 +346,21 @@ object VectorFns {
     * (16×64 here — the ivfCentroids precedent), never corpus-sized.
     */
   def kmeansTrain(corpus: DataFrame, idCol: String, vecCol: String,
-      kCentroids: Int = 16, rounds: Int = 3, dims: Int = 64): DataFrame = {
+      kCentroids: Int = 16, rounds: Int = 3): DataFrame = {
+    // a corpus smaller than kCentroids yields a shorter table, exactly
+    // like kmeansStep's literal (cents.length, not kCentroids, sizes
+    // everything below)
     var cents: Seq[Seq[Long]] = ivfCentroids(corpus, idCol, vecCol, kCentroids)
-    val q = corpus.select(quantizeFast(col(vecCol)).as("qv"))
+    // Fence pins quantize to ONE evaluation per row: unfenced, the
+    // isNotNull pushdown substitutes the kernel into the filter below
+    // the projection and every round's scan pays it twice (the
+    // kmeansStep/ivfTopK precedent)
+    val q = Fence.guard(
+        corpus.select(quantizeFast(col(vecCol)).as("qv"), Fence.col))
       .filter(col("qv").isNotNull)
+    if (cents.isEmpty)
+      return q.limit(0).select(lit(0L).as("cid"),
+        lit(0L).as("n_members"), lit(0L).as("inertia"))
     var r = 0
     while (r < rounds) {
       val cl = typedLit(cents)
@@ -361,7 +372,7 @@ object VectorFns {
         .withColumn("mv", expr("(s - ((s % n + n) % n)) div n"))
         .select(col("cid").cast("int"), col("dim"), col("mv"))
         .collect()
-      val next = Array.tabulate(kCentroids)(i => cents(i).toArray.clone())
+      val next = Array.tabulate(cents.length)(i => cents(i).toArray.clone())
       rows.foreach(row => next(row.getInt(0))(row.getInt(1)) = row.getLong(2))
       cents = next.map(_.toSeq)
       r += 1
@@ -402,7 +413,12 @@ object VectorFns {
       .agg(count(lit(1)).as("__n"), sum(col("__m")).as("__s"))
       .filter(col("__pos") < tri)
       .collect()
-    val n = rows.head.getLong(1)
+    // empty (or all-null) corpus: no direction exists — return the
+    // zero vector; every projection downstream is then 0 over 0 rows
+    if (rows.isEmpty) return Seq.fill(dims)(0L)
+    // counts are identical across positions for a fixed-width corpus;
+    // max() keeps the pick deterministic regardless of collect order
+    val n = rows.map(_.getLong(1)).max
     // invert the kernel's row-major upper-triangle layout
     val posIJ = {
       val b = Array.ofDim[(Int, Int)](tri)

@@ -607,7 +607,16 @@ object Relational {
     * of rank-windowing the vote frame. State is one label per node.
     */
   def labelPropagation(pairs: DataFrame, srcCol: String, dstCol: String,
-      iters: Int = 3): DataFrame = {
+      iters: Int = 3): DataFrame =
+    labelPropagationWithEdges(pairs, srcCol, dstCol, iters)._1
+
+  /** [[labelPropagation]] plus the checkpointed symmetric-distinct edge
+    * list it already built — callers needing degrees (the modularity
+    * accounting) read it instead of re-deriving the union+distinct
+    * exchange over the pair graph.
+    */
+  def labelPropagationWithEdges(pairs: DataFrame, srcCol: String, dstCol: String,
+      iters: Int = 3): (DataFrame, DataFrame) = {
     val edges = pairs.select(col(srcCol).as("src"), col(dstCol).as("dst"))
       .union(pairs.select(col(dstCol).as("src"), col(srcCol).as("dst")))
       .distinct()
@@ -629,6 +638,6 @@ object Relational {
         .select(col("id"), (-col("__m.__nl")).as("lab"))
       it += 1
     }
-    lab.select(col("id"), col("lab").as("community"))
+    (lab.select(col("id"), col("lab").as("community")), edges)
   }
 }

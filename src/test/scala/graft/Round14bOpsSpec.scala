@@ -197,6 +197,23 @@ class Round14bOpsSpec extends SparkSpecBase {
     assert(got === want)
   }
 
+  test("kmeansTrain degrades gracefully below kCentroids and screens null vectors") {
+    import spark.implicits._
+    val vecs = Seq(
+      1L -> Some(Seq.tabulate(64)(i => if (i == 0) 1f else 0f)),
+      2L -> Some(Seq.tabulate(64)(i => if (i == 1) 1f else 0f)),
+      3L -> Some(Seq.tabulate(64)(i => if (i == 2) 1f else 0f)),
+      4L -> None) // null embedding must not poison init or assignment
+      .toDF("vec_id", "embedding")
+    val out = graft.functions.VectorFns
+      .kmeansTrain(vecs, "vec_id", "embedding", kCentroids = 16, rounds = 3)
+      .collect()
+    // 3 non-null singleton clusters, each converged onto its vector
+    assert(out.length === 3)
+    assert(out.map(_.getLong(1)).sum === 3L)
+    assert(out.forall(_.getLong(2) === 0L)) // inertia 0: centroid == member
+  }
+
   // ---- independent power-iteration brute force ----------------------------
 
   test("q_pca_power matches a plain-Scala power iteration + projection end to end") {
