@@ -133,9 +133,16 @@ object Bench {
     // centroid rollup + dimension-sized self-join, and the
     // moment-collect + literal-projection spectral pass
     "q_label_prop", "q_dp_quantile", "q_domain_sim", "q_pca_power",
-    // the iterated Lloyd loop (3 literal-table assignment rounds +
-    // bounded k·d collects)
-    "q_kmeans_train")
+    // the iterated Lloyd loop — round 15: the TWO-LEVEL training path
+    // (coarse-literal probe + broadcast fine relation per round, no
+    // k·d collect)
+    "q_kmeans_train",
+    // round-15 additions: the corpus BPE encode (vocab-bounded merge
+    // replay + one token equi-join + doc-keyed fingerprint agg — the
+    // production tokenization step) and the node-sized overlap report
+    // (the sweep member of the overlap family at decade-up scale; the
+    // exact pair query stays for drill-down and is SKIPped at sf1+)
+    "q_bpe_encode", "q_overlap_counts")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -281,10 +288,17 @@ object Bench {
     // inline, per-query detail via the durable path — so the driver's
     // parse window always contains one complete JSON object.
     val errsShort = err.map { case (k, m) => s""""$k":"$m"""" }.mkString("{", ",", "}")
+    // silent-codegen-fallback gate (VERDICT r14 item 1): any janino
+    // compile failure during the run surfaces as a COUNT in the
+    // summary line (and its messages land durably) instead of hiding
+    // a ~60× interpreted cliff behind green timings
+    val cgErrs = CodegenGuard.drain()
+    if (cgErrs.nonEmpty)
+      durableWrite(s"codegen_errors_${sfName}_r$round$suffix", cgErrs.mkString("\n")): Unit
     println(
       s"""{"metric":"headline_total","value":${f"${ok.map(_._2).sum}%.3f"},"unit":"sec",""" +
       s""""sweeps":$sweeps,"queries_n":${ok.size},"errors_n":${err.size},""" +
-      s""""queries":{},"errors":$errsShort,""" +
+      s""""queries":{},"errors":$errsShort,"codegen_errors":${cgErrs.size},""" +
       s""""per_query_in":"${durable.map(_.toString).getOrElse("(durable write failed)")}",""" +
       s""""sf":"$sfDir"}""")
     spark.stop()

@@ -17,7 +17,7 @@ object GraftSession {
       appName: String = "graft",
       master: String = s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]",
       shufflePartitions: Int = 32
-  ): SparkSession.Builder =
+  ): SparkSession.Builder = {
     SparkSession
       .builder()
       .appName(appName)
@@ -55,6 +55,7 @@ object GraftSession {
       .config("spark.sql.streaming.stateStore.providerClass",
         "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
       .config("spark.ui.enabled", "false")
+  }
 
   /** Get-or-create a local session with graft defaults and the graft
     * SQL functions registered (graft_minhash_bands, graft_qdot, …).
@@ -63,6 +64,9 @@ object GraftSession {
     val spark = builder(appName).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     GraftFunctions.register(spark)
+    // AFTER session startup: Spark re-initializes log4j2 during init,
+    // which would drop a pre-installed appender — see CodegenGuard
+    CodegenGuard.install()
     spark
   }
 }

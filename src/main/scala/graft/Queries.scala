@@ -844,6 +844,64 @@ object Queries {
               ON a.user_id < b.user_id AND a.lo <= b.hi AND b.lo <= a.hi
             GROUP BY 1, 2"""))
 
+  /** BOUNDED-REPORT interval overlap (VERDICT r14 item 6 — the
+    * 100 TB-shaped member of the overlap family): per USER, how many
+    * session overlaps they participate in and the total co-presence
+    * microseconds. q_overlap_sessions' per-PAIR report is output-bound
+    * BY CONSTRUCTION (the pair count grows 10,000× at 100× data —
+    * DuckDB-verified accounting in BASELINE.md, 32% of the r14 sf10
+    * sweep on its own), which is a data property no plan fixes; this
+    * variant keeps the identical grid equi-join + report-once mining
+    * but collapses each overlap into its two endpoints' NODE-sized
+    * totals — the aggregate partial-combines map-side right after the
+    * join, so the only post-join exchange carries ≤ |users| rows per
+    * task and the output is user-sized at ANY scale. The exact pair
+    * query stays the product surface for drill-down; THIS is the
+    * sweep/headline member at decade-up scale (q_triangles /
+    * q_triangles_approx precedent).
+    */
+  private val qOverlapCounts = GraftQuery(
+    "q_overlap_counts",
+    (s, dir) => {
+      def sess(sfx: String) =
+        Windows.session(events(s, dir), "ts", Seq("user_id"), "30 minutes")(
+          min(unix_micros(col("ts"))).as("lo" + sfx),
+          max(unix_micros(col("ts"))).as("hi" + sfx))
+          .select(col("user_id").as("user" + sfx), col("lo" + sfx), col("hi" + sfx))
+      val pairs = Joins.intervalOverlapJoin(sess("_a"), "lo_a", "hi_a",
+          sess("_b"), "lo_b", "hi_b", width = 3600000000L)
+        .filter(col("user_a") < col("user_b"))
+        .select(col("user_a"), col("user_b"),
+          (least(col("hi_a"), col("hi_b")) - greatest(col("lo_a"), col("lo_b"))).as("__ov"))
+      pairs
+        .select(explode(array(
+          struct(col("user_a").as("user_id"), col("__ov")),
+          struct(col("user_b").as("user_id"), col("__ov")))).as("__e"))
+        .select(col("__e.user_id").as("user_id"), col("__e.__ov").as("__ov"))
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_overlaps"), sum(col("__ov")).as("overlap_us"))
+    },
+    Some("""WITH x AS (
+              SELECT user_id, event_id, epoch_us(ts) AS e,
+                CASE WHEN epoch_us(ts) - lag(epoch_us(ts))
+                       OVER (PARTITION BY user_id ORDER BY ts, event_id) >= 1800000000
+                     THEN 1 ELSE 0 END AS brk
+              FROM events),
+            y AS (SELECT user_id, e,
+                    sum(brk) OVER (PARTITION BY user_id ORDER BY e, event_id ROWS UNBOUNDED PRECEDING) AS sid
+                  FROM x),
+            s AS (SELECT user_id, min(e) AS lo, max(e) AS hi FROM y GROUP BY user_id, sid),
+            ov AS (SELECT a.user_id AS ua, b.user_id AS ub,
+                     least(a.hi, b.hi) - greatest(a.lo, b.lo) AS ovus
+                   FROM s a JOIN s b
+                     ON a.user_id < b.user_id AND a.lo <= b.hi AND b.lo <= a.hi),
+            ep AS (SELECT ua AS user_id, ovus FROM ov
+                   UNION ALL
+                   SELECT ub AS user_id, ovus FROM ov)
+            SELECT user_id, CAST(count(*) AS BIGINT) AS n_overlaps,
+              CAST(sum(ovus) AS BIGINT) AS overlap_us
+            FROM ep GROUP BY user_id"""))
+
   private val qMerge = GraftQuery(
     "q_merge",
     (s, dir) => {
@@ -2002,11 +2060,13 @@ object Queries {
     * not block-manager storage.)
     */
   def clearSessionMemos(): Unit = {
-    (pairsCache.values ++ ccCache.values ++ sliceCache.values)
+    (pairsCache.values ++ ccCache.values ++ sliceCache.values ++
+        lpaCache.values.flatMap(p => Seq(p._1, p._2)))
       .foreach(org.apache.spark.sql.GraftBridge.freeLocalCheckpoint)
     pairsCache.clear()
     ccCache.clear()
     sliceCache.clear()
+    lpaCache.clear()
   }
 
   /** Exact near-dup pairs shared by every DERIVED dedup query
@@ -2025,6 +2085,41 @@ object Queries {
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String, String), Long]
   private def tableCount(s: SparkSession, dir: String, table: String): Long =
     countCache.getOrElseUpdate((s, dir, table), t(s, dir, table).count())
+
+  /** TokenMat GRADUATION flag (VERDICT r14 item 8): when
+    * `SPARK_GRAFT_TOKENMAT=1` (env) or `spark.graft.tokenmat=1`
+    * (session conf) AND the bucketed table `TokenMat.materialize`
+    * wrote for THIS sf dir exists, the k-pass token pipelines (bm25,
+    * bigram-LM family, tf-idf) read (doc_id, lang, __toks) from it
+    * instead of tokenizing documents inline — the production path the
+    * r14 rehearsal measured at 3.3–7.3× at sf10. Parity is EXACT (the
+    * table holds the same tokensFast arrays, Round15OpsSpec pins it),
+    * so the DuckDB oracle — which always tokenizes from documents —
+    * is unchanged either way. The table name is a function of the dir
+    * (TokenMat's convention), so a stale flag can never cross-wire
+    * two scale factors; absent table ⇒ silent inline fallback. The
+    * driver never sets the flag: default remains tokenize-inline.
+    */
+  private[graft] def tokenMatTable(s: SparkSession, dir: String): Option[DataFrame] = {
+    val on = sys.env.get("SPARK_GRAFT_TOKENMAT")
+      .orElse(scala.util.Try(s.conf.get("spark.graft.tokenmat")).toOption)
+      .contains("1")
+    if (!on) None
+    else {
+      val name = s"graft_tokens_${dir.split('/').last.replaceAll("[^A-Za-z0-9_]", "_")}"
+      if (s.catalog.tableExists(name)) Some(s.table(name)) else None
+    }
+  }
+
+  /** The (doc_id, __toks) source every TokenMat-graduated pipeline
+    * reads: the materialized bucketed table when the flag selects it,
+    * else the fenced inline tokenize.
+    */
+  private def docToks(s: SparkSession, dir: String): DataFrame =
+    tokenMatTable(s, dir)
+      .map(_.select(col("doc_id"), col("__toks")))
+      .getOrElse(Fence.guard(t(s, dir, "documents")
+        .select(col("doc_id"), TextFns.tokensFast(col("text")).as("__toks"), Fence.col)))
 
   /** Auto-sized IVF centroid count for the all-to-all screens:
     * ⌈√n⌉ floored at 64 — cells (and thus per-query candidate volume
@@ -2046,6 +2141,24 @@ object Queries {
   private def simhashClusters(s: SparkSession, dir: String): DataFrame =
     ccCache.getOrElseUpdate((s, dir),
       Relational.connectedComponents(simhashPairs(s, dir), "id_a", "id_b"))
+
+  /** LPA (labels, symmetric edge list) over the near-dup graph,
+    * memoized per (session, dir) like the CC state: the loop's
+    * checkpointed frames (final labels + edge list) previously leaked
+    * block-manager storage on repeated invocations outside Bench's
+    * sweep — routing them through a clearSessionMemos-covered cache
+    * gives them the same release path as every other session memo
+    * (ADVICE r14). Labels are checkpointed eagerly (referenced three
+    * times by the modularity accounting).
+    */
+  private val lpaCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), (DataFrame, DataFrame)]
+  private def lpaState(s: SparkSession, dir: String): (DataFrame, DataFrame) =
+    lpaCache.getOrElseUpdate((s, dir), {
+      val (labels0, edges) =
+        Relational.labelPropagationWithEdges(simhashPairs(s, dir), "id_a", "id_b", iters = 3)
+      (labels0.localCheckpoint(true), edges)
+    })
 
   // ---- Deterministic 1/16 md5 slice: the decade-up parity valve ----
   // The recursive-CC / pair-explode / basket² oracle shapes are
@@ -2434,14 +2547,14 @@ object Queries {
     (s, dir) => {
       val pairs = simhashPairs(s, dir)
       // node-sized result of the 3-round loop, referenced three times
-      // below (degree join + both endpoint attaches) — materialize once
-      // so the loop doesn't re-run per reference; Bench's between-
-      // queries sweep reclaims the blocks like every session memo.
-      // Degrees read the loop's own checkpointed symmetric edge list
-      // instead of re-deriving the union+distinct exchange.
-      val (labels0, edges) =
-        Relational.labelPropagationWithEdges(pairs, "id_a", "id_b", iters = 3)
-      val labels = labels0.localCheckpoint(true)
+      // below (degree join + both endpoint attaches) — memoized (and
+      // checkpointed) once per (session, dir) via lpaState, so repeated
+      // invocations neither re-run the loop nor leak checkpoint blocks:
+      // clearSessionMemos frees labels AND the edge list like every
+      // session memo. Degrees read the loop's own checkpointed
+      // symmetric edge list instead of re-deriving the union+distinct
+      // exchange.
+      val (labels, edges) = lpaState(s, dir)
       val deg = edges.groupBy(col("src").as("id")).agg(count(lit(1)).as("__deg"))
       val m = pairs.agg(count(lit(1)).as("__m"))
       val ein = pairs
@@ -3336,15 +3449,22 @@ object Queries {
     * assignment's per-cluster membership and EXACT integer inertia
     * (Σ L2² to the trained centroid — the convergence number a
     * training loop monitors; its decrease across rounds is
-    * Lloyd-guaranteed and spec-fenced). Per round: one map-only
-    * assignment against the plan-literal centroid table + one
-    * (cid, dim) partial agg + a bounded k·d driver collect — the
-    * ivfCentroids precedent, never corpus-sized. The oracle unrolls
-    * all 3 update rounds + the final assignment.
+    * Lloyd-guaranteed and spec-fenced). Round 15: runs the TWO-LEVEL
+    * path (VectorFns.kmeansTrain2, full coarse probing — bit-identical
+    * to the single-level loop, Round15OpsSpec-pinned) so the oracle
+    * covers the production shape: the per-round centroid state lives
+    * as a checkpointed k-row broadcast relation instead of a k·d
+    * driver collect re-shipped as a plan literal every round (the
+    * VERDICT r14 watch-item — at production k = ⌈√n⌉ ≈ 10⁵ the
+    * literal is ~50 MB/round; the relation never leaves the
+    * cluster). Per round: one coarse probe (map-only, √k-sized
+    * literal) + broadcast argmin + one (cid, dim) partial agg folded
+    * back into the next k-row relation. The oracle unrolls all 3
+    * update rounds + the final assignment.
     */
   private val qKmeansTrain = GraftQuery(
     "q_kmeans_train",
-    (s, dir) => VectorFns.kmeansTrain(t(s, dir, "embeddings"), "vec_id", "embedding",
+    (s, dir) => VectorFns.kmeansTrain2(t(s, dir, "embeddings"), "vec_id", "embedding",
       kCentroids = 16, rounds = 3),
     Some {
       val rounds = (1 to 3).map { r =>
@@ -3991,12 +4111,7 @@ object Queries {
 
   private val qTfidfTopterms = GraftQuery(
     "q_tfidf_topterms",
-    (s, dir) => {
-      val docs = t(s, dir, "documents")
-      tfidfFromToks(Fence.guard(
-        docs.select(col("doc_id"), TextFns.tokensFast(col("text")).as("__toks"), Fence.col)),
-        tableCount(s, dir, "documents"))
-    },
+    (s, dir) => tfidfFromToks(docToks(s, dir), tableCount(s, dir, "documents")),
     Some(s"""WITH tk AS (SELECT doc_id, unnest($toksSql) AS term FROM documents),
              tf AS (SELECT doc_id, term, $nSql AS tf FROM tk GROUP BY 1, 2),
              df AS (SELECT term, CAST(count(DISTINCT doc_id) AS BIGINT) AS df FROM tk GROUP BY 1),
@@ -5649,6 +5764,65 @@ object Queries {
           SELECT * FROM ($perRound) ORDER BY merge_round"""
     })
 
+  /** Corpus-level BPE ENCODE (VERDICT r14 missing item — the
+    * production tokenization step the q_bpe_merges learn loop trains
+    * FOR): apply the learned 10-round merge table to EVERY document
+    * and emit per-doc subword statistics — word count, total subword
+    * token count (the number a token-budget pipeline bills), and a
+    * 60-bit fingerprint of the exact encoded symbol sequence (order
+    * included), so any re-encode drift is detectable as data.
+    *
+    * The encode rides the DICTIONARY, not the documents: the learn
+    * loop's final vocabulary (vocabs(10)) already IS every distinct
+    * word's fully-merged symbol string, and stripping the join spaces
+    * + the </w> marker recovers the original word — so applying BPE
+    * to the corpus is one posexplode of the (already-fenced) token
+    * arrays + one equi-join against the vocab-bounded merge result +
+    * one doc-keyed partial aggregate. No per-document replay of the
+    * merge chain: the 10 replaces ran once per DISTINCT word inside
+    * bpeRounds (exactly how production tokenizers apply BPE — encode
+    * the vocabulary once, look words up). Scale shape: the vocab
+    * relation is broadcast here (≤ distinct tokens); at 100 TB it is
+    * a plain shuffle equi-join on the token — either way the corpus
+    * is touched once past the learn loop's own tokenize.
+    *
+    * Per-doc fingerprint portability: the encoded symbol strings
+    * (double-space joined, so the separator ' | ' can never collide)
+    * are ordered by token position via the array_sort(struct(pos, w))
+    * device (q_domain_sim's centroid assembly) and md5-hashed to the
+    * h60 integer — DuckDB replays it as string_agg(... ORDER BY pos).
+    */
+  private val qBpeEncode = GraftQuery(
+    "q_bpe_encode",
+    (s, dir) => {
+      val (_, vocabs) = bpeRounds(s, dir, rounds = 10)
+      val vm = vocabs.last.select(col("w"),
+        size(split(col("w"), "  ")).cast("long").as("nsym"),
+        expr("substring(replace(w, ' ', ''), 1, length(replace(w, ' ', '')) - 4)").as("tok"))
+      val d = Fence.guard(t(s, dir, "documents")
+          .select(col("doc_id"), TextFns.tokensFast(col("text")).as("__tk"), Fence.col))
+        .select(col("doc_id"), posexplode(col("__tk")).as(Seq("pos", "tok")))
+      d.join(broadcast(vm), Seq("tok"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_words"),
+          sum(col("nsym")).as("n_tokens"),
+          conv(substring(md5(array_join(transform(
+            array_sort(collect_list(struct(col("pos"), col("w")))),
+            x => x.getField("w")), " | ")), 1, 15), 16, 10).cast("long").as("fingerprint"))
+    },
+    Some(s"""WITH ${bpeChainSql(10)},
+             vm AS (SELECT w, CAST(len(string_split(w, '  ')) AS BIGINT) AS nsym,
+                      left(replace(w, ' ', ''), length(replace(w, ' ', '')) - 4) AS tok
+                    FROM v10),
+             d AS (SELECT doc_id, $toksSql AS tk FROM documents),
+             px AS (SELECT doc_id, unnest(range(1, len(tk) + 1)) AS pos,
+                      unnest(tk) AS tok FROM d),
+             j AS (SELECT p.doc_id, p.pos, v.w, v.nsym FROM px p JOIN vm v USING (tok))
+             SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
+               CAST(sum(nsym) AS BIGINT) AS n_tokens,
+               ('0x' || substr(md5(string_agg(w, ' | ' ORDER BY pos)), 1, 15))::BIGINT AS fingerprint
+             FROM j GROUP BY doc_id"""))
+
   private val qBigramLift = GraftQuery(
     "q_bigram_lift",
     (s, dir) => {
@@ -5788,11 +5962,8 @@ object Queries {
     * can only ever change in one place. Returns
     * (doc_id, n_bigrams, lm_milli).
     */
-  private def bigramLmPerDoc(s: SparkSession, dir: String): DataFrame = {
-    val docs = t(s, dir, "documents")
-    bigramLmFromToks(Fence.guard(
-      docs.select(col("doc_id"), TextFns.tokensFast(col("text")).as("__toks"), Fence.col)))
-  }
+  private def bigramLmPerDoc(s: SparkSession, dir: String): DataFrame =
+    bigramLmFromToks(docToks(s, dir))
 
   /** bigram-LM kernel from an arbitrary (doc_id, __toks) frame — the
     * TokenMat re-point seam (see bm25ScoresToks).
@@ -6919,10 +7090,16 @@ object Queries {
 
   private val qPplBucketsScale = GraftQuery(
     "q_ppl_buckets_scale",
-    (s, dir) => pplBucketsScaleFrom(
-      bigramLmPerDoc(s, dir)
-        .join(t(s, dir, "documents").select(col("doc_id"), col("lang")), Seq("doc_id"))
-        .select(col("doc_id"), col("lang"), col("lm_milli"))),
+    (s, dir) => {
+      // lang rides the materialized token table when the TokenMat flag
+      // selects it (one source, zero documents scans); inline otherwise
+      val langOf = tokenMatTable(s, dir).getOrElse(t(s, dir, "documents"))
+        .select(col("doc_id"), col("lang"))
+      pplBucketsScaleFrom(
+        bigramLmPerDoc(s, dir)
+          .join(langOf, Seq("doc_id"))
+          .select(col("doc_id"), col("lang"), col("lm_milli")))
+    },
     Some(s"""WITH $bigramLmSql,
              pd AS (SELECT lm.doc_id, d.lang, lm_milli FROM lm JOIN documents d USING (doc_id)),
              h AS (SELECT lang, lm_milli, CAST(count(*) AS BIGINT) AS c FROM pd GROUP BY 1, 2),
@@ -7021,11 +7198,8 @@ object Queries {
     * scoring pipeline (scaladoc above); consumed by q_bm25 itself and
     * as the lexical side of q_rrf_fusion.
     */
-  private def bm25Scores(s: SparkSession, dir: String): DataFrame = {
-    val docs = t(s, dir, "documents")
-    bm25ScoresToks(Fence.guard(
-      docs.select(col("doc_id"), TextFns.tokensFast(col("text")).as("__toks"), Fence.col)))
-  }
+  private def bm25Scores(s: SparkSession, dir: String): DataFrame =
+    bm25ScoresToks(docToks(s, dir))
 
   /** The bm25 pipeline from an arbitrary (doc_id, __toks) frame — the
     * seam the tokenized-corpus materialization rehearsal (TokenMat)
@@ -7810,16 +7984,18 @@ object Queries {
     * the pairwise frame is (sources choose 2) — dimension-table sized
     * at any corpus scale, broadcast-joined against itself.
     */
-  private val qDomainSim = GraftQuery(
-    "q_domain_sim",
-    (s, dir) => {
+  /** The q_domain_sim operator body over explicit inputs (testable with
+    * a synthetic corpus — the overflow-guard spec needs centroids
+    * OUTSIDE the unit-norm envelope, which the testdata never has).
+    */
+  private[graft] def domainSimOf(emb: DataFrame, docs: DataFrame): DataFrame = {
       // Fence pins quantize to one evaluation (the isNotNull pushdown
       // would substitute the kernel into the filter — kmeansStep's
       // precedent); the filter itself mirrors the oracle's null screen
-      val e = Fence.guard(t(s, dir, "embeddings")
+      val e = Fence.guard(emb
           .select(col("vec_id"), VectorFns.quantizeFast(col("embedding")).as("qv"), Fence.col))
         .filter(col("qv").isNotNull)
-      val d = t(s, dir, "documents").select(col("doc_id"), col("source"))
+      val d = docs.select(col("doc_id"), col("source"))
       val cents = e.join(d, e("vec_id") === d("doc_id"))
         .select(col("source"), posexplode(col("qv")).as(Seq("dim", "v")))
         .groupBy("source", "dim")
@@ -7833,6 +8009,19 @@ object Queries {
         // pairwise self-join below reads a tiny leaf twice instead of
         // scanning the corpus twice
         .localCheckpoint(true)
+      // Overflow guard (ADVICE r14): cos2_milli = dot²·1000 div (na·nb)
+      // needs |dot| ≤ 6.4e7 to keep dot²·1000 under Long.MaxValue, which
+      // Cauchy–Schwarz guarantees iff every centroid norm² ≤ 64e6 (the
+      // unit-norm milli envelope: 64 dims × 1000² exactly). Embeddings
+      // even ~1.5× above unit norm would silently wrap DIFFERENTLY on
+      // the two engines (Spark wraps, DuckDB errors) — fail loudly here
+      // instead. The check is one action on the sources-sized
+      // checkpointed leaf, free at any corpus scale.
+      val overNorm = cents.filter(col("nrm") > lit(64000000L)).select(col("source")).take(1)
+      require(overNorm.isEmpty,
+        s"q_domain_sim: centroid norm² exceeds the unit-norm milli envelope (64e6) for " +
+          s"source '${overNorm.headOption.map(_.getString(0)).getOrElse("")}' — cos2_milli " +
+          "would overflow; rescale the embedding column before this query")
       val a = cents.select(col("source").as("source_a"), col("cv").as("__cva"), col("nrm").as("na"))
       val b = cents.select(col("source").as("source_b"), col("cv").as("__cvb"), col("nrm").as("nb"))
       a.join(broadcast(b), col("source_a") < col("source_b"))
@@ -7842,7 +8031,11 @@ object Queries {
             .when(col("dot") < 0, -expr("(dot * dot * 1000) div (na * nb)"))
             .otherwise(expr("(dot * dot * 1000) div (na * nb)")))
         .select(col("source_a"), col("source_b"), col("dot"), col("na"), col("nb"), col("cos2_milli"))
-    },
+  }
+
+  private val qDomainSim = GraftQuery(
+    "q_domain_sim",
+    (s, dir) => domainSimOf(t(s, dir, "embeddings"), t(s, dir, "documents")),
     Some(s"""WITH e AS (SELECT vec_id, ${quantSql("embedding")} AS v FROM embeddings
                     WHERE embedding IS NOT NULL AND len(list_filter(embedding, x -> x IS NULL)) = 0),
              j AS (SELECT d.source, e.v FROM e JOIN documents d ON e.vec_id = d.doc_id),
@@ -9099,14 +9292,14 @@ object Queries {
 
   val all: Seq[GraftQuery] = Seq(
     qMapFilter, qFilterMap, qCycle, qFoldAgg, qDistinctUsers, qTopkPerKey, qPivotCounts, qApproxDistinct, qHllRollup, qHeavyHitters, qHeavyHittersVerified, qCmsFreq, qJoinCardEst, qQuantiles, qQuantilesExact, qTableLatest, qSnapshotDiff, qTumbling, qHopping, qLagWindow, qSession,
-    qIntervalJoin, qStreamTableJoin, qSaltedJoin, qSkewReport, qRangeJoin, qOverlapSessions, qMerge, qSplitBranch, qChunk, qSkipTake, qThrottle,
+    qIntervalJoin, qStreamTableJoin, qSaltedJoin, qSkewReport, qRangeJoin, qOverlapSessions, qOverlapCounts, qMerge, qSplitBranch, qChunk, qSkipTake, qThrottle,
     qCdcApply, qSessionize, qTypoPairs, qPrefixJaccard, qZonemap,
     qWordcount, qCandles, qCandlesHop, qStratClassify, qAsofJoin,
     q1Pricing, q3Topk, q5Region, q14Promo, q2Mincost, q18Bigorders, q22Churn, q4Semi,
     q6Forecast, q10Returns, q12Priority, q19Brackets, q13Custdist, q16Suppliers,
     q7Trade, q15TopSupp, q17SmallQty, q21Blame, q20Excess, q8Share, qJsonExtract,
     qNegPairs, qPiiScrub, qKanon, qLdiv, qDpHistogram, qDpMean, qDpQuantile, qDrift, qDedupReport,
-    qBpePairs, qBpeMerges, qBpeApply,
+    qBpePairs, qBpeMerges, qBpeApply, qBpeEncode,
     qDedupExact, qDedupMinhash, qMinhashRescore, qContainment, qMinhashEst, qDedupSimhash, qDedupSimhashPairs,
     qDedupClusters, qPagerank, qPprSeeds, qKcore, qBfsHops, qTriangles, qTrianglesApprox, qLabelProp, qQualityDup, qHapax, qNgramJaccard, qSortedDedup, qDedupEmbed, qRepetition,
     qSplitLeakage, qJaccardCalib, qGroupSplit,

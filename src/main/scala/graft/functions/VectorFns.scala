@@ -386,6 +386,114 @@ object VectorFns {
       .agg(count(lit(1)).as("n_members"), sum(col("__d2")).as("inertia"))
   }
 
+  /** TWO-LEVEL Lloyd k-means training — [[kmeansTrain]] under the
+    * [[ivfTopK2]] discipline, for production centroid counts (k =
+    * ⌈√n⌉ ≈ 10⁵ at production n): [[kmeansTrain]] collects k·d longs
+    * to the driver EVERY round and re-ships them as a plan literal
+    * (~50 MB per round at k=10⁵, d=64 — exactly the plan-literal
+    * bottleneck ivfTopK2 removed from search). Here the per-round
+    * centroid state never leaves the cluster:
+    *
+    *  - k1 = ⌈√k⌉ COARSE centroids ride as the (kilobyte) plan literal,
+    *    FIXED across rounds — they only route, they never move;
+    *  - the k FINE centroids live as a checkpointed k-row RELATION
+    *    (fcid, fv, ccid) that broadcast-joins into each round — no
+    *    driver collect, no k·d literal; the superseded round's
+    *    checkpoint is freed eagerly (the pageRank discipline);
+    *  - assignment per round: corpus rows probe `assignProbes` coarse
+    *    cells (map-only against the literal), meet the fine relation on
+    *    a broadcast equi-join on ccid, and argmin via min_by on the
+    *    exact-integer (d², fcid) struct — d² = ‖x‖²+‖c‖²−2x·c from the
+    *    quantized dot kernel, the same metric and index tiebreak as
+    *    IvfProbesExpr;
+    *  - the mean update is the same floored-integer (cid, dim) partial
+    *    aggregate, regrouped into the next fine relation with a k-row
+    *    broadcast join (empty clusters keep their position via
+    *    coalesce) — bounded by k·d ROWS IN THE CLUSTER, never on the
+    *    driver.
+    *
+    * `assignProbes = 0` (the default) probes ALL k1 coarse cells, which
+    * makes every round's argmin range over every fine centroid — the
+    * output is then BIT-IDENTICAL to [[kmeansTrain]] (Round15OpsSpec
+    * pins it); small positive values give the approximate-assignment
+    * training loop production IVF builds actually run (each round costs
+    * O(assignProbes·k/k1·d) per row instead of O(k·d)).
+    *
+    * Scale cost note vs [[kmeansTrain]]: the argmin is a per-row group
+    * (one corpus-keyed exchange per round) where the literal probe was
+    * map-only — that exchange is the price of unshipping the k·d state
+    * from the plan, and at the k where this variant matters the literal
+    * path is not viable at all. At tiny k both work; q_kmeans_train
+    * runs THIS path at full probing so the oracle covers the
+    * production shape.
+    */
+  def kmeansTrain2(corpus: DataFrame, idCol: String, vecCol: String,
+      kCentroids: Int = 16, rounds: Int = 3, assignProbes: Int = 0): DataFrame = {
+    val k1 = math.max(1, math.ceil(math.sqrt(kCentroids.toDouble)).toInt)
+    val coarseSeq = ivfCentroids(corpus, idCol, vecCol, k1)
+    val q = Fence.guard(
+        corpus.select(col(idCol).cast("string").as("__id"),
+          quantizeFast(col(vecCol)).as("qv"), Fence.col))
+      .filter(col("qv").isNotNull)
+    if (coarseSeq.isEmpty)
+      return q.limit(0).select(lit(0L).as("cid"),
+        lit(0L).as("n_members"), lit(0L).as("inertia"))
+    val coarse = typedLit(coarseSeq)
+    val probes = if (assignProbes <= 0) k1 else math.min(assignProbes, k1)
+    // initial fine relation: the SAME deterministic (md5(id), id) sample
+    // as ivfCentroids(k), fcid = position in sample order — funneled
+    // through TakeOrderedAndProject, never a full sort; k rows total
+    def withCcid(df: DataFrame): DataFrame =
+      df.withColumn("ccid", element_at(ivfProbesFast(col("fv"), coarse, 1), 1))
+    var fine = withCcid(corpus
+        .select(quantizeFast(col(vecCol)).as("fv"), col(idCol).cast("string").as("__sid"))
+        .filter(col("fv").isNotNull)
+        .orderBy(md5(col("__sid")), col("__sid"))
+        .limit(kCentroids)
+        .withColumn("fcid", row_number().over(
+          Window.orderBy(md5(col("__sid")), col("__sid"))).cast("long") - 1)
+        .select(col("fcid"), col("fv")))
+      .localCheckpoint(true)
+    // one round's assignment: (row id, winning fcid, d², qv) — min_by
+    // keys on (d², fcid) so the argmin and tiebreak replay
+    // IvfProbesExpr exactly
+    def assign(fineRel: DataFrame): DataFrame = {
+      val rows = Fence.guard(q.select(col("__id"), col("qv"),
+          qdotFast(col("qv"), col("qv")).as("__qn"),
+          ivfProbesFast(col("qv"), coarse, probes).as("__cps"), Fence.col))
+        .select(col("__id"), col("qv"), col("__qn"), explode(col("__cps")).as("ccid"))
+      rows.join(broadcast(fineRel), "ccid")
+        .select(col("__id"), col("qv"),
+          struct((col("__qn") + qdotFast(col("fv"), col("fv")) -
+            lit(2L) * qdotFast(col("qv"), col("fv"))).as("d"), col("fcid").as("f")).as("__key"))
+        .groupBy("__id")
+        .agg(min_by(struct(col("__key.f").as("cid"), col("__key.d").as("d2"),
+          col("qv").as("qv")), col("__key")).as("__w"))
+        .select(col("__w.cid").as("cid"), col("__w.d2").as("d2"), col("__w.qv").as("qv"))
+    }
+    var r = 0
+    while (r < rounds) {
+      val means = assign(fine)
+        .select(col("cid"), posexplode(col("qv")).as(Seq("dim", "v")))
+        .groupBy("cid", "dim")
+        .agg(sum(col("v")).as("s"), count(lit(1)).as("n"))
+        .withColumn("mv", expr("(s - ((s % n + n) % n)) div n"))
+        .groupBy(col("cid"))
+        .agg(transform(array_sort(collect_list(struct(col("dim"), col("mv")))),
+          x => x.getField("mv")).as("nv"))
+      val next = withCcid(fine
+          .join(broadcast(means), fine("fcid") === means("cid"), "left")
+          .select(col("fcid"), coalesce(col("nv"), col("fv")).as("fv")))
+        .localCheckpoint(true)
+      org.apache.spark.sql.GraftBridge.freeLocalCheckpoint(fine)
+      fine = next
+      r += 1
+    }
+    assign(fine)
+      .groupBy(col("cid"))
+      .agg(count(lit(1)).as("n_members"), sum(col("d2")).as("inertia"))
+  }
+
   /** Top principal direction of the embedding corpus by FIXED-round
     * power iteration (von Mises & Pollaczek-Geiringer 1929; the first
     * factor of a distributed PCA) in EXACT integer arithmetic:
@@ -416,9 +524,17 @@ object VectorFns {
     // empty (or all-null) corpus: no direction exists — return the
     // zero vector; every projection downstream is then 0 over 0 rows
     if (rows.isEmpty) return Seq.fill(dims)(0L)
-    // counts are identical across positions for a fixed-width corpus;
-    // max() keeps the pick deterministic regardless of collect order
-    val n = rows.map(_.getLong(1)).max
+    // Ragged-corpus guard (ADVICE r14): a fixed-width corpus yields the
+    // SAME count at every moment position and exactly tri positions; a
+    // ragged one (vectors of differing lengths) would otherwise
+    // silently build the mean outer product from inconsistent
+    // per-position counts and skew M. The check is free on the ≤tri-row
+    // collect — fail loudly instead.
+    require(rows.length == tri && rows.map(_.getLong(1)).distinct.length == 1,
+      s"pcaPower: ragged corpus — expected $tri moment positions with one shared count, " +
+        s"got ${rows.length} positions with counts ${rows.map(_.getLong(1)).distinct.sorted.take(5).mkString(",")}; " +
+        s"all vectors must be exactly $dims-dimensional")
+    val n = rows.head.getLong(1)
     // invert the kernel's row-major upper-triangle layout
     val posIJ = {
       val b = Array.ofDim[(Int, Int)](tri)
@@ -503,13 +619,15 @@ object VectorFns {
     * query row (query side ≪ corpus); corpus rows never touch it.
     */
   def pqDistTable(qv: Column, codebook: Seq[Seq[Seq[Long]]]): Column = {
-    val sub = codebook.head.head.length
-    array((for (mi <- codebook.indices; j <- codebook(mi).indices) yield {
-      val sv = slice(qv, mi * sub + 1, sub)
-      val cb = codebook(mi)(j)
-      val cbNorm = cb.map(x => x * x).sum
-      qdotFast(sv, sv) + lit(cbNorm) - lit(2L) * qdotFast(sv, typedLit(cb))
-    }): _*)
+    // ONE native kernel call over the flattened codebook literal
+    // (plans.PqDistTableExpr) — the previous m·k-entry unrolled
+    // array(...) projection generated a class past janino's limits at
+    // k=64 and silently fell back to interpreted eval (VERDICT r14
+    // item 1); the entries are bit-identical (exact integer d²)
+    val m = codebook.length
+    val k = codebook.head.length
+    toCol(graft.plans.PqDistTableExpr(
+      toExpr(qv), toExpr(typedLit(codebook.flatten)), m, k))
   }
 
   /** ADC approximate distance: Σ_mi dtab[mi·k + codes[mi]] — m array

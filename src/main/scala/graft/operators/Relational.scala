@@ -602,9 +602,17 @@ object Relational {
     *
     * Scale shape: one checkpointed symmetric edge list; each round is
     * one src-keyed join + one (dst, label) partial aggregate + one
-    * per-node argmax — and the argmax is a declarative max over a
-    * (count, −label) struct, so it partial-aggregates map-side instead
-    * of rank-windowing the vote frame. State is one label per node.
+    * per-node argmax — and the argmax is a declarative min over a
+    * (−count, label) struct, so it partial-aggregates map-side instead
+    * of rank-windowing the vote frame (counts are non-negative, so the
+    * negation can never overflow, and the label itself is compared
+    * un-negated — any orderable id type works, string ids included).
+    * State is one label per node, under the pageRank checkpoint
+    * discipline: every 4th round's label frame is eagerly
+    * localCheckpointed and the superseded cut freed, so the plan stays
+    * bounded at ANY `iters` instead of nesting every prior round's
+    * join (at the default iters=3 no cut fires and the plan is
+    * byte-identical to the un-checkpointed loop).
     */
   def labelPropagation(pairs: DataFrame, srcCol: String, dstCol: String,
       iters: Int = 3): DataFrame =
@@ -624,18 +632,30 @@ object Relational {
       .localCheckpoint(true)
     var lab = edges.select(col("src").as("id")).distinct()
       .select(col("id"), col("id").as("lab"))
+    var lastCut: DataFrame = null // the live lineage-truncation checkpoint
     var it = 0
     while (it < iters) {
       val votes = edges
         .join(lab.select(col("id").as("__src"), col("lab")), col("src") === col("__src"))
         .groupBy(col("dst").as("id"), col("lab"))
         .agg(count(lit(1)).as("__cnt"))
-      // argmax(count, then min label): max over the lexicographic
-      // (count, −label) struct — partial-agg friendly, no window sort
+      // argmax(count, then min label): min over the lexicographic
+      // (−count, label) struct — partial-agg friendly, no window sort,
+      // and order-safe for ANY label type (the count is what gets
+      // negated, never the label, so string ids and Long.MinValue ids
+      // order correctly)
       lab = votes
         .groupBy("id")
-        .agg(max(struct(col("__cnt"), (-col("lab")).as("__nl"))).as("__m"))
-        .select(col("id"), (-col("__m.__nl")).as("lab"))
+        .agg(min(struct((-col("__cnt")).as("__nc"), col("lab"))).as("__m"))
+        .select(col("id"), col("__m.lab").as("lab"))
+      // LPA rounds are heavier than pageRank's (join + TWO aggregates),
+      // so the lineage cut fires every 4 rounds; the fresh eager cut
+      // supersedes the previous one, whose blocks are freed immediately
+      if (it % 4 == 3 && it != iters - 1) {
+        lab = lab.localCheckpoint(true)
+        if (lastCut != null) org.apache.spark.sql.GraftBridge.freeLocalCheckpoint(lastCut)
+        lastCut = lab
+      }
       it += 1
     }
     (lab.select(col("id"), col("lab").as("community")), edges)

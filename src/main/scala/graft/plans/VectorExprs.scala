@@ -320,6 +320,53 @@ case class OuterMoments(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** PQ/ADC distance table (Kernels.pqDistTable): the m·k integer
+  * ‖subvec − code‖² entries of one query vector against the flattened
+  * codebook literal, in ONE runtime loop. Exists because the
+  * declarative array(...512 unrolled d² entries...) projection
+  * generated a class past janino's limits at k=64 and Spark silently
+  * fell back to interpreted eval — a ~60× cliff on the exact plan the
+  * two-level/PQ production settings run (VERDICT r14 item 1). The
+  * codebook rides as a plan literal exactly like IvfProbesExpr's
+  * centroids: DATA in the plan is fine — it was the unrolled CODE
+  * that broke codegen.
+  */
+case class PqDistTableExpr(vec: Expression, codebook: Expression, m: Int, k: Int)
+    extends BinaryExpression {
+  require(m >= 1 && k >= 1, s"graft_pq_dist_table needs m, k >= 1, got m=$m k=$k")
+  override def left: Expression = vec
+  override def right: Expression = codebook
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val v = TypeChecks.requireArrayOf("graft_pq_dist_table", LongType, vec.dataType)
+    if (v != TypeCheckResult.TypeCheckSuccess) v
+    else codebook.dataType match {
+      case ArrayType(ArrayType(LongType, _), _) => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"graft_pq_dist_table requires array<array<bigint>> codebook, got ${other.catalogString}")
+    }
+  }
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  private def elemNullable: Boolean = TypeChecks.elemNullable(vec.dataType)
+  // always nullable: the kernel returns null for a mis-shaped codebook
+  override def nullable: Boolean = true
+  override def nullSafeEval(v: Any, c: Any): Any = {
+    val qv = v.asInstanceOf[ArrayData]
+    if (elemNullable && Kernels.hasNullElement(qv)) null
+    else Kernels.pqDistTable(qv, c.asInstanceOf[ArrayData], m, k)
+  }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (v, c) => {
+      val guard =
+        if (elemNullable) s"graft.plans.Kernels.hasNullElement($v) ? null : " else ""
+      s"""
+      ${ev.value} = $guard graft.plans.Kernels.pqDistTable($v, $c, $m, $k);
+      ${ev.isNull} = ${ev.value} == null;
+    """
+    })
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): PqDistTableExpr =
+    copy(vec = l, codebook = r)
+}
+
 /** Earlier-table LSH collision test (report-once-at-min-table pair
   * emission, VectorFns.cosineCandidates): TRUE iff the two bucket
   * arrays share an equal value at any index below `tbl`. A pair
