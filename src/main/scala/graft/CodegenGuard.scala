@@ -42,28 +42,28 @@ object CodegenGuard {
         classOf[org.apache.spark.sql.SparkSession].getClassLoader, false)
         .asInstanceOf[org.apache.logging.log4j.core.LoggerContext]
       val conf = ctx.getConfiguration
-      val existing = conf.getLoggerConfig(LoggerName)
-      if (existing.getName == LoggerName &&
-          existing.getAppenders.containsKey(AppenderName)) return
+      // Attach to the ROOT logger config and filter by logger NAME in
+      // append() — creating a per-logger LoggerConfig would pin the
+      // CodeGenerator logger's LEVEL, and levels are load-bearing in
+      // Spark: an explicit ERROR config suppressed the WARN-side
+      // codegen diagnostics in a way that measurably changed executed
+      // plans (q_ann_recall's runtime broadcast conversion flipped,
+      // exch 2→4 — caught by the plan-audit diff). The guard must
+      // OBSERVE only: zero level changes, zero new logger configs.
+      val root = conf.getRootLogger
+      if (root.getAppenders.containsKey(AppenderName)) return
       val appender = new org.apache.logging.log4j.core.appender.AbstractAppender(
-          AppenderName, null, null, false, null) {
+          AppenderName, null, null, true, null) {
         override def append(e: org.apache.logging.log4j.core.LogEvent): Unit =
-          if (e.getLevel.isMoreSpecificThan(ErrorLevel))
+          if (e.getLevel.isMoreSpecificThan(ErrorLevel) && e.getLoggerName == LoggerName)
             events.add(String.valueOf(e.getMessage.getFormattedMessage)
               .linesIterator.take(1).mkString.take(400))
       }
       appender.start()
-      val lc =
-        if (existing.getName == LoggerName) existing
-        else {
-          // additive child config so CodeGenerator events still reach the
-          // normal console logs — the guard observes, it never swallows
-          val fresh = new org.apache.logging.log4j.core.config.LoggerConfig(
-            LoggerName, ErrorLevel, true)
-          conf.addLogger(LoggerName, fresh)
-          fresh
-        }
-      lc.addAppender(appender, ErrorLevel, null)
+      // control gated at ERROR: sub-ERROR events never reach the
+      // appender at all, so the guard adds zero work to the WARN-level
+      // logging hot path
+      root.addAppender(appender, ErrorLevel, null)
       ctx.updateLoggers()
     } catch { case _: Throwable => () }
   }

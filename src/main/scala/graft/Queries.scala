@@ -847,39 +847,31 @@ object Queries {
   /** BOUNDED-REPORT interval overlap (VERDICT r14 item 6 — the
     * 100 TB-shaped member of the overlap family): per USER, how many
     * session overlaps they participate in and the total co-presence
-    * microseconds. q_overlap_sessions' per-PAIR report is output-bound
-    * BY CONSTRUCTION (the pair count grows 10,000× at 100× data —
+    * microseconds. q_overlap_sessions' per-PAIR report is bound BY
+    * CONSTRUCTION by the pair count (10,000× at 100× data —
     * DuckDB-verified accounting in BASELINE.md, 32% of the r14 sf10
-    * sweep on its own), which is a data property no plan fixes; this
-    * variant keeps the identical grid equi-join + report-once mining
-    * but collapses each overlap into its two endpoints' NODE-sized
-    * totals — the aggregate partial-combines map-side right after the
-    * join, so the only post-join exchange carries ≤ |users| rows per
-    * task and the output is user-sized at ANY scale. The exact pair
-    * query stays the product surface for drill-down; THIS is the
-    * sweep/headline member at decade-up scale (q_triangles /
-    * q_triangles_approx precedent).
+    * sweep on its own) — and measurement showed that ANY plan that
+    * GENERATES the pairs pays that bill even if it aggregates them
+    * away (the grid-join + endpoint-fold draft of this query read
+    * 825 s isolated at sf10, on par with the exact pair query). So
+    * this query never builds a pair: Joins.sweepLineOverlapTotals
+    * answers both totals from the endpoint TIMELINE — per-session
+    * overlap counts as two bucketed rank sums, overlap microseconds
+    * as a prefix integral of the active-session count — O(S log S)
+    * in sessions, exchanges session-sized always. Per-user totals are
+    * IDENTICAL to folding the exact pair query's endpoints
+    * (Round15OpsSpec pins it; the oracle IS the naive pair join). The
+    * exact pair query stays the product surface for drill-down; THIS
+    * is the sweep/headline member at decade-up scale.
     */
   private val qOverlapCounts = GraftQuery(
     "q_overlap_counts",
     (s, dir) => {
-      def sess(sfx: String) =
-        Windows.session(events(s, dir), "ts", Seq("user_id"), "30 minutes")(
-          min(unix_micros(col("ts"))).as("lo" + sfx),
-          max(unix_micros(col("ts"))).as("hi" + sfx))
-          .select(col("user_id").as("user" + sfx), col("lo" + sfx), col("hi" + sfx))
-      val pairs = Joins.intervalOverlapJoin(sess("_a"), "lo_a", "hi_a",
-          sess("_b"), "lo_b", "hi_b", width = 3600000000L)
-        .filter(col("user_a") < col("user_b"))
-        .select(col("user_a"), col("user_b"),
-          (least(col("hi_a"), col("hi_b")) - greatest(col("lo_a"), col("lo_b"))).as("__ov"))
-      pairs
-        .select(explode(array(
-          struct(col("user_a").as("user_id"), col("__ov")),
-          struct(col("user_b").as("user_id"), col("__ov")))).as("__e"))
-        .select(col("__e.user_id").as("user_id"), col("__e.__ov").as("__ov"))
-        .groupBy("user_id")
-        .agg(count(lit(1)).as("n_overlaps"), sum(col("__ov")).as("overlap_us"))
+      val sess = Windows.session(events(s, dir), "ts", Seq("user_id"), "30 minutes")(
+          min(unix_micros(col("ts"))).as("lo"),
+          max(unix_micros(col("ts"))).as("hi"))
+        .select(col("user_id"), col("lo"), col("hi"))
+      Joins.sweepLineOverlapTotals(sess, "user_id", "lo", "hi", width = 3600000000L)
     },
     Some("""WITH x AS (
               SELECT user_id, event_id, epoch_us(ts) AS e,
@@ -3097,9 +3089,16 @@ object Queries {
       val q20 = e.filter(col("vec_id") < 20)
       val approx = VectorFns.ivfTopK(q20, e, "vec_id", "embedding", 5)
         .select(col("query_id").as("__q"), col("neighbor_id").as("__n"))
+      // the approx side is ≤ 20×5 rows — broadcast it EXPLICITLY:
+      // left to AQE, the runtime broadcast conversion here sat on a
+      // stage-completion-order knife edge (adding a log4j appender —
+      // CodegenGuard — deterministically flipped it to a shuffled
+      // join, exch 2→4 in the plan audit); a hint is the right call
+      // for a provably tiny side and makes the plan environment-proof
       VectorFns.bruteForceTopK(q20, e, "vec_id", "embedding", 5)
         .select(col("query_id"), col("neighbor_id"))
-        .join(approx, col("query_id") === col("__q") && col("neighbor_id") === col("__n"),
+        .join(broadcast(approx),
+          col("query_id") === col("__q") && col("neighbor_id") === col("__n"),
           "left")
         .groupBy(col("query_id"))
         .agg(count(col("__n")).as("hits"))
@@ -3449,22 +3448,20 @@ object Queries {
     * assignment's per-cluster membership and EXACT integer inertia
     * (Σ L2² to the trained centroid — the convergence number a
     * training loop monitors; its decrease across rounds is
-    * Lloyd-guaranteed and spec-fenced). Round 15: runs the TWO-LEVEL
-    * path (VectorFns.kmeansTrain2, full coarse probing — bit-identical
-    * to the single-level loop, Round15OpsSpec-pinned) so the oracle
-    * covers the production shape: the per-round centroid state lives
-    * as a checkpointed k-row broadcast relation instead of a k·d
-    * driver collect re-shipped as a plan literal every round (the
-    * VERDICT r14 watch-item — at production k = ⌈√n⌉ ≈ 10⁵ the
-    * literal is ~50 MB/round; the relation never leaves the
-    * cluster). Per round: one coarse probe (map-only, √k-sized
-    * literal) + broadcast argmin + one (cid, dim) partial agg folded
-    * back into the next k-row relation. The oracle unrolls all 3
+    * Lloyd-guaranteed and spec-fenced). Per round at this k: one
+    * map-only assignment against the plan-literal centroid table +
+    * one (cid, dim) partial agg + a bounded k·d driver collect.
+    * Round 15: kmeansTrain AUTO-ROUTES past k=1024 to the
+    * relation-state loop (VectorFns.kmeansTrain2 — no k·d plan
+    * literal or per-round driver collect at production k = ⌈√n⌉;
+    * bit-identical at full probing, Round15OpsSpec-pinned), so the
+    * VERDICT r14 watch-item is closed without changing this query's
+    * plan or anchor at its k=16 setting. The oracle unrolls all 3
     * update rounds + the final assignment.
     */
   private val qKmeansTrain = GraftQuery(
     "q_kmeans_train",
-    (s, dir) => VectorFns.kmeansTrain2(t(s, dir, "embeddings"), "vec_id", "embedding",
+    (s, dir) => VectorFns.kmeansTrain(t(s, dir, "embeddings"), "vec_id", "embedding",
       kCentroids = 16, rounds = 3),
     Some {
       val rounds = (1 to 3).map { r =>

@@ -347,6 +347,16 @@ object VectorFns {
     */
   def kmeansTrain(corpus: DataFrame, idCol: String, vecCol: String,
       kCentroids: Int = 16, rounds: Int = 3): DataFrame = {
+    // Production-k auto-route (VERDICT r14 item 3): past ~1024
+    // centroids (0.5 MB of state at d=64) the per-round k·d driver
+    // collect + plan-literal re-ship this loop runs becomes the
+    // bottleneck ivfTopK2 was built to remove — the relation-state
+    // loop takes over (bit-identical at full probing, Round15OpsSpec).
+    // Below it the literal loop is optimal: one collect job per round
+    // vs the relation path's means+checkpoint jobs, and the state is
+    // kilobytes. Same threshold family as ivfTopK2's default 1024.
+    if (kCentroids > 1024)
+      return kmeansTrain2(corpus, idCol, vecCol, kCentroids, rounds)
     // a corpus smaller than kCentroids yields a shorter table, exactly
     // like kmeansStep's literal (cents.length, not kCentroids, sizes
     // everything below)
@@ -386,83 +396,90 @@ object VectorFns {
       .agg(count(lit(1)).as("n_members"), sum(col("__d2")).as("inertia"))
   }
 
-  /** TWO-LEVEL Lloyd k-means training — [[kmeansTrain]] under the
-    * [[ivfTopK2]] discipline, for production centroid counts (k =
-    * ⌈√n⌉ ≈ 10⁵ at production n): [[kmeansTrain]] collects k·d longs
-    * to the driver EVERY round and re-ships them as a plan literal
-    * (~50 MB per round at k=10⁵, d=64 — exactly the plan-literal
-    * bottleneck ivfTopK2 removed from search). Here the per-round
-    * centroid state never leaves the cluster:
+  /** TWO-LEVEL / relation-state Lloyd k-means training —
+    * [[kmeansTrain]] with the per-round centroid state UNSHIPPED from
+    * the driver and the plan (the VERDICT r14 watch-item):
+    * [[kmeansTrain]] collects k·d longs to the driver EVERY round and
+    * re-ships them as a plan literal (~50 MB per round at the
+    * production rule k = ⌈√n⌉ ≈ 10⁵, d = 64 — exactly the
+    * plan-literal bottleneck [[ivfTopK2]] removed from search). Here
+    * the fine centroids live as a checkpointed k-row RELATION
+    * (fcid, fv) — no driver collect, no k·d literal, superseded
+    * round checkpoints freed eagerly (the pageRank discipline) — and
+    * assignment has two shapes:
     *
-    *  - k1 = ⌈√k⌉ COARSE centroids ride as the (kilobyte) plan literal,
-    *    FIXED across rounds — they only route, they never move;
-    *  - the k FINE centroids live as a checkpointed k-row RELATION
-    *    (fcid, fv, ccid) that broadcast-joins into each round — no
-    *    driver collect, no k·d literal; the superseded round's
-    *    checkpoint is freed eagerly (the pageRank discipline);
-    *  - assignment per round: corpus rows probe `assignProbes` coarse
-    *    cells (map-only against the literal), meet the fine relation on
-    *    a broadcast equi-join on ccid, and argmin via min_by on the
-    *    exact-integer (d², fcid) struct — d² = ‖x‖²+‖c‖²−2x·c from the
-    *    quantized dot kernel, the same metric and index tiebreak as
-    *    IvfProbesExpr;
-    *  - the mean update is the same floored-integer (cid, dim) partial
-    *    aggregate, regrouped into the next fine relation with a k-row
-    *    broadcast join (empty clusters keep their position via
-    *    coalesce) — bounded by k·d ROWS IN THE CLUSTER, never on the
-    *    driver.
+    *  - `assignProbes = 0` (default — FULL assignment): the relation
+    *    aggregates into a ONE-ROW array<array> frame (fcid order)
+    *    that crossJoin(broadcast)-attaches to the corpus, and every
+    *    row runs the SAME IvfProbesExpr kernel as the literal loop on
+    *    the attached column — map-only, zero corpus shuffles, and
+    *    BIT-IDENTICAL to [[kmeansTrain]] by construction (same
+    *    kernel, same table, Round15OpsSpec pins it). The broadcast
+    *    carries the k·d longs as DATA (one copy per executor), never
+    *    as plan text; q_kmeans_train runs this path under the
+    *    unchanged oracle.
+    *  - `assignProbes > 0` (TRUNCATED — the huge-k path): k1 = ⌈√k⌉
+    *    coarse centroids ride as the kilobyte plan literal (fixed
+    *    across rounds, routing only), corpus rows probe that many
+    *    coarse cells, meet the fine relation on a broadcast equi-join
+    *    on the fine centroids' own cell assignment, and argmin via
+    *    min_by on the exact-integer (d², fcid) struct — per-row cost
+    *    O(assignProbes·k/k1·d) instead of O(k·d), the approximate
+    *    Lloyd rounds production IVF builds actually run.
     *
-    * `assignProbes = 0` (the default) probes ALL k1 coarse cells, which
-    * makes every round's argmin range over every fine centroid — the
-    * output is then BIT-IDENTICAL to [[kmeansTrain]] (Round15OpsSpec
-    * pins it); small positive values give the approximate-assignment
-    * training loop production IVF builds actually run (each round costs
-    * O(assignProbes·k/k1·d) per row instead of O(k·d)).
-    *
-    * Scale cost note vs [[kmeansTrain]]: the argmin is a per-row group
-    * (one corpus-keyed exchange per round) where the literal probe was
-    * map-only — that exchange is the price of unshipping the k·d state
-    * from the plan, and at the k where this variant matters the literal
-    * path is not viable at all. At tiny k both work; q_kmeans_train
-    * runs THIS path at full probing so the oracle covers the
-    * production shape.
+    * The mean update is the same floored-integer (cid, dim) partial
+    * aggregate either way, regrouped into the next k-row relation
+    * with a broadcast join (empty clusters keep their position via
+    * coalesce) — bounded by k·d rows IN THE CLUSTER, never on the
+    * driver.
     */
   def kmeansTrain2(corpus: DataFrame, idCol: String, vecCol: String,
       kCentroids: Int = 16, rounds: Int = 3, assignProbes: Int = 0): DataFrame = {
     val k1 = math.max(1, math.ceil(math.sqrt(kCentroids.toDouble)).toInt)
-    val coarseSeq = ivfCentroids(corpus, idCol, vecCol, k1)
     val q = Fence.guard(
         corpus.select(col(idCol).cast("string").as("__id"),
           quantizeFast(col(vecCol)).as("qv"), Fence.col))
       .filter(col("qv").isNotNull)
-    if (coarseSeq.isEmpty)
-      return q.limit(0).select(lit(0L).as("cid"),
-        lit(0L).as("n_members"), lit(0L).as("inertia"))
-    val coarse = typedLit(coarseSeq)
-    val probes = if (assignProbes <= 0) k1 else math.min(assignProbes, k1)
     // initial fine relation: the SAME deterministic (md5(id), id) sample
     // as ivfCentroids(k), fcid = position in sample order — funneled
     // through TakeOrderedAndProject, never a full sort; k rows total
-    def withCcid(df: DataFrame): DataFrame =
-      df.withColumn("ccid", element_at(ivfProbesFast(col("fv"), coarse, 1), 1))
-    var fine = withCcid(corpus
-        .select(quantizeFast(col(vecCol)).as("fv"), col(idCol).cast("string").as("__sid"))
-        .filter(col("fv").isNotNull)
-        .orderBy(md5(col("__sid")), col("__sid"))
-        .limit(kCentroids)
-        .withColumn("fcid", row_number().over(
-          Window.orderBy(md5(col("__sid")), col("__sid"))).cast("long") - 1)
-        .select(col("fcid"), col("fv")))
+    var fine = corpus
+      .select(quantizeFast(col(vecCol)).as("fv"), col(idCol).cast("string").as("__sid"))
+      .filter(col("fv").isNotNull)
+      .orderBy(md5(col("__sid")), col("__sid"))
+      .limit(kCentroids)
+      .withColumn("fcid", row_number().over(
+        Window.orderBy(md5(col("__sid")), col("__sid"))).cast("long") - 1)
+      .select(col("fcid"), col("fv"))
       .localCheckpoint(true)
-    // one round's assignment: (row id, winning fcid, d², qv) — min_by
-    // keys on (d², fcid) so the argmin and tiebreak replay
-    // IvfProbesExpr exactly
-    def assign(fineRel: DataFrame): DataFrame = {
+    if (fine.isEmpty)
+      return q.limit(0).select(lit(0L).as("cid"),
+        lit(0L).as("n_members"), lit(0L).as("inertia"))
+    // the relation as a one-row array frame, fcid order — k·d longs of
+    // broadcast DATA standing where kmeansTrain puts a plan literal
+    def arr1(fineRel: DataFrame): DataFrame =
+      fineRel.agg(transform(array_sort(collect_list(struct(col("fcid"), col("fv")))),
+        x => x.getField("fv")).as("__cents"))
+    // FULL assignment: attach the array, run the literal loop's exact
+    // kernel on it — (cid, qv) map-only, cid = fcid by construction
+    // (fcid is contiguous 0..k'-1 and the array is fcid-ordered)
+    def assignFull(fineRel: DataFrame): DataFrame =
+      Fence.guard(q.crossJoin(broadcast(arr1(fineRel)))
+          .select(element_at(ivfProbesFast(col("qv"), col("__cents"), 1), 1).as("cid"),
+            col("qv"), col("__cents"), Fence.col))
+        .select(col("cid"), col("qv"), col("__cents"))
+    // TRUNCATED assignment: coarse-probe routing + broadcast equi-join
+    // + min_by argmin on the exact (d², fcid) struct (IvfProbesExpr's
+    // metric and tiebreak)
+    lazy val coarse = typedLit(ivfCentroids(corpus, idCol, vecCol, k1))
+    def assignTrunc(fineRel: DataFrame, probes: Int): DataFrame = {
+      val cells = broadcast(
+        fineRel.withColumn("ccid", element_at(ivfProbesFast(col("fv"), coarse, 1), 1)))
       val rows = Fence.guard(q.select(col("__id"), col("qv"),
           qdotFast(col("qv"), col("qv")).as("__qn"),
           ivfProbesFast(col("qv"), coarse, probes).as("__cps"), Fence.col))
         .select(col("__id"), col("qv"), col("__qn"), explode(col("__cps")).as("ccid"))
-      rows.join(broadcast(fineRel), "ccid")
+      rows.join(cells, "ccid")
         .select(col("__id"), col("qv"),
           struct((col("__qn") + qdotFast(col("fv"), col("fv")) -
             lit(2L) * qdotFast(col("qv"), col("fv"))).as("d"), col("fcid").as("f")).as("__key"))
@@ -471,9 +488,12 @@ object VectorFns {
           col("qv").as("qv")), col("__key")).as("__w"))
         .select(col("__w.cid").as("cid"), col("__w.d2").as("d2"), col("__w.qv").as("qv"))
     }
+    def assigned(fineRel: DataFrame): DataFrame =
+      if (assignProbes <= 0) assignFull(fineRel).select(col("cid"), col("qv"))
+      else assignTrunc(fineRel, math.min(assignProbes, k1)).select(col("cid"), col("qv"))
     var r = 0
     while (r < rounds) {
-      val means = assign(fine)
+      val means = assigned(fine)
         .select(col("cid"), posexplode(col("qv")).as(Seq("dim", "v")))
         .groupBy("cid", "dim")
         .agg(sum(col("v")).as("s"), count(lit(1)).as("n"))
@@ -481,17 +501,28 @@ object VectorFns {
         .groupBy(col("cid"))
         .agg(transform(array_sort(collect_list(struct(col("dim"), col("mv")))),
           x => x.getField("mv")).as("nv"))
-      val next = withCcid(fine
-          .join(broadcast(means), fine("fcid") === means("cid"), "left")
-          .select(col("fcid"), coalesce(col("nv"), col("fv")).as("fv")))
+      val next = fine
+        .join(broadcast(means), fine("fcid") === means("cid"), "left")
+        .select(col("fcid"), coalesce(col("nv"), col("fv")).as("fv"))
         .localCheckpoint(true)
       org.apache.spark.sql.GraftBridge.freeLocalCheckpoint(fine)
       fine = next
       r += 1
     }
-    assign(fine)
-      .groupBy(col("cid"))
-      .agg(count(lit(1)).as("n_members"), sum(col("d2")).as("inertia"))
+    // final assignment + exact integer inertia — the literal loop's
+    // own final block, with the attached array standing in for the
+    // literal (full path); the truncated path already carries d²
+    if (assignProbes <= 0) {
+      val cvec = element_at(col("__cents"), (col("cid") + 1).cast("int"))
+      assignFull(fine)
+        .withColumn("__d", vecSubFast(col("qv"), cvec))
+        .withColumn("__d2", qdotFast(col("__d"), col("__d")))
+        .groupBy(col("cid").cast("long").as("cid"))
+        .agg(count(lit(1)).as("n_members"), sum(col("__d2")).as("inertia"))
+    } else
+      assignTrunc(fine, math.min(assignProbes, k1))
+        .groupBy(col("cid"))
+        .agg(count(lit(1)).as("n_members"), sum(col("d2")).as("inertia"))
   }
 
   /** Top principal direction of the embedding corpus by FIXED-round

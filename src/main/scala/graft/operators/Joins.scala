@@ -257,4 +257,123 @@ object Joins {
         rightPayload.map(c => when(inTol, col(s"__match.`$c`")).as(c)) :+
         when(inTol, col("__mt")).as("match_ts_us")).toIndexedSeq: _*)
   }
+
+  /** SWEEP-LINE per-key overlap totals (round 15 — the pair-free form
+    * of [[intervalOverlapJoin]] aggregation): for each key, the number
+    * of OTHER-key closed intervals its own intervals intersect and the
+    * total intersection length — WITHOUT generating a single pair row.
+    * The grid join's candidate volume is Σ_cells |a|·|b| (measured
+    * 10,000× per 100× data on the co-presence shape: the join output
+    * IS the cost, no matter what aggregates it); this operator is
+    * O(S log S) in the INTERVAL count:
+    *
+    *  - overlap COUNT per interval s: #{t : lo_t ≤ hi_s} −
+    *    #{t : hi_t < lo_s} − 1 — two rank lookups, each one bucketed
+    *    running sum over a (value, probe) union frame;
+    *  - overlap LENGTH per interval s: ∫over [lo_s, hi_s] of
+    *    (A(t) − 1) dt where A = number of active intervals — via the
+    *    prefix integral F(t) = ∫A computed once over the ±1 endpoint
+    *    timeline, so the per-interval answer is F(hi)−F(lo)−(hi−lo).
+    *    Point intersections contribute 0 to the integral exactly as
+    *    `least(hi)−greatest(lo)` does for touching pairs.
+    *
+    * REQUIRES each key's own intervals pairwise disjoint (true for
+    * gap-sessionized sessions: consecutive sessions are ≥gap apart) —
+    * that is what makes "minus itself" and the (A−1) integral exact
+    * per-key arithmetic. Every running sum is the TWO-PHASE bucketed
+    * form (within-`width`-bucket window + a bucket-count-sized offset
+    * frame), so no global single-partition sort ever materializes;
+    * exchanges are interval-sized, never pair-sized.
+    */
+  def sweepLineOverlapTotals(intervals: DataFrame, keyCol: String,
+      loCol: String, hiCol: String, width: Long = 3600000000L): DataFrame = {
+    require(width >= 1, s"bucket width must be >= 1, got $width")
+    val sess = intervals
+      .select(col(keyCol).as("__key"), col(loCol).as("__lo"), col(hiCol).as("__hi"))
+      .localCheckpoint(true)
+    def bucketOf(c: Column): Column = ((c - pmod(c, lit(width))) / lit(width)).cast("long")
+
+    // ---- rank chain: count of values ≤/< each probe ---------------------
+    // kind orders events vs probes at EQUAL value: events-first ⇒ "≤",
+    // probes-first ⇒ "<". The probe's own weight is 0, so its running
+    // sum IS the rank regardless of tie order among probes.
+    def ranks(evVal: String, probeVal: String, eventsFirst: Boolean): DataFrame = {
+      val ev = sess.select(col(evVal).as("__v"),
+        lit(if (eventsFirst) 0 else 1).as("__k"), lit(1L).as("__w"),
+        lit(null).cast(sess.schema("__key").dataType).as("__key"),
+        lit(null).cast("long").as("__slo"))
+      val pr = sess.select(col(probeVal).as("__v"),
+        lit(if (eventsFirst) 1 else 0).as("__k"), lit(0L).as("__w"),
+        col("__key"), col("__lo").as("__slo"))
+      val fr = ev.unionByName(pr).withColumn("__b", bucketOf(col("__v")))
+      val w1 = Window.partitionBy(col("__b"))
+        .orderBy(col("__v"), col("__k"), col("__key"), col("__slo"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val withC1 = fr.withColumn("__c1", sum(col("__w")).over(w1))
+      val offs = fr.groupBy(col("__b")).agg(sum(col("__w")).as("__bt"))
+        .withColumn("__off", coalesce(sum(col("__bt")).over(
+          Window.orderBy(col("__b"))
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        .select(col("__b"), col("__off"))
+      withC1.join(broadcast(offs), Seq("__b"))
+        .filter(col("__key").isNotNull)
+        .select(col("__key"), col("__slo"), (col("__c1") + col("__off")).as("__rank"))
+    }
+    val xRank = ranks("__lo", "__hi", eventsFirst = true)
+      .withColumnRenamed("__rank", "__x")
+    val yRank = ranks("__hi", "__lo", eventsFirst = false)
+      .withColumnRenamed("__rank", "__y")
+
+    // ---- integral chain: F(t) = ∫ A over the ±1 endpoint timeline ------
+    val tl = sess.select(col("__key"), col("__lo").as("__slo"),
+        col("__lo").as("__t"), lit(1L).as("__d"), lit(0).as("__r"))
+      .unionByName(sess.select(col("__key"), col("__lo").as("__slo"),
+        col("__hi").as("__t"), lit(-1L).as("__d"), lit(1).as("__r")))
+      .withColumn("__b", bucketOf(col("__t")))
+    val ord = Seq(col("__t"), col("__r"), col("__key"), col("__slo"))
+    val wCum = Window.partitionBy(col("__b")).orderBy(ord: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wLag = Window.partitionBy(col("__b")).orderBy(ord: _*)
+    // bucket frame: per-bucket delta totals → cross-bucket A offsets,
+    // plus the previous bucket's LAST timestamp (the crossing segment)
+    val btot = tl.groupBy(col("__b"))
+      .agg(sum(col("__d")).as("__bd"), max(col("__t")).as("__bmax"))
+    val bw = Window.orderBy(col("__b"))
+    val boff = btot
+      .withColumn("__aoff", coalesce(sum(col("__bd")).over(
+        bw.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("__pmax", lag(col("__bmax"), 1).over(bw))
+      .select(col("__b"), col("__aoff"), col("__pmax"))
+    val rows = tl.join(broadcast(boff), Seq("__b"))
+      .withColumn("__a", sum(col("__d")).over(wCum) + col("__aoff"))
+      // F increment: A just BEFORE this endpoint × segment length; the
+      // bucket's first row crosses from the previous bucket's last
+      // point at A = aoff (the global first row has A−d = 0, so any
+      // finite default is exact — use its own t: a zero-length segment)
+      .withColumn("__inc", (col("__a") - col("__d")) *
+        (col("__t") - coalesce(lag(col("__t"), 1).over(wLag),
+          col("__pmax"), col("__t"))))
+      .withColumn("__f1", sum(col("__inc")).over(wCum))
+    val foff = rows.groupBy(col("__b")).agg(sum(col("__inc")).as("__bf"))
+      .withColumn("__foff", coalesce(sum(col("__bf")).over(
+        bw.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("__b"), col("__foff"))
+    val withF = rows.join(broadcast(foff), Seq("__b"))
+      .select(col("__key"), col("__slo"), col("__r"), col("__t"),
+        (col("__f1") + col("__foff")).as("__F"))
+    val perSession = withF.groupBy(col("__key"), col("__slo"))
+      .agg((max(when(col("__r") === 1, col("__F"))) -
+            max(when(col("__r") === 0, col("__F"))) -
+            (max(when(col("__r") === 1, col("__t"))) -
+             max(when(col("__r") === 0, col("__t"))))).as("__ov"))
+
+    // ---- assemble: per key, Σ counts and Σ intersection length ---------
+    xRank.join(yRank, Seq("__key", "__slo"))
+      .join(perSession, Seq("__key", "__slo"))
+      .groupBy(col("__key"))
+      .agg(sum(col("__x") - col("__y") - 1L).as("n_overlaps"),
+        sum(col("__ov")).as("overlap_us"))
+      .filter(col("n_overlaps") > 0)
+      .select(col("__key").as(keyCol), col("n_overlaps"), col("overlap_us"))
+  }
 }

@@ -36,6 +36,19 @@ class Round15OpsSpec extends SparkSpecBase {
     }
   }
 
+  test("kmeansTrain auto-routes past k=1024 to the relation path and stays consistent") {
+    val e = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    // above the route threshold the two entrypoints are the same loop;
+    // the corpus (500 vectors) is smaller than k, exercising the
+    // short-table edge through the routed path end to end
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1).toSeq
+    val routed = canon(VectorFns.kmeansTrain(e, "vec_id", "embedding", 1500, 1))
+    val direct = canon(VectorFns.kmeansTrain2(e, "vec_id", "embedding", 1500, 1))
+    assert(routed === direct)
+    assert(routed.map(_._2).sum > 0L)
+  }
+
   test("kmeansTrain2 degrades gracefully below kCentroids and on an empty corpus") {
     import spark.implicits._
     val tiny = Seq((1L, Array.fill(64)(0.5f)), (2L, Array.fill(64)(-0.25f)))
@@ -205,6 +218,35 @@ class Round15OpsSpec extends SparkSpecBase {
   }
 
   // ---- q_overlap_counts == endpoint fold of the exact pair query --------
+
+  test("sweepLineOverlapTotals matches the brute-force pair fold on adversarial interval sets") {
+    import spark.implicits._
+    // touching intervals (zero-length overlap still COUNTS), point
+    // intervals, identical intervals across keys, equal endpoints
+    // across keys, nested + chained overlaps, an isolated key, and a
+    // key with two disjoint sessions both overlapping others
+    val iv = Seq(
+      (1L, 0L, 100L), (1L, 200L, 300L),
+      (2L, 100L, 150L),            // touches key 1's first interval
+      (3L, 50L, 250L),             // spans the gap, overlaps three
+      (4L, 120L, 120L),            // point interval inside key 3 & 2
+      (5L, 0L, 100L),              // identical to key 1's first
+      (6L, 1000L, 1100L),          // isolated
+      (7L, 60L, 80L), (7L, 210L, 290L))
+      .toDF("user_id", "lo", "hi")
+    val got = graft.operators.Joins.sweepLineOverlapTotals(iv, "user_id", "lo", "hi", width = 64L)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    // brute force: all cross-key closed-interval pairs
+    val rows = iv.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val pairs = for {
+      a <- rows; b <- rows
+      if a._1 < b._1 && a._2 <= b._3 && b._2 <= a._3
+    } yield (a._1, b._1, math.min(a._3, b._3) - math.max(a._2, b._2))
+    val want = pairs.flatMap { case (ua, ub, ov) => Seq((ua, ov), (ub, ov)) }
+      .groupBy(_._1).view.mapValues(xs => (xs.size.toLong, xs.map(_._2).sum)).toMap
+    assert(got === want)
+    assert(!got.contains(6L), "isolated key must not appear")
+  }
 
   test("q_overlap_counts equals the per-user endpoint fold of q_overlap_sessions") {
     val pairs = Queries.queries("q_overlap_sessions")(spark, sfDir).collect()
