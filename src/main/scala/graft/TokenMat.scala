@@ -31,6 +31,19 @@ object TokenMat {
   def materialize(spark: SparkSession, sfDir: String, table: String): (String, Double, Long) = {
     import graft.functions.{Fence, TextFns}
     val t0 = System.nanoTime()
+    // a previous JVM's table location survives in the warehouse dir but
+    // not in the (in-memory) catalog — an orphan location fails
+    // saveAsTable with LOCATION_ALREADY_EXISTS; clear both sides
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    try {
+      val wh = new java.io.File(
+        spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"), table)
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
+        f.delete(): Unit
+      }
+      if (wh.exists()) rm(wh)
+    } catch { case _: Throwable => () }
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
     val toks = Fence.guard(docs.select(col("doc_id"), col("lang"), col("source"),
       TextFns.tokensFast(col("text")).as("__toks"), Fence.col))
@@ -89,16 +102,32 @@ object TokenMat {
     val (_, matSec, nDocs) = materialize(spark, sfDir, tableName)
     val lines = variants(spark, tableName).map { case (name, mkVar) =>
       def mkOrig() = SparkEntry.queries(name)(spark, sfDir)
-      // parity first (also warms both plans' codegen)
+      // the GRADUATED path (round 15): the same registered query,
+      // re-pointed at the table by the spark.graft.tokenmat flag —
+      // the production wiring, not just the kernel seam. One session:
+      // the default in-memory catalog does not persist saveAsTable
+      // metadata across JVMs (a production deployment uses a real
+      // catalog), so the flag reading must ride the materializing
+      // session.
+      def mkFlag() = {
+        spark.conf.set("spark.graft.tokenmat", "1")
+        try SparkEntry.queries(name)(spark, sfDir)
+        finally spark.conf.set("spark.graft.tokenmat", "0")
+      }
+      // parity first (also warms the plans' codegen)
       val sigO = signature(mkOrig())
       val sigV = signature(mkVar())
-      val parity = sigO == sigV
+      val sigF = signature(mkFlag())
+      val parity = sigO == sigV && sigO == sigF
       sweep()
       val origSec = time(() => mkOrig())
       sweep()
       val varSec = time(mkVar)
+      sweep()
+      val flagSec = time(() => mkFlag())
       val line = f"""{"q":"$name","parity":$parity,"orig_sec":$origSec%.3f,""" +
-        f""""mat_sec":$varSec%.3f,"speedup":${origSec / varSec}%.2f,""" +
+        f""""mat_sec":$varSec%.3f,"flag_sec":$flagSec%.3f,""" +
+        f""""speedup":${origSec / varSec}%.2f,"flag_speedup":${origSec / flagSec}%.2f,""" +
         f""""sig_rows":${sigO._1}}"""
       println(line)
       (parity, line)
