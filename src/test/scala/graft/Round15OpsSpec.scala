@@ -286,6 +286,41 @@ class Round15OpsSpec extends SparkSpecBase {
     assert(Queries.tokenMatTable(spark, sfDir).isEmpty)
   }
 
+  // ---- fork: multi-consumer semantics (reference StreamExt::fork) --------
+
+  test("fork: two concurrent consumers of one stream each observe EVERY record (multi-consumer backpressure)") {
+    // the reference's fork hands every record to every consumer, each
+    // progressing at its own pace; Structured Streaming's fork = two
+    // writeStream queries off ONE source DataFrame. Two sinks, one of
+    // them through a heavier (aggregating) plan, fed batch-by-batch:
+    // BOTH must observe the complete tape — no record is consumed away
+    // from the other query, no batch is skipped by the slower plan.
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val ms = MemoryStream[(Long, Long)]
+    val src = ms.toDF().toDF("k", "v")
+    val fast = src.writeStream.format("memory").queryName("r15_fork_fast")
+      .outputMode(org.apache.spark.sql.streaming.OutputMode.Append()).start()
+    val slow = src.groupBy(col("k")).agg(sum(col("v")).as("s"), count(lit(1)).as("n"))
+      .writeStream.format("memory").queryName("r15_fork_slow")
+      .outputMode(org.apache.spark.sql.streaming.OutputMode.Complete()).start()
+    val tape = (1L to 500L).map(i => (i % 7, i))
+    try {
+      tape.grouped(100).foreach { b =>
+        ms.addData(b)
+        fast.processAllAvailable(); slow.processAllAvailable()
+      }
+    } finally { fast.stop(); slow.stop() }
+    val got = spark.table("r15_fork_fast").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    assert(got === tape.sorted, "fast consumer missed records")
+    val agg = spark.table("r15_fork_slow").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val want = tape.groupBy(_._1).view.mapValues(xs => (xs.map(_._2).sum, xs.size.toLong)).toMap
+    assert(agg === want, "slow consumer's aggregate diverged from the full tape")
+  }
+
   // ---- codegen-fallback guard ---------------------------------------------
 
   test("CodegenGuard observes CodeGenerator ERROR events (self-test) and drain clears") {
