@@ -142,7 +142,13 @@ object Bench {
     // production tokenization step) and the node-sized overlap report
     // (the sweep member of the overlap family at decade-up scale; the
     // exact pair query stays for drill-down and is SKIPped at sf1+)
-    "q_bpe_encode", "q_overlap_counts")
+    "q_bpe_encode", "q_overlap_counts",
+    // round-16 additions: the count-only BPE encode (the sf10-sweep
+    // member of the encode pair — no fingerprint payload, so the
+    // corpus-linear collect_list is gone) and the multimodal
+    // perceptual-hash near-dup (char-window SimHash signature + the
+    // byte-band pigeonhole pair miner over asset payloads)
+    "q_bpe_encode_counts", "q_image_neardup")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -206,12 +212,22 @@ object Bench {
     // record is also written durably, so the canonical min stays
     // auditable against its inputs.
     val trials = sys.env.getOrElse("SPARK_GRAFT_TRIALS", "2").toInt
+    // COLD anchors (VERDICT r15 item 1): with SPARK_GRAFT_COLD=1 the
+    // sweep hygiene ALSO runs between trials of one query, so every
+    // trial of a memo-riding query (graph family over the cached pair
+    // mining, the BPE learn chain) pays its full state build — the
+    // number the 2x gate must cover somewhere. Default (0) keeps the
+    // steady-state convention: state persists across a query's trials,
+    // is swept between queries. The driver never sets this; it exists
+    // for the committed cold sub-anchor rows in BASELINE.md.
+    val coldTrials = sys.env.getOrElse("SPARK_GRAFT_COLD", "0") == "1"
     val sweeps = sys.env.getOrElse("SPARK_GRAFT_SWEEPS", "2").toInt
     val streamOn = sys.env.getOrElse("SPARK_GRAFT_STREAM", "1") != "0"
     val sfName = sfDir.split('/').last
     val round = sys.env.get("SPARK_GRAFT_ROUND").orElse(nextRound()).getOrElse("x")
-    // dev subset/skip runs must not shadow the round's canonical file
-    val suffix = if (only.isDefined || skip.nonEmpty) "_subset" else ""
+    // dev subset/skip/cold runs must not shadow the round's canonical file
+    val suffix = (if (only.isDefined || skip.nonEmpty) "_subset" else "") +
+      (if (coldTrials) "_cold" else "")
 
     def runSweep(): (Seq[(String, Either[String, Double])], Option[StreamRes], Option[StreamRes]) = {
       val results = headline.flatMap { name =>
@@ -219,6 +235,7 @@ object Bench {
           sweep()
           try {
             val times = (1 to trials).map { _ =>
+              if (coldTrials) sweep()
               val t0 = System.nanoTime()
               materialize(fn(spark, sfDir))
               (System.nanoTime() - t0) / 1e9

@@ -2053,12 +2053,14 @@ object Queries {
     */
   def clearSessionMemos(): Unit = {
     (pairsCache.values ++ ccCache.values ++ sliceCache.values ++
-        lpaCache.values.flatMap(p => Seq(p._1, p._2)))
+        lpaCache.values.flatMap(p => Seq(p._1, p._2)) ++
+        bpeCache.values.flatMap(p => p._1 ++ p._2))
       .foreach(org.apache.spark.sql.GraftBridge.freeLocalCheckpoint)
     pairsCache.clear()
     ccCache.clear()
     sliceCache.clear()
     lpaCache.clear()
+    bpeCache.clear()
   }
 
   /** Exact near-dup pairs shared by every DERIVED dedup query
@@ -2089,8 +2091,18 @@ object Queries {
     * so the DuckDB oracle — which always tokenizes from documents —
     * is unchanged either way. The table name is a function of the dir
     * (TokenMat's convention), so a stale flag can never cross-wire
-    * two scale factors; absent table ⇒ silent inline fallback. The
-    * driver never sets the flag: default remains tokenize-inline.
+    * two scale factors. The driver never sets the flag: default
+    * remains tokenize-inline.
+    *
+    * LOUD failure contract (VERDICT r15 item 4 + ADVICE r15): the flag
+    * is an explicit instruction to read the materialized table. An
+    * ABSENT table (e.g. a fresh JVM whose in-memory catalog dropped the
+    * saveAsTable metadata) or a STALE one (documents re-generated after
+    * materialization — detected via the `graft.doc_count` table
+    * property TokenMat.materialize records) used to fall back to the
+    * inline tokenize silently — the same quiet-perf/quiet-wrong cliff
+    * class as the r14 codegen fallback; both now throw with a
+    * re-materialize hint instead (Round16OpsSpec pins both paths).
     */
   private[graft] def tokenMatTable(s: SparkSession, dir: String): Option[DataFrame] = {
     val on = sys.env.get("SPARK_GRAFT_TOKENMAT")
@@ -2099,7 +2111,23 @@ object Queries {
     if (!on) None
     else {
       val name = s"graft_tokens_${dir.split('/').last.replaceAll("[^A-Za-z0-9_]", "_")}"
-      if (s.catalog.tableExists(name)) Some(s.table(name)) else None
+      if (!s.catalog.tableExists(name))
+        throw new IllegalStateException(
+          s"spark.graft.tokenmat=1 but table '$name' does not exist in this session's " +
+          s"catalog — run graft.TokenMat.materialize(spark, \"$dir\", \"$name\") first " +
+          "or unset the flag. (Silent inline fallback is deliberately NOT done: a flag " +
+          "the operator set must never quietly run the ~5x slower path.)")
+      val expect = tableCount(s, dir, "documents")
+      val prop = s.sql(s"SHOW TBLPROPERTIES $name").collect()
+        .collectFirst { case r if r.getString(0) == "graft.doc_count" => r.getString(1) }
+      if (!prop.contains(expect.toString))
+        throw new IllegalStateException(
+          s"spark.graft.tokenmat=1 but table '$name' is STALE: recorded graft.doc_count=" +
+          s"${prop.getOrElse("(absent)")} vs current documents count $expect for $dir — " +
+          "documents changed since materialization; re-run graft.TokenMat.materialize " +
+          "or unset the flag. (Serving stale tokens silently would diverge flag-on from " +
+          "flag-off with no error.)")
+      Some(s.table(name))
     }
   }
 
@@ -3667,6 +3695,52 @@ object Queries {
               CAST(least(tx * 128 + 256, w) AS BIGINT) AS x1,
               CAST(least(ty * 128 + 256, h) AS BIGINT) AS y1
             FROM g"""))
+
+  /** MULTIMODAL near-dup pairs (round 16 — VERDICT r15 item 5: dedup
+    * was first-class for text and embeddings but absent for the binary
+    * assets the engine already decodes). Perceptual-hash-style
+    * signature over each asset payload (Multimodal.phash32 — SimHash
+    * of the payload's sliding 4-byte windows, the engine-portable
+    * stand-in for a pixel pHash computed inside the partition decode),
+    * then the EXACT hamming ≤ 3 pair miner the text SimHash family
+    * uses (byte-band pigeonhole equi-join, report-once-at-min-band —
+    * DedupFns.nearDupPairsFromSigs), so candidates are equi-join
+    * bounded at any corpus size and the result is exact, never
+    * all-pairs. The oracle replays the signature bit-for-bit from md5
+    * arithmetic over the same windows (h31 per window, ±1 vote per
+    * bit) and mines pairs by brute band join — structurally
+    * independent of the Spark plan.
+    */
+  private val qImageNeardup = GraftQuery(
+    "q_image_neardup",
+    (s, dir) => {
+      val sigs = t(s, dir, "documents")
+        .select(col("doc_id"), col("text").cast("binary").as("payload"))
+        .filter(length(col("payload").cast("string")) >= 4)
+        .select(col("doc_id").as("id"),
+          Multimodal.phash32(col("payload")).as("sim"), Fence.col)
+      DedupFns.nearDupPairsFromSigs(sigs, maxHamming = 3)
+    },
+    Some(s"""WITH t0 AS (SELECT doc_id,
+                  list_transform(range(1, length(text) - 2), i -> substr(text, i, 4)) AS gr
+                FROM documents WHERE length(text) >= 4),
+             hs AS (SELECT doc_id, list_transform(gr, g -> ${h31Sql("g")}) AS h
+                    FROM t0 WHERE len(gr) > 0),
+             sums AS (SELECT doc_id,
+                        list_transform(range(0, 32), j ->
+                          CAST(list_sum(list_transform(h, x ->
+                            CASE WHEN (x // (1::BIGINT << j)) % 2 = 1 THEN 1 ELSE -1 END)) AS BIGINT)) AS sm
+                      FROM hs),
+             s AS (SELECT doc_id AS id,
+                     CAST(list_sum(list_transform(range(0, 32), j ->
+                       CASE WHEN sm[j+1] > 0 THEN (1::BIGINT << j) ELSE 0 END)) AS BIGINT) AS sim
+                   FROM sums),
+             bd AS (SELECT id, sim, k, (sim >> (8*k)) & 255 AS byte FROM s CROSS JOIN range(0, 4) tt(k)),
+             p AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b,
+                     CAST(bit_count(xor(a.sim, b.sim)) AS BIGINT) AS dist
+                   FROM bd a JOIN bd b ON a.k = b.k AND a.byte = b.byte AND a.id < b.id
+                   WHERE bit_count(xor(a.sim, b.sim)) <= 3)
+             SELECT id_a, id_b, dist FROM p"""))
 
   /** Mixture GAP report: each source's actual token share vs the
     * uniform target, in exact milli-units — the rebalancing view a
@@ -5619,7 +5693,28 @@ object Queries {
     * the vocab sequence — the apply/compression view). Each frame is
     * eagerly localCheckpointed (lineage cut per round).
     */
+  /** BPE learn-chain memo (VERDICT r15 item 1): q_bpe_merges,
+    * q_bpe_apply, q_bpe_encode and q_bpe_encode_counts all consume the
+    * SAME learn loop; un-memoized, each query replayed the full
+    * tokenize + 10 checkpointed rounds (3× identical work per sweep —
+    * encode alone was 32 s at sf10, much of it the learn loop) and
+    * left ~11 localCheckpoint frames unfreed until sweep hygiene — the
+    * exact block-manager-leak class lpaState closed for LPA. The memo
+    * runs the loop once per (session, dir, rounds) and clearSessionMemos
+    * frees EVERY frame. No frame is freeable before release: the merge
+    * frames are 1-row each, and every per-round vocab (vocab-bounded,
+    * never corpus-sized) is live state — q_bpe_apply's compression
+    * curve reads all 11 of them, so "superseded" only happens when the
+    * memo itself is dropped. Round16OpsSpec pins memo-read ==
+    * cold-rebuild equality.
+    */
+  private val bpeCache = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String, Int), (Vector[DataFrame], Vector[DataFrame])]
   private def bpeRounds(s: SparkSession, dir: String,
+      rounds: Int): (Vector[DataFrame], Vector[DataFrame]) =
+    bpeCache.getOrElseUpdate((s, dir, rounds), bpeRoundsCold(s, dir, rounds))
+
+  private def bpeRoundsCold(s: SparkSession, dir: String,
       rounds: Int): (Vector[DataFrame], Vector[DataFrame]) = {
       val un = Fence.guard(t(s, dir, "documents")
           .select(TextFns.tokensFast(col("text")).as("__tk"), Fence.col))
@@ -5818,6 +5913,47 @@ object Queries {
              SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
                CAST(sum(nsym) AS BIGINT) AS n_tokens,
                ('0x' || substr(md5(string_agg(w, ' | ' ORDER BY pos)), 1, 15))::BIGINT AS fingerprint
+             FROM j GROUP BY doc_id"""))
+
+  /** COUNT-ONLY corpus BPE encode (round 16 — VERDICT r15 item 3, the
+    * sf10-sweep member of the encode pair): [[qBpeEncode]] minus the
+    * fingerprint payload — per doc just the word count and the billed
+    * subword token count, i.e. exactly what a token-budget pipeline
+    * reads. Dropping the fingerprint removes the ONLY corpus-linear
+    * piece of the encode's shuffle payload: no positions travel (plain
+    * explode, not posexplode), no per-token structs are collect_list'd
+    * — the doc-keyed aggregate carries two longs per doc and partial-
+    * aggregates map-side, so past the (memoized) learn loop the encode
+    * is one broadcast equi-join + one count/sum rollup. BASELINE's
+    * round-15 note predicted this goes sublinear in the second decade;
+    * the round-16 appendix carries the measured curve. The
+    * fingerprinted query stays the product surface (re-encode drift
+    * detection needs the order-sensitive hash); this is the shape you
+    * run every ingest at 100 TB.
+    */
+  private val qBpeEncodeCounts = GraftQuery(
+    "q_bpe_encode_counts",
+    (s, dir) => {
+      val (_, vocabs) = bpeRounds(s, dir, rounds = 10)
+      val vm = vocabs.last.select(
+        size(split(col("w"), "  ")).cast("long").as("nsym"),
+        expr("substring(replace(w, ' ', ''), 1, length(replace(w, ' ', '')) - 4)").as("tok"))
+      val d = Fence.guard(t(s, dir, "documents")
+          .select(col("doc_id"), TextFns.tokensFast(col("text")).as("__tk"), Fence.col))
+        .select(col("doc_id"), explode(col("__tk")).as("tok"))
+      d.join(broadcast(vm), Seq("tok"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_words"), sum(col("nsym")).as("n_tokens"))
+    },
+    Some(s"""WITH ${bpeChainSql(10)},
+             vm AS (SELECT CAST(len(string_split(w, '  ')) AS BIGINT) AS nsym,
+                      left(replace(w, ' ', ''), length(replace(w, ' ', '')) - 4) AS tok
+                    FROM v10),
+             d AS (SELECT doc_id, $toksSql AS tk FROM documents),
+             px AS (SELECT doc_id, unnest(tk) AS tok FROM d),
+             j AS (SELECT p.doc_id, v.nsym FROM px p JOIN vm v USING (tok))
+             SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
+               CAST(sum(nsym) AS BIGINT) AS n_tokens
              FROM j GROUP BY doc_id"""))
 
   private val qBigramLift = GraftQuery(
@@ -9296,7 +9432,7 @@ object Queries {
     q6Forecast, q10Returns, q12Priority, q19Brackets, q13Custdist, q16Suppliers,
     q7Trade, q15TopSupp, q17SmallQty, q21Blame, q20Excess, q8Share, qJsonExtract,
     qNegPairs, qPiiScrub, qKanon, qLdiv, qDpHistogram, qDpMean, qDpQuantile, qDrift, qDedupReport,
-    qBpePairs, qBpeMerges, qBpeApply, qBpeEncode,
+    qBpePairs, qBpeMerges, qBpeApply, qBpeEncode, qBpeEncodeCounts,
     qDedupExact, qDedupMinhash, qMinhashRescore, qContainment, qMinhashEst, qDedupSimhash, qDedupSimhashPairs,
     qDedupClusters, qPagerank, qPprSeeds, qKcore, qBfsHops, qTriangles, qTrianglesApprox, qLabelProp, qQualityDup, qHapax, qNgramJaccard, qSortedDedup, qDedupEmbed, qRepetition,
     qSplitLeakage, qJaccardCalib, qGroupSplit,
@@ -9317,7 +9453,7 @@ object Queries {
     qRunningDistinct, qFirstSeen, qDedupDegree, qDecileBin,
     qBloomDecontam, qDupSpanRuns, qEmbedQuant, qGramMatrix, qPcaPower, qMixWeights, qDomainSim, qEmbedPq, qPqAdc, qPqRescore, qDedupPrio, qKnnHubs, qIvfPq, qEmbedBinary, qSpanScrub, qSpanExcise,
     qTokenCount, qFingerprint, qMultimodalMeta,
-    qMultimodalDecode, qResizePlan, qFrameSample, qAudioSegments, qTilePlan, qMixGap,
+    qMultimodalDecode, qResizePlan, qFrameSample, qAudioSegments, qTilePlan, qImageNeardup, qMixGap,
     q9Profit, q11Stock, qKmvOverlap, qMoments, qEpochPlan, qAbLift,
     qDiversity, qZorder, qKllRollup,
     qDedupClustersSliced, qGroupSplitSliced, qDedupSurvivorsSliced, qDedupPrioSliced,

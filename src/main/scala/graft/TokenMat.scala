@@ -49,6 +49,11 @@ object TokenMat {
       TextFns.tokensFast(col("text")).as("__toks"), Fence.col))
     graft.sinks.Sinks.bucketed(toks, table, Seq("doc_id"), 32)
     val n = spark.table(table).count()
+    // Freshness stamp (ADVICE r15): the reader (Queries.tokenMatTable)
+    // compares this against the CURRENT documents count and fails loudly
+    // on mismatch — regenerating documents.parquet in the same dir after
+    // materialization must never silently serve stale tokens.
+    spark.sql(s"ALTER TABLE $table SET TBLPROPERTIES ('graft.doc_count' = '$n')")
     (table, (System.nanoTime() - t0) / 1e9, n)
   }
 

@@ -223,12 +223,27 @@ object DedupFns {
     */
   def simhashNearDupPairs(df: DataFrame, idCol: String, textCol: String,
       maxHamming: Int): DataFrame = {
-    require(maxHamming <= 3, s"4-byte-band pigeonhole is complete only for hamming <= 3, got $maxHamming")
     val sims = Fence.guard(
         df.select(col(idCol).as("id"), tokensFast(col(textCol)).as("__toks"), Fence.col))
       .filter(size(col("__toks")) > 0)
       .select(col("id"), simhash32Fast(col("__toks")).as("sim"), Fence.col)
-    val bands = Fence.guard(sims).select(col("id"), col("sim"),
+    nearDupPairsFromSigs(sims, maxHamming)
+  }
+
+  /** The byte-band pigeonhole pair miner of [[simhashNearDupPairs]],
+    * factored over an ALREADY-COMPUTED 32-bit signature projection so
+    * any locality-sensitive signature rides the same exact candidate
+    * generator — the multimodal perceptual-hash stub
+    * (Multimodal.phash32) is the second caller. `sigs` must be a
+    * FENCED projection carrying (id, sim, Fence.col) — the fence pins
+    * the (expensive) signature to one evaluation per row; both
+    * self-join sides then share ONE exchange (see the shape notes on
+    * [[simhashNearDupPairs]]). Returns (id_a < id_b, dist), each pair
+    * once, exact for maxHamming ≤ 3.
+    */
+  def nearDupPairsFromSigs(sigs: DataFrame, maxHamming: Int): DataFrame = {
+    require(maxHamming <= 3, s"4-byte-band pigeonhole is complete only for hamming <= 3, got $maxHamming")
+    val bands = Fence.guard(sigs).select(col("id"), col("sim"),
       posexplode(array((0 until 4).map(k =>
         shiftright(col("sim"), 8 * k).bitwiseAND(lit(255L))): _*)).as(Seq("k", "byte")))
       .repartition(col("k"), col("byte"))

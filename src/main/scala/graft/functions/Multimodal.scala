@@ -165,6 +165,32 @@ object Multimodal {
         least(col("ty") * stride + tile, col("h")).as("y1"))
   }
 
+  /** Perceptual-hash STUB over an asset payload (round 16 — the
+    * multimodal member of the near-dup family): a 32-bit
+    * LOCALITY-SENSITIVE signature — near-identical payloads get
+    * near-identical signatures — computed as the SimHash of the
+    * payload's sliding 4-byte windows (plans.CharGramsExpr →
+    * plans.Simhash32, both codegen'd native kernels). A real
+    * deployment computes a pHash/aHash over decoded pixel blocks
+    * inside [[decodePartitioned]]'s per-partition decode; the
+    * byte-window stub keeps the same CONTRACT (small payload edits
+    * flip few signature bits, so hamming distance tracks content
+    * similarity) while staying engine-portable — the oracle replays
+    * it exactly from md5 arithmetic over the same windows. Everything
+    * DOWNSTREAM of the signature (byte-band pigeonhole candidates,
+    * exact hamming verify: DedupFns.nearDupPairsFromSigs) is the
+    * production dedup machinery unchanged — swap this stub for a real
+    * pixel pHash and nothing else moves. Char windows are UTF-16 code
+    * units (see CharGramsKernel) — byte windows exactly, for any
+    * ASCII/BMP payload rendering.
+    */
+  def phash32(bin: Column): Column = {
+    import org.apache.spark.sql.GraftBridge
+    val grams = graft.plans.CharGramsExpr(
+      GraftBridge.expression(bin.cast("string")), 4)
+    GraftBridge.column(graft.plans.Simhash32(grams))
+  }
+
   /** One sampled frame of a (stub-decoded) video payload. */
   final case class SampledFrame(asset_id: Long, frame_no: Int, frame_sha: String)
 

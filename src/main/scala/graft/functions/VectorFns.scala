@@ -519,10 +519,32 @@ object VectorFns {
         .withColumn("__d2", qdotFast(col("__d"), col("__d")))
         .groupBy(col("cid").cast("long").as("cid"))
         .agg(count(lit(1)).as("n_members"), sum(col("__d2")).as("inertia"))
-    } else
-      assignTrunc(fine, math.min(assignProbes, k1))
+    } else {
+      val res = assignTrunc(fine, math.min(assignProbes, k1))
         .groupBy(col("cid"))
         .agg(count(lit(1)).as("n_members"), sum(col("d2")).as("inertia"))
+        .localCheckpoint(true)
+      // ROW-LOSS guard (ADVICE r15): the truncated path's routing join
+      // (corpus rows meet fine centroids THROUGH their probed coarse
+      // cells) is inner — a row whose probed cells contain zero fine
+      // centroids silently vanishes from the means and from these
+      // totals, which is row LOSS, not approximation. Same medicine as
+      // the pcaPower ragged-corpus guard: compare assigned coverage to
+      // the corpus once on the k-row final frame and fail loudly with
+      // the fix (more probes, or the full-assignment path, which is
+      // structurally complete). Costs one corpus count (memo-free but a
+      // single scan) + a k-row aggregate read — training-loop noise.
+      val aRow = res.agg(sum(col("n_members"))).collect()(0)
+      val assignedN = if (aRow.isNullAt(0)) 0L else aRow.getLong(0)
+      val corpusN = q.count()
+      require(assignedN == corpusN,
+        s"kmeansTrain2(assignProbes=$assignProbes): only $assignedN of $corpusN corpus " +
+          "rows reached a fine centroid — some rows' probed coarse cells contain no " +
+          "fine centroid, so they were silently DROPPED from training and the totals. " +
+          "Raise assignProbes (cells probed per row) or use assignProbes=0 (full " +
+          "assignment, structurally complete).")
+      res
+    }
   }
 
   /** Top principal direction of the embedding corpus by FIXED-round

@@ -280,17 +280,49 @@ object Joins {
     * REQUIRES each key's own intervals pairwise disjoint (true for
     * gap-sessionized sessions: consecutive sessions are ≥gap apart) —
     * that is what makes "minus itself" and the (A−1) integral exact
-    * per-key arithmetic. Every running sum is the TWO-PHASE bucketed
+    * per-key arithmetic: an own-key overlap would be counted as an
+    * "other" interval by both, SILENTLY inflating that key's totals.
+    * The precondition is therefore CHECKED by default
+    * (`checkDisjoint = true`): closed intervals, so any own-key lo ≤
+    * previous hi (lo-sorted within the key) is a violation and fails
+    * loudly — one key-partitioned lag window + a LIMIT-1 probe over the
+    * already-checkpointed interval frame, interval-sized like
+    * everything else here. Callers that guarantee disjointness
+    * structurally (gap sessionization does) may pass false to skip the
+    * extra pass. NULL keys are dropped up front on BOTH the event and
+    * probe roles (ADVICE r15): the pair-join semantics this operator
+    * replaces never count a NULL-key interval on either side, so
+    * counting its endpoints in the rank sums / active-count integral
+    * while excluding it as a probe would inflate every other key.
+    *
+    * Every running sum is the TWO-PHASE bucketed
     * form (within-`width`-bucket window + a bucket-count-sized offset
     * frame), so no global single-partition sort ever materializes;
     * exchanges are interval-sized, never pair-sized.
     */
   def sweepLineOverlapTotals(intervals: DataFrame, keyCol: String,
-      loCol: String, hiCol: String, width: Long = 3600000000L): DataFrame = {
+      loCol: String, hiCol: String, width: Long = 3600000000L,
+      checkDisjoint: Boolean = true): DataFrame = {
     require(width >= 1, s"bucket width must be >= 1, got $width")
     val sess = intervals
+      .filter(col(keyCol).isNotNull)
       .select(col(keyCol).as("__key"), col(loCol).as("__lo"), col(hiCol).as("__hi"))
       .localCheckpoint(true)
+    if (checkDisjoint) {
+      val wk = Window.partitionBy(col("__key")).orderBy(col("__lo"), col("__hi"))
+      val bad = sess.withColumn("__ph", max(col("__hi")).over(
+          wk.rowsBetween(Window.unboundedPreceding, -1)))
+        .filter(col("__ph").isNotNull && col("__lo") <= col("__ph"))
+        .limit(1).collect()
+      require(bad.isEmpty, {
+        val r = bad.head
+        s"sweepLineOverlapTotals requires each key's own intervals pairwise " +
+          s"disjoint, but key=${r.get(0)} has an interval [${r.get(1)}, ${r.get(2)}] " +
+          s"starting at or before a previous own-key interval's end (${r.get(3)}) — " +
+          "own-key overlap silently corrupts n_overlaps/overlap_us; merge or " +
+          "sessionize the key's intervals first (checkDisjoint=false skips this check)"
+      })
+    }
     def bucketOf(c: Column): Column = ((c - pmod(c, lit(width))) / lit(width)).cast("long")
 
     // ---- rank chain: count of values ≤/< each probe ---------------------

@@ -658,6 +658,17 @@ object Relational {
       }
       it += 1
     }
+    // Release path for the FINAL surviving cut (ADVICE r15): at
+    // iters ≥ 8 the last lineage cut's blocks were held for the whole
+    // session for callers outside the lpaState memo (clearSessionMemos
+    // frees only the memoized frames, not this loop-internal one).
+    // Checkpoint the final labels eagerly and free the cut they derive
+    // from — the same supersede-and-free the loop does. At the default
+    // iters = 3 no cut ever fires and this is a no-op (plan unchanged).
+    if (lastCut != null) {
+      lab = lab.localCheckpoint(true)
+      org.apache.spark.sql.GraftBridge.freeLocalCheckpoint(lastCut)
+    }
     (lab.select(col("id"), col("lab").as("community")), edges)
   }
 }

@@ -185,6 +185,49 @@ case class PosNgramsExpr(child: Expression, n: Int) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** POSITIONAL character n-grams — every sliding substring of length n —
+  * over a string in one native pass: the byte/char-window shingle for
+  * content-derived signatures (the multimodal perceptual-hash stub
+  * rides this over asset payloads). Value-identical to
+  * `transform(sequence(1, length(s) - n + 1), i -> substring(s, i, n))`
+  * (and to DuckDB's `list_transform(range(1, length(s) - n + 2),
+  * i -> substr(s, i, n))`) without one interpreted lambda + substring
+  * per window. Fewer than n chars yields an EMPTY array. "Char" is a
+  * UTF-16 code unit (Java String semantics) — identical to the
+  * built-in substring for any BMP text; supplementary-plane code
+  * points count as 2, exactly like the declarative Spark form.
+  */
+object CharGramsKernel {
+  def grams(s: UTF8String, n: Int): GenericArrayData = {
+    val str = s.toString
+    val m = str.length
+    if (m < n) return new GenericArrayData(Array.empty[Any])
+    val out = new Array[Any](m - n + 1)
+    var i = 0
+    while (i + n <= m) {
+      out(i) = UTF8String.fromString(str.substring(i, i + n))
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+}
+
+/** See CharGramsKernel — array<string> of positional char n-grams. */
+case class CharGramsExpr(child: Expression, n: Int) extends UnaryExpression {
+  require(n >= 1, s"graft_char_grams needs n >= 1, got $n")
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"graft_char_grams requires string input, got ${child.dataType.catalogString}")
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullSafeEval(input: Any): Any =
+    CharGramsKernel.grams(input.asInstanceOf[UTF8String], n)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.plans.CharGramsKernel.grams($c, $n)")
+  override protected def withNewChildInternal(newChild: Expression): CharGramsExpr =
+    copy(child = newChild)
+}
+
 /** One-pass raw-text statistics, value-identical to the declarative
   * trio over the same text:
   *  [0] ws_tokens — count of maximal non-whitespace runs
