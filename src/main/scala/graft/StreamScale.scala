@@ -25,10 +25,35 @@ import org.apache.spark.sql.functions._
   */
 object StreamScale {
 
-  final case class Reading(op: String, dir: String, rows: Int, batches: Int, sec: Double) {
+  final case class Reading(op: String, dir: String, rows: Int, batches: Int, sec: Double,
+      stateRows: Long, stateBytes: Long) {
     def json: String =
       f"""{"op":"$op","sf":"$dir","rows":$rows,"batches":$batches,"sec":$sec%.3f,""" +
-        f""""rows_per_sec":${if (sec > 0) rows / sec else 0.0}%.0f}"""
+        f""""rows_per_sec":${if (sec > 0) rows / sec else 0.0}%.0f,""" +
+        s""""state_rows":$stateRows,"state_bytes":$stateBytes}"""
+  }
+
+  /** Peak state-operator size observed across the run's micro-batches
+    * (VERDICT r15 item 7: the "bounded state" claims — ≤4 KiB HLL
+    * registers, k MG counters, 3 longs per sessionize key — measured at
+    * the 10M tape, not asserted). numRowsTotal is the store's row
+    * count; bytes is memoryUsedBytes with the RocksDB total-memory
+    * custom metric as fallback (the RocksDB provider reports its
+    * memtable+block-cache there).
+    */
+  private def peakState(q: org.apache.spark.sql.streaming.StreamingQuery): (Long, Long) = {
+    val ops = q.recentProgress.flatMap(p => Option(p.stateOperators).toSeq.flatten)
+    if (ops.isEmpty) (0L, 0L)
+    else {
+      val rows = ops.map(_.numRowsTotal).max
+      val bytes = ops.map { o =>
+        val custom = Option(o.customMetrics)
+          .map(m => java.lang.Long.valueOf(m.getOrDefault("rocksdbTotalMemoryUsage", 0L).toString).longValue)
+          .getOrElse(0L)
+        math.max(o.memoryUsedBytes, custom)
+      }.max
+      (rows, bytes)
+    }
   }
 
   def main(args: Array[String]): Unit = {
@@ -56,9 +81,11 @@ object StreamScale {
       val ms = MemoryStream[KeyedEvent]
       val t0 = System.nanoTime()
       val q = mk(ms.toDS()).writeStream.format("noop").outputMode(mode).start()
-      try groups.foreach { b => ms.addData(b); q.processAllAvailable() }
-      finally q.stop()
-      Reading(op, dir, tape.length, groups.length, (System.nanoTime() - t0) / 1e9)
+      val st = try {
+        groups.foreach { b => ms.addData(b); q.processAllAvailable() }
+        peakState(q)
+      } finally q.stop()
+      Reading(op, dir, tape.length, groups.length, (System.nanoTime() - t0) / 1e9, st._1, st._2)
     }
 
     def cmsRun(tape: Array[KeyedEvent], dir: String, batches: Int): Reading = {
@@ -68,9 +95,31 @@ object StreamScale {
       val t0 = System.nanoTime()
       val q = StreamingOps.cmsFreq(ms.toDS(), 4, 256, (0L until 10L).map(_.toString))
         .toDF().writeStream.format("noop").outputMode(OutputMode.Update()).start()
-      try groups.foreach { b => ms.addData(b); q.processAllAvailable() }
-      finally q.stop()
-      Reading("cms_freq", dir, pairs.length, groups.length, (System.nanoTime() - t0) / 1e9)
+      val st = try {
+        groups.foreach { b => ms.addData(b); q.processAllAvailable() }
+        peakState(q)
+      } finally q.stop()
+      Reading("cms_freq", dir, pairs.length, groups.length, (System.nanoTime() - t0) / 1e9,
+        st._1, st._2)
+    }
+
+    // the two sketch twins stream the same (key-bucket, token) pairs as
+    // the per-round bench section — state-size claims under test:
+    // ≤4 KiB HLL register block per bucket, ≤32 MG counters per bucket
+    def pairRun(tape: Array[KeyedEvent], dir: String, batches: Int, op: String)(
+        mk: org.apache.spark.sql.Dataset[(String, String)] => org.apache.spark.sql.DataFrame): Reading = {
+      val ms = MemoryStream[(String, String)]
+      val pairs = tape.map(e => ((e.key % 8).toString, e.key.toString))
+      val groups = pairs.grouped(math.max(1, pairs.length / batches)).map(_.toSeq).toSeq
+      val t0 = System.nanoTime()
+      val q = mk(ms.toDS()).writeStream.format("noop")
+        .outputMode(OutputMode.Update()).start()
+      val st = try {
+        groups.foreach { b => ms.addData(b); q.processAllAvailable() }
+        peakState(q)
+      } finally q.stop()
+      Reading(op, dir, pairs.length, groups.length, (System.nanoTime() - t0) / 1e9,
+        st._1, st._2)
     }
 
     def funnelRun(tape: Array[KeyedEvent], dir: String, batches: Int): Reading = {
@@ -85,9 +134,12 @@ object StreamScale {
       val t0 = System.nanoTime()
       val q = StreamingOps.funnel(ms.toDS()).toDF().writeStream.format("noop")
         .outputMode(OutputMode.Append()).start()
-      try groups.foreach { b => ms.addData(b); q.processAllAvailable() }
-      finally q.stop()
-      Reading("funnel", dir, recs.length, groups.length, (System.nanoTime() - t0) / 1e9)
+      val st = try {
+        groups.foreach { b => ms.addData(b); q.processAllAvailable() }
+        peakState(q)
+      } finally q.stop()
+      Reading("funnel", dir, recs.length, groups.length, (System.nanoTime() - t0) / 1e9,
+        st._1, st._2)
     }
 
     val out = Seq.newBuilder[Reading]
@@ -96,6 +148,14 @@ object StreamScale {
       out += run(tape, dir, 10, "ewma", OutputMode.Append())(ds => StreamingOps.ewma(ds).toDF())
       out += funnelRun(tape, dir, 10)
       out += cmsRun(tape, dir, 10)
+      // round 16 (VERDICT r15 item 7): the bounded-state claims measured
+      // — sessionize (3 longs/key), HLL registers, MG counters
+      out += run(tape, dir, 10, "sessionize", OutputMode.Append())(ds =>
+        StreamingOps.sessionize(ds, 1_800_000_000L).toDF())
+      out += pairRun(tape, dir, 10, "hll_distinct")(ds =>
+        StreamingOps.hllDistinct(ds.toDF().toDF("key", "tok"), "key", "tok"))
+      out += pairRun(tape, dir, 10, "heavy_hitters")(ds =>
+        StreamingOps.heavyHitters(ds, 32).toDF())
       // trigger sensitivity on the largest tape: same rows, 10× batches
       if (dir == dirs.last) {
         out += run(tape, dir, 100, "ewma", OutputMode.Append())(ds => StreamingOps.ewma(ds).toDF())

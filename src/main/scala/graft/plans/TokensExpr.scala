@@ -190,9 +190,12 @@ case class PosNgramsExpr(child: Expression, n: Int) extends UnaryExpression {
   * content-derived signatures (the multimodal perceptual-hash stub
   * rides this over asset payloads). Value-identical to
   * `transform(sequence(1, length(s) - n + 1), i -> substring(s, i, n))`
-  * (and to DuckDB's `list_transform(range(1, length(s) - n + 2),
-  * i -> substr(s, i, n))`) without one interpreted lambda + substring
-  * per window. Fewer than n chars yields an EMPTY array. "Char" is a
+  * GUARDED by length ≥ n (an unguarded `sequence(1, 0)` DESCENDS to
+  * [1, 0] instead of being empty), and to DuckDB's unguarded
+  * `list_transform(range(1, length(s) - n + 2), i -> substr(s, i, n))`
+  * (range IS empty when stop ≤ start) — without one interpreted lambda
+  * + substring per window. Fewer than n chars yields an EMPTY array.
+  * "Char" is a
   * UTF-16 code unit (Java String semantics) — identical to the
   * built-in substring for any BMP text; supplementary-plane code
   * points count as 2, exactly like the declarative Spark form.
