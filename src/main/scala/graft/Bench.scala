@@ -148,7 +148,12 @@ object Bench {
     // corpus-linear collect_list is gone) and the multimodal
     // perceptual-hash near-dup (char-window SimHash signature + the
     // byte-band pigeonhole pair miner over asset payloads)
-    "q_bpe_encode_counts", "q_image_neardup")
+    "q_bpe_encode_counts", "q_image_neardup",
+    // the leakage-safe group split rides the shared CC state like
+    // q_dedup_clusters/q_dedup_prio — in the set so the COLD sub-anchor
+    // convention (VERDICT r15 item 2) covers every memo-riding graph
+    // query somewhere at sf0.1
+    "q_group_split")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

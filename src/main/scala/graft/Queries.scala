@@ -871,7 +871,13 @@ object Queries {
           min(unix_micros(col("ts"))).as("lo"),
           max(unix_micros(col("ts"))).as("hi"))
         .select(col("user_id"), col("lo"), col("hi"))
-      Joins.sweepLineOverlapTotals(sess, "user_id", "lo", "hi", width = 3600000000L)
+      // checkDisjoint=false: gap sessionization guarantees the
+      // precondition STRUCTURALLY (consecutive own-key sessions are
+      // ≥ gap apart), the documented caller exemption — the default-on
+      // check costs one extra interval-sized pass (~17 s at sf10) that
+      // would re-verify an invariant this caller constructs
+      Joins.sweepLineOverlapTotals(sess, "user_id", "lo", "hi", width = 3600000000L,
+        checkDisjoint = false)
     },
     Some("""WITH x AS (
               SELECT user_id, event_id, epoch_us(ts) AS e,
