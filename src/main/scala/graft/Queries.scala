@@ -9380,6 +9380,46 @@ object Queries {
                    CAST(inter * 1000 // uni AS BIGINT) AS jac_milli
             FROM sc WHERE inter * 1000 >= uni * 500"""))
 
+  /** [[qImageNeardup]] over the md5 doc slice — identical signature +
+    * byte-band miner, the measured-100× parity member for the NEW
+    * multimodal pair family (round 16): the full-corpus oracle is
+    * measured green at sf1 (4.17M pairs, rows+schema+hash), but its
+    * sf10 pair output is the DuckDB-single-node-bound class the slice
+    * rule exists for — the slice keeps the oracle's input at ~1/16
+    * (1/256 past 100k docs) so 100× parity is MEASURED, not vacuous.
+    */
+  private val qImageNeardupSliced = GraftQuery(
+    "q_image_neardup_sliced",
+    (s, dir) => {
+      val sigs = slicedDocs(s, dir)
+        .select(col("doc_id"), col("text").cast("binary").as("payload"))
+        .filter(length(col("payload").cast("string")) >= 4)
+        .select(col("doc_id").as("id"),
+          Multimodal.phash32(col("payload")).as("sim"), Fence.col)
+      DedupFns.nearDupPairsFromSigs(sigs, maxHamming = 3)
+    },
+    Some(s"""WITH t0 AS (SELECT doc_id,
+                  list_transform(range(1, length(text) - 2), i -> substr(text, i, 4)) AS gr
+                FROM documents
+                WHERE length(text) >= 4 AND ${sliceDocPredSql("doc_id")}),
+             hs AS (SELECT doc_id, list_transform(gr, g -> ${h31Sql("g")}) AS h
+                    FROM t0 WHERE len(gr) > 0),
+             sums AS (SELECT doc_id,
+                        list_transform(range(0, 32), j ->
+                          CAST(list_sum(list_transform(h, x ->
+                            CASE WHEN (x // (1::BIGINT << j)) % 2 = 1 THEN 1 ELSE -1 END)) AS BIGINT)) AS sm
+                      FROM hs),
+             s AS (SELECT doc_id AS id,
+                     CAST(list_sum(list_transform(range(0, 32), j ->
+                       CASE WHEN sm[j+1] > 0 THEN (1::BIGINT << j) ELSE 0 END)) AS BIGINT) AS sim
+                   FROM sums),
+             bd AS (SELECT id, sim, k, (sim >> (8*k)) & 255 AS byte FROM s CROSS JOIN range(0, 4) tt(k)),
+             p AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b,
+                     CAST(bit_count(xor(a.sim, b.sim)) AS BIGINT) AS dist
+                   FROM bd a JOIN bd b ON a.k = b.k AND a.byte = b.byte AND a.id < b.id
+                   WHERE bit_count(xor(a.sim, b.sim)) <= 3)
+             SELECT id_a, id_b, dist FROM p"""))
+
   /** [[qCopurchase]] over the md5 ORDER slice (1/16 of orderkeys) —
     * identical basket² association mining; the slice bounds the
     * oracle's per-order pair explode, not the rule. Support threshold
@@ -9463,7 +9503,8 @@ object Queries {
     q9Profit, q11Stock, qKmvOverlap, qMoments, qEpochPlan, qAbLift,
     qDiversity, qZorder, qKllRollup,
     qDedupClustersSliced, qGroupSplitSliced, qDedupSurvivorsSliced, qDedupPrioSliced,
-    qDedupSavingsSliced, qTrianglesSliced, qPrefixJaccardSliced, qCopurchaseSliced)
+    qDedupSavingsSliced, qTrianglesSliced, qPrefixJaccardSliced, qCopurchaseSliced,
+    qImageNeardupSliced)
 
   val queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.fn).toMap
