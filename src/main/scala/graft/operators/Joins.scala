@@ -284,8 +284,10 @@ object Joins {
     * "other" interval by both, SILENTLY inflating that key's totals.
     * The precondition is therefore CHECKED by default
     * (`checkDisjoint = true`): closed intervals, so any own-key lo ≤
-    * previous hi (lo-sorted within the key) is a violation and fails
-    * loudly — one key-partitioned lag window + a LIMIT-1 probe over the
+    * the MAX preceding own-key hi (lo-sorted within the key — the max,
+    * not lag(hi), so an overlap hiding behind a long earlier interval
+    * is caught too) is a violation and fails loudly — one
+    * key-partitioned window + a LIMIT-1 probe over the
     * already-checkpointed interval frame, interval-sized like
     * everything else here. Callers that guarantee disjointness
     * structurally (gap sessionization does) may pass false to skip the
