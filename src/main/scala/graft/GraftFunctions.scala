@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.plans.{FingerprintExpr, IvfProbesExpr, LangScores, LongArrayEqCount, LshBucketsExpr, MinhashBands, MinhashSig, NgramsExpr, OuterMoments, QDot, QuantizeVec, Simhash32, TextStats, TokenLogit}
+import graft.plans.{CharGramsExpr, FingerprintExpr, IvfProbesExpr, LangScores, LongArrayEqCount, LshBucketsExpr, MinhashBands, MinhashSig, NgramsExpr, OuterMoments, QDot, QuantizeVec, Simhash32, TextStats, TokenLogit}
 
 /** SQL-surface registration of graft's native expressions, so the
   * engine's extensions are first-class in `spark.sql(...)` exactly like
@@ -24,6 +24,7 @@ import graft.plans.{FingerprintExpr, IvfProbesExpr, LangScores, LongArrayEqCount
   *   graft_text_stats(text)        → array<bigint> [ws_tokens, punct, bpe]
   *   graft_fingerprint(tokens)     → bigint (rolling polynomial hash)
   *   graft_ngrams(tokens, n)       → array<string> (distinct word n-grams)
+  *   graft_char_grams(text, n)     → array<string> (sliding char n-grams — the payload-signature shingle)
   *   graft_token_logit(tokens[, b]) → bigint (hashed linear-model logit)
   *   graft_outer_moments(qv)       → array<bigint> (upper-tri products + components)
   *   graft_kll_agg(v[, k])         → binary (mergeable KLL quantiles sketch)
@@ -85,6 +86,10 @@ object GraftFunctions {
     ("graft_fingerprint", classOf[FingerprintExpr],
       "_FUNC_(tokens) - rolling polynomial fingerprint of the token sequence",
       arity("graft_fingerprint", 1, "(tokens)")(args => FingerprintExpr(args.head))),
+    ("graft_char_grams", classOf[CharGramsExpr],
+      "graft_char_grams(text, n) - every sliding substring of length n",
+      arity("graft_char_grams", 2, "(text, n)")(args =>
+        CharGramsExpr(args.head, intLiteral(args(1), "n")))),
     ("graft_ngrams", classOf[NgramsExpr],
       "_FUNC_(tokens, n) - distinct space-joined word n-grams",
       arity("graft_ngrams", 2, "(tokens, n)")(args =>
