@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.plans.{CharGramsExpr, FingerprintExpr, IvfProbesExpr, LangScores, LongArrayEqCount, LshBucketsExpr, MinhashBands, MinhashSig, NgramsExpr, OuterMoments, QDot, QuantizeVec, Simhash32, TextStats, TokenLogit}
+import graft.plans.{BlockHash32, CharGramsExpr, FingerprintExpr, IvfProbesExpr, LangScores, LongArrayEqCount, LshBucketsExpr, MinhashBands, MinhashSig, NgramsExpr, OuterMoments, QDot, QuantizeVec, Simhash32, TextStats, TokenLogit}
 
 /** SQL-surface registration of graft's native expressions, so the
   * engine's extensions are first-class in `spark.sql(...)` exactly like
@@ -90,6 +90,9 @@ object GraftFunctions {
       "graft_char_grams(text, n) - every sliding substring of length n",
       arity("graft_char_grams", 2, "(text, n)")(args =>
         CharGramsExpr(args.head, intLiteral(args(1), "n")))),
+    ("graft_blockhash32", classOf[BlockHash32],
+      "graft_blockhash32(text) - 32-bit pixel-block perceptual hash (md5-derived block intensities, above-mean bits)",
+      arity("graft_blockhash32", 1, "(text)")(args => BlockHash32(args.head))),
     ("graft_ngrams", classOf[NgramsExpr],
       "_FUNC_(tokens, n) - distinct space-joined word n-grams",
       arity("graft_ngrams", 2, "(tokens, n)")(args =>

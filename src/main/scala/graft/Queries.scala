@@ -2123,7 +2123,12 @@ object Queries {
           s"catalog — run graft.TokenMat.materialize(spark, \"$dir\", \"$name\") first " +
           "or unset the flag. (Silent inline fallback is deliberately NOT done: a flag " +
           "the operator set must never quietly run the ~5x slower path.)")
-      val expect = tableCount(s, dir, "documents")
+      // deliberately NOT tableCount (the memoized count): a staleness
+      // check that reads a count memoized before documents.parquet was
+      // regenerated would compare stale-to-stale and miss (ADVICE r16)
+      // — one uncached count() per flag-on query is the price of a
+      // freshness check that also works within a session
+      val expect = t(s, dir, "documents").count()
       val prop = s.sql(s"SHOW TBLPROPERTIES $name").collect()
         .collectFirst { case r if r.getString(0) == "graft.doc_count" => r.getString(1) }
       if (!prop.contains(expect.toString))
@@ -3702,20 +3707,46 @@ object Queries {
               CAST(least(ty * 128 + 256, h) AS BIGINT) AS y1
             FROM g"""))
 
+  /** Shared oracle prefix for the phash32 pair family: the pixel-block
+    * perceptual hash per doc — 32 code-point position blocks
+    * lo_j = ⌊j·L/32⌋, intensity_j = first 8 md5 hex digits of the
+    * block as unsigned, bit j set iff intensity_j·32 > Σ intensities —
+    * replaying plans.BlockHash32 bit for bit (DuckDB substr/length
+    * count code points exactly like UTF8String), then the brute
+    * byte-band pigeonhole pair miner. Ends with `p(id_a, id_b, dist)`;
+    * `where` narrows the doc set (the sliced twin). */
+  private def phashPairsSql(where: String): String =
+    s"""WITH t0 AS (SELECT doc_id, text, length(text) AS L FROM documents
+                WHERE length(text) >= 4$where),
+             ih AS (SELECT doc_id, list_transform(range(0, 32), j ->
+                      ('0x' || substr(md5(substr(text, CAST((j*L)//32 + 1 AS BIGINT),
+                         CAST(((j+1)*L)//32 - (j*L)//32 AS BIGINT))), 1, 8))::BIGINT) AS ints
+                    FROM t0),
+             s AS (SELECT doc_id AS id,
+                     CAST(list_sum(list_transform(range(0, 32), j ->
+                       CASE WHEN ints[j+1] * 32 > list_sum(ints) THEN (1::BIGINT << j) ELSE 0 END)) AS BIGINT) AS sim
+                   FROM ih),
+             bd AS (SELECT id, sim, k, (sim >> (8*k)) & 255 AS byte FROM s CROSS JOIN range(0, 4) tt(k)),
+             p AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b,
+                     CAST(bit_count(xor(a.sim, b.sim)) AS BIGINT) AS dist
+                   FROM bd a JOIN bd b ON a.k = b.k AND a.byte = b.byte AND a.id < b.id
+                   WHERE bit_count(xor(a.sim, b.sim)) <= 3)"""
+
   /** MULTIMODAL near-dup pairs (round 16 — VERDICT r15 item 5: dedup
     * was first-class for text and embeddings but absent for the binary
-    * assets the engine already decodes). Perceptual-hash-style
-    * signature over each asset payload (Multimodal.phash32 — SimHash
-    * of the payload's sliding 4-byte windows, the engine-portable
-    * stand-in for a pixel pHash computed inside the partition decode),
-    * then the EXACT hamming ≤ 3 pair miner the text SimHash family
-    * uses (byte-band pigeonhole equi-join, report-once-at-min-band —
+    * assets the engine already decodes). Perceptual-hash signature
+    * over each asset payload (Multimodal.phash32 — round 17: the
+    * pixel-block aHash rule over 32 md5-derived position blocks,
+    * replacing the round-16 byte-window SimHash whose shared-template
+    * windows clustered ~6x denser than token simhash), then the EXACT
+    * hamming ≤ 3 pair miner the text SimHash family uses (byte-band
+    * pigeonhole equi-join, report-once-at-min-band —
     * DedupFns.nearDupPairsFromSigs), so candidates are equi-join
     * bounded at any corpus size and the result is exact, never
     * all-pairs. The oracle replays the signature bit-for-bit from md5
-    * arithmetic over the same windows (h31 per window, ±1 vote per
-    * bit) and mines pairs by brute band join — structurally
-    * independent of the Spark plan.
+    * arithmetic over the same code-point block boundaries and mines
+    * pairs by brute band join — structurally independent of the Spark
+    * plan.
     */
   private val qImageNeardup = GraftQuery(
     "q_image_neardup",
@@ -3727,26 +3758,41 @@ object Queries {
           Multimodal.phash32(col("payload")).as("sim"), Fence.col)
       DedupFns.nearDupPairsFromSigs(sigs, maxHamming = 3)
     },
-    Some(s"""WITH t0 AS (SELECT doc_id,
-                  list_transform(range(1, length(text) - 2), i -> substr(text, i, 4)) AS gr
-                FROM documents WHERE length(text) >= 4),
-             hs AS (SELECT doc_id, list_transform(gr, g -> ${h31Sql("g")}) AS h
-                    FROM t0 WHERE len(gr) > 0),
-             sums AS (SELECT doc_id,
-                        list_transform(range(0, 32), j ->
-                          CAST(list_sum(list_transform(h, x ->
-                            CASE WHEN (x // (1::BIGINT << j)) % 2 = 1 THEN 1 ELSE -1 END)) AS BIGINT)) AS sm
-                      FROM hs),
-             s AS (SELECT doc_id AS id,
-                     CAST(list_sum(list_transform(range(0, 32), j ->
-                       CASE WHEN sm[j+1] > 0 THEN (1::BIGINT << j) ELSE 0 END)) AS BIGINT) AS sim
-                   FROM sums),
-             bd AS (SELECT id, sim, k, (sim >> (8*k)) & 255 AS byte FROM s CROSS JOIN range(0, 4) tt(k)),
-             p AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b,
-                     CAST(bit_count(xor(a.sim, b.sim)) AS BIGINT) AS dist
-                   FROM bd a JOIN bd b ON a.k = b.k AND a.byte = b.byte AND a.id < b.id
-                   WHERE bit_count(xor(a.sim, b.sim)) <= 3)
+    Some(s"""${phashPairsSql("")}
              SELECT id_a, id_b, dist FROM p"""))
+
+  /** BOUNDED-REPORT multimodal near-dup twin (round 17 — VERDICT r16
+    * item 1, the exact 9e → 9e2 precedent): per ASSET, how many
+    * near-dup pairs it participates in and its closest hamming
+    * distance, over the IDENTICAL banded miner as [[qImageNeardup]].
+    * Each surviving pair collapses into its two endpoints immediately
+    * after the band join and the count/min partial-aggregate map-side
+    * before the only post-join exchange — so the OUTPUT and that
+    * exchange are asset-sized at any scale, where the pair report
+    * grows with the (corpus-dependent, potentially superlinear) pair
+    * count: r16 measured 197k → 4.2M pairs per decade on the
+    * byte-window signature, 5.5% of the sf10 sweep on output volume
+    * alone. The pair query stays the drill-down surface; THIS is the
+    * sweep-at-scale member. Oracle folds the brute pair miner's
+    * endpoints — structurally independent of the Spark plan.
+    */
+  private val qImageNeardupCounts = GraftQuery(
+    "q_image_neardup_counts",
+    (s, dir) => {
+      val sigs = t(s, dir, "documents")
+        .select(col("doc_id"), col("text").cast("binary").as("payload"))
+        .filter(length(col("payload").cast("string")) >= 4)
+        .select(col("doc_id").as("id"),
+          Multimodal.phash32(col("payload")).as("sim"), Fence.col)
+      DedupFns.nearDupCountsFromSigs(sigs, maxHamming = 3)
+    },
+    Some(s"""${phashPairsSql("")},
+             ep AS (SELECT id_a AS id, dist FROM p
+                    UNION ALL
+                    SELECT id_b AS id, dist FROM p)
+             SELECT id, CAST(count(*) AS BIGINT) AS n_neardups,
+               CAST(min(dist) AS BIGINT) AS min_dist
+             FROM ep GROUP BY id"""))
 
   /** Mixture GAP report: each source's actual token share vs the
     * uniform target, in exact milli-units — the rebalancing view a
@@ -9398,26 +9444,7 @@ object Queries {
           Multimodal.phash32(col("payload")).as("sim"), Fence.col)
       DedupFns.nearDupPairsFromSigs(sigs, maxHamming = 3)
     },
-    Some(s"""WITH t0 AS (SELECT doc_id,
-                  list_transform(range(1, length(text) - 2), i -> substr(text, i, 4)) AS gr
-                FROM documents
-                WHERE length(text) >= 4 AND ${sliceDocPredSql("doc_id")}),
-             hs AS (SELECT doc_id, list_transform(gr, g -> ${h31Sql("g")}) AS h
-                    FROM t0 WHERE len(gr) > 0),
-             sums AS (SELECT doc_id,
-                        list_transform(range(0, 32), j ->
-                          CAST(list_sum(list_transform(h, x ->
-                            CASE WHEN (x // (1::BIGINT << j)) % 2 = 1 THEN 1 ELSE -1 END)) AS BIGINT)) AS sm
-                      FROM hs),
-             s AS (SELECT doc_id AS id,
-                     CAST(list_sum(list_transform(range(0, 32), j ->
-                       CASE WHEN sm[j+1] > 0 THEN (1::BIGINT << j) ELSE 0 END)) AS BIGINT) AS sim
-                   FROM sums),
-             bd AS (SELECT id, sim, k, (sim >> (8*k)) & 255 AS byte FROM s CROSS JOIN range(0, 4) tt(k)),
-             p AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b,
-                     CAST(bit_count(xor(a.sim, b.sim)) AS BIGINT) AS dist
-                   FROM bd a JOIN bd b ON a.k = b.k AND a.byte = b.byte AND a.id < b.id
-                   WHERE bit_count(xor(a.sim, b.sim)) <= 3)
+    Some(s"""${phashPairsSql(s" AND ${sliceDocPredSql("doc_id")}")}
              SELECT id_a, id_b, dist FROM p"""))
 
   /** [[qCopurchase]] over the md5 ORDER slice (1/16 of orderkeys) —
@@ -9499,7 +9526,7 @@ object Queries {
     qRunningDistinct, qFirstSeen, qDedupDegree, qDecileBin,
     qBloomDecontam, qDupSpanRuns, qEmbedQuant, qGramMatrix, qPcaPower, qMixWeights, qDomainSim, qEmbedPq, qPqAdc, qPqRescore, qDedupPrio, qKnnHubs, qIvfPq, qEmbedBinary, qSpanScrub, qSpanExcise,
     qTokenCount, qFingerprint, qMultimodalMeta,
-    qMultimodalDecode, qResizePlan, qFrameSample, qAudioSegments, qTilePlan, qImageNeardup, qMixGap,
+    qMultimodalDecode, qResizePlan, qFrameSample, qAudioSegments, qTilePlan, qImageNeardup, qImageNeardupCounts, qMixGap,
     q9Profit, q11Stock, qKmvOverlap, qMoments, qEpochPlan, qAbLift,
     qDiversity, qZorder, qKllRollup,
     qDedupClustersSliced, qGroupSplitSliced, qDedupSurvivorsSliced, qDedupPrioSliced,

@@ -33,26 +33,65 @@ object StreamScale {
         s""""state_rows":$stateRows,"state_bytes":$stateBytes}"""
   }
 
-  /** Peak state-operator size observed across the run's micro-batches
+  /** Peak state-operator size across the run's micro-batches
     * (VERDICT r15 item 7: the "bounded state" claims — ≤4 KiB HLL
     * registers, k MG counters, 3 longs per sessionize key — measured at
     * the 10M tape, not asserted). numRowsTotal is the store's row
     * count; bytes is memoryUsedBytes with the RocksDB total-memory
     * custom metric as fallback (the RocksDB provider reports its
     * memtable+block-cache there).
+    *
+    * Captured via a StreamingQueryListener rather than polling
+    * q.recentProgress after the fact (ADVICE r16): that buffer is
+    * capped at spark.sql.streaming.numRecentProgressUpdates (default
+    * 100), so the 100-batch trigger-sensitivity run could evict its
+    * early entries, and the final batch's progress event may not have
+    * been posted yet when the poll runs — both understate the peak.
+    * The listener sees every QueryProgressEvent exactly once; peaks
+    * accumulate per runId (events for one query arrive sequentially on
+    * the bus, so plain max-update is safe).
     */
-  private def peakState(q: org.apache.spark.sql.streaming.StreamingQuery): (Long, Long) = {
-    val ops = q.recentProgress.flatMap(p => Option(p.stateOperators).toSeq.flatten)
-    if (ops.isEmpty) (0L, 0L)
-    else {
-      val rows = ops.map(_.numRowsTotal).max
-      val bytes = ops.map { o =>
-        val custom = Option(o.customMetrics)
-          .map(m => java.lang.Long.valueOf(m.getOrDefault("rocksdbTotalMemoryUsage", 0L).toString).longValue)
-          .getOrElse(0L)
-        math.max(o.memoryUsedBytes, custom)
-      }.max
-      (rows, bytes)
+  private final class PeakListener
+      extends org.apache.spark.sql.streaming.StreamingQueryListener {
+    import org.apache.spark.sql.streaming.StreamingQueryListener._
+    val rows = scala.collection.concurrent.TrieMap.empty[java.util.UUID, Long]
+    val bytes = scala.collection.concurrent.TrieMap.empty[java.util.UUID, Long]
+    val events = scala.collection.concurrent.TrieMap.empty[java.util.UUID, Long]
+    override def onQueryStarted(e: QueryStartedEvent): Unit = ()
+    override def onQueryTerminated(e: QueryTerminatedEvent): Unit = ()
+    override def onQueryProgress(e: QueryProgressEvent): Unit = {
+      val p = e.progress
+      val ops = Option(p.stateOperators).toSeq.flatten
+      if (ops.nonEmpty) {
+        val r = ops.map(_.numRowsTotal).max
+        val b = ops.map { o =>
+          val custom = Option(o.customMetrics)
+            .map(m => java.lang.Long.valueOf(m.getOrDefault("rocksdbTotalMemoryUsage", 0L).toString).longValue)
+            .getOrElse(0L)
+          math.max(o.memoryUsedBytes, custom)
+        }.max
+        rows.put(p.runId, math.max(rows.getOrElse(p.runId, 0L), r))
+        bytes.put(p.runId, math.max(bytes.getOrElse(p.runId, 0L), b))
+      }
+      events.put(p.runId, events.getOrElse(p.runId, 0L) + 1): Unit
+    }
+
+    /** Peaks for a STOPPED query, after draining the async listener
+      * bus: spin until no new progress event for this runId arrives in
+      * a 100 ms window (≤ 5 s cap) — the final batch's event posts
+      * asynchronously after q.stop() returns.
+      */
+    def awaitPeak(q: org.apache.spark.sql.streaming.StreamingQuery): (Long, Long) = {
+      var last = -1L
+      var cur = events.getOrElse(q.runId, 0L)
+      var spins = 0
+      while (cur != last && spins < 50) {
+        last = cur
+        Thread.sleep(100)
+        cur = events.getOrElse(q.runId, 0L)
+        spins += 1
+      }
+      (rows.getOrElse(q.runId, 0L), bytes.getOrElse(q.runId, 0L))
     }
   }
 
@@ -66,6 +105,8 @@ object StreamScale {
     spark.sparkContext.setLogLevel("WARN")
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
+    val peaks = new PeakListener
+    spark.streams.addListener(peaks)
 
     def tapeOf(dir: String): Array[KeyedEvent] =
       Queries.events(spark, dir)
@@ -81,11 +122,10 @@ object StreamScale {
       val ms = MemoryStream[KeyedEvent]
       val t0 = System.nanoTime()
       val q = mk(ms.toDS()).writeStream.format("noop").outputMode(mode).start()
-      val st = try {
-        groups.foreach { b => ms.addData(b); q.processAllAvailable() }
-        peakState(q)
-      } finally q.stop()
-      Reading(op, dir, tape.length, groups.length, (System.nanoTime() - t0) / 1e9, st._1, st._2)
+      try groups.foreach { b => ms.addData(b); q.processAllAvailable() } finally q.stop()
+      val sec = (System.nanoTime() - t0) / 1e9
+      val st = peaks.awaitPeak(q)
+      Reading(op, dir, tape.length, groups.length, sec, st._1, st._2)
     }
 
     def cmsRun(tape: Array[KeyedEvent], dir: String, batches: Int): Reading = {
@@ -95,12 +135,10 @@ object StreamScale {
       val t0 = System.nanoTime()
       val q = StreamingOps.cmsFreq(ms.toDS(), 4, 256, (0L until 10L).map(_.toString))
         .toDF().writeStream.format("noop").outputMode(OutputMode.Update()).start()
-      val st = try {
-        groups.foreach { b => ms.addData(b); q.processAllAvailable() }
-        peakState(q)
-      } finally q.stop()
-      Reading("cms_freq", dir, pairs.length, groups.length, (System.nanoTime() - t0) / 1e9,
-        st._1, st._2)
+      try groups.foreach { b => ms.addData(b); q.processAllAvailable() } finally q.stop()
+      val sec = (System.nanoTime() - t0) / 1e9
+      val st = peaks.awaitPeak(q)
+      Reading("cms_freq", dir, pairs.length, groups.length, sec, st._1, st._2)
     }
 
     // the two sketch twins stream the same (key-bucket, token) pairs as
@@ -114,12 +152,10 @@ object StreamScale {
       val t0 = System.nanoTime()
       val q = mk(ms.toDS()).writeStream.format("noop")
         .outputMode(OutputMode.Update()).start()
-      val st = try {
-        groups.foreach { b => ms.addData(b); q.processAllAvailable() }
-        peakState(q)
-      } finally q.stop()
-      Reading(op, dir, pairs.length, groups.length, (System.nanoTime() - t0) / 1e9,
-        st._1, st._2)
+      try groups.foreach { b => ms.addData(b); q.processAllAvailable() } finally q.stop()
+      val sec = (System.nanoTime() - t0) / 1e9
+      val st = peaks.awaitPeak(q)
+      Reading(op, dir, pairs.length, groups.length, sec, st._1, st._2)
     }
 
     def funnelRun(tape: Array[KeyedEvent], dir: String, batches: Int): Reading = {
@@ -134,12 +170,10 @@ object StreamScale {
       val t0 = System.nanoTime()
       val q = StreamingOps.funnel(ms.toDS()).toDF().writeStream.format("noop")
         .outputMode(OutputMode.Append()).start()
-      val st = try {
-        groups.foreach { b => ms.addData(b); q.processAllAvailable() }
-        peakState(q)
-      } finally q.stop()
-      Reading("funnel", dir, recs.length, groups.length, (System.nanoTime() - t0) / 1e9,
-        st._1, st._2)
+      try groups.foreach { b => ms.addData(b); q.processAllAvailable() } finally q.stop()
+      val sec = (System.nanoTime() - t0) / 1e9
+      val st = peaks.awaitPeak(q)
+      Reading("funnel", dir, recs.length, groups.length, sec, st._1, st._2)
     }
 
     val out = Seq.newBuilder[Reading]

@@ -259,6 +259,29 @@ object DedupFns {
       .filter(col("dist") <= maxHamming)
   }
 
+  /** BOUNDED-REPORT twin of [[nearDupPairsFromSigs]] — the 9e → 9e2
+    * precedent (q_overlap_sessions → q_overlap_counts) applied to the
+    * signature pair family: per ID, how many near-dup pairs it
+    * participates in and its closest distance. Each pair that survives
+    * the miner collapses into its TWO ENDPOINTS immediately (a 2-array
+    * posexplode-free inline explode), and count/min partial-aggregate
+    * map-side before the single post-join exchange — output and that
+    * exchange are ID-sized at ANY scale, while the pair report grows
+    * with the (corpus-dependent, potentially superlinear) pair count.
+    * The band-join mining cost itself is unchanged — candidate
+    * generation is the operator's contract; what this removes is the
+    * output-bound term. Pair query = drill-down surface; this = the
+    * sweep-at-scale member.
+    */
+  def nearDupCountsFromSigs(sigs: DataFrame, maxHamming: Int): DataFrame =
+    nearDupPairsFromSigs(sigs, maxHamming)
+      .select(explode(array(
+        struct(col("id_a").as("id"), col("dist")),
+        struct(col("id_b").as("id"), col("dist")))).as("e"))
+      .select(col("e.id").as("id"), col("e.dist").as("dist"))
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_neardups"), min(col("dist")).as("min_dist"))
+
   // ---- n-gram Jaccard ---------------------------------------------------
 
   /** Distinct word n-grams over an ALREADY-MATERIALIZED token array

@@ -491,13 +491,33 @@ object VectorFns {
     def assigned(fineRel: DataFrame): DataFrame =
       if (assignProbes <= 0) assignFull(fineRel).select(col("cid"), col("qv"))
       else assignTrunc(fineRel, math.min(assignProbes, k1)).select(col("cid"), col("qv"))
+    // one corpus count, reused by every round's guard and the final one
+    val corpusN = if (assignProbes > 0) q.count() else -1L
     var r = 0
     while (r < rounds) {
-      val means = assigned(fine)
+      val perDim0 = assigned(fine)
         .select(col("cid"), posexplode(col("qv")).as(Seq("dim", "v")))
         .groupBy("cid", "dim")
         .agg(sum(col("v")).as("s"), count(lit(1)).as("n"))
         .withColumn("mv", expr("(s - ((s % n + n) % n)) div n"))
+      // PER-ROUND row-loss guard (ADVICE r16): the final-assignment
+      // guard below cannot see THIS round's membership — fine centroids
+      // move between rounds, so a row can silently drop out of a
+      // round's means (biasing the centroids) yet still reach a
+      // centroid in the final pass. Checkpointing the k·d per-dim
+      // frame makes the coverage read free of a second assignment
+      // join; n at dim 0 counts every row the round's means saw.
+      val perDim = if (assignProbes > 0) perDim0.localCheckpoint(true) else perDim0
+      if (assignProbes > 0) {
+        val aRow = perDim.filter(col("dim") === 0).agg(sum(col("n"))).collect()(0)
+        val sawN = if (aRow.isNullAt(0)) 0L else aRow.getLong(0)
+        require(sawN == corpusN,
+          s"kmeansTrain2(assignProbes=$assignProbes): round $r means saw only $sawN of " +
+            s"$corpusN corpus rows — some rows' probed coarse cells contain no fine " +
+            "centroid THIS round, so they were silently dropped from the round's means. " +
+            "Raise assignProbes or use assignProbes=0 (full assignment).")
+      }
+      val means = perDim
         .groupBy(col("cid"))
         .agg(transform(array_sort(collect_list(struct(col("dim"), col("mv")))),
           x => x.getField("mv")).as("nv"))
@@ -506,6 +526,7 @@ object VectorFns {
         .select(col("fcid"), coalesce(col("nv"), col("fv")).as("fv"))
         .localCheckpoint(true)
       org.apache.spark.sql.GraftBridge.freeLocalCheckpoint(fine)
+      if (assignProbes > 0) org.apache.spark.sql.GraftBridge.freeLocalCheckpoint(perDim)
       fine = next
       r += 1
     }
@@ -524,19 +545,18 @@ object VectorFns {
         .groupBy(col("cid"))
         .agg(count(lit(1)).as("n_members"), sum(col("d2")).as("inertia"))
         .localCheckpoint(true)
-      // ROW-LOSS guard (ADVICE r15): the truncated path's routing join
-      // (corpus rows meet fine centroids THROUGH their probed coarse
-      // cells) is inner — a row whose probed cells contain zero fine
-      // centroids silently vanishes from the means and from these
-      // totals, which is row LOSS, not approximation. Same medicine as
-      // the pcaPower ragged-corpus guard: compare assigned coverage to
-      // the corpus once on the k-row final frame and fail loudly with
-      // the fix (more probes, or the full-assignment path, which is
-      // structurally complete). Costs one corpus count (memo-free but a
-      // single scan) + a k-row aggregate read — training-loop noise.
+      // ROW-LOSS guard (ADVICE r15; per-round twin above — ADVICE r16):
+      // the truncated path's routing join (corpus rows meet fine
+      // centroids THROUGH their probed coarse cells) is inner — a row
+      // whose probed cells contain zero fine centroids silently
+      // vanishes from the means and from these totals, which is row
+      // LOSS, not approximation. Same medicine as the pcaPower
+      // ragged-corpus guard: compare assigned coverage to the corpus
+      // (counted once, above the loop) on the k-row final frame and
+      // fail loudly with the fix (more probes, or the full-assignment
+      // path, which is structurally complete).
       val aRow = res.agg(sum(col("n_members"))).collect()(0)
       val assignedN = if (aRow.isNullAt(0)) 0L else aRow.getLong(0)
-      val corpusN = q.count()
       require(assignedN == corpusN,
         s"kmeansTrain2(assignProbes=$assignProbes): only $assignedN of $corpusN corpus " +
           "rows reached a fine centroid — some rows' probed coarse cells contain no " +

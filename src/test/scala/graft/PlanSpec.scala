@@ -948,6 +948,41 @@ class PlanSpec extends SparkSpecBase {
     assert(p.linesIterator.count(_.contains("documents.parquet")) == 1, p)
   }
 
+  test("q_overlap_counts: single-partition exchanges carry only bucket-aggregated frames") {
+    // VERDICT r16 item 5: the sweep-line's cross-bucket offset frames
+    // ride Window.orderBy(__b) — a SinglePartition exchange each. That
+    // is bounded BY DESIGN because every one of those frames was first
+    // collapsed by a groupBy(__b) to bucket-count size; nothing else
+    // pinned it, so a future edit could silently funnel an
+    // INTERVAL-sized relation through one task. Structural pin: every
+    // SinglePartition shuffle in the plan must have a bucket(__b)-keyed
+    // aggregate somewhere below it.
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+    import org.apache.spark.sql.catalyst.plans.physical.SinglePartition
+    val df = Queries.queries("q_overlap_counts")(spark, sfDir)
+    val root: SparkPlan = df.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+    val singles = root.collect {
+      case e: ShuffleExchangeExec if e.outputPartitioning == SinglePartition => e
+    }
+    assert(singles.nonEmpty,
+      "sweep-line shape changed: expected bucket-offset single-partition windows\n" + root.treeString)
+    singles.foreach { e =>
+      val bucketAgg = e.child.collectFirst {
+        case a: BaseAggregateExec if a.groupingExpressions.nonEmpty &&
+          a.groupingExpressions.forall(_.toString.contains("__b")) => a
+      }
+      assert(bucketAgg.nonEmpty,
+        "a SinglePartition exchange is NOT fed by a bucket(__b)-keyed aggregate — " +
+          s"an interval-sized frame would funnel through one task:\n${e.treeString}")
+    }
+  }
+
   test("q17_smallqty / q20_excess: correlated-average shapes scan lineitem once") {
     // q17: the per-part average rides unordered windows over the rows'
     // own l_partkey exchange (no aggregate-joined-back second scan);

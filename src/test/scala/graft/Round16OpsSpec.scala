@@ -193,22 +193,27 @@ class Round16OpsSpec extends SparkSpecBase {
 
   // ---- multimodal perceptual-hash near-dup --------------------------------
 
-  /** Plain-Scala twin of Multimodal.phash32: md5-based h31 per sliding
-    * 4-char window, ±1 vote per bit, bit set iff the sum is positive.
+  /** Plain-Scala twin of Multimodal.phash32 (round 17 pixel-block
+    * form): 32 code-point position blocks lo_j = ⌊j·L/32⌋, intensity =
+    * first 4 md5 digest bytes of the block as big-endian unsigned, bit
+    * j set iff intensity_j·32 > Σ intensities. Deliberately a
+    * different traversal than the kernel (code-point ARRAY here vs the
+    * kernel's offsetByCodePoints cursor walk).
     */
   private def brutePhash(s: String): Long = {
     val md = java.security.MessageDigest.getInstance("MD5")
-    def h31(g: String): Long = {
-      val hex = md.digest(g.getBytes("UTF-8")).map("%02x".format(_)).mkString
-      java.lang.Long.parseLong(hex.take(15), 16) % 2147483647L
+    val cps = s.codePoints().toArray
+    val L = cps.length
+    val ints = Array.tabulate(32) { j =>
+      val lo = (j.toLong * L / 32).toInt
+      val hi = ((j + 1).toLong * L / 32).toInt
+      md.reset()
+      val d = md.digest(new String(cps, lo, hi - lo).getBytes("UTF-8"))
+      ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
+        ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
     }
-    val votes = Array.fill(32)(0L)
-    s.sliding(4).filter(_.length == 4).foreach { g =>
-      val h = h31(g)
-      var j = 0
-      while (j < 32) { votes(j) += (if (((h >> j) & 1L) == 1L) 1L else -1L); j += 1 }
-    }
-    (0 until 32).map(j => if (votes(j) > 0) 1L << j else 0L).sum
+    val sum = ints.sum
+    (0 until 32).map(j => if (ints(j) * 32L > sum) 1L << j else 0L).sum
   }
 
   test("phash32 == plain-Scala brute force, and CharGramsExpr == the declarative sliding substring") {
@@ -218,16 +223,18 @@ class Round16OpsSpec extends SparkSpecBase {
       "the quick brown fox jumps over the lazy cat", // near-dup
       "the quick brown fox jumps over the lazy dog", // exact dup
       "completely different payload bytes here, nothing shared at all",
-      "abc", // < 4 chars: empty gram array → sig 0
+      "emoji 😀📦 payload 😀 beyond the BMP", // supplementary-plane code points
+      "abc", // shorter than the block count: trailing blocks empty
       "")
     val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("id", "text")
     val got = df.select(col("id"),
         Multimodal.phash32(col("text").cast("binary")).as("sim"))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     texts.zipWithIndex.foreach { case (t, i) =>
-      val expect = if (t.length < 4) 0L else brutePhash(t)
-      assert(got(i.toLong) === expect, s"phash mismatch on '$t'")
+      assert(got(i.toLong) === brutePhash(t), s"phash mismatch on '$t'")
     }
+    assert(got(5L) === brutePhash("abc")) // defined below 4 chars (queries filter, the hash doesn't)
+    assert(got(6L) === 0L, "all-blocks-equal (empty) payload hashes to 0 under strict >")
     // kernel parity: CharGramsExpr == transform(sequence(...), substring)
     // the declarative twin needs a length guard: sequence(1, 0) DESCENDS
     // ([1, 0]) instead of being empty — the exact artifact the kernel's

@@ -1,0 +1,127 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.Multimodal
+import graft.plans.BlockHash32Kernel
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Round-17 pins, one per VERDICT/ADVICE r16 item:
+  *  - pixel-block pHash BIT-FLIP LOCALITY (VERDICT item 3's done
+  *    criterion): single-code-point substitutions flip few signature
+  *    bits (the perceptual-hash contract), disjoint payloads sit far
+  *    apart — measured on 200 deterministic fixtures and pinned;
+  *  - bounded-report multimodal near-dup twin (VERDICT item 1):
+  *    q_image_neardup_counts == the exact pair set's endpoint fold,
+  *    via a plain-Scala all-pairs brute force on the sf0.001 corpus;
+  *  - CharGramsKernel code-point slicing (ADVICE item 1): grams never
+  *    split a surrogate pair, and the kernel stays value-identical to
+  *    the declarative substring twin ON SUPPLEMENTARY-PLANE text
+  *    (the UTF-16 version diverged there).
+  */
+class Round17OpsSpec extends SparkSpecBase {
+
+  // ---- pixel-block pHash locality (VERDICT r16 item 3) --------------------
+
+  private def bh(s: String): Long = BlockHash32Kernel.hash(UTF8String.fromString(s))
+
+  test("blockhash32 bit-flip locality: single-char edits flip few bits, disjoint payloads many") {
+    val chars = "abcdefghijklmnopqrstuvwxyz 0123456789"
+    val dists = (0 until 200).map { trial =>
+      val L = 64 + (trial * 7) % 512
+      val s = (0 until L).map(i => chars((i * 31 + trial) % chars.length)).mkString
+      val pos = (trial * 13) % L
+      val s2 = s.updated(pos, if (s(pos) != 'X') 'X' else 'Y')
+      java.lang.Long.bitCount(bh(s) ^ bh(s2))
+    }
+    // one substituted code point touches exactly one position block →
+    // ≤ 1 direct flip; extra flips only where the mean shift crosses a
+    // borderline intensity (E ≈ 1 for uniform intensities — see
+    // BlockHash32Kernel). Measured on these fixtures: max 6, mean 0.84,
+    // 98.5% within the hamming ≤ 3 mining radius.
+    assert(dists.max <= 6, s"an edit flipped ${dists.max} bits — locality broken")
+    assert(dists.sum.toDouble / dists.size <= 2.0, "mean flip count drifted")
+    assert(dists.count(_ <= 3).toDouble / dists.size >= 0.9,
+      "edits no longer land inside the hamming <= 3 mining radius")
+    val disjoint = (0 until 100).map { trial =>
+      val a = (0 until 200).map(i => chars((i * 17 + trial) % chars.length)).mkString
+      val b = (0 until 200).map(i => chars((i * 23 + trial * 5 + 7) % chars.length)).mkString
+      java.lang.Long.bitCount(bh(a) ^ bh(b))
+    }
+    // unrelated payloads: independent above-mean coin flips per bit →
+    // hamming ~ Binomial(32, 1/2); measured min 9 on these fixtures
+    assert(disjoint.min >= 8, "disjoint payloads collided — signature degenerate")
+  }
+
+  test("blockhash32 block boundaries are code points (DuckDB substr parity beyond the BMP)") {
+    // 😀 is U+1F600 (2 UTF-16 code units, 1 code point). A UTF-16
+    // slicer would cut blocks mid-surrogate here; the code-point walk
+    // must agree with a code-point-array reference.
+    val s = "😀" * 40 + "abc" + "📦" * 21
+    val cps = s.codePoints().toArray
+    val L = cps.length
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val ints = Array.tabulate(32) { j =>
+      val lo = (j.toLong * L / 32).toInt
+      val hi = ((j + 1).toLong * L / 32).toInt
+      md.reset()
+      val d = md.digest(new String(cps, lo, hi - lo).getBytes("UTF-8"))
+      ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) | ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
+    }
+    val sum = ints.sum
+    val expect = (0 until 32).map(j => if (ints(j) * 32L > sum) 1L << j else 0L).sum
+    assert(bh(s) === expect)
+  }
+
+  // ---- bounded-report near-dup twin (VERDICT r16 item 1) ------------------
+
+  test("q_image_neardup_counts == endpoint fold of the exact pair set (plain-Scala brute force)") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toSeq
+    val sigs = docs.filter(_._2.length >= 4).map { case (id, t) => id -> bh(t) }
+    val pairs = for {
+      (ia, sa) <- sigs; (ib, sb) <- sigs if ia < ib
+      d = java.lang.Long.bitCount(sa ^ sb) if d <= 3
+    } yield (ia, ib, d.toLong)
+    val brute = pairs.flatMap(p => Seq(p._1 -> p._3, p._2 -> p._3))
+      .groupBy(_._1)
+      .map { case (id, xs) => (id, xs.size.toLong, xs.map(_._2).min) }
+      .toSeq.sorted
+    val got = SparkEntry.queries("q_image_neardup_counts")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted.toSeq
+    assert(got === brute)
+    assert(got.nonEmpty, "corpus has near-dup payloads; the fold must report them")
+    // participation accounting: Σ n_neardups = 2 · |pairs|
+    assert(got.map(_._2).sum === 2L * pairs.size)
+  }
+
+  // ---- CharGramsKernel code points (ADVICE r16 item 1) --------------------
+
+  test("char grams slice by code points: no split surrogates, declarative parity beyond the BMP") {
+    import spark.implicits._
+    val texts = Seq(
+      "😀📦😀📦 four-gram windows over supplementary-plane text 😀",
+      "a😀b📦c", "😀😀😀", "😀😀😀😀", "plain ascii control")
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("id", "text")
+    val kernel = df.select(col("id"), org.apache.spark.sql.GraftBridge.column(
+        graft.plans.CharGramsExpr(org.apache.spark.sql.GraftBridge.expression(col("text")), 4)).as("g"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    // Spark's built-in length/substring count code points — the twin
+    // the kernel must match on ALL text, not just the BMP (the exact
+    // divergence ADVICE r16 flagged on the UTF-16 version)
+    val declarative = df.select(col("id"), expr(
+      """CASE WHEN length(text) >= 4
+         THEN transform(sequence(1, length(text) - 3), i -> substring(text, i, 4))
+         ELSE array() END""").as("g"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    assert(kernel === declarative)
+    // every gram is exactly 4 code points and well-formed (a split
+    // surrogate pair would make the code-point count drift or produce
+    // an unpaired surrogate)
+    kernel.values.flatten.foreach { g =>
+      assert(g.codePointCount(0, g.length) === 4, s"gram '$g' is not 4 code points")
+      assert(!g.exists(c => Character.isSurrogate(c) &&
+        (g.indexOf(c) == g.length - 1 && Character.isHighSurrogate(c))), s"dangling surrogate in '$g'")
+    }
+  }
+}

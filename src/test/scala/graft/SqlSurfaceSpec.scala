@@ -16,12 +16,18 @@ class SqlSurfaceSpec extends SparkSpecBase {
     assert(spark.sql("SELECT graft_text_stats(text) FROM d").count() == 20)
     assert(spark.sql(s"SELECT graft_ngrams($toks, 3) FROM d").count() == 20)
     // char n-grams: SQL form == the sliding-substring definition, and a
-    // full perceptual-hash stub composes in pure SQL
+    // window-simhash signature composes in pure SQL
     val cg = spark.sql(
       "SELECT graft_char_grams('abcde', 4) AS g, graft_simhash32(graft_char_grams(text, 4)) AS p FROM d")
       .collect()
     assert(cg.length == 20 && cg.head.getSeq[String](0) == Seq("abcd", "bcde"))
     assert(spark.sql("SELECT graft_char_grams('ab', 4) AS g").collect()(0).getSeq[String](0).isEmpty)
+    // the pixel-block perceptual hash is SQL-callable and 32-bit
+    val bhv = spark.sql("SELECT graft_blockhash32(text) AS h FROM d").collect()
+    assert(bhv.length == 20 && bhv.forall { r =>
+      val h = r.getLong(0); h >= 0L && h < (1L << 32)
+    })
+    assert(spark.sql("SELECT graft_blockhash32('') AS h").collect()(0).getLong(0) == 0L)
     assert(spark.sql(s"SELECT graft_fingerprint($toks) FROM d").count() == 20)
     // self-agreement of a signature is always the full 16
     val selfAg = spark.sql(
