@@ -3157,6 +3157,67 @@ object Queries {
              FROM bx LEFT JOIN nn ON bx.query_id = nn.query_id AND bx.neighbor_id = nn.neighbor_id
              GROUP BY 1"""))
 
+  /** ANN OPERATING CURVE as data (round 17 — VERDICT r16 item 6):
+    * recall@5 vs nprobe ∈ {1,2,4,8} over the same 16-centroid IVF
+    * index and brute-force truth as [[qAnnRecall]] — the knob-response
+    * curve a 100 TB deployment reads before picking its probe budget
+    * (the single-point q_ann_recall stays the per-query drill-down).
+    * One corpus assignment + one candidate join serve all four points
+    * (candidates carry their probed cell's rank; "nprobe = p" is a
+    * filter + per-(query, p) re-rank — VectorFns.ivfRecallCurve);
+    * AnnRecallSpec pins each point equal to an independent
+    * ivfTopK(nprobe = p) evaluation. Exact integer recall_milli, so
+    * the curve hash-checks; the oracle replays the full chain —
+    * centroid sample, assignment, ranked probes, per-point top-5 —
+    * structurally independently (brute rank joins, no shared code).
+    */
+  private val qAnnCurve = GraftQuery(
+    "q_ann_curve",
+    (s, dir) => {
+      val e = t(s, dir, "embeddings")
+      VectorFns.ivfRecallCurve(e.filter(col("vec_id") < 20), e, "vec_id", "embedding", 5)
+    },
+    Some(s"""WITH e AS (SELECT vec_id, ${quantSql("embedding")} AS v FROM embeddings),
+             cents AS (SELECT row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), CAST(vec_id AS VARCHAR)) - 1 AS cid, v AS cv
+                       FROM e ORDER BY md5(CAST(vec_id AS VARCHAR)), CAST(vec_id AS VARCHAR) LIMIT 16),
+             d AS (SELECT e.vec_id, cents.cid,
+                     CAST(list_sum(list_transform(range(1, 65), i -> (v[i]-cv[i])*(v[i]-cv[i]))) AS BIGINT) AS d2
+                   FROM e CROSS JOIN cents),
+             assign AS (SELECT vec_id, cid FROM
+                          (SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn FROM d)
+                        WHERE rn = 1),
+             probes AS (SELECT vec_id, cid, CAST(rn AS BIGINT) AS pr FROM
+                          (SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+                           FROM d WHERE vec_id < 20)
+                        WHERE rn <= 8),
+             cand AS (SELECT p.vec_id AS query_id, p.pr, a.vec_id AS neighbor_id,
+                        CAST(list_sum(list_transform(range(1, 65), i -> qe.v[i] * ce.v[i])) AS BIGINT) AS score
+                      FROM probes p JOIN assign a ON p.cid = a.cid AND p.vec_id != a.vec_id
+                      JOIN e qe ON qe.vec_id = p.vec_id
+                      JOIN e ce ON ce.vec_id = a.vec_id),
+             pp AS (SELECT unnest([1, 2, 4, 8]::BIGINT[]) AS nprobe),
+             ak AS (SELECT nprobe, query_id, neighbor_id FROM
+                      (SELECT pp.nprobe, c.query_id, c.neighbor_id,
+                         row_number() OVER (PARTITION BY pp.nprobe, c.query_id
+                                            ORDER BY c.score DESC, c.neighbor_id) AS rnk
+                       FROM cand c JOIN pp ON c.pr <= pp.nprobe)
+                    WHERE rnk <= 5),
+             bsc AS (SELECT qe.vec_id AS query_id, ce.vec_id AS neighbor_id,
+                       CAST(list_sum(list_transform(range(1, 65), i -> qe.v[i] * ce.v[i])) AS BIGINT) AS score
+                     FROM e qe, e ce WHERE qe.vec_id < 20 AND qe.vec_id != ce.vec_id),
+             bx AS (SELECT query_id, neighbor_id FROM
+                      (SELECT query_id, neighbor_id,
+                         row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rnk
+                       FROM bsc)
+                    WHERE rnk <= 5),
+             ex AS (SELECT pp.nprobe, bx.query_id, bx.neighbor_id FROM bx CROSS JOIN pp)
+             SELECT ex.nprobe AS nprobe, CAST(count(ak.neighbor_id) AS BIGINT) AS hits,
+               CAST(count(DISTINCT ex.query_id) AS BIGINT) AS n_queries,
+               CAST(count(ak.neighbor_id) * 1000 // (5 * count(DISTINCT ex.query_id)) AS BIGINT) AS recall_milli
+             FROM ex LEFT JOIN ak ON ex.nprobe = ak.nprobe AND ex.query_id = ak.query_id
+                                 AND ex.neighbor_id = ak.neighbor_id
+             GROUP BY 1"""))
+
   /** Mirror of VectorFns.lshBucketFor with the table index `t` as a
     * correlated column (table 0 == the original single-table formula).
     * `planesExpr` parameterizes the plane count — "4" for the fixed
@@ -9509,7 +9570,7 @@ object Queries {
     qDedupExact, qDedupMinhash, qMinhashRescore, qContainment, qMinhashEst, qDedupSimhash, qDedupSimhashPairs,
     qDedupClusters, qPagerank, qPprSeeds, qKcore, qBfsHops, qTriangles, qTrianglesApprox, qLabelProp, qQualityDup, qHapax, qNgramJaccard, qSortedDedup, qDedupEmbed, qRepetition,
     qSplitLeakage, qJaccardCalib, qGroupSplit,
-    qEmbedTopk, qAnnRecall, qEmbedLsh, qEmbedIvf, qEmbedIvf2, qKmeansStep, qKmeansTrain, qDocChunks, qChunkDedup,
+    qEmbedTopk, qAnnRecall, qAnnCurve, qEmbedLsh, qEmbedIvf, qEmbedIvf2, qKmeansStep, qKmeansTrain, qDocChunks, qChunkDedup,
     qKnnClassify, qClassBalance, qLabelConsistency, qGapFill, qInvertedIndex,
     qLangId, qQualityScore, qCuration, qSplitAssign, qPackSequences, qSamplePerKey, qWeightedSample,
     qTfidfTopterms, qContamination, qDecontam, qDedupSavings, qRankCorr,

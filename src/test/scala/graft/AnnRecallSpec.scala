@@ -49,6 +49,31 @@ class AnnRecallSpec extends SparkSpecBase {
     assert(r4 >= 0.3, s"nprobe=4 recall collapsed on random data: $r4")
   }
 
+  test("ivfRecallCurve: each point equals an independent ivfTopK(nprobe=p) evaluation, monotone") {
+    // the curve computes all points from ONE shared candidate frame
+    // (probe-rank filter + per-point re-rank); this pins every point to
+    // what the production retrieval path would actually serve at that
+    // nprobe — the shared-frame optimization must be value-invisible
+    val e = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val q = e.filter(col("vec_id") < 20)
+    val truth = topkSet(VectorFns.bruteForceTopK(q, e, "vec_id", "embedding", 5))
+    val nQ = truth.map(_._1).size
+    val curve = VectorFns.ivfRecallCurve(q, e, "vec_id", "embedding", 5)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(curve.keySet === Set(1L, 2L, 4L, 8L))
+    Seq(1, 2, 4, 8).foreach { p =>
+      val pt = topkSet(VectorFns.ivfTopK(q, e, "vec_id", "embedding", 5, kCentroids = 16, nprobe = p))
+      val hits = (truth & pt).size.toLong
+      val (gotHits, gotNq, gotMilli) = curve(p.toLong)
+      assert(gotHits === hits, s"nprobe=$p: curve hits $gotHits != independent ivfTopK hits $hits")
+      assert(gotNq === nQ.toLong)
+      assert(gotMilli === hits * 1000 / (5L * nQ))
+    }
+    val milli = Seq(1L, 2L, 4L, 8L).map(p => curve(p)._3)
+    assert(milli == milli.sorted, s"recall must be monotone in nprobe: $milli")
+    info(s"IVF recall@5 curve (16 centroids), milli per nprobe 1/2/4/8: ${milli.mkString("/")}")
+  }
+
   test("ivfTopK2 with full coarse probing is IDENTICAL to single-level ivfTopK") {
     // assignProbes = coarseProbes = k1 probes every coarse cell, so the
     // fine argmin ranges over all fine centroids and the two-level path
