@@ -154,6 +154,10 @@ object Bench {
     // the 9e → 9e2 precedent; output and post-join exchange asset-sized
     // at any scale, where the pair report is output-bound)
     "q_image_neardup_counts",
+    // round-17 additions: the IVF operating curve (4 recall points off
+    // one shared candidate frame) and the readability-lite boilerplate
+    // extractor (map-only link-density filter over synthesized markup)
+    "q_ann_curve", "q_html_extract",
     // the leakage-safe group split rides the shared CC state like
     // q_dedup_clusters/q_dedup_prio — in the set so the COLD sub-anchor
     // convention (VERDICT r15 item 2) covers every memo-riding graph

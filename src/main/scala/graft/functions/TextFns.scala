@@ -223,4 +223,52 @@ object TextFns {
       .select(col(idCol), col("chunk_idx").cast("long").as("chunk_idx"),
         size(col("__chunk")).cast("long").as("n_tokens"),
         md5(concat_ws(" ", col("__chunk"))).as("fp"))
+
+  /** HTML BOILERPLATE EXTRACTION, map-only (round 17 — the
+    * readability/jusText class of crawl-curation content extractor:
+    * Kohlschütter et al. WSDM 2010 "Boilerplate Detection using
+    * Shallow Text Features"; Pomikálek 2011 jusText): split the markup
+    * into BLOCKS at block-level closing tags, score each block's LINK
+    * DENSITY (anchor-text length / visible-text length), and keep
+    * low-density blocks as content — navigation chrome, ad units and
+    * footers are link-dense, article prose is not (the single
+    * strongest shallow feature in both papers). Integer rule
+    * `alen·1000 < tlen·maxLinkDensityMilli` — no division, so the
+    * decision hash-checks in any engine; blocks whose tag-stripped
+    * text is empty (pure markup) don't count at all.
+    *
+    * ZERO shuffles: block split, tag strip, anchor extraction and the
+    * density filter all run inside the row (string ops + HOFs) — the
+    * op is a projection, embarrassingly parallel at any corpus size.
+    * Returns one row per doc: (id, n_blocks, n_kept, content_len,
+    * boiler_len, content), content = kept block texts joined with
+    * '\n' in document order (fingerprint-ready).
+    */
+  def htmlExtract(df: org.apache.spark.sql.DataFrame, idCol: String, htmlCol: String,
+      maxLinkDensityMilli: Int = 300): org.apache.spark.sql.DataFrame = {
+    val frags = split(col(htmlCol), "</nav>|</div>|</footer>|</p>|</li>|</h[1-6]>")
+    val blocks = filter(
+      transform(frags, f => {
+        val txt = trim(regexp_replace(f, "<[^>]*>", ""))
+        struct(txt.as("txt"),
+          length(array_join(
+            regexp_extract_all(f, lit("<a[^>]*>([^<]*)</a>"), lit(1)), "")).cast("long").as("alen"))
+      }),
+      b => length(b.getField("txt")) > 0)
+    def tlenSum(arr: Column): Column =
+      coalesce(aggregate(arr, lit(0L), (a, x) => a + length(x.getField("txt")).cast("long")), lit(0L))
+    Fence.guard(Fence.guard(
+        df.select(col(idCol), blocks.as("__b"), Fence.col))
+      .select(col(idCol), col("__b"),
+        filter(col("__b"), b =>
+          b.getField("alen") * 1000 < length(b.getField("txt")).cast("long") * maxLinkDensityMilli)
+          .as("__k"),
+        Fence.col))
+      .select(col(idCol),
+        size(col("__b")).cast("long").as("n_blocks"),
+        size(col("__k")).cast("long").as("n_kept"),
+        tlenSum(col("__k")).as("content_len"),
+        (tlenSum(col("__b")) - tlenSum(col("__k"))).as("boiler_len"),
+        array_join(transform(col("__k"), b => b.getField("txt")), "\n").as("content"))
+  }
 }
