@@ -27,19 +27,32 @@ final case class GraftQuery(
   *  - every window/rank order carries a unique tiebreak (event_id);
   *  - counts/ranks are cast to BIGINT on both sides.
   */
-object Queries {
+object Queries
+    extends QueriesStreamOps
+    with QueriesSketch
+    with QueriesEvents
+    with QueriesRelational
+    with QueriesDedupText
+    with QueriesVector
+    with QueriesGraph
+    with QueriesPrivacy
+    with QueriesSliced {
 
-  private val M = TextFns.HashMod // 2147483647 = 2^31-1
+
+  private[graft] val M = TextFns.HashMod // 2147483647 = 2^31-1
+
 
   /** lineitem/orders timestamps are parquet TIMESTAMP(MILLIS, utc=false)
     * → Spark reads TIMESTAMP_NTZ. An NTZ literal comparison is wall-time
     * on both sides and therefore independent of the session time zone
     * (DuckDB timestamps are naive, so its TIMESTAMP literals match).
     */
-  private def ntz(s: String): Column = to_timestamp_ntz(lit(s))
+  private[graft] def ntz(s: String): Column = to_timestamp_ntz(lit(s))
 
-  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+
+  private[graft] def t(s: SparkSession, dir: String, name: String): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")
+
 
   /** Schema-adaptive events reader. The testdata generator has shipped
     * `ts` as both INT64 TIMESTAMP(NANOS) (which Spark's parquet reader
@@ -82,1925 +95,68 @@ object Queries {
     }
   }
 
-  private val dec = DecimalType(18, 2)
-  private def sumDec(c: Column): Column = sum(c.cast(dec)).cast("double")
+
+  private[graft] val dec = DecimalType(18, 2)
+
+  private[graft] def sumDec(c: Column): Column = sum(c.cast(dec)).cast("double")
+
 
   /** price * (1-disc) with exact decimal arithmetic on both engines:
     * the (1-disc) double op is IEEE-identical, its shortest-repr cast
     * to DECIMAL(12,8) matches DuckDB's double→decimal cast, and the
     * decimal product/sum are exact.
     */
-  private def discPrice: Column =
+  private[graft] def discPrice: Column =
     col("l_extendedprice").cast(dec) * (lit(1.0) - col("l_discount")).cast(DecimalType(12, 8))
-  private def charge: Column =
+
+  private[graft] def charge: Column =
     col("l_extendedprice").cast(dec) *
       ((lit(1.0) - col("l_discount")) * (lit(1.0) + col("l_tax"))).cast(DecimalType(12, 8))
+
 
   // ---- shared DuckDB SQL fragments --------------------------------------
 
   /** Normalized whitespace tokens (mirror of TextFns.tokens). */
-  private val toksSql =
+  private[graft] val toksSql =
     """list_filter(string_split_regex(regexp_replace(lower(text), '[(),";:''.]', '', 'g'), '\s+'), x -> x != '')"""
 
+
   /** 60-bit md5-prefix token hash mod 2^31-1 (mirror of TextFns.tokenHash31). */
-  private def h31Sql(v: String) = s"('0x' || substr(md5($v), 1, 15))::BIGINT % $M"
+  private[graft] def h31Sql(v: String) = s"('0x' || substr(md5($v), 1, 15))::BIGINT % $M"
+
 
   /** Full 60-bit md5-prefix hash, NO mod (mirror of TextFns.tokenHash):
     * for span/window fingerprints, where the 31-bit reduction's
     * birthday collisions (~W^2/2^32 false shared spans at production
     * window counts) would manufacture false duplication signals.
     */
-  private def h60Sql(v: String) = s"('0x' || substr(md5($v), 1, 15))::BIGINT"
+  private[graft] def h60Sql(v: String) = s"('0x' || substr(md5($v), 1, 15))::BIGINT"
+
 
   /** Distinct word 3-grams over tk (mirror of DedupFns.wordNgrams(_, 3)). */
-  private val grams3Sql =
+  private[graft] val grams3Sql =
     "CASE WHEN len(tk) >= 3 THEN list_distinct(list_transform(range(0, len(tk) - 2), i -> array_to_string(list_slice(tk, i + 1, i + 3), ' '))) ELSE []::VARCHAR[] END"
 
-  private val sumValSql = "CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE)"
-  private val nSql = "CAST(count(*) AS BIGINT)"
-  private def quantSql(v: String) = s"list_transform($v, x -> CAST(floor(x::DOUBLE * 1000) AS BIGINT))"
 
-  // =======================================================================
-  // Core rstreams surface (SURVEY §2 rows 1-18)
-  // =======================================================================
+  private[graft] val sumValSql = "CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE)"
 
-  private val qMapFilter = GraftQuery(
-    "q_map_filter",
-    (s, dir) =>
-      events(s, dir)
-        .filter(col("event_type") === "purchase" && col("value") > 100)
-        .select(col("event_id"), col("user_id"), (col("value") * 2).as("value2")),
-    Some("""SELECT event_id, user_id, value * 2 AS value2
-            FROM events WHERE event_type = 'purchase' AND value > 100"""))
+  private[graft] val nSql = "CAST(count(*) AS BIGINT)"
 
-  /** filter_map (reference StreamExt::filter_map): filter and transform
-    * in one pass — one scan, the map never runs on dropped rows.
-    */
-  private val qFilterMap = GraftQuery(
-    "q_filter_map",
-    (s, dir) =>
-      events(s, dir)
-        .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
-        .filter(col("k").isNotNull && col("k") % 2 === 0)
-        .select(col("event_id"), expr("k div 2").as("half_k")),
-    Some(s"""SELECT event_id, json_extract_string(props, '$$.k')::BIGINT // 2 AS half_k
-             FROM events
-             WHERE json_extract_string(props, '$$.k') IS NOT NULL
-               AND json_extract_string(props, '$$.k')::BIGINT % 2 = 0"""))
+  private[graft] def quantSql(v: String) = s"list_transform($v, x -> CAST(floor(x::DOUBLE * 1000) AS BIGINT))"
 
-  /** cycle(k) (reference StreamExt::cycle): batch re-expression — each
-    * record replayed k times with a cycle index (a lateral range join;
-    * no driver loop, no shuffle).
-    *
-    * Deliberately batch-only: the reference's cycle is an INFINITE
-    * replay of a finite upstream, which has no Structured Streaming
-    * twin — an unbounded source cannot be re-consumed from the start,
-    * and an infinite per-record emit never lets a micro-batch finish.
-    * Finite k-fold replay is the semantics a data pipeline actually
-    * uses (epoch repetition), and it composes with every streaming
-    * operator here by applying BEFORE the stream source.
-    */
-  private val qCycle = GraftQuery(
-    "q_cycle",
-    (s, dir) =>
-      events(s, dir)
-        .filter(col("event_type") === "signup")
-        .select(col("event_id"), col("user_id"))
-        .crossJoin(s.range(3).select(col("id").as("cycle_no")))
-        .select(col("event_id"), col("user_id"), col("cycle_no")),
-    Some("""SELECT event_id, user_id, k AS cycle_no
-            FROM events CROSS JOIN range(3) t(k)
-            WHERE event_type = 'signup'"""))
 
-  private val qFoldAgg = GraftQuery(
-    "q_fold_agg",
-    (s, dir) =>
-      Keyed.fold(events(s, dir), Seq("user_id"))(
-        count(lit(1)).as("n"),
-        sumDec(col("value")).as("sum_value"),
-        max(col("value")).as("max_value"),
-        min(col("value")).as("min_value")),
-    Some(s"""SELECT user_id, $nSql AS n, $sumValSql AS sum_value,
-             max(value) AS max_value, min(value) AS min_value
-             FROM events GROUP BY user_id"""))
-
-  private val qTableLatest = GraftQuery(
-    "q_table_latest",
-    (s, dir) =>
-      Keyed.latestByKey(events(s, dir), Seq("user_id"), Seq("ts", "event_id"))
-        .select(col("user_id"), col("event_id").as("last_event_id"),
-          col("event_type").as("last_event_type"), col("value").as("last_value"),
-          unix_micros(col("ts")).as("last_ts_us")),
-    Some("""SELECT user_id, event_id AS last_event_id, event_type AS last_event_type,
-            value AS last_value, epoch_us(ts) AS last_ts_us
-            FROM events
-            QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) = 1"""))
-
-  /** SNAPSHOT DIFF (Relational.snapshotDiff): what changed between two
-    * versions of a keyed state table — here, latest value-cents per
-    * (user, event_type) as of Jan 3 vs Jan 20. One full-outer join on
-    * the key, non-key columns compared as one null-safe struct,
-    * unchanged keys dropped (the delta contract). Oracle = two
-    * QUALIFY-latest CTEs + FULL OUTER JOIN + IS DISTINCT FROM.
-    */
-  private val qSnapshotDiff = GraftQuery(
-    "q_snapshot_diff",
-    (s, dir) => {
-      def stateAt(cutUs: Long) = {
-        val e = events(s, dir)
-          .withColumn("e", unix_micros(col("ts")))
-          .filter(col("e") <= cutUs)
-          .select(col("user_id"), col("event_type"), col("event_id"), col("e"),
-            (col("value").cast(dec) * 100).cast("long").as("cents"))
-        Keyed.latestByKey(e, Seq("user_id", "event_type"), Seq("e", "event_id"))
-          .select(col("user_id"), col("event_type"), col("cents"))
-      }
-      Relational.snapshotDiff(
-        stateAt(1704240000000000L),  // 2024-01-03 00:00:00 UTC
-        stateAt(1705708800000000L),  // 2024-01-20 00:00:00 UTC
-        Seq("user_id", "event_type"))
-    },
-    Some("""WITH e AS (SELECT user_id, event_type, event_id, epoch_us(ts) AS e,
-                  CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
-                FROM events),
-            o AS (SELECT user_id, event_type, cents FROM e WHERE e <= 1704240000000000
-                  QUALIFY row_number() OVER (PARTITION BY user_id, event_type ORDER BY e DESC, event_id DESC) = 1),
-            c AS (SELECT user_id, event_type, cents FROM e WHERE e <= 1705708800000000
-                  QUALIFY row_number() OVER (PARTITION BY user_id, event_type ORDER BY e DESC, event_id DESC) = 1)
-            SELECT COALESCE(o.user_id, c.user_id) AS user_id,
-              COALESCE(o.event_type, c.event_type) AS event_type,
-              CASE WHEN o.user_id IS NULL THEN 'added'
-                   WHEN c.user_id IS NULL THEN 'removed'
-                   ELSE 'changed' END AS change
-            FROM o FULL OUTER JOIN c
-              ON o.user_id = c.user_id AND o.event_type = c.event_type
-            WHERE o.user_id IS NULL OR c.user_id IS NULL
-               OR o.cents IS DISTINCT FROM c.cents"""))
-
-  private val qTumbling = GraftQuery(
-    "q_tumbling_window",
-    (s, dir) =>
-      Windows.tumbling(events(s, dir), "ts", Seq("event_type"), "1 hour")(
-        count(lit(1)).as("n"), sumDec(col("value")).as("sum_value"))
-        .select(unix_micros(col("window_start")).as("window_start_us"),
-          col("event_type"), col("n"), col("sum_value")),
-    Some(s"""SELECT (epoch_us(ts) // 3600000000) * 3600000000 AS window_start_us,
-             event_type, $nSql AS n, $sumValSql AS sum_value
-             FROM events GROUP BY 1, 2"""))
-
-  private val qHopping = GraftQuery(
-    "q_hopping_window",
-    (s, dir) =>
-      Windows.hopping(events(s, dir), "ts", Seq("event_type"), "1 hour", "15 minutes")(
-        count(lit(1)).as("n"))
-        .select(unix_micros(col("window_start")).as("window_start_us"), col("event_type"), col("n")),
-    Some(s"""SELECT ws AS window_start_us, event_type, $nSql AS n
-             FROM (SELECT ((epoch_us(ts) // 900000000) - k) * 900000000 AS ws, event_type
-                   FROM events, range(4) t(k))
-             GROUP BY 1, 2"""))
-
-  private val qLagWindow = GraftQuery(
-    "q_lag_window",
-    (s, dir) =>
-      Windows.lagWindow(events(s, dir), Seq("user_id"), Seq("ts", "event_id"), "value", 3)
-        .select(col("event_id"), col("user_id"), col("v_0"), col("v_1"), col("v_2")),
-    Some("""SELECT event_id, user_id, value AS v_0, lag(value, 1) OVER w AS v_1, lag(value, 2) OVER w AS v_2
-            FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
-            QUALIFY lag(value, 2) OVER w IS NOT NULL"""))
-
-  private val qSession = GraftQuery(
-    "q_session_window",
-    (s, dir) =>
-      Windows.session(events(s, dir), "ts", Seq("user_id"), "30 minutes")(
-        count(lit(1)).as("n"), sumDec(col("value")).as("sum_value"))
-        .select(col("user_id"), unix_micros(col("session_start")).as("session_start_us"),
-          col("n"), col("sum_value")),
-    Some(s"""WITH x AS (
-               SELECT user_id, event_id, epoch_us(ts) AS e, value,
-                 CASE WHEN epoch_us(ts) - lag(epoch_us(ts))
-                        OVER (PARTITION BY user_id ORDER BY ts, event_id) >= 1800000000
-                      THEN 1 ELSE 0 END AS brk
-               FROM events),
-             y AS (SELECT user_id, e, value,
-                     sum(brk) OVER (PARTITION BY user_id ORDER BY e, event_id ROWS UNBOUNDED PRECEDING) AS sid
-                   FROM x)
-             SELECT user_id, min(e) AS session_start_us, $nSql AS n, $sumValSql AS sum_value
-             FROM y GROUP BY user_id, sid"""))
-
-  /** Exact distinct users per window — the standard two-phase distinct
-    * aggregation (partial dedup map-side, exact count after one shuffle).
-    */
-  private val qDistinctUsers = GraftQuery(
-    "q_distinct_users",
-    (s, dir) =>
-      Windows.tumbling(events(s, dir), "ts", Seq("event_type"), "1 day")(
-        countDistinct(col("user_id")).as("n_users"),
-        count(lit(1)).as("n_events"))
-        .select(unix_micros(col("window_start")).as("window_start_us"),
-          col("event_type"), col("n_users"), col("n_events")),
-    Some(s"""SELECT (epoch_us(ts) // 86400000000) * 86400000000 AS window_start_us,
-             event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS n_users, $nSql AS n_events
-             FROM events GROUP BY 1, 2"""))
-
-  /** Top-k per key (grouped rank) — per-key heaviest events; single
-    * shuffle + per-key sort, no global sort.
-    */
-  private val qTopkPerKey = GraftQuery(
-    "q_topk_per_key",
-    (s, dir) => {
-      import org.apache.spark.sql.expressions.Window
-      val w = Window.partitionBy("user_id").orderBy(col("value").desc, col("event_id"))
-      events(s, dir)
-        .withColumn("rnk", row_number().over(w))
-        .filter(col("rnk") <= 3)
-        .select(col("user_id"), col("event_id"), col("value"), col("rnk").cast("long").as("rnk"))
-    },
-    Some("""SELECT user_id, event_id, value, CAST(rnk AS BIGINT) AS rnk
-            FROM (SELECT user_id, event_id, value,
-                    row_number() OVER (PARTITION BY user_id ORDER BY value DESC, event_id) AS rnk
-                  FROM events)
-            WHERE rnk <= 3"""))
-
-  /** Pivot-style conditional aggregation: per-user counts by event type
-    * in one scan (explicit FILTER/when columns — the portable, plan-
-    * stable form of pivot; no second pass to discover column values).
-    */
-  private val qPivotCounts = GraftQuery(
-    "q_pivot_counts",
-    (s, dir) => {
-      val types = Seq("click", "purchase", "signup", "view", "error")
-      events(s, dir).groupBy("user_id")
-        .agg(count(lit(1)).as("n_total"),
-          types.map(t => count(when(col("event_type") === t, 1)).as(s"n_$t")): _*)
-    },
-    Some("""SELECT user_id, CAST(count(*) AS BIGINT) AS n_total,
-              CAST(count(*) FILTER (event_type = 'click') AS BIGINT) AS n_click,
-              CAST(count(*) FILTER (event_type = 'purchase') AS BIGINT) AS n_purchase,
-              CAST(count(*) FILTER (event_type = 'signup') AS BIGINT) AS n_signup,
-              CAST(count(*) FILTER (event_type = 'view') AS BIGINT) AS n_view,
-              CAST(count(*) FILTER (event_type = 'error') AS BIGINT) AS n_error
-            FROM events GROUP BY user_id"""))
-
-  /** HLL++ approximate distinct users per event type — the sketch path
-    * for cardinality at 100 TB (constant memory per group vs the exact
-    * two-phase distinct). The HLL ESTIMATE itself is engine-specific
-    * (Spark's HLL++ register layout), so the oracle-checked surface is
-    * the sketch CONTRACT: the exact per-group cardinality plus a
-    * within-band boolean |est − exact| ≤ 6%·exact + 2 (3× the rsd=0.02
-    * the sketch was configured with, integer milli-arithmetic). DuckDB
-    * recomputes the exact side and expects TRUE — a sketch regression
-    * flips the boolean and fails the hash compare. Tighter per-run
-    * accuracy is asserted in SketchSpec.
-    */
-  private val qApproxDistinct = GraftQuery(
-    "q_approx_distinct",
-    (s, dir) =>
-      events(s, dir).groupBy("event_type")
-        .agg(approx_count_distinct(col("user_id"), 0.02).as("__approx"),
-          countDistinct(col("user_id")).as("exact_users"),
-          count(lit(1)).as("n"))
-        .select(col("event_type"), col("exact_users"), col("n"),
-          (abs(col("__approx") - col("exact_users")) * 1000 <=
-            col("exact_users") * 60 + 2000).as("within_band")),
-    Some("""SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users,
-              CAST(count(*) AS BIGINT) AS n, TRUE AS within_band
-            FROM events GROUP BY event_type"""))
-
-  /** Mergeable-distinct ROLLUP via DataSketches HLL (Spark's
-    * hll_sketch_agg / hll_union_agg): per-source token sketches —
-    * bounded binary state, map-side combinable — union into the
-    * corpus-wide distinct estimate WITHOUT re-touching raw tokens.
-    * This is the pre-aggregation pattern that answers "distinct tokens
-    * this month" from stored per-day sketches at 100 TB: only the
-    * union + estimate runs at query time. The estimate is
-    * engine-specific, so the oracle-checked surface is the CONTRACT:
-    * exact per-source distinct counts ride the same aggregation, the
-    * exact global distinct rides a second pass (this is an EVALUATION
-    * query — it exists to check the sketch against truth), and the
-    * union estimate must land within the documented HLL band
-    * (lgConfigK=12 → RSE ≈ 1.04/√4096 ≈ 1.6%; asserted at ±5% + 2).
-    */
-  private val qHllRollup = GraftQuery(
-    "q_hll_rollup",
-    (s, dir) => {
-      def toks = Fence.guard(t(s, dir, "documents")
-          .select(col("source"), TextFns.tokensFast(col("text")).as("__tk"), Fence.col))
-        .select(col("source"), explode(col("__tk")).as("tok"))
-      val per = toks.groupBy("source")
-        .agg(hll_sketch_agg(col("tok")).as("__sk"),
-          countDistinct(col("tok")).as("__nd"))
-      val roll = per.agg(count(lit(1)).as("n_sources"),
-        sum(col("__nd")).as("sum_source_distinct"),
-        hll_sketch_estimate(hll_union_agg(col("__sk"))).as("__est"))
-      val exact = toks.agg(countDistinct(col("tok")).as("n_exact_global"))
-      roll.crossJoin(broadcast(exact))
-        .select(col("n_sources"), col("sum_source_distinct"), col("n_exact_global"),
-          (abs(col("__est") - col("n_exact_global")) * 1000 <=
-            col("n_exact_global") * 50 + 2000).as("union_within_band"))
-    },
-    Some(s"""WITH tk AS (SELECT source, unnest($toksSql) AS tok FROM documents),
-             per AS (SELECT source, count(DISTINCT tok) AS nd FROM tk GROUP BY 1)
-             SELECT CAST(count(*) AS BIGINT) AS n_sources,
-               CAST(sum(nd) AS BIGINT) AS sum_source_distinct,
-               (SELECT CAST(count(DISTINCT tok) AS BIGINT) FROM tk) AS n_exact_global,
-               TRUE AS union_within_band
-             FROM per"""))
-
-  /** Heavy-hitter tokens per source via the custom mergeable
-    * Misra-Gries Aggregator (functions.Sketches) — k=32 counters per
-    * group, NO per-token shuffle: map-side partials carry 32-entry
-    * maps, so at 100 TB the exchange moves kB per group instead of the
-    * token universe. The raw estimates are merge-order dependent, so
-    * the oracle-checked surface is the MG CONTRACT, which is NOT:
-    *  - `n_over` = |{token : freq·k > n}| — computable Spark-side from
-    *    the sketch support ALONE (every true heavy hitter is guaranteed
-    *    present; est ≤ exact always) via a broadcast recount of the
-    *    ≤ k×sources candidates, and DuckDB-side from the full word
-    *    count: if the sketch ever MISSED a true heavy hitter, the two
-    *    disagree and the hash compare fails — the presence guarantee is
-    *    cross-engine-checked without a Spark-side full wordcount;
-    *  - `bounds_ok` = AND over entries of (est ≤ exact ∧
-    *    (exact−est)·k ≤ n) — the undercount contract; DuckDB expects
-    *    TRUE.
-    * Per-entry accuracy is additionally asserted in SketchSpec.
-    */
-  private val qHeavyHitters = GraftQuery(
-    "q_heavy_hitters",
-    (s, dir) => {
-      val k = 32
-      val mg = udaf(new graft.functions.MisraGries(k))
-      def toks = Fence.guard(t(s, dir, "documents")
-          .select(col("source"), TextFns.tokensFast(col("text")).as("__tk"), Fence.col))
-        .select(col("source"), explode(col("__tk")).as("tok"))
-      val entries = toks.groupBy(col("source"))
-        .agg(mg(col("tok")).as("sketch"), count(lit(1)).as("n_tokens"))
-        .select(col("source"), col("n_tokens"), explode(col("sketch")).as("entry"))
-        .select(col("source"), col("n_tokens"),
-          col("entry._1").as("tok"), col("entry._2").as("est"))
-      toks.join(broadcast(entries), Seq("source", "tok"))
-        .groupBy(col("source"), col("tok"), col("n_tokens"), col("est"))
-        .agg(count(lit(1)).as("exact_count"))
-        .groupBy(col("source"), col("n_tokens"))
-        .agg(
-          count(when(col("exact_count") * k > col("n_tokens"), 1)).as("n_over"),
-          (count(when(col("est") <= col("exact_count") &&
-            (col("exact_count") - col("est")) * k <= col("n_tokens"), 1)) ===
-            count(lit(1))).as("bounds_ok"))
-        .select(col("source"), col("n_tokens"), col("n_over"), col("bounds_ok"))
-    },
-    Some(s"""WITH tk AS (SELECT source, unnest($toksSql) AS tok FROM documents),
-             n AS (SELECT source, $nSql AS n_tokens FROM tk GROUP BY source),
-             c AS (SELECT source, tok, count(*) AS c FROM tk GROUP BY source, tok)
-             SELECT n.source AS source, n.n_tokens AS n_tokens,
-               CAST(coalesce(sum(CASE WHEN c.c * 32 > n.n_tokens THEN 1 END), 0) AS BIGINT) AS n_over,
-               TRUE AS bounds_ok
-             FROM n LEFT JOIN c ON c.source = n.source
-             GROUP BY n.source, n.n_tokens"""))
-
-  /** VERIFIED heavy hitters per source: the deterministic half of the
-    * Misra-Gries contract, made oracle-checkable. MG guarantees every
-    * token with true frequency > n/k appears in its k-counter support
-    * set (only the ESTIMATES are merge-order dependent), so sketch →
-    * exact recount of the ≤k candidates → keep iff count·k > n yields
-    * exactly {token : freq > n/k} — a plain SQL set. Scale shape: the
-    * sketch pass moves 32-entry maps per group; the recount pass
-    * semi-joins the corpus against a BROADCAST candidate list (≤ 32 ×
-    * sources rows) — the token universe never shuffles in either pass.
-    */
-  private val qHeavyHittersVerified = GraftQuery(
-    "q_heavy_hitters_verified",
-    (s, dir) => {
-      val k = 32
-      val mg = udaf(new graft.functions.MisraGries(k))
-      def toks = Fence.guard(t(s, dir, "documents")
-          .select(col("source"), TextFns.tokensFast(col("text")).as("__tk"), Fence.col))
-        .select(col("source"), explode(col("__tk")).as("tok"))
-      // one aggregation carries BOTH the sketch and the group total
-      val candidates = toks.groupBy(col("source"))
-        .agg(mg(col("tok")).as("sketch"), count(lit(1)).as("n_tokens"))
-        .select(col("source"), col("n_tokens"), explode(col("sketch")).as("entry"))
-        .select(col("source"), col("n_tokens"), col("entry._1").as("tok"))
-      toks.join(broadcast(candidates), Seq("source", "tok"))
-        .groupBy(col("source"), col("tok"), col("n_tokens"))
-        .agg(count(lit(1)).as("exact_count"))
-        .filter(col("exact_count") * k > col("n_tokens"))
-        .select(col("source"), col("tok").as("token"),
-          col("exact_count"), col("n_tokens"))
-    },
-    Some(s"""WITH tk AS (SELECT source, unnest($toksSql) AS token FROM documents),
-             c AS (SELECT source, token, CAST(count(*) AS BIGINT) AS exact_count
-                   FROM tk GROUP BY source, token),
-             n AS (SELECT source, CAST(count(*) AS BIGINT) AS n_tokens
-                   FROM tk GROUP BY source)
-             SELECT c.source AS source, token, exact_count, n_tokens
-             FROM c JOIN n ON c.source = n.source
-             WHERE exact_count * 32 > n_tokens"""))
-
-  /** COUNT-MIN frequency point-estimates per source (Cormode &
-    * Muthukrishnan 2005) — the third mergeable sketch family next to
-    * Misra-Gries (top-k) and HLL++ (distinct): constant-memory
-    * arbitrary-key frequency queries. The custom Aggregator
-    * (functions.CountMin) builds a 4×256 counter matrix per group —
-    * map-side partials move one flat long array per group, never the
-    * token universe — and the probe side is pure COLUMN arithmetic:
-    * the same md5-affine row hashes (Sketches.tokenHash31 is
-    * byte-identical to the TextFns.tokenHash31 expression, asserted in
-    * SketchSpec) index the sketch array with element_at + least, so
-    * estimating any literal key needs no second pass over the data.
-    * Merge is elementwise sum → estimates are merge-order INDEPENDENT
-    * (unlike MG), and the row-hash family is the portable md5-affine
-    * one — so unlike HLL/MG the CMS estimate is EXACTLY reproducible in
-    * SQL: DuckDB rebuilds each row's slot histogram as a group-by on
-    * the same affine slot formula and takes the same least() over rows.
-    * The oracle below does exactly that — the full estimate surface is
-    * hash-compared cross-engine, not just a band. One-sided est ≥ exact
-    * plus the ε·n overshoot are additionally asserted in SketchSpec.
-    */
-  private val qCmsFreq = GraftQuery(
-    "q_cms_freq",
-    (s, dir) => {
-      val depth = 4; val width = 256
-      val cms = udaf(new graft.functions.CountMin(depth, width))
-      val probes = Seq("the", "of", "and", "to", "a", "in", "data", "model", "stream", "query")
-      val g = Fence.guard(t(s, dir, "documents")
-          .select(col("source"), TextFns.tokensFast(col("text")).as("__tk"), Fence.col))
-        .select(col("source"), explode(col("__tk")).as("tok"))
-        .groupBy(col("source"))
-        .agg(cms(col("tok")).as("sketch"), count(lit(1)).as("n_tokens"))
-      g.select(col("source"), col("n_tokens"), col("sketch"),
-          explode(array(probes.map(lit): _*)).as("token"))
-        .withColumn("__h", TextFns.tokenHash31(col("token")))
-        .select(col("source"), col("token"), col("n_tokens"),
-          least((0 until depth).map { i =>
-            element_at(col("sketch"),
-              (lit(i * width) +
-                ((lit(DedupFns.MinhashA(i)) * col("__h") + lit(DedupFns.MinhashB(i))) % M) % width
-                + 1).cast("int"))
-          }: _*).as("est_count"))
-    },
-    Some {
-      val probes = Seq("the", "of", "and", "to", "a", "in", "data", "model", "stream", "query")
-      def slot(i: Int, h: String) =
-        s"((${DedupFns.MinhashA(i)} * $h + ${DedupFns.MinhashB(i)}) % $M) % 256"
-      s"""WITH tk AS (SELECT source, unnest($toksSql) AS tok FROM documents),
-          th AS (SELECT source, ${h31Sql("tok")} AS h FROM tk),
-          n AS (SELECT source, $nSql AS n_tokens FROM th GROUP BY source),
-          pr(token) AS (VALUES ${probes.map(p => s"('$p')").mkString(", ")}),
-          ph AS (SELECT token, ${h31Sql("token")} AS h FROM pr),
-          ${(0 until 4).map(i =>
-            s"c$i AS (SELECT source, ${slot(i, "h")} AS s, CAST(count(*) AS BIGINT) AS c FROM th GROUP BY source, s)")
-            .mkString(",\n          ")}
-          SELECT n.source AS source, ph.token AS token, n.n_tokens AS n_tokens,
-            least(${(0 until 4).map(i => s"coalesce(c$i.c, 0)").mkString(", ")}) AS est_count
-          FROM n CROSS JOIN ph
-          ${(0 until 4).map(i =>
-            s"LEFT JOIN c$i ON c$i.source = n.source AND c$i.s = ${slot(i, "ph.h")}")
-            .mkString("\n          ")}"""
-    })
-
-  /** Join-cardinality ESTIMATION — the optimizer statistic a 100 TB
-    * planner needs before committing to a join order: |A ⋈ B| on a
-    * key is the inner product of the two key-frequency vectors, and a
-    * Count-Min sketch of each side estimates it as min over rows of
-    * the row-wise counter inner product (Cormode-Muthukrishnan 2005
-    * §4.2) — always an overestimate, error ≤ (e/width)·|A|·|B|. The
-    * sketch build is two 1 KiB-bounded aggregations (the planning-time
-    * cost); the exact Σ n_A(k)·n_B(k) is recomputed here only to make
-    * the estimate's contract hash-checkable (over_ok: est ≥ exact;
-    * bound_ok: (est − exact)·width ≤ 3·|A|·|B|), exactly as the other
-    * sketch queries carry their recount. Clicks vs purchases on
-    * user_id is the skew-shaped join this estimates.
-    */
-  private val qJoinCardEst = GraftQuery(
-    "q_join_card_est",
-    (s, dir) => {
-      val depth = 4; val width = 256
-      val cms = udaf(new graft.functions.CountMin(depth, width))
-      val ev = events(s, dir)
-      def side(t: String) = ev.filter(col("event_type") === t)
-        .select(col("user_id").cast("string").as("u"))
-      val skA = side("click").agg(cms(col("u")).as("sa"), count(lit(1)).as("n_click"))
-      val skB = side("purchase").agg(cms(col("u")).as("sb"), count(lit(1)).as("n_purchase"))
-      val exact = ev.filter(col("event_type").isin("click", "purchase"))
-        .groupBy("user_id")
-        .agg(count(when(col("event_type") === "click", 1)).as("__na"),
-          count(when(col("event_type") === "purchase", 1)).as("__nb"))
-        .agg(coalesce(sum(col("__na") * col("__nb")), lit(0L)).as("exact_card"))
-      skA.crossJoin(skB).crossJoin(exact)
-        .select(col("n_click"), col("n_purchase"), col("exact_card"),
-          least((0 until depth).map(r =>
-            VectorFns.qdotFast(slice(col("sa"), r * width + 1, width),
-              slice(col("sb"), r * width + 1, width))): _*).as("est_card"))
-        .select(col("n_click"), col("n_purchase"), col("exact_card"), col("est_card"),
-          (col("est_card") >= col("exact_card")).as("over_ok"),
-          ((col("est_card") - col("exact_card")) * lit(width.toLong) <=
-            lit(3L) * col("n_click") * col("n_purchase")).as("bound_ok"))
-    },
-    Some {
-      def slot(i: Int, h: String) =
-        s"((${DedupFns.MinhashA(i)} * $h + ${DedupFns.MinhashB(i)}) % $M) % 256"
-      val hists = (for (sd <- Seq("a", "b"); i <- 0 until 4) yield
-        s"$sd$i AS (SELECT ${slot(i, "h")} AS s, CAST(count(*) AS BIGINT) AS c FROM h$sd GROUP BY 1)")
-        .mkString(",\n            ")
-      val ests = (0 until 4).map(i =>
-        s"e$i AS (SELECT CAST(coalesce(sum(a$i.c * b$i.c), 0) AS BIGINT) AS v FROM a$i JOIN b$i USING (s))")
-        .mkString(",\n            ")
-      s"""WITH ca AS (SELECT CAST(user_id AS VARCHAR) AS u FROM events WHERE event_type = 'click'),
-            cb AS (SELECT CAST(user_id AS VARCHAR) AS u FROM events WHERE event_type = 'purchase'),
-            ha AS (SELECT ${h31Sql("u")} AS h FROM ca),
-            hb AS (SELECT ${h31Sql("u")} AS h FROM cb),
-            $hists,
-            $ests,
-            ex AS (SELECT CAST(coalesce(sum(x.na * y.nb), 0) AS BIGINT) AS exact_card FROM
-              (SELECT user_id, CAST(count(*) AS BIGINT) AS na FROM events
-               WHERE event_type = 'click' GROUP BY 1) x
-              JOIN (SELECT user_id, CAST(count(*) AS BIGINT) AS nb FROM events
-                    WHERE event_type = 'purchase' GROUP BY 1) y USING (user_id)),
-            n AS (SELECT (SELECT CAST(count(*) AS BIGINT) FROM ca) AS n_click,
-                         (SELECT CAST(count(*) AS BIGINT) FROM cb) AS n_purchase)
-            SELECT n.n_click, n.n_purchase, ex.exact_card,
-              least(e0.v, e1.v, e2.v, e3.v) AS est_card,
-              least(e0.v, e1.v, e2.v, e3.v) >= ex.exact_card AS over_ok,
-              (least(e0.v, e1.v, e2.v, e3.v) - ex.exact_card) * 256 <= 3 * n.n_click * n.n_purchase AS bound_ok
-            FROM n, ex, e0, e1, e2, e3"""
-    })
-
-  /** Approximate value quantiles per event type (Greenwald-Khanna) —
-    * the sketch path for percentiles. The sketch VALUES are
-    * engine-specific, but the GK contract is not: each reported
-    * quantile is an actual input value whose RANK lies within ±ε of the
-    * target (ε = 1/accuracy; checked at 10×ε slack). The query rescans
-    * the group once to compute the exact rank brackets of the sketch's
-    * outputs — count(< v)·1000 ≤ (q‰+10)·n and count(≤ v)·1000 ≥
-    * (q‰−10)·n, all-integer — and emits one boolean per quantile.
-    * DuckDB recomputes n exactly and expects TRUE across the board, so
-    * a rank-contract violation fails the hash compare. Tighter accuracy
-    * is asserted in SketchSpec.
-    */
-  private val qQuantiles = GraftQuery(
-    "q_quantiles",
-    (s, dir) => {
-      val ev = events(s, dir)
-      val sk = ev.groupBy("event_type")
-        .agg(percentile_approx(col("value"), array(lit(0.5), lit(0.95), lit(0.99)), lit(1000))
-          .as("qs"))
-        .select(col("event_type"),
-          element_at(col("qs"), 1).as("__p50"),
-          element_at(col("qs"), 2).as("__p95"),
-          element_at(col("qs"), 3).as("__p99"))
-      def okQ(p: String, qMilli: Int): Column =
-        (count(when(col("value") < col(p), 1)) * 1000 <= lit(qMilli + 10) * count(lit(1))) &&
-          (count(when(col("value") <= col(p), 1)) * 1000 >= lit(qMilli - 10) * count(lit(1)))
-      ev.join(broadcast(sk), "event_type")
-        .groupBy(col("event_type"))
-        .agg(count(lit(1)).as("n"),
-          okQ("__p50", 500).as("ok50"), okQ("__p95", 950).as("ok95"),
-          okQ("__p99", 990).as("ok99"))
-    },
-    Some("""SELECT event_type, CAST(count(*) AS BIGINT) AS n,
-              TRUE AS ok50, TRUE AS ok95, TRUE AS ok99
-            FROM events GROUP BY event_type"""))
-
-  /** EXACT per-group quantiles (Spark `percentile`, linear
-    * interpolation — same definition as DuckDB quantile_cont) — the
-    * exact counterpart of the q_quantiles sketch path; round(4) caps
-    * the only float-op divergence surface.
-    */
-  private val qQuantilesExact = GraftQuery(
-    "q_quantiles_exact",
-    (s, dir) =>
-      events(s, dir).groupBy("event_type")
-        .agg(expr("percentile(value, array(0.5, 0.95, 0.99))").as("qs"))
-        .select(col("event_type"),
-          round(element_at(col("qs"), 1), 4).as("p50"),
-          round(element_at(col("qs"), 2), 4).as("p95"),
-          round(element_at(col("qs"), 3), 4).as("p99")),
-    Some("""SELECT event_type,
-              round(quantile_cont(value, 0.5), 4) AS p50,
-              round(quantile_cont(value, 0.95), 4) AS p95,
-              round(quantile_cont(value, 0.99), 4) AS p99
-            FROM events GROUP BY event_type"""))
-
-  private val qIntervalJoin = GraftQuery(
-    "q_interval_join",
-    (s, dir) => {
-      val ev = events(s, dir)
-      val l = ev.filter(col("event_type") === "purchase")
-        .select(col("event_id").as("purchase_id"), col("user_id"), col("ts"))
-      val r = ev.filter(col("event_type") === "click")
-        .select(col("event_id").as("click_id"), col("user_id").as("c_user_id"), col("ts").as("c_ts"))
-      Joins.intervalJoin(l, r, "user_id", "c_user_id", "ts", "c_ts", 300000000L)
-        .select(col("purchase_id"), col("click_id"), col("user_id"))
-    },
-    Some("""SELECT p.event_id AS purchase_id, c.event_id AS click_id, p.user_id
-            FROM events p JOIN events c
-              ON p.user_id = c.user_id
-             AND abs(epoch_us(p.ts) - epoch_us(c.ts)) < 300000000
-            WHERE p.event_type = 'purchase' AND c.event_type = 'click'"""))
-
-  private val qStreamTableJoin = GraftQuery(
-    "q_stream_table_join",
-    (s, dir) =>
-      Joins.enrich(t(s, dir, "orders"), t(s, dir, "customer"), "o_custkey", "c_custkey")
-        .select(col("o_orderkey"), col("o_custkey"), col("c_name"), col("c_mktsegment"), col("o_totalprice")),
-    Some("""SELECT o_orderkey, o_custkey, c_name, c_mktsegment, o_totalprice
-            FROM orders JOIN customer ON o_custkey = c_custkey"""))
-
-  /** The SKEW path through the driver gate: the same enrichment join as
-    * q_stream_table_join but through Joins.saltedJoin (deterministic
-    * fact-side salt × `salt`-replicated dim) — the pathological-hot-key
-    * answer when one key exceeds an executor's memory and AQE's skew
-    * splits can't help. The oracle is the PLAIN join SQL: salting must
-    * be row-identical, and the hash-match proves it on real data, not
-    * just the unit spec.
-    */
-  private val qSaltedJoin = GraftQuery(
-    "q_salted_join",
-    (s, dir) =>
-      Joins.saltedJoin(t(s, dir, "orders"), t(s, dir, "customer"),
-          "o_custkey", "c_custkey", uniqueFactCol = "o_orderkey", salt = 8)
-        .select(col("o_orderkey"), col("o_custkey"), col("c_name"), col("c_mktsegment"), col("o_totalprice")),
-    Some("""SELECT o_orderkey, o_custkey, c_name, c_mktsegment, o_totalprice
-            FROM orders JOIN customer ON o_custkey = c_custkey"""))
-
-  /** JOIN-KEY SKEW REPORT — the diagnostic a 100 TB pipeline runs
-    * BEFORE choosing a salt factor (q_salted_join is the cure; this is
-    * the diagnosis): per-key row counts folded into a log2-bucket
-    * histogram (bucket = bit-length of the count — integer-exact on
-    * both engines via length(bin(cnt)), no float log anywhere), plus
-    * the global skew ratio max·1000 div floor-mean (1000 = uniform;
-    * the salt factor to neutralize the hottest key is ≈ ratio/1000).
-    * The ratio multiplies only max·1000, so it cannot overflow bigint
-    * even at 10⁹ keys — max·keys·1000 div total would wrap at exactly
-    * the scale this report exists to diagnose.
-    *
-    * Scale shape: the per-key count is the one fact shuffle (the same
-    * exchange the join itself would pay); the histogram partial-
-    * aggregates the key table into ≤64 groups and the 1-row totals
-    * attach as a broadcast — the report adds nothing fact-sized.
-    */
-  private val qSkewReport = GraftQuery(
-    "q_skew_report",
-    (s, dir) => {
-      val cnts = events(s, dir).groupBy(col("user_id"))
-        .agg(count(lit(1)).as("cnt"))
-      val hist = cnts.groupBy(length(bin(col("cnt"))).cast("long").as("bucket"))
-        .agg(count(lit(1)).as("n_keys"), sum(col("cnt")).as("n_rows"),
-          max(col("cnt")).as("max_cnt"))
-      val tot = cnts.agg(sum(col("cnt")).as("__total"), count(lit(1)).as("__keys"),
-        max(col("cnt")).as("__gmax"))
-      hist.crossJoin(broadcast(tot))
-        .select(col("bucket"), col("n_keys"), col("n_rows"), col("max_cnt"),
-          expr("__gmax * 1000 div greatest(__total div __keys, 1)").as("skew_milli"))
-    },
-    Some("""WITH c AS (SELECT user_id, CAST(count(*) AS BIGINT) AS cnt
-                  FROM events GROUP BY user_id),
-            h AS (SELECT CAST(length(bin(cnt)) AS BIGINT) AS bucket,
-                    CAST(count(*) AS BIGINT) AS n_keys,
-                    CAST(sum(cnt) AS BIGINT) AS n_rows,
-                    CAST(max(cnt) AS BIGINT) AS max_cnt
-                  FROM c GROUP BY 1),
-            t AS (SELECT sum(cnt) AS total, count(*) AS keys, max(cnt) AS gmax FROM c)
-            SELECT bucket, n_keys, n_rows, max_cnt,
-              CAST(gmax * 1000 // greatest(total // keys, 1) AS BIGINT) AS skew_milli
-            FROM h, t"""))
-
-  /** RANGE-LOOKUP JOIN (Joins.bucketedRangeJoin): the IP-range /
-    * tier-table enrichment shape, demonstrated as a plausibility
-    * diagnostic — for each event type's observed value span
-    * [min, max] cents, how many events of ANY type fall inside it
-    * (values outside a type's span cannot be that type). A pure
-    * BETWEEN-predicate join plans as BroadcastNestedLoopJoin (every
-    * fact row probes every range; the range table may not even fit
-    * broadcast at production sizes); the bucket decomposition turns it
-    * into an EQUI-join on fixed-width buckets + exact BETWEEN refine —
-    * PlanSpec asserts the nested loop is gone. Exact cents, exact
-    * containment; the oracle is the naive BETWEEN join.
-    */
-  private val qRangeJoin = GraftQuery(
-    "q_range_join",
-    (s, dir) => {
-      val cents = events(s, dir)
-        .select(col("event_id"), col("event_type"),
-          (col("value").cast(dec) * 100).cast("long").as("cents"))
-      val ranges = cents.groupBy(col("event_type").as("r_type"))
-        .agg(min(col("cents")).as("lo"), max(col("cents")).as("hi"))
-      Joins.bucketedRangeJoin(cents.select(col("event_id"), col("cents")),
-          "cents", ranges, "lo", "hi", width = 10000L)
-        .groupBy(col("r_type"), col("lo"), col("hi"))
-        .agg(count(lit(1)).as("n_contained"))
-    },
-    Some("""WITH c AS (SELECT event_id,
-                  CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents,
-                  event_type
-                FROM events),
-            r AS (SELECT event_type AS r_type, CAST(min(cents) AS BIGINT) AS lo,
-                    CAST(max(cents) AS BIGINT) AS hi
-                  FROM c GROUP BY event_type)
-            SELECT r_type, lo, hi, CAST(count(*) AS BIGINT) AS n_contained
-            FROM c JOIN r ON c.cents BETWEEN r.lo AND r.hi
-            GROUP BY r_type, lo, hi"""))
-
-  /** INTERVAL-OVERLAP JOIN (Joins.intervalOverlapJoin): co-presence —
-    * for each user pair, how many of their 30-min-gap sessions
-    * intersected in time and for how long (exact microseconds). Both
-    * sides are intervals, so this is the grid-bucketed overlap join:
-    * each session explodes onto a 1-hour grid, candidates meet on an
-    * equi-join on the cell, and the report-once rule (emit only in the
-    * cell of max(lo_a, lo_b)) replaces the distinct a naive grid join
-    * needs. Oracle = gaps-and-islands sessions + naive inequality
-    * self-join.
-    */
-  private val qOverlapSessions = GraftQuery(
-    "q_overlap_sessions",
-    (s, dir) => {
-      def sess(sfx: String) =
-        Windows.session(events(s, dir), "ts", Seq("user_id"), "30 minutes")(
-          min(unix_micros(col("ts"))).as("lo" + sfx),
-          max(unix_micros(col("ts"))).as("hi" + sfx))
-          .select(col("user_id").as("user" + sfx), col("lo" + sfx), col("hi" + sfx))
-      Joins.intervalOverlapJoin(sess("_a"), "lo_a", "hi_a",
-          sess("_b"), "lo_b", "hi_b", width = 3600000000L)
-        .filter(col("user_a") < col("user_b"))
-        .groupBy(col("user_a"), col("user_b"))
-        .agg(count(lit(1)).as("n_overlaps"),
-          sum(least(col("hi_a"), col("hi_b")) - greatest(col("lo_a"), col("lo_b")))
-            .as("overlap_us"))
-    },
-    Some("""WITH x AS (
-              SELECT user_id, event_id, epoch_us(ts) AS e,
-                CASE WHEN epoch_us(ts) - lag(epoch_us(ts))
-                       OVER (PARTITION BY user_id ORDER BY ts, event_id) >= 1800000000
-                     THEN 1 ELSE 0 END AS brk
-              FROM events),
-            y AS (SELECT user_id, e,
-                    sum(brk) OVER (PARTITION BY user_id ORDER BY e, event_id ROWS UNBOUNDED PRECEDING) AS sid
-                  FROM x),
-            s AS (SELECT user_id, min(e) AS lo, max(e) AS hi FROM y GROUP BY user_id, sid)
-            SELECT a.user_id AS user_a, b.user_id AS user_b,
-              CAST(count(*) AS BIGINT) AS n_overlaps,
-              CAST(sum(least(a.hi, b.hi) - greatest(a.lo, b.lo)) AS BIGINT) AS overlap_us
-            FROM s a JOIN s b
-              ON a.user_id < b.user_id AND a.lo <= b.hi AND b.lo <= a.hi
-            GROUP BY 1, 2"""))
-
-  /** BOUNDED-REPORT interval overlap (VERDICT r14 item 6 — the
-    * 100 TB-shaped member of the overlap family): per USER, how many
-    * session overlaps they participate in and the total co-presence
-    * microseconds. q_overlap_sessions' per-PAIR report is bound BY
-    * CONSTRUCTION by the pair count (10,000× at 100× data —
-    * DuckDB-verified accounting in BASELINE.md, 32% of the r14 sf10
-    * sweep on its own) — and measurement showed that ANY plan that
-    * GENERATES the pairs pays that bill even if it aggregates them
-    * away (the grid-join + endpoint-fold draft of this query read
-    * 825 s isolated at sf10, on par with the exact pair query). So
-    * this query never builds a pair: Joins.sweepLineOverlapTotals
-    * answers both totals from the endpoint TIMELINE — per-session
-    * overlap counts as two bucketed rank sums, overlap microseconds
-    * as a prefix integral of the active-session count — O(S log S)
-    * in sessions, exchanges session-sized always. Per-user totals are
-    * IDENTICAL to folding the exact pair query's endpoints
-    * (Round15OpsSpec pins it; the oracle IS the naive pair join). The
-    * exact pair query stays the product surface for drill-down; THIS
-    * is the sweep/headline member at decade-up scale.
-    */
-  private val qOverlapCounts = GraftQuery(
-    "q_overlap_counts",
-    (s, dir) => {
-      val sess = Windows.session(events(s, dir), "ts", Seq("user_id"), "30 minutes")(
-          min(unix_micros(col("ts"))).as("lo"),
-          max(unix_micros(col("ts"))).as("hi"))
-        .select(col("user_id"), col("lo"), col("hi"))
-      // checkDisjoint=false: gap sessionization guarantees the
-      // precondition STRUCTURALLY (consecutive own-key sessions are
-      // ≥ gap apart), the documented caller exemption — the default-on
-      // check costs one extra interval-sized pass (~17 s at sf10) that
-      // would re-verify an invariant this caller constructs
-      Joins.sweepLineOverlapTotals(sess, "user_id", "lo", "hi", width = 3600000000L,
-        checkDisjoint = false)
-    },
-    Some("""WITH x AS (
-              SELECT user_id, event_id, epoch_us(ts) AS e,
-                CASE WHEN epoch_us(ts) - lag(epoch_us(ts))
-                       OVER (PARTITION BY user_id ORDER BY ts, event_id) >= 1800000000
-                     THEN 1 ELSE 0 END AS brk
-              FROM events),
-            y AS (SELECT user_id, e,
-                    sum(brk) OVER (PARTITION BY user_id ORDER BY e, event_id ROWS UNBOUNDED PRECEDING) AS sid
-                  FROM x),
-            s AS (SELECT user_id, min(e) AS lo, max(e) AS hi FROM y GROUP BY user_id, sid),
-            ov AS (SELECT a.user_id AS ua, b.user_id AS ub,
-                     least(a.hi, b.hi) - greatest(a.lo, b.lo) AS ovus
-                   FROM s a JOIN s b
-                     ON a.user_id < b.user_id AND a.lo <= b.hi AND b.lo <= a.hi),
-            ep AS (SELECT ua AS user_id, ovus FROM ov
-                   UNION ALL
-                   SELECT ub AS user_id, ovus FROM ov)
-            SELECT user_id, CAST(count(*) AS BIGINT) AS n_overlaps,
-              CAST(sum(ovus) AS BIGINT) AS overlap_us
-            FROM ep GROUP BY user_id"""))
-
-  private val qMerge = GraftQuery(
-    "q_merge",
-    (s, dir) => {
-      val ev = events(s, dir)
-      Relational.merge(
-        ev.filter(col("event_type") === "purchase"),
-        ev.filter(col("event_type") === "signup"))
-        .groupBy("event_type").agg(count(lit(1)).as("n"))
-    },
-    Some(s"""SELECT event_type, $nSql AS n
-             FROM (SELECT event_type FROM events WHERE event_type = 'purchase'
-                   UNION ALL
-                   SELECT event_type FROM events WHERE event_type = 'signup')
-             GROUP BY event_type"""))
-
-  private val qSplitBranch = GraftQuery(
-    "q_split_branch",
-    (s, dir) =>
-      Relational.branch(events(s, dir),
-        Seq("high" -> (col("value") >= 100), "mid" -> (col("value") >= 10)), otherwise = "low")
-        .groupBy("branch").agg(count(lit(1)).as("n"), sumDec(col("value")).as("sum_value")),
-    Some(s"""SELECT CASE WHEN value >= 100 THEN 'high' WHEN value >= 10 THEN 'mid' ELSE 'low' END AS branch,
-             $nSql AS n, $sumValSql AS sum_value
-             FROM events GROUP BY 1"""))
-
-  private val qChunk = GraftQuery(
-    "q_chunk",
-    (s, dir) =>
-      Keyed.chunk(events(s, dir), Seq("user_id"), Seq("ts", "event_id"), 10)
-        .select(col("event_id"), col("user_id"), col("chunk_id")),
-    Some("""SELECT event_id, user_id,
-            (row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) - 1) // 10 AS chunk_id
-            FROM events"""))
-
-  private val qSkipTake = GraftQuery(
-    "q_skip_take",
-    (s, dir) =>
-      Keyed.skipTake(events(s, dir), Seq("user_id"), Seq("ts", "event_id"), skip = 5, take = 10)
-        .select(col("event_id"), col("user_id"), col("rn").cast("long").as("rn")),
-    Some("""SELECT event_id, user_id, CAST(rn AS BIGINT) AS rn
-            FROM (SELECT event_id, user_id,
-                    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
-                  FROM events)
-            WHERE rn > 5 AND rn <= 15"""))
-
-  private val qThrottle = GraftQuery(
-    "q_throttle",
-    (s, dir) =>
-      Keyed.throttle(events(s, dir), Seq("user_id"), Seq("ts", "event_id"), every = 5)
-        .select(col("event_id"), col("user_id"), col("rn").cast("long").as("rn")),
-    Some("""SELECT event_id, user_id, CAST(rn AS BIGINT) AS rn
-            FROM (SELECT event_id, user_id,
-                    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
-                  FROM events)
-            WHERE (rn - 1) % 5 = 0"""))
-
-  private val qWordcount = GraftQuery(
-    "q_wordcount",
-    (s, dir) =>
-      // Fence: the generate-inferred size/isnotnull predicates would
-      // otherwise re-tokenize every row (see functions.Fence)
-      Fence.guard(
-          t(s, dir, "documents")
-            .select(TextFns.tokensFast(col("text")).as("__toks"), Fence.col))
-        .select(explode(col("__toks")).as("word"))
-        .groupBy("word").agg(count(lit(1)).as("cnt"))
-        .orderBy(col("cnt").desc, col("word"))
-        .limit(100),
-    Some(s"""WITH w AS (SELECT unnest($toksSql) AS word FROM documents)
-             SELECT word, $nSql AS cnt FROM w GROUP BY word
-             ORDER BY cnt DESC, word LIMIT 100"""))
-
-  private val qCandles = GraftQuery(
-    "q_candles",
-    (s, dir) =>
-      Windows.tumbling(events(s, dir), "ts", Seq("event_type"), "1 hour")(
-        min_by(col("value"), col("event_id")).as("open"),
-        max(col("value")).as("high"),
-        min(col("value")).as("low"),
-        max_by(col("value"), col("event_id")).as("close"),
-        sumDec(col("value")).as("volume"),
-        count(lit(1)).as("n_ticks"))
-        .select(unix_micros(col("window_start")).as("window_start_us"), col("event_type"),
-          col("open"), col("high"), col("low"), col("close"), col("volume"), col("n_ticks")),
-    Some(s"""SELECT (epoch_us(ts) // 3600000000) * 3600000000 AS window_start_us, event_type,
-             arg_min(value, event_id) AS open, max(value) AS high, min(value) AS low,
-             arg_max(value, event_id) AS close, $sumValSql AS volume, $nSql AS n_ticks
-             FROM events GROUP BY 1, 2"""))
-
-  /** The reference's candle pipeline actually drives a HOPPING window
-    * per timeframe (example/stocks.rs:129-180 via src/window.rs:95-180);
-    * q_candles is the tumbling special case (size == hop), this is the
-    * general overlapping form: 1 h candles refreshed every 15 min.
-    */
-  private val qCandlesHop = GraftQuery(
-    "q_candles_hop",
-    (s, dir) =>
-      Windows.hopping(events(s, dir), "ts", Seq("event_type"), "1 hour", "15 minutes")(
-        min_by(col("value"), col("event_id")).as("open"),
-        max(col("value")).as("high"),
-        min(col("value")).as("low"),
-        max_by(col("value"), col("event_id")).as("close"),
-        sumDec(col("value")).as("volume"))
-        .select(unix_micros(col("window_start")).as("window_start_us"), col("event_type"),
-          col("open"), col("high"), col("low"), col("close"), col("volume")),
-    Some(s"""SELECT ws AS window_start_us, event_type,
-             arg_min(value, event_id) AS open, max(value) AS high, min(value) AS low,
-             arg_max(value, event_id) AS close, $sumValSql AS volume
-             FROM (SELECT ((epoch_us(ts) // 900000000) - k) * 900000000 AS ws, event_type, value, event_id
-                   FROM events, range(4) t(k))
-             GROUP BY 1, 2"""))
-
-  private val qStratClassify = GraftQuery(
-    "q_strat_classify",
-    (s, dir) => {
-      import org.apache.spark.sql.expressions.Window
-      val candles = Windows.tumbling(events(s, dir), "ts", Seq("event_type"), "1 hour")(
-        min_by(col("value"), col("event_id")).as("open"),
-        max_by(col("value"), col("event_id")).as("close"))
-        .select(unix_micros(col("window_start")).as("window_start_us"), col("event_type"),
-          col("open"), col("close"))
-      val w = Window.partitionBy("event_type").orderBy("window_start_us")
-      candles
-        .withColumn("top", greatest(col("open"), col("close")))
-        .withColumn("bottom", least(col("open"), col("close")))
-        .withColumn("ptop", lag(greatest(col("open"), col("close")), 1).over(w))
-        .withColumn("pbottom", lag(least(col("open"), col("close")), 1).over(w))
-        .filter(col("ptop").isNotNull)
-        .select(col("window_start_us"), col("event_type"),
-          when(col("top") > col("ptop") && col("bottom") < col("pbottom"), 4L)
-            .when(col("top") > col("ptop"), 2L)
-            .when(col("bottom") < col("pbottom"), 3L)
-            .otherwise(1L).as("strat_class"))
-    },
-    Some("""WITH c AS (
-              SELECT (epoch_us(ts) // 3600000000) * 3600000000 AS ws, event_type,
-                     arg_min(value, event_id) AS open, arg_max(value, event_id) AS close
-              FROM events GROUP BY 1, 2),
-            d AS (
-              SELECT ws, event_type,
-                     greatest(open, close) AS top, least(open, close) AS bottom,
-                     lag(greatest(open, close)) OVER w AS ptop,
-                     lag(least(open, close)) OVER w AS pbottom
-              FROM c WINDOW w AS (PARTITION BY event_type ORDER BY ws))
-            SELECT ws AS window_start_us, event_type,
-                   CAST(CASE WHEN top > ptop AND bottom < pbottom THEN 4
-                             WHEN top > ptop THEN 2
-                             WHEN bottom < pbottom THEN 3
-                             ELSE 1 END AS BIGINT) AS strat_class
-            FROM d WHERE ptop IS NOT NULL"""))
-
-  private val qAsofJoin = GraftQuery(
-    "q_asof_join",
-    (s, dir) => {
-      val l = events(s, dir).select(col("event_id"), col("user_id"), col("ts"))
-      // o_orderdate is NTZ; cast to TimestampType under the UTC session
-      // (naive-as-UTC — exactly DuckDB's comparison semantics).
-      val r = t(s, dir, "orders").select(col("o_custkey"),
-        col("o_orderdate").cast("timestamp").as("o_orderdate"), col("o_orderkey"), col("o_totalprice"))
-      Joins.asofJoin(l, r, "user_id", "o_custkey", "ts", "o_orderdate", "o_orderkey",
-        Seq("o_orderkey", "o_totalprice"))
-        .select(col("event_id"), col("user_id"),
-          col("o_orderkey").as("order_key"), col("o_totalprice").as("order_total"))
-    },
-    Some("""WITH o AS (
-              SELECT o_custkey, o_orderdate, o_orderkey, o_totalprice FROM orders
-              QUALIFY row_number() OVER (PARTITION BY o_custkey, o_orderdate ORDER BY o_orderkey DESC) = 1)
-            SELECT e.event_id, e.user_id, o.o_orderkey AS order_key, o.o_totalprice AS order_total
-            FROM events e ASOF LEFT JOIN o
-              ON e.user_id = o.o_custkey AND o.o_orderdate <= e.ts"""))
-
-  // =======================================================================
-  // Relational / analytics core (rows 19-22)
-  // =======================================================================
-
-  private val q1Pricing = GraftQuery(
-    "q1_pricing",
-    (s, dir) =>
-      t(s, dir, "lineitem")
-        .filter(col("l_shipdate") <= ntz("2001-09-02 00:00:00"))
-        .groupBy("l_returnflag", "l_linestatus")
-        .agg(
-          sum(col("l_quantity").cast("long")).as("sum_qty"),
-          sumDec(col("l_extendedprice")).as("sum_base_price"),
-          round(sum(discPrice), 2).cast("double").as("sum_disc_price"),
-          round(sum(charge), 2).cast("double").as("sum_charge"),
-          sum(round(col("l_discount") * 100).cast("long")).as("__sum_disc_e2"),
-          count(lit(1)).as("n"))
-        .withColumn("avg_qty_e4", expr("(sum_qty * 10000) div n"))
-        .withColumn("avg_disc_e6", expr("(__sum_disc_e2 * 10000) div n"))
-        .drop("__sum_disc_e2"),
-    Some("""SELECT l_returnflag, l_linestatus,
-              CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
-              CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
-              CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1.0 - l_discount AS DECIMAL(12,8))), 2) AS DOUBLE) AS sum_disc_price,
-              CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST((1.0 - l_discount) * (1.0 + l_tax) AS DECIMAL(12,8))), 2) AS DOUBLE) AS sum_charge,
-              CAST(count(*) AS BIGINT) AS n,
-              CAST((sum(CAST(l_quantity AS BIGINT)) * 10000) // count(*) AS BIGINT) AS avg_qty_e4,
-              CAST((sum(CAST(round(l_discount * 100) AS BIGINT)) * 10000) // count(*) AS BIGINT) AS avg_disc_e6
-            FROM lineitem
-            WHERE l_shipdate <= TIMESTAMP '2001-09-02 00:00:00'
-            GROUP BY 1, 2"""))
-
-  private val q3Topk = GraftQuery(
-    "q3_topk",
-    (s, dir) => {
-      val c = t(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
-      val o = t(s, dir, "orders").filter(col("o_orderdate") < ntz("1998-01-01 00:00:00"))
-      val l = t(s, dir, "lineitem").filter(col("l_shipdate") > ntz("1998-01-01 00:00:00"))
-      // reduce orders by the broadcast dim BEFORE the fact join: the
-      // orders side of the big l⋈o shuffle shrinks by the segment's
-      // selectivity (~5×) — same rows, better shape at scale
-      val oc = o.join(broadcast(c), o("o_custkey") === c("c_custkey"))
-      l.join(oc, l("l_orderkey") === o("o_orderkey"))
-        .groupBy(l("l_orderkey"), o("o_orderdate"), o("o_orderpriority"))
-        .agg(round(sum(discPrice), 2).cast("double").as("revenue"))
-        .select(col("l_orderkey"), col("revenue"),
-          date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_orderdate_d"), col("o_orderpriority"))
-        .orderBy(col("revenue").desc, col("l_orderkey"))
-        .limit(10)
-    },
-    Some("""SELECT l_orderkey,
-              CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1.0 - l_discount AS DECIMAL(12,8))), 2) AS DOUBLE) AS revenue,
-              strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate_d, o_orderpriority
-            FROM lineitem
-            JOIN orders ON l_orderkey = o_orderkey
-            JOIN customer ON o_custkey = c_custkey
-            WHERE c_mktsegment = 'BUILDING'
-              AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
-              AND l_shipdate > TIMESTAMP '1998-01-01 00:00:00'
-            GROUP BY l_orderkey, o_orderdate, o_orderpriority
-            ORDER BY revenue DESC, l_orderkey LIMIT 10"""))
-
-  /** TPC-H Q14 shape: promo revenue share for one month — conditional
-    * aggregation over the lineitem ⋈ part join (part broadcasts; the
-    * shipdate filter pushes to the fact scan). The share is emitted as
-    * exact integer milli-units (cents div cents) alongside the decimal
-    * sums, so no cross-engine division rounding exists.
-    */
-  private val q14Promo = GraftQuery(
-    "q14_promo",
-    (s, dir) => {
-      val p = t(s, dir, "part")
-        .select(col("p_partkey"), (col("p_type") === "PROMO").as("__promo"))
-      val l = t(s, dir, "lineitem")
-        .filter(col("l_shipdate") >= ntz("1998-01-01 00:00:00") &&
-          col("l_shipdate") < ntz("1998-02-01 00:00:00"))
-      l.join(broadcast(p), col("l_partkey") === col("p_partkey"))
-        .agg(
-          round(coalesce(sum(when(col("__promo"), discPrice)), lit(0)), 2)
-            .cast(dec).as("__np"),
-          round(sum(discPrice), 2).cast(dec).as("__nt"))
-        .select(col("__np").cast("double").as("sum_promo"),
-          col("__nt").cast("double").as("sum_total"),
-          expr("(CAST(__np * 100 AS BIGINT) * 1000) div CAST(__nt * 100 AS BIGINT)")
-            .as("promo_milli"))
-    },
-    Some("""WITH x AS (
-              SELECT
-                CAST(round(sum(CASE WHEN p_type = 'PROMO'
-                  THEN CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1.0 - l_discount AS DECIMAL(12,8))
-                  ELSE 0 END), 2) AS DECIMAL(18,2)) AS np,
-                CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1.0 - l_discount AS DECIMAL(12,8))), 2) AS DECIMAL(18,2)) AS nt
-              FROM lineitem JOIN part ON l_partkey = p_partkey
-              WHERE l_shipdate >= TIMESTAMP '1998-01-01 00:00:00'
-                AND l_shipdate < TIMESTAMP '1998-02-01 00:00:00')
-            SELECT CAST(np AS DOUBLE) AS sum_promo, CAST(nt AS DOUBLE) AS sum_total,
-              CAST(CAST(np * 100 AS BIGINT) * 1000 // CAST(nt * 100 AS BIGINT) AS BIGINT) AS promo_milli
-            FROM x"""))
-
-  private val q5Region = GraftQuery(
-    "q5_region",
-    (s, dir) => {
-      val l = t(s, dir, "lineitem")
-      val o = t(s, dir, "orders")
-        .filter(col("o_orderdate") >= ntz("1996-01-01 00:00:00") &&
-          col("o_orderdate") < ntz("1997-01-01 00:00:00"))
-      val c = t(s, dir, "customer")
-      val su = t(s, dir, "supplier")
-      val n = t(s, dir, "nation")
-      val r = t(s, dir, "region").filter(col("r_name") === "ASIA")
-      // the one fact-fact join: shuffle-hash with the build on the
-      // year-filtered orders side — lineitem (the big stream) is never
-      // sorted, which a sort-merge plan would charge at every scale
-      l.join(o.hint("shuffle_hash"), l("l_orderkey") === o("o_orderkey"))
-        .join(broadcast(c), o("o_custkey") === c("c_custkey"))
-        .join(broadcast(su), l("l_suppkey") === su("s_suppkey") && c("c_nationkey") === su("s_nationkey"))
-        .join(broadcast(n), su("s_nationkey") === n("n_nationkey"))
-        .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
-        .groupBy(col("n_name"))
-        .agg(round(sum(discPrice), 2).cast("double").as("revenue"))
-    },
-    Some("""SELECT n_name,
-              CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1.0 - l_discount AS DECIMAL(12,8))), 2) AS DOUBLE) AS revenue
-            FROM lineitem
-            JOIN orders ON l_orderkey = o_orderkey
-            JOIN customer ON o_custkey = c_custkey
-            JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
-            JOIN nation ON s_nationkey = n_nationkey
-            JOIN region ON n_regionkey = r_regionkey
-            WHERE r_name = 'ASIA'
-              AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
-              AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
-            GROUP BY n_name"""))
-
-  /** TPC-H Q2 shape: cheapest supplier per (filtered) part — the
-    * argmin-per-group join pattern. The argmin is `min(struct(cost,
-    * suppkey))`: lexicographic struct ordering keeps it deterministic
-    * AND partial-agg friendly (map-side combine before one shuffle on
-    * partkey — a window row_number would sort every group instead).
-    * Unit cost is exact integer cents: decimal-cast price × 100 div
-    * quantity. Part filter and supplier lookup are broadcast joins.
-    */
-  private val q2Mincost = GraftQuery(
-    "q2_mincost",
-    (s, dir) => {
-      val p = t(s, dir, "part").filter(col("p_size") <= 10).select(col("p_partkey"))
-      val su = t(s, dir, "supplier")
-      t(s, dir, "lineitem")
-        .join(broadcast(p), col("l_partkey") === col("p_partkey"))
-        .select(col("l_partkey"),
-          struct(
-            expr("cast(cast(l_extendedprice as decimal(18,2)) * 100 as bigint) div cast(l_quantity as bigint)")
-              .as("unit_cents"),
-            col("l_suppkey").as("suppkey")).as("m"))
-        .groupBy(col("l_partkey"))
-        .agg(min(col("m")).as("m"))
-        .select(col("l_partkey").as("p_partkey"),
-          col("m.unit_cents").as("unit_cents"), col("m.suppkey").as("suppkey"))
-        .join(broadcast(su), col("suppkey") === col("s_suppkey"))
-        .select(col("p_partkey"), col("s_name"), col("unit_cents"))
-    },
-    Some("""WITH u AS (SELECT l_partkey, l_suppkey,
-              CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) // CAST(l_quantity AS BIGINT) AS unit_cents
-              FROM lineitem JOIN part ON l_partkey = p_partkey WHERE p_size <= 10),
-            r AS (SELECT l_partkey AS p_partkey, l_suppkey AS suppkey, unit_cents,
-                    row_number() OVER (PARTITION BY l_partkey ORDER BY unit_cents, l_suppkey) AS rn
-                  FROM u)
-            SELECT p_partkey, s_name, unit_cents
-            FROM r JOIN supplier ON suppkey = s_suppkey WHERE rn = 1"""))
-
-  /** TPC-H Q18 shape: large-volume orders — aggregate lineitem per
-    * order, keep totals over a threshold, join back to orders and the
-    * broadcast customer dim. The quantity agg and the orders join share
-    * the orderkey, so AQE plans ONE shuffle for both; total quantity is
-    * an exact BIGINT (quantities are integral), the order price exact
-    * integer cents.
-    */
-  private val q18Bigorders = GraftQuery(
-    "q18_bigorders",
-    (s, dir) => {
-      val big = t(s, dir, "lineitem")
-        .groupBy(col("l_orderkey"))
-        .agg(sum(col("l_quantity").cast("long")).as("total_qty"))
-        .filter(col("total_qty") > 150)
-      t(s, dir, "orders")
-        .join(big, col("o_orderkey") === col("l_orderkey"))
-        .join(broadcast(t(s, dir, "customer")), col("o_custkey") === col("c_custkey"))
-        .select(col("c_name"), col("o_custkey"), col("o_orderkey"), col("total_qty"),
-          expr("cast(cast(o_totalprice as decimal(18,2)) * 100 as bigint)").as("price_cents"))
-    },
-    Some("""SELECT c_name, o_custkey, o_orderkey, CAST(total_qty AS BIGINT) AS total_qty,
-              CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS price_cents
-            FROM (SELECT l_orderkey, sum(CAST(l_quantity AS BIGINT)) AS total_qty
-                  FROM lineitem GROUP BY 1 HAVING sum(CAST(l_quantity AS BIGINT)) > 150) b
-            JOIN orders ON o_orderkey = b.l_orderkey
-            JOIN customer ON o_custkey = c_custkey"""))
-
-  /** TPC-H Q22 shape: churned high-value customers — above-average
-    * balance (scalar subquery) with no order since a cutoff (anti
-    * join), aggregated per nation. The scalar average rides a 1-row
-    * broadcast (Spark's scalar-attach shape, see §5); the LEFT ANTI
-    * join prunes the orders side to custkeys only and the date filter
-    * pushes to the orders scan. Balances are exact integer cents and
-    * the average an exact floor division.
-    */
-  private val q22Churn = GraftQuery(
-    "q22_churn",
-    (s, dir) => {
-      val c = t(s, dir, "customer")
-      val bal = expr("cast(cast(c_acctbal as decimal(18,2)) * 100 as bigint)")
-      val avgPos = c.filter(col("c_acctbal") > 0)
-        .agg(expr("sum(cast(cast(c_acctbal as decimal(18,2)) * 100 as bigint)) div count(1)")
-          .as("__avg_cents"))
-      val recent = t(s, dir, "orders")
-        .filter(col("o_orderdate") >= ntz("2001-01-01 00:00:00"))
-        .select(col("o_custkey"))
-      c.select(col("c_custkey"), col("c_nationkey").cast("long").as("nationkey"),
-          bal.as("__bal"))
-        .crossJoin(broadcast(avgPos))
-        .filter(col("__bal") > col("__avg_cents"))
-        .join(recent, col("c_custkey") === col("o_custkey"), "left_anti")
-        .groupBy(col("nationkey"))
-        .agg(count(lit(1)).as("n_cust"), sum(col("__bal")).as("sum_cents"))
-    },
-    Some("""WITH a AS (SELECT sum(CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT)) // count(*) AS avg_cents
-              FROM customer WHERE c_acctbal > 0)
-            SELECT CAST(c_nationkey AS BIGINT) AS nationkey,
-              CAST(count(*) AS BIGINT) AS n_cust,
-              CAST(sum(CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS sum_cents
-            FROM customer, a
-            WHERE CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT) > a.avg_cents
-              AND NOT EXISTS (SELECT 1 FROM orders
-                              WHERE o_custkey = c_custkey
-                                AND o_orderdate >= TIMESTAMP '2001-01-01 00:00:00')
-            GROUP BY c_nationkey"""))
-
-  /** TPC-H Q4 shape: orders with at least one returned line, counted
-    * per priority — the EXISTS / LEFT SEMI join pattern (Q22 covers the
-    * anti side; this is its complement). The semi join needs only
-    * `l_orderkey` from the probe side after the returnflag filter
-    * pushes to the lineitem scan, duplicates on the lineitem side never
-    * multiply rows (semi short-circuits on first match), and both sides
-    * hash-partition on the shared orderkey.
-    */
-  private val q4Semi = GraftQuery(
-    "q4_semi",
-    (s, dir) => {
-      val o = t(s, dir, "orders")
-        .filter(col("o_orderdate") >= ntz("1996-01-01 00:00:00") &&
-          col("o_orderdate") < ntz("1996-07-01 00:00:00"))
-      val ret = t(s, dir, "lineitem")
-        .filter(col("l_returnflag") === "R")
-        .select(col("l_orderkey"))
-      o.join(ret, o("o_orderkey") === ret("l_orderkey"), "left_semi")
-        .groupBy(col("o_orderpriority"))
-        .agg(count(lit(1)).as("n_orders"))
-    },
-    Some("""SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_orders
-            FROM orders
-            WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
-              AND o_orderdate < TIMESTAMP '1996-07-01 00:00:00'
-              AND EXISTS (SELECT 1 FROM lineitem
-                          WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
-            GROUP BY o_orderpriority"""))
-
-  /** TPC-H Q6 shape: the pure scan→filter→agg forecast query — zero
-    * joins, zero shuffles past the partial agg. Every predicate
-    * (shipdate range, discount band, quantity cap) is a parquet
-    * pushdown (PlanSpec asserts PushedFilters), so at 100 TB the scan
-    * skips row groups on shipdate min/max stats and the agg reduces
-    * map-side to one row per task. Revenue is the exact decimal
-    * product sum; the discount factor goes through DECIMAL(12,8) like
-    * every money expression here (SURVEY §4).
-    */
-  private val q6Forecast = GraftQuery(
-    "q6_forecast",
-    (s, dir) =>
-      t(s, dir, "lineitem")
-        .filter(col("l_shipdate") >= ntz("1997-01-01 00:00:00") &&
-          col("l_shipdate") < ntz("1998-01-01 00:00:00") &&
-          col("l_discount") >= 0.05 && col("l_discount") <= 0.07 &&
-          col("l_quantity") < 24)
-        .agg(
-          round(sum(col("l_extendedprice").cast(dec) *
-            col("l_discount").cast(DecimalType(12, 8))), 2).cast("double").as("revenue"),
-          count(lit(1)).as("n_lines")),
-    Some("""SELECT
-              CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(12,8))), 2) AS DOUBLE) AS revenue,
-              CAST(count(*) AS BIGINT) AS n_lines
-            FROM lineitem
-            WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
-              AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
-              AND l_discount >= 0.05 AND l_discount <= 0.07
-              AND l_quantity < 24"""))
-
-  /** TPC-H Q10 shape: top-20 customers by revenue lost to returns in a
-    * quarter. lineitem(returnflag pushed) ⋈ orders(date pushed) is the
-    * one big shuffle (shared orderkey partitioning); customer and
-    * nation broadcast. The final top-20 is TakeOrderedAndProject —
-    * never a global sort — with c_custkey as the deterministic
-    * tiebreak. Account balance rides as exact integer cents inside the
-    * group key (functionally dependent on c_custkey, so the group
-    * count is unchanged).
-    */
-  private val q10Returns = GraftQuery(
-    "q10_returns",
-    (s, dir) => {
-      val o = t(s, dir, "orders")
-        .filter(col("o_orderdate") >= ntz("1997-01-01 00:00:00") &&
-          col("o_orderdate") < ntz("1997-04-01 00:00:00"))
-      val l = t(s, dir, "lineitem").filter(col("l_returnflag") === "R")
-      val c = t(s, dir, "customer")
-      val n = t(s, dir, "nation")
-      l.join(o, l("l_orderkey") === o("o_orderkey"))
-        .join(broadcast(c), o("o_custkey") === c("c_custkey"))
-        .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
-        .groupBy(col("c_custkey"), col("c_name"), col("n_name"),
-          expr("cast(cast(c_acctbal as decimal(18,2)) * 100 as bigint)").as("acctbal_cents"))
-        .agg(round(sum(discPrice), 2).cast("double").as("revenue"))
-        .orderBy(col("revenue").desc, col("c_custkey"))
-        .limit(20)
-    },
-    Some("""SELECT c_custkey, c_name, n_name,
-              CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT) AS acctbal_cents,
-              CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1.0 - l_discount AS DECIMAL(12,8))), 2) AS DOUBLE) AS revenue
-            FROM lineitem
-            JOIN orders ON l_orderkey = o_orderkey
-            JOIN customer ON o_custkey = c_custkey
-            JOIN nation ON c_nationkey = n_nationkey
-            WHERE l_returnflag = 'R'
-              AND o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
-              AND o_orderdate < TIMESTAMP '1997-04-01 00:00:00'
-            GROUP BY c_custkey, c_name, n_name, acctbal_cents
-            ORDER BY revenue DESC, c_custkey LIMIT 20"""))
-
-  /** TPC-H Q12 shape re-keyed to this schema (no l_shipmode column):
-    * per returnflag class, how many lines belong to urgent vs
-    * non-urgent orders in a ship year. The canonical big-big join +
-    * conditional-aggregation pattern: lineitem ⋈ orders shuffle on the
-    * shared orderkey (orders is NOT broadcast — at 100 TB it is a fact
-    * table), the urgency CASE folds into the aggregate so one scan
-    * serves both counters, and the shipdate filter pushes down.
-    */
-  private val q12Priority = GraftQuery(
-    "q12_priority",
-    (s, dir) => {
-      val l = t(s, dir, "lineitem")
-        .filter(col("l_shipdate") >= ntz("1997-01-01 00:00:00") &&
-          col("l_shipdate") < ntz("1998-01-01 00:00:00"))
-      val o = t(s, dir, "orders")
-      val urgent = col("o_orderpriority") === "1-URGENT" || col("o_orderpriority") === "2-HIGH"
-      l.join(o, l("l_orderkey") === o("o_orderkey"))
-        .groupBy(col("l_returnflag"))
-        .agg(
-          sum(when(urgent, lit(1L)).otherwise(lit(0L))).as("high_line_count"),
-          sum(when(urgent, lit(0L)).otherwise(lit(1L))).as("low_line_count"))
-    },
-    Some("""SELECT l_returnflag,
-              CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
-              CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
-            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
-            WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
-              AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
-            GROUP BY l_returnflag"""))
-
-  /** TPC-H Q19 shape: discounted revenue for three OR'd
-    * (type, size-band, quantity-band) brackets. Catalyst extracts the
-    * common `l_partkey = p_partkey` equi-conjunct for the broadcast
-    * hash join and keeps the disjunction as the join residual; the
-    * quantity bound common to all brackets (l_quantity <= 32) is
-    * OR-factored and pushed to the lineitem scan. The disjunctive-
-    * predicate pattern is the point: at 100 TB the fact scan must not
-    * evaluate three bracket predicates row-by-row pre-join — the resid
-    * runs only on rows surviving the hash probe.
-    */
-  private val q19Brackets = GraftQuery(
-    "q19_brackets",
-    (s, dir) => {
-      val p = t(s, dir, "part")
-      val l = t(s, dir, "lineitem")
-      val bracket =
-        (col("p_type") === "PROMO" && col("p_size").between(1, 10) && col("l_quantity").between(1, 11)) ||
-        (col("p_type") === "SMALL" && col("p_size").between(1, 20) && col("l_quantity").between(10, 20)) ||
-        (col("p_type") === "LARGE" && col("p_size").between(1, 30) && col("l_quantity").between(20, 32))
-      l.join(broadcast(p), l("l_partkey") === p("p_partkey") && bracket)
-        .agg(round(sum(discPrice), 2).cast("double").as("revenue"),
-          count(lit(1)).as("n_lines"))
-    },
-    Some("""SELECT
-              CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1.0 - l_discount AS DECIMAL(12,8))), 2) AS DOUBLE) AS revenue,
-              CAST(count(*) AS BIGINT) AS n_lines
-            FROM lineitem JOIN part ON l_partkey = p_partkey
-            WHERE (p_type = 'PROMO' AND p_size BETWEEN 1 AND 10 AND l_quantity BETWEEN 1 AND 11)
-               OR (p_type = 'SMALL' AND p_size BETWEEN 1 AND 20 AND l_quantity BETWEEN 10 AND 20)
-               OR (p_type = 'LARGE' AND p_size BETWEEN 1 AND 30 AND l_quantity BETWEEN 20 AND 32)"""))
-
-  /** TPC-H Q7 shape: bilateral trade-lane revenue by year between two
-    * nations. Supplier and customer nation attach via broadcast dims;
-    * the (n1,n2)∈{(A,B),(B,A)} disjunction is a residual on the
-    * broadcast probe, and the only big shuffle is l⋈o on the shared
-    * orderkey. The year comes from the NTZ shipdate (identical
-    * date_part in both engines), revenue is the exact decimal sum.
-    */
-  private val q7Trade = GraftQuery(
-    "q7_trade",
-    (s, dir) => {
-      val l = t(s, dir, "lineitem")
-      val o = t(s, dir, "orders")
-      val c = t(s, dir, "customer")
-      val su = t(s, dir, "supplier")
-      val n1 = t(s, dir, "nation").select(col("n_nationkey").as("sk"), col("n_name").as("supp_nation"))
-      val n2 = t(s, dir, "nation").select(col("n_nationkey").as("ck"), col("n_name").as("cust_nation"))
-      val lanes = (col("supp_nation") === "NATION_1" && col("cust_nation") === "NATION_2") ||
-        (col("supp_nation") === "NATION_2" && col("cust_nation") === "NATION_1")
-      l.join(o, l("l_orderkey") === o("o_orderkey"))
-        .join(broadcast(c), o("o_custkey") === c("c_custkey"))
-        .join(broadcast(su), l("l_suppkey") === su("s_suppkey"))
-        .join(broadcast(n1), su("s_nationkey") === col("sk"))
-        .join(broadcast(n2), c("c_nationkey") === col("ck"))
-        .filter(lanes)
-        .groupBy(col("supp_nation"), col("cust_nation"), year(col("l_shipdate")).as("l_year"))
-        .agg(round(sum(discPrice), 2).cast("double").as("revenue"))
-    },
-    Some("""SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
-              CAST(year(l_shipdate) AS INTEGER) AS l_year,
-              CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1.0 - l_discount AS DECIMAL(12,8))), 2) AS DOUBLE) AS revenue
-            FROM lineitem
-            JOIN orders ON l_orderkey = o_orderkey
-            JOIN customer ON o_custkey = c_custkey
-            JOIN supplier ON l_suppkey = s_suppkey
-            JOIN nation n1 ON s_nationkey = n1.n_nationkey
-            JOIN nation n2 ON c_nationkey = n2.n_nationkey
-            WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
-               OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')
-            GROUP BY 1, 2, 3"""))
-
-  /** TPC-H Q15 shape: the top-revenue supplier(s) for a quarter — the
-    * scalar-max pattern. The per-supplier revenue aggregates once; its
-    * max rides a 1-row broadcast (Spark's scalar-subquery shape, §5)
-    * and the equality filter re-reads the SAME aggregated subtree
-    * (runtime stage reuse), so the fact scans once per exchange, never
-    * per candidate. Revenue is exact integer cents end to end.
-    */
-  private val q15TopSupp = GraftQuery(
-    "q15_topsupp",
-    (s, dir) => {
-      // The explicit l_suppkey IS NOT NULL mirrors the constraint the
-      // optimizer infers on the MAIN branch from the supplier equi-join
-      // — without it the two rev branches' scans differ by exactly that
-      // inferred filter, are no longer canonically equal, and the fact
-      // scans twice instead of riding one reused exchange (PlanSpec).
-      // Semantics unchanged: an inner join on l_suppkey drops null keys
-      // anyway, and a null key can't carry the max revenue group here.
-      val rev = t(s, dir, "lineitem")
-        .filter(col("l_shipdate") >= ntz("1997-01-01 00:00:00") &&
-          col("l_shipdate") < ntz("1997-04-01 00:00:00") &&
-          col("l_suppkey").isNotNull)
-        .groupBy(col("l_suppkey"))
-        .agg(sum(expr("cast(cast(l_extendedprice as decimal(18,2)) * 100 as bigint)"))
-          .as("rev_cents"))
-      val mx = rev.agg(max(col("rev_cents")).as("mx"))
-      rev.crossJoin(broadcast(mx))
-        .filter(col("rev_cents") === col("mx"))
-        .join(broadcast(t(s, dir, "supplier")), col("l_suppkey") === col("s_suppkey"))
-        .select(col("s_suppkey"), col("s_name"), col("rev_cents"))
-    },
-    Some("""WITH rev AS (
-              SELECT l_suppkey, sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS rev_cents
-              FROM lineitem
-              WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
-                AND l_shipdate < TIMESTAMP '1997-04-01 00:00:00'
-                AND l_suppkey IS NOT NULL
-              GROUP BY l_suppkey)
-            SELECT s_suppkey, s_name, CAST(rev_cents AS BIGINT) AS rev_cents
-            FROM rev JOIN supplier ON l_suppkey = s_suppkey
-            WHERE rev_cents = (SELECT max(rev_cents) FROM rev)"""))
-
-  /** TPC-H Q17 shape: revenue from small-quantity lines of one part
-    * type — the correlated-scalar-subquery (per-part 0.2×avg quantity
-    * threshold) re-expressed as an aggregate + same-key join. The
-    * filtered fact joins its own per-partkey average ON THE KEY THE
-    * AVERAGE GROUPED BY, so one partkey exchange serves both; the
-    * threshold compare is exact integer cross-multiplication
-    * (5·qty·n < Σqty ⇔ qty < 0.2·avg), no float division anywhere.
-    */
-  private val q17SmallQty = GraftQuery(
-    "q17_smallqty",
-    (s, dir) => {
-      val p = t(s, dir, "part").filter(col("p_type") === "PROMO").select(col("p_partkey"))
-      // the per-part average rides UNORDERED windows over the SAME
-      // l_partkey partitioning the rows already need — one scan, one
-      // exchange, no sort beyond the partition key. The
-      // aggregate-joined-back-on-its-own-key form scanned the fact
-      // twice (the agg branch's partial aggregate de-canonicalized the
-      // exchange — PlanAudit).
-      import org.apache.spark.sql.expressions.Window
-      val w = Window.partitionBy("l_partkey")
-      t(s, dir, "lineitem")
-        .join(broadcast(p), col("l_partkey") === col("p_partkey"))
-        .select(col("l_partkey"),
-          expr("cast(cast(l_quantity as decimal(18,3)) * 1000 as bigint)").as("qty_milli"),
-          expr("cast(cast(l_extendedprice as decimal(18,2)) * 100 as bigint)").as("price_cents"))
-        .withColumn("sq", sum(col("qty_milli")).over(w))
-        .withColumn("n", count(lit(1)).over(w))
-        .filter(col("qty_milli") * 5 * col("n") < col("sq"))
-        .agg(coalesce(sum(col("price_cents")), lit(0L)).as("revenue_cents"),
-          count(lit(1)).as("n_lines"))
-    },
-    Some("""WITH fl AS (
-              SELECT l_partkey,
-                CAST(CAST(l_quantity AS DECIMAL(18,3)) * 1000 AS BIGINT) AS qty_milli,
-                CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS price_cents
-              FROM lineitem JOIN part ON l_partkey = p_partkey
-              WHERE p_type = 'PROMO'),
-            ag AS (SELECT l_partkey, sum(qty_milli) AS sq, count(*) AS n FROM fl GROUP BY 1)
-            SELECT CAST(coalesce(sum(price_cents), 0) AS BIGINT) AS revenue_cents,
-              CAST(count(*) AS BIGINT) AS n_lines
-            FROM fl JOIN ag USING (l_partkey)
-            WHERE fl.qty_milli * 5 * ag.n < ag.sq"""))
-
-  /** TPC-H Q8 shape: one supplier nation's market share, per year, of
-    * the revenue generated by ASIA-region customers — the
-    * ratio-of-conditional-sums pattern. Both the numerator and the
-    * denominator fold into ONE aggregation over the single l⋈o
-    * shuffle (dims broadcast); the share is an exact integer division
-    * of cents (milli-units), so no cross-engine float ratio exists.
-    */
-  private val q8Share = GraftQuery(
-    "q8_share",
-    (s, dir) => {
-      val l = t(s, dir, "lineitem")
-      val o = t(s, dir, "orders")
-      val n = t(s, dir, "nation")
-      val r = t(s, dir, "region").filter(col("r_name") === "ASIA")
-      val c = t(s, dir, "customer")
-        .join(broadcast(n.select(col("n_nationkey").as("cnk"), col("n_regionkey"))),
-          col("c_nationkey") === col("cnk"))
-        .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
-        .select(col("c_custkey"))
-      val su = t(s, dir, "supplier")
-        .join(broadcast(n.select(col("n_nationkey").as("snk"), col("n_name").as("supp_nation"))),
-          col("s_nationkey") === col("snk"))
-        .select(col("s_suppkey"), col("supp_nation"))
-      val cents = expr("cast(cast(l_extendedprice as decimal(18,2)) * 100 as bigint)")
-      l.join(o, l("l_orderkey") === o("o_orderkey"))
-        .join(broadcast(c), o("o_custkey") === col("c_custkey"))
-        .join(broadcast(su), l("l_suppkey") === col("s_suppkey"))
-        .groupBy(year(col("o_orderdate")).as("o_year"))
-        .agg(sum(cents).as("total_cents"),
-          sum(when(col("supp_nation") === "NATION_2", cents).otherwise(lit(0L)))
-            .as("nation_cents"))
-        .select(col("o_year"), col("total_cents"), col("nation_cents"),
-          expr("nation_cents * 1000 div total_cents").as("share_milli"))
-    },
-    Some("""WITH x AS (
-              SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year,
-                CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents,
-                n2.n_name AS supp_nation
-              FROM lineitem
-              JOIN orders ON l_orderkey = o_orderkey
-              JOIN customer ON o_custkey = c_custkey
-              JOIN nation n1 ON c_nationkey = n1.n_nationkey
-              JOIN region ON n1.n_regionkey = r_regionkey
-              JOIN supplier ON l_suppkey = s_suppkey
-              JOIN nation n2 ON s_nationkey = n2.n_nationkey
-              WHERE r_name = 'ASIA')
-            SELECT o_year, CAST(sum(cents) AS BIGINT) AS total_cents,
-              CAST(sum(CASE WHEN supp_nation = 'NATION_2' THEN cents ELSE 0 END) AS BIGINT) AS nation_cents,
-              CAST(sum(CASE WHEN supp_nation = 'NATION_2' THEN cents ELSE 0 END) * 1000
-                   // sum(cents) AS BIGINT) AS share_milli
-            FROM x GROUP BY o_year"""))
-
-  /** TPC-H Q21 shape: suppliers SOLELY responsible for an order's
-    * returned lines — the semi/anti composition. The distinct
-    * (orderkey, suppkey) return pairs anti-join themselves on the SAME
-    * orderkey with a suppkey-inequality residual ("no OTHER supplier
-    * returned in this order"): Catalyst extracts the orderkey
-    * equi-conjunct so the anti join stays hash-partitioned, and the
-    * inequality runs as the join residual — never a nested loop. The
-    * blame count then aggregates on suppkey and the name attaches via
-    * broadcast.
-    */
-  private val q21Blame = GraftQuery(
-    "q21_blame",
-    (s, dir) => {
-      // "sole supplier of an order's returns" = orders whose DISTINCT
-      // returned-supplier count is one — a per-order property, so the
-      // whole check rides ONE fenced l_orderkey repartition: the
-      // (orderkey, suppkey) dedup aggregates on it without a second
-      // exchange (clustering by orderkey already co-locates every
-      // (orderkey, suppkey) pair), the solo test is an unordered count
-      // window over the same partitioning, and only the final
-      // per-supplier rollup re-shuffles. The previous self-anti-join
-      // scanned lineitem twice AND broadcast a fact-derived frame —
-      // the shape AQE happily builds at bench scale and a cluster
-      // cannot at 100 TB (PlanSpec pins the single scan).
-      import org.apache.spark.sql.expressions.Window
-      t(s, dir, "lineitem")
-        .filter(col("l_returnflag") === "R")
-        .select(col("l_orderkey"), col("l_suppkey"))
-        .repartition(col("l_orderkey"))
-        .dropDuplicates("l_orderkey", "l_suppkey")
-        .withColumn("__nsupp",
-          count(lit(1)).over(Window.partitionBy("l_orderkey")))
-        .filter(col("__nsupp") === 1)
-        .groupBy(col("l_suppkey"))
-        .agg(count(lit(1)).as("n_solo_orders"))
-        .join(broadcast(t(s, dir, "supplier")), col("l_suppkey") === col("s_suppkey"))
-        .select(col("s_suppkey"), col("s_name"), col("n_solo_orders"))
-        .orderBy(col("n_solo_orders").desc, col("s_suppkey"))
-        .limit(10)
-    },
-    Some("""WITH pairs AS (
-              SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem WHERE l_returnflag = 'R')
-            SELECT s_suppkey, s_name, CAST(count(*) AS BIGINT) AS n_solo_orders
-            FROM pairs JOIN supplier ON l_suppkey = s_suppkey
-            WHERE NOT EXISTS (SELECT 1 FROM pairs o
-                              WHERE o.l_orderkey = pairs.l_orderkey
-                                AND o.l_suppkey <> pairs.l_suppkey)
-            GROUP BY s_suppkey, s_name
-            ORDER BY n_solo_orders DESC, s_suppkey LIMIT 10"""))
-
-  /** TPC-H Q20 shape: suppliers shipping an outsized share of one part
-    * type — excess = more than 10% above the average per-supplier
-    * volume. The per-supplier aggregate computes once; the corpus
-    * average rides a 1-row broadcast (the scalar-attach shape, §5) and
-    * the threshold is an exact integer cross-multiplication
-    * (10·sq·n_supp > 11·Σ), so no division exists on either engine.
-    */
-  private val q20Excess = GraftQuery(
-    "q20_excess",
-    (s, dir) => {
-      val p = t(s, dir, "part").filter(col("p_type") === "PROMO").select(col("p_partkey"))
-      // explicit isNotNull mirrors the constraint the supplier join
-      // infers on the MAIN branch only — without it the scalar-total
-      // branch's scan lacks that filter, the two per-supplier
-      // exchanges de-canonicalize, and the fact scans twice (the q15
-      // disease; PlanSpec pins the reuse)
-      val perSupp = t(s, dir, "lineitem")
-        .filter(col("l_suppkey").isNotNull)
-        .join(broadcast(p), col("l_partkey") === col("p_partkey"))
-        .groupBy(col("l_suppkey"))
-        .agg(sum(expr("cast(cast(l_quantity as decimal(18,3)) * 1000 as bigint)")).as("sq"))
-      val tot = perSupp.agg(sum(col("sq")).as("total"), count(lit(1)).as("n_supp"))
-      perSupp.crossJoin(broadcast(tot))
-        .filter(col("sq") * col("n_supp") * 10 > col("total") * 11)
-        .join(broadcast(t(s, dir, "supplier")), col("l_suppkey") === col("s_suppkey"))
-        .select(col("s_suppkey"), col("s_name"), col("sq").as("qty_milli"))
-    },
-    Some("""WITH per AS (
-              SELECT l_suppkey, sum(CAST(CAST(l_quantity AS DECIMAL(18,3)) * 1000 AS BIGINT)) AS sq
-              FROM lineitem JOIN part ON l_partkey = p_partkey
-              WHERE p_type = 'PROMO' AND l_suppkey IS NOT NULL GROUP BY 1),
-            tot AS (SELECT sum(sq) AS total, count(*) AS n_supp FROM per)
-            SELECT s_suppkey, s_name, CAST(sq AS BIGINT) AS qty_milli
-            FROM per, tot
-            JOIN supplier ON l_suppkey = s_suppkey
-            WHERE sq * n_supp * 10 > total * 11"""))
-
-  /** TPC-H Q13 shape: the customer order-count distribution — LEFT
-    * OUTER join (zero-order customers must appear with c_count = 0)
-    * feeding two stacked aggregations. The join and the per-customer
-    * count share the custkey hash partitioning (one exchange serves
-    * both); the second agg groups the tiny (c_count, custdist)
-    * histogram. count(o_orderkey) counts only matched rows — the LEFT
-    * join's null rows fall out of the count exactly as in SQL.
-    */
-  private val q13Custdist = GraftQuery(
-    "q13_custdist",
-    (s, dir) => {
-      val c = t(s, dir, "customer").select(col("c_custkey"))
-      val o = t(s, dir, "orders").select(col("o_custkey"), col("o_orderkey"))
-      c.join(o, c("c_custkey") === o("o_custkey"), "left")
-        .groupBy(col("c_custkey"))
-        .agg(count(col("o_orderkey")).as("c_count"))
-        .groupBy(col("c_count"))
-        .agg(count(lit(1)).as("custdist"))
-    },
-    Some("""SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
-            FROM (SELECT c_custkey, CAST(count(o_orderkey) AS BIGINT) AS c_count
-                  FROM customer LEFT JOIN orders ON c_custkey = o_custkey
-                  GROUP BY c_custkey)
-            GROUP BY c_count"""))
-
-  /** TPC-H Q16 shape re-keyed to this schema (no partsupp table):
-    * distinct suppliers that shipped each part type, excluding
-    * suppliers in bad standing (negative balance) — the NOT IN → LEFT
-    * ANTI join + two-phase exact distinct aggregation pattern. The
-    * anti join's build side is the tiny filtered supplier set; the
-    * distinct agg dedups (p_type, suppkey) map-side before the one
-    * count shuffle.
-    */
-  private val q16Suppliers = GraftQuery(
-    "q16_suppliers",
-    (s, dir) => {
-      val bad = t(s, dir, "supplier").filter(col("s_acctbal") < 0).select(col("s_suppkey"))
-      val p = t(s, dir, "part").select(col("p_partkey"), col("p_type"))
-      val l = t(s, dir, "lineitem").select(col("l_partkey"), col("l_suppkey"))
-      l.join(broadcast(p), l("l_partkey") === p("p_partkey"))
-        .join(broadcast(bad), l("l_suppkey") === bad("s_suppkey"), "left_anti")
-        .groupBy(col("p_type"))
-        .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
-    },
-    Some("""SELECT p_type, CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
-            FROM lineitem JOIN part ON l_partkey = p_partkey
-            WHERE l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
-            GROUP BY p_type"""))
-
-  private val qJsonExtract = GraftQuery(
-    "q_json_extract",
-    (s, dir) =>
-      events(s, dir)
-        .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
-        .groupBy((col("k") % 10).as("k_bucket"))
-        .agg(count(lit(1)).as("n"), sumDec(col("value")).as("sum_value")),
-    Some(s"""SELECT json_extract_string(props, '$$.k')::BIGINT % 10 AS k_bucket,
-             $nSql AS n, $sumValSql AS sum_value
-             FROM events GROUP BY 1"""))
-
-  // =======================================================================
-  // LLM-data-pipeline operators (rows 23-33)
-  // =======================================================================
-
-  private val qDedupExact = GraftQuery(
-    "q_dedup_exact",
-    (s, dir) =>
-      t(s, dir, "documents")
-        .groupBy(DedupFns.exactKey(col("text")).as("dup_key"))
-        .agg(count(lit(1)).as("n"), min(col("doc_id")).as("keeper_id")),
-    Some("""SELECT md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS dup_key,
-            CAST(count(*) AS BIGINT) AS n, min(doc_id) AS keeper_id
-            FROM documents GROUP BY 1"""))
-
-  private def minhashSigSql: String =
+  private[graft] def minhashSigSql: String =
     "[" + (0 until DedupFns.NumHashes).map { i =>
       s"list_min(list_transform(h, x -> (${DedupFns.MinhashA(i)} * x + ${DedupFns.MinhashB(i)}) % $M))"
     }.mkString(", ") + "]"
 
-  private val qDedupMinhash = GraftQuery(
-    "q_dedup_minhash",
-    (s, dir) => DedupFns.minhashCandidates(t(s, dir, "documents"), "doc_id", "text"),
-    Some(s"""WITH t0 AS (SELECT doc_id, $toksSql AS tk FROM documents),
-             g AS (SELECT doc_id, $grams3Sql AS gs FROM t0),
-             ok AS (SELECT doc_id, gs FROM g WHERE len(gs) > 0),
-             hs AS (SELECT doc_id, list_transform(gs, t -> ${h31Sql("t")}) AS h FROM ok),
-             sig AS (SELECT doc_id, $minhashSigSql AS s FROM hs),
-             bands AS (SELECT doc_id, k AS band, (s[2*k+1] * 1000003 + s[2*k+2]) % $M AS bh
-                       FROM sig, range(${DedupFns.NumHashes / DedupFns.BandRows}) t(k))
-             SELECT a.doc_id AS id_a, b.doc_id AS id_b
-             FROM bands a JOIN bands b
-               ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
-             GROUP BY 1, 2"""))
-
-  private val qDedupSimhash = GraftQuery(
-    "q_dedup_simhash",
-    (s, dir) =>
-      // Fence: one tokenize per row (the size filter would otherwise be
-      // substituted into the scan and re-tokenize — see functions.Fence)
-      Fence.guard(
-          t(s, dir, "documents")
-            .select(col("doc_id"), TextFns.tokensFast(col("text")).as("__toks"), Fence.col))
-        .filter(size(col("__toks")) > 0)
-        .select(col("doc_id"), DedupFns.simhash32Fast(col("__toks")).as("sim")),
-    Some(s"""WITH t0 AS (SELECT doc_id, $toksSql AS tk FROM documents),
-             hs AS (SELECT doc_id, list_transform(tk, t -> ${h31Sql("t")}) AS h FROM t0 WHERE len(tk) > 0),
-             sums AS (SELECT doc_id,
-                        list_transform(range(0, 32), j ->
-                          CAST(list_sum(list_transform(h, x ->
-                            CASE WHEN (x // (1::BIGINT << j)) % 2 = 1 THEN 1 ELSE -1 END)) AS BIGINT)) AS sm
-                      FROM hs)
-             SELECT doc_id,
-               CAST(list_sum(list_transform(range(0, 32), j ->
-                 CASE WHEN sm[j+1] > 0 THEN (1::BIGINT << j) ELSE 0 END)) AS BIGINT) AS sim
-             FROM sums"""))
-
-  /** Exact SimHash near-dup pairs at hamming ≤ 3 via 4 byte-bands: 3
-    * differing bits can touch at most 3 of the 4 bytes, so every
-    * qualifying pair shares ≥1 band — candidates come from a band
-    * equi-join (never all-pairs), yet the result is EXACT.
-    */
-  private val qDedupSimhashPairs = GraftQuery(
-    "q_dedup_simhash_pairs",
-    (s, dir) =>
-      DedupFns.simhashNearDupPairs(t(s, dir, "documents"), "doc_id", "text", maxHamming = 3),
-    Some(s"""WITH t0 AS (SELECT doc_id, $toksSql AS tk FROM documents),
-             hs AS (SELECT doc_id, list_transform(tk, t -> ${h31Sql("t")}) AS h FROM t0 WHERE len(tk) > 0),
-             sums AS (SELECT doc_id,
-                        list_transform(range(0, 32), j ->
-                          CAST(list_sum(list_transform(h, x ->
-                            CASE WHEN (x // (1::BIGINT << j)) % 2 = 1 THEN 1 ELSE -1 END)) AS BIGINT)) AS sm
-                      FROM hs),
-             s AS (SELECT doc_id AS id,
-                     CAST(list_sum(list_transform(range(0, 32), j ->
-                       CASE WHEN sm[j+1] > 0 THEN (1::BIGINT << j) ELSE 0 END)) AS BIGINT) AS sim
-                   FROM sums),
-             bd AS (SELECT id, sim, k, (sim >> (8*k)) & 255 AS byte FROM s CROSS JOIN range(0, 4) tt(k)),
-             p AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b, a.sim AS sim_a, b.sim AS sim_b
-                   FROM bd a JOIN bd b ON a.k = b.k AND a.byte = b.byte AND a.id < b.id)
-             SELECT id_a, id_b, CAST(bit_count(xor(sim_a, sim_b)) AS BIGINT) AS dist
-             FROM p WHERE bit_count(xor(sim_a, sim_b)) <= 3"""))
-
-  /** The canonical LSH dedup pipeline END: MinHash band candidates
-    * (approximate, recall-oriented) rescored EXACTLY by 3-gram Jaccard
-    * and kept at ≥ 1/2 — candidates come from the band equi-join,
-    * the rescore touches only candidate pairs (never all-pairs), and
-    * the exact integer intersection/union sizes make the τ decision
-    * engine-portable.
-    */
-  private val qMinhashRescore = GraftQuery(
-    "q_minhash_rescore",
-    (s, dir) => {
-      val docs = t(s, dir, "documents")
-      val cands = DedupFns.minhashCandidates(docs, "doc_id", "text")
-      val grams = Fence.guard(Fence.guard(
-          docs.select(col("doc_id").as("id"), TextFns.tokensFast(col("text")).as("__toks"), Fence.col))
-        .filter(size(col("__toks")) >= 3)
-        .select(col("id"), DedupFns.wordNgramsFast(col("__toks"), 3).as("grams"), Fence.col))
-        .repartition(col("id"))
-      cands
-        .join(grams.as("ga"), col("id_a") === col("ga.id"))
-        .join(grams.as("gb"), col("id_b") === col("gb.id"))
-        .select(col("id_a"), col("id_b"),
-          size(array_intersect(col("ga.grams"), col("gb.grams"))).cast("long").as("inter"),
-          (size(col("ga.grams")) + size(col("gb.grams")) -
-            size(array_intersect(col("ga.grams"), col("gb.grams")))).cast("long").as("uni"))
-        .filter(col("inter") * 2 >= col("uni"))
-    },
-    Some(s"""WITH t0 AS (SELECT doc_id, $toksSql AS tk FROM documents),
-             g AS (SELECT doc_id, $grams3Sql AS gs FROM t0),
-             ok AS (SELECT doc_id, gs FROM g WHERE len(gs) > 0),
-             hs AS (SELECT doc_id, list_transform(gs, t -> ${h31Sql("t")}) AS h FROM ok),
-             sig AS (SELECT doc_id, $minhashSigSql AS s FROM hs),
-             bands AS (SELECT doc_id, k AS band, (s[2*k+1] * 1000003 + s[2*k+2]) % $M AS bh
-                       FROM sig, range(${DedupFns.NumHashes / DedupFns.BandRows}) t(k)),
-             p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
-                   FROM bands a JOIN bands b
-                     ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
-                   GROUP BY 1, 2),
-             sc AS (SELECT id_a, id_b,
-                      CAST(len(list_intersect(ga.gs, gb.gs)) AS BIGINT) AS inter,
-                      CAST(len(ga.gs) + len(gb.gs) - len(list_intersect(ga.gs, gb.gs)) AS BIGINT) AS uni
-                    FROM p JOIN ok ga ON p.id_a = ga.doc_id
-                           JOIN ok gb ON p.id_b = gb.doc_id)
-             SELECT id_a, id_b, inter, uni FROM sc WHERE inter * 2 >= uni"""))
-
-  /** Asymmetric shingle CONTAINMENT over the minhash candidates:
-    * cont(A→B) = |A∩B| / |A| in exact milli-units, both directions per
-    * pair. Symmetric Jaccard under-scores a short doc embedded inside
-    * a long one (the union dilutes the score); containment is the
-    * standard quote/excerpt detector. Same scale shape as the exact
-    * rescore: only LSH candidate pairs are scored (never all-pairs),
-    * gram arrays travel once per side via the repartition on id, and
-    * the intersection is evaluated once per pair (single projection).
-    */
-  private val qContainment = GraftQuery(
-    "q_containment",
-    (s, dir) => {
-      val docs = t(s, dir, "documents")
-      val cands = DedupFns.minhashCandidates(docs, "doc_id", "text")
-      val grams = Fence.guard(Fence.guard(
-          docs.select(col("doc_id").as("id"), TextFns.tokensFast(col("text")).as("__toks"), Fence.col))
-        .filter(size(col("__toks")) >= 3)
-        .select(col("id"), DedupFns.wordNgramsFast(col("__toks"), 3).as("grams"), Fence.col))
-        .repartition(col("id"))
-      cands
-        .join(grams.as("ga"), col("id_a") === col("ga.id"))
-        .join(grams.as("gb"), col("id_b") === col("gb.id"))
-        .select(col("id_a"), col("id_b"),
-          size(array_intersect(col("ga.grams"), col("gb.grams"))).cast("long").as("inter"),
-          size(col("ga.grams")).cast("long").as("na"),
-          size(col("gb.grams")).cast("long").as("nb"))
-        .select(col("id_a"), col("id_b"),
-          expr("inter * 1000 div na").as("cont_a_milli"),
-          expr("inter * 1000 div nb").as("cont_b_milli"))
-        .filter(greatest(col("cont_a_milli"), col("cont_b_milli")) >= 500)
-    },
-    Some(s"""WITH t0 AS (SELECT doc_id, $toksSql AS tk FROM documents),
-             g AS (SELECT doc_id, $grams3Sql AS gs FROM t0),
-             ok AS (SELECT doc_id, gs FROM g WHERE len(gs) > 0),
-             hs AS (SELECT doc_id, list_transform(gs, t -> ${h31Sql("t")}) AS h FROM ok),
-             sig AS (SELECT doc_id, $minhashSigSql AS s FROM hs),
-             bands AS (SELECT doc_id, k AS band, (s[2*k+1] * 1000003 + s[2*k+2]) % $M AS bh
-                       FROM sig, range(${DedupFns.NumHashes / DedupFns.BandRows}) t(k)),
-             p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
-                   FROM bands a JOIN bands b
-                     ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
-                   GROUP BY 1, 2),
-             sc AS (SELECT id_a, id_b,
-                      CAST(len(list_intersect(ga.gs, gb.gs)) AS BIGINT) * 1000 // CAST(len(ga.gs) AS BIGINT) AS cont_a_milli,
-                      CAST(len(list_intersect(ga.gs, gb.gs)) AS BIGINT) * 1000 // CAST(len(gb.gs) AS BIGINT) AS cont_b_milli
-                    FROM p JOIN ok ga ON p.id_a = ga.doc_id
-                           JOIN ok gb ON p.id_b = gb.doc_id)
-             SELECT id_a, id_b, cont_a_milli, cont_b_milli
-             FROM sc WHERE greatest(cont_a_milli, cont_b_milli) >= 500"""))
-
-  /** The CHEAP rescore: MinHash signature-overlap Jaccard estimate
-    * (agree/16 in exact milli-units) for every LSH candidate pair —
-    * what a pipeline uses when the exact gram rescore is too expensive
-    * to run corpus-wide. Signatures are 16 longs/doc, so the rescore
-    * join moves ~128 B/doc instead of the gram arrays; the native
-    * plans.MinhashSig / LongArrayEqCount kernels keep both the
-    * signature and the agreement count codegen'd.
-    */
-  private val qMinhashEst = GraftQuery(
-    "q_minhash_est",
-    (s, dir) => DedupFns.minhashEstPairs(t(s, dir, "documents"), "doc_id", "text"),
-    Some(s"""WITH t0 AS (SELECT doc_id, $toksSql AS tk FROM documents),
-             g AS (SELECT doc_id, $grams3Sql AS gs FROM t0),
-             ok AS (SELECT doc_id, gs FROM g WHERE len(gs) > 0),
-             hs AS (SELECT doc_id, list_transform(gs, t -> ${h31Sql("t")}) AS h FROM ok),
-             sig AS (SELECT doc_id, $minhashSigSql AS s FROM hs),
-             bands AS (SELECT doc_id, k AS band, (s[2*k+1] * 1000003 + s[2*k+2]) % $M AS bh
-                       FROM sig, range(${DedupFns.NumHashes / DedupFns.BandRows}) t(k)),
-             p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
-                   FROM bands a JOIN bands b
-                     ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
-                   GROUP BY 1, 2),
-             ag AS (SELECT id_a, id_b,
-                      CAST(len(list_filter(range(1, ${DedupFns.NumHashes + 1}), i -> sa.s[i] = sb.s[i])) AS BIGINT) AS agree
-                    FROM p JOIN sig sa ON p.id_a = sa.doc_id
-                           JOIN sig sb ON p.id_b = sb.doc_id)
-             SELECT id_a, id_b, agree,
-               CAST((agree * 1000) // ${DedupFns.NumHashes} AS BIGINT) AS est_milli
-             FROM ag"""))
 
   /** Shared DuckDB prefix: exact simhash near-dup pairs (`p(id_a,
     * id_b)`), the oracle twin of DedupFns.simhashNearDupPairs. Declared
     * WITH RECURSIVE so simhashCcSql can append the closure CTEs.
     */
-  private def simhashPairsSql: String = simhashPairsSqlWhere("")
+  private[graft] def simhashPairsSql: String = simhashPairsSqlWhere("")
+
 
   /** The same pair-mining pyramid over a restricted document set —
     * `where` is a full ` WHERE …` suffix (empty = whole corpus). The
@@ -2008,7 +164,7 @@ object Queries {
     * the md5 doc-slice predicate in here so the recursive oracle stays
     * single-node-feasible at any SF.
     */
-  private def simhashPairsSqlWhere(where: String): String =
+  private[graft] def simhashPairsSqlWhere(where: String): String =
     s"""WITH RECURSIVE
              t0 AS (SELECT doc_id, $toksSql AS tk FROM documents$where),
              hs AS (SELECT doc_id, list_transform(tk, t -> ${h31Sql("t")}) AS h FROM t0 WHERE len(tk) > 0),
@@ -2026,12 +182,14 @@ object Queries {
                    FROM bd a JOIN bd b ON a.k = b.k AND a.byte = b.byte AND a.id < b.id
                    WHERE bit_count(xor(a.sim, b.sim)) <= 3)"""
 
+
   /** simhash pairs → recursive transitive closure (`reach(id, r)`),
     * the oracle twin of Relational.connectedComponents.
     */
-  private def simhashCcSql: String = simhashCcSqlWhere("")
+  private[graft] def simhashCcSql: String = simhashCcSqlWhere("")
 
-  private def simhashCcSqlWhere(where: String): String =
+
+  private[graft] def simhashCcSqlWhere(where: String): String =
     s"""${simhashPairsSqlWhere(where)},
              e AS (SELECT id_a AS a, id_b AS b FROM p UNION SELECT id_b, id_a FROM p),
              reach(id, r) AS (
@@ -2040,14 +198,16 @@ object Queries {
                SELECT e.b, reach.r FROM reach JOIN e ON e.a = reach.id
              )"""
 
+
   /** Simhash pair mining + the iterative CC driver loop is the most
     * expensive dedup stage and feeds BOTH q_dedup_clusters and
     * q_dedup_survivors — a session-scoped cache runs it once per
     * (session, dir). The result is already materialized (the CC loop
     * localCheckpoints its state), so re-reads are leaf scans.
     */
-  private val ccCache =
+  private[graft] val ccCache =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+
 
   /** Drop every session-scoped DataFrame memo and free its checkpointed
     * blocks — the between-queries hygiene hook Bench calls so one
@@ -2069,6 +229,7 @@ object Queries {
     bpeCache.clear()
   }
 
+
   /** Exact near-dup pairs shared by every DERIVED dedup query
     * (clusters, survivors, degree histogram) — materialized once per
     * (session, dir) via localCheckpoint so the band self-join runs
@@ -2081,10 +242,12 @@ object Queries {
     * plain long — no block-manager storage, so clearSessionMemos leaves
     * it alone (the testdata dir never changes mid-session).
     */
-  private val countCache =
+  private[graft] val countCache =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String, String), Long]
-  private def tableCount(s: SparkSession, dir: String, table: String): Long =
+
+  private[graft] def tableCount(s: SparkSession, dir: String, table: String): Long =
     countCache.getOrElseUpdate((s, dir, table), t(s, dir, table).count())
+
 
   /** TokenMat GRADUATION flag (VERDICT r14 item 8): when
     * `SPARK_GRAFT_TOKENMAT=1` (env) or `spark.graft.tokenmat=1`
@@ -2142,15 +305,17 @@ object Queries {
     }
   }
 
+
   /** The (doc_id, __toks) source every TokenMat-graduated pipeline
     * reads: the materialized bucketed table when the flag selects it,
     * else the fenced inline tokenize.
     */
-  private def docToks(s: SparkSession, dir: String): DataFrame =
+  private[graft] def docToks(s: SparkSession, dir: String): DataFrame =
     tokenMatTable(s, dir)
       .map(_.select(col("doc_id"), col("__toks")))
       .getOrElse(Fence.guard(t(s, dir, "documents")
         .select(col("doc_id"), TextFns.tokensFast(col("text")).as("__toks"), Fence.col)))
+
 
   /** Auto-sized IVF centroid count for the all-to-all screens:
     * ⌈√n⌉ floored at 64 — cells (and thus per-query candidate volume
@@ -2159,19 +324,23 @@ object Queries {
     * the fixed-16 version at 75-79× per 10× data; this rule is the
     * fix (see BASELINE.md round-11 appendix).
     */
-  private def autoK(n: Long): Int =
+  private[graft] def autoK(n: Long): Int =
     math.max(64, math.ceil(math.sqrt(n.toDouble)).toInt)
 
-  private val pairsCache =
+
+  private[graft] val pairsCache =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
-  private def simhashPairs(s: SparkSession, dir: String): DataFrame =
+
+  private[graft] def simhashPairs(s: SparkSession, dir: String): DataFrame =
     pairsCache.getOrElseUpdate((s, dir),
       DedupFns.simhashNearDupPairs(t(s, dir, "documents"), "doc_id", "text", maxHamming = 3)
         .localCheckpoint(true))
 
-  private def simhashClusters(s: SparkSession, dir: String): DataFrame =
+
+  private[graft] def simhashClusters(s: SparkSession, dir: String): DataFrame =
     ccCache.getOrElseUpdate((s, dir),
       Relational.connectedComponents(simhashPairs(s, dir), "id_a", "id_b"))
+
 
   /** LPA (labels, symmetric edge list) over the near-dup graph,
     * memoized per (session, dir) like the CC state: the loop's
@@ -2182,14 +351,16 @@ object Queries {
     * (ADVICE r14). Labels are checkpointed eagerly (referenced three
     * times by the modularity accounting).
     */
-  private val lpaCache =
+  private[graft] val lpaCache =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), (DataFrame, DataFrame)]
-  private def lpaState(s: SparkSession, dir: String): (DataFrame, DataFrame) =
+
+  private[graft] def lpaState(s: SparkSession, dir: String): (DataFrame, DataFrame) =
     lpaCache.getOrElseUpdate((s, dir), {
       val (labels0, edges) =
         Relational.labelPropagationWithEdges(simhashPairs(s, dir), "id_a", "id_b", iters = 3)
       (labels0.localCheckpoint(true), edges)
     })
+
 
   // ---- Deterministic 1/16 md5 slice: the decade-up parity valve ----
   // The recursive-CC / pair-explode / basket² oracle shapes are
@@ -2202,8 +373,10 @@ object Queries {
   // measured-good full sf0.1), so decade-up parity is MEASURED on every
   // shape. The predicate is engine-portable (md5-of-string both sides)
   // and the same family as q_split_assign's bucketing.
-  private val sliceHex = "0"
-  private val sliceHex2 = "00"
+  private[graft] val sliceHex = "0"
+
+  private[graft] val sliceHex2 = "00"
+
 
   /** Two-decade slice rule (round 13): the deterministic md5 slice is
     * 1/16 (one hex char) while the sliced id domain holds < 100k rows
@@ -2218,17 +391,20 @@ object Queries {
     * auto-sized query already follows. (Counts come from the same
     * countCache the √n IVF auto-sizing uses, above.)
     */
-  private def slicePredSql(idCol: String, table: String, threshold: Long): String =
+  private[graft] def slicePredSql(idCol: String, table: String, threshold: Long): String =
     s"""(CASE WHEN (SELECT count(*) FROM $table) >= $threshold
           THEN substr(md5(CAST($idCol AS VARCHAR)), 1, 2) = '$sliceHex2'
           ELSE substr(md5(CAST($idCol AS VARCHAR)), 1, 1) = '$sliceHex' END)"""
-  private def sliceDocPredSql(idCol: String): String =
+
+  private[graft] def sliceDocPredSql(idCol: String): String =
     slicePredSql(idCol, "documents", 100000L)
-  private def sliceCondAt(s: SparkSession, dir: String, table: String,
+
+  private[graft] def sliceCondAt(s: SparkSession, dir: String, table: String,
       threshold: Long)(idCol: Column): Column =
     if (tableCount(s, dir, table) >= threshold)
       substring(md5(idCol.cast("string")), 1, 2) === sliceHex2
     else substring(md5(idCol.cast("string")), 1, 1) === sliceHex
+
   /** The sliced document set, MATERIALIZED once per (session, dir) like
     * simhashPairs: a bare filter under the downstream operators'
     * Fence.guard subtrees de-canonicalizes them branch-by-branch (the
@@ -2239,659 +415,33 @@ object Queries {
     * their full-corpus originals. The slice is 1/16 of the corpus, so
     * the materialization is noise next to the pair joins above it.
     */
-  private val sliceCache =
+  private[graft] val sliceCache =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
-  private def slicedDocs(s: SparkSession, dir: String): DataFrame =
+
+  private[graft] def slicedDocs(s: SparkSession, dir: String): DataFrame =
     sliceCache.getOrElseUpdate((s, dir),
       t(s, dir, "documents")
         .filter(sliceCondAt(s, dir, "documents", 100000L)(col("doc_id")))
         .localCheckpoint(true))
 
-  private def simhashPairsSliced(s: SparkSession, dir: String): DataFrame =
+
+  private[graft] def simhashPairsSliced(s: SparkSession, dir: String): DataFrame =
     pairsCache.getOrElseUpdate((s, dir + "#slice16"),
       DedupFns.simhashNearDupPairs(slicedDocs(s, dir), "doc_id", "text", maxHamming = 3)
         .localCheckpoint(true))
 
-  private def simhashClustersSliced(s: SparkSession, dir: String): DataFrame =
+
+  private[graft] def simhashClustersSliced(s: SparkSession, dir: String): DataFrame =
     ccCache.getOrElseUpdate((s, dir + "#slice16"),
       Relational.connectedComponents(simhashPairsSliced(s, dir), "id_a", "id_b"))
 
-  /** Duplicate CLUSTERS from the exact simhash near-dup pairs:
-    * iterative min-label propagation (operators.Relational
-    * .connectedComponents) assigns every paired doc the smallest doc_id
-    * in its component — the representative-picking step a dedup
-    * pipeline runs after pair mining. The DuckDB oracle computes the
-    * same roots via a recursive transitive closure.
-    */
-  private val qDedupClusters = GraftQuery(
-    "q_dedup_clusters",
-    (s, dir) => simhashClusters(s, dir),
-    Some(s"""$simhashCcSql
-             SELECT id, CAST(min(r) AS BIGINT) AS cluster_root
-             FROM reach GROUP BY id"""))
-
-  /** LEAKAGE-SAFE train/val/test split (GroupShuffleSplit semantics,
-    * the fix for q_split_leakage's finding): the split is a pure
-    * function of the near-dup cluster REPRESENTATIVE, not the doc id,
-    * so every member of a duplicate cluster lands in the same split by
-    * construction — eval contamination via near-dups is structurally
-    * impossible. Singletons (never paired) represent themselves. Same
-    * md5 98/1/1 rule as q_split_assign, applied to the rep; one left
-    * join against the (paired-docs-only, corpus≪) cluster-roots table
-    * on top of the shared CC machinery — no new shuffle shape.
-    */
-  private val qGroupSplit = GraftQuery(
-    "q_group_split",
-    (s, dir) => {
-      val docs = t(s, dir, "documents")
-      val roots = simhashClusters(s, dir)
-      val h = (conv(substring(md5(col("rep").cast("string")), 1, 4), 16, 10)
-        .cast("long") % 100)
-      docs.join(roots, docs("doc_id") === roots("id"), "left")
-        .select(col("source"), col("doc_id"),
-          coalesce(col("cluster_root"), col("doc_id")).as("rep"))
-        .withColumn("split",
-          when(h < 98, "train").when(h < 99, "val").otherwise("test"))
-    },
-    Some(s"""$simhashCcSql,
-            roots AS (SELECT id, min(r) AS root FROM reach GROUP BY id),
-            rep AS (SELECT d.source, d.doc_id, COALESCE(r.root, d.doc_id) AS rep
-                    FROM documents d LEFT JOIN roots r ON d.doc_id = r.id)
-            SELECT source, doc_id, rep,
-              CASE WHEN ('0x' || substr(md5(CAST(rep AS VARCHAR)), 1, 4))::BIGINT % 100 < 98 THEN 'train'
-                   WHEN ('0x' || substr(md5(CAST(rep AS VARCHAR)), 1, 4))::BIGINT % 100 < 99 THEN 'val'
-                   ELSE 'test' END AS split
-            FROM rep"""))
-
-  /** The step AFTER clustering that a dedup pipeline actually ships:
-    * drop every cluster member except the min-doc_id representative and
-    * report the surviving corpus per source. The losers stay
-    * distributed (LEFT ANTI join — no collect); docs never paired
-    * survive untouched because the anti-join misses them.
-    */
-  private val qDedupSurvivors = GraftQuery(
-    "q_dedup_survivors",
-    (s, dir) => {
-      val docs = t(s, dir, "documents")
-      val losers = simhashClusters(s, dir)
-        .filter(col("id") =!= col("cluster_root"))
-        .select(col("id"))
-      docs.join(losers, docs("doc_id") === losers("id"), "left_anti")
-        .groupBy("source").agg(count(lit(1)).as("n_docs"))
-    },
-    Some(s"""$simhashCcSql,
-             losers AS (SELECT id FROM (SELECT id, min(r) AS root FROM reach GROUP BY id)
-                        WHERE id != root)
-             SELECT source, CAST(count(*) AS BIGINT) AS n_docs
-             FROM documents LEFT JOIN losers ON doc_id = losers.id
-             WHERE losers.id IS NULL
-             GROUP BY source"""))
-
-  /** Source-priority survivor selection — the cross-source dedup rule a
-    * corpus-curation pipeline ships when duplicate clusters span
-    * sources of unequal quality (keep the curated copy, drop the crawl
-    * copy — the C4/FineWeb-style canonicalization step), replacing
-    * q_dedup_survivors' min-id rule. Priority = the source's numeric
-    * rank (src0 ≻ src1 ≻ …); survivor per cluster = (min src_num, min
-    * doc_id). The survivor resolves via a min_by AGGREGATE over the
-    * members (clusters ≪ corpus) joined back on the root — no window
-    * sort over the corpus; reuses the session-cached simhash CC state.
-    */
-  private val qDedupPrio = GraftQuery(
-    "q_dedup_prio",
-    (s, dir) => {
-      val docs = t(s, dir, "documents")
-        .select(col("doc_id"), expr("CAST(substring(source, 4) AS BIGINT)").as("src_num"))
-      val members = simhashClusters(s, dir)
-        .join(docs, col("id") === col("doc_id"))
-        .select(col("doc_id"), col("cluster_root"), col("src_num"))
-      val surv = members.groupBy("cluster_root")
-        .agg(min_by(col("doc_id"), struct(col("src_num"), col("doc_id"))).as("survivor_id"))
-      members.join(surv, Seq("cluster_root"))
-        .select(col("doc_id"), col("cluster_root"), col("src_num"), col("survivor_id"),
-          when(col("doc_id") === col("survivor_id"), 1L).otherwise(0L).as("kept"))
-    },
-    Some(s"""$simhashCcSql,
-             roots AS (SELECT id, min(r) AS root FROM reach GROUP BY id),
-             pm AS (SELECT r.id AS doc_id, r.root AS cluster_root,
-                      CAST(substr(d.source, 4) AS BIGINT) AS src_num
-                    FROM roots r JOIN documents d ON d.doc_id = r.id),
-             psv AS (SELECT cluster_root, doc_id AS survivor_id FROM
-                       (SELECT cluster_root, doc_id,
-                          row_number() OVER (PARTITION BY cluster_root ORDER BY src_num, doc_id) AS rn
-                        FROM pm)
-                     WHERE rn = 1)
-             SELECT pm.doc_id, pm.cluster_root, pm.src_num, psv.survivor_id,
-               CAST(CASE WHEN pm.doc_id = psv.survivor_id THEN 1 ELSE 0 END AS BIGINT) AS kept
-             FROM pm JOIN psv USING (cluster_root)"""))
-
-  /** Degree histogram of the near-dup graph — the health check a dedup
-    * pipeline runs BEFORE clustering: a heavy tail here predicts giant
-    * connected components (and an expensive transitive closure), so
-    * it's the signal for raising the hamming/Jaccard threshold. Two
-    * aggregations over the exact pair set; never materializes
-    * neighborhoods.
-    */
-  private val qDedupDegree = GraftQuery(
-    "q_dedup_degree",
-    (s, dir) => {
-      val pairs = simhashPairs(s, dir)
-      pairs.select(col("id_a").as("id"))
-        .unionAll(pairs.select(col("id_b").as("id")))
-        .groupBy("id").agg(count(lit(1)).as("degree"))
-        .groupBy("degree").agg(count(lit(1)).as("n_nodes"))
-    },
-    Some(s"""$simhashCcSql
-             SELECT degree, CAST(count(*) AS BIGINT) AS n_nodes
-             FROM (SELECT a, CAST(count(*) AS BIGINT) AS degree FROM e GROUP BY a)
-             GROUP BY degree"""))
-
-  /** Integer PageRank (3 iterations, d=0.85 in exact milli-units) over
-    * the simhash near-dup graph — the centrality signal for picking
-    * cluster representatives / spotting template hubs. Shares the
-    * materialized pair mining with the other derived dedup queries;
-    * the oracle unrolls the same three integer iterations (all values
-    * positive, so `div` and `//` agree).
-    */
-  private val qPagerank = GraftQuery(
-    "q_pagerank",
-    (s, dir) => Relational.pageRank(simhashPairs(s, dir), "id_a", "id_b", iters = 3),
-    Some(s"""$simhashCcSql,
-             deg AS (SELECT a AS id, CAST(count(*) AS BIGINT) AS deg FROM e GROUP BY 1),
-             pr0 AS (SELECT id, CAST(1000000 AS BIGINT) AS pr, deg FROM deg),
-             c1 AS (SELECT e.b AS id, sum(pr0.pr // pr0.deg) AS s FROM e JOIN pr0 ON e.a = pr0.id GROUP BY 1),
-             pr1 AS (SELECT deg.id, CAST(150000 + (850 * coalesce(c1.s, 0)) // 1000 AS BIGINT) AS pr, deg.deg AS deg
-                     FROM deg LEFT JOIN c1 USING (id)),
-             c2 AS (SELECT e.b AS id, sum(pr1.pr // pr1.deg) AS s FROM e JOIN pr1 ON e.a = pr1.id GROUP BY 1),
-             pr2 AS (SELECT deg.id, CAST(150000 + (850 * coalesce(c2.s, 0)) // 1000 AS BIGINT) AS pr, deg.deg AS deg
-                     FROM deg LEFT JOIN c2 USING (id)),
-             c3 AS (SELECT e.b AS id, sum(pr2.pr // pr2.deg) AS s FROM e JOIN pr2 ON e.a = pr2.id GROUP BY 1),
-             pr3 AS (SELECT deg.id, CAST(150000 + (850 * coalesce(c3.s, 0)) // 1000 AS BIGINT) AS pr
-                     FROM deg LEFT JOIN c3 USING (id))
-             SELECT id, pr AS pr_micro FROM pr3"""))
-
-  /** Personalized PageRank over the near-dup graph (Jeh & Widom 2003;
-    * Relational.personalizedPageRank): teleport mass restarts at the
-    * deterministic id % 5 seed slice, so each doc's score is its
-    * random-walk PROXIMITY TO THE SEEDS — the seed-based corpus
-    * selection / weighted blast-radius member of the graph family
-    * (CC converges labels, PageRank global mass, BFS min hops; PPR
-    * weights BY proximity). Exact integer milli recurrence, floor
-    * division at each step; oracle unrolls the same 3 iterations.
-    */
-  private val qPprSeeds = GraftQuery(
-    "q_ppr_seeds",
-    (s, dir) => Relational.personalizedPageRank(simhashPairs(s, dir), "id_a", "id_b",
-      col("id") % 5 === 0, iters = 3),
-    Some(s"""$simhashCcSql,
-             deg AS (SELECT a AS id, CAST(count(*) AS BIGINT) AS deg FROM e GROUP BY 1),
-             pr0 AS (SELECT id, CAST(CASE WHEN id % 5 = 0 THEN 1000000 ELSE 0 END AS BIGINT) AS pr, deg FROM deg),
-             c1 AS (SELECT e.b AS id, sum(pr0.pr // pr0.deg) AS s FROM e JOIN pr0 ON e.a = pr0.id GROUP BY 1),
-             pr1 AS (SELECT deg.id, CAST(CASE WHEN deg.id % 5 = 0 THEN 150000 ELSE 0 END + (850 * coalesce(c1.s, 0)) // 1000 AS BIGINT) AS pr, deg.deg AS deg
-                     FROM deg LEFT JOIN c1 USING (id)),
-             c2 AS (SELECT e.b AS id, sum(pr1.pr // pr1.deg) AS s FROM e JOIN pr1 ON e.a = pr1.id GROUP BY 1),
-             pr2 AS (SELECT deg.id, CAST(CASE WHEN deg.id % 5 = 0 THEN 150000 ELSE 0 END + (850 * coalesce(c2.s, 0)) // 1000 AS BIGINT) AS pr, deg.deg AS deg
-                     FROM deg LEFT JOIN c2 USING (id)),
-             c3 AS (SELECT e.b AS id, sum(pr2.pr // pr2.deg) AS s FROM e JOIN pr2 ON e.a = pr2.id GROUP BY 1),
-             pr3 AS (SELECT deg.id, CAST(CASE WHEN deg.id % 5 = 0 THEN 150000 ELSE 0 END + (850 * coalesce(c3.s, 0)) // 1000 AS BIGINT) AS pr
-                     FROM deg LEFT JOIN c3 USING (id))
-             SELECT id, pr AS ppr_micro FROM pr3"""))
-
-  /** k-core membership (k=3, Seidman 1983) of the simhash near-dup
-    * graph — the dense-template-cluster detector: nodes surviving the
-    * degree-≥3 peel sit in near-clique duplication structure (boiler-
-    * plate families), while chains/pendants peel away; emits each core
-    * node with its within-core degree. FIXED 8 peel rounds on both
-    * engines (the peel is monotone, so post-convergence rounds are
-    * no-ops — deterministic without a data-dependent fixpoint test).
-    * Shares the materialized pair mining (`simhashPairs`) with the
-    * other derived graph queries; the oracle replays the peel as a
-    * recursive CTE over the same pair SQL.
-    */
-  private val qKcore = GraftQuery(
-    "q_kcore",
-    (s, dir) => Relational.kCore(simhashPairs(s, dir), "id_a", "id_b", k = 3, rounds = 8),
-    Some(s"""$simhashPairsSql,
-             und AS (SELECT id_a AS a, id_b AS b FROM p UNION ALL SELECT id_b, id_a FROM p),
-             peel(r, a, b) AS (
-               SELECT 0, a, b FROM und
-               UNION ALL
-               (WITH kdeg AS (SELECT a AS n, count(*) AS d FROM peel GROUP BY a),
-                     rr AS (SELECT max(r) AS r FROM peel)
-                SELECT rr.r + 1, u.a, u.b
-                FROM und u
-                JOIN kdeg ka ON u.a = ka.n AND ka.d >= 3
-                JOIN kdeg kb ON u.b = kb.n AND kb.d >= 3
-                CROSS JOIN rr
-                WHERE rr.r < 8)
-             )
-             SELECT a AS id, CAST(count(*) AS BIGINT) AS degree
-             FROM peel WHERE r = 8 GROUP BY a"""))
-
-  /** Fixed-depth multi-source BFS over the near-dup graph
-    * (Relational.bfsHops) — the blast-radius / contamination-spread
-    * walk: given flagged seed docs (here the deterministic id % 7
-    * slice of graph nodes), every doc within ≤3 near-dup hops gets
-    * its minimum hop distance. This is the graph-traversal member the
-    * iterative family lacked (CC converges labels, PageRank mass,
-    * kCore peels — none answers "how FAR is v from the flagged set").
-    * Node-space rounds like kCore: one checkpointed symmetric edge
-    * list, each round one broadcast frontier probe + anti-join against
-    * the labeled set; superseded checkpoints freed eagerly. The DuckDB
-    * twin is a depth-bounded recursive CTE with min() collapse.
-    */
-  private val qBfsHops = GraftQuery(
-    "q_bfs_hops",
-    (s, dir) => Relational.bfsHops(simhashPairs(s, dir), "id_a", "id_b",
-      col("id") % 7 === 0, maxHops = 3),
-    Some(s"""$simhashPairsSql,
-             und AS (SELECT id_a AS a, id_b AS b FROM p UNION ALL SELECT id_b, id_a FROM p),
-             sd AS (SELECT DISTINCT a AS id FROM und WHERE a % 7 = 0),
-             walk(id, dist) AS (
-               SELECT id, 0 FROM sd
-               UNION
-               SELECT u.b, walk.dist + 1 FROM walk JOIN und u ON u.a = walk.id
-               WHERE walk.dist < 3
-             )
-             SELECT id, CAST(min(dist) AS BIGINT) AS dist FROM walk GROUP BY id"""))
-
-  /** Per-node triangle counts on the near-dup graph
-    * (Relational.triangleCounts): the clustering-coefficient numerator —
-    * triangle-rich components are cliques (safe to collapse to one
-    * representative), triangle-free chains are drift (A~B~C with A≁C),
-    * so this is the diagnostic run before trusting transitive closure.
-    * Degree-ordered orientation bounds the wedge join at m^1.5; the
-    * DuckDB oracle counts each id-ordered triangle (a<b<c) once via two
-    * equi-joins over the exact pair set.
-    */
-  private val qTriangles = GraftQuery(
-    "q_triangles",
-    (s, dir) => Relational.triangleCounts(simhashPairs(s, dir), "id_a", "id_b"),
-    Some(s"""$simhashCcSql,
-             tri AS (SELECT e1.id_a AS a, e1.id_b AS b, e2.id_b AS c
-                     FROM p e1
-                     JOIN p e2 ON e2.id_a = e1.id_b
-                     JOIN p e3 ON e3.id_a = e1.id_a AND e3.id_b = e2.id_b),
-             corners AS (SELECT a AS id FROM tri
-                         UNION ALL SELECT b FROM tri
-                         UNION ALL SELECT c FROM tri)
-             SELECT id, CAST(count(*) AS BIGINT) AS n_tri
-             FROM corners GROUP BY id"""))
-
-  /** DOULION-style sampled triangle estimate (Tsourakakis et al., KDD
-    * 2009) — the 100 TB answer to q_triangles' inherent m^1.5 wedge
-    * bound: keep each edge independently with p = 1/2 (deterministic
-    * md5 bucket of the canonical pair, zero RNG state), count
-    * triangles on the sampled graph with the SAME degree-oriented
-    * operator, scale by 1/p³ = 8. Sampling is a map-only filter, cuts
-    * wedge work to ~p² and triangle work to ~p³; the estimator is
-    * unbiased, and at production scale p drops to ~0.1 for a ~1000×
-    * wedge-work cut. Exact integer arithmetic end-to-end keeps the
-    * estimate oracle-checkable; SketchSpec bounds it against the exact
-    * count.
-    */
-  private val qTrianglesApprox = GraftQuery(
-    "q_triangles_approx",
-    (s, dir) => {
-      // the sample IS stratifiedSample's deterministic md5-permille
-      // rule, applied to the canonical "a:b" edge key at rate 500
-      val e = Relational.stratifiedSample(
-          simhashPairs(s, dir).withColumn("__ek", concat_ws(":", col("id_a"), col("id_b"))),
-          "__ek", lit(500)).drop("__ek")
-      val nTri = Relational.triangleCounts(e, "id_a", "id_b")
-        .agg(coalesce(expr("sum(n_tri) div 3"), lit(0L)).as("n_tri_sampled"))
-      e.agg(count(lit(1)).as("n_edges_sampled")).crossJoin(nTri)
-        .select(col("n_edges_sampled"), col("n_tri_sampled"),
-          (col("n_tri_sampled") * 8).as("est_tri"))
-    },
-    Some(s"""$simhashPairsSql,
-             se AS (SELECT id_a, id_b FROM p
-                    WHERE ('0x' || substr(md5(id_a || ':' || id_b), 1, 15))::BIGINT % 1000 < 500),
-             tri AS (SELECT e1.id_a AS a, e1.id_b AS b, e2.id_b AS c
-                     FROM se e1
-                     JOIN se e2 ON e2.id_a = e1.id_b
-                     JOIN se e3 ON e3.id_a = e1.id_a AND e3.id_b = e2.id_b)
-             SELECT (SELECT CAST(count(*) AS BIGINT) FROM se) AS n_edges_sampled,
-               CAST(count(*) AS BIGINT) AS n_tri_sampled,
-               CAST(count(*) * 8 AS BIGINT) AS est_tri
-             FROM tri"""))
-
-  /** Majority-label-propagation communities (Raghavan et al. 2007;
-    * Relational.labelPropagation, 3 synchronous rounds, min-label
-    * ties) over the near-dup graph, each community reported with its
-    * exact-integer MODULARITY contribution (Newman 2004): contrib =
-    * 4m·e_c − d_c², i.e. the numerator of Q = Σ_c (e_c/m − (d_c/2m)²)
-    * scaled by 4m² — no division, so both engines agree bit-for-bit.
-    * This answers the question CC can't: q_dedup_clusters says WHAT is
-    * transitively connected; LPA + modularity says whether a cluster
-    * is one dense boilerplate family (high contrib) or several
-    * communities chained by weak bridges (the "should I really
-    * collapse this to one survivor?" diagnostic before dedup commits).
-    * Scale shape: 3 fixed rounds over the checkpointed symmetric edge
-    * list (src-keyed join + (dst,label) partial agg + struct-max
-    * argmax per round — never a rank window), then the stats are two
-    * label-keyed partial aggs over node- and pair-sized frames; the
-    * single-row edge total attaches as a broadcast scalar.
-    */
-  private val qLabelProp = GraftQuery(
-    "q_label_prop",
-    (s, dir) => {
-      val pairs = simhashPairs(s, dir)
-      // node-sized result of the 3-round loop, referenced three times
-      // below (degree join + both endpoint attaches) — memoized (and
-      // checkpointed) once per (session, dir) via lpaState, so repeated
-      // invocations neither re-run the loop nor leak checkpoint blocks:
-      // clearSessionMemos frees labels AND the edge list like every
-      // session memo. Degrees read the loop's own checkpointed
-      // symmetric edge list instead of re-deriving the union+distinct
-      // exchange.
-      val (labels, edges) = lpaState(s, dir)
-      val deg = edges.groupBy(col("src").as("id")).agg(count(lit(1)).as("__deg"))
-      val m = pairs.agg(count(lit(1)).as("__m"))
-      val ein = pairs
-        .join(labels.select(col("id").as("__ia"), col("community").as("__ca")),
-          col("id_a") === col("__ia"))
-        .join(labels.select(col("id").as("__ib"), col("community").as("__cb")),
-          col("id_b") === col("__ib"))
-        .filter(col("__ca") === col("__cb"))
-        .groupBy(col("__ca").as("community")).agg(count(lit(1)).as("__ein"))
-      labels.join(deg, Seq("id"))
-        .groupBy("community")
-        .agg(count(lit(1)).as("n_nodes"), sum(col("__deg")).as("d_sum"))
-        .join(ein, Seq("community"), "left")
-        .crossJoin(m)
-        .select(col("community"), col("n_nodes"),
-          coalesce(col("__ein"), lit(0L)).as("e_in"), col("d_sum"),
-          (lit(4L) * col("__m") * coalesce(col("__ein"), lit(0L)) -
-            col("d_sum") * col("d_sum")).as("contrib"))
-    },
-    Some(s"""$simhashCcSql,
-             l0 AS (SELECT DISTINCT a AS id, a AS lab FROM e),
-             v1 AS (SELECT e.b AS id, l.lab, count(*) AS cnt FROM e JOIN l0 l ON e.a = l.id GROUP BY 1, 2),
-             l1 AS (SELECT id, lab FROM (SELECT id, lab, row_number() OVER (PARTITION BY id ORDER BY cnt DESC, lab) AS rn FROM v1) WHERE rn = 1),
-             v2 AS (SELECT e.b AS id, l.lab, count(*) AS cnt FROM e JOIN l1 l ON e.a = l.id GROUP BY 1, 2),
-             l2 AS (SELECT id, lab FROM (SELECT id, lab, row_number() OVER (PARTITION BY id ORDER BY cnt DESC, lab) AS rn FROM v2) WHERE rn = 1),
-             v3 AS (SELECT e.b AS id, l.lab, count(*) AS cnt FROM e JOIN l2 l ON e.a = l.id GROUP BY 1, 2),
-             l3 AS (SELECT id, lab FROM (SELECT id, lab, row_number() OVER (PARTITION BY id ORDER BY cnt DESC, lab) AS rn FROM v3) WHERE rn = 1),
-             deg AS (SELECT a AS id, CAST(count(*) AS BIGINT) AS deg FROM e GROUP BY 1),
-             mm AS (SELECT CAST(count(*) AS BIGINT) AS m FROM p),
-             ein AS (SELECT la.lab AS community, CAST(count(*) AS BIGINT) AS e_in
-                     FROM p JOIN l3 la ON p.id_a = la.id JOIN l3 lb ON p.id_b = lb.id
-                     WHERE la.lab = lb.lab GROUP BY 1),
-             ds AS (SELECT l3.lab AS community, CAST(count(*) AS BIGINT) AS n_nodes,
-                      CAST(sum(deg.deg) AS BIGINT) AS d_sum
-                    FROM l3 JOIN deg USING (id) GROUP BY 1)
-             SELECT ds.community, ds.n_nodes, coalesce(ein.e_in, 0) AS e_in, ds.d_sum,
-               CAST(4 * mm.m * coalesce(ein.e_in, 0) - ds.d_sum * ds.d_sum AS BIGINT) AS contrib
-             FROM ds LEFT JOIN ein USING (community) CROSS JOIN mm"""))
-
-  /** MinHash-threshold tuning curve: candidate pairs per signature-
-    * agreement band (agree of 16 hashes) — q_cosine_bands' twin for
-    * the text-dedup τ. The estimate is already an exact integer
-    * (agree count), so banding is a direct group-by over the cheap
-    * signature-overlap rescore; candidates flow through the same
-    * LSH band join, never all-pairs.
-    */
-  private val qJaccardBands = GraftQuery(
-    "q_jaccard_bands",
-    (s, dir) =>
-      DedupFns.minhashEstPairs(t(s, dir, "documents"), "doc_id", "text")
-        .groupBy(col("agree")).agg(count(lit(1)).as("n_pairs")),
-    Some(s"""WITH t0 AS (SELECT doc_id, $toksSql AS tk FROM documents),
-             g AS (SELECT doc_id, $grams3Sql AS gs FROM t0),
-             ok AS (SELECT doc_id, gs FROM g WHERE len(gs) > 0),
-             hs AS (SELECT doc_id, list_transform(gs, t -> ${h31Sql("t")}) AS h FROM ok),
-             sig AS (SELECT doc_id, $minhashSigSql AS s FROM hs),
-             bands AS (SELECT doc_id, k AS band, (s[2*k+1] * 1000003 + s[2*k+2]) % $M AS bh
-                       FROM sig, range(${DedupFns.NumHashes / DedupFns.BandRows}) t(k)),
-             p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
-                   FROM bands a JOIN bands b
-                     ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
-                   GROUP BY 1, 2),
-             ag AS (SELECT id_a, id_b,
-                      CAST(len(list_filter(range(1, ${DedupFns.NumHashes + 1}), i -> sa.s[i] = sb.s[i])) AS BIGINT) AS agree
-                    FROM p JOIN sig sa ON p.id_a = sa.doc_id
-                           JOIN sig sb ON p.id_b = sb.doc_id)
-             SELECT agree, CAST(count(*) AS BIGINT) AS n_pairs
-             FROM ag GROUP BY agree"""))
-
-  /** SPLIT LEAKAGE — the eval-hygiene check: near-dup pairs whose two
-    * docs fall in DIFFERENT train/val/test splits (same md5-bucket
-    * rule as q_split_assign). Any off-diagonal row means eval examples
-    * have training near-duplicates and the benchmark is soft. The pair
-    * set is the shared materialized mining; split labels attach via
-    * two equi-joins and the matrix groups on the unordered label pair.
-    */
-  private val qSplitLeakage = GraftQuery(
-    "q_split_leakage",
-    (s, dir) => {
-      val split = t(s, dir, "documents")
-        .select(col("doc_id"),
-          (conv(substring(md5(col("doc_id").cast("string")), 1, 4), 16, 10)
-            .cast("long") % 100).as("h"))
-        .select(col("doc_id"),
-          when(col("h") < 98, "train").when(col("h") < 99, "val").otherwise("test").as("split"))
-      simhashPairs(s, dir)
-        .join(split.as("sa"), col("id_a") === col("sa.doc_id"))
-        .join(split.as("sb"), col("id_b") === col("sb.doc_id"))
-        .groupBy(least(col("sa.split"), col("sb.split")).as("split_lo"),
-          greatest(col("sa.split"), col("sb.split")).as("split_hi"))
-        .agg(count(lit(1)).as("n_pairs"))
-    },
-    Some(s"""$simhashPairsSql,
-             sp AS (SELECT doc_id,
-                      CASE WHEN h < 98 THEN 'train' WHEN h < 99 THEN 'val' ELSE 'test' END AS split
-                    FROM (SELECT doc_id,
-                            ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))::BIGINT % 100 AS h
-                          FROM documents))
-             SELECT least(sa.split, sb.split) AS split_lo,
-               greatest(sa.split, sb.split) AS split_hi,
-               CAST(count(*) AS BIGINT) AS n_pairs
-             FROM p JOIN sp sa ON p.id_a = sa.doc_id
-                    JOIN sp sb ON p.id_b = sb.doc_id
-             GROUP BY 1, 2"""))
-
-  /** Estimator CALIBRATION: per signature-agreement band, the mean
-    * EXACT Jaccard (milli) of the same candidate pairs — the curve
-    * that tells a pipeline how to read the cheap estimate (agree/16)
-    * against ground truth before trusting it corpus-wide. Exact scores
-    * touch only LSH candidates; the mean is a floor division of exact
-    * per-pair milli scores.
-    */
-  private val qJaccardCalib = GraftQuery(
-    "q_jaccard_calibration",
-    (s, dir) => {
-      val docs = t(s, dir, "documents")
-      val est = DedupFns.minhashEstPairs(docs, "doc_id", "text")
-      val grams = Fence.guard(Fence.guard(
-          docs.select(col("doc_id").as("id"), TextFns.tokensFast(col("text")).as("__toks"), Fence.col))
-        .filter(size(col("__toks")) >= 3)
-        .select(col("id"), DedupFns.wordNgramsFast(col("__toks"), 3).as("grams"), Fence.col))
-        .repartition(col("id"))
-      est.join(grams.as("ga"), col("id_a") === col("ga.id"))
-        .join(grams.as("gb"), col("id_b") === col("gb.id"))
-        .select(col("agree"),
-          size(array_intersect(col("ga.grams"), col("gb.grams"))).cast("long").as("inter"),
-          (size(col("ga.grams")) + size(col("gb.grams"))).cast("long").as("sum_ab"))
-        .select(col("agree"), expr("inter * 1000 div (sum_ab - inter)").as("__ex"))
-        .groupBy(col("agree"))
-        .agg(count(lit(1)).as("n_pairs"),
-          expr("sum(__ex) div count(1)").as("mean_exact_milli"))
-    },
-    Some(s"""WITH t0 AS (SELECT doc_id, $toksSql AS tk FROM documents),
-             g AS (SELECT doc_id, $grams3Sql AS gs FROM t0),
-             ok AS (SELECT doc_id, gs FROM g WHERE len(gs) > 0),
-             hs AS (SELECT doc_id, list_transform(gs, t -> ${h31Sql("t")}) AS h FROM ok),
-             sig AS (SELECT doc_id, $minhashSigSql AS s FROM hs),
-             bands AS (SELECT doc_id, k AS band, (s[2*k+1] * 1000003 + s[2*k+2]) % $M AS bh
-                       FROM sig, range(${DedupFns.NumHashes / DedupFns.BandRows}) t(k)),
-             pp AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
-                    FROM bands a JOIN bands b
-                      ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
-                    GROUP BY 1, 2),
-             ag AS (SELECT id_a, id_b,
-                      CAST(len(list_filter(range(1, ${DedupFns.NumHashes + 1}), i -> sa.s[i] = sb.s[i])) AS BIGINT) AS agree
-                    FROM pp JOIN sig sa ON pp.id_a = sa.doc_id
-                            JOIN sig sb ON pp.id_b = sb.doc_id),
-             sc AS (SELECT ag.agree,
-                      CAST(len(list_intersect(ga.gs, gb.gs)) AS BIGINT) * 1000
-                        // CAST(len(ga.gs) + len(gb.gs) - len(list_intersect(ga.gs, gb.gs)) AS BIGINT) AS ex
-                    FROM ag JOIN ok ga ON ag.id_a = ga.doc_id
-                            JOIN ok gb ON ag.id_b = gb.doc_id)
-             SELECT agree, CAST(count(*) AS BIGINT) AS n_pairs,
-               CAST(sum(ex) // count(*) AS BIGINT) AS mean_exact_milli
-             FROM sc GROUP BY agree"""))
-
-  /** Cross-signal curation analytics: per quality BAND, what fraction
-    * of documents sit in a near-dup pair — the "is low quality where
-    * the duplication lives?" question a corpus report answers before
-    * choosing filter thresholds. Quality bands are fixed-width value
-    * bands ((quality+20) div 10 — quality is bounded in [-20, 70], so
-    * truncating and flooring division agree), NOT rank deciles: banding
-    * is map-only, no global sort at any scale. Dup membership comes
-    * from the shared materialized simhash pair mining; the flag join is
-    * a doc_id equi-join against the distinct paired ids.
-    */
-  private val qQualityDup = GraftQuery(
-    "q_quality_dup",
-    (s, dir) => {
-      val q = qQualityScore.fn(s, dir)
-      val dupIds = simhashPairs(s, dir)
-        .select(explode(array(col("id_a"), col("id_b"))).as("id")).distinct()
-      q.join(dupIds, col("doc_id") === col("id"), "left")
-        .select(expr("(quality + 20) div 10").as("q_band"),
-          col("id").isNotNull.cast("long").as("is_dup"))
-        .groupBy(col("q_band"))
-        .agg(count(lit(1)).as("n_docs"), sum(col("is_dup")).as("n_dup"),
-          expr("sum(is_dup) * 1000 div count(1)").as("dup_milli"))
-    },
-    Some(s"""$simhashPairsSql,
-             tq AS (SELECT doc_id,
-                      CAST(length(text) AS BIGINT) AS c,
-                      CAST(len(list_filter(string_split_regex(text, '\\s+'), x -> x != '')) AS BIGINT) AS t,
-                      CAST(len(list_filter($toksSql, t2 -> list_contains([${TextFns.Stopwords("en").map(w => s"'$w'").mkString(", ")}], t2))) AS BIGINT) AS sw,
-                      CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS BIGINT) AS pq
-                    FROM documents),
-             qual AS (SELECT doc_id,
-                        least(40, c // 10) + least(30, (sw * 100) // greatest(t, 1))
-                          - least(20, (pq * 100) // greatest(c, 1)) AS quality
-                      FROM tq),
-             ids AS (SELECT DISTINCT id FROM (SELECT id_a AS id FROM p UNION ALL SELECT id_b FROM p)),
-             x AS (SELECT (q.quality + 20) // 10 AS q_band,
-                     CASE WHEN ids.id IS NULL THEN 0 ELSE 1 END AS is_dup
-                   FROM qual q LEFT JOIN ids ON q.doc_id = ids.id)
-             SELECT q_band, CAST(count(*) AS BIGINT) AS n_docs,
-               CAST(sum(is_dup) AS BIGINT) AS n_dup,
-               CAST(sum(is_dup) * 1000 // count(*) AS BIGINT) AS dup_milli
-             FROM x GROUP BY q_band"""))
-
-  /** Per-document hapax share: the fraction of a doc's distinct token
-    * TYPES that occur in no other document (corpus df = 1), in exact
-    * milli-units — high hapax share flags OCR noise / gibberish, low
-    * flags boilerplate. The corpus-wide df rides a count-over-partition
-    * on the exploded (doc, type) stream, so ONE token shuffle serves
-    * the df computation and the per-doc re-aggregation follows on
-    * doc_id — the same two-exchange shape as the span-df and
-    * inverted-index queries.
-    */
-  private val qHapax = GraftQuery(
-    "q_hapax",
-    (s, dir) => {
-      import org.apache.spark.sql.expressions.Window
-      val types = Fence.guard(
-          t(s, dir, "documents").select(col("doc_id"),
-            array_distinct(TextFns.tokensFast(col("text"))).as("__tk"), Fence.col))
-        .select(col("doc_id"), explode(col("__tk")).as("tok"))
-      types
-        .withColumn("df", count(lit(1)).over(Window.partitionBy("tok")))
-        .groupBy(col("doc_id"))
-        .agg(count(lit(1)).as("n_types"),
-          sum(when(col("df") === 1, 1L).otherwise(0L)).as("n_hapax"),
-          expr("sum(case when df = 1 then 1 else 0 end) * 1000 div count(1)").as("hapax_milli"))
-    },
-    Some(s"""WITH t0 AS (SELECT doc_id, list_distinct($toksSql) AS tk FROM documents),
-             x AS (SELECT doc_id, unnest(tk) AS tok FROM t0),
-             d AS (SELECT doc_id, tok, count(*) OVER (PARTITION BY tok) AS df FROM x)
-             SELECT doc_id, CAST(count(*) AS BIGINT) AS n_types,
-               CAST(sum(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax,
-               CAST(sum(CASE WHEN df = 1 THEN 1 ELSE 0 END) * 1000 // count(*) AS BIGINT) AS hapax_milli
-             FROM d GROUP BY doc_id"""))
-
-  /** Cross-source duplication leakage matrix: near-dup pair counts per
-    * unordered source pair — which sources are re-hosting each other's
-    * content (the governance view that decides source-level dedup
-    * priority). The pair set is the shared materialized mining; the
-    * doc→source attachment is two equi-joins against a two-column
-    * projection, and the unordered pair key is (least, greatest) so
-    * (A,B) and (B,A) collapse into one row.
-    */
-  private val qSourceOverlap = GraftQuery(
-    "q_source_overlap",
-    (s, dir) => {
-      val src = t(s, dir, "documents").select(col("doc_id"), col("source"))
-      simhashPairs(s, dir)
-        .join(src.as("sa"), col("id_a") === col("sa.doc_id"))
-        .join(src.as("sb"), col("id_b") === col("sb.doc_id"))
-        .groupBy(
-          least(col("sa.source"), col("sb.source")).as("source_lo"),
-          greatest(col("sa.source"), col("sb.source")).as("source_hi"))
-        .agg(count(lit(1)).as("n_pairs"))
-    },
-    Some(s"""$simhashPairsSql
-             SELECT least(sa.source, sb.source) AS source_lo,
-               greatest(sa.source, sb.source) AS source_hi,
-               CAST(count(*) AS BIGINT) AS n_pairs
-             FROM p
-             JOIN documents sa ON p.id_a = sa.doc_id
-             JOIN documents sb ON p.id_b = sb.doc_id
-             GROUP BY 1, 2"""))
-
-  /** Dedup SAVINGS report: what near-dup removal buys, per source —
-    * docs removed, tokens removed, and the token-savings rate in exact
-    * milli-units. Losers come from the shared materialized clustering
-    * (min-id representative keeps its row); token counts ride the same
-    * scan that tags the losers, so the report is one fact pass + the
-    * cached cluster table.
-    */
-  private val qDedupSavings = GraftQuery(
-    "q_dedup_savings",
-    (s, dir) => {
-      val toks = t(s, dir, "documents")
-        .select(col("doc_id"), col("source"),
-          size(TextFns.tokensFast(col("text"))).cast("long").as("nt"))
-      val losers = simhashClusters(s, dir)
-        .filter(col("id") =!= col("cluster_root")).select(col("id"))
-      toks.join(losers, toks("doc_id") === losers("id"), "left")
-        .groupBy(col("source"))
-        .agg(count(lit(1)).as("n_docs"),
-          sum(col("nt")).as("tokens_total"),
-          sum(when(col("id").isNotNull, 1L).otherwise(0L)).as("n_removed"),
-          coalesce(sum(when(col("id").isNotNull, col("nt"))), lit(0L)).as("tokens_removed"))
-        .select(col("source"), col("n_docs"), col("n_removed"),
-          col("tokens_total"), col("tokens_removed"),
-          expr("tokens_removed * 1000 div greatest(tokens_total, 1)").as("savings_milli"))
-    },
-    Some(s"""$simhashCcSql,
-             roots AS (SELECT id, CAST(min(r) AS BIGINT) AS root FROM reach GROUP BY id),
-             losers AS (SELECT id FROM roots WHERE id <> root),
-             tk AS (SELECT doc_id, source, CAST(len($toksSql) AS BIGINT) AS nt FROM documents),
-             x AS (SELECT tk.source, tk.nt,
-                     CASE WHEN losers.id IS NULL THEN 0 ELSE 1 END AS rem
-                   FROM tk LEFT JOIN losers ON tk.doc_id = losers.id)
-             SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
-               CAST(sum(rem) AS BIGINT) AS n_removed,
-               CAST(sum(nt) AS BIGINT) AS tokens_total,
-               CAST(coalesce(sum(CASE WHEN rem = 1 THEN nt END), 0) AS BIGINT) AS tokens_removed,
-               CAST(coalesce(sum(CASE WHEN rem = 1 THEN nt END), 0) * 1000
-                    // greatest(sum(nt), 1) AS BIGINT) AS savings_milli
-             FROM x GROUP BY source"""))
 
   /** Shared oracle for q_decontam and q_bloom_decontam: the bloom
     * prefilter is candidate pruning only (no false negatives; false
     * positives die in the exact confirm join), so both queries must
     * hash-match this same exact answer.
     */
-  private val decontamOracleSql = s"""WITH tk AS (SELECT doc_id, $toksSql AS tks FROM documents),
+  private[graft] val decontamOracleSql = s"""WITH tk AS (SELECT doc_id, $toksSql AS tks FROM documents),
              g AS (SELECT doc_id, unnest(list_distinct(list_transform(
                      range(1, greatest(len(tks) - 2, 1)),
                      i -> array_to_string(tks[i:i+3], ' ')))) AS g
@@ -2905,318 +455,6 @@ object Queries {
              WHERE doc_id >= 3 AND doc_id NOT IN (SELECT doc_id FROM kill)
              GROUP BY source"""
 
-  /** Benchmark DECONTAMINATION — the removal step after detection:
-    * drop every doc sharing ≥2 distinct 4-grams with the broadcast
-    * probe set (q_contamination's flag at a keep/kill threshold) and
-    * report per-source survivors + token counts. The kill list is the
-    * aggregated contamination result (small); removal is a LEFT ANTI
-    * equi-join, never a scan-side gram recheck.
-    */
-  private val qDecontam = GraftQuery(
-    "q_decontam",
-    (s, dir) => {
-      val docs = t(s, dir, "documents")
-      def grams(df: DataFrame) = Fence.guard(Fence.guard(
-          df.select(col("doc_id"), TextFns.tokensFast(col("text")).as("__toks"), Fence.col))
-        .select(col("doc_id"),
-          DedupFns.wordNgramsFast(col("__toks"), 4).as("__grams"), Fence.col))
-        .select(col("doc_id"), explode(col("__grams")).as("g"))
-      val probeGrams = grams(docs.filter(col("doc_id") < 3)).select(col("g")).distinct()
-      val kill = grams(docs.filter(col("doc_id") >= 3))
-        .join(broadcast(probeGrams), "g")
-        .groupBy("doc_id")
-        .agg(countDistinct(col("g")).as("shared"))
-        .filter(col("shared") >= 2)
-        .select(col("doc_id").as("kid"))
-      docs.filter(col("doc_id") >= 3)
-        .join(kill, col("doc_id") === col("kid"), "left_anti")
-        .select(col("source"), size(TextFns.tokensFast(col("text"))).cast("long").as("nt"))
-        .groupBy(col("source"))
-        .agg(count(lit(1)).as("n_kept"), sum(col("nt")).as("tokens_kept"))
-    },
-    Some(decontamOracleSql))
-
-  /** Exact Spearman components per source: Σd² between each doc's
-    * token-count rank and quality rank (ties broken on doc_id, so the
-    * ranks — and therefore Σd² — are engine-identical integers; ρ =
-    * 1 − 6Σd²/(n(n²−1)) is derivable offline without ever computing a
-    * float here). The "does length predict quality" question answered
-    * with two row_number windows sharing ONE source partitioning.
-    */
-  private val qRankCorr = GraftQuery(
-    "q_rank_corr",
-    (s, dir) => {
-      import org.apache.spark.sql.expressions.Window
-      val enIdx = TextFns.Stopwords.keys.toSeq.sorted.indexOf("en") + 1
-      val sig = t(s, dir, "documents")
-        .select(col("doc_id"), col("source"), length(col("text")).cast("long").as("__c"),
-          TextFns.textStatsFast(col("text")).as("__ts"),
-          TextFns.langScoresFast(TextFns.tokensFast(col("text"))).as("__ls"))
-        .select(col("doc_id"), col("source"),
-          element_at(col("__ts"), 1).as("nt"),
-          (least(lit(40L), (col("__c") / lit(10L)).cast("long")) +
-            least(lit(30L), (element_at(col("__ls"), enIdx) * 100L /
-              greatest(element_at(col("__ts"), 1), lit(1L))).cast("long")) -
-            least(lit(20L), (element_at(col("__ts"), 2) * 100L /
-              greatest(col("__c"), lit(1L))).cast("long"))).as("quality"))
-      sig
-        .withColumn("rn", row_number().over(
-          Window.partitionBy("source").orderBy(col("nt"), col("doc_id"))))
-        .withColumn("rq", row_number().over(
-          Window.partitionBy("source").orderBy(col("quality"), col("doc_id"))))
-        .groupBy(col("source"))
-        .agg(count(lit(1)).as("n"),
-          sum((col("rn") - col("rq")) * (col("rn") - col("rq"))).cast("long").as("d2_sum"))
-    },
-    Some(s"""WITH tq AS (SELECT doc_id, source,
-                  CAST(length(text) AS BIGINT) AS c,
-                  CAST(len(list_filter(string_split_regex(text, '\\s+'), x -> x != '')) AS BIGINT) AS t,
-                  CAST(len(list_filter($toksSql, t2 -> list_contains([${TextFns.Stopwords("en").map(w => s"'$w'").mkString(", ")}], t2))) AS BIGINT) AS sw,
-                  CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS BIGINT) AS pq
-                FROM documents),
-             qual AS (SELECT doc_id, source, t AS nt,
-                        least(40, c // 10) + least(30, (sw * 100) // greatest(t, 1))
-                          - least(20, (pq * 100) // greatest(c, 1)) AS quality
-                      FROM tq),
-             r AS (SELECT source,
-                     row_number() OVER (PARTITION BY source ORDER BY nt, doc_id) AS rn,
-                     row_number() OVER (PARTITION BY source ORDER BY quality, doc_id) AS rq
-                   FROM qual)
-             SELECT source, CAST(count(*) AS BIGINT) AS n,
-               CAST(sum((rn - rq) * (rn - rq)) AS BIGINT) AS d2_sum
-             FROM r GROUP BY source"""))
-
-  /** Per-document repetitiousness: the most frequent token's share of
-    * all tokens, in exact milli-units (max_tf * 1000 // n_tokens) — a
-    * junk signal for boilerplate/repeated-phrase documents. One
-    * repartition by doc_id, then both aggregations are shuffle-free.
-    */
-  private val qRepetition = GraftQuery(
-    "q_repetition",
-    (s, dir) =>
-      Fence.guard(
-          t(s, dir, "documents")
-            .select(col("doc_id"), TextFns.tokensFast(col("text")).as("__toks"), Fence.col))
-        .select(col("doc_id"), explode(col("__toks")).as("term"))
-        .repartition(col("doc_id"))
-        .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
-        .groupBy("doc_id")
-        .agg(sum(col("tf")).as("n_tokens"), max(col("tf")).as("max_tf"))
-        .select(col("doc_id"), col("n_tokens"), col("max_tf"),
-          (col("max_tf") * 1000L / col("n_tokens")).cast("long").as("rep_milli")),
-    Some(s"""WITH tk AS (SELECT doc_id, unnest($toksSql) AS term FROM documents),
-             tf AS (SELECT doc_id, term, count(*) AS tf FROM tk GROUP BY 1, 2)
-             SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_tokens,
-               CAST(max(tf) AS BIGINT) AS max_tf,
-               CAST(max(tf) * 1000 // sum(tf) AS BIGINT) AS rep_milli
-             FROM tf GROUP BY doc_id"""))
-
-  private val qNgramJaccard = GraftQuery(
-    "q_ngram_jaccard",
-    (s, dir) => DedupFns.ngramJaccardPairs(t(s, dir, "documents"), "doc_id", "text", 3,
-      maxDf = 50, minShared = 2),
-    Some(s"""WITH t0 AS (SELECT doc_id, $toksSql AS tk FROM documents),
-             g AS (SELECT doc_id, $grams3Sql AS gs FROM t0),
-             docs AS (SELECT doc_id, gs FROM g WHERE len(gs) > 0),
-             gr AS (SELECT doc_id, unnest(gs) AS gram FROM docs),
-             rare AS (SELECT gram FROM gr GROUP BY gram HAVING count(*) <= 50),
-             rg AS (SELECT gr.doc_id, gr.gram FROM gr JOIN rare USING (gram)),
-             cand AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
-                      FROM rg a JOIN rg b ON a.gram = b.gram AND a.doc_id < b.doc_id
-                      GROUP BY 1, 2 HAVING count(*) >= 2)
-             SELECT id_a, id_b,
-               CAST(len(list_intersect(da.gs, db.gs)) AS BIGINT) AS inter,
-               CAST(len(da.gs) + len(db.gs) - len(list_intersect(da.gs, db.gs)) AS BIGINT) AS uni
-             FROM cand
-             JOIN docs da ON id_a = da.doc_id
-             JOIN docs db ON id_b = db.doc_id"""))
-
-  /** Sorted-neighborhood dedup (Hernández-Stolfo 1995), the classic
-    * SORTING-based candidate generator — the inventory's hashing-based
-    * generators (LSH bands, simhash byte-bands, deletion neighborhoods,
-    * PPJoin prefixes) all bucket by content hashes; this one instead
-    * sorts by a blocking key and compares only docs within a sliding
-    * rank window. Productionized as BLOCKED sorted-neighborhood: a
-    * global sort would need range partitioning, so the sort happens
-    * WITHIN a coarse block (first token) as a keyed window — scalable,
-    * and exactly the multi-pass variant the original paper ships.
-    * Window pairs (rank distance 1..W−1) resolve via an equi-join on
-    * (block, rank div W) with the left side doubled to (k, k+1) — an
-    * adjacent-bucket join, never a cross join; candidates rescore by
-    * exact distinct-token Jaccard, keeping pairs ≥ 0.2.
-    */
-  private val qSortedDedup = GraftQuery(
-    "q_sorted_dedup",
-    (s, dir) => {
-      import org.apache.spark.sql.expressions.Window
-      val W = 6
-      val d = Fence.guard(
-          t(s, dir, "documents")
-            .select(col("doc_id"), TextFns.tokensFast(col("text")).as("__tk"), Fence.col))
-        .filter(size(col("__tk")) >= 1)
-        .select(col("doc_id"),
-          element_at(col("__tk"), 1).as("__blk"),
-          array_join(slice(col("__tk"), 1, 4), " ").as("__sk"),
-          array_distinct(col("__tk")).as("__set"))
-      val wb = Window.partitionBy("__blk").orderBy(col("__sk"), col("doc_id"))
-      val r = d.select(col("doc_id"), col("__blk"), col("__set"),
-        (row_number().over(wb) - 1).cast("long").as("__r"))
-      val a = r.select(col("doc_id").as("id_a"), col("__blk"),
-        col("__set").as("__sa"), col("__r").as("__ra"),
-        explode(array(expr(s"__r div $W"), expr(s"__r div $W + 1"))).as("__bk"))
-      val b = r.select(col("doc_id").as("id_b"), col("__blk"),
-        col("__set").as("__sb"), col("__r").as("__rb"),
-        expr(s"__r div $W").as("__bk"))
-      a.join(b.hint("shuffle_hash"), Seq("__blk", "__bk"))
-        .filter((col("__rb") - col("__ra")).between(1, W - 1))
-        .select(col("id_a"), col("id_b"),
-          size(array_intersect(col("__sa"), col("__sb"))).cast("long").as("__i"),
-          (size(col("__sa")) + size(col("__sb"))).cast("long").as("__ssum"))
-        .select(col("id_a"), col("id_b"),
-          expr("__i * 1000 div (__ssum - __i)").as("jac_milli"))
-        .filter(col("jac_milli") >= 200)
-    },
-    Some(s"""WITH t0 AS (SELECT doc_id, $toksSql AS tk FROM documents),
-             d AS (SELECT doc_id, tk[1] AS blk,
-                     array_to_string(list_slice(tk, 1, 4), ' ') AS sk,
-                     list_distinct(tk) AS st
-                   FROM t0 WHERE len(tk) >= 1),
-             r AS (SELECT doc_id, blk, st,
-                     CAST(row_number() OVER (PARTITION BY blk ORDER BY sk, doc_id) - 1 AS BIGINT) AS r
-                   FROM d),
-             pr AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-                      CAST(len(list_intersect(a.st, b.st)) AS BIGINT) AS i,
-                      CAST(len(a.st) + len(b.st) AS BIGINT) AS ssum
-                    FROM r a JOIN r b ON a.blk = b.blk AND b.r - a.r BETWEEN 1 AND 5)
-             SELECT id_a, id_b, CAST(i * 1000 // (ssum - i) AS BIGINT) AS jac_milli
-             FROM pr WHERE i * 1000 >= (ssum - i) * 200"""))
-
-  private val qEmbedTopk = GraftQuery(
-    "q_embed_topk",
-    (s, dir) => {
-      val e = t(s, dir, "embeddings")
-      VectorFns.bruteForceTopK(e.filter(col("vec_id") < 20), e, "vec_id", "embedding", 5)
-        .select(col("query_id"), col("neighbor_id"), col("score"), col("rank").cast("long").as("rnk"))
-    },
-    Some(s"""WITH q AS (SELECT vec_id AS query_id, ${quantSql("embedding")} AS qv
-                        FROM embeddings WHERE vec_id < 20),
-             c AS (SELECT vec_id AS neighbor_id, ${quantSql("embedding")} AS cv FROM embeddings),
-             sc AS (SELECT query_id, neighbor_id,
-                      CAST(list_sum(list_transform(range(1, 65), i -> qv[i] * cv[i])) AS BIGINT) AS score
-                    FROM q, c WHERE query_id != neighbor_id)
-             SELECT query_id, neighbor_id, score, CAST(rnk AS BIGINT) AS rnk
-             FROM (SELECT query_id, neighbor_id, score,
-                     row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rnk
-                   FROM sc)
-             WHERE rnk <= 5"""))
-
-  /** ANN index QUALITY evaluation as a first-class query — recall@5 of
-    * the IVF index against the exact brute-force top-5 on the same
-    * tie-break (score desc, neighbor_id): the self-evaluation an engine
-    * runs before trusting an approximate index in production (the spec
-    * twin AnnRecallSpec asserts thresholds; this emits the per-query
-    * numbers as data). hits = |IVF@5 ∩ exact@5|, recall_milli =
-    * hits·1000 div 5 — exact integers, so the whole evaluation
-    * hash-checks. The exact side scans once against the broadcast
-    * 20-query side (the correctness baseline shape); the IVF side is
-    * the cid equi-join.
-    */
-  private val qAnnRecall = GraftQuery(
-    "q_ann_recall",
-    (s, dir) => {
-      val e = t(s, dir, "embeddings")
-      val q20 = e.filter(col("vec_id") < 20)
-      val approx = VectorFns.ivfTopK(q20, e, "vec_id", "embedding", 5)
-        .select(col("query_id").as("__q"), col("neighbor_id").as("__n"))
-      // the approx side is ≤ 20×5 rows — broadcast it EXPLICITLY:
-      // left to AQE, the runtime broadcast conversion here sat on a
-      // stage-completion-order knife edge (adding a log4j appender —
-      // CodegenGuard — deterministically flipped it to a shuffled
-      // join, exch 2→4 in the plan audit); a hint is the right call
-      // for a provably tiny side and makes the plan environment-proof
-      VectorFns.bruteForceTopK(q20, e, "vec_id", "embedding", 5)
-        .select(col("query_id"), col("neighbor_id"))
-        .join(broadcast(approx),
-          col("query_id") === col("__q") && col("neighbor_id") === col("__n"),
-          "left")
-        .groupBy(col("query_id"))
-        .agg(count(col("__n")).as("hits"))
-        .withColumn("recall_milli", expr("hits * 1000 div 5"))
-    },
-    Some(s"""$ivfNnSql,
-             bsc AS (SELECT qe.vec_id AS query_id, ce.vec_id AS neighbor_id,
-                       CAST(list_sum(list_transform(range(1, 65), i -> qe.v[i] * ce.v[i])) AS BIGINT) AS score
-                     FROM e qe, e ce WHERE qe.vec_id < 20 AND qe.vec_id != ce.vec_id),
-             bx AS (SELECT query_id, neighbor_id FROM
-                      (SELECT query_id, neighbor_id,
-                         row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rnk
-                       FROM bsc)
-                    WHERE rnk <= 5)
-             SELECT bx.query_id AS query_id, CAST(count(nn.neighbor_id) AS BIGINT) AS hits,
-               CAST(count(nn.neighbor_id) AS BIGINT) * 1000 // 5 AS recall_milli
-             FROM bx LEFT JOIN nn ON bx.query_id = nn.query_id AND bx.neighbor_id = nn.neighbor_id
-             GROUP BY 1"""))
-
-  /** ANN OPERATING CURVE as data (round 17 — VERDICT r16 item 6):
-    * recall@5 vs nprobe ∈ {1,2,4,8} over the same 16-centroid IVF
-    * index and brute-force truth as [[qAnnRecall]] — the knob-response
-    * curve a 100 TB deployment reads before picking its probe budget
-    * (the single-point q_ann_recall stays the per-query drill-down).
-    * One corpus assignment + one candidate join serve all four points
-    * (candidates carry their probed cell's rank; "nprobe = p" is a
-    * filter + per-(query, p) re-rank — VectorFns.ivfRecallCurve);
-    * AnnRecallSpec pins each point equal to an independent
-    * ivfTopK(nprobe = p) evaluation. Exact integer recall_milli, so
-    * the curve hash-checks; the oracle replays the full chain —
-    * centroid sample, assignment, ranked probes, per-point top-5 —
-    * structurally independently (brute rank joins, no shared code).
-    */
-  private val qAnnCurve = GraftQuery(
-    "q_ann_curve",
-    (s, dir) => {
-      val e = t(s, dir, "embeddings")
-      VectorFns.ivfRecallCurve(e.filter(col("vec_id") < 20), e, "vec_id", "embedding", 5)
-    },
-    Some(s"""WITH e AS (SELECT vec_id, ${quantSql("embedding")} AS v FROM embeddings),
-             cents AS (SELECT row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), CAST(vec_id AS VARCHAR)) - 1 AS cid, v AS cv
-                       FROM e ORDER BY md5(CAST(vec_id AS VARCHAR)), CAST(vec_id AS VARCHAR) LIMIT 16),
-             d AS (SELECT e.vec_id, cents.cid,
-                     CAST(list_sum(list_transform(range(1, 65), i -> (v[i]-cv[i])*(v[i]-cv[i]))) AS BIGINT) AS d2
-                   FROM e CROSS JOIN cents),
-             assign AS (SELECT vec_id, cid FROM
-                          (SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn FROM d)
-                        WHERE rn = 1),
-             probes AS (SELECT vec_id, cid, CAST(rn AS BIGINT) AS pr FROM
-                          (SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
-                           FROM d WHERE vec_id < 20)
-                        WHERE rn <= 8),
-             cand AS (SELECT p.vec_id AS query_id, p.pr, a.vec_id AS neighbor_id,
-                        CAST(list_sum(list_transform(range(1, 65), i -> qe.v[i] * ce.v[i])) AS BIGINT) AS score
-                      FROM probes p JOIN assign a ON p.cid = a.cid AND p.vec_id != a.vec_id
-                      JOIN e qe ON qe.vec_id = p.vec_id
-                      JOIN e ce ON ce.vec_id = a.vec_id),
-             pp AS (SELECT unnest([1, 2, 4, 8]::BIGINT[]) AS nprobe),
-             ak AS (SELECT nprobe, query_id, neighbor_id FROM
-                      (SELECT pp.nprobe, c.query_id, c.neighbor_id,
-                         row_number() OVER (PARTITION BY pp.nprobe, c.query_id
-                                            ORDER BY c.score DESC, c.neighbor_id) AS rnk
-                       FROM cand c JOIN pp ON c.pr <= pp.nprobe)
-                    WHERE rnk <= 5),
-             bsc AS (SELECT qe.vec_id AS query_id, ce.vec_id AS neighbor_id,
-                       CAST(list_sum(list_transform(range(1, 65), i -> qe.v[i] * ce.v[i])) AS BIGINT) AS score
-                     FROM e qe, e ce WHERE qe.vec_id < 20 AND qe.vec_id != ce.vec_id),
-             bx AS (SELECT query_id, neighbor_id FROM
-                      (SELECT query_id, neighbor_id,
-                         row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rnk
-                       FROM bsc)
-                    WHERE rnk <= 5),
-             ex AS (SELECT pp.nprobe, bx.query_id, bx.neighbor_id FROM bx CROSS JOIN pp)
-             SELECT ex.nprobe AS nprobe, CAST(count(ak.neighbor_id) AS BIGINT) AS hits,
-               CAST(count(DISTINCT ex.query_id) AS BIGINT) AS n_queries,
-               CAST(count(ak.neighbor_id) * 1000 // (5 * count(DISTINCT ex.query_id)) AS BIGINT) AS recall_milli
-             FROM ex LEFT JOIN ak ON ex.nprobe = ak.nprobe AND ex.query_id = ak.query_id
-                                 AND ex.neighbor_id = ak.neighbor_id
-             GROUP BY 1"""))
 
   /** Mirror of VectorFns.lshBucketFor with the table index `t` as a
     * correlated column (table 0 == the original single-table formula).
@@ -3225,41 +463,21 @@ object Queries {
     * auto-sizing CTE [[lshPlanesSql]] for the corpus-tracking pair
     * miners.
     */
-  private def lshBucketSql(v: String, planesExpr: String = "4"): String =
+  private[graft] def lshBucketSql(v: String, planesExpr: String = "4"): String =
     s"""CAST(list_sum(list_transform(range(0, $planesExpr), j ->
         CASE WHEN CAST(list_sum(list_transform(range(1, 65), i ->
                $v[i] * (((t*131 + j*37 + (i-1)*17) % 21) - 10))) AS BIGINT) >= 0
              THEN (1::BIGINT << j) ELSE 0 END)) AS BIGINT)"""
+
 
   /** Oracle twin of VectorFns.autoPlanes: the smallest P with 2^P ≥
     * ⌈n/32⌉, floored at 4, as a one-row CTE (`lshp(p)`) — bucket count
     * tracks the corpus so LSH candidate volume stays O(n·occupancy).
     * Integer-exact: length(bin(m−1)) is bitlen, never a float log.
     */
-  private def lshPlanesSql: String =
+  private[graft] def lshPlanesSql: String =
     """lshp AS (SELECT greatest(4, CAST(length(bin(((count(*) + 31) // 32) - 1)) AS BIGINT)) AS p FROM e)"""
 
-  private val qEmbedLsh = GraftQuery(
-    "q_embed_lsh",
-    (s, dir) => {
-      val e = t(s, dir, "embeddings")
-      VectorFns.lshTopK(e.filter(col("vec_id") < 20), e, "vec_id", "embedding", 5)
-        .select(col("query_id"), col("neighbor_id"), col("score"), col("rank").cast("long").as("rnk"))
-    },
-    Some(s"""WITH e AS (SELECT vec_id, ${quantSql("embedding")} AS v FROM embeddings),
-             eb AS (SELECT vec_id, v, t, ${lshBucketSql("v")} AS bucket
-                    FROM e CROSS JOIN range(0, 8) tt(t)),
-             q AS (SELECT vec_id AS query_id, v AS qv, t, bucket FROM eb WHERE vec_id < 20),
-             c AS (SELECT vec_id AS neighbor_id, v AS cv, t, bucket FROM eb),
-             sc AS (SELECT query_id, neighbor_id,
-                      CAST(list_sum(list_transform(range(1, 65), i -> qv[i] * cv[i])) AS BIGINT) AS score
-                    FROM q JOIN c USING (t, bucket) WHERE query_id != neighbor_id),
-             d AS (SELECT query_id, neighbor_id, max(score) AS score FROM sc GROUP BY 1, 2)
-             SELECT query_id, neighbor_id, score, CAST(rnk AS BIGINT) AS rnk
-             FROM (SELECT query_id, neighbor_id, score,
-                     row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rnk
-                   FROM d)
-             WHERE rnk <= 5"""))
 
   /** IVF ANN: deterministic centroid sample (smallest (md5(id), id)),
     * map-only nearest-centroid assignment via the native
@@ -3273,7 +491,7 @@ object Queries {
     * candidates → `nn` = exact top-5 neighbors per query (mirror of
     * VectorFns.ivfTopK at kCentroids=16, nprobe=4, k=5).
     */
-  private def ivfNnSql: String =
+  private[graft] def ivfNnSql: String =
     s"""WITH e AS (SELECT vec_id, ${quantSql("embedding")} AS v FROM embeddings),
              cents AS (SELECT row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), CAST(vec_id AS VARCHAR)) - 1 AS cid, v AS cv
                        FROM e ORDER BY md5(CAST(vec_id AS VARCHAR)), CAST(vec_id AS VARCHAR) LIMIT 16),
@@ -3298,15 +516,6 @@ object Queries {
                           FROM sc)
                     WHERE rnk <= 5)"""
 
-  private val qEmbedIvf = GraftQuery(
-    "q_embed_ivf",
-    (s, dir) => {
-      val e = t(s, dir, "embeddings")
-      VectorFns.ivfTopK(e.filter(col("vec_id") < 20), e, "vec_id", "embedding", 5)
-        .select(col("query_id"), col("neighbor_id"), col("score"), col("rank").cast("long").as("rnk"))
-    },
-    Some(s"""$ivfNnSql
-             SELECT query_id, neighbor_id, score, rnk FROM nn"""))
 
   /** TWO-LEVEL IVF top-k (VectorFns.ivfTopK2) as a first-class
     * oracle-checked query: 64 fine centroids (only their ⌈√64⌉=8
@@ -3332,7 +541,7 @@ object Queries {
     * Shared by q_embed_ivf2 (its own oracle) and q_rrf_fusion (the
     * IVF-backed semantic head).
     */
-  private def ivf2ChainSql(queryPred: String): String = {
+  private[graft] def ivf2ChainSql(queryPred: String): String = {
     val d2 = (a: String, b: String) =>
       s"CAST(list_sum(list_transform(range(1, 65), i -> ($a[i]-$b[i])*($a[i]-$b[i]))) AS BIGINT)"
     s"""e AS (SELECT vec_id, ${quantSql("embedding")} AS v FROM embeddings),
@@ -3377,396 +586,6 @@ object Queries {
                FROM qf q JOIN asg a ON q.fcid = a.fcid AND q.vec_id != a.vec_id)"""
   }
 
-  private val qEmbedIvf2 = GraftQuery(
-    "q_embed_ivf2",
-    (s, dir) => {
-      val e = t(s, dir, "embeddings")
-      VectorFns.ivfTopK2(e.filter(col("vec_id") < 20), e, "vec_id", "embedding", 5,
-          kCentroids = 64, nprobe = 8, coarseProbes = 4, assignProbes = 1)
-        .select(col("query_id"), col("neighbor_id"), col("score"), col("rank").cast("long").as("rnk"))
-    },
-    Some(s"""WITH ${ivf2ChainSql("e.vec_id < 20")}
-          SELECT query_id, neighbor_id, score, CAST(rnk AS BIGINT) AS rnk
-          FROM (SELECT query_id, neighbor_id, score,
-                  row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rnk
-                FROM sc)
-          WHERE rnk <= 5"""))
-
-  /** kNN label propagation: classify each query vector by the majority
-    * label of its 5 IVF-approximate nearest neighbors (vote ties break
-    * to the smallest label) — the weak-supervision / autolabel step of
-    * an embedding pipeline. Candidates flow through the same IVF
-    * equi-join as q_embed_ivf (map-only assignment, never all-pairs);
-    * the vote is one tiny aggregation over k×queries rows.
-    */
-  private val qKnnClassify = GraftQuery(
-    "q_knn_classify",
-    (s, dir) => {
-      import org.apache.spark.sql.expressions.Window
-      val e = t(s, dir, "embeddings")
-      val nn = VectorFns.ivfTopK(e.filter(col("vec_id") < 20), e, "vec_id", "embedding", 5)
-      val votes = nn.join(broadcast(e.select(col("vec_id").as("neighbor_id"),
-            col("label").cast("long").as("label"))), "neighbor_id")
-        .groupBy(col("query_id"), col("label"))
-        .agg(count(lit(1)).as("votes"))
-      votes
-        .withColumn("rn", row_number().over(
-          Window.partitionBy("query_id").orderBy(col("votes").desc, col("label"))))
-        .filter(col("rn") === 1)
-        .select(col("query_id"), col("label").as("pred_label"), col("votes"))
-    },
-    Some(s"""$ivfNnSql,
-             v AS (SELECT query_id, CAST(label AS BIGINT) AS label, CAST(count(*) AS BIGINT) AS votes
-                   FROM nn JOIN embeddings emb ON nn.neighbor_id = emb.vec_id
-                   GROUP BY 1, 2)
-             SELECT query_id, label AS pred_label, votes
-             FROM (SELECT query_id, label, votes,
-                     row_number() OVER (PARTITION BY query_id ORDER BY votes DESC, label) AS rn
-                   FROM v)
-             WHERE rn = 1"""))
-
-  /** Label-consistency screen over the labeled embedding corpus — the
-    * Confident-Learning-style mislabel signal (Northcutt et al. 2021):
-    * EVERY vector queries the IVF index for its approximate top-5
-    * neighbors (all-to-all, the q_knn_hubs chain), takes the neighbor
-    * label majority (ties → smaller label), and per CLASS we report
-    * how many members agree with their neighborhood — classes with low
-    * consistency_milli are where label noise concentrates. The
-    * all-to-all kNN rides the auto-sized (√n-cell) two-level IVF
-    * equi-join — O(n^1.5) total, never all-pairs and never the
-    * O(n²/k) of a fixed cell count (see q_knn_hubs); label attach +
-    * majority are broadcast-dim joins and a keyed rank window over
-    * the ≤ 10-label vote table. n counts vectors whose probed cells
-    * contain at least one other vector (the others have no
-    * neighborhood to disagree with).
-    */
-  private val qLabelConsistency = GraftQuery(
-    "q_label_consistency",
-    (s, dir) => {
-      import org.apache.spark.sql.expressions.Window
-      val e = t(s, dir, "embeddings")
-      val kc = autoK(tableCount(s, dir, "embeddings"))
-      val lbl = e.select(col("vec_id"), col("label").cast("long").as("label"))
-      val votes = VectorFns.ivfTopK2(e, e, "vec_id", "embedding", 5,
-          kCentroids = kc, nprobe = 8, coarseProbes = 4, assignProbes = 1)
-        .join(broadcast(lbl.select(col("vec_id").as("neighbor_id"), col("label").as("__nl"))),
-          "neighbor_id")
-        .groupBy(col("query_id"), col("__nl"))
-        .agg(count(lit(1)).as("__votes"))
-      val maj = votes
-        .withColumn("__rn", row_number().over(
-          Window.partitionBy("query_id").orderBy(col("__votes").desc, col("__nl"))))
-        .filter(col("__rn") === 1)
-        .select(col("query_id"), col("__nl").as("__pred"))
-      maj.join(broadcast(lbl.select(col("vec_id").as("query_id"), col("label"))), "query_id")
-        .groupBy(col("label"))
-        .agg(count(lit(1)).as("n"),
-          sum(when(col("__pred") === col("label"), 1L).otherwise(0L)).as("n_consistent"))
-        .withColumn("consistency_milli", expr("(n_consistent * 1000) div n"))
-    },
-    Some(s"""$ivfAllNnSql,
-             v AS (SELECT query_id, CAST(emb.label AS BIGINT) AS nl, CAST(count(*) AS BIGINT) AS votes
-                   FROM nn JOIN embeddings emb ON nn.neighbor_id = emb.vec_id
-                   GROUP BY 1, 2),
-             maj AS (SELECT query_id, nl AS pred FROM
-                       (SELECT query_id, nl, votes,
-                          row_number() OVER (PARTITION BY query_id ORDER BY votes DESC, nl) AS rn
-                        FROM v)
-                     WHERE rn = 1)
-             SELECT CAST(q.label AS BIGINT) AS label, CAST(count(*) AS BIGINT) AS n,
-               CAST(sum(CASE WHEN maj.pred = CAST(q.label AS BIGINT) THEN 1 ELSE 0 END) AS BIGINT) AS n_consistent,
-               CAST(sum(CASE WHEN maj.pred = CAST(q.label AS BIGINT) THEN 1 ELSE 0 END) AS BIGINT) * 1000
-                 // CAST(count(*) AS BIGINT) AS consistency_milli
-             FROM maj JOIN embeddings q ON maj.query_id = q.vec_id
-             GROUP BY 1"""))
-
-  /** Per-label corpus balance: member count and mean squared norm in
-    * exact milli-units — the class-distribution health check before
-    * training on labeled embeddings. One partial-agg shuffle on the
-    * (10-value) label key.
-    */
-  private val qClassBalance = GraftQuery(
-    "q_class_balance",
-    (s, dir) => {
-      val e = t(s, dir, "embeddings")
-      Fence.guard(e.select(col("label").cast("long").as("label"),
-          VectorFns.quantizeFast(col("embedding")).as("__qv"), Fence.col))
-        .select(col("label"), VectorFns.qdotFast(col("__qv"), col("__qv")).as("__n2"))
-        .groupBy("label")
-        .agg(count(lit(1)).as("n"), sum(col("__n2")).as("sum_norm2"))
-        .select(col("label"), col("n"), col("sum_norm2"),
-          expr("(sum_norm2 * 1000) div n").as("mean_norm2_milli"))
-    },
-    Some(s"""WITH e AS (SELECT CAST(label AS BIGINT) AS label,
-                    CAST(list_sum(list_transform(${quantSql("embedding")}, x -> x * x)) AS BIGINT) AS n2
-                  FROM embeddings)
-             SELECT label, CAST(count(*) AS BIGINT) AS n, CAST(sum(n2) AS BIGINT) AS sum_norm2,
-               CAST((sum(n2) * 1000) // count(*) AS BIGINT) AS mean_norm2_milli
-             FROM e GROUP BY label"""))
-
-  /** One Lloyd k-means refinement step from the deterministic IVF
-    * centroid init, in exact integer arithmetic (VectorFns.kmeansStep):
-    * per centroid the member count, the per-dimension floor-mean
-    * checksum, and the L1 shift vs the old centroid — the convergence
-    * signal a production IVF build iterates on. Assignment is map-only
-    * (centroid literal in the plan); the dimension recompute's shuffle
-    * payload collapses to k×dims partials per task via partial agg.
-    * The oracle replicates the centroid choice, (d2, cid) assignment
-    * order, and the explicit floor division (Spark `div` truncates,
-    * DuckDB `//` floors — they differ on the negative sums quantized
-    * embeddings produce, so both sides use (s - pmod(s,n)) / n).
-    */
-  private val qKmeansStep = GraftQuery(
-    "q_kmeans_step",
-    (s, dir) => VectorFns.kmeansStep(t(s, dir, "embeddings"), "vec_id", "embedding", 16),
-    Some(s"""WITH e AS (SELECT vec_id, ${quantSql("embedding")} AS v FROM embeddings),
-             cents AS (SELECT row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), CAST(vec_id AS VARCHAR)) - 1 AS cid, v AS cv
-                       FROM e ORDER BY md5(CAST(vec_id AS VARCHAR)), CAST(vec_id AS VARCHAR) LIMIT 16),
-             d AS (SELECT e.vec_id, cents.cid,
-                     CAST(list_sum(list_transform(range(1, 65), i -> (v[i]-cv[i])*(v[i]-cv[i]))) AS BIGINT) AS d2
-                   FROM e CROSS JOIN cents),
-             assign AS (SELECT vec_id, cid FROM
-                          (SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn FROM d)
-                        WHERE rn = 1),
-             dm AS (SELECT a.cid, i, e.v[i] AS val
-                    FROM assign a JOIN e USING (vec_id) CROSS JOIN range(1, 65) t(i)),
-             sums AS (SELECT cid, i, CAST(sum(val) AS BIGINT) AS s, CAST(count(*) AS BIGINT) AS n
-                      FROM dm GROUP BY 1, 2),
-             m AS (SELECT s.cid, s.i,
-                     (s.s - ((s.s % s.n + s.n) % s.n)) // s.n AS mv,
-                     c.cv[s.i] AS old_v, s.n
-                   FROM sums s JOIN cents c USING (cid))
-             SELECT CAST(cid AS BIGINT) AS cid, CAST(max(n) AS BIGINT) AS n_members,
-               CAST(sum(mv) AS BIGINT) AS mean_sum, CAST(sum(abs(mv - old_v)) AS BIGINT) AS shift_l1
-             FROM m GROUP BY cid"""))
-
-  /** FIXED-round k-means TRAINING loop (Lloyd 1982;
-    * VectorFns.kmeansTrain) — the iterated completion of
-    * q_kmeans_step's single refinement, the clustering twin of the BPE
-    * learn loop: 3 assign→mean rounds from the deterministic sample
-    * init (empty clusters keep their position), then the final
-    * assignment's per-cluster membership and EXACT integer inertia
-    * (Σ L2² to the trained centroid — the convergence number a
-    * training loop monitors; its decrease across rounds is
-    * Lloyd-guaranteed and spec-fenced). Per round at this k: one
-    * map-only assignment against the plan-literal centroid table +
-    * one (cid, dim) partial agg + a bounded k·d driver collect.
-    * Round 15: kmeansTrain AUTO-ROUTES past k=1024 to the
-    * relation-state loop (VectorFns.kmeansTrain2 — no k·d plan
-    * literal or per-round driver collect at production k = ⌈√n⌉;
-    * bit-identical at full probing, Round15OpsSpec-pinned), so the
-    * VERDICT r14 watch-item is closed without changing this query's
-    * plan or anchor at its k=16 setting. The oracle unrolls all 3
-    * update rounds + the final assignment.
-    */
-  private val qKmeansTrain = GraftQuery(
-    "q_kmeans_train",
-    (s, dir) => VectorFns.kmeansTrain(t(s, dir, "embeddings"), "vec_id", "embedding",
-      kCentroids = 16, rounds = 3),
-    Some {
-      val rounds = (1 to 3).map { r =>
-        val prev = s"c${r - 1}"
-        s"""d$r AS (SELECT e.vec_id, e.v, c.cid,
-                   CAST(list_sum(list_transform(range(1, 65), k -> (e.v[k] - c.cv[k]) * (e.v[k] - c.cv[k]))) AS BIGINT) AS d2
-                 FROM e CROSS JOIN $prev c),
-             a$r AS (SELECT vec_id, v, cid FROM (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn FROM d$r) WHERE rn = 1),
-             m$r AS (SELECT cid, i, (s - ((s % n + n) % n)) // n AS mv
-                 FROM (SELECT cid, t.i AS i, CAST(sum(v[t.i]) AS BIGINT) AS s, CAST(count(*) AS BIGINT) AS n
-                       FROM a$r CROSS JOIN range(1, 65) t(i) GROUP BY 1, 2)),
-             c$r AS (SELECT p.cid, list(coalesce(m.mv, p.cv[t.i]) ORDER BY t.i) AS cv
-                 FROM $prev p CROSS JOIN range(1, 65) t(i)
-                 LEFT JOIN m$r m ON m.cid = p.cid AND m.i = t.i
-                 GROUP BY p.cid)"""
-      }.mkString(",\n             ")
-      s"""WITH e AS (SELECT vec_id, ${quantSql("embedding")} AS v FROM embeddings
-                    WHERE embedding IS NOT NULL AND len(list_filter(embedding, x -> x IS NULL)) = 0),
-             c0 AS (SELECT row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), CAST(vec_id AS VARCHAR)) - 1 AS cid, v AS cv
-                    FROM e ORDER BY md5(CAST(vec_id AS VARCHAR)), CAST(vec_id AS VARCHAR) LIMIT 16),
-             $rounds,
-             d4 AS (SELECT e.vec_id, c.cid,
-                      CAST(list_sum(list_transform(range(1, 65), k -> (e.v[k] - c.cv[k]) * (e.v[k] - c.cv[k]))) AS BIGINT) AS d2
-                    FROM e CROSS JOIN c3 c),
-             a4 AS (SELECT vec_id, cid, d2 FROM (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn FROM d4) WHERE rn = 1)
-             SELECT CAST(cid AS BIGINT) AS cid, CAST(count(*) AS BIGINT) AS n_members,
-               CAST(sum(d2) AS BIGINT) AS inertia
-             FROM a4 GROUP BY cid"""
-    })
-
-  private val qDedupEmbed = GraftQuery(
-    "q_dedup_embed",
-    (s, dir) =>
-      VectorFns.cosineNearDupPairs(t(s, dir, "embeddings"), "vec_id", "embedding",
-        tauNum = 1, tauDen = 4),
-    Some(s"""WITH e AS (SELECT vec_id, ${quantSql("embedding")} AS v FROM embeddings),
-             $lshPlanesSql,
-             nn AS (SELECT vec_id, v,
-                      CAST(list_sum(list_transform(range(1, 65), i -> v[i] * v[i])) AS BIGINT) AS nrm
-                    FROM e),
-             eb AS (SELECT vec_id, v, nrm, t, ${lshBucketSql("v", "(SELECT p FROM lshp)")} AS bucket
-                    FROM nn CROSS JOIN range(0, 8) tt(t)),
-             p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-                     CAST(list_sum(list_transform(range(1, 65), i -> a.v[i] * b.v[i])) AS BIGINT) AS dot,
-                     a.nrm AS na, b.nrm AS nb
-                   FROM eb a JOIN eb b
-                     ON a.t = b.t AND a.bucket = b.bucket AND a.vec_id < b.vec_id),
-             d AS (SELECT id_a, id_b, max(dot) AS dot, max(na) AS na, max(nb) AS nb
-                   FROM p GROUP BY 1, 2)
-             SELECT id_a, id_b, dot FROM d
-             WHERE dot > 0 AND 16 * dot * dot >= na * nb"""))
-
-  /** Cosine-threshold tuning curve: LSH candidate pairs banded by
-    * floor(10·cos) — the "how many pairs would each threshold keep"
-    * histogram a pipeline inspects before fixing its dedup τ. The
-    * band is decided ENTIRELY in integer space (dot²·100 ≥ na·nb·b²,
-    * sign split for negative dot), so no sqrt/float cosine surface
-    * exists in either engine; candidates come from the same shared-
-    * exchange LSH join as q_dedup_embed, never all-pairs.
-    */
-  private val qCosineBands = GraftQuery(
-    "q_cosine_bands",
-    (s, dir) => {
-      val cands = VectorFns.cosineCandidates(t(s, dir, "embeddings"), "vec_id", "embedding")
-      val base = when(col("dot") < 0, lit(-1L))
-      val banded = (10 to 1 by -1).foldLeft(base) { (acc, b) =>
-        acc.when(col("dot") * col("dot") * 100 >= col("na") * col("nb") * (b.toLong * b),
-          lit(b.toLong))
-      }.otherwise(lit(0L))
-      cands.select(banded.as("band"))
-        .groupBy(col("band")).agg(count(lit(1)).as("n_pairs"))
-    },
-    Some {
-      val cases = (10 to 1 by -1).map(b =>
-        s"WHEN dot * dot * 100 >= na * nb * ${b * b} THEN $b").mkString("\n                      ")
-      s"""WITH e AS (SELECT vec_id, ${quantSql("embedding")} AS v FROM embeddings),
-             $lshPlanesSql,
-             nn AS (SELECT vec_id, v,
-                      CAST(list_sum(list_transform(range(1, 65), i -> v[i] * v[i])) AS BIGINT) AS nrm
-                    FROM e),
-             eb AS (SELECT vec_id, v, nrm, t, ${lshBucketSql("v", "(SELECT p FROM lshp)")} AS bucket
-                    FROM nn CROSS JOIN range(0, 8) tt(t)),
-             p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-                     CAST(list_sum(list_transform(range(1, 65), i -> a.v[i] * b.v[i])) AS BIGINT) AS dot,
-                     a.nrm AS na, b.nrm AS nb
-                   FROM eb a JOIN eb b
-                     ON a.t = b.t AND a.bucket = b.bucket AND a.vec_id < b.vec_id),
-             d AS (SELECT id_a, id_b, max(dot) AS dot, max(na) AS na, max(nb) AS nb
-                   FROM p GROUP BY 1, 2)
-             SELECT band, CAST(count(*) AS BIGINT) AS n_pairs FROM (
-               SELECT CAST(CASE WHEN dot < 0 THEN -1
-                      $cases
-                      ELSE 0 END AS BIGINT) AS band FROM d)
-             GROUP BY band"""
-    })
-
-  /** Rows-only check (no SQL oracle: output carries a float array; the
-    * decode path itself is cross-checked against the pure-expression
-    * fakeWidth/fakeHeight in MultimodalSpec).
-    */
-  private val qMultimodalDecode = GraftQuery(
-    "q_multimodal_decode",
-    (s, dir) =>
-      Multimodal.decodePartitioned(
-        t(s, dir, "documents").select(col("doc_id"), col("text").cast("binary").as("payload")),
-        "doc_id", "payload").toDF()
-        // scalar digest instead of the raw features array: array cells
-        // crash the driver's rows-only canonicalization. The milli-sum
-        // is exact: each feature is k/1000 (k < 1000) stored as float,
-        // and round(f*1000) recovers k bit-exactly.
-        .select(col("asset_id"), col("width").cast("long").as("width"),
-          col("height").cast("long").as("height"),
-          aggregate(col("features"), lit(0L),
-            (acc, x) => acc + round(x * 1000).cast("long")).as("feat_sum_milli")),
-    // exact oracle: the stub decode derives everything from md5(text) —
-    // feature i (0-based) reads 4 hex digits at 0-based offset (i+1)*2-1
-    Some("""SELECT doc_id AS asset_id,
-              CAST(('0x' || substr(md5(text), 1, 4))::BIGINT % 1024 + 1 AS BIGINT) AS width,
-              CAST(('0x' || substr(md5(text), 5, 4))::BIGINT % 1024 + 1 AS BIGINT) AS height,
-              CAST(list_sum(list_transform(range(0, 8), i ->
-                ('0x' || substr(md5(text), 2*i + 2, 4))::BIGINT % 1000)) AS BIGINT) AS feat_sum_milli
-            FROM documents"""))
-
-  /** Aspect-preserving resize planning over the (stub-)decoded assets —
-    * exact oracle: the fake decode dims are md5-derived in both engines
-    * and the scale arithmetic is IEEE-identical double division + trunc.
-    */
-  private val qResizePlan = GraftQuery(
-    "q_resize_plan",
-    (s, dir) => {
-      val decoded = Multimodal.decodePartitioned(
-        t(s, dir, "documents").select(col("doc_id"), col("text").cast("binary").as("payload")),
-        "doc_id", "payload")
-      Multimodal.resizePlan(decoded, 256)
-        .select(col("asset_id"),
-          col("width").cast("long").as("width"),
-          col("height").cast("long").as("height"),
-          col("out_width").cast("long").as("out_width"),
-          col("out_height").cast("long").as("out_height"))
-    },
-    Some("""WITH m AS (SELECT doc_id AS asset_id,
-                  CAST(('0x' || substr(md5(text), 1, 4))::BIGINT % 1024 + 1 AS BIGINT) AS width,
-                  CAST(('0x' || substr(md5(text), 5, 4))::BIGINT % 1024 + 1 AS BIGINT) AS height
-                FROM documents),
-            g AS (SELECT asset_id, width, height, greatest(width, height) AS le FROM m)
-            SELECT asset_id, width, height,
-              CASE WHEN le <= 256 THEN width ELSE CAST(trunc(width * 256.0 / le) AS BIGINT) END AS out_width,
-              CASE WHEN le <= 256 THEN height ELSE CAST(trunc(height * 256.0 / le) AS BIGINT) END AS out_height
-            FROM g"""))
-
-  /** Uniform frame sampling (stub decode) — exact oracle via the
-    * portable payload++ascii(frame_no) content hash.
-    */
-  private val qFrameSample = GraftQuery(
-    "q_frame_sample",
-    (s, dir) =>
-      Multimodal.frameSample(
-        t(s, dir, "documents").select(col("doc_id"), col("text").cast("binary").as("payload")),
-        "doc_id", "payload", 3)
-        .toDF()
-        .select(col("asset_id"), col("frame_no").cast("long").as("frame_no"), col("frame_sha")),
-    Some("""SELECT doc_id AS asset_id, CAST(f AS BIGINT) AS frame_no,
-              sha256(text || CAST(f AS VARCHAR)) AS frame_sha
-            FROM documents CROSS JOIN range(0, 3) ff(f)"""))
-
-  /** Audio segmentation plan (Multimodal.segmentPlan): 30 s windows at
-    * a 10 s stride over stub-decoded durations — map-only sequence
-    * explode, the batch shape a feature extractor consumes.
-    */
-  private val qAudioSegments = GraftQuery(
-    "q_audio_segments",
-    (s, dir) =>
-      Multimodal.segmentPlan(
-        t(s, dir, "documents").select(col("doc_id"), col("text").cast("binary").as("payload")),
-        "doc_id", "payload"),
-    Some("""WITH d AS (SELECT doc_id,
-                  ('0x' || substr(md5(text), 1, 6))::BIGINT % 300000 + 1000 AS dur_ms
-                FROM documents),
-            g AS (SELECT doc_id, dur_ms,
-                    unnest(range(0, (dur_ms - 1) // 10000 + 1)) AS seg_no FROM d)
-            SELECT doc_id AS asset_id, CAST(seg_no AS BIGINT) AS seg_no,
-              CAST(seg_no * 10000 AS BIGINT) AS start_ms,
-              CAST(least(seg_no * 10000 + 30000, dur_ms) AS BIGINT) AS end_ms
-            FROM g"""))
-
-  /** Vision tiling plan (Multimodal.tilePlan): 256 px tiles at 128 px
-    * stride over stub-decoded dims — map-only nested sequence explode.
-    */
-  private val qTilePlan = GraftQuery(
-    "q_tile_plan",
-    (s, dir) =>
-      Multimodal.tilePlan(
-        t(s, dir, "documents").select(col("doc_id"), col("text").cast("binary").as("payload")),
-        "doc_id", "payload"),
-    Some("""WITH d AS (SELECT doc_id,
-                  ('0x' || substr(md5(text), 1, 4))::BIGINT % 1024 + 1 AS w,
-                  ('0x' || substr(md5(text), 5, 4))::BIGINT % 1024 + 1 AS h
-                FROM documents),
-            gx AS (SELECT doc_id, w, h, unnest(range(0, (w - 1) // 128 + 1)) AS tx FROM d),
-            g AS (SELECT doc_id, w, h, tx, unnest(range(0, (h - 1) // 128 + 1)) AS ty FROM gx)
-            SELECT doc_id AS asset_id, CAST(tx AS BIGINT) AS tx, CAST(ty AS BIGINT) AS ty,
-              CAST(tx * 128 AS BIGINT) AS x0, CAST(ty * 128 AS BIGINT) AS y0,
-              CAST(least(tx * 128 + 256, w) AS BIGINT) AS x1,
-              CAST(least(ty * 128 + 256, h) AS BIGINT) AS y1
-            FROM g"""))
 
   /** Shared oracle prefix for the phash32 pair family: the pixel-block
     * perceptual hash per doc — 32 code-point position blocks
@@ -3776,7 +595,7 @@ object Queries {
     * count code points exactly like UTF8String), then the brute
     * byte-band pigeonhole pair miner. Ends with `p(id_a, id_b, dist)`;
     * `where` narrows the doc set (the sliced twin). */
-  private def phashPairsSql(where: String): String =
+  private[graft] def phashPairsSql(where: String): String =
     s"""WITH t0 AS (SELECT doc_id, text, length(text) AS L FROM documents
                 WHERE length(text) >= 4$where),
              ih AS (SELECT doc_id, list_transform(range(0, 32), j ->
@@ -3793,158 +612,8 @@ object Queries {
                    FROM bd a JOIN bd b ON a.k = b.k AND a.byte = b.byte AND a.id < b.id
                    WHERE bit_count(xor(a.sim, b.sim)) <= 3)"""
 
-  /** MULTIMODAL near-dup pairs (round 16 — VERDICT r15 item 5: dedup
-    * was first-class for text and embeddings but absent for the binary
-    * assets the engine already decodes). Perceptual-hash signature
-    * over each asset payload (Multimodal.phash32 — round 17: the
-    * pixel-block aHash rule over 32 md5-derived position blocks,
-    * replacing the round-16 byte-window SimHash whose shared-template
-    * windows clustered ~6x denser than token simhash), then the EXACT
-    * hamming ≤ 3 pair miner the text SimHash family uses (byte-band
-    * pigeonhole equi-join, report-once-at-min-band —
-    * DedupFns.nearDupPairsFromSigs), so candidates are equi-join
-    * bounded at any corpus size and the result is exact, never
-    * all-pairs. The oracle replays the signature bit-for-bit from md5
-    * arithmetic over the same code-point block boundaries and mines
-    * pairs by brute band join — structurally independent of the Spark
-    * plan.
-    */
-  private val qImageNeardup = GraftQuery(
-    "q_image_neardup",
-    (s, dir) => {
-      val sigs = t(s, dir, "documents")
-        .select(col("doc_id"), col("text").cast("binary").as("payload"))
-        .filter(length(col("payload").cast("string")) >= 4)
-        .select(col("doc_id").as("id"),
-          Multimodal.phash32(col("payload")).as("sim"), Fence.col)
-      DedupFns.nearDupPairsFromSigs(sigs, maxHamming = 3)
-    },
-    Some(s"""${phashPairsSql("")}
-             SELECT id_a, id_b, dist FROM p"""))
 
-  /** BOUNDED-REPORT multimodal near-dup twin (round 17 — VERDICT r16
-    * item 1, the exact 9e → 9e2 precedent): per ASSET, how many
-    * near-dup pairs it participates in and its closest hamming
-    * distance, over the IDENTICAL banded miner as [[qImageNeardup]].
-    * Each surviving pair collapses into its two endpoints immediately
-    * after the band join and the count/min partial-aggregate map-side
-    * before the only post-join exchange — so the OUTPUT and that
-    * exchange are asset-sized at any scale, where the pair report
-    * grows with the (corpus-dependent, potentially superlinear) pair
-    * count: r16 measured 197k → 4.2M pairs per decade on the
-    * byte-window signature, 5.5% of the sf10 sweep on output volume
-    * alone. The pair query stays the drill-down surface; THIS is the
-    * sweep-at-scale member. Oracle folds the brute pair miner's
-    * endpoints — structurally independent of the Spark plan.
-    */
-  private val qImageNeardupCounts = GraftQuery(
-    "q_image_neardup_counts",
-    (s, dir) => {
-      val sigs = t(s, dir, "documents")
-        .select(col("doc_id"), col("text").cast("binary").as("payload"))
-        .filter(length(col("payload").cast("string")) >= 4)
-        .select(col("doc_id").as("id"),
-          Multimodal.phash32(col("payload")).as("sim"), Fence.col)
-      DedupFns.nearDupCountsFromSigs(sigs, maxHamming = 3)
-    },
-    Some(s"""${phashPairsSql("")},
-             ep AS (SELECT id_a AS id, dist FROM p
-                    UNION ALL
-                    SELECT id_b AS id, dist FROM p)
-             SELECT id, CAST(count(*) AS BIGINT) AS n_neardups,
-               CAST(min(dist) AS BIGINT) AS min_dist
-             FROM ep GROUP BY id"""))
-
-  /** Mixture GAP report: each source's actual token share vs the
-    * uniform target, in exact milli-units — the rebalancing view a
-    * data-mixture recipe reads before adjusting sampling rates. One
-    * per-source aggregation; totals attach as a 1-row broadcast.
-    */
-  private val qMixGap = GraftQuery(
-    "q_mix_gap",
-    (s, dir) => {
-      val per = t(s, dir, "documents")
-        .select(col("source"), size(TextFns.tokensFast(col("text"))).cast("long").as("nt"))
-        .groupBy(col("source")).agg(sum(col("nt")).as("tok"))
-      val tot = per.agg(sum(col("tok")).as("total"), count(lit(1)).as("n_src"))
-      per.crossJoin(broadcast(tot))
-        .select(col("source"), col("tok"),
-          expr("tok * 1000 div total").as("actual_milli"),
-          expr("1000 div n_src").as("target_milli"),
-          expr("tok * 1000 div total - 1000 div n_src").as("gap_milli"))
-    },
-    Some(s"""WITH per AS (SELECT source, CAST(sum(len($toksSql)) AS BIGINT) AS tok
-                          FROM documents GROUP BY source),
-             tot AS (SELECT sum(tok) AS total, count(*) AS n_src FROM per)
-             SELECT source, tok,
-               CAST(tok * 1000 // total AS BIGINT) AS actual_milli,
-               CAST(1000 // n_src AS BIGINT) AS target_milli,
-               CAST(tok * 1000 // total - 1000 // n_src AS BIGINT) AS gap_milli
-             FROM per, tot"""))
-
-  /** HTML boilerplate extraction over a deterministically SYNTHESIZED
-    * html-ish payload (round 17 — closes VERDICT r16 "what's missing"
-    * item 3): the generated corpus has no markup column, so the query
-    * wraps each doc's text in a fixed page skeleton — nav chrome, the
-    * prose in a div, a link-dense ad unit on every doc_id ≡ 0 (mod 3),
-    * a footer — the same synthesize-behind-the-contract device as the
-    * multimodal stub decode; the EXTRACTOR (TextFns.htmlExtract,
-    * link-density readability-lite per Kohlschütter 2010 / jusText) is
-    * the real generic operator under test. Per doc: block accounting,
-    * content/boiler length split, and the md5 fingerprint of the
-    * extracted text — the oracle rebuilds the page and replays the
-    * extraction with its own regex engine, so the fingerprint pins the
-    * extracted CONTENT, not just counts. Map-only, zero exchanges.
-    */
-  private val qHtmlExtract = GraftQuery(
-    "q_html_extract",
-    (s, dir) => {
-      val page = concat(
-        lit("""<html><body><nav><a href="/">home</a> <a href="/about">about</a></nav><div>"""),
-        col("text"), lit("</div>"),
-        when(pmod(col("doc_id"), lit(3)) === 0,
-          lit("""<div><a href="/ad">sponsored</a> <a href="/buy">buy now</a></div>"""))
-          .otherwise(lit("")),
-        lit("""<footer><a href="/tos">terms</a> (c) """), col("source"),
-        lit("</footer></body></html>"))
-      TextFns.htmlExtract(
-        t(s, dir, "documents").select(col("doc_id"), page.as("__html")),
-        "doc_id", "__html")
-        .select(col("doc_id"), col("n_blocks"), col("n_kept"),
-          col("content_len"), col("boiler_len"),
-          TextFns.tokenHash31(col("content")).as("content_fp"))
-    },
-    Some(s"""WITH h AS (SELECT doc_id,
-                  concat('<html><body><nav><a href="/">home</a> <a href="/about">about</a></nav><div>',
-                    text, '</div>',
-                    CASE WHEN doc_id % 3 = 0
-                      THEN '<div><a href="/ad">sponsored</a> <a href="/buy">buy now</a></div>'
-                      ELSE '' END,
-                    '<footer><a href="/tos">terms</a> (c) ', source,
-                    '</footer></body></html>') AS html
-                FROM documents),
-             f AS (SELECT doc_id,
-                     str_split_regex(html, '</nav>|</div>|</footer>|</p>|</li>|</h[1-6]>') AS frags
-                   FROM h),
-             b AS (SELECT doc_id, list_filter(list_transform(frags, fr ->
-                       {'txt': trim(regexp_replace(fr, '<[^>]*>', '', 'g')),
-                        'alen': coalesce(length(array_to_string(
-                                  regexp_extract_all(fr, '<a[^>]*>([^<]*)</a>', 1), '')), 0)}),
-                     x -> length(x.txt) > 0) AS bl
-                   FROM f),
-             k AS (SELECT doc_id, bl,
-                     list_filter(bl, x -> x.alen * 1000 < length(x.txt) * 300) AS kp
-                   FROM b)
-             SELECT doc_id,
-               CAST(len(bl) AS BIGINT) AS n_blocks,
-               CAST(len(kp) AS BIGINT) AS n_kept,
-               CAST(coalesce(list_sum(list_transform(kp, x -> length(x.txt))), 0) AS BIGINT) AS content_len,
-               CAST(coalesce(list_sum(list_transform(bl, x -> length(x.txt))), 0)
-                    - coalesce(list_sum(list_transform(kp, x -> length(x.txt))), 0) AS BIGINT) AS boiler_len,
-               ${h31Sql("array_to_string(list_transform(kp, x -> x.txt), chr(10))")} AS content_fp
-             FROM k"""))
-
-  private def langScoreSql: String = {
+  private[graft] def langScoreSql: String = {
     val langs = TextFns.Stopwords.keys.toSeq.sorted
     langs.map { l =>
       val lst = TextFns.Stopwords(l).map(w => s"'$w'").mkString(", ")
@@ -3952,7 +621,8 @@ object Queries {
     }.mkString(", ")
   }
 
-  private def langCaseSql: String = {
+
+  private[graft] def langCaseSql: String = {
     val langs = TextFns.Stopwords.keys.toSeq.sorted
     val all = langs.map(l => s"s_$l").mkString(", ")
     val arms = langs.map { l =>
@@ -3962,245 +632,6 @@ object Queries {
     s"CASE WHEN greatest($all) = 0 THEN 'und' $arms END"
   }
 
-  /** Language PURITY per doc: the top language's share of all stopword
-    * hits, in exact milli-units — the mixing detector that separates a
-    * cleanly-monolingual doc (purity ≈ 1000) from code-switched /
-    * concatenated text (purity ≈ 1000/n_langs), which plain argmax
-    * language ID cannot distinguish. One scan; the native one-pass
-    * LangScores kernel feeds max and sum reductions over its array.
-    */
-  private val qLangPurity = GraftQuery(
-    "q_lang_purity",
-    (s, dir) =>
-      t(s, dir, "documents")
-        .select(col("doc_id"), TextFns.langScoresFast(TextFns.tokensFast(col("text"))).as("__ls"))
-        .select(col("doc_id"),
-          aggregate(col("__ls"), lit(0L), (acc, x) => acc + x).as("stop_hits"),
-          array_max(col("__ls")).as("__mx"))
-        .select(col("doc_id"), col("stop_hits"),
-          expr("__mx * 1000 div greatest(stop_hits, 1)").as("purity_milli")),
-    Some {
-      val langs = TextFns.Stopwords.keys.toSeq.sorted
-      val total = langs.map(l => s"s_$l").mkString(" + ")
-      val mx = s"greatest(${langs.map(l => s"s_$l").mkString(", ")})"
-      s"""WITH t0 AS (SELECT doc_id, $toksSql AS tk FROM documents),
-             sc AS (SELECT doc_id, $langScoreSql FROM t0)
-             SELECT doc_id, CAST($total AS BIGINT) AS stop_hits,
-               CAST($mx * 1000 // greatest($total, 1) AS BIGINT) AS purity_milli
-             FROM sc"""
-    })
-
-  /** Type-token ratio per doc (distinct types ·1000 div tokens) — the
-    * classic lexical-diversity signal completing repetition (top-token
-    * share) and hapax (corpus-rare types). Map-only: array_distinct
-    * over the one token array, zero shuffles.
-    */
-  private val qTtr = GraftQuery(
-    "q_ttr",
-    (s, dir) =>
-      t(s, dir, "documents")
-        .select(col("doc_id"), TextFns.tokensFast(col("text")).as("__tk"))
-        .select(col("doc_id"), size(col("__tk")).cast("long").as("n_tokens"),
-          size(array_distinct(col("__tk"))).cast("long").as("n_types"))
-        .select(col("doc_id"), col("n_tokens"), col("n_types"),
-          expr("n_types * 1000 div greatest(n_tokens, 1)").as("ttr_milli")),
-    Some(s"""WITH t0 AS (SELECT doc_id, $toksSql AS tk FROM documents)
-             SELECT doc_id, CAST(len(tk) AS BIGINT) AS n_tokens,
-               CAST(len(list_distinct(tk)) AS BIGINT) AS n_types,
-               CAST(len(list_distinct(tk)) * 1000 // greatest(len(tk), 1) AS BIGINT) AS ttr_milli
-             FROM t0"""))
-
-  private val qLangId = GraftQuery(
-    "q_lang_id",
-    (s, dir) => {
-      // staged: tokens → ONE-pass native per-language scores → decision
-      // CASE. langId(text) as one expression re-tokenizes per score
-      // reference under interpreted HOF evaluation (no CSE) — ~25×/row.
-      val langs = TextFns.Stopwords.keys.toSeq.sorted
-      val scored = t(s, dir, "documents")
-        .select(col("doc_id"), col("lang"), TextFns.tokensFast(col("text")).as("__toks"))
-        .select(col("doc_id"), col("lang"),
-          TextFns.langScoresFast(col("__toks")).as("__ls"))
-        .select(col("doc_id") +: col("lang") +: langs.zipWithIndex.map { case (l, i) =>
-          element_at(col("__ls"), i + 1).as(s"s_$l")
-        }: _*)
-      val scores = langs.map(l => l -> col(s"s_$l"))
-      val winner = scores.foldLeft(lit(null).cast("string")) { case (acc, (l, sc)) =>
-        when(acc.isNotNull, acc).otherwise(
-          when(scores.filter(_._1 != l).map(o => sc >= o._2).reduce(_ && _), lit(l)))
-      }
-      scored.select(col("doc_id"), col("lang"),
-        when(greatest(scores.map(_._2): _*) === 0, lit("und")).otherwise(winner).as("lang_pred"))
-    },
-    Some(s"""WITH t0 AS (SELECT doc_id, lang, $toksSql AS tk FROM documents),
-             sc AS (SELECT doc_id, lang, $langScoreSql FROM t0)
-             SELECT doc_id, lang, $langCaseSql AS lang_pred FROM sc"""))
-
-  private val qQualityScore = GraftQuery(
-    "q_quality_score",
-    (s, dir) => {
-      // staged off the native one-pass stats + language scores — the
-      // one-expression qualityScore(text) is the declarative reference
-      // (parity-tested in FunctionsSpec), this is the hot-path form
-      val enIdx = TextFns.Stopwords.keys.toSeq.sorted.indexOf("en") + 1
-      t(s, dir, "documents")
-        .select(col("doc_id"), length(col("text")).cast("long").as("__c"),
-          TextFns.textStatsFast(col("text")).as("__ts"),
-          TextFns.langScoresFast(TextFns.tokensFast(col("text"))).as("__ls"))
-        .select(col("doc_id"),
-          (least(lit(40L), (col("__c") / lit(10L)).cast("long")) +
-            least(lit(30L), (element_at(col("__ls"), enIdx) * 100L /
-              greatest(element_at(col("__ts"), 1), lit(1L))).cast("long")) -
-            least(lit(20L), (element_at(col("__ts"), 2) * 100L /
-              greatest(col("__c"), lit(1L))).cast("long"))).as("quality"))
-    },
-    Some(s"""WITH t0 AS (SELECT doc_id,
-               CAST(length(text) AS BIGINT) AS c,
-               CAST(len(list_filter(string_split_regex(text, '\\s+'), x -> x != '')) AS BIGINT) AS t,
-               CAST(len(list_filter($toksSql, t2 -> list_contains([${TextFns.Stopwords("en").map(w => s"'$w'").mkString(", ")}], t2))) AS BIGINT) AS sw,
-               CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS BIGINT) AS p
-             FROM documents)
-             SELECT doc_id,
-               CAST(least(40, c // 10) + least(30, (sw * 100) // greatest(t, 1))
-                    - least(20, (p * 100) // greatest(c, 1)) AS BIGINT) AS quality
-             FROM t0"""))
-
-  /** End-to-end curation pipeline — the composition a training-data
-    * user actually runs over a raw corpus: language filter (stopword
-    * langid) + quality threshold + exact dedup (first doc per
-    * normalized-text md5) → per-source survivor stats. One scan (all
-    * signals staged off one fenced token array), one window shuffle on
-    * the dedup key, one aggregation shuffle.
-    */
-  private val qCuration = GraftQuery(
-    "q_curation",
-    (s, dir) => {
-      val langs = TextFns.Stopwords.keys.toSeq.sorted
-      // quality is staged from scalar components + the native language
-      // scores (s_en is the en-stopword count) — the one-expression
-      // qualityScore(text) would re-derive tokens under interpreted HOF
-      // evaluation
-      val enIdx = langs.indexOf("en") + 1
-      // second fence: without it the lang_pred CASE + filter substitute
-      // the langscores/md5 expressions per score reference — a measured
-      // 255-fold expression blowup in the optimized plan
-      val base = Fence.guard(Fence.guard(
-          t(s, dir, "documents").select(col("doc_id"), col("source"),
-            length(col("text")).cast("long").as("__c"),
-            TextFns.textStatsFast(col("text")).as("__ts"),
-            TextFns.tokensFast(col("text")).as("__toks"), Fence.col))
-        .select(col("doc_id"), col("source"), col("__c"),
-          element_at(col("__ts"), 1).as("__t"),
-          element_at(col("__ts"), 2).as("__p"),
-          md5(concat_ws(" ", col("__toks"))).as("norm_md5"),
-          TextFns.langScoresFast(col("__toks")).as("__ls"), Fence.col))
-        .select(Seq(col("doc_id"), col("source"), col("norm_md5"),
-          (least(lit(40L), (col("__c") / lit(10L)).cast("long")) +
-            least(lit(30L), (element_at(col("__ls"), enIdx) * 100L /
-              greatest(col("__t"), lit(1L))).cast("long")) -
-            least(lit(20L), (col("__p") * 100L /
-              greatest(col("__c"), lit(1L))).cast("long"))).as("quality")) ++
-          langs.zipWithIndex.map { case (l, i) =>
-            element_at(col("__ls"), i + 1).as(s"s_$l")
-          }: _*)
-      val scores = langs.map(l => l -> col(s"s_$l"))
-      val winner = scores.foldLeft(lit(null).cast("string")) { case (acc, (l, sc)) =>
-        when(acc.isNotNull, acc).otherwise(
-          when(scores.filter(_._1 != l).map(o => sc >= o._2).reduce(_ && _), lit(l)))
-      }
-      val kept = base
-        .withColumn("lang_pred",
-          when(greatest(scores.map(_._2): _*) === 0, lit("und")).otherwise(winner))
-        .filter(col("lang_pred") === "en" && col("quality") >= 20)
-      // first-doc-per-dedup-key via min_by partial aggregation (map-side
-      // combine, no per-key sort) — same rows as a rank-1 window, better
-      // 100 TB shape
-      kept.groupBy(col("norm_md5"))
-        .agg(min_by(struct(col("source"), col("quality")), col("doc_id")).as("rep"))
-        .groupBy(col("rep.source").as("source"))
-        .agg(count(lit(1)).as("n_docs"), sum(col("rep.quality")).as("sum_quality"))
-    },
-    Some(s"""WITH t0 AS (SELECT doc_id, source, $toksSql AS tk,
-               CAST(length(text) AS BIGINT) AS c,
-               CAST(len(list_filter(string_split_regex(text, '\\s+'), x -> x != '')) AS BIGINT) AS t,
-               CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS BIGINT) AS p
-             FROM documents),
-             q AS (SELECT doc_id, source, tk,
-               md5(array_to_string(tk, ' ')) AS norm_md5,
-               CAST(least(40, c // 10) +
-                    least(30, (CAST(len(list_filter(tk, t2 -> list_contains([${TextFns.Stopwords("en").map(w => s"'$w'").mkString(", ")}], t2))) AS BIGINT) * 100) // greatest(t, 1))
-                    - least(20, (p * 100) // greatest(c, 1)) AS BIGINT) AS quality
-             FROM t0),
-             sc AS (SELECT doc_id, source, norm_md5, quality, $langScoreSql FROM q),
-             k AS (SELECT doc_id, source, norm_md5, quality FROM sc
-                   WHERE ($langCaseSql) = 'en' AND quality >= 20),
-             d AS (SELECT source, quality,
-                     row_number() OVER (PARTITION BY norm_md5 ORDER BY doc_id) AS rn
-                   FROM k)
-             SELECT source, $nSql AS n_docs, CAST(sum(quality) AS BIGINT) AS sum_quality
-             FROM d WHERE rn = 1 GROUP BY source"""))
-
-  /** Deterministic train/val/test assignment: split = md5(doc_id) mod
-    * 100 bucketed 98/1/1 — reproducible across engines and runs, no
-    * RNG state, stable under reshuffling (the property a training
-    * pipeline actually needs). Output: per-(source, split) doc counts.
-    */
-  private val qSplitAssign = GraftQuery(
-    "q_split_assign",
-    (s, dir) =>
-      t(s, dir, "documents")
-        .select(col("source"),
-          (conv(substring(md5(col("doc_id").cast("string")), 1, 4), 16, 10)
-            .cast("long") % 100).as("h"))
-        .select(col("source"),
-          when(col("h") < 98, "train").when(col("h") < 99, "val").otherwise("test").as("split"))
-        .groupBy("source", "split").agg(count(lit(1)).as("n_docs")),
-    Some("""SELECT source,
-              CASE WHEN h < 98 THEN 'train' WHEN h < 99 THEN 'val' ELSE 'test' END AS split,
-              CAST(count(*) AS BIGINT) AS n_docs
-            FROM (SELECT source,
-                    ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))::BIGINT % 100 AS h
-                  FROM documents)
-            GROUP BY 1, 2"""))
-
-  /** Token-budget sequence packing: documents (in deterministic doc_id
-    * order per source) are packed into training shards of ≤ 4096
-    * ws-tokens via a running-sum window — shard_id = floor(cumulative
-    * tokens / budget). One shuffle on the partition key; the running
-    * sum is the streaming-friendly (single-pass) packing a sequence-
-    * packing preprocessor uses. Output: per-shard doc count + token sum.
-    *
-    * SCALE SHAPE: the running sum is Relational.bucketedRunningSum over
-    * fixed-width doc_id ranges (id div 256 — a coarsening of the
-    * doc_id order), so NO window ever partitions on the bare source:
-    * bucket totals aggregate partially, the offsets window touches only
-    * buckets-per-source rows, and row-level cumulation parallelizes
-    * over (source, bucket). At 100 TB the id-range width grows to keep
-    * ~10⁶ rows per bucket (ids from an ingest sequence are dense
-    * enough; a skewed id space would swap in range-sampled bounds).
-    */
-  private val qPackSequences = GraftQuery(
-    "q_pack_sequences",
-    (s, dir) => {
-      val base = t(s, dir, "documents")
-        .select(col("source"), col("doc_id"),
-          element_at(TextFns.textStatsFast(col("text")), 1).as("toks"))
-      Relational.bucketedRunningSum(base, "source", expr("doc_id div 256"),
-          Seq(col("doc_id")), "toks", "__cum")
-        .withColumn("shard_id", ((col("__cum") - col("toks")) / lit(4096L)).cast("long"))
-        .groupBy("source", "shard_id")
-        .agg(count(lit(1)).as("n_docs"), sum(col("toks")).as("sum_tokens"))
-    },
-    Some("""SELECT source, shard_id, CAST(count(*) AS BIGINT) AS n_docs,
-              CAST(sum(toks) AS BIGINT) AS sum_tokens
-            FROM (SELECT source, doc_id, toks,
-                    CAST((sum(toks) OVER (PARTITION BY source ORDER BY doc_id
-                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - toks)
-                         // 4096 AS BIGINT) AS shard_id
-                  FROM (SELECT source, doc_id,
-                          CAST(len(list_filter(string_split_regex(text, '\s+'), x -> x != '')) AS BIGINT) AS toks
-                        FROM documents))
-            GROUP BY 1, 2"""))
 
   /** Context-window chunking: split every document into 64-token
     * chunks with stride 32 (50% overlap) — the step that turns a
@@ -4212,11 +643,12 @@ object Queries {
     * chunk-level dedup.
     */
   /** The shared chunking pipeline behind q_doc_chunks / q_chunk_dedup. */
-  private def docChunks(s: SparkSession, dir: String): DataFrame =
+  private[graft] def docChunks(s: SparkSession, dir: String): DataFrame =
     TextFns.chunkDocs(t(s, dir, "documents"), "doc_id", "text", chunk = 64, stride = 32)
 
+
   /** Shared DuckDB chunk CTE prefix ending in ch(doc_id, chunk_idx, n_tokens, chunk_md5). */
-  private def chunksSql: String =
+  private[graft] def chunksSql: String =
     s"""WITH t0 AS (SELECT doc_id, $toksSql AS tk FROM documents),
              ok AS (SELECT doc_id, tk FROM t0 WHERE len(tk) > 0),
              st AS (SELECT doc_id, tk, unnest(range(0, len(tk), 32)) AS start FROM ok),
@@ -4225,108 +657,6 @@ object Queries {
                       md5(array_to_string(tk[start+1:start+64], ' ')) AS chunk_md5
                     FROM st)"""
 
-  private val qDocChunks = GraftQuery(
-    "q_doc_chunks",
-    (s, dir) => docChunks(s, dir),
-    Some(s"""$chunksSql
-             SELECT doc_id, chunk_idx, n_tokens, chunk_md5 FROM ch"""))
-
-  /** Chunk-level exact dedup — the dedup granularity a training
-    * pipeline applies AFTER chunking (boilerplate repeats across docs
-    * even when whole docs don't). One hash shuffle on the content
-    * fingerprint; the keeper is the lexicographically smallest
-    * (doc_id, chunk_idx) via a partial-agg-friendly min(struct).
-    */
-  private val qChunkDedup = GraftQuery(
-    "q_chunk_dedup",
-    (s, dir) =>
-      docChunks(s, dir)
-        .groupBy(col("chunk_md5"))
-        .agg(count(lit(1)).as("n"),
-          min(struct(col("doc_id"), col("chunk_idx"))).as("__k"))
-        .filter(col("n") > 1)
-        .select(col("chunk_md5"), col("n"),
-          col("__k.doc_id").as("keeper_doc"), col("__k.chunk_idx").as("keeper_idx")),
-    Some(s"""$chunksSql,
-             d AS (SELECT chunk_md5, CAST(count(*) AS BIGINT) AS n FROM ch
-                   GROUP BY 1 HAVING count(*) > 1),
-             k AS (SELECT chunk_md5, doc_id AS keeper_doc, chunk_idx AS keeper_idx,
-                     row_number() OVER (PARTITION BY chunk_md5 ORDER BY doc_id, chunk_idx) AS rn
-                   FROM ch)
-             SELECT d.chunk_md5, d.n, k.keeper_doc, k.keeper_idx
-             FROM d JOIN k USING (chunk_md5) WHERE rn = 1"""))
-
-  /** Deterministic WEIGHTED sampling per source — the integer skeleton
-    * of priority sampling (Duffield et al. 2007; the u^(1/w) family of
-    * Efraimidis-Spirakis weighted reservoirs): priority = u div w with
-    * u the 60-bit md5 hash of the doc id and w the token count, take
-    * the k smallest (priority, doc_id) per source. Heavier docs get
-    * proportionally smaller priorities → proportionally higher
-    * selection odds, with ZERO RNG state: the sample is reproducible,
-    * engine-portable, and stable under data reordering — the
-    * token-weighted counterpart of q_sample_per_key's uniform pick.
-    *
-    * Scale shape: the per-source top-k runs as the two-phase
-    * md5-prefix-bucket walk (256 buckets): the row-level rank window
-    * partitions on (source, bucket) — parallel, bounded sorts — and
-    * only the ≤ 256·k survivors per source meet the source-level rank
-    * window (PlanSpec-guarded). Selecting the global per-source top-k
-    * from per-bucket top-ks is lossless, so the result is exactly the
-    * naive single-window answer (asserted in PipelineOpsSpec).
-    */
-  private val qWeightedSample = GraftQuery(
-    "q_weighted_sample",
-    (s, dir) => {
-      import org.apache.spark.sql.expressions.Window
-      val k = 5
-      val base = Fence.guard(t(s, dir, "documents")
-          .select(col("doc_id"), col("source"), TextFns.tokensFast(col("text")).as("__tk"), Fence.col))
-        .select(col("doc_id"), col("source"),
-          greatest(size(col("__tk")).cast("long"), lit(1L)).as("weight"))
-        .withColumn("__u", TextFns.tokenHash(col("doc_id").cast("string")))
-        .withColumn("priority", expr("__u div weight"))
-        .withColumn("__bkt", substring(md5(col("doc_id").cast("string")), 1, 2))
-      val wb = Window.partitionBy("source", "__bkt").orderBy(col("priority"), col("doc_id"))
-      val ws = Window.partitionBy("source").orderBy(col("priority"), col("doc_id"))
-      base.withColumn("__rb", row_number().over(wb)).filter(col("__rb") <= k)
-        .withColumn("rank", row_number().over(ws).cast("long")).filter(col("rank") <= k)
-        .select(col("source"), col("doc_id"), col("weight"), col("priority"), col("rank"))
-    },
-    Some(s"""WITH t0 AS (SELECT doc_id, source,
-                    greatest(len($toksSql), 1) AS w FROM documents),
-             pr AS (SELECT doc_id, source, w,
-                      ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT // w AS priority
-                    FROM t0),
-             r AS (SELECT doc_id, source, w, priority,
-                     row_number() OVER (PARTITION BY source ORDER BY priority, doc_id) AS rank
-                   FROM pr)
-             SELECT source, doc_id, CAST(w AS BIGINT) AS weight,
-               CAST(priority AS BIGINT) AS priority, CAST(rank AS BIGINT) AS rank
-             FROM r WHERE rank <= 5"""))
-
-  /** Deterministic per-group sample: the 3 docs per source with the
-    * smallest (md5(doc_id), doc_id) — a reproducible uniform group
-    * sample (same shape as IVF centroid selection). No RNG, engine-
-    * portable, stable under data reordering.
-    */
-  private val qSamplePerKey = GraftQuery(
-    "q_sample_per_key",
-    (s, dir) => {
-      import org.apache.spark.sql.expressions.Window
-      val w = Window.partitionBy("source")
-        .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
-      t(s, dir, "documents")
-        .select(col("source"), col("doc_id"))
-        .withColumn("rn", row_number().over(w))
-        .filter(col("rn") <= 3)
-        .select(col("source"), col("doc_id"), col("rn").cast("long").as("rn"))
-    },
-    Some("""SELECT source, doc_id, CAST(rn AS BIGINT) AS rn
-            FROM (SELECT source, doc_id,
-                    row_number() OVER (PARTITION BY source
-                      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
-                  FROM documents)
-            WHERE rn <= 3"""))
 
   /** Per-document top-3 terms by integer-scaled tf-idf: score =
     * (tf * 1e6 * N_docs) // df — floor division keeps the score an
@@ -4355,1407 +685,6 @@ object Queries {
         .select(col("doc_id"), col("term"), col("score"), col("rn").cast("long").as("rn"))
   }
 
-  private val qTfidfTopterms = GraftQuery(
-    "q_tfidf_topterms",
-    (s, dir) => tfidfFromToks(docToks(s, dir), tableCount(s, dir, "documents")),
-    Some(s"""WITH tk AS (SELECT doc_id, unnest($toksSql) AS term FROM documents),
-             tf AS (SELECT doc_id, term, $nSql AS tf FROM tk GROUP BY 1, 2),
-             df AS (SELECT term, CAST(count(DISTINCT doc_id) AS BIGINT) AS df FROM tk GROUP BY 1),
-             sc AS (SELECT doc_id, term,
-                      CAST(tf * 1000000 * (SELECT count(*) FROM documents) // df AS BIGINT) AS score
-                    FROM tf JOIN df USING (term))
-             SELECT doc_id, term, score, CAST(rn AS BIGINT) AS rn
-             FROM (SELECT doc_id, term, score,
-                     row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, term) AS rn
-                   FROM sc)
-             WHERE rn <= 3"""))
-
-  /** Benchmark-contamination detection: documents sharing any word
-    * 4-gram with a probe set (here: the 3 smallest doc_ids stand in
-    * for a held-out benchmark). Shingles meet via an equi-join on the
-    * gram — never all-pairs — and the probe side is broadcast. Output:
-    * contaminated doc_id + how many distinct probe grams it shares.
-    */
-  private val qContamination = GraftQuery(
-    "q_contamination",
-    (s, dir) => {
-      val docs = t(s, dir, "documents")
-      def grams(df: DataFrame) = Fence.guard(Fence.guard(
-          df.select(col("doc_id"), TextFns.tokensFast(col("text")).as("__toks"), Fence.col))
-        .select(col("doc_id"),
-          DedupFns.wordNgramsFast(col("__toks"), 4).as("__grams"), Fence.col))
-        .select(col("doc_id"), explode(col("__grams")).as("g"))
-      val probeGrams = grams(docs.filter(col("doc_id") < 3)).select(col("g")).distinct()
-      grams(docs.filter(col("doc_id") >= 3))
-        .join(broadcast(probeGrams), "g")
-        .groupBy("doc_id")
-        .agg(countDistinct(col("g")).as("shared_grams"))
-    },
-    Some(s"""WITH tk AS (SELECT doc_id, $toksSql AS tks FROM documents),
-             g AS (SELECT doc_id, unnest(list_distinct(list_transform(
-                     range(1, greatest(len(tks) - 2, 1)),
-                     i -> array_to_string(tks[i:i+3], ' ')))) AS g
-                   FROM tk WHERE len(tks) >= 4),
-             probe AS (SELECT DISTINCT g FROM g WHERE doc_id < 3)
-             SELECT doc_id, CAST(count(DISTINCT g) AS BIGINT) AS shared_grams
-             FROM g JOIN probe USING (g)
-             WHERE doc_id >= 3
-             GROUP BY doc_id"""))
-
-  private val qTokenCount = GraftQuery(
-    "q_token_count",
-    (s, dir) =>
-      t(s, dir, "documents")
-        .select(col("doc_id"), TextFns.textStatsFast(col("text")).as("__ts"))
-        .select(col("doc_id"),
-          element_at(col("__ts"), 1).as("ws_tokens"),
-          element_at(col("__ts"), 3).as("bpe_tokens")),
-    Some("""SELECT doc_id,
-              CAST(len(list_filter(string_split_regex(text, '\s+'), x -> x != '')) AS BIGINT) AS ws_tokens,
-              CAST(COALESCE(list_sum(list_transform(
-                regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'),
-                p -> CASE WHEN regexp_matches(p, '^[A-Za-z]+$')
-                          THEN CAST(ceil(length(p) / 4.0) AS BIGINT) ELSE 1 END)), 0) AS BIGINT) AS bpe_tokens
-            FROM documents"""))
-
-  private val qFingerprint = GraftQuery(
-    "q_fingerprint",
-    (s, dir) =>
-      t(s, dir, "documents")
-        .select(col("doc_id"),
-          TextFns.fingerprintFast(TextFns.tokensFast(col("text"))).as("fp")),
-    Some(s"""WITH t0 AS (SELECT doc_id, $toksSql AS tk FROM documents),
-             hs AS (SELECT doc_id, list_transform(tk, t -> ${h31Sql("t")}) AS h FROM t0)
-             SELECT doc_id,
-               CASE WHEN len(h) = 0 THEN 0
-                    ELSE CAST(list_reduce(h, (a, b) -> (a * 1000003 + b) % $M) AS BIGINT) END AS fp
-             FROM hs"""))
-
-  private val qMultimodalMeta = GraftQuery(
-    "q_multimodal_meta",
-    (s, dir) => {
-      val bin = col("text").cast("binary")
-      t(s, dir, "documents")
-        .select(col("doc_id").as("asset_id"),
-          Multimodal.byteLen(bin).cast("long").as("n_bytes"),
-          Multimodal.magicHex(bin).as("magic"),
-          Multimodal.contentHash(bin).as("content_sha"),
-          Multimodal.fakeWidth(bin).cast("long").as("width"),
-          Multimodal.fakeHeight(bin).cast("long").as("height"))
-    },
-    Some("""SELECT doc_id AS asset_id,
-              CAST(octet_length(text::BLOB) AS BIGINT) AS n_bytes,
-              lower(substr(hex(text::BLOB), 1, 8)) AS magic,
-              sha256(text) AS content_sha,
-              CAST(('0x' || substr(md5(text), 1, 4))::BIGINT % 1024 + 1 AS BIGINT) AS width,
-              CAST(('0x' || substr(md5(text), 5, 4))::BIGINT % 1024 + 1 AS BIGINT) AS height
-            FROM documents"""))
-
-  /** Deterministic global shuffle order for training: see
-    * Relational.shuffleOrder — pos = rank of (md5(doc_id), doc_id),
-    * computed bucket-major so it is never a single-task global sort.
-    * prefixChars=2 (256 buckets) suits test scale; the 100 TB knob is
-    * the parameter.
-    */
-  private val qShuffleOrder = GraftQuery(
-    "q_shuffle_order",
-    (s, dir) => Relational.shuffleOrder(t(s, dir, "documents"), "doc_id", prefixChars = 2),
-    Some("""SELECT doc_id,
-              CAST(row_number() OVER (ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) - 1 AS BIGINT) AS pos
-            FROM documents"""))
-
-  /** Gopher-style heuristic filter signals, all exact integers so the
-    * keep/drop decision is engine-portable: token count, mean token
-    * length (milli), symbol ratio (milli), en-stopword hits, and the
-    * composite keep flag. Sum of token lengths is
-    * length(concat_ws("", toks)) — exact, codegen'd, no per-element
-    * lambda.
-    */
-  /** Model-based quality filtering — the fastText-style hashed linear
-    * classifier (Joulin et al. 2016; the filtering stage of
-    * CCNet/FineWeb-edu-style curation), distinct from the heuristic
-    * scorers (q_quality_score/q_gopher_quality): the signal is a
-    * LEARNED-model inference pass, here with the weight table
-    * materialized as a fixed affine function of the hash slot
-    * (Kernels.tokenLogit) so both engines rebuild bit-identical
-    * weights from nothing. Emits the exact integer logit, the
-    * length-normalized score_milli = (logit + 1000n)·1000 / (2000n)
-    * ∈ [0, 1000] (mean token weight rescaled to [0,1000] — exact
-    * nonneg integer division), and keep = score ≥ 500 (⇔ logit ≥ 0).
-    *
-    * Scale shape: ZERO exchanges — tokenize, score, and emit are one
-    * codegen'd map stage (PlanSpec pins no-Exchange), which is the
-    * shape model-based filtering must have at 100 TB: classifier
-    * inference rides the scan, never a shuffle.
-    */
-  private val qClassifierScore = GraftQuery(
-    "q_classifier_score",
-    (s, dir) =>
-      t(s, dir, "documents")
-        .select(col("doc_id"), col("source"),
-          TextFns.tokensFast(col("text")).as("__tk"))
-        .filter(size(col("__tk")) >= 1)
-        .select(col("doc_id"), col("source"),
-          size(col("__tk")).cast("long").as("n_tokens"),
-          TextFns.tokenLogitFast(col("__tk"), 4096).as("logit"))
-        .withColumn("score_milli",
-          expr("(logit + 1000 * n_tokens) * 1000 div (2000 * n_tokens)"))
-        .withColumn("keep", col("score_milli") >= 500),
-    Some(s"""WITH tk AS (SELECT doc_id, source, $toksSql AS tk FROM documents),
-             d AS (SELECT doc_id, source, CAST(len(tk) AS BIGINT) AS n_tokens,
-                     CAST(list_sum(list_transform(tk, t2 ->
-                       (((('0x' || substr(md5(t2), 1, 15))::BIGINT % $M) % 4096) * 1103515245 + 12345) % 2001 - 1000)) AS BIGINT) AS logit
-                   FROM tk WHERE len(tk) >= 1)
-             SELECT doc_id, source, n_tokens, logit,
-               (logit + 1000 * n_tokens) * 1000 // (2000 * n_tokens) AS score_milli,
-               (logit + 1000 * n_tokens) * 1000 // (2000 * n_tokens) >= 500 AS keep
-             FROM d"""))
-
-  private val qGopherQuality = GraftQuery(
-    "q_gopher_quality",
-    (s, dir) => {
-      val enIdx = TextFns.Stopwords.keys.toSeq.sorted.indexOf("en") + 1
-      Fence.guard(
-          t(s, dir, "documents").select(col("doc_id"),
-            length(col("text")).cast("long").as("__c"),
-            TextFns.textStatsFast(col("text")).as("__ts"),
-            TextFns.tokensFast(col("text")).as("__toks"), Fence.col))
-        .select(col("doc_id"), col("__c"),
-          size(col("__toks")).cast("long").as("n_tokens"),
-          length(concat_ws("", col("__toks"))).cast("long").as("__sumlen"),
-          element_at(col("__ts"), 2).as("__p"),
-          element_at(TextFns.langScoresFast(col("__toks")), enIdx).as("stop_hits"))
-        .select(col("doc_id"), col("n_tokens"),
-          (col("__sumlen") * 1000L / greatest(col("n_tokens"), lit(1L))).cast("long").as("mean_len_milli"),
-          (col("__p") * 1000L / greatest(col("__c"), lit(1L))).cast("long").as("symbol_milli"),
-          col("stop_hits"))
-        .withColumn("keep",
-          (col("n_tokens") >= 5 && col("n_tokens") <= 50000 &&
-            col("mean_len_milli") >= 3000 && col("mean_len_milli") <= 10000 &&
-            col("symbol_milli") <= 100 && col("stop_hits") >= 1).cast("long"))
-    },
-    Some(s"""WITH t0 AS (SELECT doc_id, $toksSql AS tk,
-               CAST(length(text) AS BIGINT) AS c,
-               CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS BIGINT) AS p
-             FROM documents),
-             x AS (SELECT doc_id,
-                     CAST(len(tk) AS BIGINT) AS n_tokens,
-                     CAST(length(array_to_string(tk, '')) AS BIGINT) AS sumlen,
-                     CAST(len(list_filter(tk, t2 -> list_contains([${TextFns.Stopwords("en").map(w => s"'$w'").mkString(", ")}], t2))) AS BIGINT) AS stop_hits,
-                     c, p
-                   FROM t0),
-             y AS (SELECT doc_id, n_tokens,
-                     CAST(sumlen * 1000 // greatest(n_tokens, 1) AS BIGINT) AS mean_len_milli,
-                     CAST(p * 1000 // greatest(c, 1) AS BIGINT) AS symbol_milli,
-                     stop_hits
-                   FROM x)
-             SELECT doc_id, n_tokens, mean_len_milli, symbol_milli, stop_hits,
-               CAST((n_tokens >= 5 AND n_tokens <= 50000
-                     AND mean_len_milli BETWEEN 3000 AND 10000
-                     AND symbol_milli <= 100 AND stop_hits >= 1) AS BIGINT) AS keep
-             FROM y"""))
-
-  /** Vocabulary coverage / OOV rate vs the corpus top-100 vocabulary:
-    * the vocab is tiny by construction (top-k) so it broadcasts, and
-    * the per-doc coverage is one explode + one aggregation. Docs with
-    * zero tokens have no coverage row (nothing to cover).
-    */
-  private val qVocabCoverage = GraftQuery(
-    "q_vocab_coverage",
-    (s, dir) => {
-      val terms = Fence.guard(
-          t(s, dir, "documents")
-            .select(col("doc_id"), TextFns.tokensFast(col("text")).as("__toks"), Fence.col))
-        .select(col("doc_id"), explode(col("__toks")).as("term"))
-      val vocab = terms.groupBy("term").agg(count(lit(1)).as("__cnt"))
-        .orderBy(col("__cnt").desc, col("term")).limit(100)
-        .select(col("term"), lit(1L).as("__iv"))
-      terms.join(broadcast(vocab), Seq("term"), "left")
-        .groupBy("doc_id")
-        .agg(count(lit(1)).as("n_tokens"),
-          count(when(col("__iv").isNull, 1)).as("n_oov"))
-        .select(col("doc_id"), col("n_tokens"), col("n_oov"),
-          (col("n_oov") * 1000L / col("n_tokens")).cast("long").as("oov_milli"))
-    },
-    Some(s"""WITH tk AS (SELECT doc_id, unnest($toksSql) AS term FROM documents),
-             v AS (SELECT term FROM (SELECT term, count(*) AS cnt FROM tk GROUP BY term
-                                     ORDER BY cnt DESC, term LIMIT 100)),
-             j AS (SELECT tk.doc_id, CASE WHEN v.term IS NULL THEN 1 ELSE 0 END AS oov
-                   FROM tk LEFT JOIN v ON tk.term = v.term)
-             SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
-               CAST(sum(oov) AS BIGINT) AS n_oov,
-               CAST(sum(oov) * 1000 // count(*) AS BIGINT) AS oov_milli
-             FROM j GROUP BY doc_id"""))
-
-  /** Ordered conversion funnel over the event stream: first signup →
-    * first later click → any later purchase, counted per stage — in
-    * ONE pass. The stage-N-depends-on-stage-N-1 chain rides three
-    * chained UNORDERED window aggregates over the same user_id
-    * partitioning (min-signup-ts → min-later-click-ts → any-later-
-    * purchase), so the whole funnel costs one typed-filtered scan +
-    * one user_id exchange, no sort; the per-user reduce reuses that
-    * partitioning (no second exchange) and the three stage counts fold
-    * into a single 1-row rollup unpivoted by stack(). The previous
-    * shape (per-stage aggregate joined forward) re-derived the signup
-    * aggregate for every later stage — five fact scans where one
-    * suffices at 100 TB.
-    */
-  private val qFunnel = GraftQuery(
-    "q_funnel",
-    (s, dir) => {
-      import org.apache.spark.sql.expressions.Window
-      val w = Window.partitionBy("user_id")
-      val perUser = events(s, dir)
-        .filter(col("event_type").isin("signup", "click", "purchase"))
-        .select(col("user_id"), col("event_type"), col("ts"))
-        .withColumn("s_ts",
-          min(when(col("event_type") === "signup", col("ts"))).over(w))
-        .withColumn("c_ts",
-          min(when(col("event_type") === "click" && col("ts") > col("s_ts"), col("ts"))).over(w))
-        .withColumn("__p",
-          when(col("event_type") === "purchase" && col("ts") > col("c_ts"), 1L).otherwise(0L))
-        .groupBy("user_id")
-        .agg(max(col("s_ts")).as("s_ts"), max(col("c_ts")).as("c_ts"),
-          max(col("__p")).as("p"))
-      perUser.agg(
-          count(col("s_ts")).as("n1"), count(col("c_ts")).as("n2"),
-          // coalesce: sum over an EMPTY input is null where the
-          // oracle's count(*) is 0 — stage 3 must degrade to 0 too
-          coalesce(sum(col("p")), lit(0L)).as("n3"))
-        .select(expr("""stack(3, '1_signup', n1,
-                                 '2_click_after_signup', n2,
-                                 '3_purchase_after_click', n3) AS (stage, n_users)"""))
-    },
-    Some("""WITH s AS (SELECT user_id, min(ts) AS s_ts FROM events
-                       WHERE event_type = 'signup' GROUP BY 1),
-             c AS (SELECT e.user_id, min(e.ts) AS c_ts
-                   FROM events e JOIN s ON e.user_id = s.user_id
-                   WHERE e.event_type = 'click' AND e.ts > s.s_ts GROUP BY 1),
-             p AS (SELECT e.user_id
-                   FROM events e JOIN c ON e.user_id = c.user_id
-                   WHERE e.event_type = 'purchase' AND e.ts > c.c_ts GROUP BY 1)
-             SELECT '1_signup' AS stage, CAST(count(*) AS BIGINT) AS n_users FROM s
-             UNION ALL
-             SELECT '2_click_after_signup', CAST(count(*) AS BIGINT) FROM c
-             UNION ALL
-             SELECT '3_purchase_after_click', CAST(count(*) AS BIGINT) FROM p"""))
-
-  /** Day-over-day retention: per activity day, distinct active users
-    * and how many were active again the next day. One distinct
-    * (user, day) projection, one self equi-join on (user, day+1).
-    */
-  private val qRetention = GraftQuery(
-    "q_retention",
-    (s, dir) => {
-      // Single-pass shape: after the (user, day) dedup, a user's
-      // next ACTIVE day via lead() makes "retained into day+1" a row-
-      // local flag, so actives and retained fold into ONE day-level
-      // aggregation — one scan and three bounded exchanges, where the
-      // self-join form re-derived the distinct frame three times.
-      import org.apache.spark.sql.expressions.Window
-      val w = Window.partitionBy("user_id").orderBy("day")
-      events(s, dir)
-        .select(col("user_id"), expr("unix_micros(ts) div 86400000000").as("day"))
-        .distinct()
-        .withColumn("__next", lead(col("day"), 1).over(w))
-        .groupBy("day")
-        .agg(count(lit(1)).as("n_active"),
-          count(when(col("__next") === col("day") + 1, 1)).as("n_retained"))
-    },
-    Some("""WITH a AS (SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS day FROM events),
-             r AS (SELECT a.day, count(*) AS n_retained
-                   FROM a JOIN a b ON a.user_id = b.user_id AND b.day = a.day + 1
-                   GROUP BY 1),
-             act AS (SELECT day, count(*) AS n FROM a GROUP BY 1)
-             SELECT act.day AS day, CAST(act.n AS BIGINT) AS n_active,
-               CAST(COALESCE(r.n_retained, 0) AS BIGINT) AS n_retained
-             FROM act LEFT JOIN r ON act.day = r.day"""))
-
-  /** Language-ID confusion matrix: the labeled `lang` column vs the
-    * stopword-heuristic prediction — the evaluation view a curation
-    * pipeline keeps alongside the classifier. Pure composition of the
-    * staged q_lang_id shape + one aggregation.
-    */
-  /** Per-user inter-arrival gap statistics — the stream-health monitor
-    * (a collapsing gap distribution means a hot key; a stretching one
-    * means a stalled producer). One shuffle on user_id serves the lag
-    * window; the mean is an exact floor division of the total span by
-    * the gap count, so no float surface exists. Gaps are event-time
-    * micros between consecutive events in (ts, event_id) order.
-    */
-  private val qInterarrival = GraftQuery(
-    "q_interarrival",
-    (s, dir) => {
-      import org.apache.spark.sql.expressions.Window
-      events(s, dir)
-        .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("us"))
-        .withColumn("gap", col("us") - lag(col("us"), 1).over(
-          Window.partitionBy("user_id").orderBy(col("us"), col("event_id"))))
-        .groupBy(col("user_id"))
-        .agg(
-          count(lit(1)).as("n_events"),
-          min(col("gap")).as("min_gap_us"),
-          max(col("gap")).as("max_gap_us"),
-          expr("sum(gap) div count(gap)").as("mean_gap_us"))
-    },
-    Some("""WITH x AS (
-              SELECT user_id, event_id, epoch_us(ts) AS us,
-                epoch_us(ts) - lag(epoch_us(ts))
-                  OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS gap
-              FROM events)
-            SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
-              min(gap) AS min_gap_us, max(gap) AS max_gap_us,
-              CAST(sum(gap) // count(gap) AS BIGINT) AS mean_gap_us
-            FROM x GROUP BY user_id"""))
-
-  /** Per-source drift detection: pairwise L1 (total-variation×2)
-    * distance between token-count histograms, in exact milli-units.
-    * The ONLY fact-table shuffle is the per-(source, bucket) count —
-    * everything after operates on the tiny histogram (sources ×
-    * buckets), so at 100 TB the pairwise comparison costs nothing no
-    * matter how many source pairs exist. Shares are floor-divided
-    * milli fractions (exact in both engines); missing buckets
-    * contribute their full mass via the grid outer-coalesce.
-    */
-  private val qHistDistance = GraftQuery(
-    "q_hist_distance",
-    (s, dir) => {
-      val hist = t(s, dir, "documents")
-        .select(col("source"), size(TextFns.tokensFast(col("text"))).cast("long").as("nt"))
-        .select(col("source"), expr("nt div 8").as("bucket"))
-        .groupBy(col("source"), col("bucket")).agg(count(lit(1)).as("cnt"))
-      // the histogram is tiny (sources × buckets); localCheckpoint makes
-      // it a leaf so its five downstream references (two join sides,
-      // sources ×2, buckets) cost ONE fact pass, not five logical copies
-      val milli = hist
-        .withColumn("total", sum(col("cnt")).over(
-          org.apache.spark.sql.expressions.Window.partitionBy("source")))
-        .select(col("source"), col("bucket"), expr("cnt * 1000 div total").as("milli"))
-        .localCheckpoint()
-      val srcs = milli.select(col("source")).distinct()
-      val pairs = srcs.as("sa").crossJoin(srcs.as("sb"))
-        .filter(col("sa.source") < col("sb.source"))
-        .select(col("sa.source").as("source_a"), col("sb.source").as("source_b"))
-      val buckets = milli.select(col("bucket").as("bk")).distinct()
-      pairs.crossJoin(broadcast(buckets))
-        .join(broadcast(milli.as("ma")),
-          col("source_a") === col("ma.source") && col("bk") === col("ma.bucket"), "left")
-        .join(broadcast(milli.as("mb")),
-          col("source_b") === col("mb.source") && col("bk") === col("mb.bucket"), "left")
-        .groupBy(col("source_a"), col("source_b"))
-        .agg(sum(abs(coalesce(col("ma.milli"), lit(0L)) - coalesce(col("mb.milli"), lit(0L))))
-          .as("l1_milli"))
-    },
-    Some(s"""WITH t0 AS (SELECT source, len($toksSql) AS nt FROM documents),
-             h AS (SELECT source, nt // 8 AS bucket, count(*) AS cnt FROM t0 GROUP BY 1, 2),
-             m AS (SELECT source, bucket,
-                     cnt * 1000 // sum(cnt) OVER (PARTITION BY source) AS milli FROM h),
-             s AS (SELECT DISTINCT source FROM m),
-             p AS (SELECT a.source AS source_a, b.source AS source_b
-                   FROM s a JOIN s b ON a.source < b.source),
-             bk AS (SELECT DISTINCT bucket FROM m)
-             SELECT source_a, source_b,
-               CAST(sum(abs(coalesce(ma.milli, 0) - coalesce(mb.milli, 0))) AS BIGINT) AS l1_milli
-             FROM p CROSS JOIN bk
-             LEFT JOIN m ma ON ma.source = p.source_a AND ma.bucket = bk.bucket
-             LEFT JOIN m mb ON mb.source = p.source_b AND mb.bucket = bk.bucket
-             GROUP BY source_a, source_b"""))
-
-  /** Robust center/spread per event_type: exact lower-median and
-    * median-absolute-deviation in integer cents, both defined by
-    * row_number rank (rk = (n+1) div 2 over (value, event_id)) — the
-    * float-free twin of q_outliers' rank-cutoff idea, so every engine
-    * picks the identical row. Two keyed window shuffles (value rank,
-    * then deviation rank) + a broadcast of the 5-row median table; no
-    * interpolation, no epsilon reasoning.
-    */
-  private val qMad = GraftQuery(
-    "q_mad",
-    (s, dir) => {
-      import org.apache.spark.sql.expressions.Window
-      // isNotNull pre-materialized (the med join would infer it on one
-      // branch only) + keepAll: the ranked frame feeds BOTH the median
-      // extraction and the deviation pass, and without the fence the
-      // med branch's pruned copy de-canonicalized the type exchange
-      // and re-scanned the fact (PlanAudit)
-      val ev = events(s, dir)
-        .filter(col("event_type").isNotNull)
-        .select(col("event_type"), col("event_id"),
-          expr("cast(cast(value as decimal(18,2)) * 100 as bigint)").as("cents"))
-      val r = Fence.keepAll(ev
-        .withColumn("rk", row_number().over(
-          Window.partitionBy("event_type").orderBy(col("cents"), col("event_id"))))
-        .withColumn("n", count(lit(1)).over(Window.partitionBy("event_type"))))
-      // the median table is 5 rows; carrying med_cents + n through the
-      // deviation pass means the ranked subtree is consumed once and
-      // med joins once — no repeated fact passes
-      val med = r.groupBy(col("event_type"))
-        .agg(max(when(expr("rk = (n + 1) div 2"), col("cents"))).as("med_cents"),
-          max(col("n")).as("n"))
-      r.join(broadcast(med.select(col("event_type").as("et"), col("med_cents"), col("n").as("nn"))),
-          col("event_type") === col("et"))
-        .select(col("event_type"), col("event_id"), col("nn"), col("med_cents"),
-          abs(col("cents") - col("med_cents")).as("ad"))
-        .withColumn("rk2", row_number().over(
-          Window.partitionBy("event_type").orderBy(col("ad"), col("event_id"))))
-        .groupBy(col("event_type"))
-        .agg(max(col("nn")).as("n"), max(col("med_cents")).as("med_cents"),
-          max(when(expr("rk2 = (nn + 1) div 2"), col("ad"))).as("mad_cents"))
-    },
-    Some("""WITH ev AS (SELECT event_type, event_id,
-                  CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents FROM events
-                WHERE event_type IS NOT NULL),
-            r AS (SELECT *,
-                    row_number() OVER (PARTITION BY event_type ORDER BY cents, event_id) AS rk,
-                    count(*) OVER (PARTITION BY event_type) AS n FROM ev),
-            m AS (SELECT event_type, max(CASE WHEN rk = (n + 1) // 2 THEN cents END) AS med_cents,
-                    max(n) AS n FROM r GROUP BY 1),
-            d AS (SELECT r.event_type, r.event_id, abs(r.cents - m.med_cents) AS ad, m.n
-                  FROM r JOIN m USING (event_type)),
-            r2 AS (SELECT *, row_number() OVER (PARTITION BY event_type ORDER BY ad, event_id) AS rk2
-                   FROM d)
-            SELECT r2.event_type, CAST(max(r2.n) AS BIGINT) AS n, max(m.med_cents) AS med_cents,
-              max(CASE WHEN rk2 = (r2.n + 1) // 2 THEN ad END) AS mad_cents
-            FROM r2 JOIN m ON r2.event_type = m.event_type
-            GROUP BY r2.event_type"""))
-
-  /** Last-touch attribution: each purchase attributed to the user's
-    * latest click at-or-before it, within a 1-hour window — the
-    * composition of the as-of join (union-merge: one shuffle, one
-    * per-key sort, NO range join) with a per-day conversion rollup.
-    * The attribution flag and rate are exact integers; the oracle
-    * re-derives the same latest-click via a correlated max.
-    */
-  private val qAttribution = GraftQuery(
-    "q_attribution",
-    (s, dir) => {
-      val ev = events(s, dir)
-      val purchases = ev.filter(col("event_type") === "purchase")
-        .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("p_us"))
-      val clicks = ev.filter(col("event_type") === "click")
-        .select(col("user_id").as("c_uid"), unix_micros(col("ts")).as("c_us"),
-          col("event_id").as("c_eid"))
-      Joins.asofJoin(purchases, clicks, "user_id", "c_uid", "p_us", "c_us", "c_eid", Seq("c_us"))
-        .select(expr("p_us div 86400000000").as("day"),
-          (col("c_us").isNotNull && col("p_us") - col("c_us") <= 3600L * 1000000L)
-            .cast("long").as("attributed"))
-        .groupBy(col("day"))
-        .agg(count(lit(1)).as("n_purchases"), sum(col("attributed")).as("n_attributed"),
-          expr("sum(attributed) * 1000 div count(1)").as("attr_milli"))
-    },
-    Some("""WITH p AS (SELECT user_id, event_id, epoch_us(ts) AS p_us
-                       FROM events WHERE event_type = 'purchase'),
-            c AS (SELECT user_id AS c_uid, epoch_us(ts) AS c_us
-                  FROM events WHERE event_type = 'click'),
-            j AS (SELECT p.*, (SELECT max(c_us) FROM c
-                               WHERE c.c_uid = p.user_id AND c.c_us <= p.p_us) AS c_us
-                  FROM p),
-            f AS (SELECT p_us // 86400000000 AS day,
-                    CASE WHEN c_us IS NOT NULL AND p_us - c_us <= 3600000000
-                         THEN 1 ELSE 0 END AS attributed
-                  FROM j)
-            SELECT day, CAST(count(*) AS BIGINT) AS n_purchases,
-              CAST(sum(attributed) AS BIGINT) AS n_attributed,
-              CAST(sum(attributed) * 1000 // count(*) AS BIGINT) AS attr_milli
-            FROM f GROUP BY day"""))
-
-  /** Trailing 7-day distinct actives per day — the sliding-window
-    * DISTINCT that no engine supports directly (distinct is not
-    * associative over sliding frames), re-expressed exactly: each
-    * (user, active-day) covers days d..d+6 via a 7-row map-only
-    * explode, and the per-day count-distinct follows. The fact table
-    * reduces to distinct (user, day) FIRST (one shuffle), so the
-    * explode fans out the reduced set, never raw events; reported
-    * days are clipped to observed activity days by a semi join.
-    */
-  private val qRollingActives = GraftQuery(
-    "q_rolling_actives",
-    (s, dir) => {
-      val ud = events(s, dir)
-        .select(expr("unix_micros(ts) div 86400000000").as("day"), col("user_id"))
-        .distinct()
-      val cover = ud.select(col("user_id"),
-        explode(sequence(col("day"), col("day") + 6)).as("cday"))
-      val days = ud.select(col("day")).distinct()
-      cover.join(days, cover("cday") === days("day"), "left_semi")
-        .groupBy(col("cday"))
-        .agg(countDistinct(col("user_id")).as("n_active_7d"))
-        .select(col("cday").as("day"), col("n_active_7d"))
-    },
-    Some("""WITH ud AS (SELECT DISTINCT epoch_us(ts) // 86400000000 AS day, user_id FROM events),
-            cov AS (SELECT user_id, unnest(range(day, day + 7)) AS cday FROM ud)
-            SELECT cday AS day, CAST(count(DISTINCT user_id) AS BIGINT) AS n_active_7d
-            FROM cov WHERE cday IN (SELECT day FROM ud)
-            GROUP BY cday"""))
-
-  /** Compaction planning: per source, how many target-size output
-    * files a rewrite should produce — the small-files operational
-    * answer (file counts, exact ceil division) a 100 TB table needs
-    * before every write. One aggregation; everything else is integer
-    * arithmetic on the per-source totals.
-    */
-  private val qCompactionPlan = GraftQuery(
-    "q_compaction_plan",
-    (s, dir) =>
-      t(s, dir, "documents")
-        .groupBy(col("source"))
-        .agg(sum(col("n_chars").cast("long")).as("total_bytes"),
-          count(lit(1)).as("n_docs"))
-        .select(col("source"), col("total_bytes"), col("n_docs"),
-          expr("(total_bytes + 4095) div 4096").as("n_files"),
-          expr("n_docs div ((total_bytes + 4095) div 4096)").as("docs_per_file")),
-    Some("""SELECT source, CAST(sum(n_chars) AS BIGINT) AS total_bytes,
-              CAST(count(*) AS BIGINT) AS n_docs,
-              CAST((sum(n_chars) + 4095) // 4096 AS BIGINT) AS n_files,
-              CAST(count(*) // ((sum(n_chars) + 4095) // 4096) AS BIGINT) AS docs_per_file
-            FROM documents GROUP BY source"""))
-
-  /** Winsorized mean per event_type: values clamped to the exact
-    * [p05, p95] rank cutoffs before averaging — the robust mean that
-    * completes q_mad (spread) and q_outliers (cutoff). Cutoff VALUES
-    * are picked by integer row_number rank over (cents, event_id), so
-    * every engine clamps the identical rows; the mean is a floor
-    * division. One keyed rank window + a 5-row broadcast back-join.
-    */
-  private val qWinsorMean = GraftQuery(
-    "q_winsor_mean",
-    (s, dir) => {
-      import org.apache.spark.sql.expressions.Window
-      // canonicality treatment (see q_mad): the ranked frame feeds the
-      // cuts aggregate AND the clamp/fence pass — keepAll + explicit
-      // isNotNull keep both copies riding ONE type exchange
-      val ev = events(s, dir)
-        .filter(col("event_type").isNotNull)
-        .select(col("event_type"), col("event_id"),
-          expr("cast(cast(value as decimal(18,2)) * 100 as bigint)").as("cents"))
-      val r = Fence.keepAll(ev
-        .withColumn("rk", row_number().over(
-          Window.partitionBy("event_type").orderBy(col("cents"), col("event_id"))))
-        .withColumn("n", count(lit(1)).over(Window.partitionBy("event_type"))))
-      val cuts = r.groupBy(col("event_type"))
-        .agg(max(when(expr("rk = (n * 5) div 100 + 1"), col("cents"))).as("lo_cents"),
-          max(when(expr("rk = (n * 95) div 100"), col("cents"))).as("hi_cents"))
-      r.join(broadcast(cuts.withColumnRenamed("event_type", "et")),
-          col("event_type") === col("et"))
-        .groupBy(col("event_type"))
-        .agg(count(lit(1)).as("n"),
-          max(col("lo_cents")).as("lo_cents"), max(col("hi_cents")).as("hi_cents"),
-          expr("sum(greatest(lo_cents, least(hi_cents, cents))) div count(1)")
-            .as("winsor_mean_cents"))
-    },
-    Some("""WITH ev AS (SELECT event_type, event_id,
-                  CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents FROM events
-                WHERE event_type IS NOT NULL),
-            r AS (SELECT *,
-                    row_number() OVER (PARTITION BY event_type ORDER BY cents, event_id) AS rk,
-                    count(*) OVER (PARTITION BY event_type) AS n FROM ev),
-            c AS (SELECT event_type,
-                    max(CASE WHEN rk = (n * 5) // 100 + 1 THEN cents END) AS lo_cents,
-                    max(CASE WHEN rk = (n * 95) // 100 THEN cents END) AS hi_cents
-                  FROM r GROUP BY 1)
-            SELECT r.event_type, CAST(count(*) AS BIGINT) AS n,
-              max(c.lo_cents) AS lo_cents, max(c.hi_cents) AS hi_cents,
-              CAST(sum(greatest(c.lo_cents, least(c.hi_cents, r.cents))) // count(*) AS BIGINT)
-                AS winsor_mean_cents
-            FROM r JOIN c USING (event_type)
-            GROUP BY r.event_type"""))
-
-  /** Percentile-rank feature normalization per source: each doc's
-    * token count mapped to its exact rank position in [0, 1000] milli
-    * ((rk−1)·1000 div (n−1)) — the distribution-free normalization a
-    * mixture recipe uses to compare length profiles across sources.
-    * Rank ties break on doc_id, so every engine assigns identical
-    * positions; one keyed window shuffle, no floats.
-    */
-  private val qRankNorm = GraftQuery(
-    "q_rank_norm",
-    (s, dir) => {
-      import org.apache.spark.sql.expressions.Window
-      t(s, dir, "documents")
-        .select(col("doc_id"), col("source"),
-          size(TextFns.tokensFast(col("text"))).cast("long").as("nt"))
-        .withColumn("rk", row_number().over(
-          Window.partitionBy("source").orderBy(col("nt"), col("doc_id"))))
-        .withColumn("n", count(lit(1)).over(Window.partitionBy("source")))
-        .select(col("doc_id"), col("source"), col("nt"),
-          when(col("n") > 1, expr("(rk - 1) * 1000 div (n - 1)")).otherwise(lit(0L))
-            .as("rank_milli"))
-    },
-    Some(s"""WITH t0 AS (SELECT doc_id, source, CAST(len($toksSql) AS BIGINT) AS nt FROM documents),
-             r AS (SELECT *,
-                     row_number() OVER (PARTITION BY source ORDER BY nt, doc_id) AS rk,
-                     count(*) OVER (PARTITION BY source) AS n FROM t0)
-             SELECT doc_id, source, nt,
-               CAST(CASE WHEN n > 1 THEN (rk - 1) * 1000 // (n - 1) ELSE 0 END AS BIGINT) AS rank_milli
-             FROM r"""))
-
-  /** Per-user event-type TRANSITION matrix (Markov counts): each
-    * consecutive (prev → next) pair in a user's event-time order,
-    * counted corpus-wide — the session-flow view behind funnel design
-    * and anomaly detection (an error→purchase edge is a bug). One
-    * keyed lag window, then the tiny (from, to) aggregation.
-    */
-  private val qTransitions = GraftQuery(
-    "q_transitions",
-    (s, dir) => {
-      import org.apache.spark.sql.expressions.Window
-      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
-      events(s, dir)
-        .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
-        .withColumn("prev_type", lag(col("event_type"), 1).over(w))
-        .filter(col("prev_type").isNotNull)
-        .groupBy(col("prev_type"), col("event_type").as("next_type"))
-        .agg(count(lit(1)).as("n"))
-    },
-    Some("""WITH x AS (
-              SELECT event_type,
-                lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
-              FROM events)
-            SELECT prev_type, event_type AS next_type, CAST(count(*) AS BIGINT) AS n
-            FROM x WHERE prev_type IS NOT NULL
-            GROUP BY prev_type, next_type"""))
-
-  /** Weekly COHORT retention matrix: users grouped by first-seen week,
-    * tracked across week offsets — the canonical growth-analytics
-    * triangle, in ONE user-keyed exchange: collect_set(week) per user
-    * (bounded by the observation span, map-side combined), cohort =
-    * array_min, then an explode back out — each user contributes
-    * exactly once per active week, so the matrix is a plain count.
-    * (A distinct + min-join formulation costs three exchanges; this
-    * shape was the round-6 plan iteration.)
-    */
-  private val qCohorts = GraftQuery(
-    "q_cohorts",
-    (s, dir) => {
-      events(s, dir)
-        .select(col("user_id"), expr("unix_micros(ts) div 604800000000").as("week"))
-        .groupBy(col("user_id")).agg(collect_set(col("week")).as("weeks"))
-        .select(array_min(col("weeks")).as("cohort_week"), explode(col("weeks")).as("week"))
-        .groupBy(col("cohort_week"), (col("week") - col("cohort_week")).as("week_offset"))
-        .agg(count(lit(1)).as("n_users"))
-    },
-    Some("""WITH uw AS (SELECT DISTINCT user_id, epoch_us(ts) // 604800000000 AS week FROM events),
-            f AS (SELECT user_id, min(week) AS cohort_week FROM uw GROUP BY user_id)
-            SELECT cohort_week, week - cohort_week AS week_offset,
-              CAST(count(DISTINCT uw.user_id) AS BIGINT) AS n_users
-            FROM uw JOIN f ON uw.user_id = f.user_id
-            GROUP BY cohort_week, week_offset"""))
-
-  /** Exact quantile GRID + IQR outlier counts per event_type, all by
-    * integer row_number rank: q1/med/q3 picked at ranks ⌈n·p⌉, the
-    * 1.5·IQR fences applied by cross-multiplication (2·cents vs
-    * 2·bound keeps halves integral: lo = 2·q1·... — here fences are
-    * whole cents via 2·q3−2·q1 scaled), and the outlier counts
-    * conditional sums — ONE rank window + one broadcast back-join,
-    * everything engine-identical. Completes q_mad/q_winsor_mean into
-    * the full boxplot.
-    */
-  private val qIqr = GraftQuery(
-    "q_iqr",
-    (s, dir) => {
-      import org.apache.spark.sql.expressions.Window
-      // canonicality treatment (see q_mad): the ranked frame feeds the
-      // cuts aggregate AND the clamp/fence pass — keepAll + explicit
-      // isNotNull keep both copies riding ONE type exchange
-      val ev = events(s, dir)
-        .filter(col("event_type").isNotNull)
-        .select(col("event_type"), col("event_id"),
-          expr("cast(cast(value as decimal(18,2)) * 100 as bigint)").as("cents"))
-      val r = Fence.keepAll(ev
-        .withColumn("rk", row_number().over(
-          Window.partitionBy("event_type").orderBy(col("cents"), col("event_id"))))
-        .withColumn("n", count(lit(1)).over(Window.partitionBy("event_type"))))
-      val cuts = r.groupBy(col("event_type"))
-        .agg(max(when(expr("rk = (n * 25 + 99) div 100"), col("cents"))).as("q1_cents"),
-          max(when(expr("rk = (n * 50 + 99) div 100"), col("cents"))).as("med_cents"),
-          max(when(expr("rk = (n * 75 + 99) div 100"), col("cents"))).as("q3_cents"))
-      // fences in DOUBLED cents so 1.5·IQR stays integral:
-      // lo = 2·q1 − 3·(q3−q1), hi = 2·q3 + 3·(q3−q1); compare 2·cents
-      r.join(broadcast(cuts.withColumnRenamed("event_type", "et")),
-          col("event_type") === col("et"))
-        .groupBy(col("event_type"))
-        .agg(count(lit(1)).as("n"),
-          max(col("q1_cents")).as("q1_cents"), max(col("med_cents")).as("med_cents"),
-          max(col("q3_cents")).as("q3_cents"),
-          sum(when(expr("2 * cents < 2 * q1_cents - 3 * (q3_cents - q1_cents)"), 1L)
-            .otherwise(0L)).as("n_below"),
-          sum(when(expr("2 * cents > 2 * q3_cents + 3 * (q3_cents - q1_cents)"), 1L)
-            .otherwise(0L)).as("n_above"))
-    },
-    Some("""WITH ev AS (SELECT event_type, event_id,
-                  CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents FROM events
-                WHERE event_type IS NOT NULL),
-            r AS (SELECT *,
-                    row_number() OVER (PARTITION BY event_type ORDER BY cents, event_id) AS rk,
-                    count(*) OVER (PARTITION BY event_type) AS n FROM ev),
-            c AS (SELECT event_type,
-                    max(CASE WHEN rk = (n * 25 + 99) // 100 THEN cents END) AS q1_cents,
-                    max(CASE WHEN rk = (n * 50 + 99) // 100 THEN cents END) AS med_cents,
-                    max(CASE WHEN rk = (n * 75 + 99) // 100 THEN cents END) AS q3_cents
-                  FROM r GROUP BY 1)
-            SELECT r.event_type, CAST(count(*) AS BIGINT) AS n,
-              max(c.q1_cents) AS q1_cents, max(c.med_cents) AS med_cents,
-              max(c.q3_cents) AS q3_cents,
-              CAST(sum(CASE WHEN 2 * r.cents < 2 * c.q1_cents - 3 * (c.q3_cents - c.q1_cents)
-                            THEN 1 ELSE 0 END) AS BIGINT) AS n_below,
-              CAST(sum(CASE WHEN 2 * r.cents > 2 * c.q3_cents + 3 * (c.q3_cents - c.q1_cents)
-                            THEN 1 ELSE 0 END) AS BIGINT) AS n_above
-            FROM r JOIN c USING (event_type)
-            GROUP BY r.event_type"""))
-
-  /** Per-user engagement lifespan: active days, calendar span, and
-    * activity density in exact milli (active·1000 div span) — the
-    * user-level engagement profile behind retention/cohorts. One
-    * aggregation over the pre-reduced distinct (user, day) set.
-    */
-  private val qLifespan = GraftQuery(
-    "q_lifespan",
-    (s, dir) =>
-      events(s, dir)
-        .select(col("user_id"), expr("unix_micros(ts) div 86400000000").as("day"))
-        .distinct()
-        .groupBy(col("user_id"))
-        .agg(count(lit(1)).as("n_days_active"),
-          (max(col("day")) - min(col("day")) + 1).as("span_days"))
-        .select(col("user_id"), col("n_days_active"), col("span_days"),
-          expr("n_days_active * 1000 div span_days").as("density_milli")),
-    Some("""WITH ud AS (SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS day FROM events)
-            SELECT user_id, CAST(count(*) AS BIGINT) AS n_days_active,
-              CAST(max(day) - min(day) + 1 AS BIGINT) AS span_days,
-              CAST(count(*) * 1000 // (max(day) - min(day) + 1) AS BIGINT) AS density_milli
-            FROM ud GROUP BY user_id"""))
-
-  /** Zipf profile: the corpus's top-100 tokens with exact counts and
-    * dense frequency rank — the vocabulary head a tokenizer/stopword
-    * audit reads first. The heavy lifting is the word count (one token
-    * shuffle + TakeOrdered top-100); the rank window runs on the
-    * 100-row result only.
-    */
-  private val qZipfTop = GraftQuery(
-    "q_zipf_top",
-    (s, dir) => {
-      import org.apache.spark.sql.expressions.Window
-      val counts = Fence.guard(
-          t(s, dir, "documents").select(TextFns.tokensFast(col("text")).as("__tk"), Fence.col))
-        .select(explode(col("__tk")).as("token"))
-        .groupBy(col("token")).agg(count(lit(1)).as("cnt"))
-        .orderBy(col("cnt").desc, col("token")).limit(100)
-      // rank window runs over the post-limit(100) head — 100 rows by
-      // construction, so its single-partition WindowExec warning is
-      // expected and bounded
-      counts.withColumn("rank", row_number().over(
-        Window.partitionBy(lit(1)).orderBy(col("cnt").desc, col("token"))).cast("long"))
-    },
-    Some(s"""WITH t0 AS (SELECT $toksSql AS tk FROM documents),
-             x AS (SELECT unnest(tk) AS token FROM t0),
-             c AS (SELECT token, CAST(count(*) AS BIGINT) AS cnt FROM x GROUP BY token
-                   ORDER BY cnt DESC, token LIMIT 100)
-             SELECT token, cnt,
-               CAST(row_number() OVER (ORDER BY cnt DESC, token) AS BIGINT) AS rank
-             FROM c"""))
-
-  /** Cyclic DAY-PART profile: activity folded onto the 24-hour clock
-    * per event_type (hour = (µs div 3600·10⁶) mod 24, pure integer
-    * arithmetic — no calendar functions, so UTC alignment is explicit)
-    * — the seasonality view a tumbling window can't give because it
-    * never folds. Counts + exact floor-mean cents per cell.
-    */
-  private val qDaypart = GraftQuery(
-    "q_daypart",
-    (s, dir) =>
-      events(s, dir)
-        .select(col("event_type"),
-          expr("(unix_micros(ts) div 3600000000) % 24").as("hour"),
-          expr("cast(cast(value as decimal(18,2)) * 100 as bigint)").as("cents"))
-        .groupBy(col("event_type"), col("hour"))
-        .agg(count(lit(1)).as("n"),
-          expr("sum(cents) div count(1)").as("mean_cents")),
-    Some("""SELECT event_type, (epoch_us(ts) // 3600000000) % 24 AS hour,
-              CAST(count(*) AS BIGINT) AS n,
-              CAST(sum(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) // count(*) AS BIGINT) AS mean_cents
-            FROM events GROUP BY 1, 2"""))
-
-  /** Conversion LAG: per converting user, the event-time gap from
-    * first signup to the first purchase AT OR AFTER it — the funnel
-    * latency input (its percentiles come from the exact-rank quantile
-    * machinery). One user-keyed aggregation computes both firsts via
-    * conditional min; users who never signed up or never purchased
-    * after signup drop out in both engines identically.
-    */
-  private val qConversionLag = GraftQuery(
-    "q_conversion_lag",
-    (s, dir) =>
-      events(s, dir)
-        .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("us"))
-        .groupBy(col("user_id"))
-        .agg(min(when(col("event_type") === "signup", col("us"))).as("signup_us"))
-        .join(events(s, dir)
-            .filter(col("event_type") === "purchase")
-            .select(col("user_id").as("pu"), unix_micros(col("ts")).as("p_us")),
-          col("user_id") === col("pu"))
-        .filter(col("signup_us").isNotNull && col("p_us") >= col("signup_us"))
-        .groupBy(col("user_id"))
-        .agg(max(col("signup_us")).as("signup_us"), min(col("p_us")).as("first_purchase_us"))
-        .select(col("user_id"), col("signup_us"), col("first_purchase_us"),
-          (col("first_purchase_us") - col("signup_us")).as("lag_us")),
-    Some("""WITH s AS (SELECT user_id, min(epoch_us(ts)) AS signup_us
-                       FROM events WHERE event_type = 'signup' GROUP BY user_id),
-            p AS (SELECT user_id, epoch_us(ts) AS p_us FROM events WHERE event_type = 'purchase')
-            SELECT s.user_id, CAST(s.signup_us AS BIGINT) AS signup_us,
-              CAST(min(p.p_us) AS BIGINT) AS first_purchase_us,
-              CAST(min(p.p_us) - s.signup_us AS BIGINT) AS lag_us
-            FROM s JOIN p ON s.user_id = p.user_id AND p.p_us >= s.signup_us
-            GROUP BY s.user_id, s.signup_us"""))
-
-  /** Churn snapshot: per event_type, users whose LAST activity is
-    * more than 7 days before the corpus's last day — the "who went
-    * quiet" operational cut. Per-user last-seen aggregates once; the
-    * corpus max day rides a 1-row broadcast (scalar-attach), and the
-    * churn flag is pure integer day arithmetic.
-    */
-  private val qChurnUsers = GraftQuery(
-    "q_churn_users",
-    (s, dir) => {
-      val lastSeen = events(s, dir)
-        .groupBy(col("user_id"))
-        .agg(max(expr("unix_micros(ts) div 86400000000")).as("last_day"))
-      val mx = lastSeen.agg(max(col("last_day")).as("corpus_last"))
-      lastSeen.crossJoin(broadcast(mx))
-        .select(when(col("last_day") < col("corpus_last") - 7, lit(1L)).otherwise(lit(0L))
-          .as("churned"))
-        .groupBy(col("churned"))
-        .agg(count(lit(1)).as("n_users"))
-    },
-    Some("""WITH ls AS (SELECT user_id, max(epoch_us(ts) // 86400000000) AS last_day
-                        FROM events GROUP BY user_id),
-            m AS (SELECT max(last_day) AS corpus_last FROM ls)
-            SELECT CAST(CASE WHEN last_day < corpus_last - 7 THEN 1 ELSE 0 END AS BIGINT) AS churned,
-              CAST(count(*) AS BIGINT) AS n_users
-            FROM ls, m GROUP BY 1"""))
-
-  /** Daily active users with a trailing 7-day floor-average — the
-    * dashboard smoothing every DAU chart applies. The fact reduces to
-    * distinct (user, day) then to per-day counts; the ROWS frame runs
-    * on the ~30-row daily series. The average is exact floor division
-    * over the actual frame size (partial windows at the series head
-    * use their real day count, not 7).
-    */
-  private val qDauMa = GraftQuery(
-    "q_dau_ma",
-    (s, dir) =>
-      events(s, dir)
-        .select(col("user_id"), expr("unix_micros(ts) div 86400000000").as("day"))
-        .distinct()
-        .groupBy(col("day")).agg(count(lit(1)).as("dau"))
-        .withColumn("ma7_dau", expr(
-          "sum(dau) over (order by day rows between 6 preceding and current row)" +
-            " div count(dau) over (order by day rows between 6 preceding and current row)"))
-        .select(col("day"), col("dau"), col("ma7_dau")),
-    Some("""WITH ud AS (SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS day FROM events),
-            d AS (SELECT day, CAST(count(*) AS BIGINT) AS dau FROM ud GROUP BY day)
-            SELECT day, dau,
-              CAST(sum(dau) OVER (ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
-                   // count(dau) OVER (ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
-                AS BIGINT) AS ma7_dau
-            FROM d"""))
-
-  /** Exact integer GINI coefficient of value per event_type — the
-    * inequality measure for spend/engagement concentration, computed
-    * entirely from integer ranks and sums: G·1000 = (2·Σ(i·xᵢ) −
-    * (n+1)·Σx)·1000 div (n·Σx) with i the (cents, event_id) rank. One
-    * keyed rank window, one aggregation, no floats anywhere.
-    *
-    * Exactness bound: Σ(i·cents) must fit int64, i.e. n²·avg_cents <
-    * 2⁶³ — fine to ~10⁸ rows per event_type at ~10⁴ cents. Beyond
-    * that Spark's non-ANSI sum wraps silently while DuckDB promotes to
-    * HUGEINT, so cross-engine results diverge: for larger groups cast
-    * `__s1`'s operand to decimal(38,0) (costlier, unbounded) before
-    * summing.
-    */
-  private val qGini = GraftQuery(
-    "q_gini",
-    (s, dir) => {
-      import org.apache.spark.sql.expressions.Window
-      events(s, dir)
-        .select(col("event_type"), col("event_id"),
-          expr("cast(cast(value as decimal(18,2)) * 100 as bigint)").as("cents"))
-        .withColumn("i", row_number().over(
-          Window.partitionBy("event_type").orderBy(col("cents"), col("event_id"))).cast("long"))
-        .groupBy(col("event_type"))
-        .agg(count(lit(1)).as("n"), sum(col("cents")).as("sum_cents"),
-          sum(col("i") * col("cents")).as("__s1"))
-        .select(col("event_type"), col("n"), col("sum_cents"),
-          expr("(2 * __s1 - (n + 1) * sum_cents) * 1000 div (n * sum_cents)").as("gini_milli"))
-    },
-    Some("""WITH ev AS (SELECT event_type, event_id,
-                  CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents FROM events),
-            r AS (SELECT *, CAST(row_number() OVER (PARTITION BY event_type ORDER BY cents, event_id) AS BIGINT) AS i
-                  FROM ev)
-            SELECT event_type, CAST(count(*) AS BIGINT) AS n,
-              CAST(sum(cents) AS BIGINT) AS sum_cents,
-              CAST((2 * sum(i * cents) - (count(*) + 1) * sum(cents)) * 1000
-                   // (count(*) * sum(cents)) AS BIGINT) AS gini_milli
-            FROM r GROUP BY event_type"""))
-
-  /** Time-weighted average value (TWAP) per user: Σ value·Δt / ΣΔt
-    * with Δt the event-time gap to the NEXT event — each observation
-    * weighted by how long it was "in effect", the standard correction
-    * when sampling is irregular (a plain mean overweights bursts).
-    * Exact integer arithmetic throughout: cents·micros products are
-    * bounded (≤5·10¹³ per term) and the final division floors. One
-    * keyed lead window; the last event per key carries no interval and
-    * drops out, exactly as in both engines' SQL.
-    */
-  private val qTwap = GraftQuery(
-    "q_twap",
-    (s, dir) => {
-      import org.apache.spark.sql.expressions.Window
-      val w = Window.partitionBy("user_id").orderBy(col("us"), col("event_id"))
-      events(s, dir)
-        .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("us"),
-          expr("cast(cast(value as decimal(18,2)) * 100 as bigint)").as("cents"))
-        .withColumn("gap", lead(col("us"), 1).over(w) - col("us"))
-        .filter(col("gap").isNotNull)
-        .groupBy(col("user_id"))
-        .agg(count(lit(1)).as("n_intervals"),
-          sum(col("gap")).as("span_us"),
-          expr("sum(cents * gap) div sum(gap)").as("twap_cents"))
-    },
-    Some("""WITH x AS (
-              SELECT user_id, event_id, epoch_us(ts) AS us,
-                CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents,
-                lead(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
-                  - epoch_us(ts) AS gap
-              FROM events)
-            SELECT user_id, CAST(count(*) AS BIGINT) AS n_intervals,
-              CAST(sum(gap) AS BIGINT) AS span_us,
-              CAST(sum(cents * gap) // sum(gap) AS BIGINT) AS twap_cents
-            FROM x WHERE gap IS NOT NULL
-            GROUP BY user_id"""))
-
-  /** Per-candle RETURN in exact milli-units ((close−open)·1000 div
-    * open) plus the up/flat/down direction — the momentum layer on the
-    * stocks pipeline between raw candles (q_candles) and Strat
-    * classification (q_strat_classify). Same single tumbling-window
-    * aggregation; the return is a floor division of cents.
-    */
-  private val qCandleReturns = GraftQuery(
-    "q_candle_returns",
-    (s, dir) =>
-      Windows.tumbling(events(s, dir), "ts", Seq("user_id"), "1 hour")(
-        min_by(col("value"), col("event_id")).as("__open"),
-        max_by(col("value"), col("event_id")).as("__close"))
-        .select(col("user_id"), unix_micros(col("window_start")).as("window_start_us"),
-          expr("cast(cast(__open as decimal(18,2)) * 100 as bigint)").as("open_cents"),
-          expr("cast(cast(__close as decimal(18,2)) * 100 as bigint)").as("close_cents"))
-        .select(col("user_id"), col("window_start_us"), col("open_cents"), col("close_cents"),
-          // negative returns are safe: Spark `div` and DuckDB's INTEGER
-          // `//` both truncate toward zero (DuckDB floors only for
-          // DOUBLE operands — the kmeans-step trap involved a double
-          // intermediate; these are BIGINT end to end). nullif guards
-          // the zero-open candle (sf0.1 has 0-cent values): NULL return
-          // in both engines instead of an ANSI divide-by-zero
-          expr("(close_cents - open_cents) * 1000 div nullif(open_cents, 0)").as("return_milli"),
-          when(col("close_cents") > col("open_cents"), lit(1L))
-            .when(col("close_cents") < col("open_cents"), lit(-1L))
-            .otherwise(lit(0L)).as("direction")),
-    Some("""WITH c AS (
-              SELECT user_id, (epoch_us(ts) // 3600000000) * 3600000000 AS window_start_us,
-                CAST(CAST(arg_min(value, event_id) AS DECIMAL(18,2)) * 100 AS BIGINT) AS open_cents,
-                CAST(CAST(arg_max(value, event_id) AS DECIMAL(18,2)) * 100 AS BIGINT) AS close_cents
-              FROM events GROUP BY 1, 2)
-            SELECT user_id, window_start_us, open_cents, close_cents,
-              CAST((close_cents - open_cents) * 1000 // nullif(open_cents, 0) AS BIGINT) AS return_milli,
-              CAST(CASE WHEN close_cents > open_cents THEN 1
-                        WHEN close_cents < open_cents THEN -1 ELSE 0 END AS BIGINT) AS direction
-            FROM c"""))
-
-  /** Deterministic BOOTSTRAP: 10 resampling replicates of the global
-    * mean value, with multiplicities derived from md5(event_id · b) —
-    * each event appears 0/1/2 times per replicate (mean 1), so the
-    * replicate spread estimates sampling variance with ZERO RNG state
-    * (rerun-identical, like every recipe op here). The explode is a
-    * bounded ×10 fan-out of (replicate, multiplicity) pairs; means are
-    * exact floor-divided cents.
-    */
-  private val qBootstrap = GraftQuery(
-    "q_bootstrap",
-    (s, dir) =>
-      events(s, dir)
-        .select(col("event_id"),
-          expr("cast(cast(value as decimal(18,2)) * 100 as bigint)").as("cents"))
-        .select(col("event_id"), col("cents"), explode(sequence(lit(0L), lit(9L))).as("b"))
-        .select(col("b"), col("cents"),
-          (conv(substring(md5(concat(col("event_id").cast("string"), lit("_"),
-            col("b").cast("string"))), 1, 6), 16, 10).cast("long") % 3).as("mult"))
-        .groupBy(col("b"))
-        .agg(sum(col("mult")).as("n_eff"),
-          expr("sum(mult * cents) div greatest(sum(mult), 1)").as("mean_cents")),
-    Some("""WITH ev AS (SELECT event_id,
-                  CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents FROM events),
-            x AS (SELECT event_id, cents, unnest(range(0, 10)) AS b FROM ev),
-            m AS (SELECT b, cents,
-                    ('0x' || substr(md5(event_id || '_' || b), 1, 6))::BIGINT % 3 AS mult
-                  FROM x)
-            SELECT b, CAST(sum(mult) AS BIGINT) AS n_eff,
-              CAST(sum(mult * cents) // greatest(sum(mult), 1) AS BIGINT) AS mean_cents
-            FROM m GROUP BY b"""))
-
-  /** Trailing-window SPIKE detection per (event_type, day): a day is a
-    * spike when its count exceeds 2× the trailing average over the 7
-    * most recent OBSERVED days — a ROWS frame on the per-day series,
-    * so zero-event days are absent and after a gap the frame spans
-    * more than 7 calendar days (gap-fill the daily grid first, as
-    * q_gap_fill does, for strict calendar-window semantics). Decided
-    * by exact cross-multiplication (cnt·7 > 2·Σtrail); the fact table
-    * reduces to (type, day) counts first, everything after runs on
-    * days×types.
-    */
-  private val qSpikes = GraftQuery(
-    "q_spikes",
-    (s, dir) => {
-      import org.apache.spark.sql.expressions.Window
-      val daily = events(s, dir)
-        .groupBy(col("event_type"), expr("unix_micros(ts) div 86400000000").as("day"))
-        .agg(count(lit(1)).as("cnt"))
-      val w = Window.partitionBy("event_type").orderBy(col("day")).rowsBetween(-7, -1)
-      daily
-        .withColumn("trail_sum", sum(col("cnt")).over(w))
-        .withColumn("trail_days", count(col("cnt")).over(w))
-        .select(col("event_type"), col("day"), col("cnt"),
-          coalesce(col("trail_sum"), lit(0L)).as("trail_sum"),
-          col("trail_days"),
-          (col("trail_days") === 7 &&
-            col("cnt") * 7 > col("trail_sum") * 2).cast("long").as("is_spike"))
-    },
-    Some("""WITH d AS (SELECT event_type, epoch_us(ts) // 86400000000 AS day,
-                  CAST(count(*) AS BIGINT) AS cnt FROM events GROUP BY 1, 2),
-            x AS (SELECT *,
-                    sum(cnt) OVER (PARTITION BY event_type ORDER BY day
-                                   ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING) AS trail_sum,
-                    count(cnt) OVER (PARTITION BY event_type ORDER BY day
-                                     ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING) AS trail_days
-                  FROM d)
-            SELECT event_type, day, cnt,
-              CAST(coalesce(trail_sum, 0) AS BIGINT) AS trail_sum,
-              CAST(trail_days AS BIGINT) AS trail_days,
-              CAST(CASE WHEN trail_days = 7 AND cnt * 7 > trail_sum * 2
-                        THEN 1 ELSE 0 END AS BIGINT) AS is_spike
-            FROM x"""))
-
-  /** EXACT global median without a global sort — the 100 TB order-
-    * statistic pattern: (1) one aggregation builds a bounded value-
-    * bucket histogram (cents div 1000), (2) a cumulative walk over the
-    * TINY histogram locates the bucket holding the target rank and its
-    * in-bucket offset, (3) a second pass ranks ONLY that bucket's rows
-    * (bounded by the bucket width, not the corpus). Two scans beat one
-    * global sort at scale; every rank is an integer, ties break on
-    * event_id. The oracle does the straightforward global rank — same
-    * row, different plan.
-    */
-  private val qGlobalMedian = GraftQuery(
-    "q_global_median",
-    (s, dir) => {
-      import org.apache.spark.sql.expressions.Window
-      val ev = events(s, dir).select(col("event_id"),
-        expr("cast(cast(value as decimal(18,2)) * 100 as bigint)").as("cents"))
-      val hist = ev.select(expr("cents div 1000").as("bucket"))
-        .groupBy(col("bucket")).agg(count(lit(1)).as("cnt"))
-      // the cumulative walk's unpartitioned window runs over the BUCKET
-      // HISTOGRAM (cardinality = value range / 1000, never the corpus) —
-      // the WindowExec single-partition warning it triggers is expected
-      // and bounded, not a scale bug; the per-row refine pass below is
-      // keyed (PlanSpec pins windowspecdefinition(med_bucket))
-      val cum = hist
-        .withColumn("cum", sum(col("cnt")).over(
-          Window.orderBy(col("bucket")).rowsBetween(Window.unboundedPreceding, 0)))
-        .withColumn("n", sum(col("cnt")).over(Window.partitionBy(lit(1))))
-      val medb = cum
-        .filter(col("cum") >= expr("(n + 1) div 2"))
-        .orderBy(col("bucket")).limit(1)
-        .select(col("bucket").as("med_bucket"),
-          expr("(n + 1) div 2 - (cum - cnt)").as("offset"), col("n"))
-      ev.crossJoin(broadcast(medb))
-        .filter(expr("cents div 1000") === col("med_bucket"))
-        .withColumn("rk", row_number().over(
-          Window.partitionBy("med_bucket").orderBy(col("cents"), col("event_id"))))
-        .filter(col("rk") === col("offset"))
-        .select(col("n"), col("cents").as("median_cents"))
-    },
-    Some("""WITH ev AS (SELECT event_id,
-                  CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents FROM events),
-            r AS (SELECT cents, row_number() OVER (ORDER BY cents, event_id) AS rk,
-                    count(*) OVER () AS n FROM ev)
-            SELECT CAST(max(n) AS BIGINT) AS n,
-              max(CASE WHEN rk = (n + 1) // 2 THEN cents END) AS median_cents
-            FROM r"""))
-
-  private val qLangConfusion = GraftQuery(
-    "q_lang_confusion",
-    (s, dir) =>
-      qLangId.fn(s, dir)
-        .groupBy("lang", "lang_pred").agg(count(lit(1)).as("n_docs")),
-    Some(s"""WITH t0 AS (SELECT doc_id, lang, $toksSql AS tk FROM documents),
-             sc AS (SELECT doc_id, lang, $langScoreSql FROM t0)
-             SELECT lang, $langCaseSql AS lang_pred, CAST(count(*) AS BIGINT) AS n_docs
-             FROM sc GROUP BY 1, 2"""))
-
-  /** Per-key running stats over the event stream (reference
-    * StreamExt::fold, src/lib.rs:11-13, + lag_window, src/window.rs:9-41,
-    * composed): event index, cumulative sum (exact decimal),
-    * and a 5-event count-window moving average in exact milli-units.
-    * All three frames share ONE window spec (partition user_id, order
-    * ts/event_id): one shuffle, one per-key sort, every frame computed
-    * on the same sorted run. The average is integer `div` on exact
-    * cents so no cross-engine float rounding exists.
-    */
-  private val qRunningStats = GraftQuery(
-    "q_running_stats",
-    (s, dir) => {
-      import org.apache.spark.sql.expressions.Window
-      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
-      val cents = (col("value").cast(dec) * 100).cast("long")
-      events(s, dir)
-        .select(col("event_id"), col("user_id"),
-          row_number().over(w).cast("long").as("pos"),
-          sum(col("value").cast(dec))
-            .over(w.rowsBetween(Window.unboundedPreceding, 0))
-            .cast("double").as("run_sum"),
-          sum(cents).over(w.rowsBetween(-4, 0)).as("__c5"),
-          count(lit(1)).over(w.rowsBetween(-4, 0)).as("__n5"))
-        .withColumn("mov_avg_milli", expr("(__c5 * 10) div __n5"))
-        .drop("__c5", "__n5")
-    },
-    Some("""SELECT event_id, user_id,
-              CAST(row_number() OVER w AS BIGINT) AS pos,
-              CAST(sum(CAST(value AS DECIMAL(18,2))) OVER (w ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS run_sum,
-              CAST(sum(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) OVER (w ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) * 10
-                   // count(*) OVER (w ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS BIGINT) AS mov_avg_milli
-            FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)"""))
-
-  /** Exponential smoothing (EWMA, α = 0.3) of each user's value
-    * series in EXACT integer arithmetic: e₀ = v₀, eᵢ = (300·vᵢ +
-    * 700·eᵢ₋₁) div 1000 over cents — the float-free skeleton of the
-    * smoothed-metric layer (same integer-milli discipline as
-    * q_running_stats), so batch, the streaming twin
-    * (StreamingOps.ewma) and the DuckDB oracle agree bit-for-bit.
-    * Values must be non-negative for div/floor-division agreement
-    * (they are: event values are amounts).
-    *
-    * Scale shape: a linear recurrence is inherently sequential PER KEY
-    * (each step needs its predecessor), so the engine folds a per-key
-    * ordered array — one groupBy exchange, fold work linear in the
-    * key's history, parallel across keys (the only axis that grows at
-    * 100 TB; per-entity history is bounded). No window, no self-join;
-    * the (ts, event_id) sort happens inside sort_array on
-    * key-local data, never as a global sort.
-    */
-  private val qEwma = GraftQuery(
-    "q_ewma",
-    (s, dir) =>
-      events(s, dir)
-        .select(col("user_id"),
-          struct(col("ts"), col("event_id"),
-            (col("value").cast(dec) * 100).cast("long").as("cents")).as("__e"))
-        .groupBy("user_id")
-        .agg(sort_array(collect_list(col("__e"))).as("__l"), count(lit(1)).as("n"))
-        .withColumn("__c", expr("transform(__l, x -> x.cents)"))
-        .select(col("user_id"), col("n"),
-          expr("""aggregate(slice(__c, 2, size(__c) - 1), element_at(__c, 1),
-                            (acc, x) -> (300 * x + 700 * acc) div 1000)""").as("ewma_cents")),
-    Some("""SELECT user_id, CAST(count(*) AS BIGINT) AS n,
-              list_reduce(list(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) ORDER BY ts, event_id),
-                          (acc, x) -> (300 * x + 700 * acc) // 1000) AS ewma_cents
-            FROM events GROUP BY user_id"""))
-
-  /** CUSUM drift detection (Page 1954) per user, in closed RELATIONAL
-    * form: the recurrence sᵢ = max(0, sᵢ₋₁ + (vᵢ − μ)) has the closed
-    * form sᵢ = Pᵢ − min(0, min_{j≤i} Pⱼ) where Pᵢ is the prefix sum of
-    * deviations — so the whole change-point statistic is two running
-    * windows over ONE (user, time) sort, no sequential fold at all
-    * (unlike q_ewma, whose recurrence has no such closed form). μ is
-    * the user's integer mean cents; emits the peak CUSUM excursion
-    * (the drift alarm statistic) and the number of resets (s returning
-    * to 0 = distinct drift episodes). All integer arithmetic on exact
-    * cents — portable bit-for-bit.
-    *
-    * Scale shape: one exchange on user_id; the partition-total mean
-    * and both running frames share that partitioning (the ordered
-    * frames share one sort); final rollup is a partial agg on the same
-    * key. Nothing global, nothing quadratic.
-    */
-  private val qCusum = GraftQuery(
-    "q_cusum",
-    (s, dir) => {
-      import org.apache.spark.sql.expressions.Window
-      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
-        .rowsBetween(Window.unboundedPreceding, 0)
-      events(s, dir)
-        .select(col("user_id"), col("ts"), col("event_id"),
-          (col("value").cast(dec) * 100).cast("long").as("__cents"))
-        .withColumn("__mu",
-          expr("sum(__cents) OVER (PARTITION BY user_id) div count(1) OVER (PARTITION BY user_id)"))
-        .withColumn("__p", sum(col("__cents") - col("__mu")).over(w))
-        .withColumn("__s", col("__p") - least(lit(0L), min(col("__p")).over(w)))
-        .groupBy(col("user_id"))
-        .agg(count(lit(1)).as("n"), max(col("__mu")).as("mu_cents"),
-          max(col("__s")).as("peak_cusum"),
-          sum(when(col("__s") === 0L, 1L).otherwise(0L)).as("n_resets"))
-    },
-    Some("""WITH x AS (
-              SELECT user_id, ts, event_id,
-                CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents,
-                sum(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) OVER (PARTITION BY user_id)
-                  // count(*) OVER (PARTITION BY user_id) AS mu
-              FROM events),
-             p AS (
-              SELECT user_id, mu, ts, event_id,
-                sum(cents - mu) OVER w AS pp
-              FROM x WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING)),
-             q AS (
-              SELECT user_id, mu, pp,
-                min(pp) OVER w AS mn
-              FROM p WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING))
-             SELECT user_id, CAST(count(*) AS BIGINT) AS n,
-               CAST(max(mu) AS BIGINT) AS mu_cents,
-               CAST(max(pp - least(0, mn)) AS BIGINT) AS peak_cusum,
-               CAST(sum(CASE WHEN pp - least(0, mn) = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_resets
-             FROM q GROUP BY user_id"""))
-
-  /** Per-key least-squares trend (the regression member of the
-    * running-stats family — q_running_stats gives moments, q_ewma a
-    * smoothed level, q_cusum a drift alarm; this gives the SLOPE): an
-    * OLS fit of exact cents against the per-user event index, emitted
-    * as the exact integer numerator/denominator pair
-    * num = n·Σxy − Σx·Σy, den = n·Σx² − (Σx)² (slope = num/den; the
-    * division is left to the consumer so the contract stays bit-exact)
-    * plus the sign classification. x is the 0-based (ts, event_id)
-    * rank, so the fit is invariant to the tape's absolute epoch.
-    *
-    * Scale shape: ONE exchange on user_id — the row_number window and
-    * the groupBy reuse the same hash partitioning; all sums are
-    * map-side partial-agg longs. 64-bit headroom: n·Σx² ~ n⁴·… holds
-    * past ~50k events/key at cent scale; beyond that lift the four
-    * sums to DECIMAL(38,0) (same plan shape, still exact).
-    */
-  private val qTrendSlope = GraftQuery(
-    "q_trend_slope",
-    (s, dir) => {
-      import org.apache.spark.sql.expressions.Window
-      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
-      events(s, dir)
-        .select(col("user_id"), col("ts"), col("event_id"),
-          (col("value").cast(dec) * 100).cast("long").as("__y"))
-        .withColumn("__x", (row_number().over(w) - 1).cast("long"))
-        .groupBy("user_id")
-        .agg(count(lit(1)).as("n"), sum(col("__x")).as("__sx"),
-          sum(col("__y")).as("__sy"),
-          sum(col("__x") * col("__y")).as("__sxy"),
-          sum(col("__x") * col("__x")).as("__sxx"))
-        .select(col("user_id"), col("n"),
-          (col("n") * col("__sxy") - col("__sx") * col("__sy")).as("num"),
-          (col("n") * col("__sxx") - col("__sx") * col("__sx")).as("den"))
-        .withColumn("trend",
-          when(col("num") > 0, lit("up"))
-            .when(col("num") < 0, lit("down")).otherwise(lit("flat")))
-    },
-    Some("""WITH e AS (SELECT user_id,
-              CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS y,
-              CAST(row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) - 1 AS BIGINT) AS x
-            FROM events),
-            a AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n,
-              CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
-              CAST(sum(x*y) AS BIGINT) AS sxy, CAST(sum(x*x) AS BIGINT) AS sxx
-            FROM e GROUP BY 1)
-            SELECT user_id, n, n*sxy - sx*sy AS num, n*sxx - sx*sx AS den,
-              CASE WHEN n*sxy - sx*sy > 0 THEN 'up'
-                   WHEN n*sxy - sx*sy < 0 THEN 'down' ELSE 'flat' END AS trend
-            FROM a"""))
-
-  /** Per-key lag-1 autocorrelation — the serial-dependence member of
-    * the running-stats family (q_trend_slope gives the drift, this the
-    * STICKINESS: do deviations persist or mean-revert?). Deviations
-    * are taken from the exact floor-mean (μ = Σc div n, the q_cusum
-    * convention), so num = Σ dᵢ·dᵢ₊₁ and den = Σ dᵢ² are exact
-    * integers (ACF = num/den left to the consumer) plus the sign
-    * class. ONE user_id exchange: the partition-total mean frame, the
-    * lead frame, and the final sums all share it (plan-pinned).
-    */
-  private val qAutocorr = GraftQuery(
-    "q_autocorr",
-    (s, dir) => {
-      import org.apache.spark.sql.expressions.Window
-      val wo = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
-      events(s, dir)
-        .select(col("user_id"), col("ts"), col("event_id"),
-          (col("value").cast(dec) * 100).cast("long").as("__c"))
-        .withColumn("__mu",
-          expr("sum(__c) OVER (PARTITION BY user_id) div count(1) OVER (PARTITION BY user_id)"))
-        .withColumn("__d", col("__c") - col("__mu"))
-        .withColumn("__dn", lead(col("__d"), 1).over(wo))
-        .groupBy("user_id")
-        .agg(count(lit(1)).as("n"), max(col("__mu")).as("mu_cents"),
-          sum(col("__d") * col("__d")).as("den"),
-          sum(when(col("__dn").isNotNull, col("__d") * col("__dn")).otherwise(0L)).as("num"))
-        .withColumn("ac_sign",
-          when(col("num") > 0, lit("pos"))
-            .when(col("num") < 0, lit("neg")).otherwise(lit("zero")))
-    },
-    Some("""WITH x AS (SELECT user_id, ts, event_id,
-              CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS c FROM events),
-            m AS (SELECT user_id, ts, event_id, c,
-              sum(c) OVER (PARTITION BY user_id) // count(*) OVER (PARTITION BY user_id) AS mu FROM x),
-            d AS (SELECT user_id, mu, c - mu AS dd,
-              lead(c - mu) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS dn FROM m)
-            SELECT user_id, CAST(count(*) AS BIGINT) AS n,
-              CAST(max(mu) AS BIGINT) AS mu_cents,
-              CAST(sum(dd*dd) AS BIGINT) AS den,
-              CAST(sum(CASE WHEN dn IS NOT NULL THEN dd*dn ELSE 0 END) AS BIGINT) AS num,
-              CASE WHEN sum(CASE WHEN dn IS NOT NULL THEN dd*dn ELSE 0 END) > 0 THEN 'pos'
-                   WHEN sum(CASE WHEN dn IS NOT NULL THEN dd*dn ELSE 0 END) < 0 THEN 'neg'
-                   ELSE 'zero' END AS ac_sign
-            FROM d GROUP BY user_id"""))
-
-  /** Exact substring-duplication signal (the span-level twin of
-    * document near-dup): for each doc, how many of its distinct 8-token
-    * windows also occur in ANOTHER doc. Spans ride as portable 60-bit
-    * md5 hashes (never the strings — and genuinely 60-bit: the 31-bit
-    * reduction's birthday collisions would manufacture false shared
-    * spans at production window counts) so the df shuffle moves 8 B per
-    * span; a count-over-partition on the span hash replaces the df
-    * self-join, so span df + per-doc rollup is ONE hash shuffle total.
-    * Docs under 8 tokens have no spans and emit no row.
-    */
-  private val qSpanDedup = GraftQuery(
-    "q_span_dedup",
-    (s, dir) => {
-      import org.apache.spark.sql.expressions.Window
-      val g = Fence.guard(
-          t(s, dir, "documents")
-            .select(col("doc_id"), TextFns.tokensFast(col("text")).as("__toks"), Fence.col))
-        .filter(size(col("__toks")) >= 8)
-        .select(col("doc_id"),
-          explode(DedupFns.wordNgramsFast(col("__toks"), 8)).as("__gram"))
-        .select(col("doc_id"), TextFns.tokenHash(col("__gram")).as("__gh"))
-      g.withColumn("__df", count(lit(1)).over(Window.partitionBy("__gh")))
-        .groupBy("doc_id")
-        .agg(count(lit(1)).as("n_spans"),
-          count(when(col("__df") >= 2, 1)).as("n_dup_spans"))
-        .withColumn("dup_milli", expr("n_dup_spans * 1000 div n_spans"))
-    },
-    Some(s"""WITH t0 AS (SELECT doc_id, $toksSql AS tk FROM documents),
-             g AS (SELECT doc_id,
-                     CASE WHEN len(tk) >= 8
-                          THEN list_distinct(list_transform(range(0, len(tk) - 7),
-                                 i -> array_to_string(list_slice(tk, i + 1, i + 8), ' ')))
-                          ELSE []::VARCHAR[] END AS gs
-                   FROM t0),
-             gr AS (SELECT doc_id, ${h60Sql("unnest(gs)")} AS gh FROM g),
-             d AS (SELECT gh, count(*) AS df FROM gr GROUP BY gh)
-             SELECT doc_id, CAST(count(*) AS BIGINT) AS n_spans,
-               CAST(sum(CASE WHEN df >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_spans,
-               CAST(sum(CASE WHEN df >= 2 THEN 1 ELSE 0 END) * 1000 // count(*) AS BIGINT) AS dup_milli
-             FROM gr JOIN d USING (gh) GROUP BY doc_id"""))
 
   /** Broadcast-denylist term scrubbing (policy filtering): drop every
     * denylisted token, count the hits, and fingerprint the scrubbed
@@ -5763,71 +692,7 @@ object Queries {
     * order- and duplicate-preserving) — no interpreted lambda, no
     * shuffle; the denylist rides in the plan as literals.
     */
-  private val ScrubTerms = Seq("spark", "customer", "vector")
-  private val qTermScrub = GraftQuery(
-    "q_term_scrub",
-    (s, dir) => {
-      val scrubbed = ScrubTerms.foldLeft(col("__toks"))((c, t) => array_remove(c, t))
-      Fence.guard(
-          t(s, dir, "documents")
-            .select(col("doc_id"), TextFns.tokensFast(col("text")).as("__toks"), Fence.col))
-        .select(col("doc_id"),
-          size(col("__toks")).cast("long").as("n_tokens"),
-          scrubbed.as("__clean"))
-        .select(col("doc_id"), col("n_tokens"),
-          (col("n_tokens") - size(col("__clean"))).cast("long").as("n_hits"),
-          md5(concat_ws(" ", col("__clean"))).as("scrub_fp"))
-    },
-    Some(s"""WITH t0 AS (SELECT doc_id, $toksSql AS tk FROM documents),
-             x AS (SELECT doc_id, tk,
-                     list_filter(tk, t -> t NOT IN (${ScrubTerms.map(t => s"'$t'").mkString(", ")})) AS clean
-                   FROM t0)
-             SELECT doc_id, CAST(len(tk) AS BIGINT) AS n_tokens,
-               CAST(len(tk) - len(clean) AS BIGINT) AS n_hits,
-               md5(array_to_string(clean, ' ')) AS scrub_fp
-             FROM x"""))
-
-  /** Bigram collocation mining by integer lift: how much more often
-    * two tokens appear ADJACENT than unigram frequencies predict —
-    * lift = P(x,y)/(P(x)P(y)) = c_xy·N·1000 / (c_x·c_y) in exact
-    * milli-units. Bigram formation is `arrays_zip` of two slices
-    * (codegen'd, map-only — no per-doc shuffle, no lambda); unigram
-    * counts join back by term equi-join (AQE broadcasts when the vocab
-    * is small). c_xy ≥ 5 bounds the output to repeated collocations.
-    * At 100 TB swap the lift numerator to DECIMAL(38,0): c_xy·N·1000
-    * can exceed 2^63 when N ~ 10^12.
-    */
-  /** BPE PAIR-COUNT step — the inner loop of byte-pair-encoding vocab
-    * induction (Sennrich et al. 2016): count adjacent CHARACTER pairs
-    * inside word tokens across the corpus and emit the top-20 merge
-    * candidates (the pair a BPE trainer would merge next is rank 1).
-    * Pairs explode map-only from the fenced token array via an
-    * in-array substr transform; ONE pair shuffle with map-side
-    * partials; top-20 via TakeOrdered on (count desc, pair) — never a
-    * global sort. The word-level counterpart is q_bigram_lift; this is
-    * the character level where tokenizers are actually trained.
-    */
-  private val qBpePairs = GraftQuery(
-    "q_bpe_pairs",
-    (s, dir) => {
-      val pairs = Fence.guard(t(s, dir, "documents")
-          .select(TextFns.tokensFast(col("text")).as("__tk"), Fence.col))
-        .select(explode(col("__tk")).as("tok"))
-        .filter(length(col("tok")) >= 2)
-        .select(explode(expr(
-          "transform(sequence(1, length(tok) - 1), i -> substr(tok, i, 2))")).as("pair"))
-      pairs.groupBy(col("pair")).agg(count(lit(1)).as("cnt"))
-        .orderBy(col("cnt").desc, col("pair")).limit(20)
-        .withColumn("rank", row_number().over(
-          org.apache.spark.sql.expressions.Window.orderBy(col("cnt").desc, col("pair"))).cast("long"))
-    },
-    Some(s"""WITH tk AS (SELECT unnest($toksSql) AS tok FROM documents),
-             pr AS (SELECT unnest(list_transform(range(1, length(tok)),
-                      i -> substr(tok, i, 2))) AS pair
-                    FROM tk WHERE length(tok) >= 2),
-             c AS (SELECT pair, CAST(count(*) AS BIGINT) AS cnt FROM pr GROUP BY pair)
-             SELECT pair, cnt, CAST(row_number() OVER (ORDER BY cnt DESC, pair) AS BIGINT) AS rank
-             FROM c ORDER BY cnt DESC, pair LIMIT 20"""))
+  private[graft] val ScrubTerms = Seq("spark", "customer", "vector")
 
   /** ITERATED BPE vocabulary induction (Sennrich et al. 2016, the full
     * learn-BPE loop — completes the single-step q_bpe_pairs): k=10
@@ -5883,13 +748,15 @@ object Queries {
     * memo itself is dropped. Round16OpsSpec pins memo-read ==
     * cold-rebuild equality.
     */
-  private val bpeCache = scala.collection.concurrent.TrieMap
+  private[graft] val bpeCache = scala.collection.concurrent.TrieMap
     .empty[(SparkSession, String, Int), (Vector[DataFrame], Vector[DataFrame])]
-  private def bpeRounds(s: SparkSession, dir: String,
+
+  private[graft] def bpeRounds(s: SparkSession, dir: String,
       rounds: Int): (Vector[DataFrame], Vector[DataFrame]) =
     bpeCache.getOrElseUpdate((s, dir, rounds), bpeRoundsCold(s, dir, rounds))
 
-  private def bpeRoundsCold(s: SparkSession, dir: String,
+
+  private[graft] def bpeRoundsCold(s: SparkSession, dir: String,
       rounds: Int): (Vector[DataFrame], Vector[DataFrame]) = {
       val un = Fence.guard(t(s, dir, "documents")
           .select(TextFns.tokensFast(col("text")).as("__tk"), Fence.col))
@@ -5936,23 +803,6 @@ object Queries {
       (merges, vocabs)
   }
 
-  private val qBpeMerges = GraftQuery(
-    "q_bpe_merges",
-    (s, dir) => {
-      val (merges, _) = bpeRounds(s, dir, rounds = 10)
-      merges.reduce(_ unionByName _)
-        .select(col("merge_round"), col("x").as("lhs"), col("y").as("rhs"),
-          concat(col("x"), col("y")).as("merged"), col("cnt"))
-        .orderBy("merge_round")
-    },
-    Some {
-      val union = (1 to 10)
-        .map(r => s"SELECT CAST($r AS BIGINT) AS merge_round, x, y, cnt FROM b$r")
-        .mkString(" UNION ALL ")
-      s"""WITH ${bpeChainSql(10)}
-          SELECT merge_round, x AS lhs, y AS rhs, x || y AS merged, cnt
-          FROM ($union) ORDER BY merge_round"""
-    })
 
   /** DuckDB mirror of the bpeRounds loop: CTE chain v0, (p_r, b_r,
     * v_r) for r = 1..rounds — shared by the q_bpe_merges and
@@ -5962,7 +812,7 @@ object Queries {
     * 2^10 copies of the documents scan (observed as "Too many open
     * files" at sf0.001).
     */
-  private def bpeChainSql(rounds: Int): String = {
+  private[graft] def bpeChainSql(rounds: Int): String = {
     val v0 =
       s"""v0 AS MATERIALIZED (SELECT array_to_string(list_transform(range(1, length(tok) + 1),
                      i -> substr(tok, i, 1)), '  ') || '  </w>' AS w,
@@ -5984,266 +834,6 @@ object Queries {
     s"$v0,\n$chain"
   }
 
-  /** BPE APPLY / compression curve (completes q_bpe_merges — the
-    * monitoring view a tokenizer trainer watches while learning
-    * merges): after every merge round r = 0..10, the corpus
-    * tokenization statistics over the merged vocabulary — distinct
-    * words, distinct symbols (the growing subword vocabulary), total
-    * weighted symbol instances (the shrinking tokenized-corpus
-    * length), and average symbols-per-word in exact milli-units.
-    * Round 0 is the pre-merge character tokenization, so the curve
-    * starts at chars+1 per word and falls as merges absorb frequent
-    * pairs — Sennrich 2016's compression trade-off made queryable.
-    *
-    * Scale shape: identical to q_bpe_merges (one corpus tokenize, all
-    * rounds vocab-bounded under checkpoint discipline); each round
-    * adds two vocab-bounded partial-agg rollups (stats + distinct
-    * symbols) producing one output row.
-    */
-  private val qBpeApply = GraftQuery(
-    "q_bpe_apply",
-    (s, dir) => {
-      val (_, vocabs) = bpeRounds(s, dir, rounds = 10)
-      val stats = vocabs.zipWithIndex.map { case (v, r) =>
-        val sy = v.select(split(col("w"), "  ").as("sy"), col("f"))
-        val a = sy.agg(count(lit(1)).as("n_words"),
-          sum(col("f") * size(col("sy"))).as("total_instances"),
-          sum(col("f")).as("__fsum"))
-        val b = sy.select(explode(col("sy")).as("s"))
-          .agg(countDistinct(col("s")).as("n_symbols"))
-        a.crossJoin(b).select(lit(r.toLong).as("merge_round"), col("n_words"),
-          col("n_symbols"), col("total_instances"),
-          expr("(total_instances * 1000) div __fsum").as("avg_sym_milli"))
-      }
-      stats.reduce(_ unionByName _).orderBy("merge_round")
-    },
-    Some {
-      val perRound = (0 to 10).map { r =>
-        s"""SELECT CAST($r AS BIGINT) AS merge_round,
-              CAST(count(*) AS BIGINT) AS n_words,
-              (SELECT CAST(count(DISTINCT s) AS BIGINT)
-               FROM (SELECT unnest(string_split(w, '  ')) AS s FROM v$r)) AS n_symbols,
-              CAST(sum(f * len(string_split(w, '  '))) AS BIGINT) AS total_instances,
-              CAST((sum(f * len(string_split(w, '  '))) * 1000) // sum(f) AS BIGINT) AS avg_sym_milli
-            FROM v$r"""
-      }.mkString(" UNION ALL ")
-      s"""WITH ${bpeChainSql(10)}
-          SELECT * FROM ($perRound) ORDER BY merge_round"""
-    })
-
-  /** Corpus-level BPE ENCODE (VERDICT r14 missing item — the
-    * production tokenization step the q_bpe_merges learn loop trains
-    * FOR): apply the learned 10-round merge table to EVERY document
-    * and emit per-doc subword statistics — word count, total subword
-    * token count (the number a token-budget pipeline bills), and a
-    * 60-bit fingerprint of the exact encoded symbol sequence (order
-    * included), so any re-encode drift is detectable as data.
-    *
-    * The encode rides the DICTIONARY, not the documents: the learn
-    * loop's final vocabulary (vocabs(10)) already IS every distinct
-    * word's fully-merged symbol string, and stripping the join spaces
-    * + the </w> marker recovers the original word — so applying BPE
-    * to the corpus is one posexplode of the (already-fenced) token
-    * arrays + one equi-join against the vocab-bounded merge result +
-    * one doc-keyed partial aggregate. No per-document replay of the
-    * merge chain: the 10 replaces ran once per DISTINCT word inside
-    * bpeRounds (exactly how production tokenizers apply BPE — encode
-    * the vocabulary once, look words up). Scale shape: the vocab
-    * relation is broadcast here (≤ distinct tokens); at 100 TB it is
-    * a plain shuffle equi-join on the token — either way the corpus
-    * is touched once past the learn loop's own tokenize.
-    *
-    * Per-doc fingerprint portability: the encoded symbol strings
-    * (double-space joined, so the separator ' | ' can never collide)
-    * are ordered by token position via the array_sort(struct(pos, w))
-    * device (q_domain_sim's centroid assembly) and md5-hashed to the
-    * h60 integer — DuckDB replays it as string_agg(... ORDER BY pos).
-    */
-  private val qBpeEncode = GraftQuery(
-    "q_bpe_encode",
-    (s, dir) => {
-      val (_, vocabs) = bpeRounds(s, dir, rounds = 10)
-      val vm = vocabs.last.select(col("w"),
-        size(split(col("w"), "  ")).cast("long").as("nsym"),
-        expr("substring(replace(w, ' ', ''), 1, length(replace(w, ' ', '')) - 4)").as("tok"))
-      val d = Fence.guard(t(s, dir, "documents")
-          .select(col("doc_id"), TextFns.tokensFast(col("text")).as("__tk"), Fence.col))
-        .select(col("doc_id"), posexplode(col("__tk")).as(Seq("pos", "tok")))
-      d.join(broadcast(vm), Seq("tok"))
-        .groupBy(col("doc_id"))
-        .agg(count(lit(1)).as("n_words"),
-          sum(col("nsym")).as("n_tokens"),
-          conv(substring(md5(array_join(transform(
-            array_sort(collect_list(struct(col("pos"), col("w")))),
-            x => x.getField("w")), " | ")), 1, 15), 16, 10).cast("long").as("fingerprint"))
-    },
-    Some(s"""WITH ${bpeChainSql(10)},
-             vm AS (SELECT w, CAST(len(string_split(w, '  ')) AS BIGINT) AS nsym,
-                      left(replace(w, ' ', ''), length(replace(w, ' ', '')) - 4) AS tok
-                    FROM v10),
-             d AS (SELECT doc_id, $toksSql AS tk FROM documents),
-             px AS (SELECT doc_id, unnest(range(1, len(tk) + 1)) AS pos,
-                      unnest(tk) AS tok FROM d),
-             j AS (SELECT p.doc_id, p.pos, v.w, v.nsym FROM px p JOIN vm v USING (tok))
-             SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
-               CAST(sum(nsym) AS BIGINT) AS n_tokens,
-               ('0x' || substr(md5(string_agg(w, ' | ' ORDER BY pos)), 1, 15))::BIGINT AS fingerprint
-             FROM j GROUP BY doc_id"""))
-
-  /** COUNT-ONLY corpus BPE encode (round 16 — VERDICT r15 item 3, the
-    * sf10-sweep member of the encode pair): [[qBpeEncode]] minus the
-    * fingerprint payload — per doc just the word count and the billed
-    * subword token count, i.e. exactly what a token-budget pipeline
-    * reads. Dropping the fingerprint removes the ONLY corpus-linear
-    * piece of the encode's shuffle payload: no positions travel (plain
-    * explode, not posexplode), no per-token structs are collect_list'd
-    * — the doc-keyed aggregate carries two longs per doc and partial-
-    * aggregates map-side, so past the (memoized) learn loop the encode
-    * is one broadcast equi-join + one count/sum rollup. BASELINE's
-    * round-15 note predicted this goes sublinear in the second decade;
-    * the round-16 appendix carries the measured curve. The
-    * fingerprinted query stays the product surface (re-encode drift
-    * detection needs the order-sensitive hash); this is the shape you
-    * run every ingest at 100 TB.
-    */
-  private val qBpeEncodeCounts = GraftQuery(
-    "q_bpe_encode_counts",
-    (s, dir) => {
-      val (_, vocabs) = bpeRounds(s, dir, rounds = 10)
-      val vm = vocabs.last.select(
-        size(split(col("w"), "  ")).cast("long").as("nsym"),
-        expr("substring(replace(w, ' ', ''), 1, length(replace(w, ' ', '')) - 4)").as("tok"))
-      val d = Fence.guard(t(s, dir, "documents")
-          .select(col("doc_id"), TextFns.tokensFast(col("text")).as("__tk"), Fence.col))
-        .select(col("doc_id"), explode(col("__tk")).as("tok"))
-      d.join(broadcast(vm), Seq("tok"))
-        .groupBy(col("doc_id"))
-        .agg(count(lit(1)).as("n_words"), sum(col("nsym")).as("n_tokens"))
-    },
-    Some(s"""WITH ${bpeChainSql(10)},
-             vm AS (SELECT CAST(len(string_split(w, '  ')) AS BIGINT) AS nsym,
-                      left(replace(w, ' ', ''), length(replace(w, ' ', '')) - 4) AS tok
-                    FROM v10),
-             d AS (SELECT doc_id, $toksSql AS tk FROM documents),
-             px AS (SELECT doc_id, unnest(tk) AS tok FROM d),
-             j AS (SELECT p.doc_id, v.nsym FROM px p JOIN vm v USING (tok))
-             SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
-               CAST(sum(nsym) AS BIGINT) AS n_tokens
-             FROM j GROUP BY doc_id"""))
-
-  private val qBigramLift = GraftQuery(
-    "q_bigram_lift",
-    (s, dir) => {
-      val toks = Fence.guard(
-          t(s, dir, "documents")
-            .select(TextFns.tokensFast(col("text")).as("__toks"), Fence.col))
-        .filter(size(col("__toks")) >= 2)
-      val pairs = toks
-        .select(explode(arrays_zip(
-          slice(col("__toks"), lit(1), size(col("__toks")) - 1),
-          slice(col("__toks"), lit(2), size(col("__toks")) - 1))).as("p"))
-        .select(col("p.0").as("x"), col("p.1").as("y"))
-      // ONE tokenize feeds the unigram table; the x-join, y-join AND
-      // the N aggregate all sit on the same canonical groupBy exchange,
-      // which AQE's stage cache runs once at runtime (same reuse
-      // pattern as q_minhash_rescore). shuffle_hash keeps the optimizer
-      // from re-planning the shared side as three independent
-      // broadcasts.
-      val uni = Fence.guard(
-          t(s, dir, "documents")
-            .select(TextFns.tokensFast(col("text")).as("__toks"), Fence.col))
-        .select(explode(col("__toks")).as("term"))
-        .groupBy("term").agg(count(lit(1)).as("c"))
-      // scalar N rides a 1-row broadcast (plans as a nested-loop join
-      // with a single-row build side — Spark's scalar-attach shape:
-      // no shuffle, O(rows), nothing actually loops)
-      val n = uni.agg(sum(col("c")).cast("long").as("n_total"))
-      pairs.groupBy("x", "y").agg(count(lit(1)).as("c_xy"))
-        .filter(col("c_xy") >= 5)
-        .join(uni.as("ux").hint("shuffle_hash"), col("x") === col("ux.term"))
-        .join(uni.as("uy").hint("shuffle_hash"), col("y") === col("uy.term"))
-        .crossJoin(broadcast(n))
-        .select(col("x"), col("y"), col("c_xy"),
-          col("ux.c").as("__cx"), col("uy.c").as("__cy"), col("n_total"))
-        .select(col("x"), col("y"), col("c_xy"),
-          expr("c_xy * n_total * 1000 div (__cx * __cy)").as("lift_milli"))
-    },
-    Some(s"""WITH t0 AS (SELECT $toksSql AS tk FROM documents),
-             pr AS (SELECT unnest(list_transform(range(0, len(tk) - 1),
-                      i -> [tk[i+1], tk[i+2]])) AS p
-                    FROM t0 WHERE len(tk) >= 2),
-             bg AS (SELECT p[1] AS x, p[2] AS y, CAST(count(*) AS BIGINT) AS c_xy
-                    FROM pr GROUP BY 1, 2 HAVING count(*) >= 5),
-             un AS (SELECT unnest(tk) AS term FROM t0),
-             uc AS (SELECT term, count(*) AS c FROM un GROUP BY 1),
-             nt AS (SELECT count(*) AS n_total FROM un)
-             SELECT x, y, c_xy,
-               CAST(c_xy * n_total * 1000 // (cx.c * cy.c) AS BIGINT) AS lift_milli
-             FROM bg JOIN uc cx ON bg.x = cx.term
-                     JOIN uc cy ON bg.y = cy.term
-                     CROSS JOIN nt"""))
-
-  /** Market-basket co-purchase mining over the order/part bipartite
-    * graph (the support/confidence/lift core of Agrawal-Srikant
-    * association rules, reference-class analytics over the TPC-H
-    * schema): part pairs that co-occur in an order, with exact
-    * integer-milli confidence (c_ab/c_a) and lift (n·c_ab/(c_a·c_b)).
-    *
-    * Scale shape: the pair generator is a SELF-EQUI-JOIN on l_orderkey
-    * over the distinct (order, part) projection — output bounded by
-    * Σ basket² (baskets are small and bounded by order size, never
-    * corpus²), and both join sides ride ONE orderkey exchange (AQE
-    * ReusedExchange). Part supports are a dim-bounded aggregate
-    * attached via shuffle_hash (broadcast-eligible when the part dim
-    * fits); the order total rides a 1-row broadcast. Top-50 by lift is
-    * TakeOrderedAndProject with a full-tuple tie-break — never a
-    * global sort.
-    */
-  private val qCopurchase = GraftQuery(
-    "q_copurchase",
-    (s, dir) => {
-      // li is referenced FOUR times (both pair sides, the per-part
-      // support counts, the order total): the keepAll fence plus
-      // pre-materialized isnotnull on both keys keep every reference's
-      // copy of the (ok, pk) dedup canonically identical, so the fact
-      // scans once and the shared exchange serves all four (the
-      // unfenced form computed three separate scans — PlanAudit).
-      val li = Fence.keepAll(
-        t(s, dir, "lineitem")
-          .filter(col("l_orderkey").isNotNull && col("l_partkey").isNotNull)
-          .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")).distinct())
-      val pairs = li.as("a").join(li.as("b").hint("shuffle_hash"), Seq("ok"))
-        .filter(col("a.pk") < col("b.pk"))
-        .groupBy(col("a.pk").as("p1"), col("b.pk").as("p2"))
-        .agg(count(lit(1)).as("c_ab"))
-        .filter(col("c_ab") >= 3)
-      val supp = li.groupBy(col("pk")).agg(count(lit(1)).as("c"))
-      val n = li.agg(countDistinct(col("ok")).as("n_orders"))
-      pairs
-        .join(supp.as("sa").hint("shuffle_hash"), col("p1") === col("sa.pk"))
-        .join(supp.as("sb").hint("shuffle_hash"), col("p2") === col("sb.pk"))
-        .crossJoin(broadcast(n))
-        .select(col("p1"), col("p2"), col("c_ab"),
-          expr("c_ab * 1000 div sa.c").as("conf_milli"),
-          expr("c_ab * n_orders * 1000 div (sa.c * sb.c)").as("lift_milli"))
-        .orderBy(col("lift_milli").desc, col("c_ab").desc, col("p1"), col("p2"))
-        .limit(50)
-    },
-    Some("""WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem
-                        WHERE l_orderkey IS NOT NULL AND l_partkey IS NOT NULL),
-             pr AS (SELECT a.pk AS p1, b.pk AS p2, CAST(count(*) AS BIGINT) AS c_ab
-                    FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk
-                    GROUP BY 1, 2 HAVING count(*) >= 3),
-             sp AS (SELECT pk, count(*) AS c FROM li GROUP BY 1),
-             n AS (SELECT count(DISTINCT ok) AS n_orders FROM li)
-             SELECT p1, p2, c_ab,
-               CAST(c_ab * 1000 // sa.c AS BIGINT) AS conf_milli,
-               CAST(c_ab * n_orders * 1000 // (sa.c * sb.c) AS BIGINT) AS lift_milli
-             FROM pr JOIN sp sa ON pr.p1 = sa.pk
-                     JOIN sp sb ON pr.p2 = sb.pk
-                     CROSS JOIN n
-             ORDER BY lift_milli DESC, c_ab DESC, p1, p2
-             LIMIT 50"""))
 
   /** Bigram language-model scoring of every document: the mean
     * conditional bigram probability p(y|x) = c(xy)/c(x) over the doc's
@@ -6270,8 +860,9 @@ object Queries {
     * can only ever change in one place. Returns
     * (doc_id, n_bigrams, lm_milli).
     */
-  private def bigramLmPerDoc(s: SparkSession, dir: String): DataFrame =
+  private[graft] def bigramLmPerDoc(s: SparkSession, dir: String): DataFrame =
     bigramLmFromToks(docToks(s, dir))
+
 
   /** bigram-LM kernel from an arbitrary (doc_id, __toks) frame — the
     * TokenMat re-point seam (see bm25ScoresToks).
@@ -6296,10 +887,11 @@ object Queries {
       .select(col("doc_id"), col("n_bigrams"), expr("__sum div n_bigrams").as("lm_milli"))
   }
 
+
   /** DuckDB mirror of bigramLmPerDoc: CTE chain ending in
     * `lm(doc_id, n_bigrams, lm_milli)`; embed as `WITH $bigramLmSql`.
     */
-  private val bigramLmSql: String =
+  private[graft] val bigramLmSql: String =
     s"""t0 AS (SELECT doc_id, $toksSql AS tk FROM documents),
              pr AS (SELECT doc_id, unnest(list_transform(range(0, len(tk) - 1),
                       i -> [tk[i+1], tk[i+2]])) AS p
@@ -6314,1044 +906,6 @@ object Queries {
                       CAST(sum(p) // count(*) AS BIGINT) AS lm_milli
                     FROM sc GROUP BY doc_id)"""
 
-  private val qBigramLm = GraftQuery(
-    "q_bigram_lm",
-    (s, dir) => bigramLmPerDoc(s, dir),
-    Some(s"""WITH $bigramLmSql
-             SELECT doc_id, n_bigrams, lm_milli FROM lm"""))
-
-  /** Per-type outlier trim (top-5% by value): the cutoff is defined by
-    * RANK, not by an interpolated quantile, so every comparison is
-    * exact integer arithmetic — cut position = (n*95) div 100 over
-    * rows ordered by (cents, event_id), rows above it are outliers.
-    * One shuffle + per-type sort for the rank; the per-type totals ride
-    * the same sorted run. Reports the cutoff value and the mass above
-    * it (the winsorization a feature pipeline applies to heavy tails).
-    */
-  private val qOutliers = GraftQuery(
-    "q_outliers",
-    (s, dir) => {
-      val cents = (col("value").cast(dec) * 100).cast("long")
-      Keyed.rankCutoff(
-          events(s, dir).select(col("event_type"), col("event_id"), cents.as("__cents")),
-          Seq("event_type"), Seq(col("__cents"), col("event_id")), permille = 950)
-        .groupBy("event_type")
-        .agg(max(col("__n")).as("n"),
-          max(when(col("__rn") === col("__cut"), col("__cents"))).as("cut_cents"),
-          count(when(col("__rn") > col("__cut"), 1)).as("n_above"),
-          sum(when(col("__rn") > col("__cut"), col("__cents"))).as("sum_above_cents"))
-    },
-    Some("""WITH r AS (
-              SELECT event_type,
-                CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents,
-                row_number() OVER (PARTITION BY event_type
-                                   ORDER BY CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT), event_id) AS rn,
-                count(*) OVER (PARTITION BY event_type) AS n
-              FROM events)
-            SELECT event_type, CAST(max(n) AS BIGINT) AS n,
-              max(CASE WHEN rn = (n * 95) // 100 THEN cents END) AS cut_cents,
-              CAST(sum(CASE WHEN rn > (n * 95) // 100 THEN 1 ELSE 0 END) AS BIGINT) AS n_above,
-              CAST(sum(CASE WHEN rn > (n * 95) // 100 THEN cents END) AS BIGINT) AS sum_above_cents
-            FROM r GROUP BY event_type"""))
-
-  /** Deterministic token-budget corpus cut: walk each source's docs in
-    * the reproducible shuffle order (md5(doc_id), doc_id) and keep docs
-    * until the per-source token budget fills — the "give me N tokens
-    * from this mixture" step that materializes a pretraining data
-    * recipe. Zero RNG state: the same budget always yields the same
-    * corpus. Relational.budgetCut runs the two-phase md5-prefix-bucket
-    * walk (bucketedRunningSum): bucket token totals → exclusive
-    * offsets over bucket rows only → row-level cumulation only in
-    * buckets at or below the budget straddle — no window partitions on
-    * the bare source, and buckets wholly past the budget are pruned
-    * before any row-level work.
-    */
-  private val qTokenBudget = GraftQuery(
-    "q_token_budget",
-    (s, dir) => {
-      import org.apache.spark.sql.expressions.Window
-      val base = Fence.guard(
-          t(s, dir, "documents")
-            .select(col("doc_id"), col("source"),
-              TextFns.tokensFast(col("text")).as("__toks"), Fence.col))
-        .select(col("doc_id"), col("source"),
-          size(col("__toks")).cast("long").as("n_tokens"))
-      Relational.budgetCut(base, "source", "doc_id", "n_tokens", budget = 800L)
-        .withColumnRenamed("cum_n_tokens", "cum_tokens")
-    },
-    Some(s"""WITH t0 AS (SELECT doc_id, source,
-               CAST(len($toksSql) AS BIGINT) AS n_tokens FROM documents),
-             c AS (SELECT doc_id, source, n_tokens,
-                     CAST(sum(n_tokens) OVER (PARTITION BY source
-                       ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
-                       ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
-                   FROM t0)
-             SELECT doc_id, source, n_tokens, cum_tokens
-             FROM c WHERE cum_tokens <= 800"""))
-
-  /** Multi-level rollup (corpus → per-source → per-source-per-lang
-    * totals in ONE scan): Spark `rollup` = DuckDB GROUPING SETS. Group
-    * keys are coalesced to a sentinel and the grouping bitmask rides
-    * along, so no NULL ever reaches the cross-engine compare. Rollup
-    * is partial-agg friendly — one shuffle, no per-level rescan.
-    */
-  private val qRollupStats = GraftQuery(
-    "q_rollup_stats",
-    (s, dir) =>
-      t(s, dir, "documents")
-        .rollup(col("source"), col("lang"))
-        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"),
-          grouping_id().as("gid"))
-        .select(coalesce(col("source"), lit("<all>")).as("source"),
-          coalesce(col("lang"), lit("<all>")).as("lang"),
-          col("n_docs"), col("sum_chars"), col("gid").cast("long").as("gid")),
-    Some("""SELECT COALESCE(source, '<all>') AS source,
-              COALESCE(lang, '<all>') AS lang,
-              CAST(count(*) AS BIGINT) AS n_docs,
-              CAST(sum(n_chars) AS BIGINT) AS sum_chars,
-              CAST(GROUPING(source, lang) AS BIGINT) AS gid
-            FROM documents GROUP BY ROLLUP (source, lang)"""))
-
-  /** Per-key TIME-based sliding aggregate (the event-time twin of the
-    * count-window in q_running_stats): for every event, the count and
-    * exact cents sum of the same user's events in the trailing 30
-    * minutes. A RANGE frame over epoch micros — peers at the same
-    * timestamp are included identically in both engines. One shuffle +
-    * one per-key sort; both frames share the window spec.
-    */
-  private val qTimeWindowSum = GraftQuery(
-    "q_time_window_sum",
-    (s, dir) => {
-      import org.apache.spark.sql.expressions.Window
-      val cents = (col("value").cast(dec) * 100).cast("long")
-      val w = Window.partitionBy("user_id").orderBy(col("__us"))
-        .rangeBetween(-1800000000L, 0L)
-      events(s, dir)
-        .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("__us"),
-          cents.as("__cents"))
-        .select(col("event_id"), col("user_id"),
-          count(lit(1)).over(w).as("n_30m"),
-          sum(col("__cents")).over(w).as("sum_cents_30m"))
-    },
-    Some("""SELECT event_id, user_id,
-              CAST(count(*) OVER w AS BIGINT) AS n_30m,
-              CAST(sum(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) OVER w AS BIGINT) AS sum_cents_30m
-            FROM events
-            WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
-                         RANGE BETWEEN 1800000000 PRECEDING AND CURRENT ROW)"""))
-
-  /** Column profiling (completeness + cardinality per column in ONE
-    * scan): null counts and exact distinct counts for every events
-    * column, unpivoted to a tall (column, stat) table. Multi-column
-    * exact distincts plan as one Expand (scan×k) — the exact-profiling
-    * cost; swap countDistinct for approx_count_distinct at 100 TB when
-    * ±2% suffices. All-integer output, no float surface.
-    */
-  private val qProfile = GraftQuery(
-    "q_profile",
-    (s, dir) => {
-      val cols = Seq("event_id", "ts", "user_id", "event_type", "value", "props")
-      val aggs = count(lit(1)).as("__n") +:
-        cols.flatMap(c => Seq(
-          sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"__${c}_nulls"),
-          countDistinct(col(c)).as(s"__${c}_distinct")))
-      val stackArgs = cols.map(c => s"'$c', __${c}_nulls, __${c}_distinct").mkString(", ")
-      events(s, dir)
-        .agg(aggs.head, aggs.tail: _*)
-        .select(col("__n"), expr(s"stack(${cols.size}, $stackArgs) AS (col_name, n_nulls, n_distinct)"))
-        .select(col("col_name"), col("__n").as("n_rows"),
-          col("n_nulls").cast("long").as("n_nulls"),
-          col("n_distinct").cast("long").as("n_distinct"))
-    },
-    Some("""WITH s AS (
-              SELECT 'event_id' AS col_name, count(*) AS n_rows,
-                sum(CASE WHEN event_id IS NULL THEN 1 ELSE 0 END) AS n_nulls,
-                count(DISTINCT event_id) AS n_distinct FROM events
-              UNION ALL SELECT 'ts', count(*),
-                sum(CASE WHEN ts IS NULL THEN 1 ELSE 0 END), count(DISTINCT ts) FROM events
-              UNION ALL SELECT 'user_id', count(*),
-                sum(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END), count(DISTINCT user_id) FROM events
-              UNION ALL SELECT 'event_type', count(*),
-                sum(CASE WHEN event_type IS NULL THEN 1 ELSE 0 END), count(DISTINCT event_type) FROM events
-              UNION ALL SELECT 'value', count(*),
-                sum(CASE WHEN value IS NULL THEN 1 ELSE 0 END), count(DISTINCT value) FROM events
-              UNION ALL SELECT 'props', count(*),
-                sum(CASE WHEN props IS NULL THEN 1 ELSE 0 END), count(DISTINCT props) FROM events)
-            SELECT col_name, CAST(n_rows AS BIGINT) AS n_rows,
-              CAST(n_nulls AS BIGINT) AS n_nulls, CAST(n_distinct AS BIGINT) AS n_distinct
-            FROM s"""))
-
-  /** Deterministic stratified sampling by rate: keep a FRACTION of each
-    * source (src-dependent permille rate, md5-bucket threshold) — the
-    * rate-based complement of q_sample_per_key's fixed-count sampling
-    * and q_token_budget's budget cut. Map-only: the rate table rides in
-    * the plan as a CASE literal; zero RNG state, rerun-stable.
-    */
-  private val qStratifiedSample = GraftQuery(
-    "q_stratified_sample",
-    (s, dir) => {
-      // permille keep-rates by source bucket (srcN → (N % 4) flavors)
-      val rate = expr("CASE CAST(substr(source, 4, 4) AS INT) % 4 " +
-        "WHEN 0 THEN 1000 WHEN 1 THEN 500 WHEN 2 THEN 250 ELSE 100 END")
-      Relational.stratifiedSample(t(s, dir, "documents"), "doc_id", rate)
-        .select(col("doc_id"), col("source"))
-    },
-    Some("""SELECT doc_id, source FROM documents
-            WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 1000
-                  < CASE CAST(substr(source, 4, 4) AS INT) % 4
-                      WHEN 0 THEN 1000 WHEN 1 THEN 500 WHEN 2 THEN 250 ELSE 100 END"""))
-
-  /** Forward as-of with tolerance: each purchase matched to the NEXT
-    * click by the same user within 10 minutes (Joins.asofJoinForward —
-    * union-merge, one shuffle, no range join). Unmatched purchases ride
-    * with -1 sentinels so the cross-engine compare stays NULL-free.
-    */
-  private val qAsofForward = GraftQuery(
-    "q_asof_forward",
-    (s, dir) => {
-      val ev = events(s, dir)
-      val p = ev.filter(col("event_type") === "purchase")
-        .select(col("event_id").as("purchase_id"), col("user_id"), col("ts"))
-      val c = ev.filter(col("event_type") === "click")
-        .select(col("event_id").as("click_id"), col("user_id").as("c_user_id"),
-          col("ts").as("c_ts"))
-      Joins.asofJoinForward(p, c, "user_id", "c_user_id", "ts", "c_ts",
-          rightOrder = "click_id", rightPayload = Seq("click_id"),
-          toleranceUs = Some(600000000L))
-        .select(col("purchase_id"), col("user_id"),
-          coalesce(col("click_id"), lit(-1L)).as("click_id"),
-          coalesce(col("match_ts_us") - unix_micros(col("ts")), lit(-1L)).as("gap_us"))
-    },
-    Some("""WITH p AS (SELECT event_id AS purchase_id, user_id, epoch_us(ts) AS us
-                       FROM events WHERE event_type = 'purchase'),
-             c AS (SELECT event_id AS click_id, user_id, epoch_us(ts) AS us
-                   FROM events WHERE event_type = 'click'),
-             u AS (SELECT purchase_id, NULL::BIGINT AS click_id, user_id, us, 0 AS side FROM p
-                   UNION ALL
-                   SELECT NULL, click_id, user_id, us, 1 FROM c),
-             m AS (SELECT purchase_id, user_id, us, side,
-                     first_value(click_id IGNORE NULLS) OVER w AS mcid,
-                     first_value(CASE WHEN side = 1 THEN us END IGNORE NULLS) OVER w AS mus
-                   FROM u
-                   WINDOW w AS (PARTITION BY user_id ORDER BY us, side, click_id
-                                ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
-             SELECT purchase_id, user_id,
-               COALESCE(CASE WHEN mus - us <= 600000000 THEN mcid END, -1) AS click_id,
-               COALESCE(CASE WHEN mus - us <= 600000000 THEN mus - us END, -1) AS gap_us
-             FROM m WHERE side = 0"""))
-
-  /** BIDIRECTIONAL as-of — the nearest-event join: q_asof_join matches
-    * backward, q_asof_forward forward; this picks whichever purchase
-    * is CLOSER in time to each click, either direction (ties prefer
-    * the backward match) — the feature-store enrichment semantics
-    * ("the reading nearest the label"). Same union-window discipline
-    * as the directional twins: clicks and purchases ride ONE user_id
-    * exchange carrying two ordered frames (ascending running-last for
-    * the backward candidate, descending for the forward), so there is
-    * no range join and no per-row search — plan-pinned to one
-    * exchange. Emits exact epoch-µs deltas.
-    */
-  private val qAsofNearest = GraftQuery(
-    "q_asof_nearest",
-    (s, dir) => {
-      import org.apache.spark.sql.expressions.Window
-      val wb = Window.partitionBy("user_id").orderBy(col("t"), col("event_id"))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      val wf = Window.partitionBy("user_id").orderBy(col("t").desc, col("event_id").desc)
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      events(s, dir)
-        .filter(col("event_type").isin("click", "purchase"))
-        .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("t"),
-          (col("event_type") === "purchase").as("__p"))
-        .withColumn("__pt", when(col("__p"), col("t")))
-        .withColumn("back_t", last(col("__pt"), ignoreNulls = true).over(wb))
-        .withColumn("fwd_t", last(col("__pt"), ignoreNulls = true).over(wf))
-        .filter(!col("__p") && (col("back_t").isNotNull || col("fwd_t").isNotNull))
-        .withColumn("__useBack",
-          col("fwd_t").isNull ||
-            (col("back_t").isNotNull && (col("t") - col("back_t") <= col("fwd_t") - col("t"))))
-        .select(col("event_id"), col("user_id"), col("t").as("t_us"),
-          when(col("__useBack"), col("back_t")).otherwise(col("fwd_t")).as("near_us"),
-          when(col("__useBack"), col("t") - col("back_t"))
-            .otherwise(col("fwd_t") - col("t")).as("delta_us"),
-          when(col("__useBack"), lit("back")).otherwise(lit("fwd")).as("direction"))
-    },
-    Some("""WITH cp AS (SELECT user_id, event_id, epoch_us(ts) AS t,
-              event_type = 'purchase' AS is_p
-            FROM events WHERE event_type IN ('click', 'purchase')),
-            w AS (SELECT user_id, event_id, t, is_p,
-              last_value(CASE WHEN is_p THEN t END IGNORE NULLS)
-                OVER (PARTITION BY user_id ORDER BY t, event_id
-                      ROWS UNBOUNDED PRECEDING) AS back_t,
-              last_value(CASE WHEN is_p THEN t END IGNORE NULLS)
-                OVER (PARTITION BY user_id ORDER BY t DESC, event_id DESC
-                      ROWS UNBOUNDED PRECEDING) AS fwd_t
-            FROM cp)
-            SELECT event_id, user_id, t AS t_us,
-              CASE WHEN fwd_t IS NULL OR (back_t IS NOT NULL AND t - back_t <= fwd_t - t)
-                   THEN back_t ELSE fwd_t END AS near_us,
-              CASE WHEN fwd_t IS NULL OR (back_t IS NOT NULL AND t - back_t <= fwd_t - t)
-                   THEN t - back_t ELSE fwd_t - t END AS delta_us,
-              CASE WHEN fwd_t IS NULL OR (back_t IS NOT NULL AND t - back_t <= fwd_t - t)
-                   THEN 'back' ELSE 'fwd' END AS direction
-            FROM w WHERE NOT is_p AND (back_t IS NOT NULL OR fwd_t IS NOT NULL)"""))
-
-  /** SCD2 state-interval compaction: collapse each user's event-type
-    * stream into validity intervals [valid_from, valid_to) — change
-    * detection (`lag` differs) then interval close (`lead` over the
-    * compacted rows). Both windows share the key+order, so the whole
-    * derivation is one shuffle + one per-key sort. Open intervals
-    * close at a +inf sentinel, keeping the compare NULL-free.
-    */
-  private val qScd2 = GraftQuery(
-    "q_scd2",
-    (s, dir) => {
-      import org.apache.spark.sql.expressions.Window
-      val w = Window.partitionBy("user_id").orderBy(col("__us"), col("event_id"))
-      val changes = events(s, dir)
-        .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("__us"),
-          col("event_id"))
-        .withColumn("__prev", lag(col("event_type"), 1).over(w))
-        .filter(col("__prev").isNull || col("__prev") =!= col("event_type"))
-      changes
-        .withColumn("valid_to_us",
-          coalesce(lead(col("__us"), 1).over(w), lit(32503680000000000L)))
-        .select(col("user_id"), col("event_type").as("state"),
-          col("__us").as("valid_from_us"), col("valid_to_us"))
-    },
-    Some("""WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS us, event_id FROM events),
-             ch AS (SELECT user_id, event_type, us, event_id FROM e
-                    QUALIFY lag(event_type) OVER (PARTITION BY user_id ORDER BY us, event_id)
-                            IS DISTINCT FROM event_type)
-             SELECT user_id, event_type AS state, us AS valid_from_us,
-               COALESCE(lead(us) OVER (PARTITION BY user_id ORDER BY us, event_id),
-                        32503680000000000) AS valid_to_us
-             FROM ch"""))
-
-  /** Cross-modal pair curation: join each document to its embedding
-    * row and keep pairs passing BOTH a text gate (token count) and a
-    * vector gate (integer squared norm inside a band — the quantized
-    * exact stand-in for an alignment-score threshold). The id equi-join
-    * hash-partitions both sides; scoring is the codegen'd QDot kernel;
-    * output is a per-source funnel (pairs seen vs kept).
-    */
-  private val qPairCuration = GraftQuery(
-    "q_pair_curation",
-    (s, dir) => {
-      val d = Fence.guard(
-          t(s, dir, "documents")
-            .select(col("doc_id"), col("source"),
-              TextFns.tokensFast(col("text")).as("__toks"), Fence.col))
-        .select(col("doc_id"), col("source"), size(col("__toks")).cast("long").as("__nt"))
-      val q = VectorFns.quantizeFast(col("embedding"))
-      val e = t(s, dir, "embeddings")
-        .select(col("vec_id"), VectorFns.qdotFast(q, q).as("__n2"))
-      d.join(e, col("doc_id") === col("vec_id"))
-        .groupBy("source")
-        .agg(count(lit(1)).as("n_pairs"),
-          count(when(col("__nt") >= 20 && col("__n2") <= 1000000L, 1)).as("n_kept"))
-    },
-    Some(s"""WITH d AS (SELECT doc_id, source, CAST(len($toksSql) AS BIGINT) AS nt FROM documents),
-             e AS (SELECT vec_id,
-                     CAST(list_sum(list_transform(${quantSql("embedding")}, v -> v * v)) AS BIGINT) AS n2
-                   FROM embeddings)
-             SELECT source, CAST(count(*) AS BIGINT) AS n_pairs,
-               CAST(sum(CASE WHEN nt >= 20 AND n2 <= 1000000 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
-             FROM d JOIN e ON doc_id = vec_id GROUP BY source"""))
-
-  /** Cumulative DISTINCT count per key (how many distinct event types
-    * has this user produced so far) — count(DISTINCT) over a running
-    * frame, which neither engine supports directly, re-expressed
-    * exactly as first-occurrence flags (`row_number == 1` per
-    * (key, value)) running-summed per key. Two keyed windows = two
-    * shuffles; both exact, no state blowup — the flag trick replaces a
-    * per-row distinct set.
-    */
-  private val qRunningDistinct = GraftQuery(
-    "q_running_distinct",
-    (s, dir) => {
-      import org.apache.spark.sql.expressions.Window
-      val wFirst = Window.partitionBy("user_id", "event_type")
-        .orderBy(col("__us"), col("event_id"))
-      val wRun = Window.partitionBy("user_id").orderBy(col("__us"), col("event_id"))
-        .rowsBetween(Window.unboundedPreceding, 0)
-      events(s, dir)
-        .select(col("event_id"), col("user_id"), col("event_type"),
-          unix_micros(col("ts")).as("__us"))
-        .withColumn("__new", when(row_number().over(wFirst) === 1, 1L).otherwise(0L))
-        .select(col("event_id"), col("user_id"),
-          sum(col("__new")).over(wRun).as("n_types_seen"))
-    },
-    Some("""WITH e AS (SELECT event_id, user_id, event_type, epoch_us(ts) AS us FROM events),
-             f AS (SELECT event_id, user_id, us,
-                     CASE WHEN row_number() OVER (PARTITION BY user_id, event_type
-                                                  ORDER BY us, event_id) = 1
-                          THEN 1 ELSE 0 END AS newf
-                   FROM e)
-             SELECT event_id, user_id,
-               CAST(sum(newf) OVER (PARTITION BY user_id ORDER BY us, event_id
-                                    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS n_types_seen
-             FROM f"""))
-
-  /** New-vs-returning daily actives: per activity day, how many users
-    * are seen for the FIRST time vs returning — the companion view to
-    * q_retention. One distinct (user, day) projection, per-user min
-    * day via the same shuffle, then a day rollup.
-    */
-  private val qFirstSeen = GraftQuery(
-    "q_first_seen",
-    (s, dir) => {
-      val act = events(s, dir)
-        .select(col("user_id"), expr("unix_micros(ts) div 86400000000").as("day"))
-        .distinct()
-      import org.apache.spark.sql.expressions.Window
-      val first = min(col("day")).over(Window.partitionBy("user_id"))
-      act.withColumn("__first", first)
-        .groupBy("day")
-        .agg(count(when(col("day") === col("__first"), 1)).as("n_new"),
-          count(when(col("day") > col("__first"), 1)).as("n_returning"))
-    },
-    Some("""WITH a AS (SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS day FROM events),
-             f AS (SELECT user_id, min(day) AS fd FROM a GROUP BY 1)
-             SELECT day,
-               CAST(sum(CASE WHEN day = fd THEN 1 ELSE 0 END) AS BIGINT) AS n_new,
-               CAST(sum(CASE WHEN day > fd THEN 1 ELSE 0 END) AS BIGINT) AS n_returning
-             FROM a JOIN f USING (user_id) GROUP BY day"""))
-
-  /** Exact quantile binning (KBinsDiscretizer-style feature
-    * engineering): each event's value is assigned its per-type decile
-    * by integer RANK — bin = ((rank-1)*10) div n — so bin edges are
-    * never interpolated floats and the assignment is engine-portable.
-    * Composes Keyed.rankCutoff's rank machinery: one shuffle + one
-    * per-key sort.
-    */
-  private val qDecileBin = GraftQuery(
-    "q_decile_bin",
-    (s, dir) => {
-      val cents = (col("value").cast(dec) * 100).cast("long")
-      Keyed.rankCutoff(
-          events(s, dir).select(col("event_type"), col("event_id"), cents.as("__cents")),
-          Seq("event_type"), Seq(col("__cents"), col("event_id")), permille = 1000)
-        .select(col("event_id"), col("event_type"),
-          expr("((__rn - 1) * 10) div __n").as("decile"))
-    },
-    Some("""WITH r AS (
-              SELECT event_id, event_type,
-                row_number() OVER (PARTITION BY event_type
-                                   ORDER BY CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT), event_id) AS rn,
-                count(*) OVER (PARTITION BY event_type) AS n
-              FROM events)
-            SELECT event_id, event_type,
-              CAST((rn - 1) * 10 // n AS BIGINT) AS decile
-            FROM r"""))
-
-  /** Trending items: top-3 event types per tumbling day window by
-    * count (ties break to the type name) — the per-window grouped
-    * top-k every analytics surface ships. One (day, type) partial-agg
-    * shuffle, then the rank filter plans as WindowGroupLimit: each
-    * partition keeps only its top rows BEFORE the window sort, so the
-    * per-day sort never sees the full type cardinality.
-    */
-  private val qWindowTopk = GraftQuery(
-    "q_window_topk",
-    (s, dir) => {
-      import org.apache.spark.sql.expressions.Window
-      events(s, dir)
-        .select(expr("cast(date_trunc('day', ts) as long) div 86400").as("day"), col("event_type"))
-        .groupBy("day", "event_type").agg(count(lit(1)).as("n"))
-        .withColumn("rnk", row_number().over(
-          Window.partitionBy("day").orderBy(col("n").desc, col("event_type"))))
-        .filter(col("rnk") <= 3)
-        .select(col("day"), col("event_type"), col("n"), col("rnk").cast("long").as("rnk"))
-    },
-    Some("""WITH d AS (SELECT CAST(floor(epoch(date_trunc('day', ts))) AS BIGINT) // 86400 AS day,
-                  event_type
-                FROM events),
-            c AS (SELECT day, event_type, CAST(count(*) AS BIGINT) AS n FROM d GROUP BY 1, 2)
-            SELECT day, event_type, n, CAST(rnk AS BIGINT) AS rnk
-            FROM (SELECT day, event_type, n,
-                    row_number() OVER (PARTITION BY day ORDER BY n DESC, event_type) AS rnk
-                  FROM c)
-            WHERE rnk <= 3"""))
-
-  /** Fixed-width value histogram per event type — the profiling view a
-    * pipeline keeps per numeric column. Bucketing is a map-only
-    * projection (floor of an IEEE-identical double division), then one
-    * partial-agg shuffle on (type, bucket); bucket cardinality is
-    * bounded by the value range, never by row count.
-    */
-  private val qValueHistogram = GraftQuery(
-    "q_value_histogram",
-    (s, dir) =>
-      events(s, dir)
-        .groupBy(col("event_type"), floor(col("value") / 50.0).cast("long").as("bucket"))
-        .agg(count(lit(1)).as("n"), sumDec(col("value")).as("sum_value")),
-    Some(s"""SELECT event_type, CAST(floor(value / 50.0) AS BIGINT) AS bucket,
-               $nSql AS n, $sumValSql AS sum_value
-             FROM events GROUP BY 1, 2"""))
-
-  /** Time-series gap filling: one row per (user, hour) over each
-    * user's ACTIVE span, zero-filled where no events landed — the
-    * resample/regularize step before any per-entity time-series model.
-    * Hours are exact epoch-hour integers (date_trunc then epoch
-    * seconds div 3600 — no float time math).
-    *
-    * Shape (round-14 rewrite of the r14-appendix watch item): fill
-    * ONLY the gaps. Each hourly row looks at its per-user successor
-    * (one lead window) and emits the zero rows for the missing hours
-    * between them via `sequence` — so nothing output-sized is ever
-    * joined or sorted: the full output exists only as the map-side
-    * union of the hourly aggregate and the exploded gap runs. The
-    * previous form generated the whole span grid (output-sized) and
-    * LEFT-joined the hourly aggregate back — at sf10 that shuffled and
-    * sorted 104M grid rows and ran 1.93× above output growth under
-    * task-memory pressure. Everything rides ONE user_id exchange: the
-    * explicit repartition satisfies both the (user, hour) aggregate's
-    * clustering and the lead window's partitioning.
-    */
-  private val qGapFill = GraftQuery(
-    "q_gap_fill",
-    (s, dir) => {
-      val ev = events(s, dir).select(col("user_id"),
-        expr("cast(date_trunc('hour', ts) as long) div 3600").as("h"),
-        (col("value").cast(dec) * 100).cast("long").as("__cents"))
-        .repartition(col("user_id"))
-      val hourly = ev.groupBy("user_id", "h")
-        .agg(count(lit(1)).as("n_events"), sum(col("__cents")).as("sum_cents"))
-        .withColumn("__nh", lead(col("h"), 1).over(
-          org.apache.spark.sql.expressions.Window.partitionBy("user_id").orderBy("h")))
-      // each hourly row emits itself + the zero rows up to its
-      // successor from ONE explode — a union of (hourly, gaps)
-      // branches would re-derive the scan+agg+window subtree twice
-      val gapRow = (x: Column) =>
-        struct(x.as("h"), lit(0L).as("n_events"), lit(0L).as("sum_cents"))
-      hourly.select(col("user_id"), explode(concat(
-          array(struct(col("h"), col("n_events"), col("sum_cents"))),
-          when(col("__nh").isNotNull && col("__nh") > col("h") + 1,
-            transform(sequence(col("h") + 1, col("__nh") - 1), gapRow))
-            .otherwise(expr("array()")
-              .cast("array<struct<h:bigint,n_events:bigint,sum_cents:bigint>>"))))
-          .as("__r"))
-        .select(col("user_id"), col("__r.h").as("h"),
-          col("__r.n_events").as("n_events"), col("__r.sum_cents").as("sum_cents"))
-    },
-    Some("""WITH ev AS (SELECT user_id,
-                  CAST(floor(epoch(date_trunc('hour', ts))) AS BIGINT) // 3600 AS h,
-                  CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
-                FROM events),
-            hourly AS (SELECT user_id, h, CAST(count(*) AS BIGINT) AS n, CAST(sum(cents) AS BIGINT) AS sm
-                       FROM ev GROUP BY 1, 2),
-            span AS (SELECT user_id, min(h) AS h0, max(h) AS h1 FROM ev GROUP BY 1),
-            grid AS (SELECT user_id, unnest(range(h0, h1 + 1)) AS h FROM span)
-            SELECT grid.user_id, grid.h,
-              coalesce(hourly.n, 0) AS n_events, coalesce(hourly.sm, 0) AS sum_cents
-            FROM grid LEFT JOIN hourly USING (user_id, h)"""))
-
-  /** Inverted index build: per term, the document frequency and an md5
-    * fingerprint of the (numerically sorted, 100-capped) posting list —
-    * the IR primitive behind retrieval-based contamination checks. The
-    * cap is applied BEFORE collecting (rank ≤ 100 per term), so no
-    * unbounded list ever materializes; the rank window and both
-    * aggregations share one hash shuffle on the term.
-    */
-  private val qInvertedIndex = GraftQuery(
-    "q_inverted_index",
-    (s, dir) => {
-      import org.apache.spark.sql.expressions.Window
-      val tk = Fence.guard(
-          t(s, dir, "documents")
-            .select(col("doc_id"), TextFns.tokensFast(col("text")).as("__toks"), Fence.col))
-        .select(col("doc_id"), explode(array_distinct(col("__toks"))).as("term"))
-        .repartition(col("term"))
-      // df rides the SAME term partitioning as the posting rank (an
-      // unordered count window chained onto the ordered rank window —
-      // the (term, doc_id) sort serves both), so the whole index is
-      // one scan + one exchange + one sort + one aggregation. The
-      // df-as-separate-aggregate-joined-back form re-derived the
-      // tokenize+explode subtree per consumer (pruning dropped doc_id
-      // from the df branch's scan, de-canonicalizing the exchange).
-      val ranked = tk
-        .withColumn("rn",
-          row_number().over(Window.partitionBy("term").orderBy("doc_id")))
-        .withColumn("df", count(lit(1)).over(Window.partitionBy("term")))
-      ranked.filter(col("rn") <= 100)
-        .groupBy("term")
-        .agg(max(col("df")).as("df"),
-          md5(concat_ws(",",
-            transform(sort_array(collect_list(col("doc_id"))), _.cast("string")))).as("posting_md5"))
-    },
-    Some(s"""WITH tk AS (SELECT doc_id, unnest(list_distinct($toksSql)) AS term FROM documents),
-             r AS (SELECT term, doc_id,
-                     row_number() OVER (PARTITION BY term ORDER BY doc_id) AS rn FROM tk),
-             d AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tk GROUP BY 1),
-             p AS (SELECT term, md5(array_to_string(list_sort(list(doc_id)), ',')) AS posting_md5
-                   FROM r WHERE rn <= 100 GROUP BY term)
-             SELECT d.term, d.df, p.posting_md5 FROM d JOIN p USING (term)"""))
-
-  // =======================================================================
-
-  /** Deterministic negative-pair mining for contrastive training: each
-    * doc's "hard random" negative is the NEXT doc in md5 ring order
-    * within its (source, md5-prefix bucket) — reproducible across reruns
-    * with zero RNG state, and the ring wrap keeps every doc paired. The
-    * window partitions on (source, 1-hex-char bucket), so no per-source
-    * single-task sort exists: the bucket fan-out is the same scale knob
-    * as Relational.shuffleOrder's prefixChars (100 TB → 2-3 chars).
-    * Self-pairs from singleton buckets are dropped.
-    */
-  private val qNegPairs = GraftQuery(
-    "q_neg_pairs",
-    (s, dir) => {
-      import org.apache.spark.sql.expressions.Window
-      val d = t(s, dir, "documents")
-        .select(col("doc_id"), col("source"),
-          md5(col("doc_id").cast("string")).as("mk"))
-        .withColumn("bk", substring(col("mk"), 1, 1))
-      val w = Window.partitionBy(col("source"), col("bk")).orderBy(col("mk"), col("doc_id"))
-      val wf = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-      d.withColumn("neg_id",
-          coalesce(lead(col("doc_id"), 1).over(w), first(col("doc_id")).over(wf)))
-        .filter(col("neg_id") =!= col("doc_id"))
-        .select(col("doc_id"), col("source"), col("neg_id"))
-    },
-    Some("""WITH o AS (SELECT doc_id, source, md5(CAST(doc_id AS VARCHAR)) AS mk,
-                         substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) AS bk
-                       FROM documents)
-            SELECT doc_id, source,
-              coalesce(
-                lead(doc_id) OVER (PARTITION BY source, bk ORDER BY mk, doc_id),
-                first_value(doc_id) OVER (PARTITION BY source, bk ORDER BY mk, doc_id
-                  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)) AS neg_id
-            FROM o
-            QUALIFY neg_id != doc_id"""))
-
-  /** Numeric-identifier redaction — the regex-scrub skeleton of a PII
-    * pipeline: every digit run in the raw payload is replaced by a
-    * `<NUM>` sentinel, the hit count kept as the audit signal and the
-    * scrubbed text fingerprinted. Pattern is a pure character class
-    * (`[0-9]+`) so Java regex (Spark) and RE2 (DuckDB) agree; map-only,
-    * zero shuffles, codegen'd end to end.
-    */
-  private val qPiiScrub = GraftQuery(
-    "q_pii_scrub",
-    (s, dir) =>
-      events(s, dir).select(
-        col("event_id"),
-        expr("cast(regexp_count(props, '[0-9]+') as bigint)").as("n_hits"),
-        md5(regexp_replace(col("props"), "[0-9]+", "<NUM>")).as("scrub_md5")),
-    Some("""SELECT event_id,
-              CAST(len(regexp_extract_all(props, '[0-9]+')) AS BIGINT) AS n_hits,
-              md5(regexp_replace(props, '[0-9]+', '<NUM>', 'g')) AS scrub_md5
-            FROM events"""))
-
-  /** Differentially-private-SKELETON noisy histogram — the release
-    * mechanism completing the privacy family (k-anon suppresses,
-    * l-div gates, this PERTURBS): per-group counts plus two-sided
-    * geometric noise, built ENTIRELY in integer space so the oracle
-    * stays exact. Noise = Z(h1) − Z(h2) where Z(h) is the number of
-    * leading zero bits of a 60-bit md5-derived uniform (Z ~
-    * Geometric(1/2) — the difference is the discrete-Laplace/two-sided-
-    * geometric shape of the geometric mechanism at alpha = 1/2, i.e.
-    * eps = ln 2). Z computes as 60 − length(bin(h)) on both engines —
-    * no float log anywhere. A production release swaps the md5-derived
-    * uniforms for a real DP RNG; everything else (sensitivity-1
-    * counting query, mechanism shape, post-processing clamp at 0) is
-    * the production shape. Deterministic → reproducible AND
-    * oracle-checked; the clamped release never reveals a negative.
-    */
-  private val qDpHistogram = GraftQuery(
-    "q_dp_histogram",
-    (s, dir) => {
-      def z(salt: String) = lit(60L) - length(bin(
-        conv(substring(md5(concat(col("event_type"), lit(salt))), 1, 15), 16, 10).cast("long")))
-      events(s, dir).groupBy(col("event_type"))
-        .agg(count(lit(1)).as("true_count"))
-        .select(col("event_type"), col("true_count"),
-          (z("|a").cast("long") - z("|b").cast("long")).as("noise"),
-          greatest(col("true_count") + z("|a").cast("long") - z("|b").cast("long"), lit(0L))
-            .as("released_count"))
-    },
-    Some("""WITH c AS (SELECT event_type, CAST(count(*) AS BIGINT) AS true_count
-                  FROM events GROUP BY event_type),
-            nz AS (SELECT event_type, true_count,
-                     CAST(60 - length(bin(('0x' || substr(md5(event_type || '|a'), 1, 15))::BIGINT)) AS BIGINT)
-                     - CAST(60 - length(bin(('0x' || substr(md5(event_type || '|b'), 1, 15))::BIGINT)) AS BIGINT) AS noise
-                   FROM c)
-            SELECT event_type, true_count, noise,
-              greatest(true_count + noise, 0) AS released_count
-            FROM nz"""))
-
-  /** Differentially-private MEAN release (the Laplace-mechanism mean,
-    * the aggregate-release companion of q_dp_histogram's counts): per
-    * event type, each value's cents CLIP TWO-SIDED into [0, C],
-    * C = 20,000 (bounding one record's influence — the sensitivity —
-    * without assuming the data is nonnegative), the clipped sum is
-    * exact,
-    * and the released sum adds C × the same md5-seeded two-sided-
-    * geometric noise q_dp_histogram uses (deterministic, so the
-    * release replays cross-engine; swap the salt for a per-release
-    * nonce in production). released_mean_cents divides by the PUBLIC
-    * group count, floored at 0 — all integer, one partial-agg shuffle.
-    */
-  private val qDpMean = GraftQuery(
-    "q_dp_mean",
-    (s, dir) => {
-      def z(salt: String) = (lit(60L) - length(bin(
-        conv(substring(md5(concat(col("event_type"), lit(salt))), 1, 15), 16, 10)
-          .cast("long")))).cast("long")
-      events(s, dir)
-        .select(col("event_type"),
-          greatest(least((col("value").cast(dec) * 100).cast("long"), lit(20000L)), lit(0L)).as("__c"))
-        .groupBy(col("event_type"))
-        .agg(count(lit(1)).as("n"), sum(col("__c")).as("clipped_sum"))
-        .select(col("event_type"), col("n"), col("clipped_sum"),
-          (z("|a") - z("|b")).as("noise"))
-        .withColumn("released_sum",
-          greatest(col("clipped_sum") + col("noise") * 20000L, lit(0L)))
-        .withColumn("released_mean_cents", expr("released_sum div n"))
-    },
-    Some("""WITH c AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
-              CAST(sum(greatest(least(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT), 20000), 0)) AS BIGINT) AS clipped_sum
-            FROM events GROUP BY event_type),
-            nz AS (SELECT event_type, n, clipped_sum,
-              CAST(60 - length(bin(('0x' || substr(md5(event_type || '|a'), 1, 15))::BIGINT)) AS BIGINT)
-              - CAST(60 - length(bin(('0x' || substr(md5(event_type || '|b'), 1, 15))::BIGINT)) AS BIGINT) AS noise
-            FROM c)
-            SELECT event_type, n, clipped_sum, noise,
-              greatest(clipped_sum + noise * 20000, 0) AS released_sum,
-              greatest(clipped_sum + noise * 20000, 0) // n AS released_mean_cents
-            FROM nz"""))
-
-  /** Differentially-private MEDIAN release via the EXPONENTIAL
-    * mechanism (McSherry & Talwar FOCS'07 — the selection member of
-    * the DP family: the geometric mechanism perturbs counts, Laplace
-    * perturbs sums, the exponential mechanism picks a candidate with
-    * probability ∝ exp(ε·u/2)): per event type, candidates are the
-    * $50 value buckets, utility −dist where dist = |2·cum_b − n| (how
-    * far bucket b's upper cut sits from the median, sensitivity-2 in
-    * half-row units), and the weight halves per utility unit —
-    * w_b = 2^(55 − (dist_b − dist_min)), truncated to 0 beyond 55
-    * doublings (mass < 2⁻⁵⁵ of the max — the documented finite-
-    * precision clamp). Selection replays deterministically: the
-    * 60-bit md5 uniform of the group key mod the total weight picks
-    * the first bucket whose cumulative weight exceeds it (inverse-CDF
-    * sampling in exact integers — swap the md5 uniform for a real DP
-    * RNG in production, as q_dp_histogram documents). ZERO floats:
-    * weights are shifted 1-bits, the CDF walk is a window cumsum.
-    * Scale shape: one (type, bucket) partial-agg exchange, then every
-    * window runs over the ≤dozen-bucket per-type frame.
-    */
-  private val qDpQuantile = GraftQuery(
-    "q_dp_quantile",
-    (s, dir) => {
-      import org.apache.spark.sql.expressions.Window
-      val byType = Window.partitionBy("event_type")
-      val cdf = Window.partitionBy("event_type").orderBy("bucket")
-      events(s, dir)
-        .groupBy(col("event_type"), floor(col("value") / 50.0).cast("long").as("bucket"))
-        .agg(count(lit(1)).as("nb"))
-        .withColumn("n", sum(col("nb")).over(byType))
-        .withColumn("dist", abs(lit(2L) * sum(col("nb")).over(cdf) - col("n")))
-        .withColumn("dmin", min(col("dist")).over(byType))
-        .withColumn("wgt", expr(
-          "CASE WHEN dist - dmin > 55 THEN 0L ELSE shiftleft(cast(1 as bigint), cast(55 - (dist - dmin) as int)) END"))
-        .withColumn("cw", sum(col("wgt")).over(cdf))
-        .withColumn("thr",
-          conv(substring(md5(col("event_type")), 1, 15), 16, 10).cast("long") %
-            sum(col("wgt")).over(byType))
-        .groupBy(col("event_type"))
-        .agg(max(col("n")).as("n"),
-          min(when(col("dist") === col("dmin"), col("bucket"))).as("true_med_bucket"),
-          min(when(col("cw") > col("thr"), col("bucket"))).as("released_bucket"))
-        .withColumn("released_cents", col("released_bucket") * 5000 + 2500)
-    },
-    Some("""WITH b AS (SELECT event_type, CAST(floor(value / 50.0) AS BIGINT) AS bucket,
-                  CAST(count(*) AS BIGINT) AS nb
-                FROM events GROUP BY 1, 2),
-            c AS (SELECT event_type, bucket, nb,
-                    sum(nb) OVER (PARTITION BY event_type) AS n,
-                    sum(nb) OVER (PARTITION BY event_type ORDER BY bucket) AS cum
-                  FROM b),
-            d AS (SELECT *, abs(2 * cum - n) AS dist,
-                    min(abs(2 * cum - n)) OVER (PARTITION BY event_type) AS dmin
-                  FROM c),
-            w AS (SELECT *, CASE WHEN dist - dmin > 55 THEN 0::BIGINT
-                    ELSE (1::BIGINT << CAST(55 - (dist - dmin) AS INT)) END AS wgt
-                  FROM d),
-            cw AS (SELECT *, sum(wgt) OVER (PARTITION BY event_type) AS wtot,
-                     sum(wgt) OVER (PARTITION BY event_type ORDER BY bucket) AS cw
-                   FROM w),
-            t AS (SELECT *, ('0x' || substr(md5(event_type), 1, 15))::BIGINT % wtot AS thr FROM cw)
-            SELECT event_type, CAST(max(n) AS BIGINT) AS n,
-              CAST(min(CASE WHEN dist = dmin THEN bucket END) AS BIGINT) AS true_med_bucket,
-              CAST(min(CASE WHEN cw > thr THEN bucket END) AS BIGINT) AS released_bucket,
-              CAST(min(CASE WHEN cw > thr THEN bucket END) * 5000 + 2500 AS BIGINT) AS released_cents
-            FROM t GROUP BY event_type"""))
-
-  /** Distribution-drift monitor — exact total-variation distance
-    * between two cohorts of the same metric (the PSI/KS-family check a
-    * pipeline runs before trusting that yesterday's data looks like
-    * today's; TV is used over PSI because it is EXACT in integers —
-    * no logs, no float drift). Cohorts are the deterministic
-    * event_id-parity split; values bucket at $50 width; per event
-    * type, TV = ½ Σ_b |pA(b) − pB(b)| emitted in milli as
-    * Σ|nA_b·NB − nB_b·NA| · 1000 // (2·NA·NB) — one exchange on
-    * (type, bucket) partials, then a type-level rollup of ≤ a dozen
-    * bucket rows.
-    */
-  private val qDrift = GraftQuery(
-    "q_drift",
-    (s, dir) =>
-      events(s, dir)
-        .select(col("event_type"), (col("event_id") % 2 === 0).as("__a"),
-          expr("cast(floor(value / 50) as bigint)").as("__b"))
-        .groupBy(col("event_type"), col("__b"))
-        .agg(sum(when(col("__a"), 1L).otherwise(0L)).as("__na"),
-          sum(when(!col("__a"), 1L).otherwise(0L)).as("__nb"))
-        .withColumn("__ta", sum(col("__na")).over(
-          org.apache.spark.sql.expressions.Window.partitionBy("event_type")))
-        .withColumn("__tb", sum(col("__nb")).over(
-          org.apache.spark.sql.expressions.Window.partitionBy("event_type")))
-        .groupBy(col("event_type"))
-        .agg(max(col("__ta")).as("na"), max(col("__tb")).as("nb"),
-          sum(abs(col("__na") * col("__tb") - col("__nb") * col("__ta"))).as("__l1"))
-        .select(col("event_type"), col("na"), col("nb"),
-          expr("__l1 * 1000 div (2 * na * nb)").as("tv_milli")),
-    Some("""WITH b AS (SELECT event_type, event_id % 2 = 0 AS a,
-              CAST(floor(value / 50) AS BIGINT) AS bk FROM events),
-            g AS (SELECT event_type, bk,
-              CAST(sum(CASE WHEN a THEN 1 ELSE 0 END) AS BIGINT) AS na_b,
-              CAST(sum(CASE WHEN a THEN 0 ELSE 1 END) AS BIGINT) AS nb_b
-            FROM b GROUP BY 1, 2),
-            t AS (SELECT event_type, bk, na_b, nb_b,
-              sum(na_b) OVER (PARTITION BY event_type) AS ta,
-              sum(nb_b) OVER (PARTITION BY event_type) AS tb FROM g)
-            SELECT event_type, CAST(max(ta) AS BIGINT) AS na, CAST(max(tb) AS BIGINT) AS nb,
-              CAST(sum(abs(na_b * tb - nb_b * ta)) AS BIGINT) * 1000
-                // (2 * CAST(max(ta) AS BIGINT) * CAST(max(tb) AS BIGINT)) AS tv_milli
-            FROM t GROUP BY event_type"""))
-
-  /** k-anonymity suppression (k=5): events are generalized to
-    * (event_type, value band of width 100), groups seen by fewer than k
-    * DISTINCT users are suppressed, and the surviving rows ship with
-    * their group's user count. The group stats and the row-level
-    * suppression join key on the SAME (event_type, band), so the
-    * generalized events shuffle once and AQE reuses the exchange for
-    * both consumers; the distinct-user count is the standard two-phase
-    * expand, never a per-group set.
-    */
-  private val qKanon = GraftQuery(
-    "q_kanon",
-    (s, dir) => {
-      // ONE fenced (type, band) repartition serves everything: the
-      // group-size aggregate rides it (partitioning by the full group
-      // key already clusters the distinct-user dedup), and the
-      // release join's row side IS it — no second fact scan, no join
-      // exchange (the aggregate-then-join-back form re-scanned events
-      // for the group branch; PlanAudit)
-      val ev = Fence.keepAllPinned(events(s, dir)
-        .select(col("event_id"), col("user_id"), col("event_type"),
-          expr("cast(floor(value / 100) as bigint)").as("band"))
-        .filter(col("event_type").isNotNull && col("band").isNotNull)
-        .repartition(col("event_type"), col("band")))
-        .hint("shuffle_hash")
-      val g = ev.groupBy(col("event_type"), col("band"))
-        .agg(countDistinct(col("user_id")).as("n_users"))
-        .filter(col("n_users") >= 5)
-        .withColumnRenamed("event_type", "g_type").withColumnRenamed("band", "g_band")
-      ev.join(g, ev("event_type") === col("g_type") && ev("band") === col("g_band"))
-        .select(col("event_id"), col("event_type"), col("band"), col("n_users"))
-    },
-    Some("""WITH ev AS (SELECT event_id, user_id, event_type,
-                          CAST(floor(value / 100) AS BIGINT) AS band FROM events
-                        WHERE event_type IS NOT NULL
-                          AND CAST(floor(value / 100) AS BIGINT) IS NOT NULL),
-            g AS (SELECT event_type, band, CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
-                  FROM ev GROUP BY 1, 2 HAVING count(DISTINCT user_id) >= 5)
-            SELECT ev.event_id, ev.event_type, ev.band, g.n_users
-            FROM ev JOIN g USING (event_type, band)"""))
-
-  /** L-DIVERSITY (k-anonymity's companion): a group is publishable
-    * only if its SENSITIVE attribute (the json props `k` field, mod 16
-    * as the sensitive class) takes ≥3 distinct values — a k-anonymous
-    * group whose members all share one sensitive value still leaks it.
-    * Same shape as q_kanon: group stats + row-level release join share
-    * one (type, band) exchange; rows carry both the size and the
-    * diversity so an auditor reads the release decision inline.
-    */
-  private val qLdiv = GraftQuery(
-    "q_ldiv",
-    (s, dir) => {
-      // same shared-repartition discipline as q_kanon: one (type,
-      // band) exchange serves the diversity aggregate and the release
-      // join's row side
-      val ev = Fence.keepAllPinned(events(s, dir)
-        .select(col("event_id"), col("user_id"), col("event_type"),
-          expr("cast(floor(value / 100) as bigint)").as("band"),
-          (get_json_object(col("props"), "$.k").cast("long") % 16).as("sens"))
-        .filter(col("event_type").isNotNull && col("band").isNotNull)
-        .repartition(col("event_type"), col("band")))
-        .hint("shuffle_hash")
-      val g = ev.groupBy(col("event_type"), col("band"))
-        .agg(countDistinct(col("user_id")).as("n_users"),
-          countDistinct(col("sens")).as("n_sens"))
-        .filter(col("n_users") >= 5 && col("n_sens") >= 3)
-        .withColumnRenamed("event_type", "g_type").withColumnRenamed("band", "g_band")
-      ev.join(g, ev("event_type") === col("g_type") && ev("band") === col("g_band"))
-        .select(col("event_id"), col("event_type"), col("band"), col("n_users"), col("n_sens"))
-    },
-    Some("""WITH ev AS (SELECT event_id, user_id, event_type,
-                          CAST(floor(value / 100) AS BIGINT) AS band,
-                          json_extract_string(props, '$.k')::BIGINT % 16 AS sens FROM events
-                        WHERE event_type IS NOT NULL
-                          AND CAST(floor(value / 100) AS BIGINT) IS NOT NULL),
-            g AS (SELECT event_type, band,
-                    CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
-                    CAST(count(DISTINCT sens) AS BIGINT) AS n_sens
-                  FROM ev GROUP BY 1, 2
-                  HAVING count(DISTINCT user_id) >= 5 AND count(DISTINCT sens) >= 3)
-            SELECT ev.event_id, ev.event_type, ev.band, g.n_users, g.n_sens
-            FROM ev JOIN g USING (event_type, band)"""))
-
-  /** The DEDUP-METHODS report: every near-dup detector's flagged-pair
-    * and flagged-doc counts side by side in one result — the summary a
-    * corpus owner reads before choosing which detector (and τ) to
-    * trust. Each method contributes a one-row aggregate; the union is
-    * rows of (method, n_pairs, n_docs_flagged). The simhash rows reuse
-    * the materialized pair cache; the others aggregate their own
-    * candidate joins (all equi-join shapes, never all-pairs).
-    */
-  private val qDedupReport = GraftQuery(
-    "q_dedup_report",
-    (s, dir) => {
-      val docs = t(s, dir, "documents")
-      def summarize(name: String, pairs: DataFrame, a: String, b: String) =
-        pairs.agg(count(lit(1)).as("n_pairs"))
-          .crossJoin(pairs.select(explode(array(col(a), col(b))).as("id")).distinct()
-            .agg(count(lit(1)).as("n_docs_flagged")))
-          .select(lit(name).as("method"), col("n_pairs"), col("n_docs_flagged"))
-      val mh = DedupFns.minhashCandidates(docs, "doc_id", "text")
-      val sh = simhashPairs(s, dir)
-      val em = VectorFns.cosineNearDupPairs(t(s, dir, "embeddings"), "vec_id", "embedding", 1, 4)
-      summarize("minhash_lsh", mh, "id_a", "id_b")
-        .unionByName(summarize("simhash_h3", sh.select(col("id_a"), col("id_b")), "id_a", "id_b"))
-        .unionByName(summarize("embed_cos", em, "id_a", "id_b"))
-    },
-    Some(s"""$simhashPairsSql,
-             mh_t0 AS (SELECT doc_id, $toksSql AS tk FROM documents),
-             mh_g AS (SELECT doc_id, $grams3Sql AS gs FROM mh_t0),
-             mh_ok AS (SELECT doc_id, gs FROM mh_g WHERE len(gs) > 0),
-             mh_hs AS (SELECT doc_id, list_transform(gs, t -> ${h31Sql("t")}) AS h FROM mh_ok),
-             mh_sig AS (SELECT doc_id, $minhashSigSql AS s2 FROM mh_hs),
-             mh_bands AS (SELECT doc_id, k AS band, (s2[2*k+1] * 1000003 + s2[2*k+2]) % $M AS bh
-                          FROM mh_sig, range(${DedupFns.NumHashes / DedupFns.BandRows}) t(k)),
-             mh_p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
-                      FROM mh_bands a JOIN mh_bands b
-                        ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
-                      GROUP BY 1, 2),
-             em_e AS (SELECT vec_id, ${quantSql("embedding")} AS v FROM embeddings),
-             em_lshp AS (SELECT greatest(4, CAST(length(bin(((count(*) + 31) // 32) - 1)) AS BIGINT)) AS p FROM em_e),
-             em_nn AS (SELECT vec_id, v,
-                         CAST(list_sum(list_transform(range(1, 65), i -> v[i] * v[i])) AS BIGINT) AS nrm
-                       FROM em_e),
-             em_eb AS (SELECT vec_id, v, nrm, t, ${lshBucketSql("v", "(SELECT p FROM em_lshp)")} AS bucket
-                       FROM em_nn CROSS JOIN range(0, 8) tt(t)),
-             em_p0 AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-                         CAST(list_sum(list_transform(range(1, 65), i -> a.v[i] * b.v[i])) AS BIGINT) AS dot,
-                         a.nrm AS na, b.nrm AS nb
-                       FROM em_eb a JOIN em_eb b
-                         ON a.t = b.t AND a.bucket = b.bucket AND a.vec_id < b.vec_id),
-             em_d AS (SELECT id_a, id_b, max(dot) AS dot, max(na) AS na, max(nb) AS nb
-                      FROM em_p0 GROUP BY 1, 2),
-             em_p AS (SELECT id_a, id_b FROM em_d WHERE dot > 0 AND 16 * dot * dot >= na * nb),
-             u AS (
-               SELECT 'minhash_lsh' AS method,
-                 (SELECT count(*) FROM mh_p) AS n_pairs,
-                 (SELECT count(DISTINCT id) FROM (SELECT id_a AS id FROM mh_p UNION SELECT id_b FROM mh_p)) AS n_docs_flagged
-               UNION ALL
-               SELECT 'simhash_h3',
-                 (SELECT count(*) FROM p),
-                 (SELECT count(DISTINCT id) FROM (SELECT id_a AS id FROM p UNION SELECT id_b FROM p))
-               UNION ALL
-               SELECT 'embed_cos',
-                 (SELECT count(*) FROM em_p),
-                 (SELECT count(DISTINCT id) FROM (SELECT id_a AS id FROM em_p UNION SELECT id_b FROM em_p)))
-             SELECT method, CAST(n_pairs AS BIGINT) AS n_pairs,
-               CAST(n_docs_flagged AS BIGINT) AS n_docs_flagged
-             FROM u"""))
-
-  /** SemDeDup semantic dedup report (Abbas et al. 2023): k-means-cell
-    * bucketing (deterministic IVF centroid init, map-only assignment)
-    * then within-cell cosine-τ drop of the higher-id twin — per cell
-    * the member/dropped/kept counts. The cell equi-join IS the
-    * algorithm's published scale shape: kCentroids AUTO-SIZES to ⌈√n⌉
-    * (VectorFns.autoCentroidCount — the oracle mirrors it with a
-    * LIMIT subquery) so cells stay bounded and no all-pairs join ever
-    * exists; VectorSpec asserts the cell-size bound that motivates √n.
-    * τ = 1/4 matches q_dedup_embed so the two methods' keep-sets are
-    * comparable.
-    */
-  private val qSemdedup = GraftQuery(
-    "q_semdedup",
-    (s, dir) => VectorFns.semDedupReport(t(s, dir, "embeddings"), "vec_id", "embedding",
-      tauNum = 1, tauDen = 4),
-    Some(s"""WITH e AS (SELECT vec_id, ${quantSql("embedding")} AS v FROM embeddings),
-             cents AS (SELECT row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), CAST(vec_id AS VARCHAR)) - 1 AS cid, v AS cv
-                       FROM e ORDER BY md5(CAST(vec_id AS VARCHAR)), CAST(vec_id AS VARCHAR)
-                       LIMIT (SELECT CAST(ceil(sqrt(count(*))) AS BIGINT) FROM embeddings)),
-             d AS (SELECT e.vec_id, cents.cid,
-                     CAST(list_sum(list_transform(range(1, 65), i -> (v[i]-cv[i])*(v[i]-cv[i]))) AS BIGINT) AS d2
-                   FROM e CROSS JOIN cents),
-             assign AS (SELECT vec_id, cid FROM
-                          (SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn FROM d)
-                        WHERE rn = 1),
-             av AS (SELECT a.vec_id AS id, a.cid, e.v,
-                      CAST(list_sum(list_transform(range(1, 65), i -> e.v[i] * e.v[i])) AS BIGINT) AS nrm
-                    FROM assign a JOIN e ON a.vec_id = e.vec_id),
-             dropped AS (SELECT DISTINCT x.cid, y.id AS id_b
-                         FROM av x JOIN av y ON x.cid = y.cid AND x.id < y.id
-                         WHERE CAST(list_sum(list_transform(range(1, 65), i -> x.v[i] * y.v[i])) AS BIGINT) > 0
-                           AND 16 * CAST(list_sum(list_transform(range(1, 65), i -> x.v[i] * y.v[i])) AS BIGINT)
-                                  * CAST(list_sum(list_transform(range(1, 65), i -> x.v[i] * y.v[i])) AS BIGINT)
-                               >= x.nrm * y.nrm),
-             m AS (SELECT cid, CAST(count(*) AS BIGINT) AS n_members FROM assign GROUP BY 1),
-             dr AS (SELECT cid, CAST(count(*) AS BIGINT) AS n_dropped FROM dropped GROUP BY 1)
-             SELECT CAST(m.cid AS BIGINT) AS cid, n_members,
-               COALESCE(n_dropped, 0) AS n_dropped,
-               n_members - COALESCE(n_dropped, 0) AS n_kept
-             FROM m LEFT JOIN dr ON m.cid = dr.cid"""))
-
-  /** CCNet-style fluency bucketing (Wenzek et al. 2020): per-language
-    * head/middle/tail tertiles of the exact bigram-LM fluency score
-    * (q_bigram_lm's integer kernel — higher mean p(y|x) = tier 1), with
-    * per-(lang, tier) doc counts and the tier's score bounds — the cut
-    * table the perplexity filter of a CCNet-style corpus pipeline
-    * publishes. Tertile assignment is ntile(3) over a per-language
-    * keyed window with a doc_id tiebreak (deterministic, engine-
-    * portable) — this is the EXACT oracle twin; the 100 TB path that
-    * replaces the keyed window with a histogram tertile cut + map-side
-    * broadcast label is IMPLEMENTED as q_ppl_buckets_scale (SketchSpec
-    * bounds their disagreement to boundary tie groups).
-    */
-  private val qPplBuckets = GraftQuery(
-    "q_ppl_buckets",
-    (s, dir) => {
-      import org.apache.spark.sql.expressions.Window
-      val w = Window.partitionBy("lang").orderBy(col("lm_milli").desc, col("doc_id"))
-      bigramLmPerDoc(s, dir)
-        .join(t(s, dir, "documents").select(col("doc_id"), col("lang")), Seq("doc_id"))
-        .withColumn("tier", ntile(3).over(w).cast("long"))
-        .groupBy(col("lang"), col("tier"))
-        .agg(count(lit(1)).as("n_docs"),
-          min(col("lm_milli")).as("lo_milli"), max(col("lm_milli")).as("hi_milli"))
-    },
-    Some(s"""WITH $bigramLmSql,
-             tt AS (SELECT d.lang, lm.doc_id, lm_milli,
-                      ntile(3) OVER (PARTITION BY d.lang ORDER BY lm_milli DESC, lm.doc_id) AS tier
-                    FROM lm JOIN documents d USING (doc_id))
-             SELECT lang, CAST(tier AS BIGINT) AS tier, CAST(count(*) AS BIGINT) AS n_docs,
-               CAST(min(lm_milli) AS BIGINT) AS lo_milli, CAST(max(lm_milli) AS BIGINT) AS hi_milli
-             FROM tt GROUP BY 1, 2"""))
 
   /** The 100 TB scale path q_ppl_buckets' scaladoc promises (SURVEY row
     * 31u3): per-language tertile CUTS from a bounded score HISTOGRAM
@@ -7396,86 +950,6 @@ object Queries {
           min(col("lm_milli")).as("lo_milli"), max(col("lm_milli")).as("hi_milli"))
   }
 
-  private val qPplBucketsScale = GraftQuery(
-    "q_ppl_buckets_scale",
-    (s, dir) => {
-      // lang rides the materialized token table when the TokenMat flag
-      // selects it (one source, zero documents scans); inline otherwise
-      val langOf = tokenMatTable(s, dir).getOrElse(t(s, dir, "documents"))
-        .select(col("doc_id"), col("lang"))
-      pplBucketsScaleFrom(
-        bigramLmPerDoc(s, dir)
-          .join(langOf, Seq("doc_id"))
-          .select(col("doc_id"), col("lang"), col("lm_milli")))
-    },
-    Some(s"""WITH $bigramLmSql,
-             pd AS (SELECT lm.doc_id, d.lang, lm_milli FROM lm JOIN documents d USING (doc_id)),
-             h AS (SELECT lang, lm_milli, CAST(count(*) AS BIGINT) AS c FROM pd GROUP BY 1, 2),
-             k AS (SELECT lang, lm_milli, c,
-                     CAST(COALESCE(sum(c) OVER (PARTITION BY lang ORDER BY lm_milli DESC
-                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS hi_cnt,
-                     CAST(sum(c) OVER (PARTITION BY lang) AS BIGINT) AS n
-                   FROM h),
-             tt AS (SELECT lang, lm_milli, c,
-                      LEAST(3, 1 + (3 * hi_cnt) // n) AS tier FROM k)
-             SELECT lang, CAST(tier AS BIGINT) AS tier, CAST(sum(c) AS BIGINT) AS n_docs,
-               CAST(min(lm_milli) AS BIGINT) AS lo_milli, CAST(max(lm_milli) AS BIGINT) AS hi_milli
-             FROM tt GROUP BY 1, 2"""))
-
-  /** Gopher duplicate-n-gram signal (Rae et al. 2021 §A1.1): per doc
-    * the fraction of word-trigram INSTANCES whose trigram occurs ≥ 2
-    * times within that doc, in exact milli-units — the within-document
-    * repetition filter ("fraction of chars in duplicate n-grams"
-    * family) that complements the corpus-level dedup queries.
-    *
-    * Shape (round-12 rewrite): the statistic is entirely WITHIN one
-    * document, so nothing needs to shuffle — the original
-    * explode → groupBy(doc_id, tri) → groupBy(doc_id) chain carried
-    * every trigram INSTANCE STRING through two exchanges and measured
-    * 21×/decade in the second decade of the sf10 rehearsal (100M
-    * string rows through the fixed-width shuffle; spill-bound). Now
-    * the trigram multiset sorts INSIDE the row and one higher-order
-    * `aggregate` run-length fold (the q_diversity kernel) counts total
-    * and duplicated instances — map-only, ZERO exchanges, one row per
-    * doc off the scan, and per-doc cost is w log w in the doc's own
-    * trigram count, independent of corpus size. All quantities are
-    * positive integers, so Spark `div` (truncate) and DuckDB `//`
-    * (floor) agree.
-    */
-  private val qDupNgram = GraftQuery(
-    "q_dup_ngram",
-    (s, dir) => {
-      val fold =
-        """aggregate(
-             __tris,
-             named_struct('prev', cast(null as string), 'run', 0L, 'dup', 0L),
-             (acc, x) -> if(acc.prev is null,
-                            named_struct('prev', x, 'run', 1L, 'dup', 0L),
-                            if(x = acc.prev,
-                               named_struct('prev', x, 'run', acc.run + 1L, 'dup', acc.dup),
-                               named_struct('prev', x, 'run', 1L,
-                                 'dup', acc.dup + if(acc.run >= 2L, acc.run, 0L)))),
-             acc -> acc.dup + if(acc.run >= 2L, acc.run, 0L))"""
-      Fence.guard(t(s, dir, "documents")
-          .select(col("doc_id"), TextFns.tokensFast(col("text")).as("__toks"), Fence.col))
-        .filter(size(col("__toks")) >= 3)
-        .withColumn("__tris", array_sort(expr(
-          """transform(sequence(1, size(__toks) - 2),
-               i -> concat_ws(' ', element_at(__toks, i),
-                              element_at(__toks, i + 1), element_at(__toks, i + 2)))""")))
-        .select(col("doc_id"), size(col("__tris")).cast("long").as("n_tri"),
-          expr(fold).as("dup_tri"))
-        .withColumn("dup_milli", expr("(dup_tri * 1000) div n_tri"))
-    },
-    Some(s"""WITH t0 AS (SELECT doc_id, $toksSql AS tk FROM documents),
-             tr AS (SELECT doc_id, unnest(list_transform(range(0, len(tk) - 2),
-                      i -> array_to_string(list_slice(tk, i + 1, i + 3), ' '))) AS tri
-                    FROM t0 WHERE len(tk) >= 3),
-             c AS (SELECT doc_id, tri, count(*) AS c FROM tr GROUP BY 1, 2)
-             SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tri,
-               CAST(sum(CASE WHEN c >= 2 THEN c ELSE 0 END) AS BIGINT) AS dup_tri,
-               CAST((sum(CASE WHEN c >= 2 THEN c ELSE 0 END) * 1000) // sum(c) AS BIGINT) AS dup_milli
-             FROM c GROUP BY doc_id"""))
 
   /** BM25 relevance of every document against a fixed query term set,
     * in the same log-free integer-skeleton style as q_bigram_lm: the
@@ -7506,8 +980,9 @@ object Queries {
     * scoring pipeline (scaladoc above); consumed by q_bm25 itself and
     * as the lexical side of q_rrf_fusion.
     */
-  private def bm25Scores(s: SparkSession, dir: String): DataFrame =
+  private[graft] def bm25Scores(s: SparkSession, dir: String): DataFrame =
     bm25ScoresToks(docToks(s, dir))
+
 
   /** The bm25 pipeline from an arbitrary (doc_id, __toks) frame — the
     * seam the tokenized-corpus materialization rehearsal (TokenMat)
@@ -7553,8 +1028,9 @@ object Queries {
         .agg(count(lit(1)).as("n_hit_terms"), sum(col("__term_score")).as("bm25_milli"))
   }
 
+
   /** The bm25 oracle's CTE chain (t0..sc), shared with q_rrf_fusion. */
-  private val bm25CoreSql =
+  private[graft] val bm25CoreSql =
     s"""t0 AS (SELECT doc_id, $toksSql AS tk FROM documents
                          WHERE doc_id IS NOT NULL),
              dl AS (SELECT doc_id, CAST(len(tk) AS BIGINT) AS dl FROM t0),
@@ -7572,711 +1048,6 @@ object Queries {
                       tf
                     FROM tf JOIN df USING (term) JOIN dl USING (doc_id) CROSS JOIN corpus)"""
 
-  private val qBm25 = GraftQuery(
-    "q_bm25",
-    (s, dir) => bm25Scores(s, dir),
-    Some(s"""WITH $bm25CoreSql
-             SELECT doc_id, CAST(count(*) AS BIGINT) AS n_hit_terms,
-               CAST(sum((idf_milli * tf * 2200) // (tf * 1000 + (1200 * norm_milli) // 1000)) AS BIGINT) AS bm25_milli
-             FROM sc GROUP BY doc_id"""))
-
-  /** Hybrid-retrieval reciprocal-rank fusion (Cormack, Clarke &
-    * Buettcher SIGIR 2009): fuse the LEXICAL ranking (BM25 against the
-    * fixed query-term set — exactly the q_bm25 integer pipeline,
-    * shared via bm25Scores) with the SEMANTIC ranking (exact integer
-    * dot product of every corpus embedding against the min-vec_id
-    * query embedding) by RRF(d) = Σ_r floor(10⁶ / (60 + rank_r(d))) —
-    * the standard k=60 constant, integer at every step, so the fused
-    * ranking hash-checks cross-engine. The curation use: hybrid
-    * retrieval is how relevance-targeted corpus selection and
-    * contamination probes actually rank candidates — neither signal
-    * alone survives paraphrase (lexical blind spot) or rare terms
-    * (semantic blind spot).
-    *
-    * Scale shape (round 14: the semantic head now RIDES THE PRODUCTION
-    * INDEX — VectorFns.ivfTopK2, the same two-level IVF the ANN suite
-    * ships — instead of brute-scanning the corpus against the query
-    * embedding; VERDICT r13 item 8): the lexical side collapses to a
-    * ≤100-row head via TakeOrderedAndProject; the semantic side is the
-    * IVF pipeline with ONE query row — map-only coarse probing,
-    * broadcast fine-centroid relation, candidates met in an fcid
-    * equi-join, top-100 via the mergeable top-k aggregate (never a
-    * global sort, never all-pairs). The rank window runs over the
-    * bounded lexical head only (q_zipf_top's documented
-    * single-partition class); the fusion is a full-outer join of two
-    * ≤100-row frames. Corpus passes (adjudicated two-role+ann-index in
-    * the plan-audit allowlist): bm25Scores' two bounded token passes
-    * (dl + the literal-filtered tf — its documented budget), and three
-    * embeddings roles — the 1-row query head (LIMIT 1 scan), the
-    * fine-centroid sample (TakeOrdered k rows), and the corpus
-    * assignment scan. The oracle replays the ENTIRE two-level IVF
-    * (shared ivf2ChainSql) so the hash compare covers the
-    * approximation structure, exactly as q_embed_ivf2's does.
-    */
-  private val qRrfFusion = GraftQuery(
-    "q_rrf_fusion",
-    (s, dir) => {
-      import org.apache.spark.sql.expressions.Window
-      val lexHead = bm25Scores(s, dir)
-        .orderBy(col("bm25_milli").desc, col("doc_id")).limit(100)
-      val lex = lexHead.withColumn("lex_rank", row_number().over(
-        Window.partitionBy(lit(1)).orderBy(col("bm25_milli").desc, col("doc_id"))).cast("long"))
-        .select(col("doc_id"), col("lex_rank"))
-      val e = t(s, dir, "embeddings")
-      val qdf = e.orderBy(col("vec_id")).limit(1)
-      val sem = VectorFns.ivfTopK2(qdf, e, "vec_id", "embedding", 100,
-          kCentroids = 64, nprobe = 8, coarseProbes = 4, assignProbes = 1)
-        .select(col("neighbor_id").as("doc_id"), col("rank").cast("long").as("sem_rank"))
-      lex.join(sem, Seq("doc_id"), "full_outer")
-        .na.fill(0L, Seq("lex_rank", "sem_rank"))
-        .withColumn("rrf_scaled",
-          when(col("lex_rank") > 0, expr("1000000 div (60 + lex_rank)")).otherwise(lit(0L)) +
-          when(col("sem_rank") > 0, expr("1000000 div (60 + sem_rank)")).otherwise(lit(0L)))
-        .orderBy(col("rrf_scaled").desc, col("doc_id")).limit(20)
-    },
-    Some {
-      // the bm25 chain's sc and the ivf2 chain's sc collide — rename
-      // the bm25 one to bsc for this composition
-      val bm25ForRrf = bm25CoreSql.replace("sc AS (SELECT doc_id,", "bsc AS (SELECT doc_id,")
-      s"""WITH $bm25ForRrf,
-             bm AS (SELECT doc_id,
-                      CAST(sum((idf_milli * tf * 2200) // (tf * 1000 + (1200 * norm_milli) // 1000)) AS BIGINT) AS bm25_milli
-                    FROM bsc GROUP BY doc_id),
-             lex AS (SELECT doc_id,
-                       CAST(row_number() OVER (ORDER BY bm25_milli DESC, doc_id) AS BIGINT) AS lex_rank
-                     FROM bm
-                     QUALIFY row_number() OVER (ORDER BY bm25_milli DESC, doc_id) <= 100),
-             ${ivf2ChainSql("e.vec_id = (SELECT min(vec_id) FROM embeddings)")},
-             sem AS (SELECT neighbor_id AS doc_id, CAST(rnk AS BIGINT) AS sem_rank
-                     FROM (SELECT neighbor_id,
-                             row_number() OVER (PARTITION BY query_id
-                               ORDER BY score DESC, neighbor_id) AS rnk
-                           FROM sc)
-                     WHERE rnk <= 100),
-             f AS (SELECT COALESCE(lex.doc_id, sem.doc_id) AS doc_id,
-                     COALESCE(lex_rank, 0) AS lex_rank, COALESCE(sem_rank, 0) AS sem_rank,
-                     (CASE WHEN lex_rank IS NOT NULL THEN 1000000 // (60 + lex_rank) ELSE 0 END +
-                      CASE WHEN sem_rank IS NOT NULL THEN 1000000 // (60 + sem_rank) ELSE 0 END) AS rrf
-                   FROM lex FULL OUTER JOIN sem ON lex.doc_id = sem.doc_id)
-             SELECT doc_id, lex_rank, sem_rank, CAST(rrf AS BIGINT) AS rrf_scaled
-             FROM f ORDER BY rrf DESC, doc_id LIMIT 20"""
-    })
-
-  /** Content-defined chunking (the rsync/LBFS/FastCDC lineage, applied
-    * at token level): a chunk boundary falls AFTER any token whose
-    * portable hash ≡ 0 (mod 8) — so chunk boundaries are decided by
-    * CONTENT, not position, and an insertion near a doc's head shifts
-    * no boundary after the next anchor token. That is the property the
-    * fixed-stride q_doc_chunks/q_chunk_dedup pair lacks: under a
-    * one-token prefix edit every fixed chunk changes, while CDC chunks
-    * downstream of the edit keep their fingerprints. Per doc: total
-    * chunks and how many are cross-doc duplicates (fingerprint shared
-    * with ANOTHER doc — the shift-robust boilerplate signal).
-    *
-    * Scale shape: TextFns.cdcChunkDocs computes chunk starts INSIDE
-    * the token array (higher-order functions), so chunking itself is
-    * MAP-ONLY — zero shuffles, the same transform runs on a stream in
-    * append mode (StreamingParitySpec) — and only the fingerprint dup
-    * check shuffles (equi-join on fp). Expected chunk length is the
-    * anchor modulus (8 tokens), so chunk count is bounded linear in
-    * corpus tokens. The oracle keeps the equivalent explode + running-
-    * count formulation, pinning the two shapes to the same answer.
-    */
-  private val qCdcChunks = GraftQuery(
-    "q_cdc_chunks",
-    (s, dir) => {
-      val chunks = TextFns.cdcChunkDocs(t(s, dir, "documents"), "doc_id", "text", modulus = 8)
-        .select(col("doc_id"), col("chunk_idx"), col("fp"))
-      val dupFp = chunks.groupBy("fp")
-        .agg(countDistinct(col("doc_id")).as("__nd"))
-        .filter(col("__nd") >= 2)
-        .select(col("fp"), lit(1L).as("__dup"))
-      chunks.join(dupFp, Seq("fp"), "left")
-        .groupBy(col("doc_id"))
-        .agg(count(lit(1)).as("n_chunks"),
-          sum(coalesce(col("__dup"), lit(0L))).as("dup_chunks"))
-    },
-    Some(s"""WITH t0 AS (SELECT doc_id, $toksSql AS tk FROM documents),
-             inst AS (SELECT doc_id, pt.pos AS pos, pt.term AS term
-                      FROM (SELECT doc_id, unnest(list_transform(range(1, len(tk) + 1),
-                              i -> {'pos': i, 'term': tk[i]})) AS pt
-                            FROM t0 WHERE len(tk) >= 1)),
-             b AS (SELECT doc_id, pos, term,
-                     CASE WHEN (${h31Sql("term")}) % 8 = 0 THEN 1 ELSE 0 END AS bflag
-                   FROM inst),
-             c AS (SELECT doc_id, pos, term,
-                     COALESCE(sum(bflag) OVER (PARTITION BY doc_id ORDER BY pos
-                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS chunk_idx
-                   FROM b),
-             ch AS (SELECT doc_id, chunk_idx,
-                      md5(string_agg(term, ' ' ORDER BY pos)) AS fp
-                    FROM c GROUP BY 1, 2),
-             dup AS (SELECT fp FROM ch GROUP BY fp HAVING count(DISTINCT doc_id) >= 2)
-             SELECT doc_id, CAST(count(*) AS BIGINT) AS n_chunks,
-               CAST(sum(CASE WHEN fp IN (SELECT fp FROM dup) THEN 1 ELSE 0 END) AS BIGINT) AS dup_chunks
-             FROM ch GROUP BY doc_id"""))
-
-  /** BLOOM-PREFILTERED decontamination — q_decontam's 100 TB shape.
-    *
-    * q_decontam broadcasts the probe gram table into the confirm join,
-    * which works while the contamination probe (a benchmark suite)
-    * fits a broadcast hash relation. At production scale the probe
-    * gram set is GBs — too big to broadcast as a hash table but ~16x
-    * smaller as a Bloom filter. This query runs that shape end to end:
-    *
-    *  1. build a Bloom filter over xxhash64(probe grams) with Spark's
-    *     public distributed builder (`df.stat.bloomFilter`, a
-    *     treeAggregate — the driver holds only the final filter bits,
-    *     sized by the probe count, never corpus-sized);
-    *  2. ship the serialized filter as a plan LITERAL and prefilter
-    *     the corpus gram stream MAP-SIDE with the codegen'd
-    *     `BloomFilterMightContain` — the same Catalyst expression
-    *     Spark's own runtime row-level filtering injects — so the
-    *     ~non-matching corpus grams (the overwhelming majority) never
-    *     reach the exchange;
-    *  3. confirm the survivors in an exact SHUFFLE-HASH equi-join
-    *     (deliberately hinted: at target scale this join cannot be a
-    *     broadcast) — bloom false positives die here, so the final
-    *     answer is exactly q_decontam's (same oracle, hash-checked).
-    *
-    * xxhash64 appears only inside the filter probe (an engine-local
-    * candidate heuristic, like LSH bucketing) — it never touches the
-    * exact output, so the portability rules hold.
-    */
-  private val qBloomDecontam = GraftQuery(
-    "q_bloom_decontam",
-    (s, dir) => {
-      val docs = t(s, dir, "documents")
-      def grams(df: DataFrame) = Fence.guard(Fence.guard(
-          df.select(col("doc_id"), TextFns.tokensFast(col("text")).as("__toks"), Fence.col))
-        .select(col("doc_id"),
-          DedupFns.wordNgramsFast(col("__toks"), 4).as("__grams"), Fence.col))
-        .select(col("doc_id"), explode(col("__grams")).as("g"))
-      // deliberately UN-cached: the probe side is a handful of docs
-      // (doc_id < 3), so recomputing its gram pipeline is cheap, and
-      // the bloom memo below already collapses the sizing count + the
-      // treeAggregate build to once per JVM — a `.cache()` here would
-      // leak a session-lifetime cached frame per invocation (there is
-      // no post-execution hook on a lazily-returned DataFrame to
-      // unpersist it), squeezing execution memory for every later job
-      val probeGrams = grams(docs.filter(col("doc_id") < 3)).select(col("g")).distinct()
-      // build-once: the probe filter is keyed by its probe-set identity
-      // (dir + the doc_id<3 probe definition + gram width) and memoized
-      // for the JVM lifetime — repeat decontam passes skip the sizing
-      // count and the treeAggregate build entirely
-      val mightHit = org.apache.spark.sql.GraftBridge.bloomMightContain(
-        DedupFns.gramBloomBytesCached(s"decontam4:$dir:doc_id<3", probeGrams, "g"),
-        xxhash64(col("g")))
-      val kill = grams(docs.filter(col("doc_id") >= 3))
-        .filter(mightHit)
-        .join(probeGrams.hint("shuffle_hash"), "g")
-        .groupBy("doc_id")
-        .agg(countDistinct(col("g")).as("shared"))
-        .filter(col("shared") >= 2)
-        .select(col("doc_id").as("kid"))
-      docs.filter(col("doc_id") >= 3)
-        .join(kill, col("doc_id") === col("kid"), "left_anti")
-        .select(col("source"), size(TextFns.tokensFast(col("text"))).cast("long").as("nt"))
-        .groupBy(col("source"))
-        .agg(count(lit(1)).as("n_kept"), sum(col("nt")).as("tokens_kept"))
-    },
-    Some(decontamOracleSql))
-
-  /** Duplicated-substring RUN detection (the Lee et al. 2022
-    * "Deduplicating Training Data" §4 substring signal, re-expressed
-    * relationally): q_span_dedup counts which distinct 8-token windows
-    * recur; this query finds how LONG the copied stretches are. A
-    * window is cross-doc duplicated iff its 60-bit hash occurs in ≥2
-    * distinct docs (min(doc_id)≠max(doc_id) over the hash partition —
-    * exact, and ONE hash shuffle with no df self-join); consecutive
-    * duplicated window starts then collapse gaps-and-islands style
-    * (pos − running-dup-count is constant within a run) into maximal
-    * runs. A run of r consecutive duplicated 8-windows certifies a
-    * duplicated substring of r+7 tokens — the excision length a
-    * substring-level dedup pass would cut.
-    *
-    * Scale shape: positional windows ride as 8-byte hashes (native
-    * PosNgramsExpr builds them in one pass). The cross-doc test is NOT
-    * a window over the hash partition (that sorts every positional
-    * hash — one giant sort at corpus scale): one `repartition(__gh)`
-    * exchange is shared (ReusedExchange) by (a) a complete aggregation
-    * to the min≠max dup-hash set and (b) a sort-free shuffle-hash left
-    * join of the positions against that set — the per-partition hash
-    * table holds only duplicated hashes, a small fraction of all spans.
-    * The run window then sorts within one document only — never a
-    * low-cardinality key.
-    */
-  private val qDupSpanRuns = GraftQuery(
-    "q_dup_span_runs",
-    (s, dir) => {
-      import org.apache.spark.sql.expressions.Window
-      val g = Fence.guard(
-          t(s, dir, "documents")
-            .select(col("doc_id"), TextFns.tokensFast(col("text")).as("__toks"), Fence.col))
-        .filter(size(col("__toks")) >= 8)
-        .select(col("doc_id"),
-          posexplode(DedupFns.wordNgramsPositional(col("__toks"), 8)).as(Seq("pos", "__gram")))
-        .select(col("doc_id"), col("pos").cast("long").as("pos"),
-          TextFns.tokenHash(col("__gram")).as("__gh"))
-        .filter(col("__gh").isNotNull)
-        .repartition(col("__gh"))
-      // Exchange-reuse discipline: the one __gh exchange below feeds BOTH
-      // the dup-hash aggregate and the join probe side, so their subtrees
-      // must stay byte-identical after optimization. Two rules defend
-      // that: (a) the explicit isNotNull above pre-materializes the
-      // filter the outer join would infer on the build side only (__gh is
-      // md5-derived, never null — semantics unchanged); (b) the __mp
-      // disjunct below is never true (pos ≥ 0) but keeps pos CONSUMED on
-      // this side, so column pruning cannot shrink this projection below
-      // the probe side's. Plain min/max longs keep this a HashAggregate —
-      // a struct min/max would plan a SortAggregate and reintroduce the
-      // very sort this shape removes.
-      val dupHashes = g.groupBy(col("__gh"))
-        .agg(min(col("doc_id")).as("__mn"), max(col("doc_id")).as("__mx"),
-          max(col("pos")).as("__mp"))
-        .filter(col("__mn") =!= col("__mx") || col("__mp") < 0)
-        .select(col("__gh").as("__dgh"))
-      val wd = Window.partitionBy("doc_id").orderBy(col("pos"))
-      g.join(dupHashes.hint("shuffle_hash"), col("__gh") === col("__dgh"), "left")
-        .select(col("doc_id"), col("pos"),
-          when(col("__dgh").isNotNull, 1L).otherwise(0L).as("__dup"))
-        .withColumn("__rnd", sum(col("__dup")).over(wd))
-        .withColumn("__isl", when(col("__dup") === 1L, col("pos") - col("__rnd")))
-        .groupBy(col("doc_id"), col("__isl"))
-        .agg(count(lit(1)).as("__cnt"))
-        .groupBy(col("doc_id"))
-        .agg(sum(col("__cnt")).as("n_spans"),
-          coalesce(sum(when(col("__isl").isNotNull, col("__cnt"))), lit(0L)).as("n_dup_spans"),
-          coalesce(max(when(col("__isl").isNotNull, col("__cnt"))), lit(0L)).as("max_run"))
-        .select(col("doc_id"), col("n_spans"), col("n_dup_spans"), col("max_run"),
-          when(col("max_run") > 0, col("max_run") + lit(7L)).otherwise(lit(0L)).as("max_dup_tokens"))
-    },
-    Some(s"""WITH t0 AS (SELECT doc_id, $toksSql AS tk FROM documents),
-             sp AS (SELECT doc_id, pg.pos AS pos, pg.g AS g
-                    FROM (SELECT doc_id, unnest(list_transform(range(0, len(tk) - 7),
-                            i -> {'pos': i, 'g': array_to_string(list_slice(tk, i + 1, i + 8), ' ')})) AS pg
-                          FROM t0 WHERE len(tk) >= 8)),
-             h AS (SELECT doc_id, pos, ${h60Sql("g")} AS gh FROM sp),
-             m AS (SELECT doc_id, pos,
-                     CASE WHEN min(doc_id) OVER (PARTITION BY gh) <> max(doc_id) OVER (PARTITION BY gh)
-                          THEN 1 ELSE 0 END AS dup
-                   FROM h),
-             i AS (SELECT doc_id, pos, dup,
-                     sum(dup) OVER (PARTITION BY doc_id ORDER BY pos) AS rnd
-                   FROM m),
-             r AS (SELECT doc_id, isl, count(*) AS cnt
-                   FROM (SELECT doc_id, CASE WHEN dup = 1 THEN pos - rnd END AS isl FROM i)
-                   GROUP BY doc_id, isl),
-             f AS (SELECT doc_id, sum(cnt) AS n_spans,
-                     coalesce(sum(CASE WHEN isl IS NOT NULL THEN cnt END), 0) AS n_dup,
-                     coalesce(max(CASE WHEN isl IS NOT NULL THEN cnt END), 0) AS max_run
-                   FROM r GROUP BY doc_id)
-             SELECT doc_id, CAST(n_spans AS BIGINT) AS n_spans,
-               CAST(n_dup AS BIGINT) AS n_dup_spans,
-               CAST(max_run AS BIGINT) AS max_run,
-               CAST(CASE WHEN max_run > 0 THEN max_run + 7 ELSE 0 END AS BIGINT) AS max_dup_tokens
-             FROM f"""))
-
-  /** The EXCISION itself — the step after q_span_scrub's accounting:
-    * per doc, the surviving token stream with every cross-doc
-    * duplicated 8-gram span removed, pinned by an md5 fingerprint of
-    * the kept tokens (so the oracle verifies the exact post-deletion
-    * CONTENT, not just counts). Islands ride back to the doc as a
-    * SMALL array (islands ≪ tokens); the keep/drop decision is a
-    * per-row higher-order filter over positions against that array —
-    * no position×interval range join, no second corpus shuffle beyond
-    * the doc_id island attach. Docs without dup spans keep everything
-    * (left join, empty island array).
-    */
-  private val qSpanExcise = GraftQuery(
-    "q_span_excise",
-    (s, dir) => {
-      import org.apache.spark.sql.expressions.Window
-      val g = Fence.guard(
-          t(s, dir, "documents")
-            .select(col("doc_id"), TextFns.tokensFast(col("text")).as("__toks"), Fence.col))
-        .filter(size(col("__toks")) >= 8)
-        .select(col("doc_id"),
-          posexplode(DedupFns.wordNgramsPositional(col("__toks"), 8)).as(Seq("pos", "__gram")))
-        .select(col("doc_id"), col("pos").cast("long").as("pos"),
-          TextFns.tokenHash(col("__gram")).as("__gh"))
-        // doc_id isNotNull is stated EXPLICITLY: the doc-side left join
-        // infers it onto the islands branch only, and an asymmetric
-        // pushed-down conjunct would de-canonicalize the two __gh
-        // subtrees and silently kill the exchange reuse
-        .filter(col("__gh").isNotNull && col("doc_id").isNotNull)
-        .repartition(col("__gh"))
-      // pos stays referenced on the aggregate side (never-true filter)
-      // so both __gh subtrees canonicalize identically → one exchange,
-      // AQE ReusedExchange (see q_span_scrub)
-      val dupHashes = g.groupBy(col("__gh"))
-        .agg(min(col("doc_id")).as("__mn"), max(col("doc_id")).as("__mx"),
-          max(col("pos")).as("__mp"))
-        .filter(col("__mn") =!= col("__mx") || col("__mp") < 0)
-        .select(col("__gh").as("__dgh"))
-      val wd = Window.partitionBy("doc_id").orderBy(col("pos"))
-      val islands = g.join(dupHashes.hint("shuffle_hash"), col("__gh") === col("__dgh"), "left")
-        .select(col("doc_id"), col("pos"),
-          when(col("__dgh").isNotNull, 1L).otherwise(0L).as("__dup"))
-        .withColumn("__rnd", sum(col("__dup")).over(wd))
-        .withColumn("__isl", when(col("__dup") === 1L, col("pos") - col("__rnd")))
-        .filter(col("__isl").isNotNull)
-        .groupBy(col("doc_id"), col("__isl"))
-        .agg(min(col("pos")).as("s"), max(col("pos")).as("e"))
-        .groupBy(col("doc_id"))
-        .agg(collect_list(struct(col("s"), col("e"))).as("__islands"))
-      Fence.guard(
-          t(s, dir, "documents")
-            .select(col("doc_id"), TextFns.tokensFast(col("text")).as("__tk"), Fence.col))
-        .filter(size(col("__tk")) >= 8)
-        .join(islands, Seq("doc_id"), "left")
-        .select(col("doc_id"), col("__tk"),
-          coalesce(col("__islands"),
-            array().cast("array<struct<s:bigint,e:bigint>>")).as("__ia"))
-        .select(col("doc_id"),
-          size(col("__tk")).cast("long").as("n_tokens"),
-          expr("""filter(sequence(0L, size(__tk) - 1L),
-                         t -> NOT exists(__ia, i -> t >= i.s AND t <= i.e + 7L))""").as("__kept"),
-          col("__tk"))
-        .select(col("doc_id"), col("n_tokens"),
-          size(col("__kept")).cast("long").as("kept_tokens"),
-          md5(concat_ws(" ",
-            expr("transform(__kept, t -> element_at(__tk, CAST(t + 1 AS INT)))"))).as("scrub_fp"))
-    },
-    Some(s"""WITH t0 AS (SELECT doc_id, $toksSql AS tk FROM documents),
-             sp AS (SELECT doc_id, pg.pos AS pos, pg.g AS g
-                    FROM (SELECT doc_id, unnest(list_transform(range(0, len(tk) - 7),
-                            i -> {'pos': i, 'g': array_to_string(list_slice(tk, i + 1, i + 8), ' ')})) AS pg
-                          FROM t0 WHERE len(tk) >= 8)),
-             h AS (SELECT doc_id, pos, ${h60Sql("g")} AS gh FROM sp),
-             m AS (SELECT doc_id, pos,
-                     CASE WHEN min(doc_id) OVER (PARTITION BY gh) <> max(doc_id) OVER (PARTITION BY gh)
-                          THEN 1 ELSE 0 END AS dup
-                   FROM h),
-             i AS (SELECT doc_id, pos, dup,
-                     sum(dup) OVER (PARTITION BY doc_id ORDER BY pos) AS rnd
-                   FROM m),
-             isl AS (SELECT doc_id, min(pos) AS s, max(pos) AS e
-                     FROM (SELECT doc_id, pos, CASE WHEN dup = 1 THEN pos - rnd END AS isl FROM i)
-                     WHERE isl IS NOT NULL GROUP BY doc_id, isl),
-             ia AS (SELECT doc_id, list({'s': s, 'e': e}) AS islands FROM isl GROUP BY doc_id),
-             d AS (SELECT doc_id, tk, len(tk) AS n FROM t0 WHERE len(tk) >= 8),
-             kp AS (SELECT d.doc_id, tk, n,
-                      CASE WHEN islands IS NULL THEN range(0, n)
-                           ELSE list_filter(range(0, n),
-                                  t -> len(list_filter(islands,
-                                         x -> t >= x['s'] AND t <= x['e'] + 7)) = 0) END AS kept
-                    FROM d LEFT JOIN ia USING (doc_id))
-             SELECT doc_id, CAST(n AS BIGINT) AS n_tokens,
-               CAST(len(kept) AS BIGINT) AS kept_tokens,
-               md5(coalesce(array_to_string(list_transform(kept, t -> tk[t + 1]), ' '), '')) AS scrub_fp
-             FROM kp"""))
-
-  /** Exact substring-dedup REMOVAL accounting (the deletion step of
-    * Lee et al. 2022 exact substring dedup): per doc, how many tokens
-    * the cross-doc duplicated 8-gram spans actually COVER — computed as
-    * the exact INTERVAL UNION of the dup-span islands, not the naive
-    * Σ(run+7) (islands separated by <8 positions overlap in token
-    * space; summing runs over-counts the overlap). Island i covers
-    * tokens [s, e+7]; a lag window per doc clips each island at the
-    * previous island's end+7, so the sum is the exact union length.
-    * Emits n_tokens / dup_tokens / keep_milli — the budget view a
-    * pipeline reads before shipping span removal. Same single shared
-    * __gh exchange as q_dup_span_runs; the interval walk runs over the
-    * ISLAND aggregate (docs × islands rows ≪ spans).
-    */
-  private val qSpanScrub = GraftQuery(
-    "q_span_scrub",
-    (s, dir) => {
-      val g = Fence.guard(
-          t(s, dir, "documents")
-            .select(col("doc_id"), TextFns.tokensFast(col("text")).as("__toks"), Fence.col))
-        .filter(size(col("__toks")) >= 8)
-        .select(col("doc_id"),
-          posexplode(DedupFns.wordNgramsPositional(col("__toks"), 8)).as(Seq("pos", "__gram")))
-        .select(col("doc_id"), col("pos").cast("long").as("pos"),
-          TextFns.tokenHash(col("__gram")).as("__gh"))
-        .filter(col("__gh").isNotNull)
-        .repartition(col("__gh"))
-      // same exchange-reuse discipline as q_dup_span_runs: the
-      // never-true `__mp < 0` keeps `pos` REFERENCED on the aggregate
-      // side so column pruning cannot shrink its exchange subtree —
-      // both sides then canonicalize to the SAME repartition(__gh)
-      // exchange and AQE materializes it once (ReusedExchange, asserted
-      // in PlanSpec). Dropping it re-plans the tokenize+explode scan
-      // twice.
-      val dupHashes = g.groupBy(col("__gh"))
-        .agg(min(col("doc_id")).as("__mn"), max(col("doc_id")).as("__mx"),
-          max(col("pos")).as("__mp"))
-        .filter(col("__mn") =!= col("__mx") || col("__mp") < 0)
-        .select(col("__gh").as("__dgh"))
-      // the island walk lives in DedupFns.spanCoverage — ONE shared
-      // implementation with the streaming incremental twin, so their
-      // parity is structural rather than re-proved per change
-      DedupFns.spanCoverage(
-          g.join(dupHashes.hint("shuffle_hash"), col("__gh") === col("__dgh"), "left")
-            .select(col("doc_id"), col("pos"),
-              when(col("__dgh").isNotNull, 1L).otherwise(0L).as("__dup")))
-        .select(col("doc_id"), col("n_tokens"), col("dup_tokens"),
-          expr("(n_tokens - dup_tokens) * 1000 div n_tokens").as("keep_milli"))
-    },
-    Some(s"""WITH t0 AS (SELECT doc_id, $toksSql AS tk FROM documents),
-             sp AS (SELECT doc_id, pg.pos AS pos, pg.g AS g
-                    FROM (SELECT doc_id, unnest(list_transform(range(0, len(tk) - 7),
-                            i -> {'pos': i, 'g': array_to_string(list_slice(tk, i + 1, i + 8), ' ')})) AS pg
-                          FROM t0 WHERE len(tk) >= 8)),
-             h AS (SELECT doc_id, pos, ${h60Sql("g")} AS gh FROM sp),
-             m AS (SELECT doc_id, pos,
-                     CASE WHEN min(doc_id) OVER (PARTITION BY gh) <> max(doc_id) OVER (PARTITION BY gh)
-                          THEN 1 ELSE 0 END AS dup
-                   FROM h),
-             i AS (SELECT doc_id, pos, dup,
-                     sum(dup) OVER (PARTITION BY doc_id ORDER BY pos) AS rnd
-                   FROM m),
-             isl0 AS (SELECT doc_id, isl, count(*) AS cnt, min(pos) AS s, max(pos) AS e
-                      FROM (SELECT doc_id, pos, CASE WHEN dup = 1 THEN pos - rnd END AS isl FROM i)
-                      GROUP BY doc_id, isl),
-             cov AS (SELECT doc_id,
-                       sum(e + 7 - greatest(s, coalesce(pe + 8, s)) + 1) AS dt
-                     FROM (SELECT doc_id, s, e, lag(e) OVER (PARTITION BY doc_id ORDER BY s) AS pe
-                           FROM isl0 WHERE isl IS NOT NULL)
-                     GROUP BY doc_id),
-             tot AS (SELECT doc_id, sum(cnt) + 7 AS n_tokens FROM isl0 GROUP BY doc_id)
-             SELECT tot.doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
-               CAST(coalesce(dt, 0) AS BIGINT) AS dup_tokens,
-               CAST((n_tokens - coalesce(dt, 0)) * 1000 // n_tokens AS BIGINT) AS keep_milli
-             FROM tot LEFT JOIN cov USING (doc_id)"""))
-
-  /** Per-dimension int8 scalar quantization report over the embedding
-    * corpus — the compression decision view before building a
-    * quantized ANN index (the SQ step of FAISS's SQ8 / IVF-SQ lineage,
-    * in exact integer space): per dim, the [min, max] range over
-    * milli-quantized components, the 255-level code reconstruction
-    * error (code = (v−min)·255 div range; recon = min + code·range
-    * div 255 — all non-negative integer div, so Spark `div` == DuckDB
-    * `//`), and exact mean/max absolute error.
-    *
-    * Scale shape: two passes over the embeddings. Pass 1 posexplodes
-    * to (dim, v) and partial-aggregates min/max/count into ≤dims
-    * groups — map-side combine collapses the shuffle to dims rows per
-    * task. Pass 2 re-explodes, joins the BROADCAST dims-row stats
-    * table, and partial-aggregates the error sums the same way. No
-    * fact-sized shuffle exists in either pass.
-    */
-  private val qEmbedQuant = GraftQuery(
-    "q_embed_quant",
-    (s, dir) => {
-      def comps = t(s, dir, "embeddings")
-        .select(col("vec_id"), posexplode(VectorFns.quantizeFast(col("embedding"))).as(Seq("dim", "v")))
-        .select(col("dim").cast("long").as("dim"), col("v"))
-      val stats = comps.groupBy(col("dim"))
-        .agg(min(col("v")).as("vmin"), max(col("v")).as("vmax"))
-      comps.join(broadcast(stats), Seq("dim"))
-        .withColumn("__rng", col("vmax") - col("vmin"))
-        .withColumn("__code",
-          when(col("__rng") > 0, expr("((v - vmin) * 255) div __rng")).otherwise(lit(0L)))
-        .withColumn("__rec",
-          col("vmin") + when(col("__rng") > 0, expr("(__code * __rng) div 255")).otherwise(lit(0L)))
-        .groupBy(col("dim"))
-        .agg(min(col("vmin")).as("vmin"), min(col("vmax")).as("vmax"),
-          count(lit(1)).as("n"),
-          sum(abs(col("__rec") - col("v"))).as("abs_err_sum"),
-          max(abs(col("__rec") - col("v"))).as("max_err"))
-        .withColumn("mae_milli", expr("abs_err_sum div n"))
-    },
-    Some(s"""WITH e AS (SELECT vec_id, ${quantSql("embedding")} AS qv FROM embeddings),
-             x AS (SELECT vec_id, pv.dim AS dim, pv.v AS v
-                   FROM (SELECT vec_id, unnest(list_transform(range(0, len(qv)),
-                           i -> {'dim': i, 'v': qv[i + 1]})) AS pv
-                         FROM e)),
-             st AS (SELECT dim, min(v) AS vmin, max(v) AS vmax FROM x GROUP BY dim),
-             r AS (SELECT x.dim AS dim, v, vmin, vmax, vmax - vmin AS rng
-                   FROM x JOIN st USING (dim)),
-             c AS (SELECT dim, v, vmin, vmax, rng,
-                     CASE WHEN rng > 0 THEN ((v - vmin) * 255) // rng ELSE 0 END AS code
-                   FROM r),
-             rc AS (SELECT dim, v, vmin, vmax,
-                      vmin + CASE WHEN rng > 0 THEN (code * rng) // 255 ELSE 0 END AS recv
-                    FROM c)
-             SELECT CAST(dim AS BIGINT) AS dim, CAST(min(vmin) AS BIGINT) AS vmin,
-               CAST(min(vmax) AS BIGINT) AS vmax, CAST(count(*) AS BIGINT) AS n,
-               CAST(sum(abs(recv - v)) AS BIGINT) AS abs_err_sum,
-               CAST(max(abs(recv - v)) AS BIGINT) AS max_err,
-               CAST(sum(abs(recv - v)) // count(*) AS BIGINT) AS mae_milli
-             FROM rc GROUP BY dim"""))
-
-  /** Covariance/Gram sufficient statistics of the embedding corpus —
-    * the first pass of distributed PCA / ZCA whitening (what an
-    * SVD-of-covariance consumes): for every dim pair i ≤ j, the exact
-    * integer second moment Σ xᵢxⱼ over milli-quantized components,
-    * the first moments Σ xᵢ, Σ xⱼ, and the covariance numerator
-    * n·Σxᵢxⱼ − Σxᵢ·Σxⱼ. One native map-side kernel
-    * (Kernels.outerMoments) emits all d(d+1)/2 products PLUS the d
-    * components per row, so ONE groupBy(pos) aggregates every
-    * statistic: the shuffle carries ≤ (d(d+1)/2 + d) rows per
-    * partition REGARDLESS of corpus size (never n·d² — the explode
-    * feeds straight into map-side partial aggs), and the final
-    * (i, j) labelling and first-moment attach are broadcast joins
-    * over ≤ 2,144 aggregated rows reading the SAME exchange
-    * (ReusedExchange, pinned in PlanSpec). 64-bit headroom: |x| ≤ 10³
-    * (milli-quantized unit-scale floats) ⇒ |covnum| ≤ n²·10⁶, which
-    * stays inside int64 only up to n ≈ 3×10⁶ rows at that worst case
-    * (n²·10⁶ ≤ 2⁶³ ⇔ n ≤ 3.0×10⁶); for unit-NORM embeddings the
-    * effective bound is Σxᵢxⱼ ≤ n·10⁶ per pair, i.e. n ≈ 9×10¹² —
-    * lift the two sums to DECIMAL(38,0) before trusting either limit
-    * at corpus scale.
-    */
-  private val qGramMatrix = GraftQuery(
-    "q_gram_matrix",
-    (s, dir) => {
-      val d = 64
-      val tri = d * (d + 1) / 2
-      val mom = t(s, dir, "embeddings")
-        .select(posexplode(
-          VectorFns.outerMomentsFast(VectorFns.quantizeFast(col("embedding"))))
-          .as(Seq("__pos", "__m")))
-        .groupBy(col("__pos"))
-        .agg(count(lit(1)).as("n"), sum(col("__m")).as("__s"))
-      val pt = s.range(0, d).select(col("id").as("i"))
-        .crossJoin(s.range(0, d).select(col("id").as("j")))
-        .filter(col("j") >= col("i"))
-        .withColumn("__pos",
-          expr(s"i * $d - (i * (i - 1)) div 2 + (j - i)").cast("int"))
-      val si = mom.filter(col("__pos") >= tri)
-        .select((col("__pos") - tri).cast("long").as("i"), col("__s").as("sx"))
-      val sj = si.select(col("i").as("j"), col("sx").as("sy"))
-      mom.filter(col("__pos") < tri)
-        .join(broadcast(pt), "__pos")
-        .join(broadcast(si), "i")
-        .join(broadcast(sj), "j")
-        .select(col("i"), col("j"), col("n"), col("__s").as("sxy"),
-          col("sx"), col("sy"),
-          (col("n") * col("__s") - col("sx") * col("sy")).as("covnum"))
-    },
-    Some(s"""WITH q AS (SELECT ${quantSql("embedding")} AS qv FROM embeddings),
-             p AS (SELECT CAST(i.range AS BIGINT) AS i, CAST(j.range AS BIGINT) AS j
-                   FROM range(64) i, range(64) j WHERE j.range >= i.range),
-             prod AS (SELECT p.i, p.j, CAST(count(*) AS BIGINT) AS n,
-                        CAST(sum(qv[p.i + 1] * qv[p.j + 1]) AS BIGINT) AS sxy
-                      FROM q, p GROUP BY 1, 2),
-             sd AS (SELECT CAST(dd.range AS BIGINT) AS dim,
-                      CAST(sum(qv[dd.range + 1]) AS BIGINT) AS sd
-                    FROM q, range(64) dd GROUP BY 1)
-             SELECT prod.i, prod.j, prod.n, prod.sxy, si.sd AS sx, sj.sd AS sy,
-               prod.n * prod.sxy - si.sd * sj.sd AS covnum
-             FROM prod JOIN sd si ON prod.i = si.dim JOIN sd sj ON prod.j = sj.dim"""))
-
-  /** Top-principal-component projection per source — the SPECTRAL
-    * member completing q_gram_matrix's sufficient-stats story (that
-    * query ships the moments a PCA consumes; this one consumes them):
-    * fixed 4-round power iteration (von Mises 1929) over the mean
-    * outer product M = ⌊Σxxᵀ/n⌋ in exact integer arithmetic (floor
-    * division at every step — both engines replay the walk
-    * bit-for-bit; M's entries are n-independent ≤ 10⁶, so no scale
-    * overflows), then every embedding projects onto the resulting
-    * milli-scaled direction and per-source distribution stats come
-    * back (min/max/floored mean) — the "which sources sit where along
-    * the corpus's dominant axis" view that catches a source drifting
-    * off-manifold before it poisons a mixture. Scale shape: the
-    * moment pass is ONE map-side-combined exchange (≤ 2,144 rows per
-    * partition regardless of corpus size) with a BOUNDED 2,080-long
-    * driver collect (the spectral index build, like ivfCentroids);
-    * the apply pass is a map-only native qdot against the plan-
-    * literal direction + one id equi-join + a source partial agg.
-    */
-  private val qPcaPower = GraftQuery(
-    "q_pca_power",
-    (s, dir) => {
-      val emb = t(s, dir, "embeddings")
-      val pc = VectorFns.pcaPower(emb, "embedding", dims = 64, iters = 4)
-      // null-screen mirrors the oracle's e CTE (a null/null-element
-      // vector projects to null — drop it, as the moment pass did);
-      // Fence pins the qdot+quantize to one evaluation under the
-      // pushed-down isNotNull
-      val proj = Fence.guard(emb.select(col("vec_id"),
-          VectorFns.qdotFast(VectorFns.quantizeFast(col("embedding")), typedLit(pc)).as("proj"),
-          Fence.col))
-        .filter(col("proj").isNotNull)
-      val d = t(s, dir, "documents").select(col("doc_id"), col("source"))
-      proj.join(d, proj("vec_id") === d("doc_id"))
-        .groupBy("source")
-        .agg(count(lit(1)).as("n_vecs"), min("proj").as("proj_min"),
-          max("proj").as("proj_max"), sum("proj").as("__ps"))
-        .withColumn("proj_mean", expr("(__ps - ((__ps % n_vecs + n_vecs) % n_vecs)) div n_vecs"))
-        .select(col("source"), col("n_vecs"), col("proj_min"), col("proj_max"), col("proj_mean"))
-    },
-    Some {
-      val rounds = (1 to 4).map { tt =>
-        val pv = s"v${tt - 1}"
-        s"""y$tt AS (SELECT mm.i, CAST(sum(mm.m * $pv.x) AS BIGINT) AS y FROM mm JOIN $pv ON mm.j = $pv.i GROUP BY 1),
-             r$tt AS (SELECT max(abs(y)) AS r FROM y$tt),
-             v$tt AS (SELECT y$tt.i, CASE WHEN r = 0 THEN $pv.x ELSE (y * 1000 - (((y * 1000) % r + r) % r)) // r END AS x
-                    FROM y$tt JOIN $pv ON y$tt.i = $pv.i CROSS JOIN r$tt)"""
-      }.mkString(",\n             ")
-      s"""WITH e AS (SELECT vec_id, ${quantSql("embedding")} AS v FROM embeddings
-                    WHERE embedding IS NOT NULL AND len(list_filter(embedding, x -> x IS NULL)) = 0),
-             nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM e),
-             pm AS (SELECT p.i, p.j, CAST(sum(v[p.i + 1] * v[p.j + 1]) AS BIGINT) AS s
-                    FROM e CROSS JOIN (SELECT i.range AS i, j.range AS j
-                                       FROM range(64) i, range(64) j) p
-                    GROUP BY 1, 2),
-             mm AS (SELECT i, j, (s - ((s % n + n) % n)) // n AS m FROM pm, nn),
-             v0 AS (SELECT CAST(range AS BIGINT) AS i, CAST(1000 AS BIGINT) AS x FROM range(64)),
-             $rounds,
-             pc AS (SELECT list(x ORDER BY i) AS p FROM v4),
-             proj AS (SELECT e.vec_id,
-                        CAST(list_sum(list_transform(range(1, 65), k -> v[k] * p[k])) AS BIGINT) AS proj
-                      FROM e CROSS JOIN pc),
-             jn AS (SELECT d.source, proj FROM proj JOIN documents d ON proj.vec_id = d.doc_id)
-             SELECT source, CAST(count(*) AS BIGINT) AS n_vecs,
-               CAST(min(proj) AS BIGINT) AS proj_min, CAST(max(proj) AS BIGINT) AS proj_max,
-               CAST((sum(proj) - ((sum(proj) % count(*) + count(*)) % count(*))) // count(*) AS BIGINT) AS proj_mean
-             FROM jn GROUP BY source"""
-    })
-
-  /** Temperature-rebalanced mixture weights (the alpha=0.5 exponent of
-    * mBERT/XLM-R multilingual sampling, Conneau et al. 2020 §3.1):
-    * per-source sampling share proportional to sqrt(token count),
-    * next to the raw share it replaces — the "how much does alpha=0.5
-    * flatten the mixture" view q_mix_gap's uniform target can't give.
-    *
-    * Portability: w = floor(sqrt(tok)) is cross-engine exact — both
-    * engines convert the SAME bigint to double (one round-to-nearest)
-    * and IEEE-754 sqrt is correctly rounded in both, so the doubles,
-    * and therefore the floors, are bit-identical. Shares are then
-    * integer milli arithmetic. One per-source aggregation; totals
-    * attach as a 1-row broadcast (no unpartitioned window).
-    */
-  private val qMixWeights = GraftQuery(
-    "q_mix_weights",
-    (s, dir) => {
-      val per = t(s, dir, "documents")
-        .select(col("source"), size(TextFns.tokensFast(col("text"))).cast("long").as("nt"))
-        .groupBy(col("source"))
-        .agg(count(lit(1)).as("n_docs"), sum(col("nt")).as("tok"))
-        .withColumn("w", floor(sqrt(col("tok").cast("double"))).cast("long"))
-      // keepAll: the totals branch would otherwise prune n_docs out of
-      // the per-source partial aggregate, de-canonicalize the source
-      // exchange, and tokenize the corpus twice (the q11_stock failure
-      // mode — see Fence.keepAll)
-      val tot = Fence.keepAll(per)
-        .agg(sum(col("tok")).as("__tt"), sum(col("w")).as("__tw"))
-      per.crossJoin(broadcast(tot))
-        .select(col("source"), col("n_docs"), col("tok"), col("w"),
-          expr("tok * 1000 div __tt").as("raw_share_milli"),
-          expr("w * 1000 div __tw").as("samp_share_milli"))
-    },
-    Some(s"""WITH per AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
-                    CAST(sum(len($toksSql)) AS BIGINT) AS tok
-                  FROM documents GROUP BY source),
-             w AS (SELECT source, n_docs, tok,
-                     CAST(floor(sqrt(tok::DOUBLE)) AS BIGINT) AS w
-                   FROM per),
-             tt AS (SELECT sum(tok) AS tt, sum(w) AS tw FROM w)
-             SELECT source, n_docs, tok, w,
-               CAST(tok * 1000 // tt AS BIGINT) AS raw_share_milli,
-               CAST(w * 1000 // tw AS BIGINT) AS samp_share_milli
-             FROM w, tt"""))
 
   /** Cross-source DOMAIN-SIMILARITY matrix: per-source embedding
     * centroid (exact-integer floored mean per dim over the quantized
@@ -8341,29 +1112,6 @@ object Queries {
         .select(col("source_a"), col("source_b"), col("dot"), col("na"), col("nb"), col("cos2_milli"))
   }
 
-  private val qDomainSim = GraftQuery(
-    "q_domain_sim",
-    (s, dir) => domainSimOf(t(s, dir, "embeddings"), t(s, dir, "documents")),
-    Some(s"""WITH e AS (SELECT vec_id, ${quantSql("embedding")} AS v FROM embeddings
-                    WHERE embedding IS NOT NULL AND len(list_filter(embedding, x -> x IS NULL)) = 0),
-             j AS (SELECT d.source, e.v FROM e JOIN documents d ON e.vec_id = d.doc_id),
-             dm AS (SELECT source, i, v[i] AS val FROM j CROSS JOIN range(1, 65) t(i)),
-             sums AS (SELECT source, i, CAST(sum(val) AS BIGINT) AS sm, CAST(count(*) AS BIGINT) AS cnt
-                      FROM dm GROUP BY 1, 2),
-             cm AS (SELECT source, i, (sm - ((sm % cnt + cnt) % cnt)) // cnt AS c FROM sums),
-             cv AS (SELECT source, list(c ORDER BY i) AS cv FROM cm GROUP BY source),
-             nn AS (SELECT source, cv,
-                      CAST(list_sum(list_transform(range(1, 65), i -> cv[i] * cv[i])) AS BIGINT) AS nrm
-                    FROM cv),
-             pr AS (SELECT a.source AS source_a, b.source AS source_b,
-                      CAST(list_sum(list_transform(range(1, 65), i -> a.cv[i] * b.cv[i])) AS BIGINT) AS dot,
-                      a.nrm AS na, b.nrm AS nb
-                    FROM nn a JOIN nn b ON a.source < b.source)
-             SELECT source_a, source_b, dot, na, nb,
-               CAST(CASE WHEN na = 0 OR nb = 0 THEN 0
-                    WHEN dot < 0 THEN -((dot * dot * 1000) // (na * nb))
-                    ELSE (dot * dot * 1000) // (na * nb) END AS BIGINT) AS cos2_milli
-             FROM pr"""))
 
   /** Embedding hubness report (Radovanović et al. 2010: in high-dim
     * spaces some points become "hubs" that appear in far more kNN lists
@@ -8395,7 +1143,7 @@ object Queries {
     * the next several decades; past ~10⁹ vectors the IVFADC variant
     * (q_ivfpq) replaces exact re-scoring entirely.
     */
-  private def ivfAllNnSql: String = {
+  private[graft] def ivfAllNnSql: String = {
     val d2 = (a: String, b: String) =>
       s"CAST(list_sum(list_transform(range(1, 65), i -> ($a[i]-$b[i])*($a[i]-$b[i]))) AS BIGINT)"
     s"""WITH e AS (SELECT vec_id, ${quantSql("embedding")} AS v FROM embeddings),
@@ -8449,33 +1197,6 @@ object Queries {
                     WHERE rnk <= 5)"""
   }
 
-  private val qKnnHubs = GraftQuery(
-    "q_knn_hubs",
-    (s, dir) => {
-      import org.apache.spark.sql.expressions.Window
-      val e = t(s, dir, "embeddings")
-      val kc = autoK(tableCount(s, dir, "embeddings"))
-      // top-20 via orderBy+limit = TakeOrderedAndProject (scale-safe:
-      // the in-degree table is corpus-sized, a global rank window over
-      // it would be a single-partition sort); the rank window then runs
-      // over the 20 surviving rows only
-      VectorFns.ivfTopK2(e, e, "vec_id", "embedding", 5,
-          kCentroids = kc, nprobe = 8, coarseProbes = 4, assignProbes = 1)
-        .groupBy(col("neighbor_id").as("hub_id"))
-        .agg(count(lit(1)).as("in_deg"))
-        .orderBy(col("in_deg").desc, col("hub_id"))
-        .limit(20)
-        .withColumn("rnk", row_number().over(
-          Window.orderBy(col("in_deg").desc, col("hub_id"))).cast("long"))
-    },
-    Some(s"""$ivfAllNnSql,
-             deg AS (SELECT neighbor_id AS hub_id, CAST(count(*) AS BIGINT) AS in_deg
-                     FROM nn GROUP BY neighbor_id)
-             SELECT hub_id, in_deg, CAST(rnk AS BIGINT) AS rnk
-             FROM (SELECT hub_id, in_deg,
-                     row_number() OVER (ORDER BY in_deg DESC, hub_id) AS rnk
-                   FROM deg)
-             WHERE rnk <= 20"""))
 
   /** Shared DuckDB PQ chain (mirror of VectorFns.pqCodebook/pqEncode at
     * m=8 subspaces × k=16 codes over 64 dims): `cb` rebuilds the
@@ -8484,7 +1205,7 @@ object Queries {
     * is exact integer arithmetic, so the full encode replays
     * cross-engine.
     */
-  private def pqEncSql: String =
+  private[graft] def pqEncSql: String =
     s"""WITH e AS (SELECT vec_id, ${quantSql("embedding")} AS v FROM embeddings),
              cb0 AS (SELECT row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), CAST(vec_id AS VARCHAR)) - 1 AS j, v
                      FROM e ORDER BY md5(CAST(vec_id AS VARCHAR)), CAST(vec_id AS VARCHAR) LIMIT 16),
@@ -8498,10 +1219,11 @@ object Queries {
                           row_number() OVER (PARTITION BY vec_id, m ORDER BY d2, j) AS rn FROM sd)
                      WHERE rn = 1)"""
 
+
   /** pqEncSql + the ADC scan: `ad` = per-(query, corpus vector)
     * approximate distance (sum over subspaces of the query's distance
     * table entry at the corpus vector's code). */
-  private def pqAdcSql: String =
+  private[graft] def pqAdcSql: String =
     s"""$pqEncSql,
              q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 20),
              qd AS (SELECT query_id, cb.m, cb.j,
@@ -8513,871 +1235,6 @@ object Queries {
                     WHERE qd.query_id != enc.vec_id
                     GROUP BY 1, 2)"""
 
-  /** Product-quantization encode report (VectorFns.pqCodebook/pqEncode,
-    * Jégou et al. 2011): every embedding compressed to 8 4-bit codes
-    * (packed into one BIGINT) plus its exact integer squared
-    * quantization error — the artifact a 100 TB ANN pipeline
-    * materializes once so searches scan 4-byte codes instead of 256-byte
-    * vectors. The encode is MAP-ONLY (per-subspace codebooks ride as
-    * ~1 KiB plan literals into the native probe kernel; no join, no
-    * shuffle) — the plan is scan → project, nothing else.
-    */
-  private val qEmbedPq = GraftQuery(
-    "q_embed_pq",
-    (s, dir) => {
-      val e = t(s, dir, "embeddings")
-      val cb = VectorFns.pqCodebook(e, "vec_id", "embedding", m = 8, k = 16, dims = 64)
-      Fence.guard(Fence.guard(
-          e.select(col("vec_id"), VectorFns.quantizeFast(col("embedding")).as("qv"), Fence.col))
-        .select(col("vec_id"), col("qv"), VectorFns.pqEncode(col("qv"), cb).as("codes"), Fence.col))
-        .select(col("vec_id"),
-          (0 until 8).map(mi => element_at(col("codes"), mi + 1) * lit(1L << (4 * mi))).reduce(_ + _).as("pq_code"),
-          VectorFns.pqError(col("qv"), col("codes"), cb).as("qerr"))
-    },
-    Some(s"""$pqEncSql
-             SELECT vec_id, CAST(sum(code * (1::BIGINT << (4*m))) AS BIGINT) AS pq_code,
-               CAST(sum(d2) AS BIGINT) AS qerr
-             FROM enc GROUP BY vec_id"""))
-
-  /** PQ/ADC top-5 ANN (VectorFns.pqAdcTopK): queries rank the encoded
-    * corpus by the O(m)-lookup asymmetric distance — sum over subspaces
-    * of the query's precomputed distance-table entry at the corpus
-    * vector's code. The scan touches only 4-byte codes (32× smaller
-    * than the vectors) and does NO vector arithmetic per candidate;
-    * distances are approximate (quantization error) but the whole
-    * pipeline — sample codebook, argmin codes, distance tables, ranking
-    * — is deterministic integer math, so DuckDB replays it exactly and
-    * the hash compare covers the approximation structure itself.
-    */
-  private val qPqAdc = GraftQuery(
-    "q_pq_adc",
-    (s, dir) => {
-      val e = t(s, dir, "embeddings")
-      VectorFns.pqAdcTopK(e.filter(col("vec_id") < 20), e, "vec_id", "embedding", kNN = 5)
-        .select(col("query_id"), col("neighbor_id"), col("adist"),
-          col("rank").cast("long").as("rnk"))
-    },
-    Some(s"""$pqAdcSql
-             SELECT query_id, neighbor_id, adist, CAST(rnk AS BIGINT) AS rnk
-             FROM (SELECT query_id, neighbor_id, adist,
-                     row_number() OVER (PARTITION BY query_id ORDER BY adist, neighbor_id) AS rnk
-                   FROM ad)
-             WHERE rnk <= 5"""))
-
-  /** Two-stage PQ search (VectorFns.pqAdcRescoreTopK): ADC shortlists
-    * 40 candidates per query by table-lookup distance, then EXACT
-    * integer L2 re-ranks ONLY the shortlist to the final top 5 — the
-    * production composition (AnnRecallSpec measures it recovering
-    * recall 0.10 → 0.40 on random data). The full-vector fetch is an
-    * equi-join sized queries×shortlist, never corpus-sized.
-    */
-  private val qPqRescore = GraftQuery(
-    "q_pq_rescore",
-    (s, dir) => {
-      val e = t(s, dir, "embeddings")
-      VectorFns.pqAdcRescoreTopK(e.filter(col("vec_id") < 20), e, "vec_id", "embedding",
-          kNN = 5, shortlist = 40)
-        .select(col("query_id"), col("neighbor_id"), col("d2"),
-          col("rank").cast("long").as("rnk"))
-    },
-    Some(s"""$pqAdcSql,
-             sl AS (SELECT query_id, neighbor_id FROM
-                      (SELECT query_id, neighbor_id,
-                         row_number() OVER (PARTITION BY query_id ORDER BY adist, neighbor_id) AS srn
-                       FROM ad)
-                    WHERE srn <= 40),
-             ex AS (SELECT sl.query_id, sl.neighbor_id,
-                      CAST(list_sum(list_transform(range(1, 65), i -> (qe.v[i]-ce.v[i])*(qe.v[i]-ce.v[i]))) AS BIGINT) AS d2
-                    FROM sl
-                    JOIN e qe ON qe.vec_id = sl.query_id
-                    JOIN e ce ON ce.vec_id = sl.neighbor_id)
-             SELECT query_id, neighbor_id, d2, CAST(rnk AS BIGINT) AS rnk
-             FROM (SELECT query_id, neighbor_id, d2,
-                     row_number() OVER (PARTITION BY query_id ORDER BY d2, neighbor_id) AS rnk
-                   FROM ex)
-             WHERE rnk <= 5"""))
-
-  /** Binary-hashing ANN (VectorFns.binaryHammingTopK): 1-bit-per-dim
-    * sign codes (native SignBits kernel — 64 bits/vector, 128× smaller
-    * than the floats), candidates ranked by Hamming distance = one
-    * xor+popcount per pair. The oracle never builds the packed code
-    * (a 64-bit shift in SQL sum arithmetic would overflow-promote):
-    * it counts sign DISAGREEMENTS per dimension directly — the same
-    * integer by definition — so the hash compare still pins the full
-    * ranking.
-    */
-  private val qEmbedBinary = GraftQuery(
-    "q_embed_binary",
-    (s, dir) => {
-      val e = t(s, dir, "embeddings")
-      VectorFns.binaryHammingTopK(e.filter(col("vec_id") < 20), e, "vec_id", "embedding", 5)
-        .select(col("query_id"), col("neighbor_id"), col("hamming"),
-          col("rank").cast("long").as("rnk"))
-    },
-    Some(s"""WITH e AS (SELECT vec_id, ${quantSql("embedding")} AS v FROM embeddings),
-             q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 20),
-             sc AS (SELECT query_id, e.vec_id AS neighbor_id,
-                      CAST(len(list_filter(range(1, 65), i -> (qv[i] >= 0) != (e.v[i] >= 0))) AS BIGINT) AS hamming
-                    FROM q CROSS JOIN e WHERE query_id != e.vec_id)
-             SELECT query_id, neighbor_id, hamming, CAST(rnk AS BIGINT) AS rnk
-             FROM (SELECT query_id, neighbor_id, hamming,
-                     row_number() OVER (PARTITION BY query_id ORDER BY hamming, neighbor_id) AS rnk
-                   FROM sc)
-             WHERE rnk <= 5"""))
-
-  /** IVF-PQ / IVFADC top-5 (VectorFns.ivfPqTopK, Jégou et al. 2011
-    * §IVFADC) — the production ANN index composition: coarse IVF cells
-    * bound the candidate set (cid equi-join), PQ codes on RESIDUALS
-    * (native VecSub kernel; residuals concentrate near 0, tightening a
-    * shared codebook) bound the per-candidate cost at O(m) lookups.
-    * Queries build one distance table per probed cell from their
-    * per-cell residual. The oracle rebuilds the coarse sample, the
-    * residual codebook (the next 16 sample vectors, residualized
-    * against their nearest centroid), every corpus assignment + encode,
-    * the per-cell query tables and the ADC ranking — the entire
-    * two-level approximation structure hash-checks.
-    */
-  private val qIvfPq = GraftQuery(
-    "q_ivfpq",
-    (s, dir) => {
-      val e = t(s, dir, "embeddings")
-      VectorFns.ivfPqTopK(e.filter(col("vec_id") < 20), e, "vec_id", "embedding", kNN = 5)
-        .select(col("query_id"), col("neighbor_id"), col("adist"),
-          col("rank").cast("long").as("rnk"))
-    },
-    Some(s"""WITH e AS (SELECT vec_id, ${quantSql("embedding")} AS v FROM embeddings),
-             samp AS (SELECT v, row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), CAST(vec_id AS VARCHAR)) - 1 AS sid FROM e),
-             cents AS (SELECT sid AS cid, v AS cv FROM samp WHERE sid < 16),
-             csrc AS (SELECT sid - 16 AS j, v AS sv FROM samp WHERE sid >= 16 AND sid < 32),
-             sd0 AS (SELECT j, sv, cid, cv,
-                       CAST(list_sum(list_transform(range(1, 65), i -> (sv[i]-cv[i])*(sv[i]-cv[i]))) AS BIGINT) AS d2
-                     FROM csrc CROSS JOIN cents),
-             sres AS (SELECT j, list_transform(range(1, 65), i -> sv[i] - cv[i]) AS rv FROM
-                        (SELECT j, sv, cv, row_number() OVER (PARTITION BY j ORDER BY d2, cid) AS rn FROM sd0)
-                      WHERE rn = 1),
-             cb AS (SELECT m, j, list_slice(rv, m*8 + 1, m*8 + 8) AS cbv
-                    FROM sres CROSS JOIN range(0, 8) mm(m)),
-             cd AS (SELECT e.vec_id, cents.cid, e.v, cents.cv,
-                      CAST(list_sum(list_transform(range(1, 65), i -> (v[i]-cv[i])*(v[i]-cv[i]))) AS BIGINT) AS d2
-                    FROM e CROSS JOIN cents),
-             casg AS (SELECT vec_id, cid, list_transform(range(1, 65), i -> v[i] - cv[i]) AS rv FROM
-                        (SELECT vec_id, cid, v, cv, row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn FROM cd)
-                      WHERE rn = 1),
-             sd AS (SELECT casg.vec_id, casg.cid, cb.m, cb.j,
-                      CAST(list_sum(list_transform(range(1, 9), i -> (rv[m*8+i]-cbv[i])*(rv[m*8+i]-cbv[i]))) AS BIGINT) AS d2
-                    FROM casg CROSS JOIN cb),
-             enc AS (SELECT vec_id, cid, m, j AS code FROM
-                       (SELECT vec_id, cid, m, j, row_number() OVER (PARTITION BY vec_id, m ORDER BY d2, j) AS rn FROM sd)
-                     WHERE rn = 1),
-             qp AS (SELECT vec_id AS query_id, cid, list_transform(range(1, 65), i -> v[i] - cv[i]) AS qrv FROM
-                      (SELECT vec_id, cid, v, cv, row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
-                       FROM cd WHERE vec_id < 20)
-                    WHERE rn <= 4),
-             qd AS (SELECT query_id, qp.cid, cb.m, cb.j,
-                      CAST(list_sum(list_transform(range(1, 9), i -> (qrv[m*8+i]-cbv[i])*(qrv[m*8+i]-cbv[i]))) AS BIGINT) AS d2
-                    FROM qp CROSS JOIN cb),
-             ad AS (SELECT qd.query_id, enc.vec_id AS neighbor_id,
-                      CAST(sum(qd.d2) AS BIGINT) AS adist
-                    FROM enc JOIN qd ON qd.cid = enc.cid AND qd.m = enc.m AND qd.j = enc.code
-                    WHERE qd.query_id != enc.vec_id
-                    GROUP BY 1, 2)
-             SELECT query_id, neighbor_id, adist, CAST(rnk AS BIGINT) AS rnk
-             FROM (SELECT query_id, neighbor_id, adist,
-                     row_number() OVER (PARTITION BY query_id ORDER BY adist, neighbor_id) AS rnk
-                   FROM ad)
-             WHERE rnk <= 5"""))
-
-  /** CDC MERGE apply (Relational.applyChangelog): upsert a changelog
-    * onto a base snapshot with DELETE semantics — the lakehouse MERGE
-    * INTO. Base = latest cents per (user, event_type) as of Jan 3;
-    * changelog = the Jan 3→20 events, rows with cents ≡ 0 (mod 10)
-    * acting as deterministic tombstones. Per key only the LATEST change
-    * applies: tombstone → key removed, upsert → replaced, untouched →
-    * passes through. The changelog compacts via map-side max_by BEFORE
-    * the single full-outer key join; the base never sorts.
-    */
-  private val qCdcApply = GraftQuery(
-    "q_cdc_apply",
-    (s, dir) => {
-      val e = events(s, dir)
-        .withColumn("e", unix_micros(col("ts")))
-        .select(col("user_id"), col("event_type"), col("e"), col("event_id"),
-          (col("value").cast(dec) * 100).cast("long").as("cents"))
-      val base = Keyed.latestByKey(
-          e.filter(col("e") <= 1704240000000000L), Seq("user_id", "event_type"), Seq("e", "event_id"))
-        .select("user_id", "event_type", "cents")
-      val changes = e.filter(col("e") > 1704240000000000L && col("e") <= 1705708800000000L)
-        .withColumn("is_delete", col("cents") % 10 === 0)
-      Relational.applyChangelog(base, changes, Seq("user_id", "event_type"),
-        Seq("e", "event_id"), "is_delete")
-    },
-    Some("""WITH e AS (SELECT user_id, event_type, event_id, epoch_us(ts) AS e,
-                  CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
-                FROM events),
-            base AS (SELECT user_id, event_type, cents FROM e
-                     WHERE e <= 1704240000000000
-                     QUALIFY row_number() OVER (PARTITION BY user_id, event_type
-                                                ORDER BY e DESC, event_id DESC) = 1),
-            latest AS (SELECT user_id, event_type, cents, cents % 10 = 0 AS is_delete FROM e
-                       WHERE e > 1704240000000000 AND e <= 1705708800000000
-                       QUALIFY row_number() OVER (PARTITION BY user_id, event_type
-                                                  ORDER BY e DESC, event_id DESC) = 1)
-            SELECT COALESCE(b.user_id, l.user_id) AS user_id,
-                   COALESCE(b.event_type, l.event_type) AS event_type,
-                   CASE WHEN l.user_id IS NULL THEN b.cents ELSE l.cents END AS cents
-            FROM base b FULL OUTER JOIN latest l
-              ON b.user_id = l.user_id AND b.event_type = l.event_type
-            WHERE l.user_id IS NULL OR NOT l.is_delete"""))
-
-  /** Per-event session ASSIGNMENT (Keyed.sessionize): 30-minute-gap
-    * session index + position within session for every event — the
-    * row-level twin of the q_session_window aggregate, for downstream
-    * per-event features. One window spec shared by all four frames =
-    * one shuffle + one sort, partitioned on the high-cardinality user
-    * key.
-    */
-  private val qSessionize = GraftQuery(
-    "q_sessionize",
-    (s, dir) => {
-      val e = events(s, dir).withColumn("e_us", unix_micros(col("ts")))
-        .select("event_id", "user_id", "e_us")
-      Keyed.sessionize(e, Seq("user_id"), "e_us", Seq("e_us", "event_id"), 1800000000L)
-    },
-    Some("""WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS e_us FROM events),
-            f AS (SELECT event_id, user_id, e_us,
-                    CASE WHEN lag(e_us) OVER w IS NULL
-                           OR e_us - lag(e_us) OVER w > 1800000000 THEN 1 ELSE 0 END AS nw,
-                    row_number() OVER w AS rn
-                  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY e_us, event_id))
-            SELECT event_id, user_id, e_us,
-              CAST(sum(nw) OVER r AS BIGINT) AS session_idx,
-              CAST(rn - max(CASE WHEN nw = 1 THEN rn END) OVER r + 1 AS BIGINT) AS pos_in_session
-            FROM f WINDOW r AS (PARTITION BY user_id ORDER BY e_us, event_id
-                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"""))
-
-  /** Edit-distance-1 vocabulary pairs (DedupFns.typoPairs): SymSpell
-    * deletion-neighborhood blocking — complete for distance 1, never
-    * all-pairs, exact levenshtein verify on candidates only. The
-    * synthetic corpus vocabulary contains no natural near-words, so the
-    * query injects deterministic OCR noise first (every vocabulary term
-    * of length ≥ 5 loses its (h31 mod len)+1-th character — the same
-    * stub-the-unavailable-input philosophy as the multimodal decode),
-    * and the miner must recover every (original, corrupted) pair.
-    */
-  private val qTypoPairs = GraftQuery(
-    "q_typo_pairs",
-    (s, dir) => {
-      val docs = t(s, dir, "documents")
-      val term = col("t")
-      val cut = pmod(TextFns.tokenHash31(term), length(term))
-      val noisy = docs.select(explode(TextFns.tokensFast(col("text"))).as("t"))
-        .distinct()
-        .filter(length(term).between(5, 12))
-        .select(concat(term.substr(lit(1), cut),
-          term.substr(cut + 2, length(term))).as("text"))
-      DedupFns.typoPairs(docs.select("text").unionByName(noisy), "text", 4, 12)
-    },
-    Some(s"""WITH t0 AS (SELECT $toksSql AS tk FROM documents),
-            vocab AS (SELECT DISTINCT t FROM (SELECT unnest(tk) AS t FROM t0)),
-            noisy AS (SELECT substr(t, 1, ${h31Sql("t")} % len(t)) ||
-                        substr(t, ${h31Sql("t")} % len(t) + 2, len(t)) AS t
-                      FROM vocab WHERE len(t) BETWEEN 5 AND 12),
-            v AS (SELECT DISTINCT t
-                  FROM (SELECT t FROM vocab UNION ALL SELECT t FROM noisy)
-                  WHERE len(t) BETWEEN 4 AND 12),
-            var AS (SELECT t, unnest(list_distinct(list_append(
-                      list_transform(range(1, len(t) + 1),
-                        i -> substr(t, 1, i - 1) || substr(t, i + 1, len(t))), t))) AS v
-                    FROM v),
-            cand AS (SELECT DISTINCT a.t AS term_a, b.t AS term_b
-                     FROM var a JOIN var b ON a.v = b.v AND a.t < b.t)
-            SELECT term_a, term_b FROM cand WHERE levenshtein(term_a, term_b) = 1"""))
-
-  /** PPJoin prefix-filtered shingle-set Jaccard self-join
-    * (DedupFns.prefixJaccardPairs) at τ = 0.5 over distinct word
-    * 3-gram sets: candidates only through each doc's rarest
-    * |s|−⌈τ|s|⌉+1 shingles under one global df order — provably
-    * complete above τ (unlike q_ngram_jaccard's maxDf/minShared
-    * heuristic, which can miss pairs), with far fewer join rows —
-    * then exact integer rescore.
-    */
-  private val qPrefixJaccard = GraftQuery(
-    "q_prefix_jaccard",
-    (s, dir) => DedupFns.prefixJaccardPairs(t(s, dir, "documents"), "doc_id", "text", 3, 500),
-    Some(s"""WITH t0 AS (SELECT doc_id AS id, $toksSql AS tk FROM documents),
-            g AS (SELECT id, $grams3Sql AS toks FROM t0),
-            docs AS (SELECT id, toks FROM g WHERE len(toks) > 0),
-            tk AS (SELECT id, unnest(toks) AS tok FROM docs),
-            dfq AS (SELECT tok, count(*) AS df FROM tk GROUP BY tok),
-            rk AS (SELECT id, tok,
-                     row_number() OVER (PARTITION BY id ORDER BY df, tok) AS rn,
-                     count(*) OVER (PARTITION BY id) AS sz
-                   FROM tk JOIN dfq USING (tok)),
-            pre AS (SELECT id, tok FROM rk
-                    WHERE rn <= sz - (sz * 500 + 999) // 1000 + 1),
-            cand AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b
-                     FROM pre a JOIN pre b ON a.tok = b.tok AND a.id < b.id),
-            sc AS (SELECT id_a, id_b,
-                     len(list_intersect(da.toks, db.toks)) AS inter,
-                     len(da.toks) + len(db.toks) - len(list_intersect(da.toks, db.toks)) AS uni
-                   FROM cand
-                   JOIN docs da ON id_a = da.id
-                   JOIN docs db ON id_b = db.id)
-            SELECT id_a, id_b, CAST(inter AS BIGINT) AS inter, CAST(uni AS BIGINT) AS uni,
-                   CAST(inter * 1000 // uni AS BIGINT) AS jac_milli
-            FROM sc WHERE inter * 1000 >= uni * 500"""))
-
-  /** Zone-map / data-skipping audit: per-day min/max/count of the
-    * predicate columns, plus 0/1 prunability verdicts for two concrete
-    * predicates — the report that tells you whether the table's
-    * physical clustering lets a reader skip row groups (the mechanism
-    * parquet min/max stats + partition pruning use at 100 TB). Pure
-    * one-scan partial aggregation; the bucket column would be the
-    * file/row-group id in a real lakehouse audit.
-    */
-  private val qZonemap = GraftQuery(
-    "q_zonemap",
-    (s, dir) =>
-      events(s, dir)
-        .select(expr("unix_micros(ts) div 86400000000").as("day"),
-          (col("value").cast(dec) * 100).cast("long").as("cents"), col("user_id"))
-        .groupBy("day")
-        .agg(count(lit(1)).as("n"),
-          min("cents").as("min_cents"), max("cents").as("max_cents"),
-          min("user_id").as("min_user"), max("user_id").as("max_user"))
-        .withColumn("prune_cents_ge_1500", when(col("max_cents") < 1500, 1L).otherwise(0L))
-        .withColumn("prune_user_ge_90", when(col("max_user") < 90, 1L).otherwise(0L)),
-    Some("""WITH e AS (SELECT epoch_us(ts) // 86400000000 AS day,
-                  CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents, user_id
-                FROM events),
-            z AS (SELECT day, CAST(count(*) AS BIGINT) AS n,
-                    min(cents) AS min_cents, max(cents) AS max_cents,
-                    min(user_id) AS min_user, max(user_id) AS max_user
-                  FROM e GROUP BY day)
-            SELECT day, n, min_cents, max_cents, min_user, max_user,
-              CAST(CASE WHEN max_cents < 1500 THEN 1 ELSE 0 END AS BIGINT) AS prune_cents_ge_1500,
-              CAST(CASE WHEN max_user < 90 THEN 1 ELSE 0 END AS BIGINT) AS prune_user_ge_90
-            FROM z"""))
-
-  // =======================================================================
-  // Round-11 additions: TPC-H Q9/Q11 shapes on the available star schema,
-  // KMV sketch set-intersection, exact moment sufficient statistics,
-  // epoch-mix materialization plan, deterministic A/B lift report.
-  // =======================================================================
-
-  /** TPC-H Q9 shape: product-type profit by supplier nation and order
-    * year — the widest join tree in the suite (lineitem ⋈ part ⋈
-    * supplier ⋈ nation ⋈ orders). The schema has no partsupp, so unit
-    * supply cost is p_retailprice (the same proxy substitution as
-    * q2_mincost's derived unit cost). Dims broadcast; the only big-big
-    * shuffle is lineitem ⋈ orders on orderkey; the (nation, year)
-    * group-by is partial-aggregated map-side so the final exchange
-    * carries ~|nations|×|years| rows regardless of fact size. Profit is
-    * exact integer cents on both engines: revenue via the
-    * ep_cents·(100−disc_e2) div 100 integer identity (numerators always
-    * positive, so Spark's truncating div = DuckDB's floor //), cost via
-    * retail_cents·quantity.
-    */
-  private val q9Profit = GraftQuery(
-    "q9_profit",
-    (s, dir) => {
-      val p = t(s, dir, "part")
-        .filter(col("p_type") === "STANDARD")
-        .select(col("p_partkey"),
-          (col("p_retailprice").cast(dec) * 100).cast("long").as("__cost_cents"))
-      val sn = t(s, dir, "supplier")
-        .join(broadcast(t(s, dir, "nation")), col("s_nationkey") === col("n_nationkey"))
-        .select(col("s_suppkey"), col("n_name"))
-      val o = t(s, dir, "orders")
-        .select(col("o_orderkey"), year(col("o_orderdate")).cast("long").as("o_year"))
-      t(s, dir, "lineitem")
-        .join(broadcast(p), col("l_partkey") === col("p_partkey"))
-        .join(broadcast(sn), col("l_suppkey") === col("s_suppkey"))
-        .join(o, col("l_orderkey") === col("o_orderkey"))
-        .select(col("n_name").as("nation"), col("o_year"),
-          expr("""(cast(cast(l_extendedprice as decimal(18,2)) * 100 as bigint)
-                   * (100 - cast(round(l_discount * 100) as bigint))) div 100
-                  - __cost_cents * cast(l_quantity as bigint)""").as("__profit"))
-        .groupBy("nation", "o_year")
-        .agg(sum(col("__profit")).as("profit_cents"), count(lit(1)).as("n"))
-    },
-    Some("""SELECT n_name AS nation, CAST(year(o_orderdate) AS BIGINT) AS o_year,
-              CAST(sum((CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)
-                          * (100 - CAST(round(l_discount * 100) AS BIGINT))) // 100
-                       - CAST(CAST(p_retailprice AS DECIMAL(18,2)) * 100 AS BIGINT)
-                          * CAST(l_quantity AS BIGINT)) AS BIGINT) AS profit_cents,
-              CAST(count(*) AS BIGINT) AS n
-            FROM lineitem
-            JOIN part ON l_partkey = p_partkey
-            JOIN supplier ON l_suppkey = s_suppkey
-            JOIN nation ON s_nationkey = n_nationkey
-            JOIN orders ON l_orderkey = o_orderkey
-            WHERE p_type = 'STANDARD'
-            GROUP BY 1, 2"""))
-
-  /** TPC-H Q11 shape: "important stock" — per-part value held by one
-    * nation's suppliers, kept only where the part's share exceeds a
-    * global threshold (> 0.1% of that nation's total). The signature
-    * move is the scalar subquery: the per-part aggregate is reused for
-    * the grand total (a second, one-row aggregation over the SAME
-    * per-part frame — no second fact scan), attached as a broadcast
-    * 1-row cross join. Threshold compare is pure integer
-    * (value_cents·1000 > total), share emitted in exact basis points.
-    */
-  private val q11Stock = GraftQuery(
-    "q11_stock",
-    (s, dir) => {
-      val sn = t(s, dir, "supplier")
-        .join(broadcast(t(s, dir, "nation").filter(col("n_name") === "NATION_3")),
-          col("s_nationkey") === col("n_nationkey"))
-        .select(col("s_suppkey"))
-      val perPart = t(s, dir, "lineitem")
-        .join(broadcast(sn), col("l_suppkey") === col("s_suppkey"))
-        .groupBy(col("l_partkey"))
-        .agg(expr("sum(cast(cast(l_extendedprice as decimal(18,2)) * 100 as bigint))")
-            .as("value_cents"),
-          count(lit(1)).as("n_lines"))
-      // The grand total re-aggregates perPart — but column pruning
-      // would drop n_lines from THIS branch's per-part partial
-      // aggregate, making its shuffle canonically different from the
-      // main branch's (partial_sum vs partial_sum+partial_count) and
-      // defeating AQE exchange reuse: the fact subtree would scan
-      // twice. Fence.keepAll (whose scaladoc documents exactly this
-      // failure mode) keeps every perPart column referenced, so both
-      // branches carry the identical authored aggregate and the
-      // lineitem scan+join+partial-agg runs ONCE — the total is a tiny
-      // re-read of the reused exchange (pinned in PlanSpec).
-      val tot = Fence.keepAll(perPart).agg(sum(col("value_cents")).as("__tot"))
-      perPart.crossJoin(broadcast(tot))
-        .filter(col("value_cents") * 1000 > col("__tot"))
-        .select(col("l_partkey").as("p_partkey"), col("value_cents"), col("n_lines"),
-          expr("value_cents * 10000 div __tot").as("share_bp"))
-    },
-    Some("""WITH v AS (SELECT l_partkey AS p_partkey,
-                  CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS value_cents,
-                  CAST(count(*) AS BIGINT) AS n_lines
-                FROM lineitem
-                JOIN supplier ON l_suppkey = s_suppkey
-                JOIN nation ON s_nationkey = n_nationkey
-                WHERE n_name = 'NATION_3'
-                GROUP BY 1),
-            tot AS (SELECT CAST(sum(value_cents) AS BIGINT) AS tt FROM v)
-            SELECT p_partkey, value_cents, n_lines,
-              CAST(value_cents * 10000 // tt AS BIGINT) AS share_bp
-            FROM v, tot WHERE value_cents * 1000 > tt"""))
-
-  /** KMV (k-minimum-values) sketch set-intersection across sources
-    * (Beyer et al., SIGMOD'07; Cohen & Kaplan's bottom-k): per source,
-    * the 64 smallest distinct 60-bit token hashes form a bounded-size
-    * vocabulary sketch; any source PAIR is then compared in O(k) via
-    * the inclusion rule — members of both sketches that survive into
-    * the k smallest of the merged sketch estimate Jaccard as ρ = c/k.
-    * Emits the CONTRACT values (k-th minima of each sketch and of the
-    * union sketch, the common-survivor count, and ρ in exact milli),
-    * all deterministic integers — the same hash-checked-sketch
-    * discipline as q_cms_freq/q_heavy_hitters.
-    *
-    * Scale: the sketch build is one distinct + one bounded rank-cutoff
-    * per source (at production vocabularies, a two-pass h < t prefilter
-    * from a first-pass per-source count bounds the sort input before
-    * the window, same as the LSH occupancy rule); the pair frame is
-    * |sources|² rows of 64-element arrays — a tiny dim×dim frame, never
-    * per-token all-pairs.
-    */
-  private val qKmvOverlap = GraftQuery(
-    "q_kmv_overlap",
-    (s, dir) => {
-      import org.apache.spark.sql.expressions.Window
-      val hs = t(s, dir, "documents")
-        .select(col("source"), explode(TextFns.tokensFast(col("text"))).as("t"))
-        .select(col("source"), TextFns.tokenHash(col("t")).as("h"))
-        .distinct()
-      val sk = hs
-        .withColumn("__rn", row_number().over(Window.partitionBy("source").orderBy("h")))
-        .filter(col("__rn") <= 64)
-        .groupBy("source")
-        .agg(sort_array(collect_list(col("h"))).as("sk"))
-      val a = sk.select(col("source").as("src_a"), col("sk").as("__ska"))
-      val b = sk.select(col("source").as("src_b"), col("sk").as("__skb"))
-      a.join(broadcast(b), col("src_a") < col("src_b"))
-        .withColumn("__mk", slice(array_sort(array_union(col("__ska"), col("__skb"))), 1, 64))
-        .select(col("src_a"), col("src_b"),
-          element_at(col("__ska"), size(col("__ska"))).as("kmv_a"),
-          element_at(col("__skb"), size(col("__skb"))).as("kmv_b"),
-          element_at(col("__mk"), size(col("__mk"))).as("kmv_union"),
-          size(array_intersect(col("__mk"), array_intersect(col("__ska"), col("__skb"))))
-            .cast("long").as("n_common"),
-          size(col("__mk")).cast("long").as("__mlen"))
-        .withColumn("est_jacc_milli", expr("n_common * 1000 div __mlen"))
-        .drop("__mlen")
-    },
-    Some(s"""WITH t0 AS (SELECT source, unnest($toksSql) AS t FROM documents),
-            hs AS (SELECT DISTINCT source, ${h60Sql("t")} AS h FROM t0),
-            rk AS (SELECT source, h,
-                     row_number() OVER (PARTITION BY source ORDER BY h) AS rn
-                   FROM hs),
-            sk AS (SELECT source, list_sort(list(h)) AS sk FROM rk WHERE rn <= 64 GROUP BY source),
-            pr AS (SELECT a.source AS src_a, b.source AS src_b, a.sk AS ska, b.sk AS skb
-                   FROM sk a JOIN sk b ON a.source < b.source),
-            m AS (SELECT src_a, src_b, ska, skb,
-                    list_slice(list_sort(list_distinct(list_concat(ska, skb))), 1, 64) AS mk
-                  FROM pr)
-            SELECT src_a, src_b,
-              ska[len(ska)] AS kmv_a, skb[len(skb)] AS kmv_b, mk[len(mk)] AS kmv_union,
-              CAST(len(list_intersect(mk, list_intersect(ska, skb))) AS BIGINT) AS n_common,
-              CAST(len(list_intersect(mk, list_intersect(ska, skb))) * 1000 // len(mk) AS BIGINT) AS est_jacc_milli
-            FROM m"""))
-
-  /** Exact higher-moment sufficient statistics per key: n and the
-    * power sums Σx..Σx⁴ in integer cents, the map-side-combinable form
-    * from which variance/skewness/kurtosis derive — plus the assembled
-    * central-moment numerators m2num = n·S2 − S1² and
-    * m3num = n²·S3 − 3n·S2·S1 + 2·S1³ and the skew sign. Everything is
-    * DECIMAL(38,0)/HUGEINT-exact on both engines (x⁴ alone can exceed
-    * int64 at cents ≥ 55k, and S1³ exceeds it from ~sf1), so there is
-    * no float anywhere — the cross-engine-portable way to ship
-    * "skewness at 100 TB" is these sums, combined associatively.
-    *
-    * The big sums cross the contract surface as CANONICAL DIGIT
-    * STRINGS, not decimals: a DECIMAL(38,0) parquet column is exact in
-    * both engines, but the two client render paths diverge — pyarrow
-    * reads it as Python Decimal ("-42"), while duckdb 1.0's .df()
-    * downcasts every DECIMAL to float64 ("-42.0", and lossy past 2^53)
-    * — so any stringified-cell hash of the same exact values
-    * mismatches. A string column renders identically everywhere.
-    * S1 is likewise summed IN decimal (a plain long sum would wrap
-    * silently past 2^63 ≈ n·|cents| at corpus scale, where the
-    * HUGEINT→BIGINT oracle cast errors instead of wrapping).
-    */
-  private val qMoments = GraftQuery(
-    "q_moments",
-    (s, dir) => {
-      val d38 = "decimal(38,0)"
-      events(s, dir)
-        .select(col("event_type"), (col("value").cast(dec) * 100).cast("long").as("__x"))
-        // x² must be computed IN decimal: a long×long square silently
-        // wraps from |cents| ≈ 3.04e9 (≈ $30M), poisoning every
-        // higher sum while the HUGEINT oracle stays exact
-        .withColumn("__x2", (col("__x").cast(d38) * col("__x")).cast(d38))
-        .groupBy("event_type")
-        .agg(count(lit(1)).as("n"),
-          sum(col("__x").cast(d38)).as("__s1"),
-          sum(col("__x2").cast(d38)).as("__s2"),
-          sum((col("__x2").cast(d38) * col("__x")).cast(d38)).as("__s3"),
-          sum((col("__x2").cast(d38) * col("__x2")).cast(d38)).as("__s4"))
-        .withColumn("__m2",
-          expr(s"cast(cast(n as $d38) * __s2 - __s1 * __s1 as $d38)"))
-        .withColumn("__m3",
-          expr(s"""cast(cast(n as $d38) * cast(n as $d38) * __s3
-                    - 3 * cast(n as $d38) * __s2 * __s1
-                    + 2 * __s1 * __s1 * __s1 as $d38)"""))
-        .select(col("event_type"), col("n"),
-          col("__s1").cast("string").as("s1"),
-          col("__s2").cast("string").as("s2"),
-          col("__s3").cast("string").as("s3"),
-          col("__s4").cast("string").as("s4"),
-          col("__m2").cast("string").as("m2num"),
-          col("__m3").cast("string").as("m3num"),
-          signum(col("__m3")).cast("long").as("skew_sign"))
-    },
-    Some("""WITH e AS (SELECT event_type,
-                  CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS x
-                FROM events),
-            p AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
-                    sum(CAST(x AS HUGEINT)) AS s1,
-                    sum(CAST(x AS HUGEINT) * x) AS s2,
-                    sum(CAST(x AS HUGEINT) * x * x) AS s3,
-                    sum(CAST(x AS HUGEINT) * x * x * x) AS s4
-                  FROM e GROUP BY 1)
-            SELECT event_type, n,
-              CAST(s1 AS VARCHAR) AS s1,
-              CAST(s2 AS VARCHAR) AS s2,
-              CAST(s3 AS VARCHAR) AS s3,
-              CAST(s4 AS VARCHAR) AS s4,
-              CAST(n * s2 - s1 * s1 AS VARCHAR) AS m2num,
-              CAST(CAST(n AS HUGEINT) * n * s3 - 3 * n * s2 * s1
-                   + 2 * s1 * s1 * s1 AS VARCHAR) AS m3num,
-              CAST(CASE WHEN CAST(n AS HUGEINT) * n * s3 - 3 * n * s2 * s1
-                             + 2 * s1 * s1 * s1 > 0 THEN 1
-                        WHEN CAST(n AS HUGEINT) * n * s3 - 3 * n * s2 * s1
-                             + 2 * s1 * s1 * s1 < 0 THEN -1
-                        ELSE 0 END AS BIGINT) AS skew_sign
-            FROM p"""))
-
-  /** Epoch-mix materialization plan: given the α=0.5
-    * temperature-rebalanced shares (q_mix_weights' rule) and a global
-    * budget of 2× the corpus, how many FULL passes (epochs) of each
-    * source does the recipe take, and how many residual tokens of a
-    * partial pass remain — the step that turns sampling weights into an
-    * executable repeat-factor plan (how multi-epoch pretraining
-    * mixtures are actually materialized). All integer arithmetic; the
-    * budget product routes through DECIMAL(38,0)/HUGEINT because
-    * 2·total_tokens·w overflows int64 at production corpus sizes. One
-    * per-source aggregation + a 1-row broadcast total — no shuffle
-    * grows with the corpus.
-    */
-  private val qEpochPlan = GraftQuery(
-    "q_epoch_plan",
-    (s, dir) => {
-      val per = t(s, dir, "documents")
-        .select(col("source"), size(TextFns.tokensFast(col("text"))).cast("long").as("__nt"))
-        .groupBy("source")
-        .agg(count(lit(1)).as("n_docs"), sum(col("__nt")).as("tok"))
-        .withColumn("w", floor(sqrt(col("tok").cast("double"))).cast("long"))
-      // keepAll: the totals branch would otherwise prune n_docs out of
-      // the per-source partial aggregate, de-canonicalize the source
-      // exchange, and tokenize the corpus twice (the q11_stock failure
-      // mode — see Fence.keepAll)
-      val tot = Fence.keepAll(per)
-        .agg(sum(col("tok")).as("__tt"), sum(col("w")).as("__tw"))
-      per.crossJoin(broadcast(tot))
-        .withColumn("budget_tokens",
-          expr("cast((2 * cast(__tt as decimal(38,0)) * w) div __tw as bigint)"))
-        .select(col("source"), col("n_docs"), col("tok"), col("w"), col("budget_tokens"),
-          expr("budget_tokens div tok").as("epochs_full"),
-          expr("budget_tokens % tok").as("residual_tokens"))
-        .withColumn("residual_docs_est", expr("(residual_tokens * n_docs) div tok"))
-    },
-    Some(s"""WITH per AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
-                    CAST(sum(len($toksSql)) AS BIGINT) AS tok
-                  FROM documents GROUP BY source),
-            w AS (SELECT source, n_docs, tok,
-                    CAST(floor(sqrt(tok::DOUBLE)) AS BIGINT) AS w
-                  FROM per),
-            tt AS (SELECT sum(tok) AS tt, sum(w) AS tw FROM w),
-            b AS (SELECT source, n_docs, tok, w,
-                    CAST((2 * CAST(tt AS HUGEINT) * w) // tw AS BIGINT) AS budget_tokens
-                  FROM w, tt)
-            SELECT source, n_docs, tok, w, budget_tokens,
-              CAST(budget_tokens // tok AS BIGINT) AS epochs_full,
-              CAST(budget_tokens % tok AS BIGINT) AS residual_tokens,
-              CAST(((budget_tokens % tok) * n_docs) // tok AS BIGINT) AS residual_docs_est
-            FROM b"""))
-
-  /** Deterministic A/B lift report: users split into two arms by
-    * user_id parity (the deterministic stand-in for experiment
-    * assignment), conversion = any 'purchase' event. Emits per-arm
-    * exposure/conversion counts plus the exact integer effect sizes —
-    * conversion per-mille per arm, their difference, and the
-    * odds-ratio cross products (numerator c1·(u0−c0) vs denominator
-    * c0·(u1−c1)), whose comparison gives the direction of association
-    * without a single float. Shape: one shuffle on user_id for the
-    * per-user conversion flag, then a 2-row partial-agg rollup and a
-    * driver-free 1-row pivot — invariant to fact scale.
-    */
-  private val qAbLift = GraftQuery(
-    "q_ab_lift",
-    (s, dir) => {
-      val perUser = events(s, dir)
-        // pmod, and the oracle mirrors it with ((u%2)+2)%2: DuckDB's %
-        // is remainder-signed (-1 for negative ids), which would mint a
-        // third arm the Spark side can never produce
-        .groupBy(pmod(col("user_id"), lit(2)).cast("long").as("__arm"), col("user_id"))
-        .agg(max(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("__conv"))
-      perUser.groupBy("__arm")
-        .agg(count(lit(1)).as("__u"), sum(col("__conv")).as("__c"))
-        .agg(
-          max(when(col("__arm") === 0, col("__u"))).as("u0"),
-          max(when(col("__arm") === 0, col("__c"))).as("c0"),
-          max(when(col("__arm") === 1, col("__u"))).as("u1"),
-          max(when(col("__arm") === 1, col("__c"))).as("c1"))
-        .withColumn("conv0_permille", expr("c0 * 1000 div u0"))
-        .withColumn("conv1_permille", expr("c1 * 1000 div u1"))
-        .withColumn("lift_permille", expr("c1 * 1000 div u1 - c0 * 1000 div u0"))
-        .withColumn("odds_num", expr("c1 * (u0 - c0)"))
-        .withColumn("odds_den", expr("c0 * (u1 - c1)"))
-    },
-    Some("""WITH pu AS (SELECT ((user_id % 2) + 2) % 2 AS arm, user_id,
-                  max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS conv
-                FROM events GROUP BY 1, 2),
-            a AS (SELECT arm, CAST(count(*) AS BIGINT) AS u, CAST(sum(conv) AS BIGINT) AS c
-                  FROM pu GROUP BY 1),
-            p AS (SELECT max(CASE WHEN arm = 0 THEN u END) AS u0,
-                    max(CASE WHEN arm = 0 THEN c END) AS c0,
-                    max(CASE WHEN arm = 1 THEN u END) AS u1,
-                    max(CASE WHEN arm = 1 THEN c END) AS c1
-                  FROM a)
-            SELECT u0, c0, u1, c1,
-              CAST(c0 * 1000 // u0 AS BIGINT) AS conv0_permille,
-              CAST(c1 * 1000 // u1 AS BIGINT) AS conv1_permille,
-              CAST(c1 * 1000 // u1 - c0 * 1000 // u0 AS BIGINT) AS lift_permille,
-              CAST(c1 * (u0 - c0) AS BIGINT) AS odds_num,
-              CAST(c0 * (u1 - c1) AS BIGINT) AS odds_den
-            FROM p"""))
-
-  /** Lexical diversity per doc: the inverse-Simpson "effective
-    * vocabulary size" and its collision-mass complement (Simpson 1949;
-    * the Rényi-2 exponential), the repetition signal that L∞
-    * (q_repetition's top-token share) and type/token ratio (q_ttr)
-    * both miss — a doc can have low top-token share and high TTR yet
-    * still concentrate mass in a few mid-rank tokens, which is what
-    * Σp² sees. All-integer: coll_micro = Σc²·10⁶ div n², and
-    * eff_types_milli = n²·10³ div Σc² (= 10³/Σp², the effective number
-    * of types ×1000), exact on both engines (exactness domain:
-    * per-doc n ≤ ~3·10⁶ tokens keeps n²·10⁶ under 2⁶³ — a 100 TB
-    * corpus bounds per-DOC length, not corpus size, so the domain is
-    * the realistic one).
-    *
-    * Shape: map-only — tokens sort WITHIN the row and a single
-    * higher-order `aggregate` fold over the sorted array computes
-    * run-lengths (type count + Σc²) with zero exchanges and zero
-    * per-token rows; output is one row per doc off the scan. The
-    * oracle takes the orthodox unnest + GROUP BY route to the same
-    * integers, so the fold itself is cross-checked.
-    */
-  private val qDiversity = GraftQuery(
-    "q_diversity",
-    (s, dir) => {
-      val fold =
-        """aggregate(
-             __st,
-             named_struct('prev', cast(null as string), 'run', 0L, 'types', 0L, 'ss', 0L),
-             (acc, x) -> if(acc.prev is null,
-                            named_struct('prev', x, 'run', 1L, 'types', 1L, 'ss', 0L),
-                            if(x = acc.prev,
-                               named_struct('prev', x, 'run', acc.run + 1L, 'types', acc.types, 'ss', acc.ss),
-                               named_struct('prev', x, 'run', 1L, 'types', acc.types + 1L, 'ss', acc.ss + acc.run * acc.run))),
-             acc -> named_struct('types', acc.types, 'ss', acc.ss + acc.run * acc.run))"""
-      Fence.guard(t(s, dir, "documents")
-          .select(col("doc_id"), array_sort(TextFns.tokensFast(col("text"))).as("__st"), Fence.col))
-        .filter(size(col("__st")) > 0)
-        .withColumn("__n", size(col("__st")).cast("long"))
-        .withColumn("__f", expr(fold))
-        .select(col("doc_id"), col("__n").as("n_tokens"),
-          col("__f.types").as("n_types"),
-          expr("__f.ss * 1000000 div (__n * __n)").as("coll_micro"),
-          expr("__n * __n * 1000 div __f.ss").as("eff_types_milli"))
-    },
-    Some(s"""WITH t0 AS (SELECT doc_id, $toksSql AS tk FROM documents),
-            tok AS (SELECT doc_id, unnest(tk) AS t FROM t0 WHERE len(tk) > 0),
-            cnt AS (SELECT doc_id, t, count(*) AS c FROM tok GROUP BY doc_id, t),
-            agg AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
-                      CAST(count(*) AS BIGINT) AS n_types,
-                      CAST(sum(c * c) AS BIGINT) AS ss
-                    FROM cnt GROUP BY doc_id)
-            SELECT doc_id, n_tokens, n_types,
-              CAST(ss * 1000000 // (n_tokens * n_tokens) AS BIGINT) AS coll_micro,
-              CAST(n_tokens * n_tokens * 1000 // ss AS BIGINT) AS eff_types_milli
-            FROM agg"""))
-
-  /** Z-order clustering key + layout audit (Morton 1966; the
-    * multi-dimensional clustering behind Delta/Iceberg Z-ORDER BY):
-    * interleave the low 16 bits of two predicate dimensions
-    * (user bucket, value cents clamped to [0, 65535]) into one 32-bit
-    * Morton key, bucket
-    * rows by its top 10 bits, and report per-bucket count + min/max of
-    * BOTH dims and the summed span — the zone-map audit (31n11b) run
-    * against the layout a Z-ORDER rewrite WOULD produce. A
-    * single-dimension sort gives tight zones on one predicate column
-    * and full-range zones on every other; the Morton key bounds both
-    * spans at once, which is why it is the standard data-skipping
-    * layout for two-predicate scans at 100 TB. Bit-spreading is the
-    * classic mask-and-shift sequence, identical integer ops on both
-    * engines; cents clamp to [0, 65535] so negative values can never
-    * reach the truncate-vs-floor divide divergence or the bit ops.
-    * Shape: map-only key computation + one partial-agg
-    * group-by on the 1024-value bucket — one scan, one tiny exchange,
-    * invariant to fact scale.
-    */
-  private val qZorder = GraftQuery(
-    "q_zorder",
-    (s, dir) => {
-      def spread(c: Column): Column = {
-        val a = c.bitwiseOR(shiftleft(c, 8)).bitwiseAND(lit(16711935L))
-        val b = a.bitwiseOR(shiftleft(a, 4)).bitwiseAND(lit(252645135L))
-        val d = b.bitwiseOR(shiftleft(b, 2)).bitwiseAND(lit(858993459L))
-        d.bitwiseOR(shiftleft(d, 1)).bitwiseAND(lit(1431655765L))
-      }
-      events(s, dir)
-        .select(pmod(abs(col("user_id")), lit(65536L)).as("__ux"),
-          least(greatest(expr("cast(cast(value as decimal(18,2)) * 100 as bigint)"), lit(0L)),
-            lit(65535L)).as("__vy"))
-        .withColumn("__z", spread(col("__ux")).bitwiseOR(shiftleft(spread(col("__vy")), 1)))
-        .groupBy(expr("__z div 4194304").as("zbucket"))
-        .agg(count(lit(1)).as("n"),
-          min("__ux").as("min_u"), max("__ux").as("max_u"),
-          min("__vy").as("min_v"), max("__vy").as("max_v"))
-        .withColumn("span_sum", expr("(max_u - min_u) + (max_v - min_v)"))
-    },
-    Some {
-      def spreadSql(v: String): String = {
-        val a = s"((($v) | (($v) << 8)) & 16711935)"
-        val b = s"(($a | ($a << 4)) & 252645135)"
-        val c = s"(($b | ($b << 2)) & 858993459)"
-        s"(($c | ($c << 1)) & 1431655765)"
-      }
-      s"""WITH e AS (SELECT abs(user_id) % 65536 AS ux,
-                least(greatest(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT), 0), 65535) AS vy
-              FROM events),
-          z AS (SELECT (${spreadSql("ux")} | (${spreadSql("vy")} << 1)) AS zv, ux, vy FROM e),
-          g AS (SELECT zv // 4194304 AS zbucket, CAST(count(*) AS BIGINT) AS n,
-                  min(ux) AS min_u, max(ux) AS max_u,
-                  min(vy) AS min_v, max(vy) AS max_v
-                FROM z GROUP BY 1)
-          SELECT zbucket, n, min_u, max_u, min_v, max_v,
-            CAST((max_u - min_u) + (max_v - min_v) AS BIGINT) AS span_sum
-          FROM g"""
-    })
-
-  /** Mergeable-quantiles ROLLUP via KLL sketches (Karnin-Lang-Liberty
-    * FOCS'16; plans/KllExprs.scala, the DataSketches library Spark
-    * itself ships) — the QUANTILES member of the mergeable-sketch
-    * family, completing the quartet next to HLL distinct (2e2),
-    * Misra-Gries heavy hitters (2f2) and Count-Min frequency (2f5):
-    * per-type sketches build map-side (~kB per group crosses the
-    * exchange, never the value universe), union-merge into ONE global
-    * sketch WITHOUT rescanning the raw values — the way percentiles
-    * ship at 100 TB, where re-sorting per rollup level is not an
-    * option — and answer the global median/p90 afterwards.
-    *
-    * KLL compaction is randomized (the library's design), so the
-    * estimates are not run-deterministic; the oracle-checked contract
-    * is therefore the q_hll_rollup pattern: exact integers (type
-    * count, total count) hash-checked, plus rank-error-band booleans
-    * the oracle expects TRUE — each estimate's EXACT rank interval
-    * [count(v < est), count(v ≤ est)] must overlap the requested rank
-    * ±50 milli, a band ~3× the k=200 sketch's 99%-confidence rank
-    * error, checked tie-robustly by a broadcast recount (the
-    * q_heavy_hitters_verified mechanism). Per-estimate accuracy and
-    * mergeability are additionally asserted in SketchSpec.
-    */
-  private val qKllRollup = GraftQuery(
-    "q_kll_rollup",
-    (s, dir) => {
-      import org.apache.spark.sql.GraftBridge
-      def kllAgg(c: Column): Column = GraftBridge.column(
-        graft.plans.KllSketchAgg(GraftBridge.expression(c), 200).toAggregateExpression())
-      def kllUnion(c: Column): Column = GraftBridge.column(
-        graft.plans.KllUnionAgg(GraftBridge.expression(c), 200).toAggregateExpression())
-      def kllQ(c: Column, r: Double): Column = GraftBridge.column(
-        graft.plans.KllQuantile(GraftBridge.expression(c), r))
-      val vals = events(s, dir).select(col("event_type"), col("value").cast("double").as("__v"))
-      val per = vals.groupBy("event_type")
-        .agg(kllAgg(col("__v")).as("__sk"), count(lit(1)).as("__n"))
-      val g = per
-        .agg(count(lit(1)).as("n_types"), sum(col("__n")).as("n_total"),
-          kllUnion(col("__sk")).as("__gsk"))
-        .select(col("n_types"), col("n_total"),
-          kllQ(col("__gsk"), 0.5).as("__med"), kllQ(col("__gsk"), 0.9).as("__p90"))
-      // tie-robust exact-rank recount: the estimate's rank interval
-      // [count(< est), count(<= est)] must overlap rank ± 50 milli
-      vals.crossJoin(broadcast(g))
-        .groupBy(col("n_types"), col("n_total"))
-        .agg(
-          sum(when(col("__v") < col("__med"), 1L).otherwise(0L)).as("__ltm"),
-          sum(when(col("__v") <= col("__med"), 1L).otherwise(0L)).as("__lem"),
-          sum(when(col("__v") < col("__p90"), 1L).otherwise(0L)).as("__ltp"),
-          sum(when(col("__v") <= col("__p90"), 1L).otherwise(0L)).as("__lep"))
-        .select(col("n_types"), col("n_total"),
-          (col("__ltm") * 1000 <= col("n_total") * 550 &&
-            col("__lem") * 1000 >= col("n_total") * 450).as("med_within_band"),
-          (col("__ltp") * 1000 <= col("n_total") * 950 &&
-            col("__lep") * 1000 >= col("n_total") * 850).as("p90_within_band"))
-    },
-    Some("""SELECT CAST(count(DISTINCT event_type) AS BIGINT) AS n_types,
-              CAST(count(*) AS BIGINT) AS n_total,
-              TRUE AS med_within_band, TRUE AS p90_within_band
-            FROM events"""))
 
   // =======================================================================
   // Round-12: sliced decade-up parity twins. Same operator chains as
@@ -9389,235 +1246,8 @@ object Queries {
   // these are its cross-scale verification instruments.
   // =======================================================================
 
-  private val sliceWhere = s" WHERE ${sliceDocPredSql("doc_id")}"
+  private[graft] val sliceWhere = s" WHERE ${sliceDocPredSql("doc_id")}"
 
-  /** [[qDedupClusters]] over the md5 doc slice — identical CC chain. */
-  private val qDedupClustersSliced = GraftQuery(
-    "q_dedup_clusters_sliced",
-    (s, dir) => simhashClustersSliced(s, dir),
-    Some(s"""${simhashCcSqlWhere(sliceWhere)}
-             SELECT id, CAST(min(r) AS BIGINT) AS cluster_root
-             FROM reach GROUP BY id"""))
-
-  /** [[qGroupSplit]] over the md5 doc slice — identical rep/split rule. */
-  private val qGroupSplitSliced = GraftQuery(
-    "q_group_split_sliced",
-    (s, dir) => {
-      val docs = slicedDocs(s, dir)
-      val roots = simhashClustersSliced(s, dir)
-      val h = (conv(substring(md5(col("rep").cast("string")), 1, 4), 16, 10)
-        .cast("long") % 100)
-      docs.join(roots, docs("doc_id") === roots("id"), "left")
-        .select(col("source"), col("doc_id"),
-          coalesce(col("cluster_root"), col("doc_id")).as("rep"))
-        .withColumn("split",
-          when(h < 98, "train").when(h < 99, "val").otherwise("test"))
-    },
-    Some(s"""${simhashCcSqlWhere(sliceWhere)},
-            roots AS (SELECT id, min(r) AS root FROM reach GROUP BY id),
-            rep AS (SELECT d.source, d.doc_id, COALESCE(r.root, d.doc_id) AS rep
-                    FROM documents d LEFT JOIN roots r ON d.doc_id = r.id
-                    WHERE ${sliceDocPredSql("d.doc_id")})
-            SELECT source, doc_id, rep,
-              CASE WHEN ('0x' || substr(md5(CAST(rep AS VARCHAR)), 1, 4))::BIGINT % 100 < 98 THEN 'train'
-                   WHEN ('0x' || substr(md5(CAST(rep AS VARCHAR)), 1, 4))::BIGINT % 100 < 99 THEN 'val'
-                   ELSE 'test' END AS split
-            FROM rep"""))
-
-  /** [[qDedupSurvivors]] over the md5 doc slice — identical anti-join. */
-  private val qDedupSurvivorsSliced = GraftQuery(
-    "q_dedup_survivors_sliced",
-    (s, dir) => {
-      val docs = slicedDocs(s, dir)
-      val losers = simhashClustersSliced(s, dir)
-        .filter(col("id") =!= col("cluster_root"))
-        .select(col("id"))
-      docs.join(losers, docs("doc_id") === losers("id"), "left_anti")
-        .groupBy("source").agg(count(lit(1)).as("n_docs"))
-    },
-    Some(s"""${simhashCcSqlWhere(sliceWhere)},
-             losers AS (SELECT id FROM (SELECT id, min(r) AS root FROM reach GROUP BY id)
-                        WHERE id != root)
-             SELECT source, CAST(count(*) AS BIGINT) AS n_docs
-             FROM documents LEFT JOIN losers ON doc_id = losers.id
-             WHERE losers.id IS NULL AND ${sliceDocPredSql("doc_id")}
-             GROUP BY source"""))
-
-  /** [[qDedupPrio]] over the md5 doc slice — identical min_by survivor. */
-  private val qDedupPrioSliced = GraftQuery(
-    "q_dedup_prio_sliced",
-    (s, dir) => {
-      val docs = t(s, dir, "documents")
-        .select(col("doc_id"), expr("CAST(substring(source, 4) AS BIGINT)").as("src_num"))
-      val members = simhashClustersSliced(s, dir)
-        .join(docs, col("id") === col("doc_id"))
-        .select(col("doc_id"), col("cluster_root"), col("src_num"))
-      val surv = members.groupBy("cluster_root")
-        .agg(min_by(col("doc_id"), struct(col("src_num"), col("doc_id"))).as("survivor_id"))
-      members.join(surv, Seq("cluster_root"))
-        .select(col("doc_id"), col("cluster_root"), col("src_num"), col("survivor_id"),
-          when(col("doc_id") === col("survivor_id"), 1L).otherwise(0L).as("kept"))
-    },
-    Some(s"""${simhashCcSqlWhere(sliceWhere)},
-             roots AS (SELECT id, min(r) AS root FROM reach GROUP BY id),
-             pm AS (SELECT r.id AS doc_id, r.root AS cluster_root,
-                      CAST(substr(d.source, 4) AS BIGINT) AS src_num
-                    FROM roots r JOIN documents d ON d.doc_id = r.id),
-             psv AS (SELECT cluster_root, doc_id AS survivor_id FROM
-                       (SELECT cluster_root, doc_id,
-                          row_number() OVER (PARTITION BY cluster_root ORDER BY src_num, doc_id) AS rn
-                        FROM pm)
-                     WHERE rn = 1)
-             SELECT pm.doc_id, pm.cluster_root, pm.src_num, psv.survivor_id,
-               CAST(CASE WHEN pm.doc_id = psv.survivor_id THEN 1 ELSE 0 END AS BIGINT) AS kept
-             FROM pm JOIN psv USING (cluster_root)"""))
-
-  /** [[qDedupSavings]] over the md5 doc slice — identical accounting. */
-  private val qDedupSavingsSliced = GraftQuery(
-    "q_dedup_savings_sliced",
-    (s, dir) => {
-      val toks = slicedDocs(s, dir)
-        .select(col("doc_id"), col("source"),
-          size(TextFns.tokensFast(col("text"))).cast("long").as("nt"))
-      val losers = simhashClustersSliced(s, dir)
-        .filter(col("id") =!= col("cluster_root")).select(col("id"))
-      toks.join(losers, toks("doc_id") === losers("id"), "left")
-        .groupBy(col("source"))
-        .agg(count(lit(1)).as("n_docs"),
-          sum(col("nt")).as("tokens_total"),
-          sum(when(col("id").isNotNull, 1L).otherwise(0L)).as("n_removed"),
-          coalesce(sum(when(col("id").isNotNull, col("nt"))), lit(0L)).as("tokens_removed"))
-        .select(col("source"), col("n_docs"), col("n_removed"),
-          col("tokens_total"), col("tokens_removed"),
-          expr("tokens_removed * 1000 div greatest(tokens_total, 1)").as("savings_milli"))
-    },
-    Some(s"""${simhashCcSqlWhere(sliceWhere)},
-             roots AS (SELECT id, CAST(min(r) AS BIGINT) AS root FROM reach GROUP BY id),
-             losers AS (SELECT id FROM roots WHERE id <> root),
-             tk AS (SELECT doc_id, source, CAST(len($toksSql) AS BIGINT) AS nt
-                    FROM documents$sliceWhere),
-             x AS (SELECT tk.source, tk.nt,
-                     CASE WHEN losers.id IS NULL THEN 0 ELSE 1 END AS rem
-                   FROM tk LEFT JOIN losers ON tk.doc_id = losers.id)
-             SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
-               CAST(sum(rem) AS BIGINT) AS n_removed,
-               CAST(sum(nt) AS BIGINT) AS tokens_total,
-               CAST(coalesce(sum(CASE WHEN rem = 1 THEN nt END), 0) AS BIGINT) AS tokens_removed,
-               CAST(coalesce(sum(CASE WHEN rem = 1 THEN nt END), 0) * 1000
-                    // greatest(sum(nt), 1) AS BIGINT) AS savings_milli
-             FROM x GROUP BY source"""))
-
-  /** [[qTriangles]] over the md5 doc slice — identical wedge join. */
-  private val qTrianglesSliced = GraftQuery(
-    "q_triangles_sliced",
-    (s, dir) => Relational.triangleCounts(simhashPairsSliced(s, dir), "id_a", "id_b"),
-    Some(s"""${simhashPairsSqlWhere(sliceWhere)},
-             tri AS (SELECT e1.id_a AS a, e1.id_b AS b, e2.id_b AS c
-                     FROM p e1
-                     JOIN p e2 ON e2.id_a = e1.id_b
-                     JOIN p e3 ON e3.id_a = e1.id_a AND e3.id_b = e2.id_b),
-             corners AS (SELECT a AS id FROM tri
-                         UNION ALL SELECT b FROM tri
-                         UNION ALL SELECT c FROM tri)
-             SELECT id, CAST(count(*) AS BIGINT) AS n_tri
-             FROM corners GROUP BY id"""))
-
-  /** [[qPrefixJaccard]] over the md5 doc slice — identical PPJoin. */
-  private val qPrefixJaccardSliced = GraftQuery(
-    "q_prefix_jaccard_sliced",
-    (s, dir) => DedupFns.prefixJaccardPairs(slicedDocs(s, dir), "doc_id", "text", 3, 500),
-    Some(s"""WITH t0 AS (SELECT doc_id AS id, $toksSql AS tk FROM documents$sliceWhere),
-            g AS (SELECT id, $grams3Sql AS toks FROM t0),
-            docs AS (SELECT id, toks FROM g WHERE len(toks) > 0),
-            tk AS (SELECT id, unnest(toks) AS tok FROM docs),
-            dfq AS (SELECT tok, count(*) AS df FROM tk GROUP BY tok),
-            rk AS (SELECT id, tok,
-                     row_number() OVER (PARTITION BY id ORDER BY df, tok) AS rn,
-                     count(*) OVER (PARTITION BY id) AS sz
-                   FROM tk JOIN dfq USING (tok)),
-            pre AS (SELECT id, tok FROM rk
-                    WHERE rn <= sz - (sz * 500 + 999) // 1000 + 1),
-            cand AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b
-                     FROM pre a JOIN pre b ON a.tok = b.tok AND a.id < b.id),
-            sc AS (SELECT id_a, id_b,
-                     len(list_intersect(da.toks, db.toks)) AS inter,
-                     len(da.toks) + len(db.toks) - len(list_intersect(da.toks, db.toks)) AS uni
-                   FROM cand
-                   JOIN docs da ON id_a = da.id
-                   JOIN docs db ON id_b = db.id)
-            SELECT id_a, id_b, CAST(inter AS BIGINT) AS inter, CAST(uni AS BIGINT) AS uni,
-                   CAST(inter * 1000 // uni AS BIGINT) AS jac_milli
-            FROM sc WHERE inter * 1000 >= uni * 500"""))
-
-  /** [[qImageNeardup]] over the md5 doc slice — identical signature +
-    * byte-band miner, the measured-100× parity member for the NEW
-    * multimodal pair family (round 16): the full-corpus oracle is
-    * measured green at sf1 (4.17M pairs, rows+schema+hash), but its
-    * sf10 pair output is the DuckDB-single-node-bound class the slice
-    * rule exists for — the slice keeps the oracle's input at ~1/16
-    * (1/256 past 100k docs) so 100× parity is MEASURED, not vacuous.
-    */
-  private val qImageNeardupSliced = GraftQuery(
-    "q_image_neardup_sliced",
-    (s, dir) => {
-      val sigs = slicedDocs(s, dir)
-        .select(col("doc_id"), col("text").cast("binary").as("payload"))
-        .filter(length(col("payload").cast("string")) >= 4)
-        .select(col("doc_id").as("id"),
-          Multimodal.phash32(col("payload")).as("sim"), Fence.col)
-      DedupFns.nearDupPairsFromSigs(sigs, maxHamming = 3)
-    },
-    Some(s"""${phashPairsSql(s" AND ${sliceDocPredSql("doc_id")}")}
-             SELECT id_a, id_b, dist FROM p"""))
-
-  /** [[qCopurchase]] over the md5 ORDER slice (1/16 of orderkeys) —
-    * identical basket² association mining; the slice bounds the
-    * oracle's per-order pair explode, not the rule. Support threshold
-    * drops 3 → 2 here: cross-order pair counts fall ~16× with the
-    * slice, and ≥3 would leave the instrument vacuous (0 rows) at sf1
-    * (measured: the sf1 slice has 148 pairs at support 2, none at 3).
-    */
-  private val qCopurchaseSliced = GraftQuery(
-    "q_copurchase_sliced",
-    (s, dir) => {
-      val li = Fence.keepAll(
-        t(s, dir, "lineitem")
-          .filter(col("l_orderkey").isNotNull && col("l_partkey").isNotNull &&
-            sliceCondAt(s, dir, "lineitem", 10000000L)(col("l_orderkey")))
-          .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")).distinct())
-      val pairs = li.as("a").join(li.as("b").hint("shuffle_hash"), Seq("ok"))
-        .filter(col("a.pk") < col("b.pk"))
-        .groupBy(col("a.pk").as("p1"), col("b.pk").as("p2"))
-        .agg(count(lit(1)).as("c_ab"))
-        .filter(col("c_ab") >= 2)  // sliced support threshold (see scaladoc)
-      val supp = li.groupBy(col("pk")).agg(count(lit(1)).as("c"))
-      val n = li.agg(countDistinct(col("ok")).as("n_orders"))
-      pairs
-        .join(supp.as("sa").hint("shuffle_hash"), col("p1") === col("sa.pk"))
-        .join(supp.as("sb").hint("shuffle_hash"), col("p2") === col("sb.pk"))
-        .crossJoin(broadcast(n))
-        .select(col("p1"), col("p2"), col("c_ab"),
-          expr("c_ab * 1000 div sa.c").as("conf_milli"),
-          expr("c_ab * n_orders * 1000 div (sa.c * sb.c)").as("lift_milli"))
-        .orderBy(col("lift_milli").desc, col("c_ab").desc, col("p1"), col("p2"))
-        .limit(50)
-    },
-    Some(s"""WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem
-                        WHERE l_orderkey IS NOT NULL AND l_partkey IS NOT NULL
-                          AND ${slicePredSql("l_orderkey", "lineitem", 10000000L)}),
-             pr AS (SELECT a.pk AS p1, b.pk AS p2, CAST(count(*) AS BIGINT) AS c_ab
-                    FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk
-                    GROUP BY 1, 2 HAVING count(*) >= 2),
-             sp AS (SELECT pk, count(*) AS c FROM li GROUP BY 1),
-             n AS (SELECT count(DISTINCT ok) AS n_orders FROM li)
-             SELECT p1, p2, c_ab,
-               CAST(c_ab * 1000 // sa.c AS BIGINT) AS conf_milli,
-               CAST(c_ab * n_orders * 1000 // (sa.c * sb.c) AS BIGINT) AS lift_milli
-             FROM pr JOIN sp sa ON pr.p1 = sa.pk
-                     JOIN sp sb ON pr.p2 = sb.pk
-                     CROSS JOIN n
-             ORDER BY lift_milli DESC, c_ab DESC, p1, p2
-             LIMIT 50"""))
 
   val all: Seq[GraftQuery] = Seq(
     qMapFilter, qFilterMap, qCycle, qFoldAgg, qDistinctUsers, qTopkPerKey, qPivotCounts, qApproxDistinct, qHllRollup, qHeavyHitters, qHeavyHittersVerified, qCmsFreq, qJoinCardEst, qQuantiles, qQuantilesExact, qTableLatest, qSnapshotDiff, qTumbling, qHopping, qLagWindow, qSession,
@@ -9656,8 +1286,10 @@ object Queries {
     qDedupSavingsSliced, qTrianglesSliced, qPrefixJaccardSliced, qCopurchaseSliced,
     qImageNeardupSliced)
 
+
   val queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.fn).toMap
+
 
   val oracleSql: Map[String, String] =
     all.flatMap(q => q.oracle.map(o => q.name -> o.stripMargin)).toMap

@@ -400,6 +400,10 @@ class PlanSpec extends SparkSpecBase {
       // brute force quantizes query+corpus, IVF quantizes query+corpus
       // — 4 single-evaluation sites, two per pipeline
       "q_ann_recall" -> 4,
+      // the operating curve is ann-recall's shape exactly: the 4 curve
+      // points share ONE IVF candidate frame (probe-rank filter), so
+      // the sites stay 4 — brute query+corpus, IVF query+corpus
+      "q_ann_curve" -> 4,
       // gram-matrix: the single moment aggregation is referenced three
       // times (pair products + the Σxᵢ and Σxⱼ attaches) — 3 logical
       // copies riding ONE runtime exchange (ReusedExchange pinned in
