@@ -158,6 +158,13 @@ object Bench {
     // one shared candidate frame) and the readability-lite boilerplate
     // extractor (map-only link-density filter over synthesized markup)
     "q_ann_curve", "q_html_extract",
+    // round-17 addition: DSIR importance weighting (target-ratio token
+    // weights + count-weighted doc scores; threshold selection, no
+    // global sort)
+    "q_dsir_weights",
+    // round-17 addition: per-language tokenizer fertility (pieces per
+    // word + chars per piece; one lang-keyed exchange)
+    "q_token_fertility",
     // the leakage-safe group split rides the shared CC state like
     // q_dedup_clusters/q_dedup_prio — in the set so the COLD sub-anchor
     // convention (VERDICT r15 item 2) covers every memo-riding graph

@@ -1265,7 +1265,7 @@ object Queries
     qEmbedTopk, qAnnRecall, qAnnCurve, qEmbedLsh, qEmbedIvf, qEmbedIvf2, qKmeansStep, qKmeansTrain, qDocChunks, qChunkDedup,
     qKnnClassify, qClassBalance, qLabelConsistency, qGapFill, qInvertedIndex,
     qLangId, qQualityScore, qCuration, qHtmlExtract, qSplitAssign, qPackSequences, qSamplePerKey, qWeightedSample,
-    qTfidfTopterms, qContamination, qDecontam, qDedupSavings, qRankCorr,
+    qTfidfTopterms, qDsirWeights, qContamination, qDecontam, qDedupSavings, qRankCorr,
     qShuffleOrder, qClassifierScore, qGopherQuality, qVocabCoverage, qFunnel, qRetention, qLangConfusion,
     qInterarrival, qHistDistance, qMad, qWinsorMean, qSourceOverlap, qRankNorm,
     qAttribution, qRollingActives, qCompactionPlan, qGlobalMedian,
@@ -1278,7 +1278,7 @@ object Queries
     qProfile, qStratifiedSample, qAsofForward, qAsofNearest, qScd2, qPairCuration, qWindowTopk,
     qRunningDistinct, qFirstSeen, qDedupDegree, qDecileBin,
     qBloomDecontam, qDupSpanRuns, qEmbedQuant, qGramMatrix, qPcaPower, qMixWeights, qDomainSim, qEmbedPq, qPqAdc, qPqRescore, qDedupPrio, qKnnHubs, qIvfPq, qEmbedBinary, qSpanScrub, qSpanExcise,
-    qTokenCount, qFingerprint, qMultimodalMeta,
+    qTokenCount, qTokenFertility, qFingerprint, qMultimodalMeta,
     qMultimodalDecode, qResizePlan, qFrameSample, qAudioSegments, qTilePlan, qImageNeardup, qImageNeardupCounts, qMixGap,
     q9Profit, q11Stock, qKmvOverlap, qMoments, qEpochPlan, qAbLift,
     qDiversity, qZorder, qKllRollup,

@@ -1093,6 +1093,83 @@ private[graft] trait QueriesDedupText { this: Queries.type =>
              WHERE rn <= 3"""))
 
 
+  /** DSIR-style importance weighting for target-matched data selection
+    * (Xie et al. 2023, "Data Selection for Language Models via
+    * Importance Resampling", NeurIPS '23 — the bag-of-ngrams importance
+    * estimator used to pick pretraining data that looks like a target
+    * domain), as an exact-integer skeleton. Target corpus = source
+    * 'src0' (the stand-in for the high-quality domain sample); raw =
+    * every other source. Each token's weight is the RATIO of
+    * add-one-smoothed relative frequencies in milli-units,
+    * w_t = (n_tgt+1)·T_raw·1000 div ((n_raw+1)·T_tgt) — the paper's
+    * per-feature log-ratio becomes a plain ratio so the whole chain
+    * stays exact BIGINT on both engines — and a document's importance
+    * score is the count-weighted mean Σ c_t·w_t div Σ c_t. Selection is
+    * the MAP-SIDE threshold score ≥ 1000 ("more target-like than
+    * raw-like on average"), deliberately not a global top-k: no global
+    * sort, no single-partition rank — the budget knob a 100 TB
+    * deployment turns is the threshold, read off the score histogram
+    * (the q_global_median bounded-bucket device applies unchanged).
+    *
+    * Shuffle story: tokenize once (fenced), ONE (doc_id, term) combine
+    * whose exchange both consumers share (term-frequency rollup and the
+    * score join re-read the same shuffle — ReusedExchange, pinned in
+    * the plan audit), a vocab-sized term aggregate, corpus totals as a
+    * 1-row broadcast attach, and a term-keyed join back. Overflow
+    * headroom: (n_tgt+1)·T_raw·1000 needs T_tgt·T_raw < 9.2·10^15 —
+    * holds through ~10^7-token targets × 10^8-token shards; past that
+    * the weight column moves to DECIMAL(38,0) under the same rule.
+    * Docs with zero tokens have no bag to score and are absent on both
+    * engines (unnest and explode agree). An empty target degrades
+    * gracefully (greatest(T_tgt, 1) on both sides), never divides by
+    * zero.
+    */
+  private[graft] lazy val qDsirWeights = GraftQuery(
+    "q_dsir_weights",
+    (s, dir) => {
+      val base = Fence.guard(t(s, dir, "documents")
+        .select(col("doc_id"),
+          (col("source") === "src0").as("is_tgt"),
+          TextFns.tokensFast(col("text")).as("__toks"), Fence.col))
+      val dt = base
+        .select(col("doc_id"), col("is_tgt"), explode(col("__toks")).as("term"))
+        .groupBy(col("doc_id"), col("is_tgt"), col("term"))
+        .agg(count(lit(1)).as("c"))
+      val tf = dt.groupBy(col("term"))
+        .agg(sum(when(col("is_tgt"), col("c")).otherwise(0L)).as("n_tgt"),
+          sum(when(!col("is_tgt"), col("c")).otherwise(0L)).as("n_raw"))
+      val tot = tf.agg(sum(col("n_tgt")).as("t_tgt"), sum(col("n_raw")).as("t_raw"))
+      val w = tf.crossJoin(broadcast(tot))
+        .select(col("term"),
+          expr("(n_tgt + 1) * t_raw * 1000 div ((n_raw + 1) * greatest(t_tgt, 1))").as("w"))
+      dt.join(w, "term")
+        .groupBy(col("doc_id"))
+        .agg(sum(col("c")).as("n_toks"), sum(col("c") * col("w")).as("__num"))
+        .select(col("doc_id"), col("n_toks"),
+          expr("__num div n_toks").as("score_milli"),
+          expr("CAST(CASE WHEN __num div n_toks >= 1000 THEN 1 ELSE 0 END AS BIGINT)")
+            .as("selected"))
+    },
+    Some(s"""WITH tok AS (SELECT doc_id, source = 'src0' AS is_tgt, unnest($toksSql) AS term
+                          FROM documents),
+             dt AS (SELECT doc_id, is_tgt, term, CAST(count(*) AS BIGINT) AS c
+                    FROM tok GROUP BY 1, 2, 3),
+             tf AS (SELECT term,
+                      CAST(sum(CASE WHEN is_tgt THEN c ELSE 0 END) AS BIGINT) AS n_tgt,
+                      CAST(sum(CASE WHEN is_tgt THEN 0 ELSE c END) AS BIGINT) AS n_raw
+                    FROM dt GROUP BY 1),
+             tot AS (SELECT CAST(sum(n_tgt) AS BIGINT) AS t_tgt,
+                       CAST(sum(n_raw) AS BIGINT) AS t_raw FROM tf),
+             w AS (SELECT term,
+                     CAST((n_tgt + 1) * t_raw * 1000 // ((n_raw + 1) * greatest(t_tgt, 1)) AS BIGINT) AS w
+                   FROM tf, tot)
+             SELECT dt.doc_id, CAST(sum(dt.c) AS BIGINT) AS n_toks,
+               CAST(sum(dt.c * w.w) // sum(dt.c) AS BIGINT) AS score_milli,
+               CAST(CASE WHEN sum(dt.c * w.w) // sum(dt.c) >= 1000 THEN 1 ELSE 0 END AS BIGINT) AS selected
+             FROM dt JOIN w USING (term)
+             GROUP BY 1"""))
+
+
   /** Benchmark-contamination detection: documents sharing any word
     * 4-gram with a probe set (here: the 3 smallest doc_ids stand in
     * for a held-out benchmark). Shingles meet via an equi-join on the
@@ -1141,6 +1218,51 @@ private[graft] trait QueriesDedupText { this: Queries.type =>
                 p -> CASE WHEN regexp_matches(p, '^[A-Za-z]+$')
                           THEN CAST(ceil(length(p) / 4.0) AS BIGINT) ELSE 1 END)), 0) AS BIGINT) AS bpe_tokens
             FROM documents"""))
+
+
+  /** Tokenizer FERTILITY per language (Ács 2019; Rust et al. 2021 "How
+    * Good is Your Tokenizer?" — subword pieces per whitespace word, THE
+    * standard multilingual tokenizer-quality metric: high fertility =
+    * the vocab under-serves that language, inflating sequence length
+    * and training cost) plus compression (chars per piece), both in
+    * exact milli-units over the corpus aggregate — the per-language
+    * readout a multilingual data pipeline checks before fixing a vocab.
+    * Spark-shape: the one-pass TextStats kernel rides the scan (ws and
+    * BPE-ish piece counts in the same byte walk), then one lang-keyed
+    * aggregate — ONE exchange carrying ≤ |langs| groups at any corpus
+    * size; map-side partial agg does all the work. greatest(·,1)
+    * guards the all-empty-text degenerate group on both engines.
+    */
+  private[graft] lazy val qTokenFertility = GraftQuery(
+    "q_token_fertility",
+    (s, dir) =>
+      t(s, dir, "documents")
+        .select(col("lang"), length(col("text")).cast("long").as("__nc"),
+          TextFns.textStatsFast(col("text")).as("__ts"))
+        .select(col("lang"), col("__nc"),
+          element_at(col("__ts"), 1).as("__ws"),
+          element_at(col("__ts"), 3).as("__bpe"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("__ws")).as("ws_tokens"),
+          sum(col("__bpe")).as("bpe_tokens"),
+          sum(col("__nc")).as("__nc_sum"))
+        .select(col("lang"), col("n_docs"), col("ws_tokens"), col("bpe_tokens"),
+          expr("bpe_tokens * 1000 div greatest(ws_tokens, 1)").as("fertility_milli"),
+          expr("__nc_sum * 1000 div greatest(bpe_tokens, 1)").as("chars_per_piece_milli")),
+    Some("""WITH s AS (SELECT lang, CAST(length(text) AS BIGINT) AS nc,
+                  CAST(len(list_filter(string_split_regex(text, '\s+'), x -> x != '')) AS BIGINT) AS ws,
+                  CAST(COALESCE(list_sum(list_transform(
+                    regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'),
+                    p -> CASE WHEN regexp_matches(p, '^[A-Za-z]+$')
+                              THEN CAST(ceil(length(p) / 4.0) AS BIGINT) ELSE 1 END)), 0) AS BIGINT) AS bpe
+                FROM documents)
+            SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+              CAST(sum(ws) AS BIGINT) AS ws_tokens,
+              CAST(sum(bpe) AS BIGINT) AS bpe_tokens,
+              CAST(sum(bpe) * 1000 // greatest(sum(ws), 1) AS BIGINT) AS fertility_milli,
+              CAST(sum(nc) * 1000 // greatest(sum(bpe), 1) AS BIGINT) AS chars_per_piece_milli
+            FROM s GROUP BY 1"""))
 
 
   private[graft] lazy val qFingerprint = GraftQuery(

@@ -119,6 +119,20 @@ class PlanSpec extends SparkSpecBase {
     assert(p.contains("partial_count") || p.contains("HashAggregate"), p)
   }
 
+  test("q_dsir_weights: the (doc_id, term) combine is shuffled once and reused by all consumers") {
+    // three logical consumers (term-frequency rollup, totals, score
+    // join) of ONE tokenize+combine — the executed plan must collapse
+    // them onto a shared exchange (the q_gram_matrix class), so the
+    // corpus is tokenized once no matter how many estimator views read
+    // the bag-of-words
+    val df = Queries.queries("q_dsir_weights")(spark, sfDir)
+    df.collect()
+    val p = planOf(df)
+    assert(p.contains("ReusedExchange") || p.contains("ReusedQueryStage"), p)
+    // the only nested-loop is the 1-row totals attach
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("q_dp_mean: one partial-agg exchange; q_drift: bucket partials then a bounded rollup") {
     val p1 = planOf(Queries.queries("q_dp_mean")(spark, sfDir))
     assert("Exchange hashpartitioning".r.findAllIn(p1).size == 1, p1)
@@ -409,6 +423,12 @@ class PlanSpec extends SparkSpecBase {
       // copies riding ONE runtime exchange (ReusedExchange pinned in
       // the q_gram_matrix plan test above)
       "q_gram_matrix" -> 3,
+      // DSIR: the (doc_id, term) combine is referenced three times
+      // (term-frequency rollup, its totals, and the score join) — 3
+      // logical copies of ONE runtime exchange (plan audit:
+      // scans{documents:1}, reused=2 — the q_gram_matrix class); the
+      // dedicated plan test below pins the ReusedExchange count
+      "q_dsir_weights" -> 3,
       // two-level IVF (ivfTopK2): the √n-BOUNDED fine-centroid sample
       // subtree is referenced by both the corpus-assignment and the
       // query-probe side (2 logical copies of a sample whose size is

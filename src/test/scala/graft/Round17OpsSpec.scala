@@ -139,6 +139,79 @@ class Round17OpsSpec extends SparkSpecBase {
     assert(got(4L) === (0L, 0L, 0L, 0L, ""))
   }
 
+  // ---- DSIR importance weighting (round-17 addition) ----------------------
+
+  test("q_dsir_weights == plain-Scala brute force (ratio weights, weighted-mean scores, threshold)") {
+    // the tokenizer twin every text spec uses (mirror of TextFns.tokens)
+    def toks(text: String): Seq[String] =
+      text.toLowerCase.replaceAll("""[(),";:'.]""", "").split("""\s+""").filter(_.nonEmpty).toSeq
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("doc_id", "source", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1), toks(r.getString(2))))
+    // per-(doc, term) counts, split by target membership
+    val dt = docs.flatMap { case (id, src, tk) =>
+      tk.groupBy(identity).map { case (term, xs) => (id, src == "src0", term, xs.size.toLong) }
+    }
+    val nTgt = dt.filter(_._2).groupBy(_._3).map { case (t, xs) => t -> xs.map(_._4).sum }
+    val nRaw = dt.filterNot(_._2).groupBy(_._3).map { case (t, xs) => t -> xs.map(_._4).sum }
+    val tTgt = math.max(nTgt.values.sum, 1L)
+    val tRaw = nRaw.values.sum
+    val terms = (nTgt.keySet ++ nRaw.keySet)
+    val w = terms.map(t => t ->
+      (nTgt.getOrElse(t, 0L) + 1L) * tRaw * 1000L / ((nRaw.getOrElse(t, 0L) + 1L) * tTgt)).toMap
+    val brute = dt.groupBy(_._1).map { case (id, xs) =>
+      val n = xs.map(_._4).sum
+      val num = xs.map(x => x._4 * w(x._3)).sum
+      val score = num / n
+      (id, n, score, if (score >= 1000L) 1L else 0L)
+    }.toSeq.sorted
+    val got = SparkEntry.queries("q_dsir_weights")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).sorted.toSeq
+    assert(got === brute)
+    assert(got.nonEmpty)
+    // the estimator discriminates: target docs (whose tokens ARE the
+    // target distribution) must average a higher score than raw docs
+    val bySrc = docs.map(d => d._1 -> (d._2 == "src0")).toMap
+    val (tgtScores, rawScores) = got.partition(g => bySrc(g._1))
+    assert(tgtScores.nonEmpty && rawScores.nonEmpty)
+    assert(tgtScores.map(_._3).sum / tgtScores.size >
+           rawScores.map(_._3).sum / rawScores.size,
+      "target docs no longer score above raw docs — the importance estimator is broken")
+  }
+
+  // ---- tokenizer fertility (round-17 addition) -----------------------------
+
+  test("q_token_fertility == plain-Scala brute force (pieces per word, chars per piece)") {
+    // plain-Scala twins of the TextStats kernel's two counters
+    def ws(text: String): Long = text.split("""\s+""").count(_.nonEmpty).toLong
+    def bpe(text: String): Long =
+      """[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]""".r.findAllIn(text).map { p =>
+        if (p.forall(c => (c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z')))
+          (p.length + 3L) / 4L
+        else 1L
+      }.sum
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("lang", "text").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    val bruteFull = docs.groupBy(_._1).map { case (lang, xs) =>
+      val w = xs.map(x => ws(x._2)).sum
+      val b = xs.map(x => bpe(x._2)).sum
+      val nc = xs.map(x => x._2.codePointCount(0, x._2.length).toLong).sum
+      (lang, xs.size.toLong, w, b, b * 1000L / math.max(w, 1L), nc * 1000L / math.max(b, 1L))
+    }.toSeq.sorted
+    val got = SparkEntry.queries("q_token_fertility")(spark, sfDir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).sorted.toSeq
+    assert(got === bruteFull)
+    // zh has no intra-sentence whitespace in this corpus family → its
+    // fertility (pieces per whitespace token) must dwarf en's, which is
+    // exactly the signal the metric exists to expose
+    val byLang = got.map(g => g._1 -> g._5).toMap
+    if (byLang.contains("zh") && byLang.contains("en"))
+      assert(byLang("zh") > byLang("en"),
+        "zh fertility should exceed en — the metric lost its discriminative power")
+  }
+
   // ---- CharGramsKernel code points (ADVICE r16 item 1) --------------------
 
   test("char grams slice by code points: no split surrogates, declarative parity beyond the BMP") {
