@@ -69,11 +69,29 @@ object ScaleUp {
   private def read(spark: SparkSession, dir: String, t: String): DataFrame =
     spark.read.parquet(s"$dir/$t.parquet")
 
+  /** FACT tables repartition on write (round 17, BASELINE r17 appendix):
+    * the sf0.1 source ships each table as ONE part file, and a
+    * narrow-only replicate preserves that — so the sf10 rehearsal's
+    * 76 MB documents.parquet was a single file whose initial scan ran
+    * as ~1 task under the default 128 MB maxPartitionBytes, while the
+    * production corpora these rehearsals stand in for are always
+    * many-file. 32 output parts (= the session's shuffle partitions /
+    * local cores) gives every scan stage real parallelism from the
+    * first task. Round-robin repartition of a deterministic input is
+    * itself deterministic, and no query depends on row order (every
+    * window/rank carries a unique tiebreak — SURVEY §4). All sf1/sf10
+    * decade readings re-baseline at the round-18 regeneration, as the
+    * r17 appendix notes.
+    */
   private def write(df: DataFrame, dst: String, t: String): Unit =
-    df.write.mode("overwrite").parquet(s"$dst/$t.parquet")
+    df.repartition(32).write.mode("overwrite").parquet(s"$dst/$t.parquet")
 
+  /** Dims stay single-file: real dimension tables don't grow with fact
+    * volume, and a 5-row region table in 32 shards would just be noise.
+    */
   private def copyDims(spark: SparkSession, src: String, dst: String): Unit =
-    Seq("region", "nation").foreach(t => write(read(spark, src, t), dst, t))
+    Seq("region", "nation").foreach(t =>
+      read(spark, src, t).write.mode("overwrite").parquet(s"$dst/$t.parquet"))
 
   /** The replica axis as a generated column — one scan, `factor`
     * output rows per input row, no union-of-scans (a 1000-file corpus
