@@ -368,11 +368,26 @@ object Relational {
       .join(deg.select(col("id").as("__ia"), col("deg").as("da")), col("a") === col("__ia"))
       .join(deg.select(col("id").as("__ib"), col("deg").as("db")), col("b") === col("__ib"))
     val aFirst = struct(col("da"), col("a")) < struct(col("db"), col("b"))
+    // Explicit partition count on the wedge-join input: the frame is
+    // BYTE-tiny (narrow (src,dst,dk) rows) but ROW-explosive — the
+    // wedge join amplifies it to O(m^1.5) downstream rows, so AQE's
+    // byte-based coalescing (which cannot see join amplification)
+    // collapses it to 1 post-shuffle partition and the entire
+    // wedge+close pipeline runs in ONE task (measured: 4.9 s of the
+    // 6.6 s sf0.1 bench time serial on 32 cores). A user-specified
+    // numPartitions is exempt from AQE coalescing; 3× cluster
+    // parallelism keeps every core fed with schedulable granularity,
+    // scales with the cluster (never a local constant), and at data
+    // sizes where broadcast stops applying the hash-on-src exchange is
+    // exactly the distribution the wedge self-join requires, so no
+    // second exchange appears.
+    val wedgeParts = 3 * pairs.sparkSession.sparkContext.defaultParallelism
     val oriented = e.select(
       when(aFirst, col("a")).otherwise(col("b")).as("src"),
       when(aFirst, col("b")).otherwise(col("a")).as("dst"),
       when(aFirst, struct(col("db").as("d"), col("b").as("i")))
         .otherwise(struct(col("da").as("d"), col("a").as("i"))).as("dk"))
+      .repartition(wedgeParts, col("src"))
     val e1 = oriented.select(col("src"), col("dst").as("lo"), col("dk").as("lk"))
     val e2 = oriented.select(col("src").as("src2"), col("dst").as("hi"), col("dk").as("hk"))
     val wedges = e1.join(e2, col("src") === col("src2") && col("lk") < col("hk"))
