@@ -558,9 +558,18 @@ object DedupFns {
         greatest(col("ia"), col("ib")).as("id_b"),
         (col("sa") + col("sb")).as("szsum"))
     val docsP = docs.select(col("id"), col("toks")).repartition(col("id"))
+    // Explicit partition count on the PAIR side: the rescore stage is
+    // BYTE-small (one (id_a, id_b, counters) row per candidate) but
+    // COMPUTE-dense — one array_intersect per pair — so AQE's
+    // byte-based coalescing squeezed it to 2 tasks (3.0 s of the
+    // 3.6 s sf0.1 bench time). The docs sides broadcast, so the pair
+    // frame DRIVES the stage; a user numPartitions is exempt from
+    // coalescing and scales with the cluster, never a local constant
+    // (the q_triangles wedge-join precedent).
+    val rescoreParts = 3 * df.sparkSession.sparkContext.defaultParallelism
     // sizes rode through the aggregate, so the union is arithmetic
     // (|x|+|y|−inter) and array_intersect evaluates ONCE per pair
-    cands
+    cands.repartition(rescoreParts, col("id_a"))
       .join(docsP.as("da"), col("id_a") === col("da.id"))
       .join(docsP.as("db"), col("id_b") === col("db.id"))
       .select(col("id_a"), col("id_b"),
