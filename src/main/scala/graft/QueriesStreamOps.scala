@@ -781,7 +781,12 @@ private[graft] trait QueriesStreamOps { this: Queries.type =>
       val ev = events(s, dir).select(col("user_id"),
         expr("cast(date_trunc('hour', ts) as long) div 3600").as("h"),
         (col("value").cast(dec) * 100).cast("long").as("__cents"))
-        .repartition(col("user_id"))
+        // explicit count: the hourly frame is byte-tiny but the gap
+        // explode amplifies rows output-sized, so AQE's byte-based
+        // coalescing would run the whole explode in 1 task (the
+        // q_triangles wedge-join pattern); a user numPartitions is
+        // exempt from coalescing and scales with the cluster
+        .repartition(3 * s.sparkContext.defaultParallelism, col("user_id"))
       val hourly = ev.groupBy("user_id", "h")
         .agg(count(lit(1)).as("n_events"), sum(col("__cents")).as("sum_cents"))
         .withColumn("__nh", lead(col("h"), 1).over(

@@ -24,7 +24,7 @@ object StageProfile {
 
   def main(args: Array[String]): Unit = {
     val query = args.headOption.getOrElse("q_knn_hubs")
-    val sfDir = args.lift(1).getOrElse(
+    val sfDir = args.find(_.startsWith("/")).getOrElse(
       sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
     val spark = GraftSession.local("graft-stage-profile")
     spark.sparkContext.setLogLevel("WARN")
@@ -53,23 +53,35 @@ object StageProfile {
         a.parts = i.numTasks
       }
     })
-    val fn = SparkEntry.queries(query)
-    val t0 = System.nanoTime()
-    fn(spark, sfDir).write.mode("overwrite").format("noop").save()
-    val wall = (System.nanoTime() - t0) / 1e9
-    // listener bus drains asynchronously; settle before reading
-    Thread.sleep(2000)
-    val rows = stages.toSeq.sortBy(-_._2.wallMs)
-    rows.foreach { case (id, a) =>
-      println(f"""{"stage":$id,"name":"${a.name.replace("\"", "'")}","wall_ms":${a.wallMs},""" +
-        f""""tasks":${a.tasks},"task_ms":${a.taskMs},"gc_ms":${a.gcMs},""" +
-        f""""shuffle_read_mb":${a.shufReadB / 1e6}%.1f,"shuffle_write_mb":${a.shufWriteB / 1e6}%.1f,""" +
-        f""""spill_mb":${a.spillB / 1e6}%.1f,"input_records":${a.inRecords}}""")
+    // Accept several query names (and an optional trailing sfDir):
+    // one JVM + one session amortizes sbt/Spark startup over the whole
+    // list, and the sweep between queries matches the bench convention
+    // (memos cleared, so each query's ledger is its own cold build;
+    // run a query name twice to see its warm profile second).
+    val queryArgs = (query +: args.drop(1).filterNot(_.startsWith("/"))).distinct
+    queryArgs.foreach { qname =>
+      Queries.clearSessionMemos()
+      spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
+      stages.clear()
+      val fn = SparkEntry.queries(qname)
+      val t0 = System.nanoTime()
+      fn(spark, sfDir).write.mode("overwrite").format("noop").save()
+      val wall = (System.nanoTime() - t0) / 1e9
+      // listener bus drains asynchronously; settle before reading
+      Thread.sleep(2000)
+      val rows = stages.toSeq.sortBy(-_._2.wallMs)
+      rows.take(8).foreach { case (id, a) =>
+        println(f"""{"q":"$qname","stage":$id,"name":"${a.name.replace("\"", "'")}","wall_ms":${a.wallMs},""" +
+          f""""tasks":${a.tasks},"task_ms":${a.taskMs},"gc_ms":${a.gcMs},""" +
+          f""""shuffle_read_mb":${a.shufReadB / 1e6}%.1f,"shuffle_write_mb":${a.shufWriteB / 1e6}%.1f,""" +
+          f""""spill_mb":${a.spillB / 1e6}%.1f,"input_records":${a.inRecords}}""")
+      }
+      println(f"""{"query":"$qname","sf":"$sfDir","total_sec":$wall%.1f,""" +
+        f""""stage_wall_sum_ms":${rows.map(_._2.wallMs).sum},""" +
+        f""""task_ms_sum":${rows.map(_._2.taskMs).sum},"gc_ms_sum":${rows.map(_._2.gcMs).sum},""" +
+        f""""spill_mb_sum":${rows.map(_._2.spillB).sum / 1e6}%.1f}""")
     }
-    println(f"""{"query":"$query","sf":"$sfDir","total_sec":$wall%.1f,""" +
-      f""""stage_wall_sum_ms":${rows.map(_._2.wallMs).sum},""" +
-      f""""task_ms_sum":${rows.map(_._2.taskMs).sum},"gc_ms_sum":${rows.map(_._2.gcMs).sum},""" +
-      f""""spill_mb_sum":${rows.map(_._2.spillB).sum / 1e6}%.1f}""")
     spark.stop()
   }
 }
