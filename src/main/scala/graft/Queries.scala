@@ -220,12 +220,14 @@ object Queries
   def clearSessionMemos(): Unit = {
     (pairsCache.values ++ ccCache.values ++ sliceCache.values ++
         lpaCache.values.flatMap(p => Seq(p._1, p._2)) ++
+        edgeCache.values.flatMap(p => Seq(p._1, p._2)) ++
         bpeCache.values.flatMap(p => p._1 ++ p._2))
       .foreach(org.apache.spark.sql.GraftBridge.freeLocalCheckpoint)
     pairsCache.clear()
     ccCache.clear()
     sliceCache.clear()
     lpaCache.clear()
+    edgeCache.clear()
     bpeCache.clear()
   }
 
@@ -342,6 +344,36 @@ object Queries
       Relational.connectedComponents(simhashPairs(s, dir), "id_a", "id_b"))
 
 
+  /** Shared GRAPH STATE over the near-dup pair graph: the symmetric-
+    * distinct self-loop-free edge list (src-partitioned, checkpointed)
+    * plus the per-node degree frame, memoized per (session, dir) like
+    * the CC/LPA state. Every member of the graph family (PageRank,
+    * PPR, k-core, BFS, triangles, LPA) consumed its own private
+    * union+distinct+checkpoint of the SAME pairs — ~0.5-1.1 s of
+    * identical rebuild per invocation at sf0.1 on top of the memoized
+    * pair mining. One build serves all; clearSessionMemos frees both
+    * frames (and cold anchors still pay the full build, per the
+    * SPARK_GRAFT_COLD sub-anchor convention). simhashPairs emits each
+    * pair once with id_a < id_b, so the symmetric union is distinct
+    * and self-loop-free by construction — the operators' shared-state
+    * contract (Relational.triangleCounts scaladoc).
+    */
+  private[graft] val edgeCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), (DataFrame, DataFrame)]
+
+  private[graft] def graphEdges(s: SparkSession, dir: String): (DataFrame, DataFrame) =
+    edgeCache.getOrElseUpdate((s, dir), {
+      val p = simhashPairs(s, dir)
+      val sym = p.select(col("id_a").as("src"), col("id_b").as("dst"))
+        .union(p.select(col("id_b").as("src"), col("id_a").as("dst")))
+        .repartition(col("src"))
+        .localCheckpoint(true)
+      val deg = sym.groupBy(col("src").as("id")).agg(count(lit(1)).as("deg"))
+        .localCheckpoint(true)
+      (sym, deg)
+    })
+
+
   /** LPA (labels, symmetric edge list) over the near-dup graph,
     * memoized per (session, dir) like the CC state: the loop's
     * checkpointed frames (final labels + edge list) previously leaked
@@ -357,7 +389,8 @@ object Queries
   private[graft] def lpaState(s: SparkSession, dir: String): (DataFrame, DataFrame) =
     lpaCache.getOrElseUpdate((s, dir), {
       val (labels0, edges) =
-        Relational.labelPropagationWithEdges(simhashPairs(s, dir), "id_a", "id_b", iters = 3)
+        Relational.labelPropagationWithEdges(simhashPairs(s, dir), "id_a", "id_b", iters = 3,
+          prebuiltEdges = Some(graphEdges(s, dir)._1))
       (labels0.localCheckpoint(true), edges)
     })
 

@@ -25,7 +25,8 @@ private[graft] trait QueriesGraph { this: Queries.type =>
     */
   private[graft] lazy val qPagerank = GraftQuery(
     "q_pagerank",
-    (s, dir) => Relational.pageRank(simhashPairs(s, dir), "id_a", "id_b", iters = 3),
+    (s, dir) => Relational.pageRank(simhashPairs(s, dir), "id_a", "id_b", iters = 3,
+      state = Some(graphEdges(s, dir))),
     Some(s"""$simhashCcSql,
              deg AS (SELECT a AS id, CAST(count(*) AS BIGINT) AS deg FROM e GROUP BY 1),
              pr0 AS (SELECT id, CAST(1000000 AS BIGINT) AS pr, deg FROM deg),
@@ -53,7 +54,7 @@ private[graft] trait QueriesGraph { this: Queries.type =>
   private[graft] lazy val qPprSeeds = GraftQuery(
     "q_ppr_seeds",
     (s, dir) => Relational.personalizedPageRank(simhashPairs(s, dir), "id_a", "id_b",
-      col("id") % 5 === 0, iters = 3),
+      col("id") % 5 === 0, iters = 3, state = Some(graphEdges(s, dir))),
     Some(s"""$simhashCcSql,
              deg AS (SELECT a AS id, CAST(count(*) AS BIGINT) AS deg FROM e GROUP BY 1),
              pr0 AS (SELECT id, CAST(CASE WHEN id % 5 = 0 THEN 1000000 ELSE 0 END AS BIGINT) AS pr, deg FROM deg),
@@ -82,7 +83,8 @@ private[graft] trait QueriesGraph { this: Queries.type =>
     */
   private[graft] lazy val qKcore = GraftQuery(
     "q_kcore",
-    (s, dir) => Relational.kCore(simhashPairs(s, dir), "id_a", "id_b", k = 3, rounds = 8),
+    (s, dir) => Relational.kCore(simhashPairs(s, dir), "id_a", "id_b", k = 3, rounds = 8,
+      prebuiltSym = Some(graphEdges(s, dir)._1)),
     Some(s"""$simhashPairsSql,
              und AS (SELECT id_a AS a, id_b AS b FROM p UNION ALL SELECT id_b, id_a FROM p),
              peel(r, a, b) AS (
@@ -116,7 +118,7 @@ private[graft] trait QueriesGraph { this: Queries.type =>
   private[graft] lazy val qBfsHops = GraftQuery(
     "q_bfs_hops",
     (s, dir) => Relational.bfsHops(simhashPairs(s, dir), "id_a", "id_b",
-      col("id") % 7 === 0, maxHops = 3),
+      col("id") % 7 === 0, maxHops = 3, prebuiltSym = Some(graphEdges(s, dir)._1)),
     Some(s"""$simhashPairsSql,
              und AS (SELECT id_a AS a, id_b AS b FROM p UNION ALL SELECT id_b, id_a FROM p),
              sd AS (SELECT DISTINCT a AS id FROM und WHERE a % 7 = 0),
@@ -140,7 +142,8 @@ private[graft] trait QueriesGraph { this: Queries.type =>
     */
   private[graft] lazy val qTriangles = GraftQuery(
     "q_triangles",
-    (s, dir) => Relational.triangleCounts(simhashPairs(s, dir), "id_a", "id_b"),
+    (s, dir) => Relational.triangleCounts(simhashPairs(s, dir), "id_a", "id_b",
+      state = Some(graphEdges(s, dir))),
     Some(s"""$simhashCcSql,
              tri AS (SELECT e1.id_a AS a, e1.id_b AS b, e2.id_b AS c
                      FROM p e1

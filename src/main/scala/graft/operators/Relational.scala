@@ -360,10 +360,29 @@ object Relational {
     * (on apex) and the closing join (on the (lo, hi) edge) are
     * equi-joins — never all-pairs.
     */
-  def triangleCounts(pairs: DataFrame, srcCol: String, dstCol: String): DataFrame = {
-    val p = pairs.select(col(srcCol).as("a"), col(dstCol).as("b")).distinct()
-    val deg = p.select(col("a").as("id")).unionAll(p.select(col("b").as("id")))
-      .groupBy("id").agg(count(lit(1)).as("deg"))
+  /** @param state optional prebuilt graph state shared across the
+    *   graph family: (symmetric-distinct self-loop-free edge list as
+    *   (src, dst), per-node degree as (id, deg)) — both already
+    *   materialized (checkpointed) by the caller. When present, the
+    *   operator's own distinct + degree aggregation are replaced by
+    *   map-only reads of the shared frames, so repeated graph queries
+    *   over one corpus pay the edge build once (the session-memo
+    *   discipline of the CC/LPA state).
+    */
+  def triangleCounts(pairs: DataFrame, srcCol: String, dstCol: String,
+      state: Option[(DataFrame, DataFrame)] = None): DataFrame = {
+    val p = state match {
+      case Some((sym, _)) =>
+        sym.filter(col("src") < col("dst"))
+          .select(col("src").as("a"), col("dst").as("b"))
+      case None => pairs.select(col(srcCol).as("a"), col(dstCol).as("b")).distinct()
+    }
+    val deg = state match {
+      case Some((_, d)) => d.select(col("id"), col("deg"))
+      case None =>
+        p.select(col("a").as("id")).unionAll(p.select(col("b").as("id")))
+          .groupBy("id").agg(count(lit(1)).as("deg"))
+    }
     val e = p
       .join(deg.select(col("id").as("__ia"), col("deg").as("da")), col("a") === col("__ia"))
       .join(deg.select(col("id").as("__ib"), col("deg").as("db")), col("b") === col("__ib"))
@@ -399,18 +418,24 @@ object Relational {
       .groupBy("id").agg(count(lit(1)).as("n_tri"))
   }
 
-  def pageRank(pairs: DataFrame, srcCol: String, dstCol: String, iters: Int = 3): DataFrame = {
-    val edges = pairs.select(col(srcCol).as("src"), col(dstCol).as("dst"))
-      .union(pairs.select(col(dstCol).as("src"), col(srcCol).as("dst")))
-      .distinct()
-      .repartition(col("src"))
-      .localCheckpoint(true)
+  /** @param state see [[triangleCounts]] — prebuilt (symmetric edges
+    *   partitioned by src, (id, deg)), both checkpointed by the caller.
+    */
+  def pageRank(pairs: DataFrame, srcCol: String, dstCol: String, iters: Int = 3,
+      state: Option[(DataFrame, DataFrame)] = None): DataFrame = {
     // (id, deg) materializes once too: every iteration joins against it
     // (referencing the PREVIOUS rank twice instead would double the
     // plan per round — exponential), and every iteration's reference
     // then reads the same checkpointed leaf
-    val deg = edges.groupBy(col("src").as("id")).agg(count(lit(1)).as("deg"))
-      .localCheckpoint(true)
+    val (edges, deg) = state.getOrElse {
+      val e = pairs.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+        .union(pairs.select(col(dstCol).as("src"), col(srcCol).as("dst")))
+        .distinct()
+        .repartition(col("src"))
+        .localCheckpoint(true)
+      (e, e.groupBy(col("src").as("id")).agg(count(lit(1)).as("deg"))
+        .localCheckpoint(true))
+    }
     var pr = deg.select(col("id"), lit(1000000L).as("pr"), col("deg"))
     var lastCut: DataFrame = null // the live lineage-truncation checkpoint
     var it = 0
@@ -454,15 +479,23 @@ object Relational {
     * per node.
     */
   def personalizedPageRank(pairs: DataFrame, srcCol: String, dstCol: String,
-      seedPred: Column, iters: Int = 3): DataFrame = {
-    val edges = pairs.select(col(srcCol).as("src"), col(dstCol).as("dst"))
-      .union(pairs.select(col(dstCol).as("src"), col(srcCol).as("dst")))
-      .distinct()
-      .repartition(col("src"))
-      .localCheckpoint(true)
-    val deg = edges.groupBy(col("src").as("id")).agg(count(lit(1)).as("deg"))
-      .withColumn("__seed", seedPred)
-      .localCheckpoint(true)
+      seedPred: Column, iters: Int = 3,
+      state: Option[(DataFrame, DataFrame)] = None): DataFrame = {
+    // prebuilt state: the seed flag is a map-only column over the
+    // already-checkpointed degree leaf, so no fresh checkpoint is
+    // needed (see [[triangleCounts]] for the state contract)
+    val (edges, deg) = state match {
+      case Some((e, d)) => (e, d.withColumn("__seed", seedPred))
+      case None =>
+        val e = pairs.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+          .union(pairs.select(col(dstCol).as("src"), col(srcCol).as("dst")))
+          .distinct()
+          .repartition(col("src"))
+          .localCheckpoint(true)
+        (e, e.groupBy(col("src").as("id")).agg(count(lit(1)).as("deg"))
+          .withColumn("__seed", seedPred)
+          .localCheckpoint(true))
+    }
     var pr = deg.select(col("id"),
       when(col("__seed"), lit(1000000L)).otherwise(lit(0L)).as("pr"),
       col("deg"), col("__seed"))
@@ -501,17 +534,21 @@ object Relational {
     * the previous one immediately.
     */
   def kCore(pairs: DataFrame, srcCol: String, dstCol: String, k: Int,
-      rounds: Int = 8): DataFrame = {
+      rounds: Int = 8, prebuiltSym: Option[DataFrame] = None): DataFrame = {
     // one materialization of the symmetric edge list; the input pairs
     // are canonicalized + deduped here so the expansion needs no
-    // second distinct over 2x the rows
-    val edges = pairs
-      .select(least(col(srcCol), col(dstCol)).as("a"), greatest(col(srcCol), col(dstCol)).as("b"))
-      .filter(col("a") =!= col("b"))
-      .distinct()
-    val sym = edges.select(col("a").as("src"), col("b").as("dst"))
-      .union(edges.select(col("b").as("src"), col("a").as("dst")))
-      .localCheckpoint(true)
+    // second distinct over 2x the rows (prebuiltSym: the caller's
+    // already-checkpointed symmetric-distinct self-loop-free list —
+    // see [[triangleCounts]] for the shared-state contract)
+    val sym = prebuiltSym.getOrElse {
+      val edges = pairs
+        .select(least(col(srcCol), col(dstCol)).as("a"), greatest(col(srcCol), col(dstCol)).as("b"))
+        .filter(col("a") =!= col("b"))
+        .distinct()
+      edges.select(col("a").as("src"), col("b").as("dst"))
+        .union(edges.select(col("b").as("src"), col("a").as("dst")))
+        .localCheckpoint(true)
+    }
     // PEEL STATE LIVES IN NODE SPACE, never edge space: the alive set
     // Aᵣ (Aᵣ₊₁ = nodes with ≥ k surviving-edge endpoints in Aᵣ) is
     // node-sized (≪ edges by the average degree), so each round is ONE
@@ -570,14 +607,17 @@ object Relational {
     * shuffle_hash semi-joins — the loop is unchanged.
     */
   def bfsHops(pairs: DataFrame, srcCol: String, dstCol: String,
-      seedPred: Column, maxHops: Int): DataFrame = {
-    val edges = pairs
-      .select(least(col(srcCol), col(dstCol)).as("a"), greatest(col(srcCol), col(dstCol)).as("b"))
-      .filter(col("a") =!= col("b"))
-      .distinct()
-    val sym = edges.select(col("a").as("src"), col("b").as("dst"))
-      .union(edges.select(col("b").as("src"), col("a").as("dst")))
-      .localCheckpoint(true)
+      seedPred: Column, maxHops: Int,
+      prebuiltSym: Option[DataFrame] = None): DataFrame = {
+    val sym = prebuiltSym.getOrElse {
+      val edges = pairs
+        .select(least(col(srcCol), col(dstCol)).as("a"), greatest(col(srcCol), col(dstCol)).as("b"))
+        .filter(col("a") =!= col("b"))
+        .distinct()
+      edges.select(col("a").as("src"), col("b").as("dst"))
+        .union(edges.select(col("b").as("src"), col("a").as("dst")))
+        .localCheckpoint(true)
+    }
     var labeled = sym.select(col("src").as("id")).distinct()
       .filter(seedPred)
       .withColumn("dist", lit(0L))
@@ -639,12 +679,17 @@ object Relational {
     * exchange over the pair graph.
     */
   def labelPropagationWithEdges(pairs: DataFrame, srcCol: String, dstCol: String,
-      iters: Int = 3): (DataFrame, DataFrame) = {
-    val edges = pairs.select(col(srcCol).as("src"), col(dstCol).as("dst"))
-      .union(pairs.select(col(dstCol).as("src"), col(srcCol).as("dst")))
-      .distinct()
-      .repartition(col("src"))
-      .localCheckpoint(true)
+      iters: Int = 3, prebuiltEdges: Option[DataFrame] = None): (DataFrame, DataFrame) = {
+    // prebuiltEdges: the caller's already-checkpointed symmetric-
+    // distinct edge list partitioned by src (see [[triangleCounts]]
+    // for the shared-state contract); it is returned as this
+    // function's edge component unchanged
+    val edges = prebuiltEdges.getOrElse(
+      pairs.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+        .union(pairs.select(col(dstCol).as("src"), col(srcCol).as("dst")))
+        .distinct()
+        .repartition(col("src"))
+        .localCheckpoint(true))
     var lab = edges.select(col("src").as("id")).distinct()
       .select(col("id"), col("id").as("lab"))
     var lastCut: DataFrame = null // the live lineage-truncation checkpoint
