@@ -84,7 +84,7 @@ private[graft] trait QueriesGraph { this: Queries.type =>
   private[graft] lazy val qKcore = GraftQuery(
     "q_kcore",
     (s, dir) => Relational.kCore(simhashPairs(s, dir), "id_a", "id_b", k = 3, rounds = 8,
-      prebuiltSym = Some(graphEdges(s, dir)._1)),
+      prebuiltSym = Some(graphSym(s, dir))),
     Some(s"""$simhashPairsSql,
              und AS (SELECT id_a AS a, id_b AS b FROM p UNION ALL SELECT id_b, id_a FROM p),
              peel(r, a, b) AS (
@@ -118,7 +118,7 @@ private[graft] trait QueriesGraph { this: Queries.type =>
   private[graft] lazy val qBfsHops = GraftQuery(
     "q_bfs_hops",
     (s, dir) => Relational.bfsHops(simhashPairs(s, dir), "id_a", "id_b",
-      col("id") % 7 === 0, maxHops = 3, prebuiltSym = Some(graphEdges(s, dir)._1)),
+      col("id") % 7 === 0, maxHops = 3, prebuiltSym = Some(graphSym(s, dir))),
     Some(s"""$simhashPairsSql,
              und AS (SELECT id_a AS a, id_b AS b FROM p UNION ALL SELECT id_b, id_a FROM p),
              sd AS (SELECT DISTINCT a AS id FROM und WHERE a % 7 = 0),
