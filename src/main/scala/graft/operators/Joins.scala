@@ -327,86 +327,96 @@ object Joins {
     }
     def bucketOf(c: Column): Column = ((c - pmod(c, lit(width))) / lit(width)).cast("long")
 
-    // ---- rank chain: count of values ≤/< each probe ---------------------
-    // kind orders events vs probes at EQUAL value: events-first ⇒ "≤",
-    // probes-first ⇒ "<". The probe's own weight is 0, so its running
-    // sum IS the rank regardless of tie order among probes.
-    def ranks(evVal: String, probeVal: String, eventsFirst: Boolean): DataFrame = {
-      val ev = sess.select(col(evVal).as("__v"),
-        lit(if (eventsFirst) 0 else 1).as("__k"), lit(1L).as("__w"),
-        lit(null).cast(sess.schema("__key").dataType).as("__key"),
-        lit(null).cast("long").as("__slo"))
-      val pr = sess.select(col(probeVal).as("__v"),
-        lit(if (eventsFirst) 1 else 0).as("__k"), lit(0L).as("__w"),
-        col("__key"), col("__lo").as("__slo"))
-      val fr = ev.unionByName(pr).withColumn("__b", bucketOf(col("__v")))
-      val w1 = Window.partitionBy(col("__b"))
-        .orderBy(col("__v"), col("__k"), col("__key"), col("__slo"))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      val withC1 = fr.withColumn("__c1", sum(col("__w")).over(w1))
-      val offs = fr.groupBy(col("__b")).agg(sum(col("__w")).as("__bt"))
-        .withColumn("__off", coalesce(sum(col("__bt")).over(
-          Window.orderBy(col("__b"))
-            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-        .select(col("__b"), col("__off"))
-      withC1.join(broadcast(offs), Seq("__b"))
-        .filter(col("__key").isNotNull)
-        .select(col("__key"), col("__slo"), (col("__c1") + col("__off")).as("__rank"))
-    }
-    val xRank = ranks("__lo", "__hi", eventsFirst = true)
-      .withColumnRenamed("__rank", "__x")
-    val yRank = ranks("__hi", "__lo", eventsFirst = false)
-      .withColumnRenamed("__rank", "__y")
-
-    // ---- integral chain: F(t) = ∫ A over the ±1 endpoint timeline ------
-    val tl = sess.select(col("__key"), col("__lo").as("__slo"),
-        col("__lo").as("__t"), lit(1L).as("__d"), lit(0).as("__r"))
+    // ---- ONE fused endpoint pass (round 17) ----------------------------
+    // The two rank chains and the active-count integral all consume the
+    // SAME endpoint timeline under the SAME total order: every interval
+    // contributes its lo (kind 0) and hi (kind 1), ordered
+    // (value, kind, key, lo) with lo-kind before hi-kind at ties. Under
+    // that order, ONE bucketed window pass yields all three running
+    // sums at once:
+    //  - __clo = #lo endpoints at or before this row. Read at a
+    //    session's HI row it is exactly the old xRank's
+    //    #{lo_t ≤ hi_s} (equal-valued lo's sort before any hi — the
+    //    old events-first "≤" tie rule);
+    //  - __chi = #hi endpoints at or before this row. Read at a
+    //    session's LO row it is exactly the old yRank's
+    //    #{hi_t < lo_s} (equal-valued hi's sort after — the old
+    //    probes-first "<" rule);
+    //  - the active count A = __clo − __chi (each lo is +1, each hi
+    //    −1 under the identical order the old integral chain used), so
+    //    the F(t) = ∫A prefix integral rides the same window.
+    // Tie order among same-(value, kind) rows is irrelevant to all
+    // three sums (they count whole kinds, not positions within one).
+    // The old form built three separate union frames, three windows,
+    // three bucket-offset joins, and re-joined xRank ⋈ yRank ⋈
+    // perSession on (key, lo); the fused form is one frame, one
+    // window pass (plus the unavoidable second bucket pass for the F
+    // offsets, which depend on the windowed increments), and ONE
+    // per-session aggregate — interval-sized exchanges drop ~7 → 3 at
+    // any scale, the win a 100 TB timeline keeps. Per-session reads
+    // are bit-identical to the old chains (Round15OpsSpec pins the
+    // operator against folding the naive pair join; the DuckDB oracle
+    // IS that pair join).
+    val ep = sess.select(col("__key"), col("__lo").as("__slo"),
+        col("__lo").as("__v"), lit(0).as("__k"))
       .unionByName(sess.select(col("__key"), col("__lo").as("__slo"),
-        col("__hi").as("__t"), lit(-1L).as("__d"), lit(1).as("__r")))
-      .withColumn("__b", bucketOf(col("__t")))
-    val ord = Seq(col("__t"), col("__r"), col("__key"), col("__slo"))
+        col("__hi").as("__v"), lit(1).as("__k")))
+      .withColumn("__b", bucketOf(col("__v")))
+    val ord = Seq(col("__v"), col("__k"), col("__key"), col("__slo"))
     val wCum = Window.partitionBy(col("__b")).orderBy(ord: _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val wLag = Window.partitionBy(col("__b")).orderBy(ord: _*)
-    // bucket frame: per-bucket delta totals → cross-bucket A offsets,
-    // plus the previous bucket's LAST timestamp (the crossing segment)
-    val btot = tl.groupBy(col("__b"))
-      .agg(sum(col("__d")).as("__bd"), max(col("__t")).as("__bmax"))
+    // bucket frame: per-bucket lo/hi totals → cross-bucket rank and
+    // active-count offsets, plus the previous bucket's LAST timestamp
+    // (the segment that crosses the bucket boundary)
+    val isLo = when(col("__k") === 0, 1L).otherwise(0L)
+    val isHi = when(col("__k") === 1, 1L).otherwise(0L)
+    val btot = ep.groupBy(col("__b"))
+      .agg(sum(isLo).as("__blo"), sum(isHi).as("__bhi"), max(col("__v")).as("__bmax"))
     val bw = Window.orderBy(col("__b"))
     val boff = btot
-      .withColumn("__aoff", coalesce(sum(col("__bd")).over(
+      .withColumn("__looff", coalesce(sum(col("__blo")).over(
+        bw.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("__hioff", coalesce(sum(col("__bhi")).over(
         bw.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
       .withColumn("__pmax", lag(col("__bmax"), 1).over(bw))
-      .select(col("__b"), col("__aoff"), col("__pmax"))
-    val rows = tl.join(broadcast(boff), Seq("__b"))
-      .withColumn("__a", sum(col("__d")).over(wCum) + col("__aoff"))
-      // F increment: A just BEFORE this endpoint × segment length; the
-      // bucket's first row crosses from the previous bucket's last
-      // point at A = aoff (the global first row has A−d = 0, so any
-      // finite default is exact — use its own t: a zero-length segment)
-      .withColumn("__inc", (col("__a") - col("__d")) *
-        (col("__t") - coalesce(lag(col("__t"), 1).over(wLag),
-          col("__pmax"), col("__t"))))
+      .select(col("__b"), col("__looff"), col("__hioff"), col("__pmax"))
+    val d = when(col("__k") === 0, 1L).otherwise(-1L)
+    val rows = ep.join(broadcast(boff), Seq("__b"))
+      .withColumn("__clo", sum(isLo).over(wCum) + col("__looff"))
+      .withColumn("__chi", sum(isHi).over(wCum) + col("__hioff"))
+      // A after this endpoint; F increment = A just BEFORE it × the
+      // segment from the previous endpoint. The bucket's first row
+      // crosses from the previous bucket's last point (the global
+      // first row has A−d = 0, so any finite default is exact — use
+      // its own v: a zero-length segment).
+      .withColumn("__inc", (col("__clo") - col("__chi") - d) *
+        (col("__v") - coalesce(lag(col("__v"), 1).over(wLag),
+          col("__pmax"), col("__v"))))
       .withColumn("__f1", sum(col("__inc")).over(wCum))
     val foff = rows.groupBy(col("__b")).agg(sum(col("__inc")).as("__bf"))
       .withColumn("__foff", coalesce(sum(col("__bf")).over(
         bw.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
       .select(col("__b"), col("__foff"))
-    val withF = rows.join(broadcast(foff), Seq("__b"))
-      .select(col("__key"), col("__slo"), col("__r"), col("__t"),
-        (col("__f1") + col("__foff")).as("__F"))
-    val perSession = withF.groupBy(col("__key"), col("__slo"))
-      .agg((max(when(col("__r") === 1, col("__F"))) -
-            max(when(col("__r") === 0, col("__F"))) -
-            (max(when(col("__r") === 1, col("__t"))) -
-             max(when(col("__r") === 0, col("__t"))))).as("__ov"))
 
-    // ---- assemble: per key, Σ counts and Σ intersection length ---------
-    xRank.join(yRank, Seq("__key", "__slo"))
-      .join(perSession, Seq("__key", "__slo"))
+    // ---- assemble: session reads off its own two rows, then per key ----
+    // x = __clo at the hi row, y = __chi at the lo row,
+    // ov = F(hi) − F(lo) − (hi − lo) — the identical quantities the
+    // three old chains produced, collapsed into one aggregate instead
+    // of two (key, lo)-keyed joins.
+    rows.join(broadcast(foff), Seq("__b"))
+      .select(col("__key"), col("__slo"), col("__k"), col("__v"),
+        col("__clo"), col("__chi"), (col("__f1") + col("__foff")).as("__F"))
+      .groupBy(col("__key"), col("__slo"))
+      .agg(
+        (max(when(col("__k") === 1, col("__clo"))) -
+          max(when(col("__k") === 0, col("__chi"))) - lit(1L)).as("__cnt"),
+        (max(when(col("__k") === 1, col("__F"))) -
+          max(when(col("__k") === 0, col("__F"))) -
+          (max(when(col("__k") === 1, col("__v"))) -
+           max(when(col("__k") === 0, col("__v"))))).as("__ov"))
       .groupBy(col("__key"))
-      .agg(sum(col("__x") - col("__y") - 1L).as("n_overlaps"),
-        sum(col("__ov")).as("overlap_us"))
+      .agg(sum(col("__cnt")).as("n_overlaps"), sum(col("__ov")).as("overlap_us"))
       .filter(col("n_overlaps") > 0)
       .select(col("__key").as(keyCol), col("n_overlaps"), col("overlap_us"))
   }
