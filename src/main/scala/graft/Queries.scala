@@ -220,7 +220,7 @@ object Queries
   def clearSessionMemos(): Unit = {
     (pairsCache.values ++ ccCache.values ++ sliceCache.values ++
         lpaCache.values.flatMap(p => Seq(p._1, p._2)) ++
-        symCache.values ++ degCache.values ++
+        symCache.values ++ degCache.values ++ spanCache.values ++
         bpeCache.values.flatMap(p => p._1 ++ p._2))
       .foreach(org.apache.spark.sql.GraftBridge.freeLocalCheckpoint)
     pairsCache.clear()
@@ -229,6 +229,7 @@ object Queries
     lpaCache.clear()
     symCache.clear()
     degCache.clear()
+    spanCache.clear()
     bpeCache.clear()
   }
 
@@ -363,6 +364,16 @@ object Queries
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
 
   private[graft] val degCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+
+  /** Shared SPAN STATE for the substring-dedup family (§2 rows
+    * 31p2/31p3/31p4): the islandized duplicated-span frame
+    * (doc_id, __isl, __cnt, __s, __e) — see
+    * `QueriesDedupText.spanIslandState` for the builder and the
+    * equivalence argument. Registered here so clearSessionMemos frees
+    * its checkpoint with the rest of the session state.
+    */
+  private[graft] val spanCache =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
 
   /** The symmetric edge list alone — consumers that never touch

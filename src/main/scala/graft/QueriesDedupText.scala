@@ -2260,75 +2260,96 @@ private[graft] trait QueriesDedupText { this: Queries.type =>
     Some(decontamOracleSql))
 
 
+  /** Shared SPAN STATE builder (round 17, the graphSym/graphEdges
+    * precedent): the three substring-dedup consumers — run detection
+    * (31p2), removal accounting (31p3) and excision (31p4) — each
+    * rebuilt the IDENTICAL heavy pipeline per invocation: tokenize →
+    * posexplode positional 8-grams → 60-bit hash → repartition(__gh) →
+    * dup-hash shuffle-hash join → per-doc run window — two spans-sized
+    * exchanges and a per-doc sort, ~1.1-1.3 s each at sf0.1, ~3.5 s of
+    * triplicated work per sweep. Every one of their outputs is a pure
+    * function of the ISLANDIZED frame (doc_id, __isl, __cnt, __s, __e):
+    *   - n_spans per doc = Σ __cnt over all groups (the NULL island
+    *     carries the non-dup position count) — the exact aggregate
+    *     q_dup_span_runs already ran;
+    *   - run lengths / max_run = the dup groups' __cnt;
+    *   - interval-union coverage = the clip walk over (__s, __e)
+    *     (DedupFns.spanCoverageFromIslands — the second half of the
+    *     spanCoverage composition the streaming twin still runs whole);
+    *   - the excision island array = collect_list(struct(__s, __e)).
+    * So ONE build serves all three, memoized per (session, dir) and
+    * freed by clearSessionMemos (Bench sweeps between queries, so each
+    * query's first trial pays the full build; cold anchors carry it per
+    * the SPARK_GRAFT_COLD convention). The frame is island-sized
+    * (docs × dup-islands + one null row per doc ≪ spans), so the
+    * checkpoint is small at any scale — this is exactly the "decide on
+    * small rows once" shape the 100 TB pipeline wants.
+    *
+    * Pipeline discipline inside the builder is unchanged from the
+    * pre-memo queries (the PlanSpec pins moved here): ONE
+    * repartition(__gh) exchange feeds both the min≠max dup-hash
+    * aggregate and the join probe side (the never-true `__mp < 0`
+    * disjunct keeps `pos` consumed on the aggregate side so column
+    * pruning cannot de-canonicalize the shared subtree; the explicit
+    * isNotNulls pre-materialize the filters the outer join would infer
+    * asymmetrically); the cross-doc test is a sort-free shuffle-hash
+    * join, never a hash-partition window sort.
+    */
+  private[graft] def spanDupFlags(s: SparkSession, dir: String): DataFrame = {
+    val g = Fence.guard(
+        t(s, dir, "documents")
+          .select(col("doc_id"), TextFns.tokensFast(col("text")).as("__toks"), Fence.col))
+      .filter(size(col("__toks")) >= 8)
+      .select(col("doc_id"),
+        posexplode(DedupFns.wordNgramsPositional(col("__toks"), 8)).as(Seq("pos", "__gram")))
+      .select(col("doc_id"), col("pos").cast("long").as("pos"),
+        TextFns.tokenHash(col("__gram")).as("__gh"))
+      .filter(col("__gh").isNotNull && col("doc_id").isNotNull)
+      .repartition(col("__gh"))
+    val dupHashes = g.groupBy(col("__gh"))
+      .agg(min(col("doc_id")).as("__mn"), max(col("doc_id")).as("__mx"),
+        max(col("pos")).as("__mp"))
+      .filter(col("__mn") =!= col("__mx") || col("__mp") < 0)
+      .select(col("__gh").as("__dgh"))
+    g.join(dupHashes.hint("shuffle_hash"), col("__gh") === col("__dgh"), "left")
+      .select(col("doc_id"), col("pos"),
+        when(col("__dgh").isNotNull, 1L).otherwise(0L).as("__dup"))
+  }
+
+  private[graft] def spanIslandState(s: SparkSession, dir: String): DataFrame =
+    Queries.spanCache.getOrElseUpdate((s, dir),
+      DedupFns.spanIslandize(spanDupFlags(s, dir)).localCheckpoint(true))
+
   /** Duplicated-substring RUN detection (the Lee et al. 2022
     * "Deduplicating Training Data" §4 substring signal, re-expressed
     * relationally): q_span_dedup counts which distinct 8-token windows
     * recur; this query finds how LONG the copied stretches are. A
     * window is cross-doc duplicated iff its 60-bit hash occurs in ≥2
     * distinct docs (min(doc_id)≠max(doc_id) over the hash partition —
-    * exact, and ONE hash shuffle with no df self-join); consecutive
-    * duplicated window starts then collapse gaps-and-islands style
-    * (pos − running-dup-count is constant within a run) into maximal
-    * runs. A run of r consecutive duplicated 8-windows certifies a
-    * duplicated substring of r+7 tokens — the excision length a
-    * substring-level dedup pass would cut.
-    *
-    * Scale shape: positional windows ride as 8-byte hashes (native
-    * PosNgramsExpr builds them in one pass). The cross-doc test is NOT
-    * a window over the hash partition (that sorts every positional
-    * hash — one giant sort at corpus scale): one `repartition(__gh)`
-    * exchange is shared (ReusedExchange) by (a) a complete aggregation
-    * to the min≠max dup-hash set and (b) a sort-free shuffle-hash left
-    * join of the positions against that set — the per-partition hash
-    * table holds only duplicated hashes, a small fraction of all spans.
-    * The run window then sorts within one document only — never a
-    * low-cardinality key.
+    * exact, and ONE hash shuffle with no df self-join, inside the
+    * shared spanDupFlags builder above); consecutive duplicated window
+    * starts collapse gaps-and-islands style (pos − running-dup-count is
+    * constant within a run) into maximal runs. A run of r consecutive
+    * duplicated 8-windows certifies a duplicated substring of r+7
+    * tokens — the excision length a substring-level dedup pass would
+    * cut. Since round 17 this is ONE doc-keyed aggregate over the
+    * memoized island state; the heavy pipeline and its plan discipline
+    * live in spanDupFlags/spanIslandState.
     */
   private[graft] lazy val qDupSpanRuns = GraftQuery(
     "q_dup_span_runs",
-    (s, dir) => {
-      import org.apache.spark.sql.expressions.Window
-      val g = Fence.guard(
-          t(s, dir, "documents")
-            .select(col("doc_id"), TextFns.tokensFast(col("text")).as("__toks"), Fence.col))
-        .filter(size(col("__toks")) >= 8)
-        .select(col("doc_id"),
-          posexplode(DedupFns.wordNgramsPositional(col("__toks"), 8)).as(Seq("pos", "__gram")))
-        .select(col("doc_id"), col("pos").cast("long").as("pos"),
-          TextFns.tokenHash(col("__gram")).as("__gh"))
-        .filter(col("__gh").isNotNull)
-        .repartition(col("__gh"))
-      // Exchange-reuse discipline: the one __gh exchange below feeds BOTH
-      // the dup-hash aggregate and the join probe side, so their subtrees
-      // must stay byte-identical after optimization. Two rules defend
-      // that: (a) the explicit isNotNull above pre-materializes the
-      // filter the outer join would infer on the build side only (__gh is
-      // md5-derived, never null — semantics unchanged); (b) the __mp
-      // disjunct below is never true (pos ≥ 0) but keeps pos CONSUMED on
-      // this side, so column pruning cannot shrink this projection below
-      // the probe side's. Plain min/max longs keep this a HashAggregate —
-      // a struct min/max would plan a SortAggregate and reintroduce the
-      // very sort this shape removes.
-      val dupHashes = g.groupBy(col("__gh"))
-        .agg(min(col("doc_id")).as("__mn"), max(col("doc_id")).as("__mx"),
-          max(col("pos")).as("__mp"))
-        .filter(col("__mn") =!= col("__mx") || col("__mp") < 0)
-        .select(col("__gh").as("__dgh"))
-      val wd = Window.partitionBy("doc_id").orderBy(col("pos"))
-      g.join(dupHashes.hint("shuffle_hash"), col("__gh") === col("__dgh"), "left")
-        .select(col("doc_id"), col("pos"),
-          when(col("__dgh").isNotNull, 1L).otherwise(0L).as("__dup"))
-        .withColumn("__rnd", sum(col("__dup")).over(wd))
-        .withColumn("__isl", when(col("__dup") === 1L, col("pos") - col("__rnd")))
-        .groupBy(col("doc_id"), col("__isl"))
-        .agg(count(lit(1)).as("__cnt"))
+    (s, dir) =>
+      // the islandized memo's (doc_id, __isl, __cnt) groups are exactly
+      // the frame this query's final aggregate already consumed — the
+      // null island carries the non-dup span count, so Σ __cnt is the
+      // doc's total span count unchanged
+      spanIslandState(s, dir)
         .groupBy(col("doc_id"))
         .agg(sum(col("__cnt")).as("n_spans"),
           coalesce(sum(when(col("__isl").isNotNull, col("__cnt"))), lit(0L)).as("n_dup_spans"),
           coalesce(max(when(col("__isl").isNotNull, col("__cnt"))), lit(0L)).as("max_run"))
         .select(col("doc_id"), col("n_spans"), col("n_dup_spans"), col("max_run"),
-          when(col("max_run") > 0, col("max_run") + lit(7L)).otherwise(lit(0L)).as("max_dup_tokens"))
-    },
+          when(col("max_run") > 0, col("max_run") + lit(7L)).otherwise(lit(0L)).as("max_dup_tokens")),
     Some(s"""WITH t0 AS (SELECT doc_id, $toksSql AS tk FROM documents),
              sp AS (SELECT doc_id, pg.pos AS pos, pg.g AS g
                     FROM (SELECT doc_id, unnest(list_transform(range(0, len(tk) - 7),
@@ -2365,45 +2386,19 @@ private[graft] trait QueriesDedupText { this: Queries.type =>
     * per-row higher-order filter over positions against that array —
     * no position×interval range join, no second corpus shuffle beyond
     * the doc_id island attach. Docs without dup spans keep everything
-    * (left join, empty island array).
+    * (left join, empty island array). Since round 17 the island array
+    * comes from the memoized spanIslandState (its dup groups' [__s,
+    * __e] ARE this query's old per-island min/max pos aggregate), so
+    * the only corpus-sized work left here is the doc-side tokenize +
+    * HOF filter.
     */
   private[graft] lazy val qSpanExcise = GraftQuery(
     "q_span_excise",
     (s, dir) => {
-      import org.apache.spark.sql.expressions.Window
-      val g = Fence.guard(
-          t(s, dir, "documents")
-            .select(col("doc_id"), TextFns.tokensFast(col("text")).as("__toks"), Fence.col))
-        .filter(size(col("__toks")) >= 8)
-        .select(col("doc_id"),
-          posexplode(DedupFns.wordNgramsPositional(col("__toks"), 8)).as(Seq("pos", "__gram")))
-        .select(col("doc_id"), col("pos").cast("long").as("pos"),
-          TextFns.tokenHash(col("__gram")).as("__gh"))
-        // doc_id isNotNull is stated EXPLICITLY: the doc-side left join
-        // infers it onto the islands branch only, and an asymmetric
-        // pushed-down conjunct would de-canonicalize the two __gh
-        // subtrees and silently kill the exchange reuse
-        .filter(col("__gh").isNotNull && col("doc_id").isNotNull)
-        .repartition(col("__gh"))
-      // pos stays referenced on the aggregate side (never-true filter)
-      // so both __gh subtrees canonicalize identically → one exchange,
-      // AQE ReusedExchange (see q_span_scrub)
-      val dupHashes = g.groupBy(col("__gh"))
-        .agg(min(col("doc_id")).as("__mn"), max(col("doc_id")).as("__mx"),
-          max(col("pos")).as("__mp"))
-        .filter(col("__mn") =!= col("__mx") || col("__mp") < 0)
-        .select(col("__gh").as("__dgh"))
-      val wd = Window.partitionBy("doc_id").orderBy(col("pos"))
-      val islands = g.join(dupHashes.hint("shuffle_hash"), col("__gh") === col("__dgh"), "left")
-        .select(col("doc_id"), col("pos"),
-          when(col("__dgh").isNotNull, 1L).otherwise(0L).as("__dup"))
-        .withColumn("__rnd", sum(col("__dup")).over(wd))
-        .withColumn("__isl", when(col("__dup") === 1L, col("pos") - col("__rnd")))
+      val islands = spanIslandState(s, dir)
         .filter(col("__isl").isNotNull)
-        .groupBy(col("doc_id"), col("__isl"))
-        .agg(min(col("pos")).as("s"), max(col("pos")).as("e"))
         .groupBy(col("doc_id"))
-        .agg(collect_list(struct(col("s"), col("e"))).as("__islands"))
+        .agg(collect_list(struct(col("__s").as("s"), col("__e").as("e"))).as("__islands"))
       Fence.guard(
           t(s, dir, "documents")
             .select(col("doc_id"), TextFns.tokensFast(col("text")).as("__tk"), Fence.col))
@@ -2461,45 +2456,19 @@ private[graft] trait QueriesDedupText { this: Queries.type =>
     * tokens [s, e+7]; a lag window per doc clips each island at the
     * previous island's end+7, so the sum is the exact union length.
     * Emits n_tokens / dup_tokens / keep_milli — the budget view a
-    * pipeline reads before shipping span removal. Same single shared
-    * __gh exchange as q_dup_span_runs; the interval walk runs over the
-    * ISLAND aggregate (docs × islands rows ≪ spans).
+    * pipeline reads before shipping span removal. Since round 17 the
+    * interval walk (DedupFns.spanCoverageFromIslands — the second half
+    * of the spanCoverage composition the streaming twin still runs
+    * whole, so batch/stream parity stays structural) runs over the
+    * memoized ISLAND state (docs × islands rows ≪ spans); the heavy
+    * shared-__gh-exchange pipeline lives in spanDupFlags.
     */
   private[graft] lazy val qSpanScrub = GraftQuery(
     "q_span_scrub",
-    (s, dir) => {
-      val g = Fence.guard(
-          t(s, dir, "documents")
-            .select(col("doc_id"), TextFns.tokensFast(col("text")).as("__toks"), Fence.col))
-        .filter(size(col("__toks")) >= 8)
-        .select(col("doc_id"),
-          posexplode(DedupFns.wordNgramsPositional(col("__toks"), 8)).as(Seq("pos", "__gram")))
-        .select(col("doc_id"), col("pos").cast("long").as("pos"),
-          TextFns.tokenHash(col("__gram")).as("__gh"))
-        .filter(col("__gh").isNotNull)
-        .repartition(col("__gh"))
-      // same exchange-reuse discipline as q_dup_span_runs: the
-      // never-true `__mp < 0` keeps `pos` REFERENCED on the aggregate
-      // side so column pruning cannot shrink its exchange subtree —
-      // both sides then canonicalize to the SAME repartition(__gh)
-      // exchange and AQE materializes it once (ReusedExchange, asserted
-      // in PlanSpec). Dropping it re-plans the tokenize+explode scan
-      // twice.
-      val dupHashes = g.groupBy(col("__gh"))
-        .agg(min(col("doc_id")).as("__mn"), max(col("doc_id")).as("__mx"),
-          max(col("pos")).as("__mp"))
-        .filter(col("__mn") =!= col("__mx") || col("__mp") < 0)
-        .select(col("__gh").as("__dgh"))
-      // the island walk lives in DedupFns.spanCoverage — ONE shared
-      // implementation with the streaming incremental twin, so their
-      // parity is structural rather than re-proved per change
-      DedupFns.spanCoverage(
-          g.join(dupHashes.hint("shuffle_hash"), col("__gh") === col("__dgh"), "left")
-            .select(col("doc_id"), col("pos"),
-              when(col("__dgh").isNotNull, 1L).otherwise(0L).as("__dup")))
+    (s, dir) =>
+      DedupFns.spanCoverageFromIslands(spanIslandState(s, dir))
         .select(col("doc_id"), col("n_tokens"), col("dup_tokens"),
-          expr("(n_tokens - dup_tokens) * 1000 div n_tokens").as("keep_milli"))
-    },
+          expr("(n_tokens - dup_tokens) * 1000 div n_tokens").as("keep_milli")),
     Some(s"""WITH t0 AS (SELECT doc_id, $toksSql AS tk FROM documents),
              sp AS (SELECT doc_id, pg.pos AS pos, pg.g AS g
                     FROM (SELECT doc_id, unnest(list_transform(range(0, len(tk) - 7),

@@ -581,28 +581,41 @@ object DedupFns {
       .withColumn("jac_milli", expr("inter * 1000 div uni"))
   }
 
-  /** Exact interval-union token coverage from per-position dup flags
-    * (the island walk shared by batch `q_span_scrub` and the streaming
-    * incremental twin — one implementation, so their parity is
-    * structural): input one row per positional w-gram
-    * (doc_id, pos, __dup ∈ {0,1}); output (doc_id, n_tokens,
-    * dup_tokens) where dup_tokens is the EXACT union of the flagged
-    * windows' [p, p+w−1] token footprints. Consecutive flagged
-    * positions collapse to islands (gaps-and-islands over one per-doc
-    * window); the clip window partitions on (doc_id, island IS NULL)
-    * so the null-island row can never be a lag predecessor; islands
-    * closer than w clip at the previous island's end+w−1, making the
-    * sum the exact union length. One doc_id exchange carries
-    * everything downstream of the flags.
+  /** Gaps-and-islands collapse of per-position dup flags — the
+    * spans → islands reduction every substring-dedup consumer shares
+    * (round 17: memoized once per (session, dir) as
+    * `Queries.spanIslandState`, since the runs / coverage / excision
+    * views are all pure functions of this SMALL frame): input one row
+    * per positional w-gram (doc_id, pos, __dup ∈ {0,1}); output one
+    * row per (doc_id, island) — `__isl` NULL collects the non-dup
+    * positions — with `__cnt` positions in the group and the dup
+    * islands' [__s, __e] start-position extent. Run length, interval
+    * union and the excision island array all derive from (cnt, s, e);
+    * total spans per doc is Σ__cnt over ALL groups (the null island
+    * carries the non-dup count), so nothing needs the positional frame
+    * back. One doc_id exchange + sort — the expensive per-doc pass —
+    * happens HERE, once.
     */
-  def spanCoverage(flags: DataFrame, w: Int = 8): DataFrame = {
+  def spanIslandize(flags: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val wd = Window.partitionBy("doc_id").orderBy(col("pos"))
-    val byIsl = flags
+    flags
       .withColumn("__rnd", sum(col("__dup")).over(wd))
       .withColumn("__isl", when(col("__dup") === 1L, col("pos") - col("__rnd")))
       .groupBy(col("doc_id"), col("__isl"))
       .agg(count(lit(1)).as("__cnt"), min(col("pos")).as("__s"), max(col("pos")).as("__e"))
+  }
+
+  /** The interval-union clip walk over an islandized frame (the second
+    * half of `spanCoverage`): islands closer than w clip at the
+    * previous island's end+w−1, making the sum the exact union length.
+    * The clip window partitions on (doc_id, island IS NULL) so the
+    * null-island row can never be a lag predecessor. Input frames are
+    * island-sized (docs × islands ≪ spans), so every exchange here is
+    * small at any scale.
+    */
+  def spanCoverageFromIslands(byIsl: DataFrame, w: Int = 8): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val wl = Window.partitionBy(col("doc_id"), col("__isl").isNull).orderBy(col("__s"))
     byIsl
       .withColumn("__pe", lag(col("__e"), 1).over(wl))
@@ -614,4 +627,18 @@ object DedupFns {
       .groupBy(col("doc_id"))
       .agg((sum(col("__cnt")) + lit(w - 1L)).as("n_tokens"), sum(col("__cov")).as("dup_tokens"))
   }
+
+  /** Exact interval-union token coverage from per-position dup flags
+    * (the island walk shared by batch `q_span_scrub` and the streaming
+    * incremental twin — one implementation, so their parity is
+    * structural): input one row per positional w-gram
+    * (doc_id, pos, __dup ∈ {0,1}); output (doc_id, n_tokens,
+    * dup_tokens) where dup_tokens is the EXACT union of the flagged
+    * windows' [p, p+w−1] token footprints. Composed from the shared
+    * islandize + clip-walk halves, so the batch memo path
+    * (`Queries.spanIslandState` → `spanCoverageFromIslands`) runs
+    * byte-identical logic.
+    */
+  def spanCoverage(flags: DataFrame, w: Int = 8): DataFrame =
+    spanCoverageFromIslands(spanIslandize(flags), w)
 }
