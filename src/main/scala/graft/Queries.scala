@@ -221,6 +221,7 @@ object Queries
     (pairsCache.values ++ ccCache.values ++ sliceCache.values ++
         lpaCache.values.flatMap(p => Seq(p._1, p._2)) ++
         symCache.values ++ degCache.values ++ spanCache.values ++
+        lmCache.values ++ bm25Cache.values ++
         bpeCache.values.flatMap(p => p._1 ++ p._2))
       .foreach(org.apache.spark.sql.GraftBridge.freeLocalCheckpoint)
     pairsCache.clear()
@@ -230,6 +231,8 @@ object Queries
     symCache.clear()
     degCache.clear()
     spanCache.clear()
+    lmCache.clear()
+    bm25Cache.clear()
     bpeCache.clear()
   }
 
@@ -923,6 +926,26 @@ object Queries
     bigramLmFromToks(docToks(s, dir))
 
 
+  /** Session memo of the bigram-LM per-doc kernel (round 17, the
+    * spanIslandState discipline): q_bigram_lm, q_ppl_buckets and
+    * q_ppl_buckets_scale each re-ran the identical two-tokenize-pass
+    * kernel (bigram explode + (x,y) count window + vocab join + per-doc
+    * aggregate) per invocation. The memoized frame is doc-sized (three
+    * longs per doc); consumers derive raw scores / ntile tertiles /
+    * histogram cuts from it. Keyed (session, dir) and freed by
+    * clearSessionMemos; cold cost carried by the SPARK_GRAFT_COLD
+    * sub-anchor convention. TokenMat note: the kernel reads docToks,
+    * so a flag flip mid-session serves the frame built under the
+    * earlier flag state — exact parity either way (the table holds the
+    * same tokensFast arrays, Round15OpsSpec pins it).
+    */
+  private[graft] val lmCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+
+  private[graft] def bigramLmState(s: SparkSession, dir: String): DataFrame =
+    lmCache.getOrElseUpdate((s, dir), bigramLmPerDoc(s, dir).localCheckpoint(true))
+
+
   /** bigram-LM kernel from an arbitrary (doc_id, __toks) frame — the
     * TokenMat re-point seam (see bm25ScoresToks).
     */
@@ -1041,6 +1064,19 @@ object Queries
     */
   private[graft] def bm25Scores(s: SparkSession, dir: String): DataFrame =
     bm25ScoresToks(docToks(s, dir))
+
+
+  /** Session memo of the BM25 per-doc scores (round 17, the
+    * spanIslandState discipline): q_bm25 and q_rrf_fusion's lexical
+    * head each re-ran the two bounded token passes per invocation. The
+    * memoized frame is ≤ docs-sized (only query-term hits). Same
+    * lifecycle as lmCache above.
+    */
+  private[graft] val bm25Cache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+
+  private[graft] def bm25State(s: SparkSession, dir: String): DataFrame =
+    bm25Cache.getOrElseUpdate((s, dir), bm25Scores(s, dir).localCheckpoint(true))
 
 
   /** The bm25 pipeline from an arbitrary (doc_id, __toks) frame — the

@@ -1779,7 +1779,7 @@ private[graft] trait QueriesDedupText { this: Queries.type =>
 
   private[graft] lazy val qBigramLm = GraftQuery(
     "q_bigram_lm",
-    (s, dir) => bigramLmPerDoc(s, dir),
+    (s, dir) => bigramLmState(s, dir),
     Some(s"""WITH $bigramLmSql
              SELECT doc_id, n_bigrams, lm_milli FROM lm"""))
 
@@ -1947,7 +1947,7 @@ private[graft] trait QueriesDedupText { this: Queries.type =>
     (s, dir) => {
       import org.apache.spark.sql.expressions.Window
       val w = Window.partitionBy("lang").orderBy(col("lm_milli").desc, col("doc_id"))
-      bigramLmPerDoc(s, dir)
+      bigramLmState(s, dir)
         .join(t(s, dir, "documents").select(col("doc_id"), col("lang")), Seq("doc_id"))
         .withColumn("tier", ntile(3).over(w).cast("long"))
         .groupBy(col("lang"), col("tier"))
@@ -1971,7 +1971,7 @@ private[graft] trait QueriesDedupText { this: Queries.type =>
       val langOf = tokenMatTable(s, dir).getOrElse(t(s, dir, "documents"))
         .select(col("doc_id"), col("lang"))
       pplBucketsScaleFrom(
-        bigramLmPerDoc(s, dir)
+        bigramLmState(s, dir)
           .join(langOf, Seq("doc_id"))
           .select(col("doc_id"), col("lang"), col("lm_milli")))
     },
@@ -2048,7 +2048,7 @@ private[graft] trait QueriesDedupText { this: Queries.type =>
 
   private[graft] lazy val qBm25 = GraftQuery(
     "q_bm25",
-    (s, dir) => bm25Scores(s, dir),
+    (s, dir) => bm25State(s, dir),
     Some(s"""WITH $bm25CoreSql
              SELECT doc_id, CAST(count(*) AS BIGINT) AS n_hit_terms,
                CAST(sum((idf_milli * tf * 2200) // (tf * 1000 + (1200 * norm_milli) // 1000)) AS BIGINT) AS bm25_milli
@@ -2092,7 +2092,7 @@ private[graft] trait QueriesDedupText { this: Queries.type =>
     "q_rrf_fusion",
     (s, dir) => {
       import org.apache.spark.sql.expressions.Window
-      val lexHead = bm25Scores(s, dir)
+      val lexHead = bm25State(s, dir)
         .orderBy(col("bm25_milli").desc, col("doc_id")).limit(100)
       val lex = lexHead.withColumn("lex_rank", row_number().over(
         Window.partitionBy(lit(1)).orderBy(col("bm25_milli").desc, col("doc_id"))).cast("long"))
