@@ -171,6 +171,25 @@ object Bench {
     // query somewhere at sf0.1
     "q_group_split")
 
+  /** Dual-report set (VERDICT r17 item 3): the 12 bench queries whose
+    * r17 steady-state numbers ride a session memo built by an earlier
+    * trial (graph state, span islands, bm25/bigram-LM kernels). For
+    * each, the canonical line ALSO carries `<name>__cold` — the
+    * post-clearSessionMemos single-shot cost — so the driver's artifact
+    * holds both numbers without a separate SPARK_GRAFT_COLD run. Trial
+    * 1 of every query already runs immediately after the per-query
+    * sweep(), so its wall time IS the cold number; recording it adds no
+    * bench work. The `__cold` entries are additions (never replacing a
+    * steady entry) and are EXCLUDED from the headline total, which
+    * stays the sum of the same per-query steady minima as r16/r17.
+    * Older memo riders (CC family, BPE chain) keep their committed
+    * BASELINE.md cold sub-anchors.
+    */
+  val ColdDual: Set[String] = Set(
+    "q_pagerank", "q_ppr_seeds", "q_kcore", "q_bfs_hops", "q_label_prop",
+    "q_dup_span_runs", "q_span_scrub", "q_span_excise",
+    "q_bm25", "q_rrf_fusion", "q_ppl_buckets", "q_ppl_buckets_scale")
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     // Dev subset (comma-separated names): per-query times are position-
@@ -252,7 +271,7 @@ object Bench {
 
     def runSweep(): (Seq[(String, Either[String, Double])], Option[StreamRes], Option[StreamRes]) = {
       val results = headline.flatMap { name =>
-        SparkEntry.queries.get(name).map { fn =>
+        SparkEntry.queries.get(name).toSeq.flatMap { fn =>
           sweep()
           try {
             val times = (1 to trials).map { i =>
@@ -265,9 +284,15 @@ object Bench {
               materialize(fn(spark, sfDir))
               (System.nanoTime() - t0) / 1e9
             }
-            name -> (Right(times.min): Either[String, Double])
+            val steady = name -> (Right(times.min): Either[String, Double])
+            // memo-riding queries dual-report trial 1 (the cold build)
+            // — see ColdDual's scaladoc
+            if (ColdDual(name))
+              Seq(steady, s"${name}__cold" -> (Right(times.head): Either[String, Double]))
+            else Seq(steady)
           } catch {
-            case e: Throwable => name -> (Left(e.getClass.getSimpleName): Either[String, Double])
+            case e: Throwable =>
+              Seq(name -> (Left(e.getClass.getSimpleName): Either[String, Double]))
           }
         }
       }
@@ -300,13 +325,16 @@ object Bench {
     }
     // canonical = per-query min over the sweeps (a query erroring in
     // one sweep but timed in another keeps its timing; erroring in all
-    // sweeps keeps the last error marker)
+    // sweeps keeps the last error marker). ColdDual queries carry a
+    // second `__cold` entry merged the same way; when the base query
+    // errored in every sweep its __cold entry is simply absent.
     val names = headline.filter(SparkEntry.queries.contains)
-    val merged: Seq[(String, Either[String, Double])] = names.map { n =>
+      .flatMap(n => if (ColdDual(n)) Seq(n, n + "__cold") else Seq(n))
+    val merged: Seq[(String, Either[String, Double])] = names.flatMap { n =>
       val per = all.flatMap(_._1.collect { case (`n`, v) => v })
       val oks = per.collect { case Right(s) => s }
-      if (oks.nonEmpty) n -> Right(oks.min)
-      else n -> per.lastOption.getOrElse(Left("missing"))
+      if (oks.nonEmpty) Some(n -> (Right(oks.min): Either[String, Double]))
+      else per.lastOption.map(n -> _)
     }
     def mergeStream(sel: ((Seq[(String, Either[String, Double])], Option[StreamRes], Option[StreamRes])) => Option[StreamRes]): Option[StreamRes] = {
       val rs = all.flatMap(r => sel(r))
@@ -323,13 +351,43 @@ object Bench {
     // runs (BENCH_r10.json lost the headline total and first 8
     // queries), so the full record also lands in bench_runs/.
     val durable = durableWrite(s"bench_${sfName}_r$round$suffix", line)
-    // The driver parses a JSON line out of the LAST ~2000 chars of
-    // stdout; the full canonical line outgrew that window at 101
-    // queries (BENCH_r10..r13 all came back parsed:null). Print a
-    // SHORT summary line LAST — same schema, totals + error markers
-    // inline, per-query detail via the durable path — so the driver's
-    // parse window always contains one complete JSON object.
+    // The driver parses a JSON line out of the LAST 2000 CHARS of
+    // stdout — measured, not guessed: every BENCH_r*.json tail is
+    // exactly 2000 chars, and r10's tail contains the canonical line's
+    // END but not its start, with parsed:null (r10–r13 all failed that
+    // way once the line outgrew the window). A complete JSON object
+    // must therefore sit entirely inside the final 2000 chars, sbt's
+    // ~80-char "[success] ..." trailer included. 121 query names alone
+    // are ~2000 chars, so VERDICT r17 item 2's "inline the full
+    // per-query map" cannot fit; instead the summary line inlines the
+    // highest-value subset under a hard budget: first the ColdDual
+    // steady+__cold pairs (VERDICT item 3 — both numbers land in the
+    // driver-parsed artifact), then the remaining queries by
+    // descending steady time (the ones that move the total and the
+    // 8-core scaling comparison). The durable side file and the full
+    // canonical line above carry the complete map; additions only —
+    // every inlined entry keeps its canonical name and value.
     val errsShort = err.map { case (k, m) => s""""$k":"$m"""" }.mkString("{", ",", "}")
+    val steadyN = ok.count(!_._1.endsWith("__cold"))
+    val okMap = ok.toMap
+    val inlineOrder: Seq[(String, Double)] = {
+      val pairs = ColdDual.toSeq.sorted.flatMap(n =>
+        Seq(n, n + "__cold").flatMap(k => okMap.get(k).map(k -> _)))
+      val rest = ok.filterNot { case (k, _) =>
+        ColdDual(k) || k.endsWith("__cold") }.sortBy(-_._2)
+      pairs ++ rest
+    }
+    val qsBudget = 1500 // chars for the map body; total line stays < ~1900
+    val qsShort = {
+      val sb = new StringBuilder
+      inlineOrder.foreach { case (k, v) =>
+        val e = f""""$k":$v%.3f"""
+        if (sb.length + e.length + 1 <= qsBudget) {
+          if (sb.nonEmpty) sb.append(','); sb.append(e): Unit
+        }
+      }
+      "{" + sb.result() + "}"
+    }
     // silent-codegen-fallback gate (VERDICT r14 item 1): any janino
     // compile failure during the run surfaces as a COUNT in the
     // summary line (and its messages land durably) instead of hiding
@@ -338,9 +396,9 @@ object Bench {
     if (cgErrs.nonEmpty)
       durableWrite(s"codegen_errors_${sfName}_r$round$suffix", cgErrs.mkString("\n")): Unit
     println(
-      s"""{"metric":"headline_total","value":${f"${ok.map(_._2).sum}%.3f"},"unit":"sec",""" +
-      s""""sweeps":$sweeps,"queries_n":${ok.size},"errors_n":${err.size},""" +
-      s""""queries":{},"errors":$errsShort,"codegen_errors":${cgErrs.size},""" +
+      s"""{"metric":"headline_total","value":${f"${ok.collect { case (k, v) if !k.endsWith("__cold") => v }.sum}%.3f"},"unit":"sec",""" +
+      s""""sweeps":$sweeps,"queries_n":$steadyN,"errors_n":${err.size},""" +
+      s""""queries":$qsShort,"errors":$errsShort,"codegen_errors":${cgErrs.size},""" +
       s""""per_query_in":"${durable.map(_.toString).getOrElse("(durable write failed)")}",""" +
       s""""sf":"$sfDir"}""")
     spark.stop()
@@ -355,7 +413,9 @@ object Bench {
       st: Option[StreamRes], stSmall: Option[StreamRes], sfDir: String, sweeps: Int): String = {
     val qs = ok.map { case (k, v) => f""""$k":$v%.3f""" }.mkString("{", ",", "}")
     val errs = err.map { case (k, m) => s""""$k":"$m"""" }.mkString("{", ",", "}")
-    val total = ok.map(_._2).sum
+    // headline total = steady entries only: the __cold dual reports are
+    // additions and must not move the round-over-round total
+    val total = ok.collect { case (k, v) if !k.endsWith("__cold") => v }.sum
     def streamJson(r: Option[StreamRes]): String = r match {
       case None => "{}"
       case Some(s) =>

@@ -237,6 +237,27 @@ object Queries
   }
 
 
+  /** Race-safe frame memo (ADVICE r17): TrieMap.getOrElseUpdate may
+    * evaluate an eagerly-materializing default more than once under
+    * concurrent first access and silently discard the loser — whose
+    * localCheckpoint blocks would then never be registered for
+    * clearSessionMemos to free. Build OUTSIDE the map, publish with
+    * putIfAbsent, and free the losing build's checkpoint immediately.
+    */
+  private[graft] def memoFrame[K](
+      cache: scala.collection.concurrent.TrieMap[K, DataFrame], key: K)(
+      build: => DataFrame): DataFrame =
+    cache.get(key).getOrElse {
+      val built = build
+      cache.putIfAbsent(key, built) match {
+        case None => built
+        case Some(winner) =>
+          org.apache.spark.sql.GraftBridge.freeLocalCheckpoint(built)
+          winner
+      }
+    }
+
+
   /** Exact near-dup pairs shared by every DERIVED dedup query
     * (clusters, survivors, degree histogram) — materialized once per
     * (session, dir) via localCheckpoint so the band self-join runs
@@ -339,13 +360,13 @@ object Queries
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
 
   private[graft] def simhashPairs(s: SparkSession, dir: String): DataFrame =
-    pairsCache.getOrElseUpdate((s, dir),
+    memoFrame(pairsCache, (s, dir))(
       DedupFns.simhashNearDupPairs(t(s, dir, "documents"), "doc_id", "text", maxHamming = 3)
         .localCheckpoint(true))
 
 
   private[graft] def simhashClusters(s: SparkSession, dir: String): DataFrame =
-    ccCache.getOrElseUpdate((s, dir),
+    memoFrame(ccCache, (s, dir))(
       Relational.connectedComponents(simhashPairs(s, dir), "id_a", "id_b"))
 
 
@@ -386,17 +407,17 @@ object Queries
     * its own first-touch build).
     */
   private[graft] def graphSym(s: SparkSession, dir: String): DataFrame =
-    symCache.getOrElseUpdate((s, dir), {
+    memoFrame(symCache, (s, dir)) {
       val p = simhashPairs(s, dir)
       p.select(col("id_a").as("src"), col("id_b").as("dst"))
         .union(p.select(col("id_b").as("src"), col("id_a").as("dst")))
         .repartition(col("src"))
         .localCheckpoint(true)
-    })
+    }
 
   private[graft] def graphEdges(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
     val sym = graphSym(s, dir)
-    val deg = degCache.getOrElseUpdate((s, dir),
+    val deg = memoFrame(degCache, (s, dir))(
       sym.groupBy(col("src").as("id")).agg(count(lit(1)).as("deg"))
         .localCheckpoint(true))
     (sym, deg)
@@ -481,20 +502,20 @@ object Queries
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
 
   private[graft] def slicedDocs(s: SparkSession, dir: String): DataFrame =
-    sliceCache.getOrElseUpdate((s, dir),
+    memoFrame(sliceCache, (s, dir))(
       t(s, dir, "documents")
         .filter(sliceCondAt(s, dir, "documents", 100000L)(col("doc_id")))
         .localCheckpoint(true))
 
 
   private[graft] def simhashPairsSliced(s: SparkSession, dir: String): DataFrame =
-    pairsCache.getOrElseUpdate((s, dir + "#slice16"),
+    memoFrame(pairsCache, (s, dir + "#slice16"))(
       DedupFns.simhashNearDupPairs(slicedDocs(s, dir), "doc_id", "text", maxHamming = 3)
         .localCheckpoint(true))
 
 
   private[graft] def simhashClustersSliced(s: SparkSession, dir: String): DataFrame =
-    ccCache.getOrElseUpdate((s, dir + "#slice16"),
+    memoFrame(ccCache, (s, dir + "#slice16"))(
       Relational.connectedComponents(simhashPairsSliced(s, dir), "id_a", "id_b"))
 
 
@@ -934,16 +955,21 @@ object Queries
     * longs per doc); consumers derive raw scores / ntile tertiles /
     * histogram cuts from it. Keyed (session, dir) and freed by
     * clearSessionMemos; cold cost carried by the SPARK_GRAFT_COLD
-    * sub-anchor convention. TokenMat note: the kernel reads docToks,
-    * so a flag flip mid-session serves the frame built under the
-    * earlier flag state — exact parity either way (the table holds the
-    * same tokensFast arrays, Round15OpsSpec pins it).
+    * sub-anchor convention. TokenMat note (VERDICT r17 item 1): the
+    * memo serves ONLY flag-off sessions. When spark.graft.tokenmat=1
+    * the memo is skipped entirely, so every call re-runs
+    * tokenMatTable's absent/stale loud-throws and reads the
+    * materialized table — a memoized flag-off frame can never bypass
+    * the round-16 loud-failure contract (Round16OpsSpec pins it), and
+    * a flag flip mid-session can never serve tokens built under the
+    * earlier flag state.
     */
   private[graft] val lmCache =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
 
   private[graft] def bigramLmState(s: SparkSession, dir: String): DataFrame =
-    lmCache.getOrElseUpdate((s, dir), bigramLmPerDoc(s, dir).localCheckpoint(true))
+    if (tokenMatTable(s, dir).isDefined) bigramLmPerDoc(s, dir)
+    else memoFrame(lmCache, (s, dir))(bigramLmPerDoc(s, dir).localCheckpoint(true))
 
 
   /** bigram-LM kernel from an arbitrary (doc_id, __toks) frame — the
@@ -1070,13 +1096,16 @@ object Queries
     * spanIslandState discipline): q_bm25 and q_rrf_fusion's lexical
     * head each re-ran the two bounded token passes per invocation. The
     * memoized frame is ≤ docs-sized (only query-term hits). Same
-    * lifecycle as lmCache above.
+    * lifecycle as lmCache above, including the flag-on memo skip
+    * (VERDICT r17 item 1): with spark.graft.tokenmat=1 every call goes
+    * through tokenMatTable's absent/stale checks instead of the memo.
     */
   private[graft] val bm25Cache =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
 
   private[graft] def bm25State(s: SparkSession, dir: String): DataFrame =
-    bm25Cache.getOrElseUpdate((s, dir), bm25Scores(s, dir).localCheckpoint(true))
+    if (tokenMatTable(s, dir).isDefined) bm25Scores(s, dir)
+    else memoFrame(bm25Cache, (s, dir))(bm25Scores(s, dir).localCheckpoint(true))
 
 
   /** The bm25 pipeline from an arbitrary (doc_id, __toks) frame — the

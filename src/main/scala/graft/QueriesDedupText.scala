@@ -2304,6 +2304,13 @@ private[graft] trait QueriesDedupText { this: Queries.type =>
         posexplode(DedupFns.wordNgramsPositional(col("__toks"), 8)).as(Seq("pos", "__gram")))
       .select(col("doc_id"), col("pos").cast("long").as("pos"),
         TextFns.tokenHash(col("__gram")).as("__gh"))
+      // doc_id.isNotNull documents an INVARIANT, not a semantic filter
+      // (ADVICE r17): documents.doc_id is a generated, never-null key
+      // (every oracle CTE joins/groups on it), so the predicate drops
+      // zero rows and only pre-materializes the null check the min/max
+      // aggregate + outer join below would otherwise infer
+      // asymmetrically. If the invariant ever broke, q_span_excise's
+      // oracle (which keeps null-doc_id rows) would diverge first.
       .filter(col("__gh").isNotNull && col("doc_id").isNotNull)
       .repartition(col("__gh"))
     val dupHashes = g.groupBy(col("__gh"))
@@ -2317,7 +2324,7 @@ private[graft] trait QueriesDedupText { this: Queries.type =>
   }
 
   private[graft] def spanIslandState(s: SparkSession, dir: String): DataFrame =
-    Queries.spanCache.getOrElseUpdate((s, dir),
+    Queries.memoFrame(Queries.spanCache, (s, dir))(
       DedupFns.spanIslandize(spanDupFlags(s, dir)).localCheckpoint(true))
 
   /** Duplicated-substring RUN detection (the Lee et al. 2022
