@@ -196,6 +196,22 @@ object StreamScale {
         out += funnelRun(tape, dir, 100)
         out += cmsRun(tape, dir, 100)
       }
+      // round 18 (VERDICT r17 item 9): the LARGER-batch leg — the same
+      // tape in ONE micro-batch. t(1 batch) is the op's engine floor at
+      // this row volume; (t(10) − t(1)) / 9 is the per-batch cadence
+      // cost, so the cadence share of the per-round bench's 6–13 s
+      // per-op walls gets a measured number instead of an inference.
+      if (dir == dirs.head) {
+        out += run(tape, dir, 1, "ewma", OutputMode.Append())(ds => StreamingOps.ewma(ds).toDF())
+        out += funnelRun(tape, dir, 1)
+        out += cmsRun(tape, dir, 1)
+        out += run(tape, dir, 1, "sessionize", OutputMode.Append())(ds =>
+          StreamingOps.sessionize(ds, 1_800_000_000L).toDF())
+        out += pairRun(tape, dir, 1, "hll_distinct")(ds =>
+          StreamingOps.hllDistinct(ds.toDF().toDF("key", "tok"), "key", "tok"))
+        out += pairRun(tape, dir, 1, "heavy_hitters")(ds =>
+          StreamingOps.heavyHitters(ds, 32).toDF())
+      }
     }
     val readings = out.result()
     readings.foreach(r => println(r.json))
